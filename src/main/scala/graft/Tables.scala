@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md) plus
+  * shared helpers that keep our results bit-identical to the DuckDB
+  * oracle (see `SparkEntry.oracleSql`).
+  *
+  * Oracle-parity rules used throughout the query library:
+  *  - Sums/averages of double columns go through DECIMAL: the source
+  *    doubles are clean 2-decimal values, so `CAST(x AS DECIMAL(18,2))`
+  *    is unambiguous and the decimal sum is exact in both engines. The
+  *    final result is cast back to DOUBLE (exact conversion both sides).
+  *    Summing raw doubles would be accumulation-order-dependent and
+  *    diverge between engines (and between Spark partitions at scale).
+  *  - Timestamps are emitted as formatted strings so value hashing
+  *    does not depend on either engine's native timestamp rendering.
+  *  - Every query has a total ORDER BY (unique key tiebreak) so row
+  *    order is deterministic under any parallelism.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS) — Spark's vectorized reader
+    * rejects it outright, so read it as a long (legacy nanosAsLong) and
+    * truncate to microsecond timestamps via integer division (`DIV`, not
+    * `/` — ns epoch values ≈1.7e18 exceed double's 2^53 exact range).
+    * Oracle side mirrors this with `ts::TIMESTAMP` (ns→us truncation).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact decimal view of a clean-2-decimal double column. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** 4-decimal view for derived per-row products (price*(1-disc) etc.). */
+  def dec4(c: Column): Column = c.cast(DecimalType(28, 4))
+
+  /** 6-decimal view for triple products (price*(1-disc)*(1+tax)): the
+    * exact value has 6 decimals, so rounding the double to 6 recovers it
+    * identically in both engines; rounding to 4 would hit half-way ties
+    * where Spark (HALF_UP) and DuckDB disagree. */
+  def dec6(c: Column): Column = c.cast(DecimalType(30, 6))
+
+  /** Exact decimal sum surfaced as DOUBLE (matches `CAST(SUM(CAST(x AS
+    * DECIMAL(18,2))) AS DOUBLE)` in DuckDB). */
+  def dsum2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  def dsum4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+  def dsum6(c: Column): Column = sum(dec6(c)).cast(DoubleType)
+
+  /** Exact average: decimal sum divided as a double (both engines do the
+    * same single IEEE division). */
+  def davg2(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(lit(1))
+
+  /** Midnight-precision timestamps (o_orderdate, l_shipdate). */
+  def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Microsecond-precision timestamps (events.ts). */
+  def microStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+}

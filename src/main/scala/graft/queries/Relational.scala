@@ -1,0 +1,497 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import graft.Tables._
+
+/** One declared query: the Spark implementation plus (when the semantics
+  * are ANSI-SQL-expressible) the equivalent DuckDB oracle SQL the driver
+  * hash-compares against (SURVEY.md §2B, BASELINE.md t2 gate).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** SURVEY.md §2B Q1–Q27: the relational surface. Spark-first: plain
+  * DataFrame declarations; Catalyst owns pushdown, join selection, AQE.
+  * Small fixed-size dims (region, nation, supplier) are broadcast
+  * explicitly — they stay tiny at any scale factor; everything else is
+  * left to AQE so the plan adapts at 100 TB.
+  */
+object Relational {
+
+  val q01 = Q(
+    "q01_scan",
+    (s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          dayStr(col("l_shipdate")).as("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(20),
+    Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           |       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""".stripMargin))
+
+  val q02 = Q(
+    "q02_filter_project",
+    (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(50),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |       l_extendedprice * (1.0 - l_discount) AS revenue
+           |FROM lineitem
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_discount BETWEEN 0.05 AND 0.07
+           |ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin))
+
+  val q03 = Q(
+    "q03_join_inner",
+    (s, d) =>
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .limit(50),
+    Some("""SELECT o_orderkey, c_name, o_totalprice
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |ORDER BY o_orderkey LIMIT 50""".stripMargin))
+
+  val q04 = Q(
+    "q04_multiway_join",
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name")),
+    Some("""SELECT n_name,
+           |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           |       COUNT(*) AS n_items
+           |FROM customer
+           |JOIN orders   ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation   ON s_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin))
+
+  val q05 = Q(
+    "q05_left_join",
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("order_cnt"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin))
+
+  val q06 = Q(
+    "q06_anti_join",
+    (s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  val q07 = Q(
+    "q07_semi_join",
+    (s, d) =>
+      part(s, d)
+        .join(lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+        .limit(100),
+    Some("""SELECT p_partkey, p_name FROM part p
+           |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+           |ORDER BY p_partkey LIMIT 100""".stripMargin))
+
+  // Range join: equi key (user_id) + time-range residual. Spark plans the
+  // equi part as the join key so only same-user rows meet the residual —
+  // no cartesian blowup at scale.
+  val q08 = Q(
+    "q08_range_join",
+    (s, d) => {
+      val a = events(s, d).select(col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"))
+      val b = events(s, d).select(col("user_id").as("user_id2"), col("event_id").as("id2"), col("ts").as("ts2"))
+      a.join(b,
+          col("user_id") === col("user_id2") &&
+            col("id1") < col("id2") &&
+            col("ts2") >= col("ts1") &&
+            col("ts2") <= col("ts1") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("id1"), col("id2"))
+        .orderBy(col("user_id"), col("id1"), col("id2"))
+        .limit(500)
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events)
+           |SELECT a.user_id, a.event_id AS id1, b.event_id AS id2
+           |FROM ev a JOIN ev b
+           |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+           | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+           |ORDER BY a.user_id, id1, id2 LIMIT 500""".stripMargin))
+
+  val q09 = Q(
+    "q09_cross_join",
+    (s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name")),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+           |ORDER BY r_name, n_name""".stripMargin))
+
+  // TPC-H Q1 shape: partial (map-side) agg + final agg, all exact decimal.
+  val q10 = Q(
+    "q10_agg_tpch_q1",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg2(col("l_quantity")).as("avg_qty"),
+          davg2(col("l_extendedprice")).as("avg_price"),
+          davg2(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+           |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           |  COUNT(*) AS count_order
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  val q11 = Q(
+    "q11_distinct_agg",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val q12 = Q(
+    "q12_distinct",
+    (s, d) =>
+      customer(s, d).select(col("c_mktsegment")).distinct().orderBy(col("c_mktsegment")),
+    Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
+
+  // HLL++ differs from DuckDB's sketch — driver records a rows-only check.
+  val q13 = Q(
+    "q13_approx_distinct",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  // COALESCE sentinels avoid NULL-ordering differences (Spark: NULLS FIRST
+  // asc; DuckDB: NULLS LAST) — data itself is NULL-free.
+  val q14 = Q(
+    "q14_rollup",
+    (s, d) =>
+      orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), dsum2(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("cnt"), col("sum_price"))
+        .orderBy(col("status"), col("priority")),
+    Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           |       COALESCE(o_orderpriority, '(all)') AS priority,
+           |       COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+           |ORDER BY status, priority""".stripMargin))
+
+  val q15 = Q(
+    "q15_cube",
+    (s, d) =>
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum2(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("cnt"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus")),
+    Some("""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           |       COALESCE(l_linestatus, '(all)') AS linestatus,
+           |       COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY returnflag, linestatus""".stripMargin))
+
+  val q16 = Q(
+    "q16_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT * FROM (
+           |  SELECT o_custkey, o_orderkey, o_totalprice,
+           |         ROW_NUMBER() OVER w AS rn,
+           |         RANK() OVER w AS rnk,
+           |         DENSE_RANK() OVER w AS drnk
+           |  FROM orders
+           |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+           |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin))
+
+  val q17 = Q(
+    "q17_window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), microStr(col("ts")).as("ts"),
+          sum(dec2(col("value"))).over(w).cast(DoubleType).as("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events)
+           |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           |    PARTITION BY user_id ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+           |FROM ev ORDER BY user_id, event_id""".stripMargin))
+
+  val q18 = Q(
+    "q18_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), microStr(col("ts")).as("ts"),
+          col("value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events)
+           |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value,
+           |       value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+           |FROM ev ORDER BY user_id, event_id""".stripMargin))
+
+  val q19 = Q(
+    "q19_topk",
+    (s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  val q20 = Q(
+    "q20_union_all",
+    (s, d) => {
+      val c = customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"), col("c_mktsegment"))
+        .unionAll(c.filter(col("c_mktsegment") === "MACHINERY").select(col("c_custkey"), col("c_mktsegment")))
+        .orderBy(col("c_custkey"), col("c_mktsegment"))
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+           |UNION ALL
+           |SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'
+           |ORDER BY c_custkey, c_mktsegment""".stripMargin))
+
+  val q20b = Q(
+    "q20b_union_distinct",
+    (s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey")),
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+           |UNION
+           |SELECT s_nationkey AS nationkey FROM supplier
+           |ORDER BY nationkey""".stripMargin))
+
+  val q21 = Q(
+    "q21_intersect",
+    (s, d) =>
+      lineitem(s, d).select(col("l_partkey").as("partkey"))
+        .intersect(part(s, d).select(col("p_partkey").as("partkey")))
+        .orderBy(col("partkey")),
+    Some("""SELECT l_partkey AS partkey FROM lineitem
+           |INTERSECT
+           |SELECT p_partkey AS partkey FROM part
+           |ORDER BY partkey""".stripMargin))
+
+  val q21b = Q(
+    "q21b_except",
+    (s, d) =>
+      part(s, d).select(col("p_partkey").as("partkey"))
+        .except(lineitem(s, d).select(col("l_partkey").as("partkey")))
+        .orderBy(col("partkey")),
+    Some("""SELECT p_partkey AS partkey FROM part
+           |EXCEPT
+           |SELECT l_partkey AS partkey FROM lineitem
+           |ORDER BY partkey""".stripMargin))
+
+  val q22 = Q(
+    "q22_string_fns",
+    (s, d) =>
+      part(s, d)
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up_name"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          size(split(col("p_name"), " ")).as("n_tokens"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
+        .orderBy(col("p_partkey"))
+        .limit(100),
+    Some("""SELECT p_partkey, UPPER(p_name) AS up_name, p_name[1:5] AS pfx,
+           |       LENGTH(p_name) AS name_len,
+           |       CONCAT_WS('-', p_brand, p_type) AS brand_type,
+           |       LEN(STRING_SPLIT(p_name, ' ')) AS n_tokens,
+           |       REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word
+           |FROM part WHERE p_name LIKE '%a%'
+           |ORDER BY p_partkey LIMIT 100""".stripMargin))
+
+  val q23 = Q(
+    "q23_date_fns",
+    (s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          year(col("ts")).as("y"), month(col("ts")).as("mo"),
+          dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          dayStr(date_trunc("hour", col("ts"))).as("hour_start"),
+          dayStr(date_trunc("day", col("ts"))).as("day_start"))
+        .orderBy(col("event_id"))
+        .limit(200),
+    Some("""WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts FROM events)
+           |SELECT event_id, YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS dom,
+           |       HOUR(ts) AS h, MINUTE(ts) AS mi,
+           |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           |       strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start
+           |FROM ev ORDER BY event_id LIMIT 200""".stripMargin))
+
+  // sqrt is IEEE-exact in both engines; squares via multiplication (libm
+  // pow is not cross-engine reproducible); floor/ceil/abs exact.
+  val q24 = Q(
+    "q24_math_fns",
+    (s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") / 3.0, 4).as("third_price"),
+          abs(col("l_quantity") - 25.0).as("qty_dev"),
+          sqrt(col("l_extendedprice")).as("price_sqrt"),
+          (col("l_discount") * col("l_discount")).as("disc_sq"),
+          floor(col("l_extendedprice")).cast("long").as("price_floor"),
+          ceil(col("l_extendedprice")).cast("long").as("price_ceil"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |       ROUND(l_extendedprice / 3.0, 4) AS third_price,
+           |       ABS(l_quantity - 25.0) AS qty_dev,
+           |       SQRT(l_extendedprice) AS price_sqrt,
+           |       l_discount * l_discount AS disc_sq,
+           |       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           |       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin))
+
+  // Higher-order array functions over the 64-dim embedding column; the
+  // norm is a sequential left-fold in both engines (same IEEE op order).
+  val q25 = Q(
+    "q25_array_fns",
+    (s, d) =>
+      embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("first_elem"),
+          element_at(col("embedding"), -1).cast(DoubleType).as("last_elem"),
+          sqrt(aggregate(
+            transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+            lit(0.0), (acc, x) => acc + x)).as("l2_norm"),
+          size(filter(col("embedding"), x => x > lit(0.0f))).as("n_positive"))
+        .orderBy(col("vec_id"))
+        .limit(200),
+    Some("""SELECT vec_id, LEN(embedding) AS dim,
+           |       CAST(embedding[1] AS DOUBLE) AS first_elem,
+           |       CAST(embedding[-1] AS DOUBLE) AS last_elem,
+           |       SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x)) AS l2_norm,
+           |       LEN(LIST_FILTER(embedding, x -> x > 0.0)) AS n_positive
+           |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin))
+
+  val q26 = Q(
+    "q26_json",
+    (s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .orderBy(col("event_id"))
+        .limit(200),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           |FROM events ORDER BY event_id LIMIT 200""".stripMargin))
+
+  val q26b = Q(
+    "q26b_json_agg",
+    (s, d) =>
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS cnt
+           |FROM events GROUP BY k ORDER BY k""".stripMargin))
+
+  // Epoch-aligned 1-hour tumbling window == date_trunc('hour', ts).
+  val q27 = Q(
+    "q27_tumbling_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum2(col("value")).as("sum_value"))
+        .select(dayStr(col("window.start")).as("window_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""WITH ev AS (SELECT event_type, value, ts::TIMESTAMP AS ts FROM events)
+           |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           |       event_type, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
+    q16, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26, q26b, q27)
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.Tables._
+
+/** North-star text-pipeline operators over `documents` (SURVEY.md §2B
+  * Q28/Q30): exact + near dedup (shingle jaccard, MinHash+LSH, SimHash),
+  * token statistics, language heuristics, quality scores, fingerprints.
+  *
+  * Scale design: every pair-generating op goes through an inverted-index
+  * or banded-signature join (shuffle on token/shingle/band key), never a
+  * cross join — at 100 TB the candidate set stays proportional to true
+  * collisions, and skewed hot shingles are bounded by `array_distinct`
+  * per doc. Exact verification runs only on candidate pairs.
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingles, distinct, of a token-array column. */
+  private def shingles3(t: Column): Column =
+    array_distinct(
+      transform(sequence(lit(0), size(t) - 3),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+
+  /** doc_id, shingle (exploded), n = |shingle set|. Docs with <3 tokens drop out. */
+  private def explodedShingles(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
+    documents(s, d)
+      .filter(size(t) >= 3)
+      .select(col("doc_id"), shingles3(t).as("sl"))
+      .select(col("doc_id"), size(col("sl")).as("n"), explode(col("sl")).as("shingle"))
+  }
+
+  /** Exact jaccard over candidate pairs given an exploded (id, shingle, n)
+    * inverted index: |A∩B| arrives as the join-group count — no set
+    * materialization per pair. */
+  private def jaccardPairs(ex: DataFrame, minJaccard: Double): DataFrame = {
+    val a = ex.select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
+    val b = ex.select(col("doc_id").as("id2"), col("n").as("n2"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"), first(col("n1")).as("na"), first(col("n2")).as("nb"))
+      .select(col("id1"), col("id2"),
+        (col("shared").cast(DoubleType) / (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ---- Q28: dedup family -------------------------------------------------
+
+  /** Exact dedup: canonical representative (min doc_id) per distinct text. */
+  val q28 = Q(
+    "q28_dedup_exact",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+        .select(col("doc_id"), col("dup_cnt"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+           |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin))
+
+  /** Exact 3-gram-shingle jaccard near-dup via inverted-index join. */
+  val q28b = Q(
+    "q28b_ngram_jaccard",
+    (s, d) =>
+      jaccardPairs(explodedShingles(s, d), 0.8)
+        .orderBy(col("id1"), col("id2")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+           |sh AS (SELECT doc_id,
+           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                        for i in range(1, len(t) - 1)]) sl
+           |       FROM toks WHERE len(t) >= 3),
+           |ex AS (SELECT doc_id, len(sl) n, unnest(sl) shingle FROM sh),
+           |pairs AS (SELECT a.doc_id id1, b.doc_id id2, COUNT(*) shared,
+           |                 ANY_VALUE(a.n) na, ANY_VALUE(b.n) nb
+           |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id1, id2,
+           |       CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
+           |FROM pairs
+           |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= 0.8
+           |ORDER BY id1, id2""".stripMargin))
+
+  /** MinHash + LSH banding: 128 hashes, 32 bands × 4 rows; candidates
+    * from band-bucket collisions only, then exact-jaccard verified.
+    * Same output contract as q28b — MinHash is the recall-scalable
+    * candidate generator, the verify stage keeps precision exact. No
+    * oracle (hash family is engine-specific).
+    *
+    * Scale shape: shingles are exploded and hashed ONCE to a long; the
+    * 128 per-doc minima come from a single map-side-combined
+    * min-aggregation (one shuffle keyed by doc_id, 128 long hashes per
+    * shingle row — never 128 string re-hashes, and never recomputed per
+    * band the way a nested array expression would be after
+    * CollapseProject inlining, which made a first draft O(bands×hashes)
+    * and 50× slower). Verification joins candidates on (id, shingle) so
+    * its cost is proportional to candidate count, not corpus².
+    */
+  val q28c = Q(
+    "q28c_minhash_lsh",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val docs = documents(s, d)
+        .filter(size(t) >= 3)
+        .select(col("doc_id"), shingles3(t).as("sl"))
+      val ex = docs
+        .select(col("doc_id"), size(col("sl")).as("n"), explode(col("sl")).as("shingle"))
+        .withColumn("h", xxhash64(col("shingle")))
+      val minCols = (0 until 128).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+      val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until 32).map(j =>
+            xxhash64(col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
+              col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}"))): _*)))
+        .toDF("doc_id", "band_idx", "band_sig")
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_sig") === col("y.band_sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .distinct()
+      // exact-verify candidates only: expand by id1's shingles, then hash-join
+      // on (id2, shingle) so only shared shingles survive the join itself.
+      val a = ex.select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
+      val b = ex.select(col("doc_id").as("id2"), col("n").as("n2"), col("shingle"))
+      cand.join(a, Seq("id1")).join(b, Seq("id2", "shingle"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("shared"), first(col("n1")).as("na"), first(col("n2")).as("nb"))
+        .select(col("id1"), col("id2"),
+          (col("shared").cast(DoubleType) / (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  /** 64-bit SimHash over the token multiset + banded hamming-distance
+    * pairing (4 bands × 16 bits; pairs with hamming ≤ 8 reported). */
+  val q28d = Q(
+    "q28d_simhash",
+    (s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      val bitSums = (0 until 64).map { b =>
+        sum(when(shiftrightunsigned(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b")
+      }
+      val sim = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+            .reduce(_.bitwiseOR(_)).as("simhash"))
+      val bands = sim.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(j =>
+            shiftrightunsigned(col("simhash"), j * 16) % 65536): _*)))
+        .toDF("doc_id", "simhash", "band_idx", "band_val")
+      bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy(col("id1"), col("id2"))
+    },
+    None)
+
+  // ---- Q30: text analysis ------------------------------------------------
+
+  val q30 = Q(
+    "q30_token_freq",
+    (s, d) =>
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(50),
+    Some("""SELECT token, COUNT(*) AS cnt
+           |FROM (SELECT unnest(string_split(text, ' ')) token FROM documents)
+           |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin))
+
+  val q30b = Q(
+    "q30b_doc_stats",
+    (s, d) => {
+      val t = tokens(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_distinct_tokens"),
+          ((col("n_chars") - (size(t) - 1)).cast(DoubleType) / size(t).cast(DoubleType)).as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, n_chars,
+           |       LEN(string_split(text, ' ')) AS n_tokens,
+           |       LEN(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           |       CAST(n_chars - (LEN(string_split(text, ' ')) - 1) AS DOUBLE)
+           |         / CAST(LEN(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val q30c = Q(
+    "q30c_lang_hist",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, COUNT(*) AS cnt,
+           |       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Quality scoring: stopword ratio + length-band score, exact double
+    * arithmetic (identical op order in the oracle). */
+  val q30d = Q(
+    "q30d_quality_score",
+    (s, d) => {
+      val t = tokens(col("text"))
+      val nTok = size(t).cast(DoubleType)
+      val stopCnt = size(filter(t, tk => tk.isin(stopwords: _*))).cast(DoubleType)
+      val avgLen = (col("n_chars") - (size(t) - 1)).cast(DoubleType) / nTok
+      documents(s, d)
+        .select(col("doc_id"),
+          (stopCnt / nTok).as("stop_ratio"),
+          least(avgLen / lit(10.0), lit(1.0)).as("len_score"),
+          ((stopCnt / nTok) * lit(0.5) + least(avgLen / lit(10.0), lit(1.0)) * lit(0.5)).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+           |  CAST(LEN(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+           |    / CAST(LEN(string_split(text,' ')) AS DOUBLE) AS stop_ratio,
+           |  LEAST(CAST(n_chars - (LEN(string_split(text,' ')) - 1) AS DOUBLE)
+           |    / CAST(LEN(string_split(text,' ')) AS DOUBLE) / 10.0, 1.0) AS len_score,
+           |  CAST(LEN(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+           |    / CAST(LEN(string_split(text,' ')) AS DOUBLE) * 0.5
+           |  + LEAST(CAST(n_chars - (LEN(string_split(text,' ')) - 1) AS DOUBLE)
+           |    / CAST(LEN(string_split(text,' ')) AS DOUBLE) / 10.0, 1.0) * 0.5 AS quality
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Regex token counting (BPE-ish word/number/symbol classes) alongside
+    * whitespace counting. Patterns restricted to the RE2∩Java-regex
+    * common subset. */
+  val q30e = Q(
+    "q30e_token_count",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+")).as("word_tokens"),
+          regexp_count(col("text"), lit("[0-9]+")).as("num_tokens"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, LEN(string_split(text, ' ')) AS ws_tokens,
+           |       LEN(regexp_extract_all(text, '[a-z]+')) AS word_tokens,
+           |       LEN(regexp_extract_all(text, '[0-9]+')) AS num_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Rolling polynomial fingerprint over token lengths, mod 1e9+7 —
+    * a sequential left fold in both engines. */
+  val q30f = Q(
+    "q30f_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(tokens(col("text")), lit(0L),
+            (acc, t) => (acc * lit(31L) + length(t).cast(LongType) + lit(1L)) % lit(1000000007L))
+            .as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |  LIST_REDUCE(
+           |    LIST_PREPEND(CAST(0 AS BIGINT),
+           |      LIST_TRANSFORM(string_split(text, ' '), t -> CAST(LENGTH(t) + 1 AS BIGINT))),
+           |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID heuristic: score each language profile by marker-token
+    * hits plus character-class evidence; deterministic argmax with ties
+    * broken alphabetically. (The synthetic corpus is ASCII word salad,
+    * so this exercises the mechanism, not linguistics.) No oracle —
+    * covered by ScalaTest golden assertions. */
+  val q30g = Q(
+    "q30g_langid",
+    (s, d) => {
+      val profiles = Map(
+        "en" -> Seq("the", "a", "and", "of"),
+        "es" -> Seq("el", "la", "de", "que"),
+        "fr" -> Seq("le", "la", "et", "de"),
+        "de" -> Seq("der", "die", "und", "das"),
+        "zh" -> Seq.empty[String])
+      val t = tokens(col("text"))
+      // negated score + ascending sort → argmax with alphabetical tiebreak
+      val scores = profiles.toSeq.sortBy(_._1).map { case (lg, markers) =>
+        val hits =
+          if (markers.isEmpty) lit(0)
+          else size(filter(t, tk => tk.isin(markers: _*)))
+        struct((-hits).cast(DoubleType).as("neg_score"), lit(lg).as("lang"))
+      }
+      documents(s, d)
+        .select(col("doc_id"),
+          sort_array(array(scores: _*)).getItem(0).getField("lang").as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g)
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.Tables._
+
+/** North-star similarity search over `embeddings` (SURVEY.md §2B Q29).
+  *
+  * Cosine is computed as a sequential left fold over the vector (same
+  * IEEE op order as the DuckDB oracle's LIST_REDUCE), with per-vector
+  * norms precomputed once — at scale that halves the flops and keeps the
+  * join input narrow. Brute-force top-k is the exact baseline; the
+  * LSH-bucketed variant is the 100 TB path (candidates ∝ bucket
+  * collisions, not |corpus|²).
+  */
+object VectorOps {
+
+  /** Σ xᵢyᵢ as a sequential fold (codegen'd higher-order functions). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** (vec_id, embedding, norm) — norm computed once per vector. */
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+  /** Shared DuckDB CTE: embeddings as DOUBLE[] with precomputed norms. */
+  private val oracleNormCte =
+    """WITH ev AS (
+      |  SELECT vec_id, embedding::DOUBLE[] v,
+      |         SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+      |           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |           (acc, x) -> acc + x)) nrm
+      |  FROM embeddings)""".stripMargin
+
+  private val oracleDot =
+    """LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+      |   [a.v[i] * b.v[i] for i in range(1, LEN(a.v) + 1)]),
+      |   (acc, x) -> acc + x)""".stripMargin
+
+  /** Q29: exact brute-force cosine top-5 for query vectors vec_id < 10. */
+  val q29 = Q(
+    "q29_cosine_topk",
+    (s, d) => {
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
+      val sims = q.join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
+          round(col("sim"), 4).as("sim_r"))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""$oracleNormCte
+            |SELECT qid, nid, rnk, sim_r FROM (
+            |  SELECT a.vec_id qid, b.vec_id nid,
+            |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            |           ORDER BY $oracleDot / (a.nrm * b.nrm) DESC, b.vec_id) rnk,
+            |         ROUND($oracleDot / (a.nrm * b.nrm), 4) sim_r
+            |  FROM ev a JOIN ev b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+            |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
+
+  /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.4 (the corpus
+    * max is ~0.5 — this surfaces the closest-pair tail). Block-joined on
+    * vec_id inequality; exact. */
+  val q29b = Q(
+    "q29b_embedding_neardup",
+    (s, d) => {
+      val e = withNorm(s, d)
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .select(col("id1"), col("id2"), round(col("sim"), 4).as("sim_r"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""$oracleNormCte
+            |SELECT id1, id2, sim_r FROM (
+            |  SELECT a.vec_id id1, b.vec_id id2,
+            |         $oracleDot / (a.nrm * b.nrm) sim,
+            |         ROUND($oracleDot / (a.nrm * b.nrm), 4) sim_r
+            |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id)
+            |WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin))
+
+  /** Random-hyperplane LSH signatures (8 tables × 12 bits, seeded
+    * deterministically): the scale path for near-neighbor candidate
+    * generation. Output: per-vector bucket signatures. */
+  private val lshTables = 8
+  private val lshBits = 12
+  private val lshDim = 64
+
+  private lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(lshTables, lshBits, lshDim)(rnd.nextGaussian())
+  }
+
+  private def lshSignature(v: Column, table: Int): Column = {
+    val bits = (0 until lshBits).map { b =>
+      val plane = hyperplanes(table)(b)
+      val proj = aggregate(
+        zip_with(v, typedLit(plane.toSeq), (x, p) => x.cast(DoubleType) * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k via LSH buckets: candidates = vectors sharing ≥1 of the 8
+    * table buckets with the query; exact cosine re-rank on candidates.
+    * Same output shape as q29 (recall measured against it in tests).
+    */
+  val q29c = Q(
+    "q29c_ann_lsh",
+    (s, d) => {
+      val e = withNorm(s, d)
+      val sigs = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array((0 until lshTables).map(t => lshSignature(col("embedding"), t)): _*)))
+        .toDF("vec_id", "embedding", "nrm", "tbl", "sig")
+      val q = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
+          col("tbl"), col("sig"))
+      val c = sigs.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("nrm").as("nn"), col("tbl").as("tbl2"), col("sig").as("sig2"))
+      val cand = q.join(c,
+          col("tbl") === col("tbl2") && col("sig") === col("sig2") && col("qid") =!= col("nid"))
+        .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
+        .dropDuplicates("qid", "nid")
+      val sims = cand.select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
+          round(col("sim"), 4).as("sim_r"))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q29, q29b, q29c)
+}
