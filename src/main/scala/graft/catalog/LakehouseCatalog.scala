@@ -1,0 +1,223 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Spark DSv2 catalog plugin: the from-scratch equivalent of the
+  * reference's BigLake-Metastore-backed Iceberg catalog (registration
+  * mechanism identical to `README.md:189-197` — a
+  * `spark.sql.catalog.<name>` class plus a `warehouse` location; here
+  * the warehouse is a filesystem directory instead of a GCS bucket +
+  * REST metastore).
+  *
+  * Layout: `<warehouse>/<ns...>/` directories with a `_namespace.json`
+  * marker (namespaces can nest, matching the reference's
+  * catalog→database chain, `pyspark_jobs/iceberg_table_creation.py:44-61`)
+  * and `<warehouse>/<ns...>/<table>/{metadata,data}` for tables.
+  * A 4th identifier part resolves Iceberg-style metadata tables
+  * (`tbl.metadata_log_entries` — notebook cell 11).
+  */
+class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = options.get("warehouse")
+    require(wh != null, s"catalog $name needs spark.sql.catalog.$name.warehouse")
+    warehouse = Paths.get(wh)
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  // ---- paths ---------------------------------------------------------------
+
+  private def nsDir(ns: Array[String]): Path = ns.foldLeft(warehouse)(_.resolve(_))
+  private def nsMarker(ns: Array[String]): Path = nsDir(ns).resolve("_namespace.json")
+  private def tableDir(ident: Identifier): Path = nsDir(ident.namespace).resolve(ident.name)
+
+  private def isNamespace(ns: Array[String]): Boolean =
+    ns.isEmpty || Files.exists(nsMarker(ns))
+
+  // ---- namespaces ----------------------------------------------------------
+
+  override def namespaceExists(ns: Array[String]): Boolean = isNamespace(ns)
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (!isNamespace(ns)) throw new NoSuchNamespaceException(ns)
+    val dir = nsDir(ns)
+    if (!Files.isDirectory(dir)) return Array.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => Files.exists(p.resolve("_namespace.json")))
+      .map(p => ns :+ p.getFileName.toString)
+      .toArray
+      .sortBy(_.mkString("."))
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): java.util.Map[String, String] = {
+    if (!isNamespace(ns)) throw new NoSuchNamespaceException(ns)
+    if (ns.isEmpty) return Map.empty[String, String].asJava
+    readProps(nsMarker(ns)).asJava
+  }
+
+  override def createNamespace(
+      ns: Array[String], metadata: java.util.Map[String, String]): Unit = {
+    if (isNamespace(ns) && ns.nonEmpty) throw new NamespaceAlreadyExistsException(ns)
+    if (ns.length > 1 && !isNamespace(ns.init))
+      throw new NoSuchNamespaceException(ns.init)
+    Files.createDirectories(nsDir(ns))
+    writeProps(nsMarker(ns), metadata.asScala.toMap)
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit = {
+    if (!isNamespace(ns) || ns.isEmpty) throw new NoSuchNamespaceException(ns)
+    val updated = changes.foldLeft(readProps(nsMarker(ns))) {
+      case (props, set: NamespaceChange.SetProperty) => props + (set.property -> set.value)
+      case (props, rm: NamespaceChange.RemoveProperty) => props - rm.property
+      case (props, _) => props
+    }
+    writeProps(nsMarker(ns), updated)
+  }
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!isNamespace(ns) || ns.isEmpty) throw new NoSuchNamespaceException(ns)
+    val hasChildren = listNamespaces(ns).nonEmpty || listTables(ns).nonEmpty
+    if (hasChildren && !cascade) throw new NonEmptyNamespaceException(ns)
+    deleteRecursively(nsDir(ns))
+    true
+  }
+
+  // ---- tables --------------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    if (!isNamespace(ns)) throw new NoSuchNamespaceException(ns)
+    val dir = nsDir(ns)
+    if (!Files.isDirectory(dir)) return Array.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => TableMetadata.exists(p))
+      .map(p => Identifier.of(ns, p.getFileName.toString))
+      .toArray
+      .sortBy(_.name)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (TableMetadata.exists(dir)) {
+      val meta = TableMetadata.load(dir)
+      return new LakehouseTable(spark, fullName(ident), dir, meta)
+    }
+    // 4-part name: cat.ns.tbl.<metadata-table>
+    if (ident.namespace.nonEmpty && MetadataTables.names.contains(ident.name)) {
+      val baseIdent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val baseDir = tableDir(baseIdent)
+      if (TableMetadata.exists(baseDir))
+        return MetadataTables.load(ident.name, fullName(baseIdent), baseDir)
+    }
+    throw new NoSuchTableException(ident)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (!isNamespace(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
+    val dir = tableDir(ident)
+    if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references.length != 1)
+        throw new UnsupportedOperationException(
+          s"unsupported partition transform: $t (identity only)")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val props = properties.asScala.toMap - TableCatalog.PROP_PROVIDER -
+      TableCatalog.PROP_LOCATION - TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
+    val meta = TableMetadata(
+      version = 1, name = ident.name, schema = schema,
+      partitionColumns = partCols, properties = props, files = Seq.empty,
+      snapshots = Seq(Snapshot(1, System.currentTimeMillis(), "create", 0, 0)))
+    TableMetadata.commit(dir, meta)
+    new LakehouseTable(spark, fullName(ident), dir, meta)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
+    val current = TableMetadata.load(dir)
+    val updated = changes.foldLeft(current) { (m, change) =>
+      change match {
+        case set: TableChange.SetProperty =>
+          m.copy(properties = m.properties + (set.property -> set.value))
+        case rm: TableChange.RemoveProperty =>
+          m.copy(properties = m.properties - rm.property)
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1, "nested ADD COLUMN not supported")
+          m.copy(schema = m.schema.add(add.fieldNames.head, add.dataType, add.isNullable))
+        case ren: TableChange.RenameColumn =>
+          require(ren.fieldNames.length == 1, "nested RENAME COLUMN not supported")
+          m.copy(schema = StructType(m.schema.fields.map(f =>
+            if (f.name == ren.fieldNames.head) f.copy(name = ren.newName) else f)))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1, "nested DROP COLUMN not supported")
+          m.copy(schema = StructType(m.schema.fields.filterNot(_.name == del.fieldNames.head)))
+        case other =>
+          throw new UnsupportedOperationException(s"unsupported table change: $other")
+      }
+    }
+    TableMetadata.commit(dir, updated.copy(
+      version = current.version + 1,
+      snapshots = current.snapshots :+
+        Snapshot(current.version + 1, System.currentTimeMillis(), "alter", 0, current.files.size)))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!TableMetadata.exists(dir)) return false
+    deleteRecursively(dir)
+    true
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val fromDir = tableDir(from)
+    if (!TableMetadata.exists(fromDir)) throw new NoSuchTableException(from)
+    if (TableMetadata.exists(tableDir(to))) throw new TableAlreadyExistsException(to)
+    if (!isNamespace(to.namespace)) throw new NoSuchNamespaceException(to.namespace)
+    Files.move(fromDir, tableDir(to))
+  }
+
+  // ---- helpers -------------------------------------------------------------
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  private def readProps(marker: Path): Map[String, String] =
+    JsonMethods.parse(Files.readString(marker)) match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+
+  private def writeProps(marker: Path, props: Map[String, String]): Unit =
+    Files.writeString(marker, JsonMethods.pretty(JsonMethods.render(
+      JObject(props.toList.sortBy(_._1).map { case (k, v) => k -> JString(v): JField }))))
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir))
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+}

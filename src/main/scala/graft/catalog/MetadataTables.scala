@@ -1,0 +1,106 @@
+package graft.catalog
+
+import java.nio.file.Path
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style metadata tables resolved from a 4th name part —
+  * `cat.db.tbl.metadata_log_entries` etc., the surface the reference
+  * notebook queries (cell 11: `SELECT * FROM {tbl}.metadata_log_entries`;
+  * history link in cell 10). Backed by the JSON snapshot log; served as
+  * a driver-local scan — metadata stays O(snapshots), never touching
+  * data files, exactly like Iceberg's metadata tables.
+  */
+object MetadataTables {
+
+  val names: Set[String] = Set("metadata_log_entries", "history", "snapshots", "files")
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+  private def micros(ms: Long): Long = ms * 1000L
+
+  def load(kind: String, identName: String, tableDir: Path): MetadataTable = {
+    val log = TableMetadata.loadLog(tableDir)
+    val currentV = log.last.version
+    kind match {
+      case "metadata_log_entries" =>
+        val schema = StructType(Seq(
+          StructField("timestamp", TimestampType),
+          StructField("file", StringType),
+          StructField("version", IntegerType),
+          StructField("is_current_version", BooleanType)))
+        val rows = log.map { m =>
+          val ts = m.snapshots.lastOption.map(_.timestampMs).getOrElse(0L)
+          new GenericInternalRow(Array[Any](
+            micros(ts),
+            utf8(TableMetadata.versionFile(tableDir, m.version).toString),
+            m.version,
+            m.version == currentV))
+        }
+        new MetadataTable(s"$identName.metadata_log_entries", schema, rows.toArray)
+
+      case "history" =>
+        val schema = StructType(Seq(
+          StructField("made_current_at", TimestampType),
+          StructField("version", IntegerType),
+          StructField("operation", StringType),
+          StructField("is_current_version", BooleanType)))
+        val rows = log.last.snapshots.map { s =>
+          new GenericInternalRow(Array[Any](
+            micros(s.timestampMs), s.version, utf8(s.operation), s.version == currentV))
+        }
+        new MetadataTable(s"$identName.history", schema, rows.toArray)
+
+      case "snapshots" =>
+        val schema = StructType(Seq(
+          StructField("committed_at", TimestampType),
+          StructField("version", IntegerType),
+          StructField("operation", StringType),
+          StructField("added_files", IntegerType),
+          StructField("total_files", IntegerType)))
+        val rows = log.last.snapshots.map { s =>
+          new GenericInternalRow(Array[Any](
+            micros(s.timestampMs), s.version, utf8(s.operation), s.addedFiles, s.totalFiles))
+        }
+        new MetadataTable(s"$identName.snapshots", schema, rows.toArray)
+
+      case "files" =>
+        val schema = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("size_bytes", LongType)))
+        val rows = log.last.files.map { f =>
+          val p = tableDir.resolve(f)
+          val size = if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else -1L
+          new GenericInternalRow(Array[Any](utf8(p.toString), size))
+        }
+        new MetadataTable(s"$identName.files", schema, rows.toArray)
+    }
+  }
+}
+
+class MetadataTable(
+    tableName: String,
+    tableSchema: StructType,
+    data: Array[InternalRow])
+  extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = tableSchema
+        override def rows(): Array[InternalRow] = data
+        override def description(): String = s"LocalScan $tableName"
+      }
+    }
+}

@@ -1,0 +1,135 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** One committed snapshot of a lakehouse table.
+  *
+  * Mirrors the observable surface of the reference's Iceberg metadata
+  * layer (metadata JSON log + snapshot history the notebook queries via
+  * `tbl.metadata_log_entries`, reference
+  * `jupyterlab_notebooks/demo_jupyterlab_blms_dataproc_pyspark.ipynb`
+  * cell 11; REST `metadata_location`, `README.md:543-551`) without the
+  * Iceberg wire format: each commit writes an immutable `vN.json`, and
+  * the current version is the highest N present.
+  */
+final case class Snapshot(
+    version: Int,
+    timestampMs: Long,
+    operation: String,
+    addedFiles: Int,
+    totalFiles: Int)
+
+/** Full table metadata: schema, properties, file list, snapshot log. */
+final case class TableMetadata(
+    version: Int,
+    name: String,
+    schema: StructType,
+    partitionColumns: Seq[String],
+    properties: Map[String, String],
+    files: Seq[String],
+    snapshots: Seq[Snapshot]) {
+
+  def toJson: String = {
+    val j = JObject(
+      "version" -> JInt(version),
+      "name" -> JString(name),
+      "schema" -> JsonMethods.parse(schema.json),
+      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
+      "properties" -> JObject(properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+      "files" -> JArray(files.map(JString(_)).toList),
+      "snapshots" -> JArray(snapshots.map { s =>
+        JObject(
+          "version" -> JInt(s.version),
+          "timestampMs" -> JLong(s.timestampMs),
+          "operation" -> JString(s.operation),
+          "addedFiles" -> JInt(s.addedFiles),
+          "totalFiles" -> JInt(s.totalFiles))
+      }.toList))
+    JsonMethods.pretty(JsonMethods.render(j))
+  }
+}
+
+object TableMetadata {
+
+  def fromJson(text: String): TableMetadata = {
+    val j = JsonMethods.parse(text)
+    def str(v: JValue): String = v match { case JString(s) => s; case other => other.values.toString }
+    def int(v: JValue): Int = v match {
+      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case other => other.values.toString.toInt
+    }
+    def long(v: JValue): Long = v match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case other => other.values.toString.toLong
+    }
+    val o = j.asInstanceOf[JObject].obj.toMap
+    TableMetadata(
+      version = int(o("version")),
+      name = str(o("name")),
+      schema = DataType.fromJson(JsonMethods.compact(o("schema"))).asInstanceOf[StructType],
+      partitionColumns = o("partitionColumns").asInstanceOf[JArray].arr.map(str),
+      properties = o("properties").asInstanceOf[JObject].obj.map { case (k, v) => k -> str(v) }.toMap,
+      files = o("files").asInstanceOf[JArray].arr.map(str),
+      snapshots = o("snapshots").asInstanceOf[JArray].arr.map { sv =>
+        val so = sv.asInstanceOf[JObject].obj.toMap
+        Snapshot(int(so("version")), long(so("timestampMs")), str(so("operation")),
+          int(so("addedFiles")), int(so("totalFiles")))
+      })
+  }
+
+  def metadataDir(tableDir: Path): Path = tableDir.resolve("metadata")
+
+  def versionFile(tableDir: Path, v: Int): Path = metadataDir(tableDir).resolve(s"v$v.json")
+
+  /** Highest committed version, or 0 if none (not a table). */
+  def currentVersion(tableDir: Path): Int = {
+    val md = metadataDir(tableDir)
+    if (!Files.isDirectory(md)) return 0
+    Files.list(md).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toIntOption.getOrElse(0)
+      }
+      .foldLeft(0)(math.max)
+  }
+
+  def exists(tableDir: Path): Boolean = currentVersion(tableDir) > 0
+
+  def load(tableDir: Path): TableMetadata = {
+    val v = currentVersion(tableDir)
+    require(v > 0, s"not a lakehouse table: $tableDir")
+    fromJson(Files.readString(versionFile(tableDir, v)))
+  }
+
+  /** Load every metadata version in order (the metadata log). */
+  def loadLog(tableDir: Path): Seq[TableMetadata] =
+    (1 to currentVersion(tableDir)).map(v => fromJson(Files.readString(versionFile(tableDir, v))))
+
+  /** Optimistic-concurrency commit: write to a temp file, then
+    * atomically move to `v{meta.version}.json`. A concurrent writer
+    * racing to the same version loses the rename and gets a clear
+    * conflict error instead of silent clobbering — the snapshot
+    * isolation story the reference inherits from Iceberg's metadata
+    * swap (`README.md:543-551`).
+    */
+  def commit(tableDir: Path, meta: TableMetadata): Unit = {
+    val md = metadataDir(tableDir)
+    Files.createDirectories(md)
+    val target = versionFile(tableDir, meta.version)
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"commit conflict: version ${meta.version} already exists for ${meta.name}")
+    val tmp = Files.createTempFile(md, s".v${meta.version}-", ".json.tmp")
+    Files.writeString(tmp, meta.toJson)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"commit conflict: version ${meta.version} already exists for ${meta.name}")
+    }
+  }
+}

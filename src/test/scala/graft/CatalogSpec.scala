@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Replays the reference pipeline end-to-end against our catalog and
+  * asserts its golden observables (SURVEY.md §5):
+  * create namespace ×2 → create 12-col table → insert parquet-schema
+  * data → query back, including the ANSI int→FLOAT `am=1.0` coercion
+  * proven by notebook cell 7, and the metadata-log growth of cell 11.
+  */
+class CatalogSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** mtcars head, in the reference fixture's *parquet* schema (FIXTURES.md:
+    * doubles + int32 `am`) — the DDL target narrows to FLOAT. */
+  private def mtcarsSource() = {
+    val schema = StructType(Seq(
+      StructField("model", StringType), StructField("mpg", DoubleType),
+      StructField("cyl", IntegerType), StructField("disp", DoubleType),
+      StructField("hp", IntegerType), StructField("drat", DoubleType),
+      StructField("wt", DoubleType), StructField("qsec", DoubleType),
+      StructField("vs", IntegerType), StructField("am", IntegerType),
+      StructField("gear", IntegerType), StructField("carb", IntegerType)))
+    val rows = Seq(
+      Row("Mazda RX4", 21.0, 6, 160.0, 110, 3.9, 2.62, 16.46, 0, 1, 4, 4),
+      Row("Mazda RX4 Wag", 21.0, 6, 160.0, 110, 3.9, 2.875, 17.02, 0, 1, 4, 4),
+      Row("Datsun 710", 22.8, 4, 108.0, 93, 3.85, 3.15, 18.61, 1, 1, 4, 1),
+      Row("Hornet 4 Drive", 21.4, 6, 258.0, 110, 3.08, 3.215, 19.44, 1, 0, 3, 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("reference pipeline replay: namespaces, table DDL, insert coercion, scan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.blms_cat")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.blms_cat.iceberg_dataset")
+    // idempotence (reference runs every DDL with IF NOT EXISTS)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.blms_cat")
+
+    spark.sql("""CREATE TABLE IF NOT EXISTS lakehouse.blms_cat.iceberg_dataset.cars
+      (model STRING, mpg FLOAT, cyl INT, disp FLOAT, hp INT, drat FLOAT,
+       wt FLOAT, qsec FLOAT, vs INT, am FLOAT, gear INT, carb INT)
+      TBLPROPERTIES('bq_table'='ds.cars', 'has_pii'='false')""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS lakehouse.blms_cat.iceberg_dataset.cars
+      (model STRING) """) // IF NOT EXISTS: no-op, no error
+
+    mtcarsSource().createOrReplaceTempView("temp_view_car_data")
+    spark.sql("""INSERT INTO lakehouse.blms_cat.iceberg_dataset.cars
+      (model, mpg, cyl, disp, hp, drat, wt, qsec, vs, am, gear, carb)
+      SELECT * FROM temp_view_car_data""")
+
+    val out = spark.sql(
+      "SELECT * FROM lakehouse.blms_cat.iceberg_dataset.cars ORDER BY model LIMIT 10")
+    out.schema("am").dataType shouldBe FloatType // DDL narrowed double→FLOAT
+    out.schema("mpg").dataType shouldBe FloatType
+    val rows = out.collect()
+    rows should have length 4
+    val datsun = rows.find(_.getString(0) == "Datsun 710").get
+    datsun.getFloat(1) shouldBe 22.8f // mpg double→float
+    datsun.getFloat(9) shouldBe 1.0f  // am int→float: the cell-7 golden
+    // DataFrame API twin (notebook cell 9 = cell 7)
+    spark.table("lakehouse.blms_cat.iceberg_dataset.cars").count() shouldBe 4
+  }
+
+  test("metadata tables: log growth, history, snapshots, files") {
+    val tbl = "lakehouse.blms_cat.iceberg_dataset.cars"
+    mtcarsSource().createOrReplaceTempView("more_cars")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM more_cars")
+    spark.table(tbl).count() shouldBe 8 // append, not replace
+
+    val log = spark.sql(s"SELECT * FROM $tbl.metadata_log_entries").collect()
+    log.length should be >= 3 // create + 2 inserts
+    log.count(_.getAs[Boolean]("is_current_version")) shouldBe 1
+
+    val hist = spark.sql(s"SELECT * FROM $tbl.history ORDER BY version").collect()
+    hist.map(_.getAs[String]("operation")).toSeq shouldBe Seq("create", "append", "append")
+
+    val snaps = spark.sql(s"SELECT * FROM $tbl.snapshots ORDER BY version").collect()
+    snaps.last.getAs[Int]("total_files") should be >= snaps.head.getAs[Int]("total_files")
+
+    val files = spark.sql(s"SELECT * FROM $tbl.files").collect()
+    files.length should be >= 2
+    all(files.map(_.getAs[Long]("size_bytes"))) should be > 0L
+  }
+
+  test("insert overwrite replaces the snapshot, readers see old files until commit") {
+    val tbl = "lakehouse.blms_cat.iceberg_dataset.cars"
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM temp_view_car_data")
+    spark.table(tbl).count() shouldBe 4
+    val hist = spark.sql(s"SELECT * FROM $tbl.history ORDER BY version").collect()
+    hist.last.getAs[String]("operation") shouldBe "overwrite"
+  }
+
+  test("catalog introspection: SHOW CATALOGS / NAMESPACES / TABLES / TBLPROPERTIES") {
+    spark.sql("SHOW CATALOGS").collect().map(_.getString(0)) should contain("lakehouse")
+    spark.sql("SHOW NAMESPACES IN lakehouse").collect().map(_.getString(0)) should
+      contain("blms_cat")
+    spark.sql("SHOW NAMESPACES IN lakehouse.blms_cat").collect().map(_.getString(0)) should
+      contain("blms_cat.iceberg_dataset")
+    spark.sql("SHOW TABLES IN lakehouse.blms_cat.iceberg_dataset").collect()
+      .map(_.getString(1)) should contain("cars")
+    val props = spark.sql(
+      "SHOW TBLPROPERTIES lakehouse.blms_cat.iceberg_dataset.cars").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props("bq_table") shouldBe "ds.cars"
+    props("has_pii") shouldBe "false" // the tag-template governance bit
+  }
+
+  test("alter table: set/unset properties, add/rename/drop column") {
+    spark.sql("CREATE TABLE lakehouse.blms_cat.alter_t (a INT, b STRING)")
+    val tbl = "lakehouse.blms_cat.alter_t"
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES('k'='v')")
+    spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap should contain("k" -> "v")
+    spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES('k')")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN c DOUBLE")
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN b TO b2")
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN a")
+    spark.table(tbl).schema.fieldNames.toSeq shouldBe Seq("b2", "c")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("drop/rename table; drop namespace guards") {
+    spark.sql("CREATE NAMESPACE lakehouse.tmp_ns")
+    spark.sql("CREATE TABLE lakehouse.tmp_ns.t1 (x INT)")
+    Seq(1, 2, 3).toDF("x").createOrReplaceTempView("xs")
+    spark.sql("INSERT INTO lakehouse.tmp_ns.t1 SELECT * FROM xs")
+    spark.sql("ALTER TABLE lakehouse.tmp_ns.t1 RENAME TO tmp_ns.t2")
+    spark.table("lakehouse.tmp_ns.t2").count() shouldBe 3
+    intercept[Exception] { spark.sql("DROP NAMESPACE lakehouse.tmp_ns") }
+    spark.sql("DROP TABLE lakehouse.tmp_ns.t2")
+    spark.sql("DROP NAMESPACE lakehouse.tmp_ns")
+    spark.sql("SHOW NAMESPACES IN lakehouse").collect()
+      .map(_.getString(0)) should not contain "tmp_ns"
+  }
+
+  test("partitioned table clusters files by key and pushes filters to parquet") {
+    spark.sql("""CREATE TABLE lakehouse.blms_cat.part_t (k INT, v STRING)
+      PARTITIONED BY (k)""")
+    (1 to 1000).map(i => (i % 10, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("kv")
+    spark.sql("INSERT INTO lakehouse.blms_cat.part_t SELECT * FROM kv")
+    val q = spark.table("lakehouse.blms_cat.part_t").where($"k" === 3)
+    q.count() shouldBe 100
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("k")
+    spark.sql("DROP TABLE lakehouse.blms_cat.part_t")
+  }
+
+  test("multimodal columns: binary payload + struct metadata round-trip") {
+    spark.sql("""CREATE TABLE lakehouse.blms_cat.media (
+      id BIGINT, payload BINARY,
+      meta STRUCT<mime: STRING, width: INT, height: INT>,
+      tags ARRAY<STRING>)""")
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3), ("image/png", 640, 480), Seq("cat", "indoor")),
+      (2L, Array[Byte](9, 9), ("audio/wav", 0, 0), Seq("speech")))
+      .toDF("id", "payload", "meta", "tags")
+      .selectExpr("id", "payload",
+        "named_struct('mime', meta._1, 'width', meta._2, 'height', meta._3) AS meta",
+        "tags")
+    df.createOrReplaceTempView("media_src")
+    spark.sql("INSERT INTO lakehouse.blms_cat.media SELECT * FROM media_src")
+    val back = spark.sql(
+      "SELECT id, meta.mime, octet_length(payload) AS len FROM lakehouse.blms_cat.media ORDER BY id")
+      .collect()
+    back.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq shouldBe
+      Seq((1L, "image/png", 3), (2L, "audio/wav", 2))
+    spark.sql("DROP TABLE lakehouse.blms_cat.media")
+  }
+
+  test("concurrent commits: losing writer gets a conflict, not silent clobber") {
+    import graft.catalog.{Snapshot, TableMetadata}
+    import java.nio.file.Paths
+    spark.sql("CREATE TABLE lakehouse.blms_cat.conflict_t (x INT)")
+    val dir = Paths.get(TestSpark.warehouse, "blms_cat", "conflict_t")
+    val base = TableMetadata.load(dir)
+    val next = base.copy(version = base.version + 1,
+      snapshots = base.snapshots :+ Snapshot(base.version + 1, 1L, "append", 0, 0))
+    TableMetadata.commit(dir, next)
+    intercept[IllegalStateException] { TableMetadata.commit(dir, next) }
+    spark.sql("DROP TABLE lakehouse.blms_cat.conflict_t")
+  }
+}
