@@ -21,8 +21,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   *    order is deterministic under any parallelism.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // InferFiltersFromGenerate turns explode(f(x)) into a pushed-down
+    // `size(f(x))>0 AND isnotnull(f(x))` filter, duplicating the full
+    // generator expression BELOW any repartition — for our shingle
+    // pipelines that re-evaluated O(tokens²) work per row on the
+    // single-task scan side and dominated the whole query. The inferred
+    // filter only skips empty arrays, which the generator drops anyway.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Tables._
@@ -19,34 +20,87 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(c, " ")
 
+  /** `documents` with the token array materialized ONCE as a column.
+    * Referencing a `split(text)` *expression* from several places (or
+    * from inside a higher-order-function lambda via `element_at`) makes
+    * Catalyst re-evaluate the split per reference — per array element
+    * inside a lambda, which turned shingling O(tokens²) and dominated
+    * the whole dedup pipeline. A separate projection pins it: lambdas
+    * then reference a cheap attribute. (CollapseProject keeps the
+    * barrier because the alias is non-cheap and multiply-referenced.) */
+  def tokenized(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      // The scan side is often a handful of big row groups (locally: one
+      // file, one row group = one task). Everything downstream is
+      // CPU-heavy per row, so hash-fan-out across the cluster first;
+      // the shuffled payload is just the raw text.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+
   /** Word 3-gram shingles, distinct, of a token-array column. */
   private def shingles3(t: Column): Column =
     array_distinct(
       transform(sequence(lit(0), size(t) - 3),
         i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
 
-  /** doc_id, shingle (exploded), n = |shingle set|. Docs with <3 tokens drop out. */
-  private def explodedShingles(s: SparkSession, d: String): DataFrame = {
-    val t = tokens(col("text"))
-    documents(s, d)
-      .filter(size(t) >= 3)
-      .select(col("doc_id"), shingles3(t).as("sl"))
+  /** doc_id, shingle hash `h` (exploded), n = |shingle set|. Docs with
+    * <3 tokens drop out. The inverted-index joins key on the 64-bit
+    * xxhash64 of the shingle, not the string — narrower shuffle rows and
+    * cheaper hash-join probes; a cross-doc collision needs two distinct
+    * shingles at the same 64-bit hash (~10⁻¹¹ at 10⁶ distinct shingles). */
+  def explodedShingles(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shingles3(col("toks")).as("sl"))
       .select(col("doc_id"), size(col("sl")).as("n"), explode(col("sl")).as("shingle"))
-  }
+      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("h"))
+      // Terminal shuffle by h: every consumer (df counts, h-keyed joins,
+      // doc_id regroups) hangs off this one exchange, and Spark's
+      // ReuseExchange dedupes it across the 3–4 places each dedup query
+      // references the index — the shingling pipeline runs ONCE per
+      // query instead of once per consumer, with h-keyed consumers
+      // reading it exchange-free.
+      .repartition(col("h"))
 
-  /** Exact jaccard over candidate pairs given an exploded (id, shingle, n)
-    * inverted index: |A∩B| arrives as the join-group count — no set
-    * materialization per pair. */
-  private def jaccardPairs(ex: DataFrame, minJaccard: Double): DataFrame = {
-    val a = ex.select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
-    val b = ex.select(col("doc_id").as("id2"), col("n").as("n2"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id1") < col("id2"))
+  /** Exact jaccard of the candidate pairs `(id1, id2)` against the full
+    * exploded (id, h, n) index: expand by id1's shingles, hash-join on
+    * (id2, h) so only shared shingles survive, count per pair. Cost is
+    * proportional to |candidates|, not corpus². */
+  def verifyJaccard(cand: DataFrame, ex: DataFrame, minJaccard: Double): DataFrame = {
+    val a = ex.select(col("doc_id").as("id1"), col("n").as("n1"), col("h"))
+    val b = ex.select(col("doc_id").as("id2"), col("n").as("n2"), col("h"))
+    cand.join(a, Seq("id1")).join(b, Seq("id2", "h"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared"), first(col("n1")).as("na"), first(col("n2")).as("nb"))
       .select(col("id1"), col("id2"),
         (col("shared").cast(DoubleType) / (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact all-pairs jaccard ≥ t via prefix filtering (PPJoin-style).
+    *
+    * A naive inverted-index self-join explodes on hot shingles (with a
+    * small vocabulary a single common shingle can pair half the corpus:
+    * Σ dfᵢ² rows). Prefix filtering is the exact fix: order shingles
+    * globally by ascending document frequency; if J(A,B) ≥ t, A and B
+    * must share one of each other's first p = n − ⌈t·n⌉ + 1 shingles
+    * under that order, so candidates are generated only from each doc's
+    * ~(1−t)·n RAREST shingles — the hot head never joins. Candidates
+    * then get the exact verify, so the result equals the naive join's.
+    */
+  def jaccardPrefixJoin(ex: DataFrame, t: Double): DataFrame = {
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = ex.join(freq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.select(col("doc_id").as("id1"), col("h"))
+      .join(prefix.select(col("doc_id").as("id2"), col("h")), Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    verifyJaccard(cand, ex, t)
   }
 
   // ---- Q28: dedup family -------------------------------------------------
@@ -63,11 +117,11 @@ object TextOps {
     Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
            |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin))
 
-  /** Exact 3-gram-shingle jaccard near-dup via inverted-index join. */
+  /** Exact 3-gram-shingle jaccard near-dup via prefix-filtered join. */
   val q28b = Q(
     "q28b_ngram_jaccard",
     (s, d) =>
-      jaccardPairs(explodedShingles(s, d), 0.8)
+      jaccardPrefixJoin(explodedShingles(s, d), 0.8)
         .orderBy(col("id1"), col("id2")),
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
            |sh AS (SELECT doc_id,
@@ -103,13 +157,7 @@ object TextOps {
   val q28c = Q(
     "q28c_minhash_lsh",
     (s, d) => {
-      val t = tokens(col("text"))
-      val docs = documents(s, d)
-        .filter(size(t) >= 3)
-        .select(col("doc_id"), shingles3(t).as("sl"))
-      val ex = docs
-        .select(col("doc_id"), size(col("sl")).as("n"), explode(col("sl")).as("shingle"))
-        .withColumn("h", xxhash64(col("shingle")))
+      val ex = explodedShingles(s, d)
       val minCols = (0 until 128).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
       val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
       val bands = sig.select(col("doc_id"),
@@ -124,16 +172,7 @@ object TextOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
         .distinct()
-      // exact-verify candidates only: expand by id1's shingles, then hash-join
-      // on (id2, shingle) so only shared shingles survive the join itself.
-      val a = ex.select(col("doc_id").as("id1"), col("n").as("n1"), col("shingle"))
-      val b = ex.select(col("doc_id").as("id2"), col("n").as("n2"), col("shingle"))
-      cand.join(a, Seq("id1")).join(b, Seq("id2", "shingle"))
-        .groupBy(col("id1"), col("id2"))
-        .agg(count(lit(1)).as("shared"), first(col("n1")).as("na"), first(col("n2")).as("nb"))
-        .select(col("id1"), col("id2"),
-          (col("shared").cast(DoubleType) / (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+      verifyJaccard(cand, ex, 0.8)
         .orderBy(col("id1"), col("id2"))
     },
     None)
@@ -143,8 +182,8 @@ object TextOps {
   val q28d = Q(
     "q28d_simhash",
     (s, d) => {
-      val tok = documents(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tok = tokenized(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
         .select(col("doc_id"), xxhash64(col("token")).as("h"))
       val bitSums = (0 until 64).map { b =>
         sum(when(shiftrightunsigned(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b")
@@ -187,8 +226,8 @@ object TextOps {
   val q30b = Q(
     "q30b_doc_stats",
     (s, d) => {
-      val t = tokens(col("text"))
-      documents(s, d)
+      val t = col("toks")
+      tokenized(s, d)
         .select(col("doc_id"), col("n_chars"),
           size(t).as("n_tokens"),
           size(array_distinct(t)).as("n_distinct_tokens"),
@@ -221,11 +260,11 @@ object TextOps {
   val q30d = Q(
     "q30d_quality_score",
     (s, d) => {
-      val t = tokens(col("text"))
+      val t = col("toks")
       val nTok = size(t).cast(DoubleType)
       val stopCnt = size(filter(t, tk => tk.isin(stopwords: _*))).cast(DoubleType)
       val avgLen = (col("n_chars") - (size(t) - 1)).cast(DoubleType) / nTok
-      documents(s, d)
+      tokenized(s, d)
         .select(col("doc_id"),
           (stopCnt / nTok).as("stop_ratio"),
           least(avgLen / lit(10.0), lit(1.0)).as("len_score"),
@@ -292,7 +331,7 @@ object TextOps {
         "fr" -> Seq("le", "la", "et", "de"),
         "de" -> Seq("der", "die", "und", "das"),
         "zh" -> Seq.empty[String])
-      val t = tokens(col("text"))
+      val t = col("toks")
       // negated score + ascending sort → argmax with alphabetical tiebreak
       val scores = profiles.toSeq.sortBy(_._1).map { case (lg, markers) =>
         val hits =
@@ -300,7 +339,7 @@ object TextOps {
           else size(filter(t, tk => tk.isin(markers: _*)))
         struct((-hits).cast(DoubleType).as("neg_score"), lit(lg).as("lang"))
       }
-      documents(s, d)
+      tokenized(s, d)
         .select(col("doc_id"),
           sort_array(array(scores: _*)).getItem(0).getField("lang").as("predicted_lang"))
         .orderBy(col("doc_id"))

