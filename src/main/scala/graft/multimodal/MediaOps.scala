@@ -1,0 +1,131 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded image/audio frame: pixel/sample data plus dimensions. */
+final case class Decoded(width: Int, height: Int, channels: Int, pixels: Array[Float])
+
+/** Codec boundary for multimodal payloads.
+  *
+  * The real image/audio libraries are not available in this
+  * environment, so [[StubCodec]] is a DETERMINISTIC FAKE — it
+  * interprets the payload through a tiny synthetic header format and
+  * derives pixels from a hash of the bytes. The Spark-side plumbing
+  * around it (schemas, per-partition batching, partitioning, output
+  * contracts) is real; swapping in a JNI/javacpp-backed codec is a
+  * one-object change.
+  */
+trait MediaCodec extends Serializable {
+  def decode(payload: Array[Byte]): Decoded
+  def resize(img: Decoded, w: Int, h: Int): Decoded
+}
+
+/** STUB: fake codec. Payload layout: [w: Byte, h: Byte, rest...]; pixel
+  * (x, y, c) = deterministic hash of (payload bytes, x, y, c) in [0,1). */
+object StubCodec extends MediaCodec {
+  private def mix(seed: Long, v: Long): Long = {
+    var h = seed ^ (v * 0x9e3779b97f4a7c15L)
+    h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+    h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  override def decode(payload: Array[Byte]): Decoded = {
+    require(payload.length >= 2, "truncated payload")
+    val w = java.lang.Byte.toUnsignedInt(payload(0)).max(1)
+    val h = java.lang.Byte.toUnsignedInt(payload(1)).max(1)
+    val seed = payload.foldLeft(0L)((acc, b) => mix(acc, b.toLong))
+    val px = Array.tabulate(w * h * 3) { i =>
+      (mix(seed, i.toLong) >>> 11).toFloat / (1L << 53).toFloat
+    }
+    Decoded(w, h, 3, px)
+  }
+
+  override def resize(img: Decoded, w: Int, h: Int): Decoded = {
+    // nearest-neighbour: deterministic, no interpolation library needed
+    val px = Array.tabulate(w * h * img.channels) { i =>
+      val c = i % img.channels
+      val x = (i / img.channels) % w
+      val y = i / (img.channels * w)
+      val sx = math.min(img.width - 1, x * img.width / w)
+      val sy = math.min(img.height - 1, y * img.height / h)
+      img.pixels((sy * img.width + sx) * img.channels + c)
+    }
+    Decoded(w, h, img.channels, px)
+  }
+}
+
+final case class MediaFeatures(
+    id: Long, width: Int, height: Int, features: Array[Float])
+
+final case class VideoFrame(id: Long, frame_idx: Int, payload: Array[Byte])
+
+/** Batch operators over opaque-binary media columns
+  * (`id BIGINT, payload BINARY` + struct metadata, the lakehouse
+  * multimodal column shape from SURVEY.md §2B).
+  *
+  * Shape notes for 100 TB:
+  *  - work happens in `mapPartitions`, the Scala analogue of
+  *    `mapInPandas`: the codec is instantiated once per partition and
+  *    rows stream through in batches of `batchSize` (bounding peak
+  *    decoded memory, like Arrow batch size does for pandas UDFs);
+  *  - payloads are repartitioned by id first so decode cost spreads
+  *    evenly regardless of how the source files clustered large blobs;
+  *  - outputs are narrow (id + fixed-size feature vector), so the
+  *    expensive binary column is dropped as early as possible.
+  */
+object MediaOps {
+
+  val defaultBatchSize = 64
+
+  /** Decode → resize(targetW×targetH) → grid-pooled feature vector.
+    * Output: (id, width, height, features[targetW·targetH·3]). */
+  def decodeFeatures(
+      media: DataFrame,
+      codec: MediaCodec = StubCodec,
+      targetW: Int = 4,
+      targetH: Int = 4,
+      batchSize: Int = defaultBatchSize): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val img = codec.decode(payload)
+            val small = codec.resize(img, targetW, targetH)
+            MediaFeatures(id, img.width, img.height, small.pixels)
+          }
+        }
+      }
+  }
+
+  /** Deterministic every-`stride`-th frame sampling of a "video":
+    * payload = concatenated fixed-size frames. Emits one row per kept
+    * frame — a generator-shaped op (explode) so downstream per-frame
+    * work parallelizes across the cluster, not per video. */
+  def sampleFrames(
+      videos: DataFrame,
+      frameBytes: Int,
+      stride: Int): Dataset[VideoFrame] = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.select(col("id").cast("long"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val nFrames = payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          VideoFrame(id, f, payload.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+  }
+
+  /** Cosine-ready embedding column from media features — bridges the
+    * multimodal path into the similarity-search operators (Q29). */
+  def withEmbedding(features: Dataset[MediaFeatures]): DataFrame =
+    features.toDF().select(col("id").as("vec_id"), col("features").as("embedding"))
+}

@@ -148,5 +148,30 @@ object VectorOps {
     },
     None)
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c)
+  /** q29 re-expressed with the typed TopKAggregator: per-query top-k via
+    * map-side partial aggregation (shuffle carries ≤ k rows per group
+    * per mapper) instead of a windowed full sort. Same output, same
+    * oracle as q29 — the cheaper plan at scale. */
+  val q29d = Q(
+    "q29d_topk_agg",
+    (s, d) => {
+      import s.implicits._
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
+      val sims = q.join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      val top5 = udaf(new graft.functions.TopKAggregator(5))
+      sims.groupBy(col("qid"))
+        .agg(top5(col("nid"), col("sim")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.id").as("nid"),
+          (col("pos") + 1).as("rnk"), round(col("col.score"), 4).as("sim_r"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    q29.oracle)
+
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d)
 }

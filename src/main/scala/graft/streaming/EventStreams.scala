@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event record matching the batch `events` table (TESTDATA.md)
+  * minus the raw props payload. */
+final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+final case class SessionSummary(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, total_value: Double)
+
+private final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+/** Structured Streaming operators over an event stream — the streaming
+  * twins of the batch time-series queries (SURVEY.md §2B Q27; the
+  * reference itself has no streaming, §7.4, so these follow stock
+  * Structured Streaming patterns: event-time watermarks, tumbling
+  * windows, and explicit session state).
+  *
+  * All transforms are expressed on an unbounded `DataFrame` — identical
+  * code runs against `readStream` sources (files/kafka) and are tested
+  * with in-memory streams. State is bounded by watermarks/timeouts, so
+  * an executor's state store stays O(active keys), not O(history) —
+  * the property that matters for a stream that never ends.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts/sums per event type with a 10-minute
+    * watermark: late events beyond the watermark are dropped and state
+    * for closed windows is evicted. Streaming twin of batch Q27. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Per-user running totals via update-mode aggregation. */
+  def runningUserTotals(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /** Sessionization with explicit state: a session closes after `gapMs`
+    * of inactivity (event-time, enforced via processing-time timeout in
+    * the absence of newer events for the key). Demonstrates
+    * `flatMapGroupsWithState` — arbitrary per-key state with bounded
+    * lifetime, the Structured Streaming escape hatch for operators the
+    * built-in aggregations can't express. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            events.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionSummary(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** File-source → lakehouse-table streaming ingest: tail a directory of
+    * parquet drops and append each micro-batch to a catalog table via
+    * the same committed write path as batch INSERT (snapshot per
+    * micro-batch; `foreachBatch` is the idiomatic bridge when the sink
+    * is a table format with its own commit protocol). */
+  def ingestToLakehouse(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceSchema: org.apache.spark.sql.types.StructType,
+      targetTable: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(sourceSchema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.writeTo(targetTable).append()
+      }
+      .start()
+}

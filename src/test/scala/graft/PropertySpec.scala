@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{GraftFunctions, Scored, TopKAggregator}
+
+/** Property-based checks (SURVEY.md §5): algebraic laws the operators
+  * must satisfy on arbitrary inputs, not just the fixture data.
+  * (Plain ScalaCheck generators sampled under fixed seeds — the
+  * scalatest+scalacheck bridge artifact isn't available offline.) */
+class PropertySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], trials: Int = 20)(f: A => Unit): Unit =
+    (0 until trials).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private val docGen = Gen.listOfN(30,
+    Gen.oneOf("the quick fox", "a b c", "x", "lorem ipsum dolor sit", ""))
+
+  test("dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    forAll(docGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = df.dropDuplicates("text")
+      val twice = once.dropDuplicates("text")
+      twice.count() shouldBe once.count()
+      once.select("text").distinct().count() shouldBe once.count()
+    }
+  }
+
+  test("set algebra: (a ∪ b) ∖ b ⊆ a and a ∩ b ⊆ a") {
+    forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) { (xs, ys) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      val diff = a.union(b).except(b).as[Int].collect().toSet
+      diff.subsetOf(xs.toSet) shouldBe true
+      val inter = a.intersect(b).as[Int].collect().toSet
+      inter shouldBe (xs.toSet intersect ys.toSet)
+    }
+  }
+
+  test("vec_dot codegen == higher-order-function fold, bit for bit") {
+    GraftFunctions.register(spark)
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+    forAll(vecGen, vecGen) { (xs, ys) =>
+      val df = Seq((xs.toArray, ys.toArray)).toDF("a", "b")
+      val Array(r) = df.select(
+        call_function("vec_dot", col("a"), col("b")).as("fast"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+        .collect()
+      // identical sequential fold ⇒ identical bits, not just ≈
+      java.lang.Double.doubleToRawLongBits(r.getDouble(0)) shouldBe
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+    }
+  }
+
+  test("TopKAggregator matches sort-and-take on any input") {
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.chooseNum(-5.0, 5.0))), 40) { items =>
+      val agg = new TopKAggregator(5)
+      val buf = items.foldLeft(agg.zero)((b, i) => agg.reduce(b, Scored(i._1, i._2)))
+      val got = agg.finish(buf)
+      val want = items.map(i => Scored(i._1, i._2))
+        .sortBy(s => (-s.score, s.id)).take(5)
+      got shouldBe want
+    }
+  }
+
+  test("insert coercion round-trip: INT source → FLOAT column keeps exact small ints") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.prop_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.prop_ns.coerce_t")
+    spark.sql("CREATE TABLE lakehouse.prop_ns.coerce_t (v FLOAT)")
+    val xs = Seq(0, 1, -1, 16777216, -16777216) // ints exactly representable as float
+    xs.toDF("v").createOrReplaceTempView("ints_src")
+    spark.sql("INSERT OVERWRITE lakehouse.prop_ns.coerce_t SELECT * FROM ints_src")
+    val back = spark.table("lakehouse.prop_ns.coerce_t").as[Float].collect().sorted
+    back shouldBe xs.map(_.toFloat).sorted.toArray
+    spark.sql("DROP TABLE lakehouse.prop_ns.coerce_t")
+  }
+}

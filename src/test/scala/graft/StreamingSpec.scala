@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.{Event, EventStreams}
+
+class StreamingSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling window aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hourlyTypeCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 2, "click", 2.0),
+        Event(3, ts(40), 1, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))
+        .toSet
+      rows should contain(("click", 2L, 3.0))
+      rows should contain(("view", 1L, 3.0))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5min apart (one session), then a 30min gap
+      // breaks it mid-batch when the third event arrives
+      in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(35), 1, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[graft.streaming.SessionSummary].collect()
+      sessions should have length 1 // first session closed by the gap
+      sessions.head.n_events shouldBe 2
+      sessions.head.total_value shouldBe 3.0
+      sessions.head.session_start shouldBe ts(0)
+      sessions.head.session_end shouldBe ts(5)
+    } finally q.stop()
+  }
+
+  test("streaming file ingest appends micro-batch snapshots to a lakehouse table") {
+    val src = java.nio.file.Files.createTempDirectory("stream-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt-").toString
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.ingested (a BIGINT, b STRING)")
+    val df1 = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    df1.write.parquet(s"$src/batch1")
+    val q = EventStreams.ingestToLakehouse(spark, s"$src/*", df1.schema,
+      "lakehouse.stream_ns.ingested", ckpt)
+    try {
+      q.processAllAvailable()
+      spark.table("lakehouse.stream_ns.ingested").count() shouldBe 2
+      Seq((3L, "z")).toDF("a", "b").write.parquet(s"$src/batch2")
+      q.processAllAvailable()
+      spark.table("lakehouse.stream_ns.ingested").count() shouldBe 3
+      // each micro-batch is one committed snapshot
+      val ops = spark.sql("SELECT * FROM lakehouse.stream_ns.ingested.history ORDER BY version")
+        .collect().map(_.getAs[String]("operation")).toSeq
+      ops.count(_ == "append") shouldBe 2
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.ingested")
+    }
+  }
+}
