@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.queries.Relational
+
+/** Physical-plan regression checks: the optimizations we rely on at
+  * scale (scan pushdown, column pruning, broadcast of small dims,
+  * top-k without full sort) must stay visible in the executed plan —
+  * a correctness-preserving regression that silently reintroduces a
+  * full shuffle or a full-column scan would only show up at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).toString
+  }
+
+  test("q02 pushes filters into the parquet scan and prunes columns") {
+    val plan = executedPlan(Relational.q02.run(spark, sf))
+    plan should include("PushedFilters")
+    plan should include("l_shipdate")
+    plan should include("l_discount")
+    // projection needs 5 columns; the 16-col lineitem schema must not be read
+    plan should not include "l_comment"
+    plan should not include "l_tax"
+  }
+
+  test("q04 broadcasts every small dimension") {
+    val plan = executedPlan(Relational.q04.run(spark, sf))
+    // supplier, nation, region are explicit broadcasts; AQE may add more
+    "BroadcastHashJoin".r.findAllIn(plan).size should be >= 3
+  }
+
+  test("q19 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = executedPlan(Relational.q19.run(spark, sf))
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("q10 aggregates hash-based inside whole-stage codegen") {
+    val plan = executedPlan(Relational.q10.run(spark, sf))
+    // AQE's final-plan string elides finished stages, so only the final
+    // HashAggregate is visible; `*(n)` prefixes mark codegen spans
+    plan should include("HashAggregate")
+    plan should include("*(")
+    plan should not include "SortAggregate"
+  }
+
+  test("q08 range join keys on user_id equality, residual as join condition") {
+    val plan = executedPlan(Relational.q08.run(spark, sf))
+    // must be an equi-join on user_id (hash or sort-merge), never a
+    // cartesian/broadcast-nested-loop over all event pairs
+    plan should not include "CartesianProduct"
+    (plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin")) shouldBe true
+  }
+
+  test("lakehouse scan prunes columns through the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.plan_ns")
+    spark.sql("CREATE TABLE lakehouse.plan_ns.wide (a INT, b STRING, c DOUBLE, d STRING)")
+    import spark.implicits._
+    Seq((1, "x", 1.0, "y")).toDF("a", "b", "c", "d").createOrReplaceTempView("wide_src")
+    spark.sql("INSERT INTO lakehouse.plan_ns.wide SELECT * FROM wide_src")
+    val df = spark.table("lakehouse.plan_ns.wide").where($"a" > 0).select($"a", $"c")
+    val plan = executedPlan(df)
+    plan should include("PushedFilters")
+    plan should include("ReadSchema: struct<a:int,c:double>")
+    spark.sql("DROP TABLE lakehouse.plan_ns.wide")
+  }
+}
