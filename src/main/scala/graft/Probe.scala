@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.queries.TextOps
 
 /** Ad-hoc stage timing probe (dev tool, not part of the driver contract). */
 object Probe {
@@ -24,24 +26,27 @@ object Probe {
     spark.range(100).count()
     import graft.queries.TextOps
     import org.apache.spark.sql.functions._
-    val tk = TextOps.tokenized(spark, sfDir)
-    val sh = tk.filter(size(col("toks")) >= 3).select(col("doc_id"),
-      array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
-        i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
-          element_at(col("toks"), i + 3)))).as("sl"))
-    val exx = sh.select(col("doc_id"), size(col("sl")).as("n"), explode(col("sl")).as("shingle"))
-    time("exploded")(exx.count())
-    time("exploded warm")(exx.count())
-    exx.explain("formatted")
-    // long-array variant: hash tokens once, shingle = xxhash of 3 hashes
-    val hk = tk.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), array_distinct(transform(sequence(lit(0), size(col("th")) - 3),
-        i => xxhash64(element_at(col("th"), i + 1), element_at(col("th"), i + 2),
-          element_at(col("th"), i + 3)))).as("sl"))
-    val exl = hk.select(col("doc_id"), size(col("sl")).as("n"), explode(col("sl")).as("h"))
-    time("long-hash ex")(exl.count())
-    time("long-hash ex warm")(exl.count())
+    val ex = TextOps.explodedShingles(spark, sfDir)
+    time("ex")(ex.count())
+    val minCols = (0 until 128).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    time("sig")(sig.count())
+    time("sig warm")(sig.count())
+    val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 32).map(j =>
+          xxhash64(col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
+            col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}"))): _*)))
+      .toDF("doc_id", "band_idx", "band_sig")
+    time("bands")(bands.count())
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    time("cand")(cand.count())
+    time("verify")(TextOps.verifyJaccard(cand, ex, 0.8).count())
     val name = if (args.nonEmpty) args(0) else "q28b_ngram_jaccard"
     time(s"$name full") { SparkEntry.queries(name)(spark, sfDir).count() }
     spark.stop()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StructField, StructType}
 import graft.Tables._
 
 /** One declared query: the Spark implementation plus (when the semantics
@@ -491,7 +491,119 @@ object Relational {
            |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
 
+  /** from_json with an explicit schema (the declared JSON surface next
+    * to get_json_object). */
+  val q26c = Q(
+    "q26c_from_json",
+    (s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
+        .filter(col("k") > 50)
+        .orderBy(col("event_id"))
+        .limit(200),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+           |ORDER BY event_id LIMIT 200""".stripMargin))
+
+  /** Pivot: returnflag categories to columns. Spark's relational pivot
+    * == conditional aggregation in the oracle; fixed value list so the
+    * plan is a single pass (no distinct-values pre-query). */
+  val q31 = Q(
+    "q31_pivot",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum2(col("l_quantity")))
+        .na.fill(0.0)
+        .orderBy(col("l_linestatus")),
+    Some("""SELECT l_linestatus,
+           |  COALESCE(CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS A,
+           |  COALESCE(CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS N,
+           |  COALESCE(CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS R
+           |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin))
+
+  /** Interpolated percentiles; both engines do linear interpolation on
+    * the sorted values; 2-decimal inputs make the midpoints exact. */
+  val q32 = Q(
+    "q32_percentile",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+           |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           |       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Grouped collection: deterministic via sort + string join (array
+    * renderings differ between engines; the joined string doesn't). */
+  val q33 = Q(
+    "q33_collect",
+    (s, d) =>
+      nation(s, d)
+        .join(customer(s, d), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name")),
+    Some("""SELECT n_name,
+           |       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           |       COUNT(*) AS n_customers
+           |FROM nation JOIN customer ON n_nationkey = c_nationkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** Uncorrelated scalar subquery + IN subquery, via the SQL entry point
+    * (temp views) — decimal-exact average so both engines agree. */
+  val q34 = Q(
+    "q34_subquery",
+    (s, d) => {
+      part(s, d).createOrReplaceTempView("part_v")
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT p_partkey, p_name, p_retailprice FROM part_v
+               WHERE p_retailprice > (
+                 SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 FROM part_v)
+                 AND p_partkey IN (SELECT l_partkey FROM lineitem_v WHERE l_quantity >= 45)
+               ORDER BY p_partkey LIMIT 100""")
+    },
+    Some("""SELECT p_partkey, p_name, p_retailprice FROM part
+           |WHERE p_retailprice > (
+           |    SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           |    FROM part)
+           |  AND p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+           |ORDER BY p_partkey LIMIT 100""".stripMargin))
+
+  /** Correlated EXISTS subquery (decorrelated by Catalyst into a semi
+    * join — asserted in PlanSpec). */
+  val q35 = Q(
+    "q35_exists",
+    (s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_v")
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c_custkey, c_name FROM customer_v c
+               WHERE EXISTS (
+                 SELECT 1 FROM orders_v o
+                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+           |WHERE EXISTS (
+           |  SELECT 1 FROM orders o
+           |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+           |ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-    q16, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26, q26b, q27)
+    q16, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26, q26b,
+    q26c, q27, q31, q32, q33, q34, q35)
 }

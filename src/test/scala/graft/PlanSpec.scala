@@ -66,6 +66,12 @@ class PlanSpec extends AnyFunSuite with Matchers {
       plan.contains("BroadcastHashJoin")) shouldBe true
   }
 
+  test("q35 correlated EXISTS decorrelates into a semi join") {
+    val plan = executedPlan(Relational.q35.run(spark, sf))
+    plan should include("LeftSemi")
+    plan should not include "CartesianProduct"
+  }
+
   test("lakehouse scan prunes columns through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.plan_ns")
     spark.sql("CREATE TABLE lakehouse.plan_ns.wide (a INT, b STRING, c DOUBLE, d STRING)")
