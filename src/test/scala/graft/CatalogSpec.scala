@@ -28,7 +28,7 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     val rows = Seq(
       Row("Mazda RX4", 21.0, 6, 160.0, 110, 3.9, 2.62, 16.46, 0, 1, 4, 4),
       Row("Mazda RX4 Wag", 21.0, 6, 160.0, 110, 3.9, 2.875, 17.02, 0, 1, 4, 4),
-      Row("Datsun 710", 22.8, 4, 108.0, 93, 3.85, 3.15, 18.61, 1, 1, 4, 1),
+      Row("Datsun 710", 22.8, 4, 108.0, 93, 3.85, 2.32, 18.61, 1, 1, 4, 1),
       Row("Hornet 4 Drive", 21.4, 6, 258.0, 110, 3.08, 3.215, 19.44, 1, 0, 3, 1))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
   }

@@ -19,5 +19,7 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.catalog.lakehouse", "graft.catalog.LakehouseCatalog")
     .config("spark.sql.catalog.lakehouse.warehouse", warehouse)
+    // static conf — must be present when the context is built
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
