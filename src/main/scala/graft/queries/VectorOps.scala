@@ -101,8 +101,14 @@ object VectorOps {
   /** Random-hyperplane LSH signatures (8 tables × 12 bits, seeded
     * deterministically): the scale path for near-neighbor candidate
     * generation. Output: per-vector bucket signatures. */
-  private val lshTables = 8
-  private val lshBits = 12
+  // Bucket-width tuning: P(query collides with a sim-s neighbour in one
+  // table) = (1 - arccos(s)/π)^bits. The synthetic corpus tops out near
+  // s≈0.5, so 12-bit buckets collide almost never (~0.2%/table); 6 bits
+  // × 12 tables gives ~40% candidate recall while candidates stay
+  // ~2^-6·tables ≈ 19% of corpus per query. For a true near-dup
+  // workload (s ≥ 0.9) more bits and fewer tables is the right trade.
+  private val lshTables = 12
+  private val lshBits = 6
   private val lshDim = 64
 
   private lazy val hyperplanes: Array[Array[Array[Float]]] = {
@@ -173,5 +179,56 @@ object VectorOps {
     },
     q29.oracle)
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d)
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * vectors indexed by nearest centroid, queries probe the `nprobe`
+    * closest cells and re-rank exactly inside them. The other classic
+    * 100 TB layout besides LSH (q29c): the index is a partitioned table
+    * keyed by cell, so a query touches nprobe/k of the corpus. Training
+    * is seeded and the assignment is deterministic; recall is measured
+    * against exact q29 in VectorSpec. Output shape = q29. */
+  val q29e = Q(
+    "q29e_ann_ivf",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = withNorm(s, d)
+      val k = 16
+      val nprobe = 4
+      val vecs = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        array_to_vector(col("embedding").cast("array<double>")).as("fv"))
+      val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
+        .setPredictionCol("cell").setMaxIter(5)
+      val model = km.fit(vecs)
+      val indexed = model.transform(vecs).select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      // centroid table (driver-side, k rows) → probe list per query vector
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat).toSeq)
+      }.toSeq
+      val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+      val queries = indexed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val probeW = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
+      val probes = queries.crossJoin(broadcast(centDf))
+        .select(col("qid"), col("qv"), col("qn"), col("cell"),
+          (call_function("vec_norm_sq", col("qv")) +
+            call_function("vec_norm_sq", col("centroid")) -
+            lit(2.0) * dot(col("qv"), col("centroid"))).as("cdist"))
+        .select(col("qid"), col("qv"), col("qn"), col("cell"),
+          row_number().over(probeW).as("prnk"))
+        .filter(col("prnk") <= nprobe)
+      val cand = probes.join(indexed.select(col("vec_id").as("nid"),
+          col("embedding").as("nv"), col("nrm").as("nn"), col("cell")), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+      val sims = cand.select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+        .dropDuplicates("qid", "nid")
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
+          round(col("sim"), 4).as("sim_r"))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e)
 }

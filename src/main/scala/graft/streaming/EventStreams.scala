@@ -91,6 +91,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup (the streaming twin of batch Q28): drop
+    * repeated keys, with state bounded by the watermark window —
+    * duplicates arriving within the watermark horizon are suppressed,
+    * state for expired keys is evicted, so the dedup map never grows
+    * with stream length. The first-seen row wins, like `MIN(doc_id)`
+    * canonicalization batch-side. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** File-source → lakehouse-table streaming ingest: tail a directory of
     * parquet drops and append each micro-batch to a catalog table via
     * the same committed write path as batch INSERT (snapshot per

@@ -56,6 +56,24 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupStream(in.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // duplicate id within watermark
+        Event(2, ts(2), 2, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Event(2, ts(3), 2, "view", 2.0)) // late duplicate
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getAs[Long]("event_id")).sorted
+      ids.toSeq shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
   test("streaming file ingest appends micro-batch snapshots to a lakehouse table") {
     val src = java.nio.file.Files.createTempDirectory("stream-src-").toString
     val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt-").toString
