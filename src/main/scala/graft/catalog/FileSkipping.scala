@@ -1,0 +1,111 @@
+package graft.catalog
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-file column range, stored as strings in the metadata JSON and
+  * compared under the column's type ordering. */
+final case class ColumnRange(min: String, max: String)
+
+/** File-level data skipping against per-file min/max statistics — the
+  * lakehouse analogue of Iceberg's manifest-level pruning (the
+  * reference inherits it from its connector; SURVEY.md §4 marks it our
+  * custom-lite scope). Clustered writes (LakehouseTable repartitions by
+  * the partition columns per commit) make each file cover a narrow key
+  * range, so equality/range predicates eliminate whole files before a
+  * single footer is opened — at 100 TB, the difference between listing
+  * metadata and touching every object.
+  *
+  * Semantics: a file is DROPPED only when a pushed filter PROVES no row
+  * can match (range disjoint). Unknown filters, missing stats, or
+  * non-comparable types keep the file — skipping is an optimization,
+  * never a correctness decision.
+  */
+object FileSkipping {
+
+  /** Ordering per supported type; None → don't skip on this column. */
+  private def comparator(dt: DataType): Option[(String, String) => Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
+    case FloatType | DoubleType =>
+      Some((a, b) => java.lang.Double.compare(a.toDouble, b.toDouble))
+    case StringType => Some((a, b) => a.compareTo(b))
+    case DateType | TimestampType => // stored as epoch numbers
+      Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
+    case _ => None
+  }
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case b: Byte => Some(b.toString)
+    case s: Short => Some(s.toString)
+    case i: Int => Some(i.toString)
+    case l: Long => Some(l.toString)
+    case f: Float => Some(f.toString)
+    case d: Double => Some(d.toString)
+    case s: String => Some(s)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case t: java.sql.Timestamp => Some((t.getTime * 1000L).toString)
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case _ => None
+  }
+
+  /** Can any value in [min,max] satisfy the filter? (conservative) */
+  def mayMatch(
+      filter: Filter,
+      schema: StructType,
+      stats: Map[String, ColumnRange]): Boolean = {
+
+    def range(col: String): Option[(ColumnRange, (String, String) => Int)] =
+      for {
+        r <- stats.get(col)
+        f <- schema.fields.find(_.name == col)
+        cmp <- comparator(f.dataType)
+      } yield (r, cmp)
+
+    filter match {
+      case EqualTo(col, v) =>
+        range(col).flatMap { case (r, cmp) =>
+          lit(v).map(s => cmp(s, r.min) >= 0 && cmp(s, r.max) <= 0)
+        }.getOrElse(true)
+      case In(col, vs) =>
+        range(col).flatMap { case (r, cmp) =>
+          val ls = vs.toSeq.flatMap(lit(_))
+          if (ls.size != vs.length) None
+          else Some(ls.exists(s => cmp(s, r.min) >= 0 && cmp(s, r.max) <= 0))
+        }.getOrElse(true)
+      case GreaterThan(col, v) =>
+        range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.max, s) > 0) }
+          .getOrElse(true)
+      case GreaterThanOrEqual(col, v) =>
+        range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.max, s) >= 0) }
+          .getOrElse(true)
+      case LessThan(col, v) =>
+        range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.min, s) < 0) }
+          .getOrElse(true)
+      case LessThanOrEqual(col, v) =>
+        range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.min, s) <= 0) }
+          .getOrElse(true)
+      case And(l, r) => mayMatch(l, schema, stats) && mayMatch(r, schema, stats)
+      case Or(l, r) => mayMatch(l, schema, stats) || mayMatch(r, schema, stats)
+      // Not / IsNull / string matches / UDF-ish filters: can't prove absence
+      case _ => true
+    }
+  }
+
+  /** Files surviving all pushed filters. */
+  def prune(
+      files: Seq[String],
+      fileStats: Map[String, Map[String, ColumnRange]],
+      schema: StructType,
+      filters: Seq[Filter]): Seq[String] =
+    if (filters.isEmpty) files
+    else files.filter { f =>
+      fileStats.get(f) match {
+        case None => true // no stats recorded → never skip
+        case Some(stats) => filters.forall(mayMatch(_, schema, stats))
+      }
+    }
+}

@@ -1,0 +1,70 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.types._
+
+/** Collects per-file min/max column ranges from parquet FOOTERS at
+  * commit time — one metadata read per new file, no data pages touched.
+  * Only top-level columns whose Spark type [[FileSkipping]] can compare
+  * are recorded; anything else is simply absent (and therefore never
+  * skipped on). */
+object FooterStats {
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def render(v: Any): Option[String] = v match {
+    case null => None
+    case b: Binary => Try(b.toStringUsingUTF8).toOption
+    case n: java.lang.Number => Some(n.toString)
+    case other => Some(other.toString)
+  }
+
+  /** Column ranges for one parquet file (merged across row groups). */
+  def collect(conf: Configuration, file: HPath, schema: StructType): Map[String, ColumnRange] = {
+    val wanted = schema.fields.filter(f => supported(f.dataType)).map(_.name).toSet
+    val reader = ParquetFileReader.open(conf, file)
+    try {
+      val acc = scala.collection.mutable.Map[String, (String, String, (String, String) => Int)]()
+      val cmpFor: String => (String, String) => Int = col =>
+        schema.fields.find(_.name == col).map(_.dataType) match {
+          case Some(StringType) => (a, b) => a.compareTo(b)
+          case Some(FloatType) | Some(DoubleType) =>
+            (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+          case _ => (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+        }
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { chunk =>
+          val col = chunk.getPath.toDotString
+          val st = chunk.getStatistics
+          if (wanted.contains(col) && st != null && !st.isEmpty && st.hasNonNullValue) {
+            for {
+              mn <- render(st.genericGetMin())
+              mx <- render(st.genericGetMax())
+            } {
+              val cmp = cmpFor(col)
+              acc.get(col) match {
+                case Some((omn, omx, _)) =>
+                  acc(col) = (
+                    if (cmp(mn, omn) < 0) mn else omn,
+                    if (cmp(mx, omx) > 0) mx else omx,
+                    cmp)
+                case None => acc(col) = (mn, mx, cmp)
+              }
+            }
+          }
+        }
+      }
+      acc.map { case (c, (mn, mx, _)) => c -> ColumnRange(mn, mx) }.toMap
+    } finally reader.close()
+  }
+}

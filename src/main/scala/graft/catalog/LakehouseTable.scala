@@ -51,13 +51,43 @@ class LakehouseTable(
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  private def absoluteFiles: Seq[String] =
-    meta.files.map(f => tableDir.resolve(f).toString)
+  private def abs(f: String): String = tableDir.resolve(f).toString
 
+  /** Scan with file-level data skipping: pushed filters prune the
+    * snapshot's file list against per-file min/max stats BEFORE the
+    * delegate Parquet scan is built (whole files eliminated from the
+    * metadata alone), then parquet row-group pushdown applies inside
+    * the survivors. All filters are also reported back to Spark as
+    * residuals, so skipping can never change results. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetTable(identName, spark, options, absoluteFiles,
-      Some(meta.schema), classOf[ParquetFileFormat])
-      .newScanBuilder(options)
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      private var required: StructType = meta.schema
+
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters
+        filters // all residual: Spark re-applies them post-scan
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val survivors =
+          FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
+        LakehouseTable.lastScanFileCounts.set((survivors.size, meta.files.size))
+        val inner = ParquetTable(identName, spark, options, survivors.map(abs),
+          Some(meta.schema), classOf[ParquetFileFormat])
+          .newScanBuilder(options)
+        inner.pushDataFilters(pushed)
+        inner.pruneColumns(required)
+        inner.build()
+      }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -86,6 +116,9 @@ class LakehouseTable(
         val cols = current.partitionColumns.map(data.col)
         data.repartition(cols: _*).sortWithinPartitions(cols: _*)
       } else data
+    // INT96 (Spark's legacy default) carries no usable parquet stats —
+    // write modern micros timestamps so timestamp columns are skippable
+    data.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     clustered.write.parquet(commitDir.toString)
 
     val newFiles = Files.list(commitDir).iterator().asScala
@@ -93,12 +126,27 @@ class LakehouseTable(
       .filter(n => n.endsWith(".parquet"))
       .map(n => s"$commitRel/$n")
       .toSeq.sorted
+    // footer-only stats read per new file → file-level skipping on scan
+    val conf = spark.sessionState.newHadoopConf()
+    val newStats = newFiles.map { f =>
+      f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), current.schema)
+    }.filter(_._2.nonEmpty).toMap
     val allFiles = if (overwrite) newFiles else current.files ++ newFiles
+    val allStats =
+      if (overwrite) newStats
+      else current.fileStats.view.filterKeys(allFiles.contains).toMap ++ newStats
     val op = if (overwrite) "overwrite" else "append"
     TableMetadata.commit(tableDir, current.copy(
       version = nextVersion,
       files = allFiles,
+      fileStats = allStats,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
   }
+}
+
+object LakehouseTable {
+  /** (survivors, total) of the most recent scan build on this thread —
+    * observability hook for tests and EXPLAIN-style debugging. */
+  val lastScanFileCounts = new ThreadLocal[(Int, Int)]
 }

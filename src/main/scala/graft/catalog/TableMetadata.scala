@@ -32,7 +32,8 @@ final case class TableMetadata(
     partitionColumns: Seq[String],
     properties: Map[String, String],
     files: Seq[String],
-    snapshots: Seq[Snapshot]) {
+    snapshots: Seq[Snapshot],
+    fileStats: Map[String, Map[String, ColumnRange]] = Map.empty) {
 
   def toJson: String = {
     val j = JObject(
@@ -42,6 +43,11 @@ final case class TableMetadata(
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
       "properties" -> JObject(properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
       "files" -> JArray(files.map(JString(_)).toList),
+      "fileStats" -> JObject(fileStats.toList.sortBy(_._1).map { case (f, cols) =>
+        f -> (JObject(cols.toList.sortBy(_._1).map { case (c, r) =>
+          c -> (JObject("min" -> JString(r.min), "max" -> JString(r.max)): JValue)
+        }): JValue)
+      }),
       "snapshots" -> JArray(snapshots.map { s =>
         JObject(
           "version" -> JInt(s.version),
@@ -73,6 +79,14 @@ object TableMetadata {
       partitionColumns = o("partitionColumns").asInstanceOf[JArray].arr.map(str),
       properties = o("properties").asInstanceOf[JObject].obj.map { case (k, v) => k -> str(v) }.toMap,
       files = o("files").asInstanceOf[JArray].arr.map(str),
+      fileStats = o.get("fileStats").collect { case fs: JObject =>
+        fs.obj.map { case (f, cols) =>
+          f -> cols.asInstanceOf[JObject].obj.map { case (c, r) =>
+            val ro = r.asInstanceOf[JObject].obj.toMap
+            c -> ColumnRange(str(ro("min")), str(ro("max")))
+          }.toMap
+        }.toMap
+      }.getOrElse(Map.empty),
       snapshots = o("snapshots").asInstanceOf[JArray].arr.map { sv =>
         val so = sv.asInstanceOf[JObject].obj.toMap
         Snapshot(int(so("version")), long(so("timestampMs")), str(so("operation")),
