@@ -602,8 +602,70 @@ object Relational {
            |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** Remaining analytic window functions: ntile, percent_rank,
+    * cume_dist, first/last over an explicit full-partition frame. */
+  val q16b = Q(
+    "q16b_window_analytics",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first(col("o_orderkey")).over(full).as("cheapest_order"),
+          last(col("o_orderkey")).over(full).as("priciest_order"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .limit(500)
+    },
+    Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+           |       NTILE(4) OVER w AS quartile,
+           |       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           |       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+           |       FIRST_VALUE(o_orderkey) OVER wf AS cheapest_order,
+           |       LAST_VALUE(o_orderkey) OVER wf AS priciest_order
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           |       wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+           |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY o_orderpriority, o_totalprice, o_orderkey LIMIT 500""".stripMargin))
+
+  /** Batch sessionization (twin of streaming EventStreams.sessionize):
+    * gap > 30 min starts a new session; lag + running sum of
+    * session-start flags assigns ids — the standard two-window idiom. */
+  val q36 = Q(
+    "q36_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("new_s",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            > 30L * 60 * 1000000 || lag(col("ts"), 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(cum))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          microStr(min(col("ts"))).as("session_start"),
+          dsum2(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events),
+           |d AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+           |                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+           |                     THEN 1 ELSE 0 END AS new_s
+           |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM d)
+           |SELECT user_id, session_id, COUNT(*) AS n_events,
+           |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM s GROUP BY user_id, session_id
+           |ORDER BY user_id, session_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-    q16, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26, q26b,
-    q26c, q27, q31, q32, q33, q34, q35)
+    q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26,
+    q26b, q26c, q27, q31, q32, q33, q34, q35, q36)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.Maintenance
+
+class MaintenanceSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compact rewrites many small commits into one file; vacuum reclaims the rest") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.m (k INT, v STRING)")
+    (0 until 5).foreach { c =>
+      Seq((c, s"v$c")).toDF("k", "v").createOrReplaceTempView("m_src")
+      spark.sql("INSERT INTO lakehouse.maint_ns.m SELECT * FROM m_src")
+    }
+    def fileCount =
+      spark.sql("SELECT count(*) FROM lakehouse.maint_ns.m.files").collect()(0).getLong(0)
+    fileCount shouldBe 5
+
+    val n = Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "m")
+    n shouldBe 1
+    fileCount shouldBe 1
+    spark.table("lakehouse.maint_ns.m").count() shouldBe 5 // data intact
+    spark.sql("SELECT * FROM lakehouse.maint_ns.m.history ORDER BY version")
+      .collect().last.getAs[String]("operation") shouldBe "compact"
+
+    // old snapshot still readable pre-vacuum (immutable files)
+    val deleted = Maintenance.vacuum(spark, "lakehouse", Seq("maint_ns"), "m")
+    deleted shouldBe 5 // the five original single-row files
+    spark.table("lakehouse.maint_ns.m").count() shouldBe 5 // current unaffected
+
+    // idempotent
+    Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "m") shouldBe 1
+    Maintenance.vacuum(spark, "lakehouse", Seq("maint_ns"), "m") shouldBe 0
+    spark.sql("DROP TABLE lakehouse.maint_ns.m")
+  }
+
+  test("compacted partitioned table keeps file stats for skipping") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.p (k INT, v INT) PARTITIONED BY (k)")
+    (0 until 4).foreach { c =>
+      (0 until 100).map(i => (c, i)).toDF("k", "v").createOrReplaceTempView("p_src")
+      spark.sql("INSERT INTO lakehouse.maint_ns.p SELECT * FROM p_src")
+    }
+    Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "p", targetFiles = 2)
+    val df = spark.table("lakehouse.maint_ns.p").where($"k" === 2)
+    df.count() shouldBe 100
+    val (survivors, total) = graft.catalog.LakehouseTable.lastScanFileCounts.get()
+    total should be <= 2
+    survivors should be <= total
+    spark.sql("DROP TABLE lakehouse.maint_ns.p")
+  }
+}
