@@ -132,6 +132,34 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
     throw new NoSuchTableException(ident)
   }
 
+  /** Time travel: `VERSION AS OF n` reads metadata version n directly —
+    * data files are immutable, so an old snapshot is just an old JSON. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
+    val v = version.toIntOption.getOrElse(
+      throw new IllegalArgumentException(s"version must be an integer, got '$version'"))
+    val vf = TableMetadata.versionFile(dir, v)
+    if (!Files.exists(vf))
+      throw new IllegalArgumentException(
+        s"no version $v for table ${fullName(ident)} (current: ${TableMetadata.currentVersion(dir)})")
+    new LakehouseTable(spark, s"${fullName(ident)}@v$v", dir,
+      TableMetadata.fromJson(Files.readString(vf)))
+  }
+
+  /** Time travel: `TIMESTAMP AS OF t` (micros) → newest snapshot
+    * committed at or before t. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
+    val ms = timestampMicros / 1000L
+    val log = TableMetadata.loadLog(dir)
+    val meta = log.filter(_.snapshots.lastOption.forall(_.timestampMs <= ms)).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of ${fullName(ident)} at or before timestamp ${ms}ms"))
+    new LakehouseTable(spark, s"${fullName(ident)}@t$ms", dir, meta)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -172,6 +172,26 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.blms_cat.media")
   }
 
+  test("time travel: VERSION AS OF and TIMESTAMP AS OF read old snapshots") {
+    spark.sql("CREATE TABLE lakehouse.blms_cat.tt (x INT)")
+    (1 to 3).foreach { i =>
+      Seq(i).toDF("x").createOrReplaceTempView("tt_src")
+      spark.sql("INSERT INTO lakehouse.blms_cat.tt SELECT * FROM tt_src")
+    }
+    spark.table("lakehouse.blms_cat.tt").count() shouldBe 3
+    // v1 = create (empty), v2 = first insert, v3 = two rows
+    spark.sql("SELECT * FROM lakehouse.blms_cat.tt VERSION AS OF 1").count() shouldBe 0
+    spark.sql("SELECT * FROM lakehouse.blms_cat.tt VERSION AS OF 2").count() shouldBe 1
+    spark.sql("SELECT * FROM lakehouse.blms_cat.tt VERSION AS OF 3").count() shouldBe 2
+    val asOfNow = spark.sql(
+      "SELECT * FROM lakehouse.blms_cat.tt TIMESTAMP AS OF current_timestamp()").count()
+    asOfNow shouldBe 3
+    intercept[Exception] {
+      spark.sql("SELECT * FROM lakehouse.blms_cat.tt VERSION AS OF 99").collect()
+    }
+    spark.sql("DROP TABLE lakehouse.blms_cat.tt")
+  }
+
   test("concurrent commits: losing writer gets a conflict, not silent clobber") {
     import graft.catalog.{Snapshot, TableMetadata}
     import java.nio.file.Paths
