@@ -202,8 +202,8 @@ object TextOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 8)
+        .filter(col("hamming") <= 8) // filter BEFORE distinct: the band join
+        .distinct()                  // can emit millions of far pairs
         .orderBy(col("id1"), col("id2"))
     },
     None)
