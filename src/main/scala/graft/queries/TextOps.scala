@@ -103,6 +103,42 @@ object TextOps {
     verifyJaccard(cand, ex, t)
   }
 
+  /** Connected components over near-dup pairs by iterated min-label
+    * propagation: every node starts as its own label; each round takes
+    * the min of its neighbours' labels; stop at fixpoint. Rounds are
+    * bounded by component diameter (near-dup clusters are shallow), the
+    * per-round work is one shuffle join, and `localCheckpoint`
+    * truncates the growing lineage — the standard Spark shape for
+    * iterative graph algorithms (driver only orchestrates; all data
+    * stays distributed). Returns (node, label) with label = component
+    * representative = min doc_id of the cluster. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val neighborMin = edges.join(labels, col("v") === col("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.as("l")
+        .join(neighborMin, col("node") === col("u"), "left")
+        .select(col("node"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.as("n")
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ---- Q28: dedup family -------------------------------------------------
 
   /** Exact dedup: canonical representative (min doc_id) per distinct text. */
@@ -346,5 +382,41 @@ object TextOps {
     },
     None)
 
-  val all: Seq[Q] = Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g)
+  /** End-to-end near-dup corpus dedup: pairs (prefix-filtered exact
+    * jaccard ≥ 0.8) → connected components → keep each cluster's min
+    * doc_id plus all unpaired docs. The oracle resolves the same
+    * closure with a recursive CTE. This is the operator a training-data
+    * pipeline actually runs — pair-finding (q28b) is its inner stage. */
+  val q37 = Q(
+    "q37_dedup_corpus",
+    (s, d) => {
+      val pairs = jaccardPrefixJoin(explodedShingles(s, d), 0.8).select(col("id1"), col("id2"))
+      val cc = connectedComponents(pairs)
+      documents(s, d)
+        .join(cc, col("doc_id") === col("node"), "left")
+        .filter(col("label").isNull || col("label") === col("doc_id"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+           |sh AS (SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |               for i in range(1, len(t) - 1)]) sl
+           |       FROM toks WHERE len(t) >= 3),
+           |ex AS (SELECT doc_id, len(sl) n, unnest(sl) shingle FROM sh),
+           |pairs AS (SELECT a.doc_id id1, b.doc_id id2
+           |          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2
+           |          HAVING CAST(COUNT(*) AS DOUBLE)
+           |            / CAST(ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*) AS DOUBLE) >= 0.8),
+           |edges AS (SELECT id1 u, id2 v FROM pairs UNION SELECT id2, id1 FROM pairs),
+           |reach AS (SELECT u, v FROM edges
+           |          UNION
+           |          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+           |rep AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS rep FROM reach GROUP BY u)
+           |SELECT d.doc_id FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+           |WHERE r.rep IS NULL OR r.rep = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q37)
 }

@@ -41,6 +41,18 @@ class SkewSpec extends AnyFunSuite with Matchers {
     hotKeySalts shouldBe 8 // the 9000-row key now occupies 8 sub-keys
   }
 
+  test("connected components: chains, triangles, singletons resolve to min label") {
+    import graft.queries.TextOps
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id1", "id2")
+    val cc = TextOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc(1L) shouldBe 1L; cc(2L) shouldBe 1L; cc(3L) shouldBe 1L; cc(4L) shouldBe 1L
+    cc(10L) shouldBe 10L; cc(11L) shouldBe 10L; cc(12L) shouldBe 10L
+    cc(20L) shouldBe 20L; cc(21L) shouldBe 20L
+  }
+
   test("salted two-phase aggregation matches groupBy") {
     val expected = skewed.groupBy("k")
       .agg(org.apache.spark.sql.functions.sum($"v").as("sum"),
