@@ -417,6 +417,54 @@ object TextOps {
            |WHERE r.rep IS NULL OR r.rep = d.doc_id
            |ORDER BY d.doc_id""".stripMargin))
 
+  /** Sequence packing for training batches: docs in doc_id order are
+    * grouped into packs by token-prefix-sum division — pack k holds the
+    * docs whose preceding token count lies in [k·B, (k+1)·B); a pack's
+    * size is ≤ B + max_doc_tokens (the straddling doc stays in its
+    * starting pack). Deterministic, no driver loop.
+    *
+    * The prefix sum is two-level so it parallelizes: a window WITHIN
+    * each doc_id bucket (many parallel partitions) plus a cumsum of the
+    * per-bucket totals (one task over |buckets| rows) joined back as an
+    * offset — a global `Window.orderBy` would serialize the whole
+    * corpus through one task. */
+  val q38 = Q(
+    "q38_pack_sequences",
+    (s, d) => {
+      val budget = 2048L
+      val bucketWidth = 100L
+      val toks = tokenized(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+      val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bucketTotals = toks.groupBy(col("bucket"))
+        .agg(sum(col("n_tokens")).as("btotal"))
+      val overBuckets = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = bucketTotals
+        .withColumn("offset", sum(col("btotal")).over(overBuckets) - col("btotal"))
+        .select(col("bucket"), col("offset"))
+      toks.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("prefix",
+          col("offset") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
+        .withColumn("pack_id", floor(col("prefix") / budget).cast("long"))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("pack_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens
+           |           FROM documents),
+           |p AS (SELECT doc_id, n_tokens,
+           |        CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |             - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+           |      FROM t)
+           |SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q37)
+    Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q37, q38)
 }

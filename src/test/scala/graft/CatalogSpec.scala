@@ -172,6 +172,19 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.blms_cat.media")
   }
 
+  test("DESCRIBE shows schema, partitioning and properties (R17 surface)") {
+    spark.sql("""CREATE TABLE lakehouse.blms_cat.desc_t (a INT, b STRING)
+      PARTITIONED BY (a) TBLPROPERTIES('has_pii'='false')""")
+    val desc = spark.sql("DESCRIBE EXTENDED lakehouse.blms_cat.desc_t")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    desc("a") shouldBe "int"
+    desc("b") shouldBe "string"
+    val full = spark.sql("DESCRIBE EXTENDED lakehouse.blms_cat.desc_t")
+      .collect().map(_.mkString("|")).mkString("\n")
+    full should include("a") // partition listing carries the column
+    spark.sql("DROP TABLE lakehouse.blms_cat.desc_t")
+  }
+
   test("time travel: VERSION AS OF and TIMESTAMP AS OF read old snapshots") {
     spark.sql("CREATE TABLE lakehouse.blms_cat.tt (x INT)")
     (1 to 3).foreach { i =>
