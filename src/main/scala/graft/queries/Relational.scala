@@ -544,6 +544,19 @@ object Relational {
            |       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** Sketch-based percentile (KLL/GK-style): rows-only smoke — the
+    * sketch differs across engines, accuracy is asserted against exact
+    * percentiles in ScalaTest instead. */
+  val q32b = Q(
+    "q32b_approx_percentile",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          expr("percentile_approx(o_totalprice, 0.9, 1000)").as("p90_approx"))
+        .orderBy(col("o_orderpriority")),
+    None)
+
   /** Grouped collection: deterministic via sort + string join (array
     * renderings differ between engines; the joined string doesn't). */
   val q33 = Q(
@@ -667,5 +680,5 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26,
-    q26b, q26c, q27, q31, q32, q33, q34, q35, q36)
+    q26b, q26c, q27, q31, q32, q32b, q33, q34, q35, q36)
 }

@@ -197,7 +197,7 @@ object VectorOps {
       val vecs = e.select(col("vec_id"), col("embedding"), col("nrm"),
         array_to_vector(col("embedding").cast("array<double>")).as("fv"))
       val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
-        .setPredictionCol("cell").setMaxIter(5)
+        .setPredictionCol("cell").setMaxIter(3)
       val model = km.fit(vecs)
       val indexed = model.transform(vecs).select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       // centroid table (driver-side, k rows) → probe list per query vector

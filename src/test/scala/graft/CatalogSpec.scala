@@ -172,6 +172,15 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.blms_cat.media")
   }
 
+  test("CTAS creates and populates in one statement") {
+    spark.sql("""CREATE TABLE lakehouse.blms_cat.ctas_t AS
+      SELECT id AS k, id * 2 AS v FROM range(100)""")
+    spark.table("lakehouse.blms_cat.ctas_t").count() shouldBe 100
+    spark.sql("SELECT sum(v) FROM lakehouse.blms_cat.ctas_t")
+      .collect()(0).getLong(0) shouldBe 9900L
+    spark.sql("DROP TABLE lakehouse.blms_cat.ctas_t")
+  }
+
   test("DESCRIBE shows schema, partitioning and properties (R17 surface)") {
     spark.sql("""CREATE TABLE lakehouse.blms_cat.desc_t (a INT, b STRING)
       PARTITIONED BY (a) TBLPROPERTIES('has_pii'='false')""")
