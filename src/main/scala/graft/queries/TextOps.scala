@@ -465,6 +465,32 @@ object TextOps {
            |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
            |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin))
 
+  /** Repetition-based quality signals (Gopher-rule style): duplicate
+    * token fraction and the share of the document taken by its single
+    * most frequent token — high values flag boilerplate/spam for
+    * training-data filtering. */
+  val q30h = Q(
+    "q30h_repetition",
+    (s, d) => {
+      val t = col("toks")
+      val topTokCnt = array_max(transform(array_distinct(t),
+        tk => size(filter(t, x => x === tk))))
+      tokenized(s, d)
+        .select(col("doc_id"),
+          (lit(1.0) - size(array_distinct(t)).cast(DoubleType) / size(t).cast(DoubleType))
+            .as("dup_token_ratio"),
+          (topTokCnt.cast(DoubleType) / size(t).cast(DoubleType)).as("top_token_share"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+           |SELECT doc_id,
+           |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+           |    AS dup_token_ratio,
+           |  CAST(list_max(list_transform(list_distinct(toks),
+           |         tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE)
+           |    / CAST(len(toks) AS DOUBLE) AS top_token_share
+           |FROM t ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q37, q38)
+    Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h, q37, q38)
 }

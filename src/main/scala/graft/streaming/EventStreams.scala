@@ -91,6 +91,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join with watermarked range condition: pair
+    * each click with the view by the same user within the preceding
+    * hour. Both sides carry watermarks and the join has a time bound,
+    * so each side's buffered state is evicted once the watermark passes
+    * — the only way a stream-stream join stays O(window), not
+    * O(history). */
+  def clicksAfterViews(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup (the streaming twin of batch Q28): drop
     * repeated keys, with state bounded by the watermark window —
     * duplicates arriving within the watermark horizon are suppressed,

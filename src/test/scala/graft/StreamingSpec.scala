@@ -56,6 +56,24 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with preceding views per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.clicksAfterViews(in.toDF())
+      .writeStream.format("memory").queryName("cv").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(0), 7, "view", 0.0),
+        Event(2, ts(10), 7, "click", 0.0),  // pairs with view 1
+        Event(3, ts(20), 8, "click", 0.0),  // other user: no view → no pair
+        Event(4, ts(30), 7, "click", 0.0))  // also pairs with view 1
+      q.processAllAvailable()
+      val pairs = spark.table("cv").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+      pairs shouldBe Set((1L, 2L), (1L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
