@@ -113,8 +113,34 @@ object TextOps {
     * stays distributed). Returns (node, label) with label = component
     * representative = min doc_id of the cluster. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
-      .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
+    // Adaptive strategy, same spirit as a broadcast-join threshold: the
+    // pair set is usually tiny relative to the corpus (it's the near-dup
+    // survivors), and a driver-side union-find on ≤1M edges beats several
+    // distributed fixpoint rounds of pure scheduling overhead. Past the
+    // threshold, fall through to the distributed propagation loop.
+    val smallCutoff = 1000000L
+    val cached = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    if (cached.count() <= smallCutoff) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      val edgeArr = cached.as[(Long, Long)].collect()
+      edgeArr.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val nodes = edgeArr.flatMap(t => Seq(t._1, t._2)).distinct
+      return nodes.toSeq.map(n => (n, find(n))).toDF("node", "label")
+    }
+    val edges = cached.select(col("id1").as("u"), col("id2").as("v"))
+      .union(cached.select(col("id2").as("u"), col("id1").as("v")))
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
