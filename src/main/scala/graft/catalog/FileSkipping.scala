@@ -23,29 +23,47 @@ final case class ColumnRange(min: String, max: String)
   */
 object FileSkipping {
 
+  /** Unsigned UTF-8 byte order — the ordering parquet uses for its
+    * binary min/max statistics. Java's `String.compareTo` (UTF-16 code
+    * units) disagrees for strings mixing U+E000..U+FFFF with
+    * supplementary characters, so comparing footer bounds with it could
+    * skip files that actually contain matching rows. */
+  def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Ordering per supported type; None → don't skip on this column. */
   private def comparator(dt: DataType): Option[(String, String) => Int] = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
     case FloatType | DoubleType =>
       Some((a, b) => java.lang.Double.compare(a.toDouble, b.toDouble))
-    case StringType => Some((a, b) => a.compareTo(b))
+    case StringType => Some(utf8Compare)
     case DateType | TimestampType => // stored as epoch numbers
       Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
     case _ => None
   }
 
+  /** NaN float/double literals render to None: parquet stats exclude
+    * NaN, so footer bounds prove nothing about NaN rows — the file must
+    * be kept (None → conservative `true` at every use site). */
   private def lit(v: Any): Option[String] = v match {
     case null => None
     case b: Byte => Some(b.toString)
     case s: Short => Some(s.toString)
     case i: Int => Some(i.toString)
     case l: Long => Some(l.toString)
-    case f: Float => Some(f.toString)
-    case d: Double => Some(d.toString)
+    case f: Float => if (f.isNaN) None else Some(f.toString)
+    case d: Double => if (d.isNaN) None else Some(d.toString)
     case s: String => Some(s)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
-    case t: java.sql.Timestamp => Some((t.getTime * 1000L).toString)
+    case t: java.sql.Timestamp =>
+      // Full-precision micros: getTime is ms-truncated, the sub-ms part
+      // (incl. micros) lives in the nanos field — t.getTime*1000 would
+      // drop it and mis-prune on sub-millisecond boundaries.
+      val i = t.toInstant
+      Some(math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L).toString)
     case i: java.time.Instant =>
       Some((i.getEpochSecond * 1000000L + i.getNano / 1000L).toString)
     case d: java.time.LocalDate => Some(d.toEpochDay.toString)

@@ -37,7 +37,8 @@ object FooterStats {
       val acc = scala.collection.mutable.Map[String, (String, String, (String, String) => Int)]()
       val cmpFor: String => (String, String) => Int = col =>
         schema.fields.find(_.name == col).map(_.dataType) match {
-          case Some(StringType) => (a, b) => a.compareTo(b)
+          // unsigned UTF-8 byte order — parquet's binary stats ordering
+          case Some(StringType) => FileSkipping.utf8Compare
           case Some(FloatType) | Some(DoubleType) =>
             (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
           case _ => (a, b) => java.lang.Long.compare(a.toLong, b.toLong)

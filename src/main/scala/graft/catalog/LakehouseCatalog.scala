@@ -199,6 +199,15 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
           m.copy(schema = m.schema.add(add.fieldNames.head, add.dataType, add.isNullable))
         case ren: TableChange.RenameColumn =>
           require(ren.fieldNames.length == 1, "nested RENAME COLUMN not supported")
+          // Column resolution against parquet is NAME-based (no Iceberg
+          // field IDs): existing data files keep the old physical name,
+          // so a metadata-only rename would silently read every old row
+          // as NULL. Refuse rather than corrupt; rewrite first.
+          if (m.files.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"RENAME COLUMN on non-empty table ${m.name}: data files resolve columns by " +
+                "name, so existing rows would read back NULL. Rewrite the table " +
+                "(CTAS with the new name) instead.")
           m.copy(schema = StructType(m.schema.fields.map(f =>
             if (f.name == ren.fieldNames.head) f.copy(name = ren.newName) else f)))
         case del: TableChange.DeleteColumn =>

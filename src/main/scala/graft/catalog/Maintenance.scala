@@ -70,16 +70,29 @@ object Maintenance {
     newFiles.size
   }
 
+  /** Default vacuum file-age threshold: files modified more recently
+    * than this are never deleted, whatever the snapshot log says. */
+  val DefaultRetentionMs: Long = 10 * 60 * 1000L
+
   /** Delete data files not referenced by any of the latest
     * `retainVersions` metadata versions (older metadata stays readable
     * as history, but its exclusive files are gone). Returns deleted
-    * file count. */
+    * file count.
+    *
+    * `retentionMs` guards in-flight commits: `commitInsert`/`compact`
+    * write data files BEFORE publishing metadata, so a file absent from
+    * every retained snapshot may belong to a commit that is about to
+    * land — deleting it would corrupt that table version. Like
+    * Delta/Iceberg vacuum, files younger than the retention window are
+    * always kept; pass 0 only when no writer can be concurrent (tests,
+    * single-writer maintenance jobs). */
   def vacuum(
       spark: SparkSession,
       catalog: String,
       namespace: Seq[String],
       table: String,
-      retainVersions: Int = 1): Int = {
+      retainVersions: Int = 1,
+      retentionMs: Long = DefaultRetentionMs): Int = {
     require(retainVersions >= 1, "must retain at least the current version")
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
@@ -87,11 +100,16 @@ object Maintenance {
     val retained = log.takeRight(retainVersions).flatMap(_.files).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0
+    val cutoff = System.currentTimeMillis() - retentionMs
     val all = Files.walk(dataDir).iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .map(p => dir.relativize(p).toString)
       .toList
-    val doomed = all.filterNot(f => retained.contains(f) || !f.endsWith(".parquet"))
+    val doomed = all.filterNot { f =>
+      retained.contains(f) || !f.endsWith(".parquet") ||
+        scala.util.Try(Files.getLastModifiedTime(dir.resolve(f)).toMillis > cutoff)
+          .getOrElse(true) // can't stat → assume young, keep
+    }
     doomed.foreach(f => Files.deleteIfExists(dir.resolve(f)))
     // drop now-empty commit directories
     Files.list(dataDir).iterator().asScala.toList.foreach { d =>

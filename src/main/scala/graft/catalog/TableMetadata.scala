@@ -122,12 +122,16 @@ object TableMetadata {
   def loadLog(tableDir: Path): Seq[TableMetadata] =
     (1 to currentVersion(tableDir)).map(v => fromJson(Files.readString(versionFile(tableDir, v))))
 
-  /** Optimistic-concurrency commit: write to a temp file, then
-    * atomically move to `v{meta.version}.json`. A concurrent writer
-    * racing to the same version loses the rename and gets a clear
-    * conflict error instead of silent clobbering — the snapshot
+  /** Optimistic-concurrency commit: write to a temp file, then publish
+    * as `v{meta.version}.json` with an operation that FAILS if the
+    * target already exists. `Files.move(ATOMIC_MOVE)` is rename(2) on
+    * Linux, which silently replaces an existing target — two racing
+    * committers would both "succeed". `Files.createLink` maps to
+    * link(2), which atomically fails with EEXIST, so exactly one racer
+    * wins and the loser gets a clear conflict error — the snapshot
     * isolation story the reference inherits from Iceberg's metadata
-    * swap (`README.md:543-551`).
+    * swap (`README.md:543-551`). Falls back to move-after-exists-check
+    * only on filesystems without hard links.
     */
   def commit(tableDir: Path, meta: TableMetadata): Unit = {
     val md = metadataDir(tableDir)
@@ -138,12 +142,19 @@ object TableMetadata {
         s"commit conflict: version ${meta.version} already exists for ${meta.name}")
     val tmp = Files.createTempFile(md, s".v${meta.version}-", ".json.tmp")
     Files.writeString(tmp, meta.toJson)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
+            if !Files.exists(target) =>
+          // no hard-link support (and not a genuine conflict): best effort
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
+          if Files.exists(target) =>
         throw new IllegalStateException(
-          s"commit conflict: version ${meta.version} already exists for ${meta.name}")
-    }
+          s"commit conflict: version ${meta.version} already exists for ${meta.name}", e)
+    } finally Files.deleteIfExists(tmp)
   }
 }

@@ -122,6 +122,42 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("RENAME COLUMN is refused once data files exist (name-based resolution)") {
+    spark.sql("CREATE TABLE lakehouse.blms_cat.ren_t (a INT, b STRING)")
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("ren_src")
+    spark.sql("INSERT INTO lakehouse.blms_cat.ren_t SELECT * FROM ren_src")
+    // a metadata-only rename would silently NULL column b for the row above
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.blms_cat.ren_t RENAME COLUMN b TO b2")
+    }
+    e.getMessage should include("RENAME COLUMN")
+    // table unharmed: old name still reads its data
+    spark.table("lakehouse.blms_cat.ren_t").select("b").collect().map(_.getString(0)) shouldBe
+      Array("x")
+    spark.sql("DROP TABLE lakehouse.blms_cat.ren_t")
+  }
+
+  test("metadata commit publish fails on existing version (no silent clobber)") {
+    import graft.catalog.{Snapshot, TableMetadata}
+    val dir = java.nio.file.Files.createTempDirectory("graft-commit-race")
+    val schema = new org.apache.spark.sql.types.StructType().add("x", "int")
+    def meta(op: String) = TableMetadata(
+      version = 1, name = "race", schema = schema, partitionColumns = Nil,
+      properties = Map.empty, files = Nil,
+      snapshots = Seq(Snapshot(1, 0L, op, 0, 0)))
+    TableMetadata.commit(dir, meta("winner"))
+    // same-version publish must fail even though both racers passed the
+    // exists() pre-check before either published (simulated by calling
+    // the underlying publish again for the same version)
+    intercept[IllegalStateException] { TableMetadata.commit(dir, meta("loser")) }
+    TableMetadata.load(dir).snapshots.head.operation shouldBe "winner"
+    // no temp-file litter left behind
+    val litter = java.nio.file.Files.list(TableMetadata.metadataDir(dir)).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(litter).asScala
+      .map(_.getFileName.toString).toList
+    names.filter(_.endsWith(".tmp")) shouldBe Nil
+  }
+
   test("drop/rename table; drop namespace guards") {
     spark.sql("CREATE NAMESPACE lakehouse.tmp_ns")
     spark.sql("CREATE TABLE lakehouse.tmp_ns.t1 (x INT)")

@@ -37,6 +37,52 @@ class FileSkippingSpec extends AnyFunSuite with Matchers {
     prune(GreaterThanOrEqual("k", 9)) shouldBe Seq("f2", "f3")
   }
 
+  test("sub-millisecond timestamp literals never mis-prune") {
+    // footer stats carry full micros; java.sql.Timestamp keeps sub-ms
+    // precision in the nanos field — getTime*1000 would render .0005s
+    // as .000s and wrongly prune the file on an exact-match filter
+    val tsSchema = StructType(Seq(StructField("ts", TimestampType)))
+    val lit = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.0005")
+    lit.getNanos shouldBe 500000 // precision really is sub-ms
+    val i = lit.toInstant
+    val micros = i.getEpochSecond * 1000000L + i.getNano / 1000L
+    micros % 1000 shouldBe 500 // the stats really carry the sub-ms part
+    val tsStats = Map("f" -> Map("ts" -> ColumnRange(micros.toString, micros.toString)))
+    def keep(f: Filter) = FileSkipping.prune(Seq("f"), tsStats, tsSchema, Seq(f))
+    keep(EqualTo("ts", lit)) shouldBe Seq("f")
+    keep(LessThanOrEqual("ts", lit)) shouldBe Seq("f")
+    keep(GreaterThanOrEqual("ts", lit)) shouldBe Seq("f")
+    // and a literal genuinely below the range still prunes
+    keep(LessThan("ts", lit)) shouldBe Seq.empty
+    keep(EqualTo("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00.0004"))) shouldBe Seq.empty
+  }
+
+  test("string bounds compare in UTF-8 byte order, not UTF-16") {
+    // U+FFFF > U+10000 under String.compareTo (surrogates sort low) but
+    // U+FFFF < U+10000 in parquet's unsigned UTF-8 stats order — a file
+    // holding both has min=U+FFFF, max=U+10000; UTF-16 comparison would
+    // call the range inverted and skip a matching file
+    val sSchema = StructType(Seq(StructField("s", StringType)))
+    val uFFFF = "￿"
+    val u10000 = new String(Character.toChars(0x10000))
+    uFFFF.compareTo(u10000) should be > 0 // the UTF-16 trap is real
+    FileSkipping.utf8Compare(uFFFF, u10000) should be < 0
+    val sStats = Map("f" -> Map("s" -> ColumnRange(uFFFF, u10000)))
+    FileSkipping.prune(Seq("f"), sStats, sSchema, Seq(EqualTo("s", uFFFF))) shouldBe Seq("f")
+    FileSkipping.prune(Seq("f"), sStats, sSchema, Seq(EqualTo("s", u10000))) shouldBe Seq("f")
+  }
+
+  test("NaN literals never skip: parquet double stats exclude NaN") {
+    val dSchema = StructType(Seq(StructField("d", DoubleType)))
+    val dStats = Map("f" -> Map("d" -> ColumnRange("1.0", "5.0")))
+    def keep(f: Filter) = FileSkipping.prune(Seq("f"), dStats, dSchema, Seq(f))
+    keep(EqualTo("d", Double.NaN)) shouldBe Seq("f")
+    keep(GreaterThan("d", Double.NaN)) shouldBe Seq("f")
+    keep(EqualTo("d", Float.NaN)) shouldBe Seq("f")
+    keep(In("d", Array[Any](Double.NaN, 9.0))) shouldBe Seq("f")
+    keep(EqualTo("d", 9.0)) shouldBe Seq.empty // non-NaN still prunes
+  }
+
   test("clustered partitioned table skips whole files on key predicates") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.skip_ns")
     spark.sql("""CREATE TABLE lakehouse.skip_ns.clustered (k INT, v STRING)

@@ -27,14 +27,18 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("SELECT * FROM lakehouse.maint_ns.m.history ORDER BY version")
       .collect().last.getAs[String]("operation") shouldBe "compact"
 
-    // old snapshot still readable pre-vacuum (immutable files)
-    val deleted = Maintenance.vacuum(spark, "lakehouse", Seq("maint_ns"), "m")
+    // default retention window keeps just-written files (guards
+    // in-flight commits whose metadata hasn't landed yet)
+    Maintenance.vacuum(spark, "lakehouse", Seq("maint_ns"), "m") shouldBe 0
+
+    // explicit retentionMs=0 (single-writer test): reclaim immediately
+    val deleted = Maintenance.vacuum(spark, "lakehouse", Seq("maint_ns"), "m", retentionMs = 0L)
     deleted shouldBe 5 // the five original single-row files
     spark.table("lakehouse.maint_ns.m").count() shouldBe 5 // current unaffected
 
     // idempotent
     Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "m") shouldBe 1
-    Maintenance.vacuum(spark, "lakehouse", Seq("maint_ns"), "m") shouldBe 0
+    Maintenance.vacuum(spark, "lakehouse", Seq("maint_ns"), "m", retentionMs = 0L) shouldBe 0
     spark.sql("DROP TABLE lakehouse.maint_ns.m")
   }
 
