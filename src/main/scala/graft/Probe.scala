@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.TextOps
 
@@ -8,47 +9,45 @@ import graft.queries.TextOps
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val aqe = sys.env.getOrElse("PROBE_AQE", "true")
     val parts = sys.env.getOrElse("PROBE_PARTS", "16")
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", parts)
-      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($r)")
     }
     spark.range(100).count()
-    import graft.queries.TextOps
-    import org.apache.spark.sql.functions._
+
     val ex = TextOps.explodedShingles(spark, sfDir)
-    time("ex")(ex.count())
-    val minCols = (0 until 128).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-    time("sig")(sig.count())
-    time("sig warm")(sig.count())
-    val bands = sig.select(col("doc_id"),
-        posexplode(array((0 until 32).map(j =>
-          xxhash64(col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
-            col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}"))): _*)))
-      .toDF("doc_id", "band_idx", "band_sig")
-    time("bands")(bands.count())
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_sig") === col("y.band_sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    time("ex count")(ex.count())
+    val t = 0.8
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    time("freq")(freq.count())
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = ex.join(freq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("h"))
+    time("prefix")(prefix.count())
+    val cand = prefix.select(col("doc_id").as("id1"), col("h"))
+      .join(prefix.select(col("doc_id").as("id2"), col("h")), Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
       .distinct()
     time("cand")(cand.count())
-    time("verify")(TextOps.verifyJaccard(cand, ex, 0.8).count())
-    val name = if (args.nonEmpty) args(0) else "q28b_ngram_jaccard"
-    time(s"$name full") { SparkEntry.queries(name)(spark, sfDir).count() }
+    time("verify")(TextOps.verifyJaccard(cand, ex, t).count())
+    time("q28b full")(SparkEntry.queries("q28b_ngram_jaccard")(spark, sfDir).count())
+    time("q37 full")(SparkEntry.queries("q37_dedup_corpus")(spark, sfDir).count())
+    time("q28c full")(SparkEntry.queries("q28c_minhash_lsh")(spark, sfDir).count())
+    time("q04 full")(SparkEntry.queries("q04_multiway_join")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Native aggregates for the dedup signature pipelines (SURVEY.md §2B
+  * Q28c/Q28d).
+  *
+  * The column-per-hash formulation (`64 × sum(when(bit,1,-1))` for
+  * SimHash, `128 × min(xxhash64(lit(i), h))` for MinHash) is
+  * semantically right but generates enormous aggregate codegen (hundreds
+  * of buffer slots with null tracking, megabytes of Java source per
+  * query) whose JIT/compile cost dominated the whole query on the
+  * benchmark box. These typed aggregates keep ALL counters in one
+  * primitive-array buffer: one buffer slot, one tight update loop, no
+  * per-column overhead — and reproduce the exact same hash family
+  * (catalyst `XXH64`, seed 42, same chaining as the `xxhash64` SQL
+  * function) so candidate sets are bit-identical to the columnar form.
+  */
+
+/** 64-bit SimHash over a group of 64-bit token hashes: per bit,
+  * +1 if set / −1 if clear, summed across the group; the output bit is
+  * 1 iff the sum is positive. One `Array[Int](64)` buffer. */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "simhash_agg"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) buf(b) += 1 else buf(b) -= 1
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var r = 0L
+    var b = 0
+    while (b < 64) { if (buf(b) > 0) r |= (1L << b); b += 1 }
+    r
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(64 * 4)
+    var i = 0
+    while (i < 64) { bb.putInt(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Int](64)
+    var i = 0
+    while (i < 64) { buf(i) = bb.getInt(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashAgg =
+    copy(child = newChild)
+}
+
+/** k-permutation MinHash signature of a group of 64-bit shingle hashes:
+  * slot i holds min over the group of `XXH64(h, seed_i)` where
+  * `seed_i = XXH64.hashInt(i, 42)` — exactly the value the SQL
+  * `min(xxhash64(lit(i), h))` computes (xxhash64 chains children
+  * starting from seed 42), so signatures are bit-identical to the
+  * 128-column formulation. One `Array[Long](k)` buffer. */
+case class MinHashAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(k > 0, "minhash_agg: k must be positive")
+
+  override def prettyName: String = "minhash_agg"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val s = seeds
+      var i = 0
+      while (i < k) {
+        val x = XXH64.hashLong(h, s(i))
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(k * 8)
+    var i = 0
+    while (i < k) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](k)
+    var i = 0
+    while (i < k) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
+    copy(child = newChild)
+}

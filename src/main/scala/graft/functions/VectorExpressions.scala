@@ -57,6 +57,49 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ xᵢyᵢ with a FLOAT left operand and DOUBLE right operand — the
+  * query-vs-centroid kernel (embeddings are `array<float>`, trained
+  * centroids `array<double>`). Same sequential fold as [[VecDot]]. */
+case class VecDotFD(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Σ xᵢ² as a sequential fold — `vec_norm = sqrt(vec_norm_sq)` done by
   * the caller so sqrt stays a single shared IEEE op. */
 case class VecNormSq(child: Expression)
@@ -112,5 +155,14 @@ object GraftFunctions {
       { args: Seq[Expression] => VecDot(args(0), args(1)) }, "built-in")
     reg.createOrReplaceTempFunction("vec_norm_sq",
       { args: Seq[Expression] => VecNormSq(args(0)) }, "built-in")
+    reg.createOrReplaceTempFunction("vec_dot_d",
+      { args: Seq[Expression] => VecDotFD(args(0), args(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("simhash_agg",
+      { args: Seq[Expression] => SimHashAgg(args(0)) }, "built-in")
+    reg.createOrReplaceTempFunction("minhash_agg",
+      { args: Seq[Expression] =>
+        val k = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(128)
+        MinHashAgg(args(0), k)
+      }, "built-in")
   }
 }

@@ -37,23 +37,31 @@ object TextOps {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
 
-  /** Word 3-gram shingles, distinct, of a token-array column. */
-  private def shingles3(t: Column): Column =
+  /** Distinct word 3-gram shingle HASHES of a token-hash-array column:
+    * shingle i = xxhash64 chain over token hashes i, i+1, i+2. Hashing
+    * the three longs replaces the old `concat_ws + xxhash64(string)`
+    * shingling — no string allocation per shingle, and `array_distinct`
+    * deduplicates primitive longs instead of strings. Identity is the
+    * same 64-bit-hash notion every downstream join already keyed on. */
+  private def shingleHashes(th: Column): Column =
     array_distinct(
-      transform(sequence(lit(0), size(t) - 3),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      transform(sequence(lit(0), size(th) - 3),
+        i => xxhash64(element_at(th, i + 1), element_at(th, i + 2), element_at(th, i + 3))))
 
   /** doc_id, shingle hash `h` (exploded), n = |shingle set|. Docs with
     * <3 tokens drop out. The inverted-index joins key on the 64-bit
-    * xxhash64 of the shingle, not the string — narrower shuffle rows and
-    * cheaper hash-join probes; a cross-doc collision needs two distinct
-    * shingles at the same 64-bit hash (~10⁻¹¹ at 10⁶ distinct shingles). */
+    * shingle hash, not the string — narrower shuffle rows and cheaper
+    * hash-join probes; a cross-doc collision needs two distinct
+    * shingles at the same 64-bit hash (~10⁻¹¹ at 10⁶ distinct
+    * shingles). Token hashes are pinned in their own projection so the
+    * 3-reference shingle lambda reads a cheap attribute (CollapseProject
+    * would otherwise inline the token-hashing per reference). */
   def explodedShingles(s: SparkSession, d: String): DataFrame =
     tokenized(s, d)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingles3(col("toks")).as("sl"))
-      .select(col("doc_id"), size(col("sl")).as("n"), explode(col("sl")).as("shingle"))
-      .select(col("doc_id"), col("n"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), shingleHashes(col("th")).as("sl"))
+      .select(col("doc_id"), size(col("sl")).as("n"), explode(col("sl")).as("h"))
       // Terminal shuffle by h: every consumer (df counts, h-keyed joins,
       // doc_id regroups) hangs off this one exchange, and Spark's
       // ReuseExchange dedupes it across the 3–4 places each dedup query
@@ -208,24 +216,29 @@ object TextOps {
     * oracle (hash family is engine-specific).
     *
     * Scale shape: shingles are exploded and hashed ONCE to a long; the
-    * 128 per-doc minima come from a single map-side-combined
-    * min-aggregation (one shuffle keyed by doc_id, 128 long hashes per
-    * shingle row — never 128 string re-hashes, and never recomputed per
-    * band the way a nested array expression would be after
-    * CollapseProject inlining, which made a first draft O(bands×hashes)
-    * and 50× slower). Verification joins candidates on (id, shingle) so
-    * its cost is proportional to candidate count, not corpus².
+    * 128 per-doc minima come from ONE native [[graft.functions.MinHashAgg]]
+    * buffer (single map-side-combined aggregation keyed by doc_id — the
+    * 128-column `min(xxhash64(lit(i), h))` formulation computed the same
+    * values but its aggregate codegen was megabytes of Java whose JIT
+    * cost dominated; and a nested array expression would be re-inlined
+    * per band by CollapseProject, which made a first draft
+    * O(bands×hashes) and 50× slower). Verification joins candidates on
+    * (id, shingle) so its cost is proportional to candidate count, not
+    * corpus².
     */
   val q28c = Q(
     "q28c_minhash_lsh",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val ex = explodedShingles(s, d)
-      val minCols = (0 until 128).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-      val sig = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      val sig = ex.groupBy(col("doc_id"))
+        .agg(call_function("minhash_agg", col("h"), lit(128)).as("sig"))
+      // band j = xxhash64 chain over minima 4j..4j+3 — `sig` is an
+      // attribute here, so the 128 element_at references are cheap
       val bands = sig.select(col("doc_id"),
           posexplode(array((0 until 32).map(j =>
-            xxhash64(col(s"m${4 * j}"), col(s"m${4 * j + 1}"),
-              col(s"m${4 * j + 2}"), col(s"m${4 * j + 3}"))): _*)))
+            xxhash64(element_at(col("sig"), 4 * j + 1), element_at(col("sig"), 4 * j + 2),
+              element_at(col("sig"), 4 * j + 3), element_at(col("sig"), 4 * j + 4))): _*)))
         .toDF("doc_id", "band_idx", "band_sig")
       val cand = bands.as("x")
         .join(bands.as("y"),
@@ -244,16 +257,15 @@ object TextOps {
   val q28d = Q(
     "q28d_simhash",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val tok = tokenized(s, d)
         .select(col("doc_id"), explode(col("toks")).as("token"))
         .select(col("doc_id"), xxhash64(col("token")).as("h"))
-      val bitSums = (0 until 64).map { b =>
-        sum(when(shiftrightunsigned(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b")
-      }
-      val sim = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-            .reduce(_.bitwiseOR(_)).as("simhash"))
+      // one native buffer for all 64 bit-counters — the 64-column
+      // sum(when(bit,1,-1)) formulation was identical semantically but
+      // its aggregate codegen JIT cost dominated the query
+      val sim = tok.groupBy(col("doc_id"))
+        .agg(call_function("simhash_agg", col("h")).as("simhash"))
       val bands = sim.select(col("doc_id"), col("simhash"),
           posexplode(array((0 until 4).map(j =>
             shiftrightunsigned(col("simhash"), j * 16) % 65536): _*)))
@@ -451,9 +463,12 @@ object TextOps {
     *
     * The prefix sum is two-level so it parallelizes: a window WITHIN
     * each doc_id bucket (many parallel partitions) plus a cumsum of the
-    * per-bucket totals (one task over |buckets| rows) joined back as an
-    * offset — a global `Window.orderBy` would serialize the whole
-    * corpus through one task. */
+    * per-bucket totals joined back as an offset — a global
+    * `Window.orderBy` would serialize the whole corpus through one
+    * task. The bucket-total cumsum itself runs on the driver: at
+    * bucketWidth=100 it is |docs|/100 rows — if that outgrows the
+    * driver, raise bucketWidth or add a super-bucket level; the
+    * distributed work stays per-bucket-parallel either way. */
   val q38 = Q(
     "q38_pack_sequences",
     (s, d) => {
@@ -466,11 +481,13 @@ object TextOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val bucketTotals = toks.groupBy(col("bucket"))
         .agg(sum(col("n_tokens")).as("btotal"))
-      val overBuckets = Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offsets = bucketTotals
-        .withColumn("offset", sum(col("btotal")).over(overBuckets) - col("btotal"))
-        .select(col("bucket"), col("offset"))
+        .orderBy(col("bucket"))
+        .collect()
+      var acc = 0L
+      val offsetRows = bucketTotals.map { r =>
+        val o = acc; acc += r.getLong(1); (r.getLong(0), o)
+      }.toSeq
+      val offsets = s.createDataFrame(offsetRows).toDF("bucket", "offset")
       toks.join(broadcast(offsets), Seq("bucket"))
         .withColumn("prefix",
           col("offset") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))

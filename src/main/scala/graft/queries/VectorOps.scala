@@ -179,40 +179,82 @@ object VectorOps {
     },
     q29.oracle)
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
-    * vectors indexed by nearest centroid, queries probe the `nprobe`
-    * closest cells and re-rank exactly inside them. The other classic
-    * 100 TB layout besides LSH (q29c): the index is a partitioned table
-    * keyed by cell, so a query touches nprobe/k of the corpus. Training
-    * is seeded and the assignment is deterministic; recall is measured
-    * against exact q29 in VectorSpec. Output shape = q29. */
+  /** Deterministic Lloyd k-means over a driver-side sample: the IVF
+    * coarse quantizer. Training a quantizer on a bounded sample is the
+    * standard IVF recipe (FAISS trains on ~256·k points, not the
+    * corpus) — at 100 TB the index build must not pass the whole
+    * dataset through an iterative fit. The sample is the first
+    * `sampleN` vectors by vec_id (TakeOrderedAndProject: one pass,
+    * k·log k per partition), init = first k sampled points, so the
+    * quantizer is bit-reproducible across runs AND scales. */
+  private def trainKMeans(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    val cent = Array.tabulate(k)(i => sample(i % sample.length).map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dd = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cent(c)(i); dd += t * t; i += 1 }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnts(best) += 1
+      }
+      for (c <- 0 until k if cnts(c) > 0; i <- 0 until dim)
+        cent(c)(i) = sums(c)(i) / cnts(c)
+    }
+    cent
+  }
+
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (trained on a
+    * bounded, deterministic sample — see [[trainKMeans]]), vectors
+    * indexed by nearest centroid, queries probe the `nprobe` closest
+    * cells and re-rank exactly inside them. The other classic 100 TB
+    * layout besides LSH (q29c): the index is a partitioned table keyed
+    * by cell, so a query touches nprobe/k of the corpus. Cell
+    * assignment is a codegen'd argmin over the broadcast centroid
+    * array (array_min over struct(dist, cell) — no MLlib fit/transform
+    * jobs, no extra shuffle). Recall is measured against exact q29 in
+    * VectorSpec. Output shape = q29. */
   val q29e = Q(
     "q29e_ann_ivf",
     (s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val e = withNorm(s, d)
       val k = 16
       val nprobe = 4
-      val vecs = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        array_to_vector(col("embedding").cast("array<double>")).as("fv"))
-      val km = new KMeans().setK(k).setSeed(42L).setFeaturesCol("fv")
-        .setPredictionCol("cell").setMaxIter(3)
-      val model = km.fit(vecs)
-      val indexed = model.transform(vecs).select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-      // centroid table (driver-side, k rows) → probe list per query vector
-      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat).toSeq)
-      }.toSeq
-      val centDf = s.createDataFrame(centroids).toDF("cell", "centroid")
+      val sampleN = 2048
+      val sample = embeddings(s, d).orderBy(col("vec_id")).limit(sampleN)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val cents = trainKMeans(sample, k, iters = 3)
+      val centArr = typedLit(cents.map(_.toSeq).toSeq) // array<array<double>>
+      val centNorm = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
+      // nearest cell = argmin over k of (|c|² − 2·v·c); array_min on
+      // struct(dist, cell) gives the deterministic (dist, cell) argmin
+      def cellOf(v: Column): Column =
+        array_min(transform(sequence(lit(0), lit(k - 1)), c =>
+          struct(
+            (element_at(centNorm, c + 1) -
+              lit(2.0) * call_function("vec_dot_d", v, element_at(centArr, c + 1))).as("dist"),
+            c.as("cell")))).getField("cell")
+      val indexed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        cellOf(col("embedding")).as("cell"))
+      val centDf = s.createDataFrame(
+        cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) })
+        .toDF("cell", "centroid", "cnsq")
       val queries = indexed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
       val probeW = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))
       val probes = queries.crossJoin(broadcast(centDf))
         .select(col("qid"), col("qv"), col("qn"), col("cell"),
-          (call_function("vec_norm_sq", col("qv")) +
-            call_function("vec_norm_sq", col("centroid")) -
-            lit(2.0) * dot(col("qv"), col("centroid"))).as("cdist"))
+          (call_function("vec_norm_sq", col("qv")) + col("cnsq") -
+            lit(2.0) * call_function("vec_dot_d", col("qv"), col("centroid"))).as("cdist"))
         .select(col("qid"), col("qv"), col("qn"), col("cell"),
           row_number().over(probeW).as("prnk"))
         .filter(col("prnk") <= nprobe)

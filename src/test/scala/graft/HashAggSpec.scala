@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Native signature aggregates (SimHashAgg / MinHashAgg) vs their
+  * columnar definitions. */
+class HashAggSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash_agg matches per-bit majority, including negative odd hashes") {
+    graft.functions.GraftFunctions.register(spark)
+    // includes negative odd hashes: the columnar `srl(h,0) % 2 === 1`
+    // formulation got bit 0 wrong for those (SQL % keeps the sign)
+    val hs = Seq(5L, -7L, -3L, 123456789L, Long.MinValue + 1, Long.MaxValue)
+    val df = hs.map(h => (1L, h)).toDF("doc_id", "h")
+    val got = df.groupBy($"doc_id")
+      .agg(call_function("simhash_agg", $"h").as("s"))
+      .collect()(0).getLong(1)
+    val counts = new Array[Int](64)
+    hs.foreach(h => (0 until 64).foreach { b =>
+      if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+    })
+    var expect = 0L
+    (0 until 64).foreach(b => if (counts(b) > 0) expect |= (1L << b))
+    got shouldBe expect
+    // bit 0 really is exercised by a negative odd hash
+    ((-7L & 1L)) shouldBe 1L
+  }
+
+  test("minhash_agg equals the 128-column min(xxhash64(lit(i), h)) form") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, 42L), (1L, -99L), (1L, 7L), (2L, 0L), (2L, Long.MinValue))
+      .toDF("doc_id", "h")
+    val cols = (0 until 128).map(i => min(xxhash64(lit(i), $"h")).as(s"m$i"))
+    val oldSig = df.groupBy($"doc_id").agg(cols.head, cols.tail: _*)
+      .select($"doc_id", array((0 until 128).map(i => col(s"m$i")): _*).as("sig"))
+    val newSig = df.groupBy($"doc_id")
+      .agg(call_function("minhash_agg", $"h", lit(128)).as("sig"))
+    val mismatches = oldSig.as("o").join(newSig.as("n"), "doc_id")
+      .filter(col("o.sig") =!= col("n.sig")).count()
+    mismatches shouldBe 0L
+  }
+
+  test("minhash_agg merges across partitions (shuffle-serialized buffers)") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark.range(0, 1000, 1, 8) // 8 partitions, one shared group
+      .select(lit(1L).as("g"), xxhash64(col("id")).as("h"))
+    val sig = df.groupBy($"g")
+      .agg(call_function("minhash_agg", $"h", lit(16)).as("sig"))
+      .collect()(0).getSeq[Long](1)
+    sig.length shouldBe 16
+    // same result with a single partition
+    val sig1 = df.coalesce(1).groupBy($"g")
+      .agg(call_function("minhash_agg", $"h", lit(16)).as("sig"))
+      .collect()(0).getSeq[Long](1)
+    sig shouldBe sig1
+  }
+}

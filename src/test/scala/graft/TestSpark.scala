@@ -15,6 +15,7 @@ object TestSpark {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.catalog.lakehouse", "graft.catalog.LakehouseCatalog")
