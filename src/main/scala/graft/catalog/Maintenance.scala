@@ -27,17 +27,27 @@ object Maintenance {
   }
 
   /** Rewrite the current snapshot's data into ≤ `targetFiles` files.
-    * No-op if the table already has that few. Returns new file count. */
+    * No-op if the table already has that few (unless `clusterBy` asks
+    * for a re-layout). Returns new file count.
+    *
+    * `clusterBy` re-clusters the data by OTHER columns than the
+    * partition key (Delta's `OPTIMIZE ZORDER BY` analogue, linear
+    * order): `repartitionByRange` gives each output file a DISJOINT
+    * range of the cluster columns, so the per-file min/max stats
+    * recorded at commit turn filters on those columns into whole-file
+    * skips — the way a 100 TB table serves selective predicates on a
+    * second dimension without a second copy. */
   def compact(
       spark: SparkSession,
       catalog: String,
       namespace: Seq[String],
       table: String,
-      targetFiles: Int = 1): Int = {
+      targetFiles: Int = 1,
+      clusterBy: Seq[String] = Nil): Int = {
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     val current = TableMetadata.load(dir)
-    if (current.files.size <= targetFiles) return current.files.size
+    if (clusterBy.isEmpty && current.files.size <= targetFiles) return current.files.size
 
     val nextVersion = current.version + 1
     val commitRel = s"data/c$nextVersion-compact-${UUID.randomUUID().toString.take(8)}"
@@ -46,7 +56,10 @@ object Maintenance {
       .schema(current.schema)
       .parquet(current.files.map(f => dir.resolve(f).toString): _*)
     val clustered =
-      if (current.partitionColumns.nonEmpty)
+      if (clusterBy.nonEmpty)
+        df.repartitionByRange(targetFiles, clusterBy.map(df.col): _*)
+          .sortWithinPartitions(clusterBy.map(df.col): _*)
+      else if (current.partitionColumns.nonEmpty)
         df.repartition(targetFiles, current.partitionColumns.map(df.col): _*)
           .sortWithinPartitions(current.partitionColumns.map(df.col): _*)
       else df.coalesce(targetFiles)

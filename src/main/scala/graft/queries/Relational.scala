@@ -677,8 +677,52 @@ object Relational {
            |FROM s GROUP BY user_id, session_id
            |ORDER BY user_id, session_id""".stripMargin))
 
+  /** As-of join: each purchase matched to the user's latest view at or
+    * before the purchase timestamp (attribution's core primitive; Spark
+    * has no native ASOF JOIN). Implemented the scalable way: tag both
+    * streams, union through ONE shuffle keyed by user, and carry the
+    * latest view forward with `last(_, ignoreNulls)` over the
+    * (ts, kind, event_id) sort — O(n log n) per user partition, versus
+    * the naive inequality join whose intermediate is |purchases| ×
+    * |prior views| (quadratic per hot user; that naive definition is
+    * exactly what the DuckDB oracle runs, so the algorithms
+    * cross-check). Ties: a view at the purchase's own ts matches
+    * (kind sorts views first); equal-ts views resolve to max event_id. */
+  val q39 = Q(
+    "q39_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("event_id"),
+          col("event_id").as("v_event_id"), col("value").as("v_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+          lit(null).cast("long").as("v_event_id"), lit(null).cast("double").as("v_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(purchases)
+        .withColumn("view_event_id", last(col("v_event_id"), ignoreNulls = true).over(w))
+        .withColumn("view_value", last(col("v_value"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), microStr(col("ts")).as("ts"),
+          col("view_event_id"), col("view_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type, value, ts::TIMESTAMP ts FROM events),
+           |p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+           |v AS (SELECT * FROM ev WHERE event_type = 'view'),
+           |j AS (SELECT p.event_id, p.user_id, p.ts,
+           |        v.event_id AS view_event_id, v.value AS view_value,
+           |        ROW_NUMBER() OVER (PARTITION BY p.event_id
+           |          ORDER BY v.ts DESC, v.event_id DESC) rn
+           |      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+           |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           |       view_event_id, view_value
+           |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26,
-    q26b, q26c, q27, q31, q32, q32b, q33, q34, q35, q36)
+    q26b, q26c, q27, q31, q32, q32b, q33, q34, q35, q36, q39)
 }

@@ -534,6 +534,41 @@ object TextOps {
            |    / CAST(len(toks) AS DOUBLE) AS top_token_share
            |FROM t ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic stratified sampling: per-language keep rates via
+    * modulo on the stable doc_id (en 1/2, others 1/5). The sampling
+    * predicate is a pure row-local filter — it pushes to the scan, needs
+    * no shuffle and no state, and is bit-reproducible across runs and
+    * engines, which is what a training-data pipeline needs from its
+    * sampling stage at 100 TB (re-running the job must select the same
+    * corpus; random() would not). */
+  val q40 = Q(
+    "q40_stratified_sample",
+    (s, d) =>
+      documents(s, d)
+        .filter(when(col("lang") === "en", pmod(col("doc_id"), lit(2)) === 0)
+          .otherwise(pmod(col("doc_id"), lit(5)) === 0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+           |WHERE (lang = 'en' AND doc_id % 2 = 0)
+           |   OR (lang <> 'en' AND doc_id % 5 = 0)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Fixed-width histogram of document lengths: one partial-aggregated
+    * groupBy over a computed bin key — the map-side combine means the
+    * shuffle carries |bins| rows per task regardless of corpus size. */
+  val q41 = Q(
+    "q41_histogram",
+    (s, d) =>
+      documents(s, d)
+        .groupBy((floor(col("n_chars") / lit(100.0)) * 100).cast(LongType).as("bin_lo"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("bin_lo")),
+    Some("""SELECT CAST(FLOOR(n_chars / 100.0) * 100 AS BIGINT) AS bin_lo,
+           |       COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents GROUP BY 1 ORDER BY bin_lo""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h, q37, q38)
+    Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
+      q37, q38, q40, q41)
 }

@@ -179,41 +179,9 @@ object VectorOps {
     },
     q29.oracle)
 
-  /** Deterministic Lloyd k-means over a driver-side sample: the IVF
-    * coarse quantizer. Training a quantizer on a bounded sample is the
-    * standard IVF recipe (FAISS trains on ~256·k points, not the
-    * corpus) — at 100 TB the index build must not pass the whole
-    * dataset through an iterative fit. The sample is the first
-    * `sampleN` vectors by vec_id (TakeOrderedAndProject: one pass,
-    * k·log k per partition), init = first k sampled points, so the
-    * quantizer is bit-reproducible across runs AND scales. */
-  private def trainKMeans(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
-    val dim = sample.head.length
-    val cent = Array.tabulate(k)(i => sample(i % sample.length).map(_.toDouble))
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val cnts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < k) {
-          var dd = 0.0; var i = 0
-          while (i < dim) { val t = v(i) - cent(c)(i); dd += t * t; i += 1 }
-          if (dd < bestD) { bestD = dd; best = c }
-          c += 1
-        }
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
-        cnts(best) += 1
-      }
-      for (c <- 0 until k if cnts(c) > 0; i <- 0 until dim)
-        cent(c)(i) = sums(c)(i) / cnts(c)
-    }
-    cent
-  }
-
   /** IVF (inverted-file) ANN: k-means coarse quantizer (trained on a
-    * bounded, deterministic sample — see [[trainKMeans]]), vectors
+    * bounded, deterministic driver-side sample — the standard IVF
+    * recipe; see [[graft.operators.VectorIndex.trainKMeans]]), vectors
     * indexed by nearest centroid, queries probe the `nprobe` closest
     * cells and re-rank exactly inside them. The other classic 100 TB
     * layout besides LSH (q29c): the index is a partitioned table keyed
@@ -232,19 +200,9 @@ object VectorOps {
       val sample = embeddings(s, d).orderBy(col("vec_id")).limit(sampleN)
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray)
-      val cents = trainKMeans(sample, k, iters = 3)
-      val centArr = typedLit(cents.map(_.toSeq).toSeq) // array<array<double>>
-      val centNorm = typedLit(cents.map(c => c.map(x => x * x).sum).toSeq)
-      // nearest cell = argmin over k of (|c|² − 2·v·c); array_min on
-      // struct(dist, cell) gives the deterministic (dist, cell) argmin
-      def cellOf(v: Column): Column =
-        array_min(transform(sequence(lit(0), lit(k - 1)), c =>
-          struct(
-            (element_at(centNorm, c + 1) -
-              lit(2.0) * call_function("vec_dot_d", v, element_at(centArr, c + 1))).as("dist"),
-            c.as("cell")))).getField("cell")
+      val cents = graft.operators.VectorIndex.trainKMeans(sample, k, iters = 3)
       val indexed = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        cellOf(col("embedding")).as("cell"))
+        graft.operators.VectorIndex.cellOf(col("embedding"), cents).as("cell"))
       val centDf = s.createDataFrame(
         cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) })
         .toDF("cell", "centroid", "cnsq")

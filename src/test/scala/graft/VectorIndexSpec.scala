@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.{LakehouseTable, Maintenance}
+import graft.operators.VectorIndex
+
+/** IVF index materialized as a cell-partitioned lakehouse table: probes
+  * must prune unprobed cells' FILES from metadata, and results must
+  * agree with brute force inside the probed cells. */
+class VectorIndexSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("IVF lakehouse index: file-skipped probes match in-cell brute force") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cents = VectorIndex.build(spark, emb, "lakehouse.ann.ivf", k = 8, sampleN = 512)
+    cents.length shouldBe 8
+
+    // every vector landed in exactly one cell
+    val total = emb.count()
+    spark.table("lakehouse.ann.ivf").count() shouldBe total
+
+    // optimize layout: one file per cell-range (at this tiny scale the
+    // single insert commit coalesced to one file — after re-clustering,
+    // each file covers a disjoint cell range and probes can skip)
+    Maintenance.compact(spark, "lakehouse", Seq("ann"), "ivf",
+      targetFiles = 8, clusterBy = Seq("cell")) should be > 1
+
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val res = VectorIndex.query(spark, "lakehouse.ann.ivf", cents, q, topK = 5, nprobe = 2)
+    val rows = res.collect()
+    rows.length shouldBe 5
+
+    // the probe scan pruned unprobed cells' files from METADATA
+    val (survivors, totalFiles) = LakehouseTable.lastScanFileCounts.get()
+    totalFiles should be > 1
+    survivors should be < totalFiles
+
+    // exact brute force restricted to the probed cells agrees
+    val cells = VectorIndex.probeCells(q, cents, 2)
+    val brute = spark.table("lakehouse.ann.ivf")
+      .filter($"cell".isin(cells: _*))
+      .select($"vec_id",
+        (call_function("vec_dot", typedLit(q.toSeq), $"embedding") /
+          (sqrt(call_function("vec_norm_sq", typedLit(q.toSeq))) *
+            sqrt(call_function("vec_norm_sq", $"embedding")))).as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(5).collect()
+    rows.map(_.getLong(0)).toSeq shouldBe brute.map(_.getLong(0)).toSeq
+
+    spark.sql("DROP TABLE lakehouse.ann.ivf")
+  }
+
+  test("compact clusterBy enables file skipping on a non-partition column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
+    spark.sql("CREATE TABLE lakehouse.ann.zt (id BIGINT, v BIGINT, payload STRING)")
+    // one commit, values shuffled so natural file order carries no
+    // v-locality: without re-clustering every file spans ~all of v
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((0L until 4000L).toList).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, s"p$v") }
+      .toDF("id", "v", "payload").createOrReplaceTempView("zt_src")
+    spark.sql("INSERT INTO lakehouse.ann.zt SELECT * FROM zt_src")
+
+    Maintenance.compact(spark, "lakehouse", Seq("ann"), "zt",
+      targetFiles = 8, clusterBy = Seq("v"))
+
+    val hit = spark.table("lakehouse.ann.zt").where($"v" >= 3500L)
+    hit.count() shouldBe 500
+    val (survivors, total) = LakehouseTable.lastScanFileCounts.get()
+    total should be >= 4 // range-partitioned into several files
+    survivors should be < total // most v-ranges proved disjoint
+    spark.sql("DROP TABLE lakehouse.ann.zt")
+  }
+}
