@@ -4,12 +4,14 @@ import java.nio.file.{Files, Path}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, input_file_name, lit, not, coalesce}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,7 +39,7 @@ class LakehouseTable(
     identName: String,
     val tableDir: Path,
     val meta: TableMetadata)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = identName
 
@@ -101,6 +103,102 @@ class LakehouseTable(
           }
       }
     }
+
+  // ---- row-level DELETE (copy-on-write) ------------------------------------
+
+  /** sources.Filter → Column, for re-evaluating the pushed DELETE
+    * predicate against file contents. Unsupported shapes → None, which
+    * makes canDeleteWhere refuse (Spark then reports the DELETE as
+    * unsupported rather than running it wrong). */
+  private def filterToColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+    case sources.Or(l, r) =>
+      for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+    case sources.Not(c) => filterToColumn(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => filterToColumn(f).isDefined)
+
+  /** `DELETE FROM t WHERE ...` as copy-on-write, the Iceberg/Delta COW
+    * shape: (1) file-level stats prune the file list to those that MAY
+    * hold matching rows — on a 100 TB table with a selective predicate
+    * that is metadata work plus a rewrite of a handful of files;
+    * (2) one scan of the candidates finds the files that REALLY hold
+    * matches; (3) only those are rewritten without the matching rows,
+    * every untouched file is carried into the new snapshot by
+    * reference. Old snapshots still see the old files (time travel
+    * intact); a racing writer loses the version publish cleanly. */
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val current = TableMetadata.load(tableDir) // re-read: optimistic concurrency
+    val cond = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"unsupported DELETE predicate: ${filters.mkString(", ")}"))
+
+    // (1) metadata prune — files whose stats PROVE no row matches stay as-is
+    val candidates =
+      FileSkipping.prune(current.files, current.fileStats, current.schema, filters.toSeq)
+    if (candidates.isEmpty) return
+
+    // (2) exact check: which candidate files actually contain matches
+    // (file identity via the unique part-file name segment)
+    def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val relByName = candidates.map(f => fileName(f) -> f).toMap
+    val candDf = spark.read.schema(current.schema)
+      .parquet(candidates.map(abs): _*)
+    val hitNames = candDf.withColumn("__graft_file", input_file_name())
+      .filter(cond)
+      .select(col("__graft_file")).distinct().collect()
+      .map(r => fileName(r.getString(0))).toSet
+    val hitFiles = hitNames.flatMap(relByName.get).toSeq.sorted
+    if (hitFiles.isEmpty) return
+
+    // (3) rewrite ONLY the hit files, keeping rows where the predicate
+    // is not TRUE (SQL DELETE keeps FALSE and NULL rows)
+    val nextVersion = current.version + 1
+    val commitRel = s"data/c$nextVersion-delete-${UUID.randomUUID().toString.take(8)}"
+    val commitDir = tableDir.resolve(commitRel)
+    val kept = spark.read.schema(current.schema)
+      .parquet(hitFiles.map(abs): _*)
+      .filter(not(coalesce(cond, lit(false))))
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    kept.write.parquet(commitDir.toString)
+
+    val newFiles = Files.list(commitDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"$commitRel/$n")
+      .toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val newStats = newFiles.map { f =>
+      f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), current.schema)
+    }.filter(_._2.nonEmpty).toMap
+    val survivors = current.files.filterNot(hitFiles.contains)
+    val allFiles = survivors ++ newFiles
+    TableMetadata.commit(tableDir, current.copy(
+      version = nextVersion,
+      files = allFiles,
+      fileStats = current.fileStats.view.filterKeys(survivors.contains).toMap ++ newStats,
+      snapshots = current.snapshots :+ Snapshot(
+        nextVersion, System.currentTimeMillis(), "delete", newFiles.size, allFiles.size)))
+  }
 
   private def commitInsert(data: DataFrame, overwrite: Boolean): Unit = {
     val current = TableMetadata.load(tableDir) // re-read: optimistic concurrency

@@ -83,6 +83,140 @@ object Maintenance {
     newFiles.size
   }
 
+  // ---- row-level UPDATE / MERGE (copy-on-write) ----------------------------
+
+  /** Shared copy-on-write commit: replace `hitFiles` with the rows of
+    * `newData`, carry every other file into the new snapshot by
+    * reference. The same shape `DELETE FROM` uses (LakehouseTable
+    * .deleteWhere); only the row transformation differs. */
+  private def commitRewrite(
+      spark: SparkSession,
+      dir: Path,
+      current: TableMetadata,
+      hitFiles: Seq[String],
+      newData: org.apache.spark.sql.DataFrame,
+      op: String): Unit = {
+    val nextVersion = current.version + 1
+    val commitRel = s"data/c$nextVersion-$op-${UUID.randomUUID().toString.take(8)}"
+    val commitDir = dir.resolve(commitRel)
+    val clustered =
+      if (current.partitionColumns.nonEmpty) {
+        val cols = current.partitionColumns.map(newData.col)
+        newData.repartition(cols: _*).sortWithinPartitions(cols: _*)
+      } else newData
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    clustered.write.parquet(commitDir.toString)
+    val newFiles = Files.list(commitDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$commitRel/$n").toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val newStats = newFiles.map { f =>
+      f -> FooterStats.collect(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
+    }.filter(_._2.nonEmpty).toMap
+    val survivors = current.files.filterNot(hitFiles.contains)
+    val allFiles = survivors ++ newFiles
+    TableMetadata.commit(dir, current.copy(
+      version = nextVersion,
+      files = allFiles,
+      fileStats = current.fileStats.view.filterKeys(survivors.contains).toMap ++ newStats,
+      snapshots = current.snapshots :+ Snapshot(
+        nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
+  }
+
+  private def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Files of the current snapshot that contain at least one row
+    * matching `cond` (exact, via one scan tagged with input_file_name). */
+  private def hitFiles(
+      spark: SparkSession, dir: Path, current: TableMetadata,
+      cond: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    if (current.files.isEmpty) return Nil
+    val relByName = current.files.map(f => fileName(f) -> f).toMap
+    val names = spark.read.schema(current.schema)
+      .parquet(current.files.map(f => dir.resolve(f).toString): _*)
+      .withColumn("__graft_file", input_file_name())
+      .filter(cond)
+      .select(col("__graft_file")).distinct().collect()
+      .map(r => fileName(r.getString(0))).toSet
+    names.flatMap(relByName.get).toSeq.sorted
+  }
+
+  /** `UPDATE t SET <assignments> WHERE cond` as copy-on-write: only the
+    * files holding matching rows are rewritten (matching rows get the
+    * assignments applied, the file's other rows are carried verbatim);
+    * everything else moves into the new snapshot by reference. */
+  def updateWhere(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    require(set.keySet.subsetOf(current.schema.fieldNames.toSet),
+      s"unknown UPDATE columns: ${set.keySet -- current.schema.fieldNames}")
+    val hits = hitFiles(spark, dir, current, cond)
+    if (hits.isEmpty) return 0
+    val condTrue = coalesce(cond, lit(false)) // NULL predicate → not updated
+    val updated = spark.read.schema(current.schema)
+      .parquet(hits.map(f => dir.resolve(f).toString): _*)
+      .select(current.schema.fieldNames.map { n =>
+        set.get(n) match {
+          case Some(v) => when(condTrue, v.cast(current.schema(n).dataType))
+            .otherwise(col(n)).as(n)
+          case None => col(n)
+        }
+      }.toSeq: _*)
+    commitRewrite(spark, dir, current, hits, updated, "update")
+    hits.size
+  }
+
+  /** MERGE-lite upsert: rows of `source` replace same-key rows (WHEN
+    * MATCHED THEN UPDATE SET *), unmatched source rows are inserted
+    * (WHEN NOT MATCHED THEN INSERT *). Copy-on-write: only files
+    * holding matched keys are rewritten; the rest carries by
+    * reference. `source` must be key-unique. */
+  def upsert(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      source: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    val cast = source.select(current.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val keys = cast.select(keyCols.map(col): _*).distinct()
+    val hits =
+      if (current.files.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.input_file_name
+        val relByName = current.files.map(f => fileName(f) -> f).toMap
+        spark.read.schema(current.schema)
+          .parquet(current.files.map(f => dir.resolve(f).toString): _*)
+          .withColumn("__graft_file", input_file_name())
+          .join(keys, keyCols, "left_semi")
+          .select(col("__graft_file")).distinct().collect()
+          .map(r => fileName(r.getString(0))).toSet
+          .flatMap(relByName.get).toSeq.sorted
+      }
+    val kept =
+      if (hits.isEmpty) cast.limit(0)
+      else spark.read.schema(current.schema)
+        .parquet(hits.map(f => dir.resolve(f).toString): _*)
+        .join(keys, keyCols, "left_anti")
+    commitRewrite(spark, dir, current, hits, kept.unionByName(cast), "merge")
+  }
+
   /** Default vacuum file-age threshold: files modified more recently
     * than this are never deleted, whatever the snapshot log says. */
   val DefaultRetentionMs: Long = 10 * 60 * 1000L

@@ -250,7 +250,11 @@ object TextOps {
       verifyJaccard(cand, ex, 0.8)
         .orderBy(col("id1"), col("id2"))
     },
-    None)
+    // The verify stage is EXACT, and at 32 bands × 4 rows candidate
+    // recall for j ≥ 0.8 is 1 − (1 − 0.8⁴)³² ≈ 1 − 5·10⁻⁸ — so the
+    // output equals the exact all-pairs join's and q28b's oracle
+    // applies verbatim.
+    q28b.oracle)
 
   /** 64-bit SimHash over the token multiset + banded hamming-distance
     * pairing (4 bands × 16 bits; pairs with hamming ≤ 8 reported). */
@@ -394,8 +398,9 @@ object TextOps {
   /** Language-ID heuristic: score each language profile by marker-token
     * hits plus character-class evidence; deterministic argmax with ties
     * broken alphabetically. (The synthetic corpus is ASCII word salad,
-    * so this exercises the mechanism, not linguistics.) No oracle —
-    * covered by ScalaTest golden assertions. */
+    * so this exercises the mechanism, not linguistics.) The oracle
+    * mirrors the scoring with DuckDB list_filter counts and the same
+    * struct-sort argmax. */
   val q30g = Q(
     "q30g_langid",
     (s, d) => {
@@ -418,7 +423,16 @@ object TextOps {
           sort_array(array(scores: _*)).getItem(0).getField("lang").as("predicted_lang"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents)
+           |SELECT doc_id,
+           |  (list_sort([
+           |     {'neg_score': -CAST(LEN(list_filter(toks, tk -> tk IN ('der','die','und','das'))) AS DOUBLE), 'lang': 'de'},
+           |     {'neg_score': -CAST(LEN(list_filter(toks, tk -> tk IN ('the','a','and','of'))) AS DOUBLE), 'lang': 'en'},
+           |     {'neg_score': -CAST(LEN(list_filter(toks, tk -> tk IN ('el','la','de','que'))) AS DOUBLE), 'lang': 'es'},
+           |     {'neg_score': -CAST(LEN(list_filter(toks, tk -> tk IN ('le','la','et','de'))) AS DOUBLE), 'lang': 'fr'},
+           |     {'neg_score': CAST(0 AS DOUBLE), 'lang': 'zh'}
+           |   ]))[1].lang AS predicted_lang
+           |FROM t ORDER BY doc_id""".stripMargin))
 
   /** End-to-end near-dup corpus dedup: pairs (prefix-filtered exact
     * jaccard ≥ 0.8) → connected components → keep each cluster's min
