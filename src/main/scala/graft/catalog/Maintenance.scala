@@ -217,6 +217,45 @@ object Maintenance {
     commitRewrite(spark, dir, current, hits, kept.unionByName(cast), "merge")
   }
 
+  /** Incremental read (Iceberg incremental-scan analogue): the rows
+    * ADDED between two snapshot versions, read from exactly the data
+    * files that appeared in that version window — change capture
+    * without scanning the table. Each version's new files live under
+    * its own commit directory, so the diff is pure metadata. Rewrite
+    * commits (compact / delete / update / merge) re-add existing rows
+    * as new files; they are rejected here rather than double-counted —
+    * downstream CDC over a table with row-level DML needs true delta
+    * files (out of scope, as for Iceberg COW tables). */
+  def changesBetween(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      fromVersionExclusive: Int,
+      toVersionInclusive: Int): org.apache.spark.sql.DataFrame = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val log = TableMetadata.loadLog(dir)
+    require(fromVersionExclusive >= 0 && toVersionInclusive <= log.size &&
+      fromVersionExclusive <= toVersionInclusive,
+      s"invalid version window ($fromVersionExclusive, $toVersionInclusive], log has ${log.size}")
+    val window = log.slice(fromVersionExclusive, toVersionInclusive)
+    // append-only windows, like Iceberg's incremental scan: overwrite
+    // drops rows and rewrites re-add existing rows — both would make an
+    // added-file diff wrong
+    val rewriteOps = window.flatMap(_.snapshots.lastOption).map(_.operation)
+      .filterNot(op => op == "append" || op == "create" || op == "alter")
+    require(rewriteOps.isEmpty,
+      s"version window contains non-append commits (${rewriteOps.mkString(", ")}): " +
+        "added-file diff cannot represent them")
+    val before = log.take(fromVersionExclusive).lastOption.map(_.files.toSet).getOrElse(Set.empty)
+    val added = window.flatMap(_.files).distinct.filterNot(before.contains)
+    val schema = log(toVersionInclusive - 1).schema
+    if (added.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(added.map(f => dir.resolve(f).toString): _*)
+  }
+
   /** Default vacuum file-age threshold: files modified more recently
     * than this are never deleted, whatever the snapshot log says. */
   val DefaultRetentionMs: Long = 10 * 60 * 1000L

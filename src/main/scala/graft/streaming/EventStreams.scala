@@ -46,6 +46,15 @@ object EventStreams {
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Stream–static enrichment: join the unbounded stream against a
+    * bounded dimension table (e.g. a lakehouse table). Spark re-plans
+    * the static side per micro-batch, so a slowly-updated dim table is
+    * picked up batch by batch; with a small dim the join stays a
+    * broadcast — no shuffle of the stream, no streaming state at all
+    * (unlike stream–stream joins there is nothing to watermark). */
+  def enrich(events: DataFrame, dim: DataFrame, joinCols: Seq[String]): DataFrame =
+    events.join(broadcast(dim), joinCols, "left")
+
   /** Sessionization with explicit state: a session closes after `gapMs`
     * of inactivity (event-time, enforced via processing-time timeout in
     * the absence of newer events for the key). Demonstrates

@@ -42,6 +42,30 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.m")
   }
 
+  test("changesBetween reads exactly the rows added in a version window") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.cdc (k INT, v STRING)")
+    (1 to 3).foreach { c =>
+      (0 until 10).map(i => (c * 100 + i, s"c$c")).toDF("k", "v")
+        .createOrReplaceTempView("cdc_src")
+      spark.sql("INSERT INTO lakehouse.maint_ns.cdc SELECT * FROM cdc_src")
+    }
+    // versions: 1=create, 2..4=appends
+    val delta = Maintenance.changesBetween(spark, "lakehouse", Seq("maint_ns"), "cdc", 2, 4)
+    delta.count() shouldBe 20
+    delta.select("v").distinct().collect().map(_.getString(0)).sorted shouldBe
+      Array("c2", "c3")
+    // empty window → empty frame with the table schema
+    Maintenance.changesBetween(spark, "lakehouse", Seq("maint_ns"), "cdc", 4, 4)
+      .count() shouldBe 0
+    // windows crossing a rewrite commit are rejected, not miscounted
+    Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "cdc")
+    intercept[IllegalArgumentException] {
+      Maintenance.changesBetween(spark, "lakehouse", Seq("maint_ns"), "cdc", 2, 5)
+    }
+    spark.sql("DROP TABLE lakehouse.maint_ns.cdc")
+  }
+
   test("compacted partitioned table keeps file stats for skipping") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
     spark.sql("CREATE TABLE lakehouse.maint_ns.p (k INT, v INT) PARTITIONED BY (k)")

@@ -92,6 +92,32 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against a dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.users (user_id BIGINT, tier STRING)")
+    Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+      .createOrReplaceTempView("users_src")
+    spark.sql("INSERT INTO lakehouse.stream_ns.users SELECT * FROM users_src")
+
+    val dim = spark.table("lakehouse.stream_ns.users")
+    val q = EventStreams.enrich(in.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(6), 2, "click", 2.0),
+        Event(3, ts(7), 9, "click", 3.0)) // no dim row → tier NULL, row kept
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select($"event_id", $"tier").orderBy($"event_id").collect()
+      rows.map(r => r.getLong(0) -> Option(r.getString(1))).toSeq shouldBe
+        Seq(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None)
+    } finally q.stop()
+    spark.sql("DROP TABLE lakehouse.stream_ns.users")
+  }
+
   test("streaming file ingest appends micro-batch snapshots to a lakehouse table") {
     val src = java.nio.file.Files.createTempDirectory("stream-src-").toString
     val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt-").toString
