@@ -98,10 +98,13 @@ case class MinHashAgg(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    bandRows: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   require(k > 0, "minhash_agg: k must be positive")
+  require(bandRows >= 0 && (bandRows == 0 || k % bandRows == 0),
+    "minhash_agg: bandRows must divide k")
 
   override def prettyName: String = "minhash_agg"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -134,7 +137,26 @@ case class MinHashAgg(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+  /** With bandRows = r > 0 the output is the k/r LSH band signatures
+    * instead of the raw minima: band j = the same XXH64 chain the SQL
+    * `xxhash64(m_{rj}, …, m_{rj+r-1})` computes (seed 42, hashLong per
+    * element). Folding the banding into eval keeps the query-side
+    * expression tree small — the 128-element_at + 32-hash columnar
+    * banding was a codegen/JIT hotspot. */
+  override def eval(buf: Array[Long]): Any =
+    if (bandRows == 0) new GenericArrayData(buf.clone())
+    else {
+      val bands = new Array[Long](k / bandRows)
+      var j = 0
+      while (j < bands.length) {
+        var h = 42L
+        var r = 0
+        while (r < bandRows) { h = XXH64.hashLong(buf(j * bandRows + r), h); r += 1 }
+        bands(j) = h
+        j += 1
+      }
+      new GenericArrayData(bands)
+    }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(k * 8)

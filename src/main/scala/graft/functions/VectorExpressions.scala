@@ -164,5 +164,11 @@ object GraftFunctions {
         val k = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(128)
         MinHashAgg(args(0), k)
       }, "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      { args: Seq[Expression] =>
+        val k = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(128)
+        val r = args.lift(2).map(_.eval(null).toString.toInt).getOrElse(4)
+        MinHashAgg(args(0), k, bandRows = r)
+      }, "built-in")
   }
 }

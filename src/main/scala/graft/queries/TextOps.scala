@@ -231,14 +231,12 @@ object TextOps {
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val ex = explodedShingles(s, d)
+      // the aggregate emits the 32 banded signatures directly (same
+      // XXH64 chain as xxhash64(m_{4j},…,m_{4j+3})) — banding inside
+      // eval keeps the query-side expression tree tiny
       val sig = ex.groupBy(col("doc_id"))
-        .agg(call_function("minhash_agg", col("h"), lit(128)).as("sig"))
-      // band j = xxhash64 chain over minima 4j..4j+3 — `sig` is an
-      // attribute here, so the 128 element_at references are cheap
-      val bands = sig.select(col("doc_id"),
-          posexplode(array((0 until 32).map(j =>
-            xxhash64(element_at(col("sig"), 4 * j + 1), element_at(col("sig"), 4 * j + 2),
-              element_at(col("sig"), 4 * j + 3), element_at(col("sig"), 4 * j + 4))): _*)))
+        .agg(call_function("minhash_bands", col("h"), lit(128), lit(4)).as("bands"))
+      val bands = sig.select(col("doc_id"), posexplode(col("bands")))
         .toDF("doc_id", "band_idx", "band_sig")
       val cand = bands.as("x")
         .join(bands.as("y"),

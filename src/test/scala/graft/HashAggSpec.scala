@@ -44,6 +44,20 @@ class HashAggSpec extends AnyFunSuite with Matchers {
     mismatches shouldBe 0L
   }
 
+  test("minhash_bands equals xxhash64 chain over the minima") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, 42L), (1L, -99L), (1L, 7L)).toDF("doc_id", "h")
+    val viaCols = df.groupBy($"doc_id")
+      .agg(call_function("minhash_agg", $"h", lit(8)).as("sig"))
+      .select($"doc_id", array((0 until 2).map(j =>
+        xxhash64(element_at($"sig", 4 * j + 1), element_at($"sig", 4 * j + 2),
+          element_at($"sig", 4 * j + 3), element_at($"sig", 4 * j + 4))): _*).as("bands"))
+    val viaEval = df.groupBy($"doc_id")
+      .agg(call_function("minhash_bands", $"h", lit(8), lit(4)).as("bands"))
+    viaCols.as("a").join(viaEval.as("b"), "doc_id")
+      .filter(col("a.bands") =!= col("b.bands")).count() shouldBe 0L
+  }
+
   test("minhash_agg merges across partitions (shuffle-serialized buffers)") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(0, 1000, 1, 8) // 8 partitions, one shared group
