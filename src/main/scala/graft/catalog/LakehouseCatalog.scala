@@ -213,6 +213,40 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames.length == 1, "nested DROP COLUMN not supported")
           m.copy(schema = StructType(m.schema.fields.filterNot(_.name == del.fieldNames.head)))
+        case upd: TableChange.UpdateColumnType =>
+          require(upd.fieldNames.length == 1, "nested ALTER COLUMN not supported")
+          val name = upd.fieldNames.head
+          val from = m.schema(name).dataType
+          // Only WIDENING changes: the parquet reader upcasts old files'
+          // values on read (verified int32→int64, float→double), so no
+          // rewrite is needed and no value can be lost. Anything else
+          // (narrowing, numeric→string, …) would need a data rewrite.
+          val widens: Set[(org.apache.spark.sql.types.DataType, org.apache.spark.sql.types.DataType)] = {
+            import org.apache.spark.sql.types._
+            Set[(DataType, DataType)](
+              (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+              (ShortType, IntegerType), (ShortType, LongType),
+              (IntegerType, LongType), (FloatType, DoubleType))
+          }
+          if (!widens.contains((from, upd.newDataType)))
+            throw new UnsupportedOperationException(
+              s"ALTER COLUMN $name: only widening type changes are supported " +
+                s"(got ${from.simpleString} → ${upd.newDataType.simpleString})")
+          m.copy(schema = StructType(m.schema.fields.map(f =>
+            if (f.name == name) f.copy(dataType = upd.newDataType) else f)))
+        case upd: TableChange.UpdateColumnNullability =>
+          require(upd.fieldNames.length == 1, "nested ALTER COLUMN not supported")
+          // relaxing to nullable is always safe; tightening would need a
+          // full-table null check — refuse rather than lie
+          if (!upd.nullable)
+            throw new UnsupportedOperationException(
+              s"ALTER COLUMN ${upd.fieldNames.head}: cannot add NOT NULL without a table scan")
+          m.copy(schema = StructType(m.schema.fields.map(f =>
+            if (f.name == upd.fieldNames.head) f.copy(nullable = true) else f)))
+        case upd: TableChange.UpdateColumnComment =>
+          require(upd.fieldNames.length == 1, "nested ALTER COLUMN not supported")
+          m.copy(schema = StructType(m.schema.fields.map(f =>
+            if (f.name == upd.fieldNames.head) f.withComment(upd.newComment) else f)))
         case other =>
           throw new UnsupportedOperationException(s"unsupported table change: $other")
       }

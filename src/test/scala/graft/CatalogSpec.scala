@@ -122,6 +122,31 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("ALTER COLUMN: widening type change reads old files upcast; narrowing refused") {
+    spark.sql("CREATE TABLE lakehouse.blms_cat.widen_t (a INT, b FLOAT)")
+    Seq((1, 1.5f), (2, 2.5f)).toDF("a", "b").createOrReplaceTempView("widen_src")
+    spark.sql("INSERT INTO lakehouse.blms_cat.widen_t SELECT * FROM widen_src")
+    spark.sql("ALTER TABLE lakehouse.blms_cat.widen_t ALTER COLUMN a TYPE BIGINT")
+    spark.sql("ALTER TABLE lakehouse.blms_cat.widen_t ALTER COLUMN b TYPE DOUBLE")
+    val t = spark.table("lakehouse.blms_cat.widen_t")
+    t.schema("a").dataType.simpleString shouldBe "bigint"
+    // old int32/float files read back upcast, values intact
+    t.orderBy("a").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+      Seq((1L, 1.5), (2L, 2.5))
+    // and new appends in the widened type coexist with old files
+    Seq((3000000000L, 3.5)).toDF("a", "b").createOrReplaceTempView("widen_src2")
+    spark.sql("INSERT INTO lakehouse.blms_cat.widen_t SELECT * FROM widen_src2")
+    spark.table("lakehouse.blms_cat.widen_t").count() shouldBe 3
+    // narrowing is refused (Spark's analyzer rejects non-upcasts before
+    // the catalog; our guard backstops any path that skips it)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.blms_cat.widen_t ALTER COLUMN a TYPE INT")
+    }
+    spark.table("lakehouse.blms_cat.widen_t")
+      .schema("a").dataType.simpleString shouldBe "bigint" // unchanged
+    spark.sql("DROP TABLE lakehouse.blms_cat.widen_t")
+  }
+
   test("RENAME COLUMN is refused once data files exist (name-based resolution)") {
     spark.sql("CREATE TABLE lakehouse.blms_cat.ren_t (a INT, b STRING)")
     Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("ren_src")

@@ -72,6 +72,23 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("q39 as-of join is one union + one window, never an inequality join") {
+    val plan = executedPlan(Relational.q39.run(spark, sf))
+    // the naive formulation would be a nested-loop/cartesian over
+    // (purchase, prior views); the union+window shape must hold
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("Window")
+    plan should include("Union")
+  }
+
+  test("q40 sampling predicate pushes down to the parquet scan") {
+    val plan = executedPlan(graft.queries.TextOps.q40.run(spark, sf))
+    // row-local filter: no shuffle beyond the final ordering, no join
+    plan should not include "Join"
+    plan should include("Filter")
+  }
+
   test("lakehouse scan prunes columns through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.plan_ns")
     spark.sql("CREATE TABLE lakehouse.plan_ns.wide (a INT, b STRING, c DOUBLE, d STRING)")
