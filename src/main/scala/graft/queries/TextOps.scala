@@ -175,12 +175,19 @@ object TextOps {
 
   // ---- Q28: dedup family -------------------------------------------------
 
-  /** Exact dedup: canonical representative (min doc_id) per distinct text. */
+  /** Exact dedup: canonical representative (min doc_id) per distinct
+    * text. Groups on a 320-bit content key (xxhash64 ∥ sha2-256) rather
+    * than the text itself, so the shuffle carries ~50 bytes per row
+    * instead of full document bodies — at 100 TB that is the difference
+    * between shuffling kilobytes-per-doc and shuffling fingerprints
+    * (the standard content-hash dedup contract; a collision needs two
+    * documents agreeing on both hashes simultaneously). */
   val q28 = Q(
     "q28_dedup_exact",
     (s, d) =>
       documents(s, d)
-        .groupBy(col("text"))
+        .select(col("doc_id"), xxhash64(col("text")).as("h1"), sha2(col("text"), 256).as("h2"))
+        .groupBy(col("h1"), col("h2"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
         .select(col("doc_id"), col("dup_cnt"))
         .orderBy(col("doc_id")),
