@@ -102,10 +102,16 @@ object TextOps {
     val prefix = ex.join(freq, Seq("h"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("h"))
-    val cand = prefix.select(col("doc_id").as("id1"), col("h"))
-      .join(prefix.select(col("doc_id").as("id2"), col("h")), Seq("h"))
-      .filter(col("id1") < col("id2"))
+      .select(col("doc_id"), col("h"), col("n"))
+    // length filter (PPJoin): J(A,B) ≤ min(n)/max(n), so any pair with
+    // n2 outside [t·n1, n1/t] can't reach t — dropped IN the join
+    // condition, before the candidate set exists, which keeps the
+    // verify stage's |cand| × shingles expansion proportional to
+    // plausible pairs only
+    val cand = prefix.select(col("doc_id").as("id1"), col("h"), col("n").as("n1"))
+      .join(prefix.select(col("doc_id").as("id2"), col("h"), col("n").as("n2")), Seq("h"))
+      .filter(col("id1") < col("id2") &&
+        col("n2") >= ceil(col("n1") * t) && col("n1") >= ceil(col("n2") * t))
       .select(col("id1"), col("id2"))
       .distinct()
     verifyJaccard(cand, ex, t)
@@ -587,7 +593,47 @@ object TextOps {
            |       COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
            |FROM documents GROUP BY 1 ORDER BY bin_lo""".stripMargin))
 
+  /** TF-IDF: top-3 terms per document (docs 0–49) scored against
+    * corpus-wide document frequency. Scale shape: term frequency is
+    * computed only for the requested docs (filter pushed before the
+    * explode), document frequency and N aggregate over the corpus with
+    * map-side combine, and N joins in as a broadcast of one row. The
+    * rank is integer-only — (tf DESC, df ASC, token) is order-identical
+    * to tf·ln(N/df) but immune to cross-engine log() ulp differences;
+    * the float score is computed only for display, rounded to 4. */
+  val q42 = Q(
+    "q42_tfidf",
+    (s, d) => {
+      val tok = tokenized(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+      val tf = tok.filter(col("doc_id") < 50)
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = documents(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df"), col("token"))
+      tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 4).as("tfidf"))
+        .orderBy(col("doc_id"), col("token"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) token FROM documents),
+           |tf AS (SELECT doc_id, token, COUNT(*) tf FROM tok WHERE doc_id < 50 GROUP BY 1, 2),
+           |df AS (SELECT token, COUNT(*) df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+           |n AS (SELECT COUNT(*) n FROM documents),
+           |x AS (SELECT tf.doc_id, tf.token,
+           |        ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 4) tfidf,
+           |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+           |          ORDER BY tf.tf DESC, df.df, tf.token) rn
+           |      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+           |SELECT doc_id, token, tfidf FROM x WHERE rn <= 3
+           |ORDER BY doc_id, token""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
-      q37, q38, q40, q41)
+      q37, q38, q40, q41, q42)
 }
