@@ -268,7 +268,12 @@ object TextOps {
     q28b.oracle)
 
   /** 64-bit SimHash over the token multiset + banded hamming-distance
-    * pairing (4 bands × 16 bits; pairs with hamming ≤ 8 reported). */
+    * pairing. 4 bands × 16 bits with threshold 3 is a GUARANTEE, not a
+    * heuristic: ≤ 3 differing bits can touch at most 3 of the 4 bands
+    * (pigeonhole), so every qualifying pair shares at least one intact
+    * band and is found — recall 1.0 by construction, candidates ∝ band
+    * collisions. (A higher threshold under the same banding would
+    * silently lose pairs whose differences spread across all bands.) */
   val q28d = Q(
     "q28d_simhash",
     (s, d) => {
@@ -291,8 +296,31 @@ object TextOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .filter(col("hamming") <= 8) // filter BEFORE distinct: the band join
-        .distinct()                  // can emit millions of far pairs
+        .filter(col("hamming") <= 3) // ≤ bands−1: full recall by pigeonhole;
+        .distinct()                  // filter BEFORE distinct — the band join
+        .orderBy(col("id1"), col("id2")) // can emit millions of far pairs
+    },
+    None)
+
+  /** Exhaustive-recall check target for q28d: the same hamming-≤ 3 pair
+    * set computed by brute force over all simhash pairs. Deliberately
+    * NOT in `all` (it is quadratic); PropertySpec asserts q28d ≡ this
+    * on sf0.001 — i.e. the banding's recall guarantee holds. */
+  val q28e = Q(
+    "q28e_simhash_brute",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val tok = tokenized(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      val sim = tok.groupBy(col("doc_id"))
+        .agg(call_function("simhash_agg", col("h")).as("simhash"))
+      val a = sim.select(col("doc_id").as("id1"), col("simhash").as("s1"))
+      val b = sim.select(col("doc_id").as("id2"), col("simhash").as("s2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+        .filter(col("hamming") <= 3)
         .orderBy(col("id1"), col("id2"))
     },
     None)

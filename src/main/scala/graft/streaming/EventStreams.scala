@@ -154,4 +154,36 @@ object EventStreams {
         batch.writeTo(targetTable).append()
       }
       .start()
+
+  /** Streaming CDC apply: upsert each micro-batch into a lakehouse
+    * table by key (MERGE-lite per batch — matched keys replaced,
+    * new keys inserted, each batch one copy-on-write snapshot).
+    * The batch is key-deduplicated keeping the latest row by `orderCol`
+    * first, so an out-of-order batch still applies its newest state.
+    * This is the standard Structured-Streaming-to-lakehouse CDC shape:
+    * exactly-once per batch via the checkpoint + idempotent-by-key
+    * apply. */
+  def upsertToLakehouse(
+      stream: DataFrame,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      keyCols: Seq[String],
+      orderCol: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val latest = batch
+          .withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1)
+          .drop("__graft_rn")
+        if (!latest.isEmpty)
+          graft.catalog.Maintenance.upsert(spark, catalog, namespace, table, latest, keyCols)
+      }
+      .start()
 }

@@ -37,6 +37,16 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("simhash banding finds EVERY hamming-≤3 pair (pigeonhole recall)") {
+    val sf = "/root/testdata/sf0.001"
+    def pairs(q: graft.queries.Q) =
+      q.run(spark, sf).select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairs(graft.queries.TextOps.q28d)
+    val brute = pairs(graft.queries.TextOps.q28e)
+    banded shouldBe brute // not ⊆ — exactly equal: full recall, no junk
+  }
+
   test("set algebra: (a ∪ b) ∖ b ⊆ a and a ∩ b ⊆ a") {
     forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) { (xs, ys) =>
       val a = xs.toDF("v")

@@ -118,6 +118,39 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.stream_ns.users")
   }
 
+  test("streaming upsert applies latest-by-key CDC batches to a lakehouse table") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("""CREATE TABLE lakehouse.stream_ns.state
+      (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE)""")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ckpt").toString
+    val q = EventStreams.upsertToLakehouse(in.toDF(), "lakehouse", Seq("stream_ns"),
+      "state", keyCols = Seq("user_id"), orderCol = "ts", checkpointDir = ckpt)
+    try {
+      // batch 1: two users, user 1 appears twice out of order → latest wins
+      in.addData(
+        Event(1, ts(10), 1, "click", 10.0),
+        Event(2, ts(5), 1, "view", 5.0),
+        Event(3, ts(6), 2, "view", 6.0))
+      q.processAllAvailable()
+      val s1 = spark.table("lakehouse.stream_ns.state")
+        .orderBy($"user_id").collect().map(r => (r.getLong(2), r.getDouble(4)))
+      s1.toSeq shouldBe Seq((1L, 10.0), (2L, 6.0))
+
+      // batch 2: user 2 updated, user 3 new, user 1 untouched
+      in.addData(Event(4, ts(20), 2, "purchase", 99.0), Event(5, ts(21), 3, "signup", 1.0))
+      q.processAllAvailable()
+      val s2 = spark.table("lakehouse.stream_ns.state")
+        .orderBy($"user_id").collect().map(r => (r.getLong(2), r.getDouble(4)))
+      s2.toSeq shouldBe Seq((1L, 10.0), (2L, 99.0), (3L, 1.0))
+      // each applied batch is one snapshot: history shows merge commits
+      spark.sql("SELECT operation FROM lakehouse.stream_ns.state.history ORDER BY version")
+        .collect().map(_.getString(0)).count(_ == "merge") shouldBe 2
+    } finally q.stop()
+    spark.sql("DROP TABLE lakehouse.stream_ns.state")
+  }
+
   test("streaming file ingest appends micro-batch snapshots to a lakehouse table") {
     val src = java.nio.file.Files.createTempDirectory("stream-src-").toString
     val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt-").toString
