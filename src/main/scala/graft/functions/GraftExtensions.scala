@@ -27,5 +27,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_norm_sq"),
       new ExpressionInfo(classOf[VecNormSq].getName, "vec_norm_sq"),
       (args: Seq[Expression]) => VecNormSq(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot_d"),
+      new ExpressionInfo(classOf[VecDotFD].getName, "vec_dot_d"),
+      (args: Seq[Expression]) => VecDotFD(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+      (args: Seq[Expression]) => SimHashAgg(args(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+      (args: Seq[Expression]) => {
+        val k = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(128)
+        MinHashAgg(args(0), k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_bands"),
+      (args: Seq[Expression]) => {
+        val k = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(128)
+        val r = args.lift(2).map(_.eval(null).toString.toInt).getOrElse(4)
+        MinHashAgg(args(0), k, bandRows = r)
+      }))
   }
 }
