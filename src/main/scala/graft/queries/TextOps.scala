@@ -661,7 +661,41 @@ object TextOps {
            |SELECT doc_id, token, tfidf FROM x WHERE rn <= 3
            |ORDER BY doc_id, token""".stripMargin))
 
+  /** End-to-end curation: the filter→dedup composition a training-data
+    * pipeline actually ships — language gate, quality gate (same exact
+    * double arithmetic as q30d, so the threshold comparison is
+    * deterministic cross-engine), then exact content-hash dedup keeping
+    * each text's min doc_id. Everything before the dedup is a row-local
+    * filter (pushes toward the scan); the only shuffle carries 50-byte
+    * content fingerprints of the SURVIVORS — at 100 TB the expensive
+    * stages see only what the cheap gates let through. */
+  val q44 = Q(
+    "q44_curate",
+    (s, d) => {
+      val t = col("toks")
+      val nTok = size(t).cast(DoubleType)
+      val stopCnt = size(filter(t, tk => tk.isin(stopwords: _*))).cast(DoubleType)
+      val avgLen = (col("n_chars") - (size(t) - 1)).cast(DoubleType) / nTok
+      val quality = (stopCnt / nTok) * lit(0.5) + least(avgLen / lit(10.0), lit(1.0)) * lit(0.5)
+      tokenized(s, d)
+        .filter(col("lang") === "en" && quality >= 0.26)
+        .groupBy(xxhash64(col("text")).as("h1"), sha2(col("text"), 256).as("h2"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+        .select(col("doc_id"), col("dup_cnt"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH scored AS (
+           |  SELECT doc_id, text, lang,
+           |    CAST(LEN(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+           |      / CAST(LEN(string_split(text,' ')) AS DOUBLE) * 0.5
+           |    + LEAST(CAST(n_chars - (LEN(string_split(text,' ')) - 1) AS DOUBLE)
+           |      / CAST(LEN(string_split(text,' ')) AS DOUBLE) / 10.0, 1.0) * 0.5 AS quality
+           |  FROM documents)
+           |SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+           |FROM scored WHERE lang = 'en' AND quality >= 0.26
+           |GROUP BY text ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
-      q37, q38, q40, q41, q42)
+      q37, q38, q40, q41, q42, q44)
 }
