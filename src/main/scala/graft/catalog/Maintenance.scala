@@ -196,13 +196,27 @@ object Maintenance {
     val cast = source.select(current.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val keys = cast.select(keyCols.map(col): _*).distinct()
-    val hits =
+    // CDC batches carry few keys: for a single-column key, per-file
+    // min/max stats prove most files hold none of them — those never
+    // enter the hit-scan at all (metadata-only, the same pruning
+    // DELETE uses). Multi-column keys or huge batches fall back to
+    // scanning every file (with the semi-join pushed into the scan).
+    val scanFiles =
       if (current.files.isEmpty) Nil
+      else if (keyCols.length == 1) {
+        val vals = keys.limit(10001).collect().map(_.get(0))
+        if (vals.length <= 10000)
+          FileSkipping.prune(current.files, current.fileStats, current.schema,
+            Seq(org.apache.spark.sql.sources.In(keyCols.head, vals)))
+        else current.files
+      } else current.files
+    val hits =
+      if (scanFiles.isEmpty) Nil
       else {
         import org.apache.spark.sql.functions.input_file_name
-        val relByName = current.files.map(f => fileName(f) -> f).toMap
+        val relByName = scanFiles.map(f => fileName(f) -> f).toMap
         spark.read.schema(current.schema)
-          .parquet(current.files.map(f => dir.resolve(f).toString): _*)
+          .parquet(scanFiles.map(f => dir.resolve(f).toString): _*)
           .withColumn("__graft_file", input_file_name())
           .join(keys, keyCols, "left_semi")
           .select(col("__graft_file")).distinct().collect()

@@ -435,11 +435,10 @@ object TextOps {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Language-ID heuristic: score each language profile by marker-token
-    * hits plus character-class evidence; deterministic argmax with ties
-    * broken alphabetically. (The synthetic corpus is ASCII word salad,
-    * so this exercises the mechanism, not linguistics.) The oracle
-    * mirrors the scoring with DuckDB list_filter counts and the same
-    * struct-sort argmax. */
+    * hits; deterministic argmax with ties broken alphabetically. (The
+    * synthetic corpus is ASCII word salad, so this exercises the
+    * mechanism, not linguistics.) The oracle mirrors the scoring with
+    * DuckDB list_filter counts and the same struct-sort argmax. */
   val q30g = Q(
     "q30g_langid",
     (s, d) => {
