@@ -100,6 +100,85 @@ case class VecDotFD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH table signatures of a float vector in ONE
+  * codegen'd pass: signature t has bit b set iff v · plane(t,b) ≥ 0.
+  * The plane matrix rides into generated code as a flat float[]
+  * reference object. Semantically identical to `tables × bits` separate
+  * `vec_dot(v, typedLit(plane)) ≥ 0` columns (same float→double fold),
+  * but one expression node instead of a 72-node tree — smaller codegen,
+  * one array traversal per plane, no per-node eval overhead. */
+case class LshSignatures(
+    child: Expression,
+    tables: Int,
+    bits: Int,
+    dim: Int,
+    flatPlanes: Array[Float])
+  extends UnaryExpression {
+
+  require(flatPlanes.length == tables * bits * dim, "plane matrix shape mismatch")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_sigs"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getFloat(i).toDouble * flatPlanes(off + i).toDouble; i += 1 }
+        if (s >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("lshPlanes", flatPlanes, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val sigs = ctx.freshName("sigs")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      val off = ctx.freshName("off")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $sigs = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    int $off = ($t * $bits + $b) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += (double) $v.getFloat($i) * (double) $planes[$off + $i];
+         |    }
+         |    if ($s >= 0) $sig |= (1L << $b);
+         |  }
+         |  $sigs[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Σ xᵢ² as a sequential fold — `vec_norm = sqrt(vec_norm_sq)` done by
   * the caller so sqrt stays a single shared IEEE op. */
 case class VecNormSq(child: Expression)

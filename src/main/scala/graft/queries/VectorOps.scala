@@ -116,13 +116,15 @@ object VectorOps {
     Array.fill(lshTables, lshBits, lshDim)(rnd.nextGaussian().toFloat)
   }
 
-  private def lshSignature(v: Column, table: Int): Column = {
-    val bits = (0 until lshBits).map { b =>
-      val proj = dot(v, typedLit(hyperplanes(table)(b).toSeq))
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  /** Installs `lsh_sigs(v)` → all 12 table signatures in one codegen'd
+    * pass (graft.functions.LshSignatures) — replaces a 72-node
+    * vec_dot/when tree with one expression over a flat plane matrix. */
+  private def registerLsh(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction("lsh_sigs",
+      { args: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        graft.functions.LshSignatures(args(0), lshTables, lshBits, lshDim,
+          hyperplanes.flatten.flatten)
+      }, "built-in")
 
   /** ANN top-k via LSH buckets: candidates = vectors sharing ≥1 of the 8
     * table buckets with the query; exact cosine re-rank on candidates.
@@ -131,9 +133,10 @@ object VectorOps {
   val q29c = Q(
     "q29c_ann_lsh",
     (s, d) => {
+      registerLsh(s)
       val e = withNorm(s, d)
       val sigs = e.select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(array((0 until lshTables).map(t => lshSignature(col("embedding"), t)): _*)))
+        posexplode(call_function("lsh_sigs", col("embedding"))))
         .toDF("vec_id", "embedding", "nrm", "tbl", "sig")
       val q = sigs.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"),
