@@ -180,3 +180,100 @@ case class MinHashAgg(
   override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
     copy(child = newChild)
 }
+
+/** Mutable buffer for [[PrefixMinAgg]]: the group's prefix size `p`
+  * (unknown until the first row arrives — it derives from the group's
+  * constant shingle count `n`) and a max-heap of the p smallest
+  * (df, h) pairs seen so far. */
+final class PrefixBuf(
+    var p: Int,
+    val heap: scala.collection.mutable.PriorityQueue[(Long, Long)])
+
+/** Per-group prefix selection for the PPJoin candidate stage: keeps
+  * each group's p = n − ⌈t·n⌉ + 1 smallest (df, h) pairs, i.e. the
+  * RAREST shingles whose global document-frequency order defines the
+  * prefix-filter guarantee. Replaces a `row_number()` window (full
+  * shuffle + sort of every (doc, shingle) row) with an aggregate whose
+  * map-side partials already cap each group at p elements — the
+  * exchange carries ≤ p rows per doc per mapper instead of the whole
+  * inverted index. Selection by k-smallest is a semilattice, so
+  * partial/merge order cannot change the result. */
+case class PrefixMinAgg(
+    dfCol: Expression,
+    hCol: Expression,
+    nCol: Expression,
+    t: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PrefixBuf] {
+
+  require(t > 0.0 && t <= 1.0, "prefix_min_agg: threshold in (0, 1]")
+
+  override def prettyName: String = "prefix_min_agg"
+  override def children: Seq[Expression] = Seq(dfCol, hCol, nCol)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  // max-heap on (df, h): head is the current worst candidate
+  private implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+
+  override def createAggregationBuffer(): PrefixBuf =
+    new PrefixBuf(-1, scala.collection.mutable.PriorityQueue.empty[(Long, Long)])
+
+  override def update(buf: PrefixBuf, input: InternalRow): PrefixBuf = {
+    val dfV = dfCol.eval(input)
+    val hV = hCol.eval(input)
+    val nV = nCol.eval(input)
+    if (dfV != null && hV != null && nV != null) {
+      if (buf.p < 0) {
+        val n = nV.asInstanceOf[Number].longValue()
+        buf.p = (n - math.ceil(n * t).toLong + 1L).toInt.max(0)
+      }
+      val pair = (dfV.asInstanceOf[Number].longValue(), hV.asInstanceOf[Long])
+      if (buf.heap.size < buf.p) buf.heap.enqueue(pair)
+      else if (buf.p > 0 && ord.lt(pair, buf.heap.head)) {
+        buf.heap.dequeue(); buf.heap.enqueue(pair)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: PrefixBuf, b: PrefixBuf): PrefixBuf = {
+    if (a.p < 0) a.p = b.p
+    b.heap.foreach { pair =>
+      if (a.heap.size < a.p) a.heap.enqueue(pair)
+      else if (a.p > 0 && ord.lt(pair, a.heap.head)) {
+        a.heap.dequeue(); a.heap.enqueue(pair)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: PrefixBuf): Any =
+    new GenericArrayData(buf.heap.toArray.sorted.map(_._2))
+
+  override def serialize(buf: PrefixBuf): Array[Byte] = {
+    val arr = buf.heap.toArray
+    val bb = ByteBuffer.allocate(8 + arr.length * 16)
+    bb.putInt(buf.p); bb.putInt(arr.length)
+    arr.foreach { case (d, h) => bb.putLong(d); bb.putLong(h) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PrefixBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val p = bb.getInt(); val sz = bb.getInt()
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)]
+    var i = 0
+    while (i < sz) { heap.enqueue((bb.getLong(), bb.getLong())); i += 1 }
+    new PrefixBuf(p, heap)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PrefixMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PrefixMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PrefixMinAgg =
+    copy(dfCol = newChildren(0), hCol = newChildren(1), nCol = newChildren(2))
+}

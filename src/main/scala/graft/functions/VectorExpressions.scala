@@ -249,5 +249,9 @@ object GraftFunctions {
         val r = args.lift(2).map(_.eval(null).toString.toInt).getOrElse(4)
         MinHashAgg(args(0), k, bandRows = r)
       }, "built-in")
+    reg.createOrReplaceTempFunction("prefix_min_agg",
+      { args: Seq[Expression] =>
+        PrefixMinAgg(args(0), args(1), args(2), args(3).eval(null).toString.toDouble)
+      }, "built-in")
   }
 }

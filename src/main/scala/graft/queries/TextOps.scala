@@ -97,12 +97,17 @@ object TextOps {
     * then get the exact verify, so the result equals the naive join's.
     */
   def jaccardPrefixJoin(ex: DataFrame, t: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(ex.sparkSession)
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    // per-doc prefix = the p = n − ⌈t·n⌉ + 1 globally-rarest shingles,
+    // selected by a typed bottom-p aggregate instead of a row_number
+    // window: map-side partials cap each doc at p rows, so the exchange
+    // ships prefixes, not the whole inverted index, and no sort runs
     val prefix = ex.join(freq, Seq("h"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("h"), col("n"))
+      .groupBy(col("doc_id"))
+      .agg(call_function("prefix_min_agg", col("df"), col("h"), col("n"), lit(t)).as("ph"),
+        first(col("n")).as("n"))
+      .select(col("doc_id"), col("n"), explode(col("ph")).as("h"))
     // length filter (PPJoin): J(A,B) ≤ min(n)/max(n), so any pair with
     // n2 outside [t·n1, n1/t] can't reach t — dropped IN the join
     // condition, before the candidate set exists, which keeps the

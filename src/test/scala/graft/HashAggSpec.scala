@@ -58,6 +58,33 @@ class HashAggSpec extends AnyFunSuite with Matchers {
       .filter(col("a.bands") =!= col("b.bands")).count() shouldBe 0L
   }
 
+  test("prefix_min_agg selects the same prefix set as the row_number window") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.8
+    // synthetic inverted index: 40 docs × up to 30 distinct shingle
+    // hashes with skewed df, spread over 8 partitions
+    val ex = spark.range(0, 40, 1, 8).select(col("id").as("doc_id"))
+      .withColumn("h", explode(sequence(lit(0), (pmod(col("doc_id"), lit(7)) + 23))))
+      .select(col("doc_id"), xxhash64(pmod(col("h") * col("h"), lit(37))).as("h"))
+      .distinct()
+      .join(spark.range(40).select(col("id").as("doc_id")), "doc_id")
+    val withN = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val exN = ex.join(withN, "doc_id")
+    val freq = exN.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val joined = exN.join(freq, Seq("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val viaWindow = joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("h"))
+    val viaAgg = joined.groupBy(col("doc_id"))
+      .agg(call_function("prefix_min_agg", col("df"), col("h"), col("n"), lit(t)).as("ph"))
+      .select(col("doc_id"), explode(col("ph")).as("h"))
+    viaWindow.exceptAll(viaAgg).count() shouldBe 0L
+    viaAgg.exceptAll(viaWindow).count() shouldBe 0L
+  }
+
   test("minhash_agg merges across partitions (shuffle-serialized buffers)") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(0, 1000, 1, 8) // 8 partitions, one shared group
