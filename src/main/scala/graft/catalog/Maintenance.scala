@@ -231,6 +231,48 @@ object Maintenance {
     commitRewrite(spark, dir, current, hits, kept.unionByName(cast), "merge")
   }
 
+  /** Dynamic partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic` semantic, copy-on-write): every
+    * row of `source` is written, and existing rows belonging to the
+    * PARTITIONS PRESENT IN `source` are dropped; untouched partitions'
+    * files carry into the new snapshot by reference. The classic
+    * backfill shape — rewrite yesterday's partition without touching
+    * the other 10 000. */
+  def overwritePartitions(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      source: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    val pc = current.partitionColumns
+    require(pc.nonEmpty, s"$table is unpartitioned: use INSERT OVERWRITE instead")
+    val cast = source.select(current.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val parts = cast.select(pc.map(col): _*).distinct()
+    val hits =
+      if (current.files.isEmpty) Nil
+      else {
+        val relByName = current.files.map(f => fileName(f) -> f).toMap
+        spark.read.schema(current.schema)
+          .parquet(current.files.map(f => dir.resolve(f).toString): _*)
+          .withColumn("__graft_file", input_file_name())
+          .join(parts, pc, "left_semi")
+          .select(col("__graft_file")).distinct().collect()
+          .map(r => fileName(r.getString(0))).toSet
+          .flatMap(relByName.get).toSeq.sorted
+      }
+    val kept =
+      if (hits.isEmpty) cast.limit(0)
+      else spark.read.schema(current.schema)
+        .parquet(hits.map(f => dir.resolve(f).toString): _*)
+        .join(parts, pc, "left_anti")
+    commitRewrite(spark, dir, current, hits, kept.unionByName(cast), "overwrite-partitions")
+  }
+
   /** Incremental read (Iceberg incremental-scan analogue): the rows
     * ADDED between two snapshot versions, read from exactly the data
     * files that appeared in that version window — change capture

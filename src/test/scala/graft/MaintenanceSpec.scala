@@ -42,6 +42,27 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.m")
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.po (day INT, v STRING) PARTITIONED BY (day)")
+    (1 to 3).foreach { d =>
+      (0 until 10).map(i => (d, s"old-$d-$i")).toDF("day", "v")
+        .createOrReplaceTempView("po_src")
+      spark.sql("INSERT INTO lakehouse.maint_ns.po SELECT * FROM po_src")
+    }
+    // backfill day 2 with 3 rows; days 1 and 3 untouched
+    val backfill = (0 until 3).map(i => (2, s"new-$i")).toDF("day", "v")
+    Maintenance.overwritePartitions(spark, "lakehouse", Seq("maint_ns"), "po", backfill)
+    val t = spark.table("lakehouse.maint_ns.po")
+    t.count() shouldBe 10 + 3 + 10
+    t.where($"day" === 2).collect().map(_.getString(1)).sorted shouldBe
+      Array("new-0", "new-1", "new-2")
+    t.where($"day" === 1 && $"v".startsWith("old")).count() shouldBe 10
+    spark.sql("SELECT operation FROM lakehouse.maint_ns.po.history ORDER BY version")
+      .collect().last.getString(0) shouldBe "overwrite-partitions"
+    spark.sql("DROP TABLE lakehouse.maint_ns.po")
+  }
+
   test("changesBetween reads exactly the rows added in a version window") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
     spark.sql("CREATE TABLE lakehouse.maint_ns.cdc (k INT, v STRING)")
