@@ -531,9 +531,14 @@ object TextOps {
     (s, d) => {
       val budget = 2048L
       val bucketWidth = 100L
+      // Materialized once (eager localCheckpoint): both the driver-side
+      // bucket cumsum and the final plan read these 3 narrow columns,
+      // and without the checkpoint each action would re-tokenize the
+      // corpus from the raw text.
       val toks = tokenized(s, d)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
         .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
+        .localCheckpoint(true)
       val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val bucketTotals = toks.groupBy(col("bucket"))
