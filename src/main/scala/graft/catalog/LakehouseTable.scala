@@ -201,17 +201,16 @@ class LakehouseTable(
   }
 
   private def commitInsert(data: DataFrame, overwrite: Boolean): Unit = {
-    val current = TableMetadata.load(tableDir) // re-read: optimistic concurrency
-    val nextVersion = current.version + 1
-    val commitRel = s"data/c$nextVersion-${UUID.randomUUID().toString.take(8)}"
+    val startMeta = TableMetadata.load(tableDir) // schema/partitioning are commit-stable
+    val commitRel = s"data/c-${UUID.randomUUID().toString.take(12)}"
     val commitDir = tableDir.resolve(commitRel)
 
     // Cluster by the declared partition columns so each file covers a
     // narrow key range; Parquet min/max stats then let pushed-down
     // filters skip whole files/row groups on read.
     val clustered =
-      if (current.partitionColumns.nonEmpty) {
-        val cols = current.partitionColumns.map(data.col)
+      if (startMeta.partitionColumns.nonEmpty) {
+        val cols = startMeta.partitionColumns.map(data.col)
         data.repartition(cols: _*).sortWithinPartitions(cols: _*)
       } else data
     // INT96 (Spark's legacy default) carries no usable parquet stats —
@@ -227,19 +226,41 @@ class LakehouseTable(
     // footer-only stats read per new file → file-level skipping on scan
     val conf = spark.sessionState.newHadoopConf()
     val newStats = newFiles.map { f =>
-      f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), current.schema)
+      f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), startMeta.schema)
     }.filter(_._2.nonEmpty).toMap
-    val allFiles = if (overwrite) newFiles else current.files ++ newFiles
-    val allStats =
-      if (overwrite) newStats
-      else current.fileStats.view.filterKeys(allFiles.contains).toMap ++ newStats
-    val op = if (overwrite) "overwrite" else "append"
-    TableMetadata.commit(tableDir, current.copy(
-      version = nextVersion,
-      files = allFiles,
-      fileStats = allStats,
-      snapshots = current.snapshots :+ Snapshot(
-        nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
+
+    // Optimistic-concurrency publish with RETRY (the Iceberg commit
+    // loop): the data files are written exactly once above; on a
+    // version conflict we re-read the winner's metadata, merge our
+    // file additions on top of it, and publish again. Appends racing
+    // appends therefore all succeed, serialized; only the cheap
+    // metadata step repeats. Rewrite ops (delete/update/compact) do
+    // NOT retry — their file list was computed against a snapshot that
+    // no longer exists, so failing clean is the correct outcome.
+    val maxAttempts = 10
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val current = TableMetadata.load(tableDir)
+      val nextVersion = current.version + 1
+      val allFiles = if (overwrite) newFiles else current.files ++ newFiles
+      val allStats =
+        if (overwrite) newStats
+        else current.fileStats.view.filterKeys(allFiles.contains).toMap ++ newStats
+      val op = if (overwrite) "overwrite" else "append"
+      try {
+        TableMetadata.commit(tableDir, current.copy(
+          version = nextVersion,
+          files = allFiles,
+          fileStats = allStats,
+          snapshots = current.snapshots :+ Snapshot(
+            nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
+        committed = true
+      } catch {
+        case _: IllegalStateException if attempt < maxAttempts =>
+          attempt += 1 // lost the race: merge onto the new current and retry
+      }
+    }
   }
 }
 

@@ -183,6 +183,30 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     names.filter(_.endsWith(".tmp")) shouldBe Nil
   }
 
+  test("concurrent appends all succeed, serialized by the commit retry loop") {
+    spark.sql("CREATE TABLE lakehouse.blms_cat.race_t (k INT, v STRING)")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        (0 until 3).foreach { i =>
+          Seq((w * 10 + i, s"w$w-$i")).toDF("k", "v")
+            .createOrReplaceTempView(s"race_src_$w")
+          spark.sql(s"INSERT INTO lakehouse.blms_cat.race_t SELECT * FROM race_src_$w")
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // every row landed exactly once; 12 append commits serialized
+    spark.table("lakehouse.blms_cat.race_t").count() shouldBe 12
+    spark.table("lakehouse.blms_cat.race_t").select("v").distinct().count() shouldBe 12
+    val hist = spark.sql(
+      "SELECT operation FROM lakehouse.blms_cat.race_t.history ORDER BY version").collect()
+    hist.count(_.getString(0) == "append") shouldBe 12
+    spark.sql("DROP TABLE lakehouse.blms_cat.race_t")
+  }
+
   test("drop/rename table; drop namespace guards") {
     spark.sql("CREATE NAMESPACE lakehouse.tmp_ns")
     spark.sql("CREATE TABLE lakehouse.tmp_ns.t1 (x INT)")
