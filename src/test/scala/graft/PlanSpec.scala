@@ -89,6 +89,13 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("Filter")
   }
 
+  test("q28b prefix selection runs as a bounded aggregate, not a window sort") {
+    val plan = executedPlan(graft.queries.TextOps.q28b.run(spark, sf))
+    plan.toLowerCase should include("prefix_min_agg")
+    plan should not include "WindowExec"
+    plan should not include "CartesianProduct"
+  }
+
   test("lakehouse scan prunes columns through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.plan_ns")
     spark.sql("CREATE TABLE lakehouse.plan_ns.wide (a INT, b STRING, c DOUBLE, d STRING)")
