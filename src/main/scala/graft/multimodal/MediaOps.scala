@@ -128,4 +128,59 @@ object MediaOps {
     * multimodal path into the similarity-search operators (Q29). */
   def withEmbedding(features: Dataset[MediaFeatures]): DataFrame =
     features.toDF().select(col("id").as("vec_id"), col("features").as("embedding"))
+
+  /** 64-bit perceptual hash (average-hash): decode, pool to an 8×8
+    * luma grid, bit i = cell i brighter than the image mean. Visually
+    * near-identical payloads (re-encodes, small edits) land within a
+    * few bits of each other. */
+  def perceptualHash(
+      media: DataFrame,
+      codec: MediaCodec = StubCodec,
+      batchSize: Int = defaultBatchSize): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"))
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val img = codec.decode(payload)
+            val small = codec.resize(img, 8, 8)
+            // luma per cell over the rgb triplets
+            val luma = Array.tabulate(64) { i =>
+              val o = i * 3
+              0.299f * small.pixels(o) + 0.587f * small.pixels(o + 1) +
+                0.114f * small.pixels(o + 2)
+            }
+            val mean = luma.sum / 64f
+            var h = 0L
+            var i = 0
+            while (i < 64) { if (luma(i) > mean) h |= (1L << i); i += 1 }
+            (id, h)
+          }
+        }
+      }.toDF("id", "phash")
+  }
+
+  /** Media near-dup pairs: banded hamming join over the perceptual
+    * hashes — the same 4-band × 16-bit layout the text SimHash dedup
+    * uses, with the same pigeonhole guarantee (every pair within
+    * `maxHamming ≤ 3` bits shares an intact band, so recall is 1.0 and
+    * candidates stay proportional to band collisions, never corpus²). */
+  def nearDupMedia(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding only guarantees recall for hamming <= 3")
+    val bands = hashes.select(col("id"), col("phash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("phash"), j * 16) % 65536): _*)))
+      .toDF("id", "phash", "band_idx", "band_val")
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -63,4 +63,26 @@ class MediaSpec extends AnyFunSuite with Matchers {
     feats.map(f => (f.id, f.width, f.height)).toSeq shouldBe Seq((1L, 8, 4))
     spark.sql("DROP TABLE lakehouse.media_ns.imgs")
   }
+
+  test("perceptual hash pairs identical payloads, separates distinct ones") {
+    // ids 1 and 2 share a payload byte-for-byte → identical phash,
+    // hamming 0; id 3 differs
+    val media = Seq(
+      (1L, payload(16, 8, 1, 2, 3)),
+      (2L, payload(16, 8, 1, 2, 3)),
+      (3L, payload(16, 8, 9, 9, 9, 9, 9))).toDF("id", "payload")
+    val hashes = MediaOps.perceptualHash(media, StubCodec)
+    hashes.schema.fieldNames.toSeq shouldBe Seq("id", "phash")
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId(1L) shouldBe byId(2L)
+    // deterministic across runs
+    MediaOps.perceptualHash(media, StubCodec).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe byId
+
+    val pairs = MediaOps.nearDupMedia(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs should contain((1L, 2L, 0)) // the duplicate pair, hamming 0
+    // no pair may exceed the guaranteed-recall threshold
+    all(pairs.map(_._3)) should be <= 3
+  }
 }
