@@ -131,13 +131,13 @@ object TextOps {
     * iterative graph algorithms (driver only orchestrates; all data
     * stays distributed). Returns (node, label) with label = component
     * representative = min doc_id of the cluster. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs: DataFrame, smallCutoff: Long = 1000000L): DataFrame = {
     // Adaptive strategy, same spirit as a broadcast-join threshold: the
     // pair set is usually tiny relative to the corpus (it's the near-dup
     // survivors), and a driver-side union-find on ≤1M edges beats several
     // distributed fixpoint rounds of pure scheduling overhead. Past the
-    // threshold, fall through to the distributed propagation loop.
-    val smallCutoff = 1000000L
+    // threshold, fall through to the distributed propagation loop
+    // (cutoff injectable so tests can force that path).
     val cached = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
     if (cached.count() <= smallCutoff) {
       val spark = pairs.sparkSession

@@ -47,6 +47,22 @@ class PropertySpec extends AnyFunSuite with Matchers {
     banded shouldBe brute // not ⊆ — exactly equal: full recall, no junk
   }
 
+  test("distributed label propagation == driver union-find on random graphs") {
+    val edgeGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+      .map(_.filter(e => e._1 != e._2))
+    forAll(edgeGen, trials = 5) { edges =>
+      if (edges.nonEmpty) {
+        val pairs = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .toDF("id1", "id2")
+        val viaDriver = graft.queries.TextOps.connectedComponents(pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val viaDistributed = graft.queries.TextOps.connectedComponents(pairs, smallCutoff = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        viaDistributed shouldBe viaDriver
+      }
+    }
+  }
+
   test("set algebra: (a ∪ b) ∖ b ⊆ a and a ∩ b ⊆ a") {
     forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) { (xs, ys) =>
       val a = xs.toDF("v")
