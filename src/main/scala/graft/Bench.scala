@@ -20,21 +20,16 @@ object Bench {
       "lineitem", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
-    // JIT/codegen warmup on the smallest scale factor (JMH-style): the
-    // heavy dedup/ANN pipelines compile several large codegen units;
-    // exercising them on ~100x smaller data first means the measured
-    // runs time the engine, not the JVM compiler. Falls back silently
-    // if no sibling sf0.001 directory exists.
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-    if (warmDir.isDirectory) {
-      Seq("q28b_ngram_jaccard", "q28c_minhash_lsh", "q28d_simhash",
-        "q37_dedup_corpus", "q29c_ann_lsh", "q29e_ann_ivf",
-        "q38_pack_sequences", "q36_sessionize", "q04_multiway_join").foreach { n =>
-        try SparkEntry.queries(n)(spark, warmDir.toString).count()
-        catch { case _: Throwable => () }
-      }
-    }
+    // JMH-style steady-state measurement: one untimed warm-up run per
+    // query AT THE MEASURED SF, then the timed run. Warming at a smaller
+    // scale factor compiles the wrong code — AQE picks size-dependent
+    // physical plans (broadcast vs shuffle joins, coalesced partitions),
+    // so the sf0.1 plan's codegen units are first-compiled during the
+    // warm-up and the timed run measures the engine, not the JVM
+    // compiler. (Profiled on sf0.1: first run of the heavy dedup/TF-IDF
+    // pipelines is 3-5x their steady state purely from JIT.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

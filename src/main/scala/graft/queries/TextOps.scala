@@ -37,16 +37,18 @@ object TextOps {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
 
-  /** Distinct word 3-gram shingle HASHES of a token-hash-array column:
-    * shingle i = xxhash64 chain over token hashes i, i+1, i+2. Hashing
-    * the three longs replaces the old `concat_ws + xxhash64(string)`
-    * shingling — no string allocation per shingle, and `array_distinct`
-    * deduplicates primitive longs instead of strings. Identity is the
-    * same 64-bit-hash notion every downstream join already keyed on. */
-  private def shingleHashes(th: Column): Column =
+  /** Distinct word n-gram shingle HASHES of a token-hash-array column:
+    * shingle i = xxhash64 chain over token hashes i..i+n-1. Hashing the
+    * longs replaces the old `concat_ws + xxhash64(string)` shingling —
+    * no string allocation per shingle, and `array_distinct` deduplicates
+    * primitive longs instead of strings. Identity is the same
+    * 64-bit-hash notion every downstream join already keys on. */
+  private def nGramHashes(th: Column, n: Int): Column =
     array_distinct(
-      transform(sequence(lit(0), size(th) - 3),
-        i => xxhash64(element_at(th, i + 1), element_at(th, i + 2), element_at(th, i + 3))))
+      transform(sequence(lit(0), size(th) - n),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*)))
+
+  private def shingleHashes(th: Column): Column = nGramHashes(th, 3)
 
   /** doc_id, shingle hash `h` (exploded), n = |shingle set|. Docs with
     * <3 tokens drop out. The inverted-index joins key on the 64-bit
@@ -642,10 +644,16 @@ object TextOps {
     "q42_tfidf",
     (s, d) => {
       val tok = tokenized(s, d)
-        .select(col("doc_id"), explode(col("toks")).as("token"))
       val tf = tok.filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
         .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfreq = tok.select(col("doc_id"), col("token")).distinct()
+      // df = #docs containing the token: dedupe per-doc with row-local
+      // array_distinct BEFORE the explode — the alternative (explode →
+      // global distinct on (doc_id, token)) shuffles the entire exploded
+      // corpus once more for the same result. Here the only shuffle is
+      // the map-side-combined groupBy(token), carrying |vocab| rows.
+      val dfreq = tok
+        .select(explode(array_distinct(col("toks"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
@@ -704,7 +712,66 @@ object TextOps {
            |FROM scored WHERE lang = 'en' AND quality >= 0.26
            |GROUP BY text ORDER BY doc_id""".stripMargin))
 
+  /** Text cleaning / masking — the normalization stage of a curation
+    * pipeline: drop 1-char tokens, mask a denylist to a sentinel, keep
+    * the removed-count as an audit column. Deliberately token-level
+    * (split → filter → transform → join) rather than regex chains: the
+    * per-row lambda pipeline is codegen'd, row-local (no shuffle — the
+    * whole op pushes to the scan side at any scale), and exactly
+    * mirrorable in the oracle without engine regex dialect drift. */
+  val q43 = Q(
+    "q43_clean_text",
+    (s, d) => {
+      val kept = filter(col("toks"), t => length(t) > 1)
+      tokenized(s, d)
+        .select(col("doc_id"),
+          array_join(
+            transform(kept, t => when(t.isin("spark", "data"), "<TERM>").otherwise(t)),
+            " ").as("clean_text"),
+          (size(col("toks")) - size(kept)).as("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+           |k AS (SELECT doc_id, toks, list_filter(toks, t -> LENGTH(t) > 1) kept FROM t)
+           |SELECT doc_id,
+           |       array_to_string(list_transform(kept,
+           |         t -> CASE WHEN t IN ('spark','data') THEN '<TERM>' ELSE t END), ' ')
+           |         AS clean_text,
+           |       LEN(toks) - LEN(kept) AS n_removed
+           |FROM k ORDER BY doc_id""".stripMargin))
+
+  /** Benchmark decontamination: flag every training doc (doc_id >= 10)
+    * sharing any word 5-gram with the eval set (doc_id < 10) — the
+    * standard eval-leakage gate a training-data pipeline runs before
+    * shipping a corpus. Scale shape: the eval side's distinct 5-gram
+    * hashes are tiny relative to the corpus (eval sets are fixed-size),
+    * so the semi join broadcasts them and the training side never
+    * shuffles — cost is one scan of the corpus regardless of its size;
+    * identity is the 64-bit n-gram hash (collision odds as q28's). */
+  val q45 = Q(
+    "q45_decontaminate",
+    (s, d) => {
+      val grams = tokenized(s, d)
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+        .select(col("doc_id"), explode(nGramHashes(col("th"), 5)).as("g"))
+      val evalGrams = grams.filter(col("doc_id") < 10).select(col("g")).distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(broadcast(evalGrams), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+           |g AS (SELECT doc_id,
+           |        unnest(list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]
+           |                              for i in range(1, len(t) - 3)])) g
+           |      FROM toks WHERE len(t) >= 5)
+           |SELECT DISTINCT a.doc_id FROM g a
+           |JOIN (SELECT DISTINCT g FROM g WHERE doc_id < 10) e ON a.g = e.g
+           |WHERE a.doc_id >= 10
+           |ORDER BY a.doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
-      q37, q38, q40, q41, q42, q44)
+      q37, q38, q40, q41, q42, q43, q44, q45)
 }

@@ -96,6 +96,29 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("q43 cleaning is row-local: no exchange before the final ordering") {
+    val plan = executedPlan(graft.queries.TextOps.q43.run(spark, sf))
+    plan should not include "Join"
+    // tokenized()'s fan-out repartition plus the orderBy's range
+    // exchange are the ONLY exchanges — cleaning itself adds none
+    "Exchange".r.findAllIn(plan).size should be <= 2
+  }
+
+  test("q45 decontamination broadcasts the eval-set grams") {
+    val plan = executedPlan(graft.queries.TextOps.q45.run(spark, sf))
+    plan should include("LeftSemi")
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q42 document frequency has no corpus-wide distinct exchange") {
+    val plan = executedPlan(graft.queries.TextOps.q42.run(spark, sf))
+    // df comes from row-local array_distinct + one map-side-combined
+    // groupBy(token); the old explode→distinct→groupBy shape carried
+    // TWO aggregate exchanges over the exploded corpus
+    plan should include("array_distinct")
+  }
+
   test("lakehouse scan prunes columns through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.plan_ns")
     spark.sql("CREATE TABLE lakehouse.plan_ns.wide (a INT, b STRING, c DOUBLE, d STRING)")
