@@ -1,0 +1,212 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based (copy-on-write) row-level operation backing SQL
+  * `MERGE INTO`, `UPDATE` and predicate-arbitrary `DELETE` against a
+  * [[LakehouseTable]] — the surface Iceberg exposes through the same
+  * DSv2 hooks (`SupportsRowLevelOperations` → Spark's
+  * RewriteMergeIntoTable/RewriteUpdateTable/RewriteDeleteFromTable
+  * rewrite the statement into a ReplaceData plan; the reference's
+  * runtime kept this OFF by never enabling the Iceberg extensions,
+  * `SURVEY.md` §4, so this is a capability extension, not parity).
+  *
+  * COW contract, file granularity:
+  *  - the SCAN determines the replaced groups: predicates Spark pushes
+  *    are used for whole-FILE stats pruning ONLY — rows inside a
+  *    surviving file are never filtered at scan level, because every
+  *    row of a replaced group that the rewritten plan doesn't emit is
+  *    deleted by definition (a row-group-skipped row would silently
+  *    vanish). The rewritten logical plan itself applies the real
+  *    row-level semantics (carry/update/insert/delete).
+  *  - the WRITE lands the plan's output as new Parquet files (delegated
+  *    to Spark's own DSv2 Parquet write, same move as the read path)
+  *    and publishes one atomic snapshot: scanned files out, new files
+  *    in, untouched files carried by reference. At 100 TB a selective
+  *    MERGE therefore rewrites only the files whose stats admit
+  *    matches, never the table.
+  *  - concurrency: the operation pins the snapshot version it scanned;
+  *    if another writer commits first, the publish fails cleanly (the
+  *    rewrite was computed against a superseded file set — retrying
+  *    metadata-only, as appends do, would lose the racer's rows).
+  */
+class LakehouseRowLevelOperation(
+    spark: SparkSession,
+    identName: String,
+    tableDir: Path,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  private val base = TableMetadata.load(tableDir)
+  /** Files the row-level scan covered — the groups the write replaces.
+    * Set at scan build (physical planning), read at write commit. */
+  @volatile private var scannedFiles: Seq[String] = base.files
+
+  private def abs(f: String): String = tableDir.resolve(f).toString
+
+  override def command: RowLevelOperation.Command = cmd
+
+  override def description: String = s"lakehouse-cow-$cmd"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+      private var pushed: Array[sources.Filter] = Array.empty
+      private var required: StructType = base.schema
+
+      override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+        pushed = filters
+        filters // all residual — the rewritten plan re-applies them to rows
+      }
+      override def pushedFilters(): Array[sources.Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val survivors =
+          FileSkipping.prune(base.files, base.fileStats, base.schema, pushed.toSeq)
+        scannedFiles = survivors
+        val inner = ParquetTable(identName, spark, options, survivors.map(abs),
+          Some(base.schema), classOf[ParquetFileFormat])
+          .newScanBuilder(options)
+        // Deliberately NOT inner.pushDataFilters(pushed): parquet
+        // row-group/page skipping inside a surviving file would drop
+        // rows from the rewrite (see class doc). File-level pruning
+        // above is the only safe use of the predicates here.
+        inner.pruneColumns(required)
+        inner.build()
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        // modern micros timestamps → skippable stats (as commitInsert)
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        val commitRel =
+          s"data/c${base.version + 1}-${cmd.toString.toLowerCase}-${UUID.randomUUID().toString.take(8)}"
+        val commitDir = tableDir.resolve(commitRel)
+        val innerWrite = ParquetTable(identName, spark,
+          new CaseInsensitiveStringMap(Map("path" -> commitDir.toString).asJava),
+          Seq(commitDir.toString), Some(base.schema), classOf[ParquetFileFormat])
+          .newWriteBuilder(info)
+          .build()
+        val writeSchema = info.schema()
+        new Write {
+          override def description: String = s"lakehouse-cow-$cmd"
+          override def toBatch: BatchWrite = new BatchWrite {
+            private val delegate = innerWrite.toBatch
+            override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
+              new OperationColumnStrippingWriterFactory(
+                delegate.createBatchWriterFactory(pInfo), writeSchema)
+            override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              delegate.commit(messages) // finalize task files into commitDir
+              publish(commitRel, commitDir)
+            }
+            override def abort(messages: Array[WriterCommitMessage]): Unit =
+              delegate.abort(messages)
+          }
+        }
+      }
+    }
+
+  /** Swap the scanned files for the rewrite's output in ONE metadata
+    * commit; fail (never retry) if any other writer got there first. */
+  private def publish(commitRel: String, commitDir: Path): Unit = {
+    val newFiles =
+      if (!Files.isDirectory(commitDir)) Seq.empty
+      else Files.list(commitDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet"))
+        .map(n => s"$commitRel/$n")
+        .toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val newStats = newFiles.map { f =>
+      f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), base.schema)
+    }.filter(_._2.nonEmpty).toMap
+    val current = TableMetadata.load(tableDir)
+    if (current.version != base.version)
+      throw new IllegalStateException(
+        s"commit conflict: $cmd on $identName computed against version ${base.version}, " +
+          s"but current is ${current.version}")
+    val replaced = scannedFiles.toSet
+    val kept = current.files.filterNot(replaced.contains)
+    val allFiles = kept ++ newFiles
+    TableMetadata.commit(tableDir, current.copy(
+      version = current.version + 1,
+      files = allFiles,
+      fileStats = current.fileStats.view.filterKeys(kept.contains).toMap ++ newStats,
+      snapshots = current.snapshots :+ Snapshot(
+        current.version + 1, System.currentTimeMillis(),
+        cmd.toString.toLowerCase, newFiles.size, allFiles.size)))
+  }
+}
+
+/** Strips the leading `__row_operation` column Spark's group-based
+  * UPDATE/MERGE rewrites prepend to the replace-data rows.
+  *
+  * Spark only applies its own `ReplaceDataProjections` when the
+  * operation demands metadata attributes (`DataAndMetadataWritingSparkTask`;
+  * with no metadata attrs `ReplaceDataExec.writingTask` falls back to the
+  * plain task and the projection is never run), so a connector without
+  * metadata columns receives `[__row_operation, <table columns...>]`
+  * while the write was planned for `<table columns...>`. DELETE rewrites
+  * carry no operation column and pass through unchanged. Detection is
+  * structural (arity = write schema + 1) and checked per writer. */
+private class OperationColumnStrippingWriterFactory(
+    delegate: DataWriterFactory,
+    writeSchema: StructType)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = delegate.createWriter(partitionId, taskId)
+    val n = writeSchema.length
+    val types = writeSchema.fields.map(_.dataType)
+    new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+        if (row.numFields == n) inner.write(row)
+        else if (row.numFields == n + 1) {
+          // field 0 is the rewrite's operation marker; 1..n are the
+          // table columns in write-schema order
+          val vals = new Array[Any](n)
+          var i = 0
+          while (i < n) { vals(i) = row.get(i + 1, types(i)); i += 1 }
+          inner.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+        } else {
+          throw new IllegalStateException(
+            s"replace-data row has ${row.numFields} fields; write schema has $n")
+        }
+      }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Builder handed to Spark from
+  * [[LakehouseTable.newRowLevelOperationBuilder]]. */
+class LakehouseRowLevelOperationBuilder(
+    spark: SparkSession,
+    identName: String,
+    tableDir: Path,
+    info: RowLevelOperationInfo)
+  extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new LakehouseRowLevelOperation(spark, identName, tableDir, info.command)
+}

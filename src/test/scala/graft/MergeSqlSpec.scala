@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** SQL row-level DML through SupportsRowLevelOperations: MERGE INTO,
+  * UPDATE, and DELETE with predicates the metadata path can't convert —
+  * all rewritten by Spark into group-based copy-on-write ReplaceData
+  * plans over the lakehouse table.
+  */
+class MergeSqlSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkTable(name: String, rows: Seq[(Int, String, Double)]): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql(s"DROP TABLE IF EXISTS lakehouse.merge_ns.$name")
+    spark.sql(s"CREATE TABLE lakehouse.merge_ns.$name (id INT, name STRING, amt DOUBLE)")
+    rows.toDF("id", "name", "amt").createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"INSERT INTO lakehouse.merge_ns.$name SELECT * FROM ${name}_src")
+  }
+
+  test("MERGE INTO updates matches, inserts new rows, deletes on clause") {
+    mkTable("m1", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    Seq((2, "b2", 99.0), (3, "drop", 0.0), (4, "d", 40.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("m1_changes")
+
+    spark.sql("""MERGE INTO lakehouse.merge_ns.m1 t
+                |USING m1_changes s ON t.id = s.id
+                |WHEN MATCHED AND s.name = 'drop' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.amt = s.amt
+                |WHEN NOT MATCHED THEN INSERT (id, name, amt) VALUES (s.id, s.name, s.amt)
+                |""".stripMargin)
+
+    val out = spark.table("lakehouse.merge_ns.m1")
+      .orderBy($"id").as[(Int, String, Double)].collect().toSeq
+    out shouldBe Seq((1, "a", 10.0), (2, "b2", 99.0), (4, "d", 40.0))
+
+    // history records the COW merge commit
+    spark.sql("SELECT operation FROM lakehouse.merge_ns.m1.history ORDER BY version")
+      .collect().last.getString(0) shouldBe "merge"
+    spark.sql("DROP TABLE lakehouse.merge_ns.m1")
+  }
+
+  test("SQL UPDATE rewrites matching rows") {
+    mkTable("m2", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    spark.sql("UPDATE lakehouse.merge_ns.m2 SET amt = amt * 2 WHERE id >= 2")
+    spark.table("lakehouse.merge_ns.m2").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "a", 10.0), (2, "b", 40.0), (3, "c", 60.0))
+    spark.sql("DROP TABLE lakehouse.merge_ns.m2")
+  }
+
+  test("DELETE with a non-convertible predicate takes the row-level path") {
+    mkTable("m3", Seq((1, "aa", 1.0), (2, "bbb", 2.0), (3, "c", 3.0)))
+    // length(name) is not a DSv2 sources.Filter → canDeleteWhere=false →
+    // Spark falls back to the group-based COW rewrite instead of failing
+    spark.sql("DELETE FROM lakehouse.merge_ns.m3 WHERE length(name) >= 3")
+    spark.table("lakehouse.merge_ns.m3").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "aa", 1.0), (3, "c", 3.0))
+    spark.sql("DROP TABLE lakehouse.merge_ns.m3")
+  }
+
+  test("COW update replaces only files whose stats admit matches") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.m4")
+    spark.sql("CREATE TABLE lakehouse.merge_ns.m4 (id INT, v STRING)")
+    // two commits with disjoint id ranges → two files with disjoint stats
+    Seq.tabulate(50)(i => (i, s"lo$i")).toDF("id", "v").createOrReplaceTempView("m4_lo")
+    spark.sql("INSERT INTO lakehouse.merge_ns.m4 SELECT * FROM m4_lo")
+    Seq.tabulate(50)(i => (1000 + i, s"hi$i")).toDF("id", "v").createOrReplaceTempView("m4_hi")
+    spark.sql("INSERT INTO lakehouse.merge_ns.m4 SELECT * FROM m4_hi")
+    val before = spark.sql("SELECT file_path FROM lakehouse.merge_ns.m4.files")
+      .collect().map(_.getString(0)).toSet
+
+    // static predicate confined to the hi range: the row-level scan
+    // stats-prunes the lo file, which must survive BY REFERENCE
+    spark.sql("UPDATE lakehouse.merge_ns.m4 SET v = 'HI' WHERE id >= 1000")
+
+    spark.table("lakehouse.merge_ns.m4").count() shouldBe 100
+    spark.table("lakehouse.merge_ns.m4").where($"id" >= 1000)
+      .select($"v").distinct().as[String].collect().toSeq shouldBe Seq("HI")
+    spark.table("lakehouse.merge_ns.m4").where($"id" < 1000 && $"v".startsWith("lo"))
+      .count() shouldBe 50
+
+    val after = spark.sql("SELECT file_path FROM lakehouse.merge_ns.m4.files")
+      .collect().map(_.getString(0)).toSet
+    (after intersect before) should not be empty // lo file carried by reference
+    after.exists(_.contains("-update-")) shouldBe true
+
+    // MERGE with a non-literal source has no statically pushable
+    // predicate → whole-table COW (correct, just wider); assert it
+    // still converges and commits as one snapshot
+    Seq((5, "LO5"), (3000, "NEW")).toDF("id", "v").createOrReplaceTempView("m4_chg")
+    spark.sql("""MERGE INTO lakehouse.merge_ns.m4 t USING m4_chg s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+                |""".stripMargin)
+    spark.table("lakehouse.merge_ns.m4").count() shouldBe 101
+    spark.table("lakehouse.merge_ns.m4").where($"id" === 5)
+      .select($"v").as[String].collect().toSeq shouldBe Seq("LO5")
+    spark.sql("DROP TABLE lakehouse.merge_ns.m4")
+  }
+}
