@@ -5,7 +5,8 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -79,17 +80,107 @@ class LakehouseRowLevelOperation(
         val survivors =
           FileSkipping.prune(base.files, base.fileStats, base.schema, pushed.toSeq)
         scannedFiles = survivors
-        val inner = ParquetTable(identName, spark, options, survivors.map(abs),
-          Some(base.schema), classOf[ParquetFileFormat])
-          .newScanBuilder(options)
-        // Deliberately NOT inner.pushDataFilters(pushed): parquet
-        // row-group/page skipping inside a surviving file would drop
-        // rows from the rewrite (see class doc). File-level pruning
-        // above is the only safe use of the predicates here.
-        inner.pruneColumns(required)
-        inner.build()
+        new CowScan(options, required, survivors)
       }
     }
+
+  /** The row-level scan. Builds the delegate Parquet scan lazily from
+    * the CURRENT survivor set at every planInputPartitions, so Spark's
+    * runtime group filtering (below) can narrow the file list after
+    * physical planning. Deliberately no pushDataFilters on the
+    * delegate: parquet row-group/page skipping inside a surviving file
+    * would drop rows from the rewrite (see class doc) — file-level
+    * pruning is the only safe use of predicates here.
+    *
+    * SupportsRuntimeV2Filtering keys on the table's partition/cluster
+    * columns: commits cluster files by them, so their per-file ranges
+    * are narrow, their matched-value IN-set is bounded (unlike a row
+    * key's), and Spark's group-filter subquery (DISTINCT partition
+    * values of rows matching the ON/WHERE condition) prunes a MERGE
+    * from whole-table COW down to the files of the touched partitions
+    * — the difference between rewriting 100 TB and rewriting one
+    * partition when merging a daily delta. */
+  private class CowScan(
+      options: CaseInsensitiveStringMap,
+      required: StructType,
+      initialSurvivors: Seq[String])
+    extends Scan with SupportsRuntimeV2Filtering {
+
+    private var survivors: Seq[String] = initialSurvivors
+
+    private def buildDelegate(): Scan = {
+      val inner = ParquetTable(identName, spark, options, survivors.map(abs),
+        Some(base.schema), classOf[ParquetFileFormat])
+        .newScanBuilder(options)
+      inner.pruneColumns(required)
+      inner.build()
+    }
+
+    override def readSchema(): StructType = required
+    override def description(): String = s"lakehouse-cow-scan-$cmd"
+
+    override def filterAttributes(): Array[NamedReference] =
+      base.partitionColumns.map(c => Expressions.column(c)).toArray
+
+    /** Catalyst-internal literal → external value FileSkipping groks;
+      * None for types we don't prune on (conservative keep). */
+    private def external(l: org.apache.spark.sql.connector.expressions.Literal[_]): Option[Any] =
+      l.dataType match {
+        case org.apache.spark.sql.types.StringType => Option(l.value).map(_.toString)
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
+          Option(l.value)
+        case org.apache.spark.sql.types.DateType =>
+          Option(l.value).map(d => java.time.LocalDate.ofEpochDay(d.asInstanceOf[Int].toLong))
+        case org.apache.spark.sql.types.TimestampType =>
+          Option(l.value).map { m =>
+            val micros = m.asInstanceOf[Long]
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+          }
+        case _ => None
+      }
+
+    /** The runtime group filter arrives as IN / = over partition-column
+      * literals; anything else is ignored (pruning is an optimization,
+      * never correctness — unconvertible predicates just keep files). */
+    private def toV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[sources.Filter] = {
+      val kids = p.children().toSeq
+      (p.name(), kids) match {
+        case ("IN", Seq(ref: NamedReference, rest @ _*))
+            if rest.forall(_.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]) =>
+          val vals = rest.map(v =>
+            external(v.asInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]))
+          if (vals.forall(_.isDefined))
+            Some(sources.In(ref.fieldNames().mkString("."), vals.flatten.toArray))
+          else None
+        case ("=", Seq(ref: NamedReference,
+            l: org.apache.spark.sql.connector.expressions.Literal[_])) =>
+          external(l).map(v => sources.EqualTo(ref.fieldNames().mkString("."), v))
+        case _ => None
+      }
+    }
+
+    override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      val v1 = predicates.flatMap(toV1)
+      survivors = FileSkipping.prune(survivors, base.fileStats, base.schema, v1.toSeq)
+      scannedFiles = survivors
+    }
+
+    override def toBatch: Batch = new Batch {
+      private var current: Batch = _
+      override def planInputPartitions(): Array[InputPartition] = {
+        current = buildDelegate().toBatch // rebuilt per plan: sees post-filter survivors
+        scannedFiles = survivors
+        current.planInputPartitions()
+      }
+      override def createReaderFactory(): PartitionReaderFactory = {
+        if (current == null) current = buildDelegate().toBatch
+        current.createReaderFactory()
+      }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

@@ -102,4 +102,39 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
       .select($"v").as[String].collect().toSeq shouldBe Seq("LO5")
     spark.sql("DROP TABLE lakehouse.merge_ns.m4")
   }
+
+  test("MERGE on a partitioned table runtime-prunes untouched partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.m5")
+    spark.sql("CREATE TABLE lakehouse.merge_ns.m5 (day STRING, id INT, v STRING) PARTITIONED BY (day)")
+    // two commits, one partition value each → disjoint day stats per file
+    Seq.tabulate(40)(i => ("2024-01-01", i, s"a$i")).toDF("day", "id", "v")
+      .createOrReplaceTempView("m5_d1")
+    spark.sql("INSERT INTO lakehouse.merge_ns.m5 SELECT * FROM m5_d1")
+    Seq.tabulate(40)(i => ("2024-01-02", i, s"b$i")).toDF("day", "id", "v")
+      .createOrReplaceTempView("m5_d2")
+    spark.sql("INSERT INTO lakehouse.merge_ns.m5 SELECT * FROM m5_d2")
+    val before = spark.sql("SELECT file_path FROM lakehouse.merge_ns.m5.files")
+      .collect().map(_.getString(0)).toSet
+
+    // daily-delta merge touching only day 2: the runtime group filter
+    // (DISTINCT day of ON-matched rows) must leave day 1's file intact
+    Seq(("2024-01-02", 7, "B7")).toDF("day", "id", "v").createOrReplaceTempView("m5_chg")
+    spark.sql("""MERGE INTO lakehouse.merge_ns.m5 t USING m5_chg s
+                |ON t.day = s.day AND t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (day, id, v) VALUES (s.day, s.id, s.v)
+                |""".stripMargin)
+
+    spark.table("lakehouse.merge_ns.m5").count() shouldBe 80
+    spark.table("lakehouse.merge_ns.m5").where($"day" === "2024-01-02" && $"id" === 7)
+      .select($"v").as[String].collect().toSeq shouldBe Seq("B7")
+    spark.table("lakehouse.merge_ns.m5").where($"day" === "2024-01-01").count() shouldBe 40
+
+    val after = spark.sql("SELECT file_path FROM lakehouse.merge_ns.m5.files")
+      .collect().map(_.getString(0)).toSet
+    (after intersect before) should not be empty // day-1 file carried by reference
+    after.exists(_.contains("-merge-")) shouldBe true
+    spark.sql("DROP TABLE lakehouse.merge_ns.m5")
+  }
 }
