@@ -771,7 +771,72 @@ object TextOps {
            |WHERE a.doc_id >= 10
            |ORDER BY a.doc_id""".stripMargin))
 
+  /** Deterministic weighted corpus mixing: interleave the en corpus
+    * (weight 5) with everything else (weight 2) into one ordered
+    * stream — the curriculum-mixing stage of a training pipeline,
+    * bit-reproducible across runs/engines (no random()). Mechanism:
+    * rank within each group, then mix_key = rank × (L/weight) with
+    * L = lcm(weights); ascending mix_key yields the weighted
+    * round-robin. The per-group rank here is one window per group —
+    * at 100 TB replace it with q38's two-level prefix-sum (bucketed
+    * rank + offset join), which is the same computation without a
+    * serial per-group sort; the LIMIT plans as TakeOrdered, never a
+    * global sort. */
+  val q46 = Q(
+    "q46_mix_corpora",
+    (s, d) => {
+      val g = documents(s, d)
+        .withColumn("grp", when(col("lang") === "en", "en").otherwise("other"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      g.withColumn("rn", row_number().over(w))
+        .withColumn("mix_key",
+          col("rn") * when(col("grp") === "en", 2).otherwise(5))
+        .select(col("mix_key"), col("doc_id"), col("lang"))
+        .orderBy(col("mix_key"), col("doc_id"))
+        .limit(200)
+    },
+    Some("""WITH g AS (SELECT doc_id, lang,
+           |             CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END grp
+           |           FROM documents),
+           |r AS (SELECT doc_id, lang, grp,
+           |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY doc_id) rn FROM g)
+           |SELECT rn * CASE WHEN grp = 'en' THEN 2 ELSE 5 END AS mix_key, doc_id, lang
+           |FROM r ORDER BY mix_key, doc_id LIMIT 200""".stripMargin))
+
+  /** Exact-k deterministic sample per stratum: for each language keep
+    * the 20 docs with the smallest portable multiplicative hash
+    * (Knuth: id·2654435761 mod 2³²) — uniform-like, seedless,
+    * re-runnable. Uses the bounded TopKAggregator instead of a window:
+    * map-side partials carry ≤ k rows per group per mapper, so the
+    * shuffle is k·|strata| rows and a hot stratum (half the corpus in
+    * one language) never serializes through one sort — the window
+    * formulation would. Hash arithmetic is integer-only, so the oracle
+    * reproduces it exactly. */
+  val q47 = Q(
+    "q47_sample_per_stratum",
+    (s, d) => {
+      import org.apache.spark.sql.functions.udaf
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val top20 = udaf(new graft.functions.TopKAggregator(20))
+      documents(s, d)
+        .select(col("lang"), col("doc_id"), h.as("h"))
+        .groupBy(col("lang"))
+        // smallest hash first → score = −h; doc_id breaks hash ties
+        .agg(top20(col("doc_id"), -col("h").cast(DoubleType)).as("top"))
+        .select(col("lang"), explode(col("top")).as("s"))
+        .select(col("lang"), col("s.id").as("doc_id"),
+          (-col("s.score")).cast(LongType).as("h"))
+        .orderBy(col("lang"), col("h"), col("doc_id"))
+    },
+    Some("""WITH h AS (SELECT lang, doc_id,
+           |             (doc_id * 2654435761) % 4294967296 AS h
+           |           FROM documents),
+           |r AS (SELECT lang, doc_id, h,
+           |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) rn FROM h)
+           |SELECT lang, doc_id, h FROM r WHERE rn <= 20
+           |ORDER BY lang, h, doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
-      q37, q38, q40, q41, q42, q43, q44, q45)
+      q37, q38, q40, q41, q42, q43, q44, q45, q46, q47)
 }
