@@ -1,0 +1,90 @@
+package graft.catalog
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Stream offset = table metadata version. Spark's v2 Offset base class
+  * compares offsets by their JSON form, so the plain number suffices. */
+final case class VersionOffset(version: Int) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** The lakehouse table as a Structured Streaming SOURCE (the Delta/
+  * Iceberg "stream new data out of the table" read path): each
+  * micro-batch reads exactly the data files ADDED in a window of
+  * snapshot versions (start, end] — pure metadata diff, no table scan,
+  * so a 100 TB table streams its daily appends without touching
+  * history. Same append-only contract as [[Maintenance.changesBetween]]:
+  * rewrite commits (compact / delete / update / merge) re-add existing
+  * rows as new files, which an added-file diff would double-count, so
+  * the stream fails on them rather than emit wrong rows (true CDC over
+  * row-level DML needs delta files — out of scope, as for Iceberg COW).
+  *
+  * Options: `startingVersion` (default 0) — first micro-batch covers
+  * (startingVersion, latest]; 0 streams the table from creation.
+  */
+class LakehouseMicroBatchStream(
+    spark: SparkSession,
+    identName: String,
+    tableDir: Path,
+    schema: StructType,
+    readSchema: StructType,
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream {
+
+  private def abs(f: String): String = tableDir.resolve(f).toString
+
+  override def initialOffset(): Offset =
+    VersionOffset(Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
+
+  override def latestOffset(): Offset =
+    VersionOffset(TableMetadata.load(tableDir).version)
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  /** Data files added in (fromV, toV], per the metadata log. */
+  private def addedFiles(fromV: Int, toV: Int): Seq[String] = {
+    if (fromV >= toV) return Seq.empty
+    val log = TableMetadata.loadLog(tableDir)
+    val window = log.slice(fromV, toV)
+    val rewriteOps = window.flatMap(_.snapshots.lastOption).map(_.operation)
+      .filterNot(op => op == "append" || op == "create" || op == "alter")
+    if (rewriteOps.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming read of $identName hit non-append commits (${rewriteOps.mkString(", ")}) " +
+          s"in version window ($fromV, $toV]: an added-file diff cannot represent row-level " +
+          "changes; restart the stream from a later startingVersion or avoid rewrites upstream")
+    val before = log.take(fromV).lastOption.map(_.files.toSet).getOrElse(Set.empty)
+    window.flatMap(_.files).distinct.filterNot(before.contains)
+  }
+
+  private def scanOver(files: Seq[String]): org.apache.spark.sql.connector.read.Scan = {
+    val b = ParquetTable(identName, spark, options, files.map(abs),
+      Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    b.pruneColumns(readSchema)
+    b.build()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val added = addedFiles(
+      start.asInstanceOf[VersionOffset].version, end.asInstanceOf[VersionOffset].version)
+    if (added.isEmpty) Array.empty
+    else scanOver(added).toBatch.planInputPartitions()
+  }
+
+  /** The parquet reader factory is configured by schema/options, not by
+    * a file list — one factory serves every micro-batch's partitions. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanOver(Seq.empty).toBatch.createReaderFactory()
+}

@@ -56,6 +56,7 @@ class LakehouseTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
@@ -93,7 +94,27 @@ class LakehouseTable(
           .newScanBuilder(options)
         inner.pushDataFilters(pushed)
         inner.pruneColumns(required)
-        inner.build()
+        val delegate = inner.build()
+        // Wrap only to add the streaming entry point; every batch-path
+        // method forwards to the delegate parquet scan untouched.
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = delegate.readSchema()
+          override def description(): String = delegate.description()
+          override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+          override def columnarSupportMode():
+              org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+            delegate.columnarSupportMode()
+          override def supportedCustomMetrics():
+              Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+            delegate.supportedCustomMetrics()
+          override def reportDriverMetrics():
+              Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+            delegate.reportDriverMetrics()
+          override def toMicroBatchStream(checkpointLocation: String):
+              org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            new LakehouseMicroBatchStream(
+              spark, identName, tableDir, meta.schema, required, options)
+        }
       }
     }
 

@@ -175,4 +175,60 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE lakehouse.stream_ns.ingested")
     }
   }
+
+  test("lakehouse table is a streaming source: appends arrive as micro-batches") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.feed (a BIGINT, b STRING)")
+    Seq((1L, "x"), (2L, "y")).toDF("a", "b").createOrReplaceTempView("feed_src1")
+    spark.sql("INSERT INTO lakehouse.stream_ns.feed SELECT * FROM feed_src1")
+
+    val q = spark.readStream
+      .table("lakehouse.stream_ns.feed")
+      .writeStream.format("memory").queryName("feed_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("feed-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.table("feed_out").count() shouldBe 2 // existing data = first batch
+
+      Seq((3L, "z")).toDF("a", "b").createOrReplaceTempView("feed_src2")
+      spark.sql("INSERT INTO lakehouse.stream_ns.feed SELECT * FROM feed_src2")
+      q.processAllAvailable()
+      spark.table("feed_out").orderBy($"a").as[(Long, String)].collect().toSeq shouldBe
+        Seq((1L, "x"), (2L, "y"), (3L, "z")) // only the delta re-read, no duplicates
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.feed")
+    }
+  }
+
+  test("streaming source fails cleanly on rewrite commits instead of double-counting") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.rw (a BIGINT, b STRING)")
+    Seq((1L, "x"), (2L, "y")).toDF("a", "b").createOrReplaceTempView("rw_src")
+    spark.sql("INSERT INTO lakehouse.stream_ns.rw SELECT * FROM rw_src")
+
+    val q = spark.readStream
+      .table("lakehouse.stream_ns.rw")
+      .writeStream.format("memory").queryName("rw_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("rw-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.table("rw_out").count() shouldBe 2
+
+      // a COW delete re-adds surviving rows as a new file — the
+      // added-file diff would replay row (2,'y'), so the stream must fail
+      spark.sql("DELETE FROM lakehouse.stream_ns.rw WHERE a = 1")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      ex.getMessage should include("non-append")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.rw")
+    }
+  }
 }
