@@ -4,7 +4,7 @@ import java.nio.file.Path
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -37,14 +37,28 @@ class LakehouseMicroBatchStream(
     schema: StructType,
     readSchema: StructType,
     options: CaseInsensitiveStringMap)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def abs(f: String): String = tableDir.resolve(f).toString
+
+  /** Trigger.AvailableNow: pin the end offset at prepare time so the
+    * run drains exactly the versions that existed when it started,
+    * then stops — appends landing mid-run wait for the next run. */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TableMetadata.load(tableDir).version)
 
   override def initialOffset(): Offset =
     VersionOffset(Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
 
   override def latestOffset(): Offset =
+    VersionOffset(availableNowCap.getOrElse(TableMetadata.load(tableDir).version))
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+
+  override def reportLatestOffset(): Offset =
     VersionOffset(TableMetadata.load(tableDir).version)
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)

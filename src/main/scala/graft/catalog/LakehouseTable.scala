@@ -96,8 +96,21 @@ class LakehouseTable(
         inner.pruneColumns(required)
         val delegate = inner.build()
         // Wrap only to add the streaming entry point; every batch-path
-        // method forwards to the delegate parquet scan untouched.
-        new org.apache.spark.sql.connector.read.Scan {
+        // method forwards to the delegate parquet scan untouched —
+        // including its size statistics, which AQE/join planning reads
+        // for broadcast decisions (hiding them would silently disable
+        // broadcast joins over lakehouse tables).
+        new org.apache.spark.sql.connector.read.Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+            delegate match {
+              case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+                s.estimateStatistics()
+              case _ => new org.apache.spark.sql.connector.read.Statistics {
+                override def sizeInBytes() = java.util.OptionalLong.empty()
+                override def numRows() = java.util.OptionalLong.empty()
+              }
+            }
           override def readSchema(): StructType = delegate.readSchema()
           override def description(): String = delegate.description()
           override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch

@@ -119,6 +119,22 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("array_distinct")
   }
 
+  test("small lakehouse table reports statistics and broadcasts in a join") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.plan_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.plan_ns.dim")
+    spark.sql("CREATE TABLE lakehouse.plan_ns.dim (k INT, label STRING)")
+    import spark.implicits._
+    Seq.tabulate(20)(i => (i, s"l$i")).toDF("k", "label").createOrReplaceTempView("dim_src")
+    spark.sql("INSERT INTO lakehouse.plan_ns.dim SELECT * FROM dim_src")
+    // a ~500-byte dim joined to a big fact must be broadcast — the scan
+    // wrapper has to forward the delegate's size statistics or AQE sees
+    // "unknown" and falls back to a shuffle join
+    val fact = spark.range(10000).selectExpr("CAST(id % 20 AS INT) AS k", "id AS v")
+    val plan = executedPlan(fact.join(spark.table("lakehouse.plan_ns.dim"), "k"))
+    plan should include("BroadcastHashJoin")
+    spark.sql("DROP TABLE lakehouse.plan_ns.dim")
+  }
+
   test("lakehouse scan prunes columns through the catalog") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.plan_ns")
     spark.sql("CREATE TABLE lakehouse.plan_ns.wide (a INT, b STRING, c DOUBLE, d STRING)")

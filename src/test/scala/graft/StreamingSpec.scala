@@ -203,6 +203,29 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("Trigger.AvailableNow drains existing snapshots then stops") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.drain (a BIGINT, b STRING)")
+    Seq((1L, "x"), (2L, "y")).toDF("a", "b").createOrReplaceTempView("drain_src")
+    spark.sql("INSERT INTO lakehouse.stream_ns.drain SELECT * FROM drain_src")
+    spark.sql("INSERT INTO lakehouse.stream_ns.drain SELECT a + 10, b FROM drain_src")
+
+    val q = spark.readStream
+      .table("lakehouse.stream_ns.drain")
+      .writeStream.format("memory").queryName("drain_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("drain-ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000) shouldBe true // drains both snapshots, then stops
+      spark.table("drain_out").count() shouldBe 4
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.drain")
+    }
+  }
+
   test("streaming source fails cleanly on rewrite commits instead of double-counting") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
     spark.sql("CREATE TABLE lakehouse.stream_ns.rw (a BIGINT, b STRING)")
