@@ -27,7 +27,8 @@ import org.json4s.jackson.JsonMethods
   * A 4th identifier part resolves Iceberg-style metadata tables
   * (`tbl.metadata_log_entries` — notebook cell 11).
   */
-class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
+class LakehouseCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -160,6 +161,18 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
     new LakehouseTable(spark, s"${fullName(ident)}@t$ms", dir, meta)
   }
 
+  private def identityPartitionCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references.length != 1)
+        throw new UnsupportedOperationException(
+          s"unsupported partition transform: $t (identity only)")
+      t.references.head.fieldNames.mkString(".")
+    }
+
+  private def cleanProps(properties: java.util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap - TableCatalog.PROP_PROVIDER -
+      TableCatalog.PROP_LOCATION - TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -168,21 +181,66 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces {
     if (!isNamespace(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     val dir = tableDir(ident)
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map { t =>
-      if (t.name != "identity" || t.references.length != 1)
-        throw new UnsupportedOperationException(
-          s"unsupported partition transform: $t (identity only)")
-      t.references.head.fieldNames.mkString(".")
-    }
-    val props = properties.asScala.toMap - TableCatalog.PROP_PROVIDER -
-      TableCatalog.PROP_LOCATION - TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
     val meta = TableMetadata(
       version = 1, name = ident.name, schema = schema,
-      partitionColumns = partCols, properties = props, files = Seq.empty,
+      partitionColumns = identityPartitionCols(partitions),
+      properties = cleanProps(properties), files = Seq.empty,
       snapshots = Seq(Snapshot(1, System.currentTimeMillis(), "create", 0, 0)))
     TableMetadata.commit(dir, meta)
     new LakehouseTable(spark, fullName(ident), dir, meta)
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----------------------------
+
+  /** CREATE TABLE AS SELECT, all-or-nothing: data files land first, the
+    * table becomes visible only at commitStagedChanges (the catalog's
+    * normal data-before-metadata order, with the publish deferred). */
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!isNamespace(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
+    val dir = tableDir(ident)
+    if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
+    new StagedLakehouseTable(spark, fullName(ident), dir, 1, schema,
+      identityPartitionCols(partitions), cleanProps(properties), Seq.empty, "create")
+  }
+
+  /** REPLACE TABLE AS SELECT: the new schema/data publish as the next
+    * snapshot of the existing table — readers see old-or-new, never a
+    * dropped table, and prior versions stay time-travelable. */
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
+    val current = TableMetadata.load(dir)
+    new StagedLakehouseTable(spark, fullName(ident), dir, current.version + 1, schema,
+      identityPartitionCols(partitions), cleanProps(properties),
+      current.snapshots, "replace")
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (TableMetadata.exists(dir)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+  }
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stageCreateOrReplace(ident, info.schema(), info.partitions(), info.properties())
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)

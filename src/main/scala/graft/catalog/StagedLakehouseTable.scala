@@ -1,0 +1,103 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsWrite, TableCapability}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+
+/** Atomic CTAS / RTAS staging: the SELECT's output lands as data files
+  * under the table directory while the table metadata stays unpublished;
+  * `commitStagedChanges` then makes the whole statement visible with the
+  * one metadata swap every other commit uses. A failed or aborted CTAS
+  * leaves no table (and a failed RTAS leaves the old version current) —
+  * the same all-or-nothing contract Iceberg gives `REPLACE TABLE AS
+  * SELECT`. Data-before-metadata is already this catalog's write order,
+  * so staging defers exactly one step: the publish.
+  *
+  * `priorSnapshots` carries the replaced table's history on RTAS (the
+  * old versions stay time-travelable; `replace` is just the next
+  * snapshot); empty for CTAS.
+  */
+class StagedLakehouseTable(
+    spark: SparkSession,
+    identName: String,
+    dir: Path,
+    version: Int,
+    stagedSchema: StructType,
+    partitionColumns: Seq[String],
+    tableProperties: Map[String, String],
+    priorSnapshots: Seq[Snapshot],
+    op: String)
+  extends StagedTable with SupportsWrite {
+
+  private val commitRel = s"data/c$version-$op-${UUID.randomUUID().toString.take(8)}"
+  private val commitDir = dir.resolve(commitRel)
+  @volatile private var written: Seq[String] = Seq.empty
+  @volatile private var writtenStats: Map[String, Map[String, ColumnRange]] = Map.empty
+
+  override def name(): String = identName
+  override def schema(): StructType = stagedSchema
+  override def properties(): java.util.Map[String, String] = tableProperties.asJava
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staged table is empty by construction; truncate-then-write
+      // (RTAS plans an overwrite) is the same as write
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val clustered =
+                if (partitionColumns.nonEmpty) {
+                  val cols = partitionColumns.map(data.col)
+                  data.repartition(cols: _*).sortWithinPartitions(cols: _*)
+                } else data
+              data.sparkSession.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+              clustered.write.parquet(commitDir.toString)
+              written = Files.list(commitDir).iterator().asScala
+                .map(_.getFileName.toString)
+                .filter(_.endsWith(".parquet"))
+                .map(n => s"$commitRel/$n")
+                .toSeq.sorted
+              val conf = spark.sessionState.newHadoopConf()
+              writtenStats = written.map { f =>
+                f -> FooterStats.collect(
+                  conf, new org.apache.hadoop.fs.Path(dir.resolve(f).toString), stagedSchema)
+              }.filter(_._2.nonEmpty).toMap
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    TableMetadata.commit(dir, TableMetadata(
+      version = version,
+      name = identName.split('.').last,
+      schema = stagedSchema,
+      partitionColumns = partitionColumns,
+      properties = tableProperties,
+      files = written,
+      fileStats = writtenStats,
+      snapshots = priorSnapshots :+ Snapshot(
+        version, System.currentTimeMillis(), op, written.size, written.size)))
+
+  override def abortStagedChanges(): Unit = {
+    if (Files.isDirectory(commitDir)) {
+      Files.walk(commitDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    // a staged CREATE owns the whole directory (no published metadata
+    // yet); a staged REPLACE must leave the live table untouched
+    if (op == "create" && !TableMetadata.exists(dir) && Files.isDirectory(dir)) {
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+}
