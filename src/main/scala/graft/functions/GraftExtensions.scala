@@ -50,5 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val r = args.lift(2).map(_.eval(null).toString.toInt).getOrElse(4)
         MinHashAgg(args(0), k, bandRows = r)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("space_saving"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "space_saving"),
+      (args: Seq[Expression]) => {
+        val m = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(4096)
+        SpaceSavingAgg(args(0), m)
+      }))
   }
 }

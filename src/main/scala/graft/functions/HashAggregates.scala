@@ -277,3 +277,104 @@ case class PrefixMinAgg(
       newChildren: IndexedSeq[Expression]): PrefixMinAgg =
     copy(dfCol = newChildren(0), hCol = newChildren(1), nCol = newChildren(2))
 }
+
+/** SpaceSaving summary: token → (count, overestimation error). */
+final class SpaceSavingBuf(
+    var items: scala.collection.mutable.HashMap[String, (Long, Long)])
+
+/** SpaceSaving heavy-hitters sketch (Metwally et al., "Efficient
+  * computation of frequent and top-k elements in data streams"):
+  * a bounded m-entry summary where an unseen item evicts the current
+  * minimum and inherits its count as overestimation error. Guarantees
+  * every item with true frequency > N/m is present in a single summary;
+  * merging sums counts and re-truncates to m, which widens the bound to
+  * the sum of the dropped tails — callers therefore use it as a
+  * CANDIDATE GENERATOR (recall engine) and recount candidates exactly,
+  * the same sketch-then-verify shape as the MinHash/SimHash pipelines.
+  *
+  * Scale: the shuffle carries one m-entry summary per partition instead
+  * of the full |vocab| aggregation — heavy-hitter detection over 100 TB
+  * of tokens with map-side memory bounded at m entries.
+  */
+case class SpaceSavingAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuf] with UnaryLike[Expression] {
+
+  require(capacity > 0, "space_saving: capacity must be positive")
+
+  override def prettyName: String = "space_saving"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): SpaceSavingBuf =
+    new SpaceSavingBuf(scala.collection.mutable.HashMap.empty)
+
+  private def offer(buf: SpaceSavingBuf, token: String, cnt: Long, err: Long): Unit = {
+    buf.items.get(token) match {
+      case Some((c, e)) => buf.items.update(token, (c + cnt, e + err))
+      case None if buf.items.size < capacity => buf.items.update(token, (cnt, err))
+      case None =>
+        // evict the minimum-count entry; the newcomer inherits its count
+        // as an upper-bound error (the classic SpaceSaving step)
+        val (minTok, (minCnt, _)) = buf.items.minBy { case (t, (c, _)) => (c, t) }
+        buf.items.remove(minTok)
+        buf.items.update(token, (minCnt + cnt, minCnt + err))
+    }
+  }
+
+  override def update(buf: SpaceSavingBuf, input: InternalRow): SpaceSavingBuf = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, v.toString, 1L, 0L)
+    buf
+  }
+
+  override def merge(a: SpaceSavingBuf, b: SpaceSavingBuf): SpaceSavingBuf = {
+    b.items.foreach { case (t, (c, e)) => offer(a, t, c, e) }
+    if (a.items.size > capacity) {
+      val keep = a.items.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity)
+      a.items = scala.collection.mutable.HashMap(keep: _*)
+    }
+    a
+  }
+
+  override def eval(buf: SpaceSavingBuf): Any =
+    new GenericArrayData(
+      buf.items.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+        .map { case (t, _) => org.apache.spark.unsafe.types.UTF8String.fromString(t) })
+
+  override def serialize(buf: SpaceSavingBuf): Array[Byte] = {
+    val entries = buf.items.toSeq.map { case (t, (c, e)) =>
+      (t.getBytes(java.nio.charset.StandardCharsets.UTF_8), c, e)
+    }
+    val bb = ByteBuffer.allocate(4 + entries.map(_._1.length + 20).sum)
+    bb.putInt(entries.length)
+    entries.foreach { case (tb, c, e) =>
+      bb.putInt(tb.length); bb.put(tb); bb.putLong(c); bb.putLong(e)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt(); val tb = new Array[Byte](len); bb.get(tb)
+      m.update(new String(tb, java.nio.charset.StandardCharsets.UTF_8),
+        (bb.getLong(), bb.getLong()))
+      i += 1
+    }
+    new SpaceSavingBuf(m)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SpaceSavingAgg =
+    copy(child = newChild)
+}

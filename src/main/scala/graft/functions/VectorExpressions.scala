@@ -253,5 +253,10 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         PrefixMinAgg(args(0), args(1), args(2), args(3).eval(null).toString.toDouble)
       }, "built-in")
+    reg.createOrReplaceTempFunction("space_saving",
+      { args: Seq[Expression] =>
+        val m = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(4096)
+        SpaceSavingAgg(args(0), m)
+      }, "built-in")
   }
 }

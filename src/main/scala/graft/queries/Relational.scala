@@ -506,6 +506,32 @@ object Relational {
            |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM ev GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
 
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes, so
+    * each event lands in two windows. Same partial-aggregated shape as
+    * the tumbling q27 — `window()` expands rows ×(size/slide) before
+    * the map-side combine, no extra shuffle. The oracle reproduces the
+    * two phases as phase-shifted date_trunc buckets (pure timestamp
+    * arithmetic — no epoch/timezone conversions to drift on). */
+  val q27b = Q(
+    "q27b_hopping_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum2(col("value")).as("sum_value"))
+        .select(dayStr(col("window.start")).as("window_start"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+    Some("""WITH ev AS (SELECT event_type, value, ts::TIMESTAMP AS ts FROM events),
+           |w AS (SELECT event_type, value, date_trunc('hour', ts) AS wstart FROM ev
+           |      UNION ALL
+           |      SELECT event_type, value,
+           |             date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE
+           |      FROM ev)
+           |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           |       COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
+
   /** from_json with an explicit schema (the declared JSON surface next
     * to get_json_object). */
   val q26c = Q(
@@ -739,5 +765,5 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26,
-    q26b, q26c, q27, q31, q32, q32b, q33, q34, q35, q36, q39)
+    q26b, q26c, q27, q27b, q31, q32, q32b, q33, q34, q35, q36, q39)
 }

@@ -836,7 +836,34 @@ object TextOps {
            |SELECT lang, doc_id, h FROM r WHERE rn <= 20
            |ORDER BY lang, h, doc_id""".stripMargin))
 
+  /** Heavy hitters via the SpaceSaving sketch: a bounded m-entry
+    * summary per partition generates the candidate set (shuffle carries
+    * m rows per mapper, never |vocab|), then candidates alone are
+    * recounted exactly and the true top-10 emitted — the sketch is the
+    * recall engine, the recount keeps the output exact, the same
+    * sketch-then-verify shape as the MinHash/SimHash dedup pipelines.
+    * Output equals the exact top-10 whenever the true top-10 clear the
+    * sketch's frequency bound (N/m per partition; HashAggSpec pins the
+    * eviction guarantee on adversarial data, and at m=4096 the margin
+    * here is orders of magnitude). */
+  val q48 = Q(
+    "q48_heavy_hitters",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val tok = tokenized(s, d).select(explode(col("toks")).as("token"))
+      val cands = tok
+        .agg(call_function("space_saving", col("token"), lit(4096)).as("cand"))
+        .select(explode(col("cand")).as("token"))
+      tok.join(broadcast(cands), Seq("token"), "left_semi")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(10)
+    },
+    Some("""SELECT token, COUNT(*) AS cnt
+           |FROM (SELECT unnest(string_split(text, ' ')) token FROM documents)
+           |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
-      q37, q38, q40, q41, q42, q43, q44, q45, q46, q47)
+      q37, q38, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

@@ -85,6 +85,35 @@ class HashAggSpec extends AnyFunSuite with Matchers {
     viaAgg.exceptAll(viaWindow).count() shouldBe 0L
   }
 
+  test("space_saving keeps every item above the frequency bound under eviction") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // adversarial stream: 3 hot items (300/200/100×) drowned in 2000
+    // singletons, capacity 64 — evictions happen constantly, yet
+    // SpaceSaving guarantees items with freq > N/m stay in the summary
+    val hot = Seq.fill(300)("hot_a") ++ Seq.fill(200)("hot_b") ++ Seq.fill(100)("hot_c")
+    val cold = (0 until 2000).map(i => s"cold_$i")
+    val tokens = scala.util.Random.shuffle(new scala.util.Random(42)
+      .shuffle(hot ++ cold)).toDF("token").repartition(8)
+    val cand = tokens
+      .agg(call_function("space_saving", $"token", lit(64)).as("c"))
+      .select(explode($"c").as("token"))
+      .as[String].collect().toSet
+    cand should contain allOf ("hot_a", "hot_b", "hot_c")
+    cand.size should be <= 64
+  }
+
+  test("q48 heavy hitters equals the exact top-10 on the corpus") {
+    import graft.queries.TextOps
+    val sketch = TextOps.q48.run(spark, "/root/testdata/sf0.001").collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    sketch shouldBe exact
+  }
+
   test("minhash_agg merges across partitions (shuffle-serialized buffers)") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark.range(0, 1000, 1, 8) // 8 partitions, one shared group
