@@ -28,7 +28,18 @@ import org.json4s.jackson.JsonMethods
   * (`tbl.metadata_log_entries` — notebook cell 11).
   */
 class LakehouseCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with FunctionCatalog {
+
+  // ---- FunctionCatalog: the bucket transform's definition ------------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || isNamespace(namespace))
+      Array(Identifier.of(Array.empty, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -165,9 +176,32 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     partitions.toSeq.map { t =>
       if (t.name != "identity" || t.references.length != 1)
         throw new UnsupportedOperationException(
-          s"unsupported partition transform: $t (identity only)")
+          s"unsupported partition transform: $t (identity and bucket only)")
       t.references.head.fieldNames.mkString(".")
     }
+
+  /** Split `PARTITIONED BY (...)` into identity columns and an optional
+    * bucket(n, col) spec (at most one; stored as table properties). */
+  private def parsePartitioning(
+      partitions: Array[Transform]): (Seq[String], Map[String, String]) = {
+    val (buckets, idents) = partitions.partition(_.name == "bucket")
+    val bucketProps = buckets.toSeq match {
+      case Seq() => Map.empty[String, String]
+      case Seq(b) =>
+        require(b.references.length == 1, s"bucket transform needs one column: $b")
+        val n = b.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform needs a bucket count: $b"))
+        require(n > 0, s"bucket count must be positive: $n")
+        Map(Bucketing.ColProp -> b.references.head.fieldNames.mkString("."),
+          Bucketing.CountProp -> n.toString)
+      case _ =>
+        throw new UnsupportedOperationException("at most one bucket transform per table")
+    }
+    (identityPartitionCols(idents), bucketProps)
+  }
 
   private def cleanProps(properties: java.util.Map[String, String]): Map[String, String] =
     properties.asScala.toMap - TableCatalog.PROP_PROVIDER -
@@ -181,10 +215,11 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!isNamespace(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     val dir = tableDir(ident)
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
+    val (partCols, bucketProps) = parsePartitioning(partitions)
     val meta = TableMetadata(
       version = 1, name = ident.name, schema = schema,
-      partitionColumns = identityPartitionCols(partitions),
-      properties = cleanProps(properties), files = Seq.empty,
+      partitionColumns = partCols,
+      properties = cleanProps(properties) ++ bucketProps, files = Seq.empty,
       snapshots = Seq(Snapshot(1, System.currentTimeMillis(), "create", 0, 0)))
     TableMetadata.commit(dir, meta)
     new LakehouseTable(spark, fullName(ident), dir, meta)

@@ -95,13 +95,43 @@ class LakehouseTable(
         inner.pushDataFilters(pushed)
         inner.pruneColumns(required)
         val delegate = inner.build()
-        // Wrap only to add the streaming entry point; every batch-path
-        // method forwards to the delegate parquet scan untouched —
-        // including its size statistics, which AQE/join planning reads
-        // for broadcast decisions (hiding them would silently disable
-        // broadcast joins over lakehouse tables).
+        // Bucket-aware planning for storage-partitioned joins: when the
+        // table is bucketed, v2 bucketing is enabled, and EVERY live
+        // file is bucket-addressable (written by a bucketed commit —
+        // rewrites break the mapping and silently disable this), the
+        // scan groups files into one input partition per bucket and
+        // reports KeyGroupedPartitioning so a join of two co-bucketed
+        // tables runs with no shuffle on either side.
+        val bucketPlan: Option[(String, Int, Map[Int, Seq[String]])] =
+          Bucketing.specOf(meta.properties)
+            .filter(_ => spark.conf.getOption(
+              "spark.sql.sources.v2.bucketing.enabled").contains("true"))
+            .flatMap { case (bcol, n) =>
+              val ids = survivors.map(f => Bucketing.bucketIdOf(f))
+              if (ids.forall(i => i.isDefined && i.get < n))
+                Some((bcol, n,
+                  survivors.zip(ids.map(_.get)).groupBy(_._2)
+                    .view.mapValues(_.map(_._1)).toMap))
+              else None
+            }
+        // Wrap only to add the streaming entry point and bucket
+        // partitioning; every other batch-path method forwards to the
+        // delegate parquet scan untouched — including its size
+        // statistics, which AQE/join planning reads for broadcast
+        // decisions (hiding them would silently disable broadcast
+        // joins over lakehouse tables).
         new org.apache.spark.sql.connector.read.Scan
-          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics
+          with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+          override def outputPartitioning():
+              org.apache.spark.sql.connector.read.partitioning.Partitioning =
+            bucketPlan match {
+              case Some((bcol, n, _)) =>
+                new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+                  Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, bcol)), n)
+              case None =>
+                new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+            }
           override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
             delegate match {
               case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
@@ -113,7 +143,31 @@ class LakehouseTable(
             }
           override def readSchema(): StructType = delegate.readSchema()
           override def description(): String = delegate.description()
-          override def toBatch: org.apache.spark.sql.connector.read.Batch = delegate.toBatch
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            bucketPlan match {
+              case None => delegate.toBatch
+              case Some((_, n, byBucket)) =>
+                new org.apache.spark.sql.connector.read.Batch {
+                  private val inner = delegate.toBatch
+                  override def planInputPartitions():
+                      Array[org.apache.spark.sql.connector.read.InputPartition] =
+                    (0 until n).map { i =>
+                      val pfs = byBucket.getOrElse(i, Seq.empty).map { f =>
+                        val p = tableDir.resolve(f)
+                        org.apache.spark.sql.execution.datasources.PartitionedFile(
+                          org.apache.spark.sql.catalyst.InternalRow.empty,
+                          org.apache.spark.paths.SparkPath.fromPathString(p.toString),
+                          0L, Files.size(p), Array.empty[String], 0L, Files.size(p),
+                          Map.empty)
+                      }.toArray
+                      new LakehouseTable.BucketFilePartition(i, pfs, Bucketing.partitionKey(i))
+                        : org.apache.spark.sql.connector.read.InputPartition
+                    }.toArray
+                  override def createReaderFactory():
+                      org.apache.spark.sql.connector.read.PartitionReaderFactory =
+                    inner.createReaderFactory()
+                }
+            }
           override def columnarSupportMode():
               org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
             delegate.columnarSupportMode()
@@ -242,17 +296,27 @@ class LakehouseTable(
 
   private def commitInsert(data: DataFrame, overwrite: Boolean): Unit = {
     val startMeta = TableMetadata.load(tableDir) // schema/partitioning are commit-stable
-    val commitRel = s"data/c-${UUID.randomUUID().toString.take(12)}"
+    val bucketSpec = Bucketing.specOf(startMeta.properties)
+    // bucketed commits use the `b-` prefix: their part-file index IS the
+    // bucket id (repartition(n, col) = HashPartitioning), which the scan
+    // relies on for storage-partitioned join planning
+    val commitRel =
+      if (bucketSpec.isDefined) s"data/b-${UUID.randomUUID().toString.take(12)}"
+      else s"data/c-${UUID.randomUUID().toString.take(12)}"
     val commitDir = tableDir.resolve(commitRel)
 
     // Cluster by the declared partition columns so each file covers a
     // narrow key range; Parquet min/max stats then let pushed-down
-    // filters skip whole files/row groups on read.
-    val clustered =
-      if (startMeta.partitionColumns.nonEmpty) {
+    // filters skip whole files/row groups on read. Bucketed tables
+    // cluster by hash instead: file part-i = bucket i.
+    val clustered = bucketSpec match {
+      case Some((bcol, n)) =>
+        data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))
+      case None if startMeta.partitionColumns.nonEmpty =>
         val cols = startMeta.partitionColumns.map(data.col)
         data.repartition(cols: _*).sortWithinPartitions(cols: _*)
-      } else data
+      case None => data
+    }
     // INT96 (Spark's legacy default) carries no usable parquet stats —
     // write modern micros timestamps so timestamp columns are skippable
     data.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -308,4 +372,17 @@ object LakehouseTable {
   /** (survivors, total) of the most recent scan build on this thread —
     * observability hook for tests and EXPLAIN-style debugging. */
   val lastScanFileCounts = new ThreadLocal[(Int, Int)]
+
+  /** A file partition that also carries its bucket id, so Spark's
+    * storage-partitioned join can match it against the other side's
+    * buckets. The parquet reader factory only pattern-matches on
+    * FilePartition, which this still is. */
+  class BucketFilePartition(
+      index: Int,
+      files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+      key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(index, files)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  }
 }

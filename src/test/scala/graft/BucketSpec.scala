@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hash-bucketed tables + storage-partitioned joins: two tables
+  * `PARTITIONED BY (bucket(n, k))` must join with NO shuffle on either
+  * side (the 100 TB co-located-join contract). */
+class BucketSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    unwrap(df.queryExecution.executedPlan).toString
+  }
+
+  private def withBucketingConfs(f: => Unit): Unit = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-bucketed tables join with zero shuffle and exact results") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.fact")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.dim")
+    spark.sql("CREATE TABLE lakehouse.bkt_ns.fact (k INT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE lakehouse.bkt_ns.dim (k INT, label STRING) PARTITIONED BY (bucket(4, k))")
+    // two commits each → multiple files per bucket, all still co-located
+    Seq.tabulate(500)(i => (i % 50, i.toLong)).toDF("k", "v").createOrReplaceTempView("f_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.fact SELECT * FROM f_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.fact SELECT k, v + 1000 FROM f_src")
+    Seq.tabulate(50)(i => (i, s"l$i")).toDF("k", "label").createOrReplaceTempView("d_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.dim SELECT * FROM d_src")
+
+    val expected = spark.table("lakehouse.bkt_ns.fact")
+      .join(spark.table("lakehouse.bkt_ns.dim"), "k")
+      .groupBy($"label").count()
+      .orderBy($"label").as[(String, Long)].collect().toSeq
+
+    withBucketingConfs {
+      val joined = spark.table("lakehouse.bkt_ns.fact")
+        .join(spark.table("lakehouse.bkt_ns.dim"), "k")
+      val plan = executedPlan(joined)
+      // storage-partitioned join: no exchange on either join input
+      plan should not include "Exchange"
+      joined.count() shouldBe 1000
+
+      val got = joined.groupBy($"label").count()
+        .orderBy($"label").as[(String, Long)].collect().toSeq
+      got shouldBe expected
+    }
+    spark.sql("DROP TABLE lakehouse.bkt_ns.fact")
+    spark.sql("DROP TABLE lakehouse.bkt_ns.dim")
+  }
+
+  test("bucketed scan keeps normal behavior when v2 bucketing is off") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.plain")
+    spark.sql("CREATE TABLE lakehouse.bkt_ns.plain (k INT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    Seq.tabulate(100)(i => (i % 10, i.toLong)).toDF("k", "v").createOrReplaceTempView("p_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.plain SELECT * FROM p_src")
+    spark.table("lakehouse.bkt_ns.plain").count() shouldBe 100
+    spark.table("lakehouse.bkt_ns.plain").where($"k" === 3).count() shouldBe 10
+    spark.sql("DROP TABLE lakehouse.bkt_ns.plain")
+  }
+
+  test("bucket function matches the physical layout's hash partitioning") {
+    // the FunctionCatalog-visible bucket() must agree with
+    // repartition(n, col) or storage-partitioned joins would misalign
+    import org.apache.spark.sql.catalyst.InternalRow
+    val bound = graft.catalog.BucketFunction.bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    val n = 4
+    val df = Seq.tabulate(100)(i => Tuple1(i)).toDF("k")
+      .repartition(n, $"k")
+      .select($"k", org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .as[(Int, Int)].collect()
+    df.foreach { case (k, pid) =>
+      bound.produceResult(InternalRow(n, k)).intValue() shouldBe pid
+    }
+  }
+}
