@@ -47,22 +47,36 @@ object Maintenance {
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     val current = TableMetadata.load(dir)
-    if (clusterBy.isEmpty && current.files.size <= targetFiles) return current.files.size
+    // On a bucketed table, compaction re-establishes the bucket layout
+    // (bucketed `b-` commit, file part-i = bucket i) — the repair path
+    // after row-level rewrites broke the mapping and storage-partitioned
+    // joins silently degraded to shuffled ones.
+    val bucketSpec = if (clusterBy.isEmpty) Bucketing.specOf(current.properties) else None
+    val bucketRepairNeeded = bucketSpec.exists { case (_, n) =>
+      !current.files.forall(f => Bucketing.bucketIdOf(f).exists(_ < n))
+    }
+    if (clusterBy.isEmpty && current.files.size <= targetFiles && !bucketRepairNeeded)
+      return current.files.size
 
     val nextVersion = current.version + 1
-    val commitRel = s"data/c$nextVersion-compact-${UUID.randomUUID().toString.take(8)}"
+    val commitRel =
+      if (bucketSpec.isDefined) s"data/b-compact$nextVersion-${UUID.randomUUID().toString.take(8)}"
+      else s"data/c$nextVersion-compact-${UUID.randomUUID().toString.take(8)}"
     val commitDir = dir.resolve(commitRel)
     val df = spark.read
       .schema(current.schema)
       .parquet(current.files.map(f => dir.resolve(f).toString): _*)
-    val clustered =
-      if (clusterBy.nonEmpty)
+    val clustered = bucketSpec match {
+      case Some((bcol, n)) =>
+        df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
+      case None if clusterBy.nonEmpty =>
         df.repartitionByRange(targetFiles, clusterBy.map(df.col): _*)
           .sortWithinPartitions(clusterBy.map(df.col): _*)
-      else if (current.partitionColumns.nonEmpty)
+      case None if current.partitionColumns.nonEmpty =>
         df.repartition(targetFiles, current.partitionColumns.map(df.col): _*)
           .sortWithinPartitions(current.partitionColumns.map(df.col): _*)
-      else df.coalesce(targetFiles)
+      case None => df.coalesce(targetFiles)
+    }
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     clustered.write.parquet(commitDir.toString)
 

@@ -81,6 +81,35 @@ class BucketSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.bkt_ns.plain")
   }
 
+  test("compact restores bucket layout after a rewrite breaks it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.rw")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.rwdim")
+    spark.sql("CREATE TABLE lakehouse.bkt_ns.rw (k INT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE lakehouse.bkt_ns.rwdim (k INT, l STRING) PARTITIONED BY (bucket(4, k))")
+    Seq.tabulate(200)(i => (i % 20, i.toLong)).toDF("k", "v").createOrReplaceTempView("rw_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.rw SELECT * FROM rw_src")
+    Seq.tabulate(20)(i => (i, s"l$i")).toDF("k", "l").createOrReplaceTempView("rwd_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.rwdim SELECT * FROM rwd_src")
+
+    // a COW delete rewrites surviving rows into a non-bucketed commit
+    spark.sql("DELETE FROM lakehouse.bkt_ns.rw WHERE k = 3")
+
+    withBucketingConfs {
+      def joinPlan(): String = executedPlan(
+        spark.table("lakehouse.bkt_ns.rw").join(spark.table("lakehouse.bkt_ns.rwdim"), "k"))
+      // mapping broken → planning degrades to shuffles (correct, slower)
+      joinPlan() should include("Exchange")
+      // compaction rewrites into bucket layout → zero-shuffle again
+      graft.catalog.Maintenance.compact(spark, "lakehouse", Seq("bkt_ns"), "rw")
+      joinPlan() should not include "Exchange"
+      spark.table("lakehouse.bkt_ns.rw").join(spark.table("lakehouse.bkt_ns.rwdim"), "k")
+        .count() shouldBe 190
+    }
+    spark.sql("DROP TABLE lakehouse.bkt_ns.rw")
+    spark.sql("DROP TABLE lakehouse.bkt_ns.rwdim")
+  }
+
   test("bucket function matches the physical layout's hash partitioning") {
     // the FunctionCatalog-visible bucket() must agree with
     // repartition(n, col) or storage-partitioned joins would misalign
