@@ -238,8 +238,9 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!isNamespace(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     val dir = tableDir(ident)
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
+    val (partCols, bucketProps) = parsePartitioning(partitions)
     new StagedLakehouseTable(spark, fullName(ident), dir, 1, schema,
-      identityPartitionCols(partitions), cleanProps(properties), Seq.empty, "create")
+      partCols, cleanProps(properties) ++ bucketProps, Seq.empty, "create")
   }
 
   /** REPLACE TABLE AS SELECT: the new schema/data publish as the next
@@ -253,8 +254,9 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
     val current = TableMetadata.load(dir)
+    val (partCols, bucketProps) = parsePartitioning(partitions)
     new StagedLakehouseTable(spark, fullName(ident), dir, current.version + 1, schema,
-      identityPartitionCols(partitions), cleanProps(properties),
+      partCols, cleanProps(properties) ++ bucketProps,
       current.snapshots, "replace")
   }
 

@@ -35,7 +35,10 @@ class StagedLakehouseTable(
     op: String)
   extends StagedTable with SupportsWrite {
 
-  private val commitRel = s"data/c$version-$op-${UUID.randomUUID().toString.take(8)}"
+  private val bucketSpec = Bucketing.specOf(tableProperties)
+  private val commitRel =
+    if (bucketSpec.isDefined) s"data/b-$op$version-${UUID.randomUUID().toString.take(8)}"
+    else s"data/c$version-$op-${UUID.randomUUID().toString.take(8)}"
   private val commitDir = dir.resolve(commitRel)
   @volatile private var written: Seq[String] = Seq.empty
   @volatile private var writtenStats: Map[String, Map[String, ColumnRange]] = Map.empty
@@ -55,11 +58,14 @@ class StagedLakehouseTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              val clustered =
-                if (partitionColumns.nonEmpty) {
+              val clustered = bucketSpec match {
+                case Some((bcol, n)) =>
+                  data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))
+                case None if partitionColumns.nonEmpty =>
                   val cols = partitionColumns.map(data.col)
                   data.repartition(cols: _*).sortWithinPartitions(cols: _*)
-                } else data
+                case None => data
+              }
               data.sparkSession.conf.set(
                 "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
               clustered.write.parquet(commitDir.toString)

@@ -110,6 +110,26 @@ class BucketSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.bkt_ns.rwdim")
   }
 
+  test("bucketed CTAS lays out buckets; joins the co-bucketed dim shuffle-free") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.ctas")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.ctasdim")
+    Seq.tabulate(300)(i => (i % 30, i.toLong)).toDF("k", "v").createOrReplaceTempView("ct_src")
+    spark.sql("""CREATE TABLE lakehouse.bkt_ns.ctas PARTITIONED BY (bucket(4, k))
+                |AS SELECT * FROM ct_src""".stripMargin)
+    Seq.tabulate(30)(i => (i, s"l$i")).toDF("k", "l").createOrReplaceTempView("ctd_src")
+    spark.sql("""CREATE TABLE lakehouse.bkt_ns.ctasdim PARTITIONED BY (bucket(4, k))
+                |AS SELECT * FROM ctd_src""".stripMargin)
+    withBucketingConfs {
+      val joined = spark.table("lakehouse.bkt_ns.ctas")
+        .join(spark.table("lakehouse.bkt_ns.ctasdim"), "k")
+      executedPlan(joined) should not include "Exchange"
+      joined.count() shouldBe 300
+    }
+    spark.sql("DROP TABLE lakehouse.bkt_ns.ctas")
+    spark.sql("DROP TABLE lakehouse.bkt_ns.ctasdim")
+  }
+
   test("bucket function matches the physical layout's hash partitioning") {
     // the FunctionCatalog-visible bucket() must agree with
     // repartition(n, col) or storage-partitioned joins would misalign
