@@ -762,8 +762,34 @@ object Relational {
            |       view_event_id, view_value
            |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
 
+  /** Event-stream dedup: keep the first event per (user, type, hour) —
+    * the telemetry-thinning stage of an event pipeline. One window
+    * partitioned by the dedup key (shuffle carries the key + ordering
+    * columns; partitions are per-user-hour, so no global sort and no
+    * skew beyond a single user's single hour). */
+  val q50 = Q(
+    "q50_event_dedup",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"), date_trunc("hour", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          microStr(col("ts")).as("ts_s"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP ts FROM events),
+           |r AS (SELECT *, ROW_NUMBER() OVER (
+           |        PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           |        ORDER BY ts, event_id) rn FROM ev)
+           |SELECT event_id, user_id, event_type,
+           |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+           |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26,
-    q26b, q26c, q27, q27b, q31, q32, q32b, q33, q34, q35, q36, q39)
+    q26b, q26c, q27, q27b, q31, q32, q32b, q33, q34, q35, q36, q39, q50)
 }

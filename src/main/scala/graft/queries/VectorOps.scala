@@ -233,5 +233,29 @@ object VectorOps {
     },
     None)
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e)
+  /** Cross-modality join: each document paired with its embedding row
+    * (text metadata ⋈ vector metadata) — the gate a multimodal curation
+    * pipeline runs before training ("keep docs long enough whose
+    * embedding exists, carry the norm"). Plain equi join, so Catalyst
+    * owns the strategy; at scale both sides hash-bucket on the shared
+    * id (see BucketSpec's storage-partitioned joins) and the join runs
+    * co-located. Norm parity with the oracle comes from the same
+    * double-accumulated vec_norm_sq the q29 family hash-matches on. */
+  val q49 = Q(
+    "q49_join_modalities",
+    (s, d) => {
+      val e = withNorm(s, d)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(e, col("doc_id") === col("vec_id"))
+        .filter(col("n_chars") >= 200)
+        .select(col("doc_id"), col("lang"), col("n_chars"), round(col("nrm"), 4).as("nrm_r"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$oracleNormCte
+            |SELECT d.doc_id, d.lang, d.n_chars, ROUND(e.nrm, 4) AS nrm_r
+            |FROM documents d JOIN ev e ON d.doc_id = e.vec_id
+            |WHERE d.n_chars >= 200 ORDER BY d.doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q49)
 }

@@ -119,6 +119,19 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("array_distinct")
   }
 
+  test("q47 per-stratum sample is a bounded aggregate, not a window sort") {
+    val plan = executedPlan(graft.queries.TextOps.q47.run(spark, sf))
+    plan should include("ObjectHashAggregate")
+    plan should not include "WindowExec"
+  }
+
+  test("q48 heavy hitters recounts candidates through a broadcast semi join") {
+    val plan = executedPlan(graft.queries.TextOps.q48.run(spark, sf))
+    plan.toLowerCase should include("space_saving")
+    plan should include("LeftSemi")
+    plan should not include "WindowExec"
+  }
+
   test("small lakehouse table reports statistics and broadcasts in a join") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.plan_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.plan_ns.dim")
