@@ -788,8 +788,29 @@ object Relational {
            |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
            |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin))
 
+  /** Salted join as a first-class checked operator: the orders⋈customer
+    * join runs through [[graft.operators.SkewOps.saltedJoin]] — the
+    * construction that spreads a single hotter-than-an-executor key
+    * over `salts` tasks when AQE's partition-splitting can't help —
+    * and the oracle is the PLAIN join, proving the salt is semantically
+    * invisible. */
+  val q51 = Q(
+    "q51_salted_join",
+    (s, d) =>
+      graft.operators.SkewOps.saltedJoin(
+          orders(s, d),
+          customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total"))
+        .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
     q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26,
-    q26b, q26c, q27, q27b, q31, q32, q32b, q33, q34, q35, q36, q39, q50)
+    q26b, q26c, q27, q27b, q31, q32, q32b, q33, q34, q35, q36, q39, q50, q51)
 }
