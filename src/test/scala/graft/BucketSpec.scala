@@ -132,20 +132,50 @@ class BucketSpec extends AnyFunSuite with Matchers {
 
   test("bucket function matches the physical layout's hash partitioning") {
     // the FunctionCatalog-visible bucket() must agree with
-    // repartition(n, col) or storage-partitioned joins would misalign
+    // repartition(n, col) for EVERY supported key type, or a
+    // storage-partitioned join on that type would silently misalign
     import org.apache.spark.sql.catalyst.InternalRow
-    val bound = graft.catalog.BucketFunction.bind(
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType))))
-      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.spark_partition_id
     val n = 4
-    val df = Seq.tabulate(100)(i => Tuple1(i)).toDF("k")
-      .repartition(n, $"k")
-      .select($"k", org.apache.spark.sql.functions.spark_partition_id().as("pid"))
-      .as[(Int, Int)].collect()
-    df.foreach { case (k, pid) =>
-      bound.produceResult(InternalRow(n, k)).intValue() shouldBe pid
-    }
+
+    def bound(dt: DataType) = graft.catalog.BucketFunction.bind(
+      StructType(Seq(StructField("n", IntegerType), StructField("v", dt))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+
+    // Int keys
+    val ints = bound(IntegerType)
+    Seq.tabulate(100)(i => Tuple1(i)).toDF("k").repartition(n, $"k")
+      .select($"k", spark_partition_id()).as[(Int, Int)].collect()
+      .foreach { case (k, pid) =>
+        ints.produceResult(InternalRow(n, k)).intValue() shouldBe pid
+      }
+
+    // Long keys
+    val longs = bound(LongType)
+    Seq.tabulate(100)(i => Tuple1(i.toLong * 1000003L)).toDF("k").repartition(n, $"k")
+      .select($"k", spark_partition_id()).as[(Long, Int)].collect()
+      .foreach { case (k, pid) =>
+        longs.produceResult(InternalRow(n, k)).intValue() shouldBe pid
+      }
+
+    // String keys (catalyst hashes UTF8String bytes, not java String)
+    val strs = bound(StringType)
+    Seq.tabulate(100)(i => Tuple1(s"key-$i")).toDF("k").repartition(n, $"k")
+      .select($"k", spark_partition_id()).as[(String, Int)].collect()
+      .foreach { case (k, pid) =>
+        strs.produceResult(InternalRow(n,
+          org.apache.spark.unsafe.types.UTF8String.fromString(k))).intValue() shouldBe pid
+      }
+
+    // Date keys (stored as Int days)
+    val dates = bound(DateType)
+    Seq.tabulate(100)(i => Tuple1(java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))))
+      .toDF("k").repartition(n, $"k")
+      .select($"k", spark_partition_id()).as[(java.sql.Date, Int)].collect()
+      .foreach { case (k, pid) =>
+        val days = k.toLocalDate.toEpochDay.toInt
+        dates.produceResult(InternalRow(n, days)).intValue() shouldBe pid
+      }
   }
 }
