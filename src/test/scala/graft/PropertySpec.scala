@@ -102,6 +102,53 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("text cleaning is idempotent: cleaning a cleaned corpus removes nothing") {
+    val sf = "/root/testdata/sf0.001"
+    val cleaned = graft.queries.TextOps.q43.run(spark, sf)
+      .select($"doc_id", $"clean_text".as("text"))
+    // re-run the cleaning transformation over the cleaned text: every
+    // surviving token is >1 char and the mask sentinel is not in the
+    // denylist, so a second pass must be the identity
+    import org.apache.spark.sql.functions._
+    val kept = filter(split(col("text"), " "), t => org.apache.spark.sql.functions.length(t) > 1)
+    val reclean = cleaned.select(col("doc_id"),
+      array_join(transform(kept,
+        t => when(t.isin("spark", "data"), "<TERM>").otherwise(t)), " ").as("t2"),
+      col("text"))
+    reclean.filter(col("t2") =!= col("text")).count() shouldBe 0L
+  }
+
+  test("per-stratum sample returns exactly min(k, stratum size) docs per language") {
+    val sf = "/root/testdata/sf0.001"
+    val sizes = graft.queries.TextOps.q47.run(spark, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val strata = graft.Tables.documents(spark, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    strata.foreach { case (lang, n) =>
+      sizes.getOrElse(lang, 0L) shouldBe math.min(20L, n)
+    }
+  }
+
+  test("decontamination flags exactly the docs sharing a 5-gram with the eval set") {
+    // brute-force check on the small corpus: string 5-grams, no hashing
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", split($"text", " ").as("t"))
+      .filter(org.apache.spark.sql.functions.size($"t") >= 5)
+      .select($"doc_id", explode(array_distinct(transform(
+        sequence(lit(0), org.apache.spark.sql.functions.size($"t") - 5),
+        i => concat_ws(" ", (0 until 5).map(j => element_at($"t", i + j + 1)): _*)))).as("g"))
+    val docs = graft.Tables.documents(spark, sf)
+    val g = grams(docs)
+    val expected = g.filter($"doc_id" >= 10)
+      .join(g.filter($"doc_id" < 10).select($"g").distinct(), Seq("g"), "left_semi")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    val got = graft.queries.TextOps.q45.run(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    got shouldBe expected
+  }
+
   test("insert coercion round-trip: INT source → FLOAT column keeps exact small ints") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.prop_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.prop_ns.coerce_t")
