@@ -44,7 +44,9 @@ object BucketFunction extends UnboundFunction {
       override def produceResult(input: InternalRow): Integer = {
         val n = input.getInt(0)
         val v = input.get(1, valueType)
-        val h = Murmur3HashFunction.hash(v, valueType, 42L).toInt
+        // null key: Murmur3Hash skips null children, leaving the seed —
+        // HashPartitioning therefore lands null rows in bucket pmod(42, n)
+        val h = if (v == null) 42 else Murmur3HashFunction.hash(v, valueType, 42L).toInt
         Integer.valueOf(((h % n) + n) % n)
       }
     }

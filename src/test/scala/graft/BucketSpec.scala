@@ -168,6 +168,15 @@ class BucketSpec extends AnyFunSuite with Matchers {
           org.apache.spark.unsafe.types.UTF8String.fromString(k))).intValue() shouldBe pid
       }
 
+    // Null keys: HashPartitioning leaves the seed as the hash, so null
+    // rows land in bucket pmod(42, n) — the function must agree
+    val nullDf = (Seq.tabulate(20)(i => Some(i)) :+ (None: Option[Int]))
+      .toDF("k").repartition(n, $"k")
+      .select($"k", spark_partition_id()).as[(Option[Int], Int)].collect()
+    nullDf.collect { case (None, pid) => pid }.foreach { pid =>
+      ints.produceResult(InternalRow(n, null)).intValue() shouldBe pid
+    }
+
     // Date keys (stored as Int days)
     val dates = bound(DateType)
     Seq.tabulate(100)(i => Tuple1(java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))))
