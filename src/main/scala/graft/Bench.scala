@@ -29,11 +29,17 @@ object Bench {
     // warm-up and the timed run measures the engine, not the JVM
     // compiler. (Profiled on sf0.1: first run of the heavy dedup/TF-IDF
     // pipelines is 3-5x their steady state purely from JIT.)
+    // Min of two timed runs: a single sample occasionally absorbs a
+    // full-GC or late-JIT hiccup (observed 0.6s → 7.7s on one query);
+    // the min is the reproducible steady-state cost of the plan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> samples.min
     }
     val total = results.map(_._2).sum
     def dict(rs: Seq[(String, Double)]): String =
