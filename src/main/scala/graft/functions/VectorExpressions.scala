@@ -258,5 +258,20 @@ object GraftFunctions {
         val m = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(4096)
         SpaceSavingAgg(args(0), m)
       }, "built-in")
+    // Spark's own runtime-filter bloom pair (public catalyst classes),
+    // surfaced as callable functions: bloom_agg(longCol[, estItems])
+    // builds the serialized filter, bloom_contains(bloomBinary, longCol)
+    // probes it. The probe side requires a FOLDABLE bloom (literal) —
+    // same contract as InjectRuntimeFilter's materialized subquery.
+    reg.createOrReplaceTempFunction("bloom_agg",
+      { args: Seq[Expression] =>
+        val est = args.lift(1).map(_.eval(null).toString.toLong).getOrElse(1000000L)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), est)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("bloom_contains",
+      { args: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
+      }, "built-in")
   }
 }

@@ -809,8 +809,131 @@ object Relational {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    * into Spark 4): one sketch per nation, unioned into a global
+    * estimate — the two-level shape a 100 TB pipeline uses to count
+    * uniques per shard AND overall in one pass (sketches are tiny,
+    * mergeable, and re-aggregatable across days without rescanning).
+    * At this cardinality (≤5 distinct segments) the sketch is in its
+    * exact (coupon-list) mode, so the estimates equal the exact
+    * distinct counts and the query is oracle-checkable; at high
+    * cardinality the same plan degrades gracefully to ~1.6% error. */
+  val q13b = Q(
+    "q13b_hll_sketch",
+    (s, d) => {
+      val perNation = customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(hll_sketch_agg(col("c_mktsegment")).as("sk"))
+      val global = perNation
+        .agg(hll_union_agg(col("sk")).as("u"))
+        .select(round(hll_sketch_estimate(col("u"))).cast("long").as("global_distinct"))
+      perNation
+        .select(col("c_nationkey"),
+          round(hll_sketch_estimate(col("sk"))).cast("long").as("n_segments"))
+        .crossJoin(broadcast(global))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
+           |       (SELECT COUNT(DISTINCT c_mktsegment) FROM customer) AS global_distinct
+           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+
+  /** Explicit GROUPING SETS with grouping() markers — the general form
+    * q14/q15's rollup/cube desugar to; one shuffle produces all three
+    * groupings via Expand. */
+  val q14b = Q(
+    "q14b_grouping_sets",
+    (s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                      COALESCE(o_orderpriority, '(all)') AS priority,
+                      grouping(o_orderstatus) AS g_status,
+                      grouping(o_orderpriority) AS g_priority,
+                      COUNT(*) AS cnt,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               FROM orders_v
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY status, priority""")
+    },
+    Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           |       COALESCE(o_orderpriority, '(all)') AS priority,
+           |       grouping(o_orderstatus) AS g_status,
+           |       grouping(o_orderpriority) AS g_priority,
+           |       COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY status, priority""".stripMargin))
+
+  /** Correlated LATERAL subquery with LIMIT — per-customer top-2 orders.
+    * Catalyst plans the correlated limit as a DomainJoin + window-rank
+    * rewrite (no per-row re-execution); the same query a user would
+    * write against the reference's Spark SQL surface. */
+  val q34b = Q(
+    "q34b_lateral",
+    (s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_v")
+      orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+               FROM customer_v c,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+               WHERE c.c_custkey < 50
+               ORDER BY c_custkey, o_orderkey""")
+    },
+    Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           |FROM customer c,
+           |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+           |         WHERE o.o_custkey = c.c_custkey
+           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+           |WHERE c.c_custkey < 50
+           |ORDER BY c_custkey, o_orderkey""".stripMargin))
+
+  /** CSV source/sink round-trip: write `orders` as CSV (header, default
+    * quoting), read it back with the original schema, aggregate — the
+    * result must be value-identical to the same aggregate over the
+    * parquet original, proving the text encode/decode (doubles via
+    * shortest-round-trip repr, ms timestamps, quoted strings) is
+    * lossless. Multi-format ingestion is table stakes for a landing
+    * zone; the aggregate's decimal sum keeps the check order-independent. */
+  val q52 = Q(
+    "q52_csv_roundtrip",
+    (s, d) => {
+      val src = orders(s, d)
+      val out = s"/tmp/graft_rt/csv_${new java.io.File(d).getName}"
+      src.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(src.schema).option("header", "true").csv(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), dsum2(col("o_totalprice")).as("total"),
+          max(col("o_orderdate")).as("last_date"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           |       MAX(o_orderdate) AS last_date
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** JSON source/sink round-trip (line-delimited), same contract as q52:
+    * schema-preserving read-back, aggregate matches the parquet
+    * original. */
+  val q52b = Q(
+    "q52b_json_roundtrip",
+    (s, d) => {
+      val src = customer(s, d)
+      val out = s"/tmp/graft_rt/json_${new java.io.File(d).getName}"
+      src.write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), dsum2(col("c_acctbal")).as("balance"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+           |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15,
-    q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23, q24, q25, q26,
-    q26b, q26c, q27, q27b, q31, q32, q32b, q33, q34, q35, q36, q39, q50, q51)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q13b,
+    q14, q14b, q15, q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23,
+    q24, q25, q26, q26b, q26c, q27, q27b, q31, q32, q32b, q33, q34, q34b,
+    q35, q36, q39, q50, q51, q52, q52b)
 }

@@ -863,7 +863,116 @@ object TextOps {
            |FROM (SELECT unnest(string_split(text, ' ')) token FROM documents)
            |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin))
 
+  /** BM25 (k1=1.2, b=0.75) per-term relevance of docs 0–99 against a
+    * fixed query term set — the keyword-retrieval scorer a curation
+    * pipeline uses to mine topical subsets. Same shuffle shape as q42:
+    * tf over the requested docs only, df + corpus stats map-side
+    * combined, one-row stats broadcast. Per-(doc, term) contributions
+    * are emitted unsummed so every value is a row-local expression —
+    * deterministic cross-engine (no float-order dependence); both
+    * engines evaluate the identical left-associated formula. */
+  val q42b = Q(
+    "q42b_bm25",
+    (s, d) => {
+      val terms = Seq("spark", "vector", "stream")
+      val tok = tokenized(s, d)
+      val dl = tok.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val tf = tok.filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok
+        .select(explode(array_distinct(col("toks"))).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfreq), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("token"),
+          round(
+            log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+              col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))),
+            4).as("bm25"))
+        .orderBy(col("doc_id"), col("token"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+           |dl AS (SELECT doc_id, len(t) dl FROM tok),
+           |st AS (SELECT COUNT(*) n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) avgdl FROM dl),
+           |ex AS (SELECT doc_id, unnest(t) token FROM tok),
+           |tf AS (SELECT doc_id, token, COUNT(*) tf FROM ex
+           |       WHERE token IN ('spark', 'vector', 'stream') AND doc_id < 100
+           |       GROUP BY 1, 2),
+           |df AS (SELECT token, COUNT(*) df FROM (SELECT DISTINCT doc_id, token FROM ex)
+           |       WHERE token IN ('spark', 'vector', 'stream') GROUP BY 1)
+           |SELECT tf.doc_id, tf.token,
+           |       ROUND(LN((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           |             * tf.tf * 2.2 /
+           |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)), 4) AS bm25
+           |FROM tf JOIN df ON tf.token = df.token
+           |JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+           |ORDER BY 1, 2""".stripMargin))
+
+  /** q45 with a Bloom-filter prefilter (Spark's own runtime-filter
+    * sketch pair, surfaced as bloom_agg/bloom_contains): the eval set's
+    * 5-gram hashes aggregate into a fixed-size filter that is
+    * materialized driver-side (exactly how InjectRuntimeFilter ships
+    * its subquery result) and probed as a row-local predicate on the
+    * corpus stream; only the survivors — true matches plus the filter's
+    * ~1% false positives — reach the exact semi join, whose verify
+    * restores exactness. At 100 TB this is the decontamination shape
+    * that wins when the eval gram set outgrows a broadcast hash table:
+    * the bloom stays megabytes regardless, the corpus never shuffles,
+    * and the exact join runs over a vanishingly small remnant. Output
+    * (and oracle) identical to q45. */
+  val q45b = Q(
+    "q45b_decontaminate_bloom",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val grams = tokenized(s, d)
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+        .select(col("doc_id"), explode(nGramHashes(col("th"), 5)).as("g"))
+      val evalGrams = grams.filter(col("doc_id") < 10).select(col("g")).distinct()
+      val bloom = evalGrams
+        .agg(call_function("bloom_agg", col("g"), lit(1000000L)).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      grams.filter(col("doc_id") >= 10)
+        .filter(call_function("bloom_contains", lit(bloom), col("g")))
+        .join(evalGrams, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+    },
+    q45.oracle)
+
+  /** Incremental dedup: a freshly-ingested batch (doc_id ≥ 400) is
+    * deduplicated within itself (keep min doc_id per content hash) and
+    * against the already-ingested corpus (doc_id < 400) — the daily
+    * delta-dedup a continuously-growing training corpus runs instead of
+    * re-deduplicating from scratch. The shuffle carries only 64-bit
+    * content hashes (never text bodies), and the anti join against the
+    * historical index is hash-keyed on both sides — at 100 TB the index
+    * side is a bucketed lakehouse table and the join co-locates. */
+  val q53 = Q(
+    "q53_incremental_dedup",
+    (s, d) => {
+      val hashed = documents(s, d)
+        .select(col("doc_id"), xxhash64(col("text")).as("ch"))
+      val index = hashed.filter(col("doc_id") < 400).select(col("ch")).distinct()
+      hashed.filter(col("doc_id") >= 400)
+        .groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
+        .join(index, Seq("ch"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT MIN(doc_id) AS doc_id
+           |FROM documents WHERE doc_id >= 400
+           |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 400)
+           |GROUP BY text ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
-      q37, q38, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+      q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53)
 }
