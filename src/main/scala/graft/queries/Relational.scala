@@ -931,9 +931,77 @@ object Relational {
            |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
            |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Unpivot (melt) — the inverse of q31's pivot: lineitem's four
+    * numeric measures become (metric, value) rows. Row-local reshape
+    * (Expand node, no shuffle); the narrow long format is what metric
+    * stores and plotting pipelines ingest. */
+  val q31b = Q(
+    "q31b_unpivot",
+    (s, d) =>
+      lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "mval")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""SELECT l_orderkey, l_linenumber, metric, mval FROM (
+           |  SELECT l_orderkey, l_linenumber, 'l_quantity' metric, l_quantity mval FROM lineitem
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+           |  UNION ALL
+           |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+           |WHERE l_orderkey < 100
+           |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
+
+  /** ORC source/sink round-trip — third columnar format beside parquet
+    * (same contract as q52/q52b): schema-preserving read-back, aggregate
+    * value-identical to the parquet original. */
+  val q52c = Q(
+    "q52c_orc_roundtrip",
+    (s, d) => {
+      val src = lineitem(s, d).select(
+        col("l_returnflag"), col("l_linestatus"), col("l_quantity"), col("l_shipdate"))
+      val out = s"/tmp/graft_rt/orc_${new java.io.File(d).getName}"
+      src.write.mode("overwrite").orc(out)
+      s.read.schema(src.schema).orc(out)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), dsum2(col("l_quantity")).as("qty"),
+          max(col("l_shipdate")).as("last_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           |       MAX(l_shipdate) AS last_ship
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Hive-style partitioned write + partition-pruned read: documents
+    * land partitioned by lang, then a lang-filtered read touches ONLY
+    * the matching directory — the layout/pruning contract that turns a
+    * 100 TB scan into a single-partition scan (PlanSpec asserts the
+    * pruning; this query proves the values survive the round trip,
+    * including the partition column's string round-trip). */
+  val q54 = Q(
+    "q54_partitioned_pruning",
+    (s, d) => {
+      val out = s"/tmp/graft_rt/part_${new java.io.File(d).getName}"
+      documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""SELECT lang, source, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM documents WHERE lang IN ('en', 'de')
+           |GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q13b,
     q14, q14b, q15, q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23,
-    q24, q25, q26, q26b, q26c, q27, q27b, q31, q32, q32b, q33, q34, q34b,
-    q35, q36, q39, q50, q51, q52, q52b)
+    q24, q25, q26, q26b, q26c, q27, q27b, q31, q31b, q32, q32b, q33, q34,
+    q34b, q35, q36, q39, q50, q51, q52, q52b, q52c, q54)
 }
