@@ -301,8 +301,9 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           if (m.files.nonEmpty)
             throw new UnsupportedOperationException(
               s"RENAME COLUMN on non-empty table ${m.name}: data files resolve columns by " +
-                "name, so existing rows would read back NULL. Rewrite the table " +
-                "(CTAS with the new name) instead.")
+                "name, so existing rows would read back NULL. Use " +
+                "graft.catalog.Maintenance.renameColumn, which rewrites the data and " +
+                "commits the renamed schema atomically.")
           m.copy(schema = StructType(m.schema.fields.map(f =>
             if (f.name == ren.fieldNames.head) f.copy(name = ren.newName) else f)))
         case del: TableChange.DeleteColumn =>

@@ -97,6 +97,92 @@ object Maintenance {
     newFiles.size
   }
 
+  /** Rename a column by REWRITING the data (a new snapshot whose files
+    * carry the new physical name), then committing the renamed schema.
+    *
+    * Column resolution against parquet is name-based here (no Iceberg
+    * field IDs), so a metadata-only rename would silently read every
+    * previously-written row as NULL — the catalog therefore REJECTS
+    * `ALTER TABLE ... RENAME COLUMN` on non-empty tables and points at
+    * this op, which is correct at the price of one rewrite (the honest
+    * cost without per-file field IDs; Iceberg pays a format feature for
+    * the metadata-only version). Time travel to pre-rename versions
+    * still serves the old schema over the old files, which stay on disk
+    * until vacuumed. Bucketed layout is preserved (the rewrite
+    * re-buckets, same as compaction), including when the bucket column
+    * itself is renamed. Returns the new file count.
+    */
+  def renameColumn(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      oldName: String,
+      newName: String): Int = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    require(current.schema.fieldNames.contains(oldName),
+      s"no such column: $oldName in ${current.name}")
+    require(!current.schema.fieldNames.contains(newName),
+      s"column already exists: $newName in ${current.name}")
+
+    val newSchema = org.apache.spark.sql.types.StructType(current.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newPartCols = current.partitionColumns.map(c => if (c == oldName) newName else c)
+    val newProps = current.properties.map {
+      case (Bucketing.ColProp, v) if v == oldName => Bucketing.ColProp -> newName
+      case kv => kv
+    }
+    val bucketSpec = Bucketing.specOf(newProps)
+
+    val nextVersion = current.version + 1
+    val commitRel =
+      if (bucketSpec.isDefined) s"data/b-rename$nextVersion-${UUID.randomUUID().toString.take(8)}"
+      else s"data/c$nextVersion-rename-${UUID.randomUUID().toString.take(8)}"
+    val commitDir = dir.resolve(commitRel)
+    val df =
+      if (current.files.isEmpty) {
+        // no data: metadata-only commit below, nothing to rewrite
+        None
+      } else Some(spark.read
+        .schema(current.schema)
+        .parquet(current.files.map(f => dir.resolve(f).toString): _*)
+        .withColumnRenamed(oldName, newName))
+    df.foreach { data =>
+      val clustered = bucketSpec match {
+        case Some((bcol, n)) =>
+          data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))
+        case None if newPartCols.nonEmpty =>
+          data.repartition(current.files.size.max(1), newPartCols.map(data.col): _*)
+            .sortWithinPartitions(newPartCols.map(data.col): _*)
+        case None => data.coalesce(current.files.size.max(1))
+      }
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      clustered.write.parquet(commitDir.toString)
+    }
+    val newFiles =
+      if (df.isEmpty) Nil
+      else Files.list(commitDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(n => s"$commitRel/$n").toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val newStats = newFiles.map { f =>
+      f -> FooterStats.collect(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), newSchema)
+    }.filter(_._2.nonEmpty).toMap
+    TableMetadata.commit(dir, current.copy(
+      version = nextVersion,
+      schema = newSchema,
+      partitionColumns = newPartCols,
+      properties = newProps,
+      files = newFiles,
+      fileStats = newStats,
+      snapshots = current.snapshots :+ Snapshot(
+        nextVersion, System.currentTimeMillis(), "rename", newFiles.size, newFiles.size)))
+    newFiles.size
+  }
+
   // ---- row-level UPDATE / MERGE (copy-on-write) ----------------------------
 
   /** Shared copy-on-write commit: replace `hitFiles` with the rows of

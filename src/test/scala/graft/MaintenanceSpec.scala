@@ -102,4 +102,54 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     survivors should be <= total
     spark.sql("DROP TABLE lakehouse.maint_ns.p")
   }
+
+  test("renameColumn rewrites data under the new name; time travel keeps the old schema") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.rn (k INT, v STRING)")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("rn_src")
+    spark.sql("INSERT INTO lakehouse.maint_ns.rn SELECT * FROM rn_src")
+
+    // metadata-only DDL rename must refuse on a non-empty table
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.maint_ns.rn RENAME COLUMN v TO label")
+    }
+
+    Maintenance.renameColumn(spark, "lakehouse", Seq("maint_ns"), "rn", "v", "label")
+    val t = spark.table("lakehouse.maint_ns.rn")
+    t.columns shouldBe Array("k", "label")
+    // values survive (a metadata-only rename would read NULLs here)
+    t.orderBy($"k").collect().map(_.getString(1)) shouldBe Array("a", "b")
+    // the pre-rename snapshot still serves the old schema over old files
+    val old = spark.sql("SELECT * FROM lakehouse.maint_ns.rn VERSION AS OF 2")
+    old.columns shouldBe Array("k", "v")
+    old.orderBy($"k").collect().map(_.getString(1)) shouldBe Array("a", "b")
+    spark.sql("SELECT * FROM lakehouse.maint_ns.rn.history ORDER BY version")
+      .collect().last.getAs[String]("operation") shouldBe "rename"
+    spark.sql("DROP TABLE lakehouse.maint_ns.rn")
+  }
+
+  test("renameColumn on a bucketed table preserves the bucket layout, even for the bucket column") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql(
+      "CREATE TABLE lakehouse.maint_ns.rb (k INT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    (0 until 20).map(i => (i, i.toLong * 10)).toDF("k", "v")
+      .createOrReplaceTempView("rb_src")
+    spark.sql("INSERT INTO lakehouse.maint_ns.rb SELECT * FROM rb_src")
+
+    Maintenance.renameColumn(spark, "lakehouse", Seq("maint_ns"), "rb", "k", "key")
+    val t = spark.table("lakehouse.maint_ns.rb")
+    t.columns shouldBe Array("key", "v")
+    t.count() shouldBe 20
+    // bucket spec followed the rename and every live file is bucket-addressable
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("maint_ns"), "rb"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    graft.catalog.Bucketing.specOf(lt.meta.properties) shouldBe Some(("key", 4))
+    lt.meta.files.forall(f =>
+      graft.catalog.Bucketing.bucketIdOf(f).exists(_ < 4)) shouldBe true
+    spark.sql("DROP TABLE lakehouse.maint_ns.rb")
+  }
 }
