@@ -308,6 +308,28 @@ object Relational {
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
            |FROM ev ORDER BY user_id, event_id""".stripMargin))
 
+  /** Time-range window frame (RANGE BETWEEN INTERVAL ... PRECEDING):
+    * per event, how many of the same user's events fall in the
+    * trailing hour — the sliding-window analytic rows-frames can't
+    * express (frame membership is by VALUE distance, not row count).
+    * Count keeps the check integer-exact. */
+  val q17b = Q(
+    "q17b_window_range_interval",
+    (s, d) => {
+      events(s, d).createOrReplaceTempView("events_v")
+      s.sql("""SELECT user_id, event_id,
+                      COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+                        AS n_trailing_hour
+               FROM events_v ORDER BY user_id, event_id""")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events)
+           |SELECT user_id, event_id,
+           |       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+           |         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           |         AS n_trailing_hour
+           |FROM ev ORDER BY user_id, event_id""".stripMargin))
+
   val q18 = Q(
     "q18_window_lag",
     (s, d) => {
@@ -931,6 +953,38 @@ object Relational {
            |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
            |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Funnel analysis: users progressing view → click → purchase in
+    * strict timestamp order. One conditional-min aggregation per user
+    * (map-side combined; the shuffle carries 3 timestamps per user,
+    * never event rows), then a one-row global rollup — the standard
+    * event-sequence op at any scale. */
+  val q36b = Q(
+    "q36b_funnel",
+    (s, d) => {
+      val stage = events(s, d).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      stage.select(
+        count(lit(1)).as("users"),
+        count(col("t_view")).as("viewed"),
+        count(when(col("t_click") > col("t_view"), lit(1))).as("clicked_after_view"),
+        count(when(col("t_purchase") > col("t_click") && col("t_click") > col("t_view"),
+          lit(1))).as("purchased_full_funnel"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+           |st AS (SELECT user_id,
+           |         MIN(CASE WHEN event_type = 'view' THEN ts END) t_view,
+           |         MIN(CASE WHEN event_type = 'click' THEN ts END) t_click,
+           |         MIN(CASE WHEN event_type = 'purchase' THEN ts END) t_purchase
+           |       FROM ev GROUP BY user_id)
+           |SELECT COUNT(*) AS users,
+           |       COUNT(t_view) AS viewed,
+           |       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS clicked_after_view,
+           |       COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+           |         AS purchased_full_funnel
+           |FROM st""".stripMargin))
+
   /** Unpivot (melt) — the inverse of q31's pivot: lineitem's four
     * numeric measures become (metric, value) rows. Row-local reshape
     * (Expand node, no shuffle); the narrow long format is what metric
@@ -1001,7 +1055,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q13b,
-    q14, q14b, q15, q16, q16b, q17, q18, q19, q20, q20b, q21, q21b, q22, q23,
+    q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22, q23,
     q24, q25, q26, q26b, q26c, q27, q27b, q31, q31b, q32, q32b, q33, q34,
-    q34b, q35, q36, q39, q50, q51, q52, q52b, q52c, q54)
+    q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54)
 }
