@@ -55,8 +55,25 @@ class LakehouseMicroBatchStream(
   override def latestOffset(): Offset =
     VersionOffset(availableNowCap.getOrElse(TableMetadata.load(tableDir).version))
 
-  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
-    latestOffset()
+  /** Rate-limited admission: `maxVersionsPerTrigger` bounds how many
+    * commits one micro-batch absorbs. Backfilling a long-history table
+    * (startingVersion=0 against years of commits) would otherwise plan
+    * the entire history as ONE batch — unbounded task count and no
+    * checkpoint until it all lands. With the cap, progress commits
+    * every N versions; under Trigger.AvailableNow the wrapper loops
+    * until the prepared cap is reached, yielding a bounded-batch
+    * backfill that resumes cleanly from any checkpoint. */
+  private val maxVersionsPerTrigger: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[VersionOffset].version
+    val cap = availableNowCap.getOrElse(TableMetadata.load(tableDir).version)
+    VersionOffset(maxVersionsPerTrigger match {
+      case Some(m) if m > 0 => math.min(cap, start + m)
+      case _ => cap
+    })
+  }
 
   override def reportLatestOffset(): Offset =
     VersionOffset(TableMetadata.load(tableDir).version)

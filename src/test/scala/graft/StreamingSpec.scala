@@ -290,4 +290,33 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE lakehouse.stream_ns.rw")
     }
   }
+
+  test("maxVersionsPerTrigger bounds each micro-batch during backfill") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.bf (a BIGINT)")
+    (1 to 5).foreach { i =>
+      Seq(i.toLong).toDF("a").createOrReplaceTempView("bf_src")
+      spark.sql("INSERT INTO lakehouse.stream_ns.bf SELECT * FROM bf_src")
+    }
+    // 6 versions (create + 5 inserts); cap at 2 versions per batch →
+    // the AvailableNow backfill needs ≥3 batches instead of one
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "2")
+      .table("lakehouse.stream_ns.bf")
+      .writeStream.format("memory").queryName("bf_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bf-ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000) shouldBe true
+      spark.table("bf_out").orderBy($"a").as[Long].collect().toSeq shouldBe
+        Seq(1L, 2L, 3L, 4L, 5L) // complete, exactly once
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      batches should be >= 3 // rate limit actually split the backfill
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.bf")
+    }
+  }
 }
