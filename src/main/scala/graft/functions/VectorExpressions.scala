@@ -273,5 +273,12 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))
       }, "built-in")
+    // UDTF surface: LATERAL VIEW ngram_gen(token_hashes, n) — streaming
+    // distinct shingle hashes without materializing the shingle array
+    reg.createOrReplaceTempFunction("ngram_gen",
+      { args: Seq[Expression] =>
+        val n = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(3)
+        NGramHashGen(args(0), n)
+      }, "built-in")
   }
 }
