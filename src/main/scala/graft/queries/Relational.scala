@@ -953,6 +953,51 @@ object Relational {
            |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
            |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Fuzzy string matching: edit distance against a probe term — the
+    * row-local approximate-match primitive (typo-tolerant joins build
+    * on it with a length/prefix blocking stage like q28b's). Integer
+    * distances, so the oracle check is exact. */
+  val q22b = Q(
+    "q22b_fuzzy_match",
+    (s, d) =>
+      part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          levenshtein(col("p_name"), lit("small gear")).as("dist"))
+        .filter(col("dist") <= 6)
+        .orderBy(col("dist"), col("p_partkey"))
+        .limit(100),
+    Some("""SELECT p_partkey, p_name, levenshtein(p_name, 'small gear') AS dist
+           |FROM part WHERE levenshtein(p_name, 'small gear') <= 6
+           |ORDER BY dist, p_partkey LIMIT 100""".stripMargin))
+
+  /** Date-spine zero-fill: generate a calendar month row-for-row
+    * (sequence → explode, no source table) and left-join daily order
+    * counts so empty days surface as 0 — the gap-filling idiom every
+    * time-series rollup needs. The spine is generated, tiny, and
+    * broadcast; the counts side aggregates BEFORE the join. */
+  val q23b = Q(
+    "q23b_date_spine",
+    (s, d) => {
+      val spine = s.range(1)
+        .select(explode(sequence(
+          to_date(lit("1995-01-01")), to_date(lit("1995-01-31")),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val daily = orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH spine AS (
+           |  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-01-31',
+           |                                     INTERVAL 1 DAY)) AS DATE) AS day),
+           |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) n
+           |          FROM orders GROUP BY 1)
+           |SELECT spine.day, COALESCE(daily.n, 0) AS n_orders
+           |FROM spine LEFT JOIN daily ON spine.day = daily.day
+           |ORDER BY spine.day""".stripMargin))
+
   /** Funnel analysis: users progressing view → click → purchase in
     * strict timestamp order. One conditional-min aggregation per user
     * (map-side combined; the shuffle carries 3 timestamps per user,
@@ -1055,7 +1100,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q13b,
-    q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22, q23,
-    q24, q25, q26, q26b, q26c, q27, q27b, q31, q31b, q32, q32b, q33, q34,
+    q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
+    q22b, q23, q23b, q24, q25, q26, q26b, q26c, q27, q27b, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54)
 }
