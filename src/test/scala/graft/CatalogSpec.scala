@@ -93,6 +93,21 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     hist.last.getAs[String]("operation") shouldBe "overwrite"
   }
 
+  test("TRUNCATE TABLE empties the table as a new snapshot; history survives") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.blms_cat")
+    spark.sql("CREATE TABLE lakehouse.blms_cat.trunc_t (k INT, v STRING)")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("trunc_src")
+    spark.sql("INSERT INTO lakehouse.blms_cat.trunc_t SELECT * FROM trunc_src")
+    spark.table("lakehouse.blms_cat.trunc_t").count() shouldBe 2
+
+    spark.sql("TRUNCATE TABLE lakehouse.blms_cat.trunc_t")
+    spark.table("lakehouse.blms_cat.trunc_t").count() shouldBe 0
+    // truncation is a snapshot, not an erasure: time travel still works
+    spark.sql("SELECT * FROM lakehouse.blms_cat.trunc_t VERSION AS OF 2")
+      .count() shouldBe 2
+    spark.sql("DROP TABLE lakehouse.blms_cat.trunc_t")
+  }
+
   test("catalog introspection: SHOW CATALOGS / NAMESPACES / TABLES / TBLPROPERTIES") {
     spark.sql("SHOW CATALOGS").collect().map(_.getString(0)) should contain("lakehouse")
     spark.sql("SHOW NAMESPACES IN lakehouse").collect().map(_.getString(0)) should
