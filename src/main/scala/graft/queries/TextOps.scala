@@ -972,7 +972,28 @@ object TextOps {
            |  AND text NOT IN (SELECT text FROM documents WHERE doc_id < 400)
            |GROUP BY text ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal pipeline surfaced as a declared query: documents' bytes
+    * stand in for opaque media payloads (the container has no image
+    * libs — the codec is the deterministic stub, the Spark plumbing is
+    * the real thing being exercised): repartition by id, stream
+    * through the per-partition codec in bounded batches
+    * (`mapPartitions`, the Scala analogue of `mapInPandas`), emit
+    * narrow (id, width, height) rows and drop the binary column as
+    * early as possible. Smoke-checked (stub dims aren't
+    * SQL-expressible); MediaSpec pins the per-op semantics. */
+  val q55 = Q(
+    "q55_media_pipeline",
+    (s, d) => {
+      val media = documents(s, d)
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.multimodal.MediaOps.decodeFeatures(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
-      q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53)
+      q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
+      q55)
 }
