@@ -554,6 +554,36 @@ object Relational {
            |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin))
 
+  /** Batch session_window: per-user activity sessions closed by a
+    * 30-minute gap — the built-in dynamic-window twin of q36's manual
+    * cumulative-break sessionization (and of the streaming
+    * flatMapGroupsWithState path). The oracle derives the same
+    * sessions via gaps-and-islands (LAG → break flags → running sum),
+    * proving the built-in's semantics against first principles. */
+  val q27c = Q(
+    "q27c_session_window",
+    (s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          microStr(col("session_window.start")).as("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+           |m AS (SELECT user_id, ts,
+           |        CASE WHEN LAG(ts) OVER w IS NULL
+           |               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+           |             THEN 1 ELSE 0 END AS brk
+           |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           |g AS (SELECT user_id, ts,
+           |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           |      FROM m)
+           |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           |       COUNT(*) AS n_events
+           |FROM g GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin))
+
   /** from_json with an explicit schema (the declared JSON surface next
     * to get_json_object). */
   val q26c = Q(
@@ -1101,6 +1131,6 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q13b,
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
-    q22b, q23, q23b, q24, q25, q26, q26b, q26c, q27, q27b, q31, q31b, q32, q32b, q33, q34,
+    q22b, q23, q23b, q24, q25, q26, q26b, q26c, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54)
 }
