@@ -160,4 +160,30 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("ReadSchema: struct<a:int,c:double>")
     spark.sql("DROP TABLE lakehouse.plan_ns.wide")
   }
+
+  test("q34b lateral-with-limit decorrelates to a partial top-k, not a re-executed subquery") {
+    val plan = executedPlan(Relational.q34b.run(spark, sf))
+    // per-group LIMIT 2 runs as WindowGroupLimit (map-side bounded)
+    plan should include("WindowGroupLimit")
+    plan should not include "CartesianProduct"
+  }
+
+  test("q45b probes the bloom filter before the exact semi join") {
+    val plan = executedPlan(graft.queries.TextOps.q45b.run(spark, sf))
+    // the row-local bloom probe must appear (prefilter), and the exact
+    // verify join must still be there to restore exactness
+    plan should include("LeftSemi")
+    // the probe runs as a row-local Filter on the corpus stream (a
+    // child of the join, so it prints BELOW the LeftSemi node), not as
+    // part of the join condition
+    val probeLine = plan.linesIterator.find(_.contains("might_contain"))
+    probeLine should be (defined)
+    probeLine.get should include("Filter")
+  }
+
+  test("q13b sketches aggregate partially map-side before the shuffle") {
+    val plan = executedPlan(Relational.q13b.run(spark, sf))
+    plan should include("partial_hll_sketch_agg")
+    plan should include("hll_union_agg")
+  }
 }
