@@ -183,6 +183,86 @@ object Maintenance {
     newFiles.size
   }
 
+  /** Exactly-once append for streaming sinks: the (txnId, batchId)
+    * watermark is committed ATOMICALLY with the file additions (one
+    * metadata swap), so a micro-batch that is re-executed after a
+    * commit-then-checkpoint-crash is recognized and skipped instead of
+    * double-appending — Delta's txnAppId/txnVersion idempotence,
+    * re-expressed on our snapshot log. Returns false when the batch
+    * was already applied (by this attempt's predecessor or a racing
+    * retry). Monotonicity: a batch is skipped iff the recorded
+    * watermark for `txnId` is >= `batchId`, which matches Structured
+    * Streaming's strictly-increasing batch ids per checkpoint. */
+  def transactionalAppend(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      data: org.apache.spark.sql.DataFrame,
+      txnId: String,
+      batchId: Long): Boolean = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val key = s"graft.txn.$txnId"
+    val start = TableMetadata.load(dir)
+    if (start.properties.get(key).exists(_.toLong >= batchId)) return false
+
+    // resolve by name + ANSI cast to the table schema (same contract as
+    // the INSERT path's store assignment)
+    val aligned = data.select(
+      start.schema.fields.toSeq.map(f => data.col(f.name).cast(f.dataType)): _*)
+    val bucketSpec = Bucketing.specOf(start.properties)
+    val commitRel =
+      if (bucketSpec.isDefined) s"data/b-${UUID.randomUUID().toString.take(12)}"
+      else s"data/c-${UUID.randomUUID().toString.take(12)}"
+    val commitDir = dir.resolve(commitRel)
+    val clustered = bucketSpec match {
+      case Some((bcol, n)) =>
+        aligned.repartition(n, aligned.col(bcol)).sortWithinPartitions(aligned.col(bcol))
+      case None if start.partitionColumns.nonEmpty =>
+        val cols = start.partitionColumns.map(aligned.col)
+        aligned.repartition(cols: _*).sortWithinPartitions(cols: _*)
+      case None => aligned
+    }
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    clustered.write.parquet(commitDir.toString)
+    val newFiles = Files.list(commitDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$commitRel/$n").toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val newStats = newFiles.map { f =>
+      f -> FooterStats.collect(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), start.schema)
+    }.filter(_._2.nonEmpty).toMap
+
+    // append-vs-append races retry on a fresh snapshot; a racer that
+    // already applied THIS batch wins and we discard our files
+    val maxAttempts = 10
+    var attempt = 0
+    while (true) {
+      val current = TableMetadata.load(dir)
+      if (current.properties.get(key).exists(_.toLong >= batchId)) {
+        newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+        Files.deleteIfExists(commitDir)
+        return false
+      }
+      try {
+        TableMetadata.commit(dir, current.copy(
+          version = current.version + 1,
+          files = current.files ++ newFiles,
+          fileStats = current.fileStats ++ newStats,
+          properties = current.properties + (key -> batchId.toString),
+          snapshots = current.snapshots :+ Snapshot(
+            current.version + 1, System.currentTimeMillis(), "append",
+            newFiles.size, current.files.size + newFiles.size)))
+        return true
+      } catch {
+        case _: IllegalStateException if attempt < maxAttempts => attempt += 1
+      }
+    }
+    false // unreachable
+  }
+
   // ---- row-level UPDATE / MERGE (copy-on-write) ----------------------------
 
   /** Shared copy-on-write commit: replace `hitFiles` with the rows of

@@ -155,6 +155,41 @@ object EventStreams {
       }
       .start()
 
+  /** [[ingestToLakehouse]] with exactly-once semantics under batch
+    * RE-EXECUTION: plain foreachBatch append double-writes when the
+    * sink commits but the process dies before the checkpoint advances
+    * (the batch replays on restart). Here each batch lands through
+    * [[graft.catalog.Maintenance.transactionalAppend]], which commits
+    * the (txnId, batchId) watermark atomically with the file additions
+    * — the replayed batch is recognized in the table's own metadata
+    * and skipped. txnId is derived from the checkpoint location, the
+    * same identity Structured Streaming scopes its batch ids to. */
+  def ingestToLakehouseExactlyOnce(
+      spark: SparkSession,
+      sourceDir: String,
+      sourceSchema: org.apache.spark.sql.types.StructType,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val txnId = java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        checkpointDir.getBytes("UTF-8"),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        checkpointDir.length, 42) & 0xffffffffL)
+    spark.readStream
+      .schema(sourceSchema)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.catalog.Maintenance.transactionalAppend(
+          batch.sparkSession, catalog, namespace, table, batch.toDF(), txnId, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming CDC apply: upsert each micro-batch into a lakehouse
     * table by key (MERGE-lite per batch — matched keys replaced,
     * new keys inserted, each batch one copy-on-write snapshot).

@@ -291,6 +291,56 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("transactionalAppend skips replayed batches: exactly-once under re-execution") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.txn_t (a BIGINT, b STRING)")
+    val m = graft.catalog.Maintenance
+    def cnt = spark.table("lakehouse.stream_ns.txn_t").count()
+
+    val b0 = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    m.transactionalAppend(spark, "lakehouse", Seq("stream_ns"), "txn_t",
+      b0, "ckpt1", 0L) shouldBe true
+    cnt shouldBe 2
+    // the crash-replay: same txn, same batch → recognized and skipped
+    m.transactionalAppend(spark, "lakehouse", Seq("stream_ns"), "txn_t",
+      b0, "ckpt1", 0L) shouldBe false
+    cnt shouldBe 2
+    // next batch applies; an older batch id replayed late is also skipped
+    m.transactionalAppend(spark, "lakehouse", Seq("stream_ns"), "txn_t",
+      Seq((3L, "z")).toDF("a", "b"), "ckpt1", 1L) shouldBe true
+    cnt shouldBe 3
+    m.transactionalAppend(spark, "lakehouse", Seq("stream_ns"), "txn_t",
+      b0, "ckpt1", 0L) shouldBe false
+    cnt shouldBe 3
+    // a DIFFERENT checkpoint identity is its own watermark
+    m.transactionalAppend(spark, "lakehouse", Seq("stream_ns"), "txn_t",
+      Seq((9L, "w")).toDF("a", "b"), "ckpt2", 0L) shouldBe true
+    cnt shouldBe 4
+    spark.sql("DROP TABLE lakehouse.stream_ns.txn_t")
+  }
+
+  test("exactly-once streaming ingest lands every batch exactly once") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.eo_t (a BIGINT, b STRING)")
+    val srcDir = java.nio.file.Files.createTempDirectory("eo-src-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("eo-ckpt-").toString
+    val schema = spark.table("lakehouse.stream_ns.eo_t").schema
+    Seq((1L, "x"), (2L, "y")).toDF("a", "b").write.mode("append").parquet(srcDir)
+    val q = graft.streaming.EventStreams.ingestToLakehouseExactlyOnce(
+      spark, srcDir, schema, "lakehouse", Seq("stream_ns"), "eo_t", ckpt)
+    try {
+      q.processAllAvailable()
+      spark.table("lakehouse.stream_ns.eo_t").count() shouldBe 2
+      Seq((3L, "z")).toDF("a", "b").write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      spark.table("lakehouse.stream_ns.eo_t").orderBy($"a").as[(Long, String)]
+        .collect().toSeq shouldBe Seq((1L, "x"), (2L, "y"), (3L, "z"))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.eo_t")
+    }
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch during backfill") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
     spark.sql("CREATE TABLE lakehouse.stream_ns.bf (a BIGINT)")
