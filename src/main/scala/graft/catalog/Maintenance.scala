@@ -37,13 +37,47 @@ object Maintenance {
     * recorded at commit turn filters on those columns into whole-file
     * skips — the way a 100 TB table serves selective predicates on a
     * second dimension without a second copy. */
+  /** Morton (Z-order) key over up to 4 numeric columns: each value is
+    * min-max-normalized to 16 bits (bounds from one driver-side agg —
+    * the same bounded pass IVF training uses), then the bit planes are
+    * interleaved with plain shift/or column arithmetic (codegen'd, no
+    * UDF). Sorting by this key gives every output file a TIGHT
+    * min/max box in EVERY clustered dimension simultaneously —
+    * `repartitionByRange(a, b)` only bounds the leading column (files
+    * span the full `b` domain), so filters on `b` skip nothing. The
+    * classic second-dimension answer for a 100 TB table. */
+  private def mortonKey(
+      df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(cols.size >= 2 && cols.size <= 4, s"zorder needs 2-4 columns, got ${cols.size}")
+    val bits = 16
+    val aggCols = cols.flatMap(c =>
+      Seq(min(df.col(c)).cast("double"), max(df.col(c)).cast("double")))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+      least(lit((1 << bits) - 1), greatest(lit(0),
+        ((df.col(c).cast("double") - lit(mn)) / lit(span) * lit((1 << bits) - 1))
+          .cast("int")))
+    }
+    (0 until bits).flatMap { b =>
+      scaled.zipWithIndex.map { case (s, i) =>
+        shiftleft(shiftright(s, b).bitwiseAND(lit(1)).cast("long"),
+          b * cols.size + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
   def compact(
       spark: SparkSession,
       catalog: String,
       namespace: Seq[String],
       table: String,
       targetFiles: Int = 1,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil,
+      zorder: Boolean = false): Int = {
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     val current = TableMetadata.load(dir)
@@ -69,6 +103,9 @@ object Maintenance {
     val clustered = bucketSpec match {
       case Some((bcol, n)) =>
         df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
+      case None if clusterBy.nonEmpty && zorder =>
+        val z = mortonKey(df, clusterBy)
+        df.repartitionByRange(targetFiles, z).sortWithinPartitions(z)
       case None if clusterBy.nonEmpty =>
         df.repartitionByRange(targetFiles, clusterBy.map(df.col): _*)
           .sortWithinPartitions(clusterBy.map(df.col): _*)

@@ -103,6 +103,47 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.p")
   }
 
+  test("zorder compaction bounds per-file ranges in EVERY clustered dimension") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    def mk(name: String): Unit = {
+      spark.sql(s"CREATE TABLE lakehouse.maint_ns.$name (x INT, y INT)")
+      val grid = for { x <- 0 until 100; y <- 0 until 100 } yield (x, y)
+      grid.toDF("x", "y").createOrReplaceTempView("z_src")
+      spark.sql(s"INSERT INTO lakehouse.maint_ns.$name SELECT * FROM z_src")
+    }
+    def spans(name: String, col: String): Seq[Double] = {
+      val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("maint_ns"), name))
+        .asInstanceOf[graft.catalog.LakehouseTable]
+      lt.meta.files.flatMap(f => lt.meta.fileStats.get(f))
+        .flatMap(_.get(col)).map(r => r.max.toDouble - r.min.toDouble)
+    }
+
+    mk("zlin")
+    Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "zlin",
+      targetFiles = 16, clusterBy = Seq("x", "y"))
+    mk("zord")
+    Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "zord",
+      targetFiles = 16, clusterBy = Seq("x", "y"), zorder = true)
+
+    // linear range clustering: x is tight but y spans ~the full domain
+    // in every file — a filter on y alone skips nothing
+    val linY = spans("zlin", "y")
+    linY.max should be > 90.0
+    // z-order: BOTH dimensions bounded per file (4x4 tiles for 16 files
+    // in the ideal case; allow slack for range-partition boundaries)
+    val zX = spans("zord", "x")
+    val zY = spans("zord", "y")
+    (zX.sum / zX.size) should be < 60.0
+    (zY.sum / zY.size) should be < 60.0
+    // and the data survived intact
+    spark.table("lakehouse.maint_ns.zord").count() shouldBe 10000
+    spark.sql("DROP TABLE lakehouse.maint_ns.zlin")
+    spark.sql("DROP TABLE lakehouse.maint_ns.zord")
+  }
+
   test("renameColumn rewrites data under the new name; time travel keeps the old schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
     spark.sql("CREATE TABLE lakehouse.maint_ns.rn (k INT, v STRING)")
