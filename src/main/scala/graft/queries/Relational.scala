@@ -32,12 +32,17 @@ object Relational {
           col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
           col("l_returnflag"), col("l_linestatus"),
           dayStr(col("l_shipdate")).as("l_shipdate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // measures as tiebreakers: (orderkey, linenumber) is only
+        // unique at small SFs — the generator duplicates keys at sf0.1
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_quantity"))
         .limit(20),
     Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
            |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
            |       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 20""".stripMargin))
+           |FROM lineitem
+           |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity
+           |LIMIT 20""".stripMargin))
 
   val q02 = Q(
     "q02_filter_project",
@@ -47,14 +52,14 @@ object Relational {
           col("l_discount").between(0.05, 0.07))
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
         .limit(50),
     Some("""SELECT l_orderkey, l_linenumber,
            |       l_extendedprice * (1.0 - l_discount) AS revenue
            |FROM lineitem
            |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            |  AND l_discount BETWEEN 0.05 AND 0.07
-           |ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin))
+           |ORDER BY l_orderkey, l_linenumber, revenue LIMIT 50""".stripMargin))
 
   val q03 = Q(
     "q03_join_inner",
@@ -457,7 +462,12 @@ object Relational {
           (col("l_discount") * col("l_discount")).as("disc_sq"),
           floor(col("l_extendedprice")).cast("long").as("price_floor"),
           ceil(col("l_extendedprice")).cast("long").as("price_ceil"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) stops being unique at sf0.1 (the
+        // generator duplicates keys with different measures), so the
+        // LIMIT frontier needs the measures as tiebreakers to stay a
+        // total order at every scale factor
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("price_sqrt"),
+          col("qty_dev"), col("disc_sq"))
         .limit(100),
     Some("""SELECT l_orderkey, l_linenumber,
            |       ROUND(l_extendedprice / 3.0, 4) AS third_price,
@@ -466,7 +476,9 @@ object Relational {
            |       l_discount * l_discount AS disc_sq,
            |       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
            |       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin))
+           |FROM lineitem
+           |ORDER BY l_orderkey, l_linenumber, price_sqrt, qty_dev, disc_sq
+           |LIMIT 100""".stripMargin))
 
   // Higher-order array functions over the 64-dim embedding column; the
   // norm is a sequential left-fold in both engines (same IEEE op order).
