@@ -28,7 +28,142 @@ import org.json4s.jackson.JsonMethods
   * (`tbl.metadata_log_entries` — notebook cell 11).
   */
 class LakehouseCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with FunctionCatalog {
+    with StagingTableCatalog with FunctionCatalog with ViewCatalog {
+
+  // ---- ViewCatalog: persistent SQL views -----------------------------------
+  // The Iceberg-parity view surface (CREATE/ALTER/DROP/SHOW VIEWS):
+  // each view is one JSON file under <ns>/_views/ storing the SQL text
+  // plus the name-resolution context captured at definition time
+  // (current catalog/namespace, schema, column aliases) — what Spark
+  // needs to re-analyze the query faithfully at read time. Publishes
+  // are conflict-checked with CREATE_NEW, same discipline as table
+  // metadata commits.
+
+  private def viewsDir(ns: Array[String]): Path = nsDir(ns).resolve("_views")
+  private def viewFile(ident: Identifier): Path =
+    viewsDir(ident.namespace).resolve(s"${ident.name}.json")
+
+  private def viewToJson(v: ViewInfo): String = {
+    def arr(a: Array[String]) = JArray(a.map(JString(_)).toList)
+    JsonMethods.pretty(JsonMethods.render(JObject(
+      "sql" -> JString(v.sql),
+      "currentCatalog" -> JString(v.currentCatalog),
+      "currentNamespace" -> arr(v.currentNamespace),
+      "schema" -> JsonMethods.parse(v.schema.json),
+      "queryColumnNames" -> arr(v.queryColumnNames),
+      "columnAliases" -> arr(v.columnAliases),
+      "columnComments" -> arr(v.columnComments),
+      "properties" -> JObject(v.properties.asScala.toList.sortBy(_._1)
+        .map { case (k, s) => k -> (JString(s): JValue) }))))
+  }
+
+  private def viewFromJson(ident: Identifier, json: String): View = {
+    val j = JsonMethods.parse(json)
+    def str(f: String) = (j \ f) match { case JString(s) => s; case _ => "" }
+    def arr(f: String) = (j \ f) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }.toArray
+      case _ => Array.empty[String]
+    }
+    val props = (j \ "properties") match {
+      case JObject(fs) => fs.collect { case (k, JString(s)) => k -> s }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val viewSchema = org.apache.spark.sql.types.DataType
+      .fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema")))
+      .asInstanceOf[StructType]
+    new View {
+      override def name(): String = fullName(ident)
+      override def query(): String = str("sql")
+      override def currentCatalog(): String = str("currentCatalog")
+      override def currentNamespace(): Array[String] = arr("currentNamespace")
+      override def schema(): StructType = viewSchema
+      override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = arr("columnComments")
+      override def properties(): java.util.Map[String, String] = props.asJava
+    }
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!isNamespace(ns)) throw new NoSuchNamespaceException(ns)
+    val vd = viewsDir(ns)
+    if (!Files.isDirectory(vd)) Array.empty
+    else Files.list(vd).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(n => Identifier.of(ns, n.stripSuffix(".json"))).toArray.sortBy(_.name)
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    viewFromJson(ident, Files.readString(f))
+  }
+
+  override def viewExists(ident: Identifier): Boolean = Files.isRegularFile(viewFile(ident))
+
+  override def createView(info: ViewInfo): View = {
+    if (!isNamespace(info.ident.namespace))
+      throw new NoSuchNamespaceException(info.ident.namespace)
+    if (tableExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    Files.createDirectories(viewsDir(info.ident.namespace))
+    try
+      Files.writeString(viewFile(info.ident), viewToJson(info),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    }
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (!orCreate && !viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+    Files.createDirectories(viewsDir(info.ident.namespace))
+    Files.writeString(viewFile(info.ident), viewToJson(info))
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val f = viewFile(ident)
+    if (!Files.isRegularFile(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val j = JsonMethods.parse(Files.readString(f))
+    val props0 = (j \ "properties") match {
+      case JObject(fs) => fs.collect { case (k, JString(s)) => k -> s }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val props = changes.foldLeft(props0) {
+      case (p, set: ViewChange.SetProperty) => p + (set.property -> set.value)
+      case (p, rm: ViewChange.RemoveProperty) => p - rm.property
+      case (p, _) => p
+    }
+    val updated = j.asInstanceOf[JObject].copy(obj =
+      j.asInstanceOf[JObject].obj.filterNot(_._1 == "properties") :+
+        ("properties" -> (JObject(props.toList.sortBy(_._1)
+          .map { case (k, s) => k -> (JString(s): JValue) }): JValue)))
+    Files.writeString(f, JsonMethods.pretty(JsonMethods.render(updated)))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val src = viewFile(oldIdent)
+    if (!Files.isRegularFile(src))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    Files.createDirectories(viewsDir(newIdent.namespace))
+    try Files.createLink(viewFile(newIdent), src)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    }
+    Files.delete(src)
+  }
 
   // ---- FunctionCatalog: the bucket transform's definition ------------------
 

@@ -19,6 +19,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL wiring for lakehouse views — Spark 4.1 has the ViewCatalog
+    // SPI but no parser/analyzer support for it (see LakehouseViews):
+    // DDL is intercepted at parse time (ResolveSessionCatalog rejects
+    // non-session-catalog view DDL before any injected rule could run),
+    // reads resolve through an extra resolution rule.
+    ext.injectParser { (session, delegate) =>
+      new graft.catalog.LakehouseViews.ViewAwareParser(session, delegate)
+    }
+    ext.injectResolutionRule { session =>
+      graft.catalog.LakehouseViews.ResolveLakehouseViews(session)
+    }
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

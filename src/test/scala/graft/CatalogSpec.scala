@@ -108,6 +108,76 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.blms_cat.trunc_t")
   }
 
+  test("persistent views: CREATE/SELECT/REPLACE/RENAME/SHOW/DROP VIEW in the catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.blms_cat")
+    spark.sql("CREATE TABLE lakehouse.blms_cat.vbase (k INT, v STRING)")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v").createOrReplaceTempView("vbase_src")
+    spark.sql("INSERT INTO lakehouse.blms_cat.vbase SELECT * FROM vbase_src")
+
+    spark.sql(
+      "CREATE VIEW lakehouse.blms_cat.big_k AS SELECT k, v FROM lakehouse.blms_cat.vbase WHERE k >= 2")
+    spark.sql("SELECT * FROM lakehouse.blms_cat.big_k ORDER BY k")
+      .collect().map(_.getInt(0)) shouldBe Array(2, 3)
+    // the view tracks base-table changes (re-analyzed per query, not a copy)
+    Seq((9, "z")).toDF("k", "v").createOrReplaceTempView("vbase_more")
+    spark.sql("INSERT INTO lakehouse.blms_cat.vbase SELECT * FROM vbase_more")
+    spark.sql("SELECT count(*) FROM lakehouse.blms_cat.big_k").collect()(0).getLong(0) shouldBe 3
+
+    spark.sql("SHOW VIEWS IN lakehouse.blms_cat").collect()
+      .map(_.getString(1)) should contain("big_k")
+
+    spark.sql(
+      "CREATE OR REPLACE VIEW lakehouse.blms_cat.big_k AS SELECT k FROM lakehouse.blms_cat.vbase WHERE k >= 3")
+    spark.sql("SELECT * FROM lakehouse.blms_cat.big_k ORDER BY k")
+      .collect().map(_.getInt(0)) shouldBe Array(3, 9)
+
+    // rename via the ViewCatalog API (SQL ALTER VIEW RENAME routes
+    // through the session-catalog path Spark reserves for v1 views)
+    val vc = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[graft.catalog.LakehouseCatalog]
+    val vns = Array("blms_cat")
+    vc.renameView(org.apache.spark.sql.connector.catalog.Identifier.of(vns, "big_k"),
+      org.apache.spark.sql.connector.catalog.Identifier.of(vns, "huge_k"))
+    spark.sql("SELECT count(*) FROM lakehouse.blms_cat.huge_k")
+      .collect()(0).getLong(0) shouldBe 2
+    intercept[Exception] { spark.table("lakehouse.blms_cat.big_k").collect() }
+
+    // views survive catalog reload (persisted, not session state)
+    spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[graft.catalog.LakehouseCatalog]
+      .invalidateView(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("blms_cat"), "huge_k"))
+    spark.sql("SELECT count(*) FROM lakehouse.blms_cat.huge_k")
+      .collect()(0).getLong(0) shouldBe 2
+
+    spark.sql("DROP VIEW lakehouse.blms_cat.huge_k")
+    spark.sql("SHOW VIEWS IN lakehouse.blms_cat").collect()
+      .map(_.getString(1)) should not contain "huge_k"
+    spark.sql("DROP TABLE lakehouse.blms_cat.vbase")
+  }
+
+  test("views capture their definition context: relative names resolve at read time") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.vctx")
+    spark.sql("CREATE TABLE lakehouse.vctx.base_t (k INT)")
+    Seq(1, 2, 3).toDF("k").createOrReplaceTempView("vctx_src")
+    spark.sql("INSERT INTO lakehouse.vctx.base_t SELECT * FROM vctx_src")
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    try {
+      // define the view from INSIDE lakehouse.vctx with a bare table name
+      spark.sql("USE lakehouse.vctx")
+      spark.sql("CREATE VIEW rel_v AS SELECT k FROM base_t WHERE k >= 2")
+      // read it from a completely different context: the stored
+      // definition context must requalify `base_t`, not the reader's
+      spark.sql(s"USE $prevCat")
+      spark.sql("SELECT * FROM lakehouse.vctx.rel_v ORDER BY k")
+        .collect().map(_.getInt(0)) shouldBe Array(2, 3)
+    } finally {
+      spark.sql(s"USE $prevCat")
+      spark.sql("DROP VIEW IF EXISTS lakehouse.vctx.rel_v")
+      spark.sql("DROP TABLE lakehouse.vctx.base_t")
+    }
+  }
+
   test("catalog introspection: SHOW CATALOGS / NAMESPACES / TABLES / TBLPROPERTIES") {
     spark.sql("SHOW CATALOGS").collect().map(_.getString(0)) should contain("lakehouse")
     spark.sql("SHOW NAMESPACES IN lakehouse").collect().map(_.getString(0)) should
