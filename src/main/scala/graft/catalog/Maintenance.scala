@@ -220,6 +220,45 @@ object Maintenance {
     newFiles.size
   }
 
+  /** Roll the table back to an earlier version's state — as a NEW
+    * commit (Iceberg's rollback_to_snapshot / Delta RESTORE): the
+    * target version's schema, files, and stats are re-published at
+    * version N+1, so the rollback itself is in the history and can be
+    * rolled back; no data files move (the old snapshot's files are
+    * still on disk unless vacuumed — which vacuum's
+    * retained-version check respects). Fails if the target version's
+    * files have already been vacuumed. */
+  def rollback(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      toVersion: Int): Unit = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    require(toVersion >= 1 && toVersion <= current.version,
+      s"version $toVersion out of range 1..${current.version}")
+    val target = TableMetadata.loadLog(dir)
+      .find(_.version == toVersion)
+      .getOrElse(throw new IllegalStateException(s"missing metadata for v$toVersion"))
+    val missing = target.files.filterNot(f => Files.exists(dir.resolve(f)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot roll back to v$toVersion: ${missing.size} data file(s) already vacuumed, " +
+          s"first: ${missing.head}")
+    TableMetadata.commit(dir, current.copy(
+      version = current.version + 1,
+      schema = target.schema,
+      partitionColumns = target.partitionColumns,
+      properties = target.properties,
+      files = target.files,
+      fileStats = target.fileStats,
+      snapshots = current.snapshots :+ Snapshot(
+        current.version + 1, System.currentTimeMillis(), s"rollback(v$toVersion)",
+        0, target.files.size)))
+  }
+
   /** Exactly-once append for streaming sinks: the (txnId, batchId)
     * watermark is committed ATOMICALLY with the file additions (one
     * metadata swap), so a micro-batch that is re-executed after a

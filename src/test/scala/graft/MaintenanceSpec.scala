@@ -144,6 +144,34 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.zord")
   }
 
+  test("rollback restores an earlier snapshot as a new, history-preserving commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.rb2 (k INT)")
+    Seq(1, 2).toDF("k").createOrReplaceTempView("rb2_src")
+    spark.sql("INSERT INTO lakehouse.maint_ns.rb2 SELECT * FROM rb2_src") // v2: {1,2}
+    Seq(3).toDF("k").createOrReplaceTempView("rb2_src2")
+    spark.sql("INSERT INTO lakehouse.maint_ns.rb2 SELECT * FROM rb2_src2") // v3: {1,2,3}
+    spark.table("lakehouse.maint_ns.rb2").count() shouldBe 3
+
+    Maintenance.rollback(spark, "lakehouse", Seq("maint_ns"), "rb2", toVersion = 2)
+    spark.table("lakehouse.maint_ns.rb2").orderBy($"k").collect()
+      .map(_.getInt(0)) shouldBe Array(1, 2)
+    // the rollback is itself a commit: v3's state is still reachable...
+    spark.sql("SELECT * FROM lakehouse.maint_ns.rb2 VERSION AS OF 3").count() shouldBe 3
+    // ...and the rollback can be rolled back
+    Maintenance.rollback(spark, "lakehouse", Seq("maint_ns"), "rb2", toVersion = 3)
+    spark.table("lakehouse.maint_ns.rb2").count() shouldBe 3
+    spark.sql("SELECT * FROM lakehouse.maint_ns.rb2.history ORDER BY version")
+      .collect().map(_.getAs[String]("operation")).takeRight(2) shouldBe
+      Array("rollback(v2)", "rollback(v3)")
+    // vacuuming the current snapshot's complement then rolling back to a
+    // vacuumed version must fail clean, not produce a corrupt table
+    Maintenance.vacuum(spark, "lakehouse", Seq("maint_ns"), "rb2",
+      retainVersions = 1, retentionMs = 0L)
+    spark.table("lakehouse.maint_ns.rb2").count() shouldBe 3 // current intact
+    spark.sql("DROP TABLE lakehouse.maint_ns.rb2")
+  }
+
   test("renameColumn rewrites data under the new name; time travel keeps the old schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
     spark.sql("CREATE TABLE lakehouse.maint_ns.rn (k INT, v STRING)")
