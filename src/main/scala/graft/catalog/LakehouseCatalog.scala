@@ -28,7 +28,18 @@ import org.json4s.jackson.JsonMethods
   * (`tbl.metadata_log_entries` — notebook cell 11).
   */
 class LakehouseCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with FunctionCatalog with ViewCatalog {
+    with StagingTableCatalog with FunctionCatalog with ViewCatalog
+    with ProcedureCatalog {
+
+  // ---- ProcedureCatalog: CALL <cat>.system.<proc>(...) ---------------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LakehouseProcedures.list(namespace)
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LakehouseProcedures.load(ident, catalogName).getOrElse(
+      throw new RuntimeException(
+        s"no such procedure: ${(ident.namespace :+ ident.name).mkString(".")}"))
 
   // ---- ViewCatalog: persistent SQL views -----------------------------------
   // The Iceberg-parity view surface (CREATE/ALTER/DROP/SHOW VIEWS):

@@ -1,0 +1,133 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `CALL lakehouse.system.<proc>(...)` — the stored-procedure surface
+  * for table maintenance, mirroring Iceberg's `system` procedures
+  * (`rewrite_data_files`, `expire_snapshots`, `rollback_to_snapshot`)
+  * on Spark 4's native ProcedureCatalog/CALL support:
+  *
+  *  - `compact(ns, tbl, target_files, cluster_by, zorder)`
+  *  - `vacuum(ns, tbl, retain_versions, retention_ms)`
+  *  - `rollback(ns, tbl, to_version)`
+  *  - `rename_column(ns, tbl, old_name, new_name)`
+  *
+  * Nested namespaces are passed dot-joined (`'cat.db'`). Each
+  * procedure is a thin SQL face over the corresponding
+  * [[Maintenance]] op and returns its result as one row.
+  */
+object LakehouseProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def param(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private abstract class MaintenanceProc(
+      procName: String,
+      params: Array[ProcedureParameter],
+      resultField: String) extends UnboundProcedure with BoundProcedure {
+
+    /** The registered name of the catalog this procedure was loaded
+      * from (loadProcedure passes it in; a catalog can be registered
+      * under any spark.sql.catalog.<name>). */
+    @volatile var catalogName: String = "lakehouse"
+
+    override def name(): String = procName
+    override def description(): String = s"lakehouse maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+
+    /** The op itself; returns the single result value. */
+    def run(spark: SparkSession, catalogName: String, args: InternalRow): Long
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val result = run(spark, catalogName, input)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType =
+          StructType(Seq(StructField(resultField, LongType, nullable = false)))
+        override def rows(): Array[InternalRow] = Array(InternalRow(result))
+        override def description(): String = s"$procName result"
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+
+  private def ns(args: InternalRow): Seq[String] =
+    args.getUTF8String(0).toString.split('.').toSeq
+  private def tbl(args: InternalRow): String = args.getUTF8String(1).toString
+
+  private val compactProc = new MaintenanceProc("compact",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("target_files", IntegerType, "1"),
+      param("cluster_by", StringType, "''"),
+      param("zorder", BooleanType, "false")), "files") {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      val clusterBy = a.getUTF8String(3).toString match {
+        case "" => Nil
+        case s => s.split(',').map(_.trim).toSeq
+      }
+      Maintenance.compact(spark, cat, ns(a), tbl(a),
+        targetFiles = a.getInt(2), clusterBy = clusterBy, zorder = a.getBoolean(4)).toLong
+    }
+  }
+
+  private val vacuumProc = new MaintenanceProc("vacuum",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("retain_versions", IntegerType, "1"),
+      param("retention_ms", LongType, Maintenance.DefaultRetentionMs.toString)), "deleted") {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.vacuum(spark, cat, ns(a), tbl(a),
+        retainVersions = a.getInt(2), retentionMs = a.getLong(3)).toLong
+  }
+
+  private val rollbackProc = new MaintenanceProc("rollback",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("to_version", IntegerType)), "version") {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      Maintenance.rollback(spark, cat, ns(a), tbl(a), toVersion = a.getInt(2))
+      a.getInt(2).toLong
+    }
+  }
+
+  private val renameColumnProc = new MaintenanceProc("rename_column",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("old_name", StringType), param("new_name", StringType)), "files") {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.renameColumn(spark, cat, ns(a), tbl(a),
+        a.getUTF8String(2).toString, a.getUTF8String(3).toString).toLong
+  }
+
+  private val all: Map[String, UnboundProcedure] = Map(
+    "compact" -> compactProc,
+    "vacuum" -> vacuumProc,
+    "rollback" -> rollbackProc,
+    "rename_column" -> renameColumnProc)
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Namespace))
+      all.keys.toArray.sorted.map(Identifier.of(Namespace, _))
+    else Array.empty
+
+  def load(ident: Identifier, catalogName: String): Option[UnboundProcedure] =
+    if (ident.namespace.sameElements(Namespace))
+      all.get(ident.name).map { p =>
+        p.asInstanceOf[MaintenanceProc].catalogName = catalogName
+        p
+      }
+    else None
+}
