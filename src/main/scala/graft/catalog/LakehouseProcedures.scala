@@ -31,15 +31,16 @@ object LakehouseProcedures {
   private def param(name: String, dt: DataType, default: String) =
     ProcedureParameter.in(name, dt).defaultValue(default).build()
 
+  /** One procedure instance per loadProcedure call: `catalogName` (the
+    * registered name of the catalog the procedure was loaded from) is a
+    * constructor value, NOT shared mutable state — with two
+    * LakehouseCatalog registrations, a load racing a CALL must not
+    * redirect the in-flight maintenance op to the other catalog's table. */
   private abstract class MaintenanceProc(
       procName: String,
       params: Array[ProcedureParameter],
-      resultField: String) extends UnboundProcedure with BoundProcedure {
-
-    /** The registered name of the catalog this procedure was loaded
-      * from (loadProcedure passes it in; a catalog can be registered
-      * under any spark.sql.catalog.<name>). */
-    @volatile var catalogName: String = "lakehouse"
+      resultField: String,
+      catalogName: String) extends UnboundProcedure with BoundProcedure {
 
     override def name(): String = procName
     override def description(): String = s"lakehouse maintenance: $procName"
@@ -67,12 +68,12 @@ object LakehouseProcedures {
     args.getUTF8String(0).toString.split('.').toSeq
   private def tbl(args: InternalRow): String = args.getUTF8String(1).toString
 
-  private val compactProc = new MaintenanceProc("compact",
+  private def compactProc(catalogName: String) = new MaintenanceProc("compact",
     Array(
       param("ns", StringType), param("tbl", StringType),
       param("target_files", IntegerType, "1"),
       param("cluster_by", StringType, "''"),
-      param("zorder", BooleanType, "false")), "files") {
+      param("zorder", BooleanType, "false")), "files", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
       val clusterBy = a.getUTF8String(3).toString match {
         case "" => Nil
@@ -83,51 +84,49 @@ object LakehouseProcedures {
     }
   }
 
-  private val vacuumProc = new MaintenanceProc("vacuum",
+  private def vacuumProc(catalogName: String) = new MaintenanceProc("vacuum",
     Array(
       param("ns", StringType), param("tbl", StringType),
       param("retain_versions", IntegerType, "1"),
-      param("retention_ms", LongType, Maintenance.DefaultRetentionMs.toString)), "deleted") {
+      param("retention_ms", LongType, Maintenance.DefaultRetentionMs.toString)),
+    "deleted", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
       Maintenance.vacuum(spark, cat, ns(a), tbl(a),
         retainVersions = a.getInt(2), retentionMs = a.getLong(3)).toLong
   }
 
-  private val rollbackProc = new MaintenanceProc("rollback",
+  private def rollbackProc(catalogName: String) = new MaintenanceProc("rollback",
     Array(
       param("ns", StringType), param("tbl", StringType),
-      param("to_version", IntegerType)), "version") {
+      param("to_version", IntegerType)), "version", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
       Maintenance.rollback(spark, cat, ns(a), tbl(a), toVersion = a.getInt(2))
       a.getInt(2).toLong
     }
   }
 
-  private val renameColumnProc = new MaintenanceProc("rename_column",
+  private def renameColumnProc(catalogName: String) = new MaintenanceProc("rename_column",
     Array(
       param("ns", StringType), param("tbl", StringType),
-      param("old_name", StringType), param("new_name", StringType)), "files") {
+      param("old_name", StringType), param("new_name", StringType)), "files", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
       Maintenance.renameColumn(spark, cat, ns(a), tbl(a),
         a.getUTF8String(2).toString, a.getUTF8String(3).toString).toLong
   }
 
-  private val all: Map[String, UnboundProcedure] = Map(
-    "compact" -> compactProc,
-    "vacuum" -> vacuumProc,
-    "rollback" -> rollbackProc,
-    "rename_column" -> renameColumnProc)
+  private val factories: Map[String, String => UnboundProcedure] = Map(
+    "compact" -> (compactProc(_)),
+    "vacuum" -> (vacuumProc(_)),
+    "rollback" -> (rollbackProc(_)),
+    "rename_column" -> (renameColumnProc(_)))
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
-      all.keys.toArray.sorted.map(Identifier.of(Namespace, _))
+      factories.keys.toArray.sorted.map(Identifier.of(Namespace, _))
     else Array.empty
 
   def load(ident: Identifier, catalogName: String): Option[UnboundProcedure] =
     if (ident.namespace.sameElements(Namespace))
-      all.get(ident.name).map { p =>
-        p.asInstanceOf[MaintenanceProc].catalogName = catalogName
-        p
-      }
+      factories.get(ident.name).map(_(catalogName))
     else None
 }

@@ -42,17 +42,33 @@ object LakehouseViews {
     spark.conf.getOption(s"spark.sql.catalog.$name")
       .contains(classOf[LakehouseCatalog].getName)
 
+  /** Head of a multi-part name that must NOT be treated as relative to
+    * the current (lakehouse) catalog: another registered catalog, or
+    * the global-temp database. Routing those into the lakehouse would
+    * hijack `spark_catalog.db.v` / `global_temp.gv` DDL. */
+  private def claimsOtherResolution(spark: SparkSession, head: String): Boolean = {
+    val cm = spark.sessionState.catalogManager
+    (!isLakehouseCatalog(spark, head) && scala.util.Try(cm.catalog(head)).isSuccess) ||
+      head == spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.StaticSQLConf.GLOBAL_TEMP_DATABASE)
+  }
+
   /** (catalog, namespace, name) when `parts` names a view in a
-    * lakehouse catalog — either fully qualified or relative to the
-    * session's current catalog. */
+    * lakehouse catalog — fully qualified, relative to the session's
+    * current catalog, or relative to the current catalog AND current
+    * namespace (the common `USE lakehouse.ns; SELECT * FROM v` path). */
   private def viewParts(
       spark: SparkSession, parts: Seq[String]): Option[(ViewCatalog, Identifier)] = {
     val cm = spark.sessionState.catalogManager
+    val cur = cm.currentCatalog.name()
+    val relativeOk = isLakehouseCatalog(spark, cur) &&
+      !claimsOtherResolution(spark, parts.head)
     val candidates = Seq(
       Option.when(parts.size >= 2 && isLakehouseCatalog(spark, parts.head))(
         (parts.head, parts.tail)),
-      Option.when(isLakehouseCatalog(spark, cm.currentCatalog.name()))(
-        (cm.currentCatalog.name(), parts))).flatten
+      Option.when(relativeOk && parts.size == 1)(
+        (cur, cm.currentNamespace.toSeq ++ parts)),
+      Option.when(relativeOk)((cur, parts))).flatten
     candidates.collectFirst {
       case (cat, rest) if rest.nonEmpty &&
         cm.catalog(cat).isInstanceOf[ViewCatalog] &&
@@ -75,6 +91,10 @@ object LakehouseViews {
       * at parse time — lands in a lakehouse catalog. */
     private def qualifyIdent(parts: Seq[String]): Option[Seq[String]] =
       if (parts.size >= 2 && isLakehouseCatalog(spark, parts.head)) Some(parts)
+      // `spark_catalog.db.v` / `global_temp.gv` name another resolution
+      // domain even when the CURRENT catalog is a lakehouse — pass them
+      // through to the delegate untouched
+      else if (parts.size >= 2 && claimsOtherResolution(spark, parts.head)) None
       else {
         val cm = spark.sessionState.catalogManager
         val cur = cm.currentCatalog.name()
@@ -85,6 +105,7 @@ object LakehouseViews {
 
     private def qualifyNamespace(parts: Seq[String]): Option[Seq[String]] =
       if (parts.nonEmpty && isLakehouseCatalog(spark, parts.head)) Some(parts)
+      else if (parts.nonEmpty && claimsOtherResolution(spark, parts.head)) None
       else {
         val cm = spark.sessionState.catalogManager
         val cur = cm.currentCatalog.name()
@@ -165,7 +186,11 @@ object LakehouseViews {
       val cm = spark.sessionState.catalogManager
       def isCatalogName(n: String): Boolean =
         scala.util.Try(cm.catalog(n)).isSuccess
-      body transform {
+      // transformDownWithSubqueries, not transform: relations inside
+      // scalar / IN / EXISTS / lateral subquery EXPRESSIONS must be
+      // re-qualified too, or they'd resolve against the READER's
+      // context — silently reading a different table
+      body transformDownWithSubqueries {
         case r: UnresolvedRelation if r.multipartIdentifier.size < 3 &&
             !isCatalogName(r.multipartIdentifier.head) =>
           val parts = r.multipartIdentifier

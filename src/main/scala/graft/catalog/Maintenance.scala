@@ -51,16 +51,25 @@ object Maintenance {
       cols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     require(cols.size >= 2 && cols.size <= 4, s"zorder needs 2-4 columns, got ${cols.size}")
-    val bits = 16
+    // keep the interleaved key inside the long's 63 value bits: with 4
+    // columns, 16 bits/dim would put the top plane at bit 63 (the sign
+    // bit) and range-partitioning would order the upper half of the 4th
+    // dimension BEFORE everything else
+    val bits = math.min(16, 63 / cols.size)
     val aggCols = cols.flatMap(c =>
       Seq(min(df.col(c)).cast("double"), max(df.col(c)).cast("double")))
     val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
     val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
-      val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-      least(lit((1 << bits) - 1), greatest(lit(0),
-        ((df.col(c).cast("double") - lit(mn)) / lit(span) * lit((1 << bits) - 1))
-          .cast("int")))
+      // empty table or all-null column: no bounds → that dimension
+      // contributes a constant 0 plane instead of an NPE
+      if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) lit(0)
+      else {
+        val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+        least(lit((1 << bits) - 1), greatest(lit(0),
+          ((df.col(c).cast("double") - lit(mn)) / lit(span) * lit((1 << bits) - 1))
+            .cast("int")))
+      }
     }
     (0 until bits).flatMap { b =>
       scaled.zipWithIndex.map { case (s, i) =>

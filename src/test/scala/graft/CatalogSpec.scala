@@ -178,6 +178,74 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("relative view names resolve against the current namespace") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.vctx2")
+    spark.sql("CREATE TABLE lakehouse.vctx2.nt (k INT)")
+    Seq(1, 2, 3).toDF("k").createOrReplaceTempView("vctx2_src")
+    spark.sql("INSERT INTO lakehouse.vctx2.nt SELECT * FROM vctx2_src")
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    try {
+      spark.sql("USE lakehouse.vctx2")
+      spark.sql("CREATE VIEW bare_v AS SELECT k FROM nt WHERE k >= 2")
+      // the DDL qualified the view into vctx2; a bare-name read from the
+      // SAME namespace — the most common usage path — must find it
+      spark.sql("SELECT * FROM bare_v ORDER BY k").collect()
+        .map(_.getInt(0)) shouldBe Array(2, 3)
+    } finally {
+      spark.sql(s"USE $prevCat")
+      spark.sql("DROP VIEW IF EXISTS lakehouse.vctx2.bare_v")
+      spark.sql("DROP TABLE IF EXISTS lakehouse.vctx2.nt")
+    }
+  }
+
+  test("names qualified with another catalog or global_temp bypass lakehouse view DDL") {
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.vctx3")
+    try {
+      spark.sql("USE lakehouse.vctx3")
+      // global temp views live in Spark's registry, not our catalog —
+      // DROP VIEW global_temp.x must route there even with a lakehouse
+      // catalog current
+      spark.sql("CREATE GLOBAL TEMPORARY VIEW gtv AS SELECT 42 AS x")
+      spark.sql("SELECT x FROM global_temp.gtv").collect()(0).getInt(0) shouldBe 42
+      spark.sql("DROP VIEW global_temp.gtv")
+      intercept[Exception] { spark.sql("SELECT x FROM global_temp.gtv").collect() }
+      spark.sql("SHOW VIEWS IN lakehouse.vctx3").collect() shouldBe empty
+
+      // explicitly session-catalog-qualified CREATE VIEW is not hijacked
+      spark.sql("CREATE VIEW spark_catalog.default.scv AS SELECT 7 AS y")
+      spark.sql("SHOW VIEWS IN lakehouse.vctx3").collect() shouldBe empty
+      spark.sql(s"USE $prevCat")
+      spark.sql("SELECT y FROM default.scv").collect()(0).getInt(0) shouldBe 7
+      spark.sql("DROP VIEW default.scv")
+    } finally { spark.sql(s"USE $prevCat") }
+  }
+
+  test("view bodies requalify relations inside subqueries to the definition context") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.vctx4")
+    spark.sql("CREATE TABLE lakehouse.vctx4.t1 (k INT)")
+    spark.sql("CREATE TABLE lakehouse.vctx4.t2 (k INT)")
+    Seq(1, 2, 3, 4).toDF("k").createOrReplaceTempView("v4a")
+    spark.sql("INSERT INTO lakehouse.vctx4.t1 SELECT * FROM v4a")
+    Seq(2, 4).toDF("k").createOrReplaceTempView("v4b")
+    spark.sql("INSERT INTO lakehouse.vctx4.t2 SELECT * FROM v4b")
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    try {
+      spark.sql("USE lakehouse.vctx4")
+      spark.sql("CREATE VIEW subq_v AS SELECT k FROM t1 WHERE k IN (SELECT k FROM t2)")
+      spark.sql(s"USE $prevCat")
+      // the reader's context has no t2: the IN-subquery's relation must
+      // have been requalified under the view's captured namespace
+      spark.sql("SELECT * FROM lakehouse.vctx4.subq_v ORDER BY k").collect()
+        .map(_.getInt(0)) shouldBe Array(2, 4)
+    } finally {
+      spark.sql(s"USE $prevCat")
+      spark.sql("DROP VIEW IF EXISTS lakehouse.vctx4.subq_v")
+      spark.sql("DROP TABLE IF EXISTS lakehouse.vctx4.t1")
+      spark.sql("DROP TABLE IF EXISTS lakehouse.vctx4.t2")
+    }
+  }
+
   test("catalog introspection: SHOW CATALOGS / NAMESPACES / TABLES / TBLPROPERTIES") {
     spark.sql("SHOW CATALOGS").collect().map(_.getString(0)) should contain("lakehouse")
     spark.sql("SHOW NAMESPACES IN lakehouse").collect().map(_.getString(0)) should

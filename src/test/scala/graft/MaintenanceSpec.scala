@@ -221,4 +221,89 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
       graft.catalog.Bucketing.bucketIdOf(f).exists(_ < 4)) shouldBe true
     spark.sql("DROP TABLE lakehouse.maint_ns.rb")
   }
+
+  test("4-column zorder clusters every dimension and survives empty/all-null input") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.z4 (a INT, b INT, c INT, d INT)")
+    val rows = for { a <- 0 until 8; b <- 0 until 8; c <- 0 until 8; d <- 0 until 8 }
+      yield (a * 13, b * 13, c * 13, d * 13)
+    rows.toDF("a", "b", "c", "d").createOrReplaceTempView("z4_src")
+    spark.sql("INSERT INTO lakehouse.maint_ns.z4 SELECT * FROM z4_src")
+    // 4 dims × 16 bits would put the top plane on the long's sign bit
+    // (15*4+3 = 63) and break the keyspace order for the 4th dimension
+    Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "z4",
+      targetFiles = 16, clusterBy = Seq("a", "b", "c", "d"), zorder = true)
+    spark.table("lakehouse.maint_ns.z4").count() shouldBe 4096
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("maint_ns"), "z4"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    Seq("a", "b", "c", "d").foreach { c =>
+      val spans = lt.meta.files.flatMap(f => lt.meta.fileStats.get(f))
+        .flatMap(_.get(c)).map(r => r.max.toDouble - r.min.toDouble)
+      (spans.sum / spans.size) should be < 70.0 // domain is 0..91
+    }
+    spark.sql("DROP TABLE lakehouse.maint_ns.z4")
+
+    // empty table: the bounds row is all-null — must not NPE
+    spark.sql("CREATE TABLE lakehouse.maint_ns.z4e (a INT, b INT)")
+    noException should be thrownBy Maintenance.compact(spark, "lakehouse",
+      Seq("maint_ns"), "z4e", targetFiles = 2, clusterBy = Seq("a", "b"), zorder = true)
+    spark.sql("DROP TABLE lakehouse.maint_ns.z4e")
+
+    // all-null cluster column: that dimension degrades to a constant
+    spark.sql("CREATE TABLE lakehouse.maint_ns.z4n (a INT, b INT)")
+    Seq((1, Option.empty[Int]), (2, Option.empty[Int]), (3, Option.empty[Int]))
+      .toDF("a", "b").createOrReplaceTempView("z4n_src")
+    spark.sql("INSERT INTO lakehouse.maint_ns.z4n SELECT * FROM z4n_src")
+    Maintenance.compact(spark, "lakehouse", Seq("maint_ns"), "z4n",
+      targetFiles = 1, clusterBy = Seq("a", "b"), zorder = true)
+    spark.table("lakehouse.maint_ns.z4n").count() shouldBe 3
+    spark.sql("DROP TABLE lakehouse.maint_ns.z4n")
+  }
+
+  test("procedures bind their catalog per load, not via shared mutable state") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.connector.catalog.procedures.BoundProcedure
+    import org.apache.spark.unsafe.types.UTF8String
+
+    // second LakehouseCatalog registration over its own warehouse
+    val wh2 = java.nio.file.Files.createTempDirectory("graft-wh2-").toString
+    spark.conf.set("spark.sql.catalog.lake2", "graft.catalog.LakehouseCatalog")
+    spark.conf.set("spark.sql.catalog.lake2.warehouse", wh2)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake2.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.pp (k INT)")
+    spark.sql("CREATE TABLE lake2.maint_ns.pp (k INT)")
+    (0 until 3).foreach { i =>
+      Seq(i).toDF("k").createOrReplaceTempView("pp_src")
+      spark.sql("INSERT INTO lakehouse.maint_ns.pp SELECT * FROM pp_src")
+      spark.sql("INSERT INTO lake2.maint_ns.pp SELECT * FROM pp_src")
+    }
+    def fileCount(cat: String): Int = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(Identifier.of(Array("maint_ns"), "pp"))
+      .asInstanceOf[graft.catalog.LakehouseTable].meta.files.size
+    fileCount("lakehouse") shouldBe 3
+    fileCount("lake2") shouldBe 3
+
+    val id = Identifier.of(Array("system"), "compact")
+    val p1 = graft.catalog.LakehouseProcedures.load(id, "lakehouse").get
+    val p2 = graft.catalog.LakehouseProcedures.load(id, "lake2").get // after p1: must not clobber it
+    (p1 ne p2) shouldBe true
+    val args = org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString("maint_ns"), UTF8String.fromString("pp"),
+      1, UTF8String.fromString(""), false)
+    p1.asInstanceOf[BoundProcedure].call(args.copy()) // compacts LAKEHOUSE's pp
+    fileCount("lakehouse") shouldBe 1
+    fileCount("lake2") shouldBe 3 // untouched
+
+    // the SQL CALL surface still works end-to-end
+    spark.sql("CALL lake2.system.compact('maint_ns', 'pp')").collect()(0)
+      .getLong(0) shouldBe 1L
+    fileCount("lake2") shouldBe 1
+    spark.sql("DROP TABLE lakehouse.maint_ns.pp")
+    spark.sql("DROP TABLE lake2.maint_ns.pp")
+  }
 }
