@@ -114,11 +114,23 @@ object LakehouseProcedures {
         a.getUTF8String(2).toString, a.getUTF8String(3).toString).toLong
   }
 
+  private def bloomIndexProc(catalogName: String) = new MaintenanceProc("bloom_index",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("columns", StringType),
+      param("expected_per_file", LongType, "1000000")), "sidecars", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      BloomIndex.build(spark, cat, ns(a), tbl(a),
+        a.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        a.getLong(3)).toLong
+  }
+
   private val factories: Map[String, String => UnboundProcedure] = Map(
     "compact" -> (compactProc(_)),
     "vacuum" -> (vacuumProc(_)),
     "rollback" -> (rollbackProc(_)),
-    "rename_column" -> (renameColumnProc(_)))
+    "rename_column" -> (renameColumnProc(_)),
+    "bloom_index" -> (bloomIndexProc(_)))
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))

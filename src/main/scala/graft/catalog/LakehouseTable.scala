@@ -86,8 +86,13 @@ class LakehouseTable(
         required = requiredSchema
 
       override def build(): org.apache.spark.sql.connector.read.Scan = {
-        val survivors =
+        // two metadata-only pruning layers before any footer is opened:
+        // min/max ranges (layout-dependent), then per-file bloom probes
+        // for point predicates on indexed columns (layout-independent)
+        val rangeSurvivors =
           FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
+        val survivors = BloomIndex.prune(
+          tableDir, meta.properties, meta.schema, rangeSurvivors, pushed.toSeq)
         LakehouseTable.lastScanFileCounts.set((survivors.size, meta.files.size))
         val inner = ParquetTable(identName, spark, options, survivors.map(abs),
           Some(meta.schema), classOf[ParquetFileFormat])

@@ -622,6 +622,8 @@ object Maintenance {
     Files.list(dataDir).iterator().asScala.toList.foreach { d =>
       if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.delete(d)
     }
+    // bloom sidecars of unretained files go with them
+    BloomIndex.vacuumSidecars(dir, retained)
     doomed.size
   }
 }

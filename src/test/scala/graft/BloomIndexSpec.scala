@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.{BloomIndex, Maintenance}
+
+/** Per-file bloom sidecars: point-lookup file skipping on columns the
+  * layout does NOT cluster — where min/max ranges overlap on every
+  * file and prune nothing. */
+class BloomIndexSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fileCounts(): (Int, Int) =
+    graft.catalog.LakehouseTable.lastScanFileCounts.get()
+
+  test("bloom probes skip files min/max ranges cannot, and never change results") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bloom_ns")
+    spark.sql("CREATE TABLE lakehouse.bloom_ns.t (k INT, v STRING)")
+    // 4 commits → 4 files; every file's v-range is [k00_cI, k99_cI]-ish
+    // and OVERLAPS the others (shared k-prefix), so range pruning keeps
+    // all of them for any point lookup
+    (0 until 4).foreach { c =>
+      (0 until 100).map(j => (j, f"k$j%02d_c$c")).toDF("k", "v").coalesce(1)
+        .createOrReplaceTempView("bloom_src")
+      spark.sql("INSERT INTO lakehouse.bloom_ns.t SELECT * FROM bloom_src")
+    }
+
+    // before the index: the lookup scans every file
+    spark.table("lakehouse.bloom_ns.t").where($"v" === "k50_c2").count() shouldBe 1
+    fileCounts() shouldBe ((4, 4))
+
+    BloomIndex.build(spark, "lakehouse", Seq("bloom_ns"), "t", Seq("v"),
+      expectedPerFile = 10000L) should be > 0
+
+    // present key: only the owning file survives
+    val hit = spark.table("lakehouse.bloom_ns.t").where($"v" === "k50_c2")
+    hit.collect().map(r => (r.getInt(0), r.getString(1))) shouldBe Array((50, "k50_c2"))
+    fileCounts() shouldBe ((1, 4))
+
+    // absent key: metadata alone proves emptiness — zero files opened
+    spark.table("lakehouse.bloom_ns.t").where($"v" === "k50_c9").count() shouldBe 0
+    fileCounts() shouldBe ((0, 4))
+
+    // IN probes: files holding ANY member survive
+    spark.table("lakehouse.bloom_ns.t")
+      .where($"v".isin("k10_c0", "k10_c3")).count() shouldBe 2
+    fileCounts() shouldBe ((2, 4))
+
+    // non-equality predicates ignore the index (conservative)
+    spark.table("lakehouse.bloom_ns.t").where($"v" >= "k99").count() shouldBe 4
+    fileCounts() shouldBe ((4, 4))
+    spark.sql("DROP TABLE lakehouse.bloom_ns.t")
+  }
+
+  test("files written after the index have no sidecar and are kept conservatively") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bloom_ns")
+    spark.sql("CREATE TABLE lakehouse.bloom_ns.late (k INT, v STRING)")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("late_src")
+    spark.sql("INSERT INTO lakehouse.bloom_ns.late SELECT * FROM late_src")
+    BloomIndex.build(spark, "lakehouse", Seq("bloom_ns"), "late", Seq("v"), 1000L)
+    // a post-index append: its file is unindexed → every probe keeps it
+    Seq((3, "c"), (4, "e")).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("late_src2")
+    spark.sql("INSERT INTO lakehouse.bloom_ns.late SELECT * FROM late_src2")
+    spark.table("lakehouse.bloom_ns.late").where($"v" === "c").count() shouldBe 1
+    fileCounts() shouldBe ((1, 2)) // old file bloom-skipped, new file kept
+    // "d" is absent everywhere but inside the NEW file's [c,e] range:
+    // range pruning keeps it and, unindexed, bloom must keep it too
+    spark.table("lakehouse.bloom_ns.late").where($"v" === "d").count() shouldBe 0
+    fileCounts() shouldBe ((1, 2))
+    spark.sql("DROP TABLE lakehouse.bloom_ns.late")
+  }
+
+  test("CALL bloom_index builds the index; vacuum collects orphaned sidecars") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bloom_ns")
+    spark.sql("CREATE TABLE lakehouse.bloom_ns.vc (k INT, v STRING)")
+    (0 until 3).foreach { c =>
+      (0 until 50).map(j => (j, f"x$j%02d_c$c")).toDF("k", "v").coalesce(1)
+        .createOrReplaceTempView("vc_src")
+      spark.sql("INSERT INTO lakehouse.bloom_ns.vc SELECT * FROM vc_src")
+    }
+    spark.sql("CALL lakehouse.system.bloom_index('bloom_ns', 'vc', 'v')")
+      .collect()(0).getLong(0) shouldBe 3L
+    spark.table("lakehouse.bloom_ns.vc").where($"v" === "x10_c1").count() shouldBe 1
+    fileCounts() shouldBe ((1, 3))
+
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("bloom_ns"), "vc"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    val bdir = BloomIndex.bloomsDir(lt.tableDir)
+    java.nio.file.Files.list(bdir).count() shouldBe 3L
+
+    // compaction rewrites the data; vacuum drops old files AND their
+    // now-orphaned sidecars; the compacted file is simply unindexed
+    Maintenance.compact(spark, "lakehouse", Seq("bloom_ns"), "vc", targetFiles = 1)
+    Maintenance.vacuum(spark, "lakehouse", Seq("bloom_ns"), "vc",
+      retainVersions = 1, retentionMs = 0L)
+    java.nio.file.Files.list(bdir).count() shouldBe 0L
+    spark.table("lakehouse.bloom_ns.vc").where($"v" === "x10_c1").count() shouldBe 1
+    spark.sql("DROP TABLE lakehouse.bloom_ns.vc")
+  }
+}
