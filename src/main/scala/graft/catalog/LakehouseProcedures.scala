@@ -125,12 +125,36 @@ object LakehouseProcedures {
         a.getLong(3)).toLong
   }
 
+  /** String result (the maintenance mode used), so not a MaintenanceProc. */
+  private def refreshMvProc(catalogName: String): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = "refresh_mv"
+      override def description(): String = "fold source changes into a materialized view"
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] =
+        Array(param("ns", StringType), param("tbl", StringType))
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val spark = SparkSession.active
+        val mode = MaterializedView.refresh(spark, catalogName, ns(input), tbl(input))
+        val scan: Scan = new LocalScan {
+          override def readSchema(): StructType =
+            StructType(Seq(StructField("mode", StringType, nullable = false)))
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow(UTF8String.fromString(mode)))
+          override def description(): String = "refresh_mv result"
+        }
+        java.util.List.of(scan).iterator()
+      }
+    }
+
   private val factories: Map[String, String => UnboundProcedure] = Map(
     "compact" -> (compactProc(_)),
     "vacuum" -> (vacuumProc(_)),
     "rollback" -> (rollbackProc(_)),
     "rename_column" -> (renameColumnProc(_)),
-    "bloom_index" -> (bloomIndexProc(_)))
+    "bloom_index" -> (bloomIndexProc(_)),
+    "refresh_mv" -> (refreshMvProc(_)))
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
