@@ -125,6 +125,16 @@ object LakehouseProcedures {
         a.getLong(3)).toLong
   }
 
+  private def analyzeProc(catalogName: String) = new MaintenanceProc("analyze",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("columns", StringType, "''")), "rows", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      val cols = a.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      TableStats.analyze(spark, cat, ns(a), tbl(a), cols)
+    }
+  }
+
   /** String result (the maintenance mode used), so not a MaintenanceProc. */
   private def refreshMvProc(catalogName: String): UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
@@ -154,7 +164,8 @@ object LakehouseProcedures {
     "rollback" -> (rollbackProc(_)),
     "rename_column" -> (renameColumnProc(_)),
     "bloom_index" -> (bloomIndexProc(_)),
-    "refresh_mv" -> (refreshMvProc(_)))
+    "refresh_mv" -> (refreshMvProc(_)),
+    "analyze" -> (analyzeProc(_)))
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))

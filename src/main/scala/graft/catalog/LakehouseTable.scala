@@ -137,8 +137,8 @@ class LakehouseTable(
               case None =>
                 new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
             }
-          override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
-            delegate match {
+          override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+            val base = delegate match {
               case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
                 s.estimateStatistics()
               case _ => new org.apache.spark.sql.connector.read.Statistics {
@@ -146,6 +146,33 @@ class LakehouseTable(
                 override def numRows() = java.util.OptionalLong.empty()
               }
             }
+            // layer ANALYZE results (TableStats) over the delegate's
+            // size estimate: row count when the format can't know it,
+            // and per-column ndv/null stats for CBO join reordering
+            // (DataSourceV2Relation.transformV2Stats maps them onto
+            // catalyst attributes by name when CBO is enabled)
+            val analyzedRows = TableStats.numRows(meta.properties)
+            val colStats = TableStats.columnStats(meta.properties, meta.schema)
+            if (analyzedRows.isEmpty && colStats.isEmpty) base
+            else new org.apache.spark.sql.connector.read.Statistics {
+              override def sizeInBytes() = base.sizeInBytes()
+              override def numRows() =
+                if (base.numRows().isPresent) base.numRows()
+                else analyzedRows.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def columnStats(): java.util.Map[
+                  org.apache.spark.sql.connector.expressions.NamedReference,
+                  org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+                val m = new java.util.HashMap[
+                  org.apache.spark.sql.connector.expressions.NamedReference,
+                  org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+                colStats.foreach { case (c, st) =>
+                  m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c), st)
+                }
+                m
+              }
+            }
+          }
           override def readSchema(): StructType = delegate.readSchema()
           override def description(): String = delegate.description()
           override def toBatch: org.apache.spark.sql.connector.read.Batch =

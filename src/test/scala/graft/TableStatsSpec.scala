@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.TableStats
+
+/** ANALYZE: one-pass table/column stats published as properties and
+  * served through the DSv2 scan into catalyst plan statistics. */
+class TableStatsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("analyze records row count, ndv, null count, string lengths; scan reports them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stats_ns")
+    spark.sql("CREATE TABLE lakehouse.stats_ns.t (k INT, v STRING)")
+    (0 until 500).map(i => (i % 10, if (i % 5 == 0) null else s"val_${i % 25}"))
+      .toDF("k", "v").createOrReplaceTempView("stats_src")
+    spark.sql("INSERT INTO lakehouse.stats_ns.t SELECT * FROM stats_src")
+
+    spark.sql("CALL lakehouse.system.analyze('stats_ns', 't', '')")
+      .collect()(0).getLong(0) shouldBe 500L
+
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("stats_ns"), "t"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    val props = lt.meta.properties
+    TableStats.numRows(props) shouldBe Some(500L)
+    val cs = TableStats.columnStats(props, lt.meta.schema)
+    cs.keySet shouldBe Set("k", "v")
+    cs("k").distinctCount().getAsLong shouldBe 10L +- 1L // HLL++ estimate
+    cs("k").nullCount().getAsLong shouldBe 0L
+    cs("v").nullCount().getAsLong shouldBe 100L
+    // i%25 ∈ {0,5,10,15,20} implies i%5==0 → null, so 20 distinct remain
+    cs("v").distinctCount().getAsLong shouldBe 20L +- 2L
+    cs("v").maxLen().getAsLong shouldBe 6L // "val_NN"
+
+    // stats flow into catalyst: the optimized plan sees rowCount + ndv
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val plan = spark.table("lakehouse.stats_ns.t").queryExecution.optimizedPlan
+      val stats = plan.stats
+      stats.rowCount shouldBe Some(BigInt(500))
+      val ndvByName = stats.attributeStats.map { case (a, st) =>
+        a.name -> st.distinctCount.map(_.toLong)
+      }.toMap
+      ndvByName.get("k").flatten.getOrElse(0L) should be >= 9L
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+    spark.sql("DROP TABLE lakehouse.stats_ns.t")
+  }
+}
