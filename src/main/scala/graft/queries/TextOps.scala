@@ -992,8 +992,75 @@ object TextOps {
     },
     None)
 
+  /** Context-window chunking with overlap — the slicing stage that
+    * turns documents into model-sized training sequences (window 40
+    * tokens, stride 30 → 10-token overlap). Entirely row-local
+    * (sequence → slice → posexplode, all codegen'd, no shuffle): at
+    * 100 TB the op is one scan-side pass whatever the corpus size, and
+    * output order is (doc_id, chunk_idx) total. */
+  val q56 = Q(
+    "q56_chunk_docs",
+    (s, d) => {
+      val w = 40
+      val stride = 30
+      tokenized(s, d)
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            transform(
+              sequence(lit(0), ((col("n") - 1) / stride).cast("int")), i => i * stride),
+            st => slice(col("toks"), st + 1, lit(w)))))
+        .select(col("doc_id"),
+          col("pos").cast(LongType).as("chunk_idx"),
+          size(col("col")).cast(LongType).as("chunk_len"),
+          array_join(col("col"), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+           |s AS (SELECT doc_id, toks, unnest(range(0, ((len(toks)-1)//30)+1)) i FROM t)
+           |SELECT doc_id, i AS chunk_idx,
+           |       CAST(len(toks[i*30+1 : i*30+40]) AS BIGINT) AS chunk_len,
+           |       array_to_string(toks[i*30+1 : i*30+40], ' ') AS chunk_text
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Tokenizer-coverage analysis: out-of-vocabulary rate per document
+    * against the corpus' top-30 tokens (ties broken lexicographically —
+    * deterministic across engines). Scale shape: the vocabulary is
+    * FIXED-SIZE however big the corpus (top-k of a token aggregate), so
+    * it broadcasts and the per-doc pass is one scan + broadcast anti
+    * join — no shuffle of the corpus itself; docs with full coverage
+    * survive via the left join (anti-join output alone would drop
+    * them). */
+  val q57 = Q(
+    "q57_oov_rate",
+    (s, d) => {
+      val flat = tokenized(s, d).select(col("doc_id"), explode(col("toks")).as("t"))
+      val vocab = flat.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t")).limit(30).select(col("t"))
+      val total = tokenized(s, d)
+        .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
+      val oov = flat.join(broadcast(vocab), Seq("t"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      total.join(oov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("c"), lit(0L)).as("oov_cnt"),
+          round(coalesce(col("c"), lit(0L)).cast(DoubleType) / col("n_toks"), 4)
+            .as("oov_rate"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+           |flat AS (SELECT doc_id, unnest(t) tok FROM toks),
+           |vocab AS (SELECT tok FROM (
+           |  SELECT tok, count(*) n FROM flat GROUP BY tok ORDER BY n DESC, tok LIMIT 30)),
+           |oov AS (SELECT doc_id, count(*) c FROM flat
+           |        WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id),
+           |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) n FROM toks)
+           |SELECT t.doc_id, n AS n_toks, CAST(COALESCE(c, 0) AS BIGINT) AS oov_cnt,
+           |       ROUND(CAST(COALESCE(c, 0) AS DOUBLE) / n, 4) AS oov_rate
+           |FROM tot t LEFT JOIN oov o ON t.doc_id = o.doc_id ORDER BY t.doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55)
+      q55, q56, q57)
 }
