@@ -151,7 +151,12 @@ class LakehouseTable(
             // and per-column ndv/null stats for CBO join reordering
             // (DataSourceV2Relation.transformV2Stats maps them onto
             // catalyst attributes by name when CBO is enabled)
-            val analyzedRows = TableStats.numRows(meta.properties)
+            // scale the analyzed row count by the file-pruning ratio so
+            // a skip-heavy scan doesn't report the full table to CBO
+            val analyzedRows = TableStats.numRows(meta.properties).map { n =>
+              if (meta.files.isEmpty) 0L
+              else n * survivors.size / meta.files.size
+            }
             val colStats = TableStats.columnStats(meta.properties, meta.schema)
             if (analyzedRows.isEmpty && colStats.isEmpty) base
             else new org.apache.spark.sql.connector.read.Statistics {
