@@ -114,6 +114,14 @@ object LakehouseProcedures {
         a.getUTF8String(2).toString, a.getUTF8String(3).toString).toLong
   }
 
+  private def expireSnapshotsProc(catalogName: String) = new MaintenanceProc("expire_snapshots",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("retain_versions", IntegerType)), "expired", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.expireSnapshots(spark, cat, ns(a), tbl(a), a.getInt(2)).toLong
+  }
+
   private def bloomIndexProc(catalogName: String) = new MaintenanceProc("bloom_index",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -165,7 +173,8 @@ object LakehouseProcedures {
     "rename_column" -> (renameColumnProc(_)),
     "bloom_index" -> (bloomIndexProc(_)),
     "refresh_mv" -> (refreshMvProc(_)),
-    "analyze" -> (analyzeProc(_)))
+    "analyze" -> (analyzeProc(_)),
+    "expire_snapshots" -> (expireSnapshotsProc(_)))
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))

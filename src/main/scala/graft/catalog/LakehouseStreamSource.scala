@@ -84,11 +84,17 @@ class LakehouseMicroBatchStream(
 
   override def stop(): Unit = ()
 
-  /** Data files added in (fromV, toV], per the metadata log. */
+  /** Data files added in (fromV, toV], per the metadata log.
+    * Version-keyed (expireSnapshots leaves gaps): an incomplete window
+    * fails the stream with a re-sync error, never a silent wrong diff. */
   private def addedFiles(fromV: Int, toV: Int): Seq[String] = {
     if (fromV >= toV) return Seq.empty
     val log = TableMetadata.loadLog(tableDir)
-    val window = log.slice(fromV, toV)
+    val window = log.filter(m => m.version > fromV && m.version <= toV)
+    if (window.size != toV - fromV)
+      throw new IllegalStateException(
+        s"streaming read of $identName: version window ($fromV, $toV] incomplete — " +
+          "metadata expired (expireSnapshots); restart the stream from a later startingVersion")
     val rewriteOps = window.flatMap(_.snapshots.lastOption).map(_.operation)
       .filterNot(op => op == "append" || op == "create" || op == "alter")
     if (rewriteOps.nonEmpty)
@@ -96,7 +102,12 @@ class LakehouseMicroBatchStream(
         s"streaming read of $identName hit non-append commits (${rewriteOps.mkString(", ")}) " +
           s"in version window ($fromV, $toV]: an added-file diff cannot represent row-level " +
           "changes; restart the stream from a later startingVersion or avoid rewrites upstream")
-    val before = log.take(fromV).lastOption.map(_.files.toSet).getOrElse(Set.empty)
+    val before =
+      if (fromV == 0) Set.empty[String]
+      else log.find(_.version == fromV).map(_.files.toSet)
+        .getOrElse(throw new IllegalStateException(
+          s"streaming read of $identName: metadata for v$fromV expired; " +
+            "restart the stream from a later startingVersion"))
     window.flatMap(_.files).distinct.filterNot(before.contains)
   }
 

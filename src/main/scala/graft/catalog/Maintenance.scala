@@ -557,10 +557,17 @@ object Maintenance {
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     val log = TableMetadata.loadLog(dir)
-    require(fromVersionExclusive >= 0 && toVersionInclusive <= log.size &&
+    val maxV = log.lastOption.map(_.version).getOrElse(0)
+    require(fromVersionExclusive >= 0 && toVersionInclusive <= maxV &&
       fromVersionExclusive <= toVersionInclusive,
-      s"invalid version window ($fromVersionExclusive, $toVersionInclusive], log has ${log.size}")
-    val window = log.slice(fromVersionExclusive, toVersionInclusive)
+      s"invalid version window ($fromVersionExclusive, $toVersionInclusive], current is $maxV")
+    // version-keyed, not positional: expireSnapshots leaves gaps, and a
+    // diff over a gapped window would silently misattribute files
+    val window = log.filter(m =>
+      m.version > fromVersionExclusive && m.version <= toVersionInclusive)
+    require(window.size == toVersionInclusive - fromVersionExclusive,
+      s"version window ($fromVersionExclusive, $toVersionInclusive] incomplete: " +
+        "metadata expired (expireSnapshots); re-sync from the current snapshot")
     // append-only windows, like Iceberg's incremental scan: overwrite
     // drops rows and rewrites re-add existing rows — both would make an
     // added-file diff wrong
@@ -569,12 +576,43 @@ object Maintenance {
     require(rewriteOps.isEmpty,
       s"version window contains non-append commits (${rewriteOps.mkString(", ")}): " +
         "added-file diff cannot represent them")
-    val before = log.take(fromVersionExclusive).lastOption.map(_.files.toSet).getOrElse(Set.empty)
+    val before =
+      if (fromVersionExclusive == 0) Set.empty[String]
+      else log.find(_.version == fromVersionExclusive).map(_.files.toSet)
+        .getOrElse(throw new IllegalArgumentException(
+          s"metadata for v$fromVersionExclusive expired; re-sync from the current snapshot"))
     val added = window.flatMap(_.files).distinct.filterNot(before.contains)
-    val schema = log(toVersionInclusive - 1).schema
+    val schema = window.lastOption.map(_.schema)
+      .getOrElse(TableMetadata.load(dir).schema)
     if (added.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(added.map(f => dir.resolve(f).toString): _*)
+  }
+
+  /** Expire old metadata versions — Iceberg's `expire_snapshots` for
+    * our log: delete `vN.json` files older than the newest
+    * `retainVersions`, bounding metadata growth on high-commit-rate
+    * tables (every version carries the full file list; a streaming
+    * sink committing every few seconds writes thousands per day).
+    * Expired versions stop being time-travelable (VERSION AS OF fails
+    * cleanly) and incremental reads spanning them fail with a re-sync
+    * error instead of a wrong diff. Data files are untouched — run
+    * `vacuum` for those. Returns the number of versions expired. */
+  def expireSnapshots(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      retainVersions: Int): Int = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir).version
+    val cutoff = current - retainVersions + 1 // keep versions >= cutoff
+    val doomed = (1 until cutoff)
+      .filter(v => Files.exists(TableMetadata.versionFile(dir, v)))
+    doomed.foreach(v => Files.deleteIfExists(TableMetadata.versionFile(dir, v)))
+    doomed.size
   }
 
   /** Default vacuum file-age threshold: files modified more recently

@@ -118,9 +118,15 @@ object TableMetadata {
     fromJson(Files.readString(versionFile(tableDir, v)))
   }
 
-  /** Load every metadata version in order (the metadata log). */
+  /** Load every RETAINED metadata version in order (the metadata log).
+    * Versions removed by `Maintenance.expireSnapshots` leave gaps;
+    * callers that need a contiguous window (incremental reads) must
+    * check completeness by version number, not position. */
   def loadLog(tableDir: Path): Seq[TableMetadata] =
-    (1 to currentVersion(tableDir)).map(v => fromJson(Files.readString(versionFile(tableDir, v))))
+    (1 to currentVersion(tableDir)).flatMap { v =>
+      val f = versionFile(tableDir, v)
+      if (Files.exists(f)) Some(fromJson(Files.readString(f))) else None
+    }
 
   /** Optimistic-concurrency commit: write to a temp file, then publish
     * as `v{meta.version}.json` with an operation that FAILS if the

@@ -263,6 +263,45 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.z4n")
   }
 
+  test("expireSnapshots bounds the metadata log; expired versions fail cleanly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.exp (k INT)") // v1
+    (1 to 4).foreach { i => // v2..v5
+      Seq(i).toDF("k").createOrReplaceTempView("exp_src")
+      spark.sql("INSERT INTO lakehouse.maint_ns.exp SELECT * FROM exp_src")
+    }
+    spark.sql("SELECT * FROM lakehouse.maint_ns.exp VERSION AS OF 2").count() shouldBe 1
+
+    spark.sql("CALL lakehouse.system.expire_snapshots('maint_ns', 'exp', 2)")
+      .collect()(0).getLong(0) shouldBe 3L // v1..v3 expired, v4..v5 retained
+
+    // current reads unaffected; retained time travel works
+    spark.table("lakehouse.maint_ns.exp").count() shouldBe 4
+    spark.sql("SELECT * FROM lakehouse.maint_ns.exp VERSION AS OF 4").count() shouldBe 3
+    // expired version: clean error, not a wrong answer
+    intercept[Exception] {
+      spark.sql("SELECT * FROM lakehouse.maint_ns.exp VERSION AS OF 2").count()
+    }.getMessage should include("version")
+    // metadata_log_entries lists only retained (loadable) versions;
+    // history keeps the full lightweight summary lineage
+    spark.sql(
+      "SELECT version FROM lakehouse.maint_ns.exp.metadata_log_entries ORDER BY version")
+      .collect().map(_.getInt(0)) shouldBe Array(4, 5)
+    spark.sql("SELECT version FROM lakehouse.maint_ns.exp.history ORDER BY version")
+      .collect().map(_.getInt(0)) shouldBe Array(1, 2, 3, 4, 5)
+
+    // incremental reads: valid retained window works, expired window errors
+    Maintenance.changesBetween(spark, "lakehouse", Seq("maint_ns"), "exp", 4, 5)
+      .collect().map(_.getInt(0)) shouldBe Array(4)
+    intercept[IllegalArgumentException] {
+      Maintenance.changesBetween(spark, "lakehouse", Seq("maint_ns"), "exp", 1, 5)
+    }.getMessage should include("expired")
+    intercept[IllegalArgumentException] {
+      Maintenance.changesBetween(spark, "lakehouse", Seq("maint_ns"), "exp", 3, 5)
+    }.getMessage should include("expired")
+    spark.sql("DROP TABLE lakehouse.maint_ns.exp")
+  }
+
   test("procedures bind their catalog per load, not via shared mutable state") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.connector.catalog.procedures.BoundProcedure
