@@ -3,7 +3,6 @@ package graft.catalog
 import java.io.ByteArrayInputStream
 import java.nio.file.{Files, Path}
 import java.security.MessageDigest
-import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
@@ -44,6 +43,14 @@ object BloomIndex {
   /** Table property listing the bloom-indexed columns. */
   val ColumnsProp = "graft.bloom.columns"
 
+  /** Build-time column types (`col:type,...`): xxhash64 of the SAME
+    * value differs by input type (hashInt vs hashLong), so after a
+    * widening `ALTER COLUMN k TYPE BIGINT` the sidecars built over the
+    * INT column would prove present keys absent. Probes compare the
+    * current schema type against this record and skip the column on
+    * mismatch — conservative, never wrong. */
+  val TypesProp = "graft.bloom.types"
+
   /** Types whose equality semantics match their xxhash64 bit pattern.
     * Float/double are excluded on purpose: -0.0 == 0.0 yet their bit
     * patterns (and hashes) differ, so a bloom probe could wrongly
@@ -83,9 +90,7 @@ object BloomIndex {
       columns: Seq[String],
       expectedPerFile: Long = 1000000L): Int = {
     require(columns.nonEmpty, "bloom index needs at least one column")
-    val cat = spark.sessionState.catalogManager.catalog(catalog).asInstanceOf[TableCatalog]
-    val lt = cat.loadTable(Identifier.of(namespace.toArray, table))
-      .asInstanceOf[LakehouseTable]
+    val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     val current = TableMetadata.load(dir)
     columns.foreach { c =>
@@ -120,13 +125,28 @@ object BloomIndex {
       }
     }
 
-    // publish the indexed-column list (optimistic commit, same as DDL)
+    // publish the indexed-column list (optimistic commit, same as DDL),
+    // UNIONED with previously indexed columns — re-indexing column b
+    // must not silently deregister column a's still-valid sidecars
     val cur = TableMetadata.load(dir)
+    val prevCols = cur.properties.get(ColumnsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val allCols = (prevCols ++ columns).distinct
+    val prevTypes = cur.properties.get(TypesProp)
+      .map(_.split(',').map(_.trim).filter(_.contains(":"))
+        .map { s => val Array(c, t) = s.split(":", 2); c -> t }.toMap)
+      .getOrElse(Map.empty)
+    val allTypes = prevTypes ++ columns.map(c =>
+      c -> current.schema(c).dataType.simpleString)
     TableMetadata.commit(dir, cur.copy(
       version = cur.version + 1,
-      properties = cur.properties + (ColumnsProp -> columns.mkString(",")),
+      properties = cur.properties +
+        (ColumnsProp -> allCols.mkString(",")) +
+        (TypesProp -> allCols.map(c => s"$c:${allTypes.getOrElse(c, "?")}").mkString(",")),
       snapshots = cur.snapshots :+ Snapshot(
         cur.version + 1, System.currentTimeMillis(), "bloom-index", 0, cur.files.size)))
+    // cached "no sidecar" misses for these files are stale now
+    sidecarCache.synchronized(sidecarCache.clear())
     written
   }
 
@@ -146,9 +166,18 @@ object BloomIndex {
       schema: StructType,
       files: Seq[String],
       filters: Seq[Filter]): Seq[String] = {
+    val builtTypes = properties.get(TypesProp)
+      .map(_.split(',').map(_.trim).filter(_.contains(":"))
+        .map { s => val Array(c, t) = s.split(":", 2); c -> t }.toMap)
+      .getOrElse(Map.empty[String, String])
     val indexed = properties.get(ColumnsProp)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+      // a column whose type changed since the index was built hashes
+      // differently now — probing would wrongly prove present keys
+      // absent, so it simply stops being probe-able until re-indexed
+      .filter(c => schema.fields.find(_.name == c)
+        .exists(f => builtTypes.get(c).contains(f.dataType.simpleString)))
     if (indexed.isEmpty || files.isEmpty || filters.isEmpty) return files
     val bdir = bloomsDir(tableDir)
     if (!Files.isDirectory(bdir)) return files
@@ -170,14 +199,8 @@ object BloomIndex {
     val conjuncts = filters.flatMap(probes)
     if (conjuncts.isEmpty) return files
 
-    val cache = mutable.Map.empty[String, Option[BloomFilter]]
     def sidecar(file: String, c: String): Option[BloomFilter] =
-      cache.getOrElseUpdate(s"$file#$c", {
-        val p = bdir.resolve(sidecarName(file, c))
-        if (!Files.isRegularFile(p)) None
-        else scala.util.Try(
-          BloomFilter.readFrom(new ByteArrayInputStream(Files.readAllBytes(p)))).toOption
-      })
+      cachedSidecar(bdir.resolve(sidecarName(file, c)))
     files.filter { f =>
       conjuncts.forall { case (c, hs) =>
         sidecar(f, c) match {
@@ -185,6 +208,34 @@ object BloomIndex {
           case Some(bf) => hs.exists(bf.mightContainLong)
         }
       }
+    }
+  }
+
+  /** Cross-query driver cache of deserialized sidecars. Sidecar files
+    * are IMMUTABLE (keyed by data-file path; rewrites create new
+    * paths), so a path-keyed entry never goes stale — without this,
+    * every planned point lookup re-reads one sidecar per (survivor
+    * file, probed column) from disk. Bounded LRU; misses (absent
+    * sidecars) are cached too, they are the common case on unindexed
+    * files. */
+  private val MaxCachedSidecars = 4096
+  private val sidecarCache =
+    new java.util.LinkedHashMap[Path, Option[BloomFilter]](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Path, Option[BloomFilter]]): Boolean =
+        size() > MaxCachedSidecars
+    }
+
+  private def cachedSidecar(p: Path): Option[BloomFilter] = sidecarCache.synchronized {
+    val hit = sidecarCache.get(p)
+    if (hit != null) hit
+    else {
+      val loaded =
+        if (!Files.isRegularFile(p)) None
+        else scala.util.Try(
+          BloomFilter.readFrom(new ByteArrayInputStream(Files.readAllBytes(p)))).toOption
+      sidecarCache.put(p, loaded)
+      loaded
     }
   }
 

@@ -95,19 +95,26 @@ class LakehouseMicroBatchStream(
       throw new IllegalStateException(
         s"streaming read of $identName: version window ($fromV, $toV] incomplete — " +
           "metadata expired (expireSnapshots); restart the stream from a later startingVersion")
-    val rewriteOps = window.flatMap(_.snapshots.lastOption).map(_.operation)
-      .filterNot(op => op == "append" || op == "create" || op == "alter")
-    if (rewriteOps.nonEmpty)
-      throw new IllegalStateException(
-        s"streaming read of $identName hit non-append commits (${rewriteOps.mkString(", ")}) " +
-          s"in version window ($fromV, $toV]: an added-file diff cannot represent row-level " +
-          "changes; restart the stream from a later startingVersion or avoid rewrites upstream")
     val before =
       if (fromV == 0) Set.empty[String]
       else log.find(_.version == fromV).map(_.files.toSet)
         .getOrElse(throw new IllegalStateException(
           s"streaming read of $identName: metadata for v$fromV expired; " +
             "restart the stream from a later startingVersion"))
+    // append-only check by the real invariant (monotone file growth),
+    // not op names: metadata-only commits (analyze, bloom-index) must
+    // not kill the stream, and file-dropping commits must, whatever
+    // they are called
+    val states = before +: window.map(_.files.toSet)
+    val shrinkers = states.sliding(2).zip(window.iterator).collect {
+      case (Seq(a, b), m) if !a.subsetOf(b) =>
+        m.snapshots.lastOption.map(_.operation).getOrElse(s"v${m.version}")
+    }.toSeq
+    if (shrinkers.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming read of $identName hit non-append commits (${shrinkers.mkString(", ")}) " +
+          s"in version window ($fromV, $toV]: an added-file diff cannot represent row-level " +
+          "changes; restart the stream from a later startingVersion or avoid rewrites upstream")
     window.flatMap(_.files).distinct.filterNot(before.contains)
   }
 

@@ -153,11 +153,33 @@ class LakehouseTable(
             // catalyst attributes by name when CBO is enabled)
             // scale the analyzed row count by the file-pruning ratio so
             // a skip-heavy scan doesn't report the full table to CBO
-            val analyzedRows = TableStats.numRows(meta.properties).map { n =>
-              if (meta.files.isEmpty) 0L
-              else n * survivors.size / meta.files.size
-            }
+            // (double math: n * survivors would overflow Long first)
+            val ratio =
+              if (meta.files.isEmpty) 0.0
+              else survivors.size.toDouble / meta.files.size
+            val analyzedRows = TableStats.numRows(meta.properties)
+              .map(n => (n * ratio).toLong)
+            // keep the per-column stats consistent with the scaled row
+            // count: nullCount scales linearly, ndv caps at the rows
+            // (ndv > rowCount or nullCount > rowCount would feed CBO
+            // impossible selectivities on exactly the pruned scans)
             val colStats = TableStats.columnStats(meta.properties, meta.schema)
+              .map { case (c, st) =>
+                c -> (new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    (st.distinctCount().isPresent, analyzedRows) match {
+                      case (true, Some(rows)) => java.util.OptionalLong.of(
+                        math.min(st.distinctCount().getAsLong, math.max(rows, 1L)))
+                      case _ => st.distinctCount()
+                    }
+                  override def nullCount(): java.util.OptionalLong =
+                    if (st.nullCount().isPresent)
+                      java.util.OptionalLong.of((st.nullCount().getAsLong * ratio).toLong)
+                    else st.nullCount()
+                  override def avgLen(): java.util.OptionalLong = st.avgLen()
+                  override def maxLen(): java.util.OptionalLong = st.maxLen()
+                })
+              }
             if (analyzedRows.isEmpty && colStats.isEmpty) base
             else new org.apache.spark.sql.connector.read.Statistics {
               override def sizeInBytes() = base.sizeInBytes()

@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
   */
 object Maintenance {
 
-  private def lakehouseTable(
+  private[catalog] def lakehouseTable(
       spark: SparkSession, catalog: String, namespace: Seq[String], table: String): LakehouseTable = {
     val cat = spark.sessionState.catalogManager.catalog(catalog).asInstanceOf[TableCatalog]
     cat.loadTable(Identifier.of(namespace.toArray, table)).asInstanceOf[LakehouseTable]
@@ -568,19 +568,26 @@ object Maintenance {
     require(window.size == toVersionInclusive - fromVersionExclusive,
       s"version window ($fromVersionExclusive, $toVersionInclusive] incomplete: " +
         "metadata expired (expireSnapshots); re-sync from the current snapshot")
-    // append-only windows, like Iceberg's incremental scan: overwrite
-    // drops rows and rewrites re-add existing rows — both would make an
-    // added-file diff wrong
-    val rewriteOps = window.flatMap(_.snapshots.lastOption).map(_.operation)
-      .filterNot(op => op == "append" || op == "create" || op == "alter")
-    require(rewriteOps.isEmpty,
-      s"version window contains non-append commits (${rewriteOps.mkString(", ")}): " +
-        "added-file diff cannot represent them")
     val before =
       if (fromVersionExclusive == 0) Set.empty[String]
       else log.find(_.version == fromVersionExclusive).map(_.files.toSet)
         .getOrElse(throw new IllegalArgumentException(
           s"metadata for v$fromVersionExclusive expired; re-sync from the current snapshot"))
+    // append-only windows, like Iceberg's incremental scan — checked by
+    // the actual invariant (each version's file set contains its
+    // predecessor's), not an operation-name allow-list: metadata-only
+    // commits (analyze, bloom-index, property DDL) pass, and anything
+    // that drops or rewrites files (delete/update/merge/compact/
+    // truncate/overwrite) is caught even if a new op forgets to
+    // register its name
+    val states = before +: window.map(_.files.toSet)
+    val shrinkers = states.sliding(2).zip(window.iterator).collect {
+      case (Seq(a, b), m) if !a.subsetOf(b) =>
+        m.snapshots.lastOption.map(_.operation).getOrElse(s"v${m.version}")
+    }.toSeq
+    require(shrinkers.isEmpty,
+      s"version window contains non-append commits (${shrinkers.mkString(", ")}): " +
+        "added-file diff cannot represent them")
     val added = window.flatMap(_.files).distinct.filterNot(before.contains)
     val schema = window.lastOption.map(_.schema)
       .getOrElse(TableMetadata.load(dir).schema)

@@ -67,8 +67,7 @@ object MaterializedView {
 
   private def lakehouseTable(
       spark: SparkSession, catalog: String, namespace: Seq[String], table: String): LakehouseTable =
-    spark.sessionState.catalogManager.catalog(catalog).asInstanceOf[TableCatalog]
-      .loadTable(Identifier.of(namespace.toArray, table)).asInstanceOf[LakehouseTable]
+    Maintenance.lakehouseTable(spark, catalog, namespace, table)
 
   private def fq(catalog: String, namespace: Seq[String], name: String): String =
     (catalog +: namespace :+ name).map(p => s"`$p`").mkString(".")

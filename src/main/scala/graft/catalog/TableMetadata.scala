@@ -124,8 +124,11 @@ object TableMetadata {
     * check completeness by version number, not position. */
   def loadLog(tableDir: Path): Seq[TableMetadata] =
     (1 to currentVersion(tableDir)).flatMap { v =>
-      val f = versionFile(tableDir, v)
-      if (Files.exists(f)) Some(fromJson(Files.readString(f))) else None
+      // read-then-catch, not exists-then-read: a concurrent
+      // expireSnapshots between the two would crash the reader instead
+      // of registering as a gap
+      try Some(fromJson(Files.readString(versionFile(tableDir, v))))
+      catch { case _: java.nio.file.NoSuchFileException => None }
     }
 
   /** Optimistic-concurrency commit: write to a temp file, then publish

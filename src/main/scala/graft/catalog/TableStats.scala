@@ -55,14 +55,17 @@ object TableStats {
       namespace: Seq[String],
       table: String,
       columns: Seq[String] = Nil): Long = {
-    val cat = spark.sessionState.catalogManager.catalog(catalog).asInstanceOf[TableCatalog]
-    val lt = cat.loadTable(Identifier.of(namespace.toArray, table))
-      .asInstanceOf[LakehouseTable]
+    val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     val current = TableMetadata.load(dir)
     val cols =
       if (columns.nonEmpty) {
-        columns.foreach(c => require(current.schema.fieldNames.contains(c), s"no such column: $c"))
+        columns.foreach { c =>
+          val f = current.schema.fields.find(_.name == c)
+            .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+          require(analyzable(f.dataType),
+            s"analyze unsupported for ${f.dataType.simpleString} column $c")
+        }
         columns
       } else current.schema.fields.filter(f => analyzable(f.dataType)).map(_.name).toSeq
 

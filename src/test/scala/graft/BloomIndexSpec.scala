@@ -74,6 +74,46 @@ class BloomIndexSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.bloom_ns.late")
   }
 
+  test("widening ALTER COLUMN disables stale bloom probes instead of mispruning") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bloom_ns")
+    spark.sql("CREATE TABLE lakehouse.bloom_ns.alt (k INT, v STRING)")
+    (0 until 2).foreach { c =>
+      (0 until 50).map(j => (c * 1000 + j, s"r$j")).toDF("k", "v").coalesce(1)
+        .createOrReplaceTempView("alt_src")
+      spark.sql("INSERT INTO lakehouse.bloom_ns.alt SELECT * FROM alt_src")
+    }
+    BloomIndex.build(spark, "lakehouse", Seq("bloom_ns"), "alt", Seq("k"), 1000L)
+    spark.table("lakehouse.bloom_ns.alt").where($"k" === 1010).count() shouldBe 1
+    fileCounts()._1 shouldBe 1 // bloom (with min/max) prunes to the owning file
+
+    // widening rewrites nothing: the sidecars were hashed over INT
+    // values, probes would now hash LONGs — the index must deactivate,
+    // not prove present keys absent
+    spark.sql("ALTER TABLE lakehouse.bloom_ns.alt ALTER COLUMN k TYPE BIGINT")
+    spark.table("lakehouse.bloom_ns.alt").where($"k" === 1010L).count() shouldBe 1
+    // re-index under the new type restores pruning
+    BloomIndex.build(spark, "lakehouse", Seq("bloom_ns"), "alt", Seq("k"), 1000L)
+    spark.table("lakehouse.bloom_ns.alt").where($"k" === 1010L).count() shouldBe 1
+    fileCounts()._1 shouldBe 1
+    spark.sql("DROP TABLE lakehouse.bloom_ns.alt")
+  }
+
+  test("re-indexing one column keeps another column's registration") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bloom_ns")
+    spark.sql("CREATE TABLE lakehouse.bloom_ns.two (a STRING, b STRING)")
+    (0 until 2).foreach { c =>
+      (0 until 40).map(j => (f"a$j%02d_c$c", f"b$j%02d_c$c")).toDF("a", "b").coalesce(1)
+        .createOrReplaceTempView("two_src")
+      spark.sql("INSERT INTO lakehouse.bloom_ns.two SELECT * FROM two_src")
+    }
+    BloomIndex.build(spark, "lakehouse", Seq("bloom_ns"), "two", Seq("a"), 1000L)
+    BloomIndex.build(spark, "lakehouse", Seq("bloom_ns"), "two", Seq("b"), 1000L)
+    // column a's probes still work after b's build
+    spark.table("lakehouse.bloom_ns.two").where($"a" === "a10_c1").count() shouldBe 1
+    fileCounts()._1 shouldBe 1
+    spark.sql("DROP TABLE lakehouse.bloom_ns.two")
+  }
+
   test("CALL bloom_index builds the index; vacuum collects orphaned sidecars") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bloom_ns")
     spark.sql("CREATE TABLE lakehouse.bloom_ns.vc (k INT, v STRING)")

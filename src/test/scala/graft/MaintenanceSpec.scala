@@ -263,6 +263,27 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.z4n")
   }
 
+  test("metadata-only commits (analyze) pass through incremental windows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.inc (k INT)") // v1
+    Seq(1).toDF("k").createOrReplaceTempView("inc_src")
+    spark.sql("INSERT INTO lakehouse.maint_ns.inc SELECT * FROM inc_src") // v2
+    graft.catalog.TableStats.analyze(
+      spark, "lakehouse", Seq("maint_ns"), "inc") shouldBe 1L // v3: no file changes
+    Seq(2).toDF("k").createOrReplaceTempView("inc_src2")
+    spark.sql("INSERT INTO lakehouse.maint_ns.inc SELECT * FROM inc_src2") // v4
+    // the window spans the analyze commit: the added-file diff is still
+    // exact, so it must not be rejected as a rewrite
+    Maintenance.changesBetween(spark, "lakehouse", Seq("maint_ns"), "inc", 1, 4)
+      .collect().map(_.getInt(0)).sorted shouldBe Array(1, 2)
+    // a genuinely file-dropping commit still fails
+    spark.sql("DELETE FROM lakehouse.maint_ns.inc WHERE k = 1") // v5
+    intercept[IllegalArgumentException] {
+      Maintenance.changesBetween(spark, "lakehouse", Seq("maint_ns"), "inc", 1, 5)
+    }.getMessage should include("non-append")
+    spark.sql("DROP TABLE lakehouse.maint_ns.inc")
+  }
+
   test("expireSnapshots bounds the metadata log; expired versions fail cleanly") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
     spark.sql("CREATE TABLE lakehouse.maint_ns.exp (k INT)") // v1
