@@ -114,6 +114,17 @@ object LakehouseProcedures {
         a.getUTF8String(2).toString, a.getUTF8String(3).toString).toLong
   }
 
+  private def compactWhereProc(catalogName: String) = new MaintenanceProc("compact_where",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("col", StringType), param("value", StringType),
+      param("target_files", IntegerType, "1")), "rewritten", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.compactWhere(spark, cat, ns(a), tbl(a),
+        Map(a.getUTF8String(2).toString -> a.getUTF8String(3).toString),
+        targetFiles = a.getInt(4)).toLong
+  }
+
   private def expireSnapshotsProc(catalogName: String) = new MaintenanceProc("expire_snapshots",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -174,7 +185,8 @@ object LakehouseProcedures {
     "bloom_index" -> (bloomIndexProc(_)),
     "refresh_mv" -> (refreshMvProc(_)),
     "analyze" -> (analyzeProc(_)),
-    "expire_snapshots" -> (expireSnapshotsProc(_)))
+    "expire_snapshots" -> (expireSnapshotsProc(_)),
+    "compact_where" -> (compactWhereProc(_)))
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))

@@ -143,6 +143,57 @@ object Maintenance {
     newFiles.size
   }
 
+  /** Partition-scoped compaction — `OPTIMIZE ... WHERE` for the
+    * backfill shape: a streaming sink leaves yesterday's partition in
+    * hundreds of small files, and rewriting the whole 100 TB table to
+    * fix one partition is a non-starter. File selection is
+    * metadata-only (min/max stats against the equality predicate, the
+    * same pruning scans use); selected files are rewritten into
+    * `targetFiles`, every other file carries into the new snapshot by
+    * reference. Over-selection is harmless (rows are preserved
+    * verbatim, extra files just get rewritten too); bucketed tables
+    * are refused — their bucket-to-file mapping is global. Returns the
+    * rewritten-file count. */
+  def compactWhere(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      partitionEquals: Map[String, String],
+      targetFiles: Int = 1): Int = {
+    import org.apache.spark.sql.types._
+    require(partitionEquals.nonEmpty, "compactWhere needs at least one column=value")
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    require(Bucketing.specOf(current.properties).isEmpty,
+      s"$table is bucketed: bucket layout is table-global, use compact() instead")
+    val filters = partitionEquals.toSeq.map { case (c, v) =>
+      val f = current.schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+      val typed: Any = f.dataType match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType => v.toInt
+        case LongType => v.toLong
+        case FloatType => v.toFloat
+        case DoubleType => v.toDouble
+        case DateType => java.sql.Date.valueOf(v)
+        case StringType => v
+        case dt => throw new IllegalArgumentException(
+          s"compactWhere unsupported for ${dt.simpleString} column $c")
+      }
+      org.apache.spark.sql.sources.EqualTo(c, typed): org.apache.spark.sql.sources.Filter
+    }
+    val hits = FileSkipping.prune(current.files, current.fileStats, current.schema, filters)
+    if (hits.size <= targetFiles) return hits.size
+    val df = spark.read.schema(current.schema)
+      .parquet(hits.map(f => dir.resolve(f).toString): _*)
+      .coalesce(targetFiles)
+    commitRewrite(spark, dir, current, hits, df, "compact-where", reshape = false)
+    hits.size
+  }
+
   /** Rename a column by REWRITING the data (a new snapshot whose files
     * carry the new physical name), then committing the renamed schema.
     *
@@ -360,12 +411,13 @@ object Maintenance {
       current: TableMetadata,
       hitFiles: Seq[String],
       newData: org.apache.spark.sql.DataFrame,
-      op: String): Unit = {
+      op: String,
+      reshape: Boolean = true): Unit = {
     val nextVersion = current.version + 1
     val commitRel = s"data/c$nextVersion-$op-${UUID.randomUUID().toString.take(8)}"
     val commitDir = dir.resolve(commitRel)
     val clustered =
-      if (current.partitionColumns.nonEmpty) {
+      if (reshape && current.partitionColumns.nonEmpty) {
         val cols = current.partitionColumns.map(newData.col)
         newData.repartition(cols: _*).sortWithinPartitions(cols: _*)
       } else newData

@@ -263,6 +263,36 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.z4n")
   }
 
+  test("compactWhere rewrites only the targeted partition's files") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.cw (k INT, v INT) PARTITIONED BY (k)")
+    // three small commits per partition value → 3 files each
+    (0 until 3).foreach { c =>
+      (0 until 2).foreach { k =>
+        (0 until 20).map(i => (k, c * 100 + i)).toDF("k", "v").coalesce(1)
+          .createOrReplaceTempView("cw_src")
+        spark.sql("INSERT INTO lakehouse.maint_ns.cw SELECT * FROM cw_src")
+      }
+    }
+    def files(): Seq[String] = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("maint_ns"), "cw"))
+      .asInstanceOf[graft.catalog.LakehouseTable].meta.files
+    val beforeFiles = files()
+    beforeFiles.size shouldBe 6
+
+    spark.sql("CALL lakehouse.system.compact_where('maint_ns', 'cw', 'k', '0')")
+      .collect()(0).getLong(0) shouldBe 3L
+    val afterFiles = files()
+    afterFiles.size shouldBe 4 // k=0 compacted to 1, k=1's 3 carried
+    // the untouched partition's files carried BY REFERENCE (same paths)
+    spark.table("lakehouse.maint_ns.cw").where($"k" === 0).count() shouldBe 60
+    spark.table("lakehouse.maint_ns.cw").where($"k" === 1).count() shouldBe 60
+    (beforeFiles.toSet intersect afterFiles.toSet).size shouldBe 3 // k=1's files
+    spark.sql("DROP TABLE lakehouse.maint_ns.cw")
+  }
+
   test("metadata-only commits (analyze) pass through incremental windows") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
     spark.sql("CREATE TABLE lakehouse.maint_ns.inc (k INT)") // v1
