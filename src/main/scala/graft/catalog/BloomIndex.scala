@@ -100,30 +100,7 @@ object BloomIndex {
         s"bloom index unsupported for ${f.dataType.simpleString} column $c " +
           "(float/double equality disagrees with hashing; nested types have no point lookups)")
     }
-    graft.functions.GraftFunctions.register(spark) // bloom_agg, if not already
-
-    var written = 0
-    if (current.files.nonEmpty) {
-      val df = spark.read.schema(current.schema)
-        .parquet(current.files.map(f => dir.resolve(f).toString): _*)
-        .withColumn("__graft_file", input_file_name())
-      val aggs = columns.map(c =>
-        call_function("bloom_agg", xxhash64(col(c)), lit(expectedPerFile)).as(c))
-      val rows = df.groupBy(col("__graft_file")).agg(aggs.head, aggs.tail: _*).collect()
-      val relByName = current.files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-      Files.createDirectories(bloomsDir(dir))
-      rows.foreach { r =>
-        val base = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-        relByName.get(base).foreach { rel =>
-          columns.zipWithIndex.foreach { case (c, i) =>
-            Option(r.getAs[Array[Byte]](i + 1)).foreach { bytes =>
-              Files.write(bloomsDir(dir).resolve(sidecarName(rel, c)), bytes)
-              written += 1
-            }
-          }
-        }
-      }
-    }
+    val written = writeSidecars(spark, dir, current.schema, current.files, columns, expectedPerFile)
 
     // publish the indexed-column list (optimistic commit, same as DDL),
     // UNIONED with previously indexed columns — re-indexing column b
@@ -145,9 +122,68 @@ object BloomIndex {
         (TypesProp -> allCols.map(c => s"$c:${allTypes.getOrElse(c, "?")}").mkString(",")),
       snapshots = cur.snapshots :+ Snapshot(
         cur.version + 1, System.currentTimeMillis(), "bloom-index", 0, cur.files.size)))
-    // cached "no sidecar" misses for these files are stale now
+    written
+  }
+
+  /** The distributed sidecar pass: one scan of `files`, blooms built
+    * file-local via partial aggregation, one small row per file back
+    * to the driver. */
+  private def writeSidecars(
+      spark: SparkSession,
+      dir: Path,
+      schema: StructType,
+      files: Seq[String],
+      columns: Seq[String],
+      expectedPerFile: Long): Int = {
+    if (files.isEmpty || columns.isEmpty) return 0
+    graft.functions.GraftFunctions.register(spark) // bloom_agg, if not already
+    var written = 0
+    val df = spark.read.schema(schema)
+      .parquet(files.map(f => dir.resolve(f).toString): _*)
+      .withColumn("__graft_file", input_file_name())
+    val aggs = columns.map(c =>
+      call_function("bloom_agg", xxhash64(col(c)), lit(expectedPerFile)).as(c))
+    val rows = df.groupBy(col("__graft_file")).agg(aggs.head, aggs.tail: _*).collect()
+    val relByName = files.map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    Files.createDirectories(bloomsDir(dir))
+    rows.foreach { r =>
+      val base = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+      relByName.get(base).foreach { rel =>
+        columns.zipWithIndex.foreach { case (c, i) =>
+          Option(r.getAs[Array[Byte]](i + 1)).foreach { bytes =>
+            Files.write(bloomsDir(dir).resolve(sidecarName(rel, c)), bytes)
+            written += 1
+          }
+        }
+      }
+    }
     sidecarCache.synchronized(sidecarCache.clear())
     written
+  }
+
+  /** Write-path index maintenance: sidecars for files a commit just
+    * wrote, on a table whose index registration already exists — the
+    * index stays fresh under appends and rewrites instead of decaying
+    * to conservative keeps. Only columns whose CURRENT type matches
+    * the recorded build-time type are indexed (others need an explicit
+    * re-`build`); no metadata commit, the registration is unchanged.
+    * Cost: one extra pass over exactly the new files. */
+  private[catalog] def buildForFiles(
+      spark: SparkSession,
+      dir: Path,
+      schema: StructType,
+      properties: Map[String, String],
+      files: Seq[String],
+      expectedPerFile: Long = 1000000L): Int = {
+    val types = properties.get(TypesProp)
+      .map(_.split(',').map(_.trim).filter(_.contains(":"))
+        .map { s => val Array(c, t) = s.split(":", 2); c -> t }.toMap)
+      .getOrElse(Map.empty[String, String])
+    val cols = properties.get(ColumnsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      .filter(c => schema.fields.find(_.name == c)
+        .exists(f => types.get(c).contains(f.dataType.simpleString)))
+    writeSidecars(spark, dir, schema, files, cols, expectedPerFile)
   }
 
   /** Driver-side xxhash64 of a filter literal, matching the build

@@ -343,6 +343,7 @@ class LakehouseTable(
     val newStats = newFiles.map { f =>
       f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), current.schema)
     }.filter(_._2.nonEmpty).toMap
+    BloomIndex.buildForFiles(spark, tableDir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
     val allFiles = survivors ++ newFiles
     TableMetadata.commit(tableDir, current.copy(
@@ -391,6 +392,9 @@ class LakehouseTable(
     val newStats = newFiles.map { f =>
       f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), startMeta.schema)
     }.filter(_._2.nonEmpty).toMap
+    // bloom-indexed tables get sidecars for the new files at write time
+    // (one pass over only the new data), so the index stays fresh
+    BloomIndex.buildForFiles(spark, tableDir, startMeta.schema, startMeta.properties, newFiles)
 
     // Optimistic-concurrency publish with RETRY (the Iceberg commit
     // loop): the data files are written exactly once above; on a

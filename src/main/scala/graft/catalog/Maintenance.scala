@@ -134,6 +134,7 @@ object Maintenance {
       f -> FooterStats.collect(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
     }.filter(_._2.nonEmpty).toMap
+    BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     TableMetadata.commit(dir, current.copy(
       version = nextVersion,
       files = newFiles,
@@ -370,6 +371,7 @@ object Maintenance {
       f -> FooterStats.collect(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), start.schema)
     }.filter(_._2.nonEmpty).toMap
+    BloomIndex.buildForFiles(spark, dir, start.schema, start.properties, newFiles)
 
     // append-vs-append races retry on a fresh snapshot; a racer that
     // already applied THIS batch wins and we discard our files
@@ -431,6 +433,7 @@ object Maintenance {
       f -> FooterStats.collect(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
     }.filter(_._2.nonEmpty).toMap
+    BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
     val allFiles = survivors ++ newFiles
     TableMetadata.commit(dir, current.copy(

@@ -54,23 +54,24 @@ class BloomIndexSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.bloom_ns.t")
   }
 
-  test("files written after the index have no sidecar and are kept conservatively") {
+  test("appends to an indexed table get sidecars at write time") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bloom_ns")
     spark.sql("CREATE TABLE lakehouse.bloom_ns.late (k INT, v STRING)")
     Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
       .createOrReplaceTempView("late_src")
     spark.sql("INSERT INTO lakehouse.bloom_ns.late SELECT * FROM late_src")
     BloomIndex.build(spark, "lakehouse", Seq("bloom_ns"), "late", Seq("v"), 1000L)
-    // a post-index append: its file is unindexed → every probe keeps it
+    // a post-index append: the INSERT path writes the new file's
+    // sidecar itself, so the index does not decay under appends
     Seq((3, "c"), (4, "e")).toDF("k", "v").coalesce(1)
       .createOrReplaceTempView("late_src2")
     spark.sql("INSERT INTO lakehouse.bloom_ns.late SELECT * FROM late_src2")
     spark.table("lakehouse.bloom_ns.late").where($"v" === "c").count() shouldBe 1
-    fileCounts() shouldBe ((1, 2)) // old file bloom-skipped, new file kept
-    // "d" is absent everywhere but inside the NEW file's [c,e] range:
-    // range pruning keeps it and, unindexed, bloom must keep it too
+    fileCounts() shouldBe ((1, 2)) // old file bloom-skipped
+    // "d" sits inside the NEW file's [c,e] min/max range, so only its
+    // write-time bloom can prove it absent
     spark.table("lakehouse.bloom_ns.late").where($"v" === "d").count() shouldBe 0
-    fileCounts() shouldBe ((1, 2))
+    fileCounts() shouldBe ((0, 2))
     spark.sql("DROP TABLE lakehouse.bloom_ns.late")
   }
 
@@ -135,12 +136,13 @@ class BloomIndexSpec extends AnyFunSuite with Matchers {
     val bdir = BloomIndex.bloomsDir(lt.tableDir)
     java.nio.file.Files.list(bdir).count() shouldBe 3L
 
-    // compaction rewrites the data; vacuum drops old files AND their
-    // now-orphaned sidecars; the compacted file is simply unindexed
+    // compaction re-indexes its output file at write time; vacuum then
+    // drops the old files AND their now-orphaned sidecars, leaving
+    // exactly the compacted file's sidecar
     Maintenance.compact(spark, "lakehouse", Seq("bloom_ns"), "vc", targetFiles = 1)
     Maintenance.vacuum(spark, "lakehouse", Seq("bloom_ns"), "vc",
       retainVersions = 1, retentionMs = 0L)
-    java.nio.file.Files.list(bdir).count() shouldBe 0L
+    java.nio.file.Files.list(bdir).count() shouldBe 1L
     spark.table("lakehouse.bloom_ns.vc").where($"v" === "x10_c1").count() shouldBe 1
     spark.sql("DROP TABLE lakehouse.bloom_ns.vc")
   }
