@@ -194,6 +194,23 @@ object BloomIndex {
     else scala.util.Try(
       XxHash64(Seq(Literal.create(v, dt)), 42L).eval(null).asInstanceOf[Long]).toOption
 
+  /** Indexed columns whose CURRENT schema type matches the build-time
+    * record. A column whose type changed since the index was built
+    * hashes differently now — probing would wrongly prove present keys
+    * absent, so it simply stops being probe-able until re-indexed. */
+  private[catalog] def probeableColumns(
+      properties: Map[String, String], schema: StructType): Seq[String] = {
+    val builtTypes = properties.get(TypesProp)
+      .map(_.split(',').map(_.trim).filter(_.contains(":"))
+        .map { s => val Array(c, t) = s.split(":", 2); c -> t }.toMap)
+      .getOrElse(Map.empty[String, String])
+    properties.get(ColumnsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+      .filter(c => schema.fields.find(_.name == c)
+        .exists(f => builtTypes.get(c).contains(f.dataType.simpleString)))
+  }
+
   /** Files whose sidecars prove every equality probe absent are
     * dropped; everything else is kept. Call AFTER min/max pruning. */
   def prune(
@@ -202,18 +219,7 @@ object BloomIndex {
       schema: StructType,
       files: Seq[String],
       filters: Seq[Filter]): Seq[String] = {
-    val builtTypes = properties.get(TypesProp)
-      .map(_.split(',').map(_.trim).filter(_.contains(":"))
-        .map { s => val Array(c, t) = s.split(":", 2); c -> t }.toMap)
-      .getOrElse(Map.empty[String, String])
-    val indexed = properties.get(ColumnsProp)
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
-      // a column whose type changed since the index was built hashes
-      // differently now — probing would wrongly prove present keys
-      // absent, so it simply stops being probe-able until re-indexed
-      .filter(c => schema.fields.find(_.name == c)
-        .exists(f => builtTypes.get(c).contains(f.dataType.simpleString)))
+    val indexed = probeableColumns(properties, schema).toSet
     if (indexed.isEmpty || files.isEmpty || filters.isEmpty) return files
     val bdir = bloomsDir(tableDir)
     if (!Files.isDirectory(bdir)) return files

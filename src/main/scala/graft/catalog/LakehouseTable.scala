@@ -127,7 +127,38 @@ class LakehouseTable(
         // joins over lakehouse tables).
         new org.apache.spark.sql.connector.read.Scan
           with org.apache.spark.sql.connector.read.SupportsReportStatistics
-          with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+          with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+          with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+          // Runtime file skipping (the DSv2 face of dynamic partition
+          // pruning): a selective broadcast-side join on a partition or
+          // bloom-indexed column hands its matched values here AFTER
+          // the build side runs, and whole fact files drop before a
+          // single task reads them — on a 1000-executor join of a
+          // day's dim slice against a 100 TB fact table, the difference
+          // between scanning the table and scanning the day. Disabled
+          // on bucketed scans (the bucket→file mapping is the
+          // partitioning contract there).
+          private var runtimeSurvivors: Seq[String] = survivors
+
+          override def filterAttributes():
+              Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+            if (bucketPlan.isDefined) Array.empty
+            else (meta.partitionColumns ++
+                BloomIndex.probeableColumns(meta.properties, meta.schema)).distinct
+              .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+              .toArray
+
+          override def filter(
+              predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+            val v1 = predicates.flatMap(RuntimePredicates.toV1).toSeq
+            if (v1.nonEmpty) {
+              runtimeSurvivors = BloomIndex.prune(tableDir, meta.properties, meta.schema,
+                FileSkipping.prune(runtimeSurvivors, meta.fileStats, meta.schema, v1), v1)
+              LakehouseTable.lastRuntimeFilteredCounts = (runtimeSurvivors.size, meta.files.size)
+            }
+          }
+
           override def outputPartitioning():
               org.apache.spark.sql.connector.read.partitioning.Partitioning =
             bucketPlan match {
@@ -204,6 +235,15 @@ class LakehouseTable(
           override def description(): String = delegate.description()
           override def toBatch: org.apache.spark.sql.connector.read.Batch =
             bucketPlan match {
+              case None if runtimeSurvivors.size != survivors.size =>
+                // runtime filters narrowed the file list after the
+                // delegate was built: rebuild it over the survivors
+                val inner2 = ParquetTable(identName, spark, options,
+                  runtimeSurvivors.map(abs), Some(meta.schema), classOf[ParquetFileFormat])
+                  .newScanBuilder(options)
+                inner2.pushDataFilters(pushed)
+                inner2.pruneColumns(required)
+                inner2.build().toBatch
               case None => delegate.toBatch
               case Some((_, n, byBucket)) =>
                 new org.apache.spark.sql.connector.read.Batch {
@@ -435,6 +475,12 @@ object LakehouseTable {
   /** (survivors, total) of the most recent scan build on this thread —
     * observability hook for tests and EXPLAIN-style debugging. */
   val lastScanFileCounts = new ThreadLocal[(Int, Int)]
+
+  /** (post-runtime-filter survivors, total) of the most recent runtime
+    * file-skipping pass. @volatile, not thread-local: AQE invokes
+    * Scan.filter on its execution threads, so a ThreadLocal would be
+    * invisible to the observing (test/driver) thread. */
+  @volatile var lastRuntimeFilteredCounts: (Int, Int) = (0, 0)
 
   /** A file partition that also carries its bucket id, so Spark's
     * storage-partitioned join can match it against the other side's

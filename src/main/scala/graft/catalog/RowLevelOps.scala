@@ -122,48 +122,10 @@ class LakehouseRowLevelOperation(
     override def filterAttributes(): Array[NamedReference] =
       base.partitionColumns.map(c => Expressions.column(c)).toArray
 
-    /** Catalyst-internal literal → external value FileSkipping groks;
-      * None for types we don't prune on (conservative keep). */
-    private def external(l: org.apache.spark.sql.connector.expressions.Literal[_]): Option[Any] =
-      l.dataType match {
-        case org.apache.spark.sql.types.StringType => Option(l.value).map(_.toString)
-        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType =>
-          Option(l.value)
-        case org.apache.spark.sql.types.DateType =>
-          Option(l.value).map(d => java.time.LocalDate.ofEpochDay(d.asInstanceOf[Int].toLong))
-        case org.apache.spark.sql.types.TimestampType =>
-          Option(l.value).map { m =>
-            val micros = m.asInstanceOf[Long]
-            java.time.Instant.ofEpochSecond(
-              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
-          }
-        case _ => None
-      }
-
-    /** The runtime group filter arrives as IN / = over partition-column
-      * literals; anything else is ignored (pruning is an optimization,
-      * never correctness — unconvertible predicates just keep files). */
-    private def toV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[sources.Filter] = {
-      val kids = p.children().toSeq
-      (p.name(), kids) match {
-        case ("IN", Seq(ref: NamedReference, rest @ _*))
-            if rest.forall(_.isInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]) =>
-          val vals = rest.map(v =>
-            external(v.asInstanceOf[org.apache.spark.sql.connector.expressions.Literal[_]]))
-          if (vals.forall(_.isDefined))
-            Some(sources.In(ref.fieldNames().mkString("."), vals.flatten.toArray))
-          else None
-        case ("=", Seq(ref: NamedReference,
-            l: org.apache.spark.sql.connector.expressions.Literal[_])) =>
-          external(l).map(v => sources.EqualTo(ref.fieldNames().mkString("."), v))
-        case _ => None
-      }
-    }
-
     override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-      val v1 = predicates.flatMap(toV1)
+      // shared conversion (RuntimePredicates): IN / = over partition
+      // columns; unconvertible predicates just keep files
+      val v1 = predicates.flatMap(RuntimePredicates.toV1)
       survivors = FileSkipping.prune(survivors, base.fileStats, base.schema, v1.toSeq)
       scannedFiles = survivors
     }
