@@ -979,8 +979,11 @@ object TextOps {
     * through the per-partition codec in bounded batches
     * (`mapPartitions`, the Scala analogue of `mapInPandas`), emit
     * narrow (id, width, height) rows and drop the binary column as
-    * early as possible. Smoke-checked (stub dims aren't
-    * SQL-expressible); MediaSpec pins the per-op semantics. */
+    * early as possible. Oracle-checked: the stub codec's dims are BY
+    * CONTRACT the first two payload bytes (ASCII text → the first two
+    * characters' codepoints), so DuckDB can assert the distributed
+    * plumbing delivered every payload through the codec intact;
+    * MediaSpec pins the per-op pixel semantics. */
   val q55 = Q(
     "q55_media_pipeline",
     (s, d) => {
@@ -990,7 +993,10 @@ object TextOps {
         .select(col("id").as("doc_id"), col("width"), col("height"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""SELECT doc_id,
+           |       GREATEST(1, ascii(substr(text, 1, 1))) AS width,
+           |       GREATEST(1, ascii(substr(text, 2, 1))) AS height
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Context-window chunking with overlap — the slicing stage that
     * turns documents into model-sized training sequences (window 40
