@@ -4,8 +4,15 @@ import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
 /** Per-file column range, stored as strings in the metadata JSON and
-  * compared under the column's type ordering. */
-final case class ColumnRange(min: String, max: String)
+  * compared under the column's type ordering. `nulls` is the column's
+  * null count in the file when the footer recorded one (None on
+  * metadata written before null counts existed, or when any chunk left
+  * it unset) — used by metadata-only COUNT(col) answering.
+  * `hasValues=false` marks a column with zero non-null values in the
+  * file: min/max are meaningless placeholders, but the entry still
+  * carries the null count and PROVES value predicates cannot match. */
+final case class ColumnRange(
+    min: String, max: String, nulls: Option[Long] = None, hasValues: Boolean = true)
 
 /** File-level data skipping against per-file min/max statistics — the
   * lakehouse analogue of Iceberg's manifest-level pruning (the
@@ -78,34 +85,45 @@ object FileSkipping {
 
     def range(col: String): Option[(ColumnRange, (String, String) => Int)] =
       for {
-        r <- stats.get(col)
+        r <- stats.get(col) if r.hasValues
         f <- schema.fields.find(_.name == col)
         cmp <- comparator(f.dataType)
       } yield (r, cmp)
 
+    // a column recorded with zero non-null values: no value predicate
+    // on it can match any row in this file (NULL op anything ≠ TRUE)
+    def allNull(col: String): Boolean = stats.get(col).exists(!_.hasValues)
+
     filter match {
       case EqualTo(col, v) =>
-        range(col).flatMap { case (r, cmp) =>
+        if (allNull(col)) false
+        else range(col).flatMap { case (r, cmp) =>
           lit(v).map(s => cmp(s, r.min) >= 0 && cmp(s, r.max) <= 0)
         }.getOrElse(true)
       case In(col, vs) =>
-        range(col).flatMap { case (r, cmp) =>
+        if (allNull(col)) false
+        else range(col).flatMap { case (r, cmp) =>
           val ls = vs.toSeq.flatMap(lit(_))
           if (ls.size != vs.length) None
           else Some(ls.exists(s => cmp(s, r.min) >= 0 && cmp(s, r.max) <= 0))
         }.getOrElse(true)
       case GreaterThan(col, v) =>
-        range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.max, s) > 0) }
+        if (allNull(col)) false
+        else range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.max, s) > 0) }
           .getOrElse(true)
       case GreaterThanOrEqual(col, v) =>
-        range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.max, s) >= 0) }
+        if (allNull(col)) false
+        else range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.max, s) >= 0) }
           .getOrElse(true)
       case LessThan(col, v) =>
-        range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.min, s) < 0) }
+        if (allNull(col)) false
+        else range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.min, s) < 0) }
           .getOrElse(true)
       case LessThanOrEqual(col, v) =>
-        range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.min, s) <= 0) }
+        if (allNull(col)) false
+        else range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.min, s) <= 0) }
           .getOrElse(true)
+      case IsNotNull(col) => !allNull(col)
       case And(l, r) => mayMatch(l, schema, stats) && mayMatch(r, schema, stats)
       case Or(l, r) => mayMatch(l, schema, stats) || mayMatch(r, schema, stats)
       // Not / IsNull / string matches / UDF-ish filters: can't prove absence

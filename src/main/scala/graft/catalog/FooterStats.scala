@@ -29,11 +29,26 @@ object FooterStats {
     case other => Some(other.toString)
   }
 
+  /** Everything one footer read yields: the file's row count plus the
+    * per-column ranges/null counts. */
+  final case class FileFooter(rows: Long, cols: Map[String, ColumnRange])
+
   /** Column ranges for one parquet file (merged across row groups). */
-  def collect(conf: Configuration, file: HPath, schema: StructType): Map[String, ColumnRange] = {
+  def collect(conf: Configuration, file: HPath, schema: StructType): Map[String, ColumnRange] =
+    collectFull(conf, file, schema).cols
+
+  /** Ranges + row count + null counts for one parquet file — same
+    * single footer read as [[collect]]. Null counts are recorded only
+    * when EVERY row group sets them (parquet leaves them unset at -1
+    * otherwise); a partial sum would under-count and corrupt
+    * metadata-only COUNT(col) answers. */
+  def collectFull(conf: Configuration, file: HPath, schema: StructType): FileFooter = {
     val wanted = schema.fields.filter(f => supported(f.dataType)).map(_.name).toSet
     val reader = ParquetFileReader.open(conf, file)
     try {
+      val nullable = schema.fields.map(_.name).toSet
+      var rows = 0L
+      val nulls = scala.collection.mutable.Map[String, Option[Long]]()
       val acc = scala.collection.mutable.Map[String, (String, String, (String, String) => Int)]()
       val cmpFor: String => (String, String) => Int = col =>
         schema.fields.find(_.name == col).map(_.dataType) match {
@@ -44,9 +59,21 @@ object FooterStats {
           case _ => (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
         }
       reader.getFooter.getBlocks.asScala.foreach { block =>
+        rows += block.getRowCount
         block.getColumns.asScala.foreach { chunk =>
           val col = chunk.getPath.toDotString
           val st = chunk.getStatistics
+          // null counts: tracked for every top-level column, merged to
+          // None the moment any row group leaves them unset
+          if (nullable.contains(col)) {
+            val chunkNulls =
+              if (st != null && !st.isEmpty && st.isNumNullsSet) Some(st.getNumNulls)
+              else None
+            nulls(col) = (nulls.getOrElse(col, Some(0L)), chunkNulls) match {
+              case (Some(a), Some(b)) => Some(a + b)
+              case _ => None
+            }
+          }
           if (wanted.contains(col) && st != null && !st.isEmpty && st.hasNonNullValue) {
             for {
               mn <- render(st.genericGetMin())
@@ -65,7 +92,17 @@ object FooterStats {
           }
         }
       }
-      acc.map { case (c, (mn, mx, _)) => c -> ColumnRange(mn, mx) }.toMap
+      val ranged = acc.map { case (c, (mn, mx, _)) =>
+        c -> ColumnRange(mn, mx, nulls.getOrElse(c, None))
+      }.toMap
+      // columns with zero non-null values still get an entry: it
+      // carries the null count (COUNT answering) and proves value
+      // predicates and MIN/MAX contributions are impossible
+      val allNull = nulls.collect {
+        case (c, Some(n)) if n == rows && rows > 0 && !ranged.contains(c) =>
+          c -> ColumnRange("", "", Some(n), hasValues = false)
+      }
+      FileFooter(rows, ranged ++ allNull)
     } finally reader.close()
   }
 }

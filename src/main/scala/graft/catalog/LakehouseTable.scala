@@ -71,10 +71,12 @@ class LakehouseTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
       private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       private var required: StructType = meta.schema
+      private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
@@ -85,7 +87,40 @@ class LakehouseTable(
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
+      // Global COUNT/MIN/MAX answered from snapshot metadata — a
+      // driver-side fold over per-file stats instead of a scan (see
+      // [[MetadataAggregates]]). Complete pushdown: the returned row IS
+      // the final answer, so the plan collapses to a LocalTableScan.
+      // Only when no filters reached the scan: ours are all residual,
+      // so an aggregate above any filter must see real rows.
+      private def tryAnswer(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
+        if (pushed.nonEmpty ||
+          spark.conf.getOption("spark.graft.aggregatePushdown").contains("false")) None
+        else MetadataAggregates.answer(meta, agg)
+
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        tryAnswer(agg).isDefined
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        aggAnswer = tryAnswer(agg)
+        aggAnswer.isDefined
+      }
+
       override def build(): org.apache.spark.sql.connector.read.Scan = {
+        aggAnswer match {
+          case Some((aggSchema, row)) =>
+            LakehouseTable.lastScanFileCounts.set((0, meta.files.size))
+            return new org.apache.spark.sql.connector.read.LocalScan {
+              override def readSchema(): StructType = aggSchema
+              override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+              override def description(): String =
+                s"GraftMetadataAggregate ${aggSchema.fieldNames.mkString(", ")}"
+            }
+          case None => ()
+        }
         // two metadata-only pruning layers before any footer is opened:
         // min/max ranges (layout-dependent), then per-file bloom probes
         // for point predicates on indexed columns (layout-independent)
@@ -380,9 +415,10 @@ class LakehouseTable(
       .map(n => s"$commitRel/$n")
       .toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val newStats = newFiles.map { f =>
-      f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), current.schema)
-    }.filter(_._2.nonEmpty).toMap
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), current.schema)
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, tableDir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
     val allFiles = survivors ++ newFiles
@@ -390,6 +426,8 @@ class LakehouseTable(
       version = nextVersion,
       files = allFiles,
       fileStats = current.fileStats.view.filterKeys(survivors.contains).toMap ++ newStats,
+      fileRows = current.fileRows.view.filterKeys(survivors.contains).toMap ++
+        footers.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "delete", newFiles.size, allFiles.size)))
   }
@@ -429,9 +467,11 @@ class LakehouseTable(
       .toSeq.sorted
     // footer-only stats read per new file → file-level skipping on scan
     val conf = spark.sessionState.newHadoopConf()
-    val newStats = newFiles.map { f =>
-      f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), startMeta.schema)
-    }.filter(_._2.nonEmpty).toMap
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), startMeta.schema)
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
+    val newRows = footers.view.mapValues(_.rows).toMap
     // bloom-indexed tables get sidecars for the new files at write time
     // (one pass over only the new data), so the index stays fresh
     BloomIndex.buildForFiles(spark, tableDir, startMeta.schema, startMeta.properties, newFiles)
@@ -454,12 +494,16 @@ class LakehouseTable(
       val allStats =
         if (overwrite) newStats
         else current.fileStats.view.filterKeys(allFiles.contains).toMap ++ newStats
+      val allRows =
+        if (overwrite) newRows
+        else current.fileRows.view.filterKeys(allFiles.contains).toMap ++ newRows
       val op = if (overwrite) "overwrite" else "append"
       try {
         TableMetadata.commit(tableDir, current.copy(
           version = nextVersion,
           files = allFiles,
           fileStats = allStats,
+          fileRows = allRows,
           snapshots = current.snapshots :+ Snapshot(
             nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
         committed = true

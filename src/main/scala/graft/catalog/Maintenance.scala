@@ -130,15 +130,17 @@ object Maintenance {
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val newStats = newFiles.map { f =>
-      f -> FooterStats.collect(conf,
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
-    }.filter(_._2.nonEmpty).toMap
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     TableMetadata.commit(dir, current.copy(
       version = nextVersion,
       files = newFiles,
       fileStats = newStats,
+      fileRows = footers.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "compact", newFiles.size, newFiles.size)))
     newFiles.size
@@ -265,10 +267,11 @@ object Maintenance {
         .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
         .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val newStats = newFiles.map { f =>
-      f -> FooterStats.collect(conf,
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), newSchema)
-    }.filter(_._2.nonEmpty).toMap
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     TableMetadata.commit(dir, current.copy(
       version = nextVersion,
       schema = newSchema,
@@ -276,6 +279,7 @@ object Maintenance {
       properties = newProps,
       files = newFiles,
       fileStats = newStats,
+      fileRows = footers.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "rename", newFiles.size, newFiles.size)))
     newFiles.size
@@ -315,6 +319,7 @@ object Maintenance {
       properties = target.properties,
       files = target.files,
       fileStats = target.fileStats,
+      fileRows = target.fileRows,
       snapshots = current.snapshots :+ Snapshot(
         current.version + 1, System.currentTimeMillis(), s"rollback(v$toVersion)",
         0, target.files.size)))
@@ -367,10 +372,11 @@ object Maintenance {
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val newStats = newFiles.map { f =>
-      f -> FooterStats.collect(conf,
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), start.schema)
-    }.filter(_._2.nonEmpty).toMap
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, start.schema, start.properties, newFiles)
 
     // append-vs-append races retry on a fresh snapshot; a racer that
@@ -389,6 +395,7 @@ object Maintenance {
           version = current.version + 1,
           files = current.files ++ newFiles,
           fileStats = current.fileStats ++ newStats,
+          fileRows = current.fileRows ++ footers.view.mapValues(_.rows).toMap,
           properties = current.properties + (key -> batchId.toString),
           snapshots = current.snapshots :+ Snapshot(
             current.version + 1, System.currentTimeMillis(), "append",
@@ -429,10 +436,11 @@ object Maintenance {
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val newStats = newFiles.map { f =>
-      f -> FooterStats.collect(conf,
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
-    }.filter(_._2.nonEmpty).toMap
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
     val allFiles = survivors ++ newFiles
@@ -440,6 +448,8 @@ object Maintenance {
       version = nextVersion,
       files = allFiles,
       fileStats = current.fileStats.view.filterKeys(survivors.contains).toMap ++ newStats,
+      fileRows = current.fileRows.view.filterKeys(survivors.contains).toMap ++
+        footers.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
   }

@@ -188,9 +188,10 @@ class LakehouseRowLevelOperation(
         .map(n => s"$commitRel/$n")
         .toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val newStats = newFiles.map { f =>
-      f -> FooterStats.collect(conf, new org.apache.hadoop.fs.Path(abs(f)), base.schema)
-    }.filter(_._2.nonEmpty).toMap
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), base.schema)
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     val current = TableMetadata.load(tableDir)
     if (current.version != base.version)
       throw new IllegalStateException(
@@ -203,6 +204,8 @@ class LakehouseRowLevelOperation(
       version = current.version + 1,
       files = allFiles,
       fileStats = current.fileStats.view.filterKeys(kept.contains).toMap ++ newStats,
+      fileRows = current.fileRows.view.filterKeys(kept.contains).toMap ++
+        footers.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         current.version + 1, System.currentTimeMillis(),
         cmd.toString.toLowerCase, newFiles.size, allFiles.size)))

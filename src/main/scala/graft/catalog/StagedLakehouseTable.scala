@@ -42,6 +42,7 @@ class StagedLakehouseTable(
   private val commitDir = dir.resolve(commitRel)
   @volatile private var written: Seq[String] = Seq.empty
   @volatile private var writtenStats: Map[String, Map[String, ColumnRange]] = Map.empty
+  @volatile private var writtenRows: Map[String, Long] = Map.empty
 
   override def name(): String = identName
   override def schema(): StructType = stagedSchema
@@ -75,10 +76,12 @@ class StagedLakehouseTable(
                 .map(n => s"$commitRel/$n")
                 .toSeq.sorted
               val conf = spark.sessionState.newHadoopConf()
-              writtenStats = written.map { f =>
-                f -> FooterStats.collect(
+              val footers = written.map { f =>
+                f -> FooterStats.collectFull(
                   conf, new org.apache.hadoop.fs.Path(dir.resolve(f).toString), stagedSchema)
-              }.filter(_._2.nonEmpty).toMap
+              }.toMap
+              writtenStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
+              writtenRows = footers.view.mapValues(_.rows).toMap
             }
           }
       }
@@ -93,6 +96,7 @@ class StagedLakehouseTable(
       properties = tableProperties,
       files = written,
       fileStats = writtenStats,
+      fileRows = writtenRows,
       snapshots = priorSnapshots :+ Snapshot(
         version, System.currentTimeMillis(), op, written.size, written.size)))
 

@@ -33,7 +33,8 @@ final case class TableMetadata(
     properties: Map[String, String],
     files: Seq[String],
     snapshots: Seq[Snapshot],
-    fileStats: Map[String, Map[String, ColumnRange]] = Map.empty) {
+    fileStats: Map[String, Map[String, ColumnRange]] = Map.empty,
+    fileRows: Map[String, Long] = Map.empty) {
 
   def toJson: String = {
     val j = JObject(
@@ -45,8 +46,15 @@ final case class TableMetadata(
       "files" -> JArray(files.map(JString(_)).toList),
       "fileStats" -> JObject(fileStats.toList.sortBy(_._1).map { case (f, cols) =>
         f -> (JObject(cols.toList.sortBy(_._1).map { case (c, r) =>
-          c -> (JObject("min" -> JString(r.min), "max" -> JString(r.max)): JValue)
+          val base =
+            if (r.hasValues)
+              List("min" -> (JString(r.min): JValue), "max" -> (JString(r.max): JValue))
+            else List("allNull" -> (JBool(true): JValue))
+          c -> (JObject(base ++ r.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList): JValue)
         }): JValue)
+      }),
+      "fileRows" -> JObject(fileRows.toList.sortBy(_._1).map { case (f, n) =>
+        f -> (JLong(n): JValue)
       }),
       "snapshots" -> JArray(snapshots.map { s =>
         JObject(
@@ -83,9 +91,15 @@ object TableMetadata {
         fs.obj.map { case (f, cols) =>
           f -> cols.asInstanceOf[JObject].obj.map { case (c, r) =>
             val ro = r.asInstanceOf[JObject].obj.toMap
-            c -> ColumnRange(str(ro("min")), str(ro("max")))
+            c ->
+              (if (ro.contains("min"))
+                ColumnRange(str(ro("min")), str(ro("max")), ro.get("nulls").map(long))
+              else ColumnRange("", "", ro.get("nulls").map(long), hasValues = false))
           }.toMap
         }.toMap
+      }.getOrElse(Map.empty),
+      fileRows = o.get("fileRows").collect { case fr: JObject =>
+        fr.obj.map { case (f, n) => f -> long(n) }.toMap
       }.getOrElse(Map.empty),
       snapshots = o("snapshots").asInstanceOf[JArray].arr.map { sv =>
         val so = sv.asInstanceOf[JObject].obj.toMap

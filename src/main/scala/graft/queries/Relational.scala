@@ -73,12 +73,18 @@ object Relational {
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |ORDER BY o_orderkey LIMIT 50""".stripMargin))
 
+  // Fact-first join order: lineitem (the big table) is the probe/stream
+  // side of every join, so the planner builds hash tables from the
+  // smaller orders/customer sides (or shuffles them in SMJ at cluster
+  // scale) instead of ever materializing the fact side — chained
+  // dim-first, Spark's size estimate broadcast the 600k-row lineitem
+  // projection as a build side, which inverts at scale.
   val q04 = Q(
     "q04_multiway_join",
     (s, d) =>
-      customer(s, d)
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))

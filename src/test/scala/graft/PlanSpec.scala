@@ -37,10 +37,29 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should not include "l_tax"
   }
 
-  test("q04 broadcasts every small dimension") {
-    val plan = executedPlan(Relational.q04.run(spark, sf))
+  test("q04 broadcasts every small dimension but never the fact table") {
+    val df = Relational.q04.run(spark, sf)
+    val plan = executedPlan(df)
     // supplier, nation, region are explicit broadcasts; AQE may add more
     "BroadcastHashJoin".r.findAllIn(plan).size should be >= 3
+    // lineitem must stay the streamed probe side: a size estimate that
+    // slips the fact table into a BroadcastExchange works at test SF and
+    // inverts catastrophically at cluster scale
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val descend = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: descend.flatMap(allNodes)
+    }
+    val broadcastSubtrees = allNodes(df.queryExecution.executedPlan).collect {
+      case b: BroadcastExchangeExec => allNodes(b).map(_.simpleString(200)).mkString("\n")
+    }
+    broadcastSubtrees should not be empty
+    broadcastSubtrees.foreach(_ should not include "lineitem")
   }
 
   test("q19 global top-k plans as TakeOrderedAndProject, not a full sort") {
