@@ -72,11 +72,25 @@ class LakehouseTable(
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
       private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       private var required: StructType = meta.schema
       private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
+      private var pushedLimit: Option[Int] = None
+
+      // LIMIT n with no intervening filter: Spark only needs SOME n
+      // rows, so the scan can stop at the first files whose recorded
+      // row counts cover n — `LIMIT 10` against a 100 TB table opens
+      // one file. Partial push: Spark keeps its own limit on top, so
+      // over-returning from the last kept file is fine; files without
+      // recorded counts simply disable truncation.
+      override def pushLimit(limit: Int): Boolean = {
+        pushedLimit = Some(limit)
+        true
+      }
+      override def isPartiallyPushed(): Boolean = true
 
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
@@ -126,8 +140,21 @@ class LakehouseTable(
         // for point predicates on indexed columns (layout-independent)
         val rangeSurvivors =
           FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
-        val survivors = BloomIndex.prune(
+        val filterSurvivors = BloomIndex.prune(
           tableDir, meta.properties, meta.schema, rangeSurvivors, pushed.toSeq)
+        // LIMIT truncation: cumulative recorded row counts cover the
+        // limit → later files can never be needed. Spark never pushes
+        // a limit past a filter, and ours are all residual, so this
+        // only fires on filterless scans (guarded anyway).
+        val survivors = (pushedLimit, pushed.isEmpty) match {
+          case (Some(n), true)
+              if Bucketing.specOf(meta.properties).isEmpty && // keep bucket↔file map whole
+                filterSurvivors.forall(meta.fileRows.contains) =>
+            val cumBefore = filterSurvivors.map(meta.fileRows).scanLeft(0L)(_ + _)
+            filterSurvivors.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
+          case _ => filterSurvivors
+        }
+        val limitTruncated = survivors.size != filterSurvivors.size
         LakehouseTable.lastScanFileCounts.set((survivors.size, meta.files.size))
         val inner = ParquetTable(identName, spark, options, survivors.map(abs),
           Some(meta.schema), classOf[ParquetFileFormat])
@@ -178,7 +205,7 @@ class LakehouseTable(
 
           override def filterAttributes():
               Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-            if (bucketPlan.isDefined) Array.empty
+            if (bucketPlan.isDefined || limitTruncated) Array.empty
             else (meta.partitionColumns ++
                 BloomIndex.probeableColumns(meta.properties, meta.schema)).distinct
               .map(org.apache.spark.sql.connector.expressions.Expressions.column)
