@@ -291,12 +291,17 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** Time travel: `VERSION AS OF n` reads metadata version n directly —
-    * data files are immutable, so an old snapshot is just an old JSON. */
+    * data files are immutable, so an old snapshot is just an old JSON.
+    * A non-numeric version is a TAG name, resolved through the current
+    * snapshot's `graft.tag.*` properties (see [[Maintenance.tag]]). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
-    val v = version.toIntOption.getOrElse(
-      throw new IllegalArgumentException(s"version must be an integer, got '$version'"))
+    val v = version.toIntOption.orElse(
+      TableMetadata.load(dir).properties
+        .get(Maintenance.TagPrefix + version).flatMap(_.toIntOption))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$version' is neither a version number nor a tag of ${fullName(ident)}"))
     val vf = TableMetadata.versionFile(dir, v)
     if (!Files.exists(vf))
       throw new IllegalArgumentException(

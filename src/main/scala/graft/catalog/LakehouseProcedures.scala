@@ -177,7 +177,29 @@ object LakehouseProcedures {
       }
     }
 
+  private def tagProc(catalogName: String) = new MaintenanceProc("tag",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("name", StringType), param("version", IntegerType)), "version", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      Maintenance.tag(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString, a.getInt(3))
+      a.getInt(3).toLong
+    }
+  }
+
+  private def dropTagProc(catalogName: String) = new MaintenanceProc("drop_tag",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("name", StringType)), "dropped", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      Maintenance.dropTag(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString)
+      1L
+    }
+  }
+
   private val factories: Map[String, String => UnboundProcedure] = Map(
+    "tag" -> (tagProc(_)),
+    "drop_tag" -> (dropTagProc(_)),
     "compact" -> (compactProc(_)),
     "vacuum" -> (vacuumProc(_)),
     "rollback" -> (rollbackProc(_)),

@@ -754,6 +754,72 @@ object Maintenance {
         .withColumn("_commit_version", lit(0)))
   }
 
+  /** Property prefix for named snapshot tags (`graft.tag.<name>` →
+    * version number). */
+  val TagPrefix = "graft.tag."
+
+  /** Versions pinned by tags, per the given (usually current) metadata. */
+  def taggedVersions(meta: TableMetadata): Set[Int] =
+    meta.properties.collect {
+      case (k, v) if k.startsWith(TagPrefix) => v.toInt
+    }.toSet
+
+  /** Tag a snapshot version with a stable name (Iceberg tag / Delta
+    * named version): `VERSION AS OF 'name'` then reads it forever, and
+    * `expireSnapshots`/`vacuum` keep the tagged version's metadata and
+    * data files alive however far history advances — the audit /
+    * reproducibility pin ("the snapshot the model trained on") that a
+    * retention policy must not eat. The tag itself is a metadata-only
+    * commit (history-visible, time-travelable, racing appends retry
+    * past it). */
+  def tag(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      name: String,
+      version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid tag name '$name'")
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    require(Files.exists(TableMetadata.versionFile(dir, version)),
+      s"cannot tag v$version: metadata missing (never existed or already expired)")
+    commitPropertyChange(dir, s"tag($name=v$version)",
+      _ + (TagPrefix + name -> version.toString))
+  }
+
+  /** Drop a tag; the version it pinned becomes expirable again. */
+  def dropTag(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      name: String): Unit = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    commitPropertyChange(lt.tableDir, s"drop-tag($name)", _ - (TagPrefix + name))
+  }
+
+  /** Metadata-only property commit with append-style retry. */
+  private def commitPropertyChange(
+      dir: Path, op: String,
+      change: Map[String, String] => Map[String, String]): Unit = {
+    val maxAttempts = 10
+    var attempt = 0
+    while (true) {
+      val current = TableMetadata.load(dir)
+      try {
+        TableMetadata.commit(dir, current.copy(
+          version = current.version + 1,
+          properties = change(current.properties),
+          snapshots = current.snapshots :+ Snapshot(
+            current.version + 1, System.currentTimeMillis(), op, 0, current.files.size)))
+        return
+      } catch {
+        case _: IllegalStateException if attempt < maxAttempts => attempt += 1
+      }
+    }
+  }
+
   /** Expire old metadata versions — Iceberg's `expire_snapshots` for
     * our log: delete `vN.json` files older than the newest
     * `retainVersions`, bounding metadata growth on high-commit-rate
@@ -761,8 +827,9 @@ object Maintenance {
     * sink committing every few seconds writes thousands per day).
     * Expired versions stop being time-travelable (VERSION AS OF fails
     * cleanly) and incremental reads spanning them fail with a re-sync
-    * error instead of a wrong diff. Data files are untouched — run
-    * `vacuum` for those. Returns the number of versions expired. */
+    * error instead of a wrong diff. TAGGED versions are never expired.
+    * Data files are untouched — run `vacuum` for those. Returns the
+    * number of versions expired. */
   def expireSnapshots(
       spark: SparkSession,
       catalog: String,
@@ -772,9 +839,11 @@ object Maintenance {
     require(retainVersions >= 1, "must retain at least the current version")
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
-    val current = TableMetadata.load(dir).version
-    val cutoff = current - retainVersions + 1 // keep versions >= cutoff
+    val meta = TableMetadata.load(dir)
+    val tagged = taggedVersions(meta)
+    val cutoff = meta.version - retainVersions + 1 // keep versions >= cutoff
     val doomed = (1 until cutoff)
+      .filterNot(tagged.contains)
       .filter(v => Files.exists(TableMetadata.versionFile(dir, v)))
     doomed.foreach(v => Files.deleteIfExists(TableMetadata.versionFile(dir, v)))
     doomed.size
@@ -807,7 +876,13 @@ object Maintenance {
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     val log = TableMetadata.loadLog(dir)
-    val retained = log.takeRight(retainVersions).flatMap(_.files).toSet
+    // tagged snapshots stay fully readable: their files are retained
+    // alongside the newest retainVersions' (expireSnapshots keeps their
+    // metadata, so the log always still contains them)
+    val tagged = log.lastOption.map(taggedVersions).getOrElse(Set.empty)
+    val retained =
+      (log.takeRight(retainVersions) ++ log.filter(m => tagged.contains(m.version)))
+        .flatMap(_.files).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - retentionMs
