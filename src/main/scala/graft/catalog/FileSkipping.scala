@@ -124,6 +124,8 @@ object FileSkipping {
         else range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.min, s) <= 0) }
           .getOrElse(true)
       case IsNotNull(col) => !allNull(col)
+      // a recorded null count of 0 proves IS NULL matches nothing here
+      case IsNull(col) => !stats.get(col).flatMap(_.nulls).contains(0L)
       case And(l, r) => mayMatch(l, schema, stats) && mayMatch(r, schema, stats)
       case Or(l, r) => mayMatch(l, schema, stats) || mayMatch(r, schema, stats)
       // Not / IsNull / string matches / UDF-ish filters: can't prove absence

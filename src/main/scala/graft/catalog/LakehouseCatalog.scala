@@ -442,7 +442,19 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           m.copy(properties = m.properties - rm.property)
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1, "nested ADD COLUMN not supported")
-          m.copy(schema = m.schema.add(add.fieldNames.head, add.dataType, add.isNullable))
+          val addName = add.fieldNames.head
+          // Name-based parquet resolution: re-adding a dropped column's
+          // name while old data files still carry it physically would
+          // RESURRECT the dropped values (silently wrong, and a privacy
+          // hazard if the drop was a PII purge). The tombstone clears
+          // when every file has been rewritten under the current schema.
+          if (m.properties.contains(LakehouseCatalog.TombstonePrefix + addName.toLowerCase))
+            throw new UnsupportedOperationException(
+              s"ADD COLUMN $addName: a previously dropped column of this name may still " +
+                "exist in data files, and name-based resolution would resurrect its old " +
+                "values. Rewrite the table first (Maintenance.compact / CALL " +
+                "system.compact, or INSERT OVERWRITE), which clears the tombstone.")
+          m.copy(schema = m.schema.add(addName, add.dataType, add.isNullable))
         case ren: TableChange.RenameColumn =>
           require(ren.fieldNames.length == 1, "nested RENAME COLUMN not supported")
           // Column resolution against parquet is NAME-based (no Iceberg
@@ -459,7 +471,16 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
             if (f.name == ren.fieldNames.head) f.copy(name = ren.newName) else f)))
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames.length == 1, "nested DROP COLUMN not supported")
-          m.copy(schema = StructType(m.schema.fields.filterNot(_.name == del.fieldNames.head)))
+          val delName = del.fieldNames.head
+          // tombstone while live files still carry the physical column
+          // (see AddColumn above); empty tables need none
+          val tombstoned =
+            if (m.files.nonEmpty)
+              m.properties + (LakehouseCatalog.TombstonePrefix + delName.toLowerCase -> "true")
+            else m.properties
+          m.copy(
+            schema = StructType(m.schema.fields.filterNot(_.name == delName)),
+            properties = tombstoned)
         case upd: TableChange.UpdateColumnType =>
           require(upd.fieldNames.length == 1, "nested ALTER COLUMN not supported")
           val name = upd.fieldNames.head
@@ -538,4 +559,12 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
   private def deleteRecursively(dir: Path): Unit =
     if (Files.exists(dir))
       Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+}
+
+object LakehouseCatalog {
+  /** Property prefix marking a dropped column whose physical data may
+    * still live in files (`graft.dropped.<lowercase-name>`); cleared
+    * by any operation that rewrites every file under the current
+    * schema. */
+  val TombstonePrefix = "graft.dropped."
 }

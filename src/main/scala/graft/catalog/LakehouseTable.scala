@@ -524,6 +524,13 @@ class LakehouseTable(
       val allRows =
         if (overwrite) newRows
         else current.fileRows.view.filterKeys(allFiles.contains).toMap ++ newRows
+      // an overwrite replaces every file with current-schema data, so
+      // dropped-column tombstones (see LakehouseCatalog.alterTable)
+      // no longer protect anything
+      val props =
+        if (overwrite)
+          current.properties.filterNot(_._1.startsWith(LakehouseCatalog.TombstonePrefix))
+        else current.properties
       val op = if (overwrite) "overwrite" else "append"
       try {
         TableMetadata.commit(tableDir, current.copy(
@@ -531,6 +538,7 @@ class LakehouseTable(
           files = allFiles,
           fileStats = allStats,
           fileRows = allRows,
+          properties = props,
           snapshots = current.snapshots :+ Snapshot(
             nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
         committed = true

@@ -98,7 +98,12 @@ object Maintenance {
     val bucketRepairNeeded = bucketSpec.exists { case (_, n) =>
       !current.files.forall(f => Bucketing.bucketIdOf(f).exists(_ < n))
     }
-    if (clusterBy.isEmpty && current.files.size <= targetFiles && !bucketRepairNeeded)
+    // dropped-column tombstones force the rewrite even when the file
+    // count is already at target: clearing them is the point
+    val hasTombstones =
+      current.properties.keys.exists(_.startsWith(LakehouseCatalog.TombstonePrefix))
+    if (clusterBy.isEmpty && current.files.size <= targetFiles &&
+      !bucketRepairNeeded && !hasTombstones)
       return current.files.size
 
     val nextVersion = current.version + 1
@@ -141,6 +146,10 @@ object Maintenance {
       files = newFiles,
       fileStats = newStats,
       fileRows = footers.view.mapValues(_.rows).toMap,
+      // every file now carries exactly the current schema: dropped
+      // columns' physical data is gone, their names safe to reuse
+      properties = current.properties
+        .filterNot(_._1.startsWith(LakehouseCatalog.TombstonePrefix)),
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "compact", newFiles.size, newFiles.size)))
     newFiles.size
@@ -233,7 +242,7 @@ object Maintenance {
     val newProps = current.properties.map {
       case (Bucketing.ColProp, v) if v == oldName => Bucketing.ColProp -> newName
       case kv => kv
-    }
+    }.filterNot(_._1.startsWith(LakehouseCatalog.TombstonePrefix)) // full rewrite clears them
     val bucketSpec = Bucketing.specOf(newProps)
 
     val nextVersion = current.version + 1

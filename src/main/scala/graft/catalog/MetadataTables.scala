@@ -73,11 +73,14 @@ object MetadataTables {
       case "files" =>
         val schema = StructType(Seq(
           StructField("file_path", StringType),
-          StructField("size_bytes", LongType)))
-        val rows = log.last.files.map { f =>
+          StructField("size_bytes", LongType),
+          StructField("row_count", LongType))) // -1 = not recorded
+        val current = log.last
+        val rows = current.files.map { f =>
           val p = tableDir.resolve(f)
           val size = if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else -1L
-          new GenericInternalRow(Array[Any](utf8(p.toString), size))
+          new GenericInternalRow(Array[Any](
+            utf8(p.toString), size, current.fileRows.getOrElse(f, -1L)))
         }
         new MetadataTable(s"$identName.files", schema, rows.toArray)
     }

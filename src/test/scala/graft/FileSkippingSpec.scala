@@ -37,6 +37,28 @@ class FileSkippingSpec extends AnyFunSuite with Matchers {
     prune(GreaterThanOrEqual("k", 9)) shouldBe Seq("f2", "f3")
   }
 
+  test("null-count and all-null entries prove matches impossible") {
+    val nSchema = StructType(Seq(StructField("k", IntegerType), StructField("s", StringType)))
+    val nStats = Map(
+      // k fully non-null with range, s recorded all-null
+      "f1" -> Map(
+        "k" -> ColumnRange("0", "9", Some(0L)),
+        "s" -> ColumnRange("", "", Some(10L), hasValues = false)),
+      // no null counts recorded (old metadata)
+      "f2" -> Map("k" -> ColumnRange("0", "9")))
+    def prune(f: Filter*) = FileSkipping.prune(Seq("f1", "f2"), nStats, nSchema, f)
+    // IS NULL skips files whose null count is provably zero
+    prune(IsNull("k")) shouldBe Seq("f2")
+    // all-null column: value predicates and IsNotNull can never match
+    prune(EqualTo("s", "x")) shouldBe Seq("f2")
+    prune(GreaterThan("s", "a")) shouldBe Seq("f2")
+    prune(IsNotNull("s")) shouldBe Seq("f2")
+    // ...but IS NULL on it keeps the file
+    prune(IsNull("s")) shouldBe Seq("f1", "f2")
+    // unknown null counts never skip on IS NULL
+    prune(IsNull("s"), IsNull("k")) shouldBe Seq("f2")
+  }
+
   test("sub-millisecond timestamp literals never mis-prune") {
     // footer stats carry full micros; java.sql.Timestamp keeps sub-ms
     // precision in the nanos field — getTime*1000 would render .0005s
