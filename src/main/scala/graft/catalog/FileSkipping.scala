@@ -133,6 +133,28 @@ object FileSkipping {
     }
   }
 
+  /** Could a value range `a` share any value with range `b` under the
+    * column's type ordering? Conservative: unknown types, missing
+    * bounds, or either side lacking values (where a null-key equality
+    * could still match) → true. Used by merge-on-read to prove a data
+    * file CLEAN of a delete file's keys from footer stats alone. */
+  def rangesMayOverlap(dt: DataType, a: ColumnRange, b: ColumnRange): Boolean = {
+    // an all-null side can only match the other side's nulls: disjoint
+    // exactly when the other side has zero nulls recorded
+    if (!a.hasValues) return !b.nulls.contains(0L) || b.nulls.isEmpty
+    if (!b.hasValues) return !a.nulls.contains(0L) || a.nulls.isEmpty
+    comparator(dt) match {
+      case Some(cmp) =>
+        val valuesOverlap = cmp(a.min, b.max) <= 0 && cmp(b.min, a.max) <= 0
+        // null-safe equality also matches null=null: ranges prove
+        // nothing about nulls, so require both sides null-free to
+        // declare disjoint
+        val bothNullFree = a.nulls.contains(0L) && b.nulls.contains(0L)
+        valuesOverlap || !bothNullFree
+      case None => true
+    }
+  }
+
   /** Files surviving all pushed filters. */
   def prune(
       files: Seq[String],

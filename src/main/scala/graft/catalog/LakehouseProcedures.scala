@@ -197,7 +197,37 @@ object LakehouseProcedures {
     }
   }
 
+  private def morDeleteProc(catalogName: String) = new MaintenanceProc("mor_delete",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("keys_view", StringType)), "key_rows", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      MergeOnRead.morDelete(spark, cat, ns(a), tbl(a),
+        spark.table(a.getUTF8String(2).toString))
+  }
+
+  private def materializeDeletesProc(catalogName: String) =
+    new MaintenanceProc("materialize_deletes",
+      Array(param("ns", StringType), param("tbl", StringType)), "rewritten", catalogName) {
+      override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+        MergeOnRead.materializeDeletes(spark, cat, ns(a), tbl(a)).toLong
+    }
+
+  private def setPartitioningProc(catalogName: String) = new MaintenanceProc("set_partitioning",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("columns", StringType)), "version", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      Maintenance.setPartitioning(spark, cat, ns(a), tbl(a),
+        a.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      0L
+    }
+  }
+
   private val factories: Map[String, String => UnboundProcedure] = Map(
+    "set_partitioning" -> (setPartitioningProc(_)),
+    "mor_delete" -> (morDeleteProc(_)),
+    "materialize_deletes" -> (materializeDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),
     "compact" -> (compactProc(_)),

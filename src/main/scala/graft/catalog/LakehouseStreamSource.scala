@@ -115,6 +115,22 @@ class LakehouseMicroBatchStream(
         s"streaming read of $identName hit non-append commits (${shrinkers.mkString(", ")}) " +
           s"in version window ($fromV, $toV]: an added-file diff cannot represent row-level " +
           "changes; restart the stream from a later startingVersion or avoid rewrites upstream")
+    // merge-on-read deletes change rows while GROWING the file set: the
+    // monotone check above cannot see them, so compare delete entries too
+    val beforeDeletes =
+      if (fromV == 0) Set.empty[String]
+      else log.find(_.version == fromV).map(_.deleteFiles.map(_.path).toSet)
+        .getOrElse(Set.empty)
+    val delStates = beforeDeletes +: window.map(_.deleteFiles.map(_.path).toSet)
+    val morCommits = delStates.sliding(2).zip(window.iterator).collect {
+      case (Seq(a, b), m) if b != a =>
+        m.snapshots.lastOption.map(_.operation).getOrElse(s"v${m.version}")
+    }.toSeq
+    if (morCommits.nonEmpty)
+      throw new IllegalStateException(
+        s"streaming read of $identName hit merge-on-read delete commits " +
+          s"(${morCommits.mkString(", ")}) in version window ($fromV, $toV]: a stream " +
+          "cannot retract already-emitted rows; restart from a later startingVersion")
     window.flatMap(_.files).distinct.filterNot(before.contains)
   }
 

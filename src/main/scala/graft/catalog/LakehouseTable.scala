@@ -110,7 +110,10 @@ class LakehouseTable(
       private def tryAnswer(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
         if (pushed.nonEmpty ||
-          spark.conf.getOption("spark.graft.aggregatePushdown").contains("false")) None
+          spark.conf.getOption("spark.graft.aggregatePushdown").contains("false") ||
+          // pending merge-on-read deletes: recorded counts/ranges count
+          // rows the merging read will subtract
+          MergeOnRead.anyApplicable(meta, meta.files)) None
         else MetadataAggregates.answer(meta, agg)
 
       override def supportCompletePushDown(
@@ -149,7 +152,10 @@ class LakehouseTable(
         val survivors = (pushedLimit, pushed.isEmpty) match {
           case (Some(n), true)
               if Bucketing.specOf(meta.properties).isEmpty && // keep bucket↔file map whole
-                filterSurvivors.forall(meta.fileRows.contains) =>
+                filterSurvivors.forall(meta.fileRows.contains) &&
+                // recorded counts overcount rows a merging read deletes:
+                // truncating on them could return fewer than n rows
+                !MergeOnRead.anyApplicable(meta, filterSurvivors) =>
             val cumBefore = filterSurvivors.map(meta.fileRows).scanLeft(0L)(_ + _)
             filterSurvivors.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
           case _ => filterSurvivors
@@ -295,7 +301,19 @@ class LakehouseTable(
           }
           override def readSchema(): StructType = delegate.readSchema()
           override def description(): String = delegate.description()
-          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+            // LAST-RESORT guard, not the normal path: the MorReads
+            // resolution rule (GraftExtensions) rewrites dirty-table
+            // relations into merged plans whose sub-scans carry the
+            // plain-read marker. Reaching here dirty and unmarked means
+            // the session has no extensions installed — fail loudly
+            // instead of silently resurrecting deleted rows.
+            if (!options.containsKey(MergeOnRead.PlainReadOption) &&
+              MergeOnRead.anyApplicable(meta, meta.files))
+              throw new IllegalStateException(
+                s"$identName has merge-on-read deletes pending: batch reads need " +
+                  "spark.sql.extensions=graft.functions.GraftExtensions (the MorReads " +
+                  "rule), or run Maintenance.compact / MergeOnRead.materializeDeletes first")
             bucketPlan match {
               case None if runtimeSurvivors.size != survivors.size =>
                 // runtime filters narrowed the file list after the
@@ -329,6 +347,7 @@ class LakehouseTable(
                     inner.createReaderFactory()
                 }
             }
+          }
           override def columnarSupportMode():
               org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
             delegate.columnarSupportMode()
@@ -426,12 +445,13 @@ class LakehouseTable(
     if (hitFiles.isEmpty) return
 
     // (3) rewrite ONLY the hit files, keeping rows where the predicate
-    // is not TRUE (SQL DELETE keeps FALSE and NULL rows)
+    // is not TRUE (SQL DELETE keeps FALSE and NULL rows). The merging
+    // read: a raw read would carry equality-deleted rows that miss this
+    // predicate into the rewritten files and resurrect them.
     val nextVersion = current.version + 1
     val commitRel = s"data/c$nextVersion-delete-${UUID.randomUUID().toString.take(8)}"
     val commitDir = tableDir.resolve(commitRel)
-    val kept = spark.read.schema(current.schema)
-      .parquet(hitFiles.map(abs): _*)
+    val kept = MergeOnRead.read(spark, tableDir, current, hitFiles)
       .filter(not(coalesce(cond, lit(false))))
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     kept.write.parquet(commitDir.toString)
@@ -532,12 +552,16 @@ class LakehouseTable(
           current.properties.filterNot(_._1.startsWith(LakehouseCatalog.TombstonePrefix))
         else current.properties
       val op = if (overwrite) "overwrite" else "append"
+      // an overwrite replaces every data file at the new sequence: old
+      // delete entries can never apply again — drop the dead weight
+      val dels = if (overwrite) Seq.empty[DeleteFile] else current.deleteFiles
       try {
         TableMetadata.commit(tableDir, current.copy(
           version = nextVersion,
           files = allFiles,
           fileStats = allStats,
           fileRows = allRows,
+          deleteFiles = dels,
           properties = props,
           snapshots = current.snapshots :+ Snapshot(
             nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))

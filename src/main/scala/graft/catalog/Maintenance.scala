@@ -99,11 +99,12 @@ object Maintenance {
       !current.files.forall(f => Bucketing.bucketIdOf(f).exists(_ < n))
     }
     // dropped-column tombstones force the rewrite even when the file
-    // count is already at target: clearing them is the point
+    // count is already at target: clearing them is the point — as do
+    // pending merge-on-read deletes (compaction is their materializer)
     val hasTombstones =
       current.properties.keys.exists(_.startsWith(LakehouseCatalog.TombstonePrefix))
     if (clusterBy.isEmpty && current.files.size <= targetFiles &&
-      !bucketRepairNeeded && !hasTombstones)
+      !bucketRepairNeeded && !hasTombstones && current.deleteFiles.isEmpty)
       return current.files.size
 
     val nextVersion = current.version + 1
@@ -111,9 +112,13 @@ object Maintenance {
       if (bucketSpec.isDefined) s"data/b-compact$nextVersion-${UUID.randomUUID().toString.take(8)}"
       else s"data/c$nextVersion-compact-${UUID.randomUUID().toString.take(8)}"
     val commitDir = dir.resolve(commitRel)
-    val df = spark.read
-      .schema(current.schema)
-      .parquet(current.files.map(f => dir.resolve(f).toString): _*)
+    // the merging read: pending equality deletes fold into the rewrite
+    // (compact is their materializer) instead of resurrecting rows
+    val df =
+      if (current.files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], current.schema)
+      else MergeOnRead.read(spark, dir, current, current.files)
     val clustered = bucketSpec match {
       case Some((bcol, n)) =>
         df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
@@ -146,6 +151,9 @@ object Maintenance {
       files = newFiles,
       fileStats = newStats,
       fileRows = footers.view.mapValues(_.rows).toMap,
+      // the rewrite read every row through the merging view: pending
+      // equality deletes are now physical, their entries dead
+      deleteFiles = Seq.empty,
       // every file now carries exactly the current schema: dropped
       // columns' physical data is gone, their names safe to reuse
       properties = current.properties
@@ -199,11 +207,49 @@ object Maintenance {
     }
     val hits = FileSkipping.prune(current.files, current.fileStats, current.schema, filters)
     if (hits.size <= targetFiles) return hits.size
-    val df = spark.read.schema(current.schema)
-      .parquet(hits.map(f => dir.resolve(f).toString): _*)
+    // merging read: rewriting a file materializes its pending equality
+    // deletes (the new file's seq postdates every entry); entries stay
+    // for the untouched files they still apply to
+    val df = MergeOnRead.read(spark, dir, current, hits)
       .coalesce(targetFiles)
     commitRewrite(spark, dir, current, hits, df, "compact-where", reshape = false)
     hits.size
+  }
+
+  /** Partition evolution (Iceberg's `REPLACE PARTITION FIELD` shape):
+    * change the partition spec METADATA-ONLY — no data file moves. The
+    * spec here is a write-clustering + pruning contract, not a
+    * directory layout, so evolution is free: commits after this call
+    * cluster (and sort) by the new columns, files written before keep
+    * their old clustering, and file-level min/max pruning serves
+    * filters against EITHER generation (a file without tight ranges on
+    * the queried column is simply kept — skipping degrades, never
+    * correctness). That is exactly what rewriting a 100 TB table to
+    * re-partition would buy, minus the rewrite; `compact()` later
+    * re-clusters old files under the new spec if the skipping matters.
+    * An empty `columns` list un-partitions the table. Bucketed tables
+    * are refused: their bucket-to-file map is a join-planning contract
+    * that clustering changes would break. */
+  def setPartitioning(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      columns: Seq[String]): Unit = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    require(Bucketing.specOf(current.properties).isEmpty,
+      s"$table is hash-bucketed: the bucket layout is the partitioning contract")
+    val missing = columns.filterNot(current.schema.fieldNames.contains)
+    require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+    if (columns == current.partitionColumns) return
+    TableMetadata.commit(dir, current.copy(
+      version = current.version + 1,
+      partitionColumns = columns,
+      snapshots = current.snapshots :+ Snapshot(
+        current.version + 1, System.currentTimeMillis(),
+        s"set-partitioning(${columns.mkString(",")})", 0, current.files.size)))
   }
 
   /** Rename a column by REWRITING the data (a new snapshot whose files
@@ -254,9 +300,7 @@ object Maintenance {
       if (current.files.isEmpty) {
         // no data: metadata-only commit below, nothing to rewrite
         None
-      } else Some(spark.read
-        .schema(current.schema)
-        .parquet(current.files.map(f => dir.resolve(f).toString): _*)
+      } else Some(MergeOnRead.read(spark, dir, current, current.files)
         .withColumnRenamed(oldName, newName))
     df.foreach { data =>
       val clustered = bucketSpec match {
@@ -289,6 +333,9 @@ object Maintenance {
       files = newFiles,
       fileStats = newStats,
       fileRows = footers.view.mapValues(_.rows).toMap,
+      // full rewrite through the merging read: pending equality deletes
+      // are physical now (and their key columns may bear the old name)
+      deleteFiles = Seq.empty,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "rename", newFiles.size, newFiles.size)))
     newFiles.size
@@ -316,7 +363,8 @@ object Maintenance {
     val target = TableMetadata.loadLog(dir)
       .find(_.version == toVersion)
       .getOrElse(throw new IllegalStateException(s"missing metadata for v$toVersion"))
-    val missing = target.files.filterNot(f => Files.exists(dir.resolve(f)))
+    val missing = (target.files ++ target.deleteFiles.map(_.path))
+      .filterNot(f => Files.exists(dir.resolve(f)))
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"cannot roll back to v$toVersion: ${missing.size} data file(s) already vacuumed, " +
@@ -329,6 +377,12 @@ object Maintenance {
       files = target.files,
       fileStats = target.fileStats,
       fileRows = target.fileRows,
+      // restore the HISTORICAL sequence numbers and delete entries:
+      // with fresh seqs, the target's own pending deletes would stop
+      // applying and deleted rows would resurrect (commit() honors
+      // explicitly-supplied fileSeq entries for exactly this)
+      fileSeq = target.fileSeq,
+      deleteFiles = target.deleteFiles,
       snapshots = current.snapshots :+ Snapshot(
         current.version + 1, System.currentTimeMillis(), s"rollback(v$toVersion)",
         0, target.files.size)))
@@ -502,8 +556,9 @@ object Maintenance {
     val hits = hitFiles(spark, dir, current, cond)
     if (hits.isEmpty) return 0
     val condTrue = coalesce(cond, lit(false)) // NULL predicate → not updated
-    val updated = spark.read.schema(current.schema)
-      .parquet(hits.map(f => dir.resolve(f).toString): _*)
+    // merging read: a raw read would carry equality-deleted rows into
+    // the rewritten files and resurrect them at the new sequence
+    val updated = MergeOnRead.read(spark, dir, current, hits)
       .select(current.schema.fieldNames.map { n =>
         set.get(n) match {
           case Some(v) => when(condTrue, v.cast(current.schema(n).dataType))
@@ -564,8 +619,7 @@ object Maintenance {
       }
     val kept =
       if (hits.isEmpty) cast.limit(0)
-      else spark.read.schema(current.schema)
-        .parquet(hits.map(f => dir.resolve(f).toString): _*)
+      else MergeOnRead.read(spark, dir, current, hits) // never resurrect MoR-deleted rows
         .join(keys, keyCols, "left_anti")
     commitRewrite(spark, dir, current, hits, kept.unionByName(cast), "merge")
   }
@@ -606,8 +660,7 @@ object Maintenance {
       }
     val kept =
       if (hits.isEmpty) cast.limit(0)
-      else spark.read.schema(current.schema)
-        .parquet(hits.map(f => dir.resolve(f).toString): _*)
+      else MergeOnRead.read(spark, dir, current, hits) // never resurrect MoR-deleted rows
         .join(parts, pc, "left_anti")
     commitRewrite(spark, dir, current, hits, kept.unionByName(cast), "overwrite-partitions")
   }
@@ -662,6 +715,20 @@ object Maintenance {
     require(shrinkers.isEmpty,
       s"version window contains non-append commits (${shrinkers.mkString(", ")}): " +
         "added-file diff cannot represent them")
+    // merge-on-read deletes change rows WITHOUT shrinking the file set:
+    // the monotone-growth check alone would silently miss them
+    val beforeDeletes =
+      if (fromVersionExclusive == 0) Set.empty[String]
+      else log.find(_.version == fromVersionExclusive)
+        .map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+    val delStates = beforeDeletes +: window.map(_.deleteFiles.map(_.path).toSet)
+    val morCommits = delStates.sliding(2).zip(window.iterator).collect {
+      case (Seq(a, b), m) if b != a =>
+        m.snapshots.lastOption.map(_.operation).getOrElse(s"v${m.version}")
+    }.toSeq
+    require(morCommits.isEmpty,
+      s"version window contains merge-on-read delete commits (${morCommits.mkString(", ")}): " +
+        "an added-file diff cannot represent row-level deletes — use changelogBetween")
     val added = window.flatMap(_.files).distinct.filterNot(before.contains)
     val schema = window.lastOption.map(_.schema)
       .getOrElse(TableMetadata.load(dir).schema)
@@ -718,9 +785,12 @@ object Maintenance {
     require(window.size == toVersionInclusive - fromVersionExclusive,
       s"version window ($fromVersionExclusive, $toVersionInclusive] incomplete: " +
         "metadata expired (expireSnapshots); re-sync from the current snapshot")
-    val beforeFiles =
-      if (fromVersionExclusive == 0) Set.empty[String]
-      else log.find(_.version == fromVersionExclusive).map(_.files.toSet)
+    val beforeMeta: TableMetadata =
+      if (fromVersionExclusive == 0)
+        window.headOption.getOrElse(TableMetadata.load(dir))
+          .copy(files = Seq.empty, fileStats = Map.empty,
+            fileRows = Map.empty, fileSeq = Map.empty, deleteFiles = Seq.empty)
+      else log.find(_.version == fromVersionExclusive)
         .getOrElse(throw new IllegalArgumentException(
           s"metadata for v$fromVersionExclusive expired; re-sync from the current snapshot"))
     val schema = window.headOption.map(_.schema)
@@ -731,20 +801,59 @@ object Maintenance {
     require(!schema.fieldNames.exists(Set("_change_type", "_commit_version")),
       "table schema collides with changelog metadata columns")
 
-    def readFiles(fs: Seq[String]) =
-      spark.read.schema(schema).parquet(fs.map(f => dir.resolve(f).toString): _*)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // every file read goes through the merging view OF ITS OWN
+    // snapshot: removed files carry the deletes that applied to them
+    // before the commit, added files the (never-applicable-yet) state
+    // after. Raw reads would re-emit rows at compaction that the
+    // changelog already reported deleted at their mor-delete commit.
+    def readView(meta: TableMetadata, fs: Seq[String]) =
+      if (fs.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else MergeOnRead.read(spark, dir, meta, fs)
+    val empty = readView(beforeMeta, Seq.empty)
 
-    val states = beforeFiles +: window.map(_.files.toSet)
+    val states = beforeMeta +: window
     val perCommit = states.sliding(2).zip(window.iterator).flatMap {
       case (Seq(prev, cur), m) =>
-        val removed = (prev -- cur).toSeq.sorted
-        val added = (cur -- prev).toSeq.sorted
-        if (removed.isEmpty && added.isEmpty) None // metadata-only commit
+        val removed = (prev.files.toSet -- cur.files.toSet).toSeq.sorted
+        val added = (cur.files.toSet -- prev.files.toSet).toSeq.sorted
+        val prevDel = prev.deleteFiles.map(_.path).toSet
+        val newEntries = cur.deleteFiles.filterNot(e => prevDel.contains(e.path))
+        if (newEntries.nonEmpty) {
+          // merge-on-read commit (mor-delete / mor-upsert): deletes are
+          // the PRE-commit rows matching the new entries' keys (the
+          // merging view of prev so already-deleted rows don't re-emit),
+          // inserts are the commit's own appended files (their seq
+          // equals the entries' — never subject to them)
+          require(removed.isEmpty,
+            s"commit v${m.version} both rewrote files and added delete entries: " +
+              "changelog cannot attribute its row changes")
+          require(newEntries.map(_.keyColumns).distinct.size == 1,
+            s"commit v${m.version} mixes delete entries with different key columns")
+          val keyCols = newEntries.head.keyColumns
+          val probe = prev.copy(deleteFiles = newEntries)
+          val dirty = prev.files.filter(f => MergeOnRead.applicable(probe, f).nonEmpty)
+          val deletes =
+            if (dirty.isEmpty) empty
+            else {
+              val view = readView(prev, dirty)
+              val keys = newEntries.map(e =>
+                spark.read.schema(MergeOnRead.keySchema(schema, keyCols))
+                  .parquet(dir.resolve(e.path).toString)).reduce(_ union _)
+              val cond = keyCols.map(k => view(k) <=> keys(k)).reduce(_ && _)
+              view.join(keys, cond, "left_semi")
+            }
+          val inserts = readView(cur, added)
+          Some(
+            deletes.withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(m.version))
+              .unionByName(
+                inserts.withColumn("_change_type", lit("insert"))
+                  .withColumn("_commit_version", lit(m.version))))
+        } else if (removed.isEmpty && added.isEmpty) None // metadata-only commit
         else {
-          val rm = if (removed.isEmpty) empty else readFiles(removed)
-          val ad = if (added.isEmpty) empty else readFiles(added)
+          val rm = readView(prev, removed)
+          val ad = readView(cur, added)
           // pure appends/drops skip the diff plan entirely
           val deletes = if (added.isEmpty) rm else if (removed.isEmpty) empty
             else rm.exceptAll(ad)
@@ -889,16 +998,21 @@ object Maintenance {
     // alongside the newest retainVersions' (expireSnapshots keeps their
     // metadata, so the log always still contains them)
     val tagged = log.lastOption.map(taggedVersions).getOrElse(Set.empty)
+    val retainedMetas =
+      log.takeRight(retainVersions) ++ log.filter(m => tagged.contains(m.version))
+    // delete-key parquet files are referenced by metadata exactly like
+    // data files: they live as long as any retained version needs them
     val retained =
-      (log.takeRight(retainVersions) ++ log.filter(m => tagged.contains(m.version)))
-        .flatMap(_.files).toSet
+      retainedMetas.flatMap(m => m.files ++ m.deleteFiles.map(_.path)).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - retentionMs
-    val all = Files.walk(dataDir).iterator().asScala
+    val deletesDir = dir.resolve("deletes")
+    val roots = Seq(dataDir) ++ (if (Files.isDirectory(deletesDir)) Seq(deletesDir) else Nil)
+    val all = roots.flatMap(root => Files.walk(root).iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .map(p => dir.relativize(p).toString)
-      .toList
+      .toList)
     val doomed = all.filterNot { f =>
       retained.contains(f) || !f.endsWith(".parquet") ||
         scala.util.Try(Files.getLastModifiedTime(dir.resolve(f)).toMillis > cutoff)
@@ -906,9 +1020,9 @@ object Maintenance {
     }
     doomed.foreach(f => Files.deleteIfExists(dir.resolve(f)))
     // drop now-empty commit directories
-    Files.list(dataDir).iterator().asScala.toList.foreach { d =>
+    roots.foreach(root => Files.list(root).iterator().asScala.toList.foreach { d =>
       if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.delete(d)
-    }
+    })
     // bloom sidecars of unretained files go with them
     BloomIndex.vacuumSidecars(dir, retained)
     doomed.size

@@ -1,0 +1,263 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Merge-on-read equality deletes — the write-cheap half of row-level
+  * DML (Iceberg v2 delete files; the shape Flink CDC writes).
+  *
+  * Copy-on-write DML (see [[LakehouseTable.deleteWhere]],
+  * [[LakehouseRowLevelOperation]]) rewrites every file that holds a
+  * matching row: correct, read-optimal, and untenable for a streaming
+  * upsert feed against a 100 TB table — deleting one row from each of
+  * 10k files rewrites 10 TB. Merge-on-read inverts the cost: a DELETE
+  * commits a small parquet file of KEY TUPLES and touches no data file;
+  * readers subtract matching rows on the fly. Compaction
+  * ([[Maintenance.compact]]) or [[materializeDeletes]] later folds the
+  * deletes in and restores join-free scans.
+  *
+  * Semantics (matching Iceberg's equality deletes):
+  *  - an entry applies to data file f iff `entry.seq > fileSeq(f)`:
+  *    rows (re)inserted after the delete are NOT affected;
+  *  - a row is deleted when ALL key columns are null-safe-equal to some
+  *    delete tuple (`<=>`, so a null key matches null, never "unknown");
+  *  - per-entry footer key ranges prove most data files CLEAN at plan
+  *    time ([[FileSkipping.rangesMayOverlap]]): a delete of one day's
+  *    keys leaves every other day's files streaming join-free.
+  *
+  * Read integration is a resolution rule ([[MorReads]]) that rewrites
+  * the table relation into (clean files) ∪ (dirty files ⟕anti delete
+  * keys); maintenance rewrites read through [[read]] so they never
+  * resurrect deleted rows.
+  */
+object MergeOnRead {
+
+  /** Scan-builder option marking a read that must NOT re-apply delete
+    * files (the rewritten sub-relations the MorReads rule plants). */
+  val PlainReadOption = "graft.mor.plain"
+
+  /** Delete entries applicable to data file `f`: committed after the
+    * file AND with key ranges overlapping the file's stats on every key
+    * column (disjoint on ANY column proves no tuple can match). */
+  def applicable(meta: TableMetadata, f: String): Seq[DeleteFile] =
+    meta.deleteFiles.filter { d =>
+      d.seq > meta.seqOf(f) && {
+        val stats = meta.fileStats.getOrElse(f, Map.empty)
+        d.keyColumns.forall { k =>
+          (for {
+            fr <- stats.get(k)
+            dr <- d.keyRanges.get(k)
+            dt <- meta.schema.fields.find(_.name == k).map(_.dataType)
+          } yield FileSkipping.rangesMayOverlap(dt, fr, dr)).getOrElse(true)
+        }
+      }
+    }
+
+  /** Does any pending delete apply to any of these files? */
+  def anyApplicable(meta: TableMetadata, files: Seq[String]): Boolean =
+    meta.deleteFiles.nonEmpty && files.exists(f => applicable(meta, f).nonEmpty)
+
+  def keySchema(schema: StructType, keyColumns: Seq[String]): StructType =
+    StructType(keyColumns.map(k =>
+      schema.fields.find(_.name == k).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $k"))))
+
+  /** Read a subset of a snapshot's data files with every applicable
+    * delete applied — the Dataset-level merge used by maintenance
+    * rewrites (compact / COW DML), which would otherwise resurrect
+    * deleted rows into their rewritten output. `prep` runs on each raw
+    * file-group scan BEFORE the anti-joins (e.g. to capture
+    * `input_file_name`); its added columns survive the joins. */
+  def read(
+      spark: SparkSession,
+      tableDir: Path,
+      meta: TableMetadata,
+      files: Seq[String],
+      prep: DataFrame => DataFrame = identity): DataFrame = {
+    def abs(f: String): String = tableDir.resolve(f).toString
+    require(files.nonEmpty, "merge-on-read over an empty file list")
+    val groups = files.groupBy(f => applicable(meta, f)).toSeq
+      .sortBy(_._2.head) // deterministic branch order
+    groups.map { case (entries, groupFiles) =>
+      val base = prep(spark.read.schema(meta.schema).parquet(groupFiles.map(abs): _*))
+      entries.sortBy(_.seq).foldLeft(base) { (df, d) =>
+        val keys = spark.read.schema(keySchema(meta.schema, d.keyColumns))
+          .parquet(abs(d.path))
+        val cond = d.keyColumns.map(k => df(k) <=> keys(k)).reduce(_ && _)
+        df.join(keys, cond, "left_anti")
+      }
+    }.reduce(_ union _)
+  }
+
+  /** Equality-delete every row of the table whose key columns match a
+    * tuple in `keys` — one small parquet write + one metadata commit,
+    * NO data file touched. Returns the number of key tuples recorded.
+    * Keys are cast to the table's column types (a mismatched-type probe
+    * would silently match nothing). */
+  def morDelete(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      keys: DataFrame): Long = {
+    val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
+    commitDelete(spark, lt.tableDir, keys, appendData = None)
+  }
+
+  /** Streaming-CDC upsert: ONE commit that equality-deletes the current
+    * rows matching `rows`' keys and appends `rows`. The delete entry's
+    * seq equals the new data files' seq, so it applies to every
+    * pre-existing file and none of the new ones — old versions of each
+    * key die, the incoming version lives, and no data file is
+    * rewritten. Returns the number of upserted rows. */
+  def morUpsert(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      rows: DataFrame,
+      keyColumns: Seq[String]): Long = {
+    val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
+    require(keyColumns.nonEmpty, "morUpsert needs at least one key column")
+    val schema = lt.meta.schema
+    val aligned = rows.select(schema.fields.map(f =>
+      rows.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    commitDelete(spark, lt.tableDir,
+      aligned.select(keyColumns.map(aligned.col).toIndexedSeq: _*).distinct(),
+      appendData = Some(aligned))
+  }
+
+  /** Shared commit: write the delete-key parquet (plus optionally the
+    * upsert data files), collect footer stats, publish one snapshot.
+    * No conflict retry: applicability is decided by sequence numbers
+    * computed against THIS snapshot; replaying onto a racer's commit
+    * could delete rows it just appended. */
+  private def commitDelete(
+      spark: SparkSession,
+      tableDir: Path,
+      keys: DataFrame,
+      appendData: Option[DataFrame]): Long = {
+    val current = TableMetadata.load(tableDir)
+    val schema = current.schema
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    keyCols.foreach { k =>
+      require(schema.fieldNames.contains(k), s"no such column: $k (schema: ${
+        schema.fieldNames.mkString(", ")})")
+    }
+    val kSchema = keySchema(schema, keyCols)
+    val casted = keys.select(kSchema.fields.map(f =>
+      keys.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+    val next = current.version + 1
+    val conf = spark.sessionState.newHadoopConf()
+    def abs(f: String): String = tableDir.resolve(f).toString
+    def footersOf(rel: Seq[String], sch: StructType) = rel.map { f =>
+      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
+    }.toMap
+
+    // the delete-key parquet: tiny relative to the data it logically
+    // removes — keep it a single file so every reader's anti-join build
+    // side is one footer + one broadcast
+    val delRel = s"deletes/d$next-${UUID.randomUUID().toString.take(8)}"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    casted.coalesce(1).write.parquet(tableDir.resolve(delRel).toString)
+    val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$delRel/$n").toSeq.sorted
+    val delFooters = footersOf(delFiles, kSchema)
+    val entries = delFiles.map { f =>
+      DeleteFile(f, keyCols, next, delFooters(f).rows, delFooters(f).cols)
+    }
+    val keyRows = entries.map(_.rows).sum
+
+    // optional upsert data files, written before the single commit
+    val (dataFiles, dataFooters) = appendData match {
+      case None => (Seq.empty[String], Map.empty[String, FooterStats.FileFooter])
+      case Some(rows) =>
+        val rel = s"data/c$next-upsert-${UUID.randomUUID().toString.take(8)}"
+        val clustered =
+          if (current.partitionColumns.nonEmpty) {
+            val cols = current.partitionColumns.map(rows.col)
+            rows.repartition(cols: _*).sortWithinPartitions(cols: _*)
+          } else rows
+        clustered.write.parquet(tableDir.resolve(rel).toString)
+        val fs = Files.list(tableDir.resolve(rel)).iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+          .map(n => s"$rel/$n").toSeq.sorted
+        (fs, footersOf(fs, schema))
+    }
+    BloomIndex.buildForFiles(spark, tableDir, schema, current.properties, dataFiles)
+
+    val allFiles = current.files ++ dataFiles
+    val op = if (appendData.isDefined) "mor-upsert" else "mor-delete"
+    TableMetadata.commit(tableDir, current.copy(
+      version = next,
+      files = allFiles,
+      fileStats = current.fileStats ++ dataFooters.view.mapValues(_.cols).toMap,
+      fileRows = current.fileRows ++ dataFooters.view.mapValues(_.rows).toMap,
+      deleteFiles = current.deleteFiles ++ entries,
+      snapshots = current.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), op, dataFiles.size, allFiles.size)))
+    if (appendData.isDefined) dataFooters.values.map(_.rows).sum else keyRows
+  }
+
+  /** Fold pending deletes into the data: rewrite ONLY the dirty files
+    * (those with ≥1 applicable entry) through the merging read, carry
+    * every clean file by reference, drop all delete entries. Restores
+    * join-free scans at cost proportional to the files the deletes
+    * actually touch — the targeted alternative to a full compact.
+    * Returns the number of files rewritten. */
+  def materializeDeletes(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String): Int = {
+    val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    if (current.deleteFiles.isEmpty) return 0
+    val dirty = current.files.filter(f => applicable(current, f).nonEmpty)
+    val next = current.version + 1
+    if (dirty.isEmpty) {
+      // every entry is dead (stats-proven cleanliness everywhere):
+      // metadata-only commit dropping them
+      TableMetadata.commit(dir, current.copy(
+        version = next,
+        deleteFiles = Seq.empty,
+        snapshots = current.snapshots :+ Snapshot(
+          next, System.currentTimeMillis(), "materialize-deletes", 0, current.files.size)))
+      return 0
+    }
+    val rel = s"data/c$next-materialize-${UUID.randomUUID().toString.take(8)}"
+    val commitDir = dir.resolve(rel)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    read(spark, dir, current, dirty).write.parquet(commitDir.toString)
+    val newFiles = Files.list(commitDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$rel/$n").toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
+    }.toMap
+    BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
+    val kept = current.files.filterNot(dirty.contains)
+    val allFiles = kept ++ newFiles
+    TableMetadata.commit(dir, current.copy(
+      version = next,
+      files = allFiles,
+      fileStats = current.fileStats.view.filterKeys(kept.contains).toMap ++
+        footers.view.mapValues(_.cols).toMap,
+      fileRows = current.fileRows.view.filterKeys(kept.contains).toMap ++
+        footers.view.mapValues(_.rows).toMap,
+      deleteFiles = Seq.empty,
+      snapshots = current.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), "materialize-deletes", newFiles.size, allFiles.size)))
+    dirty.size
+  }
+}

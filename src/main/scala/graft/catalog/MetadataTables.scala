@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MetadataTables {
 
-  val names: Set[String] = Set("metadata_log_entries", "history", "snapshots", "files")
+  val names: Set[String] =
+    Set("metadata_log_entries", "history", "snapshots", "files", "delete_files")
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
   private def micros(ms: Long): Long = ms * 1000L
@@ -83,6 +84,21 @@ object MetadataTables {
             utf8(p.toString), size, current.fileRows.getOrElse(f, -1L)))
         }
         new MetadataTable(s"$identName.files", schema, rows.toArray)
+
+      case "delete_files" =>
+        // pending merge-on-read equality-delete entries (Iceberg's
+        // delete_files metadata table analogue)
+        val schema = StructType(Seq(
+          StructField("file_path", StringType),
+          StructField("key_columns", StringType),
+          StructField("sequence", IntegerType),
+          StructField("key_rows", LongType)))
+        val rows = log.last.deleteFiles.map { d =>
+          new GenericInternalRow(Array[Any](
+            utf8(tableDir.resolve(d.path).toString),
+            utf8(d.keyColumns.mkString(",")), d.seq, d.rows))
+        }
+        new MetadataTable(s"$identName.delete_files", schema, rows.toArray)
     }
   }
 }

@@ -77,6 +77,15 @@ class LakehouseRowLevelOperation(
         required = requiredSchema
 
       override def build(): org.apache.spark.sql.connector.read.Scan = {
+        // A COW rewrite reads replaced files RAW (row-exact, see class
+        // doc) — with merge-on-read deletes pending it would write the
+        // deleted rows back at a fresh sequence. The scan cannot host
+        // the merging anti-join, so refuse and point at the fix.
+        if (MergeOnRead.anyApplicable(base, base.files))
+          throw new IllegalStateException(
+            s"$identName has merge-on-read deletes pending: SQL MERGE/UPDATE/DELETE " +
+              "rewrites would resurrect deleted rows — run Maintenance.compact or " +
+              "MergeOnRead.materializeDeletes (CALL system.materialize_deletes) first")
         val survivors =
           FileSkipping.prune(base.files, base.fileStats, base.schema, pushed.toSeq)
         scannedFiles = survivors

@@ -24,6 +24,22 @@ final case class Snapshot(
     addedFiles: Int,
     totalFiles: Int)
 
+/** A merge-on-read equality-delete file: a small parquet of key tuples
+  * whose matching rows are REMOVED at read time from every data file
+  * committed before it (Iceberg v2 equality deletes — the shape Flink
+  * CDC upserts write because rewriting a 1 GB data file per deleted row
+  * is untenable at 100 TB). `seq` is the commit version that added the
+  * entry: it applies to a data file f iff `seq > fileSeq(f)`, so rows
+  * (re)inserted AFTER the delete are untouched. `keyRanges` (footer
+  * min/max of the key columns) lets the read path prove most data files
+  * CLEAN and stream them join-free. */
+final case class DeleteFile(
+    path: String,
+    keyColumns: Seq[String],
+    seq: Int,
+    rows: Long,
+    keyRanges: Map[String, ColumnRange] = Map.empty)
+
 /** Full table metadata: schema, properties, file list, snapshot log. */
 final case class TableMetadata(
     version: Int,
@@ -34,9 +50,24 @@ final case class TableMetadata(
     files: Seq[String],
     snapshots: Seq[Snapshot],
     fileStats: Map[String, Map[String, ColumnRange]] = Map.empty,
-    fileRows: Map[String, Long] = Map.empty) {
+    fileRows: Map[String, Long] = Map.empty,
+    fileSeq: Map[String, Int] = Map.empty,
+    deleteFiles: Seq[DeleteFile] = Seq.empty) {
+
+  /** Commit version that added data file `f`. Missing entries (metadata
+    * written before sequence tracking) default to 0 = "before every
+    * delete", which over-applies deletes only to files that genuinely
+    * predate them — conservative-correct. */
+  def seqOf(f: String): Int = fileSeq.getOrElse(f, 0)
 
   def toJson: String = {
+    def rangeJson(r: ColumnRange): JValue = {
+      val base =
+        if (r.hasValues)
+          List("min" -> (JString(r.min): JValue), "max" -> (JString(r.max): JValue))
+        else List("allNull" -> (JBool(true): JValue))
+      JObject(base ++ r.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList)
+    }
     val j = JObject(
       "version" -> JInt(version),
       "name" -> JString(name),
@@ -46,16 +77,25 @@ final case class TableMetadata(
       "files" -> JArray(files.map(JString(_)).toList),
       "fileStats" -> JObject(fileStats.toList.sortBy(_._1).map { case (f, cols) =>
         f -> (JObject(cols.toList.sortBy(_._1).map { case (c, r) =>
-          val base =
-            if (r.hasValues)
-              List("min" -> (JString(r.min): JValue), "max" -> (JString(r.max): JValue))
-            else List("allNull" -> (JBool(true): JValue))
-          c -> (JObject(base ++ r.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList): JValue)
+          c -> rangeJson(r)
         }): JValue)
       }),
       "fileRows" -> JObject(fileRows.toList.sortBy(_._1).map { case (f, n) =>
         f -> (JLong(n): JValue)
       }),
+      "fileSeq" -> JObject(fileSeq.toList.sortBy(_._1).map { case (f, v) =>
+        f -> (JInt(v): JValue)
+      }),
+      "deleteFiles" -> JArray(deleteFiles.map { d =>
+        JObject(
+          "path" -> JString(d.path),
+          "keyColumns" -> JArray(d.keyColumns.map(JString(_)).toList),
+          "seq" -> JInt(d.seq),
+          "rows" -> JLong(d.rows),
+          "keyRanges" -> JObject(d.keyRanges.toList.sortBy(_._1).map { case (c, r) =>
+            c -> rangeJson(r)
+          }))
+      }.toList),
       "snapshots" -> JArray(snapshots.map { s =>
         JObject(
           "version" -> JInt(s.version),
@@ -80,6 +120,12 @@ object TableMetadata {
       case JInt(i) => i.toLong; case JLong(l) => l; case other => other.values.toString.toLong
     }
     val o = j.asInstanceOf[JObject].obj.toMap
+    def parseRange(r: JValue): ColumnRange = {
+      val ro = r.asInstanceOf[JObject].obj.toMap
+      if (ro.contains("min"))
+        ColumnRange(str(ro("min")), str(ro("max")), ro.get("nulls").map(long))
+      else ColumnRange("", "", ro.get("nulls").map(long), hasValues = false)
+    }
     TableMetadata(
       version = int(o("version")),
       name = str(o("name")),
@@ -90,17 +136,29 @@ object TableMetadata {
       fileStats = o.get("fileStats").collect { case fs: JObject =>
         fs.obj.map { case (f, cols) =>
           f -> cols.asInstanceOf[JObject].obj.map { case (c, r) =>
-            val ro = r.asInstanceOf[JObject].obj.toMap
-            c ->
-              (if (ro.contains("min"))
-                ColumnRange(str(ro("min")), str(ro("max")), ro.get("nulls").map(long))
-              else ColumnRange("", "", ro.get("nulls").map(long), hasValues = false))
+            c -> parseRange(r)
           }.toMap
         }.toMap
       }.getOrElse(Map.empty),
       fileRows = o.get("fileRows").collect { case fr: JObject =>
         fr.obj.map { case (f, n) => f -> long(n) }.toMap
       }.getOrElse(Map.empty),
+      fileSeq = o.get("fileSeq").collect { case fs: JObject =>
+        fs.obj.map { case (f, v) => f -> int(v) }.toMap
+      }.getOrElse(Map.empty),
+      deleteFiles = o.get("deleteFiles").collect { case JArray(ds) =>
+        ds.map { dv =>
+          val d = dv.asInstanceOf[JObject].obj.toMap
+          DeleteFile(
+            path = str(d("path")),
+            keyColumns = d("keyColumns").asInstanceOf[JArray].arr.map(str),
+            seq = int(d("seq")),
+            rows = long(d("rows")),
+            keyRanges = d.get("keyRanges").collect { case kr: JObject =>
+              kr.obj.map { case (c, r) => c -> parseRange(r) }.toMap
+            }.getOrElse(Map.empty))
+        }
+      }.getOrElse(Seq.empty),
       snapshots = o("snapshots").asInstanceOf[JArray].arr.map { sv =>
         val so = sv.asInstanceOf[JObject].obj.toMap
         Snapshot(int(so("version")), long(so("timestampMs")), str(so("operation")),
@@ -163,8 +221,24 @@ object TableMetadata {
     if (Files.exists(target))
       throw new IllegalStateException(
         s"commit conflict: version ${meta.version} already exists for ${meta.name}")
+    // Structural fileSeq maintenance — done HERE so no commit site can
+    // forget it (a missed site would silently re-apply old equality
+    // deletes to new data): every data file keeps the seq it already
+    // had in the predecessor version; files appearing for the first
+    // time get this commit's version. An entry the caller supplied
+    // explicitly wins (rollback restores historical seqs this way).
+    val prevSeq =
+      if (meta.version <= 1) Map.empty[String, Int]
+      else {
+        val pf = versionFile(tableDir, meta.version - 1)
+        try fromJson(Files.readString(pf)).fileSeq
+        catch { case _: java.nio.file.NoSuchFileException => Map.empty[String, Int] }
+      }
+    val sequenced = meta.copy(fileSeq = meta.files.map { f =>
+      f -> meta.fileSeq.getOrElse(f, prevSeq.getOrElse(f, meta.version))
+    }.toMap)
     val tmp = Files.createTempFile(md, s".v${meta.version}-", ".json.tmp")
-    Files.writeString(tmp, meta.toJson)
+    Files.writeString(tmp, sequenced.toJson)
     try {
       try Files.createLink(target, tmp)
       catch {

@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule { session =>
       graft.catalog.LakehouseViews.ResolveLakehouseViews(session)
     }
+    // merge-on-read deletes: rewrite dirty-table relations into
+    // (clean files) ∪ (dirty files ⟕anti delete keys) — see MorReads
+    ext.injectResolutionRule { session =>
+      graft.catalog.MorReads(session)
+    }
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

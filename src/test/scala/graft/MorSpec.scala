@@ -1,0 +1,320 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.{Maintenance, MergeOnRead, TableMetadata}
+
+/** Merge-on-read equality deletes: write-cheap row deletion (no data
+  * file touched), transparent merged reads via the MorReads rule,
+  * sequence semantics, materialization, and the guard rails around
+  * every consumer that assumed files == rows. */
+class MorSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def files(t: String): Seq[String] =
+    spark.sql(s"SELECT file_path FROM $t.files").collect().map(_.getString(0)).toSeq
+
+  private def tableDir(name: String): java.nio.file.Path =
+    spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("mor_ns"), name))
+      .asInstanceOf[graft.catalog.LakehouseTable].tableDir
+
+  private def antiJoins(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }.size
+
+  /** Three append commits with DISJOINT key ranges → three files whose
+    * stats make cleanliness provable. */
+  private def threeCommits(tbl: String): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mor_ns")
+    spark.sql(s"CREATE TABLE $tbl (k INT, v STRING) PARTITIONED BY (k)")
+    (0 until 3).foreach { c =>
+      (0 until 100).map(i => (c * 100 + i, s"v$c-$i")).toDF("k", "v")
+        .createOrReplaceTempView("mor_src")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM mor_src")
+    }
+  }
+
+  test("morDelete removes rows without touching a data file; clean files skip the join") {
+    val t = "lakehouse.mor_ns.m1"
+    threeCommits(t)
+    val before = files(t)
+    spark.table(t).count() shouldBe 300
+
+    // delete 10 keys, all inside commit 1's range [100, 200)
+    val n = MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m1",
+      (110 until 120).toDF("k"))
+    n shouldBe 10
+
+    // not one data file changed — the commit wrote only a key parquet
+    files(t) should contain theSameElementsAs before
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 1
+
+    // reads merge: rows gone, everything else intact
+    spark.table(t).count() shouldBe 290
+    spark.table(t).where($"k" >= 110 && $"k" < 120).count() shouldBe 0
+    spark.table(t).where($"k" === 109).count() shouldBe 1
+
+    // plan shape: exactly ONE anti-join branch — the two clean files'
+    // key ranges are disjoint from the delete keys, so they stream plain
+    antiJoins(spark.table(t)) shouldBe 1
+
+    // filters compose with the merge
+    spark.sql(s"SELECT count(*) FROM $t WHERE k < 150").collect()(0).getLong(0) shouldBe 140
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("sequence semantics: rows re-inserted after the delete survive it") {
+    val t = "lakehouse.mor_ns.m2"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m2", Seq(42, 43).toDF("k"))
+    spark.table(t).where($"k" === 42).count() shouldBe 0
+
+    Seq((42, "reborn")).toDF("k", "v").createOrReplaceTempView("mor_re")
+    spark.sql(s"INSERT INTO $t SELECT * FROM mor_re")
+    val rows = spark.table(t).where($"k" === 42).collect()
+    rows should have length 1
+    rows.head.getString(1) shouldBe "reborn"
+    spark.table(t).where($"k" === 43).count() shouldBe 0 // still dead
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("time travel: pre-delete versions see the rows, post-delete versions do not") {
+    val t = "lakehouse.mor_ns.m3"
+    threeCommits(t)
+    val preV = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m3", Seq(7).toDF("k"))
+    spark.sql(s"SELECT * FROM $t VERSION AS OF $preV").count() shouldBe 300
+    spark.table(t).count() shouldBe 299
+
+    // rollback restores the pre-delete state (and is itself a commit)
+    Maintenance.rollback(spark, "lakehouse", Seq("mor_ns"), "m3", preV)
+    spark.table(t).count() shouldBe 300
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("materializeDeletes rewrites only dirty files, carries the rest, clears entries") {
+    val t = "lakehouse.mor_ns.m4"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m4",
+      (110 until 120).toDF("k"))
+    val before = files(t)
+
+    MergeOnRead.materializeDeletes(spark, "lakehouse", Seq("mor_ns"), "m4") shouldBe 1
+
+    val after = files(t)
+    // two clean files carried by reference, one dirty file rewritten
+    (after.toSet intersect before.toSet).size shouldBe 2
+    after.exists(_.contains("-materialize-")) shouldBe true
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 0
+    spark.table(t).count() shouldBe 290
+    antiJoins(spark.table(t)) shouldBe 0 // join-free again
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("compact folds pending deletes in and clears the entries") {
+    val t = "lakehouse.mor_ns.m5"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m5", Seq(5, 105, 205).toDF("k"))
+    Maintenance.compact(spark, "lakehouse", Seq("mor_ns"), "m5", targetFiles = 1)
+    spark.table(t).count() shouldBe 297
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 0
+    spark.table(t).where($"k".isin(5, 105, 205)).count() shouldBe 0
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("COW DELETE and updateWhere on a dirty table never resurrect MoR-deleted rows") {
+    val t = "lakehouse.mor_ns.m6"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m6",
+      (110 until 120).toDF("k"))
+
+    // COW DELETE rewrites commit-1's file (its range covers k=150):
+    // the rewrite must not write the MoR-deleted keys back
+    spark.sql(s"DELETE FROM $t WHERE k = 150")
+    spark.table(t).count() shouldBe 289
+    spark.table(t).where($"k" === 115).count() shouldBe 0
+
+    // updateWhere rewrites the same file again
+    Maintenance.updateWhere(spark, "lakehouse", Seq("mor_ns"), "m6",
+      org.apache.spark.sql.functions.col("k") === 151,
+      Map("v" -> org.apache.spark.sql.functions.lit("patched")))
+    spark.table(t).where($"k" === 151).collect().head.getString(1) shouldBe "patched"
+    spark.table(t).where($"k" === 115).count() shouldBe 0
+    spark.table(t).count() shouldBe 289
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("morUpsert replaces current key versions and appends, one commit, no rewrite") {
+    val t = "lakehouse.mor_ns.m7"
+    threeCommits(t)
+    val dataBefore = files(t)
+    val n = MergeOnRead.morUpsert(spark, "lakehouse", Seq("mor_ns"), "m7",
+      Seq((50, "updated"), (999, "new")).toDF("k", "v"), Seq("k"))
+    n shouldBe 2
+
+    // one commit: old data files untouched, one new file, one entry
+    (files(t).toSet intersect dataBefore.toSet).size shouldBe dataBefore.size
+    files(t).size shouldBe dataBefore.size + 1
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 1
+
+    spark.table(t).count() shouldBe 301 // 300 - 1 replaced + 2
+    spark.table(t).where($"k" === 50).collect().map(_.getString(1)) shouldBe Array("updated")
+    spark.table(t).where($"k" === 999).count() shouldBe 1
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("changelog emits the MoR-deleted rows at their commit; compaction emits nothing") {
+    val t = "lakehouse.mor_ns.m8"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m8", Seq(1, 2).toDF("k"))
+    val delV = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+
+    val cdc = Maintenance.changelogBetween(
+      spark, "lakehouse", Seq("mor_ns"), "m8", delV - 1, delV)
+      .orderBy("k").collect()
+    cdc.map(r => (r.getInt(0), r.getString(2), r.getInt(3))) shouldBe
+      Array((1, "delete", delV), (2, "delete", delV))
+
+    // materialization is a physical no-op for the changelog
+    MergeOnRead.materializeDeletes(spark, "lakehouse", Seq("mor_ns"), "m8")
+    val matV = delV + 1
+    Maintenance.changelogBetween(
+      spark, "lakehouse", Seq("mor_ns"), "m8", delV, matV).count() shouldBe 0
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("metadata-only COUNT and LIMIT truncation stand down while deletes are pending") {
+    val t = "lakehouse.mor_ns.m9"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m9",
+      (0 until 50).toDF("k"))
+    // the stale metadata answer would be 300
+    spark.sql(s"SELECT count(*) FROM $t").collect()(0).getLong(0) shouldBe 250
+    spark.sql(s"SELECT count(*) FROM $t").queryExecution.executedPlan.toString should
+      not include "GraftMetadataAggregate"
+    // a LIMIT over more rows than any one file: recorded-count
+    // truncation would under-return
+    spark.sql(s"SELECT * FROM $t LIMIT 260").count() shouldBe 250
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL MERGE/UPDATE refuse dirty tables with a pointer to materialization") {
+    val t = "lakehouse.mor_ns.m10"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m10", Seq(1).toDF("k"))
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $t SET v = 'x' WHERE k = 2").collect()
+    }
+    e.getMessage should include("materialize")
+    // after materializing, the same UPDATE works
+    MergeOnRead.materializeDeletes(spark, "lakehouse", Seq("mor_ns"), "m10")
+    spark.sql(s"UPDATE $t SET v = 'x' WHERE k = 2")
+    spark.table(t).where($"k" === 2).collect().head.getString(1) shouldBe "x"
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("CALL system.mor_delete and system.materialize_deletes round-trip") {
+    val t = "lakehouse.mor_ns.m11"
+    threeCommits(t)
+    Seq(3, 4).toDF("k").createOrReplaceTempView("mor_kill")
+    val killed = spark.sql(
+      s"CALL lakehouse.system.mor_delete('mor_ns', 'm11', 'mor_kill')")
+      .collect()(0).getLong(0)
+    killed shouldBe 2
+    spark.table(t).count() shouldBe 298
+    spark.sql(s"CALL lakehouse.system.materialize_deletes('mor_ns', 'm11')")
+      .collect()(0).getLong(0) shouldBe 1
+    spark.table(t).count() shouldBe 298
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 0
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("streams fail on a mor-delete commit instead of silently keeping emitted rows") {
+    val t = "lakehouse.mor_ns.m12"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m12", Seq(1).toDF("k"))
+    val ckpt = java.nio.file.Files.createTempDirectory("mor-ckpt-").toString
+    val q = spark.readStream.table(t).writeStream
+      .format("memory").queryName("mor_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[Exception] { q.awaitTermination() }
+    var cause: Throwable = e
+    while (cause.getCause != null && !cause.getMessage.contains("merge-on-read"))
+      cause = cause.getCause
+    cause.getMessage should include("merge-on-read")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("changesBetween refuses windows containing mor-delete commits") {
+    val t = "lakehouse.mor_ns.m13"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m13", Seq(1).toDF("k"))
+    val v = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.changesBetween(spark, "lakehouse", Seq("mor_ns"), "m13", 1, v)
+    }
+    e.getMessage should include("merge-on-read")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("vacuum keeps delete parquets of retained versions, collects them after materialize") {
+    val t = "lakehouse.mor_ns.m14"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m14", Seq(1).toDF("k"))
+    val dir = tableDir("m14")
+    def deleteParquets(): Seq[java.nio.file.Path] = {
+      val d = dir.resolve("deletes")
+      if (!java.nio.file.Files.isDirectory(d)) Nil
+      else {
+        val s = java.nio.file.Files.walk(d)
+        try {
+          val it = s.iterator()
+          val buf = scala.collection.mutable.Buffer[java.nio.file.Path]()
+          while (it.hasNext) { val p = it.next(); if (p.toString.endsWith(".parquet")) buf += p }
+          buf.toSeq
+        } finally s.close()
+      }
+    }
+    deleteParquets() should have size 1
+    // current version references the entry: vacuum must keep it
+    Maintenance.vacuum(spark, "lakehouse", Seq("mor_ns"), "m14",
+      retainVersions = 1, retentionMs = 0L)
+    deleteParquets() should have size 1
+    spark.table(t).count() shouldBe 299
+    // after materialization nothing references it: collected
+    MergeOnRead.materializeDeletes(spark, "lakehouse", Seq("mor_ns"), "m14")
+    Maintenance.vacuum(spark, "lakehouse", Seq("mor_ns"), "m14",
+      retainVersions = 1, retentionMs = 0L)
+    deleteParquets() shouldBe empty
+    spark.table(t).count() shouldBe 299
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("metadata round-trip: fileSeq and deleteFiles survive the JSON log") {
+    val t = "lakehouse.mor_ns.m15"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "m15", Seq(8).toDF("k"))
+    val dir = tableDir("m15")
+    val meta = TableMetadata.load(dir)
+    val reparsed = TableMetadata.fromJson(meta.toJson)
+    reparsed.deleteFiles shouldBe meta.deleteFiles
+    reparsed.fileSeq shouldBe meta.fileSeq
+    meta.deleteFiles should have size 1
+    meta.deleteFiles.head.keyColumns shouldBe Seq("k")
+    meta.deleteFiles.head.rows shouldBe 1
+    meta.deleteFiles.head.keyRanges.keySet should contain("k")
+    // every data file carries the version of the commit that added it
+    meta.files.foreach(f => meta.fileSeq.keySet should contain(f))
+    meta.fileSeq.values.toSet.size shouldBe 3 // three append commits
+    spark.sql(s"DROP TABLE $t")
+  }
+}
