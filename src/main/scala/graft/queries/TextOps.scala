@@ -1065,8 +1065,60 @@ object TextOps {
            |       ROUND(CAST(COALESCE(c, 0) AS DOUBLE) / n, 4) AS oov_rate
            |FROM tot t LEFT JOIN oov o ON t.doc_id = o.doc_id ORDER BY t.doc_id""".stripMargin))
 
+  /** Deterministic train/valid/test corpus split (90/5/5) keyed on a
+    * content hash — the assignment every training pipeline needs to be
+    * REPRODUCIBLE and STABLE: md5(text) is row-local (no shuffle, no
+    * RNG state), so a document's split never changes as the corpus
+    * grows, across engines, reruns, or cluster sizes. At 100 TB this is
+    * a pure map over the scan; the split column is then a partition/
+    * cluster candidate for downstream reads. */
+  val q58 = Q(
+    "q58_split_corpus",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100).as("h"))
+        .select(col("doc_id"),
+          when(col("h") < 90, "train")
+            .when(col("h") < 95, "valid")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+           |       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+           |            ELSE 'test' END AS split
+           |FROM (SELECT doc_id,
+           |             CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+           |      FROM documents)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Token budget per split — the sanity report after q58: documents
+    * and whitespace tokens per assignment. One partial-aggregated
+    * shuffle of three groups, whatever the corpus size. */
+  val q58b = Q(
+    "q58b_split_budget",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100).as("h"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .select(
+          when(col("h") < 90, "train").when(col("h") < 95, "valid")
+            .otherwise("test").as("split"),
+          col("toks"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy(col("split")),
+    Some("""SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+           |            ELSE 'test' END AS split,
+           |       count(*) AS n_docs,
+           |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |FROM (SELECT text,
+           |             CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+           |      FROM documents)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57)
+      q55, q56, q57, q58, q58b)
 }

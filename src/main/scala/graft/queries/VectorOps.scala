@@ -257,5 +257,52 @@ object VectorOps {
             |FROM documents d JOIN ev e ON d.doc_id = e.vec_id
             |WHERE d.n_chars >= 200 ORDER BY d.doc_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q49)
+  /** Semantic dedup, SemDeDup shape: coarse-cluster embeddings by a
+    * sign-random-projection bucket (sign bits of the first 8
+    * dimensions — deterministic hyperplanes, no RNG state), elect the
+    * min-id member as each cluster's representative, and score every
+    * member's cosine against it; members above the dedup threshold are
+    * marked dropped. Scale shape: bucketing is a row-local map, the
+    * representative set is bounded by 2^8 buckets → broadcast, so the
+    * verify pass is one scan + broadcast join — candidates never
+    * corpus². Cosine parity with the oracle via the q29 fold. */
+  val q59 = Q(
+    "q59_semantic_dedup",
+    (s, d) => {
+      val e = withNorm(s, d)
+      val bucketed = e.withColumn("bucket",
+        (0 until 8).map(i =>
+          when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      val reps = bucketed.groupBy(col("bucket")).agg(min(col("vec_id")).as("rep_id"))
+      val repVecs = bucketed
+        .select(col("vec_id").as("rep_id"), col("embedding").as("rv"), col("nrm").as("rn"))
+        .join(reps, Seq("rep_id"))
+      val sim = round(dot(col("embedding"), col("rv")) / (col("nrm") * col("rn")), 4)
+      bucketed.join(broadcast(repVecs), Seq("bucket"))
+        .select(col("vec_id"), col("bucket"), col("rep_id"), sim.as("sim_r"),
+          (col("vec_id") === col("rep_id") || sim < 0.995).as("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""$oracleNormCte,
+            |b AS (SELECT vec_id, v, nrm,
+            |        CAST(${(0 until 8).map(i =>
+                       s"(CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+                       .mkString(" + ")} AS BIGINT) bucket
+            |      FROM ev),
+            |r AS (SELECT bucket, MIN(vec_id) rep_id FROM b GROUP BY bucket),
+            |rv AS (SELECT r.bucket, r.rep_id, b.v rvv, b.nrm rn
+            |       FROM r JOIN b ON b.vec_id = r.rep_id)
+            |SELECT a.vec_id, a.bucket, rv.rep_id,
+            |       ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+            |           [a.v[i] * rv.rvv[i] for i in range(1, LEN(a.v) + 1)]),
+            |         (acc, x) -> acc + x) / (a.nrm * rv.rn), 4) sim_r,
+            |       (a.vec_id = rv.rep_id OR
+            |        ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+            |            [a.v[i] * rv.rvv[i] for i in range(1, LEN(a.v) + 1)]),
+            |          (acc, x) -> acc + x) / (a.nrm * rv.rn), 4) < 0.995) AS kept
+            |FROM b a JOIN rv ON a.bucket = rv.bucket
+            |ORDER BY a.vec_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q49, q59)
 }
