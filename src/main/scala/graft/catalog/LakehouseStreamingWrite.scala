@@ -1,0 +1,108 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 streaming sink: `df.writeStream.toTable("lakehouse.ns.t")`.
+  *
+  * Per micro-batch, the rows land as parquet in a fresh staging
+  * directory through Spark's own DSv2 parquet writers (same delegation
+  * as the batch read/write paths), then `commit(epochId, …)` publishes
+  * them with ONE atomic metadata swap that also records the
+  * `(queryId, epochId)` watermark — the same exactly-once mechanism as
+  * [[Maintenance.transactionalAppend]]: a batch replayed after a
+  * commit-then-checkpoint-crash sees its watermark and discards the
+  * staged files instead of double-appending. `complete`-mode queries
+  * (the builder's truncate() path) publish each epoch as a whole-table
+  * replace, so a streaming aggregation materializes into a
+  * time-travelable lakehouse table.
+  *
+  * Streamed files land as the tasks produced them (no per-commit
+  * re-clustering — there is no DataFrame to repartition at this layer);
+  * partition-scoped compaction (`CALL system.compact_where`) is the
+  * standing repair for streaming-sized files, exactly as for the
+  * foreachBatch ingest path.
+  */
+class LakehouseStreamingWrite(
+    spark: SparkSession,
+    identName: String,
+    tableDir: Path,
+    info: LogicalWriteInfo,
+    replace: Boolean)
+  extends StreamingWrite {
+
+  /** The epoch currently being written: staging dir + the delegate
+    * parquet BatchWrite that finalizes task files into it. Micro-batch
+    * execution is strictly sequential per query (factory → tasks →
+    * commit), so a single slot suffices. */
+  @volatile private var pending: Option[(String, BatchWrite)] = None
+
+  // The delegate parquet writers commit through the Hadoop commit
+  // protocol, which asks the OutputCommitCoordinator itself; asking a
+  // second time at the DSv2 layer gets the inner ask DENIED (first
+  // authorization wins). Same setting as Spark's own FileBatchWrite.
+  override def useCommitCoordinator(): Boolean = false
+
+  override def createStreamingWriterFactory(
+      pInfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val meta = TableMetadata.load(tableDir)
+    val stagingRel = s"data/s-${UUID.randomUUID().toString.take(12)}"
+    val stagingDir = tableDir.resolve(stagingRel)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val innerWrite = ParquetTable(identName, spark,
+      new CaseInsensitiveStringMap(Map("path" -> stagingDir.toString).asJava),
+      Seq(stagingDir.toString), Some(meta.schema), classOf[ParquetFileFormat])
+      .newWriteBuilder(info)
+      .build()
+      .toBatch
+    pending = Some((stagingRel, innerWrite))
+    val delegate: DataWriterFactory = innerWrite.createBatchWriterFactory(pInfo)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
+          org.apache.spark.sql.connector.write.DataWriter[
+            org.apache.spark.sql.catalyst.InternalRow] =
+        delegate.createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val (stagingRel, innerWrite) = pending.getOrElse(
+      throw new IllegalStateException(s"commit of epoch $epochId with no pending write"))
+    pending = None
+    innerWrite.commit(messages) // finalize task files into the staging dir
+    val stagingDir = tableDir.resolve(stagingRel)
+    val newFiles =
+      if (!Files.isDirectory(stagingDir)) Seq.empty
+      else Files.list(stagingDir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(n => s"$stagingRel/$n").toSeq.sorted
+    val meta = TableMetadata.load(tableDir)
+    // an empty epoch in append mode publishes nothing (no metadata
+    // churn); in replace mode it must still truncate — publish anyway
+    if (newFiles.isEmpty && !replace) return
+    Maintenance.watermarkedPublish(spark, tableDir, newFiles, meta.schema,
+      meta.properties, s"stream-${info.queryId()}", epochId, replace)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    pending.foreach { case (stagingRel, innerWrite) =>
+      pending = None
+      try innerWrite.abort(messages)
+      finally {
+        val stagingDir = tableDir.resolve(stagingRel)
+        if (Files.isDirectory(stagingDir)) {
+          Files.walk(stagingDir).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+}

@@ -58,6 +58,7 @@ class LakehouseTable(
       TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   private def abs(f: String): String = tableDir.resolve(f).toString
@@ -375,6 +376,13 @@ class LakehouseTable(
             override def insert(data: DataFrame, overwriteParam: Boolean): Unit =
               commitInsert(data, overwrite || overwriteParam)
           }
+        // writeStream.toTable: per-epoch staged parquet + watermarked
+        // atomic publish (exactly-once under micro-batch replay);
+        // truncate() here = streaming `complete` mode → whole-table
+        // replace per epoch. See LakehouseStreamingWrite.
+        override def toStreaming:
+            org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new LakehouseStreamingWrite(spark, identName, tableDir, info, overwrite)
       }
     }
 
@@ -430,6 +438,27 @@ class LakehouseTable(
     val candidates =
       FileSkipping.prune(current.files, current.fileStats, current.schema, filters.toSeq)
     if (candidates.isEmpty) return
+
+    // Merge-on-read mode (`graft.delete.mode=merge-on-read`): instead
+    // of rewriting every hit file, SELECT the matching rows and commit
+    // them as an equality-delete file — one pruned read plus a tiny
+    // write, the shape that keeps a high-churn 100 TB table writable.
+    // Keys are `graft.key` when declared (the Iceberg identifier-field
+    // contract: the table is key-unique, so deleting by key IS deleting
+    // the row); otherwise the full row tuple, which is EXACT for any
+    // deterministic predicate (a row identical to a matched row matches
+    // the predicate too).
+    if (current.properties.get(LakehouseTable.DeleteModeProp).contains("merge-on-read")) {
+      val keyCols = current.properties.get(LakehouseTable.KeyProp)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(current.schema.fieldNames.toSeq)
+      val matched = MergeOnRead.read(spark, tableDir, current, candidates)
+        .filter(coalesce(cond, lit(false))) // NULL predicate → not deleted
+        .select(keyCols.map(col): _*)
+        .distinct()
+      MergeOnRead.morDeleteAt(spark, tableDir, matched)
+      return
+    }
 
     // (2) exact check: which candidate files actually contain matches
     // (file identity via the unique part-file name segment)
@@ -575,6 +604,16 @@ class LakehouseTable(
 }
 
 object LakehouseTable {
+  /** Table property selecting how SQL DELETE executes: unset/"copy-on-write"
+    * rewrites hit files (read-optimal); "merge-on-read" commits an
+    * equality-delete file (write-optimal, see [[MergeOnRead]]). */
+  val DeleteModeProp = "graft.delete.mode"
+
+  /** Table property declaring the row-identity columns (comma-separated)
+    * — the Iceberg identifier-fields analogue. When set, merge-on-read
+    * DELETE records just these columns per matched row. */
+  val KeyProp = "graft.key"
+
   /** (survivors, total) of the most recent scan build on this thread —
     * observability hook for tests and EXPLAIN-style debugging. */
   val lastScanFileCounts = new ThreadLocal[(Int, Int)]

@@ -434,13 +434,34 @@ object Maintenance {
     val newFiles = Files.list(commitDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
+    watermarkedPublish(spark, dir, newFiles, start.schema, start.properties,
+      txnId, batchId, replace = false)
+  }
+
+  /** Publish already-written data files under a (txnId, batchId)
+    * watermark — the shared exactly-once tail of [[transactionalAppend]]
+    * and the DSv2 streaming sink ([[LakehouseStreamingWrite]]). The
+    * watermark is committed atomically with the file additions; a
+    * replayed batch (watermark already >= batchId) deletes its staged
+    * files and returns false. `replace = true` swaps the whole file set
+    * (streaming `complete` mode) instead of appending. */
+  private[catalog] def watermarkedPublish(
+      spark: SparkSession,
+      dir: Path,
+      newFiles: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      propsForBloom: Map[String, String],
+      txnId: String,
+      batchId: Long,
+      replace: Boolean): Boolean = {
+    val key = s"graft.txn.$txnId"
     val conf = spark.sessionState.newHadoopConf()
     val footers = newFiles.map { f =>
       f -> FooterStats.collectFull(conf,
-        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), start.schema)
+        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), schema)
     }.toMap
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
-    BloomIndex.buildForFiles(spark, dir, start.schema, start.properties, newFiles)
+    BloomIndex.buildForFiles(spark, dir, schema, propsForBloom, newFiles)
 
     // append-vs-append races retry on a fresh snapshot; a racer that
     // already applied THIS batch wins and we discard our files
@@ -450,19 +471,26 @@ object Maintenance {
       val current = TableMetadata.load(dir)
       if (current.properties.get(key).exists(_.toLong >= batchId)) {
         newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f)))
-        Files.deleteIfExists(commitDir)
         return false
       }
+      val allFiles = if (replace) newFiles else current.files ++ newFiles
+      val allStats = if (replace) newStats else current.fileStats ++ newStats
+      val allRows =
+        if (replace) footers.view.mapValues(_.rows).toMap
+        else current.fileRows ++ footers.view.mapValues(_.rows).toMap
+      val dels = if (replace) Seq.empty[DeleteFile] else current.deleteFiles
+      val op = if (replace) "overwrite" else "append"
       try {
         TableMetadata.commit(dir, current.copy(
           version = current.version + 1,
-          files = current.files ++ newFiles,
-          fileStats = current.fileStats ++ newStats,
-          fileRows = current.fileRows ++ footers.view.mapValues(_.rows).toMap,
+          files = allFiles,
+          fileStats = allStats,
+          fileRows = allRows,
+          deleteFiles = dels,
           properties = current.properties + (key -> batchId.toString),
           snapshots = current.snapshots :+ Snapshot(
-            current.version + 1, System.currentTimeMillis(), "append",
-            newFiles.size, current.files.size + newFiles.size)))
+            current.version + 1, System.currentTimeMillis(), op,
+            newFiles.size, allFiles.size)))
         return true
       } catch {
         case _: IllegalStateException if attempt < maxAttempts => attempt += 1

@@ -108,6 +108,12 @@ object MergeOnRead {
     commitDelete(spark, lt.tableDir, keys, appendData = None)
   }
 
+  /** [[morDelete]] addressed by table directory — the entry point for
+    * callers already inside the table (SQL DELETE in merge-on-read
+    * mode, [[LakehouseTable.deleteWhere]]). */
+  def morDeleteAt(spark: SparkSession, tableDir: Path, keys: DataFrame): Long =
+    commitDelete(spark, tableDir, keys, appendData = None)
+
   /** Streaming-CDC upsert: ONE commit that equality-deletes the current
     * rows matching `rows`' keys and appends `rows`. The delete entry's
     * seq equals the new data files' seq, so it applies to every
@@ -174,6 +180,13 @@ object MergeOnRead {
       DeleteFile(f, keyCols, next, delFooters(f).rows, delFooters(f).cols)
     }
     val keyRows = entries.map(_.rows).sum
+    if (keyRows == 0 && appendData.isEmpty) {
+      // nothing matched: no entry to publish — a zero-key entry would
+      // be dead weight every future read has to consider
+      delFiles.foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
+      Files.deleteIfExists(tableDir.resolve(delRel))
+      return 0
+    }
 
     // optional upsert data files, written before the single commit
     val (dataFiles, dataFooters) = appendData match {

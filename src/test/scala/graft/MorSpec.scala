@@ -299,6 +299,44 @@ class MorSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("SQL DELETE in merge-on-read mode commits keys, not rewrites") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mor_ns")
+    spark.sql("CREATE TABLE lakehouse.mor_ns.sqlmor (k INT, v STRING) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    (0 until 3).foreach { c =>
+      (0 until 100).map(i => (c * 100 + i, s"v$c-$i")).toDF("k", "v")
+        .createOrReplaceTempView("mor_src")
+      spark.sql("INSERT INTO lakehouse.mor_ns.sqlmor SELECT * FROM mor_src")
+    }
+    val before = files("lakehouse.mor_ns.sqlmor")
+
+    spark.sql("DELETE FROM lakehouse.mor_ns.sqlmor WHERE k >= 110 AND k < 120")
+    // no data file rewritten — the delete is an equality-delete commit
+    files("lakehouse.mor_ns.sqlmor") should contain theSameElementsAs before
+    spark.sql("SELECT * FROM lakehouse.mor_ns.sqlmor.delete_files").count() shouldBe 1
+    spark.table("lakehouse.mor_ns.sqlmor").count() shouldBe 290
+    spark.table("lakehouse.mor_ns.sqlmor").where($"k" === 115).count() shouldBe 0
+    spark.sql("SELECT operation FROM lakehouse.mor_ns.sqlmor.history ORDER BY version")
+      .collect().last.getString(0) shouldBe "mor-delete"
+
+    // a DELETE matching nothing publishes nothing
+    val v = spark.sql("SELECT MAX(version) FROM lakehouse.mor_ns.sqlmor.history")
+      .collect()(0).getInt(0)
+    spark.sql("DELETE FROM lakehouse.mor_ns.sqlmor WHERE k = 99999")
+    spark.sql("SELECT MAX(version) FROM lakehouse.mor_ns.sqlmor.history")
+      .collect()(0).getInt(0) shouldBe v
+
+    // with a declared key, the delete file records just the key column
+    spark.sql("ALTER TABLE lakehouse.mor_ns.sqlmor SET TBLPROPERTIES ('graft.key'='k')")
+    spark.sql("DELETE FROM lakehouse.mor_ns.sqlmor WHERE v = 'v2-5'")
+    spark.table("lakehouse.mor_ns.sqlmor").count() shouldBe 289
+    val keyCols = spark.sql(
+      "SELECT key_columns FROM lakehouse.mor_ns.sqlmor.delete_files ORDER BY sequence")
+      .collect().map(_.getString(0))
+    keyCols.last shouldBe "k"
+    spark.sql("DROP TABLE lakehouse.mor_ns.sqlmor")
+  }
+
   test("metadata round-trip: fileSeq and deleteFiles survive the JSON log") {
     val t = "lakehouse.mor_ns.m15"
     threeCommits(t)
