@@ -224,8 +224,21 @@ object LakehouseProcedures {
     }
   }
 
+  private def overwritePartitionsProc(catalogName: String) =
+    new MaintenanceProc("overwrite_partitions",
+      Array(
+        param("ns", StringType), param("tbl", StringType),
+        param("source_view", StringType)), "rows", catalogName) {
+      override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+        val src = spark.table(a.getUTF8String(2).toString)
+        Maintenance.overwritePartitions(spark, cat, ns(a), tbl(a), src)
+        src.count()
+      }
+    }
+
   private val factories: Map[String, String => UnboundProcedure] = Map(
     "set_partitioning" -> (setPartitioningProc(_)),
+    "overwrite_partitions" -> (overwritePartitionsProc(_)),
     "mor_delete" -> (morDeleteProc(_)),
     "materialize_deletes" -> (materializeDeletesProc(_)),
     "tag" -> (tagProc(_)),

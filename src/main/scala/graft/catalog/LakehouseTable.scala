@@ -51,6 +51,19 @@ class LakehouseTable(
 
   override def schema(): StructType = meta.schema
 
+  /** The DDL's PARTITIONED BY, reported back: identity transforms for
+    * the clustering columns plus the bucket transform when bucketed.
+    * This is what lets SQL `INSERT OVERWRITE ... PARTITION (c=v)` and
+    * dynamic partition overwrite resolve against this table. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val idents = meta.partitionColumns.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+    val bucket = Bucketing.specOf(meta.properties).map { case (c, n) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }
+    (idents ++ bucket).toArray
+  }
+
   override def properties(): java.util.Map[String, String] = meta.properties.asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -59,7 +72,12 @@ class LakehouseTable(
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // no OVERWRITE_DYNAMIC: Spark has no V1 write fallback for
+      // OverwritePartitionsDynamic (only append and overwrite-by-filter
+      // have ExecV1 plans) — dynamic overwrite is served by
+      // Maintenance.overwritePartitions / CALL system.overwrite_partitions
+      TableCapability.OVERWRITE_BY_FILTER)
 
   private def abs(f: String): String = tableDir.resolve(f).toString
 
@@ -367,14 +385,48 @@ class LakehouseTable(
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite
+      with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      // Append | Truncate | OverwriteWhere(filters) | DynamicPartitions
+      private var truncateAll = false
+      private var overwriteFilters: Option[Array[sources.Filter]] = None
+      private var dynamicPartitions = false
+
+      override def truncate(): WriteBuilder = { truncateAll = true; this }
+
+      override def canOverwrite(filters: Array[sources.Filter]): Boolean =
+        filters.forall(f => filterToColumn(f).isDefined)
+
+      /** SQL `INSERT OVERWRITE ... PARTITION (c=v, ...)` (static mode):
+        * rows matching the delete expression are replaced, everything
+        * else carries by reference. AlwaysTrue = whole-table replace. */
+      override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+        if (filters.isEmpty || filters.forall(_ == sources.AlwaysTrue())) truncateAll = true
+        else overwriteFilters = Some(filters)
+        this
+      }
+
+      /** Only the partitions PRESENT IN the new data are replaced.
+        * Declared for completeness, but unreachable from SQL today: the
+        * OVERWRITE_DYNAMIC capability is withheld (see capabilities())
+        * because Spark cannot execute dynamic overwrite through a V1
+        * write — Maintenance.overwritePartitionsAt is the same engine
+        * this delegates to. */
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamicPartitions = true
+        this
+      }
+
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteParam: Boolean): Unit =
-              commitInsert(data, overwrite || overwriteParam)
+              if (dynamicPartitions) Maintenance.overwritePartitionsAt(spark, tableDir, data)
+              else overwriteFilters match {
+                case Some(filters) => commitOverwriteWhere(data, filters)
+                case None => commitInsert(data, truncateAll || overwriteParam)
+              }
           }
         // writeStream.toTable: per-epoch staged parquet + watermarked
         // atomic publish (exactly-once under micro-batch replay);
@@ -382,7 +434,7 @@ class LakehouseTable(
         // replace per epoch. See LakehouseStreamingWrite.
         override def toStreaming:
             org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new LakehouseStreamingWrite(spark, identName, tableDir, info, overwrite)
+          new LakehouseStreamingWrite(spark, identName, tableDir, info, truncateAll)
       }
     }
 
@@ -506,6 +558,40 @@ class LakehouseTable(
         footers.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "delete", newFiles.size, allFiles.size)))
+  }
+
+  /** Filtered overwrite (static-mode `INSERT OVERWRITE ... PARTITION`):
+    * ONE commit that removes every current row matching the delete
+    * expression and appends the new data — the deleteWhere hit-scan
+    * shape (stats prune → exact per-file hit check → rewrite hit files
+    * keeping their non-matching rows through the merging read) with
+    * the incoming rows unioned into the same rewrite. */
+  private def commitOverwriteWhere(data: DataFrame, filters: Array[sources.Filter]): Unit = {
+    val current = TableMetadata.load(tableDir)
+    val cond = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"unsupported OVERWRITE expression: ${filters.mkString(", ")}"))
+    val candidates =
+      FileSkipping.prune(current.files, current.fileStats, current.schema, filters.toSeq)
+    def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val hitFiles =
+      if (candidates.isEmpty) Seq.empty[String]
+      else {
+        val relByName = candidates.map(f => fileName(f) -> f).toMap
+        spark.read.schema(current.schema).parquet(candidates.map(abs): _*)
+          .withColumn("__graft_file", input_file_name())
+          .filter(cond)
+          .select(col("__graft_file")).distinct().collect()
+          .map(r => fileName(r.getString(0))).toSet
+          .flatMap(relByName.get).toSeq.sorted
+      }
+    val kept =
+      if (hitFiles.isEmpty) data.limit(0)
+      else MergeOnRead.read(spark, tableDir, current, hitFiles)
+        .filter(not(coalesce(cond, lit(false))))
+    Maintenance.commitRewrite(spark, tableDir, current, hitFiles,
+      kept.unionByName(data), "overwrite-where")
   }
 
   private def commitInsert(data: DataFrame, overwrite: Boolean): Unit = {

@@ -505,7 +505,7 @@ object Maintenance {
     * `newData`, carry every other file into the new snapshot by
     * reference. The same shape `DELETE FROM` uses (LakehouseTable
     * .deleteWhere); only the row transformation differs. */
-  private def commitRewrite(
+  private[catalog] def commitRewrite(
       spark: SparkSession,
       dir: Path,
       current: TableMetadata,
@@ -664,13 +664,22 @@ object Maintenance {
       catalog: String,
       namespace: Seq[String],
       table: String,
+      source: org.apache.spark.sql.DataFrame): Unit =
+    overwritePartitionsAt(spark, lakehouseTable(spark, catalog, namespace, table).tableDir,
+      source)
+
+  /** [[overwritePartitions]] addressed by table directory — also the
+    * executor of SQL dynamic-mode `INSERT OVERWRITE`
+    * ([[LakehouseTable]]'s SupportsDynamicOverwrite). */
+  private[catalog] def overwritePartitionsAt(
+      spark: SparkSession,
+      dir: Path,
       source: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, input_file_name}
-    val lt = lakehouseTable(spark, catalog, namespace, table)
-    val dir = lt.tableDir
     val current = TableMetadata.load(dir)
     val pc = current.partitionColumns
-    require(pc.nonEmpty, s"$table is unpartitioned: use INSERT OVERWRITE instead")
+    require(pc.nonEmpty,
+      s"${current.name} is unpartitioned: use INSERT OVERWRITE instead")
     val cast = source.select(current.schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
     val parts = cast.select(pc.map(col): _*).distinct()

@@ -1117,8 +1117,61 @@ object TextOps {
            |      FROM documents)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** Cross-split contamination report — the QA gate after q58's split:
+    * for every test/valid document, how many of its distinct 3-gram
+    * shingles also occur anywhere in the train split, and is it
+    * contaminated (≥ half shared — an integer comparison, no float
+    * threshold). Composition of the split (row-local md5) and the
+    * shingle machinery (64-bit hashes, so the semi join ships longs,
+    * not text). Scale shape: the train gram set is corpus-sized, so
+    * this is ONE hash-partitioned semi join on the gram key — never a
+    * broadcast of the corpus, never candidates × corpus. */
+  val q60 = Q(
+    "q60_contamination",
+    (s, d) => {
+      val sh = tokenized(s, d)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100).as("b"),
+          col("toks"))
+        .select(col("doc_id"), col("b"),
+          transform(col("toks"), t => xxhash64(t)).as("th"))
+        .select(col("doc_id"), col("b"), shingleHashes(col("th")).as("sl"))
+      val train = sh.filter(col("b") < 90).select(explode(col("sl")).as("g")).distinct()
+      val testN = sh.filter(col("b") >= 90)
+        .select(col("doc_id"), size(col("sl")).cast(LongType).as("n_grams"))
+      val testG = sh.filter(col("b") >= 90)
+        .select(col("doc_id"), explode(col("sl")).as("g"))
+      val hits = testG.join(train, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      testN.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("c"), lit(0L)).as("hits"),
+          (coalesce(col("c"), lit(0L)) * 2 >= col("n_grams")).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, text,
+           |             CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) % 100 AS b
+           |           FROM documents),
+           |toks AS (SELECT doc_id, b, string_split(text, ' ') t FROM d
+           |         WHERE len(string_split(text, ' ')) >= 3),
+           |sh AS (SELECT doc_id, b,
+           |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+           |                        for i in range(1, len(t) - 1)]) sl
+           |       FROM toks),
+           |tr AS (SELECT DISTINCT unnest(sl) g FROM sh WHERE b < 90),
+           |ten AS (SELECT doc_id, len(sl) n FROM sh WHERE b >= 90),
+           |teg AS (SELECT doc_id, unnest(sl) g FROM sh WHERE b >= 90),
+           |hits AS (SELECT doc_id, count(*) c FROM teg
+           |         WHERE g IN (SELECT g FROM tr) GROUP BY doc_id)
+           |SELECT ten.doc_id, CAST(n AS BIGINT) AS n_grams,
+           |       CAST(COALESCE(c, 0) AS BIGINT) AS hits,
+           |       COALESCE(c, 0) * 2 >= n AS contaminated
+           |FROM ten LEFT JOIN hits ON ten.doc_id = hits.doc_id
+           |ORDER BY ten.doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b)
+      q55, q56, q57, q58, q58b, q60)
 }
