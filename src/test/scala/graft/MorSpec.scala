@@ -337,6 +337,54 @@ class MorSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.mor_ns.sqlmor")
   }
 
+  test("plan shape: broadcast anti-join, pushdown and pruning reach the dirty branch") {
+    val t = "lakehouse.mor_ns.mplan"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "mplan",
+      (110 until 120).toDF("k"))
+
+    // the delete-key side is tiny → Spark must broadcast it (final
+    // AQE plan, so run the query first)
+    val dirty = spark.table(t)
+    dirty.collect()
+    // expand AQE wrappers: AdaptiveSparkPlanExec and QueryStageExec are
+    // leaves whose real plan hangs off a field, not children
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+        case _ => Nil
+      })).flatMap(allNodes)
+    val nodes = allNodes(dirty.queryExecution.executedPlan)
+    val bj = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == LeftAnti => j
+    }
+    bj should have size 1
+
+    // a filter on the table still prunes files inside the rewritten
+    // branches (stats skipping survives the rewrite)
+    spark.table(t).where($"k" === 5).count() shouldBe 1
+    val (surv, total) = graft.catalog.LakehouseTable.lastScanFileCounts.get()
+    total should be >= 1
+    surv should be < 3 // two of the three files' ranges exclude k=5
+
+    // column pruning reaches the parquet scan: a v-only projection must
+    // not read k... except as the anti-join key on the dirty branch —
+    // the clean branch must read v alone
+    val df = spark.table(t).select("v")
+    df.collect()
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    scans.nonEmpty shouldBe true
+    val cleanSchemas = scans.map(_.scan.readSchema().fieldNames.toSet)
+    cleanSchemas should contain(Set("v")) // at least one branch reads v only
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata round-trip: fileSeq and deleteFiles survive the JSON log") {
     val t = "lakehouse.mor_ns.m15"
     threeCommits(t)
