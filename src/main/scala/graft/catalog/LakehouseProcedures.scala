@@ -147,10 +147,11 @@ object LakehouseProcedures {
   private def analyzeProc(catalogName: String) = new MaintenanceProc("analyze",
     Array(
       param("ns", StringType), param("tbl", StringType),
-      param("columns", StringType, "''")), "rows", catalogName) {
+      param("columns", StringType, "''"),
+      param("histogram_bins", IntegerType, "0")), "rows", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
       val cols = a.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      TableStats.analyze(spark, cat, ns(a), tbl(a), cols)
+      TableStats.analyze(spark, cat, ns(a), tbl(a), cols, histogramBins = a.getInt(3))
     }
   }
 

@@ -296,6 +296,14 @@ class LakehouseTable(
                     else st.nullCount()
                   override def avgLen(): java.util.OptionalLong = st.avgLen()
                   override def maxLen(): java.util.OptionalLong = st.maxLen()
+                  // value-domain stats don't scale with pruning: a
+                  // pruned scan still draws from the same min/max and
+                  // distribution shape (conservatively unchanged)
+                  override def min(): java.util.Optional[Object] = st.min()
+                  override def max(): java.util.Optional[Object] = st.max()
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats.Histogram] =
+                    st.histogram()
                 })
               }
             if (analyzedRows.isEmpty && colStats.isEmpty) base

@@ -34,6 +34,8 @@ object TableStats {
   val NumRowsProp = "graft.stats.numRows"
   val VersionProp = "graft.stats.version"
   def colProp(c: String): String = s"graft.stats.col.$c"
+  def rangeProp(c: String): String = s"graft.stats.range.$c"
+  def histProp(c: String): String = s"graft.stats.hist.$c"
 
   /** ndv:nullCount[:avgLen:maxLen] */
   private def encode(ndv: Long, nulls: Long, avgLen: Option[Long], maxLen: Option[Long]) =
@@ -46,6 +48,15 @@ object TableStats {
     case _ => false
   }
 
+  /** Columns whose min/max (and histogram) CBO can consume as plain
+    * numbers — the range-selectivity types. Date/timestamp are left
+    * out: their catalyst ColumnStat values are internal days/micros,
+    * and an external-value mixup would feed CBO garbage silently. */
+  private def rangeable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _ => false
+  }
+
   /** One-pass stats collection over the current snapshot; returns the
     * analyzed row count. `columns` defaults to every atomic-typed
     * column. */
@@ -54,7 +65,8 @@ object TableStats {
       catalog: String,
       namespace: Seq[String],
       table: String,
-      columns: Seq[String] = Nil): Long = {
+      columns: Seq[String] = Nil,
+      histogramBins: Int = 0): Long = {
     val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     val current = TableMetadata.load(dir)
@@ -69,13 +81,16 @@ object TableStats {
         columns
       } else current.schema.fields.filter(f => analyzable(f.dataType)).map(_.name).toSeq
 
-    val (numRows, colStats) =
-      if (current.files.isEmpty) (0L, cols.map(c => c -> encode(0L, 0L, None, None)))
+    val (numRows, colStats, rangeStats, histStats) =
+      if (current.files.isEmpty)
+        (0L, cols.map(c => c -> encode(0L, 0L, None, None)),
+          Seq.empty[(String, String)], Seq.empty[(String, String)])
       else {
         val df = spark.read.schema(current.schema)
           .parquet(current.files.map(f => dir.resolve(f).toString): _*)
         val isString = cols.map(c =>
           c -> current.schema(c).dataType.isInstanceOf[StringType]).toMap
+        val ranged = cols.filter(c => rangeable(current.schema(c).dataType))
         val aggCols = count(lit(1)).as("__n") +: cols.flatMap { c =>
           Seq(
             approx_count_distinct(col(c)).as(s"__ndv_$c"),
@@ -83,10 +98,62 @@ object TableStats {
             (if (isString(c)) Seq(
               avg(length(col(c))).as(s"__avglen_$c"),
               max(length(col(c))).as(s"__maxlen_$c"))
+            else Nil) ++
+            (if (ranged.contains(c)) Seq(
+              min(col(c)).as(s"__min_$c"),
+              max(col(c)).as(s"__max_$c"))
             else Nil)
         }
         val r = df.agg(aggCols.head, aggCols.tail: _*).head()
         val n = r.getLong(r.fieldIndex("__n"))
+        val ranges = ranged.flatMap { c =>
+          val (iMin, iMax) = (r.fieldIndex(s"__min_$c"), r.fieldIndex(s"__max_$c"))
+          if (r.isNullAt(iMin) || r.isNullAt(iMax)) None
+          else Some(c -> s"${r.get(iMin)}:${r.get(iMax)}")
+        }
+        // Equi-height histograms (opt-in second pass): boundaries from
+        // one approx-percentile agg over every ranged column, then ONE
+        // job per column counting rows + ndv per bin — CBO's range and
+        // equality selectivities inside skewed domains come from these,
+        // where a bare [min, max] assumes uniformity.
+        val hists =
+          if (histogramBins < 2) Seq.empty[(String, String)]
+          else {
+            val pcts = (0 to histogramBins).map(_.toDouble / histogramBins)
+            val pctCols = ranged.map(c => percentile_approx(
+              col(c).cast(DoubleType), typedLit(pcts), lit(10000)).as(s"__p_$c"))
+            if (pctCols.isEmpty) Seq.empty[(String, String)]
+            else {
+              val pr = df.agg(pctCols.head, pctCols.tail: _*).head()
+              ranged.flatMap { c =>
+                if (pr.isNullAt(pr.fieldIndex(s"__p_$c"))) None
+                else {
+                  val bounds = pr.getSeq[Double](pr.fieldIndex(s"__p_$c"))
+                  // bin of v = #boundaries strictly below it, capped
+                  val d = col(c).cast(DoubleType)
+                  val binExpr = least(
+                    lit(histogramBins - 1),
+                    bounds.slice(1, histogramBins)
+                      .map(b => when(d > lit(b), 1).otherwise(0))
+                      .reduceOption(_ + _).getOrElse(lit(0)))
+                  val perBin = df.filter(col(c).isNotNull)
+                    .groupBy(binExpr.as("__bin"))
+                    .agg(count(lit(1)).as("__rows"),
+                      approx_count_distinct(col(c)).as("__ndv"))
+                    .collect()
+                    .map(row => row.getInt(0) -> (row.getLong(1), row.getLong(2)))
+                    .toMap
+                  val nonNull = perBin.values.map(_._1).sum
+                  val height = nonNull.toDouble / histogramBins
+                  val bins = (0 until histogramBins).map { i =>
+                    val ndv = perBin.get(i).map(_._2).getOrElse(0L)
+                    s"${bounds(i)},${bounds(i + 1)},$ndv"
+                  }
+                  Some(c -> s"$height|${bins.mkString(";")}")
+                }
+              }
+            }
+          }
         (n, cols.map { c =>
           val lens =
             if (isString(c) && !r.isNullAt(r.fieldIndex(s"__avglen_$c")))
@@ -97,15 +164,21 @@ object TableStats {
             r.getLong(r.fieldIndex(s"__ndv_$c")),
             r.getLong(r.fieldIndex(s"__nulls_$c")),
             lens._1, lens._2)
-        })
+        }, ranges, hists)
       }
 
     val cur = TableMetadata.load(dir)
+    // drop stale range/hist entries for re-analyzed columns that no
+    // longer produce them (e.g. a column gone all-null)
+    val cleared = cur.properties --
+      cols.map(rangeProp) -- cols.map(histProp)
     TableMetadata.commit(dir, cur.copy(
       version = cur.version + 1,
-      properties = cur.properties ++
+      properties = cleared ++
         Map(NumRowsProp -> numRows.toString, VersionProp -> cur.version.toString) ++
-        colStats.map { case (c, v) => colProp(c) -> v },
+        colStats.map { case (c, v) => colProp(c) -> v } ++
+        rangeStats.map { case (c, v) => rangeProp(c) -> v } ++
+        histStats.map { case (c, v) => histProp(c) -> v },
       snapshots = cur.snapshots :+ Snapshot(
         cur.version + 1, System.currentTimeMillis(), "analyze", 0, cur.files.size)))
     numRows
@@ -114,6 +187,36 @@ object TableStats {
   /** Recorded row count, if the table was analyzed. */
   def numRows(properties: Map[String, String]): Option[Long] =
     properties.get(NumRowsProp).flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  private def parseTyped(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType => s.toInt
+    case LongType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case other => throw new IllegalArgumentException(s"not a range type: $other")
+  }
+
+  private def parseHistogram(
+      s: String): Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+    scala.util.Try {
+      val Array(h, binsStr) = s.split('|')
+      val parsed = binsStr.split(';').map { b =>
+        val Array(loS, hiS, ndvS) = b.split(',')
+        val (loV, hiV, ndvV) = (loS.toDouble, hiS.toDouble, ndvS.toLong)
+        new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+          override def lo(): Double = loV
+          override def hi(): Double = hiV
+          override def ndv(): Long = ndvV
+        }: org.apache.spark.sql.connector.read.colstats.HistogramBin
+      }
+      new org.apache.spark.sql.connector.read.colstats.Histogram {
+        override def height(): Double = h.toDouble
+        override def bins():
+            Array[org.apache.spark.sql.connector.read.colstats.HistogramBin] = parsed
+      }: org.apache.spark.sql.connector.read.colstats.Histogram
+    }.toOption
 
   /** Recorded per-column stats as the DSv2 interface objects. */
   def columnStats(
@@ -128,11 +231,30 @@ object TableStats {
           val (avgL, maxL) =
             if (parts.length >= 4) (OptionalLong.of(parts(2).toLong), OptionalLong.of(parts(3).toLong))
             else (OptionalLong.empty(), OptionalLong.empty())
+          val dt = schema(c).dataType
+          val range: Option[(Any, Any)] =
+            properties.get(rangeProp(c)).flatMap { rv =>
+              scala.util.Try {
+                val Array(mn, mx) = rv.split(':')
+                (parseTyped(mn, dt), parseTyped(mx, dt))
+              }.toOption
+            }
+          val hist = properties.get(histProp(c)).flatMap(parseHistogram)
           new ColumnStatistics {
             override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
             override def nullCount(): OptionalLong = OptionalLong.of(nulls)
             override def avgLen(): OptionalLong = avgL
             override def maxLen(): OptionalLong = maxL
+            override def min(): java.util.Optional[Object] =
+              range.map(r => java.util.Optional.of(r._1.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def max(): java.util.Optional[Object] =
+              range.map(r => java.util.Optional.of(r._2.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def histogram():
+                java.util.Optional[org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hist.map(java.util.Optional.of(_))
+                .getOrElse(java.util.Optional.empty())
           }: ColumnStatistics
         }.toOption
       }.map(c -> _)

@@ -51,4 +51,50 @@ class TableStatsSpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
     spark.sql("DROP TABLE lakehouse.stats_ns.t")
   }
+
+  test("analyze with histogram_bins records min/max and an equi-height histogram") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stats_ns")
+    spark.sql("CREATE TABLE lakehouse.stats_ns.h (k INT, v STRING)")
+    // skewed domain: 90% of rows in [0, 10), a thin tail to 1000 —
+    // exactly where a bare [min, max] misleads range selectivity
+    (0 until 1000).map(i => (if (i < 900) i % 10 else i, s"v$i"))
+      .toDF("k", "v").createOrReplaceTempView("stats_hsrc")
+    spark.sql("INSERT INTO lakehouse.stats_ns.h SELECT * FROM stats_hsrc")
+
+    spark.sql("CALL lakehouse.system.analyze('stats_ns', 'h', '', histogram_bins => 4)")
+      .collect()(0).getLong(0) shouldBe 1000L
+
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("stats_ns"), "h"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    val cs = TableStats.columnStats(lt.meta.properties, lt.meta.schema)
+    cs("k").min().get() shouldBe 0
+    cs("k").max().get() shouldBe 999
+    val hist = cs("k").histogram().get()
+    hist.bins() should have length 4
+    hist.height() shouldBe 250.0 +- 1.0
+    // equi-height on the skewed domain: the first bins stay inside the
+    // dense [0, 10) head, the last reaches the tail
+    hist.bins().head.hi() should be <= 10.0
+    hist.bins().last.hi() shouldBe 999.0 +- 1.0
+    // strings get no histogram; the catalyst plan carries min/max
+    cs("v").histogram().isPresent shouldBe false
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      val stats = spark.table("lakehouse.stats_ns.h").queryExecution.optimizedPlan.stats
+      val kStat = stats.attributeStats.find(_._1.name == "k").map(_._2).get
+      kStat.min shouldBe Some(0)
+      kStat.max shouldBe Some(999)
+      kStat.histogram.isDefined shouldBe true
+      kStat.histogram.get.bins should have length 4
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.unset("spark.sql.statistics.histogram.enabled")
+    }
+    spark.sql("DROP TABLE lakehouse.stats_ns.h")
+  }
 }
