@@ -115,7 +115,7 @@ object BloomIndex {
       .getOrElse(Map.empty)
     val allTypes = prevTypes ++ columns.map(c =>
       c -> current.schema(c).dataType.simpleString)
-    TableMetadata.commit(dir, cur.copy(
+    TableMetadata.commitOrRebase(dir, base = cur, attempt = cur.copy(
       version = cur.version + 1,
       properties = cur.properties +
         (ColumnsProp -> allCols.mkString(",")) +

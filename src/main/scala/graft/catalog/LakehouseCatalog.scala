@@ -519,7 +519,9 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           throw new UnsupportedOperationException(s"unsupported table change: $other")
       }
     }
-    TableMetadata.commit(dir, updated.copy(
+    // property-only alters rebase onto concurrent commits; schema
+    // alters racing anything fail clean (commitOrRebase declines them)
+    TableMetadata.commitOrRebase(dir, base = current, attempt = updated.copy(
       version = current.version + 1,
       snapshots = current.snapshots :+
         Snapshot(current.version + 1, System.currentTimeMillis(), "alter", 0, current.files.size)))

@@ -116,14 +116,18 @@ class LakehouseMicroBatchStream(
           s"in version window ($fromV, $toV]: an added-file diff cannot represent row-level " +
           "changes; restart the stream from a later startingVersion or avoid rewrites upstream")
     // merge-on-read deletes change rows while GROWING the file set: the
-    // monotone check above cannot see them, so compare delete entries too
+    // monotone check above cannot see them, so compare delete entries
+    // too. Only ADDED entries retract rows; a commit that merely drops
+    // entries (materialize-deletes over stats-proven-dead entries)
+    // changed no visible row — entry drops that DID fold rows away
+    // rewrite data files and are already caught by the monotone check.
     val beforeDeletes =
       if (fromV == 0) Set.empty[String]
       else log.find(_.version == fromV).map(_.deleteFiles.map(_.path).toSet)
         .getOrElse(Set.empty)
     val delStates = beforeDeletes +: window.map(_.deleteFiles.map(_.path).toSet)
     val morCommits = delStates.sliding(2).zip(window.iterator).collect {
-      case (Seq(a, b), m) if b != a =>
+      case (Seq(a, b), m) if !b.subsetOf(a) =>
         m.snapshots.lastOption.map(_.operation).getOrElse(s"v${m.version}")
     }.toSeq
     if (morCommits.nonEmpty)

@@ -558,7 +558,7 @@ class LakehouseTable(
     BloomIndex.buildForFiles(spark, tableDir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
     val allFiles = survivors ++ newFiles
-    TableMetadata.commit(tableDir, current.copy(
+    TableMetadata.commitOrRebase(tableDir, base = current, attempt = current.copy(
       version = nextVersion,
       files = allFiles,
       fileStats = current.fileStats.view.filterKeys(survivors.contains).toMap ++ newStats,

@@ -146,7 +146,7 @@ object Maintenance {
     }.toMap
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
-    TableMetadata.commit(dir, current.copy(
+    TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = nextVersion,
       files = newFiles,
       fileStats = newStats,
@@ -369,7 +369,7 @@ object Maintenance {
       throw new IllegalStateException(
         s"cannot roll back to v$toVersion: ${missing.size} data file(s) already vacuumed, " +
           s"first: ${missing.head}")
-    TableMetadata.commit(dir, current.copy(
+    TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = current.version + 1,
       schema = target.schema,
       partitionColumns = target.partitionColumns,
@@ -535,7 +535,7 @@ object Maintenance {
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
     val allFiles = survivors ++ newFiles
-    TableMetadata.commit(dir, current.copy(
+    TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = nextVersion,
       files = allFiles,
       fileStats = current.fileStats.view.filterKeys(survivors.contains).toMap ++ newStats,

@@ -139,9 +139,11 @@ object MergeOnRead {
 
   /** Shared commit: write the delete-key parquet (plus optionally the
     * upsert data files), collect footer stats, publish one snapshot.
-    * No conflict retry: applicability is decided by sequence numbers
-    * computed against THIS snapshot; replaying onto a racer's commit
-    * could delete rows it just appended. */
+    * Conflicts rebase optimistically ([[TableMetadata.commitOrRebase]]):
+    * the entry's sequence number is PRESERVED across the rebase, so it
+    * keeps applying exactly to the data files of the snapshot the keys
+    * were computed from and never to rows a racer appended concurrently
+    * (snapshot isolation). Racing rewrites do not commute and fail. */
   private def commitDelete(
       spark: SparkSession,
       tableDir: Path,
@@ -182,9 +184,14 @@ object MergeOnRead {
     val keyRows = entries.map(_.rows).sum
     if (keyRows == 0 && appendData.isEmpty) {
       // nothing matched: no entry to publish — a zero-key entry would
-      // be dead weight every future read has to consider
-      delFiles.foreach(f => Files.deleteIfExists(tableDir.resolve(f)))
-      Files.deleteIfExists(tableDir.resolve(delRel))
+      // be dead weight every future read has to consider. The staging
+      // dir also holds committer artifacts (_SUCCESS, .crc), so remove
+      // it recursively.
+      val stagingDir = tableDir.resolve(delRel)
+      if (Files.isDirectory(stagingDir)) {
+        Files.walk(stagingDir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
       return 0
     }
 
@@ -208,7 +215,7 @@ object MergeOnRead {
 
     val allFiles = current.files ++ dataFiles
     val op = if (appendData.isDefined) "mor-upsert" else "mor-delete"
-    TableMetadata.commit(tableDir, current.copy(
+    TableMetadata.commitOrRebase(tableDir, base = current, attempt = current.copy(
       version = next,
       files = allFiles,
       fileStats = current.fileStats ++ dataFooters.view.mapValues(_.cols).toMap,
@@ -239,7 +246,7 @@ object MergeOnRead {
     if (dirty.isEmpty) {
       // every entry is dead (stats-proven cleanliness everywhere):
       // metadata-only commit dropping them
-      TableMetadata.commit(dir, current.copy(
+      TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
         version = next,
         deleteFiles = Seq.empty,
         snapshots = current.snapshots :+ Snapshot(
@@ -261,7 +268,7 @@ object MergeOnRead {
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     val kept = current.files.filterNot(dirty.contains)
     val allFiles = kept ++ newFiles
-    TableMetadata.commit(dir, current.copy(
+    TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = next,
       files = allFiles,
       fileStats = current.fileStats.view.filterKeys(kept.contains).toMap ++

@@ -187,7 +187,9 @@ class LakehouseRowLevelOperation(
     }
 
   /** Swap the scanned files for the rewrite's output in ONE metadata
-    * commit; fail (never retry) if any other writer got there first. */
+    * commit. A racer that only APPENDED or changed properties commutes
+    * — the rewrite rebases onto its commit (commitOrRebase); any racer
+    * that touched files or delete entries fails the commit clean. */
   private def publish(commitRel: String, commitDir: Path): Unit = {
     val newFiles =
       if (!Files.isDirectory(commitDir)) Seq.empty
@@ -201,22 +203,17 @@ class LakehouseRowLevelOperation(
       f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), base.schema)
     }.toMap
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
-    val current = TableMetadata.load(tableDir)
-    if (current.version != base.version)
-      throw new IllegalStateException(
-        s"commit conflict: $cmd on $identName computed against version ${base.version}, " +
-          s"but current is ${current.version}")
     val replaced = scannedFiles.toSet
-    val kept = current.files.filterNot(replaced.contains)
+    val kept = base.files.filterNot(replaced.contains)
     val allFiles = kept ++ newFiles
-    TableMetadata.commit(tableDir, current.copy(
-      version = current.version + 1,
+    TableMetadata.commitOrRebase(tableDir, base = base, attempt = base.copy(
+      version = base.version + 1,
       files = allFiles,
-      fileStats = current.fileStats.view.filterKeys(kept.contains).toMap ++ newStats,
-      fileRows = current.fileRows.view.filterKeys(kept.contains).toMap ++
+      fileStats = base.fileStats.view.filterKeys(kept.contains).toMap ++ newStats,
+      fileRows = base.fileRows.view.filterKeys(kept.contains).toMap ++
         footers.view.mapValues(_.rows).toMap,
-      snapshots = current.snapshots :+ Snapshot(
-        current.version + 1, System.currentTimeMillis(),
+      snapshots = base.snapshots :+ Snapshot(
+        base.version + 1, System.currentTimeMillis(),
         cmd.toString.toLowerCase, newFiles.size, allFiles.size)))
   }
 }

@@ -254,4 +254,115 @@ object TableMetadata {
           s"commit conflict: version ${meta.version} already exists for ${meta.name}", e)
     } finally Files.deleteIfExists(tmp)
   }
+
+  /** [[commit]] with optimistic rebase — the Iceberg commit loop,
+    * generalized to every commit kind. `attempt` was computed against
+    * `base`; when another writer published versions in between, the
+    * commit's DELTA (files and delete entries added/removed, property
+    * changes, its snapshot entry) is re-derived and re-applied onto the
+    * winner's metadata IF the two changes commute, retrying up to
+    * `maxAttempts`. Data files were already written exactly once by the
+    * caller — only the cheap metadata fold repeats. Non-commutable
+    * overlaps fail with the conflict error: correctness over
+    * availability.
+    *
+    * Commutability rules (conservative):
+    *  - pure appends commute with everything — two racing ingest jobs
+    *    both land, serialized;
+    *  - property-only changes commute with everything (per-key
+    *    last-writer-wins; keys the attempt removed stay removed);
+    *  - new equality-delete entries (MoR delete/upsert) commute with
+    *    appends and property changes; entry seqs are PRESERVED, so a
+    *    rebased delete still applies exactly to the data files of the
+    *    snapshot it was computed from and never to rows a racer
+    *    appended concurrently — snapshot isolation, Iceberg's default;
+    *  - rewrites (remove+add: compact, COW DML, materialize, rollback)
+    *    commute only with appends/property changes: a racing rewrite of
+    *    overlapping state is a lost update, and racing delete entries
+    *    may target the very files being rewritten (their rows would
+    *    resurrect in the rewritten output);
+    *  - schema or partition-spec changes on either side are never
+    *    auto-rebased.
+    *
+    * Returns the metadata actually committed (== `attempt` when no race
+    * happened). */
+  def commitOrRebase(
+      tableDir: Path,
+      attempt: TableMetadata,
+      base: TableMetadata,
+      maxAttempts: Int = 10): TableMetadata = {
+    var b = base
+    var att = attempt
+    var tries = 0
+    while (true) {
+      try {
+        commit(tableDir, att)
+        return att
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
+          tries += 1
+          if (tries > maxAttempts) throw e
+          val cur = load(tableDir)
+          att = rebase(b, att, cur).getOrElse(throw new IllegalStateException(
+            s"commit conflict: ${att.name} changed concurrently (v${b.version} -> " +
+              s"v${cur.version}) and the changes do not commute; re-run against the " +
+              "current snapshot", e))
+          b = cur
+      }
+    }
+    att // unreachable
+  }
+
+  /** Re-derive base→attempt as a delta and apply it to `cur`, or None
+    * when the concurrent base→cur change does not commute with it. */
+  private def rebase(
+      base: TableMetadata,
+      attempt: TableMetadata,
+      cur: TableMetadata): Option[TableMetadata] = {
+    val baseFiles = base.files.toSet
+    val curFiles = cur.files.toSet
+    val added = attempt.files.filterNot(baseFiles)
+    val removed = baseFiles -- attempt.files.toSet
+    val baseDels = base.deleteFiles.toSet
+    val addedDels = attempt.deleteFiles.filterNot(baseDels)
+    val removedDels = baseDels -- attempt.deleteFiles.toSet
+    val racerRemovedFiles = (baseFiles -- curFiles).nonEmpty
+    val racerAddedDels = cur.deleteFiles.exists(!baseDels.contains(_))
+    val racerRemovedDels = (baseDels -- cur.deleteFiles.toSet).nonEmpty
+    val racerRewrote = racerRemovedFiles || racerRemovedDels
+
+    val schemaStable = attempt.schema == base.schema && cur.schema == base.schema &&
+      attempt.partitionColumns == base.partitionColumns &&
+      cur.partitionColumns == base.partitionColumns
+    if (!schemaStable) return None
+    val isRewrite = removed.nonEmpty || removedDels.nonEmpty
+    if (isRewrite && (racerRewrote || racerAddedDels)) return None
+    if (addedDels.nonEmpty && racerRewrote) return None
+
+    val next = cur.version + 1
+    val addedSet = added.toSet
+    val propRemoved = base.properties.keySet -- attempt.properties.keySet
+    val propChanged = attempt.properties.filter { case (k, v) =>
+      !base.properties.get(k).contains(v)
+    }
+    val newFiles = cur.files.filterNot(removed) ++ added.filterNot(curFiles)
+    // the attempt's own snapshot entry is the one past base's history
+    val snap = attempt.snapshots.drop(base.snapshots.size).lastOption
+      .map(s => s.copy(version = next, totalFiles = newFiles.size))
+    Some(cur.copy(
+      version = next,
+      files = newFiles,
+      fileStats = (cur.fileStats -- removed) ++
+        attempt.fileStats.view.filterKeys(addedSet).toMap,
+      fileRows = (cur.fileRows -- removed) ++
+        attempt.fileRows.view.filterKeys(addedSet).toMap,
+      // explicit seqs the attempt carried for its added files survive
+      // (rollback restores historical seqs this way); commit() fills in
+      // the rest structurally
+      fileSeq = (cur.fileSeq -- removed) ++
+        attempt.fileSeq.view.filterKeys(addedSet).toMap,
+      deleteFiles = cur.deleteFiles.filterNot(removedDels) ++ addedDels,
+      properties = (cur.properties -- propRemoved) ++ propChanged,
+      snapshots = cur.snapshots ++ snap))
+  }
 }

@@ -2,7 +2,7 @@ package graft.catalog
 
 import java.util.OptionalLong
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.functions._
@@ -86,8 +86,14 @@ object TableStats {
         (0L, cols.map(c => c -> encode(0L, 0L, None, None)),
           Seq.empty[(String, String)], Seq.empty[(String, String)])
       else {
-        val df = spark.read.schema(current.schema)
-          .parquet(current.files.map(f => dir.resolve(f).toString): _*)
+        // Apply pending merge-on-read deletes: raw files overcount rows
+        // CBO consumes (every other row-count consumer is guarded the
+        // same way — COUNT pushdown, LIMIT truncation, metadata aggs).
+        val df =
+          if (MergeOnRead.anyApplicable(current, current.files))
+            MergeOnRead.read(spark, dir, current, current.files)
+          else spark.read.schema(current.schema)
+            .parquet(current.files.map(f => dir.resolve(f).toString): _*)
         val isString = cols.map(c =>
           c -> current.schema(c).dataType.isInstanceOf[StringType]).toMap
         val ranged = cols.filter(c => rangeable(current.schema(c).dataType))
@@ -113,7 +119,10 @@ object TableStats {
         }
         // Equi-height histograms (opt-in second pass): boundaries from
         // one approx-percentile agg over every ranged column, then ONE
-        // job per column counting rows + ndv per bin — CBO's range and
+        // job for ALL columns — each row is exploded into (column, bin,
+        // value) tuples and a single (column, bin) aggregation counts
+        // rows + ndv per bin. A per-column loop would run N sequential
+        // jobs, each a full scan, on a wide table. CBO's range and
         // equality selectivities inside skewed domains come from these,
         // where a bare [min, max] assumes uniformity.
         val hists =
@@ -125,31 +134,44 @@ object TableStats {
             if (pctCols.isEmpty) Seq.empty[(String, String)]
             else {
               val pr = df.agg(pctCols.head, pctCols.tail: _*).head()
-              ranged.flatMap { c =>
+              val bounded = ranged.flatMap { c =>
                 if (pr.isNullAt(pr.fieldIndex(s"__p_$c"))) None
-                else {
-                  val bounds = pr.getSeq[Double](pr.fieldIndex(s"__p_$c"))
-                  // bin of v = #boundaries strictly below it, capped
+                else Some(c -> pr.getSeq[Double](pr.fieldIndex(s"__p_$c")))
+              }
+              if (bounded.isEmpty) Seq.empty[(String, String)]
+              else {
+                // bin of v = #boundaries strictly below it, capped
+                def binOf(c: String, bounds: Seq[Double]): Column = {
                   val d = col(c).cast(DoubleType)
-                  val binExpr = least(
+                  least(
                     lit(histogramBins - 1),
                     bounds.slice(1, histogramBins)
                       .map(b => when(d > lit(b), 1).otherwise(0))
                       .reduceOption(_ + _).getOrElse(lit(0)))
-                  val perBin = df.filter(col(c).isNotNull)
-                    .groupBy(binExpr.as("__bin"))
-                    .agg(count(lit(1)).as("__rows"),
-                      approx_count_distinct(col(c)).as("__ndv"))
-                    .collect()
-                    .map(row => row.getInt(0) -> (row.getLong(1), row.getLong(2)))
-                    .toMap
-                  val nonNull = perBin.values.map(_._1).sum
+                }
+                // ndv counts the STRING form: the stacked value column
+                // must hold every ranged type losslessly, and a double
+                // cast would merge distinct giant longs
+                val stacked = df.select(explode(array(bounded.map { case (c, bounds) =>
+                  struct(lit(c).as("c"), binOf(c, bounds).as("bin"),
+                    col(c).cast(StringType).as("vs"))
+                }: _*)).as("e"))
+                  .select(col("e.c"), col("e.bin"), col("e.vs"))
+                  .filter(col("vs").isNotNull)
+                val perBin = stacked.groupBy(col("c"), col("bin"))
+                  .agg(count(lit(1)).as("rows"), approx_count_distinct(col("vs")).as("ndv"))
+                  .collect() // bounded: |ranged| × bins rows
+                  .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+                  .toMap
+                bounded.map { case (c, bounds) =>
+                  val mine = perBin.collect { case ((`c`, b), v) => b -> v }
+                  val nonNull = mine.values.map(_._1).sum
                   val height = nonNull.toDouble / histogramBins
                   val bins = (0 until histogramBins).map { i =>
-                    val ndv = perBin.get(i).map(_._2).getOrElse(0L)
+                    val ndv = mine.get(i).map(_._2).getOrElse(0L)
                     s"${bounds(i)},${bounds(i + 1)},$ndv"
                   }
-                  Some(c -> s"$height|${bins.mkString(";")}")
+                  c -> s"$height|${bins.mkString(";")}"
                 }
               }
             }
@@ -172,7 +194,7 @@ object TableStats {
     // longer produce them (e.g. a column gone all-null)
     val cleared = cur.properties --
       cols.map(rangeProp) -- cols.map(histProp)
-    TableMetadata.commit(dir, cur.copy(
+    TableMetadata.commitOrRebase(dir, base = cur, attempt = cur.copy(
       version = cur.version + 1,
       properties = cleared ++
         Map(NumRowsProp -> numRows.toString, VersionProp -> cur.version.toString) ++

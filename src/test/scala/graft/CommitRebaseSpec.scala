@@ -1,0 +1,188 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.{DeleteFile, Maintenance, MergeOnRead, Snapshot, TableMetadata}
+
+/** Optimistic commit rebase ([[TableMetadata.commitOrRebase]]): the
+  * multi-writer story. Deterministic interleaves are staged at the
+  * metadata level (compute an attempt against a base, let a racer
+  * commit, then publish); the threaded tests drive the public API under
+  * real contention. */
+class CommitRebaseSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tableDir(ns: String, t: String) = Paths.get(TestSpark.warehouse, ns, t)
+
+  /** A lakehouse table with three append commits of 100 rows each,
+    * disjoint k ranges. Returns its directory. */
+  private def mkTable(name: String): java.nio.file.Path = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.race_ns")
+    spark.sql(s"CREATE TABLE lakehouse.race_ns.$name (k INT, v STRING)")
+    (0 until 3).foreach { c =>
+      (0 until 100).map(i => (c * 100 + i, s"v$c-$i")).toDF("k", "v")
+        .createOrReplaceTempView(s"rb_src_$name")
+      spark.sql(s"INSERT INTO lakehouse.race_ns.$name SELECT * FROM rb_src_$name")
+    }
+    tableDir("race_ns", name)
+  }
+
+  test("interleaved appends: the loser rebases and both files land") {
+    val dir = mkTable("a1")
+    val base = TableMetadata.load(dir)
+    // writer A commits first
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-racer/p0.parquet",
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "append", 1, base.files.size + 1)))
+    // writer B computed against the SAME base: must rebase, not fail
+    val committed = TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-loser/p0.parquet",
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "append", 1, base.files.size + 1)))
+    committed.version shouldBe base.version + 2
+    committed.files should contain allOf ("data/x-racer/p0.parquet", "data/x-loser/p0.parquet")
+    base.files.foreach(f => committed.files should contain(f))
+    // the rebased snapshot entry carries the new version and total
+    committed.snapshots.last.version shouldBe base.version + 2
+    committed.snapshots.last.totalFiles shouldBe base.files.size + 2
+    TableMetadata.load(dir).files should contain theSameElementsAs committed.files
+    spark.sql("DROP TABLE lakehouse.race_ns.a1")
+  }
+
+  test("rewrite rebases onto a concurrent append; racing rewrites fail clean") {
+    val dir = mkTable("r1")
+    val base = TableMetadata.load(dir)
+    val (f1, rest) = (base.files.head, base.files.tail)
+    // racer appends
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-app/p0.parquet",
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "append", 1, base.files.size + 1)))
+    // compact-shaped attempt computed against base: replaces f1 with c1
+    val committed = TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+      version = base.version + 1,
+      files = rest :+ "data/x-rw/c1.parquet",
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "rewrite", 1, base.files.size)))
+    committed.files should contain theSameElementsAs
+      (rest ++ Seq("data/x-app/p0.parquet", "data/x-rw/c1.parquet"))
+
+    // a second rewrite still computed against the ORIGINAL base races
+    // the first rewrite: both touch files — must fail, not lose updates
+    val e = intercept[IllegalStateException] {
+      TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+        version = base.version + 1,
+        files = rest :+ "data/x-rw2/c2.parquet",
+        snapshots = base.snapshots :+
+          Snapshot(base.version + 1, 3L, "rewrite", 1, base.files.size)))
+    }
+    e.getMessage should include("do not commute")
+    spark.sql("DROP TABLE lakehouse.race_ns.r1")
+  }
+
+  test("rebased delete entry keeps its sequence: racer's appended rows stay live") {
+    val dir = mkTable("d1")
+    val base = TableMetadata.load(dir)
+    // racer appends a file (gets seq = base.version + 1 structurally)
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-app/p0.parquet",
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "append", 1, base.files.size + 1)))
+    // mor-delete attempt computed against base: entry seq = base.version + 1
+    val entry = DeleteFile("deletes/x/k.parquet", Seq("k"), base.version + 1, 5L)
+    val committed = TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+      version = base.version + 1,
+      deleteFiles = base.deleteFiles :+ entry,
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "mor-delete", 0, base.files.size)))
+    committed.version shouldBe base.version + 2
+    committed.deleteFiles.map(_.seq) should contain(base.version + 1) // PRESERVED
+    // applies to every base file (seq <= base.version), never the racer's
+    base.files.foreach { f =>
+      MergeOnRead.applicable(committed, f) should not be empty
+    }
+    MergeOnRead.applicable(committed, "data/x-app/p0.parquet") shouldBe empty
+    spark.sql("DROP TABLE lakehouse.race_ns.d1")
+  }
+
+  test("property-only commit rebases; schema change racing anything does not") {
+    val dir = mkTable("p1")
+    val base = TableMetadata.load(dir)
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-app/p0.parquet",
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "append", 1, base.files.size + 1)))
+    val committed = TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+      version = base.version + 1,
+      properties = base.properties + ("graft.stats.numRows" -> "300"),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "analyze", 0, base.files.size)))
+    committed.properties("graft.stats.numRows") shouldBe "300"
+    committed.files should contain("data/x-app/p0.parquet") // racer kept
+
+    // schema evolution never auto-rebases
+    val cur = TableMetadata.load(dir)
+    TableMetadata.commit(dir, cur.copy(
+      version = cur.version + 1,
+      snapshots = cur.snapshots :+ Snapshot(cur.version + 1, 3L, "append", 0, cur.files.size)))
+    val e = intercept[IllegalStateException] {
+      TableMetadata.commitOrRebase(dir, base = cur, attempt = cur.copy(
+        version = cur.version + 1,
+        schema = org.apache.spark.sql.types.StructType(cur.schema.fields :+
+          org.apache.spark.sql.types.StructField("extra", org.apache.spark.sql.types.IntegerType)),
+        snapshots = cur.snapshots :+ Snapshot(cur.version + 1, 4L, "alter", 0, cur.files.size)))
+    }
+    e.getMessage should include("commit conflict")
+    spark.sql("DROP TABLE lakehouse.race_ns.p1")
+  }
+
+  test("concurrent mor-deletes all succeed under real contention") {
+    mkTable("t1")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        MergeOnRead.morDelete(spark, "lakehouse", Seq("race_ns"), "t1",
+          (w * 10 until w * 10 + 5).toDF("k"))
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds) shouldBe Seq(5L, 5L, 5L, 5L)
+    spark.table("lakehouse.race_ns.t1").count() shouldBe 280
+    spark.sql("SELECT * FROM lakehouse.race_ns.t1.delete_files").count() shouldBe 4
+    spark.sql("DROP TABLE lakehouse.race_ns.t1")
+  }
+
+  test("compact racing an append: both succeed, nothing lost") {
+    mkTable("c1")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appender = Future {
+      (0 until 3).foreach { i =>
+        Seq((900 + i, s"late-$i")).toDF("k", "v").createOrReplaceTempView(s"rb_app_$i")
+        spark.sql(s"INSERT INTO lakehouse.race_ns.c1 SELECT * FROM rb_app_$i")
+      }
+    }
+    val compactor = Future {
+      Maintenance.compact(spark, "lakehouse", Seq("race_ns"), "c1", targetFiles = 1)
+    }
+    Await.result(Future.sequence(Seq(appender.map(_ => ()), compactor.map(_ => ()))),
+      120.seconds)
+    // every original and every late row present exactly once
+    spark.table("lakehouse.race_ns.c1").count() shouldBe 303
+    spark.table("lakehouse.race_ns.c1").where($"k" >= 900).count() shouldBe 3
+    spark.table("lakehouse.race_ns.c1").select("v").distinct().count() shouldBe 303
+    spark.sql("DROP TABLE lakehouse.race_ns.c1")
+  }
+}

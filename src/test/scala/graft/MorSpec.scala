@@ -337,6 +337,38 @@ class MorSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.mor_ns.sqlmor")
   }
 
+  test("zero-match merge-on-read DELETE is a clean no-op, not a crash") {
+    // Regression: the zero-match cleanup used to delete only *.parquet
+    // from the staging dir then Files.deleteIfExists the dir itself,
+    // which still held the committer's _SUCCESS/.crc artifacts →
+    // DirectoryNotEmptyException on an ordinary no-op DELETE.
+    val t = "lakehouse.mor_ns.mz"
+    threeCommits(t)
+
+    // direct: an empty key frame commits nothing and returns 0
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "mz",
+      Seq.empty[Int].toDF("k")) shouldBe 0
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 0
+    spark.table(t).count() shouldBe 300
+
+    // SQL path: per-column ranges overlap (k=50 inside file 0, v
+    // between its min/max) but the joint match is empty, so candidates
+    // survive stats pruning and the key scan yields zero rows
+    spark.sql("ALTER TABLE lakehouse.mor_ns.mz SET TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read')")
+    val v = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+    spark.sql(s"DELETE FROM $t WHERE k = 50 AND v = 'v0-5x'")
+    spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0) shouldBe v
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 0
+    spark.table(t).count() shouldBe 300
+
+    // no staging leftovers under deletes/
+    val dir = tableDir("mz").resolve("deletes")
+    (!java.nio.file.Files.isDirectory(dir) ||
+      !java.nio.file.Files.list(dir).iterator().hasNext) shouldBe true
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("plan shape: broadcast anti-join, pushdown and pruning reach the dirty branch") {
     val t = "lakehouse.mor_ns.mplan"
     threeCommits(t)

@@ -291,6 +291,43 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("streams survive a metadata-only entry-drop commit (dead-delete materialization)") {
+    // A mor-delete whose keys match no file publishes an entry that
+    // stats prove dead everywhere; materialize_deletes then drops it in
+    // a METADATA-ONLY commit (no file, no row changed). The stream
+    // guard used to fail on ANY delete-entry-set change, killing every
+    // running stream over the table for a no-op commit.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.edrop (a BIGINT, b STRING)")
+    Seq((1L, "x"), (2L, "y")).toDF("a", "b").createOrReplaceTempView("edrop_src")
+    spark.sql("INSERT INTO lakehouse.stream_ns.edrop SELECT * FROM edrop_src")
+    // dead entry: key far outside every file's range
+    graft.catalog.MergeOnRead.morDelete(spark, "lakehouse", Seq("stream_ns"), "edrop",
+      Seq(99999L).toDF("a"))
+    val startV = spark.sql("SELECT MAX(version) FROM lakehouse.stream_ns.edrop.history")
+      .collect()(0).getInt(0)
+
+    val q = spark.readStream
+      .option("startingVersion", startV.toString)
+      .table("lakehouse.stream_ns.edrop")
+      .writeStream.format("memory").queryName("edrop_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("edrop-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the entry-drop commit (returns 0: no file rewritten)
+      graft.catalog.MergeOnRead.materializeDeletes(
+        spark, "lakehouse", Seq("stream_ns"), "edrop") shouldBe 0
+      spark.sql("INSERT INTO lakehouse.stream_ns.edrop SELECT a + 10, b FROM edrop_src")
+      q.processAllAvailable() // must NOT throw on the entry-drop commit
+      spark.table("edrop_out").count() shouldBe 2 // the post-drop append only
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.edrop")
+    }
+  }
+
   test("transactionalAppend skips replayed batches: exactly-once under re-execution") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
     spark.sql("CREATE TABLE lakehouse.stream_ns.txn_t (a BIGINT, b STRING)")

@@ -52,6 +52,72 @@ class TableStatsSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.stats_ns.t")
   }
 
+  test("histogram pass job count does not grow with the column count") {
+    // the old shape ran one groupBy-collect JOB PER RANGED COLUMN — on
+    // a wide table that is N sequential full scans; the stacked shape
+    // is one job for all columns
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stats_ns")
+    def mk(name: String, intCols: Int): Unit = {
+      val cols = (1 to intCols).map(i => s"k$i INT").mkString(", ")
+      spark.sql(s"CREATE TABLE lakehouse.stats_ns.$name ($cols)")
+      val src = spark.range(500).selectExpr(
+        (1 to intCols).map(i => s"CAST(id * $i % 97 AS INT) AS k$i"): _*)
+      src.createOrReplaceTempView(s"stats_w_src_$name")
+      spark.sql(s"INSERT INTO lakehouse.stats_ns.$name SELECT * FROM stats_w_src_$name")
+    }
+    mk("narrow", 1)
+    mk("wide", 6)
+    def jobsFor(table: String): Int = {
+      val group = s"analyze-jobs-$table"
+      spark.sparkContext.setJobGroup(group, group)
+      try TableStats.analyze(spark, "lakehouse", Seq("stats_ns"), table, histogramBins = 4)
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val narrowJobs = jobsFor("narrow")
+    val wideJobs = jobsFor("wide")
+    withClue(s"narrow=$narrowJobs wide=$wideJobs: ") {
+      wideJobs shouldBe narrowJobs
+    }
+    // and the wide table's histograms are all present and sane
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("stats_ns"), "wide"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    val cs = TableStats.columnStats(lt.meta.properties, lt.meta.schema)
+    (1 to 6).foreach { i =>
+      val h = cs(s"k$i").histogram().get()
+      h.bins() should have length 4
+      h.height() shouldBe 125.0 +- 1.0
+    }
+    spark.sql("DROP TABLE lakehouse.stats_ns.narrow")
+    spark.sql("DROP TABLE lakehouse.stats_ns.wide")
+  }
+
+  test("analyze counts only live rows while merge-on-read deletes are pending") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stats_ns")
+    spark.sql("CREATE TABLE lakehouse.stats_ns.mor (k INT, v STRING)")
+    (0 until 300).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("stats_mor_src")
+    spark.sql("INSERT INTO lakehouse.stats_ns.mor SELECT * FROM stats_mor_src")
+    graft.catalog.MergeOnRead.morDelete(spark, "lakehouse", Seq("stats_ns"), "mor",
+      (0 until 50).toDF("k"))
+    // raw data files still hold 300 rows; stats must see 250 or CBO
+    // plans against logically-deleted rows
+    spark.sql("CALL lakehouse.system.analyze('stats_ns', 'mor', '')")
+      .collect()(0).getLong(0) shouldBe 250L
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("stats_ns"), "mor"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    TableStats.numRows(lt.meta.properties) shouldBe Some(250L)
+    val cs = TableStats.columnStats(lt.meta.properties, lt.meta.schema)
+    cs("k").distinctCount().getAsLong.toDouble shouldBe 250.0 +- 10.0
+    spark.sql("DROP TABLE lakehouse.stats_ns.mor")
+  }
+
   test("analyze with histogram_bins records min/max and an equi-height histogram") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stats_ns")
     spark.sql("CREATE TABLE lakehouse.stats_ns.h (k INT, v STRING)")
