@@ -29,12 +29,16 @@ object Bench {
     // warm-up and the timed run measures the engine, not the JVM
     // compiler. (Profiled on sf0.1: first run of the heavy dedup/TF-IDF
     // pipelines is 3-5x their steady state purely from JIT.)
-    // Min of two timed runs: a single sample occasionally absorbs a
+    // Min of three timed runs: a single sample occasionally absorbs a
     // full-GC or late-JIT hiccup (observed 0.6s → 7.7s on one query);
-    // the min is the reproducible steady-state cost of the plan.
+    // the min is the reproducible steady-state cost of the plan. (An
+    // apparent two-sample regression in r5 turned out to be a REAL
+    // nondeterministic plan — an AQE build-side race in q29, since
+    // pinned with an explicit broadcast hint — but three samples also
+    // shrink the odds of a double hiccup masquerading as one.)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -520,23 +520,27 @@ object TextOps {
     * size is ≤ B + max_doc_tokens (the straddling doc stays in its
     * starting pack). Deterministic, no driver loop.
     *
-    * The prefix sum is two-level so it parallelizes: a window WITHIN
-    * each doc_id bucket (many parallel partitions) plus a cumsum of the
-    * per-bucket totals joined back as an offset — a global
-    * `Window.orderBy` would serialize the whole corpus through one
-    * task. The bucket-total cumsum itself runs on the driver: at
-    * bucketWidth=100 it is |docs|/100 rows — if that outgrows the
-    * driver, raise bucketWidth or add a super-bucket level; the
-    * distributed work stays per-bucket-parallel either way. */
+    * The prefix sum is THREE-level so it is fully distributed — no
+    * driver-side cumsum, no collect() proportional to the corpus:
+    *  1. a window WITHIN each doc_id bucket (|docs|/100 parallel
+    *     groups of ≤100 docs);
+    *  2. per-bucket totals cumsum'd WITHIN each super-bucket (another
+    *     distributed window, ≤100 buckets per group);
+    *  3. super-bucket totals cumsum'd by one ordered window over
+    *     |docs|/10⁴ rows — the only serial step, 10⁷ tiny rows even at
+    *     10¹¹ docs (add a fourth level before that ever matters).
+    * A single global `Window.orderBy` would instead serialize the whole
+    * corpus through one task. */
   val q38 = Q(
     "q38_pack_sequences",
     (s, d) => {
       val budget = 2048L
-      val bucketWidth = 100L
-      // Materialized once (eager localCheckpoint): both the driver-side
-      // bucket cumsum and the final plan read these 3 narrow columns,
-      // and without the checkpoint each action would re-tokenize the
-      // corpus from the raw text.
+      val bucketWidth = 100L // docs per bucket
+      val superWidth = 100L // buckets per super-bucket
+      // Materialized once (eager localCheckpoint): the offset subplan
+      // and the final join both read these 3 narrow columns, and
+      // without the checkpoint each side would re-tokenize the corpus
+      // from the raw text.
       val toks = tokenized(s, d)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
         .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
@@ -545,14 +549,22 @@ object TextOps {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val bucketTotals = toks.groupBy(col("bucket"))
         .agg(sum(col("n_tokens")).as("btotal"))
-        .orderBy(col("bucket"))
-        .collect()
-      var acc = 0L
-      val offsetRows = bucketTotals.map { r =>
-        val o = acc; acc += r.getLong(1); (r.getLong(0), o)
-      }.toSeq
-      val offsets = s.createDataFrame(offsetRows).toDF("bucket", "offset")
-      toks.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("sb", expr(s"bucket div $superWidth"))
+      val inSuper = Window.partitionBy(col("sb")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val superW = Window.orderBy(col("sb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val superOffsets = bucketTotals.groupBy(col("sb"))
+        .agg(sum(col("btotal")).as("stotal"))
+        .withColumn("soffset", sum(col("stotal")).over(superW) - col("stotal"))
+        .select(col("sb"), col("soffset"))
+      // exclusive prefix of every bucket = super offset + in-super cumsum
+      val offsets = bucketTotals
+        .withColumn("cum_in_sb", sum(col("btotal")).over(inSuper))
+        .join(superOffsets, Seq("sb"))
+        .select(col("bucket"),
+          (col("soffset") + col("cum_in_sb") - col("btotal")).as("offset"))
+      toks.join(offsets, Seq("bucket"))
         .withColumn("prefix",
           col("offset") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
         .withColumn("pack_id", floor(col("prefix") / budget).cast("long"))

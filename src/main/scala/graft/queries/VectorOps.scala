@@ -48,7 +48,16 @@ object VectorOps {
       |   [a.v[i] * b.v[i] for i in range(1, LEN(a.v) + 1)]),
       |   (acc, x) -> acc + x)""".stripMargin
 
-  /** Q29: exact brute-force cosine top-5 for query vectors vec_id < 10. */
+  /** Q29: exact brute-force cosine top-5 for query vectors vec_id < 10.
+    *
+    * The query side carries an EXPLICIT broadcast hint: without it the
+    * non-equi join's build side is chosen by size estimates, and under
+    * AQE whichever shuffle stage materializes first gets an exact size
+    * while the other keeps its static estimate — under load the CORPUS
+    * side can win that race, get broadcast, and serialize the join into
+    * one task (observed as a 3.5× bench swing with identical code; at
+    * 100 TB it would be an OOM). The ≤10-row query side is the only
+    * correct build side at any scale, so it is pinned. */
   val q29 = Q(
     "q29_cosine_topk",
     (s, d) => {
@@ -56,7 +65,7 @@ object VectorOps {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
-      val sims = q.join(c, col("qid") =!= col("nid"))
+      val sims = broadcast(q).join(c, col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
           (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
@@ -143,7 +152,9 @@ object VectorOps {
           col("tbl"), col("sig"))
       val c = sigs.select(col("vec_id").as("nid"), col("embedding").as("nv"),
         col("nrm").as("nn"), col("tbl").as("tbl2"), col("sig").as("sig2"))
-      val cand = q.join(c,
+      // explicit broadcast of the query-signature side (see q29): the
+      // bucket equi-join must probe the corpus, never shuffle it
+      val cand = broadcast(q).join(c,
           col("tbl") === col("tbl2") && col("sig") === col("sig2") && col("qid") =!= col("nid"))
         .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
         .dropDuplicates("qid", "nid")
@@ -169,7 +180,7 @@ object VectorOps {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
       val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
-      val sims = q.join(c, col("qid") =!= col("nid"))
+      val sims = broadcast(q).join(c, col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
           (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
       val top5 = udaf(new graft.functions.TopKAggregator(5))
@@ -219,7 +230,7 @@ object VectorOps {
         .select(col("qid"), col("qv"), col("qn"), col("cell"),
           row_number().over(probeW).as("prnk"))
         .filter(col("prnk") <= nprobe)
-      val cand = probes.join(indexed.select(col("vec_id").as("nid"),
+      val cand = broadcast(probes).join(indexed.select(col("vec_id").as("nid"),
           col("embedding").as("nv"), col("nrm").as("nn"), col("cell")), Seq("cell"))
         .filter(col("qid") =!= col("nid"))
       val sims = cand.select(col("qid"), col("nid"),

@@ -200,6 +200,66 @@ class PlanSpec extends AnyFunSuite with Matchers {
     probeLine.get should include("Filter")
   }
 
+  test("q29 broadcasts the filtered query side with codegen'd dot; corpus never broadcast") {
+    // Pin for the flagship similarity query: the intended plan is a
+    // BroadcastNestedLoopJoin whose BUILD side is the ≤10-row filtered
+    // query set, the corpus streamed, the dot product the native
+    // codegen expression, and top-k a per-qid window. (Root cause of
+    // r5's 3.5× q29 bench swing with identical code: without the
+    // explicit broadcast hint the build side was an AQE race — the
+    // first shuffle stage to materialize got an exact size while the
+    // other kept its static estimate, so under load the CORPUS side
+    // was broadcast and the join serialized into one task. This test
+    // reproduced it deterministically when run after other suites.)
+    val df = graft.queries.VectorOps.q29.run(spark, sf)
+    val plan = executedPlan(df)
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "CartesianProduct"
+    plan.toLowerCase should include("vec_dot")
+    plan should include("Window")
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val descend = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: descend.flatMap(allNodes)
+    }
+    val broadcastSubtrees = allNodes(df.queryExecution.executedPlan).collect {
+      case b: BroadcastExchangeExec => allNodes(b).map(_.simpleString(250)).mkString("\n")
+    }
+    broadcastSubtrees should not be empty
+    // every broadcast build side must carry the vec_id < 10 restriction —
+    // an unfiltered embeddings broadcast is the 100 TB failure mode
+    broadcastSubtrees.foreach(_ should include("10"))
+  }
+
+  test("q38 prefix sum is fully distributed and equals the single-window formulation") {
+    val df = graft.queries.TextOps.q38.run(spark, sf)
+    val plan = executedPlan(df)
+    // the old shape collected per-bucket totals to the driver and fed
+    // them back as a LocalTableScan — scale-fatal at 10^11 docs
+    plan should not include "LocalTableScan"
+    "Window".r.findAllIn(plan).size should be >= 2
+    // equivalence against the naive global-window packing (correct by
+    // construction, serial by construction — test-only)
+    val naive = graft.queries.TextOps.tokenized(spark, sf)
+      .selectExpr("doc_id", "CAST(size(toks) AS LONG) AS n_tokens")
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED " +
+          "PRECEDING AND CURRENT ROW) - n_tokens) / 2048.0) AS LONG) AS pack_id")
+      .groupBy("pack_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum("n_tokens").as("n_tokens"),
+        org.apache.spark.sql.functions.min("doc_id").as("first_doc"),
+        org.apache.spark.sql.functions.max("doc_id").as("last_doc"))
+      .orderBy("pack_id")
+    df.collect() shouldBe naive.collect()
+  }
+
   test("q13b sketches aggregate partially map-side before the shuffle") {
     val plan = executedPlan(Relational.q13b.run(spark, sf))
     plan should include("partial_hll_sketch_agg")
