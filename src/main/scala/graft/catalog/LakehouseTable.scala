@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.functions.{col, input_file_name, lit, not, coalesce}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, not, coalesce, substring_index}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
@@ -520,6 +520,26 @@ class LakehouseTable(
       return
     }
 
+    // Positional merge-on-read (`graft.delete.mode=merge-on-read-
+    // positional`): record the matched rows' (data file, row offset)
+    // pairs instead of key tuples — exact for non-key-addressable rows
+    // without shipping whole-row tuples into the delete file, and still
+    // zero data files rewritten. The offsets come from the scan's
+    // _metadata struct via the merging read's prep hook, so offsets of
+    // already-deleted rows are never re-recorded.
+    if (current.properties.get(LakehouseTable.DeleteModeProp)
+        .contains("merge-on-read-positional")) {
+      val matched = MergeOnRead.read(spark, tableDir, current, candidates, prep = df =>
+          df.withColumn("__graft_pf",
+              substring_index(col("_metadata.file_path"), "/", -3))
+            .withColumn("__graft_pp", col("_metadata.row_index")))
+        .filter(coalesce(cond, lit(false)))
+        .select(col("__graft_pf").as(MergeOnRead.PosFileCol),
+          col("__graft_pp").as(MergeOnRead.PosPosCol))
+      MergeOnRead.morDeletePositionalAt(spark, tableDir, matched)
+      return
+    }
+
     // (2) exact check: which candidate files actually contain matches
     // (file identity via the unique part-file name segment)
     def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
@@ -700,7 +720,9 @@ class LakehouseTable(
 object LakehouseTable {
   /** Table property selecting how SQL DELETE executes: unset/"copy-on-write"
     * rewrites hit files (read-optimal); "merge-on-read" commits an
-    * equality-delete file (write-optimal, see [[MergeOnRead]]). */
+    * equality-delete file; "merge-on-read-positional" commits a
+    * (file, row-offset) positional delete file (both write-optimal,
+    * see [[MergeOnRead]]). */
   val DeleteModeProp = "graft.delete.mode"
 
   /** Table property declaring the row-identity columns (comma-separated)

@@ -872,7 +872,23 @@ object Maintenance {
           val dirty = prev.files.filter(f => MergeOnRead.applicable(probe, f).nonEmpty)
           val deletes =
             if (dirty.isEmpty) empty
-            else {
+            else if (newEntries.head.isPositional) {
+              // positional entries: the deleted rows are the pre-commit
+              // view's rows at the recorded (file, offset) pairs
+              import org.apache.spark.sql.functions.{col, substring_index}
+              val view = MergeOnRead.read(spark, dir, prev, dirty, prep = df =>
+                df.withColumn("__graft_cf",
+                    substring_index(col("_metadata.file_path"), "/", -3))
+                  .withColumn("__graft_cp", col("_metadata.row_index")))
+              val keys = newEntries.map(e =>
+                spark.read.schema(MergeOnRead.posKeySchema)
+                  .parquet(dir.resolve(e.path).toString)).reduce(_ union _)
+              view.join(keys,
+                  view("__graft_cf") === keys(MergeOnRead.PosFileCol) &&
+                    view("__graft_cp") === keys(MergeOnRead.PosPosCol),
+                  "left_semi")
+                .drop("__graft_cf", "__graft_cp")
+            } else {
               val view = readView(prev, dirty)
               val keys = newEntries.map(e =>
                 spark.read.schema(MergeOnRead.keySchema(schema, keyCols))

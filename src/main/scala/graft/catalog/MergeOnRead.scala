@@ -40,19 +40,38 @@ object MergeOnRead {
     * files (the rewritten sub-relations the MorReads rule plants). */
   val PlainReadOption = "graft.mor.plain"
 
+  /** Columns of a positional delete parquet: table-relative data file
+    * path + 0-based row offset within it. */
+  val PosFileCol = "file"
+  val PosPosCol = "pos"
+
+  def posKeySchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(PosFileCol,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(PosPosCol,
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** Delete entries applicable to data file `f`: committed after the
-    * file AND with key ranges overlapping the file's stats on every key
-    * column (disjoint on ANY column proves no tuple can match). */
+    * file AND provably relevant — for equality entries, key ranges
+    * overlapping the file's stats on every key column (disjoint on ANY
+    * column proves no tuple can match); for positional entries, `f`
+    * inside the entry's targeted-path range (the entry names exact
+    * files, so path-range disjointness is proof). */
   def applicable(meta: TableMetadata, f: String): Seq[DeleteFile] =
     meta.deleteFiles.filter { d =>
       d.seq > meta.seqOf(f) && {
-        val stats = meta.fileStats.getOrElse(f, Map.empty)
-        d.keyColumns.forall { k =>
-          (for {
-            fr <- stats.get(k)
-            dr <- d.keyRanges.get(k)
-            dt <- meta.schema.fields.find(_.name == k).map(_.dataType)
-          } yield FileSkipping.rangesMayOverlap(dt, fr, dr)).getOrElse(true)
+        if (d.isPositional)
+          d.keyRanges.get(PosFileCol)
+            .forall(r => !r.hasValues || (r.min <= f && f <= r.max))
+        else {
+          val stats = meta.fileStats.getOrElse(f, Map.empty)
+          d.keyColumns.forall { k =>
+            (for {
+              fr <- stats.get(k)
+              dr <- d.keyRanges.get(k)
+              dt <- meta.schema.fields.find(_.name == k).map(_.dataType)
+            } yield FileSkipping.rangesMayOverlap(dt, fr, dr)).getOrElse(true)
+          }
         }
       }
     }
@@ -78,19 +97,40 @@ object MergeOnRead {
       meta: TableMetadata,
       files: Seq[String],
       prep: DataFrame => DataFrame = identity): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
     def abs(f: String): String = tableDir.resolve(f).toString
     require(files.nonEmpty, "merge-on-read over an empty file list")
     val groups = files.groupBy(f => applicable(meta, f)).toSeq
       .sortBy(_._2.head) // deterministic branch order
     groups.map { case (entries, groupFiles) =>
-      val base = prep(spark.read.schema(meta.schema).parquet(groupFiles.map(abs): _*))
-      entries.sortBy(_.seq).foldLeft(base) { (df, d) =>
-        val keys = spark.read.schema(keySchema(meta.schema, d.keyColumns))
-          .parquet(abs(d.path))
-        val cond = d.keyColumns.map(k => df(k) <=> keys(k)).reduce(_ && _)
-        df.join(keys, cond, "left_anti")
+      val hasPos = entries.exists(_.isPositional)
+      val raw = spark.read.schema(meta.schema).parquet(groupFiles.map(abs): _*)
+      // positional entries match on (table-relative path, row offset):
+      // both come from the scan's _metadata struct, the path relativized
+      // as its last 3 segments (every data file is data/<commit>/<part>)
+      val withPos =
+        if (!hasPos) raw
+        else raw
+          .withColumn("__graft_relfile",
+            substring_index(col("_metadata.file_path"), "/", -3))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+      val base = prep(withPos)
+      val merged = entries.sortBy(_.seq).foldLeft(base) { (df, d) =>
+        if (d.isPositional) {
+          val dels = spark.read.schema(posKeySchema).parquet(abs(d.path))
+          df.join(dels,
+            df("__graft_relfile") === dels(PosFileCol) &&
+              df("__graft_pos") === dels(PosPosCol),
+            "left_anti")
+        } else {
+          val keys = spark.read.schema(keySchema(meta.schema, d.keyColumns))
+            .parquet(abs(d.path))
+          val cond = d.keyColumns.map(k => df(k) <=> keys(k)).reduce(_ && _)
+          df.join(keys, cond, "left_anti")
+        }
       }
-    }.reduce(_ union _)
+      if (hasPos) merged.drop("__graft_relfile", "__graft_pos") else merged
+    }.reduce(_ unionByName _)
   }
 
   /** Equality-delete every row of the table whose key columns match a
@@ -135,6 +175,61 @@ object MergeOnRead {
     commitDelete(spark, lt.tableDir,
       aligned.select(keyColumns.map(aligned.col).toIndexedSeq: _*).distinct(),
       appendData = Some(aligned))
+  }
+
+  /** Positional delete: commit a (file, pos) parquet that removes the
+    * given row offsets — the shape a predicate DELETE (or a row-level
+    * MERGE) produces cheaply when rows are NOT key-addressable: no key
+    * tuple can name them, but (data file, offset) always can, and the
+    * data files still go untouched. `filePos` columns: `file` =
+    * table-relative data file path, `pos` = 0-based row offset.
+    * Returns the number of (file, pos) tuples recorded.
+    *
+    * Conflict handling matches equality deletes (entry seq preserved
+    * across [[TableMetadata.commitOrRebase]]); the entry is EXACT about
+    * which files it targets, so racer-appended files are never touched
+    * and racing rewrites of the targeted files fail the commit. */
+  def morDeletePositionalAt(spark: SparkSession, tableDir: Path, filePos: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val current = TableMetadata.load(tableDir)
+    val next = current.version + 1
+    def abs(f: String): String = tableDir.resolve(f).toString
+    val casted = filePos.select(
+      filePos.col(PosFileCol).cast(StringType).as(PosFileCol),
+      filePos.col(PosPosCol).cast(LongType).as(PosPosCol))
+    val delRel = s"deletes/p$next-${UUID.randomUUID().toString.take(8)}"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // one small sorted file: the read side's anti-join build is one
+    // footer + one broadcast, and the file range prunes clean files
+    casted.coalesce(1).sortWithinPartitions(col(PosFileCol), col(PosPosCol))
+      .write.parquet(tableDir.resolve(delRel).toString)
+    val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$delRel/$n").toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val footers = delFiles.map { f =>
+      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), posKeySchema)
+    }.toMap
+    val tuples = footers.values.map(_.rows).sum
+    if (tuples == 0) {
+      val stagingDir = tableDir.resolve(delRel)
+      if (Files.isDirectory(stagingDir)) {
+        Files.walk(stagingDir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+      return 0
+    }
+    val entries = delFiles.map { f =>
+      DeleteFile(f, Seq(PosFileCol, PosPosCol), next, footers(f).rows, footers(f).cols,
+        kind = DeleteFile.Positional)
+    }
+    TableMetadata.commitOrRebase(tableDir, base = current, attempt = current.copy(
+      version = next,
+      deleteFiles = current.deleteFiles ++ entries,
+      snapshots = current.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), "mor-delete-pos", 0, current.files.size)))
+    tuples
   }
 
   /** Shared commit: write the delete-key parquet (plus optionally the

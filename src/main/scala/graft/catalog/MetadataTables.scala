@@ -86,17 +86,18 @@ object MetadataTables {
         new MetadataTable(s"$identName.files", schema, rows.toArray)
 
       case "delete_files" =>
-        // pending merge-on-read equality-delete entries (Iceberg's
-        // delete_files metadata table analogue)
+        // pending merge-on-read delete entries, equality and positional
+        // (Iceberg's delete_files metadata table analogue)
         val schema = StructType(Seq(
           StructField("file_path", StringType),
           StructField("key_columns", StringType),
           StructField("sequence", IntegerType),
-          StructField("key_rows", LongType)))
+          StructField("key_rows", LongType),
+          StructField("kind", StringType)))
         val rows = log.last.deleteFiles.map { d =>
           new GenericInternalRow(Array[Any](
             utf8(tableDir.resolve(d.path).toString),
-            utf8(d.keyColumns.mkString(",")), d.seq, d.rows))
+            utf8(d.keyColumns.mkString(",")), d.seq, d.rows, utf8(d.kind)))
         }
         new MetadataTable(s"$identName.delete_files", schema, rows.toArray)
     }

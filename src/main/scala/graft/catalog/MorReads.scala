@@ -82,19 +82,32 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
     val groups = meta.files.groupBy(f => MergeOnRead.applicable(meta, f)).toSeq
       .sortBy(_._2.head) // deterministic branch order
     val branches: Seq[LogicalPlan] = groups.map { case (entries, files) =>
-      val sub = subRelation(r, lt, files)
-      entries.sortBy(_.seq).foldLeft(sub: LogicalPlan) { (p, d) =>
-        val keysPlan = spark.read
-          .schema(MergeOnRead.keySchema(meta.schema, d.keyColumns))
-          .parquet(lt.tableDir.resolve(d.path).toString)
+      if (entries.exists(_.isPositional)) {
+        // positional entries match on the scan's _metadata struct (file
+        // path + row_index) — a file-source feature the DSv2 wrapper
+        // does not expose, so this branch is built with the Dataset
+        // API over a plain parquet scan of the SAME file subset
+        // (MergeOnRead.read applies equality and positional entries in
+        // sequence order); pushdown/pruning still reach the file scan
+        MergeOnRead.read(spark, lt.tableDir, meta, files)
+          .select(meta.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
           .queryExecution.analyzed
-        val cond = d.keyColumns.map { k =>
-          val l = p.output.find(a => resolver(a.name, k)).getOrElse(
-            throw new IllegalStateException(s"merge-on-read key column $k missing from scan"))
-          val rk = keysPlan.output.find(a => resolver(a.name, k)).get
-          EqualNullSafe(l, rk): Expression
-        }.reduce(And(_, _))
-        Join(p, keysPlan, LeftAnti, Some(cond), JoinHint.NONE)
+      } else {
+        val sub = subRelation(r, lt, files)
+        entries.sortBy(_.seq).foldLeft(sub: LogicalPlan) { (p, d) =>
+          val keysPlan = spark.read
+            .schema(MergeOnRead.keySchema(meta.schema, d.keyColumns))
+            .parquet(lt.tableDir.resolve(d.path).toString)
+            .queryExecution.analyzed
+          val cond = d.keyColumns.map { k =>
+            val l = p.output.find(a => resolver(a.name, k)).getOrElse(
+              throw new IllegalStateException(s"merge-on-read key column $k missing from scan"))
+            val rk = keysPlan.output.find(a => resolver(a.name, k)).get
+            EqualNullSafe(l, rk): Expression
+          }.reduce(And(_, _))
+          Join(p, keysPlan, LeftAnti, Some(cond), JoinHint.NONE)
+        }
       }
     }
     val merged = if (branches.size == 1) branches.head else Union(branches)

@@ -24,21 +24,41 @@ final case class Snapshot(
     addedFiles: Int,
     totalFiles: Int)
 
-/** A merge-on-read equality-delete file: a small parquet of key tuples
-  * whose matching rows are REMOVED at read time from every data file
-  * committed before it (Iceberg v2 equality deletes — the shape Flink
-  * CDC upserts write because rewriting a 1 GB data file per deleted row
-  * is untenable at 100 TB). `seq` is the commit version that added the
-  * entry: it applies to a data file f iff `seq > fileSeq(f)`, so rows
-  * (re)inserted AFTER the delete are untouched. `keyRanges` (footer
-  * min/max of the key columns) lets the read path prove most data files
-  * CLEAN and stream them join-free. */
+/** A merge-on-read delete file (Iceberg v2's two delete shapes):
+  *
+  *  - `kind = "equality"`: a small parquet of KEY TUPLES whose matching
+  *    rows are removed at read time from every data file committed
+  *    before it (the shape Flink CDC upserts write — rewriting a 1 GB
+  *    data file per deleted row is untenable at 100 TB). `keyColumns`
+  *    name table columns; `keyRanges` (footer min/max of the key
+  *    columns) lets the read path prove most data files CLEAN and
+  *    stream them join-free.
+  *  - `kind = "positional"`: a parquet of (file, pos) pairs — the
+  *    table-relative data file path and the 0-based row offset within
+  *    it (the shape a row-level MERGE/DELETE produces cheaply for
+  *    non-key-addressable rows). `keyColumns` is `Seq("file", "pos")`;
+  *    `keyRanges("file")` holds the min/max TARGETED PATH so untargeted
+  *    files skip the anti-join entirely.
+  *
+  * `seq` is the commit version that added the entry: it applies to a
+  * data file f iff `seq > fileSeq(f)`, so rows (re)inserted AFTER the
+  * delete are untouched (for positional entries this is exact too: the
+  * offsets were scanned from files of the snapshot the entry was
+  * computed against). */
 final case class DeleteFile(
     path: String,
     keyColumns: Seq[String],
     seq: Int,
     rows: Long,
-    keyRanges: Map[String, ColumnRange] = Map.empty)
+    keyRanges: Map[String, ColumnRange] = Map.empty,
+    kind: String = DeleteFile.Equality) {
+  def isPositional: Boolean = kind == DeleteFile.Positional
+}
+
+object DeleteFile {
+  val Equality = "equality"
+  val Positional = "positional"
+}
 
 /** Full table metadata: schema, properties, file list, snapshot log. */
 final case class TableMetadata(
@@ -92,6 +112,7 @@ final case class TableMetadata(
           "keyColumns" -> JArray(d.keyColumns.map(JString(_)).toList),
           "seq" -> JInt(d.seq),
           "rows" -> JLong(d.rows),
+          "kind" -> JString(d.kind),
           "keyRanges" -> JObject(d.keyRanges.toList.sortBy(_._1).map { case (c, r) =>
             c -> rangeJson(r)
           }))
@@ -156,7 +177,9 @@ object TableMetadata {
             rows = long(d("rows")),
             keyRanges = d.get("keyRanges").collect { case kr: JObject =>
               kr.obj.map { case (c, r) => c -> parseRange(r) }.toMap
-            }.getOrElse(Map.empty))
+            }.getOrElse(Map.empty),
+            // absent in pre-positional metadata → equality (back-compat)
+            kind = d.get("kind").map(str).getOrElse(DeleteFile.Equality))
         }
       }.getOrElse(Seq.empty),
       snapshots = o("snapshots").asInstanceOf[JArray].arr.map { sv =>

@@ -417,6 +417,84 @@ class MorSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("positional DELETE commits (file, pos) entries; clean files skip the join") {
+    val t = "lakehouse.mor_ns.pos1"
+    threeCommits(t)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read-positional')")
+    val before = files(t)
+
+    // delete by a NON-key-addressable predicate (v is not a key): the
+    // equality shape would have to ship whole-row tuples; positional
+    // records (file, offset) pairs instead
+    spark.sql(s"DELETE FROM $t WHERE k >= 110 AND k < 120")
+    files(t) should contain theSameElementsAs before // zero data files touched
+    val entries = spark.sql(s"SELECT key_columns, kind FROM $t.delete_files").collect()
+    entries should have length 1
+    entries.head.getString(0) shouldBe "file,pos"
+    entries.head.getString(1) shouldBe "positional"
+
+    spark.table(t).count() shouldBe 290
+    spark.table(t).where($"k" === 115).count() shouldBe 0
+    spark.table(t).where($"k" === 109).count() shouldBe 1
+    // only the one targeted file pays the anti-join; the entry's file
+    // range proves the other two clean
+    antiJoins(spark.table(t)) shouldBe 1
+    // filters compose with the merge
+    spark.sql(s"SELECT count(*) FROM $t WHERE k < 150").collect()(0).getLong(0) shouldBe 140
+
+    // rows (re)inserted after the positional delete are untouched even
+    // though their k values repeat deleted ones
+    Seq((115, "reborn")).toDF("k", "v").createOrReplaceTempView("pos_re")
+    spark.sql(s"INSERT INTO $t SELECT * FROM pos_re")
+    spark.table(t).where($"k" === 115).collect().map(_.getString(1)) shouldBe Array("reborn")
+
+    // zero-match DELETE publishes nothing (and does not crash)
+    val v = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+    spark.sql(s"DELETE FROM $t WHERE k = 77777")
+    spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0) shouldBe v
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("positional and equality entries compose; materialization folds both in") {
+    val t = "lakehouse.mor_ns.pos2"
+    threeCommits(t)
+    // equality delete of commit-0 keys
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "pos2",
+      (0 until 10).toDF("k"))
+    // positional delete of commit-1 rows by predicate
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read-positional')")
+    spark.sql(s"DELETE FROM $t WHERE v = 'v1-50'")
+    spark.table(t).count() shouldBe 289
+    spark.table(t).where($"k" === 5).count() shouldBe 0
+    spark.table(t).where($"v" === "v1-50").count() shouldBe 0
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 2
+
+    // a positional delete over rows ALREADY equality-deleted records
+    // nothing new (the merging read never re-sees them)
+    val v = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+    spark.sql(s"DELETE FROM $t WHERE k = 5")
+    spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0) shouldBe v
+
+    // time travel: the pre-delete snapshot still sees every row
+    val preV = 4 // after threeCommits: create + 3 appends
+    spark.sql(s"SELECT * FROM $t VERSION AS OF $preV").count() shouldBe 300
+
+    // the changelog attributes the positional delete to its commit
+    val posV = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+    val cdc = Maintenance.changelogBetween(
+      spark, "lakehouse", Seq("mor_ns"), "pos2", posV - 1, posV).collect()
+    cdc.map(r => (r.getString(1), r.getString(2))) shouldBe Array(("v1-50", "delete"))
+
+    // materialization rewrites only the two dirty files and clears both
+    MergeOnRead.materializeDeletes(spark, "lakehouse", Seq("mor_ns"), "pos2") shouldBe 2
+    spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 0
+    spark.table(t).count() shouldBe 289
+    antiJoins(spark.table(t)) shouldBe 0
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata round-trip: fileSeq and deleteFiles survive the JSON log") {
     val t = "lakehouse.mor_ns.m15"
     threeCommits(t)
