@@ -86,6 +86,156 @@ object VectorIndex {
     cents
   }
 
+  // ---- incremental maintenance -------------------------------------------
+  //
+  // The quantizer is part of the index: centroids, training error, and
+  // the covered source version persist as index-table properties, so a
+  // later refresh can (a) assign cells to ONLY the appended vectors
+  // with the stored centroids — one pass over the delta, old index
+  // files untouched — and (b) detect distribution drift (new vectors
+  // quantizing much worse than the training sample) and re-train only
+  // then. Same contract as MaterializedView.refresh over
+  // Maintenance.changesBetween.
+
+  val SourceProp = "graft.ivf.source"
+  val VersionProp = "graft.ivf.sourceVersion"
+  val CentroidsProp = "graft.ivf.centroids"
+  val TrainErrProp = "graft.ivf.trainErr"
+  val KProp = "graft.ivf.k"
+  val SampleNProp = "graft.ivf.sampleN"
+  val ItersProp = "graft.ivf.iters"
+
+  private def encodeCents(cents: Array[Array[Double]]): String =
+    cents.map(_.mkString(",")).mkString(";")
+
+  private def decodeCents(s: String): Array[Array[Double]] =
+    s.split(';').map(_.split(',').map(_.toDouble))
+
+  /** Mean squared distance to the nearest centroid — the quantization
+    * error the drift check compares. */
+  private def meanErr(sample: Array[Array[Float]], cents: Array[Array[Double]]): Double =
+    if (sample.isEmpty) 0.0
+    else sample.map { v =>
+      cents.map { c =>
+        var dd = 0.0; var i = 0
+        while (i < c.length) { val t = v(i) - c(i); dd += t * t; i += 1 }
+        dd
+      }.min
+    }.sum / sample.length
+
+  private def fq(catalog: String, namespace: Seq[String], name: String): String =
+    (catalog +: namespace :+ name).mkString(".")
+
+  private def lakeTable(
+      spark: SparkSession, catalog: String, namespace: Seq[String],
+      name: String): graft.catalog.LakehouseTable =
+    spark.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(namespace.toArray, name))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+
+  private def sampleOf(df: DataFrame, sampleN: Int): Array[Array[Float]] =
+    df.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  private def setProps(spark: SparkSession, table: String, props: Map[String, String]): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
+      props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")})")
+
+  /** [[build]] against a LAKEHOUSE source table, persisting the
+    * quantizer and covered source version so [[refresh]] can maintain
+    * the index incrementally. */
+  def create(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      sourceTable: String,
+      indexName: String,
+      k: Int = 16,
+      sampleN: Int = 2048,
+      iters: Int = 3): Array[Array[Double]] = {
+    val srcLt = lakeTable(spark, catalog, namespace, sourceTable)
+    val srcVersion = graft.catalog.TableMetadata.load(srcLt.tableDir).version
+    val index = fq(catalog, namespace, indexName)
+    val cents = build(spark, spark.table(fq(catalog, namespace, sourceTable)),
+      index, k, sampleN, iters)
+    val err = meanErr(sampleOf(spark.table(fq(catalog, namespace, sourceTable)), sampleN), cents)
+    setProps(spark, index, Map(
+      SourceProp -> sourceTable,
+      VersionProp -> srcVersion.toString,
+      CentroidsProp -> encodeCents(cents),
+      TrainErrProp -> err.toString,
+      KProp -> k.toString,
+      SampleNProp -> sampleN.toString,
+      ItersProp -> iters.toString))
+    cents
+  }
+
+  /** Fold source appends since the last refresh into the index.
+    * Returns "noop" (already current), "incremental" (delta assigned
+    * with the stored quantizer — old index files untouched), or "full"
+    * (re-trained: non-append source commits, or the delta quantizes
+    * worse than `driftFactor` × the training error). */
+  def refresh(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      indexName: String,
+      driftFactor: Double = 4.0): String = {
+    graft.functions.GraftFunctions.register(spark)
+    val idxLt = lakeTable(spark, catalog, namespace, indexName)
+    val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
+    val sourceTable = props.getOrElse(SourceProp,
+      throw new IllegalArgumentException(s"$indexName is not an IVF index (no $SourceProp)"))
+    val lastVersion = props(VersionProp).toInt
+    val cents = decodeCents(props(CentroidsProp))
+    val trainErr = props(TrainErrProp).toDouble
+    val (k, sampleN, iters) =
+      (props(KProp).toInt, props(SampleNProp).toInt, props(ItersProp).toInt)
+    val index = fq(catalog, namespace, indexName)
+
+    val srcLt = lakeTable(spark, catalog, namespace, sourceTable)
+    val srcVersion = graft.catalog.TableMetadata.load(srcLt.tableDir).version
+    if (srcVersion == lastVersion) return "noop"
+
+    def rebuild(): String = {
+      spark.sql(s"DROP TABLE $index")
+      create(spark, catalog, namespace, sourceTable, indexName, k, sampleN, iters)
+      "full"
+    }
+
+    val delta =
+      try Some(graft.catalog.Maintenance.changesBetween(
+        spark, catalog, namespace, sourceTable, lastVersion, srcVersion))
+      catch {
+        // non-append commits in the window: an added-file delta cannot
+        // represent removals — rebuild from the current snapshot
+        case _: IllegalArgumentException => None
+      }
+    delta match {
+      case None => rebuild()
+      case Some(d) =>
+        val newSample = sampleOf(d, sampleN)
+        if (newSample.nonEmpty &&
+            meanErr(newSample, cents) > driftFactor * math.max(trainErr, 1e-12)) {
+          // the appended vectors quantize much worse than the training
+          // distribution: stale centroids would crowd them into few
+          // cells and probes would lose recall — re-train
+          rebuild()
+        } else {
+          if (newSample.nonEmpty) {
+            d.select(col("vec_id"), col("embedding"),
+                cellOf(col("embedding"), cents).cast("int").as("cell"))
+              .createOrReplaceTempView("ivf_delta")
+            spark.sql(s"INSERT INTO $index SELECT vec_id, embedding, cell FROM ivf_delta")
+          }
+          setProps(spark, index, Map(VersionProp -> srcVersion.toString))
+          "incremental"
+        }
+    }
+  }
+
   /** The `nprobe` cells nearest to a query vector (driver-side: k is
     * small by construction). */
   def probeCells(q: Array[Float], cents: Array[Array[Double]], nprobe: Int): Seq[Int] = {

@@ -232,14 +232,28 @@ object Relational {
     Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"))
 
   // HLL++ differs from DuckDB's sketch — driver records a rows-only check.
+  /** Approx distinct with an ORACLE-CHECKED tolerance: the HLL++
+    * estimate itself cannot hash-match another engine, so the query
+    * emits the exact count plus a Spark-side bound check (estimate
+    * within ±5% — HLL++ default rsd is 0.05) and the oracle expects
+    * the exact count with the bound holding (TRUE). A drifting sketch
+    * implementation now FAILS correctness instead of hiding behind
+    * rows-only smoke. */
   val q13 = Q(
     "q13_approx_distinct",
     (s, d) =>
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (col("approx") >= col("exact_parts") * 0.95 &&
+            col("approx") <= col("exact_parts") * 1.05).as("approx_ok"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+           |       TRUE AS approx_ok
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   // COALESCE sentinels avoid NULL-ordering differences (Spark: NULLS FIRST
   // asc; DuckDB: NULLS LAST) — data itself is NULL-free.
@@ -658,15 +672,37 @@ object Relational {
   /** Sketch-based percentile (KLL/GK-style): rows-only smoke — the
     * sketch differs across engines, accuracy is asserted against exact
     * percentiles in ScalaTest instead. */
+  /** Sketch percentile with an ORACLE-CHECKED rank bound: accuracy
+    * 1000 guarantees the estimate's rank is within ±1/1000, so its
+    * VALUE must lie between the exact interpolated percentiles one
+    * full point either side (monotonicity of value-at-rank). The query
+    * emits the exact percentiles plus Spark-side bound checks; the
+    * oracle expects the exact values with both bounds holding. */
   val q32b = Q(
     "q32b_approx_percentile",
     (s, d) =>
       orders(s, d)
         .groupBy(col("o_orderpriority"))
-        .agg(expr("percentile_approx(o_totalprice, 0.5, 1000)").as("p50_approx"),
-          expr("percentile_approx(o_totalprice, 0.9, 1000)").as("p90_approx"))
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("e50"),
+          expr("percentile(o_totalprice, 0.9)").as("e90"),
+          expr("percentile(o_totalprice, 0.49)").as("lo50"),
+          expr("percentile(o_totalprice, 0.51)").as("hi50"),
+          expr("percentile(o_totalprice, 0.89)").as("lo90"),
+          expr("percentile(o_totalprice, 0.91)").as("hi90"),
+          expr("percentile_approx(o_totalprice, 0.5, 1000)").as("a50"),
+          expr("percentile_approx(o_totalprice, 0.9, 1000)").as("a90"))
+        .select(col("o_orderpriority"),
+          round(col("e50"), 4).as("p50_exact"),
+          round(col("e90"), 4).as("p90_exact"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("p90_ok"))
         .orderBy(col("o_orderpriority")),
-    None)
+    Some("""SELECT o_orderpriority,
+           |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           |       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_exact,
+           |       TRUE AS p50_ok, TRUE AS p90_ok
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
   /** Grouped collection: deterministic via sort + string join (array
     * renderings differ between engines; the joined string doesn't). */

@@ -57,6 +57,55 @@ class VectorIndexSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ann.ivf")
   }
 
+  test("IVF refresh assigns appends incrementally, re-trains only on drift") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
+    spark.sql("CREATE TABLE lakehouse.ann.src (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("ivf_src_emb")
+    spark.sql("INSERT INTO lakehouse.ann.src SELECT vec_id, embedding FROM ivf_src_emb")
+    val srcCount = spark.table("lakehouse.ann.src").count()
+
+    VectorIndex.create(spark, "lakehouse", Seq("ann"), "src", "ivfinc",
+      k = 8, sampleN = 512).length shouldBe 8
+    spark.table("lakehouse.ann.ivfinc").count() shouldBe srcCount
+    def idxFiles(): Set[String] = spark.sql(
+      "SELECT file_path FROM lakehouse.ann.ivfinc.files")
+      .collect().map(_.getString(0)).toSet
+    val before = idxFiles()
+
+    // in-distribution append: copies of the first 10 vectors under new
+    // ids — refresh must assign them with the STORED quantizer and
+    // leave every existing index file untouched
+    spark.sql("INSERT INTO lakehouse.ann.src " +
+      "SELECT vec_id + 100000, embedding FROM ivf_src_emb WHERE vec_id < 10")
+    VectorIndex.refresh(spark, "lakehouse", Seq("ann"), "ivfinc") shouldBe "incremental"
+    spark.table("lakehouse.ann.ivfinc").count() shouldBe srcCount + 10
+    (before -- idxFiles()) shouldBe empty // strictly additive
+    // a copied vector lands in the same cell as its original
+    val cellOf0 = spark.table("lakehouse.ann.ivfinc")
+      .where($"vec_id" === 0L).select($"cell").collect()(0).getInt(0)
+    spark.table("lakehouse.ann.ivfinc")
+      .where($"vec_id" === 100000L).select($"cell").collect()(0).getInt(0) shouldBe cellOf0
+
+    // current → noop
+    VectorIndex.refresh(spark, "lakehouse", Seq("ann"), "ivfinc") shouldBe "noop"
+
+    // out-of-distribution append (vectors scaled 100×): quantization
+    // error explodes past the drift threshold → full re-train
+    spark.sql("INSERT INTO lakehouse.ann.src " +
+      "SELECT vec_id + 200000, transform(embedding, x -> CAST(x * 100.0 AS FLOAT)) " +
+      "FROM ivf_src_emb WHERE vec_id < 10")
+    VectorIndex.refresh(spark, "lakehouse", Seq("ann"), "ivfinc") shouldBe "full"
+    spark.table("lakehouse.ann.ivfinc").count() shouldBe srcCount + 20
+
+    // non-append source commit: a file delta cannot represent removals
+    spark.sql("DELETE FROM lakehouse.ann.src WHERE vec_id = 1")
+    VectorIndex.refresh(spark, "lakehouse", Seq("ann"), "ivfinc") shouldBe "full"
+    spark.table("lakehouse.ann.ivfinc").count() shouldBe srcCount + 19
+
+    spark.sql("DROP TABLE lakehouse.ann.ivfinc")
+    spark.sql("DROP TABLE lakehouse.ann.src")
+  }
+
   test("compact clusterBy enables file skipping on a non-partition column") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
     spark.sql("CREATE TABLE lakehouse.ann.zt (id BIGINT, v BIGINT, payload STRING)")
