@@ -207,6 +207,40 @@ object LakehouseProcedures {
         spark.table(a.getUTF8String(2).toString))
   }
 
+  /** Split a `SET`-style assignment list on top-level commas (commas
+    * inside parens/brackets or single-quoted strings belong to the
+    * expression), each part at its first `=`. */
+  private[catalog] def parseAssignments(
+      s: String): Map[String, org.apache.spark.sql.Column] = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var quoted = false
+    s.foreach {
+      case '\'' => quoted = !quoted; cur += '\''
+      case c @ ('(' | '[') if !quoted => depth += 1; cur += c
+      case c @ (')' | ']') if !quoted => depth -= 1; cur += c
+      case ',' if !quoted && depth == 0 => parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    parts += cur.result()
+    parts.map(_.trim).filter(_.nonEmpty).map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"malformed assignment: $p")
+      p.take(i).trim -> org.apache.spark.sql.functions.expr(p.drop(i + 1).trim)
+    }.toMap
+  }
+
+  private def morUpdateProc(catalogName: String) = new MaintenanceProc("mor_update",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("predicate", StringType), param("assignments", StringType)), "rows", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      MergeOnRead.morUpdateWhere(spark, cat, ns(a), tbl(a),
+        org.apache.spark.sql.functions.expr(a.getUTF8String(2).toString),
+        LakehouseProcedures.parseAssignments(a.getUTF8String(3).toString))
+  }
+
   private def materializeDeletesProc(catalogName: String) =
     new MaintenanceProc("materialize_deletes",
       Array(param("ns", StringType), param("tbl", StringType)), "rewritten", catalogName) {
@@ -241,6 +275,7 @@ object LakehouseProcedures {
     "set_partitioning" -> (setPartitioningProc(_)),
     "overwrite_partitions" -> (overwritePartitionsProc(_)),
     "mor_delete" -> (morDeleteProc(_)),
+    "mor_update" -> (morUpdateProc(_)),
     "materialize_deletes" -> (materializeDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),

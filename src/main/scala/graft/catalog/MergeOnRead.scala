@@ -177,6 +177,112 @@ object MergeOnRead {
       appendData = Some(aligned))
   }
 
+  /** Write-optimal UPDATE (merge-on-read): ONE commit that positionally
+    * deletes every current row matching `cond` and appends its updated
+    * version — no existing data file rewritten, the DML cost is
+    * O(matched rows), not O(files touched × file size). The positional
+    * entry's sequence equals the commit version while the appended
+    * files carry that same sequence, so the entry subtracts exactly
+    * the pre-update rows and never the updates themselves (same
+    * sequencing contract as [[morUpsert]]). Matching runs through the
+    * merging read, so rows already deleted by pending entries are
+    * neither matched nor resurrected. Returns the updated row count. */
+  def morUpdateWhere(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
+    morUpdateWhereAt(spark, lt.tableDir, cond, assignments)
+  }
+
+  /** [[morUpdateWhere]] addressed by table directory. */
+  def morUpdateWhereAt(
+      spark: SparkSession,
+      tableDir: Path,
+      cond: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, substring_index}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val current = TableMetadata.load(tableDir)
+    val schema = current.schema
+    assignments.keys.foreach { k =>
+      require(schema.fieldNames.contains(k), s"no such column: $k (schema: ${
+        schema.fieldNames.mkString(", ")})")
+    }
+    if (current.files.isEmpty) return 0
+    // one scan feeds both halves of the commit (offsets + new rows):
+    // eager checkpoint so the parquet read doesn't run twice
+    val matched = read(spark, tableDir, current, current.files, prep = df =>
+        df.withColumn("__graft_uf",
+            substring_index(col("_metadata.file_path"), "/", -3))
+          .withColumn("__graft_up", col("_metadata.row_index")))
+      .filter(coalesce(cond, lit(false))) // NULL predicate → not updated
+      .localCheckpoint(true)
+    if (matched.isEmpty) return 0
+    val filePos = matched.select(
+      col("__graft_uf").as(PosFileCol), col("__graft_up").as(PosPosCol))
+    val newRows = matched.select(schema.fields.map { f =>
+      assignments.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)
+    }.toIndexedSeq: _*)
+    commitUpdate(spark, tableDir, current, filePos, newRows)
+  }
+
+  /** One snapshot: positional-delete parquet + updated-row data files. */
+  private def commitUpdate(
+      spark: SparkSession,
+      tableDir: Path,
+      current: TableMetadata,
+      filePos: DataFrame,
+      newRows: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val next = current.version + 1
+    def abs(f: String): String = tableDir.resolve(f).toString
+    val conf = spark.sessionState.newHadoopConf()
+    def footersOf(rel: Seq[String], sch: StructType) = rel.map { f =>
+      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
+    }.toMap
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+    val delRel = s"deletes/p$next-${UUID.randomUUID().toString.take(8)}"
+    filePos.coalesce(1).sortWithinPartitions(col(PosFileCol), col(PosPosCol))
+      .write.parquet(tableDir.resolve(delRel).toString)
+    val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$delRel/$n").toSeq.sorted
+    val delFooters = footersOf(delFiles, posKeySchema)
+    val entries = delFiles.map { f =>
+      DeleteFile(f, Seq(PosFileCol, PosPosCol), next, delFooters(f).rows,
+        delFooters(f).cols, kind = DeleteFile.Positional)
+    }
+
+    val dataRel = s"data/c$next-morupd-${UUID.randomUUID().toString.take(8)}"
+    val clustered =
+      if (current.partitionColumns.nonEmpty) {
+        val cols = current.partitionColumns.map(newRows.col)
+        newRows.repartition(cols: _*).sortWithinPartitions(cols: _*)
+      } else newRows
+    clustered.write.parquet(tableDir.resolve(dataRel).toString)
+    val dataFiles = Files.list(tableDir.resolve(dataRel)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$dataRel/$n").toSeq.sorted
+    val dataFooters = footersOf(dataFiles, current.schema)
+    BloomIndex.buildForFiles(spark, tableDir, current.schema, current.properties, dataFiles)
+
+    val allFiles = current.files ++ dataFiles
+    TableMetadata.commitOrRebase(tableDir, base = current, attempt = current.copy(
+      version = next,
+      files = allFiles,
+      fileStats = current.fileStats ++ dataFooters.view.mapValues(_.cols).toMap,
+      fileRows = current.fileRows ++ dataFooters.view.mapValues(_.rows).toMap,
+      deleteFiles = current.deleteFiles ++ entries,
+      snapshots = current.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), "mor-update", dataFiles.size, allFiles.size)))
+    dataFooters.values.map(_.rows).sum
+  }
+
   /** Positional delete: commit a (file, pos) parquet that removes the
     * given row offsets — the shape a predicate DELETE (or a row-level
     * MERGE) produces cheaply when rows are NOT key-addressable: no key

@@ -495,6 +495,66 @@ class MorSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("merge-on-read UPDATE: one commit, no data file rewritten, updates not re-matched") {
+    val t = "lakehouse.mor_ns.upd1"
+    threeCommits(t)
+    val before = files(t)
+    val v0 = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+
+    val n = MergeOnRead.morUpdateWhere(spark, "lakehouse", Seq("mor_ns"), "upd1",
+      $"k" >= 110 && $"k" < 120,
+      Map("v" -> org.apache.spark.sql.functions.concat($"v",
+        org.apache.spark.sql.functions.lit("-upd"))))
+    n shouldBe 10
+
+    // exactly ONE commit; every pre-existing file still referenced;
+    // one appended file; one positional entry
+    spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0) shouldBe v0 + 1
+    (files(t).toSet intersect before.toSet) should have size before.size
+    files(t).size shouldBe before.size + 1
+    val entries = spark.sql(s"SELECT kind FROM $t.delete_files").collect()
+    entries.map(_.getString(0)) shouldBe Array("positional")
+
+    // row count unchanged, updated rows visible, originals gone
+    spark.table(t).count() shouldBe 300
+    spark.table(t).where($"k" === 115).collect().map(_.getString(1)) shouldBe Array("v1-15-upd")
+    spark.table(t).where($"v" === "v1-15").count() shouldBe 0
+    spark.table(t).where($"k" === 50).collect().map(_.getString(1)) shouldBe Array("v0-50")
+
+    // a second UPDATE matches the UPDATED rows (they live in the new
+    // file the entry does not apply to) — no lost updates, no doubling
+    MergeOnRead.morUpdateWhere(spark, "lakehouse", Seq("mor_ns"), "upd1",
+      $"k" === 115,
+      Map("v" -> org.apache.spark.sql.functions.lit("final"))) shouldBe 1
+    spark.table(t).where($"k" === 115).collect().map(_.getString(1)) shouldBe Array("final")
+    spark.table(t).count() shouldBe 300
+
+    // zero-match update is a no-op commit-wise
+    val v1 = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+    MergeOnRead.morUpdateWhere(spark, "lakehouse", Seq("mor_ns"), "upd1",
+      $"k" === 99999, Map("v" -> org.apache.spark.sql.functions.lit("x"))) shouldBe 0
+    spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0) shouldBe v1
+
+    // materialization folds everything back to join-free scans
+    MergeOnRead.materializeDeletes(spark, "lakehouse", Seq("mor_ns"), "upd1")
+    spark.table(t).count() shouldBe 300
+    spark.table(t).where($"k" === 115).collect().map(_.getString(1)) shouldBe Array("final")
+    antiJoins(spark.table(t)) shouldBe 0
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("CALL system.mor_update parses predicate and assignment list") {
+    val t = "lakehouse.mor_ns.upd2"
+    threeCommits(t)
+    spark.sql(s"CALL lakehouse.system.mor_update('mor_ns', 'upd2', " +
+      s"'k IN (5, 6)', 'v = concat(v, ''-x''), k = k + 1000')")
+      .collect()(0).getLong(0) shouldBe 2
+    spark.table(t).where($"k" === 1005).collect().map(_.getString(1)) shouldBe Array("v0-5-x")
+    spark.table(t).where($"k" === 5).count() shouldBe 0
+    spark.table(t).count() shouldBe 300
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("metadata round-trip: fileSeq and deleteFiles survive the JSON log") {
     val t = "lakehouse.mor_ns.m15"
     threeCommits(t)
