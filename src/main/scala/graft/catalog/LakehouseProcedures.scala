@@ -231,6 +231,12 @@ object LakehouseProcedures {
     }.toMap
   }
 
+  private def piiAuditProc(catalogName: String) = new MaintenanceProc("pii_audit",
+    Array(param("ns", StringType), param("tbl", StringType)), "flagged_columns", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      PiiAudit.audit(spark, cat, ns(a), tbl(a)).size.toLong
+  }
+
   private def morUpdateProc(catalogName: String) = new MaintenanceProc("mor_update",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -276,6 +282,7 @@ object LakehouseProcedures {
     "overwrite_partitions" -> (overwritePartitionsProc(_)),
     "mor_delete" -> (morDeleteProc(_)),
     "mor_update" -> (morUpdateProc(_)),
+    "pii_audit" -> (piiAuditProc(_)),
     "materialize_deletes" -> (materializeDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),

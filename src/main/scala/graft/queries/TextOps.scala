@@ -1182,8 +1182,46 @@ object TextOps {
            |FROM ten LEFT JOIN hits ON ten.doc_id = hits.doc_id
            |ORDER BY ten.doc_id""".stripMargin))
 
+  /** PII detection + redaction — the scrub pass a training pipeline
+    * runs before release (emails, phone-shaped digit runs). The corpus
+    * fixture is word-salad with no PII, so the query first builds a
+    * DETERMINISTIC dirty text (same construction in the oracle) and
+    * then exercises the real detector/redactor: counts per kind and a
+    * hash of the redacted output, all row-local and hash-checked.
+    * Patterns stay in the Java-regex ∩ RE2 subset so both engines
+    * match identically. */
+  val q61 = Q(
+    "q61_pii_scrub",
+    (s, d) => {
+      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phonePat = "\\d{3}-\\d{4}"
+      documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("txt"))
+        .select(col("doc_id"),
+          regexp_count(col("txt"), lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count(col("txt"), lit(phonePat)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("txt"), lit(emailPat), lit("<EMAIL>")),
+            lit(phonePat), lit("<PHONE>"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH dirty AS (
+           |  SELECT doc_id, text || ' contact user' || doc_id ||
+           |         '@example.com or 555-' ||
+           |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT)
+           |    AS n_emails,
+           |  CAST(len(regexp_extract_all(txt, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(txt, '[a-z0-9]+@[a-z]+\.[a-z]+',
+           |    '<EMAIL>', 'g'), '\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+           |FROM dirty ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60)
+      q55, q56, q57, q58, q58b, q60, q61)
 }
