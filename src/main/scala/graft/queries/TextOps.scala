@@ -1220,8 +1220,43 @@ object TextOps {
            |    '<EMAIL>', 'g'), '\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
            |FROM dirty ORDER BY doc_id""".stripMargin))
 
+  /** Corpus-LM quality scoring (the CCNet/KenLM-shaped pass): build a
+    * unigram language model FROM the corpus (token counts — one
+    * map-side-combined aggregation), then score every document by its
+    * mean token log-probability. Low scores flag unnatural token
+    * distributions for filtering. Scale shape: the model is a TABLE
+    * joined on token (hash-partitioned both sides), never a driver
+    * structure or an unbounded broadcast; scoring is one join + one
+    * per-doc aggregation. Log/avg rounded to 4 decimals for
+    * cross-engine float parity (the established discipline). */
+  val q62 = Q(
+    "q62_lm_score",
+    (s, d) => {
+      val toks = tokenized(s, d)
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+      val model = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = model.agg(sum(col("cnt")).as("tot"))
+      toks.join(model, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(avg(log(col("cnt").cast(DoubleType) / col("tot").cast(DoubleType))), 4)
+            .as("lm_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |           FROM documents),
+           |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+           |tot AS (SELECT SUM(cnt) AS tot FROM c)
+           |SELECT t.doc_id, COUNT(*) AS n_tokens,
+           |       ROUND(AVG(LN(CAST(c.cnt AS DOUBLE) / CAST(tot.tot AS DOUBLE))), 4)
+           |         AS lm_score
+           |FROM t JOIN c ON t.tok = c.tok CROSS JOIN tot
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60, q61)
+      q55, q56, q57, q58, q58b, q60, q61, q62)
 }

@@ -260,6 +260,14 @@ class PlanSpec extends AnyFunSuite with Matchers {
     df.collect() shouldBe naive.collect()
   }
 
+  test("q62 LM scoring joins the model as a table, no cartesian blowup") {
+    val plan = executedPlan(graft.queries.TextOps.q62.run(spark, sf))
+    // the 1-row total is a broadcast; the token→count model join must
+    // be a real join, never a nested loop over the exploded corpus
+    plan should not include "CartesianProduct"
+    plan should include("HashAggregate")
+  }
+
   test("q13b sketches aggregate partially map-side before the shuffle") {
     val plan = executedPlan(Relational.q13b.run(spark, sf))
     plan should include("partial_hll_sketch_agg")
