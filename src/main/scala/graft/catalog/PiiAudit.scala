@@ -85,6 +85,11 @@ object PiiAudit {
           .filter(_._2.nonEmpty).toMap
       }
 
+    publish(dir, flagged)
+    flagged
+  }
+
+  private def publish(dir: java.nio.file.Path, flagged: Map[String, Seq[String]]): Unit = {
     val encoded = flagged.toSeq.sortBy(_._1)
       .map { case (c, kinds) => s"$c:${kinds.mkString("+")}" }.mkString(",")
     val cur = TableMetadata.load(dir)
@@ -96,6 +101,36 @@ object PiiAudit {
           (if (flagged.nonEmpty) Map(ColumnsProp -> encoded) else Map.empty),
       snapshots = cur.snapshots :+ Snapshot(
         cur.version + 1, System.currentTimeMillis(), "pii-audit", 0, cur.files.size)))
-    flagged
+  }
+
+  /** Create (or replace) a PSEUDONYMIZED view of an audited table:
+    * every column flagged by [[audit]] is replaced with a stable hash
+    * of its value (`md5`) — raw PII never leaves the view, while
+    * equality semantics survive, so joins and dedup keyed on a flagged
+    * column still work against other pseudonymized reads. Unflagged
+    * columns pass through. The view is ordinary lakehouse-view DDL, so
+    * it tracks the table's CURRENT snapshot and survives restarts.
+    * Fails if the table was never audited (a stale or absent verdict
+    * must not silently leak raw values). */
+  def redactedView(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      view: String): Seq[String] = {
+    val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
+    val props = TableMetadata.load(lt.tableDir).properties
+    require(props.contains(HasPiiProp),
+      s"$table has no PII audit verdict: run PiiAudit.audit / CALL system.pii_audit first")
+    val flaggedCols = props.get(ColumnsProp)
+      .map(_.split(',').map(_.split(":", 2)(0)).toSet).getOrElse(Set.empty[String])
+    val fqt = (catalog +: namespace :+ table).mkString(".")
+    val fqv = (catalog +: namespace :+ view).mkString(".")
+    val schema = TableMetadata.load(lt.tableDir).schema
+    val selectList = schema.fieldNames.map { c =>
+      if (flaggedCols.contains(c)) s"md5(CAST(`$c` AS STRING)) AS `$c`" else s"`$c`"
+    }.mkString(", ")
+    spark.sql(s"CREATE OR REPLACE VIEW $fqv AS SELECT $selectList FROM $fqt")
+    flaggedCols.toSeq.sorted
   }
 }

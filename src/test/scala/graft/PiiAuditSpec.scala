@@ -66,6 +66,43 @@ class PiiAuditSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.pii_ns.clean")
   }
 
+  test("redactedView pseudonymizes flagged columns, preserves join keys, refuses unaudited") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.pii_ns")
+    spark.sql("CREATE TABLE lakehouse.pii_ns.rv (id BIGINT, email STRING, note STRING)")
+    (0 until 100).map(i => (i.toLong, s"u$i@mail.net", s"note $i"))
+      .toDF("id", "email", "note").createOrReplaceTempView("pii_rv_src")
+    spark.sql("INSERT INTO lakehouse.pii_ns.rv SELECT * FROM pii_rv_src")
+
+    // unaudited table must refuse — silence would leak raw values
+    val e = intercept[IllegalArgumentException] {
+      PiiAudit.redactedView(spark, "lakehouse", Seq("pii_ns"), "rv", "rv_safe")
+    }
+    e.getMessage should include("audit")
+
+    PiiAudit.audit(spark, "lakehouse", Seq("pii_ns"), "rv")
+    PiiAudit.redactedView(spark, "lakehouse", Seq("pii_ns"), "rv", "rv_safe") shouldBe Seq("email")
+
+    val rows = spark.table("lakehouse.pii_ns.rv_safe").orderBy($"id").collect()
+    rows should have length 100
+    // raw emails never appear; hashes are stable md5
+    rows.map(_.getString(1)) should not contain "u0@mail.net"
+    rows.head.getString(1) shouldBe org.apache.commons.codec.digest.DigestUtils.md5Hex("u0@mail.net")
+    rows.head.getString(2) shouldBe "note 0" // unflagged passes through
+
+    // equality survives pseudonymization: self-join on the hashed key
+    val v = spark.table("lakehouse.pii_ns.rv_safe")
+    v.as("a").join(v.as("b"), $"a.email" === $"b.email").count() shouldBe 100
+
+    // the view tracks the CURRENT snapshot
+    Seq((100L, "new@mail.net", "late")).toDF("id", "email", "note")
+      .createOrReplaceTempView("pii_rv_late")
+    spark.sql("INSERT INTO lakehouse.pii_ns.rv SELECT * FROM pii_rv_late")
+    spark.table("lakehouse.pii_ns.rv_safe").count() shouldBe 101
+
+    spark.sql("DROP VIEW lakehouse.pii_ns.rv_safe")
+    spark.sql("DROP TABLE lakehouse.pii_ns.rv")
+  }
+
   test("CALL system.pii_audit returns the flagged column count") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.pii_ns")
     spark.sql("CREATE TABLE lakehouse.pii_ns.proc_t (id BIGINT, mail STRING)")
