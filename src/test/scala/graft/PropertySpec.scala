@@ -37,6 +37,62 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("commit rebase: any interleaving of commutable writers loses nothing") {
+    import graft.catalog.{DeleteFile, Snapshot, TableMetadata}
+    sealed trait W
+    case class App(i: Int) extends W
+    case class Prop(i: Int) extends W
+    case class Del(i: Int) extends W
+    val writerGen = Gen.listOfN(8, Gen.oneOf(
+      Gen.chooseNum(0, 999).map(App(_)),
+      Gen.chooseNum(0, 999).map(Prop(_)),
+      Gen.chooseNum(0, 999).map(Del(_))))
+    forAll(writerGen, trials = 15) { writers =>
+      val dir = java.nio.file.Files.createTempDirectory("rebase-prop-")
+      val base = TableMetadata(
+        version = 1, name = "p", schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))),
+        partitionColumns = Nil, properties = Map.empty,
+        files = Seq("data/c0/base.parquet"),
+        snapshots = Seq(Snapshot(1, 0L, "create", 1, 1)))
+      TableMetadata.commit(dir, base)
+      // every writer computed its commit against the SAME base; they
+      // publish in sequence and each must rebase over all predecessors
+      writers.zipWithIndex.foreach { case (w, i) =>
+        val attempt = w match {
+          case App(n) => base.copy(version = 2,
+            files = base.files :+ s"data/c$i/f$n.parquet",
+            snapshots = base.snapshots :+ Snapshot(2, i.toLong, "append", 1, 2))
+          case Prop(n) => base.copy(version = 2,
+            properties = base.properties + (s"p$i" -> n.toString),
+            snapshots = base.snapshots :+ Snapshot(2, i.toLong, "props", 0, 1))
+          case Del(n) => base.copy(version = 2,
+            deleteFiles = base.deleteFiles :+
+              DeleteFile(s"deletes/d$i/k$n.parquet", Seq("k"), 2, 1),
+            snapshots = base.snapshots :+ Snapshot(2, i.toLong, "mor-delete", 0, 1))
+        }
+        TableMetadata.commitOrRebase(dir, attempt = attempt, base = base)
+      }
+      val fin = TableMetadata.load(dir)
+      fin.version shouldBe 1 + writers.size
+      // nothing lost: every writer's delta present exactly once
+      writers.zipWithIndex.foreach {
+        case (App(n), i) => fin.files should contain(s"data/c$i/f$n.parquet")
+        case (Prop(n), i) => fin.properties.get(s"p$i") shouldBe Some(n.toString)
+        case (Del(_), i) =>
+          fin.deleteFiles.map(_.path).count(_.startsWith(s"deletes/d$i/")) shouldBe 1
+      }
+      fin.files.size shouldBe 1 + writers.count(_.isInstanceOf[App])
+      // delete entries keep their base-computed sequence (snapshot
+      // isolation): every rebased entry still carries seq = 2
+      fin.deleteFiles.foreach(_.seq shouldBe 2)
+      // history is contiguous and one snapshot per commit
+      fin.snapshots.map(_.version) shouldBe (1 to fin.version)
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("simhash banding finds EVERY hamming-≤3 pair (pigeonhole recall)") {
     val sf = "/root/testdata/sf0.001"
     def pairs(q: graft.queries.Q) =
