@@ -21,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object MetadataTables {
 
   val names: Set[String] =
-    Set("metadata_log_entries", "history", "snapshots", "files", "delete_files")
+    Set("metadata_log_entries", "history", "snapshots", "files", "delete_files",
+      "partitions")
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
   private def micros(ms: Long): Long = ms * 1000L
@@ -84,6 +85,41 @@ object MetadataTables {
             utf8(p.toString), size, current.fileRows.getOrElse(f, -1L)))
         }
         new MetadataTable(s"$identName.files", schema, rows.toArray)
+
+      case "partitions" =>
+        // per-partition file/row/byte counts from METADATA alone
+        // (Iceberg's partitions metadata table analogue): partition
+        // value per file comes from the clustered write's footer range
+        // (min == max on every partition column); files written before
+        // the current spec (partition evolution) or spanning values
+        // render as '*' rather than lie
+        val current = log.last
+        val pcols = current.partitionColumns
+        val schema = StructType(Seq(
+          StructField("partition", StringType),
+          StructField("file_count", IntegerType),
+          StructField("row_count", LongType),
+          StructField("bytes", LongType)))
+        def partOf(f: String): String =
+          if (pcols.isEmpty) "<unpartitioned>"
+          else pcols.map { c =>
+            val v = current.fileStats.get(f).flatMap(_.get(c)) match {
+              case Some(r) if !r.hasValues => "null"
+              case Some(r) if r.min == r.max => r.min
+              case _ => "*"
+            }
+            s"$c=$v"
+          }.mkString("/")
+        val rows = current.files.groupBy(partOf).toSeq.sortBy(_._1).map {
+          case (p, fs) =>
+            val bytes = fs.map { f =>
+              val pth = tableDir.resolve(f)
+              if (java.nio.file.Files.exists(pth)) java.nio.file.Files.size(pth) else 0L
+            }.sum
+            new GenericInternalRow(Array[Any](
+              utf8(p), fs.size, fs.map(f => current.fileRows.getOrElse(f, 0L)).sum, bytes))
+        }
+        new MetadataTable(s"$identName.partitions", schema, rows.toArray)
 
       case "delete_files" =>
         // pending merge-on-read delete entries, equality and positional

@@ -85,6 +85,31 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     all(files.map(_.getAs[Long]("size_bytes"))) should be > 0L
   }
 
+  test("partitions metadata table summarizes per-partition files/rows from metadata") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.blms_cat")
+    spark.sql("CREATE TABLE lakehouse.blms_cat.pmt (k INT, v STRING) PARTITIONED BY (k)")
+    // one commit per partition value → each file provably single-valued
+    Seq(1, 2).foreach { k =>
+      (0 until 10 * k).map(i => (k, s"v$k-$i")).toDF("k", "v")
+        .createOrReplaceTempView("pmt_src")
+      spark.sql("INSERT INTO lakehouse.blms_cat.pmt SELECT * FROM pmt_src")
+    }
+    val rows = spark.sql(
+      "SELECT * FROM lakehouse.blms_cat.pmt.partitions ORDER BY partition").collect()
+    rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))) shouldBe
+      Array(("k=1", 1, 10L), ("k=2", 1, 20L))
+    all(rows.map(_.getAs[Long]("bytes"))) should be > 0L
+
+    // un-partitioned tables report one summary row
+    spark.sql("CREATE TABLE lakehouse.blms_cat.pmt0 (k INT)")
+    spark.range(5).selectExpr("CAST(id AS INT) AS k").createOrReplaceTempView("pmt0_src")
+    spark.sql("INSERT INTO lakehouse.blms_cat.pmt0 SELECT * FROM pmt0_src")
+    val r0 = spark.sql("SELECT * FROM lakehouse.blms_cat.pmt0.partitions").collect()
+    r0.map(r => (r.getString(0), r.getLong(2))) shouldBe Array(("<unpartitioned>", 5L))
+    spark.sql("DROP TABLE lakehouse.blms_cat.pmt")
+    spark.sql("DROP TABLE lakehouse.blms_cat.pmt0")
+  }
+
   test("insert overwrite replaces the snapshot, readers see old files until commit") {
     val tbl = "lakehouse.blms_cat.iceberg_dataset.cars"
     spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM temp_view_car_data")
