@@ -73,6 +73,16 @@ class LakehouseStreamingWrite(
     }
   }
 
+  /** CDC upsert mode: `.option("graft.upsertKeys", "k1,k2")` makes
+    * each micro-batch a merge-on-read upsert — current rows matching
+    * the batch's keys die, the batch's rows live, no data file
+    * rewritten (the Flink-CDC-into-Iceberg shape). Mutually exclusive
+    * with complete/truncate mode. */
+  private val upsertKeys: Option[Seq[String]] =
+    Option(info.options.get("graft.upsertKeys"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val (stagingRel, innerWrite) = pending.getOrElse(
       throw new IllegalStateException(s"commit of epoch $epochId with no pending write"))
@@ -88,8 +98,16 @@ class LakehouseStreamingWrite(
     // an empty epoch in append mode publishes nothing (no metadata
     // churn); in replace mode it must still truncate — publish anyway
     if (newFiles.isEmpty && !replace) return
-    Maintenance.watermarkedPublish(spark, tableDir, newFiles, meta.schema,
-      meta.properties, s"stream-${info.queryId()}", epochId, replace)
+    upsertKeys match {
+      case Some(keys) =>
+        require(!replace,
+          "graft.upsertKeys and complete/truncate output mode are mutually exclusive")
+        Maintenance.watermarkedUpsertPublish(spark, tableDir, newFiles, keys,
+          meta.schema, meta.properties, s"stream-${info.queryId()}", epochId)
+      case None =>
+        Maintenance.watermarkedPublish(spark, tableDir, newFiles, meta.schema,
+          meta.properties, s"stream-${info.queryId()}", epochId, replace)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {

@@ -499,6 +499,93 @@ object Maintenance {
     false // unreachable
   }
 
+  /** [[watermarkedPublish]] in UPSERT mode (the streaming-CDC sink):
+    * one commit that equality-deletes the current rows matching the
+    * batch's key tuples and adds the already-staged batch files — the
+    * [[MergeOnRead.morUpsert]] shape with the data files written once
+    * by the streaming tasks. The entry's sequence equals the staged
+    * files' sequence, so old key versions die and the batch's own rows
+    * live. Exactly-once via the same (txnId, batchId) watermark: a
+    * replayed batch discards its staged files AND its key parquet.
+    * Rows within one batch are appended as-is — reduce to
+    * latest-per-key upstream if the source can repeat keys in a single
+    * batch. */
+  private[catalog] def watermarkedUpsertPublish(
+      spark: SparkSession,
+      dir: Path,
+      newFiles: Seq[String],
+      keyColumns: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      propsForBloom: Map[String, String],
+      txnId: String,
+      batchId: Long): Boolean = {
+    import org.apache.spark.sql.functions.col
+    require(keyColumns.nonEmpty, "upsert publish needs at least one key column")
+    keyColumns.foreach(k => require(schema.fieldNames.contains(k),
+      s"no such upsert key column: $k (schema: ${schema.fieldNames.mkString(", ")})"))
+    val key = s"graft.txn.$txnId"
+    def abs(f: String): String = dir.resolve(f).toString
+    val conf = spark.sessionState.newHadoopConf()
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), schema)
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
+    BloomIndex.buildForFiles(spark, dir, schema, propsForBloom, newFiles)
+
+    // the batch's distinct key tuples, read once from the staged files
+    val kSchema = MergeOnRead.keySchema(schema, keyColumns)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val delRel = s"deletes/u-${UUID.randomUUID().toString.take(12)}"
+    spark.read.schema(schema).parquet(newFiles.map(abs): _*)
+      .select(keyColumns.map(col): _*).distinct()
+      .coalesce(1).write.parquet(dir.resolve(delRel).toString)
+    val delFiles = Files.list(dir.resolve(delRel)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$delRel/$n").toSeq.sorted
+    val delFooters = delFiles.map { f =>
+      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), kSchema)
+    }.toMap
+    def discardStaged(): Unit = {
+      newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      val d = dir.resolve(delRel)
+      if (Files.isDirectory(d)) {
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+
+    val maxAttempts = 10
+    var attempt = 0
+    while (true) {
+      val current = TableMetadata.load(dir)
+      if (current.properties.get(key).exists(_.toLong >= batchId)) {
+        discardStaged()
+        return false
+      }
+      val next = current.version + 1
+      // seq recomputed per attempt: it must equal THIS commit's version
+      // for the entry to cover exactly the pre-batch files
+      val entries = delFiles.map { f =>
+        DeleteFile(f, keyColumns, next, delFooters(f).rows, delFooters(f).cols)
+      }
+      val allFiles = current.files ++ newFiles
+      try {
+        TableMetadata.commit(dir, current.copy(
+          version = next,
+          files = allFiles,
+          fileStats = current.fileStats ++ newStats,
+          fileRows = current.fileRows ++ footers.view.mapValues(_.rows).toMap,
+          deleteFiles = current.deleteFiles ++ entries,
+          properties = current.properties + (key -> batchId.toString),
+          snapshots = current.snapshots :+ Snapshot(
+            next, System.currentTimeMillis(), "mor-upsert", newFiles.size, allFiles.size)))
+        return true
+      } catch {
+        case _: IllegalStateException if attempt < maxAttempts => attempt += 1
+      }
+    }
+    false // unreachable
+  }
+
   // ---- row-level UPDATE / MERGE (copy-on-write) ----------------------------
 
   /** Shared copy-on-write commit: replace `hitFiles` with the rows of

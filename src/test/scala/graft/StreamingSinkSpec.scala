@@ -51,6 +51,51 @@ class StreamingSinkSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ssink.t")
   }
 
+  test("upsert-mode sink: each micro-batch merge-on-read upserts by key, no rewrites") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ssink")
+    spark.sql("CREATE TABLE lakehouse.ssink.cdc (k INT, v STRING)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ssink-ups-ckpt-").toString
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .option("graft.upsertKeys", "k")
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.ssink.cdc")
+    try {
+      in.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      spark.table("lakehouse.ssink.cdc").count() shouldBe 2
+      val filesAfterB1 = spark.sql(
+        "SELECT file_path FROM lakehouse.ssink.cdc.files").collect().map(_.getString(0)).toSet
+
+      // batch 2 REPLACES key 2 and adds key 3 — old version dies, no
+      // data file rewritten
+      in.addData((2, "B"), (3, "c"))
+      q.processAllAvailable()
+      val rows = spark.table("lakehouse.ssink.cdc").orderBy("k")
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      rows shouldBe Array((1, "a"), (2, "B"), (3, "c"))
+      val filesAfterB2 = spark.sql(
+        "SELECT file_path FROM lakehouse.ssink.cdc.files").collect().map(_.getString(0)).toSet
+      (filesAfterB1 -- filesAfterB2) shouldBe empty // strictly additive
+      spark.sql("SELECT * FROM lakehouse.ssink.cdc.delete_files").count() shouldBe 2
+      spark.sql("SELECT operation FROM lakehouse.ssink.cdc.history ORDER BY version")
+        .collect().map(_.getString(0)).count(_ == "mor-upsert") shouldBe 2
+
+      // a key re-inserted in a later batch survives the earlier delete
+      in.addData((1, "A2"))
+      q.processAllAvailable()
+      spark.table("lakehouse.ssink.cdc").where($"k" === 1)
+        .collect().map(_.getString(1)) shouldBe Array("A2")
+      spark.table("lakehouse.ssink.cdc").count() shouldBe 3
+    } finally q.stop()
+    // materialization restores join-free scans with the upserted state
+    graft.catalog.MergeOnRead.materializeDeletes(spark, "lakehouse", Seq("ssink"), "cdc")
+    spark.table("lakehouse.ssink.cdc").count() shouldBe 3
+    spark.sql("DROP TABLE lakehouse.ssink.cdc")
+  }
+
   test("complete-mode aggregation replaces the table each epoch, time-travelable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ssink")
     spark.sql("CREATE TABLE lakehouse.ssink.agg (k INT, n BIGINT)")
