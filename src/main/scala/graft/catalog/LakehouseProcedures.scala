@@ -231,6 +231,14 @@ object LakehouseProcedures {
     }.toMap
   }
 
+  private def autoCompactProc(catalogName: String) = new MaintenanceProc("auto_compact",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("target_file_bytes", LongType)), "rewritten", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.autoCompact(spark, cat, ns(a), tbl(a), a.getLong(2)).toLong
+  }
+
   private def piiAuditProc(catalogName: String) = new MaintenanceProc("pii_audit",
     Array(param("ns", StringType), param("tbl", StringType)), "flagged_columns", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
@@ -283,6 +291,7 @@ object LakehouseProcedures {
     "mor_delete" -> (morDeleteProc(_)),
     "mor_update" -> (morUpdateProc(_)),
     "pii_audit" -> (piiAuditProc(_)),
+    "auto_compact" -> (autoCompactProc(_)),
     "materialize_deletes" -> (materializeDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),

@@ -79,6 +79,36 @@ object Maintenance {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Policy-driven compaction: rewrite only when the layout is
+    * actually fragmented. The decision is METADATA-ONLY (file count +
+    * on-disk sizes, zero data reads): compute the ideal file count for
+    * `targetFileBytes`, and compact to it when the table carries more
+    * than twice that many files, or when pending merge-on-read delete
+    * entries / dropped-column tombstones make a rewrite overdue.
+    * Returns the number of files rewritten, 0 when the table is
+    * healthy — safe to run on a schedule over every table (streaming
+    * sinks produce per-epoch small files; this is their standing
+    * repair without rewriting healthy tables over and over). */
+  def autoCompact(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val current = TableMetadata.load(lt.tableDir)
+    if (current.files.isEmpty) return 0
+    val totalBytes = current.files.map { f =>
+      val p = lt.tableDir.resolve(f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    val idealFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val overdue = current.deleteFiles.nonEmpty ||
+      current.properties.keys.exists(_.startsWith(LakehouseCatalog.TombstonePrefix))
+    if (!overdue && current.files.size <= 2 * idealFiles) return 0
+    compact(spark, catalog, namespace, table, targetFiles = idealFiles)
+  }
+
   def compact(
       spark: SparkSession,
       catalog: String,

@@ -42,6 +42,49 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.m")
   }
 
+  test("autoCompact rewrites only fragmented tables; healthy tables untouched") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.frag (k INT, v STRING)")
+    // 6 tiny commits → 6 small files: fragmented vs any sane target
+    (0 until 6).foreach { c =>
+      Seq((c, s"v$c")).toDF("k", "v").createOrReplaceTempView("frag_src")
+      spark.sql("INSERT INTO lakehouse.maint_ns.frag SELECT * FROM frag_src")
+    }
+    def nFiles = spark.sql("SELECT * FROM lakehouse.maint_ns.frag.files").count()
+    nFiles shouldBe 6
+    val v0 = spark.sql("SELECT MAX(version) FROM lakehouse.maint_ns.frag.history")
+      .collect()(0).getInt(0)
+
+    // with a large target, 6 files collapse into 1
+    graft.catalog.Maintenance.autoCompact(
+      spark, "lakehouse", Seq("maint_ns"), "frag") should be > 0
+    nFiles shouldBe 1
+    spark.table("lakehouse.maint_ns.frag").count() shouldBe 6
+
+    // already healthy: metadata-only decision, NO new commit
+    val v1 = spark.sql("SELECT MAX(version) FROM lakehouse.maint_ns.frag.history")
+      .collect()(0).getInt(0)
+    v1 shouldBe v0 + 1
+    graft.catalog.Maintenance.autoCompact(
+      spark, "lakehouse", Seq("maint_ns"), "frag") shouldBe 0
+    spark.sql("SELECT MAX(version) FROM lakehouse.maint_ns.frag.history")
+      .collect()(0).getInt(0) shouldBe v1
+
+    // pending merge-on-read deletes make the rewrite overdue even when
+    // the file count is at target
+    graft.catalog.MergeOnRead.morDelete(spark, "lakehouse", Seq("maint_ns"), "frag",
+      Seq(3).toDF("k"))
+    graft.catalog.Maintenance.autoCompact(
+      spark, "lakehouse", Seq("maint_ns"), "frag") should be > 0
+    spark.table("lakehouse.maint_ns.frag").count() shouldBe 5
+    spark.sql("SELECT * FROM lakehouse.maint_ns.frag.delete_files").count() shouldBe 0
+
+    // procedure surface
+    spark.sql("CALL lakehouse.system.auto_compact('maint_ns', 'frag', 134217728)")
+      .collect()(0).getLong(0) shouldBe 0L
+    spark.sql("DROP TABLE lakehouse.maint_ns.frag")
+  }
+
   test("dynamic partition overwrite replaces only the touched partitions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
     spark.sql("CREATE TABLE lakehouse.maint_ns.po (day INT, v STRING) PARTITIONED BY (day)")
