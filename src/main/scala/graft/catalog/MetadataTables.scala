@@ -22,7 +22,7 @@ object MetadataTables {
 
   val names: Set[String] =
     Set("metadata_log_entries", "history", "snapshots", "files", "delete_files",
-      "partitions")
+      "partitions", "refs")
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
   private def micros(ms: Long): Long = ms * 1000L
@@ -85,6 +85,27 @@ object MetadataTables {
             utf8(p.toString), size, current.fileRows.getOrElse(f, -1L)))
         }
         new MetadataTable(s"$identName.files", schema, rows.toArray)
+
+      case "refs" =>
+        // named references (Iceberg's refs metadata table analogue):
+        // the current head plus every snapshot tag — the pins
+        // expire_snapshots and vacuum respect
+        val current = log.last
+        val schema = StructType(Seq(
+          StructField("name", StringType),
+          StructField("type", StringType),
+          StructField("version", IntegerType)))
+        val tagRows = current.properties.toSeq
+          .collect { case (k, v) if k.startsWith(Maintenance.TagPrefix) =>
+            (k.stripPrefix(Maintenance.TagPrefix), v.toIntOption.getOrElse(0))
+          }
+          .sortBy(_._1)
+          .map { case (n, v) =>
+            new GenericInternalRow(Array[Any](utf8(n), utf8("tag"), v))
+          }
+        val head = new GenericInternalRow(
+          Array[Any](utf8("main"), utf8("head"), current.version))
+        new MetadataTable(s"$identName.refs", schema, (head +: tagRows).toArray)
 
       case "partitions" =>
         // per-partition file/row/byte counts from METADATA alone

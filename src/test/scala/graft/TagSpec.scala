@@ -46,6 +46,26 @@ class TagSpec extends AnyFunSuite with Matchers {
       spark.sql("SELECT * FROM lakehouse.tags.t VERSION AS OF 2").collect()
   }
 
+  test("refs metadata table lists the head and every tag") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.tags")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.tags.r")
+    spark.sql("CREATE TABLE lakehouse.tags.r (k BIGINT)") // v1
+    (1L to 3L).toDF("k").createOrReplaceTempView("tags_rsrc")
+    spark.sql("INSERT INTO lakehouse.tags.r SELECT * FROM tags_rsrc") // v2
+    spark.sql("CALL lakehouse.system.tag('tags', 'r', 'gold', 2)") // v3
+    spark.sql("CALL lakehouse.system.tag('tags', 'r', 'baseline', 1)") // v4
+
+    val refs = spark.sql("SELECT * FROM lakehouse.tags.r.refs ORDER BY type, name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    refs shouldBe Array(
+      ("main", "head", 4), ("baseline", "tag", 1), ("gold", "tag", 2))
+
+    spark.sql("CALL lakehouse.system.drop_tag('tags', 'r', 'baseline')")
+    spark.sql("SELECT * FROM lakehouse.tags.r.refs WHERE type = 'tag'")
+      .collect().map(_.getString(0)) shouldBe Array("gold")
+    spark.sql("DROP TABLE lakehouse.tags.r")
+  }
+
   test("tagging a missing or expired version fails clearly") {
     val e = intercept[IllegalArgumentException] {
       Maintenance.tag(spark, "lakehouse", Seq("tags"), "t", "nope", 999)
