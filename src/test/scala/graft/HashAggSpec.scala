@@ -10,6 +10,21 @@ class HashAggSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("q13/q32b approx bounds hold at the spec scale factor too") {
+    // the driver checks the bound flags at sf0.01; this pins them at
+    // sf0.001 so a sketch change that drifts at small cardinalities
+    // fails here first
+    val q13 = SparkEntry.queries("q13_approx_distinct")(spark, "/root/testdata/sf0.001")
+      .collect()
+    q13.foreach(_.getAs[Boolean]("approx_ok") shouldBe true)
+    val q32b = SparkEntry.queries("q32b_approx_percentile")(spark, "/root/testdata/sf0.001")
+      .collect()
+    q32b.foreach { r =>
+      r.getAs[Boolean]("p50_ok") shouldBe true
+      r.getAs[Boolean]("p90_ok") shouldBe true
+    }
+  }
+
   test("simhash_agg matches per-bit majority, including negative odd hashes") {
     graft.functions.GraftFunctions.register(spark)
     // includes negative odd hashes: the columnar `srl(h,0) % 2 === 1`
