@@ -495,6 +495,33 @@ class MorSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("positional dirty branch keeps filter pushdown and column pruning") {
+    val t = "lakehouse.mor_ns.pplan"
+    threeCommits(t)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.delete.mode'='merge-on-read-positional')")
+    spark.sql(s"DELETE FROM $t WHERE k >= 110 AND k < 120")
+
+    // the positional branch scans through the v1 parquet path (it needs
+    // _metadata.row_index) — pushdown and pruning must survive there
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val filtered = spark.table(t).where($"k" === 115)
+    filtered.count() shouldBe 0 // deleted
+    val fPlan = planOf(spark.table(t).where($"k" === 5))
+    fPlan should include("PushedFilters")
+    fPlan should include("k")
+
+    val vOnly = spark.table(t).select("v")
+    val vPlan = planOf(vOnly)
+    vOnly.count() shouldBe 290
+    // at least one branch (the clean files) reads v alone
+    vPlan should include("struct<v:string>")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("merge-on-read UPDATE: one commit, no data file rewritten, updates not re-matched") {
     val t = "lakehouse.mor_ns.upd1"
     threeCommits(t)

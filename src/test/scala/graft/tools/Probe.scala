@@ -20,29 +20,17 @@ object Probe {
       println(f"[probe] $name%-28s $dt%8.3fs  ($r)")
       dt
     }
-    // Replicate Bench warm-up exactly.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // q37 stage breakdown (steady state: run everything once untimed)
+    import graft.queries.TextOps
+    (1 to 2).foreach { round =>
+      println(s"[probe] --- round $round ---")
+      time("shingle index")(TextOps.explodedShingles(spark, sfDir).count())
+      time("pairs (prefix+verify)")(
+        TextOps.jaccardPrefixJoin(TextOps.explodedShingles(spark, sfDir), 0.8).count())
+      time("q37 end-to-end")(SparkEntry.queries("q37_dedup_corpus")(spark, sfDir).count())
     }
-    // Scenario A: q29 in isolation (bench protocol: warm-up + min of 2).
-    time("q29 iso warmup")(SparkEntry.queries("q29_cosine_topk")(spark, sfDir).count())
-    val a1 = time("q29 iso t1")(SparkEntry.queries("q29_cosine_topk")(spark, sfDir).count())
-    val a2 = time("q29 iso t2")(SparkEntry.queries("q29_cosine_topk")(spark, sfDir).count())
-    println(f"[probe] q29 ISOLATION min = ${math.min(a1, a2)}%.3f")
-    // Scenario B: replay every query that sorts before q29 (bench order),
-    // then re-measure q29.
-    val before = SparkEntry.queries.toSeq.sortBy(_._1).takeWhile(_._1 != "q29_cosine_topk")
-    before.foreach { case (n, fn) =>
-      try { fn(spark, sfDir).count(); (1 to 2).foreach(_ => fn(spark, sfDir).count()) }
-      catch { case _: Throwable => () }
-    }
-    println(s"[probe] replayed ${before.size} preceding queries")
-    time("q29 seq warmup")(SparkEntry.queries("q29_cosine_topk")(spark, sfDir).count())
-    val b1 = time("q29 seq t1")(SparkEntry.queries("q29_cosine_topk")(spark, sfDir).count())
-    val b2 = time("q29 seq t2")(SparkEntry.queries("q29_cosine_topk")(spark, sfDir).count())
-    println(f"[probe] q29 IN-SEQUENCE min = ${math.min(b1, b2)}%.3f")
     spark.stop()
   }
 }
