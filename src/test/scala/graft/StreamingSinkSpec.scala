@@ -96,6 +96,49 @@ class StreamingSinkSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ssink.cdc")
   }
 
+  test("upsert sink racing batch appends: every commit lands, keys stay latest") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ssink")
+    spark.sql("CREATE TABLE lakehouse.ssink.race (k INT, v STRING)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ssink-race-ckpt-").toString
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .option("graft.upsertKeys", "k")
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.ssink.race")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val batchWriter = Future {
+        (0 until 5).foreach { i =>
+          Seq((1000 + i, s"batch-$i")).toDF("k", "v")
+            .createOrReplaceTempView(s"race_b_$i")
+          spark.sql(s"INSERT INTO lakehouse.ssink.race SELECT * FROM race_b_$i")
+        }
+      }
+      (0 until 5).foreach { i =>
+        in.addData((1, s"s$i"))
+        q.processAllAvailable()
+      }
+      Await.result(batchWriter, 120.seconds)
+      q.processAllAvailable()
+
+      // every batch row landed exactly once; the stream key holds its
+      // LATEST value; nothing lost under contention
+      val rows = spark.table("lakehouse.ssink.race").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toMap
+      rows.keySet shouldBe ((1000 until 1005).toSet + 1)
+      rows(1) shouldBe "s4"
+      (0 until 5).foreach(i => rows(1000 + i) shouldBe s"batch-$i")
+      spark.sql(
+        "SELECT operation FROM lakehouse.ssink.race.history ORDER BY version")
+        .collect().map(_.getString(0)).count(_ == "append") shouldBe 5
+    } finally q.stop()
+    spark.sql("DROP TABLE lakehouse.ssink.race")
+  }
+
   test("complete-mode aggregation replaces the table each epoch, time-travelable") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ssink")
     spark.sql("CREATE TABLE lakehouse.ssink.agg (k INT, n BIGINT)")
