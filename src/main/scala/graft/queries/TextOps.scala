@@ -1255,8 +1255,42 @@ object TextOps {
            |FROM t JOIN c ON t.tok = c.tok CROSS JOIN tot
            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
 
+  /** Vocabulary builder (tokenizer prep): the top-V tokens by corpus
+    * frequency with rank and CUMULATIVE COVERAGE — the curve that
+    * decides a vocab size ("how many types cover 95% of tokens").
+    * Scale shape: counts partially aggregate map-side; top-V is a
+    * TakeOrdered (no full sort shuffle); the coverage window runs over
+    * only the V selected rows. */
+  val q63 = Q(
+    "q63_vocab",
+    (s, d) => {
+      val v = 100
+      val toks = tokenized(s, d).select(explode(col("toks")).as("tok"))
+      val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("tot"))
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      counts.orderBy(col("cnt").desc, col("tok")).limit(v)
+        .crossJoin(broadcast(total))
+        .select(
+          row_number().over(w).as("rank"),
+          col("tok"), col("cnt"),
+          round(sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast(DoubleType) / col("tot").cast(DoubleType), 4)
+            .as("coverage"))
+        .orderBy(col("rank"))
+    },
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+           |tot AS (SELECT SUM(cnt) AS tot FROM c),
+           |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 100)
+           |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank, tok, cnt,
+           |       ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |             / CAST(tot.tot AS DOUBLE), 4) AS coverage
+           |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60, q61, q62)
+      q55, q56, q57, q58, q58b, q60, q61, q62, q63)
 }
