@@ -268,6 +268,12 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("HashAggregate")
   }
 
+  test("q63 vocab top-V plans as TakeOrdered, never a full sort") {
+    val plan = executedPlan(graft.queries.TextOps.q63.run(spark, sf))
+    plan should include("TakeOrderedAndProject")
+    plan should not include "CartesianProduct"
+  }
+
   test("q13b sketches aggregate partially map-side before the shuffle") {
     val plan = executedPlan(Relational.q13b.run(spark, sf))
     plan should include("partial_hll_sketch_agg")
