@@ -36,24 +36,28 @@ object Bench {
     // nondeterministic plan — an AQE build-side race in q29, since
     // pinned with an explicit broadcast hint — but three samples also
     // shrink the odds of a double hiccup masquerading as one.)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sampled = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> samples.min
+      }.sorted
+      name -> samples
     }
+    val results = sampled.map { case (name, ss) => name -> ss.min }
     val total = results.map(_._2).sum
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     def line(qs: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Full-precision per-query timings for the judge (the stdout line is
-    // tail-captured with a bounded window, so it must stay short).
+    // tail-captured with a bounded window, so it must stay short). Each
+    // query records its sorted [min, med, max] samples so a contended
+    // run is self-evident: a plan regression moves the MIN, a noisy
+    // machine spreads min≪max with the min intact.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      results.map { case (k, v) => s""""$k":$v""" }
+      sampled.map { case (k, ss) => s""""$k":{"min":${ss.min},"med":${ss(1)},"max":${ss.max}}""" }
         .mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{""", ",", "}}"))
     // The driver parses the LAST ~2000 chars of stdout for one JSON line;
     // sbt appends its own "[success]" lines after us. Keep the line under

@@ -75,11 +75,20 @@ object TextOps {
   /** Exact jaccard of the candidate pairs `(id1, id2)` against the full
     * exploded (id, h, n) index: expand by id1's shingles, hash-join on
     * (id2, h) so only shared shingles survive, count per pair. Cost is
-    * proportional to |candidates|, not corpus². */
+    * proportional to |candidates|, not corpus².
+    *
+    * Build sides are PINNED, not left to AQE size estimates: the
+    * candidate set (near-dup survivors, bounded) is broadcast; the
+    * expanded-candidate side of the (id2, h) join is the shuffle-hash
+    * build. Left adaptive, whichever stage materializes first under
+    * load wins the build — and a corpus-index broadcast is an OOM at
+    * 100× (the r5 q29 race, recurring in r6's recorded q37/q53
+    * regressions). The corpus index is never broadcast, never the
+    * hash-table side. */
   def verifyJaccard(cand: DataFrame, ex: DataFrame, minJaccard: Double): DataFrame = {
     val a = ex.select(col("doc_id").as("id1"), col("n").as("n1"), col("h"))
     val b = ex.select(col("doc_id").as("id2"), col("n").as("n2"), col("h"))
-    cand.join(a, Seq("id1")).join(b, Seq("id2", "h"))
+    broadcast(cand).join(a, Seq("id1")).hint("shuffle_hash").join(b, Seq("id2", "h"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("shared"), first(col("n1")).as("na"), first(col("n2")).as("nb"))
       .select(col("id1"), col("id2"),
@@ -104,8 +113,13 @@ object TextOps {
     // per-doc prefix = the p = n − ⌈t·n⌉ + 1 globally-rarest shingles,
     // selected by a typed bottom-p aggregate instead of a row_number
     // window: map-side partials cap each doc at p rows, so the exchange
-    // ships prefixes, not the whole inverted index, and no sort runs
-    val prefix = ex.join(freq, Seq("h"))
+    // ships prefixes, not the whole inverted index, and no sort runs.
+    // freq is |distinct shingles| — corpus-scaled, so its join is pinned
+    // shuffle_hash (both sides are already hash-partitioned on h: ex by
+    // the terminal repartition, freq by its groupBy — the join adds zero
+    // exchanges); adaptive would broadcast freq under the 10 MB
+    // threshold at sf0.1 and OOM at 100×
+    val prefix = ex.join(freq.hint("shuffle_hash"), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(call_function("prefix_min_agg", col("df"), col("h"), col("n"), lit(t)).as("ph"),
         first(col("n")).as("n"))
@@ -115,7 +129,11 @@ object TextOps {
     // condition, before the candidate set exists, which keeps the
     // verify stage's |cand| × shingles expansion proportional to
     // plausible pairs only
+    // prefix scales with the corpus (one row per doc per prefix
+    // shingle) — neither side of the self-join may ever be broadcast;
+    // shuffle_hash pins a per-partition hash build with no sort
     val cand = prefix.select(col("doc_id").as("id1"), col("h"), col("n").as("n1"))
+      .hint("shuffle_hash")
       .join(prefix.select(col("doc_id").as("id2"), col("h"), col("n").as("n2")), Seq("h"))
       .filter(col("id1") < col("id2") &&
         col("n2") >= ceil(col("n1") * t) && col("n1") >= ceil(col("n2") * t))
@@ -973,9 +991,17 @@ object TextOps {
       val hashed = documents(s, d)
         .select(col("doc_id"), xxhash64(col("text")).as("ch"))
       val index = hashed.filter(col("doc_id") < 400).select(col("ch")).distinct()
+      // the anti join is pinned shuffle_hash: the historical index is
+      // the CORPUS (adaptive would broadcast it under-threshold at
+      // sf0.1 — an OOM at 100×), and both sides are already
+      // hash-partitioned on ch by their aggregates, so the pinned join
+      // adds zero exchanges where the broadcast plan adds one. The hint
+      // sits on the index side: an anti join can only build its hash
+      // table from the right, and per-partition index slices (unlike a
+      // whole-index broadcast) stay bounded as the corpus grows.
       hashed.filter(col("doc_id") >= 400)
         .groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
-        .join(index, Seq("ch"), "left_anti")
+        .join(index.hint("shuffle_hash"), Seq("ch"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },

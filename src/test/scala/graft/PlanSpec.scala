@@ -279,4 +279,38 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("partial_hll_sketch_agg")
     plan should include("hll_union_agg")
   }
+
+  test("q28b dedup joins are pinned: candidates broadcast, corpus index never") {
+    // Pin for the jaccard dedup family (q28b/q37 share this pipeline):
+    // r6 recorded a 2.7× q37 swing with identical code — the same AQE
+    // build-side race as r5's q29, this time on the under-10MB exploded
+    // shingle index. The pinned plan: the ONLY broadcast is the bounded
+    // candidate-pair set; the freq join, the prefix self-join, and the
+    // (id2, h) verify join are all shuffle-hash with the corpus index
+    // on the streamed/partitioned side. A corpus-index broadcast is an
+    // OOM at 100×.
+    val df = graft.queries.TextOps.q28b.run(spark, sf)
+    val plan = executedPlan(df)
+    plan should not include "SortMergeJoin"
+    "ShuffledHashJoin".r.findAllIn(plan).size should be >= 3
+    "BroadcastExchange".r.findAllIn(plan).size shouldBe 1
+    // the verify join on (id2, h) must build from the expanded
+    // candidates, never the corpus side
+    val verifyJoin = plan.linesIterator.find(_.contains("ShuffledHashJoin [id2"))
+    verifyJoin should be (defined)
+    verifyJoin.get should include("BuildLeft")
+  }
+
+  test("q53 anti join is pinned shuffle-hash: the historical index is never broadcast") {
+    // Same race class: at sf0.1 the dedupe index is under the broadcast
+    // threshold, so adaptive planning broadcasts the CORPUS — fast in a
+    // bench, fatal at 100×. Both sides arrive hash-partitioned on ch
+    // from their aggregates, so the pinned shuffle-hash join adds zero
+    // exchanges.
+    val plan = executedPlan(graft.queries.TextOps.q53.run(spark, sf))
+    plan should not include "BroadcastExchange"
+    val anti = plan.linesIterator.find(_.contains("LeftAnti"))
+    anti should be (defined)
+    anti.get should include("ShuffledHashJoin")
+  }
 }
