@@ -237,7 +237,12 @@ object TableMetadata {
     * swap (`README.md:543-551`). Falls back to move-after-exists-check
     * only on filesystems without hard links.
     */
-  def commit(tableDir: Path, meta: TableMetadata): Unit = {
+  /** Publishes `meta` as the next version. Returns the metadata as
+    * actually written — i.e. with the structural fileSeq assignments
+    * filled in — so callers that keep reasoning about the committed
+    * snapshot (rebase tests, applicability checks) see the same seqs a
+    * reader loading it from disk would. */
+  def commit(tableDir: Path, meta: TableMetadata): TableMetadata = {
     val md = metadataDir(tableDir)
     Files.createDirectories(md)
     val target = versionFile(tableDir, meta.version)
@@ -276,6 +281,7 @@ object TableMetadata {
         throw new IllegalStateException(
           s"commit conflict: version ${meta.version} already exists for ${meta.name}", e)
     } finally Files.deleteIfExists(tmp)
+    sequenced
   }
 
   /** [[commit]] with optimistic rebase — the Iceberg commit loop,
@@ -294,11 +300,16 @@ object TableMetadata {
     *    both land, serialized;
     *  - property-only changes commute with everything (per-key
     *    last-writer-wins; keys the attempt removed stay removed);
-    *  - new equality-delete entries (MoR delete/upsert) commute with
-    *    appends and property changes; entry seqs are PRESERVED, so a
-    *    rebased delete still applies exactly to the data files of the
-    *    snapshot it was computed from and never to rows a racer
-    *    appended concurrently — snapshot isolation, Iceberg's default;
+    *  - new equality-delete entries (MoR delete) commute with appends
+    *    and property changes; entry seqs are PRESERVED, so a rebased
+    *    delete still applies exactly to the data files of the snapshot
+    *    it was computed from and never to rows a racer appended
+    *    concurrently — snapshot isolation, Iceberg's default;
+    *  - UPSERT-shaped commits (new delete entries + new data files, no
+    *    removals) also commute, but their entries are RE-SEQUENCED to
+    *    the rebased commit version: the upsert contract is key
+    *    uniqueness, so the delete must cover concurrently-appended
+    *    rows too (Iceberg's commit-time sequence assignment);
     *  - rewrites (remove+add: compact, COW DML, materialize, rollback)
     *    commute only with appends/property changes: a racing rewrite of
     *    overlapping state is a lost update, and racing delete entries
@@ -319,8 +330,7 @@ object TableMetadata {
     var tries = 0
     while (true) {
       try {
-        commit(tableDir, att)
-        return att
+        return commit(tableDir, att)
       } catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
           tries += 1
@@ -369,6 +379,21 @@ object TableMetadata {
       !base.properties.get(k).contains(v)
     }
     val newFiles = cur.files.filterNot(removed) ++ added.filterNot(curFiles)
+    // Upsert-shaped attempts (new data files AND new delete entries, no
+    // removals) get their delete entries RE-SEQUENCED to the rebased
+    // commit version. The upsert contract is key uniqueness: its delete
+    // must also cover rows a racer appended concurrently, else two
+    // racing upserts of one key both land with neither delete covering
+    // the other's file (each preserved seq <= the racer's file seq) and
+    // the key ends up duplicated. Iceberg assigns sequence numbers at
+    // commit time for exactly this reason. The attempt's own files take
+    // seq = next structurally in commit(), and applicability is strict
+    // (seq > fileSeq), so the re-sequenced entry never deletes the
+    // upsert's own rows. Plain deletes (no appended files) keep their
+    // seq — snapshot isolation: never delete concurrently-appended rows.
+    val isUpsertShaped = added.nonEmpty && addedDels.nonEmpty && !isRewrite
+    val rebasedDels =
+      if (isUpsertShaped) addedDels.map(_.copy(seq = next)) else addedDels
     // the attempt's own snapshot entry is the one past base's history
     val snap = attempt.snapshots.drop(base.snapshots.size).lastOption
       .map(s => s.copy(version = next, totalFiles = newFiles.size))
@@ -384,7 +409,7 @@ object TableMetadata {
       // the rest structurally
       fileSeq = (cur.fileSeq -- removed) ++
         attempt.fileSeq.view.filterKeys(addedSet).toMap,
-      deleteFiles = cur.deleteFiles.filterNot(removedDels) ++ addedDels,
+      deleteFiles = cur.deleteFiles.filterNot(removedDels) ++ rebasedDels,
       properties = (cur.properties -- propRemoved) ++ propChanged,
       snapshots = cur.snapshots ++ snap))
   }

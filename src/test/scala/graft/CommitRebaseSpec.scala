@@ -114,6 +114,55 @@ class CommitRebaseSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.race_ns.d1")
   }
 
+  test("rebased upsert re-sequences its delete entry: racing upserts keep the key unique") {
+    val dir = mkTable("u1")
+    val base = TableMetadata.load(dir)
+    // racer upsert commits first: one data file + its delete entry at seq v+1
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-ups-a/p0.parquet",
+      deleteFiles = base.deleteFiles :+
+        DeleteFile("deletes/x-a/k.parquet", Seq("k"), base.version + 1, 1L),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "mor-upsert", 1, base.files.size + 1)))
+    // loser upsert of the SAME key computed against the same base: were
+    // its entry seq preserved (as plain deletes are), neither delete
+    // would cover the other's appended file and the key would duplicate
+    val committed = TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-ups-b/p0.parquet",
+      deleteFiles = base.deleteFiles :+
+        DeleteFile("deletes/x-b/k.parquet", Seq("k"), base.version + 1, 1L),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "mor-upsert", 1, base.files.size + 1)))
+    committed.version shouldBe base.version + 2
+    val loser = committed.deleteFiles.find(_.path == "deletes/x-b/k.parquet").get
+    loser.seq shouldBe base.version + 2 // RE-SEQUENCED to the rebased commit
+    // covers the racer's concurrently-appended file (key uniqueness)...
+    MergeOnRead.applicable(committed, "data/x-ups-a/p0.parquet") should contain(loser)
+    // ...but never the loser's own appended rows
+    MergeOnRead.applicable(committed, "data/x-ups-b/p0.parquet") should not contain loser
+    spark.sql("DROP TABLE lakehouse.race_ns.u1")
+  }
+
+  test("concurrent upserts of the same key leave exactly one row") {
+    mkTable("u2")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        MergeOnRead.morUpsert(spark, "lakehouse", Seq("race_ns"), "u2",
+          Seq((7, s"writer-$w")).toDF("k", "v"), Seq("k"))
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // whichever writer committed last wins; the key is never duplicated
+    spark.table("lakehouse.race_ns.u2").where($"k" === 7).count() shouldBe 1
+    spark.table("lakehouse.race_ns.u2").count() shouldBe 300
+    spark.sql("DROP TABLE lakehouse.race_ns.u2")
+  }
+
   test("property-only commit rebases; schema change racing anything does not") {
     val dir = mkTable("p1")
     val base = TableMetadata.load(dir)
