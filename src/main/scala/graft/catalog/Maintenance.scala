@@ -576,7 +576,15 @@ object Maintenance {
       f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), kSchema)
     }.toMap
     def discardStaged(): Unit = {
-      newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+      newFiles.foreach { f =>
+        Files.deleteIfExists(dir.resolve(f))
+        val bdir = BloomIndex.bloomsDir(dir)
+        if (Files.isDirectory(bdir)) {
+          Files.list(bdir).iterator().asScala
+            .filter(_.getFileName.toString.startsWith(BloomIndex.sidecarPrefix(f)))
+            .foreach(Files.deleteIfExists(_))
+        }
+      }
       val d = dir.resolve(delRel)
       if (Files.isDirectory(d)) {
         Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -610,7 +618,17 @@ object Maintenance {
             next, System.currentTimeMillis(), "mor-upsert", newFiles.size, allFiles.size)))
         return true
       } catch {
-        case _: IllegalStateException if attempt < maxAttempts => attempt += 1
+        // only a genuine commit race retries (matching commitOrRebase);
+        // any other failure — and exhausted retries — must not leave the
+        // staged data files, delete parquet, and bloom sidecars orphaned
+        // under the table dir: no snapshot references them, so reclaim
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("commit conflict") =>
+          attempt += 1
+          if (attempt > maxAttempts) { discardStaged(); throw e }
+        case e: Throwable =>
+          discardStaged()
+          throw e
       }
     }
     false // unreachable

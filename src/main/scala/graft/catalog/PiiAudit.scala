@@ -61,7 +61,20 @@ object PiiAudit {
             MergeOnRead.read(spark, dir, current, current.files)
           else spark.read.schema(current.schema)
             .parquet(current.files.map(f => dir.resolve(f).toString): _*)
-        val stacked = df.limit(sampleN)
+        // Deterministic spread sample, never a head sample: limit(N)
+        // reads the first rows of the first files, so a table whose
+        // LATE partitions contain the PII gets certified clean — a
+        // governance failure, not a performance nit. Hash-mod sampling
+        // keys on the row's string values, so every file contributes
+        // proportionally wherever it sits in the commit order; the
+        // divisor is sized from metadata row counts to keep ~sampleN
+        // rows (bounded ≤ 2× sampleN, no order bias reintroduced).
+        val totalRows = current.files.map(f => current.fileRows.getOrElse(f, 0L)).sum
+        val denom = math.max(1L, totalRows / math.max(1, sampleN))
+        val sampled =
+          if (denom == 1L) df
+          else df.filter(pmod(xxhash64(strCols.map(col): _*), lit(denom)) === 0L)
+        val stacked = sampled
           .select(explode(array(strCols.map(c =>
             struct(lit(c).as("c"), col(c).as("v"))): _*)).as("e"))
           .select(col("e.c"), col("e.v"))

@@ -186,13 +186,18 @@ object VectorIndex {
     graft.functions.GraftFunctions.register(spark)
     val idxLt = lakeTable(spark, catalog, namespace, indexName)
     val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
-    val sourceTable = props.getOrElse(SourceProp,
-      throw new IllegalArgumentException(s"$indexName is not an IVF index (no $SourceProp)"))
-    val lastVersion = props(VersionProp).toInt
-    val cents = decodeCents(props(CentroidsProp))
-    val trainErr = props(TrainErrProp).toDouble
+    // validate the full IVF contract up front: a table created via the
+    // bare build() path (or any non-index table) gets the descriptive
+    // error, not a NoSuchElementException from a random property read
+    def prop(p: String): String = props.getOrElse(p,
+      throw new IllegalArgumentException(
+        s"$indexName is not an IVF index (no $p — created via build() instead of create()?)"))
+    val sourceTable = prop(SourceProp)
+    val lastVersion = prop(VersionProp).toInt
+    val cents = decodeCents(prop(CentroidsProp))
+    val trainErr = prop(TrainErrProp).toDouble
     val (k, sampleN, iters) =
-      (props(KProp).toInt, props(SampleNProp).toInt, props(ItersProp).toInt)
+      (prop(KProp).toInt, prop(SampleNProp).toInt, prop(ItersProp).toInt)
     val index = fq(catalog, namespace, indexName)
 
     val srcLt = lakeTable(spark, catalog, namespace, sourceTable)
@@ -200,8 +205,20 @@ object VectorIndex {
     if (srcVersion == lastVersion) return "noop"
 
     def rebuild(): String = {
+      // build the replacement under a temp name FIRST: the expensive,
+      // failure-prone work (source scan, k-means, partitioned write)
+      // completes before the live index is touched, and what remains is
+      // two metadata ops. A crash mid-build leaves the live index
+      // intact; a crash between drop and rename leaves the fully-built
+      // replacement on disk under the temp name.
+      val tmpName = indexName + "__rebuild"
+      val tmpFq = fq(catalog, namespace, tmpName)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpFq")
+      create(spark, catalog, namespace, sourceTable, tmpName, k, sampleN, iters)
       spark.sql(s"DROP TABLE $index")
-      create(spark, catalog, namespace, sourceTable, indexName, k, sampleN, iters)
+      // v2 RENAME resolves the target inside the source's catalog — the
+      // target name must be namespace-qualified only
+      spark.sql(s"ALTER TABLE $tmpFq RENAME TO ${(namespace :+ indexName).mkString(".")}")
       "full"
     }
 

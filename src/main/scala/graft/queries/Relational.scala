@@ -234,10 +234,13 @@ object Relational {
   // HLL++ differs from DuckDB's sketch — driver records a rows-only check.
   /** Approx distinct with an ORACLE-CHECKED tolerance: the HLL++
     * estimate itself cannot hash-match another engine, so the query
-    * emits the exact count plus a Spark-side bound check (estimate
-    * within ±5% — HLL++ default rsd is 0.05) and the oracle expects
-    * the exact count with the bound holding (TRUE). A drifting sketch
-    * implementation now FAILS correctness instead of hiding behind
+    * emits the exact count plus a Spark-side bound check and the
+    * oracle expects the exact count with the bound holding (TRUE). The
+    * bound is 3× the sketch's default rsd (0.05 → ±15%): one standard
+    * deviation is a coin flip for a HEALTHY sketch on some group/SF
+    * combination, three is a genuine-drift detector (q32b's rank bound
+    * has the same ~10× safety margin). A drifting sketch
+    * implementation still FAILS correctness instead of hiding behind
     * rows-only smoke. */
   val q13 = Q(
     "q13_approx_distinct",
@@ -248,8 +251,8 @@ object Relational {
           countDistinct(col("l_partkey")).as("exact_parts"),
           approx_count_distinct(col("l_partkey")).as("approx"))
         .select(col("l_returnflag"), col("exact_parts"),
-          (col("approx") >= col("exact_parts") * 0.95 &&
-            col("approx") <= col("exact_parts") * 1.05).as("approx_ok"))
+          (col("approx") >= col("exact_parts") * 0.85 &&
+            col("approx") <= col("exact_parts") * 1.15).as("approx_ok"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
            |       TRUE AS approx_ok

@@ -66,6 +66,29 @@ class PiiAuditSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.pii_ns.clean")
   }
 
+  test("PII living only in the last-committed file is still flagged (no head-sample bias)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.pii_ns")
+    spark.sql("CREATE TABLE lakehouse.pii_ns.tail_t (id BIGINT, contact STRING)")
+    // early commits: far more rows than the sample budget, contact empty
+    (0 until 3).foreach { c =>
+      (0 until 2000).map(i => ((c * 2000 + i).toLong, ""))
+        .toDF("id", "contact").createOrReplaceTempView(s"pii_tail_$c")
+      spark.sql(s"INSERT INTO lakehouse.pii_ns.tail_t SELECT * FROM pii_tail_$c")
+    }
+    // the LAST commit is where the PII lives — a head sample of the
+    // first files would certify the table clean
+    (0 until 200).map(i => ((6000 + i).toLong, s"late$i@leak.io"))
+      .toDF("id", "contact").createOrReplaceTempView("pii_tail_last")
+    spark.sql("INSERT INTO lakehouse.pii_ns.tail_t SELECT * FROM pii_tail_last")
+
+    // sampleN far below the table size forces real sampling
+    val flagged = PiiAudit.audit(spark, "lakehouse", Seq("pii_ns"), "tail_t", sampleN = 500)
+    flagged.keySet shouldBe Set("contact")
+    flagged("contact") should contain("email")
+    props("tail_t")(PiiAudit.HasPiiProp) shouldBe "true"
+    spark.sql("DROP TABLE lakehouse.pii_ns.tail_t")
+  }
+
   test("redactedView pseudonymizes flagged columns, preserves join keys, refuses unaudited") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.pii_ns")
     spark.sql("CREATE TABLE lakehouse.pii_ns.rv (id BIGINT, email STRING, note STRING)")

@@ -106,6 +106,19 @@ class VectorIndexSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ann.src")
   }
 
+  test("refresh on a table without the IVF properties fails with the contract error") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
+    // the bare build() path materializes the table but persists no
+    // quantizer: refresh must say so, not throw NoSuchElementException
+    VectorIndex.build(spark, graft.Tables.embeddings(spark, sfDir),
+      "lakehouse.ann.bare", k = 4, sampleN = 64)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.refresh(spark, "lakehouse", Seq("ann"), "bare")
+    }
+    e.getMessage should include("not an IVF index")
+    spark.sql("DROP TABLE lakehouse.ann.bare")
+  }
+
   test("compact clusterBy enables file skipping on a non-partition column") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
     spark.sql("CREATE TABLE lakehouse.ann.zt (id BIGINT, v BIGINT, payload STRING)")
