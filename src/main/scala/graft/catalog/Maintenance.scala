@@ -562,13 +562,18 @@ object Maintenance {
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, schema, propsForBloom, newFiles)
 
-    // the batch's distinct key tuples, read once from the staged files
+    // the batch's distinct key tuples, read once from the staged files;
+    // the staged footer row count bounds the tuple count, so the write
+    // shape (one sorted file vs range-partitioned fan-out) is decided
+    // without an extra counting job
     val kSchema = MergeOnRead.keySchema(schema, keyColumns)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val delRel = s"deletes/u-${UUID.randomUUID().toString.take(12)}"
-    spark.read.schema(schema).parquet(newFiles.map(abs): _*)
+    val batchKeys = spark.read.schema(schema).parquet(newFiles.map(abs): _*)
       .select(keyColumns.map(col): _*).distinct()
-      .coalesce(1).write.parquet(dir.resolve(delRel).toString)
+    MergeOnRead.shapeDeleteWrite(spark, batchKeys, keyColumns.map(batchKeys.col),
+        footers.values.map(_.rows).sum)
+      .write.parquet(dir.resolve(delRel).toString)
     val delFiles = Files.list(dir.resolve(delRel)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted

@@ -85,6 +85,38 @@ object MergeOnRead {
       schema.fields.find(_.name == k).getOrElse(
         throw new IllegalArgumentException(s"no such column: $k"))))
 
+  /** Tuple ceiling for a single-file delete parquet (runtime-settable
+    * via `graft.mor.maxSingleFileDeleteTuples`). Under it, the delete
+    * writes ONE sorted file — the read side's anti-join build is one
+    * footer and (at these sizes) one broadcast. Past it — a MERGE or
+    * UPDATE matching 10⁹ rows — a single-task write is the scale
+    * killer: the tuples serialize through one executor thread. */
+  private[catalog] def singleFileDeleteMax(spark: SparkSession): Long =
+    spark.conf.getOption("graft.mor.maxSingleFileDeleteTuples")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Shape a delete-tuple write: one sorted file when `n` is under the
+    * single-file ceiling, else ceil(n / ceiling) RANGE-partitioned
+    * sorted files. Range partitioning keeps each resulting entry's
+    * footer key ranges tight and mutually disjoint, so per data file
+    * only the overlapping entries apply (path-range pruning for
+    * positional entries, stats-disjointness for equality entries) and
+    * the read side joins against one commit's entries as a single
+    * union scan — the plan that survives both a 5-row CDC batch and a
+    * 10⁹-row MERGE. */
+  private[catalog] def shapeDeleteWrite(
+      spark: SparkSession,
+      df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      n: Long): DataFrame = {
+    val cap = math.max(1L, singleFileDeleteMax(spark))
+    if (n <= cap) df.coalesce(1).sortWithinPartitions(sortCols: _*)
+    else {
+      val parts = math.min((n + cap - 1) / cap, 10000L).toInt
+      df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+    }
+  }
+
   /** Read a subset of a snapshot's data files with every applicable
     * delete applied — the Dataset-level merge used by maintenance
     * rewrites (compact / COW DML), which would otherwise resurrect
@@ -115,17 +147,27 @@ object MergeOnRead {
             substring_index(col("_metadata.file_path"), "/", -3))
           .withColumn("__graft_pos", col("_metadata.row_index"))
       val base = prep(withPos)
-      val merged = entries.sortBy(_.seq).foldLeft(base) { (df, d) =>
-        if (d.isPositional) {
-          val dels = spark.read.schema(posKeySchema).parquet(abs(d.path))
+      // entries from the same commit with the same shape are one
+      // LOGICAL delete that merely fanned out to several files on
+      // write (shapeDeleteWrite past the single-file ceiling): scan
+      // them together and anti-join ONCE, instead of chaining one join
+      // per file. Anti joins commute, so grouping only changes the
+      // plan; the sort keeps it deterministic.
+      val grouped = entries
+        .groupBy(d => (d.seq, d.kind, d.keyColumns))
+        .toSeq.sortBy { case ((seq, kind, cols), _) => (seq, kind, cols.mkString(",")) }
+      val merged = grouped.foldLeft(base) { case (df, ((_, _, keyCols), es)) =>
+        val paths = es.map(e => abs(e.path))
+        if (es.head.isPositional) {
+          val dels = spark.read.schema(posKeySchema).parquet(paths: _*)
           df.join(dels,
             df("__graft_relfile") === dels(PosFileCol) &&
               df("__graft_pos") === dels(PosPosCol),
             "left_anti")
         } else {
-          val keys = spark.read.schema(keySchema(meta.schema, d.keyColumns))
-            .parquet(abs(d.path))
-          val cond = d.keyColumns.map(k => df(k) <=> keys(k)).reduce(_ && _)
+          val keys = spark.read.schema(keySchema(meta.schema, keyCols))
+            .parquet(paths: _*)
+          val cond = keyCols.map(k => df(k) <=> keys(k)).reduce(_ && _)
           df.join(keys, cond, "left_anti")
         }
       }
@@ -247,7 +289,9 @@ object MergeOnRead {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     val delRel = s"deletes/p$next-${UUID.randomUUID().toString.take(8)}"
-    filePos.coalesce(1).sortWithinPartitions(col(PosFileCol), col(PosPosCol))
+    // filePos derives from the eagerly-checkpointed match set, so the
+    // shaping count re-reads the checkpoint, not the table
+    shapeDeleteWrite(spark, filePos, Seq(col(PosFileCol), col(PosPosCol)), filePos.count())
       .write.parquet(tableDir.resolve(delRel).toString)
     val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
@@ -306,9 +350,12 @@ object MergeOnRead {
       filePos.col(PosPosCol).cast(LongType).as(PosPosCol))
     val delRel = s"deletes/p$next-${UUID.randomUUID().toString.take(8)}"
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    // one small sorted file: the read side's anti-join build is one
-    // footer + one broadcast, and the file range prunes clean files
-    casted.coalesce(1).sortWithinPartitions(col(PosFileCol), col(PosPosCol))
+    // checkpoint so the caller's pipeline runs once (shaping count +
+    // write); sorted file(s) keep the entry path ranges tight so clean
+    // files prune, and a 10⁹-tuple MERGE fans out instead of
+    // serializing through one task
+    val pinned = casted.localCheckpoint(true)
+    shapeDeleteWrite(spark, pinned, Seq(col(PosFileCol), col(PosPosCol)), pinned.count())
       .write.parquet(tableDir.resolve(delRel).toString)
     val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
@@ -369,12 +416,16 @@ object MergeOnRead {
       f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
     }.toMap
 
-    // the delete-key parquet: tiny relative to the data it logically
-    // removes — keep it a single file so every reader's anti-join build
-    // side is one footer + one broadcast
+    // the delete-key parquet: usually tiny relative to the data it
+    // logically removes — one sorted file keeps every reader's
+    // anti-join build side one footer + one broadcast; a key set past
+    // the single-file ceiling fans out to range-sorted files instead
+    // of serializing through one write task
     val delRel = s"deletes/d$next-${UUID.randomUUID().toString.take(8)}"
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    casted.coalesce(1).write.parquet(tableDir.resolve(delRel).toString)
+    val pinnedKeys = casted.localCheckpoint(true)
+    shapeDeleteWrite(spark, pinnedKeys, keyCols.map(pinnedKeys.col), pinnedKeys.count())
+      .write.parquet(tableDir.resolve(delRel).toString)
     val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted

@@ -95,12 +95,18 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
           .queryExecution.analyzed
       } else {
         val sub = subRelation(r, lt, files)
-        entries.sortBy(_.seq).foldLeft(sub: LogicalPlan) { (p, d) =>
+        // same-commit same-key-shape entries are ONE logical delete
+        // that fanned out to several files on write: scan them together
+        // and anti-join once (anti joins commute, so grouping only
+        // changes the plan; the sort keeps it deterministic)
+        val grouped = entries.groupBy(d => (d.seq, d.keyColumns)).toSeq
+          .sortBy { case ((seq, cols), _) => (seq, cols.mkString(",")) }
+        grouped.foldLeft(sub: LogicalPlan) { case (p, ((_, keyCols), es)) =>
           val keysPlan = spark.read
-            .schema(MergeOnRead.keySchema(meta.schema, d.keyColumns))
-            .parquet(lt.tableDir.resolve(d.path).toString)
+            .schema(MergeOnRead.keySchema(meta.schema, keyCols))
+            .parquet(es.map(e => lt.tableDir.resolve(e.path).toString): _*)
             .queryExecution.analyzed
-          val cond = d.keyColumns.map { k =>
+          val cond = keyCols.map { k =>
             val l = p.output.find(a => resolver(a.name, k)).getOrElse(
               throw new IllegalStateException(s"merge-on-read key column $k missing from scan"))
             val rk = keysPlan.output.find(a => resolver(a.name, k)).get

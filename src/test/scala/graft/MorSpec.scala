@@ -456,6 +456,53 @@ class MorSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("delete sets past the single-file ceiling fan out to multi-file entries, same results") {
+    val t = "lakehouse.mor_ns.fan1"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mor_ns")
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING)")
+    // ONE data file, so every fan-out entry applies to the same file
+    // group and the single-union-join claim is observable in the plan
+    spark.range(100).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+      .coalesce(1).createOrReplaceTempView("fan_src")
+    spark.sql(s"INSERT INTO $t SELECT * FROM fan_src")
+    files(t) should have length 1
+    // force the fan-out path at test scale: cap a delete parquet at 10
+    // tuples so a 40-key delete writes range-partitioned files
+    spark.conf.set("graft.mor.maxSingleFileDeleteTuples", "10")
+    try {
+      MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "fan1",
+        (30 until 70).toDF("k")) shouldBe 40
+      val eqEntries = spark.sql(s"SELECT file_path, kind FROM $t.delete_files").collect()
+      eqEntries.length should be >= 2 // fanned out, every file registered
+      eqEntries.foreach(_.getString(1) shouldBe "equality")
+      spark.table(t).count() shouldBe 60
+      spark.table(t).where($"k" >= 30 && $"k" < 70).count() shouldBe 0
+      spark.table(t).where($"k" === 29).count() shouldBe 1
+      // same-commit fan-out entries anti-join ONCE (one union scan of
+      // the entry files), not once per delete file
+      antiJoins(spark.table(t)) shouldBe 1
+
+      // positional fan-out: a non-key-addressable predicate DELETE
+      spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+        "('graft.delete.mode'='merge-on-read-positional')")
+      spark.sql(s"DELETE FROM $t WHERE k >= 70 AND k < 95")
+      val posEntries = spark.sql(
+        s"SELECT file_path FROM $t.delete_files WHERE kind = 'positional'").collect()
+      posEntries.length should be >= 2
+      spark.table(t).count() shouldBe 35
+      spark.table(t).where($"k" === 80).count() shouldBe 0
+      spark.table(t).where($"k" === 95).count() shouldBe 1
+      // one union join per (commit, shape): equality commit + positional commit
+      antiJoins(spark.table(t)) shouldBe 2
+      // materialization folds the multi-file entries in like any other
+      MergeOnRead.materializeDeletes(spark, "lakehouse", Seq("mor_ns"), "fan1")
+      spark.sql(s"SELECT * FROM $t.delete_files").count() shouldBe 0
+      spark.table(t).count() shouldBe 35
+      antiJoins(spark.table(t)) shouldBe 0
+    } finally spark.conf.unset("graft.mor.maxSingleFileDeleteTuples")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("positional and equality entries compose; materialization folds both in") {
     val t = "lakehouse.mor_ns.pos2"
     threeCommits(t)
