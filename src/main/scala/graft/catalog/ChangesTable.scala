@@ -1,0 +1,175 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The `cat.db.tbl.changes` metadata table: the table's row-level
+  * changelog as a STREAMING source (Iceberg changelog scan / Delta CDF,
+  * served as a computed stream instead of stored delta files). Schema =
+  * the base table's columns plus `_change_type` ('insert' | 'delete')
+  * and `_commit_version`.
+  *
+  * Where the plain table stream fails fast on a merge-on-read delete
+  * commit (it cannot retract already-emitted rows — the append-only
+  * contract), a `.changes` stream READS THROUGH it: each micro-batch
+  * covers a window of snapshot versions and emits the window's net
+  * row changes from [[Maintenance.changelogBetweenAt]] — upserts arrive
+  * as delete+insert pairs, compactions cancel to nothing. That makes a
+  * table fed by the CDC upsert sink consumable by a downstream stream
+  * (the two compose instead of the reader dying on the writer's first
+  * delete entry).
+  *
+  * Mechanics: a micro-batch's change rows are a computed multi-join
+  * plan, not a file list, so each planned window is materialized ONCE
+  * to parquet under `metadata/changelog/` and the batch's partitions
+  * are served from those files — deterministic replay across driver
+  * restarts (the same offsets re-read the same staged window; a
+  * half-written window is overwritten), cleaned up as offsets commit.
+  * Cost per batch is proportional to the files the window's commits
+  * touched, never table size.
+  *
+  * Options: `startingVersion` (default 0 = replay the table's whole
+  * retained history as changes), `maxVersionsPerTrigger` (bound the
+  * commits one micro-batch absorbs, as for the plain stream).
+  */
+class ChangesTable(
+    spark: SparkSession,
+    identName: String,
+    tableDir: Path,
+    baseSchema: StructType)
+  extends Table with SupportsRead {
+
+  private val changesSchema = StructType(baseSchema.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", IntegerType, nullable = false)))
+
+  override def name(): String = identName
+  override def schema(): StructType = changesSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = changesSchema
+        override def description(): String = s"GraftChangelogScan $identName"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ChangelogMicroBatchStream(
+            spark, identName, tableDir, changesSchema, checkpointLocation, options)
+      }
+    }
+}
+
+/** Micro-batch stream over the computed changelog; offsets are table
+  * metadata versions, exactly as [[LakehouseMicroBatchStream]]. */
+class ChangelogMicroBatchStream(
+    spark: SparkSession,
+    identName: String,
+    tableDir: Path,
+    changesSchema: StructType,
+    checkpointLocation: String,
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // staging namespace per stream (checkpoint-keyed): two concurrent
+  // streams over one table never share or reap each other's windows
+  private val stagingRoot = tableDir.resolve("metadata").resolve("changelog")
+    .resolve(java.lang.Integer.toHexString(checkpointLocation.hashCode))
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TableMetadata.load(tableDir).version)
+
+  override def initialOffset(): Offset =
+    VersionOffset(Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
+
+  override def latestOffset(): Offset =
+    VersionOffset(availableNowCap.getOrElse(TableMetadata.load(tableDir).version))
+
+  private val maxVersionsPerTrigger: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val start = startOffset.asInstanceOf[VersionOffset].version
+    val cap = availableNowCap.getOrElse(TableMetadata.load(tableDir).version)
+    VersionOffset(maxVersionsPerTrigger match {
+      case Some(m) if m > 0 => math.min(cap, start + m)
+      case _ => cap
+    })
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): Offset =
+    VersionOffset(TableMetadata.load(tableDir).version)
+
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+
+  /** Offsets up to `end` are durable in the checkpoint: their staged
+    * windows can never be replanned — reap them. */
+  override def commit(end: Offset): Unit = {
+    val endV = end.asInstanceOf[VersionOffset].version
+    if (!Files.isDirectory(stagingRoot)) return
+    Files.list(stagingRoot).iterator().asScala
+      .filter { d =>
+        d.getFileName.toString match {
+          case WindowDir(_, to) => to.toInt <= endV
+          case _ => false
+        }
+      }
+      .foreach { d =>
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+  }
+
+  override def stop(): Unit = ()
+
+  private val WindowDir = "w(\\d+)-(\\d+)".r
+
+  private def abs(f: Path): String = f.toString
+
+  /** Materialize the window's changelog once (idempotent: a complete
+    * staging dir is reused verbatim on replay, a half-written one is
+    * overwritten) and return its parquet files. */
+  private def stageWindow(fromV: Int, toV: Int): Seq[Path] = {
+    val dir = stagingRoot.resolve(s"w$fromV-$toV")
+    val success = dir.resolve("_SUCCESS")
+    if (!Files.exists(success)) {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      Maintenance.changelogBetweenAt(spark, tableDir, fromV, toV)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+  }
+
+  private def scanOver(files: Seq[Path]): Scan = {
+    val b = ParquetTable(identName, spark, options, files.map(abs),
+      Some(changesSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    b.pruneColumns(changesSchema)
+    b.build()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fromV = start.asInstanceOf[VersionOffset].version
+    val toV = end.asInstanceOf[VersionOffset].version
+    if (fromV >= toV) return Array.empty
+    val files = stageWindow(fromV, toV)
+    if (files.isEmpty) Array.empty
+    else scanOver(files).toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scanOver(Seq.empty).toBatch.createReaderFactory()
+}

@@ -287,6 +287,14 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       if (TableMetadata.exists(baseDir))
         return MetadataTables.load(ident.name, fullName(baseIdent), baseDir)
     }
+    // cat.ns.tbl.changes — the streaming changelog face of the table
+    if (ident.namespace.nonEmpty && ident.name == "changes") {
+      val baseIdent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val baseDir = tableDir(baseIdent)
+      if (TableMetadata.exists(baseDir))
+        return new ChangesTable(spark, s"${fullName(baseIdent)}.changes", baseDir,
+          TableMetadata.load(baseDir).schema)
+    }
     throw new NoSuchTableException(ident)
   }
 

@@ -114,7 +114,8 @@ class LakehouseMicroBatchStream(
       throw new IllegalStateException(
         s"streaming read of $identName hit non-append commits (${shrinkers.mkString(", ")}) " +
           s"in version window ($fromV, $toV]: an added-file diff cannot represent row-level " +
-          "changes; restart the stream from a later startingVersion or avoid rewrites upstream")
+          "changes; restart the stream from a later startingVersion, avoid rewrites " +
+          s"upstream, or stream the changelog face ($identName.changes) instead")
     // merge-on-read deletes change rows while GROWING the file set: the
     // monotone check above cannot see them, so compare delete entries
     // too. Only ADDED entries retract rows; a commit that merely drops
@@ -134,7 +135,8 @@ class LakehouseMicroBatchStream(
       throw new IllegalStateException(
         s"streaming read of $identName hit merge-on-read delete commits " +
           s"(${morCommits.mkString(", ")}) in version window ($fromV, $toV]: a stream " +
-          "cannot retract already-emitted rows; restart from a later startingVersion")
+          "cannot retract already-emitted rows; restart from a later startingVersion " +
+          s"or stream the changelog face ($identName.changes) for +/- row semantics")
     window.flatMap(_.files).distinct.filterNot(before.contains)
   }
 

@@ -948,10 +948,18 @@ object Maintenance {
       namespace: Seq[String],
       table: String,
       fromVersionExclusive: Int,
+      toVersionInclusive: Int): org.apache.spark.sql.DataFrame =
+    changelogBetweenAt(spark, lakehouseTable(spark, catalog, namespace, table).tableDir,
+      fromVersionExclusive, toVersionInclusive)
+
+  /** [[changelogBetween]] addressed by table directory — the entry
+    * point for the `.changes` streaming source, which holds the dir. */
+  def changelogBetweenAt(
+      spark: SparkSession,
+      dir: Path,
+      fromVersionExclusive: Int,
       toVersionInclusive: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val lt = lakehouseTable(spark, catalog, namespace, table)
-    val dir = lt.tableDir
     val log = TableMetadata.loadLog(dir)
     val maxV = log.lastOption.map(_.version).getOrElse(0)
     require(fromVersionExclusive >= 0 && toVersionInclusive <= maxV &&

@@ -203,6 +203,89 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test(".changes stream reads through upsert commits with net-change semantics") {
+    // the round-6 composition failure: a table fed by the CDC upsert
+    // sink killed any plain stream reading it (delete entries every
+    // epoch). The `.changes` face consumes it as +/- rows instead.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.cdc_t (k INT, v STRING)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val up = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-up-ckpt-").toString)
+      .option("graft.upsertKeys", "k")
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.stream_ns.cdc_t")
+    val down = spark.readStream
+      .table("lakehouse.stream_ns.cdc_t.changes")
+      .writeStream.format("memory").queryName("cdc_changes")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-down-ckpt-").toString)
+      .start()
+    try {
+      in.addData((1, "a"), (2, "b"))
+      up.processAllAvailable()
+      down.processAllAvailable()
+      spark.table("cdc_changes")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet shouldBe
+        Set((1, "a", "insert"), (2, "b", "insert"))
+
+      // upstream batch 2 replaces key 2 and adds key 3: the downstream
+      // stream must see the retraction AND the new versions, not die
+      in.addData((2, "B"), (3, "c"))
+      up.processAllAvailable()
+      down.processAllAvailable()
+      val late = spark.table("cdc_changes")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      late shouldBe Set(
+        (1, "a", "insert"), (2, "b", "insert"),
+        (2, "b", "delete"), (2, "B", "insert"), (3, "c", "insert"))
+      // applying the +/- stream reproduces the table's current state
+      val net = spark.table("cdc_changes").groupBy($"k", $"v")
+        .agg((org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"_change_type" === "insert", 1)
+            .otherwise(-1))).as("n"))
+        .where($"n" > 0).select($"k", $"v")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      net shouldBe spark.table("lakehouse.stream_ns.cdc_t")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    } finally {
+      up.stop(); down.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.cdc_t")
+    }
+  }
+
+  test(".changes stream replays history from startingVersion and respects rate limits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.cdc_h (k INT, v STRING)")
+    (1 to 3).foreach { i =>
+      Seq((i, s"v$i")).toDF("k", "v").createOrReplaceTempView(s"cdc_h_src$i")
+      spark.sql(s"INSERT INTO lakehouse.stream_ns.cdc_h SELECT * FROM cdc_h_src$i")
+    }
+    spark.sql("DELETE FROM lakehouse.stream_ns.cdc_h WHERE k = 2") // COW delete
+    val q = spark.readStream
+      .option("maxVersionsPerTrigger", "1") // one commit per micro-batch
+      .table("lakehouse.stream_ns.cdc_h.changes")
+      .writeStream.format("memory").queryName("cdc_hist")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-hist-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdc_hist")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+      rows shouldBe Set(
+        (1, "v1", "insert"), (2, "v2", "insert"), (3, "v3", "insert"),
+        (2, "v2", "delete"))
+      // one micro-batch per commit: distinct _commit_version per batch
+      spark.table("cdc_hist").select($"_commit_version").distinct().count() shouldBe 4
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.cdc_h")
+    }
+  }
+
   test("Trigger.AvailableNow drains existing snapshots then stops") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
     spark.sql("CREATE TABLE lakehouse.stream_ns.drain (a BIGINT, b STRING)")
