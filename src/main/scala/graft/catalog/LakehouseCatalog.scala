@@ -305,11 +305,15 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
+    val props = TableMetadata.load(dir).properties
+    // a branch name reads the branch HEAD (the audit read of WAP)
+    if (version.toIntOption.isEmpty && props.contains(Maintenance.BranchPrefix + version))
+      return new LakehouseTable(spark, s"${fullName(ident)}@$version", dir,
+        Maintenance.branchHead(dir, version))
     val v = version.toIntOption.orElse(
-      TableMetadata.load(dir).properties
-        .get(Maintenance.TagPrefix + version).flatMap(_.toIntOption))
+      props.get(Maintenance.TagPrefix + version).flatMap(_.toIntOption))
       .getOrElse(throw new IllegalArgumentException(
-        s"'$version' is neither a version number nor a tag of ${fullName(ident)}"))
+        s"'$version' is neither a version number, a tag, nor a branch of ${fullName(ident)}"))
     val vf = TableMetadata.versionFile(dir, v)
     if (!Files.exists(vf))
       throw new IllegalArgumentException(

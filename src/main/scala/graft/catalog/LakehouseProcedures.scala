@@ -198,6 +198,42 @@ object LakehouseProcedures {
     }
   }
 
+  private def branchProc(catalogName: String) = new MaintenanceProc("branch",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("name", StringType)), "fork_version", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.createBranch(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString).toLong
+  }
+
+  private def appendToBranchProc(catalogName: String) = new MaintenanceProc(
+    "append_to_branch",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("name", StringType), param("rows_view", StringType)), "rows", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.appendToBranch(spark, cat, ns(a), tbl(a),
+        a.getUTF8String(2).toString, spark.table(a.getUTF8String(3).toString))
+  }
+
+  private def fastForwardProc(catalogName: String) = new MaintenanceProc("fast_forward",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("name", StringType)), "version", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.fastForward(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString).toLong
+  }
+
+  private def dropBranchProc(catalogName: String) = new MaintenanceProc("drop_branch",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("name", StringType)), "dropped", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      Maintenance.dropBranch(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString)
+      1L
+    }
+  }
+
   private def morDeleteProc(catalogName: String) = new MaintenanceProc("mor_delete",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -295,6 +331,10 @@ object LakehouseProcedures {
     "materialize_deletes" -> (materializeDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),
+    "branch" -> (branchProc(_)),
+    "append_to_branch" -> (appendToBranchProc(_)),
+    "fast_forward" -> (fastForwardProc(_)),
+    "drop_branch" -> (dropBranchProc(_)),
     "compact" -> (compactProc(_)),
     "vacuum" -> (vacuumProc(_)),
     "rollback" -> (rollbackProc(_)),

@@ -1118,6 +1118,234 @@ object Maintenance {
     commitPropertyChange(lt.tableDir, s"drop-tag($name)", _ - (TagPrefix + name))
   }
 
+  // ---- branches (write-audit-publish) --------------------------------------
+
+  /** Property prefix for writable branch refs (`graft.branch.<name>` →
+    * fork version). Unlike tags, a branch has its OWN metadata log
+    * under `metadata/branches/<name>/` and accepts commits. */
+  val BranchPrefix = "graft.branch."
+
+  private[catalog] def branchLogDir(dir: Path, name: String): Path =
+    TableMetadata.metadataDir(dir).resolve("branches").resolve(name)
+
+  /** Branch names recorded in the given (usually current) metadata. */
+  def branchNames(meta: TableMetadata): Seq[String] =
+    meta.properties.keys.collect {
+      case k if k.startsWith(BranchPrefix) => k.stripPrefix(BranchPrefix)
+    }.toSeq.sorted
+
+  /** Head metadata of a branch: the newest version in its own log, or
+    * the fork snapshot when the branch has no commits yet. */
+  def branchHead(dir: Path, name: String): TableMetadata = {
+    val cur = TableMetadata.load(dir)
+    val fork = cur.properties.getOrElse(BranchPrefix + name,
+      throw new IllegalArgumentException(s"no branch '$name' on ${cur.name}")).toInt
+    val bdir = branchLogDir(dir, name)
+    val versions =
+      if (!Files.isDirectory(bdir)) Seq.empty[Int]
+      else Files.list(bdir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toInt
+        }.toSeq
+    versions.maxOption match {
+      case Some(v) => TableMetadata.fromJson(Files.readString(bdir.resolve(s"v$v.json")))
+      case None => TableMetadata.fromJson(
+        Files.readString(TableMetadata.versionFile(dir, fork)))
+    }
+  }
+
+  /** Create a writable branch at the current snapshot — the WRITE side
+    * of write-audit-publish: ingest lands on the branch, validation
+    * reads `VERSION AS OF '<branch>'`, and [[fastForward]] publishes.
+    * The fork point is the metadata-only commit that records the
+    * branch marker, so the branch and the marker are atomic. Returns
+    * the fork version. */
+  def createBranch(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      name: String): Int = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"invalid branch name '$name'")
+    val dir = lakehouseTable(spark, catalog, namespace, table).tableDir
+    val maxAttempts = 10
+    var attempt = 0
+    while (true) {
+      val current = TableMetadata.load(dir)
+      require(!current.properties.contains(BranchPrefix + name) &&
+        !current.properties.contains(TagPrefix + name),
+        s"ref '$name' already exists on ${current.name}")
+      val next = current.version + 1
+      try {
+        TableMetadata.commit(dir, current.copy(
+          version = next,
+          properties = current.properties + (BranchPrefix + name -> next.toString),
+          snapshots = current.snapshots :+ Snapshot(
+            next, System.currentTimeMillis(), s"branch($name)", 0, current.files.size)))
+        Files.createDirectories(branchLogDir(dir, name))
+        return next
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
+          attempt += 1
+          if (attempt > maxAttempts) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Append rows to a BRANCH: data files land under the table dir as
+    * usual (immutable, shared storage), but the commit goes to the
+    * branch's log — main's head never moves, main readers never see
+    * the rows until [[fastForward]]. */
+  def appendToBranch(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      name: String,
+      rows: org.apache.spark.sql.DataFrame): Long = {
+    val dir = lakehouseTable(spark, catalog, namespace, table).tableDir
+    val head = branchHead(dir, name)
+    val schema = head.schema
+    val aligned = rows.select(schema.fields.map(f =>
+      rows.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val next = head.version + 1
+    val rel = s"data/c$next-br$name-${UUID.randomUUID().toString.take(8)}"
+    val clustered =
+      if (head.partitionColumns.nonEmpty) {
+        val cols = head.partitionColumns.map(aligned.col)
+        aligned.repartition(cols: _*).sortWithinPartitions(cols: _*)
+      } else aligned
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    clustered.write.parquet(dir.resolve(rel).toString)
+    val newFiles = Files.list(dir.resolve(rel)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$rel/$n").toSeq.sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), schema)
+    }.toMap
+    BloomIndex.buildForFiles(spark, dir, schema, head.properties, newFiles)
+    commitToBranch(dir, name, head, head.copy(
+      version = next,
+      files = head.files ++ newFiles,
+      fileStats = head.fileStats ++ footers.view.mapValues(_.cols).toMap,
+      fileRows = head.fileRows ++ footers.view.mapValues(_.rows).toMap,
+      snapshots = head.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), "append",
+        newFiles.size, head.files.size + newFiles.size)))
+    footers.values.map(_.rows).sum
+  }
+
+  /** Atomic branch-log commit with the same structural fileSeq
+    * maintenance as [[TableMetadata.commit]] (prev = the branch head
+    * the attempt was computed against). Branches are single-writer:
+    * a version collision fails clean, no rebase. */
+  private def commitToBranch(
+      dir: Path, name: String, prev: TableMetadata, meta: TableMetadata): Unit = {
+    val bdir = branchLogDir(dir, name)
+    Files.createDirectories(bdir)
+    val target = bdir.resolve(s"v${meta.version}.json")
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"commit conflict: branch '$name' version ${meta.version} already exists")
+    val sequenced = meta.copy(fileSeq = meta.files.map { f =>
+      f -> meta.fileSeq.getOrElse(f, prev.fileSeq.getOrElse(f, meta.version))
+    }.toMap)
+    val tmp = Files.createTempFile(bdir, s".v${meta.version}-", ".json.tmp")
+    Files.writeString(tmp, sequenced.toJson)
+    try {
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
+            if !Files.exists(target) =>
+          Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch {
+      case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
+          if Files.exists(target) =>
+        throw new IllegalStateException(
+          s"commit conflict: branch '$name' version ${meta.version} already exists", e)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** PUBLISH a branch: move main's head to the branch head by copying
+    * the branch's version files into the main log — valid only when
+    * main's current snapshot is ON the branch lineage (a pure
+    * fast-forward; anything else would silently drop main commits).
+    * Time travel then works across the published versions exactly as
+    * if they had been committed to main directly. Returns the new main
+    * version. Repeated WAP cycles on one branch keep working: after a
+    * publish the lineage check matches on the shared version file. */
+  def fastForward(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      name: String): Int = {
+    val dir = lakehouseTable(spark, catalog, namespace, table).tableDir
+    val cur = TableMetadata.load(dir)
+    val fork = cur.properties.getOrElse(BranchPrefix + name,
+      throw new IllegalArgumentException(s"no branch '$name' on ${cur.name}")).toInt
+    val head = branchHead(dir, name)
+    val bdir = branchLogDir(dir, name)
+    // divergence is about LINEAGE, not version numbers: main at the
+    // fork, or main's current version file byte-identical to the
+    // branch's (published earlier), is a pure advance; anything else
+    // means main moved off-branch and a fast-forward would drop commits
+    val onLineage = cur.version == fork || {
+      val bf = bdir.resolve(s"v${cur.version}.json")
+      Files.exists(bf) &&
+        Files.readString(bf) == Files.readString(TableMetadata.versionFile(dir, cur.version))
+    }
+    require(onLineage,
+      s"main advanced to v${cur.version} off the '$name' lineage (fork v$fork): " +
+        "fast-forward must be a pure advance — recreate the branch from the current " +
+        "snapshot and re-apply its commits")
+    if (head.version <= cur.version) return cur.version // already published
+    val window = ((cur.version + 1) to head.version).map(v => v -> bdir.resolve(s"v$v.json"))
+    window.foreach { case (v, src) =>
+      require(Files.exists(src), s"branch '$name' log gap at v$v")
+    }
+    // versions publish oldest-first, so a mid-way conflict (a racer
+    // advancing main) still leaves main on a consistent branch prefix
+    window.foreach { case (v, src) =>
+      val target = TableMetadata.versionFile(dir, v)
+      try {
+        try Files.createLink(target, src)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
+              if !Files.exists(target) =>
+            Files.copy(src, target)
+        }
+      } catch {
+        case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
+            if Files.exists(target) =>
+          throw new IllegalStateException(
+            s"commit conflict: main advanced to v$v during fast-forward of '$name'", e)
+      }
+    }
+    head.version
+  }
+
+  /** Drop a branch: remove the marker and its log. Data files it alone
+    * referenced become unreferenced and age out via [[vacuum]]. */
+  def dropBranch(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      name: String): Unit = {
+    val dir = lakehouseTable(spark, catalog, namespace, table).tableDir
+    commitPropertyChange(dir, s"drop-branch($name)", _ - (BranchPrefix + name))
+    val bdir = branchLogDir(dir, name)
+    if (Files.isDirectory(bdir)) {
+      Files.walk(bdir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** Metadata-only property commit with append-style retry. */
   private def commitPropertyChange(
       dir: Path, op: String,
@@ -1201,10 +1429,14 @@ object Maintenance {
     val tagged = log.lastOption.map(taggedVersions).getOrElse(Set.empty)
     val retainedMetas =
       log.takeRight(retainVersions) ++ log.filter(m => tagged.contains(m.version))
+    // branch heads reference data files main's log knows nothing
+    // about (unpublished WAP writes) — they are live, not orphans
+    val branchMetas = log.lastOption.toSeq
+      .flatMap(branchNames).map(n => branchHead(dir, n))
     // delete-key parquet files are referenced by metadata exactly like
     // data files: they live as long as any retained version needs them
     val retained =
-      retainedMetas.flatMap(m => m.files ++ m.deleteFiles.map(_.path)).toSet
+      (retainedMetas ++ branchMetas).flatMap(m => m.files ++ m.deleteFiles.map(_.path)).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - retentionMs

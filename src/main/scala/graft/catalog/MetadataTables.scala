@@ -88,8 +88,8 @@ object MetadataTables {
 
       case "refs" =>
         // named references (Iceberg's refs metadata table analogue):
-        // the current head plus every snapshot tag — the pins
-        // expire_snapshots and vacuum respect
+        // the current head, every snapshot tag (immutable pins), and
+        // every writable branch at its own head version
         val current = log.last
         val schema = StructType(Seq(
           StructField("name", StringType),
@@ -103,9 +103,13 @@ object MetadataTables {
           .map { case (n, v) =>
             new GenericInternalRow(Array[Any](utf8(n), utf8("tag"), v))
           }
+        val branchRows = Maintenance.branchNames(current).map { n =>
+          new GenericInternalRow(Array[Any](
+            utf8(n), utf8("branch"), Maintenance.branchHead(tableDir, n).version))
+        }
         val head = new GenericInternalRow(
           Array[Any](utf8("main"), utf8("head"), current.version))
-        new MetadataTable(s"$identName.refs", schema, (head +: tagRows).toArray)
+        new MetadataTable(s"$identName.refs", schema, (head +: (branchRows ++ tagRows)).toArray)
 
       case "partitions" =>
         // per-partition file/row/byte counts from METADATA alone

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.Maintenance
+
+/** Writable branch refs — the write-audit-publish workflow: ingest
+  * lands on a branch (main readers never see it), validation reads the
+  * branch head via `VERSION AS OF '<branch>'`, and fastForward
+  * publishes the branch's version files onto main's log. Tags stay
+  * immutable pins; branches accept commits. */
+class BranchSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkTable(name: String): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.br_ns")
+    spark.sql(s"CREATE TABLE lakehouse.br_ns.$name (k INT, v STRING)")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView(s"br_src_$name")
+    spark.sql(s"INSERT INTO lakehouse.br_ns.$name SELECT * FROM br_src_$name")
+  }
+
+  test("write-audit-publish: branch writes invisible to main until fast-forward") {
+    mkTable("wap")
+    val t = "lakehouse.br_ns.wap"
+    spark.sql(s"CALL lakehouse.system.branch('br_ns', 'wap', 'audit')")
+      .collect()(0).getLong(0) should be >= 2L
+
+    // WRITE: two commits land on the branch
+    Seq((10, "x"), (11, "y")).toDF("k", "v").createOrReplaceTempView("br_wap_w1")
+    spark.sql("CALL lakehouse.system.append_to_branch('br_ns', 'wap', 'audit', 'br_wap_w1')")
+      .collect()(0).getLong(0) shouldBe 2L
+    Seq((12, "z")).toDF("k", "v").createOrReplaceTempView("br_wap_w2")
+    Maintenance.appendToBranch(spark, "lakehouse", Seq("br_ns"), "wap", "audit",
+      spark.table("br_wap_w2")) shouldBe 1L
+
+    // main is untouched; the AUDIT read sees the branch head
+    spark.table(t).count() shouldBe 2
+    spark.sql(s"SELECT * FROM $t VERSION AS OF 'audit'").count() shouldBe 5
+    spark.sql(s"SELECT v FROM $t VERSION AS OF 'audit' WHERE k = 12")
+      .collect()(0).getString(0) shouldBe "z"
+
+    // refs reports the branch at its own head, main at its own
+    val refs = spark.sql(s"SELECT name, type, version FROM $t.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toMap2
+    refs(("audit", "branch")) shouldBe refs(("main", "head")) + 2
+
+    // PUBLISH: fast-forward copies the branch versions onto main
+    spark.sql("CALL lakehouse.system.fast_forward('br_ns', 'wap', 'audit')")
+      .collect()(0).getLong(0).toInt shouldBe refs(("audit", "branch"))
+    spark.table(t).count() shouldBe 5
+    // the published versions time-travel like native main commits
+    val headV = spark.sql(s"SELECT MAX(version) FROM $t.history").collect()(0).getInt(0)
+    spark.sql(s"SELECT * FROM $t VERSION AS OF ${headV - 1}").count() shouldBe 4
+
+    // repeated WAP cycle on the same branch still fast-forwards
+    Seq((13, "w")).toDF("k", "v").createOrReplaceTempView("br_wap_w3")
+    Maintenance.appendToBranch(spark, "lakehouse", Seq("br_ns"), "wap", "audit",
+      spark.table("br_wap_w3"))
+    Maintenance.fastForward(spark, "lakehouse", Seq("br_ns"), "wap", "audit")
+    spark.table(t).count() shouldBe 6
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("fast-forward refuses a diverged main; drop-branch removes the ref") {
+    mkTable("div")
+    val t = "lakehouse.br_ns.div"
+    Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "div", "side")
+    Seq((20, "s")).toDF("k", "v").createOrReplaceTempView("br_div_w")
+    Maintenance.appendToBranch(spark, "lakehouse", Seq("br_ns"), "div", "side",
+      spark.table("br_div_w"))
+
+    // main advances OFF the branch lineage
+    Seq((99, "main")).toDF("k", "v").createOrReplaceTempView("br_div_main")
+    spark.sql(s"INSERT INTO $t SELECT * FROM br_div_main")
+
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.fastForward(spark, "lakehouse", Seq("br_ns"), "div", "side")
+    }
+    e.getMessage should include("off the 'side' lineage")
+    // main and the branch both keep their own rows
+    spark.table(t).count() shouldBe 3
+    spark.sql(s"SELECT * FROM $t VERSION AS OF 'side'").count() shouldBe 3
+    spark.sql(s"SELECT * FROM $t VERSION AS OF 'side' WHERE k = 99").count() shouldBe 0
+
+    Maintenance.dropBranch(spark, "lakehouse", Seq("br_ns"), "div", "side")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 'side'").collect()
+    }
+    spark.sql(s"SELECT name FROM $t.refs").collect()
+      .map(_.getString(0)) should not contain "side"
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("vacuum keeps data files referenced only by a branch head") {
+    mkTable("vac")
+    val t = "lakehouse.br_ns.vac"
+    Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "vac", "wip")
+    Seq((30, "k")).toDF("k", "v").createOrReplaceTempView("br_vac_w")
+    Maintenance.appendToBranch(spark, "lakehouse", Seq("br_ns"), "vac", "wip",
+      spark.table("br_vac_w"))
+    // age every file out of the retention window, then vacuum hard
+    Maintenance.vacuum(spark, "lakehouse", Seq("br_ns"), "vac",
+      retainVersions = 1, retentionMs = -1L)
+    // branch read still works: its files were not reaped as orphans
+    spark.sql(s"SELECT * FROM $t VERSION AS OF 'wip'").count() shouldBe 3
+    spark.table(t).count() shouldBe 2
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("branch and tag names share one ref namespace; branches are single-writer") {
+    mkTable("refguard")
+    Maintenance.tag(spark, "lakehouse", Seq("br_ns"), "refguard", "pin", 1)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "refguard", "pin")
+    }
+    e.getMessage should include("already exists")
+    Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "refguard", "dev")
+    val e2 = intercept[IllegalArgumentException] {
+      Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "refguard", "dev")
+    }
+    e2.getMessage should include("already exists")
+    spark.sql("DROP TABLE lakehouse.br_ns.refguard")
+  }
+
+  private implicit class PairsToMap(rows: Array[(String, String, Int)]) {
+    def toMap2: Map[(String, String), Int] =
+      rows.map { case (n, ty, v) => (n, ty) -> v }.toMap
+  }
+}
