@@ -7,6 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+import graft.Materialize.PinOps
+
 /** Merge-on-read equality deletes — the write-cheap half of row-level
   * DML (Iceberg v2 delete files; the shape Flink CDC writes).
   *
@@ -42,8 +44,8 @@ object MergeOnRead {
 
   /** Columns of a positional delete parquet: table-relative data file
     * path + 0-based row offset within it. */
-  val PosFileCol = "file"
-  val PosPosCol = "pos"
+  val PosFileCol = DeleteFile.PosFileCol
+  val PosPosCol = DeleteFile.PosPosCol
 
   def posKeySchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField(PosFileCol,
@@ -262,7 +264,7 @@ object MergeOnRead {
             substring_index(col("_metadata.file_path"), "/", -3))
           .withColumn("__graft_up", col("_metadata.row_index")))
       .filter(coalesce(cond, lit(false))) // NULL predicate → not updated
-      .localCheckpoint(true)
+      .pinned
     if (matched.isEmpty) return 0
     val filePos = matched.select(
       col("__graft_uf").as(PosFileCol), col("__graft_up").as(PosPosCol))
@@ -354,7 +356,7 @@ object MergeOnRead {
     // write); sorted file(s) keep the entry path ranges tight so clean
     // files prune, and a 10⁹-tuple MERGE fans out instead of
     // serializing through one task
-    val pinned = casted.localCheckpoint(true)
+    val pinned = casted.pinned
     shapeDeleteWrite(spark, pinned, Seq(col(PosFileCol), col(PosPosCol)), pinned.count())
       .write.parquet(tableDir.resolve(delRel).toString)
     val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
@@ -423,7 +425,7 @@ object MergeOnRead {
     // of serializing through one write task
     val delRel = s"deletes/d$next-${UUID.randomUUID().toString.take(8)}"
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val pinnedKeys = casted.localCheckpoint(true)
+    val pinnedKeys = casted.pinned
     shapeDeleteWrite(spark, pinnedKeys, keyCols.map(pinnedKeys.col), pinnedKeys.count())
       .write.parquet(tableDir.resolve(delRel).toString)
     val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala

@@ -58,6 +58,11 @@ final case class DeleteFile(
 object DeleteFile {
   val Equality = "equality"
   val Positional = "positional"
+
+  /** Key-column names of a positional entry's parquet (mirrored by
+    * [[MergeOnRead.PosFileCol]]/[[MergeOnRead.PosPosCol]]). */
+  val PosFileCol = "file"
+  val PosPosCol = "pos"
 }
 
 /** Full table metadata: schema, properties, file list, snapshot log. */
@@ -370,7 +375,25 @@ object TableMetadata {
     if (!schemaStable) return None
     val isRewrite = removed.nonEmpty || removedDels.nonEmpty
     if (isRewrite && (racerRewrote || racerAddedDels)) return None
-    if (addedDels.nonEmpty && racerRewrote) return None
+    if (addedDels.nonEmpty && racerRewrote) {
+      // Equality entries target by VALUE: a racer rewrite may have
+      // copied matching rows into fresh files the preserved-seq entry
+      // will not cover (resurrection) — never commute. Positional
+      // entries name their targets EXACTLY: when every racer-removed
+      // file is provably outside every entry's targeted path range,
+      // the two changes are disjoint and commute; overlap (or an
+      // entry without a provable range) refuses — row offsets into a
+      // rewritten file are meaningless.
+      val racerGone = baseFiles -- curFiles
+      val provablyDisjoint = addedDels.forall { d =>
+        d.isPositional && (d.keyRanges.get(DeleteFile.PosFileCol) match {
+          case Some(r) if r.hasValues =>
+            !racerGone.exists(f => r.min <= f && f <= r.max)
+          case _ => false
+        })
+      }
+      if (!provablyDisjoint) return None
+    }
 
     val next = cur.version + 1
     val addedSet = added.toSet

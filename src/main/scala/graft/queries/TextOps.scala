@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.Materialize.PinOps
 import graft.Tables._
 
 /** North-star text-pipeline operators over `documents` (SURVEY.md §2B
@@ -158,7 +159,7 @@ object TextOps {
     // distributed fixpoint rounds of pure scheduling overhead. Past the
     // threshold, fall through to the distributed propagation loop
     // (cutoff injectable so tests can force that path).
-    val cached = pairs.select(col("id1"), col("id2")).localCheckpoint(true)
+    val cached = pairs.select(col("id1"), col("id2")).pinned
     if (cached.count() <= smallCutoff) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -180,24 +181,26 @@ object TextOps {
     }
     val edges = cached.select(col("id1").as("u"), col("id2").as("v"))
       .union(cached.select(col("id2").as("u"), col("id1").as("v")))
-      .localCheckpoint(true)
+      .pinned
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .pinned
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
       val neighborMin = edges.join(labels, col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
+      // convergence folds into the update itself: the old label rides
+      // along through the checkpoint, so `changed` is a filter-count
+      // over already-materialized rows — one job per round instead of
+      // a second join against the previous labels
       val updated = labels.as("l")
         .join(neighborMin, col("node") === col("u"), "left")
-        .select(col("node"),
+        .select(col("node"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = updated.as("n")
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
-      labels = updated
+        .pinned
+      val changed = updated.filter(col("label") < col("old")).count()
+      labels = updated.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
     }
@@ -562,7 +565,7 @@ object TextOps {
       val toks = tokenized(s, d)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
         .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
-        .localCheckpoint(true)
+        .pinned
       val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val bucketTotals = toks.groupBy(col("bucket"))

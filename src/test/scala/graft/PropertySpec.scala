@@ -93,6 +93,84 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("rebase of positional deletes: commutes iff racer rewrites miss the targeted range") {
+    import graft.catalog.{ColumnRange, DeleteFile, Snapshot, TableMetadata}
+    // racer = append | compact a contiguous file range | metadata-only;
+    // attempt = positional delete targeting files [lo, hi]. The law:
+    // the rebase succeeds exactly when the racer removed NO file inside
+    // the entry's targeted path range (offsets into a rewritten file
+    // are meaningless; disjoint changes must both land).
+    sealed trait R
+    case object Append extends R
+    case object PropsOnly extends R
+    case class Compact(lo: Int, hi: Int) extends R
+    val racerGen: Gen[R] = Gen.oneOf(
+      Gen.const(Append: R), Gen.const(PropsOnly: R),
+      Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)).map { case (a, b) =>
+        Compact(math.min(a, b), math.max(a, b)): R
+      })
+    val targetGen = Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    forAll(Gen.zip(racerGen, targetGen), trials = 20) { case (racer, (lo, hi)) =>
+      val dir = java.nio.file.Files.createTempDirectory("rebase-pos-prop-")
+      val files = (0 until 10).map(i => f"data/c0/f$i%02d.parquet")
+      val base = TableMetadata(
+        version = 1, name = "pp", schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))),
+        partitionColumns = Nil, properties = Map.empty,
+        files = files,
+        snapshots = Seq(Snapshot(1, 0L, "create", files.size, files.size)))
+      TableMetadata.commit(dir, base)
+      val removed: Set[String] = racer match {
+        case Compact(a, b) => files.slice(a, b + 1).toSet
+        case _ => Set.empty
+      }
+      val racerMeta = racer match {
+        case Append => base.copy(version = 2,
+          files = base.files :+ "data/c1/app.parquet",
+          snapshots = base.snapshots :+ Snapshot(2, 1L, "append", 1, files.size + 1))
+        case PropsOnly => base.copy(version = 2,
+          properties = base.properties + ("analyzed" -> "true"),
+          snapshots = base.snapshots :+ Snapshot(2, 1L, "analyze", 0, files.size))
+        case Compact(_, _) => base.copy(version = 2,
+          files = base.files.filterNot(removed) :+ "data/c1/comp.parquet",
+          snapshots = base.snapshots :+
+            Snapshot(2, 1L, "compact", 1, files.size - removed.size + 1))
+      }
+      TableMetadata.commit(dir, racerMeta)
+      val entry = DeleteFile("deletes/p1/t.parquet", Seq("file", "pos"), 2, 3L,
+        keyRanges = Map(DeleteFile.PosFileCol -> ColumnRange(files(lo), files(hi))),
+        kind = DeleteFile.Positional)
+      val attempt = base.copy(version = 2,
+        deleteFiles = base.deleteFiles :+ entry,
+        snapshots = base.snapshots :+ Snapshot(2, 2L, "mor-delete-pos", 0, files.size))
+      val overlap = removed.exists(f => files(lo) <= f && f <= files(hi))
+      if (overlap) {
+        val e = intercept[IllegalStateException] {
+          TableMetadata.commitOrRebase(dir, attempt = attempt, base = base)
+        }
+        e.getMessage should include("do not commute")
+        // the racer's state is untouched by the failed attempt
+        TableMetadata.load(dir).version shouldBe 2
+      } else {
+        val fin = TableMetadata.commitOrRebase(dir, attempt = attempt, base = base)
+        fin.version shouldBe 3
+        // both deltas landed: the racer's files and the entry, seq preserved
+        fin.deleteFiles.map(_.path) should contain("deletes/p1/t.parquet")
+        fin.deleteFiles.find(_.path == "deletes/p1/t.parquet").get.seq shouldBe 2
+        racer match {
+          case Append => fin.files should contain("data/c1/app.parquet")
+          case PropsOnly => fin.properties.get("analyzed") shouldBe Some("true")
+          case Compact(_, _) =>
+            fin.files should contain("data/c1/comp.parquet")
+            removed.foreach(f => fin.files should not contain f)
+        }
+      }
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("simhash banding finds EVERY hamming-≤3 pair (pigeonhole recall)") {
     val sf = "/root/testdata/sf0.001"
     def pairs(q: graft.queries.Q) =
