@@ -445,6 +445,26 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
+    // Schema changes never auto-rebase at the metadata level (field
+    // merging is not a mechanical delta), but the ALTER itself is
+    // replayable: the change list re-FOLDS over the fresh snapshot and
+    // every guard (tombstones, widening, duplicate names) re-validates
+    // against it — so a race with an append/compact retries the whole
+    // derivation instead of failing the user's DDL.
+    val maxAttempts = 10
+    var attempt = 0
+    while (true) {
+      try return alterOnce(ident, dir, changes)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("commit conflict") && attempt < maxAttempts =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def alterOnce(ident: Identifier, dir: Path, changes: Seq[TableChange]): Table = {
     val current = TableMetadata.load(dir)
     val updated = changes.foldLeft(current) { (m, change) =>
       change match {
@@ -466,6 +486,10 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
                 "exist in data files, and name-based resolution would resurrect its old " +
                 "values. Rewrite the table first (Maintenance.compact / CALL " +
                 "system.compact, or INSERT OVERWRITE), which clears the tombstone.")
+          // re-checked on retry: a racer may have added it concurrently
+          if (m.schema.fieldNames.contains(addName))
+            throw new UnsupportedOperationException(
+              s"ADD COLUMN $addName: column already exists on ${m.name}")
           m.copy(schema = m.schema.add(addName, add.dataType, add.isNullable))
         case ren: TableChange.RenameColumn =>
           require(ren.fieldNames.length == 1, "nested RENAME COLUMN not supported")
@@ -531,8 +555,9 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           throw new UnsupportedOperationException(s"unsupported table change: $other")
       }
     }
-    // property-only alters rebase onto concurrent commits; schema
-    // alters racing anything fail clean (commitOrRebase declines them)
+    // property-only alters rebase mechanically onto concurrent commits;
+    // schema alters racing anything make commitOrRebase decline, and
+    // the caller loop above re-derives them from the fresh snapshot
     TableMetadata.commitOrRebase(dir, base = current, attempt = updated.copy(
       version = current.version + 1,
       snapshots = current.snapshots :+

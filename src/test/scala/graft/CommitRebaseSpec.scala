@@ -195,6 +195,36 @@ class CommitRebaseSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.race_ns.p1")
   }
 
+  test("ALTER re-derives against the fresh snapshot when racing appends") {
+    mkTable("alt1")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // schema DDL races a burst of appends: the ALTER must re-fold and
+    // land, never fail the user's DDL on a mechanical version conflict
+    val appender = Future {
+      (0 until 4).foreach { i =>
+        Seq((800 + i, s"race-$i")).toDF("k", "v").createOrReplaceTempView(s"alt_app_$i")
+        // explicit column list: the racing DDL may add a column mid-burst
+        spark.sql(s"INSERT INTO lakehouse.race_ns.alt1 (k, v) SELECT * FROM alt_app_$i")
+      }
+    }
+    val alterer = Future {
+      spark.sql("ALTER TABLE lakehouse.race_ns.alt1 ADD COLUMN extra BIGINT")
+    }
+    Await.result(Future.sequence(Seq(appender.map(_ => ()), alterer.map(_ => ()))),
+      120.seconds)
+    spark.table("lakehouse.race_ns.alt1").columns should contain("extra")
+    spark.table("lakehouse.race_ns.alt1").count() shouldBe 304 // nothing lost
+
+    // a SEMANTIC race still fails clean: the column now exists
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.race_ns.alt1 ADD COLUMN extra BIGINT")
+    }
+    e.getMessage should (include("already exists") or include("FIELD_ALREADY_EXISTS"))
+    spark.sql("DROP TABLE lakehouse.race_ns.alt1")
+  }
+
   test("concurrent mor-deletes all succeed under real contention") {
     mkTable("t1")
     import scala.concurrent.{Await, Future}
