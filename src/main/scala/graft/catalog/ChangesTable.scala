@@ -55,7 +55,7 @@ class ChangesTable(
   override def name(): String = identName
   override def schema(): StructType = changesSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -65,8 +65,91 @@ class ChangesTable(
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ChangelogMicroBatchStream(
             spark, identName, tableDir, changesSchema, checkpointLocation, options)
+        /** Batch face: `SELECT * FROM t.changes` = the full retained
+          * changelog (0, current], materialized once per current
+          * version under `metadata/changelog/batch/` (stale windows
+          * reaped on the next staging). Options `startingVersion` /
+          * `endingVersion` narrow the window. */
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+          val cur = TableMetadata.load(tableDir).version
+          val fromV = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+          val toV = Option(options.get("endingVersion")).map(_.toInt).getOrElse(cur)
+          val stage = new ChangelogStaging(
+            spark, identName, tableDir, changesSchema,
+            tableDir.resolve("metadata").resolve("changelog").resolve("batch"), options)
+          val files = stage.stageWindow(fromV, toV, reapSiblings = true)
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              if (files.isEmpty) Array.empty
+              else stage.scanOver(files).toBatch.planInputPartitions()
+            override def createReaderFactory(): PartitionReaderFactory =
+              stage.scanOver(Seq.empty).toBatch.createReaderFactory()
+          }
+        }
       }
     }
+}
+
+/** Shared window-materialization mechanics for the `.changes` batch
+  * and streaming faces: a changelog window is a computed multi-join
+  * plan, so it is staged ONCE to parquet (idempotent — a complete dir
+  * is reused verbatim, a half-written one overwritten) and partitions
+  * are served from the staged files. */
+private[catalog] class ChangelogStaging(
+    spark: SparkSession,
+    identName: String,
+    tableDir: Path,
+    changesSchema: StructType,
+    stagingRoot: Path,
+    options: CaseInsensitiveStringMap) {
+
+  private val WindowDir = "w(\\d+)-(\\d+)".r
+
+  def stageWindow(fromV: Int, toV: Int, reapSiblings: Boolean = false): Seq[Path] = {
+    if (fromV >= toV) return Seq.empty
+    val dir = stagingRoot.resolve(s"w$fromV-$toV")
+    if (reapSiblings && Files.isDirectory(stagingRoot)) {
+      Files.list(stagingRoot).iterator().asScala
+        .filter(d => d.getFileName.toString match {
+          case WindowDir(_, _) => d != dir
+          case _ => false
+        })
+        .foreach { d =>
+          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        }
+    }
+    val success = dir.resolve("_SUCCESS")
+    if (!Files.exists(success)) {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      Maintenance.changelogBetweenAt(spark, tableDir, fromV, toV)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+  }
+
+  /** Windows whose end is at or below `endV` can never be needed again. */
+  def reapThrough(endV: Int): Unit = {
+    if (!Files.isDirectory(stagingRoot)) return
+    Files.list(stagingRoot).iterator().asScala
+      .filter { d =>
+        d.getFileName.toString match {
+          case WindowDir(_, to) => to.toInt <= endV
+          case _ => false
+        }
+      }
+      .foreach { d =>
+        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+  }
+
+  def scanOver(files: Seq[Path]): Scan = {
+    val b = ParquetTable(identName, spark, options, files.map(_.toString),
+      Some(changesSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    b.pruneColumns(changesSchema)
+    b.build()
+  }
 }
 
 /** Micro-batch stream over the computed changelog; offsets are table
@@ -82,8 +165,11 @@ class ChangelogMicroBatchStream(
 
   // staging namespace per stream (checkpoint-keyed): two concurrent
   // streams over one table never share or reap each other's windows
-  private val stagingRoot = tableDir.resolve("metadata").resolve("changelog")
-    .resolve(java.lang.Integer.toHexString(checkpointLocation.hashCode))
+  private val staging = new ChangelogStaging(
+    spark, identName, tableDir, changesSchema,
+    tableDir.resolve("metadata").resolve("changelog")
+      .resolve(java.lang.Integer.toHexString(checkpointLocation.hashCode)),
+    options)
 
   @volatile private var availableNowCap: Option[Int] = None
 
@@ -117,59 +203,19 @@ class ChangelogMicroBatchStream(
 
   /** Offsets up to `end` are durable in the checkpoint: their staged
     * windows can never be replanned — reap them. */
-  override def commit(end: Offset): Unit = {
-    val endV = end.asInstanceOf[VersionOffset].version
-    if (!Files.isDirectory(stagingRoot)) return
-    Files.list(stagingRoot).iterator().asScala
-      .filter { d =>
-        d.getFileName.toString match {
-          case WindowDir(_, to) => to.toInt <= endV
-          case _ => false
-        }
-      }
-      .foreach { d =>
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
-  }
+  override def commit(end: Offset): Unit =
+    staging.reapThrough(end.asInstanceOf[VersionOffset].version)
 
   override def stop(): Unit = ()
-
-  private val WindowDir = "w(\\d+)-(\\d+)".r
-
-  private def abs(f: Path): String = f.toString
-
-  /** Materialize the window's changelog once (idempotent: a complete
-    * staging dir is reused verbatim on replay, a half-written one is
-    * overwritten) and return its parquet files. */
-  private def stageWindow(fromV: Int, toV: Int): Seq[Path] = {
-    val dir = stagingRoot.resolve(s"w$fromV-$toV")
-    val success = dir.resolve("_SUCCESS")
-    if (!Files.exists(success)) {
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      Maintenance.changelogBetweenAt(spark, tableDir, fromV, toV)
-        .write.mode("overwrite").parquet(dir.toString)
-    }
-    if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-  }
-
-  private def scanOver(files: Seq[Path]): Scan = {
-    val b = ParquetTable(identName, spark, options, files.map(abs),
-      Some(changesSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
-    b.pruneColumns(changesSchema)
-    b.build()
-  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val fromV = start.asInstanceOf[VersionOffset].version
     val toV = end.asInstanceOf[VersionOffset].version
-    if (fromV >= toV) return Array.empty
-    val files = stageWindow(fromV, toV)
+    val files = staging.stageWindow(fromV, toV)
     if (files.isEmpty) Array.empty
-    else scanOver(files).toBatch.planInputPartitions()
+    else staging.scanOver(files).toBatch.planInputPartitions()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    scanOver(Seq.empty).toBatch.createReaderFactory()
+    staging.scanOver(Seq.empty).toBatch.createReaderFactory()
 }

@@ -54,6 +54,36 @@ class ChangelogSpec extends AnyFunSuite with Matchers {
     replayed shouldBe actual
   }
 
+  test("SELECT from t.changes serves the batch changelog; options narrow the window") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.cdc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.cdc.b")
+    spark.sql("CREATE TABLE lakehouse.cdc.b (k BIGINT, v STRING)") // v1
+    (1L to 5L).map(k => (k, s"a$k")).toDF("k", "v")
+      .createOrReplaceTempView("cdc_b1")
+    spark.sql("INSERT INTO lakehouse.cdc.b SELECT * FROM cdc_b1") // v2
+    spark.sql("DELETE FROM lakehouse.cdc.b WHERE k = 5") // v3
+
+    // SQL face: full retained changelog
+    val all = spark.sql(
+      "SELECT k, v, _change_type, _commit_version FROM lakehouse.cdc.b.changes").collect()
+    all.count(_.getString(2) == "insert") shouldBe 5
+    all.count(_.getString(2) == "delete") shouldBe 1
+    all.filter(_.getString(2) == "delete").head.getLong(0) shouldBe 5L
+
+    // narrowed window via read options
+    val tail = spark.read.option("startingVersion", "2")
+      .table("lakehouse.cdc.b.changes").collect()
+    tail.map(_.getString(2)).toSeq shouldBe Seq("delete")
+
+    // a later commit is visible to the next batch query (re-staged)
+    (6L to 7L).map(k => (k, s"c$k")).toDF("k", "v")
+      .createOrReplaceTempView("cdc_b2")
+    spark.sql("INSERT INTO lakehouse.cdc.b SELECT * FROM cdc_b2") // v4
+    spark.sql("SELECT * FROM lakehouse.cdc.b.changes WHERE _commit_version = 4")
+      .count() shouldBe 2
+    spark.sql("DROP TABLE lakehouse.cdc.b")
+  }
+
   test("a partial window starts from the requested snapshot") {
     val cl = changelog(3, 4).collect()
     cl.map(_.getString(2)).toSeq.sorted shouldBe Seq("delete", "delete", "delete")
