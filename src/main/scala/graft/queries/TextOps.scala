@@ -188,14 +188,14 @@ object TextOps {
     var converged = false
     var iter = 0
     while (!converged && iter < 50) {
-      val neighborMin = edges.join(labels, col("v") === col("node"))
+      val neighborMin = edges.join(labels.hint("shuffle_hash"), col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
       // convergence folds into the update itself: the old label rides
       // along through the checkpoint, so `changed` is a filter-count
       // over already-materialized rows — one job per round instead of
       // a second join against the previous labels
       val updated = labels.as("l")
-        .join(neighborMin, col("node") === col("u"), "left")
+        .join(neighborMin.hint("shuffle_hash"), col("node") === col("u"), "left")
         .select(col("node"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
         .pinned
@@ -691,7 +691,10 @@ object TextOps {
       val nDocs = documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df"), col("token"))
-      tf.join(dfreq, Seq("token"))
+      // tf is bounded by the query contract (50 requested docs) while
+      // dfreq is the corpus vocabulary: broadcast the bounded side,
+      // pinned so the build choice never races
+      broadcast(tf).join(dfreq, Seq("token"))
         .crossJoin(broadcast(nDocs))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -920,7 +923,9 @@ object TextOps {
         .select(explode(array_distinct(col("toks"))).as("token"))
         .filter(col("token").isin(terms: _*))
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(dfreq), Seq("token"))
+      // tf ⋈ dfreq is bounded (100 requested docs × 3 query terms) —
+      // broadcast it against the corpus-scale per-doc lengths, pinned
+      broadcast(tf.join(broadcast(dfreq), Seq("token")))
         .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), col("token"),
@@ -974,7 +979,9 @@ object TextOps {
         .head().getAs[Array[Byte]](0)
       grams.filter(col("doc_id") >= 10)
         .filter(call_function("bloom_contains", lit(bloom), col("g")))
-        .join(evalGrams, Seq("g"), "left_semi")
+        // the eval-set grams are the bounded side by contract: pinned
+        // broadcast for the exactness-restoring semi join
+        .join(broadcast(evalGrams), Seq("g"), "left_semi")
         .select(col("doc_id")).distinct()
         .orderBy(col("doc_id"))
     },

@@ -92,7 +92,11 @@ object VectorOps {
       val e = withNorm(s, d)
       val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
       val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
-      a.join(b, col("id1") < col("id2"))
+      // exact all-pairs is the SMALL-corpus path by declaration (LSH /
+      // IVF are the scale paths); the non-equi join must broadcast one
+      // side regardless, so pin it — an unpinned BNLJ build side is
+      // the load-dependent race that produced r5's q29 swing
+      a.join(broadcast(b), col("id1") < col("id2"))
         .select(col("id1"), col("id2"),
           (dot(col("v1"), col("v2")) / (col("n1") * col("n2"))).as("sim"))
         .filter(col("sim") >= 0.4)
@@ -288,7 +292,7 @@ object VectorOps {
       val reps = bucketed.groupBy(col("bucket")).agg(min(col("vec_id")).as("rep_id"))
       val repVecs = bucketed
         .select(col("vec_id").as("rep_id"), col("embedding").as("rv"), col("nrm").as("rn"))
-        .join(reps, Seq("rep_id"))
+        .join(broadcast(reps), Seq("rep_id")) // ≤ 2^8 representatives, pinned
       val sim = round(dot(col("embedding"), col("rv")) / (col("nrm") * col("rn")), 4)
       bucketed.join(broadcast(repVecs), Seq("bucket"))
         .select(col("vec_id"), col("bucket"), col("rep_id"), sim.as("sim_r"),

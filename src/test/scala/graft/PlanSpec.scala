@@ -301,6 +301,22 @@ class PlanSpec extends AnyFunSuite with Matchers {
     verifyJoin.get should include("BuildLeft")
   }
 
+  test("bounded query sides are pinned broadcasts (q42/q42b); q29b pins its BNLJ build") {
+    // q42/q42b join a QUERY-BOUNDED doc subset against corpus-scale
+    // aggregates: the bounded side is the pinned broadcast
+    val t = executedPlan(graft.queries.TextOps.q42.run(spark, sf))
+    t should include("BroadcastHashJoin")
+    t should not include "SortMergeJoin"
+    val b = executedPlan(graft.queries.TextOps.q42b.run(spark, sf))
+    b should include("BroadcastHashJoin")
+    b should not include "SortMergeJoin"
+    // q29b's non-equi all-pairs join is the genuinely racy class (the
+    // r5 q29 swing): its build side must be the explicit hint
+    val n = executedPlan(graft.queries.VectorOps.q29b.run(spark, sf))
+    n should include("BroadcastNestedLoopJoin")
+    n should not include "CartesianProduct"
+  }
+
   test("q53 anti join is pinned shuffle-hash: the historical index is never broadcast") {
     // Same race class: at sf0.1 the dedupe index is under the broadcast
     // threshold, so adaptive planning broadcasts the CORPUS — fast in a
