@@ -108,8 +108,15 @@ object TextOps {
     * ~(1−t)·n RAREST shingles — the hot head never joins. Candidates
     * then get the exact verify, so the result equals the naive join's.
     */
-  def jaccardPrefixJoin(ex: DataFrame, t: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(ex.sparkSession)
+  def jaccardPrefixJoin(ex0: DataFrame, t: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(ex0.sparkSession)
+    // The exploded index feeds SIX consumers (freq, both self-join
+    // sides via prefix, verify's a and b). ReuseExchange cannot dedupe
+    // them — the shingle lambdas' variables defeat plan
+    // canonicalization — so without the pin the scan+tokenize+shingle
+    // pipeline runs once PER CONSUMER. Materialize it once; every
+    // consumer then reads the pinned blocks.
+    val ex = graft.Materialize.pin(ex0)
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc prefix = the p = n − ⌈t·n⌉ + 1 globally-rarest shingles,
     // selected by a typed bottom-p aggregate instead of a row_number
@@ -271,7 +278,9 @@ object TextOps {
     "q28c_minhash_lsh",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val ex = explodedShingles(s, d)
+      // pinned: sig + both band-join sides + verify's a/b all read the
+      // index, and ReuseExchange cannot dedupe the shingle lambdas
+      val ex = graft.Materialize.pin(explodedShingles(s, d))
       // the aggregate emits the 32 banded signatures directly (same
       // XXH64 chain as xxhash64(m_{4j},…,m_{4j+3})) — banding inside
       // eval keeps the query-side expression tree tiny
