@@ -1097,10 +1097,14 @@ object TextOps {
   val q57 = Q(
     "q57_oov_rate",
     (s, d) => {
-      val flat = tokenized(s, d).select(col("doc_id"), explode(col("toks")).as("t"))
+      // pinned: vocab, oov, and the per-doc totals all derive from the
+      // tokenized corpus; without the pin the scan+split runs three
+      // times (no pushdown distinguishes the branches)
+      val tok = graft.Materialize.pin(tokenized(s, d))
+      val flat = tok.select(col("doc_id"), explode(col("toks")).as("t"))
       val vocab = flat.groupBy(col("t")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("t")).limit(30).select(col("t"))
-      val total = tokenized(s, d)
+      val total = tok
         .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_toks"))
       val oov = flat.join(broadcast(vocab), Seq("t"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
@@ -1186,14 +1190,18 @@ object TextOps {
   val q60 = Q(
     "q60_contamination",
     (s, d) => {
-      val sh = tokenized(s, d)
+      // pinned: the shingle frame feeds THREE consumers (train, testN,
+      // testG) and the bucket split cannot push down (computed column),
+      // so without the pin the scan+tokenize+shingle pipeline runs
+      // three times — ReuseExchange cannot dedupe the lambdas
+      val sh = graft.Materialize.pin(tokenized(s, d)
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"),
           (conv(substring(md5(col("text")), 1, 8), 16, 10).cast(LongType) % 100).as("b"),
           col("toks"))
         .select(col("doc_id"), col("b"),
           transform(col("toks"), t => xxhash64(t)).as("th"))
-        .select(col("doc_id"), col("b"), shingleHashes(col("th")).as("sl"))
+        .select(col("doc_id"), col("b"), shingleHashes(col("th")).as("sl")))
       val train = sh.filter(col("b") < 90).select(explode(col("sl")).as("g")).distinct()
       val testN = sh.filter(col("b") >= 90)
         .select(col("doc_id"), size(col("sl")).cast(LongType).as("n_grams"))
@@ -1277,7 +1285,9 @@ object TextOps {
   val q62 = Q(
     "q62_lm_score",
     (s, d) => {
-      val toks = tokenized(s, d)
+      // pinned at the un-exploded level: the model build and the
+      // scoring probe both re-tokenized the corpus otherwise
+      val toks = graft.Materialize.pin(tokenized(s, d))
         .select(col("doc_id"), explode(col("toks")).as("tok"))
       val model = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       val total = model.agg(sum(col("cnt")).as("tot"))

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Exchange-reuse probe for the pinned jaccard pipeline (dev tool). */
+/** Redundant-scan probe: how many times does each query's executed
+  * plan scan the documents table? (dev tool) */
 object Probe5 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,15 +15,16 @@ object Probe5 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val df = SparkEntry.queries("q28b_ngram_jaccard")(spark, sfDir)
-    df.count()
-    val plan = df.queryExecution.executedPlan.toString
-    def cnt(p: String) = p.r.findAllIn(plan).size
-    println(s"[probe5] Exchange=${cnt("Exchange (hash|range)")} ReusedExchange=${cnt("ReusedExchange")} " +
-      s"Scan=${cnt("FileScan|Scan parquet")} ShuffledHashJoin=${cnt("ShuffledHashJoin")} " +
-      s"ObjectHashAggregate=${cnt("ObjectHashAggregate")}")
-    plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("Scan parq") ||
-      l.contains("FileScan")).take(30).foreach(l => println("  " + l.trim.take(150)))
+    Seq("q28b_ngram_jaccard", "q45b_decontaminate_bloom", "q60_contamination",
+      "q57_oov_rate", "q42_tfidf", "q42b_bm25", "q62_lm_score", "q30c_lang_hist",
+      "q44_curate", "q56_chunk_docs", "q58b_split_budget").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = "FileScan parquet".r.findAllIn(plan).size
+      val reused = "ReusedExchange".r.findAllIn(plan).size
+      println(f"[probe5] $q%-26s FileScan=$scans ReusedExchange=$reused")
+    }
     spark.stop()
   }
 }
