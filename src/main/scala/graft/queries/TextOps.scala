@@ -1344,8 +1344,57 @@ object TextOps {
            |             / CAST(tot.tot AS DOUBLE), 4) AS coverage
            |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin))
 
+  /** Bigram LM scoring — the conditional-probability step past q62's
+    * unigram model: per doc, the mean log MLE bigram probability
+    * log(c(prev, tok) / c(prev)) over its adjacent token pairs (the
+    * denominator is the corpus unigram count over ALL positions — a
+    * fixed, engine-mirrorable definition). Low scores mark documents
+    * whose word TRANSITIONS are unusual for the corpus even when every
+    * individual word is common — gibberish/shuffled-text detection a
+    * unigram model cannot see.
+    *
+    * Scale shape: both models are map-side-combined aggregation TABLES
+    * hash-joined against the pair stream (vocab²-bounded, never a
+    * driver structure or an unbounded broadcast); the tokenized corpus
+    * is pinned once and feeds the pair extraction and the unigram
+    * model (ReuseExchange cannot dedupe the lambdas); pair extraction
+    * is a row-local codegen'd transform+explode. */
+  val q64 = Q(
+    "q64_bigram_score",
+    (s, d) => {
+      val tok = graft.Materialize.pin(
+        tokenized(s, d).filter(size(col("toks")) >= 2))
+      val pairs = tok.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
+          struct(element_at(col("toks"), i + 1).as("p"),
+            element_at(col("toks"), i + 2).as("w")))).as("pr"))
+        .select(col("doc_id"), col("pr.p").as("p"), col("pr.w").as("w"))
+      val bigrams = pairs.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
+      val unigrams = tok.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      pairs.join(bigrams, Seq("p", "w"))
+        .join(unigrams, col("p") === col("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType))), 4)
+            .as("bg_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |pairs AS (SELECT doc_id,
+           |            unnest([t[i] FOR i IN range(1, len(t))]) AS p,
+           |            unnest([t[i+1] FOR i IN range(1, len(t))]) AS w
+           |          FROM toks WHERE len(t) >= 2),
+           |bm AS (SELECT p, w, COUNT(*) AS c2 FROM pairs GROUP BY p, w),
+           |um AS (SELECT unnest(t) AS tok FROM toks WHERE len(t) >= 2),
+           |uc AS (SELECT tok, COUNT(*) AS c1 FROM um GROUP BY tok)
+           |SELECT doc_id, COUNT(*) AS n_bigrams,
+           |       ROUND(AVG(LN(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) AS bg_score
+           |FROM pairs JOIN bm USING (p, w) JOIN uc ON pairs.p = uc.tok
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60, q61, q62, q63)
+      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64)
 }
