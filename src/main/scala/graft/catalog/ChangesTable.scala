@@ -176,8 +176,24 @@ class ChangelogMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(TableMetadata.load(tableDir).version)
 
-  override def initialOffset(): Offset =
-    VersionOffset(Option(options.get("startingVersion")).map(_.toInt).getOrElse(0))
+  override def initialOffset(): Offset = {
+    val start = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+    // A window spanning a schema change has no single output schema;
+    // changelogBetween refuses it, and a stream that plans one would
+    // retry the same window forever. Fail AT START with the actionable
+    // bound instead of wedging later: the stream must begin at or
+    // after the last schema-changing commit.
+    val log = TableMetadata.loadLog(tableDir)
+    val currentSchema = log.last.schema
+    val lastDdl = log.reverse.find(_.schema != currentSchema).map(_.version)
+    lastDdl.foreach { v =>
+      require(start >= v,
+        s"$identName: schema changed at v${v + 1}; a changelog stream cannot span it. " +
+          s"Set .option(\"startingVersion\", \"${v + 1}\") (or later) — earlier history " +
+          "needs a separate batch read per schema epoch")
+    }
+    VersionOffset(start)
+  }
 
   override def latestOffset(): Offset =
     VersionOffset(availableNowCap.getOrElse(TableMetadata.load(tableDir).version))

@@ -286,6 +286,46 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test(".changes stream refuses to span a schema change, works from the new epoch") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.cdc_ddl (k INT, v STRING)")
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("cdc_ddl_1")
+    spark.sql("INSERT INTO lakehouse.stream_ns.cdc_ddl SELECT * FROM cdc_ddl_1")
+    spark.sql("ALTER TABLE lakehouse.stream_ns.cdc_ddl ADD COLUMN extra BIGINT")
+    val ddlV = spark.sql("SELECT MAX(version) FROM lakehouse.stream_ns.cdc_ddl.history")
+      .collect()(0).getInt(0)
+    Seq((2, "b", 7L)).toDF("k", "v", "extra").createOrReplaceTempView("cdc_ddl_2")
+    spark.sql("INSERT INTO lakehouse.stream_ns.cdc_ddl SELECT * FROM cdc_ddl_2")
+
+    // default start (full history) would wedge on the DDL: fail at start
+    val bad = spark.readStream.table("lakehouse.stream_ns.cdc_ddl.changes")
+      .writeStream.format("memory").queryName("cdc_ddl_bad")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-ddl-bad-").toString)
+      .start()
+    val e = intercept[Exception] { bad.processAllAvailable() }
+    e.getMessage should include("schema changed")
+    bad.stop()
+
+    // starting at the new epoch streams cleanly
+    val ok = spark.readStream.option("startingVersion", ddlV.toString)
+      .table("lakehouse.stream_ns.cdc_ddl.changes")
+      .writeStream.format("memory").queryName("cdc_ddl_ok")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-ddl-ok-").toString)
+      .start()
+    try {
+      ok.processAllAvailable()
+      val rows = spark.table("cdc_ddl_ok").collect()
+      rows should have length 1
+      rows.head.getInt(0) shouldBe 2
+      rows.head.getString(3) shouldBe "insert"
+    } finally {
+      ok.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.cdc_ddl")
+    }
+  }
+
   test("Trigger.AvailableNow drains existing snapshots then stops") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
     spark.sql("CREATE TABLE lakehouse.stream_ns.drain (a BIGINT, b STRING)")
