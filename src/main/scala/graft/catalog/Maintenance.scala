@@ -1388,9 +1388,15 @@ object Maintenance {
     val dir = lt.tableDir
     val meta = TableMetadata.load(dir)
     val tagged = taggedVersions(meta)
+    // a branch with no commits of its own resolves its head to the FORK
+    // version's main-log metadata: expiring it would brick the branch
+    val forks = meta.properties.collect {
+      case (k, v) if k.startsWith(BranchPrefix) => v.toInt
+    }.toSet
     val cutoff = meta.version - retainVersions + 1 // keep versions >= cutoff
     val doomed = (1 until cutoff)
       .filterNot(tagged.contains)
+      .filterNot(forks.contains)
       .filter(v => Files.exists(TableMetadata.versionFile(dir, v)))
     doomed.foreach(v => Files.deleteIfExists(TableMetadata.versionFile(dir, v)))
     doomed.size

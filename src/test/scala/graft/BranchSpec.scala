@@ -109,6 +109,21 @@ class BranchSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("expireSnapshots keeps the fork version of a commitless branch readable") {
+    mkTable("exp")
+    val t = "lakehouse.br_ns.exp"
+    Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "exp", "idle")
+    // advance main well past the fork, then expire hard
+    (0 until 3).foreach { i =>
+      Seq((500 + i, s"m$i")).toDF("k", "v").createOrReplaceTempView(s"br_exp_$i")
+      spark.sql(s"INSERT INTO $t SELECT * FROM br_exp_$i")
+    }
+    Maintenance.expireSnapshots(spark, "lakehouse", Seq("br_ns"), "exp", retainVersions = 1)
+    // the commitless branch still resolves to its fork snapshot
+    spark.sql(s"SELECT * FROM $t VERSION AS OF 'idle'").count() shouldBe 2
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("branch and tag names share one ref namespace; branches are single-writer") {
     mkTable("refguard")
     Maintenance.tag(spark, "lakehouse", Seq("br_ns"), "refguard", "pin", 1)
