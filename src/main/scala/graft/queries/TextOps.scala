@@ -1372,12 +1372,16 @@ object TextOps {
       val bigrams = pairs.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
       val unigrams = tok.select(explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-      pairs.join(bigrams, Seq("p", "w"))
-        .join(unigrams, col("p") === col("tok"))
+      // enrich the MODEL with its denominators first (model⋈model,
+      // vocab²-bounded), so the corpus-scale pair stream shuffles into
+      // exactly ONE join instead of two
+      val model = bigrams.join(unigrams, col("p") === col("tok"))
+        .select(col("p"), col("w"),
+          log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)).as("lp"))
+      pairs.join(model, Seq("p", "w"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType))), 4)
-            .as("bg_score"))
+          round(avg(col("lp")), 4).as("bg_score"))
         .orderBy(col("doc_id"))
     },
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
