@@ -1397,8 +1397,56 @@ object TextOps {
            |FROM pairs JOIN bm USING (p, w) JOIN uc ON pairs.p = uc.tok
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Per-language distribution drift: KL(P_lang ‖ P_corpus) over the
+    * token unigram distributions — the corpus-health metric that flags
+    * a language slice whose vocabulary usage diverges from the blend
+    * (contaminated scrape, mislabeled language, template spam) before
+    * any model trains on it.
+    *
+    * Scale shape: ONE map-side-combined (lang, token) aggregation is
+    * the base table; per-language totals, corpus token counts, and the
+    * corpus total all RE-AGGREGATE from it (no second corpus scan,
+    * ReuseExchange-safe because the pinned frame is materialized);
+    * the only join is (lang, token)⋈(token) — vocabulary-bounded —
+    * and the two totals are one-row/`|langs|`-row broadcasts. */
+  val q65 = Q(
+    "q65_lang_kl",
+    (s, d) => {
+      val lt = graft.Materialize.pin(
+        tokenized(s, d)
+          .select(col("lang"), explode(col("toks")).as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c_lt")))
+      val langTotals = lt.groupBy(col("lang")).agg(sum(col("c_lt")).as("n_l"))
+      val corpus = lt.groupBy(col("tok")).agg(sum(col("c_lt")).as("c_t"))
+      val total = lt.agg(sum(col("c_lt")).as("n"))
+      lt.join(corpus, Seq("tok"))
+        .join(broadcast(langTotals), Seq("lang"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("lang"))
+        .agg(
+          max(col("n_l")).as("n_tokens"),
+          round(sum(
+            (col("c_lt").cast(DoubleType) / col("n_l").cast(DoubleType)) *
+              log((col("c_lt").cast(DoubleType) / col("n_l").cast(DoubleType)) /
+                (col("c_t").cast(DoubleType) / col("n").cast(DoubleType)))), 4)
+            .as("kl"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH flat AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+           |              FROM documents),
+           |lt AS (SELECT lang, tok, COUNT(*) AS c_lt FROM flat GROUP BY lang, tok),
+           |nl AS (SELECT lang, SUM(c_lt) AS n_l FROM lt GROUP BY lang),
+           |ct AS (SELECT tok, SUM(c_lt) AS c_t FROM lt GROUP BY tok),
+           |n AS (SELECT SUM(c_lt) AS n FROM lt)
+           |SELECT lt.lang, CAST(MAX(n_l) AS BIGINT) AS n_tokens,
+           |       ROUND(SUM((CAST(c_lt AS DOUBLE) / CAST(n_l AS DOUBLE)) *
+           |               LN((CAST(c_lt AS DOUBLE) / CAST(n_l AS DOUBLE)) /
+           |                  (CAST(c_t AS DOUBLE) / CAST(n.n AS DOUBLE)))), 4) AS kl
+           |FROM lt JOIN ct USING (tok) JOIN nl USING (lang) CROSS JOIN n
+           |GROUP BY lt.lang ORDER BY lt.lang""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64)
+      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65)
 }
