@@ -1239,6 +1239,59 @@ object Maintenance {
     footers.values.map(_.rows).sum
   }
 
+  /** Merge-on-read DELETE addressed to a BRANCH: the key parquet and
+    * entry land in the branch's log, so main never sees the deletion
+    * until [[fastForward]] — the audit-stage cleanup of WAP (dedup
+    * or policy deletes applied to the staged ingest before publish).
+    * Entry seq = the branch's next version, covering every file the
+    * branch head references (its own appends included). Returns key
+    * tuples recorded. */
+  def morDeleteFromBranch(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      name: String,
+      keys: org.apache.spark.sql.DataFrame): Long = {
+    val dir = lakehouseTable(spark, catalog, namespace, table).tableDir
+    val head = branchHead(dir, name)
+    val keyCols = keys.columns.toSeq
+    val kSchema = MergeOnRead.keySchema(head.schema, keyCols)
+    val casted = keys.select(kSchema.fields.map(f =>
+      keys.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val next = head.version + 1
+    val delRel = s"deletes/b$next-$name-${UUID.randomUUID().toString.take(8)}"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val pinned = graft.Materialize.pin(casted)
+    MergeOnRead.shapeDeleteWrite(spark, pinned, keyCols.map(pinned.col), pinned.count())
+      .write.parquet(dir.resolve(delRel).toString)
+    val conf = spark.sessionState.newHadoopConf()
+    val delFiles = Files.list(dir.resolve(delRel)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$delRel/$n").toSeq.sorted
+    val footers = delFiles.map { f =>
+      f -> FooterStats.collectFull(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), kSchema)
+    }.toMap
+    val entries = delFiles.map { f =>
+      DeleteFile(f, keyCols, next, footers(f).rows, footers(f).cols)
+    }
+    val keyRows = entries.map(_.rows).sum
+    if (keyRows == 0) {
+      val staging = dir.resolve(delRel)
+      if (Files.isDirectory(staging)) {
+        Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+      return 0
+    }
+    commitToBranch(dir, name, head, head.copy(
+      version = next,
+      deleteFiles = head.deleteFiles ++ entries,
+      snapshots = head.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), "mor-delete", 0, head.files.size)))
+    keyRows
+  }
+
   /** Atomic branch-log commit with the same structural fileSeq
     * maintenance as [[TableMetadata.commit]] (prev = the branch head
     * the attempt was computed against). Branches are single-writer:

@@ -14,6 +14,9 @@ class BranchSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  private def tableDir(name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(TestSpark.warehouse, "br_ns", name)
+
   private def mkTable(name: String): Unit = {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.br_ns")
     spark.sql(s"CREATE TABLE lakehouse.br_ns.$name (k INT, v STRING)")
@@ -106,6 +109,34 @@ class BranchSpec extends AnyFunSuite with Matchers {
     // branch read still works: its files were not reaped as orphans
     spark.sql(s"SELECT * FROM $t VERSION AS OF 'wip'").count() shouldBe 3
     spark.table(t).count() shouldBe 2
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("branch-addressed MoR delete: audit-stage cleanup invisible to main until publish") {
+    mkTable("del")
+    val t = "lakehouse.br_ns.del"
+    Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "del", "stage")
+    // staged ingest on the branch, then dedup-delete ON the branch
+    Seq((1, "dup"), (30, "new")).toDF("k", "v").createOrReplaceTempView("br_del_w")
+    Maintenance.appendToBranch(spark, "lakehouse", Seq("br_ns"), "del", "stage",
+      spark.table("br_del_w"))
+    Maintenance.morDeleteFromBranch(spark, "lakehouse", Seq("br_ns"), "del", "stage",
+      Seq(1).toDF("k")) shouldBe 1L
+    // the branch read merges the delete: k=1 gone (both the original
+    // row and the staged duplicate), k=30 present; main untouched
+    val audit = spark.sql(s"SELECT k FROM $t VERSION AS OF 'stage'")
+      .collect().map(_.getInt(0)).sorted
+    audit shouldBe Array(2, 30)
+    spark.table(t).where($"k" === 1).count() shouldBe 1
+    // publish: main now reflects append + delete in one fast-forward
+    Maintenance.fastForward(spark, "lakehouse", Seq("br_ns"), "del", "stage")
+    spark.table(t).where($"k" === 1).count() shouldBe 0
+    spark.table(t).count() shouldBe 2
+    // an empty key set is a clean no-op: nothing staged, no commit
+    val headBefore = Maintenance.branchHead(tableDir("del"), "stage").version
+    Maintenance.morDeleteFromBranch(spark, "lakehouse", Seq("br_ns"), "del", "stage",
+      Seq.empty[Int].toDF("k")) shouldBe 0L
+    Maintenance.branchHead(tableDir("del"), "stage").version shouldBe headBefore
     spark.sql(s"DROP TABLE $t")
   }
 
