@@ -106,7 +106,7 @@ object MergeOnRead {
     * the read side joins against one commit's entries as a single
     * union scan — the plan that survives both a 5-row CDC batch and a
     * 10⁹-row MERGE. */
-  private[catalog] def shapeDeleteWrite(
+  private[graft] def shapeDeleteWrite(
       spark: SparkSession,
       df: DataFrame,
       sortCols: Seq[org.apache.spark.sql.Column],

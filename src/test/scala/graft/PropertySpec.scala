@@ -171,6 +171,82 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("branch ops + fast-forward ≡ the same ops applied to main directly") {
+    // the WAP law: staging through a branch must be semantically
+    // invisible — publish(branch(ops)) == ops — for any interleaving
+    // of appends and key deletes
+    import graft.catalog.{Maintenance, MergeOnRead}
+    sealed trait Op
+    case class App(ks: List[Int]) extends Op
+    case class Del(ks: List[Int]) extends Op
+    val opGen = Gen.listOfN(4, Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.choose(0, 40)).map(l => App(l.take(5)): Op),
+      Gen.nonEmptyListOf(Gen.choose(0, 40)).map(l => Del(l.take(5)): Op)))
+    var round = 0
+    forAll(opGen, trials = 4) { ops =>
+      round += 1
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.wap_ns")
+      Seq(s"b$round", s"m$round").foreach { n =>
+        spark.sql(s"CREATE TABLE lakehouse.wap_ns.$n (k INT, v STRING)")
+        Seq((1, "seed"), (2, "seed")).toDF("k", "v")
+          .createOrReplaceTempView(s"wap_seed_$n")
+        spark.sql(s"INSERT INTO lakehouse.wap_ns.$n SELECT * FROM wap_seed_$n")
+      }
+      Maintenance.createBranch(spark, "lakehouse", Seq("wap_ns"), s"b$round", "wip")
+      ops.zipWithIndex.foreach {
+        case (App(ks), i) =>
+          val df = ks.map(k => (k, s"v$i")).toDF("k", "v")
+          Maintenance.appendToBranch(
+            spark, "lakehouse", Seq("wap_ns"), s"b$round", "wip", df)
+          df.createOrReplaceTempView(s"wap_app_${round}_$i")
+          spark.sql(s"INSERT INTO lakehouse.wap_ns.m$round " +
+            s"SELECT * FROM wap_app_${round}_$i")
+        case (Del(ks), _) =>
+          Maintenance.morDeleteFromBranch(
+            spark, "lakehouse", Seq("wap_ns"), s"b$round", "wip", ks.toDF("k"))
+          MergeOnRead.morDelete(
+            spark, "lakehouse", Seq("wap_ns"), s"m$round", ks.toDF("k"))
+      }
+      Maintenance.fastForward(spark, "lakehouse", Seq("wap_ns"), s"b$round", "wip")
+      val branched = spark.table(s"lakehouse.wap_ns.b$round")
+        .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      val direct = spark.table(s"lakehouse.wap_ns.m$round")
+        .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+      branched shouldBe direct
+      spark.sql(s"DROP TABLE lakehouse.wap_ns.b$round")
+      spark.sql(s"DROP TABLE lakehouse.wap_ns.m$round")
+    }
+  }
+
+  test("shapeDeleteWrite: fan-out file count follows the ceiling, tuples survive sorted") {
+    import org.apache.spark.sql.functions.col
+    forAll(Gen.zip(Gen.choose(1, 400), Gen.choose(1, 50)), trials = 8) { case (n, cap) =>
+      spark.conf.set("graft.mor.maxSingleFileDeleteTuples", cap.toString)
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("shape-prop-")
+        val df = (0 until n).map(i => (i * 7919) % 1000).toDF("k")
+        graft.catalog.MergeOnRead.shapeDeleteWrite(
+            spark, df, Seq(col("k")), n.toLong)
+          .write.parquet(dir.resolve("out").toString)
+        val files = java.nio.file.Files.list(dir.resolve("out")).iterator()
+        val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+        if (n <= cap) parquets.size shouldBe 1
+        else {
+          val expected = math.min((n + cap - 1) / cap, 10000).toInt
+          parquets.size should be <= expected
+          parquets.size should be > 1
+        }
+        // every tuple survives the fan-out
+        spark.read.parquet(dir.resolve("out").toString)
+          .collect().map(_.getInt(0)).sorted.toSeq shouldBe
+          (0 until n).map(i => (i * 7919) % 1000).sorted
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally spark.conf.unset("graft.mor.maxSingleFileDeleteTuples")
+    }
+  }
+
   test("simhash banding finds EVERY hamming-≤3 pair (pigeonhole recall)") {
     val sf = "/root/testdata/sf0.001"
     def pairs(q: graft.queries.Q) =
