@@ -1445,8 +1445,51 @@ object TextOps {
            |FROM lt JOIN ct USING (tok) JOIN nl USING (lang) CROSS JOIN n
            |GROUP BY lt.lang ORDER BY lt.lang""".stripMargin))
 
+  /** Token-class quality rules (the Gopher/C4 filter family): per doc,
+    * the fraction of purely-alphabetic tokens, the fraction of tokens
+    * carrying a digit, mean token length, and the combined pass/fail
+    * gate a curation pipeline drops on. Distinct from q30d's
+    * stopword/length score: these are CHARACTER-CLASS rules — they
+    * catch boilerplate, code, and serial-number spam whose stopword
+    * profile looks fine. Everything is a row-local codegen'd
+    * filter/size expression — embarrassingly parallel, no shuffle
+    * beyond the scan. */
+  val q66 = Q(
+    "q66_quality_rules",
+    (s, d) => {
+      val t = col("toks")
+      val n = size(t).cast(DoubleType)
+      val alphaFrac = size(filter(t, tk => tk.rlike("^[A-Za-z]+$"))).cast(DoubleType) / n
+      val digitFrac = size(filter(t, tk => tk.rlike("[0-9]"))).cast(DoubleType) / n
+      val meanLen = (col("n_chars") - (size(t) - 1)).cast(DoubleType) / n
+      tokenized(s, d)
+        .select(col("doc_id"),
+          size(t).cast(LongType).as("n_toks"),
+          round(alphaFrac, 4).as("alpha_frac"),
+          round(digitFrac, 4).as("digit_frac"),
+          round(meanLen, 4).as("mean_tok_len"),
+          (alphaFrac >= 0.7 && digitFrac <= 0.2 &&
+            meanLen >= 2.0 && meanLen <= 12.0).as("pass_rules"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+           |           FROM documents)
+           |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+           |  ROUND(CAST(len(list_filter(tk, x -> regexp_full_match(x, '[A-Za-z]+')))
+           |          AS DOUBLE) / len(tk), 4) AS alpha_frac,
+           |  ROUND(CAST(len(list_filter(tk, x -> regexp_matches(x, '[0-9]')))
+           |          AS DOUBLE) / len(tk), 4) AS digit_frac,
+           |  ROUND(CAST(n_chars - (len(tk) - 1) AS DOUBLE) / len(tk), 4) AS mean_tok_len,
+           |  (CAST(len(list_filter(tk, x -> regexp_full_match(x, '[A-Za-z]+')))
+           |     AS DOUBLE) / len(tk) >= 0.7
+           |   AND CAST(len(list_filter(tk, x -> regexp_matches(x, '[0-9]')))
+           |     AS DOUBLE) / len(tk) <= 0.2
+           |   AND CAST(n_chars - (len(tk) - 1) AS DOUBLE) / len(tk) BETWEEN 2.0 AND 12.0)
+           |    AS pass_rules
+           |FROM t ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65)
+      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66)
 }
