@@ -1488,8 +1488,134 @@ object TextOps {
            |    AS pass_rules
            |FROM t ORDER BY doc_id""".stripMargin))
 
+  /** Within-document repetition rules (the other half of the Gopher
+    * filter family, complementing q66's token-class rules): duplicate
+    * word-bigram fraction, duplicate word-trigram fraction, the share
+    * of bigram slots taken by the single most frequent bigram, and the
+    * combined gate. Repetition is THE signature of degenerate
+    * generations, boilerplate, and crawler traps — a doc can pass every
+    * character-class rule while looping one phrase.
+    *
+    * Scale shape: one scan, one aggregation tree, no join — the
+    * duplicate fractions come straight from the per-(doc, bigram)
+    * counts (n = Σc, distinct = |groups|, top = max c) with map-side
+    * combine, and the trigram fraction rides along as a row-local
+    * `array_distinct` computed BEFORE the explode so it is never
+    * recomputed per exploded row. Embarrassingly parallel at 100 TB. */
+  val q67 = Q(
+    "q67_repetition",
+    (s, d) => {
+      val t = col("toks")
+      val bg = transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+      val tg = transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2)))
+      val dup2 = lit(1d) - col("d2").cast(DoubleType) / col("n2")
+      val topf = col("topc").cast(DoubleType) / col("n2")
+      tokenized(s, d)
+        .where(size(t) >= 3)
+        .select(col("doc_id"), bg.as("bg"),
+          (lit(1d) - size(array_distinct(tg)).cast(DoubleType) / size(tg))
+            .as("dup3"))
+        .select(col("doc_id"), col("dup3"), explode(col("bg")).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("c"), first(col("dup3")).as("dup3"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n2"), count(lit(1)).as("d2"),
+          max(col("c")).as("topc"), first(col("dup3")).as("dup3"))
+        .select(col("doc_id"),
+          round(dup2, 4).as("dup2_frac"),
+          round(col("dup3"), 4).as("dup3_frac"),
+          round(topf, 4).as("top2_frac"),
+          (dup2 <= 0.05 && col("dup3") <= 0.02 && topf <= 0.05)
+            .as("pass_repetition"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |g AS (SELECT doc_id,
+           |        [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS bg,
+           |        [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+           |           FOR i IN range(1, len(tk)-1)] AS tg
+           |      FROM t WHERE len(tk) >= 3),
+           |m AS (SELECT doc_id, len(bg) AS n2, len(list_distinct(bg)) AS d2,
+           |        1 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup3
+           |      FROM g),
+           |flat AS (SELECT doc_id, unnest(bg) AS b FROM g),
+           |c AS (SELECT doc_id, b, COUNT(*) AS c FROM flat GROUP BY 1, 2),
+           |mx AS (SELECT doc_id, MAX(c) AS topc FROM c GROUP BY 1)
+           |SELECT m.doc_id,
+           |  ROUND(1 - CAST(d2 AS DOUBLE) / n2, 4) AS dup2_frac,
+           |  ROUND(dup3, 4) AS dup3_frac,
+           |  ROUND(CAST(topc AS DOUBLE) / n2, 4) AS top2_frac,
+           |  (1 - CAST(d2 AS DOUBLE) / n2 <= 0.05 AND dup3 <= 0.02
+           |   AND CAST(topc AS DOUBLE) / n2 <= 0.05) AS pass_repetition
+           |FROM m JOIN mx ON m.doc_id = mx.doc_id
+           |ORDER BY m.doc_id""".stripMargin))
+
+  /** Mixture construction: temperature-resampled per-language targets
+    * (weight ∝ n^α, α=0.5 — the multilingual-LM upsampling rule that
+    * flattens head languages without starving the tail) over a corpus
+    * budget of 40%, then a DETERMINISTIC per-language subsample that
+    * hits the target rate. Reports per language: corpus count, target,
+    * kept count, and the mean length of the kept docs (which checks
+    * that both engines selected the IDENTICAL documents).
+    *
+    * Scale shape: selection is a pure row-local hash-threshold — keep
+    * iff the first 6 hex chars of md5(doc_id) fall under the
+    * language's rate threshold (a 5-row broadcast). No window: the
+    * obvious `row_number() OVER (PARTITION BY lang)` sorts every
+    * language through one task — with single-digit language
+    * cardinality at 100 TB that serializes the whole corpus. The
+    * hash gate is embarrassingly parallel, reproducible across runs
+    * and engines, and lands within binomial noise of the target. */
+  val q68 = Q(
+    "q68_mixture",
+    (s, d) => {
+      val docs = documents(s, d)
+      val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("n"),
+        sum(pow(col("n_docs"), 0.5)).as("z"))
+      val rate = pow(col("n_docs"), 0.5) / col("z") *
+        floor(lit(0.4) * col("n")) / col("n_docs")
+      val tgt = byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          floor(rate * col("n_docs")).cast(LongType).as("n_target"),
+          format_string("%06x",
+            least(floor(rate * 16777216d), lit(16777215d)).cast(LongType))
+            .as("thr"))
+      val kept = docs
+        .join(broadcast(tgt.select(col("lang"), col("thr"))), Seq("lang"))
+        .where(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
+          <= col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("n_chars")), 4).as("avg_chars_kept"))
+      tgt.join(broadcast(kept), Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_target"), col("n_kept"),
+          col("avg_chars_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+           |tot AS (SELECT SUM(n_docs) AS n, SUM(POW(n_docs, 0.5)) AS z FROM n),
+           |tgt AS (SELECT lang, n_docs,
+           |          CAST(FLOOR(POW(n_docs, 0.5) / z * FLOOR(0.4 * n))
+           |            AS BIGINT) AS n_target,
+           |          printf('%06x', CAST(LEAST(FLOOR(
+           |            POW(n_docs, 0.5) / z * FLOOR(0.4 * n) / n_docs * 16777216),
+           |            16777215) AS BIGINT)) AS thr
+           |        FROM n CROSS JOIN tot),
+           |kept AS (SELECT d.lang, COUNT(*) AS n_kept,
+           |           ROUND(AVG(n_chars), 4) AS avg_chars_kept
+           |         FROM documents d JOIN tgt ON d.lang = tgt.lang
+           |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) <= thr
+           |         GROUP BY d.lang)
+           |SELECT tgt.lang, n_docs, n_target, n_kept, avg_chars_kept
+           |FROM tgt JOIN kept ON tgt.lang = kept.lang
+           |ORDER BY tgt.lang""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66)
+      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }

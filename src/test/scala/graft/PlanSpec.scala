@@ -329,4 +329,26 @@ class PlanSpec extends AnyFunSuite with Matchers {
     anti should be (defined)
     anti.get should include("ShuffledHashJoin")
   }
+
+  test("q67 repetition metrics are one aggregation tree: no join anywhere") {
+    // dup fractions, distinct counts, and the per-doc mode all come out
+    // of the single (doc, bigram) aggregation with map-side combine;
+    // reintroducing a join (e.g. computing row-local metrics separately
+    // and joining back) would double the corpus scan at 100 TB.
+    val plan = executedPlan(graft.queries.TextOps.q67.run(spark, sf))
+    plan should not include "Join"
+    plan should include("Generate")
+    plan should include("HashAggregate")
+  }
+
+  test("q68 mixture sampling is hash-gated, never a per-language window sort") {
+    // row_number() OVER (PARTITION BY lang) would sort each language
+    // through one task — language cardinality is single-digit, so that
+    // serializes the corpus. The deterministic md5 threshold keeps
+    // selection row-local; the only joins are 5-row broadcasts.
+    val plan = executedPlan(graft.queries.TextOps.q68.run(spark, sf))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+    plan should include("BroadcastHashJoin")
+  }
 }
