@@ -1362,20 +1362,26 @@ object TextOps {
   val q64 = Q(
     "q64_bigram_score",
     (s, d) => {
+      // TWO corpus-scale operations, down from three: the prefix
+      // totals c(p,·) — the true MLE transition denominator P(w|p) =
+      // c(p,w)/c(p,·) — re-aggregate from the bigram MODEL
+      // (vocab-bounded) instead of a second corpus-wide unigram
+      // explode. The tokenized corpus is pinned ONCE (both the model
+      // and probe branches explode from it — ReuseExchange cannot
+      // dedup lambda subtrees), the probe stream joins the enriched
+      // model directly (adaptive: broadcast while the model fits,
+      // shuffle at scale) and the per-doc mean combines map-side to
+      // one row per doc.
       val tok = graft.Materialize.pin(
         tokenized(s, d).filter(size(col("toks")) >= 2))
-      val pairs = tok.select(col("doc_id"),
+      def pairs = tok.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
           struct(element_at(col("toks"), i + 1).as("p"),
             element_at(col("toks"), i + 2).as("w")))).as("pr"))
         .select(col("doc_id"), col("pr.p").as("p"), col("pr.w").as("w"))
       val bigrams = pairs.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
-      val unigrams = tok.select(explode(col("toks")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-      // enrich the MODEL with its denominators first (model⋈model,
-      // vocab²-bounded), so the corpus-scale pair stream shuffles into
-      // exactly ONE join instead of two
-      val model = bigrams.join(unigrams, col("p") === col("tok"))
+      val prefix = bigrams.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
+      val model = bigrams.join(prefix, Seq("p"))
         .select(col("p"), col("w"),
           log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)).as("lp"))
       pairs.join(model, Seq("p", "w"))
@@ -1390,11 +1396,10 @@ object TextOps {
            |            unnest([t[i+1] FOR i IN range(1, len(t))]) AS w
            |          FROM toks WHERE len(t) >= 2),
            |bm AS (SELECT p, w, COUNT(*) AS c2 FROM pairs GROUP BY p, w),
-           |um AS (SELECT unnest(t) AS tok FROM toks WHERE len(t) >= 2),
-           |uc AS (SELECT tok, COUNT(*) AS c1 FROM um GROUP BY tok)
+           |uc AS (SELECT p, SUM(c2) AS c1 FROM bm GROUP BY p)
            |SELECT doc_id, COUNT(*) AS n_bigrams,
            |       ROUND(AVG(LN(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))), 4) AS bg_score
-           |FROM pairs JOIN bm USING (p, w) JOIN uc ON pairs.p = uc.tok
+           |FROM pairs JOIN bm USING (p, w) JOIN uc USING (p)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** Per-language distribution drift: KL(P_lang ‖ P_corpus) over the
