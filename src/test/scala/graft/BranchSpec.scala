@@ -155,6 +155,36 @@ class BranchSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("main's .changes never leaks branch commits; publish surfaces them as inserts") {
+    // The WAP contract extended to CDC consumers: a changelog reader on
+    // main must not observe audit-stage writes (they are unpublished by
+    // definition), and after fast_forward the published rows arrive as
+    // ordinary insert changes at the published versions — so a
+    // downstream .changes pipeline sees exactly the publish, never the
+    // staging.
+    mkTable("wapcdc")
+    val t = "lakehouse.br_ns.wapcdc"
+    spark.sql("CALL lakehouse.system.branch('br_ns', 'wapcdc', 'stage')").collect()
+    Seq((20, "p"), (21, "q")).toDF("k", "v").createOrReplaceTempView("br_cdc_w")
+    spark.sql(
+      "CALL lakehouse.system.append_to_branch('br_ns', 'wapcdc', 'stage', 'br_cdc_w')")
+      .collect()
+
+    spark.sql(s"SELECT k FROM $t.changes").collect()
+      .map(_.getInt(0)).sorted shouldBe Array(1, 2)
+
+    spark.sql("CALL lakehouse.system.fast_forward('br_ns', 'wapcdc', 'stage')").collect()
+    val after = spark.sql(s"SELECT k, _change_type, _commit_version FROM $t.changes")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    after.map(_._1).sorted shouldBe Array(1, 2, 20, 21)
+    val published = after.filter(r => r._1 >= 20)
+    published.foreach(_._2 shouldBe "insert")
+    // published changes carry the PUBLISHED version, after the fork
+    val forkV = after.filter(_._1 <= 2).map(_._3).max
+    published.foreach(_._3 should be > forkV)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("branch and tag names share one ref namespace; branches are single-writer") {
     mkTable("refguard")
     Maintenance.tag(spark, "lakehouse", Seq("br_ns"), "refguard", "pin", 1)
