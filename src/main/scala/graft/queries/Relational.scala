@@ -1185,9 +1185,67 @@ object Relational {
            |FROM documents WHERE lang IN ('en', 'de')
            |GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 
+  /** Dataset profile: per-column count / null count / exact distinct /
+    * mean / stddev / min / max over `documents` — the sanity-and-drift
+    * scan a pipeline runs on every ingest before anything trains on it
+    * (a lang column whose distinct count jumps, a n_chars mean that
+    * halves, a doc_id that went nullable are all ingest bugs caught
+    * here, not three stages later).
+    *
+    * Scale shape: ONE pass — every per-column aggregate lives in a
+    * single stacked aggregation, and the per-column rows unfold from
+    * the one aggregated row with `stack` (a generator over 1 row, not
+    * a re-scan per column). The multi-column exact distincts plan
+    * through Spark's Expand (factor = |profiled columns| + 1) — linear,
+    * map-side combined; at 100 TB the same shape swaps
+    * `countDistinct` for `approx_count_distinct` sketches (q13's
+    * bound pattern) and the Expand disappears. */
+  val q69 = Q(
+    "q69_profile",
+    (s, d) => {
+      val a = documents(s, d).agg(
+        count(lit(1)).as("n"),
+        count(col("doc_id")).as("c_doc"), countDistinct(col("doc_id")).as("d_doc"),
+        avg(col("doc_id")).as("m_doc"), stddev(col("doc_id")).as("s_doc"),
+        min(col("doc_id")).cast("string").as("mn_doc"),
+        max(col("doc_id")).cast("string").as("mx_doc"),
+        count(col("lang")).as("c_lang"), countDistinct(col("lang")).as("d_lang"),
+        min(col("lang")).as("mn_lang"), max(col("lang")).as("mx_lang"),
+        count(col("source")).as("c_src"), countDistinct(col("source")).as("d_src"),
+        min(col("source")).as("mn_src"), max(col("source")).as("mx_src"),
+        count(col("n_chars")).as("c_nc"), countDistinct(col("n_chars")).as("d_nc"),
+        avg(col("n_chars")).as("m_nc"), stddev(col("n_chars")).as("s_nc"),
+        min(col("n_chars")).cast("string").as("mn_nc"),
+        max(col("n_chars")).cast("string").as("mx_nc"))
+      a.select(col("n"), expr(
+        """stack(4,
+          |  'doc_id', n - c_doc, d_doc, round(m_doc, 4), round(s_doc, 4), mn_doc, mx_doc,
+          |  'lang', n - c_lang, d_lang, cast(null as double), cast(null as double), mn_lang, mx_lang,
+          |  'n_chars', n - c_nc, d_nc, round(m_nc, 4), round(s_nc, 4), mn_nc, mx_nc,
+          |  'source', n - c_src, d_src, cast(null as double), cast(null as double), mn_src, mx_src
+          |) as (col, n_null, n_distinct, mean, std, vmin, vmax)""".stripMargin))
+        .orderBy(col("col"))
+    },
+    Some("""SELECT 'doc_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(doc_id) AS n_null,
+           |       COUNT(DISTINCT doc_id) AS n_distinct,
+           |       ROUND(AVG(doc_id), 4) AS mean, ROUND(STDDEV(doc_id), 4) AS std,
+           |       CAST(MIN(doc_id) AS VARCHAR) AS vmin, CAST(MAX(doc_id) AS VARCHAR) AS vmax
+           |FROM documents
+           |UNION ALL
+           |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           |       NULL, NULL, MIN(lang), MAX(lang) FROM documents
+           |UNION ALL
+           |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           |       ROUND(AVG(n_chars), 4), ROUND(STDDEV(n_chars), 4),
+           |       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+           |UNION ALL
+           |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           |       NULL, NULL, MIN(source), MAX(source) FROM documents
+           |ORDER BY col""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q13b,
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
-    q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54)
+    q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69)
 }

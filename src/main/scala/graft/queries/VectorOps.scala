@@ -319,5 +319,42 @@ object VectorOps {
             |FROM b a JOIN rv ON a.bucket = rv.bucket
             |ORDER BY a.vec_id""".stripMargin))
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q49, q59)
+  /** Embedding-health audit: per label, dimension constancy (a ragged
+    * dim means a broken encoder batch), mean L2 norm, and degenerate
+    * (near-zero) vector count — the checks an ANN index build runs
+    * BEFORE spending cluster-hours on k-means, because one
+    * zero-vector slice silently poisons every cosine it touches.
+    *
+    * Scale shape: row-local codegen'd norm (the native `vec_norm_sq`
+    * expression — same sequential float→double fold as the oracle's
+    * LIST_REDUCE), one map-side-combined aggregation keyed by label.
+    * No shuffle carries an embedding: vectors reduce to (dim, norm)
+    * scalars before the exchange. */
+  val q70 = Q(
+    "q70_embedding_health",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val nrm = sqrt(call_function("vec_norm_sq", col("embedding")))
+      embeddings(s, d)
+        .select(col("label"), size(col("embedding")).as("dim"), nrm.as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+          round(avg(col("nrm")), 4).as("mean_norm"),
+          sum(when(col("nrm") < 0.5, 1L).otherwise(0L)).as("n_degenerate"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH e AS (SELECT label, LEN(embedding) AS dim,
+           |            SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+           |              [CAST(embedding[i] AS DOUBLE) * embedding[i]
+           |                 FOR i IN range(1, LEN(embedding) + 1)]),
+           |              (acc, x) -> acc + x)) AS nrm
+           |          FROM embeddings)
+           |SELECT label, COUNT(*) AS n, MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+           |       ROUND(AVG(nrm), 4) AS mean_norm,
+           |       CAST(SUM(CASE WHEN nrm < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_degenerate
+           |FROM e GROUP BY label ORDER BY label""".stripMargin))
+
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q49, q59, q70)
 }
