@@ -1619,8 +1619,58 @@ object TextOps {
            |FROM tgt JOIN kept ON tgt.lang = kept.lang
            |ORDER BY tgt.lang""".stripMargin))
 
+  /** Source-similarity matrix: vocabulary Jaccard between every source
+    * pair — the distribution-level contamination diagnostic (two
+    * "independent" scrapes whose vocabularies coincide are one scrape
+    * twice; a source whose vocabulary overlaps nothing is junk or a
+    * language mislabel). Complements q28's content-level dedup: sources
+    * can share zero exact documents and still be the same distribution.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, token) pairs
+    * first (map-side-combined; ≤ |vocab|·|sources| rows no matter the
+    * corpus size), the self-join keys on the token with fan-out bounded
+    * by |sources|² per token, and the per-source totals are a
+    * |sources|-row broadcast. Nothing downstream of the first
+    * aggregation scales with the corpus. */
+  val q71 = Q(
+    "q71_source_similarity",
+    (s, d) => {
+      val st = graft.Materialize.pin(
+        tokenized(s, d)
+          .select(col("source"), explode(col("toks")).as("tok"))
+          .distinct())
+      val counts = st.groupBy(col("source")).agg(count(lit(1)).as("nt"))
+      val shared = st.as("a")
+        .join(st.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a2"), col("b.source").as("src_b2"))
+        .agg(count(lit(1)).as("shared"))
+        .withColumnRenamed("src_a2", "src_a").withColumnRenamed("src_b2", "src_b")
+      shared
+        .join(broadcast(counts.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("nt", "nt_a")), Seq("src_a"))
+        .join(broadcast(counts.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("nt", "nt_b")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("shared"),
+          round(col("shared").cast(DoubleType) /
+            (col("nt_a") + col("nt_b") - col("shared")), 4).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some("""WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+           |            FROM documents),
+           |c AS (SELECT source, COUNT(*) AS nt FROM st GROUP BY source),
+           |sh AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+           |       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+           |       GROUP BY 1, 2)
+           |SELECT src_a, src_b, shared,
+           |       ROUND(CAST(shared AS DOUBLE) / (ca.nt + cb.nt - shared), 4) AS jaccard
+           |FROM sh JOIN c ca ON sh.src_a = ca.source
+           |        JOIN c cb ON sh.src_b = cb.source
+           |ORDER BY src_a, src_b""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68)
+      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+      q71)
 }
