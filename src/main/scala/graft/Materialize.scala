@@ -15,7 +15,19 @@ import org.apache.spark.sql.DataFrame
   * `sparkContext.setCheckpointDir` configured) switches every pin to
   * a RELIABLE checkpoint: blocks persist to the checkpoint filesystem
   * and survive executor loss — the 1000-executor setting, paying one
-  * write+read of the pinned intermediate for fault tolerance. */
+  * write+read of the pinned intermediate for fault tolerance.
+  *
+  * Known limitation (measured): the checkpointed frame reports
+  * `UnknownPartitioning`, so a pin does NOT carry hash partitioning
+  * across the cut — downstream aggregations and joins on the pinned
+  * keys re-shuffle even when the pinned plan ended partitioned on
+  * them. Callers must not position a pin to "save" a downstream
+  * exchange; pins buy single derivation of a multiply-referenced
+  * subtree, nothing else. (`Dataset.persist` would preserve
+  * partitioning, but cached entries dedupe across re-invocations of
+  * the same plan — benchmark samples would silently measure the
+  * cache — and corpus-scale cache residency is the wrong default at
+  * 100 TB.) */
 object Materialize {
 
   val ReliableConf = "graft.checkpoint.reliable"

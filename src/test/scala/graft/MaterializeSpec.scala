@@ -32,4 +32,23 @@ class MaterializeSpec extends AnyFunSuite with Matchers {
       reliable shouldBe default
     } finally spark.conf.unset(Materialize.ReliableConf)
   }
+
+  test("a pin drops hash partitioning across the cut (documented limitation)") {
+    // Callers must not position a pin to save a downstream exchange:
+    // the checkpointed frame reports UnknownPartitioning, so a re-agg
+    // on the pinned keys re-shuffles. If a Spark upgrade starts
+    // preserving partitioning here, this test fails and the pin
+    // placement guidance in Materialize's scaladoc should be revisited
+    // (several query shapes could then drop an exchange).
+    import org.apache.spark.sql.functions._
+    val pinned = Materialize.pin(
+      spark.range(10000L)
+        .select((col("id") % 97).as("p"), (col("id") % 13).as("w"))
+        .repartition(col("p"), col("w")))
+    pinned.queryExecution.executedPlan.outputPartitioning.toString should
+      include("UnknownPartitioning")
+    val reagg = pinned.groupBy("p", "w").count()
+    reagg.collect()
+    reagg.queryExecution.executedPlan.toString should include("Exchange")
+  }
 }
