@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted postings index materialized INTO the lakehouse catalog —
+  * the text twin of [[VectorIndex]]: one row per distinct token holding
+  * the sorted doc-id posting list, PARTITIONED BY a hash bucket of the
+  * token. A term lookup filters `bucket = h(term) AND tok = term`, so
+  * partition pruning plus per-file stats skip every other bucket's
+  * FILES from metadata alone — keyword search over a 100 TB corpus
+  * reads a handful of posting files, never the corpus (Lucene's term
+  * dictionary+postings re-expressed as a lakehouse table; the bucket
+  * column is the shard key a distributed index would route on).
+  *
+  * Maintenance is incremental, same contract as IVF: the covered
+  * source version persists as index-table properties; a refresh merges
+  * ONLY the postings of tokens appearing in appended documents (a
+  * merge-on-read upsert keyed on the token — old posting files are
+  * not rewritten), and rebuilds under a temp name + swap when the
+  * source history holds non-append commits.
+  */
+object TextIndex {
+
+  val SourceProp = "graft.postings.source"
+  val VersionProp = "graft.postings.sourceVersion"
+  val BucketsProp = "graft.postings.buckets"
+  val TextColProp = "graft.postings.textCol"
+  val IdColProp = "graft.postings.idCol"
+
+  private def fq(catalog: String, namespace: Seq[String], name: String): String =
+    (catalog +: namespace :+ name).mkString(".")
+
+  private def lakeTable(
+      spark: SparkSession, catalog: String, namespace: Seq[String],
+      name: String): graft.catalog.LakehouseTable =
+    spark.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(namespace.toArray, name))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+
+  private def setProps(spark: SparkSession, table: String, props: Map[String, String]): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
+      props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")})")
+
+  /** Distinct (tok, id) pairs of a document frame: whitespace
+    * tokenization with per-doc dedup BEFORE the explode, so the
+    * exchange ships each (doc, token) once. */
+  private def tokenPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+
+  /** Postings rows for a pair frame: (tok, bucket, docs sorted, df). */
+  private def postingsOf(pairs: DataFrame, nBuckets: Int): DataFrame =
+    pairs.groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("id"))).as("docs"))
+      .select(col("tok"),
+        pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int").as("bucket"),
+        col("docs"), size(col("docs")).cast("long").as("df"))
+
+  /** Build the postings table over a LAKEHOUSE source table and persist
+    * the maintenance contract (source, covered version, bucket count). */
+  def create(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      sourceTable: String,
+      indexName: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nBuckets: Int = 64): Unit = {
+    val srcLt = lakeTable(spark, catalog, namespace, sourceTable)
+    val srcVersion = graft.catalog.TableMetadata.load(srcLt.tableDir).version
+    val index = fq(catalog, namespace, indexName)
+    spark.sql(
+      s"CREATE TABLE $index (tok STRING, docs ARRAY<BIGINT>, df BIGINT, bucket INT) " +
+        "PARTITIONED BY (bucket)")
+    postingsOf(tokenPairs(spark.table(fq(catalog, namespace, sourceTable)), textCol, idCol),
+        nBuckets)
+      .createOrReplaceTempView("postings_src")
+    spark.sql(s"INSERT INTO $index SELECT tok, docs, df, bucket FROM postings_src")
+    setProps(spark, index, Map(
+      SourceProp -> sourceTable,
+      VersionProp -> srcVersion.toString,
+      BucketsProp -> nBuckets.toString,
+      TextColProp -> textCol,
+      IdColProp -> idCol))
+  }
+
+  /** The probe buckets for a term list (one tiny local job — no table
+    * is scanned; the executor-side xxhash64 is the source of truth so
+    * driver and data can never disagree on the bucketing). */
+  private def bucketOf(spark: SparkSession, terms: Seq[String], nBuckets: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("tok")
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq.distinct
+  }
+
+  /** Documents containing EVERY term (conjunctive keyword search): the
+    * scan carries `bucket IN (...) AND tok IN (...)`, so partition
+    * pruning drops every unprobed bucket's files before any data is
+    * read; the surviving posting rows (≤ |terms|) explode and
+    * intersect by counting distinct matched terms per doc. */
+  def searchAll(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      indexName: String,
+      terms: Seq[String]): DataFrame = {
+    val idxLt = lakeTable(spark, catalog, namespace, indexName)
+    val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
+    def prop(p: String): String = props.getOrElse(p,
+      throw new IllegalArgumentException(
+        s"$indexName is not a postings index (no $p)"))
+    val nBuckets = prop(BucketsProp).toInt
+    val idCol = prop(IdColProp)
+    val distinctTerms = terms.distinct
+    val buckets = bucketOf(spark, distinctTerms, nBuckets)
+    spark.table(fq(catalog, namespace, indexName))
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(distinctTerms: _*))
+      .select(col("tok"), explode(col("docs")).as(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("nt")) // posting rows are tok-unique
+      .filter(col("nt") === distinctTerms.size)
+      .select(col(idCol))
+      .orderBy(col(idCol))
+  }
+
+  /** Fold source commits since the last refresh into the index.
+    * Returns "noop", "incremental" (only the postings of tokens seen
+    * in appended docs are upserted — a merge-on-read commit, no old
+    * posting file rewritten), or "full" (non-append source history:
+    * rebuilt under a temp name, then swapped). */
+  def refresh(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      indexName: String): String = {
+    val idxLt = lakeTable(spark, catalog, namespace, indexName)
+    val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
+    def prop(p: String): String = props.getOrElse(p,
+      throw new IllegalArgumentException(
+        s"$indexName is not a postings index (no $p — not created via TextIndex.create?)"))
+    val sourceTable = prop(SourceProp)
+    val lastVersion = prop(VersionProp).toInt
+    val nBuckets = prop(BucketsProp).toInt
+    val (textCol, idCol) = (prop(TextColProp), prop(IdColProp))
+    val index = fq(catalog, namespace, indexName)
+
+    val srcLt = lakeTable(spark, catalog, namespace, sourceTable)
+    val srcVersion = graft.catalog.TableMetadata.load(srcLt.tableDir).version
+    if (srcVersion == lastVersion) return "noop"
+
+    val delta =
+      try Some(graft.catalog.Maintenance.changesBetween(
+        spark, catalog, namespace, sourceTable, lastVersion, srcVersion))
+      catch {
+        // deletes/rewrites in the window: an added-file delta cannot
+        // retract doc ids from postings — rebuild from current
+        case _: IllegalArgumentException => None
+      }
+    delta match {
+      case None =>
+        val tmpName = indexName + "__rebuild"
+        val tmpFq = fq(catalog, namespace, tmpName)
+        spark.sql(s"DROP TABLE IF EXISTS $tmpFq")
+        create(spark, catalog, namespace, sourceTable, tmpName,
+          textCol, idCol, nBuckets)
+        spark.sql(s"DROP TABLE $index")
+        spark.sql(s"ALTER TABLE $tmpFq RENAME TO ${(namespace :+ indexName).mkString(".")}")
+        "full"
+      case Some(d) =>
+        val deltaPairs = tokenPairs(d, textCol, idCol)
+        if (deltaPairs.isEmpty) {
+          setProps(spark, index, Map(VersionProp -> srcVersion.toString))
+          return "incremental"
+        }
+        // affected postings only: current rows for the delta's tokens
+        // (bucket+tok pushdown file-skips the rest of the index), doc
+        // lists unioned, then ONE merge-on-read upsert keyed on tok —
+        // write cost ∝ |affected tokens|, never |index|
+        val affected = deltaPairs.select(col("tok")).distinct()
+        val current = spark.table(index)
+          .join(broadcast(affected), Seq("tok"))
+          .select(col("tok"), explode(col("docs")).as("id"))
+        val merged = postingsOf(current.unionByName(deltaPairs.select(col("tok"), col("id"))),
+          nBuckets)
+        graft.catalog.MergeOnRead.morUpsert(spark, catalog, namespace, indexName,
+          merged.select(col("tok"), col("docs"), col("df"), col("bucket")), Seq("tok"))
+        setProps(spark, index, Map(VersionProp -> srcVersion.toString))
+        "incremental"
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.LakehouseTable
+import graft.operators.TextIndex
+
+/** Postings index as a bucket-partitioned lakehouse table: term
+  * lookups must file-skip unprobed buckets, search must agree with a
+  * direct corpus scan, and refresh must fold appends in by upserting
+  * ONLY the affected tokens' postings. */
+class TextIndexSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkSource(name: String, rows: Seq[(Long, String)]): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ti")
+    spark.sql(s"CREATE TABLE lakehouse.ti.$name (doc_id BIGINT, text STRING)")
+    rows.toDF("doc_id", "text").createOrReplaceTempView(s"ti_src_$name")
+    spark.sql(s"INSERT INTO lakehouse.ti.$name SELECT * FROM ti_src_$name")
+  }
+
+  private def scanSearch(table: String, terms: Seq[String]): Seq[Long] =
+    terms.distinct
+      .map(t => spark.table(table)
+        .filter(array_contains(split(col("text"), " "), t))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+      .reduce(_ intersect _).toSeq.sorted
+
+  test("postings search agrees with the corpus scan and file-skips unprobed buckets") {
+    mkSource("docs", Seq(
+      1L -> "spark scala lakehouse engine",
+      2L -> "spark iceberg table format",
+      3L -> "scala spark dedup pipeline",
+      4L -> "unrelated tokens entirely here",
+      5L -> "spark scala iceberg trio"))
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docs", "docs_idx", nBuckets = 8)
+
+    // compact into bucket-clustered files so pruning has >1 file to skip
+    graft.catalog.Maintenance.compact(spark, "lakehouse", Seq("ti"), "docs_idx",
+      targetFiles = 4, clusterBy = Seq("bucket"))
+
+    val hits = TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs_idx",
+      Seq("spark", "scala")).collect().map(_.getLong(0)).toSeq
+    hits shouldBe scanSearch("lakehouse.ti.docs", Seq("spark", "scala"))
+    hits shouldBe Seq(1L, 3L, 5L)
+
+    val (survivors, totalFiles) = LakehouseTable.lastScanFileCounts.get()
+    totalFiles should be > 1
+    survivors should be < totalFiles
+
+    // a term absent from the corpus empties the conjunction
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs_idx",
+      Seq("spark", "nosuchtoken")).count() shouldBe 0L
+  }
+
+  test("refresh upserts only affected postings on append; rebuilds on deletes") {
+    mkSource("docs2", Seq(
+      1L -> "alpha beta gamma",
+      2L -> "alpha delta"))
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docs2", "docs2_idx", nBuckets = 8)
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docs2_idx") shouldBe "noop"
+
+    Seq(3L -> "alpha epsilon").toDF("doc_id", "text")
+      .createOrReplaceTempView("ti_docs2_delta")
+    spark.sql("INSERT INTO lakehouse.ti.docs2 SELECT * FROM ti_docs2_delta")
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docs2_idx") shouldBe "incremental"
+
+    // merged posting: alpha now lists all three docs; untouched tokens intact
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs2_idx", Seq("alpha"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs2_idx", Seq("beta"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs2_idx", Seq("epsilon"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    // df reflects the merge through the merging read
+    spark.table("lakehouse.ti.docs2_idx").filter(col("tok") === "alpha")
+      .select(col("df")).collect()(0).getLong(0) shouldBe 3L
+
+    // a source delete cannot be folded from an added-file delta: rebuild
+    spark.sql("DELETE FROM lakehouse.ti.docs2 WHERE doc_id = 1")
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docs2_idx") shouldBe "full"
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs2_idx", Seq("alpha"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L, 3L)
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs2_idx", Seq("beta"))
+      .count() shouldBe 0L
+  }
+
+  test("refresh on a non-index table fails with the contract error") {
+    mkSource("docs3", Seq(1L -> "solo"))
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docs3")
+    }
+    e.getMessage should include("not a postings index")
+  }
+}
