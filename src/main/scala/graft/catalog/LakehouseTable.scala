@@ -198,6 +198,15 @@ class LakehouseTable(
           Bucketing.specOf(meta.properties)
             .filter(_ => spark.conf.getOption(
               "spark.sql.sources.v2.bucketing.enabled").contains("true"))
+            // the partitioning report's key expressions resolve against
+            // the scan OUTPUT: once column pruning has dropped the
+            // bucket column, a KeyGroupedPartitioning over it is
+            // unresolvable (Spark's runtime-pruning rules throw) — and
+            // useless, since no surviving operator keys on it. Same
+            // guard Iceberg applies (groupBy refs must survive in
+            // readSchema).
+            .filter { case (bcol, _) =>
+              required.fieldNames.exists(_.equalsIgnoreCase(bcol)) }
             .flatMap { case (bcol, n) =>
               val ids = survivors.map(f => Bucketing.bucketIdOf(f))
               if (ids.forall(i => i.isDefined && i.get < n))
@@ -233,6 +242,13 @@ class LakehouseTable(
             if (bucketPlan.isDefined || limitTruncated) Array.empty
             else (meta.partitionColumns ++
                 BloomIndex.probeableColumns(meta.properties, meta.schema)).distinct
+              // Spark resolves these against the scan OUTPUT
+              // (PartitionPruning.getFilterableTableScan → resolveRefs
+              // throws on a miss): a partition/bloom column pruned from
+              // the projection cannot take runtime filters — e.g. a
+              // bucket-partitioned postings index scanned as (tok, docs)
+              // under a runtime-filtered join.
+              .filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
               .map(org.apache.spark.sql.connector.expressions.Expressions.column)
               .toArray
 

@@ -40,4 +40,34 @@ class RuntimeFilterSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.rf_ns.fact")
     spark.sql("DROP TABLE lakehouse.rf_ns.dim")
   }
+
+  test("scan with partition column pruned survives a runtime-filtered join") {
+    // Regression: filterAttributes() used to report the partition
+    // column unconditionally; once column pruning dropped it from the
+    // scan output, Spark's PartitionPruning.getFilterableTableScan
+    // threw `Unable to resolve p given [id, payload]` on ANY equi join
+    // over the pruned scan (the TextIndex refresh → morUpsert shape).
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.rf_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.rf_ns.part_fact")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.rf_ns.ids")
+    spark.sql(
+      "CREATE TABLE lakehouse.rf_ns.part_fact (id BIGINT, payload STRING, p INT) " +
+        "PARTITIONED BY (p)")
+    Seq.tabulate(100)(i => (i.toLong, s"pl$i", i % 4)).toDF("id", "payload", "p")
+      .createOrReplaceTempView("rf_pf_src")
+    spark.sql("INSERT INTO lakehouse.rf_ns.part_fact SELECT * FROM rf_pf_src")
+    spark.sql("CREATE TABLE lakehouse.rf_ns.ids (id BIGINT)")
+    Seq(3L, 17L, 42L).toDF("id").createOrReplaceTempView("rf_ids_src")
+    spark.sql("INSERT INTO lakehouse.rf_ns.ids SELECT * FROM rf_ids_src")
+
+    // project away the partition column, then join on a data column
+    val pruned = spark.table("lakehouse.rf_ns.part_fact").select($"id", $"payload")
+    val joined = pruned.join(
+      org.apache.spark.sql.functions.broadcast(spark.table("lakehouse.rf_ns.ids")),
+      Seq("id"))
+    joined.collect().map(_.getLong(0)).sorted shouldBe Array(3L, 17L, 42L)
+
+    spark.sql("DROP TABLE lakehouse.rf_ns.part_fact")
+    spark.sql("DROP TABLE lakehouse.rf_ns.ids")
+  }
 }

@@ -44,12 +44,14 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
 
     val hits = TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs_idx",
       Seq("spark", "scala")).collect().map(_.getLong(0)).toSeq
-    hits shouldBe scanSearch("lakehouse.ti.docs", Seq("spark", "scala"))
-    hits shouldBe Seq(1L, 3L, 5L)
-
+    // read the probe's file counts BEFORE any other lakehouse scan runs
+    // (scanSearch's corpus scans would overwrite the thread-local)
     val (survivors, totalFiles) = LakehouseTable.lastScanFileCounts.get()
     totalFiles should be > 1
     survivors should be < totalFiles
+
+    hits shouldBe scanSearch("lakehouse.ti.docs", Seq("spark", "scala"))
+    hits shouldBe Seq(1L, 3L, 5L)
 
     // a term absent from the corpus empties the conjunction
     TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs_idx",
