@@ -822,18 +822,50 @@ object TextOps {
     * bit-reproducible across runs/engines (no random()). Mechanism:
     * rank within each group, then mix_key = rank × (L/weight) with
     * L = lcm(weights); ascending mix_key yields the weighted
-    * round-robin. The per-group rank here is one window per group —
-    * at 100 TB replace it with q38's two-level prefix-sum (bucketed
-    * rank + offset join), which is the same computation without a
-    * serial per-group sort; the LIMIT plans as TakeOrdered, never a
-    * global sort. */
+    * round-robin. The per-group rank is q38's two-level prefix sum —
+    * a `row_number() OVER (PARTITION BY grp)` would serialize half the
+    * corpus through each of two sort tasks at 100 TB. Here every
+    * corpus-sized window is partitioned by (grp, bucket) of ≤100 rows;
+    * the only narrow windows run over bucket/super aggregates, 10⁴×
+    * smaller than the corpus (PlanSpec pins the no-single-group-window
+    * shape); the LIMIT plans as TakeOrdered, never a global sort. */
   val q46 = Q(
     "q46_mix_corpora",
     (s, d) => {
+      val bucketWidth = 100L // docs per bucket
+      val superWidth = 100L // buckets per super-bucket
+      // pinned: the bucket-count subplan and the final rank join both
+      // read this narrow frame — without the pin each re-scans the corpus
       val g = documents(s, d)
         .withColumn("grp", when(col("lang") === "en", "en").otherwise("other"))
-      val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
-      g.withColumn("rn", row_number().over(w))
+        .select(col("grp"), col("doc_id"), col("lang"),
+          expr(s"doc_id div $bucketWidth").as("bucket"))
+        .pinned
+      val bucketCounts = g.groupBy(col("grp"), col("bucket"))
+        .agg(count(lit(1)).as("bcnt"))
+        .withColumn("sb", expr(s"bucket div $superWidth"))
+      // exclusive prefix of each super-bucket within its group: a
+      // per-group window, but over |buckets|/superWidth aggregate rows
+      val superW = Window.partitionBy(col("grp")).orderBy(col("sb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val superOffsets = bucketCounts.groupBy(col("grp"), col("sb"))
+        .agg(sum(col("bcnt")).as("scnt"))
+        .withColumn("soffset", sum(col("scnt")).over(superW) - col("scnt"))
+        .select(col("grp"), col("sb"), col("soffset"))
+      val inSuper = Window.partitionBy(col("grp"), col("sb")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // exclusive prefix of every bucket = super offset + in-super cumsum
+      val offsets = bucketCounts
+        .withColumn("cum_in_sb", sum(col("bcnt")).over(inSuper))
+        .join(superOffsets, Seq("grp", "sb"))
+        .select(col("grp"), col("bucket"),
+          (col("soffset") + col("cum_in_sb") - col("bcnt")).as("boffset"))
+      // in-bucket rank is a ≤bucketWidth-row window; bucket = doc_id div W
+      // is monotone in doc_id, so boffset + in-bucket row_number IS the
+      // per-group doc_id rank
+      val inBucket = Window.partitionBy(col("grp"), col("bucket")).orderBy(col("doc_id"))
+      g.join(offsets, Seq("grp", "bucket"))
+        .withColumn("rn", col("boffset") + row_number().over(inBucket))
         .withColumn("mix_key",
           col("rn") * when(col("grp") === "en", 2).otherwise(5))
         .select(col("mix_key"), col("doc_id"), col("lang"))

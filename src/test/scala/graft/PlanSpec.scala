@@ -351,4 +351,19 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should not include "SortMergeJoin"
     plan should include("BroadcastHashJoin")
   }
+
+  test("q46 mixing ranks via two-level prefix sum, never a per-group corpus sort") {
+    // the 2-value group key means PARTITION BY grp ORDER BY doc_id
+    // serializes half the corpus through each of two sort tasks —
+    // every corpus-sized window must carry a bucket column so its
+    // partitions stay bounded; only bucket/super AGGREGATE rows may
+    // flow through a per-group window
+    val plan = executedPlan(graft.queries.TextOps.q46.run(spark, sf))
+    // no window spec partitioned by grp alone ordering the raw docs
+    "windowspecdefinition\\(grp#\\d+, doc_id#".r.findFirstIn(plan) shouldBe None
+    // the in-bucket rank window is present and bucket-partitioned
+    "windowspecdefinition\\(grp#\\d+, bucket#".r.findFirstIn(plan) should not be None
+    // final stage is top-k, not a global sort
+    plan should include("TakeOrderedAndProject")
+  }
 }
