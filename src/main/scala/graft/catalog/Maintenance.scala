@@ -1098,7 +1098,10 @@ object Maintenance {
       table: String,
       name: String,
       version: Int): Unit = {
-    require(name.matches("[A-Za-z0-9_-]+"), s"invalid tag name '$name'")
+    // at least one non-digit: VERSION AS OF resolves all-digit strings
+    // as version numbers first, so a numeric ref would be unreadable
+    require(name.matches("[A-Za-z0-9_-]+") && !name.forall(_.isDigit),
+      s"invalid tag name '$name' (must contain a non-digit)")
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
     require(Files.exists(TableMetadata.versionFile(dir, version)),
@@ -1167,7 +1170,10 @@ object Maintenance {
       namespace: Seq[String],
       table: String,
       name: String): Int = {
-    require(name.matches("[A-Za-z0-9_-]+"), s"invalid branch name '$name'")
+    // at least one non-digit: VERSION AS OF resolves all-digit strings
+    // as version numbers first, so a numeric ref would be unreadable
+    require(name.matches("[A-Za-z0-9_-]+") && !name.forall(_.isDigit),
+      s"invalid branch name '$name' (must contain a non-digit)")
     val dir = lakehouseTable(spark, catalog, namespace, table).tableDir
     val maxAttempts = 10
     var attempt = 0
@@ -1228,7 +1234,7 @@ object Maintenance {
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), schema)
     }.toMap
     BloomIndex.buildForFiles(spark, dir, schema, head.properties, newFiles)
-    commitToBranch(dir, name, head, head.copy(
+    commitToBranchOrRebase(dir, name, head, head.copy(
       version = next,
       files = head.files ++ newFiles,
       fileStats = head.fileStats ++ footers.view.mapValues(_.cols).toMap,
@@ -1284,7 +1290,7 @@ object Maintenance {
       }
       return 0
     }
-    commitToBranch(dir, name, head, head.copy(
+    commitToBranchOrRebase(dir, name, head, head.copy(
       version = next,
       deleteFiles = head.deleteFiles ++ entries,
       snapshots = head.snapshots :+ Snapshot(
@@ -1292,10 +1298,41 @@ object Maintenance {
     keyRows
   }
 
+  /** Branch-log twin of [[TableMetadata.commitOrRebase]]: a version
+    * collision reloads the branch head and re-derives the attempt as a
+    * delta when the changes commute — two ingest jobs landing on the
+    * same audit branch (the WAP norm at fleet scale) both succeed,
+    * with the same commute laws as main (appends always; upsert
+    * re-sequencing; rewrites vs rewrites fail clean). */
+  private def commitToBranchOrRebase(
+      dir: Path, name: String, base: TableMetadata, attempt: TableMetadata,
+      maxAttempts: Int = 10): TableMetadata = {
+    var b = base
+    var att = attempt
+    var tries = 0
+    while (true) {
+      try {
+        commitToBranch(dir, name, b, att)
+        return att
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
+          tries += 1
+          if (tries > maxAttempts) throw e
+          val cur = branchHead(dir, name)
+          att = TableMetadata.rebase(b, att, cur).getOrElse(throw new IllegalStateException(
+            s"commit conflict: branch '$name' changed concurrently (v${b.version} -> " +
+              s"v${cur.version}) and the changes do not commute; re-run against the " +
+              "current branch head", e))
+          b = cur
+      }
+    }
+    att // unreachable
+  }
+
   /** Atomic branch-log commit with the same structural fileSeq
     * maintenance as [[TableMetadata.commit]] (prev = the branch head
-    * the attempt was computed against). Branches are single-writer:
-    * a version collision fails clean, no rebase. */
+    * the attempt was computed against). A version collision throws
+    * `commit conflict`; [[commitToBranchOrRebase]] is the retry face. */
   private def commitToBranch(
       dir: Path, name: String, prev: TableMetadata, meta: TableMetadata): Unit = {
     val bdir = branchLogDir(dir, name)

@@ -352,8 +352,10 @@ object TableMetadata {
   }
 
   /** Re-derive base→attempt as a delta and apply it to `cur`, or None
-    * when the concurrent base→cur change does not commute with it. */
-  private def rebase(
+    * when the concurrent base→cur change does not commute with it.
+    * `private[catalog]`: branch-log commits (Maintenance) run the same
+    * rebase loop against the branch head. */
+  private[catalog] def rebase(
       base: TableMetadata,
       attempt: TableMetadata,
       cur: TableMetadata): Option[TableMetadata] = {

@@ -185,7 +185,7 @@ class BranchSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
-  test("branch and tag names share one ref namespace; branches are single-writer") {
+  test("branch and tag names share one ref namespace; numeric names refused") {
     mkTable("refguard")
     Maintenance.tag(spark, "lakehouse", Seq("br_ns"), "refguard", "pin", 1)
     val e = intercept[IllegalArgumentException] {
@@ -197,7 +197,40 @@ class BranchSpec extends AnyFunSuite with Matchers {
       Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "refguard", "dev")
     }
     e2.getMessage should include("already exists")
+    // all-digit refs would be shadowed by numeric VERSION AS OF resolution
+    intercept[IllegalArgumentException] {
+      Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "refguard", "123")
+    }.getMessage should include("non-digit")
+    intercept[IllegalArgumentException] {
+      Maintenance.tag(spark, "lakehouse", Seq("br_ns"), "refguard", "42", 1)
+    }.getMessage should include("non-digit")
     spark.sql("DROP TABLE lakehouse.br_ns.refguard")
+  }
+
+  test("two concurrent branch appends both land (branch commit rebase)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    mkTable("race")
+    Maintenance.createBranch(spark, "lakehouse", Seq("br_ns"), "race", "ingest")
+    // fleet-scale WAP: N ingest jobs land on one audit branch; every
+    // appender must succeed via rebase, none may clobber another
+    val writers = (0 until 4).map { i =>
+      Future {
+        val rows = Seq((100 + i, s"w$i")).toDF("k", "v")
+        Maintenance.appendToBranch(spark, "lakehouse", Seq("br_ns"), "race", "ingest", rows)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds).foreach(_ shouldBe 1L)
+    val branchRows = spark.sql(
+      "SELECT k FROM lakehouse.br_ns.race VERSION AS OF 'ingest'")
+      .collect().map(_.getInt(0)).sorted
+    branchRows shouldBe Array(1, 2, 100, 101, 102, 103)
+    // main still at the pre-branch snapshot; publish surfaces all four
+    spark.table("lakehouse.br_ns.race").count() shouldBe 2
+    Maintenance.fastForward(spark, "lakehouse", Seq("br_ns"), "race", "ingest")
+    spark.table("lakehouse.br_ns.race").count() shouldBe 6
+    spark.sql("DROP TABLE lakehouse.br_ns.race")
   }
 
   private implicit class PairsToMap(rows: Array[(String, String, Int)]) {
