@@ -17,17 +17,22 @@ import org.apache.spark.sql.DataFrame
   * and survive executor loss — the 1000-executor setting, paying one
   * write+read of the pinned intermediate for fault tolerance.
   *
-  * Known limitation (measured): the checkpointed frame reports
-  * `UnknownPartitioning`, so a pin does NOT carry hash partitioning
-  * across the cut — downstream aggregations and joins on the pinned
-  * keys re-shuffle even when the pinned plan ended partitioned on
-  * them. Callers must not position a pin to "save" a downstream
-  * exchange; pins buy single derivation of a multiply-referenced
-  * subtree, nothing else. (`Dataset.persist` would preserve
-  * partitioning, but cached entries dedupe across re-invocations of
-  * the same plan — benchmark samples would silently measure the
-  * cache — and corpus-scale cache residency is the wrong default at
-  * 100 TB.) */
+  * Known limitation of the plain pin (measured): the checkpointed
+  * frame reports `UnknownPartitioning` (under AQE the adaptive plan's
+  * partitioning is not final when the LogicalRDD wrapper is built),
+  * so `pin` does NOT carry hash partitioning across the cut —
+  * downstream aggregations and joins on the pinned keys re-shuffle
+  * even when the pinned plan ended partitioned on them. When the
+  * FIRST consumer keys on the pinned layout, use [[pinPartitionedBy]]
+  * instead: it repartitions on the keys, checkpoints, and re-wraps
+  * the SAME materialized RDD with the `HashPartitioning` the
+  * producing exchange guaranteed — truthful by construction, no data
+  * moved — so the consumer's exchange disappears. At 100 TB that is
+  * one full corpus shuffle saved per dedup query. (`Dataset.persist`
+  * would also preserve partitioning, but cached entries dedupe
+  * across re-invocations of the same plan — benchmark samples would
+  * silently measure the cache — and corpus-scale cache residency is
+  * the wrong default at 100 TB.) */
 object Materialize {
 
   val ReliableConf = "graft.checkpoint.reliable"
@@ -42,8 +47,31 @@ object Materialize {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** Partitioning-preserving pin: hash-repartition on `keys` into
+    * `numPartitions`, materialize (same checkpoint modes as [[pin]]),
+    * and rebuild the frame DECLARING that layout, so a downstream
+    * join/aggregation clustered on `keys` adds no exchange. The
+    * explicit partition count is part of the contract: AQE never
+    * coalesces a user-specified repartition, so the claimed
+    * `HashPartitioning(keys, numPartitions)` is exactly what the
+    * producing exchange wrote. */
+  def pinPartitionedBy(df: DataFrame, numPartitions: Int, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "pinPartitionedBy needs at least one key column")
+    val cp = pin(df.repartition(numPartitions, keys.map(df.col): _*))
+    val (attrs, rdd) = org.apache.spark.sql.graftbridge.PartitionedRddBridge.checkpointedRdd(cp)
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val keyAttrs = keys.map(k => attrs.find(a => resolver(a.name, k)).getOrElse(
+      throw new IllegalArgumentException(
+        s"pin key '$k' not in pinned output [${attrs.map(_.name).mkString(", ")}]")))
+    org.apache.spark.sql.graftbridge.PartitionedRddBridge.dataFrame(
+      df.sparkSession, attrs, rdd,
+      org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(keyAttrs, numPartitions))
+  }
+
   /** `.pinned` chains where `.localCheckpoint(true)` used to. */
   implicit class PinOps(private val df: DataFrame) extends AnyVal {
     def pinned: DataFrame = pin(df)
+    def pinnedBy(numPartitions: Int, keys: String*): DataFrame =
+      pinPartitionedBy(df, numPartitions, keys)
   }
 }

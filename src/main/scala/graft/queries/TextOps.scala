@@ -97,6 +97,18 @@ object TextOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** The per-doc prefix shingles — the p = n − ⌈t·n⌉ + 1 globally-
+    * rarest per doc, selected by the bounded prefix_min_agg aggregate
+    * (never a window sort). Exposed for PlanSpec: inside
+    * [[jaccardPrefixJoin]] this subplan materializes under the prefix
+    * pin, so its shape is not visible in the outer executed plan. */
+  private[graft] def prefixSelection(ex: DataFrame, freq: DataFrame, t: Double): DataFrame =
+    ex.join(freq.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(call_function("prefix_min_agg", col("df"), col("h"), col("n"), lit(t)).as("ph"),
+        first(col("n")).as("n"))
+      .select(col("doc_id"), col("n"), explode(col("ph")).as("h"))
+
   /** Exact all-pairs jaccard ≥ t via prefix filtering (PPJoin-style).
     *
     * A naive inverted-index self-join explodes on hot shingles (with a
@@ -114,24 +126,31 @@ object TextOps {
     // sides via prefix, verify's a and b). ReuseExchange cannot dedupe
     // them — the shingle lambdas' variables defeat plan
     // canonicalization — so without the pin the scan+tokenize+shingle
-    // pipeline runs once PER CONSUMER. Materialize it once; every
-    // consumer then reads the pinned blocks.
-    val ex = graft.Materialize.pin(ex0)
+    // pipeline runs once PER CONSUMER. Materialize it once, KEYED on h
+    // (partitioning-preserving pin; ex0's terminal repartition(h)
+    // collapses into the pin's): h-keyed consumers — the df count and
+    // the ex⋈freq join — then read it with zero added exchanges.
+    val ex = graft.Materialize.pinPartitionedBy(ex0,
+      ex0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, Seq("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc prefix = the p = n − ⌈t·n⌉ + 1 globally-rarest shingles,
     // selected by a typed bottom-p aggregate instead of a row_number
     // window: map-side partials cap each doc at p rows, so the exchange
     // ships prefixes, not the whole inverted index, and no sort runs.
     // freq is |distinct shingles| — corpus-scaled, so its join is pinned
-    // shuffle_hash (both sides are already hash-partitioned on h: ex by
-    // the terminal repartition, freq by its groupBy — the join adds zero
-    // exchanges); adaptive would broadcast freq under the 10 MB
+    // shuffle_hash (the pinned ex REPORTS HashPartitioning(h), so freq
+    // aggregates in place and the join adds zero exchanges — PlanSpec
+    // pins it); adaptive would broadcast freq under the 10 MB
     // threshold at sf0.1 and OOM at 100×
-    val prefix = ex.join(freq.hint("shuffle_hash"), Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(call_function("prefix_min_agg", col("df"), col("h"), col("n"), lit(t)).as("ph"),
-        first(col("n")).as("n"))
-      .select(col("doc_id"), col("n"), explode(col("ph")).as("h"))
+    // pinned like ex, and for the same reason: the self-join below
+    // references prefix TWICE, and the typed prefix_min_agg defeats
+    // ReuseExchange canonicalization, so without the pin the whole
+    // ex⋈freq + prefix-aggregate subtree ran once PER SIDE (Probe8
+    // measured the duplicate). h-keyed, so the self-join reads both
+    // sides from the pinned layout with zero added exchanges.
+    val prefix = graft.Materialize.pinPartitionedBy(
+      prefixSelection(ex, freq, t),
+      ex0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, Seq("h"))
     // length filter (PPJoin): J(A,B) ≤ min(n)/max(n), so any pair with
     // n2 outside [t·n1, n1/t] can't reach t — dropped IN the join
     // condition, before the candidate set exists, which keeps the
@@ -1400,23 +1419,39 @@ object TextOps {
       // (vocab-bounded) instead of a second corpus-wide unigram
       // explode. The tokenized corpus is pinned ONCE (both the model
       // and probe branches explode from it — ReuseExchange cannot
-      // dedup lambda subtrees), the probe stream joins the enriched
-      // model directly (adaptive: broadcast while the model fits,
-      // shuffle at scale) and the per-doc mean combines map-side to
-      // one row per doc.
-      val tok = graft.Materialize.pin(
-        tokenized(s, d).filter(size(col("toks")) >= 2))
+      // dedup lambda subtrees). The probe⋈model join is PINNED
+      // shuffle-hash with the MODEL as build: left adaptive, AQE
+      // picked whichever side materialized first — Probe8 caught it
+      // broadcasting the corpus-scale pairs stream (an OOM at 100×,
+      // and the r7 bench-spread suspect), and the model itself is
+      // distinct-bigram-sized (10⁹+ at 100 TB), never broadcastable.
+      // The per-doc mean combines map-side to one row per doc.
+      // doc_id-keyed pin: explode preserves the child's partitioning
+      // and the model join broadcasts while the model fits, so the
+      // final per-doc aggregation reads the pinned layout and adds no
+      // corpus-scale exchange
+      val tok = graft.Materialize.pinPartitionedBy(
+        tokenized(s, d).filter(size(col("toks")) >= 2),
+        s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("doc_id"))
       def pairs = tok.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
           struct(element_at(col("toks"), i + 1).as("p"),
             element_at(col("toks"), i + 2).as("w")))).as("pr"))
         .select(col("doc_id"), col("pr.p").as("p"), col("pr.w").as("w"))
-      val bigrams = pairs.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2"))
+      // bigrams feeds BOTH the model join and the prefix re-aggregation;
+      // the explode lambda defeats ReuseExchange, so unpinned the corpus
+      // explode + (p,w) aggregation ran TWICE (Probe8 measured it).
+      // p-keyed pin: prefix aggregates in place and the model join adds
+      // no exchange — the pin is vocab-bounded, not corpus-scale.
+      val bigrams = graft.Materialize.pinPartitionedBy(
+        pairs.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2")),
+        s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("p"))
       val prefix = bigrams.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
-      val model = bigrams.join(prefix, Seq("p"))
+      // both sides read the p-pinned layout: hash join in place, no sort
+      val model = bigrams.join(prefix.hint("shuffle_hash"), Seq("p"))
         .select(col("p"), col("w"),
           log(col("c2").cast(DoubleType) / col("c1").cast(DoubleType)).as("lp"))
-      pairs.join(model, Seq("p", "w"))
+      pairs.join(model.hint("shuffle_hash"), Seq("p", "w"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(col("lp")), 4).as("bg_score"))

@@ -51,4 +51,43 @@ class MaterializeSpec extends AnyFunSuite with Matchers {
     reagg.collect()
     reagg.queryExecution.executedPlan.toString should include("Exchange")
   }
+
+  test("pinPartitionedBy carries the hash layout: consumer adds no exchange") {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(10000L)
+      .select((col("id") % 97).as("p"), (col("id") % 13).as("w"), col("id").as("v"))
+    val pinned = Materialize.pinPartitionedBy(base, 8, Seq("p"))
+    pinned.rdd.getNumPartitions shouldBe 8
+    pinned.queryExecution.executedPlan.outputPartitioning.toString should
+      include("hashpartitioning(p")
+
+    // re-aggregation on the pinned key: zero exchange, same values
+    val reagg = pinned.groupBy("p").agg(sum("v").as("sv"))
+    val got = reagg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    (reagg.queryExecution.executedPlan.toString contains "Exchange") shouldBe false
+    val expect = base.groupBy("p").agg(sum("v").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    got shouldBe expect
+
+    // a join on the pinned key shuffles ONLY the other side
+    val other = spark.range(97L).select(col("id").as("p"), lit(1L).as("tag"))
+      .hint("shuffle_hash")
+    val joined = pinned.join(other, Seq("p"))
+    joined.count() shouldBe 10000L
+    val plan = joined.queryExecution.executedPlan.toString
+    // exactly one exchange subtree (the other side's); the pinned scan
+    // feeds the join directly
+    plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") shouldBe 1
+
+    // aggregating on a DIFFERENT key still shuffles (claim is key-scoped)
+    val cross = pinned.groupBy("w").count()
+    cross.collect()
+    cross.queryExecution.executedPlan.toString should include("Exchange")
+
+    // an unknown key fails loudly (at the repartition resolution)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Materialize.pinPartitionedBy(base, 8, Seq("nope"))
+    }
+  }
 }

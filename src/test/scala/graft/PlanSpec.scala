@@ -109,8 +109,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
   }
 
   test("q28b prefix selection runs as a bounded aggregate, not a window sort") {
+    // the prefix subplan materializes inside the h-keyed pin, so its
+    // shape is asserted on the exposed subframe; the outer plan is
+    // still checked window- and cartesian-free
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val ex = graft.queries.TextOps.explodedShingles(spark, sf)
+    val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val sub = executedPlan(graft.queries.TextOps.prefixSelection(ex, freq, 0.8))
+    sub.toLowerCase should include("prefix_min_agg")
+    sub should not include "WindowExec"
     val plan = executedPlan(graft.queries.TextOps.q28b.run(spark, sf))
-    plan.toLowerCase should include("prefix_min_agg")
     plan should not include "WindowExec"
     plan should not include "CartesianProduct"
   }
@@ -292,13 +301,22 @@ class PlanSpec extends AnyFunSuite with Matchers {
     val df = graft.queries.TextOps.q28b.run(spark, sf)
     val plan = executedPlan(df)
     plan should not include "SortMergeJoin"
-    "ShuffledHashJoin".r.findAllIn(plan).size should be >= 3
+    // the freq join materializes inside the h-keyed prefix pin (it is
+    // not in the final plan string); the final plan keeps the prefix
+    // self-join and the verify join as shuffle-hash, and the pinned
+    // h-layout means the self-join reads both sides with no exchange
+    "ShuffledHashJoin".r.findAllIn(plan).size should be >= 2
     "BroadcastExchange".r.findAllIn(plan).size shouldBe 1
     // the verify join on (id2, h) must build from the expanded
     // candidates, never the corpus side
     val verifyJoin = plan.linesIterator.find(_.contains("ShuffledHashJoin [id2"))
     verifyJoin should be (defined)
     verifyJoin.get should include("BuildLeft")
+    // exchange census: the self-join and both pinned-frame reads add
+    // none, leaving exactly the 4 unavoidable ones — expanded (id2,h),
+    // corpus-index (id2,h), candidate distinct, and the pair aggregate
+    // (Probe8 measured 8 before the h-keyed pins)
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 4
   }
 
   test("bounded query sides are pinned broadcasts (q42/q42b); q29b pins its BNLJ build") {

@@ -28,6 +28,15 @@ object Probe7 {
     val plan = agg.queryExecution.executedPlan.toString
     println("REAGG HAS EXCHANGE: " + plan.contains("Exchange"))
     println(plan.linesIterator.take(12).mkString("\n"))
+
+    val pinnedBy = Materialize.pinPartitionedBy(df, 8, Seq("p", "w"))
+    println("PINBY PARTITIONING: " +
+      pinnedBy.queryExecution.executedPlan.outputPartitioning)
+    val agg2 = pinnedBy.groupBy("p", "w").agg(sum("k").as("c2"))
+    agg2.collect()
+    val plan2 = agg2.queryExecution.executedPlan.toString
+    println("PINBY REAGG HAS EXCHANGE: " + plan2.contains("Exchange"))
+    println(plan2.linesIterator.take(12).mkString("\n"))
     spark.stop()
   }
 }
