@@ -39,7 +39,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Options: `startingVersion` (default 0 = replay the table's whole
   * retained history as changes), `maxVersionsPerTrigger` (bound the
-  * commits one micro-batch absorbs, as for the plain stream).
+  * commits one micro-batch absorbs, as for the plain stream), and
+  * `spanSchemaChanges` (default false = fail fast at a DDL commit
+  * with the actionable restart bound; true = split each window at
+  * schema-change commits and project every epoch to the REQUEST-TIME
+  * schema — later-added columns read as null in earlier epochs,
+  * dropped columns vanish — the Iceberg changelog-scan contract for
+  * long-lived CDC consumers).
   */
 class ChangesTable(
     spark: SparkSession,
@@ -67,9 +73,10 @@ class ChangesTable(
             spark, identName, tableDir, changesSchema, checkpointLocation, options)
         /** Batch face: `SELECT * FROM t.changes` = the full retained
           * changelog (0, current], materialized once per current
-          * version under `metadata/changelog/batch/` (stale windows
-          * reaped on the next staging). Options `startingVersion` /
-          * `endingVersion` narrow the window. */
+          * version under `metadata/changelog/batch/` (sibling windows
+          * reaped on the next staging only past an age gate — a fresh
+          * sibling may be serving a concurrent query). Options
+          * `startingVersion` / `endingVersion` narrow the window. */
         override def toBatch: org.apache.spark.sql.connector.read.Batch = {
           val cur = TableMetadata.load(tableDir).version
           val fromV = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
@@ -105,13 +112,24 @@ private[catalog] class ChangelogStaging(
 
   private val WindowDir = "w(\\d+)-(\\d+)".r
 
+  private[catalog] val spanSchemaChanges: Boolean =
+    Option(options.get("spanSchemaChanges")).exists(_.toBoolean)
+
   def stageWindow(fromV: Int, toV: Int, reapSiblings: Boolean = false): Seq[Path] = {
     if (fromV >= toV) return Seq.empty
     val dir = stagingRoot.resolve(s"w$fromV-$toV")
     if (reapSiblings && Files.isDirectory(stagingRoot)) {
+      // age-gated: a sibling window may belong to a CONCURRENT batch
+      // query (the table advanced between two reads) whose tasks are
+      // still reading its staged parquet — deleting it mid-execution
+      // fails them with missing files. A fresh mtime marks a window
+      // plausibly in use; past the TTL it is an abandoned staging of a
+      // finished query and safe to reclaim.
+      val cutoff = System.currentTimeMillis() - ChangelogStaging.BatchReapTtlMs
       Files.list(stagingRoot).iterator().asScala
         .filter(d => d.getFileName.toString match {
-          case WindowDir(_, _) => d != dir
+          case WindowDir(_, _) =>
+            d != dir && Files.getLastModifiedTime(d).toMillis < cutoff
           case _ => false
         })
         .foreach { d =>
@@ -121,12 +139,58 @@ private[catalog] class ChangelogStaging(
     val success = dir.resolve("_SUCCESS")
     if (!Files.exists(success)) {
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      Maintenance.changelogBetweenAt(spark, tableDir, fromV, toV)
-        .write.mode("overwrite").parquet(dir.toString)
+      windowDf(fromV, toV).write.mode("overwrite").parquet(dir.toString)
     }
     if (!Files.isDirectory(dir)) return Seq.empty
     Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+  }
+
+  /** The window's change rows. With `spanSchemaChanges`, the window
+    * splits into maximal same-schema epochs (changelogBetweenAt's
+    * contract) and every epoch projects to the request-time schema:
+    * columns the epoch lacks read as typed nulls, columns since
+    * dropped vanish, type changes cast. */
+  private def windowDf(fromV: Int, toV: Int): org.apache.spark.sql.DataFrame = {
+    if (!spanSchemaChanges)
+      return Maintenance.changelogBetweenAt(spark, tableDir, fromV, toV)
+    import org.apache.spark.sql.functions.lit
+    val win = TableMetadata.loadLog(tableDir)
+      .filter(m => m.version > fromV && m.version <= toV)
+    val epochs = win.foldLeft(Vector.empty[Vector[TableMetadata]]) { (acc, m) =>
+      if (acc.nonEmpty && acc.last.last.schema == m.schema) acc.init :+ (acc.last :+ m)
+      else acc :+ Vector(m)
+    }
+    epochs.map { run =>
+      val df = Maintenance.changelogBetweenAt(
+        spark, tableDir, run.head.version - 1, run.last.version)
+      df.select(changesSchema.fields.map { f =>
+        if (df.columns.contains(f.name)) df.col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Fail-fast guard for windows that span a schema change when
+    * projection is not opted into — shared by the stream's
+    * initialOffset AND planInputPartitions: a restart from an existing
+    * checkpoint skips initialOffset, and without the plan-time check
+    * the stream would wedge retrying the window changelogBetweenAt
+    * refuses. */
+  def requireNoSchemaSpan(fromV: Int, toV: Int): Unit = {
+    if (spanSchemaChanges) return
+    val win = TableMetadata.loadLog(tableDir)
+      .filter(m => m.version > fromV && m.version <= toV)
+    win.headOption.foreach { first =>
+      val ddl = win.find(_.schema != first.schema)
+      ddl.foreach { m =>
+        throw new IllegalArgumentException(
+          s"$identName: schema changed at v${m.version}; a changelog stream cannot span " +
+            s"it. Set .option(\"startingVersion\", \"${m.version}\") (or later), or " +
+            ".option(\"spanSchemaChanges\", \"true\") to project earlier epochs to the " +
+            "current schema")
+      }
+    }
   }
 
   /** Windows whose end is at or below `endV` can never be needed again. */
@@ -150,6 +214,12 @@ private[catalog] class ChangelogStaging(
     b.pruneColumns(changesSchema)
     b.build()
   }
+}
+
+private[catalog] object ChangelogStaging {
+  /** Batch-face sibling reap age gate: a staged window younger than
+    * this may be serving a concurrently executing query. */
+  val BatchReapTtlMs: Long = 60L * 60L * 1000L
 }
 
 /** Micro-batch stream over the computed changelog; offsets are table
@@ -178,20 +248,12 @@ class ChangelogMicroBatchStream(
 
   override def initialOffset(): Offset = {
     val start = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
-    // A window spanning a schema change has no single output schema;
-    // changelogBetween refuses it, and a stream that plans one would
-    // retry the same window forever. Fail AT START with the actionable
-    // bound instead of wedging later: the stream must begin at or
-    // after the last schema-changing commit.
-    val log = TableMetadata.loadLog(tableDir)
-    val currentSchema = log.last.schema
-    val lastDdl = log.reverse.find(_.schema != currentSchema).map(_.version)
-    lastDdl.foreach { v =>
-      require(start >= v,
-        s"$identName: schema changed at v${v + 1}; a changelog stream cannot span it. " +
-          s"Set .option(\"startingVersion\", \"${v + 1}\") (or later) — earlier history " +
-          "needs a separate batch read per schema epoch")
-    }
+    // A window spanning a schema change has no single output schema
+    // unless spanSchemaChanges projects the epochs; changelogBetween
+    // refuses it, and a stream that plans one would retry the same
+    // window forever. Fail AT START with the actionable bound instead
+    // of wedging later.
+    staging.requireNoSchemaSpan(start, TableMetadata.load(tableDir).version)
     VersionOffset(start)
   }
 
@@ -227,6 +289,11 @@ class ChangelogMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val fromV = start.asInstanceOf[VersionOffset].version
     val toV = end.asInstanceOf[VersionOffset].version
+    // restart path: a checkpointed offset predating a later schema
+    // change skips initialOffset's guard — re-check the actual window
+    // here so the stream fails actionably instead of wedging in the
+    // stage-window retry loop
+    staging.requireNoSchemaSpan(fromV, toV)
     val files = staging.stageWindow(fromV, toV)
     if (files.isEmpty) Array.empty
     else staging.scanOver(files).toBatch.planInputPartitions()

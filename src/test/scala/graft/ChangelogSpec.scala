@@ -84,6 +84,31 @@ class ChangelogSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.cdc.b")
   }
 
+  test("batch .changes spans a schema change under spanSchemaChanges") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.cdc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.cdc.span")
+    spark.sql("CREATE TABLE lakehouse.cdc.span (k BIGINT, v STRING)")
+    Seq((1L, "a")).toDF("k", "v").createOrReplaceTempView("cdc_span_b1")
+    spark.sql("INSERT INTO lakehouse.cdc.span SELECT * FROM cdc_span_b1")
+    spark.sql("ALTER TABLE lakehouse.cdc.span ADD COLUMN extra BIGINT")
+    Seq((2L, "b", 7L)).toDF("k", "v", "extra").createOrReplaceTempView("cdc_span_b2")
+    spark.sql("INSERT INTO lakehouse.cdc.span SELECT * FROM cdc_span_b2")
+
+    // default stays fail-fast, with the opt-in named in the message
+    val e = intercept[Exception] {
+      spark.table("lakehouse.cdc.span.changes").collect()
+    }
+    e.getMessage should include("split the changelog read")
+
+    // opted in: pre-DDL epoch projects, added column null
+    val rows = spark.read.option("spanSchemaChanges", "true")
+      .table("lakehouse.cdc.span.changes")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))).toSet
+    rows shouldBe Set((1L, None, "insert"), (2L, Some(7L), "insert"))
+    spark.sql("DROP TABLE lakehouse.cdc.span")
+  }
+
   test("a partial window starts from the requested snapshot") {
     val cl = changelog(3, 4).collect()
     cl.map(_.getString(2)).toSeq.sorted shouldBe Seq("delete", "delete", "delete")

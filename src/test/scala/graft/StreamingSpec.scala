@@ -326,6 +326,80 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test(".changes restart from a checkpoint predating a DDL fails actionably, not wedging") {
+    // restart skips initialOffset, so the guard must also run at plan
+    // time: a stream checkpointed before an ALTER used to wedge in the
+    // stage-window retry loop on restart
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.cdc_restart (k INT, v STRING)")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc-restart-ckpt-").toString
+    val out = java.nio.file.Files.createTempDirectory("cdc-restart-out-").toString
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("cdc_re_1")
+    spark.sql("INSERT INTO lakehouse.stream_ns.cdc_restart SELECT * FROM cdc_re_1")
+    val q1 = spark.readStream.table("lakehouse.stream_ns.cdc_restart.changes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // an UNCONSUMED pre-DDL commit makes the restart window genuinely
+    // span the schema change (old-epoch commit + DDL + new-epoch commit)
+    Seq((9, "z")).toDF("k", "v").createOrReplaceTempView("cdc_re_old")
+    spark.sql("INSERT INTO lakehouse.stream_ns.cdc_restart SELECT * FROM cdc_re_old")
+    spark.sql("ALTER TABLE lakehouse.stream_ns.cdc_restart ADD COLUMN extra BIGINT")
+    Seq((2, "b", 7L)).toDF("k", "v", "extra").createOrReplaceTempView("cdc_re_2")
+    spark.sql("INSERT INTO lakehouse.stream_ns.cdc_restart SELECT * FROM cdc_re_2")
+
+    val q2 = spark.readStream.table("lakehouse.stream_ns.cdc_restart.changes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val e = intercept[Exception] { q2.processAllAvailable() }
+      e.getMessage should include("schema changed")
+      e.getMessage should include("spanSchemaChanges")
+    } finally {
+      q2.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.cdc_restart")
+    }
+  }
+
+  test(".changes stream spans an ADD COLUMN commit under spanSchemaChanges") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
+    spark.sql("CREATE TABLE lakehouse.stream_ns.cdc_span (k INT, v STRING)")
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("cdc_span_1")
+    spark.sql("INSERT INTO lakehouse.stream_ns.cdc_span SELECT * FROM cdc_span_1")
+    spark.sql("ALTER TABLE lakehouse.stream_ns.cdc_span ADD COLUMN extra BIGINT")
+    Seq((2, "b", 7L)).toDF("k", "v", "extra").createOrReplaceTempView("cdc_span_2")
+    spark.sql("INSERT INTO lakehouse.stream_ns.cdc_span SELECT * FROM cdc_span_2")
+
+    // full-history replay ACROSS the DDL: pre-DDL epochs project to
+    // the request-time schema, the added column reading as null
+    val q = spark.readStream.option("spanSchemaChanges", "true")
+      .table("lakehouse.stream_ns.cdc_span.changes")
+      .writeStream.format("memory").queryName("cdc_span_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cdc-span-ckpt-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdc_span_out")
+        .collect().map(r => (r.getInt(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))).toSet
+      rows shouldBe Set(
+        (1, "a", None, "insert"),
+        (2, "b", Some(7L), "insert"))
+
+      // post-DDL commits keep flowing through the same stream
+      Seq((3, "c", 9L)).toDF("k", "v", "extra").createOrReplaceTempView("cdc_span_3")
+      spark.sql("INSERT INTO lakehouse.stream_ns.cdc_span SELECT * FROM cdc_span_3")
+      q.processAllAvailable()
+      spark.table("cdc_span_out").count() shouldBe 3
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.stream_ns.cdc_span")
+    }
+  }
+
   test("Trigger.AvailableNow drains existing snapshots then stops") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.stream_ns")
     spark.sql("CREATE TABLE lakehouse.stream_ns.drain (a BIGINT, b STRING)")
