@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Crash recovery for the rebuild-and-swap window shared by
+  * [[TextIndex]] and [[VectorIndex]]: a full rebuild stages the
+  * replacement under `<name>__rebuild`, then DROPs the live index and
+  * RENAMEs the staging over it. A crash between those two metadata ops
+  * leaves no table under the index name — but the fully-built
+  * replacement is on disk, and its maintenance contract property
+  * (written only after the build completes) proves it whole. Loading
+  * an index therefore falls back to ADOPTING the staged rebuild:
+  * rename it into place and retry, instead of failing until a manual
+  * rename. */
+object IndexSwap {
+
+  private def lakeTable(
+      spark: SparkSession, catalog: String, namespace: Seq[String],
+      name: String): graft.catalog.LakehouseTable =
+    spark.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(namespace.toArray, name))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+
+  /** Load `name`, adopting a completed `<name>__rebuild` staging if the
+    * live table vanished mid-swap. `completenessProp` is the operator's
+    * contract property whose presence proves the staged build finished
+    * (both operators set it only after the data is written). */
+  def loadOrAdopt(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      name: String,
+      completenessProp: String): graft.catalog.LakehouseTable =
+    try lakeTable(spark, catalog, namespace, name)
+    catch {
+      case e: Throwable if isMissingTable(e) =>
+        val tmpName = name + "__rebuild"
+        val complete =
+          try {
+            val tmp = lakeTable(spark, catalog, namespace, tmpName)
+            graft.catalog.TableMetadata.load(tmp.tableDir)
+              .properties.contains(completenessProp)
+          } catch { case t: Throwable if isMissingTable(t) => false }
+        if (!complete) throw e
+        spark.sql(s"ALTER TABLE ${(catalog +: namespace :+ tmpName).mkString(".")} " +
+          s"RENAME TO ${(namespace :+ name).mkString(".")}")
+        lakeTable(spark, catalog, namespace, name)
+    }
+
+  private def isMissingTable(e: Throwable): Boolean = e match {
+    case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => true
+    case a: org.apache.spark.sql.AnalysisException =>
+      a.getMessage != null && (a.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+        a.getMessage.toLowerCase.contains("not found"))
+    case _ => false
+  }
+}

@@ -108,7 +108,9 @@ object TextIndex {
       namespace: Seq[String],
       indexName: String,
       terms: Seq[String]): DataFrame = {
-    val idxLt = lakeTable(spark, catalog, namespace, indexName)
+    // loadOrAdopt: a crash in refresh's DROP→RENAME window leaves only
+    // the completed __rebuild staging — adopt it instead of failing
+    val idxLt = IndexSwap.loadOrAdopt(spark, catalog, namespace, indexName, VersionProp)
     val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
     def prop(p: String): String = props.getOrElse(p,
       throw new IllegalArgumentException(
@@ -137,7 +139,7 @@ object TextIndex {
       catalog: String,
       namespace: Seq[String],
       indexName: String): String = {
-    val idxLt = lakeTable(spark, catalog, namespace, indexName)
+    val idxLt = IndexSwap.loadOrAdopt(spark, catalog, namespace, indexName, VersionProp)
     val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
     def prop(p: String): String = props.getOrElse(p,
       throw new IllegalArgumentException(

@@ -184,7 +184,9 @@ object VectorIndex {
       indexName: String,
       driftFactor: Double = 4.0): String = {
     graft.functions.GraftFunctions.register(spark)
-    val idxLt = lakeTable(spark, catalog, namespace, indexName)
+    // loadOrAdopt: a crash in rebuild's DROP→RENAME window leaves only
+    // the completed __rebuild staging — adopt it instead of failing
+    val idxLt = IndexSwap.loadOrAdopt(spark, catalog, namespace, indexName, VersionProp)
     val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
     // validate the full IVF contract up front: a table created via the
     // bare build() path (or any non-index table) gets the descriptive

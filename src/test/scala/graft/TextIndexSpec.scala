@@ -90,6 +90,23 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("a crash between rebuild's DROP and RENAME recovers by adopting the staging") {
+    mkSource("docs4", Seq(1L -> "omega phi", 2L -> "omega chi"))
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docs4", "docs4_idx", nBuckets = 4)
+    // simulate the crash window: a COMPLETED __rebuild staging exists,
+    // the live index name does not
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docs4", "docs4_idx__rebuild",
+      nBuckets = 4)
+    spark.sql("DROP TABLE lakehouse.ti.docs4_idx")
+
+    // both entry points adopt the staging instead of failing
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs4_idx", Seq("omega"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docs4_idx") shouldBe "noop"
+    // the staging name is gone — it IS the index now
+    intercept[Exception] { spark.table("lakehouse.ti.docs4_idx__rebuild").collect() }
+  }
+
   test("refresh on a non-index table fails with the contract error") {
     mkSource("docs3", Seq(1L -> "solo"))
     val e = intercept[IllegalArgumentException] {
