@@ -590,10 +590,13 @@ object TextOps {
       // and the final join both read these 3 narrow columns, and
       // without the checkpoint each side would re-tokenize the corpus
       // from the raw text.
+      // bucket-keyed pin: the bucket-total aggregation runs in place,
+      // the rank join reads the corpus side with no exchange, and the
+      // in-bucket window's clustering requirement is already satisfied
       val toks = tokenized(s, d)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
         .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
-        .pinned
+        .pinnedBy(s.conf.get("spark.sql.shuffle.partitions").toInt, "bucket")
       val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val bucketTotals = toks.groupBy(col("bucket"))
@@ -853,13 +856,16 @@ object TextOps {
     (s, d) => {
       val bucketWidth = 100L // docs per bucket
       val superWidth = 100L // buckets per super-bucket
-      // pinned: the bucket-count subplan and the final rank join both
-      // read this narrow frame — without the pin each re-scans the corpus
+      // (grp,bucket)-keyed pin: the bucket-count subplan and the final
+      // rank join both read this narrow frame (without the pin each
+      // re-scans the corpus), the count aggregation runs in place, the
+      // rank join adds no corpus-side exchange, and the in-bucket
+      // window's clustering is already satisfied
       val g = documents(s, d)
         .withColumn("grp", when(col("lang") === "en", "en").otherwise("other"))
         .select(col("grp"), col("doc_id"), col("lang"),
           expr(s"doc_id div $bucketWidth").as("bucket"))
-        .pinned
+        .pinnedBy(s.conf.get("spark.sql.shuffle.partitions").toInt, "grp", "bucket")
       val bucketCounts = g.groupBy(col("grp"), col("bucket"))
         .agg(count(lit(1)).as("bcnt"))
         .withColumn("sb", expr(s"bucket div $superWidth"))
@@ -1484,14 +1490,18 @@ object TextOps {
   val q65 = Q(
     "q65_lang_kl",
     (s, d) => {
-      val lt = graft.Materialize.pin(
+      // tok-keyed pin: the corpus-marginal re-aggregation runs in
+      // place and the lt⋈corpus join on tok adds no exchange — only
+      // the |langs|-row totals shuffle
+      val lt = graft.Materialize.pinPartitionedBy(
         tokenized(s, d)
           .select(col("lang"), explode(col("toks")).as("tok"))
-          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c_lt")))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c_lt")),
+        s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("tok"))
       val langTotals = lt.groupBy(col("lang")).agg(sum(col("c_lt")).as("n_l"))
       val corpus = lt.groupBy(col("tok")).agg(sum(col("c_lt")).as("c_t"))
       val total = lt.agg(sum(col("c_lt")).as("n"))
-      lt.join(corpus, Seq("tok"))
+      lt.join(corpus.hint("shuffle_hash"), Seq("tok"))
         .join(broadcast(langTotals), Seq("lang"))
         .crossJoin(broadcast(total))
         .groupBy(col("lang"))
@@ -1702,10 +1712,13 @@ object TextOps {
   val q71 = Q(
     "q71_source_similarity",
     (s, d) => {
-      val st = graft.Materialize.pin(
+      // tok-keyed pin: the token self-join reads both sides from the
+      // pinned layout with no exchange
+      val st = graft.Materialize.pinPartitionedBy(
         tokenized(s, d)
           .select(col("source"), explode(col("toks")).as("tok"))
-          .distinct())
+          .distinct(),
+        s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("tok"))
       val counts = st.groupBy(col("source")).agg(count(lit(1)).as("nt"))
       val shared = st.as("a")
         .join(st.as("b"),

@@ -15,7 +15,9 @@ object Probe8 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sf = "/root/testdata/sf0.001"
-    for (q <- Seq(graft.queries.TextOps.q28b, graft.queries.TextOps.q64)) {
+    for (q <- Seq(graft.queries.TextOps.q28b, graft.queries.TextOps.q64,
+        graft.queries.TextOps.q38, graft.queries.TextOps.q46,
+        graft.queries.TextOps.q65, graft.queries.TextOps.q71)) {
       val df = q.run(spark, sf)
       df.collect()
       def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
