@@ -27,6 +27,10 @@ object TextIndex {
   val BucketsProp = "graft.postings.buckets"
   val TextColProp = "graft.postings.textCol"
   val IdColProp = "graft.postings.idCol"
+  /** Corpus document count at the covered version — the N of idf =
+    * ln(N/df). Maintained incrementally (appends add their row count);
+    * rebuilds recount. */
+  val NDocsProp = "graft.postings.nDocs"
 
   private def fq(catalog: String, namespace: Seq[String], name: String): String =
     (catalog +: namespace :+ name).mkString(".")
@@ -79,12 +83,15 @@ object TextIndex {
         nBuckets)
       .createOrReplaceTempView("postings_src")
     spark.sql(s"INSERT INTO $index SELECT tok, docs, df, bucket FROM postings_src")
+    // metadata-only on a clean lakehouse table (aggregate pushdown)
+    val nDocs = spark.table(fq(catalog, namespace, sourceTable)).count()
     setProps(spark, index, Map(
       SourceProp -> sourceTable,
       VersionProp -> srcVersion.toString,
       BucketsProp -> nBuckets.toString,
       TextColProp -> textCol,
-      IdColProp -> idCol))
+      IdColProp -> idCol,
+      NDocsProp -> nDocs.toString))
   }
 
   /** The probe buckets for a term list (one tiny local job — no table
@@ -127,6 +134,41 @@ object TextIndex {
       .filter(col("nt") === distinctTerms.size)
       .select(col(idCol))
       .orderBy(col(idCol))
+  }
+
+  /** Ranked retrieval from the postings alone (disjunctive): documents
+    * matching ANY term, scored by the summed idf ln(N/df) of their
+    * matched terms — rarer terms dominate, ubiquitous ones contribute
+    * nothing, the classic tf-absent half of BM25 served without ever
+    * touching the corpus. Same probe shape as [[searchAll]]: the scan
+    * carries `bucket IN (...) AND tok IN (...)`, file-skips every
+    * unprobed bucket, and the ranking input is ≤|terms| posting rows.
+    * Scores round to 4 decimals; ties break by doc id (total order). */
+  def searchRanked(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      indexName: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    val idxLt = IndexSwap.loadOrAdopt(spark, catalog, namespace, indexName, VersionProp)
+    val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
+    def prop(p: String): String = props.getOrElse(p,
+      throw new IllegalArgumentException(
+        s"$indexName is not a postings index (no $p)"))
+    val nBuckets = prop(BucketsProp).toInt
+    val idCol = prop(IdColProp)
+    val nDocs = prop(NDocsProp).toLong
+    val distinctTerms = terms.distinct
+    val buckets = bucketOf(spark, distinctTerms, nBuckets)
+    spark.table(fq(catalog, namespace, indexName))
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(distinctTerms: _*))
+      .select(log(lit(nDocs.toDouble) / col("df").cast("double")).as("w"),
+        explode(col("docs")).as(idCol))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 
   /** Fold source commits since the last refresh into the index.
@@ -173,9 +215,15 @@ object TextIndex {
         spark.sql(s"ALTER TABLE $tmpFq RENAME TO ${(namespace :+ indexName).mkString(".")}")
         "full"
       case Some(d) =>
+        // idf's N advances with the appended rows; an index created
+        // before NDocsProp recounts the source once and self-heals
+        val deltaCount = d.count()
+        val newN = props.get(NDocsProp).map(_.toLong + deltaCount)
+          .getOrElse(spark.table(fq(catalog, namespace, sourceTable)).count())
         val deltaPairs = tokenPairs(d, textCol, idCol)
         if (deltaPairs.isEmpty) {
-          setProps(spark, index, Map(VersionProp -> srcVersion.toString))
+          setProps(spark, index, Map(
+            VersionProp -> srcVersion.toString, NDocsProp -> newN.toString))
           return "incremental"
         }
         // affected postings only: current rows for the delta's tokens
@@ -190,7 +238,8 @@ object TextIndex {
           nBuckets)
         graft.catalog.MergeOnRead.morUpsert(spark, catalog, namespace, indexName,
           merged.select(col("tok"), col("docs"), col("df"), col("bucket")), Seq("tok"))
-        setProps(spark, index, Map(VersionProp -> srcVersion.toString))
+        setProps(spark, index, Map(
+          VersionProp -> srcVersion.toString, NDocsProp -> newN.toString))
         "incremental"
     }
   }

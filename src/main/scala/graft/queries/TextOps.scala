@@ -1803,9 +1803,36 @@ object TextOps {
            |  AND list_contains(string_split(text, ' '), 'merge')
            |ORDER BY doc_id""".stripMargin))
 
+  /** q72b: idf-RANKED disjunctive keyword search from the postings
+    * index — docs matching ANY term, scored Σ ln(N/df) over matched
+    * terms (rarer terms dominate; the tf-absent half of BM25), top-k.
+    * Same metadata-file-skipped probe as q72: the ranking input is
+    * ≤|terms| posting rows, the corpus is never read. The oracle
+    * recomputes df and N from the documents table directly. */
+  val q72b = Q(
+    "q72b_keyword_rank",
+    (s, d) => {
+      ensureKeywordIndex(s, d)
+      graft.operators.TextIndex.searchRanked(s, kwCatalog, Seq("kw"),
+        s"${kwTable(d)}_idx", Seq("spark", "vector", "merge"), 50)
+    },
+    Some("""WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+           |              FROM documents),
+           |flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+           |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |df AS (SELECT tok, COUNT(*) AS df FROM flat GROUP BY tok)
+           |SELECT f.doc_id,
+           |       ROUND(SUM(LN(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))), 4)
+           |         AS score
+           |FROM flat f JOIN df ON f.tok = df.tok CROSS JOIN n
+           |WHERE f.tok IN ('spark', 'vector', 'merge')
+           |GROUP BY f.doc_id
+           |ORDER BY score DESC, f.doc_id
+           |LIMIT 50""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72)
+      q71, q72, q72b)
 }

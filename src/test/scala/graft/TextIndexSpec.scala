@@ -90,6 +90,34 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("ranked search scores by summed idf of matched terms, from postings alone") {
+    mkSource("docsrk", Seq(
+      1L -> "rare common filler",
+      2L -> "common filler extra",
+      3L -> "rare common next",
+      4L -> "common alone here"))
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docsrk", "docsrk_idx", nBuckets = 4)
+    val got = TextIndex.searchRanked(spark, "lakehouse", Seq("ti"), "docsrk_idx",
+      Seq("rare", "common"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // df(rare)=2, df(common)=4, N=4: rare-bearing docs outrank
+    val wRare = math.log(4.0 / 2.0)
+    val wCommon = math.log(4.0 / 4.0) // = 0
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe Array(
+      (1L, r4(wRare + wCommon)), (3L, r4(wRare + wCommon)),
+      (2L, 0.0), (4L, 0.0))
+
+    // N advances through an incremental refresh: idf re-weights
+    Seq(5L -> "common again").toDF("doc_id", "text")
+      .createOrReplaceTempView("ti_docsrk_delta")
+    spark.sql("INSERT INTO lakehouse.ti.docsrk SELECT * FROM ti_docsrk_delta")
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docsrk_idx") shouldBe "incremental"
+    val after = TextIndex.searchRanked(spark, "lakehouse", Seq("ti"), "docsrk_idx",
+      Seq("rare"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    after shouldBe Array((1L, r4(math.log(5.0 / 2.0))), (3L, r4(math.log(5.0 / 2.0))))
+  }
+
   test("a crash between rebuild's DROP and RENAME recovers by adopting the staging") {
     mkSource("docs4", Seq(1L -> "omega phi", 2L -> "omega chi"))
     TextIndex.create(spark, "lakehouse", Seq("ti"), "docs4", "docs4_idx", nBuckets = 4)
