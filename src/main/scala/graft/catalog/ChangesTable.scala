@@ -110,14 +110,18 @@ private[catalog] class ChangelogStaging(
     stagingRoot: Path,
     options: CaseInsensitiveStringMap) {
 
-  private val WindowDir = "w(\\d+)-(\\d+)".r
+  private val WindowDir = "w(\\d+)-(\\d+)(-span)?".r
 
   private[catalog] val spanSchemaChanges: Boolean =
     Option(options.get("spanSchemaChanges")).exists(_.toBoolean)
 
   def stageWindow(fromV: Int, toV: Int, reapSiblings: Boolean = false): Seq[Path] = {
     if (fromV >= toV) return Seq.empty
-    val dir = stagingRoot.resolve(s"w$fromV-$toV")
+    // span-projected windows stage under a distinct key: a window
+    // staged with epoch projection must never be served to a default
+    // (fail-fast) read of the same version range, and vice versa
+    val dir = stagingRoot.resolve(
+      if (spanSchemaChanges) s"w$fromV-$toV-span" else s"w$fromV-$toV")
     if (reapSiblings && Files.isDirectory(stagingRoot)) {
       // age-gated: a sibling window may belong to a CONCURRENT batch
       // query (the table advanced between two reads) whose tasks are
@@ -128,7 +132,7 @@ private[catalog] class ChangelogStaging(
       val cutoff = System.currentTimeMillis() - ChangelogStaging.BatchReapTtlMs
       Files.list(stagingRoot).iterator().asScala
         .filter(d => d.getFileName.toString match {
-          case WindowDir(_, _) =>
+          case WindowDir(_, _, _) =>
             d != dir && Files.getLastModifiedTime(d).toMillis < cutoff
           case _ => false
         })
@@ -179,17 +183,26 @@ private[catalog] class ChangelogStaging(
     * refuses. */
   def requireNoSchemaSpan(fromV: Int, toV: Int): Unit = {
     if (spanSchemaChanges) return
-    val win = TableMetadata.loadLog(tableDir)
-      .filter(m => m.version > fromV && m.version <= toV)
-    win.headOption.foreach { first =>
-      val ddl = win.find(_.schema != first.schema)
-      ddl.foreach { m =>
-        throw new IllegalArgumentException(
-          s"$identName: schema changed at v${m.version}; a changelog stream cannot span " +
-            s"it. Set .option(\"startingVersion\", \"${m.version}\") (or later), or " +
-            ".option(\"spanSchemaChanges\", \"true\") to project earlier epochs to the " +
-            "current schema")
+    // window-scoped: read only the (fromV, toV] version files — a full
+    // loadLog here would add O(table history) metadata I/O to EVERY
+    // micro-batch plan of a long-lived stream. A version file missing
+    // from the window (expired history) is left for staging to
+    // diagnose with its own actionable error.
+    var firstSchema: org.apache.spark.sql.types.StructType = null
+    var v = fromV + 1
+    while (v <= toV) {
+      val f = TableMetadata.versionFile(tableDir, v)
+      if (Files.exists(f)) {
+        val m = TableMetadata.fromJson(Files.readString(f))
+        if (firstSchema == null) firstSchema = m.schema
+        else if (m.schema != firstSchema)
+          throw new IllegalArgumentException(
+            s"$identName: schema changed at v$v; a changelog stream cannot span " +
+              s"it. Set .option(\"startingVersion\", \"$v\") (or later), or " +
+              ".option(\"spanSchemaChanges\", \"true\") to project earlier epochs to " +
+              "the current schema")
       }
+      v += 1
     }
   }
 
@@ -199,7 +212,7 @@ private[catalog] class ChangelogStaging(
     Files.list(stagingRoot).iterator().asScala
       .filter { d =>
         d.getFileName.toString match {
-          case WindowDir(_, to) => to.toInt <= endV
+          case WindowDir(_, to, _) => to.toInt <= endV
           case _ => false
         }
       }

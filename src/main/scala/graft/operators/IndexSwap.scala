@@ -43,8 +43,12 @@ object IndexSwap {
               .properties.contains(completenessProp)
           } catch { case t: Throwable if isMissingTable(t) => false }
         if (!complete) throw e
-        spark.sql(s"ALTER TABLE ${(catalog +: namespace :+ tmpName).mkString(".")} " +
+        // concurrent adopters race on the RENAME: the loser's failure
+        // is benign (the winner installed the same staging) — swallow
+        // it and load whatever is live now
+        try spark.sql(s"ALTER TABLE ${(catalog +: namespace :+ tmpName).mkString(".")} " +
           s"RENAME TO ${(namespace :+ name).mkString(".")}")
+        catch { case _: Throwable => () }
         lakeTable(spark, catalog, namespace, name)
     }
 

@@ -158,7 +158,11 @@ object TextIndex {
         s"$indexName is not a postings index (no $p)"))
     val nBuckets = prop(BucketsProp).toInt
     val idCol = prop(IdColProp)
-    val nDocs = prop(NDocsProp).toLong
+    // an index built before NDocsProp existed is still a valid
+    // postings index: self-heal by counting the source (metadata-only
+    // on a clean table) instead of mis-diagnosing it as non-index
+    val nDocs = props.get(NDocsProp).map(_.toLong).getOrElse(
+      spark.table(fq(catalog, namespace, prop(SourceProp))).count())
     val distinctTerms = terms.distinct
     val buckets = bucketOf(spark, distinctTerms, nBuckets)
     spark.table(fq(catalog, namespace, indexName))

@@ -611,12 +611,14 @@ object TextOps {
         .withColumn("soffset", sum(col("stotal")).over(superW) - col("stotal"))
         .select(col("sb"), col("soffset"))
       // exclusive prefix of every bucket = super offset + in-super cumsum
+      // joins pinned shuffle-hash, aggregate side as build: offsets is
+      // |docs|/bucketWidth rows — never broadcastable at scale
       val offsets = bucketTotals
         .withColumn("cum_in_sb", sum(col("btotal")).over(inSuper))
-        .join(superOffsets, Seq("sb"))
+        .join(superOffsets.hint("shuffle_hash"), Seq("sb"))
         .select(col("bucket"),
           (col("soffset") + col("cum_in_sb") - col("btotal")).as("offset"))
-      toks.join(offsets, Seq("bucket"))
+      toks.join(offsets.hint("shuffle_hash"), Seq("bucket"))
         .withColumn("prefix",
           col("offset") + sum(col("n_tokens")).over(inBucket) - col("n_tokens"))
         .withColumn("pack_id", floor(col("prefix") / budget).cast("long"))
@@ -880,16 +882,20 @@ object TextOps {
       val inSuper = Window.partitionBy(col("grp"), col("sb")).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // exclusive prefix of every bucket = super offset + in-super cumsum
+      // both joins pinned shuffle-hash with the SMALLER aggregate side
+      // as build (offsets is |docs|/bucketWidth rows — too big to ever
+      // broadcast at scale, and an adaptive build choice is the
+      // AQE race this codebase pins against everywhere else)
       val offsets = bucketCounts
         .withColumn("cum_in_sb", sum(col("bcnt")).over(inSuper))
-        .join(superOffsets, Seq("grp", "sb"))
+        .join(superOffsets.hint("shuffle_hash"), Seq("grp", "sb"))
         .select(col("grp"), col("bucket"),
           (col("soffset") + col("cum_in_sb") - col("bcnt")).as("boffset"))
       // in-bucket rank is a ≤bucketWidth-row window; bucket = doc_id div W
       // is monotone in doc_id, so boffset + in-bucket row_number IS the
       // per-group doc_id rank
       val inBucket = Window.partitionBy(col("grp"), col("bucket")).orderBy(col("doc_id"))
-      g.join(offsets, Seq("grp", "bucket"))
+      g.join(offsets.hint("shuffle_hash"), Seq("grp", "bucket"))
         .withColumn("rn", col("boffset") + row_number().over(inBucket))
         .withColumn("mix_key",
           col("rn") * when(col("grp") === "en", 2).otherwise(5))
@@ -1432,13 +1438,13 @@ object TextOps {
       // and the r7 bench-spread suspect), and the model itself is
       // distinct-bigram-sized (10⁹+ at 100 TB), never broadcastable.
       // The per-doc mean combines map-side to one row per doc.
-      // doc_id-keyed pin: explode preserves the child's partitioning
-      // and the model join broadcasts while the model fits, so the
-      // final per-doc aggregation reads the pinned layout and adds no
-      // corpus-scale exchange
-      val tok = graft.Materialize.pinPartitionedBy(
-        tokenized(s, d).filter(size(col("toks")) >= 2),
-        s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("doc_id"))
+      // plain pin: every consumer re-keys on (p, w) — the probe join
+      // shuffles pairs by the join keys and the per-doc aggregation
+      // runs on the JOIN's output — so no downstream consumer could
+      // read a doc_id layout claim; the pin buys single derivation of
+      // the tokenize pipeline only
+      val tok = graft.Materialize.pin(
+        tokenized(s, d).filter(size(col("toks")) >= 2))
       def pairs = tok.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
           struct(element_at(col("toks"), i + 1).as("p"),
@@ -1721,7 +1727,9 @@ object TextOps {
         s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("tok"))
       val counts = st.groupBy(col("source")).agg(count(lit(1)).as("nt"))
       val shared = st.as("a")
-        .join(st.as("b"),
+        // pinned: the vocabulary frame is corpus-vocab-scale — an
+        // adaptive broadcast of either self-join side is an OOM at 100×
+        .join(st.as("b").hint("shuffle_hash"),
           col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a2"), col("b.source").as("src_b2"))
         .agg(count(lit(1)).as("shared"))
@@ -1757,16 +1765,26 @@ object TextOps {
     * not the one-time build. */
   private val kwCatalog = "kwidx"
   private val kwBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // one warehouse per JVM, shared by every session that registers the
+  // catalog — the build memo is JVM-global, so a second session must
+  // resolve the same physical tables
+  private lazy val kwWarehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-kwidx-").toString
 
-  private def kwTable(d: String): String = "docs_" + math.abs(d.hashCode).toString
+  // collision-free, SQL-safe table name per corpus dir (a hash could
+  // collide two dirs onto one index table — silently wrong rows)
+  private def kwTable(d: String): String =
+    "docs_" + d.replaceAll("[^A-Za-z0-9]", "_")
 
   private def ensureKeywordIndex(s: SparkSession, d: String): Unit = kwBuilt.synchronized {
-    if (kwBuilt.contains(d)) return
+    // catalog registration is PER-SESSION while the build memo is
+    // JVM-global: always (re)check the conf before the early return,
+    // or a second session in the same JVM would skip it
     if (s.conf.getOption(s"spark.sql.catalog.$kwCatalog").isEmpty) {
-      val wh = java.nio.file.Files.createTempDirectory("graft-kwidx-")
       s.conf.set(s"spark.sql.catalog.$kwCatalog", "graft.catalog.LakehouseCatalog")
-      s.conf.set(s"spark.sql.catalog.$kwCatalog.warehouse", wh.toString)
+      s.conf.set(s"spark.sql.catalog.$kwCatalog.warehouse", kwWarehouse)
     }
+    if (kwBuilt.contains(d)) return
     val tbl = kwTable(d)
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $kwCatalog.kw")
     s.sql(s"DROP TABLE IF EXISTS $kwCatalog.kw.${tbl}_idx")
