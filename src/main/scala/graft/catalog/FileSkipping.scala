@@ -155,6 +155,81 @@ object FileSkipping {
     }
   }
 
+  /** Types where a recorded min==max PROVES the exact value set of a
+    * file. Strings are excluded deliberately: parquet writers may
+    * truncate long binary min/max (or drop them past a size
+    * threshold), so equal string bounds don't prove every row equals
+    * them — conservative pruning is still fine, exactness is not. */
+  private def exactProofType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+        DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Does EVERY row of the file provably satisfy `filter`? The dual of
+    * [[mayMatch]]: where mayMatch proves absence to skip a file,
+    * provesAllMatch proves total coverage so the filter needs no
+    * per-row evaluation on this file at all — the basis for exact
+    * file-level filter pushdown (a clustered partition column's files
+    * carry min==max==value). Value predicates additionally need a
+    * recorded zero null count: a null row satisfies no value
+    * predicate. Conservative: anything unprovable → false. */
+  def provesAllMatch(
+      filter: Filter,
+      schema: StructType,
+      stats: Map[String, ColumnRange]): Boolean = {
+
+    def proof(col: String): Option[(ColumnRange, (String, String) => Int)] =
+      for {
+        r <- stats.get(col) if r.hasValues && r.nulls.contains(0L)
+        f <- schema.fields.find(_.name == col) if exactProofType(f.dataType)
+        cmp <- comparator(f.dataType)
+      } yield (r, cmp)
+
+    filter match {
+      case EqualTo(col, v) =>
+        proof(col).exists { case (r, cmp) =>
+          lit(v).exists(s => cmp(r.min, r.max) == 0 && cmp(s, r.min) == 0)
+        }
+      case In(col, vs) =>
+        proof(col).exists { case (r, cmp) =>
+          cmp(r.min, r.max) == 0 &&
+            vs.exists(v => lit(v).exists(s => cmp(s, r.min) == 0))
+        }
+      case GreaterThan(col, v) =>
+        proof(col).exists { case (r, cmp) => lit(v).exists(s => cmp(r.min, s) > 0) }
+      case GreaterThanOrEqual(col, v) =>
+        proof(col).exists { case (r, cmp) => lit(v).exists(s => cmp(r.min, s) >= 0) }
+      case LessThan(col, v) =>
+        proof(col).exists { case (r, cmp) => lit(v).exists(s => cmp(r.max, s) < 0) }
+      case LessThanOrEqual(col, v) =>
+        proof(col).exists { case (r, cmp) => lit(v).exists(s => cmp(r.max, s) <= 0) }
+      case IsNotNull(col) => stats.get(col).exists(_.nulls.contains(0L))
+      case IsNull(col) => stats.get(col).exists(r => !r.hasValues)
+      case And(l, r) =>
+        provesAllMatch(l, schema, stats) && provesAllMatch(r, schema, stats)
+      case Or(l, r) =>
+        provesAllMatch(l, schema, stats) || provesAllMatch(r, schema, stats)
+      case _ => false
+    }
+  }
+
+  /** Can file-level pruning implement `filter` EXACTLY against this
+    * snapshot? True iff every file either provably cannot match
+    * ([[mayMatch]] false → pruned) or provably fully matches
+    * ([[provesAllMatch]] → kept whole). No partially-matching file may
+    * exist, so the surviving files' rows ARE the filter's result. */
+  def exactlyDecidable(
+      files: Seq[String],
+      fileStats: Map[String, Map[String, ColumnRange]],
+      schema: StructType,
+      filter: Filter): Boolean =
+    files.forall { f =>
+      fileStats.get(f).exists { stats =>
+        !mayMatch(filter, schema, stats) || provesAllMatch(filter, schema, stats)
+      }
+    }
+
   /** Files surviving all pushed filters. */
   def prune(
       files: Seq[String],

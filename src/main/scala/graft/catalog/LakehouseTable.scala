@@ -114,26 +114,50 @@ class LakehouseTable(
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
         pushed = filters
-        filters // all residual: Spark re-applies them post-scan
+        // EXACT file-level pushdown: a filter that every file either
+        // provably cannot match (pruned) or provably FULLY matches
+        // (kept whole — clustered partition columns carry min==max) is
+        // implemented completely by file pruning; accepting it means
+        // Spark adds no per-row re-filter AND aggregates above it stay
+        // pushable — `COUNT(*) WHERE p = x` on a 100 TB table becomes
+        // a driver-side metadata fold, zero tasks. Everything else
+        // stays residual as before (skipping remains an optimization,
+        // never a correctness decision). Conf-gated off with the same
+        // flag family as aggregate pushdown.
+        val exactOk =
+          !spark.conf.getOption("spark.graft.exactFilterPushdown").contains("false")
+        acceptedExact =
+          if (!exactOk) Set.empty
+          else filters.filter(f =>
+            FileSkipping.exactlyDecidable(meta.files, meta.fileStats, meta.schema, f)).toSet
+        filters.filterNot(acceptedExact) // residual: Spark re-applies post-scan
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
+      private var acceptedExact: Set[org.apache.spark.sql.sources.Filter] = Set.empty
+
       // Global COUNT/MIN/MAX answered from snapshot metadata — a
       // driver-side fold over per-file stats instead of a scan (see
       // [[MetadataAggregates]]). Complete pushdown: the returned row IS
       // the final answer, so the plan collapses to a LocalTableScan.
-      // Only when no filters reached the scan: ours are all residual,
-      // so an aggregate above any filter must see real rows.
+      // Allowed when every pushed filter was ACCEPTED exactly (file
+      // pruning implements it completely, so the surviving files' rows
+      // are the filter's result); any residual filter means the
+      // aggregate must see real rows.
       private def tryAnswer(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) =
-        if (pushed.nonEmpty ||
+        if (!pushed.forall(acceptedExact) ||
           spark.conf.getOption("spark.graft.aggregatePushdown").contains("false") ||
           // pending merge-on-read deletes: recorded counts/ranges count
           // rows the merging read will subtract
           MergeOnRead.anyApplicable(meta, meta.files)) None
-        else MetadataAggregates.answer(meta, agg)
+        else {
+          val survivors =
+            FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
+          MetadataAggregates.answer(meta.copy(files = survivors), agg)
+        }
 
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =

@@ -58,11 +58,13 @@ class AggPushdownSpec extends AnyFunSuite with Matchers {
 
   test("decline paths fall back to a real scan with identical answers") {
     setup()
-    // a filter above the scan → must read data
+    // a filter file pruning cannot implement exactly → must read data
+    // (string bounds are excluded from exactness proofs by design —
+    // parquet may truncate binary min/max — so this never accepts)
     val filtered = spark.sql(
-      "SELECT count(*) FROM lakehouse.aggpd.t WHERE k > 100")
+      "SELECT count(*) FROM lakehouse.aggpd.t WHERE s >= 's100'")
     assert(!isMetadataOnly(filtered))
-    filtered.collect()(0).getLong(0) shouldBe 301L
+    filtered.collect()(0).getLong(0) shouldBe 226L
     // double min/max: NaN poisons footer ordering → never metadata-only
     val dbl = spark.sql("SELECT min(x), max(x) FROM lakehouse.aggpd.t")
     assert(!isMetadataOnly(dbl))
@@ -75,6 +77,56 @@ class AggPushdownSpec extends AnyFunSuite with Matchers {
     val grouped = spark.sql(
       "SELECT k % 2, count(*) FROM lakehouse.aggpd.t GROUP BY 1")
     assert(!isMetadataOnly(grouped))
+  }
+
+  test("partition-scoped aggregates answer from metadata via exact filter pushdown") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.aggpd")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.aggpd.part")
+    spark.sql("CREATE TABLE lakehouse.aggpd.part (k BIGINT, p INT) PARTITIONED BY (p)")
+    // one commit per partition value (the streaming-ingest shape): a
+    // single small insert would AQE-coalesce all values into one file
+    // and nothing would be exactly decidable
+    (0 until 3).foreach { pv =>
+      (1 to 300).filter(_ % 3 == pv).map(i => (i.toLong, pv)).toDF("k", "p")
+        .createOrReplaceTempView("aggpd_psrc")
+      spark.sql("INSERT INTO lakehouse.aggpd.part SELECT * FROM aggpd_psrc")
+    }
+
+    // clustered partition files carry min==max==p and zero nulls: the
+    // equality is exactly decidable at file level, so the count folds
+    // from metadata — zero tasks for a partition-scoped COUNT at 100 TB
+    val q = spark.sql("SELECT count(*) FROM lakehouse.aggpd.part WHERE p = 1")
+    assert(isMetadataOnly(q))
+    q.collect()(0).getLong(0) shouldBe 100L
+
+    // min/max under the accepted filter fold SURVIVING files only
+    val mm = spark.sql("SELECT min(k), max(k) FROM lakehouse.aggpd.part WHERE p = 2")
+    assert(isMetadataOnly(mm))
+    val mmRow = mm.collect()(0)
+    mmRow.getLong(0) shouldBe 2L
+    mmRow.getLong(1) shouldBe 299L
+
+    // an exact-accepted filter on a plain scan adds no Spark re-filter
+    // and returns exactly the partition's rows
+    val rows = spark.table("lakehouse.aggpd.part").where($"p" === 1).select($"k")
+    rows.collect().map(_.getLong(0)).toSet shouldBe
+      (1 to 300).filter(_ % 3 == 1).map(_.toLong).toSet
+    val rp = rows.queryExecution.executedPlan.toString
+    assert(!rp.contains(" Filter ("), s"unexpected post-scan filter in:\n$rp")
+
+    // a predicate a file straddles stays residual and falls back
+    val partial = spark.sql("SELECT count(*) FROM lakehouse.aggpd.part WHERE k > 100")
+    assert(!isMetadataOnly(partial))
+    partial.collect()(0).getLong(0) shouldBe 200L
+
+    // conf gate: same answers through a real scan
+    spark.conf.set("spark.graft.exactFilterPushdown", "false")
+    try {
+      val off = spark.sql("SELECT count(*) FROM lakehouse.aggpd.part WHERE p = 1")
+      assert(!isMetadataOnly(off))
+      off.collect()(0).getLong(0) shouldBe 100L
+    } finally spark.conf.unset("spark.graft.exactFilterPushdown")
+    spark.sql("DROP TABLE lakehouse.aggpd.part")
   }
 
   test("row-level DELETE keeps metadata answers exact") {
