@@ -189,10 +189,15 @@ class LakehouseTable(
         val filterSurvivors = BloomIndex.prune(
           tableDir, meta.properties, meta.schema, rangeSurvivors, pushed.toSeq)
         // LIMIT truncation: cumulative recorded row counts cover the
-        // limit → later files can never be needed. Spark never pushes
-        // a limit past a filter, and ours are all residual, so this
-        // only fires on filterless scans (guarded anyway).
-        val survivors = (pushedLimit, pushed.isEmpty) match {
+        // limit → later files can never be needed. Spark only pushes a
+        // limit this far when no residual filter remains — i.e. a
+        // filterless scan, or one whose filters were all accepted
+        // exactly (file pruning implements them completely, so the
+        // survivors' counts are counts of MATCHING rows).
+        // truncation is valid on a filterless scan OR when every pushed
+        // filter was accepted exactly: surviving files then hold ONLY
+        // matching rows, so their recorded counts still bound the limit
+        val survivors = (pushedLimit, pushed.forall(acceptedExact)) match {
           case (Some(n), true)
               if Bucketing.specOf(meta.properties).isEmpty && // keep bucket↔file map whole
                 filterSurvivors.forall(meta.fileRows.contains) &&

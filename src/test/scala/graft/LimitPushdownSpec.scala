@@ -39,10 +39,25 @@ class LimitPushdownSpec extends AnyFunSuite with Matchers {
     scannedFiles()._1 shouldBe 4
   }
 
-  test("a filter disables truncation and results stay complete") {
+  test("a partially-matching filter disables truncation and results stay complete") {
+    // k >= 350 straddles the last file: the filter stays residual, so
+    // recorded counts no longer bound matching rows and nothing truncates
     val rows = spark.sql(
       "SELECT * FROM lakehouse.limitpd.t WHERE k >= 350 LIMIT 40").collect()
     rows.length shouldBe 40
     rows.map(_.getLong(0)).foreach(_ should be >= 350L)
+  }
+
+  test("an exactly-accepted filter composes with limit truncation") {
+    // k >= 100: file 1 provably misses (pruned), files 2-4 provably
+    // fully match (accepted) → survivors hold only matching rows, so
+    // the recorded counts still bound the limit and one file suffices
+    val rows = spark.sql(
+      "SELECT * FROM lakehouse.limitpd.t WHERE k >= 100 LIMIT 50").collect()
+    rows.length shouldBe 50
+    rows.map(_.getLong(0)).foreach(_ should be >= 100L)
+    val (survivors, total) = scannedFiles()
+    total shouldBe 4
+    survivors shouldBe 1
   }
 }
