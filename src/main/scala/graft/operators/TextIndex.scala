@@ -47,20 +47,32 @@ object TextIndex {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
       props.map { case (k, v) => s"'$k'='$v'" }.mkString(", ")})")
 
-  /** Distinct (tok, id) pairs of a document frame: whitespace
-    * tokenization with per-doc dedup BEFORE the explode, so the
-    * exchange ships each (doc, token) once. */
+  /** Per-(token, doc) sorted POSITION lists of a document frame: the
+    * tokenizer runs once per doc and the exchange ships each (doc,
+    * token) once, positions folded into one array. Positions make the
+    * index phrase-capable (Lucene's positions file as a nested array
+    * column) at the cost of one long per corpus token — and they cost
+    * NOTHING on membership probes, where column pruning drops them
+    * before the scan. */
   private def tokenPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(split(col(textCol), " "))).as("tok"))
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .groupBy(col("tok"), col("id"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("poss"))
 
-  /** Postings rows for a pair frame: (tok, bucket, docs sorted, df). */
+  /** Postings rows for a (tok, id, poss) frame: (tok, bucket, docs
+    * sorted, df, poss aligned with docs). */
   private def postingsOf(pairs: DataFrame, nBuckets: Int): DataFrame =
     pairs.groupBy(col("tok"))
-      .agg(sort_array(collect_set(col("id"))).as("docs"))
+      // struct sort orders by the leading id field → docs ascending,
+      // positions carried along in lockstep
+      .agg(sort_array(collect_list(struct(col("id"), col("poss")))).as("entries"))
       .select(col("tok"),
         pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int").as("bucket"),
-        col("docs"), size(col("docs")).cast("long").as("df"))
+        transform(col("entries"), e => e.getField("id")).as("docs"),
+        transform(col("entries"), e => e.getField("poss")).as("poss"))
+      .select(col("tok"), col("bucket"), col("docs"), col("poss"),
+        size(col("docs")).cast("long").as("df"))
 
   /** Build the postings table over a LAKEHOUSE source table and persist
     * the maintenance contract (source, covered version, bucket count). */
@@ -77,12 +89,12 @@ object TextIndex {
     val srcVersion = graft.catalog.TableMetadata.load(srcLt.tableDir).version
     val index = fq(catalog, namespace, indexName)
     spark.sql(
-      s"CREATE TABLE $index (tok STRING, docs ARRAY<BIGINT>, df BIGINT, bucket INT) " +
-        "PARTITIONED BY (bucket)")
+      s"CREATE TABLE $index (tok STRING, docs ARRAY<BIGINT>, df BIGINT, " +
+        "poss ARRAY<ARRAY<BIGINT>>, bucket INT) PARTITIONED BY (bucket)")
     postingsOf(tokenPairs(spark.table(fq(catalog, namespace, sourceTable)), textCol, idCol),
         nBuckets)
       .createOrReplaceTempView("postings_src")
-    spark.sql(s"INSERT INTO $index SELECT tok, docs, df, bucket FROM postings_src")
+    spark.sql(s"INSERT INTO $index SELECT tok, docs, df, poss, bucket FROM postings_src")
     // metadata-only on a clean lakehouse table (aggregate pushdown)
     val nDocs = spark.table(fq(catalog, namespace, sourceTable)).count()
     setProps(spark, index, Map(
@@ -132,6 +144,66 @@ object TextIndex {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("nt")) // posting rows are tok-unique
       .filter(col("nt") === distinctTerms.size)
+      .select(col(idCol))
+      .orderBy(col(idCol))
+  }
+
+  /** Exact PHRASE search from the positional postings: documents
+    * containing the terms CONSECUTIVELY, in order. The probe reads the
+    * phrase terms' posting rows only (bucket+token file skipping, as
+    * [[searchAll]]); each term's entry list explodes to (doc,
+    * positions), terms join by doc RAREST-FIRST (the df recorded on
+    * the posting row orders the join chain driver-side from ≤|terms|
+    * values, so every subsequent join's left side is already the
+    * smallest candidate set — Lucene's lowest-df-first conjunction),
+    * and a start position survives when term i appears at start+i for
+    * every i (array_contains over the aligned position arrays — row-
+    * local, codegen'd). The corpus is never read. */
+  def phraseSearch(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      indexName: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val idxLt = IndexSwap.loadOrAdopt(spark, catalog, namespace, indexName, VersionProp)
+    val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
+    def prop(p: String): String = props.getOrElse(p,
+      throw new IllegalArgumentException(
+        s"$indexName is not a postings index (no $p)"))
+    val nBuckets = prop(BucketsProp).toInt
+    val idCol = prop(IdColProp)
+    val buckets = bucketOf(spark, phrase.distinct, nBuckets)
+    val postings = spark.table(fq(catalog, namespace, indexName))
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(phrase.distinct: _*))
+
+    // ≤|terms| (term, df) rows: order the join chain rarest-first
+    val dfs = postings.select(col("tok"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a term with no posting row empties the conjunction
+    if (phrase.exists(t => !dfs.contains(t)))
+      return spark.range(0).select(col("id").as(idCol))
+    val order = phrase.zipWithIndex.sortBy { case (t, _) => dfs(t) }
+
+    def termFrame(t: String, i: Int): DataFrame =
+      postings.filter(col("tok") === t)
+        .select(explode(arrays_zip(col("docs"), col("poss"))).as("e"))
+        .select(col("e.docs").as(idCol), col("e.poss").as(s"p$i"))
+
+    val (t0, i0) = order.head
+    val joined = order.tail.foldLeft(termFrame(t0, i0)) { case (acc, (t, i)) =>
+      // posting-bounded sides: pin the hash build on the new term's
+      // frame, never leave the choice adaptive
+      acc.join(termFrame(t, i).hint("shuffle_hash"), Seq(idCol))
+    }
+    // a start s survives iff term i sits at s + i for every i; the
+    // rarest term's positions (offset back to starts) seed the filter
+    val starts = filter(
+      transform(col(s"p$i0"), p => p - lit(i0.toLong)),
+      s => order.tail.map { case (_, i) =>
+        array_contains(col(s"p$i"), s + lit(i.toLong))
+      }.foldLeft(s >= 0L)(_ && _))
+    joined.filter(size(starts) > 0)
       .select(col(idCol))
       .orderBy(col(idCol))
   }
@@ -237,11 +309,14 @@ object TextIndex {
         val affected = deltaPairs.select(col("tok")).distinct()
         val current = spark.table(index)
           .join(broadcast(affected), Seq("tok"))
-          .select(col("tok"), explode(col("docs")).as("id"))
-        val merged = postingsOf(current.unionByName(deltaPairs.select(col("tok"), col("id"))),
+          .select(col("tok"), explode(arrays_zip(col("docs"), col("poss"))).as("e"))
+          .select(col("tok"), col("e.docs").as("id"), col("e.poss").as("poss"))
+        val merged = postingsOf(
+          current.unionByName(deltaPairs.select(col("tok"), col("id"), col("poss"))),
           nBuckets)
         graft.catalog.MergeOnRead.morUpsert(spark, catalog, namespace, indexName,
-          merged.select(col("tok"), col("docs"), col("df"), col("bucket")), Seq("tok"))
+          merged.select(col("tok"), col("docs"), col("df"), col("poss"), col("bucket")),
+          Seq("tok"))
         setProps(spark, index, Map(
           VersionProp -> srcVersion.toString, NDocsProp -> newN.toString))
         "incremental"

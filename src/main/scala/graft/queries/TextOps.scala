@@ -1848,9 +1848,25 @@ object TextOps {
            |ORDER BY score DESC, f.doc_id
            |LIMIT 50""".stripMargin))
 
+  /** q72c: exact PHRASE search from the positional postings — the
+    * terms must appear consecutively in order. Probe + rarest-first
+    * doc join + row-local position-adjacency check; the corpus is
+    * never read. The oracle is the padded-LIKE corpus scan (exact
+    * under the corpus's single-space tokenization). */
+  val q72c = Q(
+    "q72c_phrase_search",
+    (s, d) => {
+      ensureKeywordIndex(s, d)
+      graft.operators.TextIndex.phraseSearch(s, kwCatalog, Seq("kw"),
+        s"${kwTable(d)}_idx", Seq("spark", "vector"))
+    },
+    Some("""SELECT doc_id FROM documents
+           |WHERE ' ' || text || ' ' LIKE '% spark vector %'
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b)
+      q71, q72, q72b, q72c)
 }

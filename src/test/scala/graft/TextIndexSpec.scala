@@ -90,6 +90,36 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("phrase search finds consecutive in-order terms from positions alone") {
+    mkSource("docsph", Seq(
+      1L -> "big data spark engine",
+      2L -> "spark big data tools",       // phrase present
+      3L -> "big spark data engine",      // terms present, not adjacent
+      4L -> "data big data spark",        // phrase at a later position
+      5L -> "big data big data spark"))   // repeated tokens
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docsph", "docsph_idx", nBuckets = 4)
+
+    def phrase(ts: String*): Seq[Long] =
+      TextIndex.phraseSearch(spark, "lakehouse", Seq("ti"), "docsph_idx", ts)
+        .collect().map(_.getLong(0)).toSeq
+
+    phrase("big", "data") shouldBe Seq(1L, 2L, 4L, 5L)
+    phrase("big", "data", "spark") shouldBe Seq(1L, 4L, 5L)
+    phrase("spark", "big", "data") shouldBe Seq(2L)
+    phrase("data", "spark") shouldBe Seq(1L, 4L, 5L)
+    phrase("spark") shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    phrase("spark", "nosuchtoken") shouldBe Seq.empty
+    // repeated term in the phrase itself
+    phrase("data", "big", "data") shouldBe Seq(4L, 5L)
+
+    // phrases survive an incremental refresh (positions merged)
+    Seq(6L -> "more big data spark here").toDF("doc_id", "text")
+      .createOrReplaceTempView("ti_docsph_delta")
+    spark.sql("INSERT INTO lakehouse.ti.docsph SELECT * FROM ti_docsph_delta")
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docsph_idx") shouldBe "incremental"
+    phrase("big", "data", "spark") shouldBe Seq(1L, 4L, 5L, 6L)
+  }
+
   test("ranked search scores by summed idf of matched terms, from postings alone") {
     mkSource("docsrk", Seq(
       1L -> "rare common filler",
