@@ -359,6 +359,38 @@ class PropertySpec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("phrase search ≡ brute-force sliding-window scan on random corpora") {
+    // random docs over a tiny vocabulary (maximal token collisions and
+    // repeated tokens — the hard case for positional merging) vs the
+    // definitional check: some window of len |phrase| equals the phrase
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.listOfN(12, Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    val phraseGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    var round = 0
+    forAll(Gen.zip(docGen, phraseGen), trials = 8) { case (texts, phrase) =>
+      round += 1
+      val tbl = s"ph_prop_$round"
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.prop_ns")
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.prop_ns.$tbl")
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.prop_ns.${tbl}_idx")
+      spark.sql(s"CREATE TABLE lakehouse.prop_ns.$tbl (doc_id BIGINT, text STRING)")
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .createOrReplaceTempView(s"${tbl}_src")
+      spark.sql(s"INSERT INTO lakehouse.prop_ns.$tbl SELECT * FROM ${tbl}_src")
+      graft.operators.TextIndex.create(
+        spark, "lakehouse", Seq("prop_ns"), tbl, s"${tbl}_idx", nBuckets = 4)
+      val got = graft.operators.TextIndex.phraseSearch(
+        spark, "lakehouse", Seq("prop_ns"), s"${tbl}_idx", phrase)
+        .collect().map(_.getLong(0)).toSeq
+      val want = texts.zipWithIndex.collect { case (t, i)
+          if t.split(" ").toSeq.sliding(phrase.size).exists(_ == phrase) => i.toLong }
+      got shouldBe want
+      spark.sql(s"DROP TABLE lakehouse.prop_ns.${tbl}_idx")
+      spark.sql(s"DROP TABLE lakehouse.prop_ns.$tbl")
+    }
+  }
+
   test("insert coercion round-trip: INT source → FLOAT column keeps exact small ints") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.prop_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.prop_ns.coerce_t")
