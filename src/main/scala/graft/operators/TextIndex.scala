@@ -31,6 +31,9 @@ object TextIndex {
     * ln(N/df). Maintained incrementally (appends add their row count);
     * rebuilds recount. */
   val NDocsProp = "graft.postings.nDocs"
+  /** Total corpus token count at the covered version — avgdl =
+    * sumLen / N, the BM25 length norm. Incremental like N. */
+  val SumLenProp = "graft.postings.sumLen"
 
   private def fq(catalog: String, namespace: Seq[String], name: String): String =
     (catalog +: namespace :+ name).mkString(".")
@@ -56,22 +59,28 @@ object TextIndex {
     * before the scan. */
   private def tokenPairs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("id"),
+        size(split(col(textCol), " ")).cast("long").as("len"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .groupBy(col("tok"), col("id"))
-      .agg(sort_array(collect_list(col("pos").cast("long"))).as("poss"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("poss"),
+        first(col("len")).as("len"))
 
-  /** Postings rows for a (tok, id, poss) frame: (tok, bucket, docs
-    * sorted, df, poss aligned with docs). */
+  /** Postings rows for a (tok, id, poss, len) frame: (tok, bucket,
+    * docs sorted, df, poss and lens aligned with docs — positions make
+    * the index phrase-capable, per-entry doc lengths are BM25's length
+    * norm, Lucene's positions + norms as nested array columns). */
   private def postingsOf(pairs: DataFrame, nBuckets: Int): DataFrame =
     pairs.groupBy(col("tok"))
       // struct sort orders by the leading id field → docs ascending,
-      // positions carried along in lockstep
-      .agg(sort_array(collect_list(struct(col("id"), col("poss")))).as("entries"))
+      // positions and lengths carried along in lockstep
+      .agg(sort_array(collect_list(struct(col("id"), col("poss"), col("len"))))
+        .as("entries"))
       .select(col("tok"),
         pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int").as("bucket"),
         transform(col("entries"), e => e.getField("id")).as("docs"),
-        transform(col("entries"), e => e.getField("poss")).as("poss"))
-      .select(col("tok"), col("bucket"), col("docs"), col("poss"),
+        transform(col("entries"), e => e.getField("poss")).as("poss"),
+        transform(col("entries"), e => e.getField("len")).as("lens"))
+      .select(col("tok"), col("bucket"), col("docs"), col("poss"), col("lens"),
         size(col("docs")).cast("long").as("df"))
 
   /** Build the postings table over a LAKEHOUSE source table and persist
@@ -90,20 +99,28 @@ object TextIndex {
     val index = fq(catalog, namespace, indexName)
     spark.sql(
       s"CREATE TABLE $index (tok STRING, docs ARRAY<BIGINT>, df BIGINT, " +
-        "poss ARRAY<ARRAY<BIGINT>>, bucket INT) PARTITIONED BY (bucket)")
+        "poss ARRAY<ARRAY<BIGINT>>, lens ARRAY<BIGINT>, bucket INT) " +
+        "PARTITIONED BY (bucket)")
     postingsOf(tokenPairs(spark.table(fq(catalog, namespace, sourceTable)), textCol, idCol),
         nBuckets)
       .createOrReplaceTempView("postings_src")
-    spark.sql(s"INSERT INTO $index SELECT tok, docs, df, poss, bucket FROM postings_src")
-    // metadata-only on a clean lakehouse table (aggregate pushdown)
+    spark.sql(
+      s"INSERT INTO $index SELECT tok, docs, df, poss, lens, bucket FROM postings_src")
+    // N is metadata-only on a clean lakehouse table (agg pushdown);
+    // sumLen is one narrow scan of the source's text column
     val nDocs = spark.table(fq(catalog, namespace, sourceTable)).count()
+    val sumLenRow = spark.table(fq(catalog, namespace, sourceTable))
+      .select(sum(size(split(col(textCol), " ")).cast("long")))
+      .collect()(0)
+    val sumLen = if (sumLenRow.isNullAt(0)) 0L else sumLenRow.getLong(0)
     setProps(spark, index, Map(
       SourceProp -> sourceTable,
       VersionProp -> srcVersion.toString,
       BucketsProp -> nBuckets.toString,
       TextColProp -> textCol,
       IdColProp -> idCol,
-      NDocsProp -> nDocs.toString))
+      NDocsProp -> nDocs.toString,
+      SumLenProp -> sumLen.toString))
   }
 
   /** The probe buckets for a term list (one tiny local job — no table
@@ -247,6 +264,58 @@ object TextIndex {
       .limit(k)
   }
 
+  /** Full BM25 top-k from the postings alone (disjunctive): per
+    * matched (term, doc) the posting entry carries tf = |positions|
+    * and the doc length norm, so the classic Robertson BM25
+    *   idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+    * with idf(t) = ln(1 + (N − df + ½)/(df + ½)) computes row-locally
+    * from ≤|terms| posting rows — the corpus is never read, exactly
+    * Lucene's postings+norms evaluation as a lakehouse scan. Scores
+    * round to 4 decimals; ties break by doc id. */
+  def searchBM25(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      indexName: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val idxLt = IndexSwap.loadOrAdopt(spark, catalog, namespace, indexName, VersionProp)
+    val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
+    def prop(p: String): String = props.getOrElse(p,
+      throw new IllegalArgumentException(
+        s"$indexName is not a postings index (no $p)"))
+    val nBuckets = prop(BucketsProp).toInt
+    val idCol = prop(IdColProp)
+    val nDocs = props.get(NDocsProp).map(_.toLong).getOrElse(
+      spark.table(fq(catalog, namespace, prop(SourceProp))).count())
+    val sumLen = props.get(SumLenProp).map(_.toLong).getOrElse {
+      val r = spark.table(fq(catalog, namespace, prop(SourceProp)))
+        .select(sum(size(split(col(prop(TextColProp)), " ")).cast("long"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val avgdl = sumLen.toDouble / nDocs.toDouble
+    val distinctTerms = terms.distinct
+    val buckets = bucketOf(spark, distinctTerms, nBuckets)
+    spark.table(fq(catalog, namespace, indexName))
+      .filter(col("bucket").isin(buckets: _*) && col("tok").isin(distinctTerms: _*))
+      .select(
+        log(lit(1.0) +
+          (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))).as("idf"),
+        explode(arrays_zip(col("docs"), col("poss"), col("lens"))).as("e"))
+      .select(col("e.docs").as(idCol),
+        (col("idf") * ((size(col("e.poss")).cast("double") * lit(k1 + 1.0)) /
+          (size(col("e.poss")).cast("double") +
+            lit(k1) * ((lit(1.0) - lit(b)) +
+              (lit(b) * col("e.lens").cast("double")) / lit(avgdl))))).as("w"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Fold source commits since the last refresh into the index.
     * Returns "noop", "incremental" (only the postings of tokens seen
     * in appended docs are upserted — a merge-on-read commit, no old
@@ -291,15 +360,26 @@ object TextIndex {
         spark.sql(s"ALTER TABLE $tmpFq RENAME TO ${(namespace :+ indexName).mkString(".")}")
         "full"
       case Some(d) =>
-        // idf's N advances with the appended rows; an index created
-        // before NDocsProp recounts the source once and self-heals
+        // idf's N and avgdl's sumLen advance with the appended rows;
+        // an index created before the props recounts once, self-heals
         val deltaCount = d.count()
         val newN = props.get(NDocsProp).map(_.toLong + deltaCount)
           .getOrElse(spark.table(fq(catalog, namespace, sourceTable)).count())
+        val deltaLenRow =
+          d.select(sum(size(split(col(textCol), " ")).cast("long"))).collect()(0)
+        val deltaLen = if (deltaLenRow.isNullAt(0)) 0L else deltaLenRow.getLong(0)
+        val newSumLen = props.get(SumLenProp).map(_.toLong + deltaLen).getOrElse {
+          val r = spark.table(fq(catalog, namespace, sourceTable))
+            .select(sum(size(split(col(textCol), " ")).cast("long"))).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+        }
+        val statProps = Map(
+          VersionProp -> srcVersion.toString,
+          NDocsProp -> newN.toString,
+          SumLenProp -> newSumLen.toString)
         val deltaPairs = tokenPairs(d, textCol, idCol)
         if (deltaPairs.isEmpty) {
-          setProps(spark, index, Map(
-            VersionProp -> srcVersion.toString, NDocsProp -> newN.toString))
+          setProps(spark, index, statProps)
           return "incremental"
         }
         // affected postings only: current rows for the delta's tokens
@@ -309,16 +389,19 @@ object TextIndex {
         val affected = deltaPairs.select(col("tok")).distinct()
         val current = spark.table(index)
           .join(broadcast(affected), Seq("tok"))
-          .select(col("tok"), explode(arrays_zip(col("docs"), col("poss"))).as("e"))
-          .select(col("tok"), col("e.docs").as("id"), col("e.poss").as("poss"))
+          .select(col("tok"),
+            explode(arrays_zip(col("docs"), col("poss"), col("lens"))).as("e"))
+          .select(col("tok"), col("e.docs").as("id"), col("e.poss").as("poss"),
+            col("e.lens").as("len"))
         val merged = postingsOf(
-          current.unionByName(deltaPairs.select(col("tok"), col("id"), col("poss"))),
+          current.unionByName(
+            deltaPairs.select(col("tok"), col("id"), col("poss"), col("len"))),
           nBuckets)
         graft.catalog.MergeOnRead.morUpsert(spark, catalog, namespace, indexName,
-          merged.select(col("tok"), col("docs"), col("df"), col("poss"), col("bucket")),
+          merged.select(col("tok"), col("docs"), col("df"), col("poss"), col("lens"),
+            col("bucket")),
           Seq("tok"))
-        setProps(spark, index, Map(
-          VersionProp -> srcVersion.toString, NDocsProp -> newN.toString))
+        setProps(spark, index, statProps)
         "incremental"
     }
   }

@@ -1864,9 +1864,45 @@ object TextOps {
            |WHERE ' ' || text || ' ' LIKE '% spark vector %'
            |ORDER BY doc_id""".stripMargin))
 
+  /** q72d: full BM25 top-k served from the postings alone — tf from
+    * the position arrays, doc-length norms from the per-entry lens,
+    * N/sumLen from index properties; the classic Robertson formula,
+    * computed row-locally on ≤|terms| posting rows (Lucene's
+    * postings+norms evaluation as a lakehouse scan). The oracle
+    * recomputes tf/df/len/avgdl from the corpus with the SAME
+    * operation order so the 4-decimal rounding hash-matches. */
+  val q72d = Q(
+    "q72d_keyword_bm25",
+    (s, d) => {
+      ensureKeywordIndex(s, d)
+      graft.operators.TextIndex.searchBM25(s, kwCatalog, Seq("kw"),
+        s"${kwTable(d)}_idx", Seq("spark", "vector", "merge"), 50)
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |                 CAST(SUM(len(t)) AS DOUBLE) AS sl FROM toks),
+           |flat AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS tok
+           |         FROM toks),
+           |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+           |       FROM flat GROUP BY tok),
+           |tf AS (SELECT doc_id, tok, ANY_VALUE(dl) AS dl,
+           |              CAST(COUNT(*) AS DOUBLE) AS tf
+           |       FROM flat WHERE tok IN ('spark', 'vector', 'merge')
+           |       GROUP BY doc_id, tok)
+           |SELECT tf.doc_id,
+           |       ROUND(SUM(
+           |         LN(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+           |         ((tf.tf * 2.2) /
+           |          (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf.dl) / (stats.sl / stats.n))))
+           |       ), 4) AS score
+           |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+           |GROUP BY tf.doc_id
+           |ORDER BY score DESC, tf.doc_id
+           |LIMIT 50""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c)
+      q71, q72, q72b, q72c, q72d)
 }

@@ -148,6 +148,34 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     after shouldBe Array((1L, r4(math.log(5.0 / 2.0))), (3L, r4(math.log(5.0 / 2.0))))
   }
 
+  test("BM25 ranks tf and length-normalized matches from postings alone") {
+    mkSource("docsbm", Seq(
+      1L -> "cat cat cat",                 // high tf, short doc
+      2L -> "cat dog bird fish mouse",     // tf 1, longer doc
+      3L -> "cat cat dog dog bird fish",   // tf 2, longest
+      4L -> "dog bird"))                   // no match
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docsbm", "docsbm_idx", nBuckets = 4)
+    val got = TextIndex.searchBM25(spark, "lakehouse", Seq("ti"), "docsbm_idx",
+      Seq("cat"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got.map(_._1) shouldBe Array(1L, 3L, 2L) // tf and shortness dominate
+    // reproduce doc 1's score independently: N=4, df=3, tf=3, len=3,
+    // avgdl=16/4
+    val idf = math.log(1.0 + (4.0 - 3.0 + 0.5) / (3.0 + 0.5))
+    val s1 = idf * ((3.0 * 2.2) / (3.0 + 1.2 * ((1.0 - 0.75) + (0.75 * 3.0) / 4.0)))
+    got.head._2 shouldBe BigDecimal(s1).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble +- 1e-9
+
+    // an append re-weights N, sumLen and tf through refresh
+    Seq(5L -> "cat").toDF("doc_id", "text").createOrReplaceTempView("ti_docsbm_delta")
+    spark.sql("INSERT INTO lakehouse.ti.docsbm SELECT * FROM ti_docsbm_delta")
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docsbm_idx") shouldBe "incremental"
+    val after = TextIndex.searchBM25(spark, "lakehouse", Seq("ti"), "docsbm_idx",
+      Seq("cat"), 10).collect().map(_.getLong(0))
+    // tf=3 still tops; the new one-token doc's length norm lifts it
+    // past the tf=2-but-long and tf=1-long docs
+    after shouldBe Array(1L, 5L, 3L, 2L)
+  }
+
   test("a crash between rebuild's DROP and RENAME recovers by adopting the staging") {
     mkSource("docs4", Seq(1L -> "omega phi", 2L -> "omega chi"))
     TextIndex.create(spark, "lakehouse", Seq("ti"), "docs4", "docs4_idx", nBuckets = 4)
