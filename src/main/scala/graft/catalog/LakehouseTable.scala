@@ -194,9 +194,6 @@ class LakehouseTable(
         // filterless scan, or one whose filters were all accepted
         // exactly (file pruning implements them completely, so the
         // survivors' counts are counts of MATCHING rows).
-        // truncation is valid on a filterless scan OR when every pushed
-        // filter was accepted exactly: surviving files then hold ONLY
-        // matching rows, so their recorded counts still bound the limit
         val survivors = (pushedLimit, pushed.forall(acceptedExact)) match {
           case (Some(n), true)
               if Bucketing.specOf(meta.properties).isEmpty && // keep bucket↔file map whole

@@ -106,13 +106,7 @@ object TextIndex {
       .createOrReplaceTempView("postings_src")
     spark.sql(
       s"INSERT INTO $index SELECT tok, docs, df, poss, lens, bucket FROM postings_src")
-    // N is metadata-only on a clean lakehouse table (agg pushdown);
-    // sumLen is one narrow scan of the source's text column
-    val nDocs = spark.table(fq(catalog, namespace, sourceTable)).count()
-    val sumLenRow = spark.table(fq(catalog, namespace, sourceTable))
-      .select(sum(size(split(col(textCol), " ")).cast("long")))
-      .collect()(0)
-    val sumLen = if (sumLenRow.isNullAt(0)) 0L else sumLenRow.getLong(0)
+    val (nDocs, sumLen) = corpusStats(spark.table(fq(catalog, namespace, sourceTable)), textCol)
     setProps(spark, index, Map(
       SourceProp -> sourceTable,
       VersionProp -> srcVersion.toString,
@@ -121,6 +115,16 @@ object TextIndex {
       IdColProp -> idCol,
       NDocsProp -> nDocs.toString,
       SumLenProp -> sumLen.toString))
+  }
+
+  /** (doc count, total token count) of a document frame in ONE pass —
+    * the N and sumLen of the idf/BM25 stats. The single definition of
+    * token counting for stats: every maintenance path and fallback
+    * must agree with the oracle's len(string_split(text)). */
+  private def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.agg(count(lit(1)),
+      sum(size(split(col(textCol), " ")).cast("long"))).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** The probe buckets for a term list (one tiny local job — no table
@@ -288,12 +292,11 @@ object TextIndex {
         s"$indexName is not a postings index (no $p)"))
     val nBuckets = prop(BucketsProp).toInt
     val idCol = prop(IdColProp)
-    val nDocs = props.get(NDocsProp).map(_.toLong).getOrElse(
-      spark.table(fq(catalog, namespace, prop(SourceProp))).count())
-    val sumLen = props.get(SumLenProp).map(_.toLong).getOrElse {
-      val r = spark.table(fq(catalog, namespace, prop(SourceProp)))
-        .select(sum(size(split(col(prop(TextColProp)), " ")).cast("long"))).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // a pre-stats index self-heals by recounting the source once
+    val (nDocs, sumLen) = (props.get(NDocsProp), props.get(SumLenProp)) match {
+      case (Some(n), Some(sl)) => (n.toLong, sl.toLong)
+      case _ => corpusStats(
+        spark.table(fq(catalog, namespace, prop(SourceProp))), prop(TextColProp))
     }
     val avgdl = sumLen.toDouble / nDocs.toDouble
     val distinctTerms = terms.distinct
@@ -349,29 +352,21 @@ object TextIndex {
         // retract doc ids from postings — rebuild from current
         case _: IllegalArgumentException => None
       }
+    // an index created before the positional schema has no poss/lens
+    // arrays to merge a delta into: one full rebuild migrates it
+    val positional = {
+      val cols = spark.table(index).columns.toSet
+      cols.contains("poss") && cols.contains("lens")
+    }
     delta match {
-      case None =>
-        val tmpName = indexName + "__rebuild"
-        val tmpFq = fq(catalog, namespace, tmpName)
-        spark.sql(s"DROP TABLE IF EXISTS $tmpFq")
-        create(spark, catalog, namespace, sourceTable, tmpName,
-          textCol, idCol, nBuckets)
-        spark.sql(s"DROP TABLE $index")
-        spark.sql(s"ALTER TABLE $tmpFq RENAME TO ${(namespace :+ indexName).mkString(".")}")
-        "full"
-      case Some(d) =>
-        // idf's N and avgdl's sumLen advance with the appended rows;
-        // an index created before the props recounts once, self-heals
-        val deltaCount = d.count()
-        val newN = props.get(NDocsProp).map(_.toLong + deltaCount)
-          .getOrElse(spark.table(fq(catalog, namespace, sourceTable)).count())
-        val deltaLenRow =
-          d.select(sum(size(split(col(textCol), " ")).cast("long"))).collect()(0)
-        val deltaLen = if (deltaLenRow.isNullAt(0)) 0L else deltaLenRow.getLong(0)
-        val newSumLen = props.get(SumLenProp).map(_.toLong + deltaLen).getOrElse {
-          val r = spark.table(fq(catalog, namespace, sourceTable))
-            .select(sum(size(split(col(textCol), " ")).cast("long"))).collect()(0)
-          if (r.isNullAt(0)) 0L else r.getLong(0)
+      case Some(d) if positional =>
+        // idf's N and avgdl's sumLen advance with the appended rows
+        // (one aggregation pass over the delta); an index created
+        // before the stat props recounts the source once, self-heals
+        val (deltaCount, deltaLen) = corpusStats(d, textCol)
+        val (newN, newSumLen) = (props.get(NDocsProp), props.get(SumLenProp)) match {
+          case (Some(n), Some(sl)) => (n.toLong + deltaCount, sl.toLong + deltaLen)
+          case _ => corpusStats(spark.table(fq(catalog, namespace, sourceTable)), textCol)
         }
         val statProps = Map(
           VersionProp -> srcVersion.toString,
@@ -393,16 +388,33 @@ object TextIndex {
             explode(arrays_zip(col("docs"), col("poss"), col("lens"))).as("e"))
           .select(col("tok"), col("e.docs").as("id"), col("e.poss").as("poss"),
             col("e.lens").as("len"))
-        val merged = postingsOf(
-          current.unionByName(
-            deltaPairs.select(col("tok"), col("id"), col("poss"), col("len"))),
-          nBuckets)
+        // idempotent re-merge: a crash between the upsert and the
+        // version-property commit replays the same delta against a
+        // current that already contains it — positions set-union per
+        // (tok, doc), so the replay is a no-op and a re-used doc id
+        // merges into one entry instead of duplicating (df, search
+        // counts, and BM25 weights would all corrupt otherwise)
+        val mergedPairs = current
+          .unionByName(deltaPairs.select(col("tok"), col("id"), col("poss"), col("len")))
+          .groupBy(col("tok"), col("id"))
+          .agg(sort_array(array_distinct(flatten(collect_list(col("poss"))))).as("poss"),
+            max(col("len")).as("len"))
+        val merged = postingsOf(mergedPairs, nBuckets)
         graft.catalog.MergeOnRead.morUpsert(spark, catalog, namespace, indexName,
           merged.select(col("tok"), col("docs"), col("df"), col("poss"), col("lens"),
             col("bucket")),
           Seq("tok"))
         setProps(spark, index, statProps)
         "incremental"
+      case _ =>
+        val tmpName = indexName + "__rebuild"
+        val tmpFq = fq(catalog, namespace, tmpName)
+        spark.sql(s"DROP TABLE IF EXISTS $tmpFq")
+        create(spark, catalog, namespace, sourceTable, tmpName,
+          textCol, idCol, nBuckets)
+        spark.sql(s"DROP TABLE $index")
+        spark.sql(s"ALTER TABLE $tmpFq RENAME TO ${(namespace :+ indexName).mkString(".")}")
+        "full"
     }
   }
 }

@@ -148,6 +148,26 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     after shouldBe Array((1L, r4(math.log(5.0 / 2.0))), (3L, r4(math.log(5.0 / 2.0))))
   }
 
+  test("refresh merges a re-appearing doc id into one posting entry") {
+    // a replayed delta (crash between upsert and the version-property
+    // commit) or a re-used doc id must MERGE per (tok, doc), never
+    // duplicate the entry — df, conjunctive counts and BM25 weights
+    // would all corrupt otherwise
+    mkSource("docsdup", Seq(1L -> "alpha beta", 2L -> "beta gamma"))
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docsdup", "docsdup_idx", nBuckets = 4)
+    Seq(1L -> "alpha delta").toDF("doc_id", "text")
+      .createOrReplaceTempView("ti_docsdup_delta")
+    spark.sql("INSERT INTO lakehouse.ti.docsdup SELECT * FROM ti_docsdup_delta")
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docsdup_idx") shouldBe "incremental"
+    // alpha's posting lists doc 1 exactly once, positions set-unioned
+    val row = spark.table("lakehouse.ti.docsdup_idx")
+      .filter(col("tok") === "alpha").collect()(0)
+    row.getAs[Seq[Long]]("docs") shouldBe Seq(1L)
+    row.getAs[Long]("df") shouldBe 1L
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docsdup_idx", Seq("alpha"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
+
   test("BM25 ranks tf and length-normalized matches from postings alone") {
     mkSource("docsbm", Seq(
       1L -> "cat cat cat",                 // high tf, short doc
