@@ -213,6 +213,43 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     intercept[Exception] { spark.table("lakehouse.ti.docs4_idx__rebuild").collect() }
   }
 
+  test("index stays fresh against a streaming-fed source: refresh per micro-batch epoch") {
+    // the production pipeline shape: documents arrive through the
+    // streaming sink (one append commit per epoch), the index folds
+    // each epoch incrementally — never a rebuild, never a corpus scan
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ti")
+    spark.sql("CREATE TABLE lakehouse.ti.feed (doc_id BIGINT, text STRING)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ti-feed-ckpt-").toString)
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.ti.feed")
+    try {
+      in.addData(1L -> "stream alpha", 2L -> "stream beta")
+      q.processAllAvailable()
+      TextIndex.create(spark, "lakehouse", Seq("ti"), "feed", "feed_idx", nBuckets = 4)
+
+      in.addData(3L -> "stream alpha gamma")
+      q.processAllAvailable()
+      in.addData(4L -> "gamma delta")
+      q.processAllAvailable()
+      // two epochs fold in one incremental refresh
+      TextIndex.refresh(spark, "lakehouse", Seq("ti"), "feed_idx") shouldBe "incremental"
+      TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "feed_idx", Seq("stream"))
+        .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+      TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "feed_idx", Seq("gamma"))
+        .collect().map(_.getLong(0)).toSeq shouldBe Seq(3L, 4L)
+      TextIndex.refresh(spark, "lakehouse", Seq("ti"), "feed_idx") shouldBe "noop"
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE lakehouse.ti.feed")
+    }
+  }
+
   test("refresh on a non-index table fails with the contract error") {
     mkSource("docs3", Seq(1L -> "solo"))
     val e = intercept[IllegalArgumentException] {
