@@ -178,6 +178,71 @@ object LakehouseProcedures {
       }
     }
 
+  /** SQL faces for the index operators — the same maintenance-
+    * procedure shape Iceberg gives `rewrite_data_files`: build and
+    * incremental-refresh are CALLable, searches stay DataFrame-level
+    * (they return row sets, not a status). */
+  private def stringResultProc(
+      procName: String, desc: String, ps: Array[ProcedureParameter])(
+      body: (SparkSession, InternalRow) => String): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = ps
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val mode = body(SparkSession.active, input)
+        val scan: Scan = new LocalScan {
+          override def readSchema(): StructType =
+            StructType(Seq(StructField("mode", StringType, nullable = false)))
+          override def rows(): Array[InternalRow] =
+            Array(InternalRow(UTF8String.fromString(mode)))
+          override def description(): String = s"$procName result"
+        }
+        java.util.List.of(scan).iterator()
+      }
+    }
+
+  private def createTextIndexProc(catalogName: String): UnboundProcedure =
+    stringResultProc("create_text_index",
+      "build a positional postings index over a document table",
+      Array(param("ns", StringType), param("tbl", StringType),
+        param("index", StringType), param("text_col", StringType, "'text'"),
+        param("id_col", StringType, "'doc_id'"),
+        param("buckets", IntegerType, "64"))) { (spark, in) =>
+      graft.operators.TextIndex.create(spark, catalogName, ns(in), tbl(in),
+        in.getUTF8String(2).toString, in.getUTF8String(3).toString,
+        in.getUTF8String(4).toString, in.getInt(5))
+      "created"
+    }
+
+  private def refreshTextIndexProc(catalogName: String): UnboundProcedure =
+    stringResultProc("refresh_text_index",
+      "fold source commits into a postings index incrementally",
+      Array(param("ns", StringType), param("index", StringType))) { (spark, in) =>
+      graft.operators.TextIndex.refresh(spark, catalogName, ns(in), tbl(in))
+    }
+
+  private def createVectorIndexProc(catalogName: String): UnboundProcedure =
+    stringResultProc("create_vector_index",
+      "build an IVF ANN index over an embedding table",
+      Array(param("ns", StringType), param("tbl", StringType),
+        param("index", StringType), param("k", IntegerType, "16"),
+        param("sample_n", IntegerType, "2048"),
+        param("iters", IntegerType, "3"))) { (spark, in) =>
+      graft.operators.VectorIndex.create(spark, catalogName, ns(in), tbl(in),
+        in.getUTF8String(2).toString, in.getInt(3), in.getInt(4), in.getInt(5))
+      "created"
+    }
+
+  private def refreshVectorIndexProc(catalogName: String): UnboundProcedure =
+    stringResultProc("refresh_vector_index",
+      "assign appended vectors into an IVF index, re-train on drift",
+      Array(param("ns", StringType), param("index", StringType))) { (spark, in) =>
+      graft.operators.VectorIndex.refresh(spark, catalogName, ns(in), tbl(in))
+    }
+
   private def tagProc(catalogName: String) = new MaintenanceProc("tag",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -343,7 +408,11 @@ object LakehouseProcedures {
     "refresh_mv" -> (refreshMvProc(_)),
     "analyze" -> (analyzeProc(_)),
     "expire_snapshots" -> (expireSnapshotsProc(_)),
-    "compact_where" -> (compactWhereProc(_)))
+    "compact_where" -> (compactWhereProc(_)),
+    "create_text_index" -> (createTextIndexProc(_)),
+    "refresh_text_index" -> (refreshTextIndexProc(_)),
+    "create_vector_index" -> (createVectorIndexProc(_)),
+    "refresh_vector_index" -> (refreshVectorIndexProc(_)))
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))

@@ -250,6 +250,23 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("CALL system.create_text_index / refresh_text_index drive the index from SQL") {
+    mkSource("docsql", Seq(1L -> "call face alpha", 2L -> "call beta"))
+    spark.sql(
+      "CALL lakehouse.system.create_text_index('ti', 'docsql', 'docsql_idx', 'text', " +
+        "'doc_id', 8)")
+      .collect()(0).getString(0) shouldBe "created"
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docsql_idx", Seq("call"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    Seq(3L -> "call gamma").toDF("doc_id", "text")
+      .createOrReplaceTempView("ti_docsql_delta")
+    spark.sql("INSERT INTO lakehouse.ti.docsql SELECT * FROM ti_docsql_delta")
+    spark.sql("CALL lakehouse.system.refresh_text_index('ti', 'docsql_idx')")
+      .collect()(0).getString(0) shouldBe "incremental"
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docsql_idx", Seq("call"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("refresh on a non-index table fails with the contract error") {
     mkSource("docs3", Seq(1L -> "solo"))
     val e = intercept[IllegalArgumentException] {

@@ -57,6 +57,23 @@ class VectorIndexSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ann.ivf")
   }
 
+  test("CALL system.create_vector_index / refresh_vector_index drive the IVF from SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ann.sqlsrc")
+    spark.sql("CREATE TABLE lakehouse.ann.sqlsrc (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("ivf_sql_emb")
+    spark.sql("INSERT INTO lakehouse.ann.sqlsrc SELECT vec_id, embedding FROM ivf_sql_emb")
+    spark.sql(
+      "CALL lakehouse.system.create_vector_index('ann', 'sqlsrc', 'sqlivf', 8, 512, 3)")
+      .collect()(0).getString(0) shouldBe "created"
+    spark.table("lakehouse.ann.sqlivf").count() shouldBe
+      spark.table("lakehouse.ann.sqlsrc").count()
+    spark.sql("CALL lakehouse.system.refresh_vector_index('ann', 'sqlivf')")
+      .collect()(0).getString(0) shouldBe "noop"
+    spark.sql("DROP TABLE lakehouse.ann.sqlivf")
+    spark.sql("DROP TABLE lakehouse.ann.sqlsrc")
+  }
+
   test("IVF refresh assigns appends incrementally, re-trains only on drift") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
     spark.sql("CREATE TABLE lakehouse.ann.src (vec_id BIGINT, embedding ARRAY<FLOAT>)")
