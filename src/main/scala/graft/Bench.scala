@@ -36,12 +36,25 @@ object Bench {
     // nondeterministic plan — an AQE build-side race in q29, since
     // pinned with an explicit broadcast hint — but three samples also
     // shrink the odds of a double hiccup masquerading as one.)
+    // Pinned (localCheckpoint) RDDs are persistent RDDs that each run
+    // re-creates and never releases; left alone they accumulate across
+    // the 110 queries × 4 runs and later tokenize-heavy queries absorb
+    // the block-manager/GC pressure (r8: code-identical q60/q61/q62
+    // recorded 3-4× their solo timings with TIGHT spreads). Release
+    // them after every run, OUTSIDE the timed window, so each sample
+    // measures the plan against a clean block manager.
+    def releasePins(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     val sampled = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      releasePins()
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        releasePins()
+        dt
       }.sorted
       name -> samples
     }
