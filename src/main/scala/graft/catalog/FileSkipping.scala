@@ -159,9 +159,13 @@ object FileSkipping {
     * file. Strings are excluded deliberately: parquet writers may
     * truncate long binary min/max (or drop them past a size
     * threshold), so equal string bounds don't prove every row equals
-    * them — conservative pruning is still fine, exactness is not. */
+    * them — conservative pruning is still fine, exactness is not.
+    * Float/double are excluded for the same reason MetadataAggregates
+    * declines their MIN/MAX: spec-following writers omit NaN from
+    * min/max, so a file holding [v, NaN] records min==max==v with
+    * nulls=0 and equal bounds do NOT prove every row equals v. */
   private def exactProofType(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+    case ByteType | ShortType | IntegerType | LongType |
         DateType | TimestampType => true
     case _ => false
   }

@@ -105,6 +105,31 @@ class FileSkippingSpec extends AnyFunSuite with Matchers {
     keep(EqualTo("d", 9.0)) shouldBe Seq.empty // non-NaN still prunes
   }
 
+  test("float/double min==max never PROVES all rows match (NaN hides from stats)") {
+    // Spec-following parquet writers omit NaN from min/max: a file
+    // holding [3.0, NaN] records min==max==3.0 with nulls=0. Equal
+    // bounds therefore must NOT prove EqualTo/In/LessThan for every
+    // row — the NaN row satisfies none of them. Conservative pruning
+    // (mayMatch) may still use the bounds; exactness may not.
+    val dSchema = StructType(Seq(StructField("d", DoubleType), StructField("f", FloatType)))
+    val st = Map(
+      "d" -> ColumnRange("3.0", "3.0", Some(0L)),
+      "f" -> ColumnRange("3.0", "3.0", Some(0L)))
+    FileSkipping.provesAllMatch(EqualTo("d", 3.0), dSchema, st) shouldBe false
+    FileSkipping.provesAllMatch(In("d", Array[Any](3.0)), dSchema, st) shouldBe false
+    FileSkipping.provesAllMatch(LessThan("d", 9.0), dSchema, st) shouldBe false
+    FileSkipping.provesAllMatch(GreaterThanOrEqual("d", 1.0), dSchema, st) shouldBe false
+    FileSkipping.provesAllMatch(EqualTo("f", 3.0f), dSchema, st) shouldBe false
+    // IsNotNull needs only the null count — still provable for doubles
+    FileSkipping.provesAllMatch(IsNotNull("d"), dSchema, st) shouldBe true
+    // and an integral column with equal bounds still proves exactly
+    val iSchema = StructType(Seq(StructField("k", IntegerType)))
+    val iSt = Map("k" -> ColumnRange("7", "7", Some(0L)))
+    FileSkipping.provesAllMatch(EqualTo("k", 7), iSchema, iSt) shouldBe true
+    // conservative pruning on doubles is unaffected
+    FileSkipping.prune(Seq("f1"), Map("f1" -> st), dSchema, Seq(EqualTo("d", 9.0))) shouldBe Seq.empty
+  }
+
   test("clustered partitioned table skips whole files on key predicates") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.skip_ns")
     spark.sql("""CREATE TABLE lakehouse.skip_ns.clustered (k INT, v STRING)
