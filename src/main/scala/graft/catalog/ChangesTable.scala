@@ -165,6 +165,12 @@ private[catalog] class ChangelogStaging(
       if (acc.nonEmpty && acc.last.last.schema == m.schema) acc.init :+ (acc.last :+ m)
       else acc :+ Vector(m)
     }
+    if (epochs.isEmpty)
+      // the retained metadata log holds no versions in (fromV, toV] —
+      // expired history (or an empty window). Delegate to the non-span
+      // path, which answers the empty window and raises the actionable
+      // expired-history diagnostic otherwise, instead of empty.reduce
+      return Maintenance.changelogBetweenAt(spark, tableDir, fromV, toV)
     epochs.map { run =>
       val df = Maintenance.changelogBetweenAt(
         spark, tableDir, run.head.version - 1, run.last.version)

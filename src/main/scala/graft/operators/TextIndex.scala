@@ -62,8 +62,10 @@ object TextIndex {
         size(split(col(textCol), " ")).cast("long").as("len"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .groupBy(col("tok"), col("id"))
+      // max, not first: rows sharing a doc id merge into one entry,
+      // and the stored len must match corpusStats' max(len) semantics
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("poss"),
-        first(col("len")).as("len"))
+        max(col("len")).as("len"))
 
   /** Postings rows for a (tok, id, poss, len) frame: (tok, bucket,
     * docs sorted, df, poss and lens aligned with docs — positions make
@@ -106,7 +108,8 @@ object TextIndex {
       .createOrReplaceTempView("postings_src")
     spark.sql(
       s"INSERT INTO $index SELECT tok, docs, df, poss, lens, bucket FROM postings_src")
-    val (nDocs, sumLen) = corpusStats(spark.table(fq(catalog, namespace, sourceTable)), textCol)
+    val (nDocs, sumLen) =
+      corpusStats(spark.table(fq(catalog, namespace, sourceTable)), textCol, idCol)
     setProps(spark, index, Map(
       SourceProp -> sourceTable,
       VersionProp -> srcVersion.toString,
@@ -117,14 +120,31 @@ object TextIndex {
       SumLenProp -> sumLen.toString))
   }
 
-  /** (doc count, total token count) of a document frame in ONE pass —
-    * the N and sumLen of the idf/BM25 stats. The single definition of
-    * token counting for stats: every maintenance path and fallback
-    * must agree with the oracle's len(string_split(text)). */
-  private def corpusStats(docs: DataFrame, textCol: String): (Long, Long) = {
-    val r = docs.agg(count(lit(1)),
-      sum(size(split(col(textCol), " ")).cast("long"))).collect()(0)
+  /** (doc count, total token count) of a document frame — the N and
+    * sumLen of the idf/BM25 stats. Counts MERGED docs, not rows: rows
+    * sharing a doc id fold into one posting entry (positions unioned,
+    * len maxed), so stats group by id with max(len) to stay consistent
+    * with what the index stores. The single definition of token
+    * counting for stats: every maintenance path and fallback must
+    * agree with the oracle's len(string_split(text)). */
+  private def corpusStats(docs: DataFrame, textCol: String, idCol: String): (Long, Long) = {
+    val r = docs
+      .select(col(idCol).cast("long").as("id"),
+        size(split(col(textCol), " ")).cast("long").as("len"))
+      .groupBy(col("id")).agg(max(col("len")).as("len"))
+      .agg(count(lit(1)), sum(col("len"))).collect()(0)
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** The source table AT a covered version (time travel). A version
+    * expired from retained history falls back to the current table —
+    * slightly-off healed stats beat an unusable legacy index. */
+  private def sourceAt(
+      spark: SparkSession, catalog: String, namespace: Seq[String],
+      sourceTable: String, version: String): DataFrame = {
+    val t = fq(catalog, namespace, sourceTable)
+    try spark.sql(s"SELECT * FROM $t VERSION AS OF $version")
+    catch { case _: Exception => spark.table(t) }
   }
 
   /** The probe buckets for a term list (one tiny local job — no table
@@ -252,10 +272,13 @@ object TextIndex {
     val nBuckets = prop(BucketsProp).toInt
     val idCol = prop(IdColProp)
     // an index built before NDocsProp existed is still a valid
-    // postings index: self-heal by counting the source (metadata-only
-    // on a clean table) instead of mis-diagnosing it as non-index
+    // postings index: self-heal by counting the source instead of
+    // mis-diagnosing it as non-index — AT the covered version, so the
+    // healed N agrees with the stored df/postings even when the source
+    // has since advanced (falls back to current if history expired)
     val nDocs = props.get(NDocsProp).map(_.toLong).getOrElse(
-      spark.table(fq(catalog, namespace, prop(SourceProp))).count())
+      sourceAt(spark, catalog, namespace, prop(SourceProp), prop(VersionProp))
+        .select(col(prop(IdColProp))).distinct().count())
     val distinctTerms = terms.distinct
     val buckets = bucketOf(spark, distinctTerms, nBuckets)
     spark.table(fq(catalog, namespace, indexName))
@@ -292,11 +315,14 @@ object TextIndex {
         s"$indexName is not a postings index (no $p)"))
     val nBuckets = prop(BucketsProp).toInt
     val idCol = prop(IdColProp)
-    // a pre-stats index self-heals by recounting the source once
+    // a pre-stats index self-heals by recounting the source once — at
+    // the covered version, so healed N/avgdl agree with the stored
+    // df/postings even when the source has since advanced
     val (nDocs, sumLen) = (props.get(NDocsProp), props.get(SumLenProp)) match {
       case (Some(n), Some(sl)) => (n.toLong, sl.toLong)
       case _ => corpusStats(
-        spark.table(fq(catalog, namespace, prop(SourceProp))), prop(TextColProp))
+        sourceAt(spark, catalog, namespace, prop(SourceProp), prop(VersionProp)),
+        prop(TextColProp), prop(IdColProp))
     }
     val avgdl = sumLen.toDouble / nDocs.toDouble
     val distinctTerms = terms.distinct
@@ -360,13 +386,37 @@ object TextIndex {
     }
     delta match {
       case Some(d) if positional =>
-        // idf's N and avgdl's sumLen advance with the appended rows
-        // (one aggregation pass over the delta); an index created
-        // before the stat props recounts the source once, self-heals
-        val (deltaCount, deltaLen) = corpusStats(d, textCol)
+        // idf's N and avgdl's sumLen advance only by doc ids genuinely
+        // NEW to the covered version: a delta row re-using an indexed
+        // id MERGES into the existing entry (positions unioned, len
+        // maxed), so blindly adding its row count / length would double
+        // count. Fast path (the normal append: all ids fresh) charges
+        // one aggregation over the delta plus an id-column-only
+        // anti-probe of the prior version; any detected reuse recounts
+        // the source once with the same merge semantics. An index
+        // created before the stat props recounts too, self-heals.
         val (newN, newSumLen) = (props.get(NDocsProp), props.get(SumLenProp)) match {
-          case (Some(n), Some(sl)) => (n.toLong + deltaCount, sl.toLong + deltaLen)
-          case _ => corpusStats(spark.table(fq(catalog, namespace, sourceTable)), textCol)
+          case (Some(n), Some(sl)) =>
+            val priorIds = sourceAt(spark, catalog, namespace, sourceTable,
+                lastVersion.toString)
+              .select(col(idCol).cast("long").as("id")).distinct()
+            val deltaDocs = d
+              .select(col(idCol).cast("long").as("id"),
+                size(split(col(textCol), " ")).cast("long").as("len"))
+            val r = deltaDocs
+              .join(priorIds.withColumn("prior", lit(1)), Seq("id"), "left")
+              .agg(count(lit(1)).as("rows"),
+                countDistinct(col("id")).as("ids"),
+                sum(when(col("prior").isNull, col("len"))).as("freshLen"),
+                countDistinct(when(col("prior").isNull, col("id"))).as("freshIds"))
+              .collect()(0)
+            val (rows, ids, freshIds) = (r.getLong(0), r.getLong(1), r.getLong(3))
+            if (rows == ids && ids == freshIds)
+              (n.toLong + rows, sl.toLong + (if (r.isNullAt(2)) 0L else r.getLong(2)))
+            else corpusStats(spark.table(fq(catalog, namespace, sourceTable)),
+              textCol, idCol)
+          case _ => corpusStats(spark.table(fq(catalog, namespace, sourceTable)),
+            textCol, idCol)
         }
         val statProps = Map(
           VersionProp -> srcVersion.toString,

@@ -1771,10 +1771,16 @@ object TextOps {
   private lazy val kwWarehouse: String =
     java.nio.file.Files.createTempDirectory("graft-kwidx-").toString
 
-  // collision-free, SQL-safe table name per corpus dir (a hash could
-  // collide two dirs onto one index table — silently wrong rows)
-  private def kwTable(d: String): String =
-    "docs_" + d.replaceAll("[^A-Za-z0-9]", "_")
+  // SQL-safe table name per corpus dir. Sanitizing alone is NOT
+  // collision-free (/tmp/x-1 and /tmp/x_1 both sanitize to tmp_x_1,
+  // and the JVM-global build memo would then serve one corpus's index
+  // for the other — silently wrong rows), so a digest of the RAW path
+  // plus its length disambiguates
+  private def kwTable(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"docs_${d.replaceAll("[^A-Za-z0-9]", "_")}_${d.length}_$digest"
+  }
 
   private def ensureKeywordIndex(s: SparkSession, d: String): Unit = kwBuilt.synchronized {
     // catalog registration is PER-SESSION while the build memo is

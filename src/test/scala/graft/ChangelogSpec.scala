@@ -106,6 +106,23 @@ class ChangelogSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0),
         if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))).toSet
     rows shouldBe Set((1L, None, "insert"), (2L, Some(7L), "insert"))
+
+    // span mode over a fully EXPIRED window surfaces the actionable
+    // re-sync error (the non-span path's diagnostic), never empty.reduce
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("cdc"), "span"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    val cur = TableMetadata.load(lt.tableDir).version
+    graft.catalog.Maintenance.expireSnapshots(
+      spark, "lakehouse", Seq("cdc"), "span", retainVersions = 1)
+    val expired = intercept[Exception] {
+      spark.read.option("spanSchemaChanges", "true")
+        .option("startingVersion", "1").option("endingVersion", (cur - 1).toString)
+        .table("lakehouse.cdc.span.changes").collect()
+    }
+    expired.getMessage.toLowerCase should include("expired")
     spark.sql("DROP TABLE lakehouse.cdc.span")
   }
 

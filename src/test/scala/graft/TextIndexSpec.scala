@@ -166,6 +166,54 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     row.getAs[Long]("df") shouldBe 1L
     TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docsdup_idx", Seq("alpha"))
       .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // the idf/BM25 stats count MERGED docs, not appended rows: doc 1
+    // re-appeared, so N stays 2 and sumLen matches the merged entries
+    // (len = max per doc) — blind row accounting would record N=3
+    val props = graft.catalog.TableMetadata.load(
+      spark.sessionState.catalogManager.catalog("lakehouse")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("ti"), "docsdup_idx"))
+        .asInstanceOf[graft.catalog.LakehouseTable].tableDir).properties
+    props(TextIndex.NDocsProp).toLong shouldBe 2L
+    props(TextIndex.SumLenProp).toLong shouldBe 4L // max(2,2) + 2
+  }
+
+  test("pre-stats self-heal counts the source AT the covered version") {
+    // an index whose stat props are missing (built before they
+    // existed) heals by recounting the source — at VersionProp, so the
+    // healed N agrees with the stored df/postings even when the source
+    // has since advanced past the covered version
+    mkSource("docsheal", Seq(
+      1L -> "heal rare common",
+      2L -> "heal common",
+      3L -> "heal rare extra",
+      4L -> "heal common pad"))
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docsheal", "docsheal_idx",
+      nBuckets = 4)
+    spark.sql("ALTER TABLE lakehouse.ti.docsheal_idx UNSET TBLPROPERTIES " +
+      s"('${TextIndex.NDocsProp}', '${TextIndex.SumLenProp}')")
+    // the source advances WITHOUT a refresh: postings still cover v1
+    Seq(5L -> "heal late arrival row").toDF("doc_id", "text")
+      .createOrReplaceTempView("ti_docsheal_delta")
+    spark.sql("INSERT INTO lakehouse.ti.docsheal SELECT * FROM ti_docsheal_delta")
+
+    val got = TextIndex.searchRanked(spark, "lakehouse", Seq("ti"), "docsheal_idx",
+      Seq("rare"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // healed N = 4 (covered version), NOT 5 (current source)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got shouldBe Array((1L, r4(math.log(4.0 / 2.0))), (3L, r4(math.log(4.0 / 2.0))))
+
+    val bm = TextIndex.searchBM25(spark, "lakehouse", Seq("ti"), "docsheal_idx",
+      Seq("rare"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // reproduce doc 3's score at the covered version: N=4, df=2, tf=1,
+    // len=3, avgdl=11/4 — a current-version recount (N=5, sumLen=15)
+    // would shift both idf and the length norm
+    val idf = math.log(1.0 + (4.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val s = idf * ((1.0 * 2.2) / (1.0 + 1.2 * ((1.0 - 0.75) + (0.75 * 3.0) / (11.0 / 4.0))))
+    bm.map(_._1).toSeq should contain theSameElementsAs Seq(1L, 3L)
+    bm.find(_._1 == 3L).get._2 shouldBe
+      BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
   }
 
   test("BM25 ranks tf and length-normalized matches from postings alone") {
