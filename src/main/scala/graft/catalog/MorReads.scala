@@ -129,7 +129,19 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
   /** A fresh relation over a FILE SUBSET of the same table snapshot,
     * marked plain-read. Fresh attribute ids per branch (required for
     * self-union); file-level stats, bloom sidecars, and runtime
-    * filtering all keep working through the copied metadata. */
+    * filtering all keep working through the copied metadata.
+    *
+    * ANONYMOUS on purpose (no catalog/identifier): temp-view storage
+    * (ViewHelper.prepareTemporaryViewPlan) normalizes any NAMED
+    * DSv2 relation into a V2TableReference — name + options only —
+    * which re-resolution later reloads as the FULL CURRENT table. A
+    * named sub-relation round-tripped through a Dataset temp view
+    * (`df.createOrReplaceTempView` + `INSERT INTO … SELECT`) would
+    * therefore silently drop its file subset while keeping the
+    * plain-read marker: every branch rescans all files raw, deleted
+    * rows resurrect and rows duplicate per branch. Anonymous relations
+    * fail the reference rewrite's `catalog.isDefined && identifier
+    * .isDefined` guard and are stored verbatim. */
   private def subRelation(
       r: DataSourceV2Relation, lt: LakehouseTable, files: Seq[String]): DataSourceV2Relation = {
     val keep = files.toSet
@@ -143,6 +155,6 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
     val opts = new java.util.HashMap[String, String](r.options)
     opts.put(MergeOnRead.PlainReadOption, "true")
     DataSourceV2Relation.create(
-      subTable, r.catalog, r.identifier, new CaseInsensitiveStringMap(opts))
+      subTable, None, None, new CaseInsensitiveStringMap(opts))
   }
 }

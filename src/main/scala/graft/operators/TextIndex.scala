@@ -346,10 +346,13 @@ object TextIndex {
   }
 
   /** Fold source commits since the last refresh into the index.
-    * Returns "noop", "incremental" (only the postings of tokens seen
-    * in appended docs are upserted — a merge-on-read commit, no old
-    * posting file rewritten), or "full" (non-append source history:
-    * rebuilt under a temp name, then swapped). */
+    * Returns "noop", "incremental" (append windows upsert only the
+    * postings of tokens seen in appended docs; row-level windows —
+    * MoR delete/upsert, UPDATE, MERGE — fold through the changelog via
+    * [[rowLevelRefresh]], touching only the affected tokens' postings
+    * either way), or "full" (a window the changelog cannot derive
+    * row-level — expired history, schema DDL inside it — rebuilt
+    * under a temp name, then swapped). */
   def refresh(
       spark: SparkSession,
       catalog: String,
@@ -456,6 +459,9 @@ object TextIndex {
           Seq("tok"))
         setProps(spark, index, statProps)
         "incremental"
+      case _ if positional && rowLevelRefresh(spark, catalog, namespace, indexName,
+          sourceTable, lastVersion, srcVersion, nBuckets, textCol, idCol, props) =>
+        "incremental"
       case _ =>
         val tmpName = indexName + "__rebuild"
         val tmpFq = fq(catalog, namespace, tmpName)
@@ -466,5 +472,119 @@ object TextIndex {
         spark.sql(s"ALTER TABLE $tmpFq RENAME TO ${(namespace :+ indexName).mkString(".")}")
         "full"
     }
+  }
+
+  /** Fold a ROW-LEVEL source window (MoR delete / upsert, UPDATE,
+    * MERGE — the standing-corpus workflow: dedup removals, PII scrubs)
+    * into the index without a rebuild. The changelog names the changed
+    * doc ids; the current source supplies their surviving state; and
+    * only the postings of tokens on either side of the change are
+    * touched — removed-doc tokens (from the changelog's delete rows)
+    * plus surviving-doc tokens. Affected entries are re-derived as
+    *   kept  = current postings of affected tokens MINUS changed ids
+    *   fresh = tokenized current state of changed ids
+    * and written back as ONE merge-on-read upsert keyed on tok, with
+    * tokens whose last doc vanished equality-deleted (a df=0 posting
+    * row would corrupt idf) — Lucene's delete-tombstone fold expressed
+    * through the engine's own MoR machinery. Write cost ∝ |affected
+    * tokens|; read cost ∝ changelog-touched files plus the id-filtered
+    * probes of the prior and current source versions (for the N /
+    * sumLen delta) — never ∝ |index| or |corpus|. Replay-safe: a crash
+    * before the version-property commit re-derives the same window
+    * against the merged index and converges to the same entries.
+    * Returns false when the window cannot be derived row-level
+    * (expired history, schema DDL inside it) — caller falls back to
+    * rebuild+swap. */
+  private def rowLevelRefresh(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      indexName: String,
+      sourceTable: String,
+      lastVersion: Int,
+      srcVersion: Int,
+      nBuckets: Int,
+      textCol: String,
+      idCol: String,
+      props: Map[String, String]): Boolean = {
+    val index = fq(catalog, namespace, indexName)
+    val srcT = fq(catalog, namespace, sourceTable)
+    val cl =
+      try graft.catalog.Maintenance.changelogBetween(
+        spark, catalog, namespace, sourceTable, lastVersion, srcVersion)
+      catch { case _: IllegalArgumentException => return false }
+    // the stat delta subtracts the changed ids' PRIOR contribution — a
+    // silent fall-back-to-current (sourceAt's lenient contract) would
+    // cancel the subtraction and drift N; demand strict time travel
+    val priorDf =
+      try spark.sql(s"SELECT * FROM $srcT VERSION AS OF $lastVersion")
+      catch { case _: Exception => return false }
+
+    val changed = cl.select(col(idCol).cast("long").as("id")).distinct()
+    if (changed.isEmpty) {
+      // metadata-only or self-cancelling window (compaction): postings
+      // and stats are already right, only the covered version advances
+      setProps(spark, index, Map(VersionProp -> srcVersion.toString))
+      return true
+    }
+    // the surviving state of every changed id, straight from the
+    // merging read of the current source (duplicate-id rows merge in
+    // tokenPairs exactly as a rebuild would)
+    def changedOnly(df: DataFrame): DataFrame =
+      df.withColumn("__gid", col(idCol).cast("long"))
+        .join(changed.withColumnRenamed("id", "__gid").hint("shuffle_hash"),
+          Seq("__gid"), "left_semi")
+        .drop("__gid")
+    val newDocs = changedOnly(spark.table(srcT))
+    val (nDocs, sumLen) = (props.get(NDocsProp), props.get(SumLenProp)) match {
+      case (Some(n), Some(sl)) =>
+        val (oldCnt, oldLen) = corpusStats(changedOnly(priorDf), textCol, idCol)
+        val (newCnt, newLen) = corpusStats(newDocs, textCol, idCol)
+        (n.toLong - oldCnt + newCnt, sl.toLong - oldLen + newLen)
+      case _ => corpusStats(spark.table(srcT), textCol, idCol)
+    }
+
+    val newPairs = tokenPairs(newDocs, textCol, idCol)
+    // affected = tokens the change could touch: every token of a
+    // removed/updated row's OLD text (the changelog delete rows carry
+    // it) plus every token of the changed ids' surviving text
+    val oldToks = cl.filter(col("_change_type") === lit("delete"))
+      .select(explode(split(col(textCol), " ")).as("tok")).distinct()
+    val affected = oldToks.union(newPairs.select(col("tok"))).distinct()
+    // bucket pruning before the tok join: ≤ nBuckets driver values, so
+    // a small window file-skips most of the index up front; a corpus-
+    // wide scrub degenerates to all buckets and still never broadcasts
+    // the (possibly huge) affected-token set — the join is pinned
+    // shuffle-hash with the token list as build
+    val bucketsHit = affected
+      .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val kept = spark.table(index)
+      .filter(col("bucket").isin(bucketsHit: _*))
+      .join(affected.hint("shuffle_hash"), Seq("tok"))
+      .select(col("tok"),
+        explode(arrays_zip(col("docs"), col("poss"), col("lens"))).as("e"))
+      .select(col("tok"), col("e.docs").as("id"), col("e.poss").as("poss"),
+        col("e.lens").as("len"))
+      .join(changed.hint("shuffle_hash"), Seq("id"), "left_anti")
+    val merged = postingsOf(
+      kept.unionByName(newPairs.select(col("tok"), col("id"), col("poss"), col("len"))),
+      nBuckets)
+
+    // a token whose every doc vanished must LEAVE the index: delete
+    // first, then upsert — a replay of either half is a no-op
+    val vanished = affected.join(merged.select(col("tok")), Seq("tok"), "left_anti")
+    if (!vanished.isEmpty)
+      graft.catalog.MergeOnRead.morDelete(spark, catalog, namespace, indexName, vanished)
+    if (!merged.isEmpty)
+      graft.catalog.MergeOnRead.morUpsert(spark, catalog, namespace, indexName,
+        merged.select(col("tok"), col("docs"), col("df"), col("poss"), col("lens"),
+          col("bucket")),
+        Seq("tok"))
+    setProps(spark, index, Map(
+      VersionProp -> srcVersion.toString,
+      NDocsProp -> nDocs.toString,
+      SumLenProp -> sumLen.toString))
+    true
   }
 }

@@ -70,6 +70,39 @@ class MorSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("merged reads survive a Dataset temp view + INSERT re-analysis") {
+    // regression (round 9): ViewHelper.prepareTemporaryViewPlan
+    // normalizes NAMED DSv2 relations into V2TableReference (name +
+    // options only); re-resolution reloads the full current table.
+    // MorReads' file-subset sub-relations used to carry the table's
+    // name, so a dirty table read through `df.createOrReplaceTempView`
+    // + `INSERT INTO … SELECT` rescanned ALL files per union branch
+    // with the plain-read marker still set: deleted rows resurrected
+    // and every row duplicated per branch. Sub-relations are anonymous
+    // now — the view stores them verbatim.
+    val t = "lakehouse.mor_ns.mview"
+    threeCommits(t)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("mor_ns"), "mview",
+      (110 until 120).toDF("k"))
+
+    val derived = spark.table(t).groupBy($"k").count()
+    derived.createOrReplaceTempView("mor_view_src")
+    // SQL reference through the view: same rows as direct execution
+    spark.sql("SELECT * FROM mor_view_src").count() shouldBe 290
+    spark.sql("SELECT max(count) FROM mor_view_src").collect()(0).getLong(0) shouldBe 1L
+
+    // and through a write command's re-analysis (the TextIndex.create
+    // shape that exposed it): no resurrection, no duplication
+    spark.sql("CREATE TABLE lakehouse.mor_ns.mview_out (k INT, count BIGINT)")
+    spark.sql("INSERT INTO lakehouse.mor_ns.mview_out SELECT k, count FROM mor_view_src")
+    val out = spark.table("lakehouse.mor_ns.mview_out")
+    out.count() shouldBe 290
+    out.where($"k" >= 110 && $"k" < 120).count() shouldBe 0
+    out.groupBy($"k").count().where($"count" > 1).count() shouldBe 0
+    spark.sql(s"DROP TABLE $t")
+    spark.sql("DROP TABLE lakehouse.mor_ns.mview_out")
+  }
+
   test("sequence semantics: rows re-inserted after the delete survive it") {
     val t = "lakehouse.mor_ns.m2"
     threeCommits(t)
