@@ -46,32 +46,55 @@ object Bench {
     def releasePins(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-    val sampled = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      releasePins()
-      val samples = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+    // A throwing query must surface as a FAILURE, not as its time-to-throw
+    // (a broken query would otherwise read as a fast one and deflate the
+    // total — r9's 15 events queries recorded ~0.05s each while throwing
+    // AnalysisException). Any throw in warm-up or a timed sample marks the
+    // query failed; failed queries are excluded from `total` and listed
+    // under a "failed" key in both the stdout line and BENCH_FULL.json.
+    val sampled: Seq[(String, Either[String, Seq[Double]])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def err(e: Throwable) =
+          s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+        val warm = try { fn(spark, sfDir).count(); None }
+                   catch { case e: Throwable => Some(err(e)) }
         releasePins()
-        dt
-      }.sorted
-      name -> samples
-    }
-    val results = sampled.map { case (name, ss) => name -> ss.min }
+        val res: Either[String, Seq[Double]] = warm match {
+          case Some(msg) => Left(msg)
+          case None =>
+            var failure: Option[String] = None
+            val samples = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              try { fn(spark, sfDir).count() }
+              catch { case e: Throwable => failure = failure.orElse(Some(err(e))) }
+              val dt = (System.nanoTime() - t0) / 1e9
+              releasePins()
+              dt
+            }.sorted
+            failure.toLeft(samples)
+        }
+        name -> res
+      }
+    val results = sampled.collect { case (name, Right(ss)) => name -> ss.min }
+    val failed = sampled.collect { case (name, Left(msg)) => name -> msg }
     val total = results.map(_._2).sum
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val failedArr = failed.map(f => s""""${f._1}"""").mkString("[", ",", "]")
     def line(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
     // Full-precision per-query timings for the judge (the stdout line is
     // tail-captured with a bounded window, so it must stay short). Each
     // query records its sorted [min, med, max] samples so a contended
     // run is self-evident: a plan regression moves the MIN, a noisy
-    // machine spreads min≪max with the min intact.
+    // machine spreads min≪max with the min intact. Failed queries carry
+    // an "err" record instead of timings.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
-      sampled.map { case (k, ss) => s""""$k":{"min":${ss.min},"med":${ss(1)},"max":${ss.max}}""" }
-        .mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":{""", ",", "}}"))
+      sampled.map {
+        case (k, Right(ss)) => s""""$k":{"min":${ss.min},"med":${ss(1)},"max":${ss.max}}"""
+        case (k, Left(msg)) =>
+          s""""$k":{"err":"${msg.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")}"}"""
+      }.mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,"queries":{""", ",", "}}"))
     // The driver parses the LAST ~2000 chars of stdout for one JSON line;
     // sbt appends its own "[success]" lines after us. Keep the line under
     // 1800 chars: all queries when they fit, else the primary (two-digit,

@@ -40,16 +40,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark's vectorized reader
-    * rejects it outright, so read it as a long (legacy nanosAsLong) and
-    * truncate to microsecond timestamps via integer division (`DIV`, not
-    * `/` — ns epoch values ≈1.7e18 exceed double's 2^53 exact range).
-    * Oracle side mirrors this with `ts::TIMESTAMP` (ns→us truncation).
+  /** events.ts has shipped as two different parquet physical types
+    * across fixture generations, so branch on what actually loads:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright,
+    *    so read as long (legacy nanosAsLong) and truncate to microsecond
+    *    timestamps via integer division (`DIV`, not `/` — ns epoch values
+    *    ≈1.7e18 exceed double's 2^53 exact range). Oracle mirrors with
+    *    `ts::TIMESTAMP` (ns→us truncation).
+    *  - timestamp[us] (current fixture): loads as TIMESTAMP_NTZ (isAdjustedToUTC
+    *    =false + inferTimestampNTZ). The session TZ is pinned to UTC
+    *    (Pipeline/Verify/TestSpark), so casting NTZ→TIMESTAMP preserves
+    *    the stored micros bit-exactly — same value DuckDB's `ts::TIMESTAMP`
+    *    yields.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: exact micros passthrough under UTC session TZ
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
