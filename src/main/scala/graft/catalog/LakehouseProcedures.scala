@@ -243,6 +243,79 @@ object LakehouseProcedures {
       graft.operators.VectorIndex.refresh(spark, catalogName, ns(in), tbl(in))
     }
 
+  /** Rows-returning procedure: runs `body`'s DataFrame DISTRIBUTED
+    * (probe scans, joins, top-k all execute as a normal Spark job) and
+    * surfaces up to `limit` result rows through the CALL — the one
+    * driver materialization is the bounded final answer, the same
+    * contract as any top-k collect. This is the SQL face of the
+    * q72-family searches: `CALL lakehouse.system.text_search('ns',
+    * 'docs_idx', 'spark engine', 100)` needs no Scala at all. */
+  private def searchProc(
+      procName: String, desc: String, ps: Array[ProcedureParameter])(
+      body: (SparkSession, InternalRow) => org.apache.spark.sql.DataFrame): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = this
+      override def parameters(): Array[ProcedureParameter] = ps
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val df = body(SparkSession.active, input)
+        val out = df.schema
+        val collected = df.queryExecution.executedPlan.executeCollect()
+        val scan: Scan = new LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = collected
+          override def description(): String = s"$procName result"
+        }
+        java.util.List.of(scan).iterator()
+      }
+    }
+
+  /** Query strings tokenize exactly as the index build does (single-
+    * space split, TextIndex.create) so SQL callers match the
+    * DataFrame API term-for-term. */
+  private def terms(in: InternalRow, i: Int): Seq[String] =
+    in.getUTF8String(i).toString.split(' ').toSeq.filter(_.nonEmpty)
+
+  private def textSearchProc(catalogName: String): UnboundProcedure =
+    searchProc("text_search",
+      "documents containing every query term (conjunctive), from the postings index",
+      Array(param("ns", StringType), param("index", StringType),
+        param("query", StringType), param("limit", IntegerType, "1000"))) { (spark, in) =>
+      graft.operators.TextIndex.searchAll(spark, catalogName, ns(in),
+        in.getUTF8String(1).toString, terms(in, 2)).limit(in.getInt(3))
+    }
+
+  private def phraseSearchProc(catalogName: String): UnboundProcedure =
+    searchProc("phrase_search",
+      "documents containing the exact phrase, from the positional postings",
+      Array(param("ns", StringType), param("index", StringType),
+        param("phrase", StringType), param("limit", IntegerType, "1000"))) { (spark, in) =>
+      graft.operators.TextIndex.phraseSearch(spark, catalogName, ns(in),
+        in.getUTF8String(1).toString, terms(in, 2)).limit(in.getInt(3))
+    }
+
+  private def rankedSearchProc(catalogName: String): UnboundProcedure =
+    searchProc("ranked_search",
+      "idf-ranked top-k keyword search from the postings index",
+      Array(param("ns", StringType), param("index", StringType),
+        param("query", StringType), param("k", IntegerType, "10"))) { (spark, in) =>
+      graft.operators.TextIndex.searchRanked(spark, catalogName, ns(in),
+        in.getUTF8String(1).toString, terms(in, 2), in.getInt(3))
+    }
+
+  private def bm25SearchProc(catalogName: String): UnboundProcedure =
+    searchProc("bm25_search",
+      "BM25 top-k keyword search from the postings index (tf + length norms)",
+      Array(param("ns", StringType), param("index", StringType),
+        param("query", StringType), param("k", IntegerType, "10"),
+        param("k1", DoubleType, "1.2D"), param("b", DoubleType, "0.75D"))) { (spark, in) =>
+      graft.operators.TextIndex.searchBM25(spark, catalogName, ns(in),
+        in.getUTF8String(1).toString, terms(in, 2), in.getInt(3),
+        in.getDouble(4), in.getDouble(5))
+    }
+
   private def tagProc(catalogName: String) = new MaintenanceProc("tag",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -412,7 +485,11 @@ object LakehouseProcedures {
     "create_text_index" -> (createTextIndexProc(_)),
     "refresh_text_index" -> (refreshTextIndexProc(_)),
     "create_vector_index" -> (createVectorIndexProc(_)),
-    "refresh_vector_index" -> (refreshVectorIndexProc(_)))
+    "refresh_vector_index" -> (refreshVectorIndexProc(_)),
+    "text_search" -> (textSearchProc(_)),
+    "phrase_search" -> (phraseSearchProc(_)),
+    "ranked_search" -> (rankedSearchProc(_)),
+    "bm25_search" -> (bm25SearchProc(_)))
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))

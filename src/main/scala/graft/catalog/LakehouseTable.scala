@@ -40,7 +40,18 @@ class LakehouseTable(
     val tableDir: Path,
     val meta: TableMetadata)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row identity as a queryable metadata column (Iceberg's `_file`/
+    * `_pos`, folded into one non-null struct): `SELECT _graft_row_id
+    * FROM t` works anywhere, and it is the rowId the delta
+    * (merge-on-read) MERGE/UPDATE/DELETE path writes into positional
+    * delete entries — non-null by construction, which is what lets it
+    * pass Spark's NULLABLE_ROW_ID_ATTRIBUTES check where the (nullable)
+    * data key columns cannot. Served by [[PositionalRowIdScan]]. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(LakehouseTable.RowIdColumn)
 
   /** SQL MERGE INTO / UPDATE / arbitrary-predicate DELETE: group-based
     * copy-on-write at file granularity (see [[LakehouseRowLevelOperation]]). */
@@ -170,6 +181,12 @@ class LakehouseTable(
       }
 
       override def build(): org.apache.spark.sql.connector.read.Scan = {
+        // the positional row-identity metadata column takes a dedicated
+        // scan (per-file partitions + parquet row-index generation);
+        // aggregate/limit pushdown never co-occur with it
+        if (required.fieldNames.contains(LakehouseTable.RowIdColName))
+          return new PositionalRowIdScan(
+            spark, identName, tableDir, meta, required, pushed, options)
         aggAnswer match {
           case Some((aggSchema, row)) =>
             LakehouseTable.lastScanFileCounts.set((0, meta.files.size))
@@ -771,6 +788,23 @@ object LakehouseTable {
     * — the Iceberg identifier-fields analogue. When set, merge-on-read
     * DELETE records just these columns per matched row. */
   val KeyProp = "graft.key"
+
+  /** Name/type of the positional row-identity metadata column (see
+    * [[PositionalRowIdScan]]): struct field names match the positional
+    * delete-file columns ([[DeleteFile.PosFileCol]]/[[DeleteFile.PosPosCol]]). */
+  val RowIdColName = "_graft_row_id"
+  val RowIdType: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(DeleteFile.PosFileCol,
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField(DeleteFile.PosPosCol,
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  object RowIdColumn extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = RowIdColName
+    override def dataType(): org.apache.spark.sql.types.DataType = RowIdType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "row identity: table-relative data file path + 0-based row offset"
+  }
 
   /** (survivors, total) of the most recent scan build on this thread —
     * observability hook for tests and EXPLAIN-style debugging. */

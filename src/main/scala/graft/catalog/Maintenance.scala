@@ -105,6 +105,10 @@ object Maintenance {
     val idealFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val overdue = current.deleteFiles.nonEmpty ||
       current.properties.keys.exists(_.startsWith(LakehouseCatalog.TombstonePrefix))
+    // piggyback the crash-orphan sweep (see vacuum): auto maintenance
+    // must also clear a dead rebuild's partial staging
+    graft.operators.IndexSwap.reapStaleStaging(
+      spark, catalog, namespace, table, DefaultRetentionMs)
     if (!overdue && current.files.size <= 2 * idealFiles) return 0
     compact(spark, catalog, namespace, table, targetFiles = idealFiles)
   }
@@ -1554,6 +1558,13 @@ object Maintenance {
     })
     // bloom sidecars of unretained files go with them
     BloomIndex.vacuumSidecars(dir, retained)
+    // a rebuild that crashed mid-BUILD leaves an incomplete sibling
+    // `<table>__rebuild` staging no other path ever removes (adoption
+    // refuses incomplete stagings; the staging is its own table, so no
+    // per-table vacuum sees it as garbage) — reap it here, never
+    // touching completed or in-flight stagings
+    graft.operators.IndexSwap.reapStaleStaging(
+      spark, catalog, namespace, table, retentionMs)
     doomed.size
   }
 }

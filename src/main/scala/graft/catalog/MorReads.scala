@@ -40,16 +40,32 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val targets = writeTargetRelations(plan)
     plan.transformUpWithSubqueries {
-      case r: DataSourceV2Relation if !targets.contains(r) && isDirty(r) =>
-        rewrite(r)
+      case r: DataSourceV2Relation if !targets.contains(r) =>
+        dirtyLakehouse(r) match {
+          case Some(lt) => rewrite(r, lt)
+          case None => r
+        }
     }
   }
 
-  private def isDirty(r: DataSourceV2Relation): Boolean = r.table match {
-    case lt: LakehouseTable =>
-      !r.options.containsKey(MergeOnRead.PlainReadOption) &&
-        MergeOnRead.anyApplicable(lt.meta, lt.meta.files)
-    case _ => false
+  /** The LakehouseTable behind a READ relation that still needs its
+    * delete entries folded: a plain table relation, or the target-side
+    * read relation a delta (merge-on-read) MERGE/UPDATE/DELETE rewrite
+    * plants — Spark wraps the table in a RowLevelOperationTable whose
+    * scans would otherwise read raw and match deleted rows. COW
+    * operations are deliberately NOT matched: their scan is
+    * file-granular (every row of a replaced group must survive the
+    * read) and refuses dirty tables with an actionable error. */
+  private def dirtyLakehouse(r: DataSourceV2Relation): Option[LakehouseTable] = {
+    if (r.options.containsKey(MergeOnRead.PlainReadOption)) return None
+    val lake = r.table match {
+      case lt: LakehouseTable => Some(lt)
+      case t => org.apache.spark.sql.graftbridge.RowLevelBridge.unwrap(t) match {
+        case Some((lt: LakehouseTable, _: LakehouseDeltaOperation)) => Some(lt)
+        case _ => None
+      }
+    }
+    lake.filter(lt => MergeOnRead.anyApplicable(lt.meta, lt.meta.files))
   }
 
   /** Relations in WRITE position (identity set): the target of an
@@ -74,10 +90,12 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
     s
   }
 
-  private def rewrite(r: DataSourceV2Relation): LogicalPlan = {
-    val lt = r.table.asInstanceOf[LakehouseTable]
+  private def rewrite(r: DataSourceV2Relation, lt: LakehouseTable): LogicalPlan = {
     val meta = lt.meta
     val resolver = spark.sessionState.conf.resolver
+    // a delta MERGE/UPDATE/DELETE target read asks for the positional
+    // row-identity column — every branch must produce it
+    val needRowId = r.output.exists(a => resolver(a.name, LakehouseTable.RowIdColName))
 
     val groups = meta.files.groupBy(f => MergeOnRead.applicable(meta, f)).toSeq
       .sortBy(_._2.head) // deterministic branch order
@@ -89,12 +107,35 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
         // API over a plain parquet scan of the SAME file subset
         // (MergeOnRead.read applies equality and positional entries in
         // sequence order); pushdown/pruning still reach the file scan
-        MergeOnRead.read(spark, lt.tableDir, meta, files)
-          .select(meta.schema.fieldNames.map(org.apache.spark.sql.functions.col)
-            .toIndexedSeq: _*)
-          .queryExecution.analyzed
+        import org.apache.spark.sql.functions.{col, struct, substring_index}
+        val base =
+          if (!needRowId) MergeOnRead.read(spark, lt.tableDir, meta, files)
+          else MergeOnRead.read(spark, lt.tableDir, meta, files, prep = df =>
+            df.withColumn("__graft_pf",
+                substring_index(col("_metadata.file_path"), "/", -3))
+              .withColumn("__graft_pp", col("_metadata.row_index")))
+        val cols = meta.schema.fieldNames.map(col).toIndexedSeq ++
+          (if (needRowId)
+            Seq(struct(
+              col("__graft_pf").as(DeleteFile.PosFileCol),
+              col("__graft_pp").as(DeleteFile.PosPosCol))
+              .as(LakehouseTable.RowIdColName))
+          else Seq.empty)
+        base.select(cols: _*).queryExecution.analyzed
       } else {
-        val sub = subRelation(r, lt, files)
+        val sub0 = subRelation(r, lt, files)
+        val sub: LogicalPlan =
+          if (!needRowId) sub0
+          else {
+            // materialize the metadata column on the sub-relation: its
+            // PositionalRowIdScan emits offsets within the SAME table
+            // dir, so identities stay consistent across branches
+            val rid = sub0.metadataOutput.find(a =>
+              resolver(a.name, LakehouseTable.RowIdColName)).getOrElse(
+              throw new IllegalStateException(
+                s"sub-relation of ${lt.name()} lost the row-id metadata column"))
+            Project(sub0.output :+ rid, sub0)
+          }
         // same-commit same-key-shape entries are ONE logical delete
         // that fanned out to several files on write: scan them together
         // and anti-join once (anti joins commute, so grouping only
@@ -117,9 +158,15 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     val merged = if (branches.size == 1) branches.head else Union(branches)
-    // hand the parent back its original attribute ids
-    val restored: Seq[NamedExpression] = r.output.zip(merged.output).map {
-      case (o: AttributeReference, n) =>
+    // hand the parent back its original attribute ids — matched BY NAME,
+    // not position: a RowLevelOperationTable read relation's output
+    // order need not be schema order
+    val restored: Seq[NamedExpression] = r.output.map {
+      case o: AttributeReference =>
+        val n = merged.output.find(a => resolver(a.name, o.name)).getOrElse(
+          throw new IllegalStateException(
+            s"merge-on-read rewrite lost column ${o.name} (have: ${
+              merged.output.map(_.name).mkString(", ")})"))
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
           explicitMetadata = Some(o.metadata))
     }

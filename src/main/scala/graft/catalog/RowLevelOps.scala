@@ -262,13 +262,33 @@ private class OperationColumnStrippingWriterFactory(
 }
 
 /** Builder handed to Spark from
-  * [[LakehouseTable.newRowLevelOperationBuilder]]. */
+  * [[LakehouseTable.newRowLevelOperationBuilder]]: picks the write
+  * strategy per command from table properties, Iceberg's contract —
+  * `write.merge.mode` / `write.update.mode` / `write.delete.mode` (or
+  * the `graft.`-prefixed spellings) = `merge-on-read` selects the
+  * delta operation ([[LakehouseDeltaOperation]], O(changed rows));
+  * anything else keeps group-based copy-on-write
+  * ([[LakehouseRowLevelOperation]], read-optimal). */
 class LakehouseRowLevelOperationBuilder(
     spark: SparkSession,
     identName: String,
     tableDir: Path,
     info: RowLevelOperationInfo)
   extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new LakehouseRowLevelOperation(spark, identName, tableDir, info.command)
+
+  override def build(): RowLevelOperation = {
+    import RowLevelOperation.Command._
+    val meta = TableMetadata.load(tableDir)
+    val modeKey = info.command match {
+      case MERGE => "merge"
+      case UPDATE => "update"
+      case DELETE => "delete"
+    }
+    val mode = meta.properties.get(s"graft.$modeKey.mode")
+      .orElse(meta.properties.get(s"write.$modeKey.mode"))
+    if (mode.exists(_.startsWith("merge-on-read")))
+      new LakehouseDeltaOperation(spark, identName, tableDir, info.command)
+    else
+      new LakehouseRowLevelOperation(spark, identName, tableDir, info.command)
+  }
 }

@@ -52,6 +52,49 @@ object IndexSwap {
         lakeTable(spark, catalog, namespace, name)
     }
 
+  /** Properties whose presence proves a staged rebuild FINISHED — each
+    * operator writes its contract property only after the staging's
+    * data is completely written. */
+  val CompletenessProps: Seq[String] =
+    Seq(TextIndex.VersionProp, VectorIndex.VersionProp)
+
+  /** Reap a crash-orphaned PARTIAL `<table>__rebuild` staging (called
+    * by Maintenance.vacuum/autoCompact): a rebuild that died mid-build
+    * leaves a staging table with no completeness property — invisible
+    * to adoption (which rightly refuses incomplete stagings) and to
+    * per-table vacuum (it is its own table), so nothing ever removed
+    * it. Guards:
+    *  - a COMPLETED staging is never reaped — the adoption path owns
+    *    it (and a full rebuild re-stages with DROP IF EXISTS anyway);
+    *  - a staging whose metadata committed within `retentionMs` is
+    *    never reaped — that is an IN-FLIGHT rebuild writing right now.
+    * Returns true when the orphan was dropped. */
+  def reapStaleStaging(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      retentionMs: Long): Boolean = {
+    val tmpName = table + "__rebuild"
+    val staged =
+      try Some(lakeTable(spark, catalog, namespace, tmpName))
+      catch { case e: Throwable if isMissingTable(e) => None }
+    staged match {
+      case None => false
+      case Some(tmp) =>
+        val props = graft.catalog.TableMetadata.load(tmp.tableDir).properties
+        if (CompletenessProps.exists(props.contains)) return false
+        val metaAge =
+          try java.nio.file.Files.getLastModifiedTime(
+            graft.catalog.TableMetadata.versionFile(tmp.tableDir,
+              graft.catalog.TableMetadata.currentVersion(tmp.tableDir))).toMillis
+          catch { case _: Throwable => return false } // can't stat → assume live
+        if (System.currentTimeMillis() - metaAge < retentionMs) return false
+        spark.sql(s"DROP TABLE IF EXISTS ${(catalog +: namespace :+ tmpName).mkString(".")}")
+        true
+    }
+  }
+
   private def isMissingTable(e: Throwable): Boolean = e match {
     case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => true
     case a: org.apache.spark.sql.AnalysisException =>

@@ -58,30 +58,65 @@ object VectorOps {
     * one task (observed as a 3.5× bench swing with identical code; at
     * 100 TB it would be an OOM). The ≤10-row query side is the only
     * correct build side at any scale, so it is pinned. */
+  private def exactTop5(s: SparkSession, d: String) = {
+    val e = withNorm(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
+    val sims = broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
+        round(col("sim"), 4).as("sim_r"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val exactTop5OracleBody =
+    s"""SELECT a.vec_id qid, b.vec_id nid,
+       |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |           ORDER BY $oracleDot / (a.nrm * b.nrm) DESC, b.vec_id) rnk,
+       |         ROUND($oracleDot / (a.nrm * b.nrm), 4) sim_r
+       |  FROM ev a JOIN ev b ON a.vec_id < 10 AND a.vec_id <> b.vec_id""".stripMargin
+
   val q29 = Q(
     "q29_cosine_topk",
-    (s, d) => {
-      val e = withNorm(s, d)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
-      val c = e.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("nrm").as("nn"))
-      val sims = broadcast(q).join(c, col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
-          round(col("sim"), 4).as("sim_r"))
-        .filter(col("rnk") <= 5)
-        .orderBy(col("qid"), col("rnk"))
-    },
+    (s, d) => exactTop5(s, d),
     Some(s"""$oracleNormCte
             |SELECT qid, nid, rnk, sim_r FROM (
-            |  SELECT a.vec_id qid, b.vec_id nid,
-            |         ROW_NUMBER() OVER (PARTITION BY a.vec_id
-            |           ORDER BY $oracleDot / (a.nrm * b.nrm) DESC, b.vec_id) rnk,
-            |         ROUND($oracleDot / (a.nrm * b.nrm), 4) sim_r
-            |  FROM ev a JOIN ev b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+            |  $exactTop5OracleBody)
             |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
+
+  /** Oracle-bounding for the ANN paths (q13's approx-plus-flag shape):
+    * the emitted rows are the EXACT top-5 (value-checkable by the
+    * DuckDB oracle) plus one `recall_ok` column — whether the
+    * approximate path's recall@5 against those exact rows clears the
+    * query's declared floor. The ANN result itself is deterministic
+    * (seeded hyperplanes / deterministic k-means sample), so the flag
+    * is reproducible and the oracle simply asserts TRUE. Recall is
+    * computed IN-PLAN (left join on the ≤50-row exact set + one scalar
+    * aggregate, both broadcast) — no driver-side collect. */
+  private def recallChecked(
+      exact: org.apache.spark.sql.DataFrame,
+      ann: org.apache.spark.sql.DataFrame,
+      floor: Double) = {
+    val annSet = ann.select(col("qid"), col("nid"), lit(1).as("hit"))
+      .dropDuplicates("qid", "nid")
+    val scored = exact.join(broadcast(annSet), Seq("qid", "nid"), "left")
+    val rec = scored.agg(
+      (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
+    scored.crossJoin(broadcast(rec))
+      .select(col("qid"), col("nid"), col("rnk"), col("sim_r"),
+        (col("recall") >= floor).as("recall_ok"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private def annOracle =
+    s"""$oracleNormCte
+       |SELECT qid, nid, rnk, sim_r, TRUE AS recall_ok FROM (
+       |  $exactTop5OracleBody)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** Embedding-cosine near-dup: all pairs with cosine ≥ 0.4 (the corpus
     * max is ~0.5 — this surfaces the closest-pair tail). Block-joined on
@@ -165,12 +200,15 @@ object VectorOps {
       val sims = cand.select(col("qid"), col("nid"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
-          round(col("sim"), 4).as("sim_r"))
+      val ann = sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
         .filter(col("rnk") <= 5)
-        .orderBy(col("qid"), col("rnk"))
+      // 6-bit × 12-table LSH on this corpus's flat similarity spectrum
+      // (max s ≈ 0.5, see bucket-width note above) measures ~0.2-0.3
+      // aggregate recall@5 across SFs; the floor asserts the candidate
+      // generation stays useful without over-fitting one SF
+      recallChecked(exactTop5(s, d), ann, floor = 0.15)
     },
-    None)
+    Some(annOracle))
 
   /** q29 re-expressed with the typed TopKAggregator: per-query top-k via
     * map-side partial aggregation (shuffle carries ≤ k rows per group
@@ -241,12 +279,14 @@ object VectorOps {
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
         .dropDuplicates("qid", "nid")
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-      sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
-          round(col("sim"), 4).as("sim_r"))
+      val ann = sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
         .filter(col("rnk") <= 5)
-        .orderBy(col("qid"), col("rnk"))
+      // nprobe=4 of k=16 cells scans ~25% of the corpus; measured
+      // aggregate recall@5 ≈ 0.5-0.7 across SFs (VectorSpec asserts
+      // ≥ 0.5 at its fixture) — floor with margin for SF variation
+      recallChecked(exactTop5(s, d), ann, floor = 0.4)
     },
-    None)
+    Some(annOracle))
 
   /** Cross-modality join: each document paired with its embedding row
     * (text metadata ⋈ vector metadata) — the gate a multimodal curation

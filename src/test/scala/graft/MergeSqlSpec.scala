@@ -137,4 +137,106 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     after.exists(_.contains("-merge-")) shouldBe true
     spark.sql("DROP TABLE lakehouse.merge_ns.m5")
   }
+
+  private def files(t: String): Set[String] =
+    spark.sql(s"SELECT file_path FROM lakehouse.merge_ns.$t.files")
+      .collect().map(_.getString(0)).toSet
+
+  test("merge-on-read MERGE rewrites no data file and commits one delta snapshot") {
+    mkTable("m6", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    // no graft.key needed: row identity is positional (_graft_row_id)
+    spark.sql("""ALTER TABLE lakehouse.merge_ns.m6 SET TBLPROPERTIES
+                |('write.merge.mode'='merge-on-read')""".stripMargin)
+    val before = files("m6")
+    Seq((2, "b2", 99.0), (3, "drop", 0.0), (4, "d", 40.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("m6_changes")
+
+    spark.sql("""MERGE INTO lakehouse.merge_ns.m6 t
+                |USING m6_changes s ON t.id = s.id
+                |WHEN MATCHED AND s.name = 'drop' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.amt = s.amt
+                |WHEN NOT MATCHED THEN INSERT (id, name, amt) VALUES (s.id, s.name, s.amt)
+                |""".stripMargin)
+
+    spark.table("lakehouse.merge_ns.m6").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "a", 10.0), (2, "b2", 99.0), (4, "d", 40.0))
+
+    // every pre-existing data file carried by reference, delta files added
+    val after = files("m6")
+    (before -- after) shouldBe empty
+    // the delete side landed as an equality-delete entry, not a rewrite
+    spark.sql("SELECT count(*) FROM lakehouse.merge_ns.m6.delete_files")
+      .collect().head.getLong(0) should be >= 1L
+    spark.sql("SELECT operation FROM lakehouse.merge_ns.m6.history ORDER BY version")
+      .collect().last.getString(0) shouldBe "mor-merge"
+    spark.sql("DROP TABLE lakehouse.merge_ns.m6")
+  }
+
+  test("merge-on-read MERGE on a dirty table re-inserts, never resurrects") {
+    mkTable("m7", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    spark.sql("""ALTER TABLE lakehouse.merge_ns.m7 SET TBLPROPERTIES
+                |('graft.key'='id', 'graft.merge.mode'='merge-on-read',
+                | 'graft.delete.mode'='merge-on-read')""".stripMargin)
+    // make the table dirty: a pending equality delete of id=2
+    spark.sql("DELETE FROM lakehouse.merge_ns.m7 WHERE id = 2")
+    spark.sql("SELECT count(*) FROM lakehouse.merge_ns.m7.delete_files")
+      .collect().head.getLong(0) should be >= 1L
+    spark.table("lakehouse.merge_ns.m7").count() shouldBe 2
+
+    // id=2 is deleted → NOT MATCHED → INSERT must fire (a raw read
+    // would see the dead row, match it, and resurrect the old version
+    // only when the update doesn't cover every column — assert the
+    // inserted marker survives)
+    Seq((2, "reborn", 222.0), (3, "c2", 33.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("m7_changes")
+    spark.sql("""MERGE INTO lakehouse.merge_ns.m7 t
+                |USING m7_changes s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+                |WHEN NOT MATCHED THEN INSERT (id, name, amt) VALUES (s.id, s.name, s.amt)
+                |""".stripMargin)
+
+    spark.table("lakehouse.merge_ns.m7").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "a", 10.0), (2, "reborn", 222.0), (3, "c", 33.0))
+    spark.sql("DROP TABLE lakehouse.merge_ns.m7")
+  }
+
+  test("merge-on-read SQL UPDATE costs O(matched rows), key reassignment included") {
+    mkTable("m8", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    spark.sql("""ALTER TABLE lakehouse.merge_ns.m8 SET TBLPROPERTIES
+                |('write.update.mode'='merge-on-read')""".stripMargin)
+    val before = files("m8")
+    spark.sql("UPDATE lakehouse.merge_ns.m8 SET amt = amt * 2 WHERE id >= 2")
+    spark.table("lakehouse.merge_ns.m8").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "a", 10.0), (2, "b", 40.0), (3, "c", 60.0))
+    (before -- files("m8")) shouldBe empty
+    spark.sql("SELECT operation FROM lakehouse.merge_ns.m8.history ORDER BY version")
+      .collect().last.getString(0) shouldBe "mor-update"
+
+    // key-reassigning update: the delta must delete the OLD key (3)
+    spark.sql("UPDATE lakehouse.merge_ns.m8 SET id = 30 WHERE id = 3")
+    spark.table("lakehouse.merge_ns.m8").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "a", 10.0), (2, "b", 40.0), (30, "c", 60.0))
+    spark.sql("DROP TABLE lakehouse.merge_ns.m8")
+  }
+
+  test("merge-on-read DELETE with non-convertible predicate, no declared key") {
+    mkTable("m9", Seq((1, "aa", 1.0), (2, "bbb", 2.0), (3, "c", 3.0)))
+    spark.sql("""ALTER TABLE lakehouse.merge_ns.m9 SET TBLPROPERTIES
+                |('write.delete.mode'='merge-on-read')""".stripMargin)
+    val before = files("m9")
+    // length(name) is not a pushable filter → row-level path → delta
+    // DELETE falls back to full-row-tuple equality keys
+    spark.sql("DELETE FROM lakehouse.merge_ns.m9 WHERE length(name) >= 3")
+    spark.table("lakehouse.merge_ns.m9").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "aa", 1.0), (3, "c", 3.0))
+    (before -- files("m9")) shouldBe empty
+    spark.sql("SELECT count(*) FROM lakehouse.merge_ns.m9.delete_files")
+      .collect().head.getLong(0) should be >= 1L
+    spark.sql("DROP TABLE lakehouse.merge_ns.m9")
+  }
 }

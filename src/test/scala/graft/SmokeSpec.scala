@@ -35,7 +35,7 @@ class SmokeSpec extends AnyFunSuite {
   test("every queries entry has an oracle or is a declared no-oracle op") {
     // Declared no-oracle set — keep minimal; the driver records only a
     // weaker rows-only check for these (SURVEY §2 / VERDICT r8 #6).
-    val declaredNoOracle = Set("q28d_simhash", "q29c_ann_lsh", "q29e_ann_ivf")
+    val declaredNoOracle = Set("q28d_simhash")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- declaredNoOracle
     assert(missing.isEmpty, s"queries without oracle SQL: ${missing.toSeq.sorted.mkString(", ")}")
   }

@@ -351,6 +351,48 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     intercept[Exception] { spark.table("lakehouse.ti.docs4_idx__rebuild").collect() }
   }
 
+  test("vacuum reaps a crash-orphaned PARTIAL __rebuild staging, never a completed or live one") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    mkSource("docs5", Seq(1L -> "rho sigma", 2L -> "rho tau"))
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docs5", "docs5_idx", nBuckets = 4)
+
+    // crash mid-BUILD: a staging table with data but NO completeness
+    // property (create() sets it only after the build finishes)
+    spark.sql("CREATE TABLE lakehouse.ti.docs5_idx__rebuild (tok STRING, docs ARRAY<BIGINT>)")
+    spark.sql("INSERT INTO lakehouse.ti.docs5_idx__rebuild VALUES ('partial', array(1L))")
+    def backdate(tbl: String): Unit = {
+      val dir = spark.sessionState.catalogManager.catalog("lakehouse")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("ti"), tbl))
+        .asInstanceOf[graft.catalog.LakehouseTable].tableDir
+      val v = graft.catalog.TableMetadata.currentVersion(dir)
+      Files.setLastModifiedTime(graft.catalog.TableMetadata.versionFile(dir, v),
+        FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
+    }
+
+    // young staging (in-flight rebuild): vacuum must NOT touch it
+    graft.catalog.Maintenance.vacuum(spark, "lakehouse", Seq("ti"), "docs5_idx")
+    spark.table("lakehouse.ti.docs5_idx__rebuild").count() shouldBe 1L
+
+    // stale + incomplete: reaped
+    backdate("docs5_idx__rebuild")
+    graft.catalog.Maintenance.vacuum(spark, "lakehouse", Seq("ti"), "docs5_idx")
+    intercept[Exception] { spark.table("lakehouse.ti.docs5_idx__rebuild").collect() }
+    // the live index is untouched
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docs5_idx", Seq("rho"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+
+    // stale but COMPLETED staging (crash after build, before swap):
+    // vacuum leaves it for the adoption path
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docs5", "docs5_idx__rebuild",
+      nBuckets = 4)
+    backdate("docs5_idx__rebuild")
+    graft.catalog.Maintenance.vacuum(spark, "lakehouse", Seq("ti"), "docs5_idx")
+    spark.table("lakehouse.ti.docs5_idx__rebuild").count() should be > 0L
+    spark.sql("DROP TABLE lakehouse.ti.docs5_idx__rebuild")
+  }
+
   test("index stays fresh against a streaming-fed source: refresh per micro-batch epoch") {
     // the production pipeline shape: documents arrive through the
     // streaming sink (one append commit per epoch), the index folds
