@@ -89,12 +89,19 @@ object Bench {
     // run is self-evident: a plan regression moves the MIN, a noisy
     // machine spreads min≪max with the min intact. Failed queries carry
     // an "err" record instead of timings.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val fullJson =
       sampled.map {
         case (k, Right(ss)) => s""""$k":{"min":${ss.min},"med":${ss(1)},"max":${ss.max}}"""
         case (k, Left(msg)) =>
           s""""$k":{"err":"${msg.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")}"}"""
-      }.mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,"queries":{""", ",", "}}"))
+      }.mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,"queries":{""", ",", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
+    // per-SF copy kept side by side so round-over-round comparisons
+    // never mix scale factors (totals at different SFs are not
+    // comparable; the shared name alone invited exactly that misread)
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"BENCH_FULL_$sfName.json"), fullJson)
     // The driver parses the LAST ~2000 chars of stdout for one JSON line;
     // sbt appends its own "[success]" lines after us. Keep the line under
     // 1800 chars: all queries when they fit, else the primary (two-digit,

@@ -37,8 +37,20 @@ object Materialize {
 
   val ReliableConf = "graft.checkpoint.reliable"
 
+  /** A/B instrumentation: `graft.checkpoint.disable=true` turns every
+    * pin into a pass-through (pinPartitionedBy keeps its repartition,
+    * drops the materialization), so the cost/benefit of pinning is
+    * measurable on the same query code — see the measured deltas cited
+    * at the q38/q46/q71 pin sites. Not a production mode: consumers
+    * then recompute the pinned subtree per use. */
+  val DisableConf = "graft.checkpoint.disable"
+
+  private def disabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(DisableConf).exists(_.toBoolean)
+
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (disabled(df)) return df
     val wantReliable = spark.conf.getOption(ReliableConf).exists(_.toBoolean)
     if (wantReliable) {
       require(spark.sparkContext.getCheckpointDir.isDefined,
@@ -57,6 +69,7 @@ object Materialize {
     * producing exchange wrote. */
   def pinPartitionedBy(df: DataFrame, numPartitions: Int, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "pinPartitionedBy needs at least one key column")
+    if (disabled(df)) return df.repartition(numPartitions, keys.map(df.col): _*)
     val cp = pin(df.repartition(numPartitions, keys.map(df.col): _*))
     val (attrs, rdd) = org.apache.spark.sql.graftbridge.PartitionedRddBridge.checkpointedRdd(cp)
     val resolver = df.sparkSession.sessionState.analyzer.resolver

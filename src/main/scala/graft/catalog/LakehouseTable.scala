@@ -567,7 +567,14 @@ class LakehouseTable(
     // the row); otherwise the full row tuple, which is EXACT for any
     // deterministic predicate (a row identical to a matched row matches
     // the predicate too).
-    if (current.properties.get(LakehouseTable.DeleteModeProp).contains("merge-on-read")) {
+    // `write.delete.mode` (Iceberg's spelling, honored as an alias by
+    // the row-level builder too) must route the metadata path the same
+    // way — otherwise a convertible predicate would COW-rewrite files
+    // on a table whose non-convertible DELETEs write deltas
+    def deleteMode: Option[String] =
+      current.properties.get(LakehouseTable.DeleteModeProp)
+        .orElse(current.properties.get("write.delete.mode"))
+    if (deleteMode.contains("merge-on-read")) {
       val keyCols = current.properties.get(LakehouseTable.KeyProp)
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(current.schema.fieldNames.toSeq)
@@ -586,8 +593,7 @@ class LakehouseTable(
     // zero data files rewritten. The offsets come from the scan's
     // _metadata struct via the merging read's prep hook, so offsets of
     // already-deleted rows are never re-recorded.
-    if (current.properties.get(LakehouseTable.DeleteModeProp)
-        .contains("merge-on-read-positional")) {
+    if (deleteMode.contains("merge-on-read-positional")) {
       val matched = MergeOnRead.read(spark, tableDir, current, candidates, prep = df =>
           df.withColumn("__graft_pf",
               substring_index(col("_metadata.file_path"), "/", -3))

@@ -592,7 +592,10 @@ object TextOps {
       // from the raw text.
       // bucket-keyed pin: the bucket-total aggregation runs in place,
       // the rank join reads the corpus side with no exchange, and the
-      // in-bucket window's clustering requirement is already satisfied
+      // in-bucket window's clustering requirement is already satisfied.
+      // Measured (sf0.1, local[32], graft.checkpoint.disable A/B, min
+      // of 3): pin 1.09s vs no-pin 2.08s — re-tokenizing the corpus
+      // for each of the two consumers costs ~2× the materialization.
       val toks = tokenized(s, d)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
         .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
@@ -862,7 +865,12 @@ object TextOps {
       // rank join both read this narrow frame (without the pin each
       // re-scans the corpus), the count aggregation runs in place, the
       // rank join adds no corpus-side exchange, and the in-bucket
-      // window's clustering is already satisfied
+      // window's clustering is already satisfied.
+      // Measured (sf0.1, local[32], graft.checkpoint.disable A/B, min
+      // of 3): pin 0.61s vs no-pin 0.59s — a wash at this SF because
+      // the recomputed subtree is one cheap projection scan; the pin
+      // is kept for the shape (at corpus scale the re-scan side grows
+      // with data while the pinned frame stays 4 narrow columns).
       val g = documents(s, d)
         .withColumn("grp", when(col("lang") === "en", "en").otherwise("other"))
         .select(col("grp"), col("doc_id"), col("lang"),
@@ -1719,7 +1727,12 @@ object TextOps {
     "q71_source_similarity",
     (s, d) => {
       // tok-keyed pin: the token self-join reads both sides from the
-      // pinned layout with no exchange
+      // pinned layout with no exchange.
+      // Measured (sf0.1, local[32], graft.checkpoint.disable A/B, min
+      // of 3): pin 1.06s vs no-pin 1.13s — the saved duplicate
+      // tokenize+distinct+exchange already outweighs the
+      // materialization at this SF, and the gap widens with corpus
+      // size (three consumers: counts + both self-join sides).
       val st = graft.Materialize.pinPartitionedBy(
         tokenized(s, d)
           .select(col("source"), explode(col("toks")).as("tok"))

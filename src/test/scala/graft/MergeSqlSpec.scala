@@ -223,6 +223,31 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.merge_ns.m8")
   }
 
+  test("compaction folds a MoR MERGE's positional deltas back to join-free scans") {
+    mkTable("m10", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    spark.sql("""ALTER TABLE lakehouse.merge_ns.m10 SET TBLPROPERTIES
+                |('write.merge.mode'='merge-on-read')""".stripMargin)
+    Seq((2, "b2", 99.0), (3, "drop", 0.0), (4, "d", 40.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("m10_changes")
+    spark.sql("""MERGE INTO lakehouse.merge_ns.m10 t
+                |USING m10_changes s ON t.id = s.id
+                |WHEN MATCHED AND s.name = 'drop' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.amt = s.amt
+                |WHEN NOT MATCHED THEN INSERT (id, name, amt) VALUES (s.id, s.name, s.amt)
+                |""".stripMargin)
+    spark.sql("SELECT count(*) FROM lakehouse.merge_ns.m10.delete_files")
+      .collect().head.getLong(0) should be >= 1L
+
+    graft.catalog.Maintenance.compact(spark, "lakehouse", Seq("merge_ns"), "m10")
+    // entries materialized away; results identical through the rewrite
+    spark.sql("SELECT count(*) FROM lakehouse.merge_ns.m10.delete_files")
+      .collect().head.getLong(0) shouldBe 0L
+    spark.table("lakehouse.merge_ns.m10").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "a", 10.0), (2, "b2", 99.0), (4, "d", 40.0))
+    spark.sql("DROP TABLE lakehouse.merge_ns.m10")
+  }
+
   test("merge-on-read DELETE with non-convertible predicate, no declared key") {
     mkTable("m9", Seq((1, "aa", 1.0), (2, "bbb", 2.0), (3, "c", 3.0)))
     spark.sql("""ALTER TABLE lakehouse.merge_ns.m9 SET TBLPROPERTIES
