@@ -822,6 +822,12 @@ object LakehouseTable {
     * invisible to the observing (test/driver) thread. */
   @volatile var lastRuntimeFilteredCounts: (Int, Int) = (0, 0)
 
+  /** (survivors, total) of the most recent POSITIONAL row-id scan
+    * build (a delta MERGE/UPDATE/DELETE's target read) — separate from
+    * [[lastScanFileCounts]] so the statement's OTHER scans (source
+    * side) can't overwrite the observation. */
+  @volatile var lastPositionalScanFileCounts: (Int, Int) = (0, 0)
+
   /** A file partition that also carries its bucket id, so Spark's
     * storage-partitioned join can match it against the other side's
     * buckets. The parquet reader factory only pattern-matches on

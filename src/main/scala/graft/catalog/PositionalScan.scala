@@ -41,61 +41,101 @@ private[catalog] class PositionalRowIdScan(
     required: StructType,
     pushed: Array[sources.Filter],
     options: CaseInsensitiveStringMap)
-  extends Scan {
+  extends Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private def abs(f: String): String = tableDir.resolve(f).toString
+
+  private val dataRequired = StructType(
+    required.fields.filterNot(_.name == LakehouseTable.RowIdColName))
+  // the reader special-cases this exact NAME (ParquetRowIndexUtil
+  // matches on ROW_INDEX_TEMPORARY_COLUMN_NAME; ROW_INDEX_FIELD is
+  // the _metadata struct's inner field, not the flat temp column)
+  private val rowIdxField = org.apache.spark.sql.types.StructField(
+    ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+    org.apache.spark.sql.types.LongType)
+  private val delegateRequired = StructType(dataRequired.fields :+ rowIdxField)
+
+  @volatile private var survivors: Seq[String] = {
+    val ranged = FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
+    val s = BloomIndex.prune(tableDir, meta.properties, meta.schema, ranged, pushed.toSeq)
+    // same observability hook as the main scan: a partition-selective
+    // MoR MERGE (static conjunct in ON — `t.day = s.day AND t.day =
+    // '2024-01-02'`, the Iceberg-recommended shape) must show its
+    // file skipping here. Dynamic pruning note: the scan is
+    // SupportsRuntimeV2Filtering-eligible, but Spark's DPP defaults
+    // (`dynamicPartitionPruning.reuseBroadcastOnly=true`) rarely fire
+    // on a MERGE's sort-merge join, so the static conjunct is the
+    // dependable 100 TB pattern.
+    LakehouseTable.lastPositionalScanFileCounts = (s.size, meta.files.size)
+    s
+  }
+
+  /** Runtime file skipping, same contract as the main table scan: a
+    * MERGE's ON keys over partition/bloom columns hand their matched
+    * values here after the source side runs, and whole target files
+    * drop before any task reads them — the difference between a daily
+    * MoR MERGE scanning one partition and scanning the table. */
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (meta.partitionColumns ++
+        BloomIndex.probeableColumns(meta.properties, meta.schema)).distinct
+      .filter(c => dataRequired.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = predicates.flatMap(RuntimePredicates.toV1).toSeq
+    if (v1.nonEmpty) {
+      survivors = BloomIndex.prune(tableDir, meta.properties, meta.schema,
+        FileSkipping.prune(survivors, meta.fileStats, meta.schema, v1), v1)
+      LakehouseTable.lastRuntimeFilteredCounts = (survivors.size, meta.files.size)
+    }
+  }
 
   override def readSchema(): StructType = required
   override def description(): String = s"lakehouse-positional-rowid-scan $identName"
 
+  private def mkDelegate(files: Seq[String]): Scan = {
+    val inner = ParquetTable(identName, spark, options, files.map(abs),
+      Some(StructType(meta.schema.fields :+ rowIdxField)), classOf[ParquetFileFormat])
+      .newScanBuilder(options)
+    inner.pushDataFilters(pushed)
+    inner.pruneColumns(delegateRequired)
+    inner.build()
+  }
+
+  /** required-order output plan: data columns by delegate index, the
+    * row-id struct marked -1; computed against the delegate's ACTUAL
+    * read schema, not an assumed order (stable across rebuilds — the
+    * pruned schema doesn't depend on the file subset). */
+  private lazy val (outPlan: Array[Int], outTypes: Array[DataType], rowIdxIdx: Int) = {
+    val delSchema = mkDelegate(survivors).readSchema()
+    val idxOf = delSchema.fieldNames.zipWithIndex.toMap
+    val plan = required.fields.map { f =>
+      if (f.name == LakehouseTable.RowIdColName) -1
+      else idxOf.getOrElse(f.name, throw new IllegalStateException(
+        s"positional scan delegate lost column ${f.name} (has: ${
+          delSchema.fieldNames.mkString(", ")})"))
+    }
+    (plan, delSchema.fields.map(_.dataType): Array[DataType],
+      idxOf.getOrElse(rowIdxField.name, throw new IllegalStateException(
+        "parquet delegate dropped the row-index generation column")))
+  }
+
   override def toBatch: Batch = new Batch {
-    private val dataRequired = StructType(
-      required.fields.filterNot(_.name == LakehouseTable.RowIdColName))
-    // the reader special-cases this exact NAME (ParquetRowIndexUtil
-    // matches on ROW_INDEX_TEMPORARY_COLUMN_NAME; ROW_INDEX_FIELD is
-    // the _metadata struct's inner field, not the flat temp column)
-    private val rowIdxField = org.apache.spark.sql.types.StructField(
-      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-      org.apache.spark.sql.types.LongType)
-    private val delegateRequired = StructType(dataRequired.fields :+ rowIdxField)
-
-    private val survivors = {
-      val ranged = FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
-      BloomIndex.prune(tableDir, meta.properties, meta.schema, ranged, pushed.toSeq)
-    }
-
-    private val delegateScan: Scan = {
-      val inner = ParquetTable(identName, spark, options, survivors.map(abs),
-        Some(StructType(meta.schema.fields :+ rowIdxField)), classOf[ParquetFileFormat])
-        .newScanBuilder(options)
-      inner.pushDataFilters(pushed)
-      inner.pruneColumns(delegateRequired)
-      inner.build()
-    }
-    private val delegate: Batch = delegateScan.toBatch
-
-    /** required-order output plan: data columns by delegate index, the
-      * row-id struct marked -1; computed against the delegate's ACTUAL
-      * read schema, not an assumed order. */
-    private val (outPlan: Array[Int], outTypes: Array[DataType], rowIdxIdx: Int) = {
-      val delSchema = delegateScan.readSchema()
-      val idxOf = delSchema.fieldNames.zipWithIndex.toMap
-      val plan = required.fields.map { f =>
-        if (f.name == LakehouseTable.RowIdColName) -1
-        else idxOf.getOrElse(f.name, throw new IllegalStateException(
-          s"positional scan delegate lost column ${f.name} (has: ${
-            delSchema.fieldNames.mkString(", ")})"))
-      }
-      (plan, delSchema.fields.map(_.dataType): Array[DataType],
-        idxOf.getOrElse(rowIdxField.name, throw new IllegalStateException(
-          "parquet delegate dropped the row-index generation column")))
-    }
+    // built per planInputPartitions so runtime filtering applied after
+    // physical planning still narrows the file list (main-scan pattern)
+    private var current: Batch = _
 
     override def planInputPartitions(): Array[InputPartition] = {
+      val files = survivors
+      current = mkDelegate(files).toBatch
       // one FILE per partition (splits preserved) so the reader knows
       // each row's source file without per-row file tracking
-      val relByAbs = survivors.map(f => abs(f) -> f).toMap
-      delegate.planInputPartitions().flatMap {
+      val relByAbs = files.map(f => abs(f) -> f).toMap
+      current.planInputPartitions().flatMap {
         case fp: FilePartition =>
           fp.files.map { pf =>
             val a = pf.filePath.toString
@@ -112,8 +152,10 @@ private[catalog] class PositionalRowIdScan(
         .toArray[InputPartition]
     }
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      new PosRowIdReaderFactory(delegate.createReaderFactory(), outPlan, outTypes, rowIdxIdx)
+    override def createReaderFactory(): PartitionReaderFactory = {
+      if (current == null) current = mkDelegate(survivors).toBatch
+      new PosRowIdReaderFactory(current.createReaderFactory(), outPlan, outTypes, rowIdxIdx)
+    }
   }
 }
 

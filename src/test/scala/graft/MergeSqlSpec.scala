@@ -248,6 +248,48 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.merge_ns.m10")
   }
 
+  test("merge-on-read MERGE on a partitioned table runtime-prunes untouched partitions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.m11")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.m11_src")
+    spark.sql("""CREATE TABLE lakehouse.merge_ns.m11 (day STRING, id INT, v STRING)
+                |PARTITIONED BY (day) TBLPROPERTIES ('write.merge.mode'='merge-on-read')
+                |""".stripMargin)
+    Seq.tabulate(40)(i => ("2024-01-01", i, s"a$i")).toDF("day", "id", "v")
+      .createOrReplaceTempView("m11_d1")
+    spark.sql("INSERT INTO lakehouse.merge_ns.m11 SELECT * FROM m11_d1")
+    Seq.tabulate(40)(i => ("2024-01-02", i, s"b$i")).toDF("day", "id", "v")
+      .createOrReplaceTempView("m11_d2")
+    spark.sql("INSERT INTO lakehouse.merge_ns.m11 SELECT * FROM m11_d2")
+    // the daily-delta pattern at 100 TB: the ON clause carries the
+    // partition conjunct STATICALLY (`t.day = '2024-01-02'`, Iceberg's
+    // recommended MERGE shape — Spark's DPP defaults won't runtime-
+    // prune a sort-merge-joined MERGE target), so the delta target
+    // scan file-skips day 1 before any task reads it
+    spark.sql("CREATE TABLE lakehouse.merge_ns.m11_src (day STRING, id INT, v STRING)")
+    Seq(("2024-01-02", 7, "B7"), ("2024-01-01", 99, "IGNORED"))
+      .toDF("day", "id", "v").createOrReplaceTempView("m11_chg")
+    spark.sql("INSERT INTO lakehouse.merge_ns.m11_src SELECT * FROM m11_chg")
+
+    spark.sql("""MERGE INTO lakehouse.merge_ns.m11 t
+                |USING (SELECT * FROM lakehouse.merge_ns.m11_src WHERE day = '2024-01-02') s
+                |ON t.day = s.day AND t.id = s.id AND t.day = '2024-01-02'
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (day, id, v) VALUES (s.day, s.id, s.v)
+                |""".stripMargin)
+    val (survivors, total) = graft.catalog.LakehouseTable.lastPositionalScanFileCounts
+
+    spark.table("lakehouse.merge_ns.m11").count() shouldBe 80
+    spark.table("lakehouse.merge_ns.m11").where($"day" === "2024-01-02" && $"id" === 7)
+      .select($"v").as[String].collect().toSeq shouldBe Seq("B7")
+    spark.table("lakehouse.merge_ns.m11").where($"day" === "2024-01-01").count() shouldBe 40
+
+    total should be >= 2
+    survivors should be < total // day-1's file never read
+    spark.sql("DROP TABLE lakehouse.merge_ns.m11")
+    spark.sql("DROP TABLE lakehouse.merge_ns.m11_src")
+  }
+
   test("merge-on-read DELETE with non-convertible predicate, no declared key") {
     mkTable("m9", Seq((1, "aa", 1.0), (2, "bbb", 2.0), (3, "c", 3.0)))
     spark.sql("""ALTER TABLE lakehouse.merge_ns.m9 SET TBLPROPERTIES
