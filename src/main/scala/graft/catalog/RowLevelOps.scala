@@ -83,9 +83,12 @@ class LakehouseRowLevelOperation(
         // the merging anti-join, so refuse and point at the fix.
         if (MergeOnRead.anyApplicable(base, base.files))
           throw new IllegalStateException(
-            s"$identName has merge-on-read deletes pending: SQL MERGE/UPDATE/DELETE " +
-              "rewrites would resurrect deleted rows — run Maintenance.compact or " +
-              "MergeOnRead.materializeDeletes (CALL system.materialize_deletes) first")
+            s"$identName has merge-on-read deletes pending: copy-on-write SQL " +
+              "MERGE/UPDATE/DELETE rewrites would resurrect deleted rows — run " +
+              "Maintenance.compact or MergeOnRead.materializeDeletes " +
+              "(CALL system.materialize_deletes) first, or set " +
+              "write.merge.mode/write.update.mode/write.delete.mode=" +
+              "'merge-on-read' to write deltas instead (dirty-table safe)")
         val survivors =
           FileSkipping.prune(base.files, base.fileStats, base.schema, pushed.toSeq)
         scannedFiles = survivors

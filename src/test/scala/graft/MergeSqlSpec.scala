@@ -3,10 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-/** SQL row-level DML through SupportsRowLevelOperations: MERGE INTO,
-  * UPDATE, and DELETE with predicates the metadata path can't convert —
-  * all rewritten by Spark into group-based copy-on-write ReplaceData
-  * plans over the lakehouse table.
+/** SQL row-level DML through SupportsRowLevelOperations, both write
+  * strategies: group-based copy-on-write ReplaceData plans (default —
+  * read-optimal, replaced files rewritten) and delta WriteDelta plans
+  * (`write.{merge,update,delete}.mode=merge-on-read` — write-optimal,
+  * positional delete entries + new row versions, zero files
+  * rewritten).
   */
 class MergeSqlSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark

@@ -351,6 +351,40 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     intercept[Exception] { spark.table("lakehouse.ti.docs4_idx__rebuild").collect() }
   }
 
+  test("SQL merge-on-read MERGE on the corpus folds into the index incrementally") {
+    // the round-10 standing-corpus workflow end to end: documents
+    // table written through SQL MoR MERGE (delta commit: positional
+    // deletes + new versions), index follows via row-level refresh —
+    // no rebuild, no corpus scan
+    mkSource("docsmg", Seq(
+      1L -> "kappa lambda alpha",
+      2L -> "kappa mu beta",
+      3L -> "nu xi gamma"))
+    spark.sql("""ALTER TABLE lakehouse.ti.docsmg SET TBLPROPERTIES
+                |('write.merge.mode'='merge-on-read')""".stripMargin)
+    TextIndex.create(spark, "lakehouse", Seq("ti"), "docsmg", "docsmg_idx", nBuckets = 4)
+
+    Seq(2L -> "kappa omicron beta", 4L -> "pi rho delta")
+      .toDF("doc_id", "text").createOrReplaceTempView("docsmg_chg")
+    spark.sql("""MERGE INTO lakehouse.ti.docsmg t USING docsmg_chg s
+                |ON t.doc_id = s.doc_id
+                |WHEN MATCHED THEN UPDATE SET t.text = s.text
+                |WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (s.doc_id, s.text)
+                |""".stripMargin)
+
+    TextIndex.refresh(spark, "lakehouse", Seq("ti"), "docsmg_idx") shouldBe "incremental"
+    // doc 2's old token gone, new token found, new doc searchable
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docsmg_idx", Seq("mu"))
+      .count() shouldBe 0L
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docsmg_idx", Seq("omicron"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docsmg_idx", Seq("rho"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(4L)
+    // unchanged docs still found
+    TextIndex.searchAll(spark, "lakehouse", Seq("ti"), "docsmg_idx", Seq("kappa"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+  }
+
   test("vacuum reaps a crash-orphaned PARTIAL __rebuild staging, never a completed or live one") {
     import java.nio.file.Files
     import java.nio.file.attribute.FileTime
