@@ -54,6 +54,28 @@ class ChangelogSpec extends AnyFunSuite with Matchers {
     replayed shouldBe actual
   }
 
+  test("a merge-on-read MERGE's delta commit emits exact +/- changelog rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.cdc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.cdc.md")
+    spark.sql("""CREATE TABLE lakehouse.cdc.md (k BIGINT, v STRING)
+                |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin) // v1
+    (1L to 5L).map(k => (k, s"a$k")).toDF("k", "v").createOrReplaceTempView("cdc_md_src")
+    spark.sql("INSERT INTO lakehouse.cdc.md SELECT * FROM cdc_md_src") // v2
+    Seq((2L, "B2"), (6L, "NEW")).toDF("k", "v").createOrReplaceTempView("cdc_md_chg")
+    spark.sql("""MERGE INTO lakehouse.cdc.md t USING cdc_md_chg s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+                |""".stripMargin) // v3: positional delete of (2,a2) + inserts
+
+    val v3 = Maintenance.changelogBetween(
+      spark, "lakehouse", Seq("cdc"), "md", 2, 3).collect()
+    v3.filter(_.getString(2) == "delete").map(r => (r.getLong(0), r.getString(1)))
+      .toSeq shouldBe Seq((2L, "a2"))
+    v3.filter(_.getString(2) == "insert").map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sorted shouldBe Seq((2L, "B2"), (6L, "NEW"))
+    spark.sql("DROP TABLE lakehouse.cdc.md")
+  }
+
   test("SELECT from t.changes serves the batch changelog; options narrow the window") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.cdc")
     spark.sql("DROP TABLE IF EXISTS lakehouse.cdc.b")
