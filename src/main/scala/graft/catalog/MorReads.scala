@@ -38,6 +38,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // Defer until the plan is RESOLVED: the rewrite replaces a relation
+    // with an equivalent Project/Union, so it never helps resolution —
+    // but firing early would destroy the relation's metadataOutput
+    // before AddMetadataColumns could materialize a requested metadata
+    // column (`SELECT _graft_row_id ...` on a dirty table resolved the
+    // relation in iteration 1 and the rewrite beat the metadata rule to
+    // it; Project-over-Union serves no metadata columns). Once resolved,
+    // any requested metadata attr is IN r.output and the branches
+    // reproduce it.
+    if (!plan.resolved) return plan
     val targets = writeTargetRelations(plan)
     plan.transformUpWithSubqueries {
       case r: DataSourceV2Relation if !targets.contains(r) =>

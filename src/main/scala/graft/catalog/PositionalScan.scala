@@ -109,8 +109,14 @@ private[catalog] class PositionalRowIdScan(
   /** required-order output plan: data columns by delegate index, the
     * row-id struct marked -1; computed against the delegate's ACTUAL
     * read schema, not an assumed order (stable across rebuilds — the
-    * pruned schema doesn't depend on the file subset). */
-  private lazy val (outPlan: Array[Int], outTypes: Array[DataType], rowIdxIdx: Int) = {
+    * pruned schema doesn't depend on the file subset). The row-id
+    * struct's FIELD LIST comes from the required schema too: nested
+    * schema pruning may have narrowed it (a filter touching only
+    * `.pos` prunes `file` away), and the emitted struct must match the
+    * declared shape field-for-field or consumers read the wrong
+    * ordinals. */
+  private lazy val (outPlan: Array[Int], outTypes: Array[DataType],
+      rowIdxIdx: Int, rowIdFieldPlan: Array[Boolean]) = {
     val delSchema = mkDelegate(survivors).readSchema()
     val idxOf = delSchema.fieldNames.zipWithIndex.toMap
     val plan = required.fields.map { f =>
@@ -119,9 +125,21 @@ private[catalog] class PositionalRowIdScan(
         s"positional scan delegate lost column ${f.name} (has: ${
           delSchema.fieldNames.mkString(", ")})"))
     }
+    // per requested row-id subfield: true = the pos (row index), false
+    // = the file path — in the (possibly pruned) declared order
+    val fieldPlan = required.fields.find(_.name == LakehouseTable.RowIdColName)
+      .map(_.dataType.asInstanceOf[StructType].fields.map { sf =>
+        sf.name match {
+          case DeleteFile.PosPosCol => true
+          case DeleteFile.PosFileCol => false
+          case other => throw new IllegalStateException(
+            s"unknown ${LakehouseTable.RowIdColName} subfield $other")
+        }
+      }).getOrElse(Array.empty[Boolean])
     (plan, delSchema.fields.map(_.dataType): Array[DataType],
       idxOf.getOrElse(rowIdxField.name, throw new IllegalStateException(
-        "parquet delegate dropped the row-index generation column")))
+        "parquet delegate dropped the row-index generation column")),
+      fieldPlan)
   }
 
   override def toBatch: Batch = new Batch {
@@ -154,7 +172,8 @@ private[catalog] class PositionalRowIdScan(
 
     override def createReaderFactory(): PartitionReaderFactory = {
       if (current == null) current = mkDelegate(survivors).toBatch
-      new PosRowIdReaderFactory(current.createReaderFactory(), outPlan, outTypes, rowIdxIdx)
+      new PosRowIdReaderFactory(
+        current.createReaderFactory(), outPlan, outTypes, rowIdxIdx, rowIdFieldPlan)
     }
   }
 }
@@ -168,7 +187,8 @@ private class PosRowIdReaderFactory(
     innerFactory: PartitionReaderFactory,
     outPlan: Array[Int],
     outTypes: Array[DataType],
-    rowIdxIdx: Int)
+    rowIdxIdx: Int,
+    rowIdFieldPlan: Array[Boolean])
   extends PartitionReaderFactory {
 
   // the wrapper assembles rows, so the scan is row-based; the delegate
@@ -188,8 +208,15 @@ private class PosRowIdReaderFactory(
         while (i < outPlan.length) {
           val src = outPlan(i)
           if (src >= 0) out.update(i, if (row.isNullAt(src)) null else row.get(src, outTypes(src)))
-          else out.update(i, new GenericInternalRow(
-            Array[Any](file, row.getLong(rowIdxIdx))))
+          else {
+            val vals = new Array[Any](rowIdFieldPlan.length)
+            var j = 0
+            while (j < vals.length) {
+              vals(j) = if (rowIdFieldPlan(j)) row.getLong(rowIdxIdx) else file
+              j += 1
+            }
+            out.update(i, new GenericInternalRow(vals))
+          }
           i += 1
         }
         out

@@ -225,6 +225,27 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.merge_ns.m8")
   }
 
+  test("_graft_row_id is a queryable row identity, dead rows excluded") {
+    mkTable("m12", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
+    // clean table: every row carries a distinct (file, pos)
+    val ids = spark.sql(
+      "SELECT id, _graft_row_id.file AS f, _graft_row_id.pos AS p FROM lakehouse.merge_ns.m12")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    ids.length shouldBe 3
+    ids.map(r => (r._2, r._3)).distinct.length shouldBe 3
+    ids.foreach(_._2 should startWith("data/"))
+
+    // dirty table (pending MoR delete): the dead row has no identity
+    spark.sql("""ALTER TABLE lakehouse.merge_ns.m12 SET TBLPROPERTIES
+                |('graft.delete.mode'='merge-on-read')""".stripMargin)
+    spark.sql("DELETE FROM lakehouse.merge_ns.m12 WHERE id = 2")
+    spark.sql("SELECT count(*) FROM lakehouse.merge_ns.m12.delete_files")
+      .collect().head.getLong(0) should be >= 1L
+    spark.sql("SELECT id FROM lakehouse.merge_ns.m12 WHERE _graft_row_id.pos >= 0 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(1, 3)
+    spark.sql("DROP TABLE lakehouse.merge_ns.m12")
+  }
+
   test("compaction folds a MoR MERGE's positional deltas back to join-free scans") {
     mkTable("m10", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
     spark.sql("""ALTER TABLE lakehouse.merge_ns.m10 SET TBLPROPERTIES
