@@ -225,6 +225,28 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.merge_ns.m8")
   }
 
+  test("merge-on-read MERGE handles NOT MATCHED BY SOURCE (full-outer delta)") {
+    mkTable("m13", Seq((1, "keep", 10.0), (2, "stale", 20.0), (3, "stale", 30.0)))
+    spark.sql("""ALTER TABLE lakehouse.merge_ns.m13 SET TBLPROPERTIES
+                |('write.merge.mode'='merge-on-read')""".stripMargin)
+    val before = files("m13")
+    // sync-to-source: update matches, insert new, delete target rows
+    // the source no longer carries — the classic snapshot-sync MERGE
+    Seq((1, "keep2", 11.0), (4, "new", 40.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("m13_changes")
+    spark.sql("""MERGE INTO lakehouse.merge_ns.m13 t
+                |USING m13_changes s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.amt = s.amt
+                |WHEN NOT MATCHED THEN INSERT (id, name, amt) VALUES (s.id, s.name, s.amt)
+                |WHEN NOT MATCHED BY SOURCE THEN DELETE
+                |""".stripMargin)
+    spark.table("lakehouse.merge_ns.m13").orderBy($"id")
+      .as[(Int, String, Double)].collect().toSeq shouldBe
+      Seq((1, "keep2", 11.0), (4, "new", 40.0))
+    (before -- files("m13")) shouldBe empty // still no rewrite
+    spark.sql("DROP TABLE lakehouse.merge_ns.m13")
+  }
+
   test("_graft_row_id is a queryable row identity, dead rows excluded") {
     mkTable("m12", Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)))
     // clean table: every row carries a distinct (file, pos)
