@@ -55,6 +55,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * so matching runs against the merged view — a row already deleted is
   * NOT MATCHED and a MERGE can re-insert it rather than resurrect its
   * old version.
+  *
+  * Known tradeoffs (deliberate, Iceberg-equivalent):
+  *  - each write task lands its own delete parquet → one positional
+  *    entry per task, scoped by that task's file-path range; a
+  *    churn-heavy table accumulates entries until compaction folds
+  *    them (the read side prunes per-entry by path range, so cost
+  *    grows with TOUCHED files, not with entry count × table size);
+  *  - the positional target scan reads row-based (the wrapper
+  *    assembles the row-id struct) and does not report bucket
+  *    KeyGroupedPartitioning — a MERGE into a bucketed table shuffles
+  *    both sides even when the source is co-bucketed. The dependable
+  *    scale lever is the static partition conjunct in ON (file-skips
+  *    before any task runs).
   */
 class LakehouseDeltaOperation(
     spark: SparkSession,
