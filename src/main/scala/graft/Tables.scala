@@ -60,8 +60,14 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ: exact micros passthrough under UTC session TZ
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // exact micros passthrough under UTC session TZ
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts loaded as unexpected type $other — a fixture regeneration " +
+          "changed the physical type; extend this loader DELIBERATELY (each " +
+          "branch documents its oracle-parity reasoning) instead of letting " +
+          "cast semantics coerce it silently")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

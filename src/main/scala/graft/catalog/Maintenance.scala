@@ -1027,10 +1027,9 @@ object Maintenance {
             else if (newEntries.head.isPositional) {
               // positional entries: the deleted rows are the pre-commit
               // view's rows at the recorded (file, offset) pairs
-              import org.apache.spark.sql.functions.{col, substring_index}
+              import org.apache.spark.sql.functions.col
               val view = MergeOnRead.read(spark, dir, prev, dirty, prep = df =>
-                df.withColumn("__graft_cf",
-                    substring_index(col("_metadata.file_path"), "/", -3))
+                df.withColumn("__graft_cf", MergeOnRead.relFileCol)
                   .withColumn("__graft_cp", col("_metadata.row_index")))
               val keys = newEntries.map(e =>
                 spark.read.schema(MergeOnRead.posKeySchema)

@@ -47,6 +47,41 @@ object MergeOnRead {
   val PosFileCol = DeleteFile.PosFileCol
   val PosPosCol = DeleteFile.PosPosCol
 
+  /** Canonical table-relative identity of a scanned data file — the
+    * ONE derivation both sides of positional identity must share.
+    * Write side ([[PositionalRowIdScan]] stamping rows with their
+    * source file) and read side (delete-entry folding over
+    * `_metadata.file_path`) compare these strings byte-for-byte; two
+    * derivations that disagree make positional deletes silently fail
+    * to fold (deleted rows reappear).
+    *
+    * Every data file lives at `data/<commit>/<part>.parquet` — three
+    * MACHINE-GENERATED segments (`data`, `c<N>-<hex8>[-tag]`,
+    * Spark part-file names; all `[A-Za-z0-9._-]`, nothing
+    * URI-encodable) — so the 3-segment suffix of the reader's
+    * file_path URI equals the raw relative path even when the
+    * WAREHOUSE path upstream of it contains spaces/%/# that the URI
+    * form percent-encodes (spec'd in MorSpec's space-in-warehouse
+    * case). */
+  def relFileCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    substring_index(col("_metadata.file_path"), "/", -3)
+  }
+
+  /** Driver-side form of the same canonicalization, for delegate scan
+    * paths that may come back raw or as a percent-encoded URI: decode
+    * the URI first (a raw path with URI-illegal characters fails the
+    * parse and is used as-is — already decoded), then take the
+    * 3-segment suffix. */
+  def relPathOfScanned(pathOrUri: String): String = {
+    val decoded =
+      try {
+        val u = new java.net.URI(pathOrUri)
+        if (u.getPath != null) u.getPath else pathOrUri
+      } catch { case _: java.net.URISyntaxException => pathOrUri }
+    decoded.split('/').takeRight(3).mkString("/")
+  }
+
   def posKeySchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField(PosFileCol,
       org.apache.spark.sql.types.StringType, nullable = false),
@@ -131,7 +166,7 @@ object MergeOnRead {
       meta: TableMetadata,
       files: Seq[String],
       prep: DataFrame => DataFrame = identity): DataFrame = {
-    import org.apache.spark.sql.functions.{col, substring_index}
+    import org.apache.spark.sql.functions.col
     def abs(f: String): String = tableDir.resolve(f).toString
     require(files.nonEmpty, "merge-on-read over an empty file list")
     val groups = files.groupBy(f => applicable(meta, f)).toSeq
@@ -140,13 +175,12 @@ object MergeOnRead {
       val hasPos = entries.exists(_.isPositional)
       val raw = spark.read.schema(meta.schema).parquet(groupFiles.map(abs): _*)
       // positional entries match on (table-relative path, row offset):
-      // both come from the scan's _metadata struct, the path relativized
-      // as its last 3 segments (every data file is data/<commit>/<part>)
+      // both from the scan's _metadata struct via the ONE canonical
+      // derivation ([[relFileCol]]) the write side also uses
       val withPos =
         if (!hasPos) raw
         else raw
-          .withColumn("__graft_relfile",
-            substring_index(col("_metadata.file_path"), "/", -3))
+          .withColumn("__graft_relfile", relFileCol)
           .withColumn("__graft_pos", col("_metadata.row_index"))
       val base = prep(withPos)
       // entries from the same commit with the same shape are one
@@ -248,7 +282,7 @@ object MergeOnRead {
       tableDir: Path,
       cond: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, substring_index}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     val current = TableMetadata.load(tableDir)
     val schema = current.schema
@@ -260,8 +294,7 @@ object MergeOnRead {
     // one scan feeds both halves of the commit (offsets + new rows):
     // eager checkpoint so the parquet read doesn't run twice
     val matched = read(spark, tableDir, current, current.files, prep = df =>
-        df.withColumn("__graft_uf",
-            substring_index(col("_metadata.file_path"), "/", -3))
+        df.withColumn("__graft_uf", relFileCol)
           .withColumn("__graft_up", col("_metadata.row_index")))
       .filter(coalesce(cond, lit(false))) // NULL predicate → not updated
       .pinned

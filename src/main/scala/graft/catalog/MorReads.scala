@@ -48,6 +48,16 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
     // any requested metadata attr is IN r.output and the branches
     // reproduce it.
     if (!plan.resolved) return plan
+    // ... and until AddMetadataColumns has no work left: an operator
+    // referencing an attribute resolved via a child's metadataOutput
+    // but not yet IN that child's output (`SELECT DISTINCT
+    // _graft_row_id.file FROM dirty` resolves this way) shows up as
+    // missingInput; rewriting the relation now would destroy the
+    // metadataOutput before the built-in rule could materialize the
+    // column, leaving an unresolvable dangling reference. Deferring
+    // one iteration lets AddMetadataColumns patch the relation, after
+    // which the attr is in r.output and the branches reproduce it.
+    if (plan.exists(p => p.resolved && p.missingInput.nonEmpty)) return plan
     val targets = writeTargetRelations(plan)
     plan.transformUpWithSubqueries {
       case r: DataSourceV2Relation if !targets.contains(r) =>
@@ -117,12 +127,11 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
         // API over a plain parquet scan of the SAME file subset
         // (MergeOnRead.read applies equality and positional entries in
         // sequence order); pushdown/pruning still reach the file scan
-        import org.apache.spark.sql.functions.{col, struct, substring_index}
+        import org.apache.spark.sql.functions.{col, struct}
         val base =
           if (!needRowId) MergeOnRead.read(spark, lt.tableDir, meta, files)
           else MergeOnRead.read(spark, lt.tableDir, meta, files, prep = df =>
-            df.withColumn("__graft_pf",
-                substring_index(col("_metadata.file_path"), "/", -3))
+            df.withColumn("__graft_pf", MergeOnRead.relFileCol)
               .withColumn("__graft_pp", col("_metadata.row_index")))
         val cols = meta.schema.fieldNames.map(col).toIndexedSeq ++
           (if (needRowId)

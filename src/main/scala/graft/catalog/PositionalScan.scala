@@ -142,7 +142,20 @@ private[catalog] class PositionalRowIdScan(
       fieldPlan)
   }
 
-  override def toBatch: Batch = new Batch {
+  override def toBatch: Batch = {
+    // same LAST-RESORT guard as the main scan (LakehouseTable.toBatch):
+    // the MorReads rule rewrites dirty-table relations into merged
+    // plans whose sub-scans carry the plain-read marker. Reaching here
+    // dirty and unmarked means the session has no extensions installed
+    // — a SELECT of the row-id column or a delta DML target read would
+    // silently scan raw and resurrect deleted rows; fail loudly.
+    if (!options.containsKey(MergeOnRead.PlainReadOption) &&
+      MergeOnRead.anyApplicable(meta, meta.files))
+      throw new IllegalStateException(
+        s"$identName has merge-on-read deletes pending: batch reads need " +
+          "spark.sql.extensions=graft.functions.GraftExtensions (the MorReads " +
+          "rule), or run Maintenance.compact / MergeOnRead.materializeDeletes first")
+    new Batch {
     // built per planInputPartitions so runtime filtering applied after
     // physical planning still narrows the file list (main-scan pattern)
     private var current: Batch = _
@@ -153,17 +166,24 @@ private[catalog] class PositionalRowIdScan(
       // one FILE per partition (splits preserved) so the reader knows
       // each row's source file without per-row file tracking
       val relByAbs = files.map(f => abs(f) -> f).toMap
+      val fileSet = files.toSet
       current.planInputPartitions().flatMap {
         case fp: FilePartition =>
           fp.files.map { pf =>
             val a = pf.filePath.toString
             PosRowIdPartition(
               FilePartition(0, Array(pf)),
-              relByAbs.getOrElse(a,
-                // delegate paths can come back URI-encoded (file:...)
-                relByAbs.find { case (k, _) => a.endsWith(k) || k.endsWith(a) }
-                  .map(_._2).getOrElse(throw new IllegalStateException(
-                    s"cannot relativize scanned file $a"))))
+              relByAbs.getOrElse(a, {
+                // delegate paths can come back as percent-encoded URIs
+                // (file:...): derive identity through the ONE canonical
+                // function the read-side folding also uses, then verify
+                // it names a snapshot file — never a fuzzy suffix match
+                val rel = MergeOnRead.relPathOfScanned(a)
+                if (fileSet.contains(rel)) rel
+                else throw new IllegalStateException(
+                  s"cannot relativize scanned file $a (canonical suffix " +
+                    s"$rel is not a snapshot data file)")
+              }))
           }
         case other => Array(PosRowIdPartition(other, null)) // non-file partition: impossible for parquet
       }.zipWithIndex.map { case (p, i) => p.copy(index = i) }
@@ -174,6 +194,7 @@ private[catalog] class PositionalRowIdScan(
       if (current == null) current = mkDelegate(survivors).toBatch
       new PosRowIdReaderFactory(
         current.createReaderFactory(), outPlan, outTypes, rowIdxIdx, rowIdFieldPlan)
+    }
     }
   }
 }

@@ -66,8 +66,14 @@ object IndexSwap {
     * it. Guards:
     *  - a COMPLETED staging is never reaped — the adoption path owns
     *    it (and a full rebuild re-stages with DROP IF EXISTS anyway);
-    *  - a staging whose metadata committed within `retentionMs` is
-    *    never reaped — that is an IN-FLIGHT rebuild writing right now.
+    *  - a staging ANY of whose files (metadata, data, committer temp
+    *    files) changed within `retentionMs` is never reaped — that is
+    *    an IN-FLIGHT rebuild writing right now. The liveness signal is
+    *    the NEWEST mtime under the whole table dir, not the metadata
+    *    version file: a full rebuild writes staging data in one long
+    *    INSERT that commits only at the end, so the metadata mtime
+    *    stays at CREATE time throughout while the in-progress write's
+    *    task files under `data/` (and `_temporary/`) keep advancing.
     * Returns true when the orphan was dropped. */
   def reapStaleStaging(
       spark: SparkSession,
@@ -84,12 +90,22 @@ object IndexSwap {
       case Some(tmp) =>
         val props = graft.catalog.TableMetadata.load(tmp.tableDir).properties
         if (CompletenessProps.exists(props.contains)) return false
-        val metaAge =
-          try java.nio.file.Files.getLastModifiedTime(
-            graft.catalog.TableMetadata.versionFile(tmp.tableDir,
-              graft.catalog.TableMetadata.currentVersion(tmp.tableDir))).toMillis
+        // newest mtime anywhere under the staging dir — bounded walk
+        // (one staging table's files) on a maintenance tick
+        val newest =
+          try {
+            val s = java.nio.file.Files.walk(tmp.tableDir)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+                .foldLeft(0L)(math.max)
+            } finally s.close()
+          }
           catch { case _: Throwable => return false } // can't stat → assume live
-        if (System.currentTimeMillis() - metaAge < retentionMs) return false
+        if (newest == 0L || System.currentTimeMillis() - newest < retentionMs)
+          return false
         spark.sql(s"DROP TABLE IF EXISTS ${(catalog +: namespace :+ tmpName).mkString(".")}")
         true
     }

@@ -351,4 +351,67 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
       .collect().head.getLong(0) should be >= 1L
     spark.sql("DROP TABLE lakehouse.merge_ns.m9")
   }
+
+  test("positional identity survives a warehouse path with a space") {
+    // write side (PositionalRowIdScan stamping rows with their source
+    // file) and read side (delete folding over the percent-encoded
+    // _metadata.file_path URI) must agree byte-for-byte; a warehouse
+    // dir with a URI-encodable character is exactly where two ad-hoc
+    // derivations diverge (MergeOnRead.relFileCol/relPathOfScanned is
+    // the one canonical derivation both use)
+    val wh = java.nio.file.Files.createTempDirectory("graft wh ").toString
+    wh should include (" ")
+    spark.conf.set("spark.sql.catalog.spacelake", "graft.catalog.LakehouseCatalog")
+    spark.conf.set("spark.sql.catalog.spacelake.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spacelake.sp_ns")
+    spark.sql("CREATE TABLE spacelake.sp_ns.sp (id INT, v STRING) " +
+      "TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    (0 until 50).map(i => (i, s"v$i")).toDF("id", "v").createOrReplaceTempView("sp_src")
+    spark.sql("INSERT INTO spacelake.sp_ns.sp SELECT * FROM sp_src")
+
+    Seq((5, "upd5"), (7, "DROP"), (60, "new60")).toDF("id", "v")
+      .createOrReplaceTempView("sp_chg")
+    spark.sql("""MERGE INTO spacelake.sp_ns.sp t USING sp_chg s ON t.id = s.id
+                |WHEN MATCHED AND s.v = 'DROP' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    // delta commit folded: dropped/old versions gone, update + insert in
+    val out = spark.table("spacelake.sp_ns.sp")
+    out.count() shouldBe 50 // 50 - 1 deleted + 1 inserted
+    out.where($"id" === 7).count() shouldBe 0
+    out.where($"id" === 5).select($"v").as[String].collect().toSeq shouldBe Seq("upd5")
+    out.where($"id" === 60).count() shouldBe 1
+    // the stamped identity is the RAW relative path, never URI-encoded
+    val rids = spark.sql(
+      s"SELECT DISTINCT ${graft.catalog.LakehouseTable.RowIdColName}.file " +
+        "FROM spacelake.sp_ns.sp").as[String].collect()
+    all(rids) should startWith ("data/")
+    no(rids) should include ("%")
+    spark.sql("DROP TABLE spacelake.sp_ns.sp")
+  }
+
+  test("positional scan refuses a dirty table when the MorReads rewrite is absent") {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    mkTable("m14", Seq((1, "a", 1.0), (2, "b", 2.0)))
+    graft.catalog.MergeOnRead.morDelete(
+      spark, "lakehouse", Seq("merge_ns"), "m14", Seq(1).toDF("id"))
+    val lt = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("merge_ns"), "m14"))
+      .asInstanceOf[graft.catalog.LakehouseTable]
+    // a scan of the row-id column built WITHOUT the plain-read marker —
+    // what a session missing GraftExtensions would plan — must fail
+    // loudly instead of reading raw and resurrecting deleted rows
+    val sb = lt.newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.emptyMap[String, String]()))
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(StructType(lt.meta.schema.fields :+
+        StructField(graft.catalog.LakehouseTable.RowIdColName,
+          graft.catalog.LakehouseTable.RowIdType, nullable = false)))
+    val e = intercept[IllegalStateException](sb.build().toBatch)
+    e.getMessage should include ("merge-on-read deletes pending")
+    spark.sql("DROP TABLE lakehouse.merge_ns.m14")
+  }
 }

@@ -395,21 +395,36 @@ class TextIndexSpec extends AnyFunSuite with Matchers {
     // property (create() sets it only after the build finishes)
     spark.sql("CREATE TABLE lakehouse.ti.docs5_idx__rebuild (tok STRING, docs ARRAY<BIGINT>)")
     spark.sql("INSERT INTO lakehouse.ti.docs5_idx__rebuild VALUES ('partial', array(1L))")
-    def backdate(tbl: String): Unit = {
-      val dir = spark.sessionState.catalogManager.catalog("lakehouse")
+    def stagingDir(tbl: String): java.nio.file.Path =
+      spark.sessionState.catalogManager.catalog("lakehouse")
         .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
         .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("ti"), tbl))
         .asInstanceOf[graft.catalog.LakehouseTable].tableDir
-      val v = graft.catalog.TableMetadata.currentVersion(dir)
-      Files.setLastModifiedTime(graft.catalog.TableMetadata.versionFile(dir, v),
-        FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
+    // liveness = the NEWEST mtime anywhere under the staging dir, so
+    // "stale" means backdating EVERY file, not just the metadata log
+    def backdate(tbl: String, butKeepDataFresh: Boolean = false): Unit = {
+      import scala.jdk.CollectionConverters._
+      val dir = stagingDir(tbl)
+      val old = FileTime.fromMillis(System.currentTimeMillis() - 3600_000L)
+      val s = Files.walk(dir)
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+        if (!(butKeepDataFresh && p.toString.contains("/data/")))
+          Files.setLastModifiedTime(p, old)
+      } finally s.close()
     }
 
     // young staging (in-flight rebuild): vacuum must NOT touch it
     graft.catalog.Maintenance.vacuum(spark, "lakehouse", Seq("ti"), "docs5_idx")
     spark.table("lakehouse.ti.docs5_idx__rebuild").count() shouldBe 1L
 
-    // stale + incomplete: reaped
+    // stale METADATA but fresh data files — the shape of a LONG
+    // rebuild, whose one INSERT commits only at the end while its task
+    // files keep being written: still in-flight, must NOT be reaped
+    backdate("docs5_idx__rebuild", butKeepDataFresh = true)
+    graft.catalog.Maintenance.vacuum(spark, "lakehouse", Seq("ti"), "docs5_idx")
+    spark.table("lakehouse.ti.docs5_idx__rebuild").count() shouldBe 1L
+
+    // stale everywhere + incomplete: reaped
     backdate("docs5_idx__rebuild")
     graft.catalog.Maintenance.vacuum(spark, "lakehouse", Seq("ti"), "docs5_idx")
     intercept[Exception] { spark.table("lakehouse.ti.docs5_idx__rebuild").collect() }
