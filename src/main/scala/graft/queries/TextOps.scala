@@ -323,20 +323,47 @@ object TextOps {
     // applies verbatim.
     q28b.oracle)
 
+  /** Token hash feeding the SimHash family: the low 60 bits of
+    * md5(token) (first 15 hex chars, radix-converted). Chosen over
+    * xxhash64 NOT for hash quality but because BOTH engines compute it
+    * bit-identically (`('0x' || substr(md5(token),1,15))::BIGINT` in
+    * DuckDB), which is what lets q28d's oracle recompute the ENTIRE
+    * simhash + pair set and hash-match the rows — the last no-oracle
+    * query flipped to value-checked. 60 bits: 16 hex chars would
+    * overflow a signed BIGINT on the oracle side; the four vacant top
+    * bits get all-clear counters (sum = −n < 0 → 0) in both engines,
+    * so the 4×16 banding below stays exact. A production corpus-scale
+    * run would swap xxhash64 back in — the aggregate and banding are
+    * hash-agnostic. */
+  private def simTokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(org.apache.spark.sql.types.LongType)
+
+  private val simhashOracleCte =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |hs AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h FROM tok),
+      |cnt AS (SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+      |        FROM hs, range(60) r(b) GROUP BY doc_id, b),
+      |sim AS (SELECT doc_id, SUM(CASE WHEN c > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sh
+      |        FROM cnt GROUP BY doc_id)""".stripMargin
+
   /** 64-bit SimHash over the token multiset + banded hamming-distance
     * pairing. 4 bands × 16 bits with threshold 3 is a GUARANTEE, not a
     * heuristic: ≤ 3 differing bits can touch at most 3 of the 4 bands
     * (pigeonhole), so every qualifying pair shares at least one intact
     * band and is found — recall 1.0 by construction, candidates ∝ band
     * collisions. (A higher threshold under the same banding would
-    * silently lose pairs whose differences spread across all bands.) */
+    * silently lose pairs whose differences spread across all bands.)
+    * Because candidates are then filtered on TRUE hamming, the banded
+    * set is exactly the brute-force pair set (⊆ by the filter, ⊇ by
+    * pigeonhole — PropertySpec asserts equality against q28e), so the
+    * oracle simply recomputes the brute-force pairs. */
   val q28d = Q(
     "q28d_simhash",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val tok = tokenized(s, d)
         .select(col("doc_id"), explode(col("toks")).as("token"))
-        .select(col("doc_id"), xxhash64(col("token")).as("h"))
+        .select(col("doc_id"), simTokenHash(col("token")).as("h"))
       // one native buffer for all 64 bit-counters — the 64-column
       // sum(when(bit,1,-1)) formulation was identical semantically but
       // its aggregate codegen JIT cost dominated the query
@@ -356,7 +383,12 @@ object TextOps {
         .distinct()                  // filter BEFORE distinct — the band join
         .orderBy(col("id1"), col("id2")) // can emit millions of far pairs
     },
-    None)
+    Some(s"""$simhashOracleCte
+            |SELECT id1, id2, CAST(hamming AS INTEGER) AS hamming FROM (
+            |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+            |         bit_count(xor(a.sh, b.sh)) AS hamming
+            |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+            |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin))
 
   /** Exhaustive-recall check target for q28d: the same hamming-≤ 3 pair
     * set computed by brute force over all simhash pairs. Deliberately
@@ -368,7 +400,7 @@ object TextOps {
       graft.functions.GraftFunctions.register(s)
       val tok = tokenized(s, d)
         .select(col("doc_id"), explode(col("toks")).as("token"))
-        .select(col("doc_id"), xxhash64(col("token")).as("h"))
+        .select(col("doc_id"), simTokenHash(col("token")).as("h"))
       val sim = tok.groupBy(col("doc_id"))
         .agg(call_function("simhash_agg", col("h")).as("simhash"))
       val a = sim.select(col("doc_id").as("id1"), col("simhash").as("s1"))
