@@ -63,11 +63,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    them (the read side prunes per-entry by path range, so cost
   *    grows with TOUCHED files, not with entry count × table size);
   *  - the positional target scan reads row-based (the wrapper
-  *    assembles the row-id struct) and does not report bucket
-  *    KeyGroupedPartitioning — a MERGE into a bucketed table shuffles
-  *    both sides even when the source is co-bucketed. The dependable
-  *    scale lever is the static partition conjunct in ON (file-skips
-  *    before any task runs).
+  *    assembles the row-id struct); on a BUCKETED table it reports
+  *    KeyGroupedPartitioning (same guards as the main scan), so a
+  *    co-bucketed MERGE joins storage-partitioned with zero shuffle
+  *    (MergeSqlSpec asserts the plan). Delta-appended row versions are
+  *    not bucket-named, which degrades later scans to unkeyed until
+  *    compaction restores the layout; the dependable fallback lever is
+  *    the static partition conjunct in ON (file-skips before any task
+  *    runs).
   */
 class LakehouseDeltaOperation(
     spark: SparkSession,

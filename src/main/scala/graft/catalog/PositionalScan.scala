@@ -42,7 +42,8 @@ private[catalog] class PositionalRowIdScan(
     pushed: Array[sources.Filter],
     options: CaseInsensitiveStringMap)
   extends Scan
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private def abs(f: String): String = tableDir.resolve(f).toString
 
@@ -71,14 +72,51 @@ private[catalog] class PositionalRowIdScan(
     s
   }
 
+  /** Bucket-aware planning, same contract (and same guards) as the
+    * main scan: bucketed table + v2 bucketing enabled + bucket column
+    * surviving in the output + EVERY survivor file bucket-addressable
+    * → the scan groups its per-file partitions into one input
+    * partition per bucket and reports KeyGroupedPartitioning, so the
+    * target side of a co-bucketed MoR `MERGE INTO t USING s ON t.k =
+    * s.k` plans a storage-partitioned join — ZERO shuffle on either
+    * side of the 100 TB daily-upsert shape (the COW path's bucketed
+    * scan already had this; the delta path shuffled both sides until
+    * now). Files later appended by delta commits are not bucket-named,
+    * which flips `bucketIdOf` to None and degrades this scan — not its
+    * correctness — until compaction restores the layout. */
+  private val bucketPlan: Option[(String, Int)] =
+    Bucketing.specOf(meta.properties)
+      .filter(_ => spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.enabled").contains("true"))
+      // key expressions resolve against the scan OUTPUT (the Iceberg
+      // required-schema-survival guard, same as the main scan)
+      .filter { case (bcol, _) =>
+        required.fieldNames.exists(_.equalsIgnoreCase(bcol)) }
+      .filter { case (_, n) =>
+        survivors.nonEmpty &&
+          survivors.forall(f => Bucketing.bucketIdOf(f).exists(_ < n)) }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketPlan match {
+      case Some((bcol, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, bcol)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** Runtime file skipping, same contract as the main table scan: a
     * MERGE's ON keys over partition/bloom columns hand their matched
     * values here after the source side runs, and whole target files
     * drop before any task reads them — the difference between a daily
-    * MoR MERGE scanning one partition and scanning the table. */
+    * MoR MERGE scanning one partition and scanning the table. Disabled
+    * on bucketed scans (the bucket→file mapping is the partitioning
+    * contract there, main-scan rule). */
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (meta.partitionColumns ++
+    if (bucketPlan.isDefined) Array.empty
+    else (meta.partitionColumns ++
         BloomIndex.probeableColumns(meta.properties, meta.schema)).distinct
       .filter(c => dataRequired.fieldNames.exists(_.equalsIgnoreCase(c)))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
@@ -167,7 +205,7 @@ private[catalog] class PositionalRowIdScan(
       // each row's source file without per-row file tracking
       val relByAbs = files.map(f => abs(f) -> f).toMap
       val fileSet = files.toSet
-      current.planInputPartitions().flatMap {
+      val perFile = current.planInputPartitions().flatMap {
         case fp: FilePartition =>
           fp.files.map { pf =>
             val a = pf.filePath.toString
@@ -186,8 +224,27 @@ private[catalog] class PositionalRowIdScan(
               }))
           }
         case other => Array(PosRowIdPartition(other, null)) // non-file partition: impossible for parquet
-      }.zipWithIndex.map { case (p, i) => p.copy(index = i) }
-        .toArray[InputPartition]
+      }
+      bucketPlan match {
+        case Some((_, n)) =>
+          // one input partition PER BUCKET, keyed for the storage-
+          // partitioned join; all splits of a bucket's files read
+          // sequentially in one task (the SPJ granularity tradeoff the
+          // main scan's bucket batch makes too). Exactly n partitions,
+          // empty buckets included, so both join sides expose identical
+          // key sets.
+          val byBucket = perFile.groupBy(p =>
+            Bucketing.bucketIdOf(p.relPath).getOrElse(throw new IllegalStateException(
+              s"bucketPlan held but ${p.relPath} is not bucket-addressable")))
+          (0 until n).map { i =>
+            PosRowIdBucketPartition(
+              byBucket.getOrElse(i, Array.empty), Bucketing.partitionKey(i), i)
+              : InputPartition
+          }.toArray
+        case None =>
+          perFile.zipWithIndex.map { case (p, i) => p.copy(index = i) }
+            .toArray[InputPartition]
+      }
     }
 
     override def createReaderFactory(): PartitionReaderFactory = {
@@ -204,6 +261,19 @@ private case class PosRowIdPartition(
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
+/** One bucket's worth of per-file row-id partitions, keyed for the
+  * storage-partitioned join. */
+private case class PosRowIdBucketPartition(
+    inners: Array[PosRowIdPartition],
+    key: InternalRow,
+    index: Int)
+  extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] =
+    inners.flatMap(_.preferredLocations()).distinct
+}
+
 private class PosRowIdReaderFactory(
     innerFactory: PartitionReaderFactory,
     outPlan: Array[Int],
@@ -216,8 +286,31 @@ private class PosRowIdReaderFactory(
   // still decodes parquet vectorized internally when enabled
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[PosRowIdPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: PosRowIdPartition => singleReader(p)
+      case b: PosRowIdBucketPartition =>
+        // sequential concatenation of the bucket's file readers, opened
+        // lazily so a wide bucket never holds >1 file open
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur != null && cur.next()) return true
+              if (cur != null) { cur.close(); cur = null }
+              i += 1
+              if (i >= b.inners.length) return false
+              cur = singleReader(b.inners(i))
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+    }
+
+  private def singleReader(p: PosRowIdPartition): PartitionReader[InternalRow] = {
     val inner = innerFactory.createReader(p.inner)
     val file = UTF8String.fromString(p.relPath)
     new PartitionReader[InternalRow] {

@@ -352,6 +352,66 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.merge_ns.m9")
   }
 
+  private def withBucketingConfs(f: => Unit): Unit = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-bucketed MoR MERGE plans a storage-partitioned join, zero shuffle") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.bt")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.bs")
+    spark.sql("CREATE TABLE lakehouse.merge_ns.bt (k INT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    spark.sql("CREATE TABLE lakehouse.merge_ns.bs (k INT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    Seq.tabulate(200)(i => (i, s"t$i")).toDF("k", "v").createOrReplaceTempView("bt_src")
+    spark.sql("INSERT INTO lakehouse.merge_ns.bt SELECT * FROM bt_src")
+    Seq.tabulate(50)(i => (i * 5, s"s${i * 5}")).toDF("k", "v")
+      .createOrReplaceTempView("bs_src")
+    spark.sql("INSERT INTO lakehouse.merge_ns.bs SELECT * FROM bs_src")
+
+    withBucketingConfs {
+      val df = spark.sql(
+        """MERGE INTO lakehouse.merge_ns.bt t USING lakehouse.merge_ns.bs s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // the delta write plan (innerChildren of the command result)
+      // must contain NO exchange: the positional target scan and the
+      // bucketed source scan report compatible KeyGroupedPartitioning
+      // and the MERGE's join runs storage-partitioned — THE 100 TB
+      // daily-upsert shape
+      val plan = df.queryExecution.executedPlan.treeString(
+        verbose = false, addSuffix = false, maxFields = 25, printOperatorId = false)
+      // guard against asserting on an empty render: the string must
+      // show the actual delta-write query (join + both scans)
+      withClue(plan) {
+        plan should include ("Join")
+        plan should include ("lakehouse-positional-rowid-scan")
+        plan should not include "Exchange"
+      }
+    }
+
+    // results oracle-exact: keys 0,5,…,195 updated; 200…245 inserted
+    val out = spark.table("lakehouse.merge_ns.bt").as[(Int, String)].collect().toMap
+    out.size shouldBe 210
+    out(5) shouldBe "s5"
+    out(7) shouldBe "t7"
+    out(245) shouldBe "s245"
+    spark.sql("DROP TABLE lakehouse.merge_ns.bt")
+    spark.sql("DROP TABLE lakehouse.merge_ns.bs")
+  }
+
   test("positional identity survives a warehouse path with a space") {
     // write side (PositionalRowIdScan stamping rows with their source
     // file) and read side (delete folding over the percent-encoded
