@@ -24,15 +24,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ReplaceData, and the writer receives only the CHANGED rows, each
   * tagged insert/update/delete with its row identity.
   *
-  * Row identity is POSITIONAL — the non-null `_graft_row_id` metadata
-  * column (struct of table-relative file path + 0-based row offset,
-  * Iceberg's `_file`/`_pos` folded into one attribute, served by
-  * [[PositionalRowIdScan]]). Deletes therefore land as POSITIONAL
-  * delete entries ([[DeleteFile.Positional]]): exact for ANY table —
-  * no declared key, no key-uniqueness assumption, null keys included —
-  * and read-side folding skips every file the entry's path range
-  * doesn't name. The cost contract vs the COW operation
-  * ([[LakehouseRowLevelOperation]]):
+  * Row identity is POSITIONAL by default — the non-null
+  * `_graft_row_id` metadata column (struct of table-relative file path
+  * + 0-based row offset, Iceberg's `_file`/`_pos` folded into one
+  * attribute, served by [[PositionalRowIdScan]]). Deletes then land as
+  * POSITIONAL delete entries ([[DeleteFile.Positional]]): exact for
+  * ANY table — no declared key, no key-uniqueness assumption, null
+  * keys included — and read-side folding skips every file the entry's
+  * path range doesn't name. With a declared NON-NULL `graft.key` the
+  * identity switches to the key tuple and deletes land as EQUALITY
+  * entries instead (see [[keyIdentity]]). The cost contract vs the COW
+  * operation ([[LakehouseRowLevelOperation]]):
   *
   *  - COW rewrites every file with >=1 matched row — O(touched files ×
   *    file size). A daily MERGE of 1M rows into a 100 TB table whose
@@ -84,8 +86,28 @@ class LakehouseDeltaOperation(
   override def command: RowLevelOperation.Command = cmd
   override def description: String = s"lakehouse-mor-$cmd"
 
+  /** Declared-key EQUALITY identity: when `graft.key` (the Iceberg
+    * identifier-field contract — the table is key-unique, morUpsert's
+    * contract too) names columns that are all NON-NULL in the schema,
+    * the operation's row identity is the key tuple itself and deletes
+    * land as EQUALITY entries (the Flink-CDC shape) instead of
+    * positional ones. Two scale wins: the delete parquet holds bare
+    * key tuples — smaller than (file, path-string + offset) rows for
+    * selective deletes — and the target read needs no row-id struct,
+    * so it stays on the main scan (vectorized, bucket-aware, no
+    * per-file partition regrouping). Nullable or undeclared keys fall
+    * back to the positional identity: Spark rejects nullable row-id
+    * attributes (NULLABLE_ROW_ID_ATTRIBUTES), and without a key
+    * contract only (file, pos) can name a row exactly. */
+  private[catalog] val keyIdentity: Option[Seq[String]] =
+    base.properties.get(LakehouseTable.KeyProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(ks => ks.nonEmpty && ks.forall(k =>
+        base.schema.fields.exists(f => f.name == k && !f.nullable)))
+
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(LakehouseTable.RowIdColName))
+    keyIdentity.map(_.map(Expressions.column).toArray)
+      .getOrElse(Array(Expressions.column(LakehouseTable.RowIdColName)))
 
   /** UPDATE arrives as update(id, newRow): we position-delete the OLD
     * row and append the new version in the same commit — one writer
@@ -108,8 +130,10 @@ class LakehouseDeltaOperation(
         val next = base.version + 1
         val op = s"mor-${cmd.toString.toLowerCase}"
         val dataRel = s"data/c$next-$op-${UUID.randomUUID().toString.take(8)}"
-        val delRel = s"deletes/p$next-${UUID.randomUUID().toString.take(8)}"
-        new LakehouseDeltaWrite(spark, identName, tableDir, base, op, dataRel, delRel)
+        val delPrefix = if (keyIdentity.isDefined) "d" else "p"
+        val delRel = s"deletes/$delPrefix$next-${UUID.randomUUID().toString.take(8)}"
+        new LakehouseDeltaWrite(
+          spark, identName, tableDir, base, op, dataRel, delRel, keyIdentity)
       }
     }
 }
@@ -130,8 +154,16 @@ private class LakehouseDeltaWrite(
     base: TableMetadata,
     op: String,
     dataRel: String,
-    delRel: String)
+    delRel: String,
+    keyIdentity: Option[Seq[String]])
   extends DeltaWrite {
+
+  /** Delete-entry schema: declared-key tuples (equality) or (file, pos)
+    * (positional) — must match what [[LakehouseDeltaOperation.rowId]]
+    * made Spark project as the writer's `id` row. */
+  private val delSchema: StructType = keyIdentity
+    .map(ks => MergeOnRead.keySchema(base.schema, ks))
+    .getOrElse(MergeOnRead.posKeySchema)
 
   override def description(): String = s"lakehouse-$op"
 
@@ -155,10 +187,11 @@ private class LakehouseDeltaWrite(
         (f, new org.apache.spark.util.SerializableConfiguration(job.getConfiguration))
       }
       val (dataF, dataConf) = factoryFor(base.schema)
-      val (keyF, keyConf) = factoryFor(MergeOnRead.posKeySchema)
+      val (keyF, keyConf) = factoryFor(delSchema)
       DeltaTaskWriterFactory(
         dataF, dataConf, base.schema, tableDir.resolve(dataRel).toString,
-        keyF, keyConf, MergeOnRead.posKeySchema, tableDir.resolve(delRel).toString)
+        keyF, keyConf, delSchema, tableDir.resolve(delRel).toString,
+        positional = keyIdentity.isEmpty)
     }
 
     override def useCommitCoordinator(): Boolean = true
@@ -187,14 +220,22 @@ private class LakehouseDeltaWrite(
       f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(tableDir.resolve(f).toString), sch)
     }.toMap
-    val kSchema = MergeOnRead.posKeySchema
-
     val next = base.version + 1
     val dataFooters = footersOf(dataFiles, base.schema)
-    val delFooters = footersOf(delFiles, kSchema)
+    val delFooters = footersOf(delFiles, delSchema)
     val entries = delFiles
-      .map(f => DeleteFile(f, Seq(DeleteFile.PosFileCol, DeleteFile.PosPosCol), next,
-        delFooters(f).rows, delFooters(f).cols, kind = DeleteFile.Positional))
+      .map { f =>
+        keyIdentity match {
+          case Some(ks) =>
+            // equality entry: applies by key-range overlap + sequence,
+            // never names data files — footer ranges keep clean files
+            // provably clean (MergeOnRead.applicable)
+            DeleteFile(f, ks, next, delFooters(f).rows, delFooters(f).cols)
+          case None =>
+            DeleteFile(f, Seq(DeleteFile.PosFileCol, DeleteFile.PosPosCol), next,
+              delFooters(f).rows, delFooters(f).cols, kind = DeleteFile.Positional)
+        }
+      }
       .filter(_.rows > 0) // empty task files carry no delete semantics
     if (entries.isEmpty) removeStaging(tableDir.resolve(delRel))
     if (dataFiles.isEmpty) removeStaging(tableDir.resolve(dataRel))
@@ -226,7 +267,8 @@ private case class DeltaTaskWriterFactory(
     keyFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
     keyConf: org.apache.spark.util.SerializableConfiguration,
     keySchema: StructType,
-    keyDir: String)
+    keyDir: String,
+    positional: Boolean)
   extends DeltaWriterFactory {
 
   import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, JobID, TaskType}
@@ -248,7 +290,8 @@ private case class DeltaTaskWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new LakehouseDeltaWriter(
       () => open(dataFactory, dataConf, dataSchema, dataDir, partitionId, taskId),
-      () => open(keyFactory, keyConf, keySchema, keyDir, partitionId, taskId))
+      () => open(keyFactory, keyConf, keySchema, keyDir, partitionId, taskId),
+      positional)
 }
 
 /** Per-task delta writer. Spark's DeltaWritingSparkTask has already
@@ -260,7 +303,8 @@ private case class DeltaTaskWriterFactory(
   * halves it actually wrote. */
 private class LakehouseDeltaWriter(
     mkData: () => (org.apache.spark.sql.execution.datasources.OutputWriter, String),
-    mkKeys: () => (org.apache.spark.sql.execution.datasources.OutputWriter, String))
+    mkKeys: () => (org.apache.spark.sql.execution.datasources.OutputWriter, String),
+    positional: Boolean)
   extends DeltaWriter[InternalRow] {
 
   import org.apache.spark.sql.execution.datasources.OutputWriter
@@ -281,14 +325,19 @@ private class LakehouseDeltaWriter(
 
   override def insert(row: InternalRow): Unit = data.write(row)
 
-  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
-    require(id.numFields == 1,
-      s"delta row id has ${id.numFields} fields, expected the _graft_row_id struct")
-    val s = id.getStruct(0, 2)
-    reuse.update(0, s.getUTF8String(0))
-    reuse.update(1, s.getLong(1))
-    keys.write(reuse)
-  }
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    if (positional) {
+      require(id.numFields == 1,
+        s"delta row id has ${id.numFields} fields, expected the _graft_row_id struct")
+      val s = id.getStruct(0, 2)
+      reuse.update(0, s.getUTF8String(0))
+      reuse.update(1, s.getLong(1))
+      keys.write(reuse)
+    } else {
+      // equality identity: `id` IS the projected key tuple, in the
+      // rowId() declaration order the delete parquet schema mirrors
+      keys.write(id)
+    }
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(metadata, id)

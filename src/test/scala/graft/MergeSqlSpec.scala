@@ -412,6 +412,82 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.merge_ns.bs")
   }
 
+  test("keyed MoR delta DML commits equality entries, not positional ones") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.kd")
+    spark.sql("CREATE TABLE lakehouse.merge_ns.kd (k INT NOT NULL, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', " +
+      "'write.merge.mode'='merge-on-read', 'write.update.mode'='merge-on-read', " +
+      "'graft.key'='k')")
+    (0 until 100).map(i => (i, s"v$i")).toDF("k", "v").createOrReplaceTempView("kd_src")
+    spark.sql("INSERT INTO lakehouse.merge_ns.kd SELECT * FROM kd_src")
+    val before = files("kd")
+
+    // non-convertible predicate → the WriteDelta path (deleteWhere's
+    // metadata path never fires); the declared non-null key makes the
+    // row identity the key tuple and the entry EQUALITY
+    spark.sql("DELETE FROM lakehouse.merge_ns.kd WHERE length(v) = 2 AND k < 5")
+    files("kd") shouldBe before // no data file touched
+    val entries = spark.sql(
+      "SELECT kind, key_columns FROM lakehouse.merge_ns.kd.delete_files")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    entries should not be empty
+    all(entries) shouldBe (("equality", "k"))
+    spark.table("lakehouse.merge_ns.kd").count() shouldBe 95
+    spark.table("lakehouse.merge_ns.kd").where($"k" < 5).count() shouldBe 0
+
+    // sequence semantics: a key re-inserted AFTER the delete survives it
+    spark.sql("INSERT INTO lakehouse.merge_ns.kd VALUES (3, 'reborn')")
+    spark.table("lakehouse.merge_ns.kd").where($"k" === 3)
+      .select($"v").as[String].collect().toSeq shouldBe Seq("reborn")
+
+    // keyed MERGE: update + delete + insert land as equality entries in
+    // one delta commit, no data file rewritten
+    val filesBefore = files("kd")
+    Seq((10, "u10"), (11, "DROP"), (200, "n200")).toDF("k", "v")
+      .createOrReplaceTempView("kd_chg")
+    spark.sql("""MERGE INTO lakehouse.merge_ns.kd t USING kd_chg s ON t.k = s.k
+                |WHEN MATCHED AND s.v = 'DROP' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    (filesBefore -- files("kd")) shouldBe empty
+    spark.sql("SELECT DISTINCT kind FROM lakehouse.merge_ns.kd.delete_files")
+      .as[String].collect().toSeq shouldBe Seq("equality")
+    val out = spark.table("lakehouse.merge_ns.kd").as[(Int, String)].collect().toMap
+    out(10) shouldBe "u10"
+    out.get(11) shouldBe None
+    out(200) shouldBe "n200"
+
+    // UPDATE reassigning the key itself: old key dies, new key lives
+    spark.sql("UPDATE lakehouse.merge_ns.kd SET k = 300 WHERE k = 20 AND length(v) > 0")
+    spark.table("lakehouse.merge_ns.kd").where($"k" === 20).count() shouldBe 0
+    spark.table("lakehouse.merge_ns.kd").where($"k" === 300)
+      .select($"v").as[String].collect().toSeq shouldBe Seq("v20")
+
+    // equality entries fold away under compaction like any other
+    graft.catalog.Maintenance.compact(spark, "lakehouse", Seq("merge_ns"), "kd")
+    spark.sql("SELECT count(*) FROM lakehouse.merge_ns.kd.delete_files")
+      .collect().head.getLong(0) shouldBe 0L
+    spark.table("lakehouse.merge_ns.kd").where($"k" === 300).count() shouldBe 1
+    spark.sql("DROP TABLE lakehouse.merge_ns.kd")
+  }
+
+  test("nullable declared key falls back to positional delta identity") {
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.kn")
+    // k is NULLABLE: Spark rejects nullable row-id attributes, so the
+    // operation must keep the (file, pos) identity
+    spark.sql("CREATE TABLE lakehouse.merge_ns.kn (k INT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', 'graft.key'='k')")
+    Seq((1, "aa"), (2, "bbb"), (3, "c")).toDF("k", "v").createOrReplaceTempView("kn_src")
+    spark.sql("INSERT INTO lakehouse.merge_ns.kn SELECT * FROM kn_src")
+    spark.sql("DELETE FROM lakehouse.merge_ns.kn WHERE length(v) >= 3")
+    spark.sql("SELECT DISTINCT kind FROM lakehouse.merge_ns.kn.delete_files")
+      .as[String].collect().toSeq shouldBe Seq("positional")
+    spark.table("lakehouse.merge_ns.kn").orderBy($"k")
+      .as[(Int, String)].collect().toSeq shouldBe Seq((1, "aa"), (3, "c"))
+    spark.sql("DROP TABLE lakehouse.merge_ns.kn")
+  }
+
   test("positional identity survives a warehouse path with a space") {
     // write side (PositionalRowIdScan stamping rows with their source
     // file) and read side (delete folding over the percent-encoded
