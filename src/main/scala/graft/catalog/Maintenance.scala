@@ -103,7 +103,28 @@ object Maintenance {
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
     val idealFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val overdue = current.deleteFiles.nonEmpty ||
+    // Delete-entry CHURN THRESHOLD (Iceberg's min-input-files shape):
+    // on a table receiving continuous MoR MERGEs, "any pending entry ⇒
+    // overdue" would make every standing maintenance tick rewrite every
+    // dirty file — a 100 TB table re-compacted after each small CDC
+    // batch. Small deltas accumulate instead, until either the entry
+    // COUNT passes `graft.maintenance.maxPendingDeleteEntries`
+    // (read-side anti-join fan-out: each entry group is another build
+    // side) or the recorded delete-key rows reach
+    // `graft.maintenance.maxDeletedFraction` of the table's recorded
+    // rows (dead-row scan waste) — then one rewrite amortizes them
+    // all. Explicit compact()/materializeDeletes are unaffected and
+    // always fold.
+    val maxEntries = spark.conf.getOption("graft.maintenance.maxPendingDeleteEntries")
+      .map(_.toInt).getOrElse(8)
+    val maxFraction = spark.conf.getOption("graft.maintenance.maxDeletedFraction")
+      .map(_.toDouble).getOrElse(0.05)
+    val totalRows = current.fileRows.values.sum
+    val deleteRows = current.deleteFiles.map(_.rows).sum
+    val deletesOverdue = current.deleteFiles.nonEmpty &&
+      (current.deleteFiles.size > maxEntries ||
+        totalRows == 0L || deleteRows.toDouble / totalRows >= maxFraction)
+    val overdue = deletesOverdue ||
       current.properties.keys.exists(_.startsWith(LakehouseCatalog.TombstonePrefix))
     // piggyback the crash-orphan sweep (see vacuum): auto maintenance
     // must also clear a dead rebuild's partial staging

@@ -61,13 +61,12 @@ private[catalog] class PositionalRowIdScan(
     val ranged = FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
     val s = BloomIndex.prune(tableDir, meta.properties, meta.schema, ranged, pushed.toSeq)
     // same observability hook as the main scan: a partition-selective
-    // MoR MERGE (static conjunct in ON — `t.day = s.day AND t.day =
-    // '2024-01-02'`, the Iceberg-recommended shape) must show its
-    // file skipping here. Dynamic pruning note: the scan is
-    // SupportsRuntimeV2Filtering-eligible, but Spark's DPP defaults
-    // (`dynamicPartitionPruning.reuseBroadcastOnly=true`) rarely fire
-    // on a MERGE's sort-merge join, so the static conjunct is the
-    // dependable 100 TB pattern.
+    // MoR MERGE shows its static file skipping here — from an ON
+    // conjunct (`t.day = '2024-01-02'`) or a source-subquery literal
+    // the DeltaTargetPruning filter swap walks below the cardinality
+    // check. Runtime values prune via filter() instead (the
+    // DynamicPruningSubquery DeltaTargetPruning inserts — Spark's own
+    // DPP is structurally blind on row-level writes, see that rule).
     LakehouseTable.lastPositionalScanFileCounts = (s.size, meta.files.size)
     s
   }

@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule { session =>
       graft.catalog.MorReads(session)
     }
+    // runtime file pruning for delta MERGE/UPDATE/DELETE targets —
+    // Spark's PartitionPruning is structurally blind there (see
+    // DeltaTargetPruning)
+    ext.injectOptimizerRule { session =>
+      graft.catalog.DeltaTargetPruning(session)
+    }
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

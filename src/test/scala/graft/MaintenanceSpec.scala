@@ -85,6 +85,53 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.maint_ns.frag")
   }
 
+  test("autoCompact lets small deltas accumulate below the churn threshold") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.maint_ns.churn")
+    spark.sql("CREATE TABLE lakehouse.maint_ns.churn (k INT, v STRING)")
+    // one data file, so only the delete-churn logic can trigger a rewrite
+    (0 until 200).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("churn_src")
+    spark.sql("INSERT INTO lakehouse.maint_ns.churn SELECT * FROM churn_src")
+    def entries = spark.sql(
+      "SELECT * FROM lakehouse.maint_ns.churn.delete_files").count()
+
+    // 2 of 200 rows deleted (1%): one small entry, under both the
+    // entry-count and deleted-fraction thresholds — the standing tick
+    // must NOT rewrite the table for it
+    graft.catalog.MergeOnRead.morDelete(spark, "lakehouse", Seq("maint_ns"), "churn",
+      Seq(1, 2).toDF("k"))
+    graft.catalog.Maintenance.autoCompact(
+      spark, "lakehouse", Seq("maint_ns"), "churn") shouldBe 0
+    entries shouldBe 1 // still pending, reads keep merging
+    spark.table("lakehouse.maint_ns.churn").count() shouldBe 198
+
+    // churn accumulates past the deleted-row fraction (22/200 = 11%):
+    // now ONE rewrite amortizes all pending entries
+    graft.catalog.MergeOnRead.morDelete(spark, "lakehouse", Seq("maint_ns"), "churn",
+      (10 until 30).toDF("k"))
+    graft.catalog.Maintenance.autoCompact(
+      spark, "lakehouse", Seq("maint_ns"), "churn") should be > 0
+    entries shouldBe 0
+    spark.table("lakehouse.maint_ns.churn").count() shouldBe 178
+
+    // entry-COUNT threshold, independent of the fraction: three tiny
+    // entries (~1.7% of rows) with the knob at 2 → overdue
+    spark.conf.set("graft.maintenance.maxPendingDeleteEntries", "2")
+    try {
+      (40 until 43).foreach { k =>
+        graft.catalog.MergeOnRead.morDelete(spark, "lakehouse", Seq("maint_ns"), "churn",
+          Seq(k).toDF("k"))
+      }
+      entries shouldBe 3
+      graft.catalog.Maintenance.autoCompact(
+        spark, "lakehouse", Seq("maint_ns"), "churn") should be > 0
+      entries shouldBe 0
+      spark.table("lakehouse.maint_ns.churn").count() shouldBe 175
+    } finally spark.conf.unset("graft.maintenance.maxPendingDeleteEntries")
+    spark.sql("DROP TABLE lakehouse.maint_ns.churn")
+  }
+
   test("dynamic partition overwrite replaces only the touched partitions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.maint_ns")
     spark.sql("CREATE TABLE lakehouse.maint_ns.po (day INT, v STRING) PARTITIONED BY (day)")

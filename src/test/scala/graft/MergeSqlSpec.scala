@@ -335,6 +335,89 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.merge_ns.m11_src")
   }
 
+  test("MoR MERGE target prunes from the runtime filter alone — no static conjunct") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.rp")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.rp_src")
+    spark.sql("""CREATE TABLE lakehouse.merge_ns.rp (day STRING, id INT, v STRING)
+                |PARTITIONED BY (day) TBLPROPERTIES ('write.merge.mode'='merge-on-read')
+                |""".stripMargin)
+    Seq.tabulate(40)(i => ("2024-01-01", i, s"a$i")).toDF("day", "id", "v")
+      .createOrReplaceTempView("rp_d1")
+    spark.sql("INSERT INTO lakehouse.merge_ns.rp SELECT * FROM rp_d1")
+    Seq.tabulate(40)(i => ("2024-01-02", i, s"b$i")).toDF("day", "id", "v")
+      .createOrReplaceTempView("rp_d2")
+    spark.sql("INSERT INTO lakehouse.merge_ns.rp SELECT * FROM rp_d2")
+    spark.sql("CREATE TABLE lakehouse.merge_ns.rp_src (day STRING, id INT, v STRING)")
+    Seq(("2024-01-02", 7, "B7"), ("2024-01-02", 99, "NEW99"))
+      .toDF("day", "id", "v").createOrReplaceTempView("rp_chg")
+    spark.sql("INSERT INTO lakehouse.merge_ns.rp_src SELECT * FROM rp_chg")
+
+    // the natural daily-upsert query: NO `t.day = '…'` conjunct, and the
+    // source filter (id <> 0, non-literal on day) infers nothing onto
+    // the target — only DeltaTargetPruning's runtime filter can prune.
+    // Source day values are all day-2, so day-1's file must drop before
+    // any task reads it.
+    graft.catalog.LakehouseTable.lastRuntimeFilteredCounts = (-1, -1)
+    spark.sql("""MERGE INTO lakehouse.merge_ns.rp t
+                |USING (SELECT * FROM lakehouse.merge_ns.rp_src WHERE id <> 0) s
+                |ON t.day = s.day AND t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (day, id, v) VALUES (s.day, s.id, s.v)
+                |""".stripMargin)
+    val (survivors, total) = graft.catalog.LakehouseTable.lastRuntimeFilteredCounts
+    total shouldBe 2
+    survivors shouldBe 1 // day-1's file dropped by the runtime filter alone
+
+    // results exact
+    spark.table("lakehouse.merge_ns.rp").count() shouldBe 81
+    spark.table("lakehouse.merge_ns.rp").where($"day" === "2024-01-02" && $"id" === 7)
+      .select($"v").as[String].collect().toSeq shouldBe Seq("B7")
+    spark.table("lakehouse.merge_ns.rp").where($"id" === 99)
+      .select($"v").as[String].collect().toSeq shouldBe Seq("NEW99")
+    spark.table("lakehouse.merge_ns.rp").where($"day" === "2024-01-01").count() shouldBe 40
+    spark.sql("DROP TABLE lakehouse.merge_ns.rp")
+    spark.sql("DROP TABLE lakehouse.merge_ns.rp_src")
+  }
+
+  test("MoR MERGE target prunes statically from an inferred source literal") {
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.sp2")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.sp2_src")
+    spark.sql("""CREATE TABLE lakehouse.merge_ns.sp2 (day STRING, id INT, v STRING)
+                |PARTITIONED BY (day) TBLPROPERTIES ('write.merge.mode'='merge-on-read')
+                |""".stripMargin)
+    Seq.tabulate(40)(i => ("2024-01-01", i, s"a$i")).toDF("day", "id", "v")
+      .createOrReplaceTempView("sp2_d1")
+    spark.sql("INSERT INTO lakehouse.merge_ns.sp2 SELECT * FROM sp2_d1")
+    Seq.tabulate(40)(i => ("2024-01-02", i, s"b$i")).toDF("day", "id", "v")
+      .createOrReplaceTempView("sp2_d2")
+    spark.sql("INSERT INTO lakehouse.merge_ns.sp2 SELECT * FROM sp2_d2")
+    spark.sql("CREATE TABLE lakehouse.merge_ns.sp2_src (day STRING, id INT, v STRING)")
+    Seq(("2024-01-02", 7, "B7")).toDF("day", "id", "v").createOrReplaceTempView("sp2_chg")
+    spark.sql("INSERT INTO lakehouse.merge_ns.sp2_src SELECT * FROM sp2_chg")
+
+    // the literal day predicate lives in the SOURCE subquery, not the
+    // ON clause: InferFiltersFromConstraints carries it across the
+    // equi-join and DeltaTargetPruning's filter swap walks it below
+    // the cardinality-check projection — snapshot-level file skipping
+    // with no subquery run (lastPositionalScanFileCounts, not the
+    // runtime counter)
+    spark.sql("""MERGE INTO lakehouse.merge_ns.sp2 t
+                |USING (SELECT * FROM lakehouse.merge_ns.sp2_src WHERE day = '2024-01-02') s
+                |ON t.day = s.day AND t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |""".stripMargin)
+    val (survivors, total) = graft.catalog.LakehouseTable.lastPositionalScanFileCounts
+    total shouldBe 2
+    survivors shouldBe 1 // day-1 statically skipped via the inferred literal
+
+    spark.table("lakehouse.merge_ns.sp2").where($"id" === 7 && $"day" === "2024-01-02")
+      .select($"v").as[String].collect().toSeq shouldBe Seq("B7")
+    spark.table("lakehouse.merge_ns.sp2").count() shouldBe 80
+    spark.sql("DROP TABLE lakehouse.merge_ns.sp2")
+    spark.sql("DROP TABLE lakehouse.merge_ns.sp2_src")
+  }
+
   test("merge-on-read DELETE with non-convertible predicate, no declared key") {
     mkTable("m9", Seq((1, "aa", 1.0), (2, "bbb", 2.0), (3, "c", 3.0)))
     spark.sql("""ALTER TABLE lakehouse.merge_ns.m9 SET TBLPROPERTIES

@@ -52,6 +52,33 @@ object ProbeDpp {
                   |""".stripMargin
     println("=== EXPLAIN static conjunct ===")
     spark.sql(s"EXPLAIN FORMATTED $mergeStatic").collect().foreach(r => println(r.getString(0)))
+
+    // matched-only MERGE: inner join, source broadcastable → can the
+    // default DPP (reuseBroadcastOnly=true) fire on the target scan?
+    val mergeMatchedOnly = """MERGE INTO lakehouse.ns.t t
+                  |USING (SELECT * FROM lakehouse.ns.src WHERE day = '2024-01-02') s
+                  |ON t.day = s.day AND t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                  |""".stripMargin
+    println("=== EXPLAIN matched-only (default confs) ===")
+    spark.sql(s"EXPLAIN FORMATTED $mergeMatchedOnly").collect().foreach(r => println(r.getString(0)))
+    println("=== FULL PLAN matched-only reuseBroadcastOnly=false ===")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    val qe = spark.sql(s"EXPLAIN EXTENDED $mergeMatchedOnly").collect()
+      .foreach(r => println(r.getString(0)))
+    spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    graft.catalog.LakehouseTable.lastRuntimeFilteredCounts = (-1, -1)
+    spark.sql(mergeMatchedOnly)
+    println(s"=== matched-only EXEC: lastRuntimeFilteredCounts = ${
+      graft.catalog.LakehouseTable.lastRuntimeFilteredCounts}, lastPositionalScanFileCounts = ${
+      graft.catalog.LakehouseTable.lastPositionalScanFileCounts} ===")
+
+    println("=== EXEC with-not-matched (default confs) ===")
+    graft.catalog.LakehouseTable.lastRuntimeFilteredCounts = (-1, -1)
+    spark.sql(merge)
+    println(s"=== not-matched EXEC: lastRuntimeFilteredCounts = ${
+      graft.catalog.LakehouseTable.lastRuntimeFilteredCounts}, lastPositionalScanFileCounts = ${
+      graft.catalog.LakehouseTable.lastPositionalScanFileCounts} ===")
     spark.stop()
   }
 }
