@@ -1951,9 +1951,25 @@ object TextOps {
            |ORDER BY score DESC, tf.doc_id
            |LIMIT 50""".stripMargin))
 
+  /** q73: the SAME BM25 search as q72d but routed through the SQL
+    * procedure face (`CALL system.bm25_search` —
+    * [[graft.catalog.LakehouseProcedures]]): what a SQL-only client
+    * runs, and the row that puts the procedure path itself — parse,
+    * bind, distributed probe, bounded LocalScan result — under the
+    * driver's value-exact oracle gate rather than only ScalaTest.
+    * Shares q72d's oracle verbatim. */
+  val q73 = Q(
+    "q73_bm25_sql_procedure",
+    (s, d) => {
+      ensureKeywordIndex(s, d)
+      s.sql(s"CALL $kwCatalog.system.bm25_search(" +
+        s"'kw', '${kwTable(d)}_idx', 'spark vector merge', 50, 1.2D, 0.75D)")
+    },
+    q72d.oracle)
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c, q72d)
+      q71, q72, q72b, q72c, q72d, q73)
 }
