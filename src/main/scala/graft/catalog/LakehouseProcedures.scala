@@ -436,6 +436,13 @@ object LakehouseProcedures {
         MergeOnRead.materializeDeletes(spark, cat, ns(a), tbl(a)).toLong
     }
 
+  private def consolidateDeletesProc(catalogName: String) =
+    new MaintenanceProc("consolidate_deletes",
+      Array(param("ns", StringType), param("tbl", StringType)), "entries_removed", catalogName) {
+      override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+        MergeOnRead.consolidateDeletes(spark, cat, ns(a), tbl(a)).toLong
+    }
+
   private def setPartitioningProc(catalogName: String) = new MaintenanceProc("set_partitioning",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -467,6 +474,7 @@ object LakehouseProcedures {
     "pii_audit" -> (piiAuditProc(_)),
     "auto_compact" -> (autoCompactProc(_)),
     "materialize_deletes" -> (materializeDeletesProc(_)),
+    "consolidate_deletes" -> (consolidateDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),
     "branch" -> (branchProc(_)),

@@ -121,9 +121,18 @@ object Maintenance {
       .map(_.toDouble).getOrElse(0.05)
     val totalRows = current.fileRows.values.sum
     val deleteRows = current.deleteFiles.map(_.rows).sum
-    val deletesOverdue = current.deleteFiles.nonEmpty &&
-      (current.deleteFiles.size > maxEntries ||
-        totalRows == 0L || deleteRows.toDouble / totalRows >= maxFraction)
+    val fractionOverdue = current.deleteFiles.nonEmpty &&
+      (totalRows == 0L || deleteRows.toDouble / totalRows >= maxFraction)
+    // entry-count pressure alone (many small CDC deltas, few dead
+    // rows) is relieved by consolidating the delete FILES — kilobytes
+    // rewritten — before reaching for the data-file rewrite; only if
+    // the entry count stays high after merging (unmergeable seq
+    // stragglers) does the rewrite run
+    val entriesOverdue = !fractionOverdue && current.deleteFiles.size > maxEntries && {
+      MergeOnRead.consolidateDeletesAt(spark, lt.tableDir)
+      TableMetadata.load(lt.tableDir).deleteFiles.size > maxEntries
+    }
+    val deletesOverdue = fractionOverdue || entriesOverdue
     val overdue = deletesOverdue ||
       current.properties.keys.exists(_.startsWith(LakehouseCatalog.TombstonePrefix))
     // piggyback the crash-orphan sweep (see vacuum): auto maintenance

@@ -567,4 +567,94 @@ object MergeOnRead {
         next, System.currentTimeMillis(), "materialize-deletes", newFiles.size, allFiles.size)))
     dirty.size
   }
+
+  /** Consolidate pending delete entries WITHOUT touching any data file
+    * (Iceberg's `rewrite_position_delete_files` shape) — the cheap
+    * standing-maintenance complement to [[materializeDeletes]]: a table
+    * receiving continuous CDC-sized MERGE/DELETE commits accumulates
+    * one tiny delete parquet per commit, and every dirty-file read pays
+    * one anti-join build side per entry GROUP. Folding N such entries
+    * into one (or a few range-sorted) files restores the single-build
+    * read plan at the cost of rewriting only the delete tuples —
+    * kilobytes, not the 100 TB the data-file rewrite would touch.
+    *
+    * Merge safety derives from the applicability law
+    * (`entry.seq > fileSeq(f)`, [[applicable]]) — a merged entry must
+    * delete exactly the rows its inputs did:
+    *
+    *  - POSITIONAL entries merge unconditionally with
+    *    `seq = max(inputs)`. Tuples name exact (file, row) targets and
+    *    data paths are commit-unique ([[relPathOfScanned]]), so a
+    *    named file still present always has fileSeq below the naming
+    *    entry's seq (≤ max); files the merged entry newly "covers" by
+    *    seq are never named by any tuple, making the fold a no-op
+    *    there (path-range pruning usually proves them clean without
+    *    even reading the tuples).
+    *  - EQUALITY entries match by VALUE, so merging across a data
+    *    commit would break the re-insert exemption: a row (re)inserted
+    *    between two deletes must survive the earlier one. Only entries
+    *    whose seq exceeds EVERY current data file's seq are merged —
+    *    each such input applies to all current files, hence so does
+    *    the merged entry (and for any future file both are equally
+    *    inapplicable). Entries below that bar are left untouched.
+    *
+    * The superseded delete parquets stay on disk for time travel until
+    * [[Maintenance.vacuum]] reaps them like any unreferenced file.
+    * Returns the net reduction in entry count (0 = nothing mergeable). */
+  def consolidateDeletes(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String): Int = {
+    val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
+    consolidateDeletesAt(spark, lt.tableDir)
+  }
+
+  def consolidateDeletesAt(spark: SparkSession, tableDir: Path): Int = {
+    val current = TableMetadata.load(tableDir)
+    if (current.deleteFiles.size < 2) return 0
+    val maxFileSeq = current.files.map(current.seqOf).foldLeft(0)(math.max)
+    val (pos, eq) = current.deleteFiles.partition(_.isPositional)
+    val posGroups: Seq[Seq[DeleteFile]] = if (pos.size >= 2) Seq(pos) else Seq.empty
+    val eqGroups: Seq[Seq[DeleteFile]] = eq.groupBy(_.keyColumns).values.toSeq
+      .map(_.filter(_.seq > maxFileSeq))
+      .filter(_.size >= 2)
+    val groups = posGroups ++ eqGroups
+    if (groups.isEmpty) return 0
+
+    val doomed = groups.flatten.toSet
+    val next = current.version + 1
+    def abs(f: String): String = tableDir.resolve(f).toString
+    val conf = spark.sessionState.newHadoopConf()
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val mergedEntries: Seq[DeleteFile] = groups.flatMap { group =>
+      val isPos = group.head.isPositional
+      val keyCols = if (isPos) Seq(PosFileCol, PosPosCol) else group.head.keyColumns
+      val sch = if (isPos) posKeySchema else keySchema(current.schema, keyCols)
+      // distinct is semantics-preserving: positional targets are exact
+      // (file, pos) identities, equality matching is set membership,
+      // and every entry in the group applies to the same file set
+      val tuples = spark.read.schema(sch)
+        .parquet(group.map(e => abs(e.path)): _*).distinct().pinned
+      val n = tuples.count()
+      val rel = s"deletes/d$next-consolidated-${UUID.randomUUID().toString.take(8)}"
+      shapeDeleteWrite(spark, tuples, keyCols.map(tuples.col), n)
+        .write.parquet(tableDir.resolve(rel).toString)
+      val delFiles = Files.list(tableDir.resolve(rel)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(fn => s"$rel/$fn").toSeq.sorted
+      val seq = group.map(_.seq).max
+      delFiles.map { f =>
+        val footer = FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
+        DeleteFile(f, keyCols, seq, footer.rows, footer.cols, kind = group.head.kind)
+      }
+    }
+    val kept = current.deleteFiles.filterNot(doomed.contains)
+    TableMetadata.commitOrRebase(tableDir, base = current, attempt = current.copy(
+      version = next,
+      deleteFiles = kept ++ mergedEntries,
+      snapshots = current.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), "consolidate-deletes", 0, current.files.size)))
+    current.deleteFiles.size - (kept.size + mergedEntries.size)
+  }
 }

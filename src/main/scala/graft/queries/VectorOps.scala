@@ -288,6 +288,93 @@ object VectorOps {
     },
     Some(annOracle))
 
+  /** IVF-PQ's quantization half — product-quantized ADC search: the
+    * third classic 100 TB ANN layout besides LSH buckets (q29c) and
+    * IVF cells (q29e). 64-dim float vectors compress to m=8 one-byte
+    * codes (one 16-centroid codebook per 8-dim subspace, trained on
+    * the same bounded deterministic sample as q29e), a 32× reduction —
+    * the representation that lets a scan rank a 100 TB corpus while
+    * reading ~3 TB of codes+norms and ZERO full vectors until the
+    * final shortlist re-rank.
+    *
+    * Pipeline, all in-plan and codegen-friendly (no UDFs):
+    *  1. encode: code_j = argmin-cell of slice_j(v) via the same
+    *     array_min/struct expression as IVF cell assignment;
+    *  2. ADC score: each query's 8×16 lookup table of subspace-dot
+    *     partials (built from the ≤10 collected query vectors — same
+    *     bounded-driver contract as q29e's k-means sample) joins the
+    *     code scan broadcast; approx_dot = Σ_j lut[j][code_j] is pure
+    *     element_at arithmetic;
+    *  3. shortlist: top-R per query via the typed TopKAggregator —
+    *     map-side partials, shuffle ≤ R rows per query per mapper
+    *     (never the scored corpus);
+    *  4. exact re-rank of the ≤R·|Q| shortlist (broadcast) against
+    *     full vectors, top-5 windowed inside it.
+    *
+    * Emitted rows are the EXACT top-5 + the in-plan recall_ok floor
+    * (q29c/q29e's oracle-bounding pattern). */
+  val q29f = Q(
+    "q29f_ann_pq",
+    (s, d) => {
+      val m = 8; val subDim = 8; val kCodes = 16; val shortlistR = 40
+      val e = withNorm(s, d)
+      val sample = embeddings(s, d).orderBy(col("vec_id")).limit(2048)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val subCents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+        graft.operators.VectorIndex.trainKMeans(
+          sample.map(v => v.slice(j * subDim, (j + 1) * subDim)), kCodes, iters = 3)
+      }
+      val codeCols = (0 until m).map(j =>
+        graft.operators.VectorIndex.cellOf(
+          slice(col("embedding"), j * subDim + 1, subDim), subCents(j)))
+      val codes = e.select(col("vec_id"), col("nrm"), array(codeCols: _*).as("codes"))
+      // ≤10 query vectors by definition (vec_id < 10): the bounded
+      // driver-side set the per-query ADC tables derive from
+      val qRows = e.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      val lutRows = qRows.toSeq.map { case (qid, qv, qn) =>
+        val lut = for (j <- 0 until m; c <- 0 until kCodes) yield {
+          var acc = 0.0
+          var i = 0
+          while (i < subDim) {
+            acc += qv(j * subDim + i).toDouble * subCents(j)(c)(i); i += 1
+          }
+          acc
+        }
+        (qid, qn, lut)
+      }
+      val lutDf = s.createDataFrame(lutRows).toDF("qid", "qn", "lut")
+      val approxDot = (0 until m).map(j =>
+        element_at(col("lut"),
+          (lit(j * kCodes) + element_at(col("codes"), j + 1) + lit(1)).cast("int")))
+        .reduce(_ + _)
+      val scored = codes.crossJoin(broadcast(lutDf))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"),
+          (approxDot / (col("qn") * col("nrm"))).as("asim"))
+      val topR = udaf(new graft.functions.TopKAggregator(shortlistR))
+      val shortlist = scored.groupBy(col("qid"))
+        .agg(topR(col("nid"), col("asim")).as("top"))
+        .select(col("qid"), explode(col("top.id")).as("nid"))
+      val qVecDf = s.createDataFrame(qRows.toSeq).toDF("qid", "qv", "qn")
+      val rerank = e.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          col("nrm").as("nn"))
+        .join(broadcast(shortlist.join(broadcast(qVecDf), Seq("qid"))), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      val ann = rerank.select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 5)
+      // 8×16 codebooks on 64 dims + R=40 exact re-rank measure ~0.5-0.8
+      // aggregate recall@5 across SFs on this corpus (ProbeRecall);
+      // floor with margin for SF variation
+      recallChecked(exactTop5(s, d), ann, floor = 0.4)
+    },
+    Some(annOracle))
+
   /** Cross-modality join: each document paired with its embedding row
     * (text metadata ⋈ vector metadata) — the gate a multimodal curation
     * pipeline runs before training ("keep docs long enough whose
@@ -396,5 +483,5 @@ object VectorOps {
            |         AS n_degenerate
            |FROM e GROUP BY label ORDER BY label""".stripMargin))
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q49, q59, q70)
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q29f, q49, q59, q70)
 }

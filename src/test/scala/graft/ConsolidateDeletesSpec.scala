@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.{Maintenance, MergeOnRead, TableMetadata}
+
+/** Delete-file consolidation (`MergeOnRead.consolidateDeletes`,
+  * Iceberg's rewrite_position_delete_files shape): N small delete
+  * parquets from CDC-sized commits merge into one entry WITHOUT
+  * touching data files, preserving exact delete semantics — including
+  * the seq-gated re-insert exemption that forbids merging equality
+  * entries across a data commit. */
+class ConsolidateDeletesSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def files(t: String): Seq[String] =
+    spark.sql(s"SELECT file_path FROM $t.files").collect().map(_.getString(0)).toSeq
+
+  private def tableDir(name: String): java.nio.file.Path =
+    spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("cds_ns"), name))
+      .asInstanceOf[graft.catalog.LakehouseTable].tableDir
+
+  private def mkTable(tbl: String, commits: Int = 3): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.cds_ns")
+    spark.sql(s"CREATE TABLE $tbl (k INT, v STRING)")
+    (0 until commits).foreach { c =>
+      (0 until 100).map(i => (c * 100 + i, s"v$c-$i")).toDF("k", "v")
+        .createOrReplaceTempView("cds_src")
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM cds_src")
+    }
+  }
+
+  test("N equality entries merge to one; data untouched, reads exact") {
+    val t = "lakehouse.cds_ns.c1"
+    mkTable(t)
+    val dataBefore = files(t)
+    // four CDC-sized deletes → four entries
+    Seq(Seq(10, 11), Seq(120, 121), Seq(230), Seq(42)).foreach { ks =>
+      MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c1", ks.toDF("k"))
+    }
+    val meta0 = TableMetadata.load(tableDir("c1"))
+    meta0.deleteFiles.size shouldBe 4
+
+    val removed = MergeOnRead.consolidateDeletes(spark, "lakehouse", Seq("cds_ns"), "c1")
+    removed shouldBe 3
+
+    val meta1 = TableMetadata.load(tableDir("c1"))
+    meta1.deleteFiles.size shouldBe 1
+    meta1.deleteFiles.head.rows shouldBe 6
+    meta1.deleteFiles.head.keyColumns shouldBe Seq("k")
+    // no data file touched
+    files(t) should contain theSameElementsAs dataBefore
+    // reads exact
+    spark.table(t).count() shouldBe 294
+    Seq(10, 11, 120, 121, 230, 42).foreach { k =>
+      spark.table(t).where($"k" === k).count() shouldBe 0
+    }
+    spark.table(t).where($"k" === 12).count() shouldBe 1
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("equality entries never merge across a data commit (re-insert exemption)") {
+    val t = "lakehouse.cds_ns.c2"
+    mkTable(t)
+    // delete 50, then RE-INSERT it, then two more deletes
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c2", Seq(50).toDF("k"))
+    Seq((50, "reborn")).toDF("k", "v").createOrReplaceTempView("cds_src2")
+    spark.sql(s"INSERT INTO $t SELECT * FROM cds_src2")
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c2", Seq(60).toDF("k"))
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c2", Seq(70).toDF("k"))
+    spark.table(t).where($"k" === 50).count() shouldBe 1 // exemption pre-merge
+
+    val removed = MergeOnRead.consolidateDeletes(spark, "lakehouse", Seq("cds_ns"), "c2")
+    removed shouldBe 1 // only the two post-re-insert entries merged
+
+    val meta = TableMetadata.load(tableDir("c2"))
+    meta.deleteFiles.size shouldBe 2
+    // the straggler kept its original seq → the re-inserted row survives
+    spark.table(t).where($"k" === 50).count() shouldBe 1
+    spark.table(t).where($"k" === 60 || $"k" === 70).count() shouldBe 0
+    spark.table(t).count() shouldBe 298
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("positional entries merge with seq preserved; reads exact") {
+    val t = "lakehouse.cds_ns.c3"
+    mkTable(t)
+    val dir = tableDir("c3")
+    val meta0 = TableMetadata.load(dir)
+    val f0 = meta0.files.head
+    val f1 = meta0.files(1)
+    MergeOnRead.morDeletePositionalAt(spark, dir,
+      Seq((f0, 0L), (f0, 1L)).toDF("file", "pos")) shouldBe 2
+    MergeOnRead.morDeletePositionalAt(spark, dir,
+      Seq((f1, 5L)).toDF("file", "pos")) shouldBe 1
+    TableMetadata.load(dir).deleteFiles.size shouldBe 2
+
+    val removed = MergeOnRead.consolidateDeletes(spark, "lakehouse", Seq("cds_ns"), "c3")
+    removed shouldBe 1
+    val meta1 = TableMetadata.load(dir)
+    meta1.deleteFiles.size shouldBe 1
+    meta1.deleteFiles.head.isPositional shouldBe true
+    meta1.deleteFiles.head.rows shouldBe 3
+    spark.table(t).count() shouldBe 297
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("duplicate tuples across entries dedupe in the merged file") {
+    val t = "lakehouse.cds_ns.c4"
+    mkTable(t, commits = 1)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c4", Seq(5, 6).toDF("k"))
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c4", Seq(6, 7).toDF("k"))
+    MergeOnRead.consolidateDeletes(spark, "lakehouse", Seq("cds_ns"), "c4") shouldBe 1
+    val meta = TableMetadata.load(tableDir("c4"))
+    meta.deleteFiles.head.rows shouldBe 3 // 5, 6, 7 — not 4
+    spark.table(t).count() shouldBe 97
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("autoCompact relieves entry-count pressure by consolidating, not rewriting") {
+    val t = "lakehouse.cds_ns.c5"
+    mkTable(t)
+    val dataBefore = files(t)
+    // 10 one-key deletes: entry count 10 > maxEntries 8, but dead
+    // fraction 10/300 is tiny at the default 0.05? no — 0.033 < 0.05 ✓
+    (0 until 10).foreach { i =>
+      MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c5", Seq(i).toDF("k"))
+    }
+    TableMetadata.load(tableDir("c5")).deleteFiles.size shouldBe 10
+
+    // targetFileBytes=1 makes idealFiles huge, so fragmentation can
+    // never trigger a rewrite here — only the delete-pressure path
+    val rewritten = Maintenance.autoCompact(spark, "lakehouse", Seq("cds_ns"), "c5",
+      targetFileBytes = 1L)
+    rewritten shouldBe 0 // no data-file rewrite happened
+    files(t) should contain theSameElementsAs dataBefore
+    TableMetadata.load(tableDir("c5")).deleteFiles.size shouldBe 1
+    spark.table(t).count() shouldBe 290
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("SQL face: CALL system.consolidate_deletes") {
+    val t = "lakehouse.cds_ns.c6"
+    mkTable(t, commits = 1)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c6", Seq(1).toDF("k"))
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c6", Seq(2).toDF("k"))
+    val out = spark.sql("CALL lakehouse.system.consolidate_deletes('cds_ns', 'c6')").collect()
+    out(0).getLong(0) shouldBe 1L
+    spark.table(t).count() shouldBe 98
+    spark.sql(s"DROP TABLE $t")
+  }
+}

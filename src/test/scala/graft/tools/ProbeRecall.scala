@@ -11,7 +11,8 @@ object ProbeRecall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); q <- Seq("q29c_ann_lsh", "q29e_ann_ivf")) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1");
+         q <- Seq("q29c_ann_lsh", "q29e_ann_ivf", "q29f_ann_pq")) {
       val df = graft.SparkEntry.queries(q)(spark, s"/root/testdata/$sf")
       val flags = df.select("recall_ok").distinct().collect().map(_.getBoolean(0)).toSeq
       println(s"PROBE $sf $q recall_ok=${flags.mkString(",")}")
