@@ -1047,21 +1047,30 @@ object Maintenance {
           require(removed.isEmpty,
             s"commit v${m.version} both rewrote files and added delete entries: " +
               "changelog cannot attribute its row changes")
-          require(newEntries.map(_.keyColumns).distinct.size == 1,
-            s"commit v${m.version} mixes delete entries with different key columns")
-          val keyCols = newEntries.head.keyColumns
-          val probe = prev.copy(deleteFiles = newEntries)
-          val dirty = prev.files.filter(f => MergeOnRead.applicable(probe, f).nonEmpty)
-          val deletes =
+          // entries group by shape and each group resolves its own row
+          // delta — a single commit may carry several (a MERGE writing
+          // positional deletes while a consolidation folds equality
+          // entries, or consolidate-deletes merging both kinds at
+          // once). For an entry-REWRITE commit (consolidation: old
+          // entries dropped, merged replacements added) each group's
+          // semi-join is empty by construction — the pre-commit
+          // merging view already excludes every row the replacement
+          // entries name — so the changelog correctly reports no row
+          // change without trusting the operation name.
+          val groups = newEntries.groupBy(e => (e.isPositional, e.keyColumns)).toSeq
+            .sortBy { case ((p, cols), _) => (p, cols.mkString(",")) }
+          val deletes = groups.map { case ((isPos, keyCols), entries) =>
+            val probe = prev.copy(deleteFiles = entries)
+            val dirty = prev.files.filter(f => MergeOnRead.applicable(probe, f).nonEmpty)
             if (dirty.isEmpty) empty
-            else if (newEntries.head.isPositional) {
+            else if (isPos) {
               // positional entries: the deleted rows are the pre-commit
               // view's rows at the recorded (file, offset) pairs
               import org.apache.spark.sql.functions.col
               val view = MergeOnRead.read(spark, dir, prev, dirty, prep = df =>
                 df.withColumn("__graft_cf", MergeOnRead.relFileCol)
                   .withColumn("__graft_cp", col("_metadata.row_index")))
-              val keys = newEntries.map(e =>
+              val keys = entries.map(e =>
                 spark.read.schema(MergeOnRead.posKeySchema)
                   .parquet(dir.resolve(e.path).toString)).reduce(_ union _)
               view.join(keys,
@@ -1071,12 +1080,13 @@ object Maintenance {
                 .drop("__graft_cf", "__graft_cp")
             } else {
               val view = readView(prev, dirty)
-              val keys = newEntries.map(e =>
+              val keys = entries.map(e =>
                 spark.read.schema(MergeOnRead.keySchema(schema, keyCols))
                   .parquet(dir.resolve(e.path).toString)).reduce(_ union _)
               val cond = keyCols.map(k => view(k) <=> keys(k)).reduce(_ && _)
               view.join(keys, cond, "left_semi")
             }
+          }.reduce(_ unionByName _)
           val inserts = readView(cur, added)
           Some(
             deletes.withColumn("_change_type", lit("delete"))

@@ -143,6 +143,33 @@ class ConsolidateDeletesSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("changelog over a mixed-kind consolidation commit reports zero row changes") {
+    val t = "lakehouse.cds_ns.c7"
+    mkTable(t)
+    val dir = tableDir("c7")
+    val f0 = TableMetadata.load(dir).files.head
+    // two equality + two positional entries, then one consolidation
+    // commit that merges BOTH kinds at once (the shape that used to
+    // trip changelogBetween's single-key-columns require)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c7", Seq(10).toDF("k"))
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c7", Seq(11).toDF("k"))
+    MergeOnRead.morDeletePositionalAt(spark, dir, Seq((f0, 20L)).toDF("file", "pos"))
+    MergeOnRead.morDeletePositionalAt(spark, dir, Seq((f0, 21L)).toDF("file", "pos"))
+    MergeOnRead.consolidateDeletes(spark, "lakehouse", Seq("cds_ns"), "c7") shouldBe 2
+    val v = TableMetadata.load(dir).version
+    TableMetadata.load(dir).deleteFiles.size shouldBe 2
+
+    // the consolidation commit itself: no row changes
+    Maintenance.changelogBetween(spark, "lakehouse", Seq("cds_ns"), "c7", v - 1, v)
+      .count() shouldBe 0
+    // the full window still reports the four original deletes
+    val clog = Maintenance.changelogBetween(spark, "lakehouse", Seq("cds_ns"), "c7", 0, v)
+    clog.filter($"_change_type" === "delete").count() shouldBe 4
+    clog.filter($"_change_type" === "insert").count() shouldBe 300
+    spark.table(t).count() shouldBe 296
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("SQL face: CALL system.consolidate_deletes") {
     val t = "lakehouse.cds_ns.c6"
     mkTable(t, commits = 1)
