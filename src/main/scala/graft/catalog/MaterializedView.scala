@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   *    never the 100 TB), aggregated, unioned with the current MV rows
   *    and re-aggregated with the merge functions — cost proportional
   *    to the delta plus the MV, not the source;
-  *  - any non-append commit in the window (DELETE / UPDATE / MERGE /
-  *    overwrite — deltas cannot represent removals) falls back to a
-  *    full recompute, exactly like Delta/Snowflake MV maintenance;
+  *  - a window with removals (DELETE / UPDATE / MERGE / merge-on-read
+  *    entries) folds the changelog's exact ± rows as a NET delta when
+  *    every aggregate is retractable (sum/count) and a COUNT(*)
+  *    column exists to drop emptied groups — Flink's retract-stream
+  *    maintenance run in batch, cost ∝ files the commits touched;
+  *    otherwise (min/max present, or a gapped/schema-changed window)
+  *    it falls back to a full recompute, exactly like Delta/Snowflake
+  *    MV maintenance;
   *  - every (re)build publishes atomically via REPLACE TABLE AS SELECT
   *    on the staging catalog: readers see the old MV until the swap,
   *    and a failed refresh leaves the old version current.
@@ -53,6 +58,21 @@ object MaterializedView {
       case "sum" | "count" => sum(col(as))
       case "min" => min(col(as))
       case "max" => max(col(as))
+    }).as(as)
+    /** Is the aggregate RETRACTABLE — can a deleted row's contribution
+      * be subtracted back out? sum/count can (negate); min/max cannot
+      * (losing the current bound needs the full group). */
+    private[MaterializedView] def retractable: Boolean = func == "sum" || func == "count"
+    /** Signed contribution over changelog rows (`isInsert` boolean):
+      * aggregating these yields the group's NET change. Negation (not
+      * a sign multiply) keeps the input's type, so the delta unions
+      * with the MV's columns without a widening cast. */
+    private[MaterializedView] def signedOver(isInsert: Column): Column = (func match {
+      case "sum" => sum(when(isInsert, col(input)).otherwise(-col(input)))
+      case "count" =>
+        if (input == "*") sum(when(isInsert, 1L).otherwise(-1L))
+        else sum(when(col(input).isNull, 0L).otherwise(when(isInsert, 1L).otherwise(-1L)))
+      case _ => throw new IllegalStateException(s"$func is not retractable")
     }).as(as)
   }
 
@@ -137,7 +157,7 @@ object MaterializedView {
     val srcVersion = TableMetadata.load(srcLt.tableDir).version
     if (srcVersion == lastVersion) return "noop"
 
-    val incremental: Option[DataFrame] =
+    val appendOnly: Option[DataFrame] =
       try {
         val delta = Maintenance.changesBetween(
           spark, catalog, namespace, sourceTable, lastVersion, srcVersion)
@@ -147,15 +167,52 @@ object MaterializedView {
           group, aggs.map(_.merge)))
       } catch {
         // non-append commits (or a truncated window) in the log: a
-        // file-level delta cannot represent removals — recompute
+        // file-level delta cannot represent removals
         case _: IllegalArgumentException => None
       }
-    incremental match {
-      case Some(merged) =>
+    // Retraction path for windows WITH removals (DELETE / UPDATE /
+    // MERGE / merge-on-read entries): the changelog's exact ± rows
+    // let sum/count aggregates fold a NET delta — deleted rows
+    // subtract their contribution — so the MV stays incremental under
+    // a continuous CDC MERGE feed instead of recomputing the 100 TB
+    // source per refresh (Flink's retract-stream maintenance, run in
+    // batch). Requirements, checked not assumed:
+    //  - every aggregate is retractable (sum/count; a min/max bound
+    //    cannot recover from losing its extreme row), and
+    //  - a COUNT(*) column exists — the row that tells us a group
+    //    emptied out and must DISAPPEAR from the MV rather than
+    //    linger as zeros.
+    // Cost ∝ files the window's commits touched (changelogBetween's
+    // contract) plus the MV itself.
+    lazy val retracting: Option[DataFrame] = {
+      val starCount = aggs.find(a => a.func == "count" && a.input == "*")
+      if (!aggs.forall(_.retractable) || starCount.isEmpty) None
+      else
+        try {
+          val clog = Maintenance.changelogBetween(
+            spark, catalog, namespace, sourceTable, lastVersion, srcVersion)
+          val isInsert = col("_change_type") === "insert"
+          val net = aggregate(clog, group, aggs.map(_.signedOver(isInsert)))
+          Some(
+            aggregate(
+              spark.table(fq(catalog, namespace, name)).unionByName(net),
+              group, aggs.map(_.merge))
+              .filter(col(starCount.get.as) > 0L))
+        } catch {
+          // truncated/gapped window or schema change inside it
+          case _: IllegalArgumentException => None
+        }
+    }
+    (appendOnly, retracting) match {
+      case (Some(merged), _) =>
         materialize(spark, catalog, namespace, name, merged,
           sourceTable, group, aggs, srcVersion)
         "incremental"
-      case None =>
+      case (None, Some(merged)) =>
+        materialize(spark, catalog, namespace, name, merged,
+          sourceTable, group, aggs, srcVersion)
+        "incremental-retract"
+      case _ =>
         create(spark, catalog, namespace, name, sourceTable, group, aggs)
         "full"
     }

@@ -170,6 +170,23 @@ class ConsolidateDeletesSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("vacuum reaps the superseded delete parquets; merged entry survives") {
+    val t = "lakehouse.cds_ns.c8"
+    mkTable(t, commits = 1)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c8", Seq(1).toDF("k"))
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c8", Seq(2).toDF("k"))
+    val dir = tableDir("c8")
+    val oldPaths = TableMetadata.load(dir).deleteFiles.map(_.path)
+    MergeOnRead.consolidateDeletes(spark, "lakehouse", Seq("cds_ns"), "c8") shouldBe 1
+    val mergedPath = TableMetadata.load(dir).deleteFiles.head.path
+    Maintenance.vacuum(spark, "lakehouse", Seq("cds_ns"), "c8",
+      retainVersions = 1, retentionMs = 0L) should be >= 2
+    oldPaths.foreach(p => java.nio.file.Files.exists(dir.resolve(p)) shouldBe false)
+    java.nio.file.Files.exists(dir.resolve(mergedPath)) shouldBe true
+    spark.table(t).count() shouldBe 98
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("SQL face: CALL system.consolidate_deletes") {
     val t = "lakehouse.cds_ns.c6"
     mkTable(t, commits = 1)

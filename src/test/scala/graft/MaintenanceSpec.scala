@@ -115,8 +115,10 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
     entries shouldBe 0
     spark.table("lakehouse.maint_ns.churn").count() shouldBe 178
 
-    // entry-COUNT threshold, independent of the fraction: three tiny
-    // entries (~1.7% of rows) with the knob at 2 → overdue
+    // entry-COUNT pressure, independent of the fraction: three tiny
+    // entries (~1.7% of rows) with the knob at 2. The tick relieves it
+    // the CHEAP way — consolidating the delete files into one entry —
+    // and leaves the data files alone
     spark.conf.set("graft.maintenance.maxPendingDeleteEntries", "2")
     try {
       (40 until 43).foreach { k =>
@@ -124,6 +126,21 @@ class MaintenanceSpec extends AnyFunSuite with Matchers {
           Seq(k).toDF("k"))
       }
       entries shouldBe 3
+      graft.catalog.Maintenance.autoCompact(
+        spark, "lakehouse", Seq("maint_ns"), "churn") shouldBe 0
+      entries shouldBe 1 // merged, still pending, reads keep merging
+      spark.table("lakehouse.maint_ns.churn").count() shouldBe 175
+
+      // UNMERGEABLE entry pressure (each delete straddles a data
+      // commit, so the re-insert exemption forbids merging): only then
+      // does the data-file rewrite run
+      (50 until 53).foreach { k =>
+        graft.catalog.MergeOnRead.morDelete(spark, "lakehouse", Seq("maint_ns"), "churn",
+          Seq(k).toDF("k"))
+        Seq((k, s"reborn$k")).toDF("k", "v").createOrReplaceTempView("churn_back")
+        spark.sql("INSERT INTO lakehouse.maint_ns.churn SELECT * FROM churn_back")
+      }
+      entries shouldBe 4
       graft.catalog.Maintenance.autoCompact(
         spark, "lakehouse", Seq("maint_ns"), "churn") should be > 0
       entries shouldBe 0

@@ -76,6 +76,49 @@ class MaterializedViewSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.mv_ns.fact")
   }
 
+  test("retractable MV folds row-level deletes incrementally via the changelog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mv_ns")
+    spark.sql("CREATE TABLE lakehouse.mv_ns.fact2 (cat STRING, amount BIGINT)")
+    Seq(("a", 10L), ("a", 5L), ("b", 7L), ("c", 3L)).toDF("cat", "amount")
+      .createOrReplaceTempView("mvr_src")
+    spark.sql("INSERT INTO lakehouse.mv_ns.fact2 SELECT * FROM mvr_src")
+    // sum + count(*) only → every aggregate retractable
+    MaterializedView.create(spark, "lakehouse", Seq("mv_ns"), "fact2_by_cat",
+      "fact2", Seq("cat"), Seq(Agg("sum", "amount", "total"), Agg("count", "*", "n")))
+
+    def direct2() = spark.sql(
+      """SELECT cat, SUM(amount) AS total, COUNT(*) AS n
+        |FROM lakehouse.mv_ns.fact2 GROUP BY cat ORDER BY cat""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def mv2() = spark.sql("SELECT * FROM lakehouse.mv_ns.fact2_by_cat ORDER BY cat")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // COW row-level delete: the changelog's ± rows fold as a net delta
+    spark.sql("DELETE FROM lakehouse.mv_ns.fact2 WHERE amount = 5")
+    MaterializedView.refresh(
+      spark, "lakehouse", Seq("mv_ns"), "fact2_by_cat") shouldBe "incremental-retract"
+    mv2() shouldBe direct2()
+
+    // a group deleted in FULL disappears from the MV (count gate)
+    spark.sql("DELETE FROM lakehouse.mv_ns.fact2 WHERE cat = 'c'")
+    MaterializedView.refresh(
+      spark, "lakehouse", Seq("mv_ns"), "fact2_by_cat") shouldBe "incremental-retract"
+    mv2() shouldBe direct2()
+    mv2().map(_._1) should not contain "c"
+
+    // merge-on-read equality delete + an append in the same window
+    graft.catalog.MergeOnRead.morDelete(
+      spark, "lakehouse", Seq("mv_ns"), "fact2", Seq(7L).toDF("amount"))
+    Seq(("b", 20L), ("d", 1L)).toDF("cat", "amount").createOrReplaceTempView("mvr_src2")
+    spark.sql("INSERT INTO lakehouse.mv_ns.fact2 SELECT * FROM mvr_src2")
+    MaterializedView.refresh(
+      spark, "lakehouse", Seq("mv_ns"), "fact2_by_cat") shouldBe "incremental-retract"
+    mv2() shouldBe direct2()
+
+    spark.sql("DROP TABLE lakehouse.mv_ns.fact2_by_cat")
+    spark.sql("DROP TABLE lakehouse.mv_ns.fact2")
+  }
+
   test("global (ungrouped) materialized aggregate") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mv_ns")
     spark.sql("CREATE TABLE lakehouse.mv_ns.g (amount BIGINT)")

@@ -36,4 +36,13 @@ class VectorSpec extends AnyFunSuite with Matchers {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     recall should be >= 0.5 // nprobe=4 of k=16 cells
   }
+
+  test("PQ-ADC ANN clears its recall floor in-plan") {
+    // q29f emits the exact top-5 (oracle-checked) + recall_ok: the PQ
+    // shortlist's recall@5 against those rows must clear 0.4 at the
+    // fixture — asserted here from the flag the plan itself computes
+    val flags = SparkEntry.queries("q29f_ann_pq")(spark, sf)
+      .select("recall_ok").distinct().collect().map(_.getBoolean(0)).toSeq
+    flags shouldBe Seq(true)
+  }
 }
