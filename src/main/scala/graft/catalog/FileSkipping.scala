@@ -123,6 +123,21 @@ object FileSkipping {
         if (allNull(col)) false
         else range(col).flatMap { case (r, cmp) => lit(v).map(s => cmp(r.min, s) <= 0) }
           .getOrElse(true)
+      // prefix predicates prune on string ranges: the file may match
+      // iff [min, max] overlaps [prefix, prefix⁺) where prefix⁺ bumps
+      // the last character — computed only for all-ASCII prefixes
+      // (multi-byte increments risk utf8-order subtleties; the lower
+      // bound alone still prunes there). The truncate(w, col) hidden
+      // transform clusters exactly for this shape.
+      case StringStartsWith(col, prefix) =>
+        if (allNull(col)) false
+        else range(col).map { case (r, cmp) =>
+          val upper =
+            if (prefix.nonEmpty && prefix.forall(c => c >= ' ' && c < 127))
+              Some(prefix.init + (prefix.last + 1).toChar)
+            else None
+          cmp(r.max, prefix) >= 0 && upper.forall(u => cmp(r.min, u) < 0)
+        }.getOrElse(true)
       case IsNotNull(col) => !allNull(col)
       // a recorded null count of 0 proves IS NULL matches nothing here
       case IsNull(col) => !stats.get(col).flatMap(_.nulls).contains(0L)

@@ -339,15 +339,20 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     partitions.toSeq.map { t =>
       if (t.name != "identity" || t.references.length != 1)
         throw new UnsupportedOperationException(
-          s"unsupported partition transform: $t (identity and bucket only)")
+          s"unsupported partition transform: $t " +
+            "(identity, bucket, years/months/days/hours, truncate)")
       t.references.head.fieldNames.mkString(".")
     }
 
-  /** Split `PARTITIONED BY (...)` into identity columns and an optional
-    * bucket(n, col) spec (at most one; stored as table properties). */
+  /** Split `PARTITIONED BY (...)` into identity columns and property
+    * specs: at most one bucket(n, col) ([[Bucketing]]) plus any hidden
+    * temporal/truncate transforms ([[HiddenPartitioning]]). */
   private def parsePartitioning(
       partitions: Array[Transform]): (Seq[String], Map[String, String]) = {
-    val (buckets, idents) = partitions.partition(_.name == "bucket")
+    val (hidden, rest) = partitions.partition(HiddenPartitioning.isHidden)
+    val hiddenProps = HiddenPartitioning.encode(
+      HiddenPartitioning.fromV2(hidden.toIndexedSeq))
+    val (buckets, idents) = rest.partition(_.name == "bucket")
     val bucketProps = buckets.toSeq match {
       case Seq() => Map.empty[String, String]
       case Seq(b) =>
@@ -363,7 +368,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       case _ =>
         throw new UnsupportedOperationException("at most one bucket transform per table")
     }
-    (identityPartitionCols(idents), bucketProps)
+    (identityPartitionCols(idents), bucketProps ++ hiddenProps)
   }
 
   private def cleanProps(properties: java.util.Map[String, String]): Map[String, String] =
@@ -379,6 +384,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
     val (partCols, bucketProps) = parsePartitioning(partitions)
+    HiddenPartitioning.validate(schema, bucketProps)
     val meta = TableMetadata(
       version = 1, name = ident.name, schema = schema,
       partitionColumns = partCols,
@@ -402,6 +408,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
     val (partCols, bucketProps) = parsePartitioning(partitions)
+    HiddenPartitioning.validate(schema, bucketProps)
     new StagedLakehouseTable(spark, fullName(ident), dir, 1, schema,
       partCols, cleanProps(properties) ++ bucketProps, Seq.empty, "create")
   }
@@ -418,6 +425,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!TableMetadata.exists(dir)) throw new NoSuchTableException(ident)
     val current = TableMetadata.load(dir)
     val (partCols, bucketProps) = parsePartitioning(partitions)
+    HiddenPartitioning.validate(schema, bucketProps)
     new StagedLakehouseTable(spark, fullName(ident), dir, current.version + 1, schema,
       partCols, cleanProps(properties) ++ bucketProps,
       current.snapshots, "replace")

@@ -63,16 +63,21 @@ class LakehouseTable(
   override def schema(): StructType = meta.schema
 
   /** The DDL's PARTITIONED BY, reported back: identity transforms for
-    * the clustering columns plus the bucket transform when bucketed.
-    * This is what lets SQL `INSERT OVERWRITE ... PARTITION (c=v)` and
-    * dynamic partition overwrite resolve against this table. */
+    * the clustering columns plus the bucket transform when bucketed
+    * and any hidden temporal/truncate transforms
+    * ([[HiddenPartitioning]] — DESCRIBE shows `days(ts)` exactly as
+    * declared). This is what lets SQL `INSERT OVERWRITE ... PARTITION
+    * (c=v)` and dynamic partition overwrite resolve against this
+    * table (identity columns only; hidden transforms are a clustering
+    * + stats-pruning contract, not addressable partitions). */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
     val idents = meta.partitionColumns.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
     val bucket = Bucketing.specOf(meta.properties).map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
     }
-    (idents ++ bucket).toArray
+    val hidden = HiddenPartitioning.specOf(meta.properties).map(_.toV2)
+    (idents ++ bucket ++ hidden).toArray
   }
 
   override def properties(): java.util.Map[String, String] = meta.properties.asJava
@@ -701,10 +706,38 @@ class LakehouseTable(
     // Cluster by the declared partition columns so each file covers a
     // narrow key range; Parquet min/max stats then let pushed-down
     // filters skip whole files/row groups on read. Bucketed tables
-    // cluster by hash instead: file part-i = bucket i.
+    // cluster by hash instead: file part-i = bucket i. Hidden
+    // temporal/truncate transforms cluster by their DERIVED value
+    // (each day/hour/prefix lands wholly in its own file set) and sort
+    // within by the SOURCE column — the footer ranges come out tight
+    // and disjoint, so `ts BETWEEN …` file-skips like Iceberg's
+    // partition pruning with no derived column stored or queried.
+    val hiddenExprs = HiddenPartitioning.clusteringExprs(
+      data, startMeta.schema, startMeta.properties)
     val clustered = bucketSpec match {
       case Some((bcol, n)) =>
         data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))
+      case None if hiddenExprs.nonEmpty =>
+        // RANGE partitioning, not hash: derived day/hour/prefix values
+        // are few and ORDINAL — hashing a handful of days can collide
+        // them into one task (and one file spanning all days, whose
+        // footer range prunes nothing); range boundaries fall between
+        // distinct derived values, so each task holds whole
+        // consecutive days and the within-partition sort on the source
+        // column makes every file's range tight. Files end up covering
+        // DISJOINT source intervals, so a time-window read touches
+        // only the overlapping files — Iceberg partition pruning via
+        // footer stats. The partition count is EXPLICIT because AQE
+        // coalesces column-only range shuffles by size, merging
+        // adjacent days back into one file and undoing the clustering
+        // (observed: 3 days → 1 file on a small commit).
+        val idents = startMeta.partitionColumns.map(data.col)
+        val sortCols =
+          HiddenPartitioning.sourceCols(startMeta.properties).map(data.col) ++ idents
+        data.repartitionByRange(
+            data.sparkSession.sessionState.conf.numShufflePartitions,
+            (hiddenExprs ++ idents): _*)
+          .sortWithinPartitions(sortCols: _*)
       case None if startMeta.partitionColumns.nonEmpty =>
         val cols = startMeta.partitionColumns.map(data.col)
         data.repartition(cols: _*).sortWithinPartitions(cols: _*)
