@@ -448,8 +448,10 @@ object LakehouseProcedures {
       param("ns", StringType), param("tbl", StringType),
       param("columns", StringType)), "version", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      // paren-aware split: `truncate(4, tag)` is ONE entry
       Maintenance.setPartitioning(spark, cat, ns(a), tbl(a),
-        a.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        a.getUTF8String(2).toString.split(",(?![^(]*\\))")
+          .map(_.trim).filter(_.nonEmpty).toSeq)
       0L
     }
   }

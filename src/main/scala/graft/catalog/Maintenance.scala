@@ -305,12 +305,30 @@ object Maintenance {
     val current = TableMetadata.load(dir)
     require(Bucketing.specOf(current.properties).isEmpty,
       s"$table is hash-bucketed: the bucket layout is the partitioning contract")
-    val missing = columns.filterNot(current.schema.fieldNames.contains)
+    // hidden-transform entries (`days(ts)` / `truncate(4, tag)` /
+    // `days:ts` spellings) evolve the transform spec; bare names evolve
+    // the identity columns — Iceberg partition-spec evolution, metadata
+    // only, old files keep their layout either way
+    val SqlStyle = """(years|months|days|hours)\(([^)]+)\)""".r
+    val SqlTrunc = """truncate\((\d+)\s*,\s*([^)]+)\)""".r
+    val (transformSpecs, identCols) = columns.map(_.trim).partition(c =>
+      c.contains('(') || c.contains(':'))
+    val transforms = transformSpecs.map {
+      case SqlStyle(f, c) => s"$f:${c.trim}"
+      case SqlTrunc(w, c) => s"truncate($w):${c.trim}"
+      case s => s // already the property encoding; validate below parses it
+    }.mkString(";")
+    val nextProps =
+      if (transforms.isEmpty) current.properties - HiddenPartitioning.Prop
+      else current.properties + (HiddenPartitioning.Prop -> transforms)
+    HiddenPartitioning.validate(current.schema, nextProps)
+    val missing = identCols.filterNot(current.schema.fieldNames.contains)
     require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
-    if (columns == current.partitionColumns) return
+    if (identCols == current.partitionColumns && nextProps == current.properties) return
     TableMetadata.commit(dir, current.copy(
       version = current.version + 1,
-      partitionColumns = columns,
+      partitionColumns = identCols,
+      properties = nextProps,
       snapshots = current.snapshots :+ Snapshot(
         current.version + 1, System.currentTimeMillis(),
         s"set-partitioning(${columns.mkString(",")})", 0, current.files.size)))

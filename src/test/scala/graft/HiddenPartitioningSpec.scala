@@ -104,6 +104,35 @@ class HiddenPartitioningSpec extends AnyFunSuite with Matchers {
       .map(_.getString(1)) should not contain "bad1"
   }
 
+  test("partition-spec evolution: set_partitioning adopts a hidden transform") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.hp_ns")
+    spark.sql("CREATE TABLE lakehouse.hp_ns.evolve (k BIGINT, ts TIMESTAMP)")
+    (0 until 100).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-04-${i % 2 + 1}%02d 09:00:00")))
+      .toDF("k", "ts").createOrReplaceTempView("hp_ev_src")
+    spark.sql("INSERT INTO lakehouse.hp_ns.evolve SELECT * FROM hp_ev_src")
+    val filesBefore = spark.sql("SELECT COUNT(*) FROM lakehouse.hp_ns.evolve.files")
+      .collect()(0).getLong(0)
+
+    // metadata-only evolution: old files keep their layout
+    spark.sql("CALL lakehouse.system.set_partitioning('hp_ns', 'evolve', 'days(ts)')")
+    spark.sql("SELECT COUNT(*) FROM lakehouse.hp_ns.evolve.files")
+      .collect()(0).getLong(0) shouldBe filesBefore
+    loadTable("evolve").partitioning().map(_.toString) should contain("days(ts)")
+
+    // new commits cluster under the evolved spec
+    (100 until 300).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-05-${i % 2 + 1}%02d 09:00:00")))
+      .toDF("k", "ts").createOrReplaceTempView("hp_ev_src2")
+    spark.sql("INSERT INTO lakehouse.hp_ns.evolve SELECT * FROM hp_ev_src2")
+    spark.table("lakehouse.hp_ns.evolve")
+      .filter($"ts" >= "2026-05-02 00:00:00").count() shouldBe 100
+    val (survivors, total) = LakehouseTable.lastScanFileCounts.get()
+    survivors should be < total
+    spark.table("lakehouse.hp_ns.evolve").count() shouldBe 300
+    spark.sql("DROP TABLE lakehouse.hp_ns.evolve")
+  }
+
   test("hidden transforms compose with identity partitions") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.hp_ns")
     spark.sql(
