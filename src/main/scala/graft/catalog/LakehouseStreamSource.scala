@@ -122,14 +122,28 @@ class LakehouseMicroBatchStream(
     // entries (materialize-deletes over stats-proven-dead entries)
     // changed no visible row — entry drops that DID fold rows away
     // rewrite data files and are already caught by the monotone check.
-    val beforeDeletes =
-      if (fromV == 0) Set.empty[String]
-      else log.find(_.version == fromV).map(_.deleteFiles.map(_.path).toSet)
-        .getOrElse(Set.empty)
-    val delStates = beforeDeletes +: window.map(_.deleteFiles.map(_.path).toSet)
-    val morCommits = delStates.sliding(2).zip(window.iterator).collect {
-      case (Seq(a, b), m) if !b.subsetOf(a) =>
-        m.snapshots.lastOption.map(_.operation).getOrElse(s"v${m.version}")
+    // An entry REWRITE (consolidate-deletes: data files untouched,
+    // old entries dropped, merged replacements added) also changed no
+    // visible row; it is distinguished from a real delete by the seq
+    // invariant, not the op name — a rewrite PRESERVES superseded
+    // sequence numbers (added seqs ≤ max dropped seq) while a genuine
+    // delete mints this commit's new, higher seq.
+    val baseline =
+      if (fromV == 0) window.head.copy(files = Seq.empty, deleteFiles = Seq.empty)
+      else log.find(_.version == fromV).get // presence checked above
+    val morCommits = (baseline +: window).sliding(2).flatMap {
+      case Seq(prev, cur) =>
+        val prevDel = prev.deleteFiles.map(_.path).toSet
+        val curDel = cur.deleteFiles.map(_.path).toSet
+        val addedEntries = cur.deleteFiles.filterNot(e => prevDel.contains(e.path))
+        val droppedEntries = prev.deleteFiles.filterNot(e => curDel.contains(e.path))
+        val entryRewrite = droppedEntries.nonEmpty &&
+          prev.files.toSet == cur.files.toSet &&
+          addedEntries.forall(_.seq <= droppedEntries.map(_.seq).max)
+        if (addedEntries.nonEmpty && !entryRewrite)
+          Some(cur.snapshots.lastOption.map(_.operation).getOrElse(s"v${cur.version}"))
+        else None
+      case _ => None
     }.toSeq
     if (morCommits.nonEmpty)
       throw new IllegalStateException(

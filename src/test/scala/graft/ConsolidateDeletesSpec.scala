@@ -187,6 +187,49 @@ class ConsolidateDeletesSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("append-only stream survives a consolidation commit in its window") {
+    val t = "lakehouse.cds_ns.c9"
+    mkTable(t, commits = 1)
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c9", Seq(1).toDF("k"))
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c9", Seq(2).toDF("k"))
+    val vBefore = TableMetadata.load(tableDir("c9")).version
+    MergeOnRead.consolidateDeletes(spark, "lakehouse", Seq("cds_ns"), "c9") shouldBe 1
+    Seq((500, "new1"), (501, "new2")).toDF("k", "v").createOrReplaceTempView("cds_s9")
+    spark.sql(s"INSERT INTO $t SELECT * FROM cds_s9")
+
+    // stream window (vBefore, latest]: a consolidation commit (entry
+    // rewrite, seq-invariant-proven) plus an append — must emit ONLY
+    // the appended rows instead of dying on "merge-on-read commits"
+    val ckpt = java.nio.file.Files.createTempDirectory("cds-ckpt-").toString
+    val q = spark.readStream
+      .option("startingVersion", vBefore.toString)
+      .table(t)
+      .writeStream.format("memory").queryName("cds_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("cds_stream").orderBy("k").collect().map(_.getInt(0)) shouldBe Array(500, 501)
+
+    // a REAL MoR delete in the window still kills the stream loudly
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c9", Seq(3).toDF("k"))
+    val q2 = spark.readStream
+      .option("startingVersion", vBefore.toString)
+      .table(t)
+      .writeStream.format("memory").queryName("cds_stream2")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cds-ckpt2-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(e => Option(e.getMessage).exists(_.contains("merge-on-read delete commits")))
+      .shouldBe(true)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("SQL face: CALL system.consolidate_deletes") {
     val t = "lakehouse.cds_ns.c6"
     mkTable(t, commits = 1)
