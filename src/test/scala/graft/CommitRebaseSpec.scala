@@ -242,6 +242,54 @@ class CommitRebaseSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.race_ns.t1")
   }
 
+  test("consolidation racing an append: both land, merged entry stays inapplicable to the new file") {
+    val dir = mkTable("c1")
+    import scala.jdk.CollectionConverters._
+    // two pending equality entries, then a consolidation computed
+    // against this base
+    MergeOnRead.morDeleteAt(spark, dir, Seq(10).toDF("k"))
+    MergeOnRead.morDeleteAt(spark, dir, Seq(20).toDF("k"))
+    val base = TableMetadata.load(dir)
+    base.deleteFiles.size shouldBe 2
+
+    // hand-build the consolidation ATTEMPT against this base (what
+    // consolidateDeletesAt would commit): one merged parquet holding
+    // both key tuples, seq = max of the superseded entries
+    val sch = MergeOnRead.keySchema(base.schema, Seq("k"))
+    val mergedRel = "deletes/manual-merged"
+    spark.read.schema(sch)
+      .parquet(base.deleteFiles.map(e => dir.resolve(e.path).toString): _*)
+      .distinct().coalesce(1).write.parquet(dir.resolve(mergedRel).toString)
+    val mergedFile = java.nio.file.Files.list(dir.resolve(mergedRel)).iterator()
+      .asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.head
+    val merged = graft.catalog.DeleteFile(s"$mergedRel/$mergedFile", Seq("k"),
+      base.deleteFiles.map(_.seq).max, 2)
+    val attempt = base.copy(
+      version = base.version + 1,
+      deleteFiles = Seq(merged),
+      snapshots = base.snapshots :+ Snapshot(
+        base.version + 1, 1L, "consolidate-deletes", 0, base.files.size))
+
+    // a racer append lands FIRST — the consolidation must rebase onto
+    // it, not fail and not lose either change
+    Seq((900, "racer")).toDF("k", "v").createOrReplaceTempView("rb_c1_racer")
+    spark.sql("INSERT INTO lakehouse.race_ns.c1 SELECT * FROM rb_c1_racer")
+    val committed = TableMetadata.commitOrRebase(dir, attempt = attempt, base = base)
+    committed.version shouldBe base.version + 2
+
+    val after = TableMetadata.load(dir)
+    after.deleteFiles.map(_.path) shouldBe Seq(merged.path)
+    // the racer's row is alive, deleted keys stay dead, counts exact
+    spark.table("lakehouse.race_ns.c1").where($"k" === 900).count() shouldBe 1
+    spark.table("lakehouse.race_ns.c1").where($"k" === 10 || $"k" === 20).count() shouldBe 0
+    spark.table("lakehouse.race_ns.c1").count() shouldBe 299
+    // seq argument: the merged entry's seq predates the racer's file,
+    // so it can never apply to it — same as each original entry
+    val racerFile = after.files.filterNot(base.files.contains).head
+    after.deleteFiles.head.seq should be < after.seqOf(racerFile)
+    spark.sql("DROP TABLE lakehouse.race_ns.c1")
+  }
+
   test("compact racing an append: both succeed, nothing lost") {
     mkTable("c1")
     import scala.concurrent.{Await, Future}
