@@ -385,6 +385,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
+    WriteSortOrder.validate(schema, cleanProps(properties))
     val meta = TableMetadata(
       version = 1, name = ident.name, schema = schema,
       partitionColumns = partCols,
@@ -409,6 +410,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
+    WriteSortOrder.validate(schema, cleanProps(properties))
     new StagedLakehouseTable(spark, fullName(ident), dir, 1, schema,
       partCols, cleanProps(properties) ++ bucketProps, Seq.empty, "create")
   }
@@ -426,6 +428,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val current = TableMetadata.load(dir)
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
+    WriteSortOrder.validate(schema, cleanProps(properties))
     new StagedLakehouseTable(spark, fullName(ident), dir, current.version + 1, schema,
       partCols, cleanProps(properties) ++ bucketProps,
       current.snapshots, "replace")
@@ -563,6 +566,9 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           throw new UnsupportedOperationException(s"unsupported table change: $other")
       }
     }
+    // a SET TBLPROPERTIES that declares a write sort order (or a DROP
+    // COLUMN that orphans one) must fail here, not at first write
+    WriteSortOrder.validate(updated.schema, updated.properties)
     // property-only alters rebase mechanically onto concurrent commits;
     // schema alters racing anything make commitOrRebase decline, and
     // the caller loop above re-derives them from the fresh snapshot

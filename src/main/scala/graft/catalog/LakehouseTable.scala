@@ -714,6 +714,11 @@ class LakehouseTable(
     // partition pruning with no derived column stored or queried.
     val hiddenExprs = HiddenPartitioning.clusteringExprs(
       data, startMeta.schema, startMeta.properties)
+    // declared write sort order (WriteSortOrder.Prop): refines the
+    // within-partition sort on partitioned tables, and on plain tables
+    // supplies the whole clustering — range-distribute + sort so files
+    // cover disjoint intervals and footer ranges prune like partitions
+    val sortOrderCols = WriteSortOrder.colsOf(startMeta.properties)
     val clustered = bucketSpec match {
       case Some((bcol, n)) =>
         data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))
@@ -733,14 +738,26 @@ class LakehouseTable(
         // (observed: 3 days → 1 file on a small commit).
         val idents = startMeta.partitionColumns.map(data.col)
         val sortCols =
-          HiddenPartitioning.sourceCols(startMeta.properties).map(data.col) ++ idents
+          HiddenPartitioning.sourceCols(startMeta.properties).map(data.col) ++
+            idents ++ sortOrderCols.map(data.col)
         data.repartitionByRange(
             data.sparkSession.sessionState.conf.numShufflePartitions,
             (hiddenExprs ++ idents): _*)
           .sortWithinPartitions(sortCols: _*)
       case None if startMeta.partitionColumns.nonEmpty =>
         val cols = startMeta.partitionColumns.map(data.col)
-        data.repartition(cols: _*).sortWithinPartitions(cols: _*)
+        data.repartition(cols: _*)
+          .sortWithinPartitions(cols ++ sortOrderCols.map(data.col): _*)
+      case None if sortOrderCols.nonEmpty =>
+        // RANGE, not hash: the point is disjoint per-file intervals of
+        // the leading sort column (hash would scatter every value range
+        // across all files and the footer ranges would prune nothing);
+        // explicit partition count for the same AQE-coalescing reason
+        // as the hidden-transform branch above
+        data.repartitionByRange(
+            data.sparkSession.sessionState.conf.numShufflePartitions,
+            sortOrderCols.map(data.col): _*)
+          .sortWithinPartitions(sortOrderCols.map(data.col): _*)
       case None => data
     }
     // INT96 (Spark's legacy default) carries no usable parquet stats —

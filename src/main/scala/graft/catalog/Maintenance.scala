@@ -193,8 +193,16 @@ object Maintenance {
         df.repartitionByRange(targetFiles, clusterBy.map(df.col): _*)
           .sortWithinPartitions(clusterBy.map(df.col): _*)
       case None if current.partitionColumns.nonEmpty =>
+        val sortCols = current.partitionColumns ++
+          WriteSortOrder.colsOf(current.properties)
         df.repartition(targetFiles, current.partitionColumns.map(df.col): _*)
-          .sortWithinPartitions(current.partitionColumns.map(df.col): _*)
+          .sortWithinPartitions(sortCols.map(df.col): _*)
+      case None if WriteSortOrder.colsOf(current.properties).nonEmpty =>
+        // declared write sort order: compaction re-establishes the
+        // range-clustered layout accumulated small commits drifted from
+        val sortCols = WriteSortOrder.colsOf(current.properties)
+        df.repartitionByRange(targetFiles, sortCols.map(df.col): _*)
+          .sortWithinPartitions(sortCols.map(df.col): _*)
       case None => df.coalesce(targetFiles)
     }
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -2050,9 +2050,181 @@ object TextOps {
            |FROM f JOIN lam USING (b)
            |GROUP BY f.doc_id, f.lang ORDER BY f.doc_id""".stripMargin))
 
+  /** Exact-substring contamination SPAN (the Lee et al. 2022 "exact
+    * substring duplication" notion, pointed at eval decontamination):
+    * for every training doc sharing a ≥5-token verbatim run with any
+    * eval doc (doc_id < 10, q45's split), report the LENGTH of the
+    * longest shared token run and the eval doc achieving it
+    * (deterministic: longest span, then smallest eval id). q45 answers
+    * "is any 5-gram shared?"; this answers "how long is the longest
+    * verbatim overlap?" — the quantity real pipelines threshold (50
+    * tokens in the paper) to drop or trim, where a boolean 5-gram hit
+    * over-fires on idioms.
+    *
+    * Shape (suffix arrays don't distribute; positional gram chaining
+    * does): positional 5-gram hashes — an xxhash64 chain over token
+    * hashes, so no string shingles ever shuffle; eval grams BROADCAST
+    * (the eval benchmark stays small at any corpus scale); matched
+    * (train_pos, eval_pos) hits chain into maximal runs via
+    * islands-and-gaps PER DIAGONAL (tp − ep): consecutive hits on one
+    * diagonal are exactly one verbatim span of length run + K − 1.
+    * Work ∝ matching gram pairs (inverted-index join), never
+    * |train| × |eval|; each window partition is (train doc, eval doc,
+    * diagonal) — bounded by one document's gram count, no global sort. */
+  val q75 = Q(
+    "q75_overlap_span",
+    (s, d) => {
+      val K = 5
+      def grams(df: DataFrame): DataFrame = df
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("th")) - K),
+            i => xxhash64((0 until K).map(j => element_at(col("th"), i + j + 1)): _*))))
+        .toDF("doc_id", "pos", "g")
+      val tok = tokenized(s, d)
+      val ev = grams(tok.filter(col("doc_id") < 10))
+        .select(col("doc_id").as("eid"), col("pos").as("ep"), col("g"))
+      val tr = grams(tok.filter(col("doc_id") >= 10))
+        .select(col("doc_id").as("tid"), col("pos").as("tp"), col("g"))
+      val hits = tr.join(broadcast(ev), Seq("g"))
+        .select(col("tid"), col("eid"), col("tp"), (col("tp") - col("ep")).as("diag"))
+      val w = Window.partitionBy(col("tid"), col("eid"), col("diag")).orderBy(col("tp"))
+      val runs = hits
+        .withColumn("grp", col("tp") - row_number().over(w))
+        .groupBy(col("tid"), col("eid"), col("diag"), col("grp"))
+        .agg((count(lit(1)) + (K - 1)).as("span"))
+      val perPair = runs.groupBy(col("tid"), col("eid")).agg(max(col("span")).as("span"))
+      perPair
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("tid")).orderBy(col("span").desc, col("eid"))))
+        .filter(col("rn") === 1)
+        .select(col("tid").as("doc_id"), col("span").as("max_span"),
+          col("eid").as("eval_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |g0 AS (SELECT doc_id,
+           |         [{'pos': i, 'g': t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]}
+           |          FOR i IN range(1, len(t) - 3)] AS l
+           |       FROM toks WHERE len(t) >= 5),
+           |g AS (SELECT doc_id, u.pos AS pos, u.g AS g
+           |      FROM (SELECT doc_id, unnest(l) AS u FROM g0)),
+           |h AS (SELECT tr.doc_id AS tid, ev.doc_id AS eid, tr.pos AS tp,
+           |             tr.pos - ev.pos AS diag
+           |      FROM g tr JOIN g ev ON tr.g = ev.g
+           |      WHERE tr.doc_id >= 10 AND ev.doc_id < 10),
+           |r AS (SELECT tid, eid, diag, tp,
+           |             tp - ROW_NUMBER() OVER (PARTITION BY tid, eid, diag ORDER BY tp) AS grp
+           |      FROM h),
+           |runs AS (SELECT tid, eid, COUNT(*) + 4 AS span
+           |         FROM r GROUP BY tid, eid, diag, grp),
+           |per AS (SELECT tid, eid, MAX(span) AS span FROM runs GROUP BY tid, eid),
+           |rk AS (SELECT tid, eid, span,
+           |              ROW_NUMBER() OVER (PARTITION BY tid ORDER BY span DESC, eid) AS rn
+           |       FROM per)
+           |SELECT tid AS doc_id, span AS max_span, eid AS eval_id
+           |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
+  /** The unrolled DuckDB mirror of q76's 10 merge rounds — generated,
+    * because each round's corpus state is the previous round's CTE.
+    * Every round CTE is MATERIALIZED: each round references its
+    * predecessor twice (pair count + substitution), so inlining would
+    * re-derive the whole chain 2^r times. */
+  private val bpeOracle: String = {
+    val rounds = 10
+    val sb = new StringBuilder
+    sb.append("WITH s0 AS MATERIALIZED (SELECT doc_id, text AS s FROM documents)")
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+p$r AS (SELECT p, COUNT(*) AS c FROM (
+         SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS p
+         FROM (SELECT string_split(s, ' ') AS t FROM s${r - 1}))
+       GROUP BY p),
+m$r AS MATERIALIZED (SELECT p, c FROM p$r ORDER BY c DESC, p LIMIT 1)""")
+      if (r < rounds) sb.append(s""",
+s$r AS MATERIALIZED (SELECT doc_id, trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+         (SELECT ' ' || replace(p, ' ', '  ') || ' ' FROM m$r),
+         (SELECT ' ' || replace(p, ' ', '${"§"}') || ' ' FROM m$r)), '  ', ' ')) AS s
+       FROM s${r - 1})""")
+    }
+    sb.append("\nSELECT * FROM (\n")
+    sb.append((1 to rounds).map(r =>
+      s"SELECT $r AS step, split_part(p, ' ', 1) AS lhs, " +
+        s"split_part(p, ' ', 2) AS rhs, c AS freq FROM m$r")
+      .mkString("\nUNION ALL\n"))
+    sb.append(") ORDER BY step")
+    sb.toString
+  }
+
+  /** Distributed BPE merge-rule learning (Sennrich et al. 2016, run at
+    * the token level): 10 rounds of (count adjacent symbol pairs → take
+    * the globally most frequent → merge it corpus-wide) — the loop a
+    * tokenizer trainer runs over the full corpus before any model sees
+    * a batch, and inherently iterative: round r's pair counts depend on
+    * round r−1's merges.
+    *
+    * Scale shape per round: ONE map-side-combined pair count (pinned
+    * token-array projection so the adjacent-pair lambda reads a cheap
+    * attribute, then explode + groupBy(pair)) and a ONE-ROW collect of
+    * the argmax under the deterministic (freq DESC, pair ASC) tiebreak
+    * — the only driver materialization, bounded by construction. The
+    * corpus-wide merge is pure string expressions inside codegen, no
+    * UDF: doubling the token separators first makes a single replace()
+    * call merge every non-overlapping occurrence greedy-left — exactly
+    * BPE's merge semantics (`a a a` merges once, not twice) — then
+    * collapsing the doubles restores the layout. Merged symbols join
+    * with '§' (verified absent from the corpus). The 10-round lineage
+    * re-derives prior substitutions per pass (total work 55 substitution
+    * passes); a production trainer would checkpoint the corpus string
+    * every few rounds — the round structure is unchanged.
+    */
+  val q76 = Q(
+    "q76_bpe_merges",
+    (s, d) => {
+      val rounds = 10
+      var cur = documents(s, d).select(col("doc_id"), col("text").as("s"))
+      val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      for (step <- 1 to rounds) {
+        val toks = cur.select(split(col("s"), " ").as("t")).filter(size(col("t")) >= 2)
+        val pairs = toks.select(
+          explode(transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat(element_at(col("t"), i), lit(" "),
+              element_at(col("t"), i + 1)))).as("p"))
+        // bounded collect: exactly one row — the round's winning pair
+        val top = pairs.groupBy(col("p")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("p").asc).limit(1).collect()
+        if (top.nonEmpty) {
+          val p = top(0).getString(0)
+          val Array(lhs, rhs) = p.split(" ", 2)
+          learned += org.apache.spark.sql.Row(step, lhs, rhs, top(0).getLong(1))
+          val target = " " + p.replace(" ", "  ") + " "
+          val repl = " " + p.replace(" ", "§") + " "
+          cur = cur.select(col("doc_id"),
+            trim(replace(replace(
+              concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+              lit(target), lit(repl)), lit("  "), lit(" "))).as("s"))
+        }
+      }
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("lhs",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("rhs",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("freq",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(learned.toSeq).asJava), sch)
+        .orderBy(col("step"))
+    },
+    Some(bpeOracle))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c, q72d, q73, q74)
+      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76)
 }
