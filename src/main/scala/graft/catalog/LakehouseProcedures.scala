@@ -429,6 +429,15 @@ object LakehouseProcedures {
         LakehouseProcedures.parseAssignments(a.getUTF8String(3).toString))
   }
 
+  private def addFilesProc(catalogName: String) = new MaintenanceProc("add_files",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("source_dir", StringType)), "files", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.addFiles(spark, cat, ns(a), tbl(a),
+        a.getUTF8String(2).toString).toLong
+  }
+
   private def materializeDeletesProc(catalogName: String) =
     new MaintenanceProc("materialize_deletes",
       Array(param("ns", StringType), param("tbl", StringType)), "rewritten", catalogName) {
@@ -476,6 +485,7 @@ object LakehouseProcedures {
     "pii_audit" -> (piiAuditProc(_)),
     "auto_compact" -> (autoCompactProc(_)),
     "materialize_deletes" -> (materializeDeletesProc(_)),
+    "add_files" -> (addFilesProc(_)),
     "consolidate_deletes" -> (consolidateDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),

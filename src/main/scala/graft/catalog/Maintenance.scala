@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -1559,6 +1559,103 @@ object Maintenance {
       .filter(v => Files.exists(TableMetadata.versionFile(dir, v)))
     doomed.foreach(v => Files.deleteIfExists(TableMetadata.versionFile(dir, v)))
     doomed.size
+  }
+
+  /** Metadata-only import of existing parquet files (Iceberg's
+    * `add_files` shape): registers every `*.parquet` under `sourceDir`
+    * as data files of the table WITHOUT reading or rewriting their
+    * rows — the 100 TB onboarding path (re-ingesting an existing lake
+    * through INSERT doubles-writes every byte; this commit costs one
+    * FOOTER read per file). Files enter the table by HARD LINK into
+    * the commit's data dir (same volume: zero bytes moved, the
+    * caller's original path stays valid and untouched; no-link
+    * filesystems fall back to a copy), so the table owns its own
+    * reference and vacuum/compaction/immutability invariants hold
+    * unchanged. The footer read doubles as validation (every table
+    * column must be physically present in EVERY imported file at a
+    * compatible type — name-based resolution would otherwise silently
+    * read missing columns as null) and yields min/max/null stats plus
+    * row counts, so file-skipping and metadata-only COUNT(*) answers
+    * work on imported files exactly as on written ones.
+    * `TableMetadata.commit` auto-sequences the new files at the new
+    * version, so pending merge-on-read delete entries do NOT apply to
+    * imported rows (they arrived after the delete). Bucketed tables
+    * are refused — imported files carry no bucket-to-file mapping and
+    * would silently degrade storage-partitioned joins. Driver cost is
+    * O(imported files) footer reads — the same per-commit shape every
+    * write path here already has. Returns the number of files added. */
+  def addFiles(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      sourceDir: String): Int = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val current = TableMetadata.load(dir)
+    require(Bucketing.specOf(current.properties).isEmpty,
+      s"add_files: table '$table' is bucketed — imported files have no " +
+        "bucket-to-file mapping; use INSERT INTO so rows are bucketed on write")
+    val src = java.nio.file.Paths.get(sourceDir)
+    require(Files.isDirectory(src), s"add_files: not a directory: $sourceDir")
+    val walk = Files.walk(src)
+    val srcFiles =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.toString)
+      finally walk.close()
+    if (srcFiles.isEmpty) return 0
+
+    // per-file validation from the footer alone: physical presence of
+    // every table column (type compatibility is checked through the
+    // stats collection below — FooterStats compares through the table
+    // schema's comparators and the scan reads by name with the table
+    // types, which parquet-mr enforces on first read)
+    val conf = spark.sessionState.newHadoopConf()
+    val tableCols = current.schema.fields.map(_.name).toSet
+    srcFiles.foreach { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        conf, new org.apache.hadoop.fs.Path(p.toString))
+      val present =
+        try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally reader.close()
+      val missing = tableCols -- present
+      require(missing.isEmpty,
+        s"add_files: ${p.getFileName} lacks table column(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} — a name-resolved read " +
+          "would silently return null; fix the file or evolve the schema first")
+    }
+
+    val nextVersion = current.version + 1
+    val commitRel = s"data/c$nextVersion-addfiles-${UUID.randomUUID().toString.take(8)}"
+    val commitDir = dir.resolve(commitRel)
+    Files.createDirectories(commitDir)
+    val newFiles = srcFiles.zipWithIndex.map { case (p, i) =>
+      val name = f"part-$i%05d-${p.getFileName.toString}"
+      val target = commitDir.resolve(name)
+      try Files.createLink(target, p)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(p, target, StandardCopyOption.COPY_ATTRIBUTES)
+      }
+      s"$commitRel/$name"
+    }.sorted
+    val footers = newFiles.map { f =>
+      f -> FooterStats.collectFull(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
+    }.toMap
+    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
+    BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
+    val allFiles = current.files ++ newFiles
+    TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
+      version = nextVersion,
+      files = allFiles,
+      fileStats = current.fileStats ++ newStats,
+      fileRows = current.fileRows ++ footers.view.mapValues(_.rows).toMap,
+      snapshots = current.snapshots :+ Snapshot(
+        nextVersion, System.currentTimeMillis(), "add_files", newFiles.size, allFiles.size)))
+    newFiles.size
   }
 
   /** Default vacuum file-age threshold: files modified more recently

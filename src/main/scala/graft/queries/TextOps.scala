@@ -2222,9 +2222,135 @@ s$r AS MATERIALIZED (SELECT doc_id, trim(replace(replace(' ' || replace(s, ' ', 
     },
     Some(bpeOracle))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document by the corpus unigram LM (q62's mean token log-probability,
+    * rounded to 4 decimals — the established cross-engine float
+    * discipline), then split EACH LANGUAGE into head/middle/tail
+    * tertiles by score — the quality-stratified corpus a curation
+    * pipeline samples from (head = most natural under the LM).
+    *
+    * Scale shape: thresholds come from a bounded (lang, score) HISTOGRAM,
+    * never a per-language sort of the corpus. Scores rounded to 4
+    * decimals have ≤ ~10⁵ distinct values per language regardless of
+    * corpus size, so the per-language cumulative window runs over
+    * aggregate rows only (a `ntile() OVER (PARTITION BY lang)` would
+    * serialize whole languages through single sorts at 100 TB — the q68
+    * rule). Tertile cuts use integer arithmetic on counts
+    * (3·cum ≥ k·n ⟺ cum ≥ k·n/3), so the only cross-engine float
+    * surface is the rounded score itself, which q62 already gates.
+    * Bucket assignment is a row-local comparison against a |langs|-row
+    * broadcast. The scored frame is pinned: the histogram build and the
+    * final assignment both read it. */
+  val q77 = Q(
+    "q77_ccnet_buckets",
+    (s, d) => {
+      val docs = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      val toks = graft.Materialize.pin(docs)
+        .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      val model = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = model.agg(sum(col("cnt")).as("tot"))
+      val scored = graft.Materialize.pin(
+        toks.join(model, "tok")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(round(avg(log(col("cnt").cast(DoubleType) / col("tot").cast(DoubleType))), 4)
+            .as("lm_score")))
+      val hist = scored.groupBy(col("lang"), col("lm_score")).agg(count(lit(1)).as("c"))
+      val cumW = Window.partitionBy(col("lang")).orderBy(col("lm_score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(cumW))
+      val n = hist.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+      val cuts = cum.join(n, "lang")
+        .groupBy(col("lang"))
+        .agg(
+          min(when(col("cum") * 3 >= col("n"), col("lm_score"))).as("t1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("lm_score"))).as("t2"))
+      scored.join(broadcast(cuts), "lang")
+        .select(col("doc_id"), col("lang"), col("lm_score"),
+          when(col("lm_score") > col("t2"), "head")
+            .when(col("lm_score") > col("t1"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+           |           FROM documents),
+           |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+           |tot AS (SELECT SUM(cnt) AS tot FROM c),
+           |s AS (SELECT t.doc_id, t.lang,
+           |        ROUND(AVG(LN(CAST(c.cnt AS DOUBLE)/CAST(tot.tot AS DOUBLE))),4)
+           |          AS lm_score
+           |      FROM t JOIN c ON t.tok=c.tok CROSS JOIN tot GROUP BY t.doc_id, t.lang),
+           |h AS (SELECT lang, lm_score, COUNT(*) AS c FROM s GROUP BY lang, lm_score),
+           |cm AS (SELECT lang, lm_score,
+           |         SUM(c) OVER (PARTITION BY lang ORDER BY lm_score
+           |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |       FROM h),
+           |n AS (SELECT lang, SUM(c) AS n FROM h GROUP BY lang),
+           |cuts AS (SELECT cm.lang,
+           |           MIN(CASE WHEN cum*3 >= n THEN lm_score END) AS t1,
+           |           MIN(CASE WHEN cum*3 >= n*2 THEN lm_score END) AS t2
+           |         FROM cm JOIN n ON cm.lang=n.lang GROUP BY cm.lang)
+           |SELECT s.doc_id, s.lang, s.lm_score,
+           |  CASE WHEN s.lm_score > cuts.t2 THEN 'head'
+           |       WHEN s.lm_score > cuts.t1 THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM s JOIN cuts ON s.lang = cuts.lang ORDER BY s.doc_id""".stripMargin))
+
+  /** Document-frequency boilerplate pruning (the C4/IR stopword rule):
+    * tokens present in > 78% of all documents are corpus boilerplate;
+    * strip them from every document IN PLACE and report the cleaned
+    * text's identity. The row-local half of what CCNet's line-dedup
+    * does to web text.
+    *
+    * Scale shape: df comes from one map-side-combined count over
+    * per-doc DISTINCT tokens. The pruned set is broadcast as ONE array
+    * row — bounded by construction, not by luck: Σ df ≤ N·avgDistinct,
+    * so |{tok : df > 0.78·N}| ≤ avgDistinct/0.78 ≈ mean doc length,
+    * independent of corpus size. Cleaning is a codegen'd array
+    * `filter` HOF against that broadcast — order-preserving and
+    * row-local, so no posexplode/re-group cycle and nothing downstream
+    * shuffles. The tokenized frame is pinned (df build + cleaning pass
+    * both read it). */
+  val q78 = Q(
+    "q78_boilerplate_prune",
+    (s, d) => {
+      val docs = graft.Materialize.pin(
+        tokenized(s, d).select(col("doc_id"), col("toks")))
+      val nDocs = docs.agg(count(lit(1)).as("n"))
+      val df = docs.select(explode(array_distinct(col("toks"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // df > 0.78·N in exact integer arithmetic: 50·df > 39·N
+      val bad = df.crossJoin(broadcast(nDocs))
+        .filter(col("df") * 50 > col("n") * 39)
+        .agg(sort_array(collect_list(col("tok"))).as("bad"))
+      docs.crossJoin(broadcast(bad))
+        .select(col("doc_id"),
+          filter(col("toks"), t => !array_contains(col("bad"), t)).as("kept"),
+          size(col("toks")).as("n_toks"))
+        .select(col("doc_id"),
+          size(col("kept")).cast(LongType).as("n_kept"),
+          (col("n_toks") - size(col("kept"))).cast(LongType).as("n_removed"),
+          md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           |n AS (SELECT COUNT(*) AS n FROM documents),
+           |df AS (SELECT tok, COUNT(*) AS df
+           |       FROM (SELECT doc_id, unnest(list_distinct(l)) AS tok FROM t)
+           |       GROUP BY tok),
+           |bad AS (SELECT COALESCE(list(tok ORDER BY tok), []) AS b
+           |        FROM df CROSS JOIN n WHERE df*50 > n*39),
+           |k AS (SELECT doc_id, l, list_filter(l, x -> NOT list_contains(bad.b, x)) AS kept
+           |      FROM t CROSS JOIN bad)
+           |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+           |       CAST(len(l) - len(kept) AS BIGINT) AS n_removed,
+           |       md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+           |FROM k ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76)
+      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78)
 }
