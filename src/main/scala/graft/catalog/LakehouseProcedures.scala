@@ -438,6 +438,15 @@ object LakehouseProcedures {
         a.getUTF8String(2).toString).toLong
   }
 
+  private def cloneTableProc(catalogName: String) = new MaintenanceProc("clone_table",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("dst_ns", StringType), param("dst_tbl", StringType)), "files", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.cloneTable(spark, cat, ns(a), tbl(a),
+        Seq(a.getUTF8String(2).toString), a.getUTF8String(3).toString).toLong
+  }
+
   private def materializeDeletesProc(catalogName: String) =
     new MaintenanceProc("materialize_deletes",
       Array(param("ns", StringType), param("tbl", StringType)), "rewritten", catalogName) {
@@ -486,6 +495,7 @@ object LakehouseProcedures {
     "auto_compact" -> (autoCompactProc(_)),
     "materialize_deletes" -> (materializeDeletesProc(_)),
     "add_files" -> (addFilesProc(_)),
+    "clone_table" -> (cloneTableProc(_)),
     "consolidate_deletes" -> (consolidateDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),

@@ -1658,6 +1658,84 @@ object Maintenance {
     newFiles.size
   }
 
+  /** Zero-copy shallow clone (Delta's SHALLOW CLONE / Iceberg's
+    * `snapshot` procedure): create `dstTbl` whose first data commit
+    * references the CURRENT snapshot of the source by HARD LINK —
+    * schema, partitioning, properties, per-file stats/rows/seqs,
+    * pending merge-on-read delete entries and bloom sidecars carry
+    * over verbatim; zero data bytes move. The sandbox-on-production
+    * path at 100 TB: a dev table over today's snapshot costs one link
+    * per file and one metadata write. The clone is fully independent
+    * afterwards — its own metadata log, its own commits; because the
+    * filesystem refcounts linked blocks, either table's vacuum only
+    * drops its OWN reference and neither can corrupt the other.
+    * Relative paths are preserved exactly, which keeps three
+    * invariants for free: positional delete entries still name their
+    * target files, file seqs keep every pending entry's applicability
+    * unchanged, and bloom sidecars (keyed by sha1 of the relative
+    * path) stay valid. Source lineage is recorded in
+    * `graft.clone.source`. Returns the number of files linked. */
+  def cloneTable(
+      spark: SparkSession,
+      catalog: String,
+      srcNamespace: Seq[String],
+      srcTable: String,
+      dstNamespace: Seq[String],
+      dstTable: String): Int = {
+    val src = lakehouseTable(spark, catalog, srcNamespace, srcTable)
+    val srcMeta = TableMetadata.load(src.tableDir)
+    val cat = spark.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[TableCatalog]
+    // register through the catalog: namespace checks, directory layout
+    // and already-exists semantics are the catalog's own
+    cat.createTable(Identifier.of(dstNamespace.toArray, dstTable), srcMeta.schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    val dst = lakehouseTable(spark, catalog, dstNamespace, dstTable)
+    val dstDir = dst.tableDir
+
+    def link(rel: String): Unit = {
+      val target = dstDir.resolve(rel)
+      Files.createDirectories(target.getParent)
+      try Files.createLink(target, src.tableDir.resolve(rel))
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src.tableDir.resolve(rel), target,
+            StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+    srcMeta.files.foreach(link)
+    srcMeta.deleteFiles.map(_.path).distinct.foreach(link)
+    val blooms = BloomIndex.bloomsDir(src.tableDir)
+    if (Files.isDirectory(blooms)) {
+      val stream = Files.list(blooms)
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .foreach(p => link(s"metadata/blooms/${p.getFileName}"))
+      finally stream.close()
+    }
+
+    val created = TableMetadata.load(dstDir)
+    TableMetadata.commit(dstDir, created.copy(
+      version = created.version + 1,
+      schema = srcMeta.schema,
+      partitionColumns = srcMeta.partitionColumns,
+      properties = srcMeta.properties +
+        ("graft.clone.source" ->
+          s"${(srcNamespace :+ srcTable).mkString(".")}@v${srcMeta.version}"),
+      files = srcMeta.files,
+      fileStats = srcMeta.fileStats,
+      fileRows = srcMeta.fileRows,
+      // explicit seqs survive commit()'s structural sequencing, so
+      // every pending delete entry applies to exactly the same files
+      fileSeq = srcMeta.files.map(f => f -> srcMeta.seqOf(f)).toMap,
+      deleteFiles = srcMeta.deleteFiles,
+      snapshots = created.snapshots :+ Snapshot(
+        created.version + 1, System.currentTimeMillis(), "clone",
+        srcMeta.files.size, srcMeta.files.size)))
+    srcMeta.files.size
+  }
+
   /** Default vacuum file-age threshold: files modified more recently
     * than this are never deleted, whatever the snapshot log says. */
   val DefaultRetentionMs: Long = 10 * 60 * 1000L

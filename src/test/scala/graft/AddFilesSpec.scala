@@ -107,6 +107,30 @@ class AddFilesSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("add_files racing a concurrent INSERT: both commits land (append commute)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.af_ns")
+    val t = "lakehouse.af_ns.a5"
+    spark.sql(s"CREATE TABLE $t (k INT, v STRING)")
+    val src = writeExternal((1000 until 1020).map(i => (i, s"imp$i")))
+    (0 until 20).map(i => (i, s"ins$i")).toDF("k", "v").createOrReplaceTempView("af5_src")
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fImport = Future {
+      Maintenance.addFiles(spark, "lakehouse", Seq("af_ns"), "a5", src.toString)
+    }
+    val fInsert = Future { spark.sql(s"INSERT INTO $t SELECT * FROM af5_src") }
+    Await.result(fImport, 60.seconds)
+    Await.result(fInsert, 60.seconds)
+
+    spark.table(t).count() shouldBe 40
+    val meta = TableMetadata.load(tableDir("af_ns", "a5"))
+    meta.snapshots.map(_.operation) should contain("add_files")
+    meta.snapshots.map(_.operation) should contain("append")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("bucketed tables are refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.af_ns")
     val t = "lakehouse.af_ns.a4"

@@ -370,6 +370,29 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("BroadcastHashJoin")
   }
 
+  test("q77 tertile cuts come from the histogram, assignment via broadcast") {
+    // the per-language cumulative window must run over (lang, lm_score)
+    // AGGREGATE rows — bounded by distinct rounded scores — and the
+    // bucket assignment must be a row-local comparison against the
+    // |langs|-row cuts broadcast, never a corpus-side sort-merge join
+    val plan = executedPlan(graft.queries.TextOps.q77.run(spark, sf))
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    // no window partitioned by (lang, doc_id) — the corpus-level shape
+    "windowspecdefinition\\(lang#\\d+, doc_id#".r.findFirstIn(plan) shouldBe None
+  }
+
+  test("q78 boilerplate pruning is row-local: one explode, no regroup") {
+    // the df build explodes per-doc DISTINCT tokens ONCE; the cleaning
+    // pass is an array filter HOF against the one-row broadcast — a
+    // posexplode/filter/collect_list formulation would re-shuffle the
+    // whole corpus to reassemble documents
+    val plan = executedPlan(graft.queries.TextOps.q78.run(spark, sf))
+    "Generate explode".r.findAllIn(plan).size shouldBe 1
+    plan should not include "SortMergeJoin"
+    plan should not include "Window"
+  }
+
   test("q46 mixing ranks via two-level prefix sum, never a per-group corpus sort") {
     // the 2-value group key means PARTITION BY grp ORDER BY doc_id
     // serializes half the corpus through each of two sort tasks —
