@@ -2131,10 +2131,12 @@ object TextOps {
     * Every round CTE is MATERIALIZED: each round references its
     * predecessor twice (pair count + substitution), so inlining would
     * re-derive the whole chain 2^r times. */
-  private val bpeOracle: String = {
-    val rounds = 10
+  /** Shared CTE chain for the BPE oracles: round CTEs `p_r`/`m_r` and
+    * substituted-corpus CTEs `s_r` for r ≤ `lastSub`. q76 needs only
+    * the merges (s up to rounds−1); q79 needs the fully-encoded s10. */
+  private def bpeChain(rounds: Int, lastSub: Int): StringBuilder = {
     val sb = new StringBuilder
-    sb.append("WITH s0 AS MATERIALIZED (SELECT doc_id, text AS s FROM documents)")
+    sb.append("WITH s0 AS MATERIALIZED (SELECT doc_id, text, text AS s FROM documents)")
     for (r <- 1 to rounds) {
       sb.append(s""",
 p$r AS (SELECT p, COUNT(*) AS c FROM (
@@ -2142,12 +2144,18 @@ p$r AS (SELECT p, COUNT(*) AS c FROM (
          FROM (SELECT string_split(s, ' ') AS t FROM s${r - 1}))
        GROUP BY p),
 m$r AS MATERIALIZED (SELECT p, c FROM p$r ORDER BY c DESC, p LIMIT 1)""")
-      if (r < rounds) sb.append(s""",
-s$r AS MATERIALIZED (SELECT doc_id, trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
+      if (r <= lastSub) sb.append(s""",
+s$r AS MATERIALIZED (SELECT doc_id, text, trim(replace(replace(' ' || replace(s, ' ', '  ') || ' ',
          (SELECT ' ' || replace(p, ' ', '  ') || ' ' FROM m$r),
          (SELECT ' ' || replace(p, ' ', '${"§"}') || ' ' FROM m$r)), '  ', ' ')) AS s
        FROM s${r - 1})""")
     }
+    sb
+  }
+
+  private val bpeOracle: String = {
+    val rounds = 10
+    val sb = bpeChain(rounds, rounds - 1)
     sb.append("\nSELECT * FROM (\n")
     sb.append((1 to rounds).map(r =>
       s"SELECT $r AS step, split_part(p, ' ', 1) AS lhs, " +
@@ -2179,33 +2187,42 @@ s$r AS MATERIALIZED (SELECT doc_id, trim(replace(replace(' ' || replace(s, ' ', 
     * passes); a production trainer would checkpoint the corpus string
     * every few rounds — the round structure is unchanged.
     */
+  /** The shared BPE learn+apply loop (see q76's scaladoc for the scale
+    * shape): `rounds` iterations of pair-count → one-row argmax collect
+    * → corpus-wide codegen'd substitution. Returns the learned merge
+    * rows and the fully-encoded corpus frame (doc_id, text, s). */
+  private def bpeLearnApply(s: SparkSession, d: String, rounds: Int)
+      : (Seq[org.apache.spark.sql.Row], DataFrame) = {
+    var cur = documents(s, d).select(col("doc_id"), col("text"), col("text").as("s"))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for (step <- 1 to rounds) {
+      val toks = cur.select(split(col("s"), " ").as("t")).filter(size(col("t")) >= 2)
+      val pairs = toks.select(
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat(element_at(col("t"), i), lit(" "),
+            element_at(col("t"), i + 1)))).as("p"))
+      // bounded collect: exactly one row — the round's winning pair
+      val top = pairs.groupBy(col("p")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("p").asc).limit(1).collect()
+      if (top.nonEmpty) {
+        val p = top(0).getString(0)
+        val Array(lhs, rhs) = p.split(" ", 2)
+        learned += org.apache.spark.sql.Row(step, lhs, rhs, top(0).getLong(1))
+        val target = " " + p.replace(" ", "  ") + " "
+        val repl = " " + p.replace(" ", "§") + " "
+        cur = cur.select(col("doc_id"), col("text"),
+          trim(replace(replace(
+            concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+            lit(target), lit(repl)), lit("  "), lit(" "))).as("s"))
+      }
+    }
+    (learned.toSeq, cur)
+  }
+
   val q76 = Q(
     "q76_bpe_merges",
     (s, d) => {
-      val rounds = 10
-      var cur = documents(s, d).select(col("doc_id"), col("text").as("s"))
-      val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-      for (step <- 1 to rounds) {
-        val toks = cur.select(split(col("s"), " ").as("t")).filter(size(col("t")) >= 2)
-        val pairs = toks.select(
-          explode(transform(sequence(lit(1), size(col("t")) - 1),
-            i => concat(element_at(col("t"), i), lit(" "),
-              element_at(col("t"), i + 1)))).as("p"))
-        // bounded collect: exactly one row — the round's winning pair
-        val top = pairs.groupBy(col("p")).agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("p").asc).limit(1).collect()
-        if (top.nonEmpty) {
-          val p = top(0).getString(0)
-          val Array(lhs, rhs) = p.split(" ", 2)
-          learned += org.apache.spark.sql.Row(step, lhs, rhs, top(0).getLong(1))
-          val target = " " + p.replace(" ", "  ") + " "
-          val repl = " " + p.replace(" ", "§") + " "
-          cur = cur.select(col("doc_id"),
-            trim(replace(replace(
-              concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
-              lit(target), lit(repl)), lit("  "), lit(" "))).as("s"))
-        }
-      }
+      val (learned, _) = bpeLearnApply(s, d, 10)
       val sch = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("step",
           org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -2217,10 +2234,48 @@ s$r AS MATERIALIZED (SELECT doc_id, trim(replace(replace(' ' || replace(s, ' ', 
           org.apache.spark.sql.types.LongType, nullable = false)))
       s.createDataFrame(
         new java.util.ArrayList(scala.jdk.CollectionConverters
-          .SeqHasAsJava(learned.toSeq).asJava), sch)
+          .SeqHasAsJava(learned).asJava), sch)
         .orderBy(col("step"))
     },
     Some(bpeOracle))
+
+  /** BPE ENCODING with the learned merges — the apply half of the
+    * tokenizer story q76's trainer starts: run the same 10 learn+apply
+    * rounds, then report per document the token count before and after
+    * encoding, the compression ratio, and the encoded text's identity
+    * (merged symbols joined with '§'). This is the number a tokenizer
+    * change is judged by — corpus tokens saved — computed corpus-wide.
+    * Scale shape is q76's: per round one map-side-combined pair count
+    * plus a ONE-ROW argmax collect, substitutions are pure codegen'd
+    * string expressions; the final per-doc accounting is row-local
+    * (two splits + md5), no joins, no windows. */
+  private val bpeEncodeOracle: String = {
+    val rounds = 10
+    val sb = bpeChain(rounds, rounds)
+    sb.append(s"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_before,
+  CAST(len(string_split(s, ' ')) AS BIGINT) AS n_after,
+  ROUND(CAST(len(string_split(text, ' ')) AS DOUBLE) /
+        CAST(len(string_split(s, ' ')) AS DOUBLE), 4) AS compression,
+  md5(s) AS enc_md5
+FROM s$rounds ORDER BY doc_id""")
+    sb.toString
+  }
+
+  val q79 = Q(
+    "q79_bpe_encode",
+    (s, d) => {
+      val (_, enc) = bpeLearnApply(s, d, 10)
+      enc.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_before"),
+        size(split(col("s"), " ")).cast(LongType).as("n_after"),
+        round(size(split(col("text"), " ")).cast(DoubleType) /
+          size(split(col("s"), " ")).cast(DoubleType), 4).as("compression"),
+        md5(col("s")).as("enc_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(bpeEncodeOracle))
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document by the corpus unigram LM (q62's mean token log-probability,
@@ -2352,5 +2407,5 @@ s$r AS MATERIALIZED (SELECT doc_id, trim(replace(replace(' ' || replace(s, ' ', 
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78)
+      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79)
 }
