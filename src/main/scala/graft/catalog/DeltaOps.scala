@@ -191,7 +191,9 @@ private class LakehouseDeltaWrite(
       DeltaTaskWriterFactory(
         dataF, dataConf, base.schema, tableDir.resolve(dataRel).toString,
         keyF, keyConf, delSchema, tableDir.resolve(delRel).toString,
-        positional = keyIdentity.isEmpty)
+        positional = keyIdentity.isEmpty,
+        // CHECK constraints guard the MERGE/UPDATE-written row versions
+        checks = CheckConstraints.rowChecks(spark, base.schema, base.properties))
     }
 
     override def useCommitCoordinator(): Boolean = true
@@ -268,7 +270,8 @@ private case class DeltaTaskWriterFactory(
     keyConf: org.apache.spark.util.SerializableConfiguration,
     keySchema: StructType,
     keyDir: String,
-    positional: Boolean)
+    positional: Boolean,
+    checks: Option[CheckConstraints.RowChecks])
   extends DeltaWriterFactory {
 
   import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, JobID, TaskType}
@@ -291,7 +294,7 @@ private case class DeltaTaskWriterFactory(
     new LakehouseDeltaWriter(
       () => open(dataFactory, dataConf, dataSchema, dataDir, partitionId, taskId),
       () => open(keyFactory, keyConf, keySchema, keyDir, partitionId, taskId),
-      positional)
+      positional, checks)
 }
 
 /** Per-task delta writer. Spark's DeltaWritingSparkTask has already
@@ -304,7 +307,8 @@ private case class DeltaTaskWriterFactory(
 private class LakehouseDeltaWriter(
     mkData: () => (org.apache.spark.sql.execution.datasources.OutputWriter, String),
     mkKeys: () => (org.apache.spark.sql.execution.datasources.OutputWriter, String),
-    positional: Boolean)
+    positional: Boolean,
+    checks: Option[CheckConstraints.RowChecks])
   extends DeltaWriter[InternalRow] {
 
   import org.apache.spark.sql.execution.datasources.OutputWriter
@@ -323,7 +327,10 @@ private class LakehouseDeltaWriter(
   }
   private val reuse = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
 
-  override def insert(row: InternalRow): Unit = data.write(row)
+  override def insert(row: InternalRow): Unit = {
+    checks.foreach(_.validate(row))
+    data.write(row)
+  }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
     if (positional) {

@@ -386,6 +386,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
+    CheckConstraints.validate(spark, schema, cleanProps(properties))
     val meta = TableMetadata(
       version = 1, name = ident.name, schema = schema,
       partitionColumns = partCols,
@@ -411,6 +412,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
+    CheckConstraints.validate(spark, schema, cleanProps(properties))
     new StagedLakehouseTable(spark, fullName(ident), dir, 1, schema,
       partCols, cleanProps(properties) ++ bucketProps, Seq.empty, "create")
   }
@@ -429,6 +431,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
+    CheckConstraints.validate(spark, schema, cleanProps(properties))
     new StagedLakehouseTable(spark, fullName(ident), dir, current.version + 1, schema,
       partCols, cleanProps(properties) ++ bucketProps,
       current.snapshots, "replace")
@@ -480,6 +483,16 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val updated = changes.foldLeft(current) { (m, change) =>
       change match {
         case set: TableChange.SetProperty =>
+          // a new/changed CHECK constraint must resolve against the
+          // CURRENT schema and hold on the EXISTING rows (Delta's ADD
+          // CONSTRAINT gate) — refusing here keeps every committed
+          // constraint trustworthy at read time
+          if (set.property.startsWith(CheckConstraints.Prefix) &&
+            !m.properties.get(set.property).contains(set.value)) {
+            val name = set.property.drop(CheckConstraints.Prefix.length)
+            CheckConstraints.resolveBound(spark, m.schema, name, set.value)
+            CheckConstraints.verifyExisting(spark, dir, m, name, set.value)
+          }
           m.copy(properties = m.properties + (set.property -> set.value))
         case rm: TableChange.RemoveProperty =>
           m.copy(properties = m.properties - rm.property)
@@ -569,6 +582,9 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     // a SET TBLPROPERTIES that declares a write sort order (or a DROP
     // COLUMN that orphans one) must fail here, not at first write
     WriteSortOrder.validate(updated.schema, updated.properties)
+    // schema changes must not orphan a CHECK constraint either (e.g.
+    // DROP COLUMN referenced by one): re-resolve every survivor
+    CheckConstraints.validate(spark, updated.schema, updated.properties)
     // property-only alters rebase mechanically onto concurrent commits;
     // schema alters racing anything make commitOrRebase decline, and
     // the caller loop above re-derives them from the fresh snapshot

@@ -65,11 +65,29 @@ class LakehouseStreamingWrite(
       .toBatch
     pending = Some((stagingRel, innerWrite))
     val delegate: DataWriterFactory = innerWrite.createBatchWriterFactory(pInfo)
+    // CHECK constraints guard every streamed row before it reaches the
+    // epoch's staging files — same row-local predicate the delta DML
+    // writers compile, zero overhead when the table declares none
+    val checks = CheckConstraints.rowChecks(spark, meta.schema, meta.properties)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
           org.apache.spark.sql.connector.write.DataWriter[
-            org.apache.spark.sql.catalyst.InternalRow] =
-        delegate.createWriter(partitionId, taskId)
+            org.apache.spark.sql.catalyst.InternalRow] = {
+        val inner = delegate.createWriter(partitionId, taskId)
+        checks match {
+          case None => inner
+          case Some(c) =>
+            new org.apache.spark.sql.connector.write.DataWriter[
+                org.apache.spark.sql.catalyst.InternalRow] {
+              override def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+                c.validate(r); inner.write(r)
+              }
+              override def commit(): WriterCommitMessage = inner.commit()
+              override def abort(): Unit = inner.abort()
+              override def close(): Unit = inner.close()
+            }
+        }
+      }
     }
   }
 

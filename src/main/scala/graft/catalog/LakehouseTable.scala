@@ -493,12 +493,18 @@ class LakehouseTable(
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwriteParam: Boolean): Unit =
+            override def insert(rawData: DataFrame, overwriteParam: Boolean): Unit = {
+              // CHECK constraints guard every batch write of new rows
+              // here — INSERT, INSERT OVERWRITE, CTAS and the COW DML
+              // rewrites all funnel through this one InsertableRelation
+              val data = CheckConstraints.enforce(
+                rawData, TableMetadata.load(tableDir).properties)
               if (dynamicPartitions) Maintenance.overwritePartitionsAt(spark, tableDir, data)
               else overwriteFilters match {
                 case Some(filters) => commitOverwriteWhere(data, filters)
                 case None => commitInsert(data, truncateAll || overwriteParam)
               }
+            }
           }
         // writeStream.toTable: per-epoch staged parquet + watermarked
         // atomic publish (exactly-once under micro-batch replay);

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Write-time CHECK constraints (`'graft.check.<name>' = '<bool expr>'`,
+  * the Delta ADD CONSTRAINT surface as table properties): a row
+  * violates iff the expression is FALSE (NULL passes — SQL UNKNOWN);
+  * every write path that produces new rows enforces row-locally, and
+  * declaring a constraint over existing data verifies it first.
+  */
+class CheckConstraintSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rootCause(t: Throwable): Throwable = {
+    var c = t
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    c
+  }
+
+  test("INSERT refuses violating rows with the constraint name; valid rows pass") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t1 (k INT, v STRING) TBLPROPERTIES (" +
+        "'graft.check.k_pos' = 'k > 0')")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("chk_ok")
+    spark.sql("INSERT INTO lakehouse.chk.t1 SELECT * FROM chk_ok")
+    spark.table("lakehouse.chk.t1").count() shouldBe 2
+
+    Seq((3, "c"), (-1, "bad")).toDF("k", "v").createOrReplaceTempView("chk_bad")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lakehouse.chk.t1 SELECT * FROM chk_bad")
+    }
+    rootCause(e).getMessage should include("k_pos")
+    // the failed write landed nothing
+    spark.table("lakehouse.chk.t1").count() shouldBe 2
+    spark.sql("DROP TABLE lakehouse.chk.t1")
+  }
+
+  test("NULL check results pass (SQL UNKNOWN rule)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t2 (k INT, v STRING) TBLPROPERTIES (" +
+        "'graft.check.k_pos' = 'k > 0')")
+    Seq((Some(1), "a"), (None, "nullk")).toDF("k", "v").createOrReplaceTempView("chk_null")
+    spark.sql("INSERT INTO lakehouse.chk.t2 SELECT * FROM chk_null")
+    spark.table("lakehouse.chk.t2").count() shouldBe 2
+    spark.sql("DROP TABLE lakehouse.chk.t2")
+  }
+
+  test("adding a constraint verifies existing rows; violating table refuses the DDL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql("CREATE TABLE lakehouse.chk.t3 (k INT, v STRING)")
+    Seq((1, "a"), (-5, "neg")).toDF("k", "v").createOrReplaceTempView("chk_pre")
+    spark.sql("INSERT INTO lakehouse.chk.t3 SELECT * FROM chk_pre")
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE lakehouse.chk.t3 SET TBLPROPERTIES ('graft.check.k_pos' = 'k > 0')")
+    }
+    rootCause(e).getMessage should include("1 existing")
+    // constraint NOT committed
+    spark.sql("SHOW TBLPROPERTIES lakehouse.chk.t3").collect()
+      .map(_.getString(0)) should not contain "graft.check.k_pos"
+
+    // a satisfiable constraint lands and guards future writes
+    spark.sql(
+      "ALTER TABLE lakehouse.chk.t3 SET TBLPROPERTIES ('graft.check.k_big' = 'k > -10')")
+    Seq((-50, "way")).toDF("k", "v").createOrReplaceTempView("chk_post")
+    intercept[Exception] {
+      spark.sql("INSERT INTO lakehouse.chk.t3 SELECT * FROM chk_post")
+    }
+    spark.sql("DROP TABLE lakehouse.chk.t3")
+  }
+
+  test("declaration-time validation: unknown column, non-boolean, nondeterministic") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    def bad(props: String): Throwable = {
+      val name = s"b${props.hashCode.abs % 1000}"
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE lakehouse.chk.$name (k INT) TBLPROPERTIES ($props)")
+      }
+    }
+    rootCause(bad("'graft.check.c1' = 'nope > 0'")).getMessage should
+      include("does not resolve")
+    rootCause(bad("'graft.check.c2' = 'k + 1'")).getMessage should
+      include("must be BOOLEAN")
+    rootCause(bad("'graft.check.c3' = 'rand() > 0.5'")).getMessage should
+      include("deterministic")
+  }
+
+  test("dropping a column referenced by a constraint is refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t4 (k INT, v STRING) TBLPROPERTIES (" +
+        "'graft.check.k_pos' = 'k > 0')")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.chk.t4 DROP COLUMN k")
+    }
+    rootCause(e).getMessage.toLowerCase should include("does not resolve")
+    spark.sql("DROP TABLE lakehouse.chk.t4")
+  }
+
+  test("merge-on-read MERGE enforces constraints on inserted and updated versions") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t5 (id INT, amt DOUBLE) TBLPROPERTIES (" +
+        "'graft.check.amt_pos' = 'amt >= 0', 'write.merge.mode' = 'merge-on-read')")
+    Seq((1, 10.0), (2, 20.0)).toDF("id", "amt").createOrReplaceTempView("chk_m_base")
+    spark.sql("INSERT INTO lakehouse.chk.t5 SELECT * FROM chk_m_base")
+
+    // violating UPDATE version via MERGE
+    Seq((2, -5.0)).toDF("id", "amt").createOrReplaceTempView("chk_m_upd")
+    val e1 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO lakehouse.chk.t5 t USING chk_m_upd s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.amt = s.amt""".stripMargin)
+    }
+    rootCause(e1).getMessage should include("amt_pos")
+    spark.table("lakehouse.chk.t5").where($"id" === 2)
+      .select($"amt").collect().head.getDouble(0) shouldBe 20.0
+
+    // violating INSERT via MERGE
+    Seq((9, -1.0)).toDF("id", "amt").createOrReplaceTempView("chk_m_ins")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO lakehouse.chk.t5 t USING chk_m_ins s ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)""".stripMargin)
+    }
+    rootCause(e2).getMessage should include("amt_pos")
+    spark.table("lakehouse.chk.t5").count() shouldBe 2
+
+    // a clean MERGE still works
+    Seq((3, 30.0)).toDF("id", "amt").createOrReplaceTempView("chk_m_ok")
+    spark.sql(
+      """MERGE INTO lakehouse.chk.t5 t USING chk_m_ok s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)""".stripMargin)
+    spark.table("lakehouse.chk.t5").count() shouldBe 3
+    spark.sql("DROP TABLE lakehouse.chk.t5")
+  }
+
+  test("streaming epochs enforce constraints row-locally") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t6 (k INT, v STRING) TBLPROPERTIES (" +
+        "'graft.check.k_pos' = 'k > 0')")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("chk-ckpt-").toString
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.chk.t6")
+    try {
+      in.addData((1, "ok"))
+      q.processAllAvailable()
+      spark.table("lakehouse.chk.t6").count() shouldBe 1
+
+      in.addData((-7, "bad"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      rootCause(e).getMessage should include("k_pos")
+      // the violating epoch published nothing
+      spark.table("lakehouse.chk.t6").count() shouldBe 1
+    } finally q.stop()
+    spark.sql("DROP TABLE lakehouse.chk.t6")
+  }
+}
