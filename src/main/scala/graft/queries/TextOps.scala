@@ -2214,6 +2214,18 @@ s$r AS MATERIALIZED (SELECT doc_id, text, trim(replace(replace(' ' || replace(s,
           trim(replace(replace(
             concat(lit(" "), replace(col("s"), lit(" "), lit("  ")), lit(" ")),
             lit(target), lit(repl)), lit("  "), lit(" "))).as("s"))
+        // Checkpoint the corpus string every 3 rounds: without the cut,
+        // round r's pair count re-derives ALL r-1 substitutions from
+        // the raw scan (Σ = 55 passes over 10 rounds — the lineage is
+        // linear so ReuseExchange can't help across jobs). The pin
+        // bounds recompute depth at ≤3 passes per round.
+        // Measured (sf0.1, ProbeBpe A/B via graft.checkpoint.disable,
+        // min of 3): q76 5.72s → 4.23s, q79 6.49s → 4.59s — the
+        // residual is the string work itself, paid once per round
+        // instead of once per remaining round. At 100 TB this is what
+        // keeps a trainer O(rounds · corpus), not O(rounds² · corpus).
+        if (step % 3 == 0 && step < rounds)
+          cur = graft.Materialize.pin(cur)
       }
     }
     (learned.toSeq, cur)
