@@ -31,6 +31,17 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog with FunctionCatalog with ViewCatalog
     with ProcedureCatalog {
 
+  /** Column DEFAULT values (Iceberg v3's initial/write defaults):
+    * declaring the capability makes Spark's analyzer accept `DEFAULT`
+    * in CREATE/REPLACE TABLE and fill missing INSERT columns with the
+    * CURRENT_DEFAULT; the EXISTS_DEFAULT ("initial default") rides the
+    * schema's field metadata into parquet read planning, where Spark's
+    * readers substitute it for columns physically absent from a file —
+    * so `ALTER TABLE ADD COLUMN ... DEFAULT v` backfills old files
+    * metadata-only, no rewrite (see the AddColumn branch below). */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ---- ProcedureCatalog: CALL <cat>.system.<proc>(...) ---------------------
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
@@ -514,7 +525,23 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           if (m.schema.fieldNames.contains(addName))
             throw new UnsupportedOperationException(
               s"ADD COLUMN $addName: column already exists on ${m.name}")
-          m.copy(schema = m.schema.add(addName, add.dataType, add.isNullable))
+          // DEFAULT: encode CURRENT_DEFAULT (fills future INSERTs) and
+          // EXISTS_DEFAULT (what files written BEFORE this column read
+          // as — the Iceberg v3 initial-default) into field metadata
+          // under the analyzer's documented keys. EXISTS_DEFAULT uses
+          // the constant-folded literal, never the raw expression —
+          // old rows must read the value frozen at ADD COLUMN time.
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          Option(add.comment).foreach(mb.putString("comment", _))
+          Option(add.defaultValue).foreach { dv =>
+            val folded = org.apache.spark.sql.catalyst.expressions.Literal(
+              dv.getValue.value, dv.getValue.dataType).sql
+            mb.putString("CURRENT_DEFAULT", Option(dv.getSql).getOrElse(folded))
+            mb.putString("EXISTS_DEFAULT", folded)
+          }
+          m.copy(schema = StructType(m.schema.fields :+
+            org.apache.spark.sql.types.StructField(
+              addName, add.dataType, add.isNullable, mb.build())))
         case ren: TableChange.RenameColumn =>
           require(ren.fieldNames.length == 1, "nested RENAME COLUMN not supported")
           // Column resolution against parquet is NAME-based (no Iceberg
@@ -541,6 +568,25 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           m.copy(
             schema = StructType(m.schema.fields.filterNot(_.name == delName)),
             properties = tombstoned)
+        case upd: TableChange.UpdateColumnDefaultValue =>
+          // ALTER COLUMN ... SET/DROP DEFAULT changes only the
+          // CURRENT_DEFAULT (future INSERTs); the EXISTS_DEFAULT stays
+          // frozen — rows in files written before the column existed
+          // must keep reading the value in force when it was added
+          require(upd.fieldNames.length == 1, "nested ALTER COLUMN not supported")
+          val updName = upd.fieldNames.head
+          val i = m.schema.fieldNames.indexOf(updName)
+          if (i < 0) throw new UnsupportedOperationException(
+            s"ALTER COLUMN $updName: no such column on ${m.name}")
+          val old = m.schema.fields(i)
+          val mb2 = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(old.metadata)
+          Option(upd.newDefaultValue).filter(_.nonEmpty) match {
+            case Some(sql) => mb2.putString("CURRENT_DEFAULT", sql)
+            case None => mb2.remove("CURRENT_DEFAULT")
+          }
+          m.copy(schema = StructType(m.schema.fields.updated(i,
+            old.copy(metadata = mb2.build()))))
         case upd: TableChange.UpdateColumnType =>
           require(upd.fieldNames.length == 1, "nested ALTER COLUMN not supported")
           val name = upd.fieldNames.head
