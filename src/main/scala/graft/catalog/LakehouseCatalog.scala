@@ -39,8 +39,28 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     * readers substitute it for columns physically absent from a file —
     * so `ALTER TABLE ADD COLUMN ... DEFAULT v` backfills old files
     * metadata-only, no rewrite (see the AddColumn branch below). */
+  /** CREATE TABLE with inline `CONSTRAINT nm CHECK (...)` arrives via
+    * the TableInfo overload; the default delegation would silently DROP
+    * the constraints — map them to graft.check.* properties first so
+    * the declaration survives and enforces from the first insert. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val checkProps = info.constraints().map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        CheckConstraints.Prefix + c.name -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported (got ${other.toDDL})")
+    }.toMap
+    val props = new java.util.HashMap[String, String](info.properties())
+    checkProps.foreach { case (k, v) => props.put(k, v) }
+    createTable(ident, info.schema(), info.partitions(), props)
+  }
+
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // ALTER TABLE ADD/DROP CONSTRAINT ... CHECK — the native SQL face
+      // of the graft.check.* property machinery (CheckConstraints)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   // ---- ProcedureCatalog: CALL <cat>.system.<proc>(...) ---------------------
 
@@ -493,6 +513,27 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val current = TableMetadata.load(dir)
     val updated = changes.foldLeft(current) { (m, change) =>
       change match {
+        case addC: TableChange.AddConstraint =>
+          // native SQL face of graft.check.*: ALTER TABLE ADD
+          // CONSTRAINT nm CHECK (expr) stores the property after the
+          // same resolve + existing-rows verification as a property SET
+          addC.constraint() match {
+            case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              val sql = c.predicateSql()
+              CheckConstraints.resolveBound(spark, m.schema, c.name, sql)
+              CheckConstraints.verifyExisting(spark, dir, m, c.name, sql)
+              m.copy(properties =
+                m.properties + (CheckConstraints.Prefix + c.name -> sql))
+            case other => throw new UnsupportedOperationException(
+              s"only CHECK constraints are supported (got ${other.toDDL}); declare " +
+                "PRIMARY KEY/UNIQUE intent via 'graft.key' table properties instead")
+          }
+        case dropC: TableChange.DropConstraint =>
+          val key = CheckConstraints.Prefix + dropC.name
+          if (!m.properties.contains(key) && !dropC.ifExists)
+            throw new UnsupportedOperationException(
+              s"no such CHECK constraint: ${dropC.name}")
+          m.copy(properties = m.properties - key)
         case set: TableChange.SetProperty =>
           // a new/changed CHECK constraint must resolve against the
           // CURRENT schema and hold on the EXISTING rows (Delta's ADD

@@ -82,6 +82,18 @@ class LakehouseTable(
 
   override def properties(): java.util.Map[String, String] = meta.properties.asJava
 
+  /** The declared CHECK constraints, reported through the DSv2
+    * constraint surface (DESCRIBE shows them; they were verified
+    * against existing rows when added, hence VALID + enforced). */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    CheckConstraints.constraintsOf(meta.properties).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .validationStatus(
+          org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ,

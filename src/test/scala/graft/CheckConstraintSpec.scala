@@ -141,6 +141,49 @@ class CheckConstraintSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.chk.t5")
   }
 
+  test("native SQL surface: ADD CONSTRAINT ... CHECK / DROP CONSTRAINT") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql("CREATE TABLE lakehouse.chk.t7 (k INT, v STRING)")
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("chk_n_base")
+    spark.sql("INSERT INTO lakehouse.chk.t7 SELECT * FROM chk_n_base")
+
+    spark.sql("ALTER TABLE lakehouse.chk.t7 ADD CONSTRAINT k_pos CHECK (k > 0)")
+    // the constraint enforces like a property-declared one
+    Seq((-2, "bad")).toDF("k", "v").createOrReplaceTempView("chk_n_bad")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lakehouse.chk.t7 SELECT * FROM chk_n_bad")
+    }
+    rootCause(e).getMessage should include("k_pos")
+
+    // ADD CONSTRAINT verifies existing rows like the property path
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.chk.t7 ADD CONSTRAINT k_big CHECK (k > 100)")
+    }
+    rootCause(e2).getMessage should include("existing")
+
+    // DROP CONSTRAINT lifts enforcement
+    spark.sql("ALTER TABLE lakehouse.chk.t7 DROP CONSTRAINT k_pos")
+    spark.sql("INSERT INTO lakehouse.chk.t7 SELECT * FROM chk_n_bad")
+    spark.table("lakehouse.chk.t7").count() shouldBe 2
+    // dropping a missing constraint without IF EXISTS fails
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.chk.t7 DROP CONSTRAINT nope")
+    }
+    spark.sql("DROP TABLE lakehouse.chk.t7")
+  }
+
+  test("inline CREATE TABLE constraint survives and enforces from the first insert") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t8 (k INT, v STRING, CONSTRAINT k_pos CHECK (k > 0))")
+    Seq((-1, "bad")).toDF("k", "v").createOrReplaceTempView("chk_i_bad")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lakehouse.chk.t8 SELECT * FROM chk_i_bad")
+    }
+    rootCause(e).getMessage should include("k_pos")
+    spark.sql("DROP TABLE lakehouse.chk.t8")
+  }
+
   test("streaming epochs enforce constraints row-locally") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
     spark.sql(
