@@ -286,7 +286,7 @@ object BloomIndex {
     val bdir = bloomsDir(tableDir)
     if (!Files.isDirectory(bdir)) return 0
     val keep = liveFiles.map(sidecarPrefix)
-    val doomed = Files.list(bdir).iterator().asScala
+    val doomed = Fs.children(bdir).iterator
       .filter(p => !keep.exists(p.getFileName.toString.startsWith))
       .toList
     doomed.foreach(Files.deleteIfExists(_))

@@ -130,14 +130,14 @@ private[catalog] class ChangelogStaging(
       // plausibly in use; past the TTL it is an abandoned staging of a
       // finished query and safe to reclaim.
       val cutoff = System.currentTimeMillis() - ChangelogStaging.BatchReapTtlMs
-      Files.list(stagingRoot).iterator().asScala
+      Fs.children(stagingRoot).iterator
         .filter(d => d.getFileName.toString match {
           case WindowDir(_, _, _) =>
             d != dir && Files.getLastModifiedTime(d).toMillis < cutoff
           case _ => false
         })
         .foreach { d =>
-          Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          Fs.walk(d).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
         }
     }
     val success = dir.resolve("_SUCCESS")
@@ -146,7 +146,7 @@ private[catalog] class ChangelogStaging(
       windowDf(fromV, toV).write.mode("overwrite").parquet(dir.toString)
     }
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+    Fs.children(dir).iterator
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
   }
 
@@ -215,7 +215,7 @@ private[catalog] class ChangelogStaging(
   /** Windows whose end is at or below `endV` can never be needed again. */
   def reapThrough(endV: Int): Unit = {
     if (!Files.isDirectory(stagingRoot)) return
-    Files.list(stagingRoot).iterator().asScala
+    Fs.children(stagingRoot).iterator
       .filter { d =>
         d.getFileName.toString match {
           case WindowDir(_, to, _) => to.toInt <= endV
@@ -223,7 +223,7 @@ private[catalog] class ChangelogStaging(
         }
       }
       .foreach { d =>
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Fs.walk(d).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }
   }
 

@@ -131,7 +131,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!isNamespace(ns)) throw new NoSuchNamespaceException(ns)
     val vd = viewsDir(ns)
     if (!Files.isDirectory(vd)) Array.empty
-    else Files.list(vd).iterator().asScala
+    else Fs.children(vd).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".json"))
       .map(n => Identifier.of(ns, n.stripSuffix(".json"))).toArray.sortBy(_.name)
   }
@@ -252,7 +252,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!isNamespace(ns)) throw new NoSuchNamespaceException(ns)
     val dir = nsDir(ns)
     if (!Files.isDirectory(dir)) return Array.empty
-    Files.list(dir).iterator().asScala
+    Fs.children(dir).iterator
       .filter(p => Files.exists(p.resolve("_namespace.json")))
       .map(p => ns :+ p.getFileName.toString)
       .toArray
@@ -298,7 +298,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!isNamespace(ns)) throw new NoSuchNamespaceException(ns)
     val dir = nsDir(ns)
     if (!Files.isDirectory(dir)) return Array.empty
-    Files.list(dir).iterator().asScala
+    Fs.children(dir).iterator
       .filter(p => TableMetadata.exists(p))
       .map(p => Identifier.of(ns, p.getFileName.toString))
       .toArray
@@ -714,7 +714,8 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
 
   private def deleteRecursively(dir: Path): Unit =
     if (Files.exists(dir))
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      Fs.walk(dir).sorted(Ordering[String].on[Path](_.toString).reverse)
+        .foreach(p => Files.delete(p))
 }
 
 object LakehouseCatalog {

@@ -109,7 +109,7 @@ class LakehouseStreamingWrite(
     val stagingDir = tableDir.resolve(stagingRel)
     val newFiles =
       if (!Files.isDirectory(stagingDir)) Seq.empty
-      else Files.list(stagingDir).iterator().asScala
+      else Fs.children(stagingDir).iterator
         .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
         .map(n => s"$stagingRel/$n").toSeq.sorted
     val meta = TableMetadata.load(tableDir)
@@ -135,7 +135,7 @@ class LakehouseStreamingWrite(
       finally {
         val stagingDir = tableDir.resolve(stagingRel)
         if (Files.isDirectory(stagingDir)) {
-          Files.walk(stagingDir).iterator().asScala.toSeq.reverse
+          Fs.walk(stagingDir).iterator.toSeq.reverse
             .foreach(Files.deleteIfExists(_))
         }
       }

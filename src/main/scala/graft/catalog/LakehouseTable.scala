@@ -653,7 +653,7 @@ class LakehouseTable(
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     kept.write.parquet(commitDir.toString)
 
-    val newFiles = Files.list(commitDir).iterator().asScala
+    val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n")
@@ -783,7 +783,7 @@ class LakehouseTable(
     data.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     clustered.write.parquet(commitDir.toString)
 
-    val newFiles = Files.list(commitDir).iterator().asScala
+    val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet"))
       .map(n => s"$commitRel/$n")

@@ -208,7 +208,7 @@ object Maintenance {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     clustered.write.parquet(commitDir.toString)
 
-    val newFiles = Files.list(commitDir).iterator().asScala
+    val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
@@ -406,7 +406,7 @@ object Maintenance {
     }
     val newFiles =
       if (df.isEmpty) Nil
-      else Files.list(commitDir).iterator().asScala
+      else Fs.children(commitDir).iterator
         .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
         .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
@@ -521,7 +521,7 @@ object Maintenance {
     }
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     clustered.write.parquet(commitDir.toString)
-    val newFiles = Files.list(commitDir).iterator().asScala
+    val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     watermarkedPublish(spark, dir, newFiles, start.schema, start.properties,
@@ -634,7 +634,7 @@ object Maintenance {
     MergeOnRead.shapeDeleteWrite(spark, batchKeys, keyColumns.map(batchKeys.col),
         footers.values.map(_.rows).sum)
       .write.parquet(dir.resolve(delRel).toString)
-    val delFiles = Files.list(dir.resolve(delRel)).iterator().asScala
+    val delFiles = Fs.children(dir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
     val delFooters = delFiles.map { f =>
@@ -645,14 +645,14 @@ object Maintenance {
         Files.deleteIfExists(dir.resolve(f))
         val bdir = BloomIndex.bloomsDir(dir)
         if (Files.isDirectory(bdir)) {
-          Files.list(bdir).iterator().asScala
+          Fs.children(bdir).iterator
             .filter(_.getFileName.toString.startsWith(BloomIndex.sidecarPrefix(f)))
             .foreach(Files.deleteIfExists(_))
         }
       }
       val d = dir.resolve(delRel)
       if (Files.isDirectory(d)) {
-        Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Fs.walk(d).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }
     }
 
@@ -723,7 +723,7 @@ object Maintenance {
       } else newData
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     clustered.write.parquet(commitDir.toString)
-    val newFiles = Files.list(commitDir).iterator().asScala
+    val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
@@ -1215,7 +1215,7 @@ object Maintenance {
     val bdir = branchLogDir(dir, name)
     val versions =
       if (!Files.isDirectory(bdir)) Seq.empty[Int]
-      else Files.list(bdir).iterator().asScala
+      else Fs.children(bdir).iterator
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
           s.stripPrefix("v").stripSuffix(".json").toInt
@@ -1294,7 +1294,7 @@ object Maintenance {
       } else aligned
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     clustered.write.parquet(dir.resolve(rel).toString)
-    val newFiles = Files.list(dir.resolve(rel)).iterator().asScala
+    val newFiles = Fs.children(dir.resolve(rel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
@@ -1341,7 +1341,7 @@ object Maintenance {
     MergeOnRead.shapeDeleteWrite(spark, pinned, keyCols.map(pinned.col), pinned.count())
       .write.parquet(dir.resolve(delRel).toString)
     val conf = spark.sessionState.newHadoopConf()
-    val delFiles = Files.list(dir.resolve(delRel)).iterator().asScala
+    val delFiles = Fs.children(dir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
     val footers = delFiles.map { f =>
@@ -1355,7 +1355,7 @@ object Maintenance {
     if (keyRows == 0) {
       val staging = dir.resolve(delRel)
       if (Files.isDirectory(staging)) {
-        Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Fs.walk(staging).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
       }
       return 0
     }
@@ -1501,7 +1501,7 @@ object Maintenance {
     commitPropertyChange(dir, s"drop-branch($name)", _ - (BranchPrefix + name))
     val bdir = branchLogDir(dir, name)
     if (Files.isDirectory(bdir)) {
-      Files.walk(bdir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.walk(bdir).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 
@@ -1782,7 +1782,7 @@ object Maintenance {
     val cutoff = System.currentTimeMillis() - retentionMs
     val deletesDir = dir.resolve("deletes")
     val roots = Seq(dataDir) ++ (if (Files.isDirectory(deletesDir)) Seq(deletesDir) else Nil)
-    val all = roots.flatMap(root => Files.walk(root).iterator().asScala
+    val all = roots.flatMap(root => Fs.walk(root).iterator
       .filter(p => Files.isRegularFile(p))
       .map(p => dir.relativize(p).toString)
       .toList)
@@ -1793,8 +1793,8 @@ object Maintenance {
     }
     doomed.foreach(f => Files.deleteIfExists(dir.resolve(f)))
     // drop now-empty commit directories
-    roots.foreach(root => Files.list(root).iterator().asScala.toList.foreach { d =>
-      if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.delete(d)
+    roots.foreach(root => Fs.children(root).iterator.toList.foreach { d =>
+      if (Files.isDirectory(d) && Fs.children(d).isEmpty) Files.delete(d)
     })
     // bloom sidecars of unretained files go with them
     BloomIndex.vacuumSidecars(dir, retained)

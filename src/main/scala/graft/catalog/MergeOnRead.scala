@@ -328,7 +328,7 @@ object MergeOnRead {
     // shaping count re-reads the checkpoint, not the table
     shapeDeleteWrite(spark, filePos, Seq(col(PosFileCol), col(PosPosCol)), filePos.count())
       .write.parquet(tableDir.resolve(delRel).toString)
-    val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
+    val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
     val delFooters = footersOf(delFiles, posKeySchema)
@@ -344,7 +344,7 @@ object MergeOnRead {
         newRows.repartition(cols: _*).sortWithinPartitions(cols: _*)
       } else newRows
     clustered.write.parquet(tableDir.resolve(dataRel).toString)
-    val dataFiles = Files.list(tableDir.resolve(dataRel)).iterator().asScala
+    val dataFiles = Fs.children(tableDir.resolve(dataRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").toSeq.sorted
     val dataFooters = footersOf(dataFiles, current.schema)
@@ -392,7 +392,7 @@ object MergeOnRead {
     val pinned = casted.pinned
     shapeDeleteWrite(spark, pinned, Seq(col(PosFileCol), col(PosPosCol)), pinned.count())
       .write.parquet(tableDir.resolve(delRel).toString)
-    val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
+    val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
@@ -403,7 +403,7 @@ object MergeOnRead {
     if (tuples == 0) {
       val stagingDir = tableDir.resolve(delRel)
       if (Files.isDirectory(stagingDir)) {
-        Files.walk(stagingDir).iterator().asScala.toSeq.reverse
+        Fs.walk(stagingDir).iterator.toSeq.reverse
           .foreach(Files.deleteIfExists(_))
       }
       return 0
@@ -461,7 +461,7 @@ object MergeOnRead {
     val pinnedKeys = casted.pinned
     shapeDeleteWrite(spark, pinnedKeys, keyCols.map(pinnedKeys.col), pinnedKeys.count())
       .write.parquet(tableDir.resolve(delRel).toString)
-    val delFiles = Files.list(tableDir.resolve(delRel)).iterator().asScala
+    val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
     val delFooters = footersOf(delFiles, kSchema)
@@ -476,7 +476,7 @@ object MergeOnRead {
       // it recursively.
       val stagingDir = tableDir.resolve(delRel)
       if (Files.isDirectory(stagingDir)) {
-        Files.walk(stagingDir).iterator().asScala.toSeq.reverse
+        Fs.walk(stagingDir).iterator.toSeq.reverse
           .foreach(Files.deleteIfExists(_))
       }
       return 0
@@ -493,7 +493,7 @@ object MergeOnRead {
             rows.repartition(cols: _*).sortWithinPartitions(cols: _*)
           } else rows
         clustered.write.parquet(tableDir.resolve(rel).toString)
-        val fs = Files.list(tableDir.resolve(rel)).iterator().asScala
+        val fs = Fs.children(tableDir.resolve(rel)).iterator
           .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
           .map(n => s"$rel/$n").toSeq.sorted
         (fs, footersOf(fs, schema))
@@ -544,7 +544,7 @@ object MergeOnRead {
     val commitDir = dir.resolve(rel)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     read(spark, dir, current, dirty).write.parquet(commitDir.toString)
-    val newFiles = Files.list(commitDir).iterator().asScala
+    val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
@@ -640,7 +640,7 @@ object MergeOnRead {
       val rel = s"deletes/d$next-consolidated-${UUID.randomUUID().toString.take(8)}"
       shapeDeleteWrite(spark, tuples, keyCols.map(tuples.col), n)
         .write.parquet(tableDir.resolve(rel).toString)
-      val delFiles = Files.list(tableDir.resolve(rel)).iterator().asScala
+      val delFiles = Fs.children(tableDir.resolve(rel)).iterator
         .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
         .map(fn => s"$rel/$fn").toSeq.sorted
       val seq = group.map(_.seq).max

@@ -196,7 +196,7 @@ class LakehouseRowLevelOperation(
   private def publish(commitRel: String, commitDir: Path): Unit = {
     val newFiles =
       if (!Files.isDirectory(commitDir)) Seq.empty
-      else Files.list(commitDir).iterator().asScala
+      else Fs.children(commitDir).iterator
         .map(_.getFileName.toString)
         .filter(_.endsWith(".parquet"))
         .map(n => s"$commitRel/$n")

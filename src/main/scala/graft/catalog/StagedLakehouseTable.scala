@@ -70,7 +70,7 @@ class StagedLakehouseTable(
               data.sparkSession.conf.set(
                 "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
               clustered.write.parquet(commitDir.toString)
-              written = Files.list(commitDir).iterator().asScala
+              written = Fs.children(commitDir).iterator
                 .map(_.getFileName.toString)
                 .filter(_.endsWith(".parquet"))
                 .map(n => s"$commitRel/$n")
@@ -102,12 +102,12 @@ class StagedLakehouseTable(
 
   override def abortStagedChanges(): Unit = {
     if (Files.isDirectory(commitDir)) {
-      Files.walk(commitDir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.walk(commitDir).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
     // a staged CREATE owns the whole directory (no published metadata
     // yet); a staged REPLACE must leave the live table untouched
     if (op == "create" && !TableMetadata.exists(dir) && Files.isDirectory(dir)) {
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.walk(dir).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 }

@@ -202,7 +202,7 @@ object TableMetadata {
   def currentVersion(tableDir: Path): Int = {
     val md = metadataDir(tableDir)
     if (!Files.isDirectory(md)) return 0
-    Files.list(md).iterator().asScala
+    Fs.children(md).iterator
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toIntOption.getOrElse(0)
