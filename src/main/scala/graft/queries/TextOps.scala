@@ -2415,9 +2415,102 @@ FROM s$rounds ORDER BY doc_id""")
            |       md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
            |FROM k ORDER BY doc_id""".stripMargin))
 
+  /** UniMax budget-capped language sampling (Chung et al. 2023): give
+    * every language an equal token share of the training budget,
+    * capped at its corpus size — the anti-"English swallows the
+    * budget" mixture rule. The per-language allocation is the
+    * WATER-FILLING solution Σ min(c_l, u) ≤ B computed entirely in
+    * integer arithmetic over the |langs|-row capacity table (sorted
+    * capacities + prefix sums + one argmax — window functions over
+    * aggregate rows, engine-mirrorable exactly); doc selection is
+    * deterministic: docs enter in md5-hash order until the language's
+    * allocation is spent.
+    *
+    * Scale shape: the only corpus-sized work is one token-count
+    * projection and the hash-order cumulative sum, which runs as the
+    * q38/q46 TWO-LEVEL prefix sum — per-(lang, 16-bit-hash-prefix)
+    * bucket totals (bounded aggregate rows) carry the cross-bucket
+    * offsets, and the in-bucket window sorts only corpus/65536-sized
+    * partitions; a `SUM OVER (PARTITION BY lang ORDER BY hash)` would
+    * serialize whole languages through single sorts at 100 TB. The
+    * allocation table is a |langs|-row broadcast. */
+  val q80 = Q(
+    "q80_unimax",
+    (s, d) => {
+      val base = graft.Materialize.pin(
+        documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast(LongType).as("ntok"),
+            md5(concat(lit("um"), col("doc_id").cast("string"))).as("h"))
+          .withColumn("bkt", conv(substring(col("h"), 1, 4), 16, 10).cast(LongType)))
+      val lt = base.groupBy(col("lang")).agg(sum(col("ntok")).as("c"))
+      val tot = lt.agg(sum(col("c")).as("t"), count(lit(1)).as("nl"))
+      val b = tot.select(expr("(t * 3) div 5").as("bud"), col("nl"), col("t"))
+      // water-filling over the sorted |langs|-row capacity table: the
+      // single-partition windows here order AGGREGATE rows, never docs
+      val wOrd = Window.orderBy(col("c"), col("lang"))
+      val sTbl = lt.select(col("lang"), col("c"),
+        row_number().over(wOrd).as("i"),
+        sum(col("c")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("pre"))
+      val cand = sTbl.crossJoin(broadcast(b)).where(col("i") < col("nl"))
+        .select(col("i"), col("c"), expr("(bud - pre) div (nl - i)").as("u"))
+        .where(col("c") <= col("u")).select(col("i"), col("u"))
+        .unionByName(b.select(lit(0).as("i"), expr("bud div nl").as("u")))
+      val kmax = cand.orderBy(col("i").desc).limit(1).select(col("u"))
+      val alloc = lt.crossJoin(broadcast(b)).crossJoin(broadcast(kmax))
+        .select(col("lang"),
+          when(col("t") <= col("bud"), col("c"))
+            .otherwise(least(col("c"), col("u"))).as("a"))
+      // hash-order token cumsum per language, two-level (q38's shape)
+      val bktTot = base.groupBy(col("lang"), col("bkt")).agg(sum(col("ntok")).as("bt"))
+      val wB = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = bktTot.withColumn("off", sum(col("bt")).over(wB) - col("bt"))
+        .select(col("lang"), col("bkt"), col("off"))
+      val wIn = Window.partitionBy(col("lang"), col("bkt"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.join(offsets.hint("shuffle_hash"), Seq("lang", "bkt"))
+        .withColumn("cs", col("off") + sum(col("ntok")).over(wIn))
+        .join(broadcast(alloc), "lang")
+        .select(col("doc_id"), col("lang"), col("ntok").as("n_tokens"),
+          (col("cs") <= col("a")).as("selected"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang,
+           |        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           |        md5('um' || CAST(doc_id AS VARCHAR)) AS h
+           |      FROM documents),
+           |lt AS (SELECT lang, SUM(ntok) AS c FROM d GROUP BY lang),
+           |tot AS (SELECT SUM(c) AS t, COUNT(*) AS nl FROM lt),
+           |b AS (SELECT (t * 3) // 5 AS bud, nl, t FROM tot),
+           |s AS (SELECT lang, c, ROW_NUMBER() OVER (ORDER BY c, lang) AS i,
+           |        SUM(c) OVER (ORDER BY c, lang ROWS UNBOUNDED PRECEDING) AS pre
+           |      FROM lt),
+           |cand AS (SELECT i, u FROM (
+           |           SELECT s.i, s.c, (b.bud - s.pre) // (b.nl - s.i) AS u
+           |           FROM s CROSS JOIN b WHERE s.i < b.nl)
+           |         WHERE c <= u
+           |         UNION ALL SELECT 0 AS i, bud // nl AS u FROM b),
+           |kmax AS (SELECT u FROM cand ORDER BY i DESC LIMIT 1),
+           |alloc AS (SELECT lt.lang,
+           |            CASE WHEN b.t <= b.bud THEN lt.c
+           |                 ELSE LEAST(lt.c, kmax.u) END AS a
+           |          FROM lt CROSS JOIN b CROSS JOIN kmax),
+           |cum AS (SELECT doc_id, lang, ntok,
+           |          SUM(ntok) OVER (PARTITION BY lang ORDER BY h, doc_id
+           |                          ROWS UNBOUNDED PRECEDING) AS cs
+           |        FROM d)
+           |SELECT cum.doc_id, cum.lang, cum.ntok AS n_tokens,
+           |       (cum.cs <= alloc.a) AS selected
+           |FROM cum JOIN alloc ON cum.lang = alloc.lang ORDER BY cum.doc_id"""
+      .stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79)
+      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79, q80)
 }
