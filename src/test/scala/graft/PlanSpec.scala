@@ -393,6 +393,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should not include "Window"
   }
 
+  test("q80 unimax cumsum is two-level: no per-language corpus window") {
+    // the hash-order token cumsum must partition by (lang, bkt) so
+    // window partitions stay corpus/65536-sized; a PARTITION BY lang
+    // ORDER BY hash window would serialize whole languages; the
+    // allocation table is a broadcast
+    val plan = executedPlan(graft.queries.TextOps.q80.run(spark, sf))
+    "windowspecdefinition\\(lang#\\d+, h#".r.findFirstIn(plan) shouldBe None
+    "windowspecdefinition\\(lang#\\d+, bkt#\\d+L?, h#".r.findFirstIn(plan) should not be None
+    plan should include("BroadcastHashJoin")
+  }
+
   test("q46 mixing ranks via two-level prefix sum, never a per-group corpus sort") {
     // the 2-value group key means PARTITION BY grp ORDER BY doc_id
     // serializes half the corpus through each of two sort tasks —
