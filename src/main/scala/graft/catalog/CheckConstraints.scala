@@ -47,32 +47,40 @@ object CheckConstraints {
     * columns, non-boolean type or nondeterminism. */
   def resolveBound(
       spark: SparkSession, schema: StructType, name: String, sql: String): Expression = {
-    val parsed =
-      try spark.sessionState.sqlParser.parseExpression(sql)
-      catch {
-        case e: Exception => throw new IllegalArgumentException(
-          s"CHECK constraint '$name': cannot parse '$sql': ${e.getMessage}")
-      }
-    val rel = LocalRelation(DataTypeUtils.toAttributes(schema))
-    val analyzed =
-      try {
-        val plan = spark.sessionState.analyzer.execute(
-          Project(Seq(Alias(parsed, name)()), rel))
-        spark.sessionState.analyzer.checkAnalysis(plan)
-        plan
-      } catch {
-        case e: IllegalArgumentException => throw e
-        case e: Exception => throw new IllegalArgumentException(
-          s"CHECK constraint '$name' ('$sql') does not resolve against the " +
-            s"table schema: ${e.getMessage}")
-      }
-    val e = analyzed.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+    val e = resolveAny(spark, schema, name, sql)
     if (e.dataType != BooleanType)
       throw new IllegalArgumentException(
         s"CHECK constraint '$name' ('$sql') must be BOOLEAN, got ${e.dataType.simpleString}")
     if (!e.deterministic)
       throw new IllegalArgumentException(
         s"CHECK constraint '$name' ('$sql') must be deterministic")
+    e
+  }
+
+  /** [[resolveBound]] without the boolean/determinism requirements —
+    * shared by generated-column expressions ([[GeneratedColumns]]). */
+  private[catalog] def resolveAny(
+      spark: SparkSession, schema: StructType, name: String, sql: String): Expression = {
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(sql)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"'$name': cannot parse '$sql': ${e.getMessage}")
+      }
+    val rel = LocalRelation(DataTypeUtils.toAttributes(schema))
+    val analyzed =
+      try {
+        val plan = spark.sessionState.analyzer.execute(
+          Project(Seq(Alias(parsed, "c")()), rel))
+        spark.sessionState.analyzer.checkAnalysis(plan)
+        plan
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case e: Exception => throw new IllegalArgumentException(
+          s"'$name' ('$sql') does not resolve against the " +
+            s"table schema: ${e.getMessage}")
+      }
+    val e = analyzed.asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
     BindReferences.bindReference(e, rel.output)
   }
 
@@ -119,7 +127,10 @@ object CheckConstraints {
     * table declares no constraints (zero overhead on the hot path). */
   def rowChecks(
       spark: SparkSession, schema: StructType, props: Map[String, String]): Option[RowChecks] = {
-    val cs = constraintsOf(props)
+    // declared CHECKs plus generated-column conformance (a row-level
+    // writer cannot recompute a projection, so it validates instead)
+    val cs = constraintsOf(props) ++
+      GeneratedColumns.conformanceChecks(spark, schema, props)
     if (cs.isEmpty) None
     else Some(RowChecks(cs.map { case (n, sql) =>
       (n, sql, resolveBound(spark, schema, n, sql))

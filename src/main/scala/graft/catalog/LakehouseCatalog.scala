@@ -50,8 +50,18 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"only CHECK constraints are supported (got ${other.toDDL})")
     }.toMap
+    // generated columns arrive on the v2 Column objects; store their
+    // expressions so the write paths can compute/validate them —
+    // identity columns are refused (they need engine-side sequence
+    // state this catalog does not keep)
+    val genProps = info.columns().flatMap { c =>
+      require(c.identityColumnSpec() == null,
+        s"identity column '${c.name}' is not supported")
+      Option(c.generationExpression())
+        .map(g => GeneratedColumns.Prefix + c.name -> g)
+    }.toMap
     val props = new java.util.HashMap[String, String](info.properties())
-    checkProps.foreach { case (k, v) => props.put(k, v) }
+    (checkProps ++ genProps).foreach { case (k, v) => props.put(k, v) }
     createTable(ident, info.schema(), info.partitions(), props)
   }
 
@@ -60,7 +70,8 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       // ALTER TABLE ADD/DROP CONSTRAINT ... CHECK — the native SQL face
       // of the graft.check.* property machinery (CheckConstraints)
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   // ---- ProcedureCatalog: CALL <cat>.system.<proc>(...) ---------------------
 
@@ -418,6 +429,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     HiddenPartitioning.validate(schema, bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
+    GeneratedColumns.validate(spark, schema, cleanProps(properties))
     val meta = TableMetadata(
       version = 1, name = ident.name, schema = schema,
       partitionColumns = partCols,
@@ -444,6 +456,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     HiddenPartitioning.validate(schema, bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
+    GeneratedColumns.validate(spark, schema, cleanProps(properties))
     new StagedLakehouseTable(spark, fullName(ident), dir, 1, schema,
       partCols, cleanProps(properties) ++ bucketProps, Seq.empty, "create")
   }
@@ -463,6 +476,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     HiddenPartitioning.validate(schema, bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
+    GeneratedColumns.validate(spark, schema, cleanProps(properties))
     new StagedLakehouseTable(spark, fullName(ident), dir, current.version + 1, schema,
       partCols, cleanProps(properties) ++ bucketProps,
       current.snapshots, "replace")
@@ -672,6 +686,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     // schema changes must not orphan a CHECK constraint either (e.g.
     // DROP COLUMN referenced by one): re-resolve every survivor
     CheckConstraints.validate(spark, updated.schema, updated.properties)
+    GeneratedColumns.validate(spark, updated.schema, updated.properties)
     // property-only alters rebase mechanically onto concurrent commits;
     // schema alters racing anything make commitOrRebase decline, and
     // the caller loop above re-derives them from the fresh snapshot

@@ -506,11 +506,15 @@ class LakehouseTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(rawData: DataFrame, overwriteParam: Boolean): Unit = {
-              // CHECK constraints guard every batch write of new rows
-              // here — INSERT, INSERT OVERWRITE, CTAS and the COW DML
-              // rewrites all funnel through this one InsertableRelation
+              // Every batch write of new rows funnels through this one
+              // InsertableRelation (INSERT, INSERT OVERWRITE, CTAS, COW
+              // DML rewrites): generated columns are COMPUTED here
+              // (whatever the writer supplied is overwritten), then
+              // CHECK constraints guard the result
+              val cur = TableMetadata.load(tableDir)
               val data = CheckConstraints.enforce(
-                rawData, TableMetadata.load(tableDir).properties)
+                GeneratedColumns.compute(rawData, cur.schema, cur.properties),
+                cur.properties)
               if (dynamicPartitions) Maintenance.overwritePartitionsAt(spark, tableDir, data)
               else overwriteFilters match {
                 case Some(filters) => commitOverwriteWhere(data, filters)

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Generated columns (`c TYPE GENERATED ALWAYS AS (expr)`): the engine
+  * computes the value on batch writes (writer-supplied values are
+  * overwritten — "always generated" by construction) and VALIDATES
+  * conformance on row-level writers that receive materialized rows
+  * (merge-on-read DML), so a committed file can never disagree with
+  * the expression.
+  */
+class GeneratedColumnSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rootCause(t: Throwable): Throwable = {
+    var c = t
+    while (c.getCause != null && c.getCause != c) c = c.getCause
+    c
+  }
+
+  test("batch INSERT computes the generated column; supplied values are overwritten") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql(
+      "CREATE TABLE lakehouse.gc.g1 (k INT, twice INT GENERATED ALWAYS AS (k * 2))")
+    spark.sql("INSERT INTO lakehouse.gc.g1 (k) VALUES (5)")
+    spark.table("lakehouse.gc.g1").as[(Int, Int)].collect().toSeq shouldBe Seq((5, 10))
+
+    // even a writer that smuggles a value in cannot override generation
+    Seq((7, 999)).toDF("k", "twice").createOrReplaceTempView("gc_smuggle")
+    spark.sql("INSERT INTO lakehouse.gc.g1 SELECT * FROM gc_smuggle")
+    spark.table("lakehouse.gc.g1").orderBy($"k").as[(Int, Int)].collect().toSeq shouldBe
+      Seq((5, 10), (7, 14))
+    spark.sql("DROP TABLE lakehouse.gc.g1")
+  }
+
+  test("string expressions and CTAS-shaped inserts generate too") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql(
+      "CREATE TABLE lakehouse.gc.g2 (name STRING, " +
+        "upper_name STRING GENERATED ALWAYS AS (upper(name)))")
+    Seq("ada", "grace").toDF("name").createOrReplaceTempView("gc_names")
+    spark.sql("INSERT INTO lakehouse.gc.g2 (name) SELECT name FROM gc_names")
+    spark.table("lakehouse.gc.g2").orderBy($"name").as[(String, String)].collect().toSeq shouldBe
+      Seq(("ada", "ADA"), ("grace", "GRACE"))
+    // the generated value participates in pushdown/filtering like any column
+    spark.table("lakehouse.gc.g2").where($"upper_name" === "ADA").count() shouldBe 1
+    spark.sql("DROP TABLE lakehouse.gc.g2")
+  }
+
+  test("merge-on-read DML validates conformance: a non-conforming insert fails") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql(
+      "CREATE TABLE lakehouse.gc.g3 (k INT, twice INT GENERATED ALWAYS AS (k * 2)) " +
+        "TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO lakehouse.gc.g3 (k) VALUES (1)")
+
+    // an insert-ONLY MERGE plans as an append and the batch path simply
+    // recomputes — the smuggled 11 becomes 18
+    Seq((9, 11)).toDF("k", "t").createOrReplaceTempView("gc_ins")
+    spark.sql(
+      """MERGE INTO lakehouse.gc.g3 t USING gc_ins s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, twice) VALUES (s.k, s.t)""".stripMargin)
+    spark.table("lakehouse.gc.g3").orderBy($"k").as[(Int, Int)].collect().toSeq shouldBe
+      Seq((1, 2), (9, 18))
+
+    // a MATCHED+NOT MATCHED MERGE takes the delta writer, which cannot
+    // recompute — it VALIDATES, and the non-conforming update fails
+    Seq((1, 99), (5, 11)).toDF("k", "t").createOrReplaceTempView("gc_bad")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO lakehouse.gc.g3 t USING gc_bad s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.twice = s.t
+          |WHEN NOT MATCHED THEN INSERT (k, twice) VALUES (s.k, s.t)""".stripMargin)
+    }
+    rootCause(e).getMessage should include("generated:twice")
+    spark.table("lakehouse.gc.g3").count() shouldBe 2
+
+    // conforming delta rows pass
+    Seq((1, 2), (5, 10)).toDF("k", "t").createOrReplaceTempView("gc_ok")
+    spark.sql(
+      """MERGE INTO lakehouse.gc.g3 t USING gc_ok s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.twice = s.t
+        |WHEN NOT MATCHED THEN INSERT (k, twice) VALUES (s.k, s.t)""".stripMargin)
+    spark.table("lakehouse.gc.g3").orderBy($"k").as[(Int, Int)].collect().toSeq shouldBe
+      Seq((1, 2), (5, 10), (9, 18))
+    spark.sql("DROP TABLE lakehouse.gc.g3")
+  }
+
+  test("declaration validation: bad references and identity columns refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    // Spark's analyzer validates references itself once the capability
+    // is declared; our own validator backstops property-level edits
+    val e1 = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE lakehouse.gc.g4 (k INT, bad INT GENERATED ALWAYS AS (nope + 1))")
+    }
+    rootCause(e1).getMessage.toLowerCase should include("cannot be resolved")
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE lakehouse.gc.g5 (k BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+    }
+    rootCause(e2).getMessage.toLowerCase should include("identity")
+    // property-level declaration of a broken expression is also refused
+    val e3 = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE lakehouse.gc.g6 (k INT, b INT) TBLPROPERTIES (" +
+          "'graft.generated.b' = 'nope + 1')")
+    }
+    rootCause(e3).getMessage.toLowerCase should include("does not resolve")
+  }
+}
