@@ -29,9 +29,14 @@ object FooterStats {
     case other => Some(other.toString)
   }
 
-  /** Everything one footer read yields: the file's row count plus the
-    * per-column ranges/null counts. */
-  final case class FileFooter(rows: Long, cols: Map[String, ColumnRange])
+  /** Everything one footer read yields: the file's row count, the
+    * per-column ranges/null counts, and the file's top-level physical
+    * fields (name -> parquet primitive type name; non-primitive groups
+    * report "GROUP") — so import validation needs no second read. */
+  final case class FileFooter(
+      rows: Long,
+      cols: Map[String, ColumnRange],
+      fields: Map[String, String] = Map.empty)
 
   /** Column ranges for one parquet file (merged across row groups). */
   def collect(conf: Configuration, file: HPath, schema: StructType): Map[String, ColumnRange] =
@@ -102,7 +107,11 @@ object FooterStats {
         case (c, Some(n)) if n == rows && rows > 0 && !ranged.contains(c) =>
           c -> ColumnRange("", "", Some(n), hasValues = false)
       }
-      FileFooter(rows, ranged ++ allNull)
+      val fields = reader.getFooter.getFileMetaData.getSchema.getFields.asScala.map { f =>
+        f.getName -> (if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName.name
+                      else "GROUP")
+      }.toMap
+      FileFooter(rows, ranged ++ allNull, fields)
     } finally reader.close()
   }
 }

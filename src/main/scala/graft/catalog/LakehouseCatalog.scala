@@ -534,6 +534,15 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           addC.constraint() match {
             case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
               val sql = c.predicateSql()
+              // SQL identifiers resolve case-insensitively: refuse a
+              // duplicate that differs only in case instead of
+              // silently declaring a second constraint
+              val dup = m.properties.keys.find(k =>
+                k.startsWith(CheckConstraints.Prefix) &&
+                  k.drop(CheckConstraints.Prefix.length).equalsIgnoreCase(c.name))
+              if (dup.isDefined) throw new UnsupportedOperationException(
+                s"constraint '${c.name}' already exists " +
+                  s"(as '${dup.get.drop(CheckConstraints.Prefix.length)}')")
               CheckConstraints.resolveBound(spark, m.schema, c.name, sql)
               CheckConstraints.verifyExisting(spark, dir, m, c.name, sql)
               m.copy(properties =
@@ -543,11 +552,14 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
                 "PRIMARY KEY/UNIQUE intent via 'graft.key' table properties instead")
           }
         case dropC: TableChange.DropConstraint =>
-          val key = CheckConstraints.Prefix + dropC.name
-          if (!m.properties.contains(key) && !dropC.ifExists)
+          // case-insensitive lookup, like every other SQL identifier
+          val key = m.properties.keys.find(k =>
+            k.startsWith(CheckConstraints.Prefix) &&
+              k.drop(CheckConstraints.Prefix.length).equalsIgnoreCase(dropC.name))
+          if (key.isEmpty && !dropC.ifExists)
             throw new UnsupportedOperationException(
               s"no such CHECK constraint: ${dropC.name}")
-          m.copy(properties = m.properties - key)
+          key.map(k => m.copy(properties = m.properties - k)).getOrElse(m)
         case set: TableChange.SetProperty =>
           // a new/changed CHECK constraint must resolve against the
           // CURRENT schema and hold on the EXISTING rows (Delta's ADD
@@ -689,11 +701,28 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     GeneratedColumns.validate(spark, updated.schema, updated.properties)
     // property-only alters rebase mechanically onto concurrent commits;
     // schema alters racing anything make commitOrRebase decline, and
-    // the caller loop above re-derives them from the fresh snapshot
-    TableMetadata.commitOrRebase(dir, base = current, attempt = updated.copy(
+    // the caller loop above re-derives them from the fresh snapshot.
+    // EXCEPTION: a new/changed CHECK constraint or generation
+    // expression must NOT rebase over a concurrent append — its
+    // existing-rows verification ran against the pre-race snapshot, so
+    // a racing INSERT of violating rows and the constraint could both
+    // land. Committing without rebase makes the race retry the whole
+    // derivation (alterTable's loop), re-verifying against the fresh
+    // snapshot — the verified-at-commit guarantee survives concurrency.
+    val addsVerifiedProps = changes.exists {
+      case set: TableChange.SetProperty =>
+        (set.property.startsWith(CheckConstraints.Prefix) ||
+          set.property.startsWith(GeneratedColumns.Prefix)) &&
+          !current.properties.get(set.property).contains(set.value)
+      case _: TableChange.AddConstraint => true
+      case _ => false
+    }
+    val attempt = updated.copy(
       version = current.version + 1,
       snapshots = current.snapshots :+
-        Snapshot(current.version + 1, System.currentTimeMillis(), "alter", 0, current.files.size)))
+        Snapshot(current.version + 1, System.currentTimeMillis(), "alter", 0, current.files.size))
+    if (addsVerifiedProps) TableMetadata.commit(dir, attempt)
+    else TableMetadata.commitOrRebase(dir, base = current, attempt = attempt)
     loadTable(ident)
   }
 

@@ -507,18 +507,19 @@ class LakehouseTable(
           new InsertableRelation {
             override def insert(rawData: DataFrame, overwriteParam: Boolean): Unit = {
               // Every batch write of new rows funnels through this one
-              // InsertableRelation (INSERT, INSERT OVERWRITE, CTAS, COW
-              // DML rewrites): generated columns are COMPUTED here
-              // (whatever the writer supplied is overwritten), then
-              // CHECK constraints guard the result
+              // InsertableRelation (INSERT, INSERT OVERWRITE): generated
+              // columns are COMPUTED here (whatever the writer supplied
+              // is overwritten), then CHECK constraints guard the
+              // result. The loaded metadata is threaded into the commit
+              // paths — one read per insert, not two.
               val cur = TableMetadata.load(tableDir)
               val data = CheckConstraints.enforce(
                 GeneratedColumns.compute(rawData, cur.schema, cur.properties),
                 cur.properties)
               if (dynamicPartitions) Maintenance.overwritePartitionsAt(spark, tableDir, data)
               else overwriteFilters match {
-                case Some(filters) => commitOverwriteWhere(data, filters)
-                case None => commitInsert(data, truncateAll || overwriteParam)
+                case Some(filters) => commitOverwriteWhere(data, filters, cur)
+                case None => commitInsert(data, truncateAll || overwriteParam, cur)
               }
             }
           }
@@ -686,8 +687,8 @@ class LakehouseTable(
     * shape (stats prune → exact per-file hit check → rewrite hit files
     * keeping their non-matching rows through the merging read) with
     * the incoming rows unioned into the same rewrite. */
-  private def commitOverwriteWhere(data: DataFrame, filters: Array[sources.Filter]): Unit = {
-    val current = TableMetadata.load(tableDir)
+  private def commitOverwriteWhere(
+      data: DataFrame, filters: Array[sources.Filter], current: TableMetadata): Unit = {
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(throw new UnsupportedOperationException(
@@ -714,8 +715,8 @@ class LakehouseTable(
       kept.unionByName(data), "overwrite-where")
   }
 
-  private def commitInsert(data: DataFrame, overwrite: Boolean): Unit = {
-    val startMeta = TableMetadata.load(tableDir) // schema/partitioning are commit-stable
+  private def commitInsert(data: DataFrame, overwrite: Boolean, startMeta: TableMetadata): Unit = {
+    // schema/partitioning are commit-stable; the caller's load is reused
     val bucketSpec = Bucketing.specOf(startMeta.properties)
     // bucketed commits use the `b-` prefix: their part-file index IS the
     // bucket id (repartition(n, col) = HashPartitioning), which the scan

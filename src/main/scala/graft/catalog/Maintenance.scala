@@ -1606,32 +1606,58 @@ object Maintenance {
       finally walk.close()
     if (srcFiles.isEmpty) return 0
 
-    // per-file validation from the footer alone: physical presence of
-    // every table column (type compatibility is checked through the
-    // stats collection below — FooterStats compares through the table
-    // schema's comparators and the scan reads by name with the table
-    // types, which parquet-mr enforces on first read)
+    // ONE footer read per source file: row counts + stats for the
+    // commit AND validation — every table column must be physically
+    // present at a compatible primitive type (name-resolved reads would
+    // silently return null for missing columns; a primitive mismatch
+    // would poison every later scan of the table with a read-time
+    // SchemaColumnConvertNotSupported error instead of failing here)
     val conf = spark.sessionState.newHadoopConf()
-    val tableCols = current.schema.fields.map(_.name).toSet
-    srcFiles.foreach { p =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        conf, new org.apache.hadoop.fs.Path(p.toString))
-      val present =
-        try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-          .map(_.getName).toSet
-        finally reader.close()
-      val missing = tableCols -- present
-      require(missing.isEmpty,
-        s"add_files: ${p.getFileName} lacks table column(s) " +
-          s"${missing.toSeq.sorted.mkString(", ")} — a name-resolved read " +
-          "would silently return null; fix the file or evolve the schema first")
+    val srcFooters = srcFiles.map { p =>
+      p -> FooterStats.collectFull(conf,
+        new org.apache.hadoop.fs.Path(p.toString), current.schema)
+    }
+    srcFooters.foreach { case (p, footer) =>
+      current.schema.fields.foreach { f =>
+        footer.fields.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"add_files: ${p.getFileName} lacks table column '${f.name}' — a " +
+              "name-resolved read would silently return null; fix the file or " +
+              "evolve the schema first")
+          case Some(prim) =>
+            Maintenance.compatiblePrimitives(f.dataType).foreach { allowed =>
+              if (!allowed.contains(prim)) throw new IllegalArgumentException(
+                s"add_files: ${p.getFileName} stores '${f.name}' as parquet " +
+                  s"$prim, incompatible with table type ${f.dataType.simpleString} " +
+                  s"(expected ${allowed.mkString("/")}) — importing it would fail " +
+                  "every subsequent scan at read time")
+            }
+        }
+      }
+    }
+
+    // CHECK constraints / generated columns: imported rows must satisfy
+    // them like any written row — one distributed verification scan
+    // over ONLY the imported files (the price a constrained table pays
+    // for import; Delta's ADD CONSTRAINT makes the same trade)
+    val checks = CheckConstraints.constraintsOf(current.properties) ++
+      GeneratedColumns.conformanceChecks(spark, current.schema, current.properties)
+    if (checks.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, lit}
+      val df = spark.read.schema(current.schema).parquet(srcFiles.map(_.toString): _*)
+      checks.foreach { case (n, sql) =>
+        val violations = df.filter(expr(sql) <=> lit(false)).count()
+        if (violations > 0) throw new IllegalStateException(
+          s"add_files: $violations imported rows violate '$n' ($sql) — refusing " +
+            "the import; fix the files or drop the constraint first")
+      }
     }
 
     val nextVersion = current.version + 1
     val commitRel = s"data/c$nextVersion-addfiles-${UUID.randomUUID().toString.take(8)}"
     val commitDir = dir.resolve(commitRel)
     Files.createDirectories(commitDir)
-    val newFiles = srcFiles.zipWithIndex.map { case (p, i) =>
+    val byRel = srcFooters.zipWithIndex.map { case ((p, footer), i) =>
       val name = f"part-$i%05d-${p.getFileName.toString}"
       val target = commitDir.resolve(name)
       try Files.createLink(target, p)
@@ -1639,20 +1665,17 @@ object Maintenance {
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
           Files.copy(p, target, StandardCopyOption.COPY_ATTRIBUTES)
       }
-      s"$commitRel/$name"
-    }.sorted
-    val footers = newFiles.map { f =>
-      f -> FooterStats.collectFull(conf,
-        new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
+      s"$commitRel/$name" -> footer
     }.toMap
-    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
+    val newFiles = byRel.keys.toSeq.sorted
+    val newStats = byRel.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     val allFiles = current.files ++ newFiles
     TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = nextVersion,
       files = allFiles,
       fileStats = current.fileStats ++ newStats,
-      fileRows = current.fileRows ++ footers.view.mapValues(_.rows).toMap,
+      fileRows = current.fileRows ++ byRel.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "add_files", newFiles.size, allFiles.size)))
     newFiles.size
@@ -1720,7 +1743,14 @@ object Maintenance {
       version = created.version + 1,
       schema = srcMeta.schema,
       partitionColumns = srcMeta.partitionColumns,
-      properties = srcMeta.properties +
+      // tags and branches name VERSIONS OF THE SOURCE's metadata log;
+      // the clone's log starts fresh, so carrying them would leave
+      // refs pointing at versions that don't exist here (Delta's
+      // SHALLOW CLONE strips them too)
+      properties = srcMeta.properties
+        .filterNot { case (k, _) =>
+          k.startsWith(TagPrefix) || k.startsWith(BranchPrefix)
+        } +
         ("graft.clone.source" ->
           s"${(srcNamespace :+ srcTable).mkString(".")}@v${srcMeta.version}"),
       files = srcMeta.files,
@@ -1734,6 +1764,27 @@ object Maintenance {
         created.version + 1, System.currentTimeMillis(), "clone",
         srcMeta.files.size, srcMeta.files.size)))
     srcMeta.files.size
+  }
+
+  /** Parquet primitive type names admissible for a Spark type on
+    * import (None = no check — complex/exotic logical types are left
+    * to the reader). Used by [[addFiles]] so a same-named column with
+    * an incompatible physical type is refused at import time, not at
+    * first read. */
+  private[catalog] def compatiblePrimitives(
+      dt: org.apache.spark.sql.types.DataType): Option[Set[String]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | DateType => Some(Set("INT32"))
+      case LongType => Some(Set("INT64"))
+      case TimestampType | TimestampNTZType => Some(Set("INT64", "INT96"))
+      case FloatType => Some(Set("FLOAT"))
+      case DoubleType => Some(Set("DOUBLE"))
+      case BooleanType => Some(Set("BOOLEAN"))
+      case StringType | BinaryType => Some(Set("BINARY"))
+      case _: DecimalType => Some(Set("INT32", "INT64", "BINARY", "FIXED_LEN_BYTE_ARRAY"))
+      case _ => None
+    }
   }
 
   /** Default vacuum file-age threshold: files modified more recently

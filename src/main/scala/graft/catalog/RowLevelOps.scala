@@ -170,13 +170,20 @@ class LakehouseRowLevelOperation(
           .newWriteBuilder(info)
           .build()
         val writeSchema = info.schema()
+        // CHECK constraints + generated-column conformance on the COW
+        // rewrite's rows: kept rows satisfy them by induction (ADD
+        // CONSTRAINT verified existing data), so this catches exactly
+        // the violations the UPDATE/MERGE assignments introduce — a
+        // stale generated column or a violating SET fails the write
+        // instead of committing
+        val rowChecks = CheckConstraints.rowChecks(spark, writeSchema, base.properties)
         new Write {
           override def description: String = s"lakehouse-cow-$cmd"
           override def toBatch: BatchWrite = new BatchWrite {
             private val delegate = innerWrite.toBatch
             override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
               new OperationColumnStrippingWriterFactory(
-                delegate.createBatchWriterFactory(pInfo), writeSchema)
+                delegate.createBatchWriterFactory(pInfo), writeSchema, rowChecks)
             override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               delegate.commit(messages) // finalize task files into commitDir
@@ -234,7 +241,8 @@ class LakehouseRowLevelOperation(
   * structural (arity = write schema + 1) and checked per writer. */
 private class OperationColumnStrippingWriterFactory(
     delegate: DataWriterFactory,
-    writeSchema: StructType)
+    writeSchema: StructType,
+    checks: Option[CheckConstraints.RowChecks] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long):
@@ -244,14 +252,16 @@ private class OperationColumnStrippingWriterFactory(
     val types = writeSchema.fields.map(_.dataType)
     new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
       override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
-        if (row.numFields == n) inner.write(row)
+        if (row.numFields == n) { checks.foreach(_.validate(row)); inner.write(row) }
         else if (row.numFields == n + 1) {
           // field 0 is the rewrite's operation marker; 1..n are the
           // table columns in write-schema order
           val vals = new Array[Any](n)
           var i = 0
           while (i < n) { vals(i) = row.get(i + 1, types(i)); i += 1 }
-          inner.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+          val stripped = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          checks.foreach(_.validate(stripped))
+          inner.write(stripped)
         } else {
           throw new IllegalStateException(
             s"replace-data row has ${row.numFields} fields; write schema has $n")

@@ -58,7 +58,14 @@ class StagedLakehouseTable(
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            override def insert(rawData: DataFrame, overwrite: Boolean): Unit = {
+              // CTAS/RTAS are new-row writes like any INSERT: generated
+              // columns compute here and CHECK constraints guard the
+              // result — `CREATE TABLE ... AS SELECT` cannot smuggle a
+              // violating row past a constraint declared in the same DDL
+              val data = CheckConstraints.enforce(
+                GeneratedColumns.compute(rawData, stagedSchema, tableProperties),
+                tableProperties)
               val clustered = bucketSpec match {
                 case Some((bcol, n)) =>
                   data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))

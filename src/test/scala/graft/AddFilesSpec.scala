@@ -131,6 +131,40 @@ class AddFilesSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("imports that violate a CHECK constraint are refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.af_ns")
+    spark.sql(
+      "CREATE TABLE lakehouse.af_ns.a6 (k INT, v STRING) TBLPROPERTIES (" +
+        "'graft.check.k_pos' = 'k > 0')")
+    val bad = writeExternal(Seq((1, "ok"), (-4, "bad")), parts = 1)
+    val e = intercept[IllegalStateException] {
+      Maintenance.addFiles(spark, "lakehouse", Seq("af_ns"), "a6", bad.toString)
+    }
+    e.getMessage should include("k_pos")
+    TableMetadata.load(tableDir("af_ns", "a6")).files shouldBe empty
+    // clean files import fine on the constrained table
+    val ok = writeExternal(Seq((1, "ok"), (4, "fine")), parts = 1)
+    Maintenance.addFiles(spark, "lakehouse", Seq("af_ns"), "a6", ok.toString)
+    spark.table("lakehouse.af_ns.a6").count() shouldBe 2
+    spark.sql("DROP TABLE lakehouse.af_ns.a6")
+  }
+
+  test("a same-named column at an incompatible physical type is refused at import") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.af_ns")
+    spark.sql("CREATE TABLE lakehouse.af_ns.a7 (k INT, v STRING)")
+    // external writes k as BIGINT (parquet INT64) — a name-only check
+    // would import it and poison every later scan
+    val dir = Files.createTempDirectory("graft-addfiles-i64-")
+    Seq((1L, "a")).toDF("k", "v").repartition(1).write.parquet(dir.resolve("data").toString)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.addFiles(spark, "lakehouse", Seq("af_ns"), "a7",
+        dir.resolve("data").toString)
+    }
+    e.getMessage should include("INT64")
+    TableMetadata.load(tableDir("af_ns", "a7")).files shouldBe empty
+    spark.sql("DROP TABLE lakehouse.af_ns.a7")
+  }
+
   test("bucketed tables are refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.af_ns")
     val t = "lakehouse.af_ns.a4"

@@ -141,6 +141,64 @@ class CheckConstraintSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.chk.t5")
   }
 
+  test("copy-on-write UPDATE/MERGE cannot commit a violating row") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    // NO merge-on-read mode: the group-based COW rewrite path
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t9 (k INT, v STRING) TBLPROPERTIES (" +
+        "'graft.check.k_pos' = 'k > 0')")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("chk_cow")
+    spark.sql("INSERT INTO lakehouse.chk.t9 SELECT * FROM chk_cow")
+
+    val e = intercept[Exception] {
+      spark.sql("UPDATE lakehouse.chk.t9 SET k = -5 WHERE v = 'a'")
+    }
+    rootCause(e).getMessage should include("k_pos")
+    // nothing changed, nothing lost
+    spark.table("lakehouse.chk.t9").orderBy($"k").as[(Int, String)].collect().toSeq shouldBe
+      Seq((1, "a"), (2, "b"))
+    // a clean COW update still works
+    spark.sql("UPDATE lakehouse.chk.t9 SET k = 10 WHERE v = 'a'")
+    spark.table("lakehouse.chk.t9").where($"k" === 10).count() shouldBe 1
+    spark.sql("DROP TABLE lakehouse.chk.t9")
+  }
+
+  test("CTAS cannot smuggle a violating row past a same-DDL constraint") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    Seq((1, "ok"), (-3, "bad")).toDF("k", "v").createOrReplaceTempView("chk_ctas_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE lakehouse.chk.t10 TBLPROPERTIES ('graft.check.k_pos' = 'k > 0') " +
+          "AS SELECT * FROM chk_ctas_src")
+    }
+    rootCause(e).getMessage should include("k_pos")
+    // the staged table never published
+    spark.catalog.tableExists("lakehouse.chk.t10") shouldBe false
+    // a clean CTAS with the constraint works
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t11 TBLPROPERTIES ('graft.check.k_pos' = 'k > 0') " +
+        "AS SELECT * FROM chk_ctas_src WHERE k > 0")
+    spark.table("lakehouse.chk.t11").count() shouldBe 1
+    spark.sql("DROP TABLE lakehouse.chk.t11")
+  }
+
+  test("constraint names resolve case-insensitively on ADD/DROP") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql("CREATE TABLE lakehouse.chk.t12 (k INT)")
+    spark.sql("ALTER TABLE lakehouse.chk.t12 ADD CONSTRAINT K_Pos CHECK (k > 0)")
+    // a same-name-different-case duplicate is refused, not silently added
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.chk.t12 ADD CONSTRAINT k_pos CHECK (k > 1)")
+    }
+    rootCause(e).getMessage should include("already exists")
+    // DROP finds it regardless of case
+    spark.sql("ALTER TABLE lakehouse.chk.t12 DROP CONSTRAINT k_POS")
+    Seq(-9).toDF("k").createOrReplaceTempView("chk_ci")
+    spark.sql("INSERT INTO lakehouse.chk.t12 SELECT * FROM chk_ci")
+    spark.table("lakehouse.chk.t12").count() shouldBe 1
+    spark.sql("DROP TABLE lakehouse.chk.t12")
+  }
+
   test("native SQL surface: ADD CONSTRAINT ... CHECK / DROP CONSTRAINT") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
     spark.sql("CREATE TABLE lakehouse.chk.t7 (k INT, v STRING)")

@@ -90,6 +90,22 @@ class CloneSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("tags and branches do not carry into the clone (their versions don't exist there)") {
+    val t = "lakehouse.cl_ns.s5"
+    mkSource(t, "s5")
+    val srcVersion = graft.catalog.TableMetadata.load(tableDir("cl_ns", "s5")).version
+    spark.sql(s"CALL lakehouse.system.tag('cl_ns', 's5', 'rel_a', $srcVersion)")
+    Maintenance.cloneTable(spark, "lakehouse", Seq("cl_ns"), "s5", Seq("cl_ns"), "d5")
+    val dstMeta = TableMetadata.load(tableDir("cl_ns", "d5"))
+    dstMeta.properties.keys.exists(_.startsWith(Maintenance.TagPrefix)) shouldBe false
+    dstMeta.properties.keys.exists(_.startsWith(Maintenance.BranchPrefix)) shouldBe false
+    // the source keeps its tag
+    spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 'rel_a'")
+      .collect().head.getLong(0) shouldBe 100
+    spark.sql("DROP TABLE lakehouse.cl_ns.d5")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("cloning onto an existing table is refused") {
     val t = "lakehouse.cl_ns.s3"
     mkSource(t, "s3")

@@ -88,6 +88,36 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.gc.g3")
   }
 
+  test("copy-on-write UPDATE cannot leave a generated column stale") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    // no merge-on-read mode: the COW rewrite path
+    spark.sql(
+      "CREATE TABLE lakehouse.gc.g7 (k INT, twice INT GENERATED ALWAYS AS (k * 2))")
+    spark.sql("INSERT INTO lakehouse.gc.g7 (k) VALUES (3)")
+    // updating the base column without the generated one would commit
+    // twice=6 alongside k=9 — the conformance check fails it instead
+    val e = intercept[Exception] {
+      spark.sql("UPDATE lakehouse.gc.g7 SET k = 9 WHERE k = 3")
+    }
+    rootCause(e).getMessage should include("generated:twice")
+    spark.table("lakehouse.gc.g7").as[(Int, Int)].collect().toSeq shouldBe Seq((3, 6))
+    // a consistent update passes
+    spark.sql("UPDATE lakehouse.gc.g7 SET k = 9, twice = 18 WHERE k = 3")
+    spark.table("lakehouse.gc.g7").as[(Int, Int)].collect().toSeq shouldBe Seq((9, 18))
+    spark.sql("DROP TABLE lakehouse.gc.g7")
+  }
+
+  test("CTAS computes generated columns declared as properties") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    Seq(1, 2).toDF("k").createOrReplaceTempView("gc_ctas_src")
+    spark.sql(
+      "CREATE TABLE lakehouse.gc.g8 TBLPROPERTIES ('graft.generated.neg' = '-k') " +
+        "AS SELECT k, 0 AS neg FROM gc_ctas_src")
+    spark.table("lakehouse.gc.g8").orderBy($"k").as[(Int, Int)].collect().toSeq shouldBe
+      Seq((1, -1), (2, -2))
+    spark.sql("DROP TABLE lakehouse.gc.g8")
+  }
+
   test("declaration validation: bad references and identity columns refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
     // Spark's analyzer validates references itself once the capability
