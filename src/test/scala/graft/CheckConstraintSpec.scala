@@ -242,6 +242,30 @@ class CheckConstraintSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.chk.t8")
   }
 
+  test("a constraint added MID-STREAM enforces from the next epoch (per-epoch compile)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql("CREATE TABLE lakehouse.chk.t13 (k INT, v STRING)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("chk-mid-ckpt-").toString
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.chk.t13")
+    try {
+      in.addData((1, "pre"))
+      q.processAllAvailable()
+      // constraint lands while the stream is live — the writer factory
+      // reloads metadata per epoch, so the NEXT epoch must enforce it
+      spark.sql("ALTER TABLE lakehouse.chk.t13 ADD CONSTRAINT k_pos CHECK (k > 0)")
+      in.addData((-3, "post"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      rootCause(e).getMessage should include("k_pos")
+      spark.table("lakehouse.chk.t13").count() shouldBe 1
+    } finally q.stop()
+    spark.sql("DROP TABLE lakehouse.chk.t13")
+  }
+
   test("streaming epochs enforce constraints row-locally") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
     spark.sql(
