@@ -483,5 +483,58 @@ object VectorOps {
            |         AS n_degenerate
            |FROM e GROUP BY label ORDER BY label""".stripMargin))
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q29f, q49, q59, q70)
+  /** Embedding covariance matrix (the whitening/PCA input an ANN
+    * pipeline computes before training quantizers — OPQ, whitened
+    * cosine, decorrelated PQ subspaces all start here): all d(d+1)/2
+    * population covariances of the 64-dim embedding column in ONE
+    * pass.
+    *
+    * Scale shape: a single [[graft.functions.CovAggregator]] holds the
+    * full second-moment state in a ~17 KB buffer per partition and
+    * combines map-side — the shuffle is O(partitions · d²) bytes,
+    * independent of corpus size, where the explode-pairs + groupBy
+    * formulation (the oracle's shape) would shuffle d²·N rows (a
+    * 4096-fold blowup of the corpus). The (i, j, cov) rows unfold from
+    * the ONE aggregate row via nested sequence explodes — driver-free,
+    * 4096 rows total. Rounded to 4 decimals (double accumulation order
+    * differs across engines). */
+  val q81 = Q(
+    "q81_embedding_cov",
+    (s, d) => {
+      import org.apache.spark.sql.functions.udaf
+      val dim = 64
+      val cov = udaf(new graft.functions.CovAggregator(dim))
+      val m = embeddings(s, d).agg(cov(col("embedding")).as("m"))
+      // 1-based flat index of Σx_i·x_j (i ≤ j) in the moments buffer:
+      // after [n, Σx_1..Σx_d], row i's pairs start past the
+      // (i-1)·d − (i-1)(i-2)/2 pairs of earlier rows
+      val i = col("i")
+      val j = col("j")
+      val sxyIdx = (lit(1 + dim) + (i - 1) * lit(dim) - (i - 1) * (i - 2) / 2
+        + (j - i + 1)).cast("int")
+      val n = element_at(col("m"), 1)
+      m.select(explode(sequence(lit(1), lit(dim))).as("i"), col("m"))
+        .select(i, explode(sequence(i, lit(dim))).as("j"), col("m"))
+        .select(i.cast("long").as("i"), j.cast("long").as("j"),
+          // + 0.0 canonicalizes IEEE −0.0 to 0.0 (a tiny negative
+          // covariance rounds to −0.0 in one engine and 0.0 in the
+          // other — same value, different sign bit, different hash)
+          (round((element_at(col("m"), sxyIdx)
+            - element_at(col("m"), (i + 1).cast("int"))
+              * element_at(col("m"), (j + 1).cast("int")) / n) / n, 4) + lit(0.0))
+            .as("cov"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH u AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           |           FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+           |p AS (SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+           |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+           |      GROUP BY a.i, b.i),
+           |m AS (SELECT i, SUM(x) AS sx, COUNT(*) AS n FROM u GROUP BY i)
+           |SELECT p.i, p.j,
+           |  ROUND((p.sxy - mi.sx * mj.sx / mi.n) / mi.n, 4) + 0.0 AS cov
+           |FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
+           |ORDER BY p.i, p.j""".stripMargin))
+
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q29f, q49, q59, q70, q81)
 }

@@ -404,6 +404,16 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("BroadcastHashJoin")
   }
 
+  test("q81 covariance is one bounded aggregation, never an exploded pair join") {
+    // the whole second-moment state lives in one aggregator buffer per
+    // partition; the d²-row explode + groupBy formulation (the
+    // oracle's) would shuffle 4096 rows per vector
+    val plan = executedPlan(graft.queries.VectorOps.q81.run(spark, sf))
+    plan should include("Aggregate")
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q46 mixing ranks via two-level prefix sum, never a per-group corpus sort") {
     // the 2-value group key means PARTITION BY grp ORDER BY doc_id
     // serializes half the corpus through each of two sort tasks —
