@@ -536,5 +536,93 @@ object VectorOps {
            |FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
            |ORDER BY p.i, p.j""".stripMargin))
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q29f, q49, q59, q70, q81)
+  /** Standardized (z-scored) cosine top-5 — DIAGONAL whitening, the
+    * application of q81's moments: every dimension is centered and
+    * scaled to unit variance before similarity, so high-variance
+    * dimensions stop dominating the cosine (the preprocessing step
+    * between raw embeddings and a trained quantizer).
+    *
+    * Scale shape: the per-dimension μ/σ come from the SAME one-pass
+    * bounded moments aggregator as q81 (Σx on the μ side, the Σx²
+    * diagonal on the σ side — ~17 KB per partition, map-side
+    * combined); the μ/σ ARRAYS unfold from that one row and broadcast
+    * (d doubles), z-scoring is a row-local array transform, and the
+    * top-5 search is q29's pinned-broadcast exact shape. σ ≤ 0 guards
+    * to 1 (a constant dimension contributes zero signal either way).
+    * μ/σ arithmetic is written as the same explicit formula in both
+    * engines (Σx/n, √(Σx²/n − μ²)) — builtin stddevs use different
+    * accumulation and would drift. */
+  val q82 = Q(
+    "q82_cosine_standardized",
+    (s, d) => {
+      import org.apache.spark.sql.functions.udaf
+      val dim = 64
+      val cov = udaf(new graft.functions.CovAggregator(dim))
+      // diagonal Σx_i² lives at the (i,i) flat index of the moments
+      def diagIdx(i: Column): Column =
+        (lit(1 + dim) + (i - 1) * lit(dim) - (i - 1) * (i - 2) / 2 + 1).cast("int")
+      val stats = embeddings(s, d).agg(cov(col("embedding")).as("m"))
+        .select(
+          transform(sequence(lit(1), lit(dim)), i =>
+            element_at(col("m"), (i + 1).cast("int")) / element_at(col("m"), 1))
+            .as("mus"),
+          transform(sequence(lit(1), lit(dim)), i => {
+            val mu = element_at(col("m"), (i + 1).cast("int")) / element_at(col("m"), 1)
+            val vr = element_at(col("m"), diagIdx(i)) / element_at(col("m"), 1) - mu * mu
+            when(vr <= 0, lit(1.0)).otherwise(sqrt(vr))
+          }).as("sgs"))
+      val z = embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          transform(sequence(lit(1), lit(dim)), i =>
+            (element_at(col("embedding"), i.cast("int")).cast(DoubleType)
+              - element_at(col("mus"), i.cast("int"))) / element_at(col("sgs"), i.cast("int")))
+            .as("zv"))
+      // sequential left fold — the exact order DuckDB's LIST_REDUCE uses
+      def zdot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val withN = z.select(col("vec_id"), col("zv"), sqrt(zdot(col("zv"), col("zv"))).as("nrm"))
+      val q = withN.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("zv").as("qv"), col("nrm").as("qn"))
+      val c = withN.select(col("vec_id").as("nid"), col("zv").as("nv"), col("nrm").as("nn"))
+      val sims = broadcast(q).join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (zdot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
+          round(col("sim"), 4).as("sim_r"))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH u AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           |           FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+           |st AS (SELECT i, SUM(x) / COUNT(*) AS mu,
+           |         CASE WHEN SUM(x*x) / COUNT(*) - (SUM(x)/COUNT(*)) * (SUM(x)/COUNT(*)) <= 0
+           |              THEN 1.0
+           |              ELSE SQRT(SUM(x*x) / COUNT(*) - (SUM(x)/COUNT(*)) * (SUM(x)/COUNT(*)))
+           |         END AS sg
+           |       FROM u GROUP BY i),
+           |arrs AS (SELECT LIST(mu ORDER BY i) AS mus, LIST(sg ORDER BY i) AS sgs FROM st),
+           |z AS (SELECT vec_id,
+           |        [(CAST(embedding[i] AS DOUBLE) - arrs.mus[i]) / arrs.sgs[i]
+           |         FOR i IN range(1, 65)] AS zv
+           |      FROM embeddings CROSS JOIN arrs),
+           |zn AS (SELECT vec_id, zv,
+           |         SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+           |           [zv[i] * zv[i] FOR i IN range(1, 65)]), (acc, x) -> acc + x)) AS nrm
+           |       FROM z)
+           |SELECT qid, nid, rnk, sim_r FROM (
+           |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+           |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           |      LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+           |        [a.zv[i] * b.zv[i] FOR i IN range(1, 65)]), (acc, x) -> acc + x)
+           |        / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk,
+           |    ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+           |        [a.zv[i] * b.zv[i] FOR i IN range(1, 65)]), (acc, x) -> acc + x)
+           |        / (a.nrm * b.nrm), 4) AS sim_r
+           |  FROM zn a JOIN zn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+           |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
+
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q29f, q49, q59, q70, q81, q82)
 }
