@@ -137,7 +137,7 @@ private[catalog] class ChangelogStaging(
           case _ => false
         })
         .foreach { d =>
-          Fs.walk(d).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          Fs.deleteRecursively(d)
         }
     }
     val success = dir.resolve("_SUCCESS")
@@ -223,7 +223,7 @@ private[catalog] class ChangelogStaging(
         }
       }
       .foreach { d =>
-        Fs.walk(d).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Fs.deleteRecursively(d)
       }
   }
 

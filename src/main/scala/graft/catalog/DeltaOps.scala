@@ -257,7 +257,7 @@ private class LakehouseDeltaWrite(
 
   private def removeStaging(dir: Path): Unit =
     if (Files.isDirectory(dir)) {
-      Fs.walk(dir).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.deleteRecursively(dir)
     }
 }
 

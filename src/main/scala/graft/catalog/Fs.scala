@@ -32,4 +32,11 @@ object Fs {
     try s.iterator().asScala.toVector
     finally s.close()
   }
+
+  /** Best-effort recursive delete (children before parents); a no-op
+    * for a missing dir. The one home for the walk-reverse-delete idiom
+    * every staging/reap site used to hand-roll. */
+  def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir))
+      walk(dir).reverse.foreach(Files.deleteIfExists(_))
 }

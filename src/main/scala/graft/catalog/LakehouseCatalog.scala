@@ -43,17 +43,25 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     * the TableInfo overload; the default delegation would silently DROP
     * the constraints — map them to graft.check.* properties first so
     * the declaration survives and enforces from the first insert. */
-  override def createTable(ident: Identifier, info: TableInfo): Table = {
+  /** Fold a TableInfo's inline declarations into properties: CHECK
+    * constraints (with the same case-insensitive duplicate refusal the
+    * ALTER path enforces) and generated-column expressions; identity
+    * columns are refused (they need engine-side sequence state this
+    * catalog does not keep). Shared by createTable AND the staged
+    * CTAS/RTAS overloads — the default TableInfo delegation forwards
+    * only info.properties() and would silently DROP all of these. */
+  private def withInlineDeclarations(info: TableInfo): java.util.Map[String, String] = {
     val checkProps = info.constraints().map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
         CheckConstraints.Prefix + c.name -> c.predicateSql()
       case other => throw new UnsupportedOperationException(
         s"only CHECK constraints are supported (got ${other.toDDL})")
     }.toMap
-    // generated columns arrive on the v2 Column objects; store their
-    // expressions so the write paths can compute/validate them —
-    // identity columns are refused (they need engine-side sequence
-    // state this catalog does not keep)
+    val lower = info.constraints().map(_.name.toLowerCase)
+    if (lower.distinct.length != lower.length)
+      throw new UnsupportedOperationException(
+        "duplicate constraint names (SQL identifiers resolve case-insensitively): " +
+          info.constraints().map(_.name).mkString(", "))
     val genProps = info.columns().flatMap { c =>
       require(c.identityColumnSpec() == null,
         s"identity column '${c.name}' is not supported")
@@ -62,8 +70,11 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     }.toMap
     val props = new java.util.HashMap[String, String](info.properties())
     (checkProps ++ genProps).foreach { case (k, v) => props.put(k, v) }
-    createTable(ident, info.schema(), info.partitions(), props)
+    props
   }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(), withInlineDeclarations(info))
 
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(
@@ -492,14 +503,17 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     else stageCreate(ident, schema, partitions, properties)
   }
 
+  // inline CHECK constraints / generated columns survive the staged
+  // DDL forms too (CTAS / REPLACE TABLE AS SELECT) — the default
+  // delegation forwards only info.properties() and would drop them
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
-    stageCreate(ident, info.schema(), info.partitions(), info.properties())
+    stageCreate(ident, info.schema(), info.partitions(), withInlineDeclarations(info))
 
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
-    stageReplace(ident, info.schema(), info.partitions(), info.properties())
+    stageReplace(ident, info.schema(), info.partitions(), withInlineDeclarations(info))
 
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
-    stageCreateOrReplace(ident, info.schema(), info.partitions(), info.properties())
+    stageCreateOrReplace(ident, info.schema(), info.partitions(), withInlineDeclarations(info))
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -571,6 +585,19 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
             CheckConstraints.resolveBound(spark, m.schema, name, set.value)
             CheckConstraints.verifyExisting(spark, dir, m, name, set.value)
           }
+          // declaring a generation expression over EXISTING data is a
+          // conformance claim about every stored row — verify it like a
+          // CHECK (otherwise 'a committed file can never disagree with
+          // the expression' breaks, and the next unrelated COW rewrite
+          // fails on the kept rows)
+          if (set.property.startsWith(GeneratedColumns.Prefix) &&
+            !m.properties.get(set.property).contains(set.value)) {
+            GeneratedColumns.validate(spark, m.schema,
+              Map(set.property -> set.value))
+            val (n, sql) = GeneratedColumns.conformanceChecks(spark, m.schema,
+              Map(set.property -> set.value)).head
+            CheckConstraints.verifyExisting(spark, dir, m, n, sql)
+          }
           m.copy(properties = m.properties + (set.property -> set.value))
         case rm: TableChange.RemoveProperty =>
           m.copy(properties = m.properties - rm.property)
@@ -632,9 +659,17 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
             if (m.files.nonEmpty)
               m.properties + (LakehouseCatalog.TombstonePrefix + delName.toLowerCase -> "true")
             else m.properties
+          // dropping a GENERATED column takes its generation expression
+          // with it (otherwise the end-of-fold validator refuses the
+          // DDL with a misleading 'column does not exist'); expressions
+          // that REFERENCE the dropped column still fail validation
+          val withoutGen = tombstoned.filterNot { case (k, _) =>
+            k.startsWith(GeneratedColumns.Prefix) &&
+              k.drop(GeneratedColumns.Prefix.length).equalsIgnoreCase(delName)
+          }
           m.copy(
             schema = StructType(m.schema.fields.filterNot(_.name == delName)),
-            properties = tombstoned)
+            properties = withoutGen)
         case upd: TableChange.UpdateColumnDefaultValue =>
           // ALTER COLUMN ... SET/DROP DEFAULT changes only the
           // CURRENT_DEFAULT (future INSERTs); the EXISTS_DEFAULT stays
@@ -756,10 +791,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     Files.writeString(marker, JsonMethods.pretty(JsonMethods.render(
       JObject(props.toList.sortBy(_._1).map { case (k, v) => k -> JString(v): JField }))))
 
-  private def deleteRecursively(dir: Path): Unit =
-    if (Files.exists(dir))
-      Fs.walk(dir).sorted(Ordering[String].on[Path](_.toString).reverse)
-        .foreach(p => Files.delete(p))
+  private def deleteRecursively(dir: Path): Unit = Fs.deleteRecursively(dir)
 }
 
 object LakehouseCatalog {

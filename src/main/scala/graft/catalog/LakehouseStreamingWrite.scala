@@ -135,8 +135,7 @@ class LakehouseStreamingWrite(
       finally {
         val stagingDir = tableDir.resolve(stagingRel)
         if (Files.isDirectory(stagingDir)) {
-          Fs.walk(stagingDir).iterator.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
+          Fs.deleteRecursively(stagingDir)
         }
       }
     }

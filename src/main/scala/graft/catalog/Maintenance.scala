@@ -652,7 +652,7 @@ object Maintenance {
       }
       val d = dir.resolve(delRel)
       if (Files.isDirectory(d)) {
-        Fs.walk(d).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Fs.deleteRecursively(d)
       }
     }
 
@@ -1355,7 +1355,7 @@ object Maintenance {
     if (keyRows == 0) {
       val staging = dir.resolve(delRel)
       if (Files.isDirectory(staging)) {
-        Fs.walk(staging).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Fs.deleteRecursively(staging)
       }
       return 0
     }
@@ -1501,7 +1501,7 @@ object Maintenance {
     commitPropertyChange(dir, s"drop-branch($name)", _ - (BranchPrefix + name))
     val bdir = branchLogDir(dir, name)
     if (Files.isDirectory(bdir)) {
-      Fs.walk(bdir).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.deleteRecursively(bdir)
     }
   }
 
@@ -1643,14 +1643,21 @@ object Maintenance {
     val checks = CheckConstraints.constraintsOf(current.properties) ++
       GeneratedColumns.conformanceChecks(spark, current.schema, current.properties)
     if (checks.nonEmpty) {
-      import org.apache.spark.sql.functions.{expr, lit}
+      import org.apache.spark.sql.functions.{expr, lit, sum, when}
+      // ONE pass over the imported files computes every violation
+      // count at once (and therefore reports every violated check)
       val df = spark.read.schema(current.schema).parquet(srcFiles.map(_.toString): _*)
-      checks.foreach { case (n, sql) =>
-        val violations = df.filter(expr(sql) <=> lit(false)).count()
-        if (violations > 0) throw new IllegalStateException(
-          s"add_files: $violations imported rows violate '$n' ($sql) — refusing " +
-            "the import; fix the files or drop the constraint first")
+      val counts = df.agg(
+        sum(when(expr(checks.head._2) <=> lit(false), 1L).otherwise(0L)),
+        checks.tail.map { case (_, sql) =>
+          sum(when(expr(sql) <=> lit(false), 1L).otherwise(0L)) }: _*).head()
+      val violated = checks.zipWithIndex.collect {
+        case ((n, sql), i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+          s"'$n' ($sql): ${counts.getLong(i)} rows"
       }
+      if (violated.nonEmpty) throw new IllegalStateException(
+        s"add_files: imported rows violate ${violated.mkString("; ")} — refusing " +
+          "the import; fix the files or drop the constraint first")
     }
 
     val nextVersion = current.version + 1

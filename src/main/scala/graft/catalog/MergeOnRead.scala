@@ -403,8 +403,7 @@ object MergeOnRead {
     if (tuples == 0) {
       val stagingDir = tableDir.resolve(delRel)
       if (Files.isDirectory(stagingDir)) {
-        Fs.walk(stagingDir).iterator.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        Fs.deleteRecursively(stagingDir)
       }
       return 0
     }
@@ -476,8 +475,7 @@ object MergeOnRead {
       // it recursively.
       val stagingDir = tableDir.resolve(delRel)
       if (Files.isDirectory(stagingDir)) {
-        Fs.walk(stagingDir).iterator.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        Fs.deleteRecursively(stagingDir)
       }
       return 0
     }

@@ -109,12 +109,12 @@ class StagedLakehouseTable(
 
   override def abortStagedChanges(): Unit = {
     if (Files.isDirectory(commitDir)) {
-      Fs.walk(commitDir).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.deleteRecursively(commitDir)
     }
     // a staged CREATE owns the whole directory (no published metadata
     // yet); a staged REPLACE must leave the live table untouched
     if (op == "create" && !TableMetadata.exists(dir) && Files.isDirectory(dir)) {
-      Fs.walk(dir).iterator.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.deleteRecursively(dir)
     }
   }
 }

@@ -24,6 +24,9 @@ class CovAggregator(d: Int) extends Aggregator[Array[Float], Array[Double], Arra
   override def zero: Array[Double] = new Array[Double](1 + d + pairs)
 
   override def reduce(buf: Array[Double], x: Array[Float]): Array[Double] = {
+    // null embeddings contribute nothing — the same rows a SQL unnest
+    // drops, so both engines see identical moments
+    if (x == null) return buf
     require(x.length == d, s"embedding has dim ${x.length}, expected $d")
     buf(0) += 1
     var i = 0

@@ -118,6 +118,57 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.gc.g8")
   }
 
+  test("CREATE OR REPLACE keeps inline generated columns and constraints (staged path)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("CREATE TABLE lakehouse.gc.g9 (old STRING)")
+    // the staged REPLACE used to forward only info.properties() and
+    // silently drop both declarations
+    spark.sql(
+      "CREATE OR REPLACE TABLE lakehouse.gc.g9 " +
+        "(k INT, twice INT GENERATED ALWAYS AS (k * 2), CONSTRAINT k_pos CHECK (k > 0))")
+    spark.sql("INSERT INTO lakehouse.gc.g9 (k) VALUES (4)")
+    spark.table("lakehouse.gc.g9").as[(Int, Int)].collect().toSeq shouldBe Seq((4, 8))
+    Seq((-1, 0)).toDF("k", "twice").createOrReplaceTempView("gc_rep_bad")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lakehouse.gc.g9 SELECT * FROM gc_rep_bad")
+    }
+    rootCause(e).getMessage should include("k_pos")
+    spark.sql("DROP TABLE lakehouse.gc.g9")
+  }
+
+  test("declaring a generation expression over non-conforming existing rows is refused") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("CREATE TABLE lakehouse.gc.g10 (k INT, b INT)")
+    Seq((1, 999)).toDF("k", "b").createOrReplaceTempView("gc_nc")
+    spark.sql("INSERT INTO lakehouse.gc.g10 SELECT * FROM gc_nc")
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE lakehouse.gc.g10 SET TBLPROPERTIES ('graft.generated.b' = 'k + 1')")
+    }
+    rootCause(e).getMessage should include("existing")
+    spark.sql("DROP TABLE lakehouse.gc.g10")
+  }
+
+  test("DROP COLUMN of a generated column removes its expression too") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql(
+      "CREATE TABLE lakehouse.gc.g11 (k INT, twice INT GENERATED ALWAYS AS (k * 2))")
+    spark.sql("ALTER TABLE lakehouse.gc.g11 DROP COLUMN twice")
+    spark.sql("SHOW TBLPROPERTIES lakehouse.gc.g11").collect()
+      .map(_.getString(0)).exists(_.startsWith("graft.generated.")) shouldBe false
+    spark.sql("INSERT INTO lakehouse.gc.g11 VALUES (7)")
+    spark.table("lakehouse.gc.g11").count() shouldBe 1
+    spark.sql("DROP TABLE lakehouse.gc.g11")
+  }
+
+  test("null input rows contribute nothing to the moments aggregator") {
+    val agg = new graft.functions.CovAggregator(2)
+    val buf = agg.reduce(agg.reduce(agg.zero, null), Array(1.0f, 2.0f))
+    buf(0) shouldBe 1.0 // n counts only the real vector
+    buf(1) shouldBe 1.0
+    buf(2) shouldBe 2.0
+  }
+
   test("declaration validation: bad references and identity columns refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
     // Spark's analyzer validates references itself once the capability
