@@ -266,6 +266,22 @@ class CheckConstraintSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.chk.t13")
   }
 
+  test("constraints are visible through the DSv2 Table.constraints surface") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql(
+      "CREATE TABLE lakehouse.chk.t14 (k INT, CONSTRAINT k_pos CHECK (k > 0))")
+    val table = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("chk"), "t14"))
+    val cs = table.constraints()
+    cs.length shouldBe 1
+    cs.head.name shouldBe "k_pos"
+    cs.head.enforced shouldBe true
+    cs.head.toDDL should include("k > 0")
+    spark.sql("DROP TABLE lakehouse.chk.t14")
+  }
+
   test("streaming epochs enforce constraints row-locally") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
     spark.sql(

@@ -414,6 +414,15 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("q82 standardized cosine: stats and query sides broadcast, corpus never") {
+    // μ/σ arrays are a one-row broadcast; the ≤10-row query side is the
+    // pinned build of the non-equi join (the q29 rule) — the corpus
+    // must never be the broadcast side
+    val plan = executedPlan(graft.queries.VectorOps.q82.run(spark, sf))
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("q46 mixing ranks via two-level prefix sum, never a per-group corpus sort") {
     // the 2-value group key means PARTITION BY grp ORDER BY doc_id
     // serializes half the corpus through each of two sort tasks —
