@@ -266,6 +266,45 @@ class CheckConstraintSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.chk.t13")
   }
 
+  test("ADD CONSTRAINT racing violating INSERTs: never both committed") {
+    // The invariant the no-rebase commit protects: a constraint that
+    // LANDS was verified against the snapshot it committed on — so the
+    // final table can hold the constraint, or violating rows, NEVER
+    // both. (A property-change rebase over the racing append would
+    // allow both: the verification ran pre-race.)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    for (round <- 0 until 3) {
+      val t = s"lakehouse.chk.race$round"
+      spark.sql(s"CREATE TABLE $t (k INT)")
+      Seq(1, 2).toDF("k").createOrReplaceTempView(s"chk_race_ok$round")
+      spark.sql(s"INSERT INTO $t SELECT * FROM chk_race_ok$round")
+      Seq(-7).toDF("k").createOrReplaceTempView(s"chk_race_bad$round")
+
+      val fIns = Future {
+        try { spark.sql(s"INSERT INTO $t SELECT * FROM chk_race_bad$round"); true }
+        catch { case _: Throwable => false }
+      }
+      val fDdl = Future {
+        try { spark.sql(s"ALTER TABLE $t ADD CONSTRAINT k_pos CHECK (k > 0)"); true }
+        catch { case _: Throwable => false }
+      }
+      val insLanded = Await.result(fIns, 120.seconds)
+      val ddlLanded = Await.result(fDdl, 120.seconds)
+
+      val violating = spark.table(t).where($"k" <= 0).count()
+      val constrained = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .exists(_.getString(0) == "graft.check.k_pos")
+      withClue(s"round $round: ins=$insLanded ddl=$ddlLanded " +
+        s"violating=$violating constrained=$constrained: ") {
+        (constrained && violating > 0) shouldBe false
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   test("constraints are visible through the DSv2 Table.constraints surface") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
     spark.sql(
