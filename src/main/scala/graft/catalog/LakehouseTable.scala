@@ -815,8 +815,32 @@ class LakehouseTable(
     val maxAttempts = 10
     var attempt = 0
     var committed = false
+    var verifiedProps = startMeta.properties
     while (!committed) {
       val current = TableMetadata.load(tableDir)
+      // A constraint/generation expression that landed AFTER this
+      // write's row-local enforcement ran (startMeta's properties) has
+      // never seen these rows — rebasing the append over it would let
+      // a violating insert and the constraint both commit (the race
+      // the ALTER side's no-rebase commit defends; this is the other
+      // half). Verify the ALREADY-WRITTEN files against exactly the
+      // checks that appeared since, once per newly-seen check.
+      val checksNow = CheckConstraints.constraintsOf(current.properties) ++
+        GeneratedColumns.conformanceChecks(spark, current.schema, current.properties)
+      val checksVerified = (CheckConstraints.constraintsOf(verifiedProps) ++
+        GeneratedColumns.conformanceChecks(spark, startMeta.schema, verifiedProps)).toSet
+      val unseen = checksNow.filterNot(checksVerified.contains)
+      if (unseen.nonEmpty) {
+        import org.apache.spark.sql.functions.{expr => fexpr, lit => flit}
+        val written = spark.read.schema(startMeta.schema).parquet(newFiles.map(abs): _*)
+        unseen.foreach { case (n, sql) =>
+          val violations = written.filter(fexpr(sql) <=> flit(false)).count()
+          if (violations > 0) throw new IllegalStateException(
+            s"INSERT lost a race to CHECK constraint '$n' ($sql) and $violations " +
+              "written rows violate it — nothing was committed; re-run the INSERT")
+        }
+        verifiedProps = current.properties
+      }
       val nextVersion = current.version + 1
       val allFiles = if (overwrite) newFiles else current.files ++ newFiles
       val allStats =
