@@ -192,8 +192,12 @@ private class LakehouseDeltaWrite(
         dataF, dataConf, base.schema, tableDir.resolve(dataRel).toString,
         keyF, keyConf, delSchema, tableDir.resolve(delRel).toString,
         positional = keyIdentity.isEmpty,
-        // CHECK constraints guard the MERGE/UPDATE-written row versions
-        checks = CheckConstraints.rowChecks(spark, base.schema, base.properties))
+        // CHECK constraints guard the MERGE/UPDATE-written row versions;
+        // generated columns are COMPUTED first (overwriting whatever the
+        // MERGE assignments supplied), so the conformance check can only
+        // trip on a genuine CHECK violation
+        checks = CheckConstraints.rowChecks(spark, base.schema, base.properties),
+        generate = GeneratedColumns.rowGenerate(spark, base.schema, base.properties))
     }
 
     override def useCommitCoordinator(): Boolean = true
@@ -271,7 +275,8 @@ private case class DeltaTaskWriterFactory(
     keySchema: StructType,
     keyDir: String,
     positional: Boolean,
-    checks: Option[CheckConstraints.RowChecks])
+    checks: Option[CheckConstraints.RowChecks],
+    generate: Option[GeneratedColumns.RowGenerate] = None)
   extends DeltaWriterFactory {
 
   import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, JobID, TaskType}
@@ -294,7 +299,7 @@ private case class DeltaTaskWriterFactory(
     new LakehouseDeltaWriter(
       () => open(dataFactory, dataConf, dataSchema, dataDir, partitionId, taskId),
       () => open(keyFactory, keyConf, keySchema, keyDir, partitionId, taskId),
-      positional, checks)
+      positional, checks, generate)
 }
 
 /** Per-task delta writer. Spark's DeltaWritingSparkTask has already
@@ -308,7 +313,8 @@ private class LakehouseDeltaWriter(
     mkData: () => (org.apache.spark.sql.execution.datasources.OutputWriter, String),
     mkKeys: () => (org.apache.spark.sql.execution.datasources.OutputWriter, String),
     positional: Boolean,
-    checks: Option[CheckConstraints.RowChecks])
+    checks: Option[CheckConstraints.RowChecks],
+    generate: Option[GeneratedColumns.RowGenerate] = None)
   extends DeltaWriter[InternalRow] {
 
   import org.apache.spark.sql.execution.datasources.OutputWriter
@@ -328,8 +334,14 @@ private class LakehouseDeltaWriter(
   private val reuse = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
 
   override def insert(row: InternalRow): Unit = {
-    checks.foreach(_.validate(row))
-    data.write(row)
+    // generated columns computed BEFORE validation, so CHECK
+    // constraints see the values that actually commit
+    val out = generate match {
+      case Some(g) => g(row)
+      case None => row
+    }
+    checks.foreach(_.validate(out))
+    data.write(out)
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =

@@ -1,6 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, UnsafeProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -11,15 +13,19 @@ import org.apache.spark.sql.types.StructType
   * is overwritten, so "always generated" holds by construction rather
   * than by trusting writers.
   *
-  * Paths: batch writes (INSERT/CTAS/OVERWRITE/COW DML — everything
-  * through the V1 InsertableRelation) COMPUTE the column row-locally
-  * inside the write projection ([[compute]], codegen'd, no extra
-  * pass). Row-level writers that receive already-materialized rows
-  * (merge-on-read MERGE/UPDATE inserts, streaming epochs) cannot
-  * recompute a projection cheaply, so they VALIDATE conformance
-  * instead: a row whose stored value differs from the generation
-  * expression fails the write ([[conformanceChecks]] — the same
-  * compiled-predicate machinery CHECK constraints use). Either way a
+  * Paths: batch writes (INSERT/CTAS/OVERWRITE — everything through
+  * the V1 InsertableRelation) COMPUTE the column row-locally inside
+  * the write projection ([[compute]], codegen'd, no extra pass).
+  * Row-level writers that receive already-materialized InternalRows
+  * (merge-on-read MERGE/UPDATE, COW rewrites, streaming epochs)
+  * COMPUTE too, through a driver-bound projection compiled per task
+  * ([[rowGenerate]] — the same machinery CHECK row-predicates use), so
+  * a MERGE that omits or mis-states the generated column still commits
+  * the computed value — Delta computes on every write path, and
+  * validate-instead-of-compute made generated columns unusable with
+  * MoR MERGE. [[conformanceChecks]] remains for AFTER-the-fact
+  * verification of rows written outside the engine's projections
+  * (add_files imports, the INSERT race re-verify). Either way a
   * committed file can never hold a value that disagrees with the
   * expression.
   *
@@ -69,14 +75,58 @@ object GeneratedColumns {
   /** Row-path conformance: for writers that receive materialized rows,
     * a stored value that differs from the generation expression is a
     * constraint violation. Expressed as CHECK-style predicates
-    * (violation iff NOT (stored <=> expr)). */
+    * (violation iff NOT (stored <=> expr)). A declared generated
+    * column absent from `schema` yields no check — nothing is stored
+    * under that schema to conform (a racer's ADD COLUMN can make the
+    * property set run ahead of the schema a writer verified against). */
   def conformanceChecks(
       spark: SparkSession,
       schema: StructType,
       props: Map[String, String]): Seq[(String, String)] =
-    of(props).map { case (c, sql) =>
-      val field = schema.fields.find(_.name.equalsIgnoreCase(c)).get
-      (s"generated:$c",
-        s"`${field.name}` <=> CAST(($sql) AS ${field.dataType.sql})")
+    of(props).flatMap { case (c, sql) =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).map { field =>
+        (s"generated:$c",
+          s"`${field.name}` <=> CAST(($sql) AS ${field.dataType.sql})")
+      }
     }
+
+  /** Row-path COMPUTATION for InternalRow writers (delta DML tasks,
+    * streaming epochs, COW rewrite rows): a bound projection over the
+    * full table row that OVERWRITES every generated column with its
+    * expression — the same "always generated" by construction the
+    * batch projection gives, so a MERGE ... INSERT that supplies a
+    * placeholder (or stale) value for the generated column still
+    * commits the computed one (Delta computes on every write path;
+    * validating instead made generated columns unusable with MoR
+    * MERGE). Expressions are bound on the driver; the projection
+    * compiles lazily per executor. */
+  final case class RowGenerate(exprs: Seq[Expression]) extends Serializable {
+    @transient private lazy val proj = UnsafeProjection.create(exprs)
+    def apply(row: InternalRow): InternalRow = proj(row)
+  }
+
+  /** The compiled row generator for `schema`+`props`, or None when the
+    * table declares no generated columns (zero overhead otherwise). */
+  def rowGenerate(
+      spark: SparkSession,
+      schema: StructType,
+      props: Map[String, String]): Option[RowGenerate] = {
+    val gen = of(props)
+    if (gen.isEmpty) None
+    else {
+      val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      val exprs: Seq[Expression] = schema.fields.zipWithIndex.map { case (f, i) =>
+        gen.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((c, sql)) =>
+            // binds against the FULL row layout; the expression itself
+            // references only non-generated columns (validated at
+            // declaration), so positions resolve cleanly
+            Cast(CheckConstraints.resolveAny(spark, schema, s"generated:$c", sql),
+              f.dataType, tz)
+          case None => BoundReference(i, f.dataType, f.nullable)
+        }
+      }.toSeq
+      Some(RowGenerate(exprs))
+    }
+  }
 }

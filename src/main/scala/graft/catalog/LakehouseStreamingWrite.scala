@@ -67,20 +67,25 @@ class LakehouseStreamingWrite(
     val delegate: DataWriterFactory = innerWrite.createBatchWriterFactory(pInfo)
     // CHECK constraints guard every streamed row before it reaches the
     // epoch's staging files — same row-local predicate the delta DML
-    // writers compile, zero overhead when the table declares none
+    // writers compile, zero overhead when the table declares none.
+    // Generated columns are COMPUTED first (the stream source need not
+    // supply them correctly — "always generated" holds by construction
+    // on this path exactly as on batch writes).
     val checks = CheckConstraints.rowChecks(spark, meta.schema, meta.properties)
+    val gen = GeneratedColumns.rowGenerate(spark, meta.schema, meta.properties)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long, epochId: Long):
           org.apache.spark.sql.connector.write.DataWriter[
             org.apache.spark.sql.catalyst.InternalRow] = {
         val inner = delegate.createWriter(partitionId, taskId)
-        checks match {
-          case None => inner
-          case Some(c) =>
+        (checks, gen) match {
+          case (None, None) => inner
+          case (c, g) =>
             new org.apache.spark.sql.connector.write.DataWriter[
                 org.apache.spark.sql.catalyst.InternalRow] {
               override def write(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
-                c.validate(r); inner.write(r)
+                val out = g match { case Some(gg) => gg(r); case None => r }
+                c.foreach(_.validate(out)); inner.write(out)
               }
               override def commit(): WriterCommitMessage = inner.commit()
               override def abort(): Unit = inner.abort()

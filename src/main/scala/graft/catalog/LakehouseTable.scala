@@ -816,6 +816,10 @@ class LakehouseTable(
     var attempt = 0
     var committed = false
     var verifiedProps = startMeta.properties
+    // tracked TOGETHER with verifiedProps: rebuilding the verified set
+    // from startMeta.schema after verifiedProps advanced would crash
+    // on a racer that added a column plus its generation property
+    var verifiedSchema = startMeta.schema
     while (!committed) {
       val current = TableMetadata.load(tableDir)
       // A constraint/generation expression that landed AFTER this
@@ -828,11 +832,14 @@ class LakehouseTable(
       val checksNow = CheckConstraints.constraintsOf(current.properties) ++
         GeneratedColumns.conformanceChecks(spark, current.schema, current.properties)
       val checksVerified = (CheckConstraints.constraintsOf(verifiedProps) ++
-        GeneratedColumns.conformanceChecks(spark, startMeta.schema, verifiedProps)).toSet
+        GeneratedColumns.conformanceChecks(spark, verifiedSchema, verifiedProps)).toSet
       val unseen = checksNow.filterNot(checksVerified.contains)
       if (unseen.nonEmpty) {
         import org.apache.spark.sql.functions.{expr => fexpr, lit => flit}
-        val written = spark.read.schema(startMeta.schema).parquet(newFiles.map(abs): _*)
+        // current.schema, not startMeta.schema: an unseen check may
+        // reference a column a racing ALTER just added (read as null
+        // from these files — name-resolved), and must still resolve
+        val written = spark.read.schema(current.schema).parquet(newFiles.map(abs): _*)
         unseen.foreach { case (n, sql) =>
           val violations = written.filter(fexpr(sql) <=> flit(false)).count()
           if (violations > 0) throw new IllegalStateException(
@@ -840,6 +847,7 @@ class LakehouseTable(
               "written rows violate it — nothing was committed; re-run the INSERT")
         }
         verifiedProps = current.properties
+        verifiedSchema = current.schema
       }
       val nextVersion = current.version + 1
       val allFiles = if (overwrite) newFiles else current.files ++ newFiles

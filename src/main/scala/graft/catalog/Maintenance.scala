@@ -1619,7 +1619,17 @@ object Maintenance {
     }
     srcFooters.foreach { case (p, footer) =>
       current.schema.fields.foreach { f =>
-        footer.fields.get(f.name) match {
+        // exact name first, then case-insensitive — Spark's default
+        // name-based parquet resolution is case-insensitive
+        // (spark.sql.caseSensitive=false), so a file storing the column
+        // under different casing reads correctly and must import
+        val stored = footer.fields.get(f.name).orElse {
+          if (spark.sessionState.conf.caseSensitiveAnalysis) None
+          else footer.fields.collectFirst {
+            case (n, prim) if n.equalsIgnoreCase(f.name) => prim
+          }
+        }
+        stored match {
           case None => throw new IllegalArgumentException(
             s"add_files: ${p.getFileName} lacks table column '${f.name}' — a " +
               "name-resolved read would silently return null; fix the file or " +

@@ -177,13 +177,14 @@ class LakehouseRowLevelOperation(
         // stale generated column or a violating SET fails the write
         // instead of committing
         val rowChecks = CheckConstraints.rowChecks(spark, writeSchema, base.properties)
+        val rowGen = GeneratedColumns.rowGenerate(spark, writeSchema, base.properties)
         new Write {
           override def description: String = s"lakehouse-cow-$cmd"
           override def toBatch: BatchWrite = new BatchWrite {
             private val delegate = innerWrite.toBatch
             override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
               new OperationColumnStrippingWriterFactory(
-                delegate.createBatchWriterFactory(pInfo), writeSchema, rowChecks)
+                delegate.createBatchWriterFactory(pInfo), writeSchema, rowChecks, rowGen)
             override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
             override def commit(messages: Array[WriterCommitMessage]): Unit = {
               delegate.commit(messages) // finalize task files into commitDir
@@ -242,7 +243,8 @@ class LakehouseRowLevelOperation(
 private class OperationColumnStrippingWriterFactory(
     delegate: DataWriterFactory,
     writeSchema: StructType,
-    checks: Option[CheckConstraints.RowChecks] = None)
+    checks: Option[CheckConstraints.RowChecks] = None,
+    generate: Option[GeneratedColumns.RowGenerate] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long):
@@ -250,18 +252,24 @@ private class OperationColumnStrippingWriterFactory(
     val inner = delegate.createWriter(partitionId, taskId)
     val n = writeSchema.length
     val types = writeSchema.fields.map(_.dataType)
+    // generated columns recomputed on every rewritten row (a SET on a
+    // source column must refresh its dependents — Delta's semantics),
+    // then CHECK-validated, so constraints see the committed values
+    def finish(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+      val out = generate match { case Some(g) => g(r); case None => r }
+      checks.foreach(_.validate(out))
+      inner.write(out)
+    }
     new org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
       override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
-        if (row.numFields == n) { checks.foreach(_.validate(row)); inner.write(row) }
+        if (row.numFields == n) { finish(row) }
         else if (row.numFields == n + 1) {
           // field 0 is the rewrite's operation marker; 1..n are the
           // table columns in write-schema order
           val vals = new Array[Any](n)
           var i = 0
           while (i < n) { vals(i) = row.get(i + 1, types(i)); i += 1 }
-          val stripped = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
-          checks.foreach(_.validate(stripped))
-          inner.write(stripped)
+          finish(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
         } else {
           throw new IllegalStateException(
             s"replace-data row has ${row.numFields} fields; write schema has $n")

@@ -375,6 +375,24 @@ object TableMetadata {
       attempt.partitionColumns == base.partitionColumns &&
       cur.partitionColumns == base.partitionColumns
     if (!schemaStable) return None
+    // A CHECK constraint or generation expression the racer added (or
+    // tightened) since `base` has never seen the attempt's rows — its
+    // declaration-time verification scanned only the files committed
+    // before it. Rebasing a file-adding commit over it would land
+    // unverified rows and the constraint together (the race the INSERT
+    // commit loop defends by re-verifying its written files; every
+    // commitOrRebase site — add_files import, MoR DML, streaming
+    // epochs, COW rewrites — gets the decline instead: the commit
+    // fails clean and the caller re-runs against the snapshot that
+    // carries the new constraint). Property keys the attempt itself
+    // changed are already arbitrated by the property-merge rules.
+    if (added.nonEmpty) {
+      val racerAddedChecks = cur.properties.exists { case (k, v) =>
+        (k.startsWith(CheckConstraints.Prefix) || k.startsWith(GeneratedColumns.Prefix)) &&
+          !base.properties.get(k).contains(v)
+      }
+      if (racerAddedChecks) return None
+    }
     val isRewrite = removed.nonEmpty || removedDels.nonEmpty
     if (isRewrite && (racerRewrote || racerAddedDels)) return None
     if (addedDels.nonEmpty && racerRewrote) {

@@ -163,6 +163,74 @@ class CommitRebaseSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.race_ns.u2")
   }
 
+  test("file-adding commit never rebases over a concurrently-added CHECK/generation property") {
+    val dir = mkTable("c1")
+    val base = TableMetadata.load(dir)
+    // racer: ADD CONSTRAINT lands first (property-only commit) — its
+    // declaration-time verification saw only base's files
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      properties = base.properties + ("graft.check.pos" -> "k >= 0"),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "alter", 0, base.files.size)))
+    // loser: an append computed against base (its rows were never
+    // verified against the new constraint) must NOT auto-rebase —
+    // add_files / MoR DML / streaming epochs all ride this decline
+    val attempt = base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-unverified/p0.parquet",
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "append", 1, base.files.size + 1))
+    val e = intercept[IllegalStateException] {
+      TableMetadata.commitOrRebase(dir, base = base, attempt = attempt)
+    }
+    e.getMessage should include("do not commute")
+    // a racing GENERATION property declines the same way
+    val base2 = TableMetadata.load(dir)
+    TableMetadata.commit(dir, base2.copy(
+      version = base2.version + 1,
+      properties = base2.properties + ("graft.generated.g" -> "k * 2"),
+      snapshots = base2.snapshots :+
+        Snapshot(base2.version + 1, 3L, "alter", 0, base2.files.size)))
+    intercept[IllegalStateException] {
+      TableMetadata.commitOrRebase(dir, base = base2, attempt = base2.copy(
+        version = base2.version + 1,
+        files = base2.files :+ "data/x-unverified/p1.parquet",
+        snapshots = base2.snapshots :+
+          Snapshot(base2.version + 1, 4L, "append", 1, base2.files.size + 1)))
+    }.getMessage should include("do not commute")
+    // but a racing NON-constraint property still commutes with appends
+    val base3 = TableMetadata.load(dir)
+    TableMetadata.commit(dir, base3.copy(
+      version = base3.version + 1,
+      properties = base3.properties + ("graft.note" -> "hi"),
+      snapshots = base3.snapshots :+
+        Snapshot(base3.version + 1, 4L, "alter", 0, base3.files.size)))
+    val committed = TableMetadata.commitOrRebase(dir, base = base3, attempt = base3.copy(
+      version = base3.version + 1,
+      files = base3.files :+ "data/x-ok/p0.parquet",
+      snapshots = base3.snapshots :+
+        Snapshot(base3.version + 1, 5L, "append", 1, base3.files.size + 1)))
+    committed.files should contain("data/x-ok/p0.parquet")
+    committed.properties("graft.note") shouldBe "hi"
+    // and a delete-only commit (no new rows) commutes with the new
+    // constraint — deletions cannot violate a CHECK
+    val base4 = TableMetadata.load(dir)
+    TableMetadata.commit(dir, base4.copy(
+      version = base4.version + 1,
+      properties = base4.properties + ("graft.check.neg" -> "k < 1000000"),
+      snapshots = base4.snapshots :+
+        Snapshot(base4.version + 1, 6L, "alter", 0, base4.files.size)))
+    val delCommitted = TableMetadata.commitOrRebase(dir, base = base4, attempt = base4.copy(
+      version = base4.version + 1,
+      deleteFiles = base4.deleteFiles :+
+        DeleteFile("deletes/d0.parquet", Seq("k"), base4.version + 1, 1L),
+      snapshots = base4.snapshots :+
+        Snapshot(base4.version + 1, 7L, "delete", 0, base4.files.size)))
+    delCommitted.deleteFiles.map(_.path) should contain("deletes/d0.parquet")
+    spark.sql("DROP TABLE lakehouse.race_ns.c1")
+  }
+
   test("property-only commit rebases; schema change racing anything does not") {
     val dir = mkTable("p1")
     val base = TableMetadata.load(dir)

@@ -49,7 +49,7 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.gc.g2")
   }
 
-  test("merge-on-read DML validates conformance: a non-conforming insert fails") {
+  test("merge-on-read DML computes generated columns: supplied values are overwritten") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
     spark.sql(
       "CREATE TABLE lakehouse.gc.g3 (k INT, twice INT GENERATED ALWAYS AS (k * 2)) " +
@@ -65,22 +65,14 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
     spark.table("lakehouse.gc.g3").orderBy($"k").as[(Int, Int)].collect().toSeq shouldBe
       Seq((1, 2), (9, 18))
 
-    // a MATCHED+NOT MATCHED MERGE takes the delta writer, which cannot
-    // recompute — it VALIDATES, and the non-conforming update fails
+    // a MATCHED+NOT MATCHED MERGE takes the delta writer, which
+    // COMPUTES too (Delta's semantics — generated on every write
+    // path): placeholder/stale values in both the UPDATE and the
+    // INSERT are overwritten with the expression's value, so MERGE
+    // stays usable without the writer pre-computing anything
     Seq((1, 99), (5, 11)).toDF("k", "t").createOrReplaceTempView("gc_bad")
-    val e = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO lakehouse.gc.g3 t USING gc_bad s ON t.k = s.k
-          |WHEN MATCHED THEN UPDATE SET t.twice = s.t
-          |WHEN NOT MATCHED THEN INSERT (k, twice) VALUES (s.k, s.t)""".stripMargin)
-    }
-    rootCause(e).getMessage should include("generated:twice")
-    spark.table("lakehouse.gc.g3").count() shouldBe 2
-
-    // conforming delta rows pass
-    Seq((1, 2), (5, 10)).toDF("k", "t").createOrReplaceTempView("gc_ok")
     spark.sql(
-      """MERGE INTO lakehouse.gc.g3 t USING gc_ok s ON t.k = s.k
+      """MERGE INTO lakehouse.gc.g3 t USING gc_bad s ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET t.twice = s.t
         |WHEN NOT MATCHED THEN INSERT (k, twice) VALUES (s.k, s.t)""".stripMargin)
     spark.table("lakehouse.gc.g3").orderBy($"k").as[(Int, Int)].collect().toSeq shouldBe
@@ -94,15 +86,13 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
     spark.sql(
       "CREATE TABLE lakehouse.gc.g7 (k INT, twice INT GENERATED ALWAYS AS (k * 2))")
     spark.sql("INSERT INTO lakehouse.gc.g7 (k) VALUES (3)")
-    // updating the base column without the generated one would commit
-    // twice=6 alongside k=9 — the conformance check fails it instead
-    val e = intercept[Exception] {
-      spark.sql("UPDATE lakehouse.gc.g7 SET k = 9 WHERE k = 3")
-    }
-    rootCause(e).getMessage should include("generated:twice")
-    spark.table("lakehouse.gc.g7").as[(Int, Int)].collect().toSeq shouldBe Seq((3, 6))
-    // a consistent update passes
-    spark.sql("UPDATE lakehouse.gc.g7 SET k = 9, twice = 18 WHERE k = 3")
+    // updating the base column alone REFRESHES its dependents in the
+    // rewrite (Delta's semantics): twice follows k without being SET
+    spark.sql("UPDATE lakehouse.gc.g7 SET k = 9 WHERE k = 3")
+    spark.table("lakehouse.gc.g7").as[(Int, Int)].collect().toSeq shouldBe Seq((9, 18))
+    // an explicit non-conforming SET of the generated column itself is
+    // overwritten with the computed value, never committed
+    spark.sql("UPDATE lakehouse.gc.g7 SET twice = 777 WHERE k = 9")
     spark.table("lakehouse.gc.g7").as[(Int, Int)].collect().toSeq shouldBe Seq((9, 18))
     spark.sql("DROP TABLE lakehouse.gc.g7")
   }
