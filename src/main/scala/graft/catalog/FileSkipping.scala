@@ -40,8 +40,10 @@ object FileSkipping {
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Ordering per supported type; None → don't skip on this column. */
-  private def comparator(dt: DataType): Option[(String, String) => Int] = dt match {
+  /** Ordering per supported type; None → don't skip on this column.
+    * `private[catalog]`: manifest-range merging ([[Manifests]]) folds
+    * per-file bounds under the same type ordering. */
+  private[catalog] def comparator(dt: DataType): Option[(String, String) => Int] = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
       Some((a, b) => java.lang.Long.compare(a.toLong, b.toLong))
     case FloatType | DoubleType =>

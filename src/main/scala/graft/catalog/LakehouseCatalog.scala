@@ -372,7 +372,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"no version $v for table ${fullName(ident)} (current: ${TableMetadata.currentVersion(dir)})")
     new LakehouseTable(spark, s"${fullName(ident)}@v$v", dir,
-      TableMetadata.fromJson(Files.readString(vf)))
+      TableMetadata.loadFile(dir, vf))
   }
 
   /** Time travel: `TIMESTAMP AS OF t` (micros) → newest snapshot

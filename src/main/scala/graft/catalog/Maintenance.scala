@@ -1221,9 +1221,8 @@ object Maintenance {
           s.stripPrefix("v").stripSuffix(".json").toInt
         }.toSeq
     versions.maxOption match {
-      case Some(v) => TableMetadata.fromJson(Files.readString(bdir.resolve(s"v$v.json")))
-      case None => TableMetadata.fromJson(
-        Files.readString(TableMetadata.versionFile(dir, fork)))
+      case Some(v) => TableMetadata.loadFile(dir, bdir.resolve(s"v$v.json"))
+      case None => TableMetadata.loadFile(dir, TableMetadata.versionFile(dir, fork))
     }
   }
 
@@ -1410,11 +1409,17 @@ object Maintenance {
     if (Files.exists(target))
       throw new IllegalStateException(
         s"commit conflict: branch '$name' version ${meta.version} already exists")
-    val sequenced = meta.copy(fileSeq = meta.files.map { f =>
-      f -> meta.fileSeq.getOrElse(f, prev.fileSeq.getOrElse(f, meta.version))
-    }.toMap)
+    // manifest chunks land in the MAIN metadata dir (the shared pool a
+    // fast-forwarded payload keeps pointing into); the predecessor for
+    // delta/seq purposes is the branch's own head file, or the fork
+    // version on main for a branch with no commits yet
+    val md = TableMetadata.metadataDir(dir)
+    val prevFile = Seq(
+      bdir.resolve(s"v${meta.version - 1}.json"),
+      TableMetadata.versionFile(dir, meta.version - 1)).find(Files.exists(_))
+    val (json, _, newManifests) = TableMetadata.renderNext(md, prevFile, meta)
     val tmp = Files.createTempFile(bdir, s".v${meta.version}-", ".json.tmp")
-    Files.writeString(tmp, sequenced.toJson)
+    Files.writeString(tmp, json)
     try {
       try Files.createLink(target, tmp)
       catch {
@@ -1425,6 +1430,7 @@ object Maintenance {
     } catch {
       case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
           if Files.exists(target) =>
+        newManifests.foreach(p => Files.deleteIfExists(p))
         throw new IllegalStateException(
           s"commit conflict: branch '$name' version ${meta.version} already exists", e)
     } finally Files.deleteIfExists(tmp)
@@ -1486,6 +1492,7 @@ object Maintenance {
             s"commit conflict: main advanced to v$v during fast-forward of '$name'", e)
       }
     }
+    TableMetadata.writeHint(TableMetadata.metadataDir(dir), head.version)
     head.version
   }
 
@@ -1541,7 +1548,8 @@ object Maintenance {
       catalog: String,
       namespace: Seq[String],
       table: String,
-      retainVersions: Int): Int = {
+      retainVersions: Int,
+      manifestGraceMs: Long = 600000L): Int = {
     require(retainVersions >= 1, "must retain at least the current version")
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
@@ -1558,7 +1566,41 @@ object Maintenance {
       .filterNot(forks.contains)
       .filter(v => Files.exists(TableMetadata.versionFile(dir, v)))
     doomed.foreach(v => Files.deleteIfExists(TableMetadata.versionFile(dir, v)))
+    reapOrphanManifests(dir, manifestGraceMs)
     doomed.size
+  }
+
+  /** Manifest chunks referenced by NO retained version payload (main
+    * log or any branch log) are dead — their referencing versions
+    * expired, their commit lost its publish race, or the committer
+    * crashed between chunk write and publish. The mtime grace protects
+    * chunks an IN-FLIGHT commit has written but not yet published
+    * (losers clean up after themselves; this is the crash backstop).
+    * Payloads are read as summaries — O(refs), no entry parsing. */
+  private def reapOrphanManifests(dir: Path, graceMs: Long): Int = {
+    val md = TableMetadata.metadataDir(dir)
+    if (!Files.isDirectory(md)) return 0
+    val payloads = Fs.children(md).iterator
+      .filter(p => p.getFileName.toString.matches("v\\d+\\.json")).toList ++ {
+      val broot = md.resolve("branches")
+      if (!Files.isDirectory(broot)) Nil
+      else Fs.children(broot).iterator.filter(Files.isDirectory(_)).toList
+        .flatMap(b => Fs.children(b).iterator
+          .filter(p => p.getFileName.toString.matches("v\\d+\\.json")).toList)
+    }
+    val referenced = payloads.flatMap { p =>
+      try TableMetadata.fromJson(Files.readString(p)).manifests.map(_.path)
+      catch { case _: java.nio.file.NoSuchFileException => Nil } // racing expire
+    }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val orphans = Fs.children(md).iterator
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("m-") && n.endsWith(".json") && !referenced.contains(n) &&
+          scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false)
+      }.toList
+    orphans.foreach(p => Files.deleteIfExists(p))
+    orphans.size
   }
 
   /** Metadata-only import of existing parquet files (Iceberg's

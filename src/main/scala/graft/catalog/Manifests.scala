@@ -1,0 +1,261 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** One data file's metadata inside a manifest: everything the
+  * per-version JSON used to inline per file (path, row count, commit
+  * sequence, column min/max stats). */
+final case class ManifestEntry(
+    path: String,
+    rows: Option[Long],
+    seq: Int,
+    stats: Map[String, ColumnRange])
+
+/** A version file's pointer to one immutable manifest chunk. Carries
+  * enough summary to decide, WITHOUT parsing the chunk, (a) whether a
+  * removal touches it (`minPath`/`maxPath` bound the entry paths it
+  * holds) and (b) whether a pushed predicate can match any of its
+  * files (`ranges` = per-column fold of the entries' min/max — absent
+  * columns mean "unknown, keep"). */
+final case class ManifestRef(
+    path: String,
+    count: Int,
+    minPath: String,
+    maxPath: String,
+    ranges: Map[String, ColumnRange])
+
+/** Iceberg-shaped manifest storage for the lakehouse metadata log.
+  *
+  * The reference's Iceberg tables keep per-file metadata in immutable
+  * manifest files with a per-snapshot manifest list (`README.md:543-551`
+  * describes the metadata pointer swap; the layout is Iceberg's spec) —
+  * the structure that makes commit cost and steady-state load cost
+  * O(changed files) instead of O(table). This is that layout for our
+  * JSON log:
+  *
+  *  - a manifest (`metadata/m-<version>-<uuid>.json`) is an immutable
+  *    array of [[ManifestEntry]] rows, written once, never modified;
+  *  - the per-version file holds only [[ManifestRef]]s (plus schema /
+  *    properties / snapshots / delete entries — all O(1) or
+  *    O(churn)-sized);
+  *  - a commit reuses every untouched manifest BY REFERENCE, rewrites
+  *    only manifests an entry was removed from (position-preserved, so
+  *    file order survives), and appends one chunk run for new files;
+  *  - readers resolve refs through a process-wide cache keyed by path —
+  *    manifests are immutable and names embed a UUID (never reused), so
+  *    cached parses can never go stale; a warm load re-parses only the
+  *    manifests the latest commits added.
+  *
+  * At 100 TB / ~1M files this is the difference between every commit
+  * and every load moving 100s of MB of JSON and moving O(KB).
+  */
+object Manifests {
+
+  /** Entries per manifest chunk — bounds single-manifest parse cost
+    * (Iceberg targets ~8 MB manifests for the same reason). */
+  val ChunkSize = 25000
+
+  /** Instrumentation for scale specs: bytes/files actually read from
+    * disk (cache misses only) since the last [[resetCounters]]. */
+  val bytesRead = new AtomicLong
+  val manifestsParsed = new AtomicLong
+  def resetCounters(): Unit = { bytesRead.set(0); manifestsParsed.set(0) }
+
+  /** Process-wide LRU over parsed manifests, bounded by total ENTRY
+    * count (entries, not manifests, carry the memory). Driver-side
+    * only; synchronized access is noise next to the IO it saves. */
+  private val MaxCachedEntries = 1000000L
+  private val cache = new java.util.LinkedHashMap[String, Seq[ManifestEntry]](64, 0.75f, true)
+  private var cachedEntries = 0L
+
+  private def cacheGet(key: String): Option[Seq[ManifestEntry]] =
+    cache.synchronized(Option(cache.get(key)))
+
+  private def cachePut(key: String, v: Seq[ManifestEntry]): Unit = cache.synchronized {
+    if (cache.put(key, v) == null) cachedEntries += v.size
+    val it = cache.entrySet().iterator()
+    while (cachedEntries > MaxCachedEntries && it.hasNext) {
+      val eldest = it.next()
+      if (eldest.getKey != key) { // never evict what we just inserted
+        cachedEntries -= eldest.getValue.size
+        it.remove()
+      }
+    }
+  }
+
+  private[graft] def clearCacheForTesting(): Unit = cache.synchronized {
+    cache.clear(); cachedEntries = 0
+  }
+
+  // ---- json ----------------------------------------------------------------
+
+  private[catalog] def rangeJson(r: ColumnRange): JValue = {
+    val base =
+      if (r.hasValues)
+        List("min" -> (JString(r.min): JValue), "max" -> (JString(r.max): JValue))
+      else List("allNull" -> (JBool(true): JValue))
+    JObject(base ++ r.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList)
+  }
+
+  private[catalog] def parseRange(r: JValue): ColumnRange = {
+    val ro = r.asInstanceOf[JObject].obj.toMap
+    def str(v: JValue): String = v match { case JString(s) => s; case o => o.values.toString }
+    def long(v: JValue): Long = v match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case o => o.values.toString.toLong
+    }
+    if (ro.contains("min"))
+      ColumnRange(str(ro("min")), str(ro("max")), ro.get("nulls").map(long))
+    else ColumnRange("", "", ro.get("nulls").map(long), hasValues = false)
+  }
+
+  private def entryJson(e: ManifestEntry): JValue = JObject(
+    List(
+      "path" -> (JString(e.path): JValue),
+      "seq" -> (JInt(e.seq): JValue)) ++
+      e.rows.map(r => "rows" -> (JLong(r): JValue)).toList ++
+      (if (e.stats.isEmpty) Nil
+       else List("stats" -> (JObject(e.stats.toList.sortBy(_._1).map { case (c, r) =>
+         c -> rangeJson(r)
+       }): JValue))))
+
+  private def parseEntry(v: JValue): ManifestEntry = {
+    val o = v.asInstanceOf[JObject].obj.toMap
+    def str(x: JValue): String = x match { case JString(s) => s; case o2 => o2.values.toString }
+    def int(x: JValue): Int = x match {
+      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case o2 => o2.values.toString.toInt
+    }
+    def long(x: JValue): Long = x match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case o2 => o2.values.toString.toLong
+    }
+    ManifestEntry(
+      path = str(o("path")),
+      rows = o.get("rows").map(long),
+      seq = int(o("seq")),
+      stats = o.get("stats").collect { case s: JObject =>
+        s.obj.map { case (c, r) => c -> parseRange(r) }.toMap
+      }.getOrElse(Map.empty))
+  }
+
+  // ---- read ----------------------------------------------------------------
+
+  /** Parse one manifest (cache-through). `mdDir` is the OWNING table's
+    * metadata dir — branch version files resolve against it too. */
+  def read(mdDir: Path, ref: ManifestRef): Seq[ManifestEntry] = {
+    val file = mdDir.resolve(ref.path)
+    val key = file.toAbsolutePath.normalize.toString
+    cacheGet(key).getOrElse {
+      val text = Files.readString(file)
+      bytesRead.addAndGet(text.length.toLong)
+      manifestsParsed.incrementAndGet()
+      val entries = JsonMethods.parse(text) match {
+        case JObject(fields) =>
+          fields.toMap.get("entries") match {
+            case Some(JArray(es)) => es.map(parseEntry)
+            case _ => throw new IllegalStateException(s"malformed manifest: $file")
+          }
+        case _ => throw new IllegalStateException(s"malformed manifest: $file")
+      }
+      cachePut(key, entries)
+      entries
+    }
+  }
+
+  /** Resolve a manifest list to its entries, in list order. */
+  def resolveAll(mdDir: Path, refs: Seq[ManifestRef]): Seq[ManifestEntry] =
+    refs.flatMap(read(mdDir, _))
+
+  // ---- write ---------------------------------------------------------------
+
+  /** Conservative per-column fold of entry stats, usable as a
+    * pseudo-file range for [[FileSkipping.prune]] at MANIFEST
+    * granularity. A column enters the fold only when EVERY entry
+    * carries stats for it (a file without stats could hold anything);
+    * min/max fold under the column's type ordering; `hasValues=false`
+    * survives only when no entry has values (then value predicates
+    * provably cannot match any file in the chunk); null counts sum
+    * only when every entry recorded one. */
+  def mergedRanges(schema: StructType, entries: Seq[ManifestEntry]): Map[String, ColumnRange] = {
+    if (entries.isEmpty) return Map.empty
+    val cols = entries.head.stats.keySet.filter(c => entries.forall(_.stats.contains(c)))
+    cols.iterator.flatMap { c =>
+      FileSkipping.comparator(
+        schema.fields.find(_.name == c).map(_.dataType).getOrElse(
+          org.apache.spark.sql.types.NullType)) match {
+        case None => None
+        case Some(cmp) =>
+          val rs = entries.map(_.stats(c))
+          val valued = rs.filter(_.hasValues)
+          val nulls =
+            if (rs.forall(_.nulls.isDefined)) Some(rs.flatMap(_.nulls).sum) else None
+          val merged =
+            if (valued.isEmpty) ColumnRange("", "", nulls, hasValues = false)
+            else ColumnRange(
+              valued.map(_.min).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
+              valued.map(_.max).reduce((a, b) => if (cmp(a, b) >= 0) a else b),
+              nulls)
+          Some(c -> merged)
+      }
+    }.toMap
+  }
+
+  /** Write `entries` as one or more immutable manifest chunks under
+    * `mdDir`, named for `version`. Returns the refs (and implicitly
+    * the created files — callers clean them up if their version
+    * publish loses its race). */
+  def write(
+      mdDir: Path,
+      version: Int,
+      schema: StructType,
+      entries: Seq[ManifestEntry]): Seq[ManifestRef] =
+    entries.grouped(ChunkSize).map { chunk =>
+      val name = s"m-$version-${UUID.randomUUID().toString.take(8)}.json"
+      val json = JObject("entries" -> JArray(chunk.map(entryJson).toList))
+      val tmp = Files.createTempFile(mdDir, s".$name-", ".tmp")
+      Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
+      // unique name: a plain atomic move can never collide
+      Files.move(tmp, mdDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val paths = chunk.map(_.path)
+      val ref = ManifestRef(
+        path = name,
+        count = chunk.size,
+        minPath = paths.min,
+        maxPath = paths.max,
+        ranges = mergedRanges(schema, chunk))
+      // seed the cache: the committer (and the next loads) re-read this
+      cachePut(mdDir.resolve(name).toAbsolutePath.normalize.toString, chunk)
+      ref
+    }.toSeq
+
+  // ---- ref json (embedded in the version payload) --------------------------
+
+  private[catalog] def refJson(r: ManifestRef): JValue = JObject(
+    "path" -> JString(r.path),
+    "count" -> JInt(r.count),
+    "minPath" -> JString(r.minPath),
+    "maxPath" -> JString(r.maxPath),
+    "ranges" -> JObject(r.ranges.toList.sortBy(_._1).map { case (c, cr) =>
+      c -> rangeJson(cr)
+    }))
+
+  private[catalog] def parseRef(v: JValue): ManifestRef = {
+    val o = v.asInstanceOf[JObject].obj.toMap
+    def str(x: JValue): String = x match { case JString(s) => s; case o2 => o2.values.toString }
+    def int(x: JValue): Int = x match {
+      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case o2 => o2.values.toString.toInt
+    }
+    ManifestRef(
+      path = str(o("path")),
+      count = int(o("count")),
+      minPath = str(o("minPath")),
+      maxPath = str(o("maxPath")),
+      ranges = o.get("ranges").collect { case rs: JObject =>
+        rs.obj.map { case (c, r) => c -> parseRange(r) }.toMap
+      }.getOrElse(Map.empty))
+  }
+}

@@ -65,7 +65,15 @@ object DeleteFile {
   val PosPosCol = "pos"
 }
 
-/** Full table metadata: schema, properties, file list, snapshot log. */
+/** Full table metadata: schema, properties, file list, snapshot log.
+  *
+  * `manifests` is a STORAGE detail: the manifest list this snapshot was
+  * loaded from (or committed as), see [[Manifests]]. It is
+  * informational — `commit` recomputes the next version's manifest
+  * delta from the PREVIOUS version's on-disk refs, never from this
+  * field, so `copy(...)`-built attempts carrying a stale list are
+  * harmless. Only trust it on a freshly-loaded value (scan-time
+  * manifest pruning does). */
 final case class TableMetadata(
     version: Int,
     name: String,
@@ -77,7 +85,8 @@ final case class TableMetadata(
     fileStats: Map[String, Map[String, ColumnRange]] = Map.empty,
     fileRows: Map[String, Long] = Map.empty,
     fileSeq: Map[String, Int] = Map.empty,
-    deleteFiles: Seq[DeleteFile] = Seq.empty) {
+    deleteFiles: Seq[DeleteFile] = Seq.empty,
+    manifests: Seq[ManifestRef] = Seq.empty) {
 
   /** Commit version that added data file `f`. Missing entries (metadata
     * written before sequence tracking) default to 0 = "before every
@@ -85,57 +94,70 @@ final case class TableMetadata(
     * predate them — conservative-correct. */
   def seqOf(f: String): Int = fileSeq.getOrElse(f, 0)
 
+  private def commonJson: List[(String, JValue)] = List(
+    "version" -> JInt(version),
+    "name" -> JString(name),
+    "schema" -> JsonMethods.parse(schema.json),
+    "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
+    "properties" -> JObject(properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+    "deleteFiles" -> JArray(deleteFiles.map { d =>
+      JObject(
+        "path" -> JString(d.path),
+        "keyColumns" -> JArray(d.keyColumns.map(JString(_)).toList),
+        "seq" -> JInt(d.seq),
+        "rows" -> JLong(d.rows),
+        "kind" -> JString(d.kind),
+        "keyRanges" -> JObject(d.keyRanges.toList.sortBy(_._1).map { case (c, r) =>
+          c -> Manifests.rangeJson(r)
+        }))
+    }.toList),
+    "snapshots" -> JArray(snapshots.map { s =>
+      JObject(
+        "version" -> JInt(s.version),
+        "timestampMs" -> JLong(s.timestampMs),
+        "operation" -> JString(s.operation),
+        "addedFiles" -> JInt(s.addedFiles),
+        "totalFiles" -> JInt(s.totalFiles))
+    }.toList))
+
+  /** LEGACY serializer: the pre-manifest inline format (full file
+    * array + per-file stats in the version payload). Kept for
+    * round-trip tooling and back-compat tests; every commit path now
+    * writes the manifest-list format ([[TableMetadata.commit]] /
+    * [[Manifests]]). */
   def toJson: String = {
-    def rangeJson(r: ColumnRange): JValue = {
-      val base =
-        if (r.hasValues)
-          List("min" -> (JString(r.min): JValue), "max" -> (JString(r.max): JValue))
-        else List("allNull" -> (JBool(true): JValue))
-      JObject(base ++ r.nulls.map(n => "nulls" -> (JLong(n): JValue)).toList)
-    }
-    val j = JObject(
-      "version" -> JInt(version),
-      "name" -> JString(name),
-      "schema" -> JsonMethods.parse(schema.json),
-      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList),
-      "properties" -> JObject(properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-      "files" -> JArray(files.map(JString(_)).toList),
-      "fileStats" -> JObject(fileStats.toList.sortBy(_._1).map { case (f, cols) =>
+    val j = JObject(commonJson ++ List(
+      "files" -> (JArray(files.map(JString(_)).toList): JValue),
+      "fileStats" -> (JObject(fileStats.toList.sortBy(_._1).map { case (f, cols) =>
         f -> (JObject(cols.toList.sortBy(_._1).map { case (c, r) =>
-          c -> rangeJson(r)
+          c -> Manifests.rangeJson(r)
         }): JValue)
-      }),
-      "fileRows" -> JObject(fileRows.toList.sortBy(_._1).map { case (f, n) =>
+      }): JValue),
+      "fileRows" -> (JObject(fileRows.toList.sortBy(_._1).map { case (f, n) =>
         f -> (JLong(n): JValue)
-      }),
-      "fileSeq" -> JObject(fileSeq.toList.sortBy(_._1).map { case (f, v) =>
+      }): JValue),
+      "fileSeq" -> (JObject(fileSeq.toList.sortBy(_._1).map { case (f, v) =>
         f -> (JInt(v): JValue)
-      }),
-      "deleteFiles" -> JArray(deleteFiles.map { d =>
-        JObject(
-          "path" -> JString(d.path),
-          "keyColumns" -> JArray(d.keyColumns.map(JString(_)).toList),
-          "seq" -> JInt(d.seq),
-          "rows" -> JLong(d.rows),
-          "kind" -> JString(d.kind),
-          "keyRanges" -> JObject(d.keyRanges.toList.sortBy(_._1).map { case (c, r) =>
-            c -> rangeJson(r)
-          }))
-      }.toList),
-      "snapshots" -> JArray(snapshots.map { s =>
-        JObject(
-          "version" -> JInt(s.version),
-          "timestampMs" -> JLong(s.timestampMs),
-          "operation" -> JString(s.operation),
-          "addedFiles" -> JInt(s.addedFiles),
-          "totalFiles" -> JInt(s.totalFiles))
-      }.toList))
+      }): JValue)))
+    JsonMethods.pretty(JsonMethods.render(j))
+  }
+
+  /** The manifest-list version payload: O(1)-sized regardless of how
+    * many files the table holds — per-file metadata lives in the
+    * immutable manifests `manifests` points at. */
+  private[catalog] def payloadJson: String = {
+    val j = JObject(commonJson :+
+      ("manifests" -> (JArray(manifests.map(Manifests.refJson).toList): JValue)))
     JsonMethods.pretty(JsonMethods.render(j))
   }
 }
 
 object TableMetadata {
 
+  /** Parse a version payload — BOTH formats. Legacy inline payloads
+    * come back full; manifest-list payloads come back as a SUMMARY
+    * (empty file maps, `manifests` populated) that [[resolve]] /
+    * [[loadFile]] fill in. */
   def fromJson(text: String): TableMetadata = {
     val j = JsonMethods.parse(text)
     def str(v: JValue): String = v match { case JString(s) => s; case other => other.values.toString }
@@ -146,19 +168,14 @@ object TableMetadata {
       case JInt(i) => i.toLong; case JLong(l) => l; case other => other.values.toString.toLong
     }
     val o = j.asInstanceOf[JObject].obj.toMap
-    def parseRange(r: JValue): ColumnRange = {
-      val ro = r.asInstanceOf[JObject].obj.toMap
-      if (ro.contains("min"))
-        ColumnRange(str(ro("min")), str(ro("max")), ro.get("nulls").map(long))
-      else ColumnRange("", "", ro.get("nulls").map(long), hasValues = false)
-    }
+    def parseRange(r: JValue): ColumnRange = Manifests.parseRange(r)
     TableMetadata(
       version = int(o("version")),
       name = str(o("name")),
       schema = DataType.fromJson(JsonMethods.compact(o("schema"))).asInstanceOf[StructType],
       partitionColumns = o("partitionColumns").asInstanceOf[JArray].arr.map(str),
       properties = o("properties").asInstanceOf[JObject].obj.map { case (k, v) => k -> str(v) }.toMap,
-      files = o("files").asInstanceOf[JArray].arr.map(str),
+      files = o.get("files").collect { case JArray(fs) => fs.map(str) }.getOrElse(Seq.empty),
       fileStats = o.get("fileStats").collect { case fs: JObject =>
         fs.obj.map { case (f, cols) =>
           f -> cols.asInstanceOf[JObject].obj.map { case (c, r) =>
@@ -191,23 +208,80 @@ object TableMetadata {
         val so = sv.asInstanceOf[JObject].obj.toMap
         Snapshot(int(so("version")), long(so("timestampMs")), str(so("operation")),
           int(so("addedFiles")), int(so("totalFiles")))
-      })
+      },
+      manifests = o.get("manifests").collect { case JArray(ms) =>
+        ms.map(Manifests.parseRef)
+      }.getOrElse(Seq.empty))
   }
+
+  /** Fill a manifest-backed summary's file maps from its manifests (a
+    * legacy inline payload passes through untouched). `mdDir` is the
+    * OWNING table's metadata dir — branch payloads resolve against the
+    * main table's manifest pool. */
+  private[catalog] def resolve(mdDir: Path, summary: TableMetadata): TableMetadata =
+    if (summary.manifests.isEmpty) summary
+    else {
+      val entries = Manifests.resolveAll(mdDir, summary.manifests)
+      summary.copy(
+        files = entries.map(_.path),
+        fileStats = entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap,
+        fileRows = entries.iterator.flatMap(e => e.rows.map(e.path -> _)).toMap,
+        fileSeq = entries.iterator.map(e => e.path -> e.seq).toMap)
+    }
+
+  /** Load one version-payload file (main log, branch log, or a
+    * time-travel target) with manifests resolved. */
+  def loadFile(tableDir: Path, file: Path): TableMetadata =
+    resolve(metadataDir(tableDir), fromJson(Files.readString(file)))
 
   def metadataDir(tableDir: Path): Path = tableDir.resolve("metadata")
 
   def versionFile(tableDir: Path, v: Int): Path = metadataDir(tableDir).resolve(s"v$v.json")
 
-  /** Highest committed version, or 0 if none (not a table). */
+  private val HintName = "version-hint.text"
+
+  /** Best-effort monotone advance of the version hint; the commit
+    * itself is already published, so failures here only cost the next
+    * reader a directory listing. */
+  private[catalog] def writeHint(md: Path, v: Int): Unit =
+    try {
+      val cur =
+        try Files.readString(md.resolve(HintName)).trim.toIntOption.getOrElse(0)
+        catch { case _: Exception => 0 }
+      if (v > cur) {
+        val tmp = Files.createTempFile(md, ".hint-", ".tmp")
+        Files.writeString(tmp, v.toString)
+        Files.move(tmp, md.resolve(HintName),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } catch { case _: Exception => () }
+
+  /** Highest committed version, or 0 if none (not a table).
+    *
+    * Reads the hint file and probes FORWARD (versions are assigned
+    * contiguously and only versions BELOW current ever expire, so no
+    * gap can exist above a stale hint) — O(1 + commits-since-hint)
+    * stat calls instead of listing a directory that holds the whole
+    * metadata log. Tables without a hint (pre-hint, or the write
+    * failed) fall back to the listing. */
   def currentVersion(tableDir: Path): Int = {
     val md = metadataDir(tableDir)
     if (!Files.isDirectory(md)) return 0
-    Fs.children(md).iterator
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toIntOption.getOrElse(0)
-      }
-      .foldLeft(0)(math.max)
+    val hinted =
+      try Files.readString(md.resolve(HintName)).trim.toIntOption.getOrElse(0)
+      catch { case _: Exception => 0 }
+    if (hinted > 0 && Files.exists(versionFile(tableDir, hinted))) {
+      var v = hinted
+      while (Files.exists(versionFile(tableDir, v + 1))) v += 1
+      v
+    } else {
+      Fs.children(md).iterator
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toIntOption.getOrElse(0)
+        }
+        .foldLeft(0)(math.max)
+    }
   }
 
   def exists(tableDir: Path): Boolean = currentVersion(tableDir) > 0
@@ -215,19 +289,21 @@ object TableMetadata {
   def load(tableDir: Path): TableMetadata = {
     val v = currentVersion(tableDir)
     require(v > 0, s"not a lakehouse table: $tableDir")
-    fromJson(Files.readString(versionFile(tableDir, v)))
+    loadFile(tableDir, versionFile(tableDir, v))
   }
 
   /** Load every RETAINED metadata version in order (the metadata log).
     * Versions removed by `Maintenance.expireSnapshots` leave gaps;
     * callers that need a contiguous window (incremental reads) must
-    * check completeness by version number, not position. */
+    * check completeness by version number, not position. Shared
+    * manifests resolve through the cache, so walking the log costs
+    * O(distinct manifests), not O(versions × files). */
   def loadLog(tableDir: Path): Seq[TableMetadata] =
     (1 to currentVersion(tableDir)).flatMap { v =>
       // read-then-catch, not exists-then-read: a concurrent
       // expireSnapshots between the two would crash the reader instead
       // of registering as a gap
-      try Some(fromJson(Files.readString(versionFile(tableDir, v))))
+      try Some(loadFile(tableDir, versionFile(tableDir, v)))
       catch { case _: java.nio.file.NoSuchFileException => None }
     }
 
@@ -254,24 +330,10 @@ object TableMetadata {
     if (Files.exists(target))
       throw new IllegalStateException(
         s"commit conflict: version ${meta.version} already exists for ${meta.name}")
-    // Structural fileSeq maintenance — done HERE so no commit site can
-    // forget it (a missed site would silently re-apply old equality
-    // deletes to new data): every data file keeps the seq it already
-    // had in the predecessor version; files appearing for the first
-    // time get this commit's version. An entry the caller supplied
-    // explicitly wins (rollback restores historical seqs this way).
-    val prevSeq =
-      if (meta.version <= 1) Map.empty[String, Int]
-      else {
-        val pf = versionFile(tableDir, meta.version - 1)
-        try fromJson(Files.readString(pf)).fileSeq
-        catch { case _: java.nio.file.NoSuchFileException => Map.empty[String, Int] }
-      }
-    val sequenced = meta.copy(fileSeq = meta.files.map { f =>
-      f -> meta.fileSeq.getOrElse(f, prevSeq.getOrElse(f, meta.version))
-    }.toMap)
+    val prevFile = if (meta.version <= 1) None else Some(versionFile(tableDir, meta.version - 1))
+    val (json, sequenced, newManifests) = renderNext(md, prevFile, meta)
     val tmp = Files.createTempFile(md, s".v${meta.version}-", ".json.tmp")
-    Files.writeString(tmp, sequenced.toJson)
+    Files.writeString(tmp, json)
     try {
       try Files.createLink(target, tmp)
       catch {
@@ -283,10 +345,81 @@ object TableMetadata {
     } catch {
       case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
           if Files.exists(target) =>
+        // lost the race: the chunks written for this attempt are
+        // referenced by nothing — remove them now (the expire-time
+        // orphan reaper is only the crash backstop)
+        newManifests.foreach(p => Files.deleteIfExists(p))
         throw new IllegalStateException(
           s"commit conflict: version ${meta.version} already exists for ${meta.name}", e)
     } finally Files.deleteIfExists(tmp)
+    writeHint(md, meta.version)
     sequenced
+  }
+
+  /** The storage half of a commit, shared by the main log and the
+    * branch logs ([[Maintenance]]): sequence `meta` against the
+    * previous payload, plan the manifest delta, WRITE the new chunks,
+    * and render the version payload.
+    *
+    * Delta plan (the Iceberg manifest-list shape):
+    *  - a previous manifest whose entries are all unchanged is reused
+    *    BY REFERENCE — zero bytes written or moved for it;
+    *  - a manifest that lost (or changed) entries is rewritten with
+    *    its survivors, IN PLACE in the list, so reconstruction order
+    *    matches the caller's `prev-filtered ++ appended` file order;
+    *  - files not covered by any previous manifest append as fresh
+    *    chunks at the tail.
+    * Commit IO is therefore O(changed files), never O(table).
+    *
+    * Structural fileSeq maintenance lives here (same law as always):
+    * every data file keeps the seq it had in the predecessor version;
+    * first-appearing files get this commit's version; an entry the
+    * caller supplied explicitly wins (rollback restores historical
+    * seqs this way). A LEGACY inline predecessor yields no refs, so
+    * every file lands in fresh chunks — the table migrates to the
+    * manifest format on its first post-upgrade commit. */
+  private[catalog] def renderNext(
+      mdDir: Path,
+      prevFile: Option[Path],
+      meta: TableMetadata): (String, TableMetadata, Seq[Path]) = {
+    val prevSummary = prevFile.flatMap { f =>
+      try Some(fromJson(Files.readString(f)))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    val prevRefs = prevSummary.map(_.manifests).getOrElse(Seq.empty)
+    val prevByRef = prevRefs.map(r => r -> Manifests.read(mdDir, r))
+    val prevSeq: Map[String, Int] =
+      if (prevRefs.nonEmpty)
+        prevByRef.iterator.flatMap(_._2).map(e => e.path -> e.seq).toMap
+      else prevSummary.map(_.fileSeq).getOrElse(Map.empty)
+    val sequencedSeq: Map[String, Int] = meta.files.map { f =>
+      f -> meta.fileSeq.getOrElse(f, prevSeq.getOrElse(f, meta.version))
+    }.toMap
+    def desired(f: String): ManifestEntry = ManifestEntry(
+      f, meta.fileRows.get(f), sequencedSeq(f), meta.fileStats.getOrElse(f, Map.empty))
+    val fileSet = meta.files.toSet
+    val covered = scala.collection.mutable.HashSet.empty[String]
+    val newPaths = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val outRefs = scala.collection.mutable.ArrayBuffer.empty[ManifestRef]
+    prevByRef.foreach { case (ref, entries) =>
+      val keep = entries.filter(e => fileSet(e.path))
+      keep.foreach(e => covered += e.path)
+      val want = keep.map(e => desired(e.path))
+      if (want == entries) outRefs += ref
+      else if (want.nonEmpty) {
+        val rs = Manifests.write(mdDir, meta.version, meta.schema, want)
+        rs.foreach(r => newPaths += mdDir.resolve(r.path))
+        outRefs ++= rs
+      } // fully-removed manifest: dropped from the list
+    }
+    val fresh = meta.files.filterNot(covered).map(desired)
+    if (fresh.nonEmpty) {
+      val rs = Manifests.write(mdDir, meta.version, meta.schema, fresh)
+      rs.foreach(r => newPaths += mdDir.resolve(r.path))
+      outRefs ++= rs
+    }
+    val sequenced = meta.copy(fileSeq = sequencedSeq, manifests = outRefs.toSeq)
+    (sequenced.payloadJson, sequenced, newPaths.toSeq)
   }
 
   /** [[commit]] with optimistic rebase — the Iceberg commit loop,

@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.{Maintenance, Manifests, Snapshot, TableMetadata}
+
+/** The Iceberg-shaped metadata layout ([[Manifests]]): per-version
+  * payloads hold a manifest LIST; per-file metadata lives in immutable
+  * manifest chunks. These specs pin the scale contract the layout
+  * exists for — commit IO and steady-state load IO are O(changed
+  * files), never O(table) — plus the version-hint fast path, legacy
+  * migration, and orphan-chunk GC. */
+class ManifestMetadataSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tableDir(ns: String, t: String) = Paths.get(TestSpark.warehouse, ns, t)
+  private def mdDir(dir: Path) = TableMetadata.metadataDir(dir)
+
+  private def manifestFiles(dir: Path): Seq[Path] =
+    graft.catalog.Fs.children(mdDir(dir)).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("m-") && n.endsWith(".json")
+    }.sortBy(_.getFileName.toString)
+
+  test("commit IO is O(delta): appends reuse every previous manifest by reference") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t1 (k INT, v STRING)")
+    val dir = tableDir("mf", "t1")
+    (0 until 5).foreach { c =>
+      (0 until 50).map(i => (c * 50 + i, s"v$i")).toDF("k", "v")
+        .createOrReplaceTempView("mf_src")
+      spark.sql("INSERT INTO lakehouse.mf.t1 SELECT * FROM mf_src")
+    }
+    val meta = TableMetadata.load(dir)
+    meta.files.size should be >= 5
+    // the version payload inlines NO per-file metadata
+    val payload = Files.readString(TableMetadata.versionFile(dir, meta.version))
+    payload should not include "fileStats"
+    payload should include("manifests")
+    // each append added chunks for ITS files only and reused the rest:
+    // the manifest list grows, earlier refs stay byte-identical (same
+    // chunk file on disk, same name)
+    val prev = TableMetadata.loadFile(dir, TableMetadata.versionFile(dir, meta.version - 1))
+    meta.manifests.map(_.path) should contain allElementsOf prev.manifests.map(_.path)
+    val newChunks = meta.manifests.map(_.path).diff(prev.manifests.map(_.path))
+    newChunks should not be empty
+    newChunks.map(n => meta.manifests.find(_.path == n).get.count).sum shouldBe
+      (meta.files.size - prev.files.size)
+
+    // the payload grows O(1) per commit — one snapshot + one ref —
+    // REGARDLESS of how many files the commit adds. A 200-file commit
+    // (synthetic entries, stats included) moves the payload by about
+    // as much as a 1-file commit; the legacy inline format would have
+    // added ~200 stat blocks (~20 KB+)
+    val sizeBefore = Files.size(TableMetadata.versionFile(dir, meta.version))
+    val fake = (0 until 200).map(i => f"data/cbig/part-$i%05d.parquet")
+    val committed = TableMetadata.commit(dir, meta.copy(
+      version = meta.version + 1,
+      files = meta.files ++ fake,
+      fileStats = meta.fileStats ++ fake.map(f =>
+        f -> Map("k" -> graft.catalog.ColumnRange("0", "99", Some(0L)))),
+      fileRows = meta.fileRows ++ fake.map(_ -> 10L),
+      snapshots = meta.snapshots :+ Snapshot(
+        meta.version + 1, 1L, "append", fake.size, meta.files.size + fake.size)))
+    val sizeAfter = Files.size(TableMetadata.versionFile(dir, committed.version))
+    (sizeAfter - sizeBefore) should be < 1500L // one ref + one snapshot, not 200 entries
+    // ...and the 200 entries live in exactly the new chunk(s)
+    val bigChunks = committed.manifests.map(_.path).diff(meta.manifests.map(_.path))
+    bigChunks.map(n => committed.manifests.find(_.path == n).get.count).sum shouldBe 200
+    spark.sql("DROP TABLE lakehouse.mf.t1")
+  }
+
+  test("steady-state load parses only the delta (manifest cache)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t2 (k INT, v STRING)")
+    val dir = tableDir("mf", "t2")
+    (0 until 4).foreach { c =>
+      (0 until 20).map(i => (c * 20 + i, s"v$i")).toDF("k", "v")
+        .createOrReplaceTempView("mf_src2")
+      spark.sql("INSERT INTO lakehouse.mf.t2 SELECT * FROM mf_src2")
+    }
+    TableMetadata.load(dir) // warm the cache
+    Manifests.resetCounters()
+    TableMetadata.load(dir)
+    Manifests.manifestsParsed.get() shouldBe 0 // fully warm: zero manifest IO
+    Manifests.bytesRead.get() shouldBe 0
+
+    // one more append: the next load parses ONLY the new chunk(s)
+    Seq((999, "z")).toDF("k", "v").createOrReplaceTempView("mf_src2b")
+    spark.sql("INSERT INTO lakehouse.mf.t2 SELECT * FROM mf_src2b")
+    // (the commit itself seeds the cache; simulate a second process by
+    // dropping it, then warming everything except the new chunk)
+    val cur = TableMetadata.load(dir)
+    Manifests.clearCacheForTesting()
+    val prevChunks = cur.manifests.map(_.path).dropRight(1)
+    prevChunks.foreach(p => Manifests.read(mdDir(dir), cur.manifests.find(_.path == p).get))
+    Manifests.resetCounters()
+    TableMetadata.load(dir)
+    Manifests.manifestsParsed.get() shouldBe 1 // just the appended chunk
+    spark.sql("DROP TABLE lakehouse.mf.t2")
+  }
+
+  test("a removal rewrites only the covering manifest; the rest pass by reference") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t3 (k INT, v STRING)")
+    val dir = tableDir("mf", "t3")
+    (0 until 3).foreach { c =>
+      Seq((c, s"v$c")).toDF("k", "v").createOrReplaceTempView("mf_src3")
+      spark.sql("INSERT INTO lakehouse.mf.t3 SELECT * FROM mf_src3")
+    }
+    val before = TableMetadata.load(dir)
+    before.manifests.size shouldBe 3
+    // remove ONE file from the middle commit's chunk (a compaction /
+    // COW-rewrite shape), keep everything else
+    val victim = before.manifests(1)
+    val victimEntries = Manifests.read(mdDir(dir), victim)
+    val removed = victimEntries.head.path
+    val committed = TableMetadata.commit(dir, before.copy(
+      version = before.version + 1,
+      files = before.files.filterNot(_ == removed),
+      fileStats = before.fileStats - removed,
+      fileRows = before.fileRows - removed,
+      snapshots = before.snapshots :+ Snapshot(
+        before.version + 1, 1L, "delete", 0, before.files.size - 1)))
+    // chunks 0 and 2 are reused verbatim; chunk 1 was fully consumed by
+    // the removal (single entry) and dropped — no new chunk written
+    committed.manifests.map(_.path) shouldBe
+      Seq(before.manifests(0).path, before.manifests(2).path)
+    // file order survives the surgery
+    TableMetadata.load(dir).files shouldBe before.files.filterNot(_ == removed)
+    spark.sql("DROP TABLE lakehouse.mf.t3")
+  }
+
+  test("version-hint ends directory listings; stale or missing hints self-heal") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t4 (k INT)")
+    val dir = tableDir("mf", "t4")
+    Seq(1, 2).toDF("k").createOrReplaceTempView("mf_src4")
+    spark.sql("INSERT INTO lakehouse.mf.t4 SELECT * FROM mf_src4")
+    val hint = mdDir(dir).resolve("version-hint.text")
+    Files.exists(hint) shouldBe true
+    val v = TableMetadata.currentVersion(dir)
+    Files.readString(hint).trim.toInt shouldBe v
+    // stale hint (a racer's commit advanced past it): probe-forward finds the head
+    Files.writeString(hint, "1")
+    TableMetadata.currentVersion(dir) shouldBe v
+    // missing hint (pre-hint table): listing fallback
+    Files.delete(hint)
+    TableMetadata.currentVersion(dir) shouldBe v
+    // the next commit restores it
+    spark.sql("INSERT INTO lakehouse.mf.t4 SELECT * FROM mf_src4")
+    Files.readString(hint).trim.toInt shouldBe v + 1
+    spark.sql("DROP TABLE lakehouse.mf.t4")
+  }
+
+  test("legacy inline payloads load unchanged and migrate on the first commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t5 (k INT, v STRING)")
+    val dir = tableDir("mf", "t5")
+    Seq((1, "a"), (2, "b")).toDF("k", "v").createOrReplaceTempView("mf_src5")
+    spark.sql("INSERT INTO lakehouse.mf.t5 SELECT * FROM mf_src5")
+    // rewrite the whole log in the LEGACY inline format (a table from
+    // before the manifest layout)
+    val log = TableMetadata.loadLog(dir)
+    manifestFiles(dir).foreach(Files.delete(_))
+    log.foreach { m =>
+      Files.writeString(TableMetadata.versionFile(dir, m.version),
+        m.copy(manifests = Seq.empty).toJson)
+    }
+    val legacy = TableMetadata.load(dir)
+    legacy.manifests shouldBe empty
+    legacy.files should contain theSameElementsAs log.last.files
+    legacy.fileStats shouldBe log.last.fileStats
+    legacy.fileSeq shouldBe log.last.fileSeq
+    spark.table("lakehouse.mf.t5").count() shouldBe 2
+    // first post-upgrade commit migrates: everything lands in chunks
+    spark.sql("INSERT INTO lakehouse.mf.t5 SELECT * FROM mf_src5")
+    val migrated = TableMetadata.load(dir)
+    migrated.manifests should not be empty
+    migrated.manifests.map(_.count).sum shouldBe migrated.files.size
+    // seqs carried over from the legacy fileSeq map, not re-minted
+    legacy.files.foreach { f =>
+      migrated.fileSeq(f) shouldBe legacy.fileSeq(f)
+    }
+    spark.table("lakehouse.mf.t5").count() shouldBe 4
+    spark.sql("DROP TABLE lakehouse.mf.t5")
+  }
+
+  test("orphan manifest chunks are reaped at expire; referenced and young ones survive") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t6 (k INT)")
+    val dir = tableDir("mf", "t6")
+    (0 until 3).foreach { _ =>
+      Seq(1).toDF("k").createOrReplaceTempView("mf_src6")
+      spark.sql("INSERT INTO lakehouse.mf.t6 SELECT * FROM mf_src6")
+    }
+    val live = manifestFiles(dir).map(_.getFileName.toString).toSet
+    // a crashed commit: chunk written, version never published
+    val orphan = mdDir(dir).resolve("m-99-deadbeef.json")
+    Files.writeString(orphan, """{"entries":[]}""")
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000))
+    // a FRESH unreferenced chunk (an in-flight commit): must survive the grace
+    val inflight = mdDir(dir).resolve("m-99-cafebabe.json")
+    Files.writeString(inflight, """{"entries":[]}""")
+    Maintenance.expireSnapshots(spark, "lakehouse", Seq("mf"), "t6", retainVersions = 10)
+    Files.exists(orphan) shouldBe false
+    Files.exists(inflight) shouldBe true
+    manifestFiles(dir).map(_.getFileName.toString).toSet should contain allElementsOf live
+    Files.delete(inflight)
+    // expiring versions makes their exclusive chunks orphans too —
+    // here every version shares its tail, so only verify the table
+    // still loads and scans after the expire
+    spark.table("lakehouse.mf.t6").count() shouldBe 3
+    spark.sql("DROP TABLE lakehouse.mf.t6")
+  }
+}

@@ -35,8 +35,8 @@ object ProbeClog {
     val meta = graft.catalog.TableMetadata.load(dir)
     println("deleteFiles=" + meta.deleteFiles)
     println("fileSeq=" + meta.fileSeq)
-    val prev = graft.catalog.TableMetadata.fromJson(java.nio.file.Files.readString(
-      graft.catalog.TableMetadata.versionFile(dir, 2)))
+    val prev = graft.catalog.TableMetadata.loadFile(dir,
+      graft.catalog.TableMetadata.versionFile(dir, 2))
     val probe = prev.copy(deleteFiles = meta.deleteFiles)
     prev.files.foreach { f =>
       println(s"applicable($f) = " + graft.catalog.MergeOnRead.applicable(probe, f))
