@@ -105,7 +105,15 @@ class LakehouseTable(
       // OverwritePartitionsDynamic (only append and overwrite-by-filter
       // have ExecV1 plans) — dynamic overwrite is served by
       // Maintenance.overwritePartitions / CALL system.overwrite_partitions
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      // MERGE INTO ... WITH SCHEMA EVOLUTION: the analyzer
+      // (ResolveMergeIntoSchemaEvolution) diffs source vs target schema
+      // and routes the resulting ADD/UPDATE COLUMN TableChanges through
+      // catalog.alterTable BEFORE resolving the merge — the same staged
+      // DDL path as an explicit ALTER, so CHECK/generated-column
+      // orphan guards and the no-rebase constraint race protection all
+      // apply, and old files read the new column as its initial default
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   private def abs(f: String): String = tableDir.resolve(f).toString
 

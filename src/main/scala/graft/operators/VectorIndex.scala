@@ -62,6 +62,29 @@ object VectorIndex {
         c.as("cell")))).getField("cell")
   }
 
+  /** Per-subspace PQ codebooks: split each sample vector into `m`
+    * contiguous `subDim`-wide slices and train an independent
+    * `kCodes`-centroid quantizer per slice (Jégou et al. 2011, product
+    * quantization). Deterministic for the same reason trainKMeans is. */
+  def trainPq(
+      sample: Array[Array[Float]],
+      m: Int,
+      subDim: Int,
+      kCodes: Int,
+      iters: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { j =>
+      trainKMeans(sample.map(_.slice(j * subDim, (j + 1) * subDim)), kCodes, iters)
+    }
+
+  /** PQ code array for a float-vector column: per subspace, the same
+    * codegen'd argmin as [[cellOf]] over that subspace's codebook —
+    * encode is a row-local expression, no UDF, no extra pass. */
+  def codesOf(v: Column, books: Array[Array[Array[Double]]]): Column = {
+    val subDim = books(0)(0).length
+    array(books.indices.map(j =>
+      cellOf(slice(v, j * subDim + 1, subDim), books(j)).cast("int")): _*)
+  }
+
   /** Train a quantizer on `embeddings` (columns vec_id, embedding) and
     * materialize the cell-partitioned index table. Returns the
     * centroids (the query-side probe list is computed from them). */
@@ -104,12 +127,23 @@ object VectorIndex {
   val KProp = "graft.ivf.k"
   val SampleNProp = "graft.ivf.sampleN"
   val ItersProp = "graft.ivf.iters"
+  // PQ half (IVF-PQ): codebooks persist WITH the index, so ADC search
+  // and incremental refresh never re-train or re-encode the corpus
+  val PqBooksProp = "graft.pq.codebooks"
+  val PqMProp = "graft.pq.m"
+  val PqKCodesProp = "graft.pq.kCodes"
 
   private def encodeCents(cents: Array[Array[Double]]): String =
     cents.map(_.mkString(",")).mkString(";")
 
   private def decodeCents(s: String): Array[Array[Double]] =
     s.split(';').map(_.split(',').map(_.toDouble))
+
+  private def encodeBooks(books: Array[Array[Array[Double]]]): String =
+    books.map(encodeCents).mkString("|")
+
+  private def decodeBooks(s: String): Array[Array[Array[Double]]] =
+    s.split('|').map(decodeCents)
 
   /** Mean squared distance to the nearest centroid — the quantization
     * error the drift check compares. */
@@ -172,11 +206,75 @@ object VectorIndex {
     cents
   }
 
+  /** The full IVF-PQ index row for a source vector: cell from the
+    * coarse quantizer, per-subspace PQ codes from the codebooks, norm
+    * once (cosine denominators at query time) — all row-local codegen'd
+    * expressions, so encode is free inside whatever pass writes the
+    * rows. */
+  private def pqProjection(
+      df: DataFrame,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(call_function("vec_norm_sq", col("embedding"))).as("nrm"),
+      codesOf(col("embedding"), books).as("codes"),
+      cellOf(col("embedding"), cents).cast("int").as("cell"))
+
+  /** [[create]] extended with the PQ half: the index table ALSO stores
+    * per-vector PQ codes and norms (columns `codes`, `nrm`), and the
+    * codebooks persist as table properties — the layout that answers
+    * ADC search from the index alone ([[queryAdc]]): the ranking scan
+    * reads (vec_id, nrm, codes) ≈ 3% of the vector bytes, full
+    * embeddings only for the final shortlist re-rank. [[refresh]]
+    * maintains it incrementally: appended vectors are encoded with the
+    * STORED quantizers, existing index files untouched. */
+  def createPq(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      sourceTable: String,
+      indexName: String,
+      k: Int = 16,
+      m: Int = 8,
+      kCodes: Int = 16,
+      sampleN: Int = 2048,
+      iters: Int = 3): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    graft.functions.GraftFunctions.register(spark)
+    val srcLt = lakeTable(spark, catalog, namespace, sourceTable)
+    val srcVersion = graft.catalog.TableMetadata.load(srcLt.tableDir).version
+    val index = fq(catalog, namespace, indexName)
+    val src = spark.table(fq(catalog, namespace, sourceTable))
+    val sample = sampleOf(src, sampleN)
+    val dim = sample.head.length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val cents = trainKMeans(sample, k, iters)
+    val books = trainPq(sample, m, dim / m, kCodes, iters)
+    spark.sql(s"CREATE TABLE $index (vec_id BIGINT, embedding ARRAY<FLOAT>, " +
+      "nrm DOUBLE, codes ARRAY<INT>, cell INT) PARTITIONED BY (cell)")
+    pqProjection(src, cents, books).createOrReplaceTempView("ivfpq_src")
+    spark.sql(s"INSERT INTO $index SELECT vec_id, embedding, nrm, codes, cell FROM ivfpq_src")
+    val err = meanErr(sample, cents)
+    setProps(spark, index, Map(
+      SourceProp -> sourceTable,
+      VersionProp -> srcVersion.toString,
+      CentroidsProp -> encodeCents(cents),
+      TrainErrProp -> err.toString,
+      KProp -> k.toString,
+      SampleNProp -> sampleN.toString,
+      ItersProp -> iters.toString,
+      PqBooksProp -> encodeBooks(books),
+      PqMProp -> m.toString,
+      PqKCodesProp -> kCodes.toString))
+    (cents, books)
+  }
+
   /** Fold source appends since the last refresh into the index.
     * Returns "noop" (already current), "incremental" (delta assigned
     * with the stored quantizer — old index files untouched), or "full"
     * (re-trained: non-append source commits, or the delta quantizes
-    * worse than `driftFactor` × the training error). */
+    * worse than `driftFactor` × the training error). PQ indexes
+    * ([[createPq]]) refresh the same way: the delta is ENCODED with the
+    * stored codebooks — a refresh never re-encodes existing vectors. */
   def refresh(
       spark: SparkSession,
       catalog: String,
@@ -200,6 +298,9 @@ object VectorIndex {
     val trainErr = prop(TrainErrProp).toDouble
     val (k, sampleN, iters) =
       (prop(KProp).toInt, prop(SampleNProp).toInt, prop(ItersProp).toInt)
+    // PQ half present → rebuilds re-train codebooks, increments encode
+    // the delta with the STORED codebooks
+    val books = props.get(PqBooksProp).map(decodeBooks)
     val index = fq(catalog, namespace, indexName)
 
     val srcLt = lakeTable(spark, catalog, namespace, sourceTable)
@@ -216,7 +317,11 @@ object VectorIndex {
       val tmpName = indexName + "__rebuild"
       val tmpFq = fq(catalog, namespace, tmpName)
       spark.sql(s"DROP TABLE IF EXISTS $tmpFq")
-      create(spark, catalog, namespace, sourceTable, tmpName, k, sampleN, iters)
+      books match {
+        case Some(_) => createPq(spark, catalog, namespace, sourceTable, tmpName,
+          k, prop(PqMProp).toInt, prop(PqKCodesProp).toInt, sampleN, iters)
+        case None => create(spark, catalog, namespace, sourceTable, tmpName, k, sampleN, iters)
+      }
       spark.sql(s"DROP TABLE $index")
       // v2 RENAME resolves the target inside the source's catalog — the
       // target name must be namespace-qualified only
@@ -244,10 +349,17 @@ object VectorIndex {
           rebuild()
         } else {
           if (newSample.nonEmpty) {
-            d.select(col("vec_id"), col("embedding"),
-                cellOf(col("embedding"), cents).cast("int").as("cell"))
-              .createOrReplaceTempView("ivf_delta")
-            spark.sql(s"INSERT INTO $index SELECT vec_id, embedding, cell FROM ivf_delta")
+            books match {
+              case Some(b) =>
+                pqProjection(d, cents, b).createOrReplaceTempView("ivfpq_delta")
+                spark.sql(s"INSERT INTO $index " +
+                  "SELECT vec_id, embedding, nrm, codes, cell FROM ivfpq_delta")
+              case None =>
+                d.select(col("vec_id"), col("embedding"),
+                    cellOf(col("embedding"), cents).cast("int").as("cell"))
+                  .createOrReplaceTempView("ivf_delta")
+                spark.sql(s"INSERT INTO $index SELECT vec_id, embedding, cell FROM ivf_delta")
+            }
           }
           setProps(spark, index, Map(VersionProp -> srcVersion.toString))
           "incremental"
@@ -264,6 +376,86 @@ object VectorIndex {
       (dd, i)
     }
     dists.sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  /** ADC (asymmetric distance computation) top-k answered from a
+    * [[createPq]] index ALONE — no training, no corpus encode, no full
+    * vectors in the ranking scan:
+    *
+    *  1. the stored codebooks become one per-query lookup table of
+    *     m×kCodes subspace-dot partials, computed driver-side from the
+    *     bounded query set and broadcast;
+    *  2. the ranking scan reads ONLY (vec_id, nrm, codes) — column
+    *     pruning leaves the full embedding bytes on disk, the property
+    *     that ranks a 100 TB corpus reading ~3 TB of codes;
+    *  3. per-query shortlist of `shortlistR` via the typed
+    *     TopKAggregator (map-side partials, shuffle ≤ R rows per query
+    *     per mapper);
+    *  4. exact cosine re-rank of the broadcast shortlist against full
+    *     embeddings, top-k windowed inside it.
+    *
+    * Output shape = q29: (qid, nid, rnk, sim_r). */
+  def queryAdc(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      indexName: String,
+      queries: Seq[(Long, Array[Float])],
+      topK: Int = 5,
+      shortlistR: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val idxLt = lakeTable(spark, catalog, namespace, indexName)
+    val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
+    val books = decodeBooks(props.getOrElse(PqBooksProp,
+      throw new IllegalArgumentException(
+        s"$indexName is not a PQ index (no $PqBooksProp — created via create()? " +
+          "use createPq() for ADC search)")))
+    val m = books.length
+    val kCodes = books(0).length
+    val subDim = books(0)(0).length
+    val index = fq(catalog, namespace, indexName)
+
+    // per-query ADC lookup table + norm, from the bounded query set
+    val lutRows = queries.map { case (qid, qv) =>
+      val lut = for (j <- 0 until m; c <- 0 until kCodes) yield {
+        var acc = 0.0; var i = 0
+        while (i < subDim) { acc += qv(j * subDim + i).toDouble * books(j)(c)(i); i += 1 }
+        acc
+      }
+      var n2 = 0.0; var i = 0
+      while (i < qv.length) { n2 += qv(i).toDouble * qv(i); i += 1 }
+      (qid, math.sqrt(n2), lut)
+    }
+    val lutDf = spark.createDataFrame(lutRows).toDF("qid", "qn", "lut")
+    val approxDot = (0 until m).map(j =>
+      element_at(col("lut"),
+        (lit(j * kCodes) + element_at(col("codes"), j + 1) + lit(1)).cast("int")))
+      .reduce(_ + _)
+    val idx = spark.table(index)
+    val scored = idx.select(col("vec_id"), col("nrm"), col("codes"))
+      .crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (approxDot / (col("qn") * col("nrm"))).as("asim"))
+    val topR = udaf(new graft.functions.TopKAggregator(shortlistR))
+    val shortlist = scored.groupBy(col("qid"))
+      .agg(topR(col("nid"), col("asim")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("nid"))
+    val qVecDf = spark.createDataFrame(
+      queries.map { case (qid, qv) => (qid, qv.toSeq) }).toDF("qid", "qv")
+      .join(broadcast(lutDf.select(col("qid"), col("qn"))), Seq("qid"))
+    val rerank = idx.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("nrm").as("nn"))
+      .join(broadcast(shortlist.join(broadcast(qVecDf), Seq("qid"))), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (call_function("vec_dot", col("qv").cast("array<float>"), col("nv")) /
+          (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    rerank.select(col("qid"), col("nid"), row_number().over(w).as("rnk"),
+        round(col("sim"), 4).as("sim_r"))
+      .filter(col("rnk") <= topK)
+      .orderBy(col("qid"), col("rnk"))
   }
 
   /** Exact top-k cosine re-rank INSIDE the probed cells: the scan

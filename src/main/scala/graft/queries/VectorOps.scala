@@ -375,6 +375,67 @@ object VectorOps {
     },
     Some(annOracle))
 
+  // ---- persisted IVF-PQ index (q29g) ---------------------------------------
+  // One warehouse + build memo per JVM (the TextOps keyword-index
+  // pattern): the index builds ONCE per corpus dir, so repeated bench
+  // samples measure the ADC PROBE — the per-query cost at 100 TB — not
+  // the one-time build.
+  private val pqCatalog = "pqidx"
+  private val pqBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val pqWarehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-pqidx-").toString
+
+  // SQL-safe per-corpus table name; digest of the raw path disambiguates
+  // paths that sanitize identically (see TextOps.kwTable)
+  private def pqTable(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"emb_${d.replaceAll("[^A-Za-z0-9]", "_")}_${d.length}_$digest"
+  }
+
+  private def ensurePqIndex(s: SparkSession, d: String): Unit = pqBuilt.synchronized {
+    // catalog registration is per-session, the build memo JVM-global:
+    // re-check the conf before the early return
+    if (s.conf.getOption(s"spark.sql.catalog.$pqCatalog").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$pqCatalog", "graft.catalog.LakehouseCatalog")
+      s.conf.set(s"spark.sql.catalog.$pqCatalog.warehouse", pqWarehouse)
+    }
+    if (pqBuilt.contains(d)) return
+    val tbl = pqTable(d)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $pqCatalog.ann")
+    s.sql(s"DROP TABLE IF EXISTS $pqCatalog.ann.${tbl}_idx")
+    s.sql(s"DROP TABLE IF EXISTS $pqCatalog.ann.$tbl")
+    s.sql(s"CREATE TABLE $pqCatalog.ann.$tbl (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .createOrReplaceTempView("q29g_emb_src")
+    s.sql(s"INSERT INTO $pqCatalog.ann.$tbl SELECT * FROM q29g_emb_src")
+    graft.operators.VectorIndex.createPq(s, pqCatalog, Seq("ann"), tbl, s"${tbl}_idx",
+      k = 16, m = 8, kCodes = 16, sampleN = 2048, iters = 3)
+    pqBuilt.add(d)
+  }
+
+  /** q29f's ADC search served from the PERSISTED IVF-PQ index
+    * ([[graft.operators.VectorIndex.createPq]]) instead of re-training
+    * codebooks and re-encoding the corpus inside the query — the
+    * production shape: codes and codebooks live WITH the index table,
+    * maintained incrementally by [[graft.operators.VectorIndex.refresh]]
+    * (only appended vectors encode — VectorIndexSpec pins it), and the
+    * ranking scan reads (vec_id, nrm, codes) only. Same quantizer
+    * parameters and deterministic training sample as q29f, so the
+    * exact-top-5 + recall-floor oracle carries over verbatim. */
+  val q29g = Q(
+    "q29g_ann_pq_index",
+    (s, d) => {
+      ensurePqIndex(s, d)
+      val qRows = embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val ann = graft.operators.VectorIndex.queryAdc(
+        s, pqCatalog, Seq("ann"), s"${pqTable(d)}_idx", qRows, topK = 5, shortlistR = 40)
+      recallChecked(exactTop5(s, d), ann, floor = 0.4)
+    },
+    Some(annOracle))
+
   /** Cross-modality join: each document paired with its embedding row
     * (text metadata ⋈ vector metadata) — the gate a multimodal curation
     * pipeline runs before training ("keep docs long enough whose
@@ -624,5 +685,5 @@ object VectorOps {
            |  FROM zn a JOIN zn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
            |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q29f, q49, q59, q70, q81, q82)
+  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q29f, q29g, q49, q59, q70, q81, q82)
 }

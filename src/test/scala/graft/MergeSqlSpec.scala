@@ -633,4 +633,75 @@ class MergeSqlSpec extends AnyFunSuite with Matchers {
     e.getMessage should include ("merge-on-read deletes pending")
     spark.sql("DROP TABLE lakehouse.merge_ns.m14")
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target from the source in one statement") {
+    mkTable("se1", Seq((1, "a", 10.0), (2, "b", 20.0)))
+    Seq((2, "b2", 99.0, "eu"), (4, "d", 40.0, "us"))
+      .toDF("id", "name", "amt", "region").createOrReplaceTempView("se1_changes")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO lakehouse.merge_ns.se1 t
+                |USING se1_changes s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *
+                |""".stripMargin)
+    // the target gained `region`; matched/inserted rows carry the source
+    // value, the untouched row reads the initial default (NULL)
+    val out = spark.table("lakehouse.merge_ns.se1").orderBy($"id")
+      .select($"id", $"name", $"amt", $"region")
+      .as[(Int, String, Double, Option[String])].collect().toSeq
+    out shouldBe Seq(
+      (1, "a", 10.0, None), (2, "b2", 99.0, Some("eu")), (4, "d", 40.0, Some("us")))
+    spark.table("lakehouse.merge_ns.se1").schema.fieldNames should contain("region")
+    spark.sql("DROP TABLE lakehouse.merge_ns.se1")
+  }
+
+  test("schema-evolution MERGE under merge-on-read: zero rewrites, old files read NULL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.se2")
+    spark.sql("""CREATE TABLE lakehouse.merge_ns.se2 (id INT, v STRING)
+                |TBLPROPERTIES ('write.merge.mode'='merge-on-read')""".stripMargin)
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .createOrReplaceTempView("se2_base")
+    spark.sql("INSERT INTO lakehouse.merge_ns.se2 SELECT * FROM se2_base")
+    val before = spark.sql("SELECT file_path FROM lakehouse.merge_ns.se2.files")
+      .collect().map(_.getString(0)).toSet
+
+    Seq((2, "b2", 7L), (9, "z", 9L)).toDF("id", "v", "score")
+      .createOrReplaceTempView("se2_changes")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO lakehouse.merge_ns.se2 t
+                |USING se2_changes s ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *
+                |""".stripMargin)
+    val out = spark.table("lakehouse.merge_ns.se2").orderBy($"id")
+      .as[(Int, String, Option[Long])].collect().toSeq
+    out shouldBe Seq((1, "a", None), (2, "b2", Some(7L)), (3, "c", None), (9, "z", Some(9L)))
+    // the delta path held: every pre-merge data file survives by reference
+    val after = spark.sql("SELECT file_path FROM lakehouse.merge_ns.se2.files")
+      .collect().map(_.getString(0)).toSet
+    (before -- after) shouldBe empty
+    spark.sql("DROP TABLE lakehouse.merge_ns.se2")
+  }
+
+  test("schema-evolution MERGE still enforces CHECK constraints on the widened write") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.merge_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.merge_ns.se3")
+    spark.sql("CREATE TABLE lakehouse.merge_ns.se3 (id INT, amt DOUBLE)")
+    spark.sql("ALTER TABLE lakehouse.merge_ns.se3 ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    Seq((1, 5.0)).toDF("id", "amt").createOrReplaceTempView("se3_base")
+    spark.sql("INSERT INTO lakehouse.merge_ns.se3 SELECT * FROM se3_base")
+
+    Seq((1, -3.0, "x")).toDF("id", "amt", "tag").createOrReplaceTempView("se3_bad")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO lakehouse.merge_ns.se3 t
+                  |USING se3_bad s ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |""".stripMargin)
+    }
+    e.getMessage should include("amt_pos")
+    // the violating merge committed nothing: data intact (the evolved
+    // column may remain — schema DDL and row DML are separate commits)
+    spark.table("lakehouse.merge_ns.se3").select($"id", $"amt")
+      .as[(Int, Double)].collect().toSeq shouldBe Seq((1, 5.0))
+    spark.sql("DROP TABLE lakehouse.merge_ns.se3")
+  }
 }
