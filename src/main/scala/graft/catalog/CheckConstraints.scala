@@ -129,8 +129,12 @@ object CheckConstraints {
       spark: SparkSession, schema: StructType, props: Map[String, String]): Option[RowChecks] = {
     // declared CHECKs plus generated-column conformance (a row-level
     // writer cannot recompute a projection, so it validates instead)
+    // plus identity NOT NULL (a row-level writer cannot mint — a MERGE
+    // INSERT arriving without an identity value fails loudly instead
+    // of committing NULL; updates carry the stored value and pass)
     val cs = constraintsOf(props) ++
-      GeneratedColumns.conformanceChecks(spark, schema, props)
+      GeneratedColumns.conformanceChecks(spark, schema, props) ++
+      IdentityColumns.conformanceChecks(schema, props)
     if (cs.isEmpty) None
     else Some(RowChecks(cs.map { case (n, sql) =>
       (n, sql, resolveBound(spark, schema, n, sql))

@@ -45,17 +45,18 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     * the declaration survives and enforces from the first insert. */
   /** Fold a TableInfo's inline declarations into properties: CHECK
     * constraints (with the same case-insensitive duplicate refusal the
-    * ALTER path enforces) and generated-column expressions; identity
-    * columns are refused (they need engine-side sequence state this
-    * catalog does not keep). Shared by createTable AND the staged
-    * CTAS/RTAS overloads — the default TableInfo delegation forwards
-    * only info.properties() and would silently DROP all of these. */
+    * ALTER path enforces), generated-column expressions, and identity
+    * column specs (engine-minted sequences — see [[IdentityColumns]]).
+    * Shared by createTable AND the staged CTAS/RTAS overloads — the
+    * default TableInfo delegation forwards only info.properties() and
+    * would silently DROP all of these. */
   private def withInlineDeclarations(info: TableInfo): java.util.Map[String, String] = {
     val checkProps = info.constraints().map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
         CheckConstraints.Prefix + c.name -> c.predicateSql()
-      case other => throw new UnsupportedOperationException(
-        s"only CHECK constraints are supported (got ${other.toDDL})")
+      case other => KeyConstraints.encode(other).getOrElse(
+        throw new UnsupportedOperationException(
+          s"unsupported constraint kind: ${other.toDDL}"))
     }.toMap
     val lower = info.constraints().map(_.name.toLowerCase)
     if (lower.distinct.length != lower.length)
@@ -63,13 +64,20 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
         "duplicate constraint names (SQL identifiers resolve case-insensitively): " +
           info.constraints().map(_.name).mkString(", "))
     val genProps = info.columns().flatMap { c =>
-      require(c.identityColumnSpec() == null,
-        s"identity column '${c.name}' is not supported")
       Option(c.generationExpression())
         .map(g => GeneratedColumns.Prefix + c.name -> g)
     }.toMap
+    // identity columns (GENERATED ALWAYS/BY DEFAULT AS IDENTITY): the
+    // spec persists as a property; the engine mints values on INSERT
+    // from a per-commit range reserved in metadata (IdentityColumns)
+    val idProps = info.columns().flatMap { c =>
+      Option(c.identityColumnSpec()).map { s =>
+        IdentityColumns.SpecPrefix + c.name ->
+          IdentityColumns.IdSpec(s.getStart, s.getStep, s.isAllowExplicitInsert).encoded
+      }
+    }.toMap
     val props = new java.util.HashMap[String, String](info.properties())
-    (checkProps ++ genProps).foreach { case (k, v) => props.put(k, v) }
+    (checkProps ++ genProps ++ idProps).foreach { case (k, v) => props.put(k, v) }
     props
   }
 
@@ -82,7 +90,8 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       // ALTER TABLE ADD/DROP CONSTRAINT ... CHECK — the native SQL face
       // of the graft.check.* property machinery (CheckConstraints)
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   // ---- ProcedureCatalog: CALL <cat>.system.<proc>(...) ---------------------
 
@@ -441,6 +450,8 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))
+    IdentityColumns.validate(schema, cleanProps(properties))
+    KeyConstraints.validate(schema, cleanProps(properties))
     val meta = TableMetadata(
       version = 1, name = ident.name, schema = schema,
       partitionColumns = partCols,
@@ -468,6 +479,8 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))
+    IdentityColumns.validate(schema, cleanProps(properties))
+    KeyConstraints.validate(schema, cleanProps(properties))
     new StagedLakehouseTable(spark, fullName(ident), dir, 1, schema,
       partCols, cleanProps(properties) ++ bucketProps, Seq.empty, "create")
   }
@@ -488,6 +501,8 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))
+    IdentityColumns.validate(schema, cleanProps(properties))
+    KeyConstraints.validate(schema, cleanProps(properties))
     new StagedLakehouseTable(spark, fullName(ident), dir, current.version + 1, schema,
       partCols, cleanProps(properties) ++ bucketProps,
       current.snapshots, "replace")
@@ -561,18 +576,34 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
               CheckConstraints.verifyExisting(spark, dir, m, c.name, sql)
               m.copy(properties =
                 m.properties + (CheckConstraints.Prefix + c.name -> sql))
-            case other => throw new UnsupportedOperationException(
-              s"only CHECK constraints are supported (got ${other.toDDL}); declare " +
-                "PRIMARY KEY/UNIQUE intent via 'graft.key' table properties instead")
+            case other =>
+              // informational PK/UNIQUE/FK: stored NOT ENFORCED, no
+              // row verification (the engine never validates them) —
+              // same case-insensitive duplicate refusal across kinds
+              val (k, v) = KeyConstraints.encode(other).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"unsupported constraint kind: ${other.toDDL}"))
+              val allNames = KeyConstraints.namesOf(m.properties) ++
+                m.properties.keys.collect {
+                  case ck if ck.startsWith(CheckConstraints.Prefix) =>
+                    ck.drop(CheckConstraints.Prefix.length).toLowerCase
+                }
+              if (allNames.contains(other.name.toLowerCase))
+                throw new UnsupportedOperationException(
+                  s"constraint '${other.name}' already exists")
+              KeyConstraints.validate(m.schema, Map(k -> v))
+              m.copy(properties = m.properties + (k -> v))
           }
         case dropC: TableChange.DropConstraint =>
-          // case-insensitive lookup, like every other SQL identifier
-          val key = m.properties.keys.find(k =>
-            k.startsWith(CheckConstraints.Prefix) &&
-              k.drop(CheckConstraints.Prefix.length).equalsIgnoreCase(dropC.name))
+          // case-insensitive lookup, like every other SQL identifier —
+          // CHECK first, then the informational key-constraint kinds
+          val key = (CheckConstraints.Prefix +: KeyConstraints.Prefixes)
+            .flatMap(p => m.properties.keys.find(k =>
+              k.startsWith(p) && k.drop(p.length).equalsIgnoreCase(dropC.name)))
+            .headOption
           if (key.isEmpty && !dropC.ifExists)
             throw new UnsupportedOperationException(
-              s"no such CHECK constraint: ${dropC.name}")
+              s"no such constraint: ${dropC.name}")
           key.map(k => m.copy(properties = m.properties - k)).getOrElse(m)
         case set: TableChange.SetProperty =>
           // a new/changed CHECK constraint must resolve against the
@@ -598,7 +629,27 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
               Map(set.property -> set.value)).head
             CheckConstraints.verifyExisting(spark, dir, m, n, sql)
           }
-          m.copy(properties = m.properties + (set.property -> set.value))
+          // declaring an identity spec on an EXISTING table: the column
+          // must be integral and non-null in every stored row (identity
+          // NOT NULL conformance starts enforcing on row-level writes),
+          // and the mint mark must start PAST the stored maximum —
+          // both checked from footer stats, no scan
+          if (set.property.startsWith(IdentityColumns.SpecPrefix) &&
+            !m.properties.get(set.property).contains(set.value)) {
+            val withId = m.properties + (set.property -> set.value)
+            IdentityColumns.validate(m.schema, Map(set.property -> set.value))
+            val c = set.property.drop(IdentityColumns.SpecPrefix.length)
+            val field = m.schema.fields.find(_.name.equalsIgnoreCase(c)).get
+            val nulls = m.fileStats.values.flatMap(_.get(field.name))
+              .flatMap(_.nulls).sum
+            val statless = m.files.exists(f =>
+              !m.fileStats.get(f).exists(_.contains(field.name)))
+            if (nulls > 0 || statless) throw new IllegalStateException(
+              s"cannot declare identity on '$c': existing files hold null or " +
+                "unverifiable values — backfill the column first")
+            m.copy(properties = IdentityColumns.advance(withId,
+              IdentityColumns.committedExtreme(m.schema, withId, m.fileStats)))
+          } else m.copy(properties = m.properties + (set.property -> set.value))
         case rm: TableChange.RemoveProperty =>
           m.copy(properties = m.properties - rm.property)
         case add: TableChange.AddColumn =>
@@ -734,6 +785,10 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     // DROP COLUMN referenced by one): re-resolve every survivor
     CheckConstraints.validate(spark, updated.schema, updated.properties)
     GeneratedColumns.validate(spark, updated.schema, updated.properties)
+    // nor an identity declaration (DROP/RETYPE of the minted column)
+    IdentityColumns.validate(updated.schema, updated.properties)
+    // nor an informational key constraint's local columns
+    KeyConstraints.validate(updated.schema, updated.properties)
     // property-only alters rebase mechanically onto concurrent commits;
     // schema alters racing anything make commitOrRebase decline, and
     // the caller loop above re-derives them from the fresh snapshot.

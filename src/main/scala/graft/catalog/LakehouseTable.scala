@@ -55,8 +55,15 @@ class LakehouseTable(
 
   /** SQL MERGE INTO / UPDATE / arbitrary-predicate DELETE: group-based
     * copy-on-write at file granularity (see [[LakehouseRowLevelOperation]]). */
-  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // under graft.wap.branch only INSERT routes; running a row-level op
+    // against MAIN while the session believes it targets the branch
+    // would be silently wrong — refuse instead
+    require(spark.conf.getOption(LakehouseTable.WapBranchConf).isEmpty,
+      "MERGE/UPDATE/DELETE are not routed by graft.wap.branch — unset the conf, " +
+        "or use Maintenance.morDeleteFromBranch for audit-stage cleanup")
     new LakehouseRowLevelOperationBuilder(spark, identName, tableDir, info)
+  }
 
   override def name(): String = identName
 
@@ -82,17 +89,20 @@ class LakehouseTable(
 
   override def properties(): java.util.Map[String, String] = meta.properties.asJava
 
-  /** The declared CHECK constraints, reported through the DSv2
-    * constraint surface (DESCRIBE shows them; they were verified
-    * against existing rows when added, hence VALID + enforced). */
+  /** The declared constraints, reported through the DSv2 constraint
+    * surface (DESCRIBE shows them): CHECKs are VALID + enforced (they
+    * were verified against existing rows when added); informational
+    * PK/UNIQUE/FK come back NOT ENFORCED + UNVALIDATED with their RELY
+    * flag ([[KeyConstraints]]) — declared intent the optimizer's
+    * RELY-aware rules can use. */
   override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    CheckConstraints.constraintsOf(meta.properties).map { case (n, sql) =>
+    (CheckConstraints.constraintsOf(meta.properties).map { case (n, sql) =>
       org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
         .predicateSql(sql)
         .validationStatus(
           org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
         .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
-    }.toArray
+    } ++ KeyConstraints.constraintsOf(meta.properties)).toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
@@ -521,13 +531,55 @@ class LakehouseTable(
               // result. The loaded metadata is threaded into the commit
               // paths — one read per insert, not two.
               val cur = TableMetadata.load(tableDir)
-              val data = CheckConstraints.enforce(
+              // WAP session routing (`graft.wap.branch`, Iceberg's
+              // spark.wap.branch idiom): a plain SQL INSERT lands on
+              // the audit branch — main's head never moves until
+              // CALL system.fast_forward publishes. The branch must
+              // already exist (auto-creating on a typo'd name would
+              // silently divert ingest to a branch nobody audits).
+              // Reads stay on main; audit with VERSION AS OF '<name>'.
+              spark.conf.getOption(LakehouseTable.WapBranchConf) match {
+                case Some(branch) =>
+                  require(
+                    cur.properties.contains(Maintenance.BranchPrefix + branch),
+                    s"graft.wap.branch='$branch' but table $identName has no such " +
+                      s"branch — CALL system.branch('<ns>', '<table>', '$branch') first")
+                  require(!overwriteParam && !truncateAll &&
+                      overwriteFilters.isEmpty && !dynamicPartitions,
+                    "graft.wap.branch routes INSERT INTO only; INSERT OVERWRITE " +
+                      "must target main (unset the conf) or use branch procedures")
+                  require(IdentityColumns.of(cur.properties).isEmpty,
+                    "identity columns cannot mint on a branch write (the sequence " +
+                      "mark lives in main's metadata) — unset graft.wap.branch")
+                  // same row-local enforcement as a main insert: the
+                  // branch forked from main's declarations
+                  Maintenance.appendToBranchAt(spark, tableDir, branch,
+                    CheckConstraints.enforce(
+                      GeneratedColumns.compute(rawData, cur.schema, cur.properties),
+                      cur.properties))
+                  return
+                case None =>
+              }
+              // identity minting after generated-column computation,
+              // before CHECK enforcement (a CHECK referencing the
+              // identity column sees the minted value)
+              val (withIds, identBases) = IdentityColumns.assign(
                 GeneratedColumns.compute(rawData, cur.schema, cur.properties),
-                cur.properties)
-              if (dynamicPartitions) Maintenance.overwritePartitionsAt(spark, tableDir, data)
-              else overwriteFilters match {
-                case Some(filters) => commitOverwriteWhere(data, filters, cur)
-                case None => commitInsert(data, truncateAll || overwriteParam, cur)
+                cur.schema, cur.properties)
+              val data = CheckConstraints.enforce(withIds, cur.properties)
+              if (dynamicPartitions) {
+                require(identBases.isEmpty,
+                  "identity columns: dynamic-partition overwrite cannot advance the " +
+                    "sequence mark — use INSERT INTO / full INSERT OVERWRITE")
+                Maintenance.overwritePartitionsAt(spark, tableDir, data)
+              } else overwriteFilters match {
+                case Some(filters) =>
+                  require(identBases.isEmpty,
+                    "identity columns: filtered overwrite cannot advance the " +
+                      "sequence mark — use INSERT INTO / full INSERT OVERWRITE")
+                  commitOverwriteWhere(data, filters, cur)
+                case None =>
+                  commitInsert(data, truncateAll || overwriteParam, cur, identBases)
               }
             }
           }
@@ -583,6 +635,11 @@ class LakehouseTable(
     * reference. Old snapshots still see the old files (time travel
     * intact); a racing writer loses the version publish cleanly. */
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    // same WAP guard as the row-level builder: a main-head delete while
+    // the session routes writes to a branch would be silently wrong
+    require(spark.conf.getOption(LakehouseTable.WapBranchConf).isEmpty,
+      "DELETE is not routed by graft.wap.branch — unset the conf, " +
+        "or use Maintenance.morDeleteFromBranch for audit-stage cleanup")
     val current = TableMetadata.load(tableDir) // re-read: optimistic concurrency
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _)
@@ -663,8 +720,7 @@ class LakehouseTable(
     val commitDir = tableDir.resolve(commitRel)
     val kept = MergeOnRead.read(spark, tableDir, current, hitFiles)
       .filter(not(coalesce(cond, lit(false))))
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    kept.write.parquet(commitDir.toString)
+    SessionConf.writeMicrosParquet(kept, commitDir.toString)
 
     val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString)
@@ -723,94 +779,108 @@ class LakehouseTable(
       kept.unionByName(data), "overwrite-where")
   }
 
-  private def commitInsert(data: DataFrame, overwrite: Boolean, startMeta: TableMetadata): Unit = {
+  private def commitInsert(
+      data: DataFrame,
+      overwrite: Boolean,
+      startMeta: TableMetadata,
+      identBases: Map[String, Long] = Map.empty): Unit = {
     // schema/partitioning are commit-stable; the caller's load is reused
     val bucketSpec = Bucketing.specOf(startMeta.properties)
-    // bucketed commits use the `b-` prefix: their part-file index IS the
-    // bucket id (repartition(n, col) = HashPartitioning), which the scan
-    // relies on for storage-partitioned join planning
-    val commitRel =
-      if (bucketSpec.isDefined) s"data/b-${UUID.randomUUID().toString.take(12)}"
-      else s"data/c-${UUID.randomUUID().toString.take(12)}"
-    val commitDir = tableDir.resolve(commitRel)
 
-    // Cluster by the declared partition columns so each file covers a
-    // narrow key range; Parquet min/max stats then let pushed-down
-    // filters skip whole files/row groups on read. Bucketed tables
-    // cluster by hash instead: file part-i = bucket i. Hidden
-    // temporal/truncate transforms cluster by their DERIVED value
-    // (each day/hour/prefix lands wholly in its own file set) and sort
-    // within by the SOURCE column — the footer ranges come out tight
-    // and disjoint, so `ts BETWEEN …` file-skips like Iceberg's
-    // partition pruning with no derived column stored or queried.
-    val hiddenExprs = HiddenPartitioning.clusteringExprs(
-      data, startMeta.schema, startMeta.properties)
-    // declared write sort order (WriteSortOrder.Prop): refines the
-    // within-partition sort on partitioned tables, and on plain tables
-    // supplies the whole clustering — range-distribute + sort so files
-    // cover disjoint intervals and footer ranges prune like partitions
-    val sortOrderCols = WriteSortOrder.colsOf(startMeta.properties)
-    val clustered = bucketSpec match {
-      case Some((bcol, n)) =>
-        data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))
-      case None if hiddenExprs.nonEmpty =>
-        // RANGE partitioning, not hash: derived day/hour/prefix values
-        // are few and ORDINAL — hashing a handful of days can collide
-        // them into one task (and one file spanning all days, whose
-        // footer range prunes nothing); range boundaries fall between
-        // distinct derived values, so each task holds whole
-        // consecutive days and the within-partition sort on the source
-        // column makes every file's range tight. Files end up covering
-        // DISJOINT source intervals, so a time-window read touches
-        // only the overlapping files — Iceberg partition pruning via
-        // footer stats. The partition count is EXPLICIT because AQE
-        // coalesces column-only range shuffles by size, merging
-        // adjacent days back into one file and undoing the clustering
-        // (observed: 3 days → 1 file on a small commit).
-        val idents = startMeta.partitionColumns.map(data.col)
-        val sortCols =
-          HiddenPartitioning.sourceCols(startMeta.properties).map(data.col) ++
-            idents ++ sortOrderCols.map(data.col)
-        data.repartitionByRange(
-            data.sparkSession.sessionState.conf.numShufflePartitions,
-            (hiddenExprs ++ idents): _*)
-          .sortWithinPartitions(sortCols: _*)
-      case None if startMeta.partitionColumns.nonEmpty =>
-        val cols = startMeta.partitionColumns.map(data.col)
-        data.repartition(cols: _*)
-          .sortWithinPartitions(cols ++ sortOrderCols.map(data.col): _*)
-      case None if sortOrderCols.nonEmpty =>
-        // RANGE, not hash: the point is disjoint per-file intervals of
-        // the leading sort column (hash would scatter every value range
-        // across all files and the footer ranges would prune nothing);
-        // explicit partition count for the same AQE-coalescing reason
-        // as the hidden-transform branch above
-        data.repartitionByRange(
-            data.sparkSession.sessionState.conf.numShufflePartitions,
-            sortOrderCols.map(data.col): _*)
-          .sortWithinPartitions(sortOrderCols.map(data.col): _*)
-      case None => data
+    /** Cluster `df` per the table's layout contract and write one
+      * commit's files; returns (commitRel, files, footers). Factored so
+      * an identity-range re-mint can rewrite with the SAME clustering
+      * (bucketed tables rely on part-file index = bucket id). */
+    def writeCommitFiles(df: DataFrame)
+        : (String, Seq[String], Map[String, FooterStats.FileFooter]) = {
+      // bucketed commits use the `b-` prefix: their part-file index IS
+      // the bucket id (repartition(n, col) = HashPartitioning), which
+      // the scan relies on for storage-partitioned join planning
+      val commitRel =
+        if (bucketSpec.isDefined) s"data/b-${UUID.randomUUID().toString.take(12)}"
+        else s"data/c-${UUID.randomUUID().toString.take(12)}"
+      val commitDir = tableDir.resolve(commitRel)
+
+      // Cluster by the declared partition columns so each file covers a
+      // narrow key range; Parquet min/max stats then let pushed-down
+      // filters skip whole files/row groups on read. Bucketed tables
+      // cluster by hash instead: file part-i = bucket i. Hidden
+      // temporal/truncate transforms cluster by their DERIVED value
+      // (each day/hour/prefix lands wholly in its own file set) and sort
+      // within by the SOURCE column — the footer ranges come out tight
+      // and disjoint, so `ts BETWEEN …` file-skips like Iceberg's
+      // partition pruning with no derived column stored or queried.
+      val hiddenExprs = HiddenPartitioning.clusteringExprs(
+        df, startMeta.schema, startMeta.properties)
+      // declared write sort order (WriteSortOrder.Prop): refines the
+      // within-partition sort on partitioned tables, and on plain tables
+      // supplies the whole clustering — range-distribute + sort so files
+      // cover disjoint intervals and footer ranges prune like partitions
+      val sortOrderCols = WriteSortOrder.colsOf(startMeta.properties)
+      val clustered = bucketSpec match {
+        case Some((bcol, n)) =>
+          df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
+        case None if hiddenExprs.nonEmpty =>
+          // RANGE partitioning, not hash: derived day/hour/prefix values
+          // are few and ORDINAL — hashing a handful of days can collide
+          // them into one task (and one file spanning all days, whose
+          // footer range prunes nothing); range boundaries fall between
+          // distinct derived values, so each task holds whole
+          // consecutive days and the within-partition sort on the source
+          // column makes every file's range tight. Files end up covering
+          // DISJOINT source intervals, so a time-window read touches
+          // only the overlapping files — Iceberg partition pruning via
+          // footer stats. The partition count is EXPLICIT because AQE
+          // coalesces column-only range shuffles by size, merging
+          // adjacent days back into one file and undoing the clustering
+          // (observed: 3 days → 1 file on a small commit).
+          val idents = startMeta.partitionColumns.map(df.col)
+          val sortCols =
+            HiddenPartitioning.sourceCols(startMeta.properties).map(df.col) ++
+              idents ++ sortOrderCols.map(df.col)
+          df.repartitionByRange(
+              df.sparkSession.sessionState.conf.numShufflePartitions,
+              (hiddenExprs ++ idents): _*)
+            .sortWithinPartitions(sortCols: _*)
+        case None if startMeta.partitionColumns.nonEmpty =>
+          val cols = startMeta.partitionColumns.map(df.col)
+          df.repartition(cols: _*)
+            .sortWithinPartitions(cols ++ sortOrderCols.map(df.col): _*)
+        case None if sortOrderCols.nonEmpty =>
+          // RANGE, not hash: the point is disjoint per-file intervals of
+          // the leading sort column (hash would scatter every value range
+          // across all files and the footer ranges would prune nothing);
+          // explicit partition count for the same AQE-coalescing reason
+          // as the hidden-transform branch above
+          df.repartitionByRange(
+              df.sparkSession.sessionState.conf.numShufflePartitions,
+              sortOrderCols.map(df.col): _*)
+            .sortWithinPartitions(sortOrderCols.map(df.col): _*)
+        case None => df
+      }
+      // INT96 (Spark's legacy default) carries no usable parquet stats —
+      // write modern micros timestamps so timestamp columns are skippable
+      SessionConf.writeMicrosParquet(clustered, commitDir.toString)
+
+      val files = Fs.children(commitDir).iterator
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet"))
+        .map(n => s"$commitRel/$n")
+        .toSeq.sorted
+      // footer-only stats read per new file → file-level skipping on scan
+      val conf = spark.sessionState.newHadoopConf()
+      val footers = files.map { f =>
+        f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), startMeta.schema)
+      }.toMap
+      // bloom-indexed tables get sidecars for the new files at write time
+      // (one pass over only the new data), so the index stays fresh
+      BloomIndex.buildForFiles(spark, tableDir, startMeta.schema, startMeta.properties, files)
+      (commitRel, files, footers)
     }
-    // INT96 (Spark's legacy default) carries no usable parquet stats —
-    // write modern micros timestamps so timestamp columns are skippable
-    data.sparkSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    clustered.write.parquet(commitDir.toString)
 
-    val newFiles = Fs.children(commitDir).iterator
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet"))
-      .map(n => s"$commitRel/$n")
-      .toSeq.sorted
-    // footer-only stats read per new file → file-level skipping on scan
-    val conf = spark.sessionState.newHadoopConf()
-    val footers = newFiles.map { f =>
-      f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), startMeta.schema)
-    }.toMap
-    val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
-    val newRows = footers.view.mapValues(_.rows).toMap
-    // bloom-indexed tables get sidecars for the new files at write time
-    // (one pass over only the new data), so the index stays fresh
-    BloomIndex.buildForFiles(spark, tableDir, startMeta.schema, startMeta.properties, newFiles)
+    var (commitRel, newFiles, footers) = writeCommitFiles(data)
+    var newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
+    var newRows = footers.view.mapValues(_.rows).toMap
 
     // Optimistic-concurrency publish with RETRY (the Iceberg commit
     // loop): the data files are written exactly once above; on a
@@ -828,8 +898,49 @@ class LakehouseTable(
     // from startMeta.schema after verifiedProps advanced would crash
     // on a racer that added a column plus its generation property
     var verifiedSchema = startMeta.schema
+    // identity bases this write's values were minted from — updated if a
+    // race forces a shift re-mint
+    var mintedFrom = identBases
     while (!committed) {
       val current = TableMetadata.load(tableDir)
+      // Identity-range race: a winner advanced `graft.identity-next`
+      // past the base this write minted from, so the two ranges
+      // overlap. GENERATED ALWAYS columns hold ONLY minted values, so a
+      // constant shift up to the new base restores disjointness (and
+      // preserves uniqueness) — an O(new files) rewrite with the same
+      // clustering. BY DEFAULT columns may carry writer-supplied values
+      // indistinguishable from minted ones post-write: fail clean, the
+      // caller re-runs against the advanced mark.
+      if (mintedFrom.nonEmpty) {
+        val curNext = IdentityColumns.nextOf(current.properties)
+        val conflicts = mintedFrom.filter { case (c, b) =>
+          curNext.getOrElse(c, b) != b
+        }
+        if (conflicts.nonEmpty) {
+          val specs = IdentityColumns.of(current.properties).toMap
+          val explicitConflicts = conflicts.keys.filter(c =>
+            specs.get(c).exists(_.allowExplicit))
+          if (explicitConflicts.nonEmpty) throw new IllegalStateException(
+            s"INSERT lost an identity-range race on BY DEFAULT column(s) " +
+              s"${explicitConflicts.mkString(", ")} — nothing was committed; " +
+              "re-run the INSERT")
+          val shifted = conflicts.foldLeft(
+            spark.read.schema(current.schema).parquet(newFiles.map(abs): _*)) {
+            case (d, (c, base)) =>
+              val f = current.schema.fields.find(_.name.equalsIgnoreCase(c)).get
+              d.withColumn(f.name,
+                (col(f.name) + lit(curNext(c) - base)).cast(f.dataType))
+          }
+          val staleDir = commitRel
+          val (rel2, files2, footers2) = writeCommitFiles(shifted)
+          commitRel = rel2; newFiles = files2; footers = footers2
+          newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
+          newRows = footers.view.mapValues(_.rows).toMap
+          Fs.deleteRecursively(tableDir.resolve(staleDir))
+          mintedFrom = conflicts.map { case (c, _) => c -> curNext(c) } ++
+            (mintedFrom -- conflicts.keySet)
+        }
+      }
       // A constraint/generation expression that landed AFTER this
       // write's row-local enforcement ran (startMeta's properties) has
       // never seen these rows — rebasing the append over it would let
@@ -868,10 +979,16 @@ class LakehouseTable(
       // an overwrite replaces every file with current-schema data, so
       // dropped-column tombstones (see LakehouseCatalog.alterTable)
       // no longer protect anything
-      val props =
+      val props0 =
         if (overwrite)
           current.properties.filterNot(_._1.startsWith(LakehouseCatalog.TombstonePrefix))
         else current.properties
+      // advance the identity high-water marks past the committed
+      // extremes — read from the footer stats already in hand, no IO
+      val props =
+        if (mintedFrom.isEmpty) props0
+        else IdentityColumns.advance(props0,
+          IdentityColumns.committedExtreme(current.schema, props0, newStats))
       val op = if (overwrite) "overwrite" else "append"
       // an overwrite replaces every data file at the new sequence: old
       // delete entries can never apply again — drop the dead weight
@@ -896,6 +1013,14 @@ class LakehouseTable(
 }
 
 object LakehouseTable {
+  /** Session conf (Iceberg's `spark.wap.branch` idiom): when set, plain
+    * SQL `INSERT INTO` lands on the named audit branch instead of main
+    * — the write side of write-audit-publish without touching the
+    * ingest SQL. Audit reads use `VERSION AS OF '<branch>'`; `CALL
+    * system.fast_forward` publishes. Row-level DML and overwrites are
+    * refused while set (only appends route). */
+  val WapBranchConf = "graft.wap.branch"
+
   /** Table property selecting how SQL DELETE executes: unset/"copy-on-write"
     * rewrites hit files (read-optimal); "merge-on-read" commits an
     * equality-delete file; "merge-on-read-positional" commits a

@@ -205,8 +205,7 @@ object Maintenance {
           .sortWithinPartitions(sortCols.map(df.col): _*)
       case None => df.coalesce(targetFiles)
     }
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    clustered.write.parquet(commitDir.toString)
+    SessionConf.writeMicrosParquet(clustered, commitDir.toString)
 
     val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
@@ -401,8 +400,7 @@ object Maintenance {
             .sortWithinPartitions(newPartCols.map(data.col): _*)
         case None => data.coalesce(current.files.size.max(1))
       }
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      clustered.write.parquet(commitDir.toString)
+      SessionConf.writeMicrosParquet(clustered, commitDir.toString)
     }
     val newFiles =
       if (df.isEmpty) Nil
@@ -519,8 +517,7 @@ object Maintenance {
         aligned.repartition(cols: _*).sortWithinPartitions(cols: _*)
       case None => aligned
     }
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    clustered.write.parquet(commitDir.toString)
+    SessionConf.writeMicrosParquet(clustered, commitDir.toString)
     val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
@@ -627,13 +624,13 @@ object Maintenance {
     // shape (one sorted file vs range-partitioned fan-out) is decided
     // without an extra counting job
     val kSchema = MergeOnRead.keySchema(schema, keyColumns)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val delRel = s"deletes/u-${UUID.randomUUID().toString.take(12)}"
     val batchKeys = spark.read.schema(schema).parquet(newFiles.map(abs): _*)
       .select(keyColumns.map(col): _*).distinct()
-    MergeOnRead.shapeDeleteWrite(spark, batchKeys, keyColumns.map(batchKeys.col),
-        footers.values.map(_.rows).sum)
-      .write.parquet(dir.resolve(delRel).toString)
+    SessionConf.writeMicrosParquet(
+      MergeOnRead.shapeDeleteWrite(spark, batchKeys, keyColumns.map(batchKeys.col),
+        footers.values.map(_.rows).sum),
+      dir.resolve(delRel).toString)
     val delFiles = Fs.children(dir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
@@ -721,8 +718,7 @@ object Maintenance {
         val cols = current.partitionColumns.map(newData.col)
         newData.repartition(cols: _*).sortWithinPartitions(cols: _*)
       } else newData
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    clustered.write.parquet(commitDir.toString)
+    SessionConf.writeMicrosParquet(clustered, commitDir.toString)
     val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
@@ -1278,8 +1274,18 @@ object Maintenance {
       namespace: Seq[String],
       table: String,
       name: String,
+      rows: org.apache.spark.sql.DataFrame): Long =
+    appendToBranchAt(spark,
+      lakehouseTable(spark, catalog, namespace, table).tableDir, name, rows)
+
+  /** [[appendToBranch]] addressed by table dir — the entry point the
+    * `graft.wap.branch` session conf routes plain SQL INSERTs through
+    * (LakehouseTable.insert). */
+  def appendToBranchAt(
+      spark: SparkSession,
+      dir: Path,
+      name: String,
       rows: org.apache.spark.sql.DataFrame): Long = {
-    val dir = lakehouseTable(spark, catalog, namespace, table).tableDir
     val head = branchHead(dir, name)
     val schema = head.schema
     val aligned = rows.select(schema.fields.map(f =>
@@ -1291,8 +1297,7 @@ object Maintenance {
         val cols = head.partitionColumns.map(aligned.col)
         aligned.repartition(cols: _*).sortWithinPartitions(cols: _*)
       } else aligned
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    clustered.write.parquet(dir.resolve(rel).toString)
+    SessionConf.writeMicrosParquet(clustered, dir.resolve(rel).toString)
     val newFiles = Fs.children(dir.resolve(rel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
@@ -1335,10 +1340,10 @@ object Maintenance {
       keys.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val next = head.version + 1
     val delRel = s"deletes/b$next-$name-${UUID.randomUUID().toString.take(8)}"
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val pinned = graft.Materialize.pin(casted)
-    MergeOnRead.shapeDeleteWrite(spark, pinned, keyCols.map(pinned.col), pinned.count())
-      .write.parquet(dir.resolve(delRel).toString)
+    SessionConf.writeMicrosParquet(
+      MergeOnRead.shapeDeleteWrite(spark, pinned, keyCols.map(pinned.col), pinned.count()),
+      dir.resolve(delRel).toString)
     val conf = spark.sessionState.newHadoopConf()
     val delFiles = Fs.children(dir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
@@ -1693,7 +1698,8 @@ object Maintenance {
     // over ONLY the imported files (the price a constrained table pays
     // for import; Delta's ADD CONSTRAINT makes the same trade)
     val checks = CheckConstraints.constraintsOf(current.properties) ++
-      GeneratedColumns.conformanceChecks(spark, current.schema, current.properties)
+      GeneratedColumns.conformanceChecks(spark, current.schema, current.properties) ++
+      IdentityColumns.conformanceChecks(current.schema, current.properties)
     if (checks.nonEmpty) {
       import org.apache.spark.sql.functions.{expr, lit, sum, when}
       // ONE pass over the imported files computes every violation
@@ -1730,11 +1736,17 @@ object Maintenance {
     val newStats = byRel.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     val allFiles = current.files ++ newFiles
+    // imported files carry their own identity values: advance the mint
+    // mark past them (from the footers already in hand) so later
+    // INSERTs never collide with imported ids
+    val props = IdentityColumns.advance(current.properties,
+      IdentityColumns.committedExtreme(current.schema, current.properties, newStats))
     TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = nextVersion,
       files = allFiles,
       fileStats = current.fileStats ++ newStats,
       fileRows = current.fileRows ++ byRel.view.mapValues(_.rows).toMap,
+      properties = props,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "add_files", newFiles.size, allFiles.size)))
     newFiles.size

@@ -586,7 +586,25 @@ object TableMetadata {
       fileSeq = (cur.fileSeq -- removed) ++
         attempt.fileSeq.view.filterKeys(addedSet).toMap,
       deleteFiles = cur.deleteFiles.filterNot(removedDels) ++ rebasedDels,
-      properties = (cur.properties -- propRemoved) ++ propChanged,
+      // identity high-water marks (`graft.identity-next.*`) merge
+      // MONOTONICALLY: the attempt's advance must never regress a
+      // racer's larger one (two importing/minting commits each advanced
+      // from `base`; last-write-wins would hand out a racer's range
+      // again). Direction comes from the declared step's sign.
+      properties = {
+        val merged = (cur.properties -- propRemoved) ++ propChanged
+        merged.map {
+          case (k, v) if k.startsWith(IdentityColumns.NextPrefix) &&
+              propChanged.contains(k) && cur.properties.contains(k) =>
+            val step = merged.get(IdentityColumns.SpecPrefix +
+                k.drop(IdentityColumns.NextPrefix.length))
+              .map(IdentityColumns.decodeSpec(_).step).getOrElse(1L)
+            val curV = cur.properties(k).toLong
+            k -> (if (step > 0) math.max(v.toLong, curV)
+                  else math.min(v.toLong, curV)).toString
+          case kv => kv
+        }
+      },
       snapshots = cur.snapshots ++ snap))
   }
 }

@@ -168,9 +168,10 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
         "CREATE TABLE lakehouse.gc.g4 (k INT, bad INT GENERATED ALWAYS AS (nope + 1))")
     }
     rootCause(e1).getMessage.toLowerCase should include("cannot be resolved")
+    // an identity column on a non-integral type is refused at CREATE
     val e2 = intercept[Exception] {
       spark.sql(
-        "CREATE TABLE lakehouse.gc.g5 (k BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+        "CREATE TABLE lakehouse.gc.g5 (k STRING GENERATED ALWAYS AS IDENTITY, v STRING)")
     }
     rootCause(e2).getMessage.toLowerCase should include("identity")
     // property-level declaration of a broken expression is also refused
@@ -180,5 +181,126 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
           "'graft.generated.b' = 'nope + 1')")
     }
     rootCause(e3).getMessage.toLowerCase should include("does not resolve")
+  }
+
+  // ---- identity columns ----------------------------------------------------
+
+  test("identity column mints unique increasing values from START/INCREMENT") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.gc.id1")
+    spark.sql("CREATE TABLE lakehouse.gc.id1 (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 2), " +
+      "v STRING)")
+    Seq("a", "b", "c").toDF("v").createOrReplaceTempView("id1_src")
+    // the writer supplies NULL for the engine-minted column
+    spark.sql("INSERT INTO lakehouse.gc.id1 SELECT CAST(NULL AS BIGINT), v FROM id1_src")
+    val ids = spark.table("lakehouse.gc.id1").select($"id")
+      .as[Long].collect().sorted.toSeq
+    ids.distinct.length shouldBe 3
+    all(ids) should be >= 100L
+    // step alignment: every minted value ≡ start (mod step)
+    all(ids.map(i => (i - 100L) % 2L)) shouldBe 0L
+
+    // a second insert continues PAST the first commit's range (the
+    // high-water mark advanced in metadata)
+    spark.sql("INSERT INTO lakehouse.gc.id1 SELECT CAST(NULL AS BIGINT), v FROM id1_src")
+    val ids2 = spark.table("lakehouse.gc.id1").select($"id").as[Long].collect().toSeq
+    ids2.distinct.length shouldBe 6
+    ids2.sorted.drop(3).head should be > ids.max
+    spark.sql("DROP TABLE lakehouse.gc.id1")
+  }
+
+  test("GENERATED ALWAYS refuses explicit values; BY DEFAULT accepts and advances past them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.gc.id2")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.gc.id3")
+    spark.sql("CREATE TABLE lakehouse.gc.id2 (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+    Seq((42L, "x")).toDF("id", "v").createOrReplaceTempView("id2_src")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO lakehouse.gc.id2 SELECT id, v FROM id2_src")
+    }
+    rootCause(e).getMessage should include("GENERATED ALWAYS")
+
+    spark.sql("CREATE TABLE lakehouse.gc.id3 (" +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)")
+    spark.sql("INSERT INTO lakehouse.gc.id3 SELECT id, v FROM id2_src")
+    spark.table("lakehouse.gc.id3").select($"id").as[Long].collect().toSeq shouldBe Seq(42L)
+    // minted values after an explicit insert land PAST the explicit max
+    Seq("y").toDF("v").createOrReplaceTempView("id3_src")
+    spark.sql("INSERT INTO lakehouse.gc.id3 SELECT CAST(NULL AS BIGINT), v FROM id3_src")
+    val minted = spark.table("lakehouse.gc.id3").where($"v" === "y")
+      .select($"id").as[Long].collect()(0)
+    minted should be > 42L
+    spark.sql("DROP TABLE lakehouse.gc.id2")
+    spark.sql("DROP TABLE lakehouse.gc.id3")
+  }
+
+  test("concurrent inserts mint disjoint identity ranges") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    for (round <- 0 until 3) {
+      val t = s"lakehouse.gc.idrace$round"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (id BIGINT GENERATED ALWAYS AS IDENTITY, v INT)")
+      Seq.tabulate(50)(identity).toDF("v").createOrReplaceTempView(s"idrace_src$round")
+      val inserts = (0 until 2).map { _ =>
+        Future {
+          spark.sql(s"INSERT INTO $t SELECT CAST(NULL AS BIGINT), v FROM idrace_src$round")
+        }
+      }
+      inserts.foreach(Await.result(_, 120.seconds))
+      val ids = spark.table(t).select($"id").as[Long].collect().toSeq
+      withClue(s"round $round: ") {
+        ids.length shouldBe 100
+        ids.distinct.length shouldBe 100 // disjoint ranges, no collision
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
+  test("MoR UPDATE preserves identity values; MERGE INSERT without one fails loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.gc.id4")
+    spark.sql("CREATE TABLE lakehouse.gc.id4 (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) " +
+      "TBLPROPERTIES ('write.update.mode'='merge-on-read', " +
+      "'write.merge.mode'='merge-on-read')")
+    Seq("a", "b").toDF("v").createOrReplaceTempView("id4_src")
+    spark.sql("INSERT INTO lakehouse.gc.id4 SELECT CAST(NULL AS BIGINT), v FROM id4_src")
+    val before = spark.table("lakehouse.gc.id4").orderBy($"id")
+      .as[(Long, String)].collect().toSeq
+
+    spark.sql("UPDATE lakehouse.gc.id4 SET v = concat(v, '!')")
+    val after = spark.table("lakehouse.gc.id4").orderBy($"id")
+      .as[(Long, String)].collect().toSeq
+    after.map(_._1) shouldBe before.map(_._1) // identity carried through
+    after.map(_._2) shouldBe before.map(_._2).map(_ + "!")
+
+    // an INSERT-ONLY merge is planned as an append through the batch
+    // path — it MINTS like any insert
+    Seq("zz").toDF("v").createOrReplaceTempView("id4_new")
+    spark.sql("""MERGE INTO lakehouse.gc.id4 t USING id4_new s ON t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (NULL, s.v)
+                |""".stripMargin)
+    val minted = spark.table("lakehouse.gc.id4").where($"v" === "zz")
+      .select($"id").as[Long].collect()
+    minted.length shouldBe 1
+    minted(0) should be > before.map(_._1).max
+
+    // a MIXED merge (matched + not matched) runs through the row-level
+    // delta writer, which cannot mint: an inserted row without an
+    // identity value must fail the identity row check, not commit NULL
+    Seq("qq", "a!").toDF("v").createOrReplaceTempView("id4_mixed")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO lakehouse.gc.id4 t USING id4_mixed s ON t.v = s.v
+                  |WHEN MATCHED THEN UPDATE SET v = concat(t.v, '?')
+                  |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (NULL, s.v)
+                  |""".stripMargin)
+    }
+    rootCause(e).getMessage should include("identity")
+    spark.sql("DROP TABLE lakehouse.gc.id4")
   }
 }
