@@ -142,8 +142,8 @@ private[catalog] class ChangelogStaging(
     }
     val success = dir.resolve("_SUCCESS")
     if (!Files.exists(success)) {
-      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      windowDf(fromV, toV).write.mode("overwrite").parquet(dir.toString)
+      SessionConf.writeMicrosParquet(windowDf(fromV, toV), dir.toString,
+        mode = Some("overwrite"))
     }
     if (!Files.isDirectory(dir)) return Seq.empty
     Fs.children(dir).iterator

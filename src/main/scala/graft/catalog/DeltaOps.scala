@@ -126,7 +126,6 @@ class LakehouseDeltaOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = {
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         val next = base.version + 1
         val op = s"mor-${cmd.toString.toLowerCase}"
         val dataRel = s"data/c$next-$op-${UUID.randomUUID().toString.take(8)}"
@@ -180,7 +179,9 @@ private class LakehouseDeltaWrite(
       // FileFormatDataWriter instead would consult the coordinator a
       // second time inside the task and self-deny (observed as an
       // endless CommitDenied retry loop).
-      def factoryFor(schema: StructType) = {
+      def factoryFor(schema: StructType) = SessionConf.withMicros(spark) {
+        // micros timestamps → skippable stats; prepareWrite captures
+        // the conf into the job conf, so the scope ends here
         val job = org.apache.hadoop.mapreduce.Job.getInstance(
           spark.sessionState.newHadoopConf())
         val f = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)

@@ -243,6 +243,41 @@ object LakehouseProcedures {
       graft.operators.VectorIndex.refresh(spark, catalogName, ns(in), tbl(in))
     }
 
+  private def createPqIndexProc(catalogName: String): UnboundProcedure =
+    stringResultProc("create_pq_index",
+      "build an IVF-PQ ANN index (cells + product-quantization codes) over an " +
+        "embedding table; refresh via refresh_vector_index",
+      Array(param("ns", StringType), param("tbl", StringType),
+        param("index", StringType), param("k", IntegerType, "16"),
+        param("m", IntegerType, "8"), param("k_codes", IntegerType, "16"),
+        param("sample_n", IntegerType, "2048"),
+        param("iters", IntegerType, "3"))) { (spark, in) =>
+      graft.operators.VectorIndex.createPq(spark, catalogName, ns(in), tbl(in),
+        in.getUTF8String(2).toString, in.getInt(3), in.getInt(4), in.getInt(5),
+        in.getInt(6), in.getInt(7))
+      "created"
+    }
+
+  private def adcSearchProc(catalogName: String): UnboundProcedure =
+    searchProc("adc_search",
+      "PQ-ADC top-k cosine search answered from a persisted IVF-PQ index; " +
+        "queries are index vec_ids (search-by-example), comma-separated",
+      Array(param("ns", StringType), param("index", StringType),
+        param("query_ids", StringType), param("k", IntegerType, "5"),
+        param("shortlist_r", IntegerType, "40"))) { (spark, in) =>
+      import org.apache.spark.sql.functions.col
+      // the bounded driver set queryAdc contracts on: one row per
+      // listed id, fetched by a stats-pruned id lookup on the index
+      val ids = in.getUTF8String(2).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      val idxFq = (catalogName +: ns(in) :+ in.getUTF8String(1).toString).mkString(".")
+      val qs = spark.table(idxFq).filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      graft.operators.VectorIndex.queryAdc(spark, catalogName, ns(in),
+        in.getUTF8String(1).toString, qs, in.getInt(3), in.getInt(4))
+    }
+
   /** Rows-returning procedure: runs `body`'s DataFrame DISTRIBUTED
     * (probe scans, joins, top-k all execute as a normal Spark job) and
     * surfaces up to `limit` result rows through the CALL — the one
@@ -516,6 +551,8 @@ object LakehouseProcedures {
     "refresh_text_index" -> (refreshTextIndexProc(_)),
     "create_vector_index" -> (createVectorIndexProc(_)),
     "refresh_vector_index" -> (refreshVectorIndexProc(_)),
+    "create_pq_index" -> (createPqIndexProc(_)),
+    "adc_search" -> (adcSearchProc(_)),
     "text_search" -> (textSearchProc(_)),
     "phrase_search" -> (phraseSearchProc(_)),
     "ranked_search" -> (rankedSearchProc(_)),

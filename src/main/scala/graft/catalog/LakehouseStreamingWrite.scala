@@ -56,15 +56,18 @@ class LakehouseStreamingWrite(
     val meta = TableMetadata.load(tableDir)
     val stagingRel = s"data/s-${UUID.randomUUID().toString.take(12)}"
     val stagingDir = tableDir.resolve(stagingRel)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    val innerWrite = ParquetTable(identName, spark,
-      new CaseInsensitiveStringMap(Map("path" -> stagingDir.toString).asJava),
-      Seq(stagingDir.toString), Some(meta.schema), classOf[ParquetFileFormat])
-      .newWriteBuilder(info)
-      .build()
-      .toBatch
+    // micros timestamps → skippable stats; toBatch + factory creation
+    // capture the scoped conf into the write job, nothing leaks
+    val (innerWrite, delegate) = SessionConf.withMicros(spark) {
+      val w = ParquetTable(identName, spark,
+        new CaseInsensitiveStringMap(Map("path" -> stagingDir.toString).asJava),
+        Seq(stagingDir.toString), Some(meta.schema), classOf[ParquetFileFormat])
+        .newWriteBuilder(info)
+        .build()
+        .toBatch
+      (w, w.createBatchWriterFactory(pInfo): DataWriterFactory)
+    }
     pending = Some((stagingRel, innerWrite))
-    val delegate: DataWriterFactory = innerWrite.createBatchWriterFactory(pInfo)
     // CHECK constraints guard every streamed row before it reaches the
     // epoch's staging files — same row-local predicate the delta DML
     // writers compile, zero overhead when the table declares none.

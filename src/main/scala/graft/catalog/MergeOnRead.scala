@@ -321,13 +321,12 @@ object MergeOnRead {
     def footersOf(rel: Seq[String], sch: StructType) = rel.map { f =>
       f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
     }.toMap
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-
     val delRel = s"deletes/p$next-${UUID.randomUUID().toString.take(8)}"
     // filePos derives from the eagerly-checkpointed match set, so the
     // shaping count re-reads the checkpoint, not the table
-    shapeDeleteWrite(spark, filePos, Seq(col(PosFileCol), col(PosPosCol)), filePos.count())
-      .write.parquet(tableDir.resolve(delRel).toString)
+    SessionConf.writeMicrosParquet(
+      shapeDeleteWrite(spark, filePos, Seq(col(PosFileCol), col(PosPosCol)), filePos.count()),
+      tableDir.resolve(delRel).toString)
     val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
@@ -384,14 +383,14 @@ object MergeOnRead {
       filePos.col(PosFileCol).cast(StringType).as(PosFileCol),
       filePos.col(PosPosCol).cast(LongType).as(PosPosCol))
     val delRel = s"deletes/p$next-${UUID.randomUUID().toString.take(8)}"
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // checkpoint so the caller's pipeline runs once (shaping count +
     // write); sorted file(s) keep the entry path ranges tight so clean
     // files prune, and a 10⁹-tuple MERGE fans out instead of
     // serializing through one task
     val pinned = casted.pinned
-    shapeDeleteWrite(spark, pinned, Seq(col(PosFileCol), col(PosPosCol)), pinned.count())
-      .write.parquet(tableDir.resolve(delRel).toString)
+    SessionConf.writeMicrosParquet(
+      shapeDeleteWrite(spark, pinned, Seq(col(PosFileCol), col(PosPosCol)), pinned.count()),
+      tableDir.resolve(delRel).toString)
     val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
@@ -456,10 +455,10 @@ object MergeOnRead {
     // the single-file ceiling fans out to range-sorted files instead
     // of serializing through one write task
     val delRel = s"deletes/d$next-${UUID.randomUUID().toString.take(8)}"
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val pinnedKeys = casted.pinned
-    shapeDeleteWrite(spark, pinnedKeys, keyCols.map(pinnedKeys.col), pinnedKeys.count())
-      .write.parquet(tableDir.resolve(delRel).toString)
+    SessionConf.writeMicrosParquet(
+      shapeDeleteWrite(spark, pinnedKeys, keyCols.map(pinnedKeys.col), pinnedKeys.count()),
+      tableDir.resolve(delRel).toString)
     val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$delRel/$n").toSeq.sorted
@@ -540,8 +539,7 @@ object MergeOnRead {
     }
     val rel = s"data/c$next-materialize-${UUID.randomUUID().toString.take(8)}"
     val commitDir = dir.resolve(rel)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    read(spark, dir, current, dirty).write.parquet(commitDir.toString)
+    SessionConf.writeMicrosParquet(read(spark, dir, current, dirty), commitDir.toString)
     val newFiles = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
@@ -624,7 +622,6 @@ object MergeOnRead {
     val next = current.version + 1
     def abs(f: String): String = tableDir.resolve(f).toString
     val conf = spark.sessionState.newHadoopConf()
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val mergedEntries: Seq[DeleteFile] = groups.flatMap { group =>
       val isPos = group.head.isPositional
       val keyCols = if (isPos) Seq(PosFileCol, PosPosCol) else group.head.keyColumns
@@ -636,8 +633,9 @@ object MergeOnRead {
         .parquet(group.map(e => abs(e.path)): _*).distinct().pinned
       val n = tuples.count()
       val rel = s"deletes/d$next-consolidated-${UUID.randomUUID().toString.take(8)}"
-      shapeDeleteWrite(spark, tuples, keyCols.map(tuples.col), n)
-        .write.parquet(tableDir.resolve(rel).toString)
+      SessionConf.writeMicrosParquet(
+        shapeDeleteWrite(spark, tuples, keyCols.map(tuples.col), n),
+        tableDir.resolve(rel).toString)
       val delFiles = Fs.children(tableDir.resolve(rel)).iterator
         .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
         .map(fn => s"$rel/$fn").toSeq.sorted

@@ -159,8 +159,6 @@ class LakehouseRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        // modern micros timestamps → skippable stats (as commitInsert)
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         val commitRel =
           s"data/c${base.version + 1}-${cmd.toString.toLowerCase}-${UUID.randomUUID().toString.take(8)}"
         val commitDir = tableDir.resolve(commitRel)
@@ -181,7 +179,10 @@ class LakehouseRowLevelOperation(
         new Write {
           override def description: String = s"lakehouse-cow-$cmd"
           override def toBatch: BatchWrite = new BatchWrite {
-            private val delegate = innerWrite.toBatch
+            // modern micros timestamps → skippable stats (as
+            // commitInsert); toBatch builds the parquet job conf, so
+            // the scoped conf is captured here and leaks nothing
+            private val delegate = SessionConf.withMicros(spark)(innerWrite.toBatch)
             override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
               new OperationColumnStrippingWriterFactory(
                 delegate.createBatchWriterFactory(pInfo), writeSchema, rowChecks, rowGen)

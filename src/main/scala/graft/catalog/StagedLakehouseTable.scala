@@ -74,9 +74,7 @@ class StagedLakehouseTable(
                   data.repartition(cols: _*).sortWithinPartitions(cols: _*)
                 case None => data
               }
-              data.sparkSession.conf.set(
-                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-              clustered.write.parquet(commitDir.toString)
+              SessionConf.writeMicrosParquet(clustered, commitDir.toString)
               written = Fs.children(commitDir).iterator
                 .map(_.getFileName.toString)
                 .filter(_.endsWith(".parquet"))

@@ -233,6 +233,41 @@ class BranchSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.br_ns.race")
   }
 
+  test("graft.wap.branch routes plain SQL INSERT to the audit branch") {
+    mkTable("wapconf")
+    val t = "lakehouse.br_ns.wapconf"
+    spark.sql("CALL lakehouse.system.branch('br_ns', 'wapconf', 'audit')")
+    try {
+      spark.conf.set("graft.wap.branch", "audit")
+      // the UNCHANGED ingest SQL lands on the branch
+      Seq((10, "x"), (11, "y")).toDF("k", "v").createOrReplaceTempView("wapconf_w")
+      spark.sql(s"INSERT INTO $t SELECT * FROM wapconf_w")
+      // main readers see nothing; the audit read sees the staged rows
+      spark.table(t).count() shouldBe 2
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 'audit'").count() shouldBe 4
+
+      // row-level DML and overwrites are refused while routing (a
+      // main-head write in a session that believes it targets the
+      // branch would be silently wrong)
+      val e1 = intercept[Exception](
+        spark.sql(s"UPDATE $t SET v = 'q' WHERE k = 1"))
+      e1.getMessage should include("graft.wap.branch")
+      val e2 = intercept[Exception](
+        spark.sql(s"INSERT OVERWRITE $t SELECT * FROM wapconf_w"))
+      e2.getMessage should include("graft.wap.branch")
+      // a typo'd branch name is refused, not auto-created
+      spark.conf.set("graft.wap.branch", "audti")
+      val e3 = intercept[Exception](
+        spark.sql(s"INSERT INTO $t SELECT * FROM wapconf_w"))
+      e3.getMessage should include("no such")
+    } finally spark.conf.unset("graft.wap.branch")
+
+    // conf unset: publish and read back on main
+    spark.sql("CALL lakehouse.system.fast_forward('br_ns', 'wapconf', 'audit')")
+    spark.table(t).count() shouldBe 4
+    spark.sql(s"DROP TABLE $t")
+  }
+
   private implicit class PairsToMap(rows: Array[(String, String, Int)]) {
     def toMap2: Map[(String, String), Int] =
       rows.map { case (n, ty, v) => (n, ty) -> v }.toMap

@@ -305,6 +305,59 @@ class CheckConstraintSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("informational PK/UNIQUE/FK round-trip: stored NOT ENFORCED, reported back") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.chk.kc1")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.chk.kc2")
+    spark.sql("CREATE TABLE lakehouse.chk.kc1 (id BIGINT, ref BIGINT, v STRING, " +
+      "CONSTRAINT kc1_pk PRIMARY KEY (id) NOT ENFORCED RELY)")
+    spark.sql("CREATE TABLE lakehouse.chk.kc2 (id BIGINT)")
+    spark.sql("ALTER TABLE lakehouse.chk.kc1 ADD CONSTRAINT kc1_uq " +
+      "UNIQUE (v) NOT ENFORCED")
+    spark.sql("ALTER TABLE lakehouse.chk.kc1 ADD CONSTRAINT kc1_fk FOREIGN KEY (ref) " +
+      "REFERENCES lakehouse.chk.kc2 (id) NOT ENFORCED RELY")
+
+    def table() = spark.sessionState.catalogManager.catalog("lakehouse")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("chk"), "kc1"))
+    val cs = table().constraints().map(c => c.name -> c).toMap
+    cs.keySet shouldBe Set("kc1_pk", "kc1_uq", "kc1_fk")
+    all(cs.values.map(_.enforced())) shouldBe false
+    cs("kc1_pk").rely() shouldBe true
+    cs("kc1_uq").rely() shouldBe false
+    cs("kc1_pk") shouldBe a[org.apache.spark.sql.connector.catalog.constraints.PrimaryKey]
+    cs("kc1_uq") shouldBe a[org.apache.spark.sql.connector.catalog.constraints.Unique]
+    val fk = cs("kc1_fk")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints.ForeignKey]
+    fk.referencedTable().name() shouldBe "kc2"
+    fk.columns().map(_.fieldNames.mkString(".")).toSeq shouldBe Seq("ref")
+
+    // inserts are NOT validated against informational constraints
+    // (duplicate PK values commit — the writer guarantees uniqueness)
+    Seq((1L, 1L, "a"), (1L, 1L, "b")).toDF("id", "ref", "v")
+      .createOrReplaceTempView("kc1_src")
+    spark.sql("INSERT INTO lakehouse.chk.kc1 SELECT * FROM kc1_src")
+    spark.table("lakehouse.chk.kc1").count() shouldBe 2
+
+    // DROP CONSTRAINT removes a key constraint by name
+    spark.sql("ALTER TABLE lakehouse.chk.kc1 DROP CONSTRAINT kc1_uq")
+    table().constraints().map(_.name).toSet shouldBe Set("kc1_pk", "kc1_fk")
+    // duplicate names are refused across kinds
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.chk.kc1 ADD CONSTRAINT kc1_pk " +
+        "UNIQUE (v) NOT ENFORCED")
+    }
+    e.getMessage should include("already exists")
+    // a DROP COLUMN referenced by a key constraint is refused
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.chk.kc1 DROP COLUMN ref")
+    }
+    e2.getMessage should include("kc1_fk")
+    spark.sql("DROP TABLE lakehouse.chk.kc1")
+    spark.sql("DROP TABLE lakehouse.chk.kc2")
+  }
+
   test("constraints are visible through the DSv2 Table.constraints surface") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
     spark.sql(

@@ -234,6 +234,31 @@ class VectorIndexSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ann.prsrc")
   }
 
+  test("CALL system.create_pq_index / adc_search drive IVF-PQ from SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ann.pqsql")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ann.pqsql_idx")
+    spark.sql("CREATE TABLE lakehouse.ann.pqsql (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("pqsql_emb")
+    spark.sql("INSERT INTO lakehouse.ann.pqsql SELECT vec_id, embedding FROM pqsql_emb")
+    spark.sql(
+      "CALL lakehouse.system.create_pq_index('ann', 'pqsql', 'pqsql_idx', 8, 8, 16, 512, 3)")
+      .collect()(0).getString(0) shouldBe "created"
+    spark.table("lakehouse.ann.pqsql_idx").columns should contain("codes")
+    // search-by-example: top-3 neighbours of vectors 0 and 1, ranked by
+    // the ADC scan + exact re-rank — all from SQL
+    val rows = spark.sql(
+      "CALL lakehouse.system.adc_search('ann', 'pqsql_idx', '0, 1', 3, 20)")
+      .collect()
+    rows.length shouldBe 6
+    rows.map(_.getLong(0)).distinct.sorted.toSeq shouldBe Seq(0L, 1L)
+    // refresh_vector_index serves the PQ index too (shared contract)
+    spark.sql("CALL lakehouse.system.refresh_vector_index('ann', 'pqsql_idx')")
+      .collect()(0).getString(0) shouldBe "noop"
+    spark.sql("DROP TABLE lakehouse.ann.pqsql_idx")
+    spark.sql("DROP TABLE lakehouse.ann.pqsql")
+  }
+
   test("refresh on a table without the IVF properties fails with the contract error") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ann")
     // the bare build() path materializes the table but persists no
