@@ -1243,9 +1243,213 @@ object Relational {
            |       NULL, NULL, MIN(source), MAX(source) FROM documents
            |ORDER BY col""".stripMargin))
 
+  /** Spark-4.1 VARIANT path over the same JSON column q26/q26c read as
+    * strings: `parse_json` shreds once into the binary Variant encoding
+    * and `variant_get` does typed, null-safe path extraction — at 100 TB
+    * this is the column type a semi-structured `props` field should land
+    * as (single parse per row, typed pushable accesses, missing paths →
+    * NULL instead of a per-row error). The `$.missing` probe pins the
+    * absent-path-is-NULL semantics the string-JSON q26c can't express
+    * without a schema. */
+  val q26d = Q(
+    "q26d_variant",
+    (s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("variant_get(parse_json(props), '$.missing', 'string')").as("missing"))
+        .filter(col("k").between(20, 40))
+        .orderBy(col("event_id"))
+        .limit(200),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           |       CAST(NULL AS VARCHAR) AS missing
+           |FROM events
+           |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 20 AND 40
+           |ORDER BY event_id LIMIT 200""".stripMargin))
+
+  // --- TPC-H hard shapes (q83–q87): the decorrelation/anti-join-heavy ---
+  // --- queries, adapted to the generator's reduced column set.        ---
+
+  /** TPC-H Q13 (customer order-count distribution). Spark-first shape:
+    * pre-aggregate orders per custkey BEFORE the outer join (map-side
+    * combine shrinks the shuffle to partial counts; the canonical
+    * left-join-then-group the oracle runs shuffles every orders row
+    * keyed by custkey), then left-join customer and coalesce the gap
+    * rows to zero. The second aggregation's domain is |distinct order
+    * counts| — trivially small at any scale. */
+  val q83 = Q(
+    "q83_tpch_q13",
+    (s, d) => {
+      val perCust = orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+      customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist
+           |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           |      FROM customer LEFT JOIN orders
+           |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           |      GROUP BY c_custkey) c_orders
+           |GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** TPC-H Q17 (small-quantity-order revenue). The correlated scalar
+    * subquery (per-part average quantity) runs as ONE lineitem pass:
+    * broadcast the brand-filtered part keys into the scan, then a
+    * window over `l_partkey` computes the per-part average on the
+    * surviving rows only — no self-join, no second scan, and the
+    * window's shuffle carries just the brand's sliver of lineitem.
+    * Exact-decimal sum / count keeps the 0.2·avg threshold bit-identical
+    * to the oracle's arithmetic. */
+  val q84 = Q(
+    "q84_tpch_q17",
+    (s, d) => {
+      val brandParts = part(s, d)
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      lineitem(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty",
+          sum(dec2(col("l_quantity"))).over(w).cast(DoubleType) / count(lit(1)).over(w))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum2(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    },
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+           |FROM lineitem l JOIN part ON p_partkey = l_partkey
+           |WHERE p_brand = 'Brand#23'
+           |  AND l_quantity < 0.2 * (
+           |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin))
+
+  /** TPC-H Q18 (large-volume customers). The IN-subquery over a grouped
+    * HAVING is folded into the driving aggregation: ONE lineitem
+    * aggregation produces both the filter (sum_qty > 300) and the
+    * output measure, so lineitem is scanned and shuffled once —
+    * the canonical form the oracle runs aggregates lineitem twice.
+    * The filtered per-order rows (~0.3% of orders) then join orders
+    * and customer; AQE broadcasts the shrunken side. */
+  val q85 = Q(
+    "q85_tpch_q18",
+    (s, d) => {
+      val bigOrders = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum2(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      bigOrders
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          dayStr(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH per_order AS (
+           |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |  FROM lineitem GROUP BY l_orderkey
+           |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+           |SELECT c_name, c_custkey, o_orderkey,
+           |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           |       o_totalprice, sum_qty
+           |FROM per_order JOIN orders ON o_orderkey = l_orderkey
+           |               JOIN customer ON c_custkey = o_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting), adapted to the
+    * generator's columns (`l_returnflag = 'R'` stands in for the
+    * receipt-after-commit predicate). The two correlated subqueries
+    * (EXISTS another supplier in the order / NOT EXISTS another supplier
+    * with a returned line) collapse into ONE per-order aggregation —
+    * `n_supp > 1 AND n_r_supp = 1` is exactly "someone else is in the
+    * order and every returned line is mine" — so lineitem is aggregated
+    * once instead of being self-joined twice. The one-nation supplier
+    * sliver is broadcast. */
+  val q86 = Q(
+    "q86_tpch_q21",
+    (s, d) => {
+      // two-level distinct: (order, supplier) partial rows first, then the
+      // per-order counts — map-side combine collapses each task's repeats,
+      // where the twin-countDistinct form Expands every fact row ×2
+      val perOrder = lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
+        .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+        .select(col("l_orderkey").as("qual_orderkey"))
+      val natSupp = supplier(s, d)
+        .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_7")
+        .select(col("s_suppkey"), col("s_name"))
+      lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(perOrder, col("l_orderkey") === col("qual_orderkey"))
+        .join(orders(s, d).filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    Some("""SELECT s_name, COUNT(*) AS numwait
+           |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+           |     JOIN orders ON o_orderkey = l1.l_orderkey
+           |     JOIN nation ON s_nationkey = n_nationkey
+           |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_7'
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |                  WHERE l3.l_orderkey = l1.l_orderkey
+           |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin))
+
+  /** TPC-H Q22 shape (dormant high-balance customers; the customer-name
+    * digit prefix stands in for the phone country code; "dormant" =
+    * no order above 250k, so the result is non-empty at every SF). The
+    * scalar average lands as a one-row broadcast cross join (no driver
+    * collect), the dormancy predicate is a left-anti join that needs no
+    * distinct on the probe side, and the exact-decimal average keeps
+    * the threshold comparison engine-identical. */
+  val q87 = Q(
+    "q87_tpch_q22",
+    (s, d) => {
+      val avgBal = customer(s, d)
+        .filter(col("c_acctbal") > 0.0)
+        .agg(davg2(col("c_acctbal")).as("avg_bal"))
+      customer(s, d)
+        .join(
+          orders(s, d).filter(col("o_totalprice") > 250000.0).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select(substring(col("c_name"), 10, 2).as("cntrycode"), col("c_acctbal"))
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum2(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    },
+    Some("""SELECT substring(c_name, 10, 2) AS cntrycode, COUNT(*) AS numcust,
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           |FROM customer
+           |WHERE c_acctbal > (
+           |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           |    FROM customer WHERE c_acctbal > 0.0)
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+           |GROUP BY cntrycode
+           |ORDER BY cntrycode""".stripMargin))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q13b,
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
-    q22b, q23, q23b, q24, q25, q26, q26b, q26c, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
-    q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69)
+    q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
+    q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
+    q83, q84, q85, q86, q87)
 }

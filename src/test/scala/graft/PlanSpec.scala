@@ -437,4 +437,52 @@ class PlanSpec extends AnyFunSuite with Matchers {
     // final stage is top-k, not a global sort
     plan should include("TakeOrderedAndProject")
   }
+
+  test("q84 correlated avg runs as one lineitem pass: broadcast parts + window") {
+    // the canonical Q17 plan self-joins lineitem against a per-part
+    // aggregate (two fact scans + a fact-fact shuffle join); ours must
+    // stay broadcast-filter-then-window — one scan, one sliver shuffle
+    val plan = executedPlan(Relational.q84.run(spark, sf))
+    "lineitem".r.findAllIn(plan).size should be > 0
+    "FileScan parquet".r.findAllIn(plan).size shouldBe 2 // lineitem + part, once each
+    plan should include("BroadcastHashJoin")
+    plan should include("Window")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q85 folds the HAVING subquery into the driving aggregation: one lineitem scan") {
+    // canonical Q18 aggregates lineitem once for the IN-list and joins
+    // it again for the output sum — at 100 TB that is a second full
+    // fact scan; the folded form must keep exactly one
+    val plan = executedPlan(Relational.q85.run(spark, sf))
+    val factScans = "FileScan parquet \\S*\\[l_orderkey".r.findAllIn(plan).size
+    factScans shouldBe 1
+    plan should include("TakeOrderedAndProject") // limit 100 without a global sort
+  }
+
+  // q86/q87 can be empty at sf0.001 and AQE then collapses the final plan
+  // to EmptyRelation — pin the full adaptive string (initial plan included)
+  private def fullPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q86 collapses both correlated EXISTS into one per-order aggregate") {
+    // two correlated subqueries would plan as two extra lineitem joins
+    // (semi + anti, each shuffling the fact); the per-order-aggregate
+    // rewrite allows exactly two fact scans (agg + R-filter), no Expand,
+    // and the one-nation supplier sliver must be the broadcast side
+    val plan = fullPlan(Relational.q86.run(spark, sf))
+    val factScans = "FileScan parquet \\[l_orderkey".r.findAllIn(plan).size
+    factScans shouldBe 2
+    plan should include("BroadcastHashJoin")
+    plan should not include "Expand"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("q87 plans the dormancy check as an anti join and the scalar avg as a 1-row broadcast") {
+    val plan = fullPlan(Relational.q87.run(spark, sf))
+    plan should include("LeftAnti")
+    plan should include("BroadcastNestedLoopJoin") // one-row avg, cross join is safe
+  }
 }
