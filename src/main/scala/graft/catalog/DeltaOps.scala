@@ -250,9 +250,17 @@ private class LakehouseDeltaWrite(
 
     BloomIndex.buildForFiles(spark, tableDir, base.schema, base.properties, dataFiles)
     val allFiles = base.files ++ dataFiles
+    // a MERGE ... INSERT's explicit BY DEFAULT identity values advance
+    // the high-water mark here, exactly as on batch INSERT — otherwise
+    // the next minting commit hands the same range out again; rebase
+    // merges the marks monotonically under races
+    val props = IdentityColumns.advance(base.properties,
+      IdentityColumns.committedExtreme(base.schema, base.properties,
+        dataFooters.view.mapValues(_.cols).toMap))
     TableMetadata.commitOrRebase(tableDir, base = base, attempt = base.copy(
       version = next,
       files = allFiles,
+      properties = props,
       fileStats = base.fileStats ++ dataFooters.view.mapValues(_.cols).toMap,
       fileRows = base.fileRows ++ dataFooters.view.mapValues(_.rows).toMap,
       deleteFiles = base.deleteFiles ++ entries,

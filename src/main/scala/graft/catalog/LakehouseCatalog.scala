@@ -563,15 +563,20 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           addC.constraint() match {
             case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
               val sql = c.predicateSql()
-              // SQL identifiers resolve case-insensitively: refuse a
-              // duplicate that differs only in case instead of
-              // silently declaring a second constraint
+              // SQL identifiers resolve case-insensitively, and the
+              // constraint namespace spans kinds: a CHECK must not
+              // shadow an existing PK/UNIQUE/FK of the same name (DROP
+              // CONSTRAINT resolves CHECK first — a silent shadow would
+              // make the later drop remove the wrong constraint)
               val dup = m.properties.keys.find(k =>
                 k.startsWith(CheckConstraints.Prefix) &&
                   k.drop(CheckConstraints.Prefix.length).equalsIgnoreCase(c.name))
               if (dup.isDefined) throw new UnsupportedOperationException(
                 s"constraint '${c.name}' already exists " +
                   s"(as '${dup.get.drop(CheckConstraints.Prefix.length)}')")
+              if (KeyConstraints.namesOf(m.properties).contains(c.name.toLowerCase))
+                throw new UnsupportedOperationException(
+                  s"constraint '${c.name}' already exists (as a key constraint)")
               CheckConstraints.resolveBound(spark, m.schema, c.name, sql)
               CheckConstraints.verifyExisting(spark, dir, m, c.name, sql)
               m.copy(properties =

@@ -939,6 +939,13 @@ class LakehouseTable(
           Fs.deleteRecursively(tableDir.resolve(staleDir))
           mintedFrom = conflicts.map { case (c, _) => c -> curNext(c) } ++
             (mintedFrom -- conflicts.keySet)
+          // The shift changed the identity values AFTER row-local
+          // enforcement ran — a CHECK that references the identity
+          // column (CHECK (id < N)) validated the PRE-shift values.
+          // Reset the verified state so every row check re-runs over
+          // the rewritten files below; rare path, O(new files) cost.
+          verifiedProps = Map.empty
+          verifiedSchema = current.schema
         }
       }
       // A constraint/generation expression that landed AFTER this

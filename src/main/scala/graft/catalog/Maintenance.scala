@@ -567,6 +567,12 @@ object Maintenance {
         else current.fileRows ++ footers.view.mapValues(_.rows).toMap
       val dels = if (replace) Seq.empty[DeleteFile] else current.deleteFiles
       val op = if (replace) "overwrite" else "append"
+      // explicit BY DEFAULT identity values in the epoch advance the
+      // high-water mark, same as batch INSERT — recomputed per attempt
+      // against the racer's possibly-larger mark (advance never regresses)
+      val props = IdentityColumns.advance(
+        current.properties + (key -> batchId.toString),
+        IdentityColumns.committedExtreme(schema, current.properties, newStats))
       try {
         TableMetadata.commit(dir, current.copy(
           version = current.version + 1,
@@ -574,7 +580,7 @@ object Maintenance {
           fileStats = allStats,
           fileRows = allRows,
           deleteFiles = dels,
-          properties = current.properties + (key -> batchId.toString),
+          properties = props,
           snapshots = current.snapshots :+ Snapshot(
             current.version + 1, System.currentTimeMillis(), op,
             newFiles.size, allFiles.size)))
@@ -668,6 +674,11 @@ object Maintenance {
         DeleteFile(f, keyColumns, next, delFooters(f).rows, delFooters(f).cols)
       }
       val allFiles = current.files ++ newFiles
+      // see watermarkedPublish: upserted explicit identity values must
+      // advance the mark or a later INSERT re-mints them
+      val props = IdentityColumns.advance(
+        current.properties + (key -> batchId.toString),
+        IdentityColumns.committedExtreme(schema, current.properties, newStats))
       try {
         TableMetadata.commit(dir, current.copy(
           version = next,
@@ -675,7 +686,7 @@ object Maintenance {
           fileStats = current.fileStats ++ newStats,
           fileRows = current.fileRows ++ footers.view.mapValues(_.rows).toMap,
           deleteFiles = current.deleteFiles ++ entries,
-          properties = current.properties + (key -> batchId.toString),
+          properties = props,
           snapshots = current.snapshots :+ Snapshot(
             next, System.currentTimeMillis(), "mor-upsert", newFiles.size, allFiles.size)))
         return true
@@ -1570,6 +1581,14 @@ object Maintenance {
       .filterNot(tagged.contains)
       .filterNot(forks.contains)
       .filter(v => Files.exists(TableMetadata.versionFile(dir, v)))
+    // the hint MUST reach current before any version below it vanishes:
+    // retained tagged/fork versions below the cutoff sit under a gap,
+    // and a stale hint at one of them would resolve as "current" once
+    // its successor is gone (currentVersion's probe re-reads the hint
+    // to close the in-flight-reader race — that depends on this order).
+    // A hint-write failure aborts the expire; nothing is deleted yet.
+    if (doomed.nonEmpty)
+      TableMetadata.writeHintStrict(TableMetadata.metadataDir(dir), meta.version)
     doomed.foreach(v => Files.deleteIfExists(TableMetadata.versionFile(dir, v)))
     reapOrphanManifests(dir, manifestGraceMs)
     doomed.size

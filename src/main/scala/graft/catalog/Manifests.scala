@@ -4,7 +4,6 @@ import java.nio.file.{Files, Path, StandardCopyOption}
 import java.util.UUID
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.types.StructType
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -17,18 +16,22 @@ final case class ManifestEntry(
     seq: Int,
     stats: Map[String, ColumnRange])
 
-/** A version file's pointer to one immutable manifest chunk. Carries
-  * enough summary to decide, WITHOUT parsing the chunk, (a) whether a
-  * removal touches it (`minPath`/`maxPath` bound the entry paths it
-  * holds) and (b) whether a pushed predicate can match any of its
-  * files (`ranges` = per-column fold of the entries' min/max — absent
-  * columns mean "unknown, keep"). */
+/** A version file's pointer to one immutable manifest chunk. `count`
+  * is verified against the parsed entry count on every read — a
+  * truncated or corrupted chunk fails loudly instead of silently
+  * shrinking the table.
+  *
+  * Deliberately NOT carried: per-chunk column-range summaries for
+  * scan-time chunk skipping (Iceberg's manifest-list partition
+  * summaries). Iceberg needs them because its planner re-reads
+  * manifests per query; here a chunk is parsed at most once per driver
+  * (immutable, UUID-named, cache-through [[Manifests.read]]), and the
+  * scan features that matter — EXACT filter pushdown and zero-task
+  * metadata aggregates — are only sound with the COMPLETE per-file
+  * stats map in hand, so the resolved form is required anyway. */
 final case class ManifestRef(
     path: String,
-    count: Int,
-    minPath: String,
-    maxPath: String,
-    ranges: Map[String, ColumnRange])
+    count: Int)
 
 /** Iceberg-shaped manifest storage for the lakehouse metadata log.
   *
@@ -145,7 +148,10 @@ object Manifests {
   // ---- read ----------------------------------------------------------------
 
   /** Parse one manifest (cache-through). `mdDir` is the OWNING table's
-    * metadata dir — branch version files resolve against it too. */
+    * metadata dir — branch version files resolve against it too. The
+    * ref's recorded entry count gates the parse: a truncated or
+    * corrupted chunk fails loudly instead of silently dropping files
+    * from the table. */
   def read(mdDir: Path, ref: ManifestRef): Seq[ManifestEntry] = {
     val file = mdDir.resolve(ref.path)
     val key = file.toAbsolutePath.normalize.toString
@@ -161,6 +167,9 @@ object Manifests {
           }
         case _ => throw new IllegalStateException(s"malformed manifest: $file")
       }
+      if (entries.size != ref.count) throw new IllegalStateException(
+        s"corrupt manifest $file: holds ${entries.size} entries, " +
+          s"the committed ref recorded ${ref.count}")
       cachePut(key, entries)
       entries
     }
@@ -172,38 +181,6 @@ object Manifests {
 
   // ---- write ---------------------------------------------------------------
 
-  /** Conservative per-column fold of entry stats, usable as a
-    * pseudo-file range for [[FileSkipping.prune]] at MANIFEST
-    * granularity. A column enters the fold only when EVERY entry
-    * carries stats for it (a file without stats could hold anything);
-    * min/max fold under the column's type ordering; `hasValues=false`
-    * survives only when no entry has values (then value predicates
-    * provably cannot match any file in the chunk); null counts sum
-    * only when every entry recorded one. */
-  def mergedRanges(schema: StructType, entries: Seq[ManifestEntry]): Map[String, ColumnRange] = {
-    if (entries.isEmpty) return Map.empty
-    val cols = entries.head.stats.keySet.filter(c => entries.forall(_.stats.contains(c)))
-    cols.iterator.flatMap { c =>
-      FileSkipping.comparator(
-        schema.fields.find(_.name == c).map(_.dataType).getOrElse(
-          org.apache.spark.sql.types.NullType)) match {
-        case None => None
-        case Some(cmp) =>
-          val rs = entries.map(_.stats(c))
-          val valued = rs.filter(_.hasValues)
-          val nulls =
-            if (rs.forall(_.nulls.isDefined)) Some(rs.flatMap(_.nulls).sum) else None
-          val merged =
-            if (valued.isEmpty) ColumnRange("", "", nulls, hasValues = false)
-            else ColumnRange(
-              valued.map(_.min).reduce((a, b) => if (cmp(a, b) <= 0) a else b),
-              valued.map(_.max).reduce((a, b) => if (cmp(a, b) >= 0) a else b),
-              nulls)
-          Some(c -> merged)
-      }
-    }.toMap
-  }
-
   /** Write `entries` as one or more immutable manifest chunks under
     * `mdDir`, named for `version`. Returns the refs (and implicitly
     * the created files — callers clean them up if their version
@@ -211,7 +188,6 @@ object Manifests {
   def write(
       mdDir: Path,
       version: Int,
-      schema: StructType,
       entries: Seq[ManifestEntry]): Seq[ManifestRef] =
     entries.grouped(ChunkSize).map { chunk =>
       val name = s"m-$version-${UUID.randomUUID().toString.take(8)}.json"
@@ -220,13 +196,7 @@ object Manifests {
       Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
       // unique name: a plain atomic move can never collide
       Files.move(tmp, mdDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      val paths = chunk.map(_.path)
-      val ref = ManifestRef(
-        path = name,
-        count = chunk.size,
-        minPath = paths.min,
-        maxPath = paths.max,
-        ranges = mergedRanges(schema, chunk))
+      val ref = ManifestRef(path = name, count = chunk.size)
       // seed the cache: the committer (and the next loads) re-read this
       cachePut(mdDir.resolve(name).toAbsolutePath.normalize.toString, chunk)
       ref
@@ -236,12 +206,7 @@ object Manifests {
 
   private[catalog] def refJson(r: ManifestRef): JValue = JObject(
     "path" -> JString(r.path),
-    "count" -> JInt(r.count),
-    "minPath" -> JString(r.minPath),
-    "maxPath" -> JString(r.maxPath),
-    "ranges" -> JObject(r.ranges.toList.sortBy(_._1).map { case (c, cr) =>
-      c -> rangeJson(cr)
-    }))
+    "count" -> JInt(r.count))
 
   private[catalog] def parseRef(v: JValue): ManifestRef = {
     val o = v.asInstanceOf[JObject].obj.toMap
@@ -249,13 +214,6 @@ object Manifests {
     def int(x: JValue): Int = x match {
       case JInt(i) => i.toInt; case JLong(l) => l.toInt; case o2 => o2.values.toString.toInt
     }
-    ManifestRef(
-      path = str(o("path")),
-      count = int(o("count")),
-      minPath = str(o("minPath")),
-      maxPath = str(o("maxPath")),
-      ranges = o.get("ranges").collect { case rs: JObject =>
-        rs.obj.map { case (c, r) => c -> parseRange(r) }.toMap
-      }.getOrElse(Map.empty))
+    ManifestRef(path = str(o("path")), count = int(o("count")))
   }
 }

@@ -218,9 +218,15 @@ class LakehouseRowLevelOperation(
     val replaced = scannedFiles.toSet
     val kept = base.files.filterNot(replaced.contains)
     val allFiles = kept ++ newFiles
+    // explicit BY DEFAULT identity values a MERGE inserted must advance
+    // the high-water mark, or the next batch INSERT re-mints them as
+    // duplicates; rebase merges the marks monotonically under races
+    val props = IdentityColumns.advance(base.properties,
+      IdentityColumns.committedExtreme(base.schema, base.properties, newStats))
     TableMetadata.commitOrRebase(tableDir, base = base, attempt = base.copy(
       version = base.version + 1,
       files = allFiles,
+      properties = props,
       fileStats = base.fileStats.view.filterKeys(kept.contains).toMap ++ newStats,
       fileRows = base.fileRows.view.filterKeys(kept.contains).toMap ++
         footers.view.mapValues(_.rows).toMap,
@@ -301,6 +307,23 @@ class LakehouseRowLevelOperationBuilder(
   override def build(): RowLevelOperation = {
     import RowLevelOperation.Command._
     val meta = TableMetadata.load(tableDir)
+    // A MERGE can insert rows, and a row-level writer cannot mint
+    // identity values (no commit-scoped sequence range at task level) —
+    // so an INSERT clause would land writer-supplied values in a column
+    // declared GENERATED ALWAYS, indistinguishable from minted ones
+    // post-write. Refuse up front (Delta's historical restriction);
+    // BY DEFAULT columns accept explicit values, so MERGE stays open
+    // and the commit advances the mark past them. UPDATE/DELETE only
+    // carry existing values and pass.
+    if (info.command == MERGE) {
+      val always = IdentityColumns.of(meta.properties)
+        .collect { case (c, spec) if !spec.allowExplicit => c }
+      require(always.isEmpty,
+        s"MERGE INTO cannot write identity column(s) ${always.mkString(", ")} " +
+          "declared GENERATED ALWAYS — the merge's INSERT clause would supply " +
+          "explicit values; declare GENERATED BY DEFAULT or route new rows " +
+          "through INSERT INTO")
+    }
     val modeKey = info.command match {
       case MERGE => "merge"
       case UPDATE => "update"

@@ -72,8 +72,8 @@ object DeleteFile {
   * informational — `commit` recomputes the next version's manifest
   * delta from the PREVIOUS version's on-disk refs, never from this
   * field, so `copy(...)`-built attempts carrying a stale list are
-  * harmless. Only trust it on a freshly-loaded value (scan-time
-  * manifest pruning does). */
+  * harmless. Only trust it on a freshly-loaded value (the orphan
+  * reaper's reference set does). */
 final case class TableMetadata(
     version: Int,
     name: String,
@@ -256,32 +256,57 @@ object TableMetadata {
       }
     } catch { case _: Exception => () }
 
+  /** [[writeHint]] that REFUSES to stay silent: expire must advance the
+    * hint to current BEFORE deleting versions below it (a stale hint at
+    * a tagged/fork version below an expire-created gap would otherwise
+    * make the forward probe return that historic version as current).
+    * Propagating the failure aborts the expire, which is the safe
+    * outcome — nothing has been deleted yet. */
+  private[catalog] def writeHintStrict(md: Path, v: Int): Unit = {
+    val cur =
+      try Files.readString(md.resolve(HintName)).trim.toIntOption.getOrElse(0)
+      catch { case _: Exception => 0 }
+    if (v > cur) {
+      val tmp = Files.createTempFile(md, ".hint-", ".tmp")
+      Files.writeString(tmp, v.toString)
+      Files.move(tmp, md.resolve(HintName),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   /** Highest committed version, or 0 if none (not a table).
     *
-    * Reads the hint file and probes FORWARD (versions are assigned
-    * contiguously and only versions BELOW current ever expire, so no
-    * gap can exist above a stale hint) — O(1 + commits-since-hint)
+    * Reads the hint file and probes FORWARD — O(1 + commits-since-hint)
     * stat calls instead of listing a directory that holds the whole
-    * metadata log. Tables without a hint (pre-hint, or the write
-    * failed) fall back to the listing. */
+    * metadata log. Commits keep versions contiguous above the hint; the
+    * one writer of gaps BELOW current is expire, which advances the
+    * hint strictly BEFORE deleting ([[writeHintStrict]]). The remaining
+    * race — this reader loaded the hint before expire advanced it, then
+    * observed the deletions — is closed by re-reading the hint after the
+    * probe: expire's hint write happened-before its deletes, so a probe
+    * that stopped at an expire-created gap always sees the newer hint on
+    * re-read and restarts from it. Tables without a hint (pre-hint, or
+    * the write failed) fall back to the listing. */
   def currentVersion(tableDir: Path): Int = {
     val md = metadataDir(tableDir)
     if (!Files.isDirectory(md)) return 0
-    val hinted =
+    def readHint(): Int =
       try Files.readString(md.resolve(HintName)).trim.toIntOption.getOrElse(0)
       catch { case _: Exception => 0 }
-    if (hinted > 0 && Files.exists(versionFile(tableDir, hinted))) {
+    var hinted = readHint()
+    while (hinted > 0 && Files.exists(versionFile(tableDir, hinted))) {
       var v = hinted
       while (Files.exists(versionFile(tableDir, v + 1))) v += 1
-      v
-    } else {
-      Fs.children(md).iterator
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toIntOption.getOrElse(0)
-        }
-        .foldLeft(0)(math.max)
+      val recheck = readHint()
+      if (recheck <= v) return v
+      hinted = recheck // concurrent expire advanced the hint: restart above the gap
     }
+    Fs.children(md).iterator
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toIntOption.getOrElse(0)
+      }
+      .foldLeft(0)(math.max)
   }
 
   def exists(tableDir: Path): Boolean = currentVersion(tableDir) > 0
@@ -407,14 +432,14 @@ object TableMetadata {
       val want = keep.map(e => desired(e.path))
       if (want == entries) outRefs += ref
       else if (want.nonEmpty) {
-        val rs = Manifests.write(mdDir, meta.version, meta.schema, want)
+        val rs = Manifests.write(mdDir, meta.version, want)
         rs.foreach(r => newPaths += mdDir.resolve(r.path))
         outRefs ++= rs
       } // fully-removed manifest: dropped from the list
     }
     val fresh = meta.files.filterNot(covered).map(desired)
     if (fresh.nonEmpty) {
-      val rs = Manifests.write(mdDir, meta.version, meta.schema, fresh)
+      val rs = Manifests.write(mdDir, meta.version, fresh)
       rs.foreach(r => newPaths += mdDir.resolve(r.path))
       outRefs ++= rs
     }

@@ -399,4 +399,23 @@ class CheckConstraintSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
     spark.sql("DROP TABLE lakehouse.chk.t6")
   }
+
+  test("a CHECK cannot shadow a key constraint of the same name") {
+    // DROP CONSTRAINT resolves CHECK first: a silent same-name shadow
+    // would make the later drop remove the wrong constraint
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.chk")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.chk.kc9")
+    spark.sql("CREATE TABLE lakehouse.chk.kc9 (id BIGINT NOT NULL, v INT)")
+    spark.sql("ALTER TABLE lakehouse.chk.kc9 ADD CONSTRAINT c9 PRIMARY KEY (id) NOT ENFORCED")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.chk.kc9 ADD CONSTRAINT c9 CHECK (v > 0)")
+    }
+    e.getMessage.toLowerCase should include("already exists")
+    // case-insensitive, like every SQL identifier
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.chk.kc9 ADD CONSTRAINT C9 CHECK (v > 0)")
+    }
+    e2.getMessage.toLowerCase should include("already exists")
+    spark.sql("DROP TABLE lakehouse.chk.kc9")
+  }
 }

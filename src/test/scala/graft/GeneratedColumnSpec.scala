@@ -303,4 +303,105 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
     rootCause(e).getMessage should include("identity")
     spark.sql("DROP TABLE lakehouse.gc.id4")
   }
+
+  test("INT identity columns are refused at declaration") {
+    // the shuffle-free mint offsets partition blocks by 2^33 — any
+    // multi-partition insert would overflow a 32-bit column (ANSI cast
+    // failure at runtime); 64-bit headroom is checked at declaration
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.gc.id7")
+    val e = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE lakehouse.gc.id7 (id INT GENERATED ALWAYS AS IDENTITY, v STRING)")
+    }
+    rootCause(e).getMessage should include("BIGINT")
+  }
+
+  test("MoR MERGE with explicit BY DEFAULT ids advances the mark past them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.gc.id8")
+    spark.sql("CREATE TABLE lakehouse.gc.id8 (" +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING) " +
+      "TBLPROPERTIES ('write.merge.mode'='merge-on-read', " +
+      "'write.update.mode'='merge-on-read')")
+    Seq("a").toDF("v").createOrReplaceTempView("id8_src")
+    spark.sql("INSERT INTO lakehouse.gc.id8 SELECT CAST(NULL AS BIGINT), v FROM id8_src")
+    // MIXED merge → the row-level delta writer; the inserted row
+    // carries an explicit id far above the current mark
+    Seq(("a", 0L), ("b", 500L)).toDF("v", "nid").createOrReplaceTempView("id8_m")
+    spark.sql("""MERGE INTO lakehouse.gc.id8 t USING id8_m s ON t.v = s.v
+                |WHEN MATCHED THEN UPDATE SET v = concat(t.v, '!')
+                |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.nid, s.v)
+                |""".stripMargin)
+    spark.table("lakehouse.gc.id8").where($"v" === "b").select($"id")
+      .as[Long].collect() shouldBe Array(500L)
+    // the next batch mint must start past the explicit 500, never
+    // re-minting it as a duplicate
+    Seq("c").toDF("v").createOrReplaceTempView("id8_src2")
+    spark.sql("INSERT INTO lakehouse.gc.id8 SELECT CAST(NULL AS BIGINT), v FROM id8_src2")
+    val ids = spark.table("lakehouse.gc.id8").select($"id").as[Long].collect().toSeq
+    ids.distinct.length shouldBe ids.length
+    spark.table("lakehouse.gc.id8").where($"v" === "c").select($"id")
+      .as[Long].collect()(0) should be > 500L
+    spark.sql("DROP TABLE lakehouse.gc.id8")
+  }
+
+  test("MoR MERGE into a GENERATED ALWAYS identity table is refused up front") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.gc.id9")
+    spark.sql("CREATE TABLE lakehouse.gc.id9 (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) " +
+      "TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    Seq("a").toDF("v").createOrReplaceTempView("id9_src")
+    spark.sql("INSERT INTO lakehouse.gc.id9 SELECT CAST(NULL AS BIGINT), v FROM id9_src")
+    Seq("a", "b").toDF("v").createOrReplaceTempView("id9_m")
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO lakehouse.gc.id9 t USING id9_m s ON t.v = s.v
+                  |WHEN MATCHED THEN UPDATE SET v = concat(t.v, '!')
+                  |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (NULL, s.v)
+                  |""".stripMargin)
+    }
+    rootCause(e).getMessage should include("GENERATED ALWAYS")
+    spark.sql("DROP TABLE lakehouse.gc.id9")
+  }
+
+  test("an identity-range race can never shift values past an id-referencing CHECK") {
+    // the loser of the race re-mints by shifting its written values —
+    // the shift invalidates the pre-shift row-local CHECK run, so the
+    // commit loop re-verifies; in EVERY interleaving exactly one insert
+    // commits (ids within bound) and the other fails on the constraint
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    for (round <- 0 until 3) {
+      val t = s"lakehouse.gc.idchk$round"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (id BIGINT GENERATED ALWAYS AS IDENTITY, v INT, " +
+        "CONSTRAINT small CHECK (id < 35))")
+      // single input partition → dense mint from the mark: the winner
+      // takes ids 1..20, so the loser's range (shifted or re-minted)
+      // must cross 35 and die on the CHECK
+      Seq.tabulate(20)(identity).toDF("v").coalesce(1)
+        .createOrReplaceTempView(s"idchk_src$round")
+      val inserts = (0 until 2).map { _ =>
+        Future {
+          try Right(spark.sql(
+            s"INSERT INTO $t SELECT CAST(NULL AS BIGINT), v FROM idchk_src$round"))
+          catch { case e: Exception => Left(rootCause(e).getMessage) }
+        }
+      }
+      val results = inserts.map(Await.result(_, 120.seconds))
+      val ids = spark.table(t).select($"id").as[Long].collect().toSeq
+      withClue(s"round $round ($results): ") {
+        results.count(_.isRight) shouldBe 1
+        ids.length shouldBe 20
+        ids.distinct.length shouldBe 20
+        all(ids) should be < 35L // the CHECK held in this interleaving
+        results.collect { case Left(msg) => msg }
+          .foreach(_ should include("small"))
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
 }

@@ -218,4 +218,53 @@ class ManifestMetadataSpec extends AnyFunSuite with Matchers {
     spark.table("lakehouse.mf.t6").count() shouldBe 3
     spark.sql("DROP TABLE lakehouse.mf.t6")
   }
+
+  test("expire corrects a stale version hint before creating gaps below current") {
+    // a commit's hint write is best-effort and may fail, leaving the
+    // hint at an old version; if that version is RETAINED (tagged) and
+    // expire then deletes its successors, a forward probe from the
+    // stale hint would stop at the gap and resolve a HISTORIC version
+    // as current — expire must advance the hint strictly first
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t7 (k INT)") // v1
+    (1 to 5).foreach { i => // v2..v6
+      Seq(i).toDF("k").createOrReplaceTempView("mf7_src")
+      spark.sql("INSERT INTO lakehouse.mf.t7 SELECT * FROM mf7_src")
+    }
+    spark.sql("CALL lakehouse.system.tag('mf', 't7', 'keep', 2)")
+    val dir = tableDir("mf", "t7")
+    TableMetadata.currentVersion(dir) shouldBe 7 // tag committed v7
+    // simulate the failed hint advance: stale at the tagged version
+    java.nio.file.Files.writeString(mdDir(dir).resolve("version-hint.text"), "2")
+    spark.sql("CALL lakehouse.system.expire_snapshots('mf', 't7', 2)")
+    // versions 3..5 are gone (2 is tagged, 6..7 retained): the gap sits
+    // directly above the old hint — current must still resolve to 7
+    java.nio.file.Files.exists(TableMetadata.versionFile(dir, 3)) shouldBe false
+    TableMetadata.currentVersion(dir) shouldBe 7
+    spark.table("lakehouse.mf.t7").count() shouldBe 5
+    spark.sql("DROP TABLE lakehouse.mf.t7")
+  }
+
+  test("a manifest whose entry count disagrees with its committed ref fails loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t8 (k INT)")
+    Seq(1, 2).toDF("k").createOrReplaceTempView("mf8_src")
+    spark.sql("INSERT INTO lakehouse.mf.t8 SELECT * FROM mf8_src")
+    val dir = tableDir("mf", "t8")
+    val cur = TableMetadata.currentVersion(dir)
+    val summary = TableMetadata.fromJson(
+      java.nio.file.Files.readString(TableMetadata.versionFile(dir, cur)))
+    summary.manifests should not be empty
+    val victim = mdDir(dir).resolve(summary.manifests.head.path)
+    // truncate the chunk on disk (bit rot / partial copy); the ref's
+    // recorded count must catch it instead of silently shrinking the table
+    val original = java.nio.file.Files.readString(victim)
+    java.nio.file.Files.writeString(victim, """{"entries":[]}""")
+    graft.catalog.Manifests.clearCacheForTesting()
+    val e = intercept[IllegalStateException] { TableMetadata.load(dir) }
+    e.getMessage should include("corrupt manifest")
+    java.nio.file.Files.writeString(victim, original) // heal so DROP can load
+    graft.catalog.Manifests.clearCacheForTesting()
+    spark.sql("DROP TABLE lakehouse.mf.t8")
+  }
 }

@@ -192,4 +192,82 @@ class StreamingSinkSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ssink.src")
     spark.sql("DROP TABLE lakehouse.ssink.dst")
   }
+
+  test("streaming writes refuse GENERATED ALWAYS identity tables up front") {
+    // epoch tasks cannot mint (no commit-scoped sequence range), so
+    // streamed rows would land writer-supplied values in a column that
+    // accepts only engine-minted ones
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ssink")
+    spark.sql("CREATE TABLE lakehouse.ssink.ida (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ssink-ida-ckpt-").toString
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.ssink.ida")
+    try {
+      in.addData((1L, "a"))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(
+          c => Option(c.getMessage).getOrElse("")).toSeq
+      chain(e).exists(_.contains("GENERATED ALWAYS")) shouldBe true
+      spark.table("lakehouse.ssink.ida").count() shouldBe 0
+    } finally q.stop()
+    spark.sql("DROP TABLE lakehouse.ssink.ida")
+  }
+
+  test("streaming BY DEFAULT identity values advance the mark; later mints never collide") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ssink")
+    spark.sql("CREATE TABLE lakehouse.ssink.idd (" +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY, v STRING)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ssink-idd-ckpt-").toString
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.ssink.idd")
+    try {
+      in.addData((100L, "a"), (101L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    Seq("c").toDF("v").createOrReplaceTempView("idd_src")
+    spark.sql("INSERT INTO lakehouse.ssink.idd SELECT CAST(NULL AS BIGINT), v FROM idd_src")
+    val ids = spark.table("lakehouse.ssink.idd").select($"id").as[Long].collect().toSeq
+    ids.distinct.length shouldBe ids.length
+    spark.table("lakehouse.ssink.idd").where($"v" === "c").select($"id")
+      .as[Long].collect()(0) should be > 101L
+    spark.sql("DROP TABLE lakehouse.ssink.idd")
+  }
+
+  test("a WAP session refuses streaming epochs instead of publishing to main") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ssink")
+    spark.sql("CREATE TABLE lakehouse.ssink.wapt (k INT, v STRING)")
+    spark.sql("CALL lakehouse.system.branch('ssink', 'wapt', 'audit')")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ssink-wap-ckpt-").toString
+    spark.conf.set("graft.wap.branch", "audit")
+    try {
+      val q = in.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .toTable("lakehouse.ssink.wapt")
+      try {
+        in.addData((1, "a"))
+        val e = intercept[Exception] { q.processAllAvailable() }
+        def chain(t: Throwable): Seq[String] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(
+            c => Option(c.getMessage).getOrElse("")).toSeq
+        chain(e).exists(_.contains("graft.wap.branch")) shouldBe true
+      } finally q.stop()
+      // nothing landed on main OR the branch
+      spark.table("lakehouse.ssink.wapt").count() shouldBe 0
+    } finally spark.conf.unset("graft.wap.branch")
+    spark.sql("DROP TABLE lakehouse.ssink.wapt")
+  }
 }
