@@ -125,6 +125,13 @@ object LakehouseProcedures {
         targetFiles = a.getInt(4)).toLong
   }
 
+  private def rewriteManifestsProc(catalogName: String) = new MaintenanceProc(
+    "rewrite_manifests",
+    Array(param("ns", StringType), param("tbl", StringType)), "manifests", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      Maintenance.rewriteManifests(spark, cat, ns(a), tbl(a))
+  }
+
   private def expireSnapshotsProc(catalogName: String) = new MaintenanceProc("expire_snapshots",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -546,6 +553,7 @@ object LakehouseProcedures {
     "refresh_mv" -> (refreshMvProc(_)),
     "analyze" -> (analyzeProc(_)),
     "expire_snapshots" -> (expireSnapshotsProc(_)),
+    "rewrite_manifests" -> (rewriteManifestsProc(_)),
     "compact_where" -> (compactWhereProc(_)),
     "create_text_index" -> (createTextIndexProc(_)),
     "refresh_text_index" -> (refreshTextIndexProc(_)),

@@ -1549,6 +1549,44 @@ object Maintenance {
     }
   }
 
+  /** Consolidate the current manifest list into minimal chunks —
+    * Iceberg's `rewrite_manifests`. A streaming sink committing every
+    * few seconds adds one tiny manifest ref per epoch; after 10k
+    * commits the version payload carries 10k refs and every cold load
+    * opens 10k small files. This rewrites the SAME entries (file order,
+    * seqs, stats all preserved — readers can't tell) into
+    * ⌈files/ChunkSize⌉ chunks in ONE metadata-only commit; data files
+    * and delete entries are untouched. No-ops (returns the current
+    * count) when the list is already minimal. Racing writers win:
+    * the consolidation retries on a fresh snapshot, bounded. Returns
+    * the resulting manifest count. */
+  def rewriteManifests(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String): Long = {
+    val lt = lakehouseTable(spark, catalog, namespace, table)
+    val dir = lt.tableDir
+    val maxAttempts = 10
+    var attempt = 0
+    while (true) {
+      val meta = TableMetadata.load(dir)
+      val minimal = math.max(1,
+        (meta.files.size + Manifests.ChunkSize - 1) / Manifests.ChunkSize)
+      if (meta.manifests.size <= minimal) return meta.manifests.size.toLong
+      try {
+        return TableMetadata.commitConsolidatedManifests(dir, meta)
+          .manifests.size.toLong
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("commit conflict") =>
+          attempt += 1
+          if (attempt > maxAttempts) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Expire old metadata versions — Iceberg's `expire_snapshots` for
     * our log: delete `vN.json` files older than the newest
     * `retainVersions`, bounding metadata growth on high-commit-rate

@@ -22,7 +22,7 @@ object MetadataTables {
 
   val names: Set[String] =
     Set("metadata_log_entries", "history", "snapshots", "files", "delete_files",
-      "partitions", "refs")
+      "partitions", "refs", "manifests")
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
   private def micros(ms: Long): Long = ms * 1000L
@@ -85,6 +85,24 @@ object MetadataTables {
             utf8(p.toString), size, current.fileRows.getOrElse(f, -1L)))
         }
         new MetadataTable(s"$identName.files", schema, rows.toArray)
+
+      case "manifests" =>
+        // the current version's manifest list (Iceberg's .manifests):
+        // the observability face of the metadata layout — a ref count
+        // far above ⌈files/ChunkSize⌉ says `CALL system
+        // .rewrite_manifests` is due
+        val current = log.last
+        val schema = StructType(Seq(
+          StructField("path", StringType),
+          StructField("entry_count", IntegerType),
+          StructField("size_bytes", LongType)))
+        val md = TableMetadata.metadataDir(tableDir)
+        val rows = current.manifests.map { r =>
+          val p = md.resolve(r.path)
+          val size = if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else -1L
+          new GenericInternalRow(Array[Any](utf8(p.toString), r.count, size))
+        }
+        new MetadataTable(s"$identName.manifests", schema, rows.toArray)
 
       case "refs" =>
         // named references (Iceberg's refs metadata table analogue):

@@ -357,7 +357,22 @@ object TableMetadata {
         s"commit conflict: version ${meta.version} already exists for ${meta.name}")
     val prevFile = if (meta.version <= 1) None else Some(versionFile(tableDir, meta.version - 1))
     val (json, sequenced, newManifests) = renderNext(md, prevFile, meta)
-    val tmp = Files.createTempFile(md, s".v${meta.version}-", ".json.tmp")
+    publishPayload(md, target, json, newManifests, meta.name, meta.version)
+    sequenced
+  }
+
+  /** Atomically land a rendered version payload at `target`; on a lost
+    * race, delete this attempt's freshly-written manifest chunks (they
+    * are referenced by nothing — the expire-time orphan reaper is only
+    * the crash backstop) and raise the commit conflict. */
+  private def publishPayload(
+      md: Path,
+      target: Path,
+      json: String,
+      newManifests: Seq[Path],
+      name: String,
+      version: Int): Unit = {
+    val tmp = Files.createTempFile(md, s".v$version-", ".json.tmp")
     Files.writeString(tmp, json)
     try {
       try Files.createLink(target, tmp)
@@ -370,14 +385,41 @@ object TableMetadata {
     } catch {
       case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
           if Files.exists(target) =>
-        // lost the race: the chunks written for this attempt are
-        // referenced by nothing — remove them now (the expire-time
-        // orphan reaper is only the crash backstop)
         newManifests.foreach(p => Files.deleteIfExists(p))
         throw new IllegalStateException(
-          s"commit conflict: version ${meta.version} already exists for ${meta.name}", e)
+          s"commit conflict: version $version already exists for $name", e)
     } finally Files.deleteIfExists(tmp)
-    writeHint(md, meta.version)
+    writeHint(md, version)
+  }
+
+  /** Metadata-only commit that CONSOLIDATES the manifest list: the base
+    * version's entries re-chunk into minimal [[Manifests.ChunkSize]]
+    * runs, file order preserved, data files and delete entries
+    * untouched. The pressure valve for [[renderNext]]'s per-commit
+    * delta: a high-commit-rate table (streaming epochs, frequent small
+    * appends) accrues one tiny ref per commit and planning cost grows
+    * with ref count — Iceberg ships `rewrite_manifests` for exactly
+    * this. `base` must be freshly loaded (resolved). */
+  private[catalog] def commitConsolidatedManifests(
+      tableDir: Path,
+      base: TableMetadata): TableMetadata = {
+    val md = metadataDir(tableDir)
+    val next = base.version + 1
+    val target = versionFile(tableDir, next)
+    if (Files.exists(target))
+      throw new IllegalStateException(
+        s"commit conflict: version $next already exists for ${base.name}")
+    val entries = base.files.map(f => ManifestEntry(
+      f, base.fileRows.get(f), base.seqOf(f), base.fileStats.getOrElse(f, Map.empty)))
+    val refs = Manifests.write(md, next, entries)
+    val sequenced = base.copy(
+      version = next,
+      fileSeq = entries.map(e => e.path -> e.seq).toMap,
+      manifests = refs,
+      snapshots = base.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), "rewrite-manifests", 0, base.files.size))
+    publishPayload(md, target, sequenced.payloadJson,
+      refs.map(r => md.resolve(r.path)), base.name, next)
     sequenced
   }
 

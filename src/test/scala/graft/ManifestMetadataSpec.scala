@@ -219,6 +219,44 @@ class ManifestMetadataSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.mf.t6")
   }
 
+  test("rewrite_manifests consolidates per-commit refs into minimal chunks, readers unchanged") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("CREATE TABLE lakehouse.mf.t9 (k INT, v STRING)")
+    val dir = tableDir("mf", "t9")
+    // 6 small appends → 6 single-entry manifest refs (the streaming-sink
+    // accrual shape)
+    (0 until 6).foreach { c =>
+      Seq((c, s"v$c")).toDF("k", "v").createOrReplaceTempView("mf9_src")
+      spark.sql("INSERT INTO lakehouse.mf.t9 SELECT * FROM mf9_src")
+    }
+    val before = TableMetadata.load(dir)
+    before.manifests.size shouldBe 6
+    spark.sql("SELECT COUNT(*) FROM lakehouse.mf.t9.manifests")
+      .collect()(0).getLong(0) shouldBe 6L
+
+    spark.sql("CALL lakehouse.system.rewrite_manifests('mf', 't9')")
+      .collect()(0).getLong(0) shouldBe 1L
+    val after = TableMetadata.load(dir)
+    after.manifests.size shouldBe 1
+    // same table in every observable way: files, order, seqs, stats
+    after.files shouldBe before.files
+    after.fileSeq shouldBe before.fileSeq
+    after.fileStats shouldBe before.fileStats
+    after.fileRows shouldBe before.fileRows
+    spark.table("lakehouse.mf.t9").orderBy("k").select("k")
+      .collect().map(_.getInt(0)) shouldBe (0 until 6).toArray
+    // metadata-only: a rewrite-manifests snapshot, no data files added
+    spark.sql("SELECT operation FROM lakehouse.mf.t9.history ORDER BY version DESC LIMIT 1")
+      .collect()(0).getString(0) shouldBe "rewrite-manifests"
+    // already minimal → no-op, no new version
+    spark.sql("CALL lakehouse.system.rewrite_manifests('mf', 't9')")
+      .collect()(0).getLong(0) shouldBe 1L
+    TableMetadata.currentVersion(dir) shouldBe after.version
+    // time travel through the consolidation still resolves old versions
+    spark.sql("SELECT * FROM lakehouse.mf.t9 VERSION AS OF 3").count() shouldBe 2
+    spark.sql("DROP TABLE lakehouse.mf.t9")
+  }
+
   test("expire corrects a stale version hint before creating gaps below current") {
     // a commit's hint write is best-effort and may fail, leaving the
     // hint at an old version; if that version is RETAINED (tagged) and
