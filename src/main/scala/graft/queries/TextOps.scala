@@ -2126,6 +2126,78 @@ object TextOps {
            |SELECT tid AS doc_id, span AS max_span, eid AS eval_id
            |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin))
 
+  /** Exact substring DEDUP within the corpus (the other half of Lee et
+    * al. 2022: not "does train overlap eval?" like q75, but "excise
+    * every token run that appears verbatim more than once ANYWHERE in
+    * the corpus" — the transformation actually applied to C4/RealNews
+    * in the paper, with K=50 there; K=5 here to bite on synthetic
+    * docs). A token position is dup-covered when any K-gram through it
+    * occurs ≥2 times corpus-wide (a second doc OR a second position in
+    * the same doc — self-repetition is duplication too). Output per
+    * doc: token count, covered-position count, and the cleaned text
+    * with covered tokens removed.
+    *
+    * Shape (suffix arrays don't distribute; positional grams do):
+    * K-gram xxhash64 chains over token hashes — no string shingles
+    * shuffle. Duplicated grams come from a map-side-combined count on
+    * the gram long; re-attaching them to positions is a shuffle hash
+    * join on the gram key — BOTH sides corpus-sized, the standard
+    * inverted-index shape, never broadcast and never all-pairs (work ∝
+    * occurrences of duplicated grams, the quantity the op must touch by
+    * definition). Coverage-merge and text rebuild are row-local lambda
+    * work bounded by one document's length; no global sort anywhere
+    * (the final orderBy is presentation-only). A pathological hot gram
+    * ("the the the…" ×10⁶) concentrates its occurrence list on one key;
+    * AQE skew-split handles the join side, and the per-doc explode is
+    * bounded by that doc's own length. */
+  val q88 = Q(
+    "q88_substring_dedup",
+    (s, d) => {
+      val K = 5
+      val tok = tokenized(s, d)
+      val grams = tok
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("th")) - K),
+            i => xxhash64((0 until K).map(j => element_at(col("th"), i + j + 1)): _*))))
+        .toDF("doc_id", "pos", "g")
+      val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("g"))
+      val cov = grams.join(dup, Seq("g"))
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (K - 1))).as("p"))
+        .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+      tok.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          coalesce(size(col("cov")), lit(0)).cast("long").as("n_dup"),
+          array_join(filter(col("toks"),
+            (_, i) => !array_contains(coalesce(col("cov"), array().cast("array<int>")), i)),
+            " ").as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |g0 AS (SELECT doc_id,
+           |         [{'pos': i, 'g': t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]}
+           |          FOR i IN range(1, len(t) - 3)] AS l
+           |       FROM toks WHERE len(t) >= 5),
+           |g AS (SELECT doc_id, u.pos AS pos, u.g AS g
+           |      FROM (SELECT doc_id, unnest(l) AS u FROM g0)),
+           |dup AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 1),
+           |cov AS (SELECT DISTINCT doc_id, p
+           |        FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+           |              FROM g JOIN dup USING (g))),
+           |covl AS (SELECT doc_id, list(p) AS cl FROM cov GROUP BY doc_id)
+           |SELECT t.doc_id,
+           |       CAST(len(t.t) AS BIGINT) AS n_toks,
+           |       CAST(COALESCE(len(c.cl), 0) AS BIGINT) AS n_dup,
+           |       COALESCE(array_to_string(
+           |         [x.tok FOR x IN [{'tok': t.t[i], 'p': i} FOR i IN range(1, len(t.t) + 1)]
+           |          IF NOT list_contains(COALESCE(c.cl, CAST([] AS BIGINT[])), x.p)],
+           |         ' '), '') AS clean_text
+           |FROM toks t LEFT JOIN covl c USING (doc_id)
+           |ORDER BY t.doc_id""".stripMargin))
+
   /** The unrolled DuckDB mirror of q76's 10 merge rounds — generated,
     * because each round's corpus state is the previous round's CTE.
     * Every round CTE is MATERIALIZED: each round references its
@@ -2512,5 +2584,5 @@ FROM s$rounds ORDER BY doc_id""")
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79, q80)
+      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79, q80, q88)
 }
