@@ -81,6 +81,35 @@ object KeyConstraints {
     }
   }
 
+  /** RELY'd uniqueness claims: (column set, isPrimaryKey) for every
+    * PK/UNIQUE constraint declared with RELY. The optimizer trusts
+    * these ([[ConstraintOptimization]]); rely=false declarations are
+    * documentation only and never drive a rewrite. */
+  def relyUniqueKeys(props: Map[String, String]): Seq[(Seq[String], Boolean)] =
+    props.toSeq.sortBy(_._1).flatMap {
+      case (k, v) if k.startsWith(PkPrefix) =>
+        val Array(cols, rely) = v.split('|')
+        if (rely.toBoolean) Some((cols.split(',').toSeq, true)) else None
+      case (k, v) if k.startsWith(UniquePrefix) =>
+        val Array(cols, rely) = v.split('|')
+        if (rely.toBoolean) Some((cols.split(',').toSeq, false)) else None
+      case _ => None
+    }
+
+  /** RELY'd referential claims: (local cols, referenced table parts,
+    * referenced cols) for every FOREIGN KEY declared with RELY, local
+    * and referenced columns in declaration order (position i of the
+    * local key references position i of the referenced key). */
+  def relyForeignKeys(props: Map[String, String]): Seq[(Seq[String], Seq[String], Seq[String])] =
+    props.toSeq.sortBy(_._1).flatMap {
+      case (k, v) if k.startsWith(FkPrefix) =>
+        val Array(cols, ref, rcols, rely) = v.split('|')
+        if (rely.toBoolean)
+          Some((cols.split(',').toSeq, ref.split('.').toSeq, rcols.split(',').toSeq))
+        else None
+      case _ => None
+    }
+
   /** Names (lowercased) of every declared key constraint — duplicate
     * refusal spans CHECK and key constraints together. */
   def namesOf(props: Map[String, String]): Seq[String] =

@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule { session =>
       graft.catalog.DeltaTargetPruning(session)
     }
+    // RELY'd PK/UNIQUE/FK exploitation: join elimination + distinct
+    // removal (see ConstraintOptimization)
+    ext.injectOptimizerRule { session =>
+      graft.catalog.ConstraintOptimization(session)
+    }
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
