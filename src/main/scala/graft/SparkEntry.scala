@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Q, Relational, TextOps, VectorOps}
+import graft.queries.{Q, Relational, TextOps, TpcH, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.{Q, Relational, TextOps, VectorOps}
   */
 object SparkEntry {
 
-  val allQueries: Seq[Q] = Relational.all ++ TextOps.all ++ VectorOps.all
+  val allQueries: Seq[Q] = Relational.all ++ TpcH.all ++ TextOps.all ++ VectorOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
