@@ -392,16 +392,21 @@ object TpcH {
   val q98 = Q(
     "q98_tpch_q11",
     (s, d) => {
-      val scoped = ps(s, d)
+      // Both the per-part rows and the scalar threshold derive from the
+      // SAME per-part aggregate subtree (sum-of-sums == total, row count
+      // == distinct part count — decimal sums are exact, so associativity
+      // is value-preserving): Spark's ReuseExchange collapses the two
+      // branches to one lineitem scan + one aggregation.
+      val perPart = ps(s, d)
         .join(broadcast(suppNation(s, d).filter(col("n_name") === "NATION_5")
           .select(col("s_suppkey"))), col("ps_suppkey") === col("s_suppkey"))
         .select(col("ps_partkey"), dec4(col("ps_supplycost") * col("ps_availqty")).as("value"))
-      val thresh = scoped.agg(
-        (sum(col("value")).cast(DoubleType) * 2.0 /
-          countDistinct(col("ps_partkey"))).as("threshold"))
-      scoped
         .groupBy(col("ps_partkey"))
-        .agg(sum(col("value")).cast(DoubleType).as("value"))
+        .agg(sum(col("value")).as("value_dec"))
+      val thresh = perPart.agg(
+        (sum(col("value_dec")).cast(DoubleType) * 2.0 / count(lit(1))).as("threshold"))
+      perPart
+        .select(col("ps_partkey"), col("value_dec").cast(DoubleType).as("value"))
         .crossJoin(broadcast(thresh))
         .filter(col("value") > col("threshold"))
         .select(col("ps_partkey"), col("value"))

@@ -485,4 +485,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("LeftAnti")
     plan should include("BroadcastNestedLoopJoin") // one-row avg, cross join is safe
   }
+
+  test("q98 threshold branch reuses the per-part aggregate's shuffle stage") {
+    // TPC-H Q11's HAVING threshold is a global aggregate over the same
+    // per-part sums the output rows come from; deriving both from ONE
+    // groupBy lets AQE reuse the shuffle stage — at 100 TB that is the
+    // difference between one partsupp derivation (a full lineitem scan +
+    // two-key aggregate) and two. sf0.01 because at sf0.001 the result is
+    // empty and AQE collapses the final plan to EmptyRelation, hiding the
+    // reused stage.
+    import graft.queries.TpcH
+    val plan = fullPlan(TpcH.q98.run(spark, "/root/testdata/sf0.01"))
+    plan should include("ReusedExchange")
+  }
 }
