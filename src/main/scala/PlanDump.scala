@@ -1,7 +1,9 @@
 import org.apache.spark.sql.SparkSession
 
-/** Scratch harness: dump one query's rows + physical-plan stats.
-  * Usage: runMain PlanDump <queryName> <sfDir> [outParquetDir]
+/** Scratch harness: dump a query's rows + physical-plan stats, or sweep a
+  * whole suite. Usage:
+  *   runMain PlanDump <queryName> <sfDir> [outParquetDir]
+  *   runMain PlanDump tpch <sfDir>          — stats for every TpcH query
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -12,15 +14,29 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val name = args(0)
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    val df = graft.SparkEntry.queries(name)(spark, d)
-    println(s"rows=${df.collect().length}")  // finalizes THIS plan's AQE stages
-    val plan = df.queryExecution.executedPlan.toString
-    def c(p: String) = p.r.findAllIn(plan).length
-    println(s"scans=${c("Scan parquet")} bhj=${c("BroadcastHashJoin")} " +
-      s"smj=${c("SortMergeJoin")} shuffles=${c("Exchange hashpartitioning")} " +
-      s"reuse=${c("ReusedExchange|ReusedQueryStage|reused")}")
-    if (args.length > 2) df.coalesce(1).write.mode("overwrite").parquet(args(2))
-    else { df.show(3, truncate = false); println(df.queryExecution.executedPlan.toString.take(8000)) }
+    def stats(qname: String): Unit = {
+      val df = graft.SparkEntry.queries(qname)(spark, d)
+      val t0 = System.nanoTime()
+      val n = df.collect().length // finalizes THIS plan's AQE stages
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      val fin = plan.indexOf("== Initial Plan ==") match {
+        case -1 => plan
+        case i => plan.substring(0, i)
+      }
+      def c(p: String) = p.r.findAllIn(fin).length
+      println(f"$qname%-22s rows=$n%-7d sec=$sec%6.2f scans=${c("FileScan parquet")} " +
+        s"bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
+        s"shuffles=${c("Exchange hashpartitioning")} reuse=${c("ReusedExchange")} " +
+        s"bnlj=${c("BroadcastNestedLoopJoin")} cart=${c("CartesianProduct")}")
+    }
+    if (name == "tpch") graft.queries.TpcH.all.foreach(q => stats(q.name))
+    else {
+      stats(name)
+      val df = graft.SparkEntry.queries(name)(spark, d)
+      if (args.length > 2) df.coalesce(1).write.mode("overwrite").parquet(args(2))
+      else { df.collect(); println(df.queryExecution.executedPlan.toString.take(12000)) }
+    }
     spark.stop()
   }
 }

@@ -1808,7 +1808,7 @@ object TextOps {
     * Real usage amortizes the build across every query, so repeated
     * bench samples measure the PROBE — the per-query cost at 100 TB —
     * not the one-time build. */
-  private val kwCatalog = "kwidx"
+  private[queries] val kwCatalog = "kwidx"
   private val kwBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // one warehouse per JVM, shared by every session that registers the
   // catalog — the build memo is JVM-global, so a second session must
@@ -1821,13 +1821,13 @@ object TextOps {
   // and the JVM-global build memo would then serve one corpus's index
   // for the other — silently wrong rows), so a digest of the RAW path
   // plus its length disambiguates
-  private def kwTable(d: String): String = {
+  private[queries] def kwTable(d: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     s"docs_${d.replaceAll("[^A-Za-z0-9]", "_")}_${d.length}_$digest"
   }
 
-  private def ensureKeywordIndex(s: SparkSession, d: String): Unit = kwBuilt.synchronized {
+  private[queries] def ensureKeywordIndex(s: SparkSession, d: String): Unit = kwBuilt.synchronized {
     // catalog registration is PER-SESSION while the build memo is
     // JVM-global: always (re)check the conf before the early return,
     // or a second session in the same JVM would skip it

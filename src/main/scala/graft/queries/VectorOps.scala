@@ -685,5 +685,96 @@ object VectorOps {
            |  FROM zn a JOIN zn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
            |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin))
 
-  val all: Seq[Q] = Seq(q29, q29b, q29c, q29d, q29e, q29f, q29g, q49, q59, q70, q81, q82)
+  /** q105: HYBRID retrieval — BM25 keyword search and embedding-cosine
+    * ANN fused by reciprocal-rank fusion (Cormack et al. 2009,
+    * score = Σ 1/(60 + rank)), the standard first-stage retriever of a
+    * RAG / training-data-curation stack (lexical recall + semantic
+    * recall, neither alone sufficient).
+    *
+    * Scale shape: the lexical leg is the q72d postings probe (reads
+    * ≤|terms| posting rows via metadata file-skipping, never the
+    * corpus); the vector leg is a broadcast-1-query cosine top-k
+    * (TakeOrderedAndProject — map-side top-50 per partition, no global
+    * sort). Fusion then joins two ≤50-row sets — bounded by
+    * construction, so the whole query is index-probe + one corpus scan
+    * regardless of corpus size. Ranks are assigned over the 4-dp
+    * ROUNDED scores both legs already hash-match on (q72d/q29), making
+    * rank order engine-independent; doc_id breaks ties. Absent legs
+    * contribute 0 to the fused score and report rank 0. */
+  val q105 = Q(
+    "q105_hybrid_rrf",
+    (s, d) => {
+      TextOps.ensureKeywordIndex(s, d)
+      val lex = graft.operators.TextIndex.searchBM25(s, TextOps.kwCatalog,
+        Seq("kw"), s"${TextOps.kwTable(d)}_idx",
+        Seq("spark", "vector", "merge"), 50)
+      // global windows below run on ≤50-row inputs (post-limit), so the
+      // single-partition WindowExec is bounded by construction
+      val wl = Window.orderBy(col("score").desc, col("doc_id"))
+      val lexRank = lex.select(col("doc_id"), row_number().over(wl).as("r_lex"))
+      val e = withNorm(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("nrm").as("qn")))
+      val vecTop = e.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id").as("doc_id"),
+          round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4)
+            .as("sim_r"))
+        .orderBy(col("sim_r").desc, col("doc_id")).limit(50)
+      val wv = Window.orderBy(col("sim_r").desc, col("doc_id"))
+      val vecRank = vecTop.select(col("doc_id"), row_number().over(wv).as("r_vec"))
+      lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0)).as("r_lex"),
+          coalesce(col("r_vec"), lit(0)).as("r_vec"),
+          round(
+            when(col("r_lex").isNotNull, lit(1.0) / (lit(60.0) + col("r_lex")))
+              .otherwise(lit(0.0)) +
+            when(col("r_vec").isNotNull, lit(1.0) / (lit(60.0) + col("r_vec")))
+              .otherwise(lit(0.0)), 6).as("rrf_r"))
+        .orderBy(col("rrf_r").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            |                 CAST(SUM(len(t)) AS DOUBLE) AS sl FROM toks),
+            |flat AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, unnest(t) AS tok
+            |         FROM toks),
+            |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            |       FROM flat GROUP BY tok),
+            |tf AS (SELECT doc_id, tok, ANY_VALUE(dl) AS dl,
+            |              CAST(COUNT(*) AS DOUBLE) AS tf
+            |       FROM flat WHERE tok IN ('spark', 'vector', 'merge')
+            |       GROUP BY doc_id, tok),
+            |bm AS (SELECT tf.doc_id,
+            |         ROUND(SUM(
+            |           LN(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+            |           ((tf.tf * 2.2) /
+            |            (tf.tf + 1.2 * ((1.0 - 0.75) + (0.75 * tf.dl) / (stats.sl / stats.n))))
+            |         ), 4) AS score
+            |       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+            |       GROUP BY tf.doc_id
+            |       ORDER BY score DESC, tf.doc_id LIMIT 50),
+            |lex AS (SELECT doc_id,
+            |          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+            |        FROM bm),
+            |ev AS (SELECT vec_id, embedding::DOUBLE[] v,
+            |         SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+            |           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            |           (acc, x) -> acc + x)) nrm
+            |       FROM embeddings),
+            |sims AS (SELECT b.vec_id AS doc_id,
+            |           ROUND($oracleDot / (a.nrm * b.nrm), 4) AS sim_r
+            |         FROM ev a JOIN ev b ON a.vec_id = 0 AND b.vec_id <> 0),
+            |vtop AS (SELECT doc_id,
+            |           ROW_NUMBER() OVER (ORDER BY sim_r DESC, doc_id) AS r_vec
+            |         FROM sims QUALIFY r_vec <= 50)
+            |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+            |       COALESCE(l.r_lex, 0) AS r_lex,
+            |       COALESCE(v.r_vec, 0) AS r_vec,
+            |       ROUND(COALESCE(1.0 / (60.0 + l.r_lex), 0.0)
+            |           + COALESCE(1.0 / (60.0 + v.r_vec), 0.0), 6) AS rrf_r
+            |FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
+            |ORDER BY rrf_r DESC, doc_id LIMIT 20""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(q29, q29b, q29c, q29d, q29e, q29f, q29g, q49, q59, q70, q81, q82, q105)
 }

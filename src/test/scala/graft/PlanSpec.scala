@@ -486,6 +486,16 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("BroadcastNestedLoopJoin") // one-row avg, cross join is safe
   }
 
+  test("q105 hybrid RRF: lexical leg probes the index, vector top-k avoids a global sort") {
+    // the documents corpus must never be scanned (BM25 is answered from
+    // the postings table alone) and the cosine top-50 must plan as
+    // TakeOrderedAndProject (map-side top-k), not a full sort — the two
+    // properties that keep hybrid retrieval index-bound at 100 TB
+    val plan = fullPlan(graft.queries.VectorOps.q105.run(spark, sf))
+    plan should not include "documents.parquet"
+    plan should include("TakeOrderedAndProject")
+  }
+
   test("q98 threshold branch reuses the per-part aggregate's shuffle stage") {
     // TPC-H Q11's HAVING threshold is a global aggregate over the same
     // per-part sums the output rows come from; deriving both from ONE
