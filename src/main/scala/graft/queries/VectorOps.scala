@@ -775,6 +775,95 @@ object VectorOps {
             |FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id
             |ORDER BY rrf_r DESC, doc_id LIMIT 20""".stripMargin))
 
+  /** q106: MMR-diversified top-10 (Carbonell & Goldstein 1998,
+    * maximal marginal relevance): greedily pick documents maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.7 — the diversified
+    * second stage every retrieval/curation stack runs on its shortlist
+    * (dedup-aware sampling, RAG context packing).
+    *
+    * Scale shape: the DISTRIBUTED part is candidate generation — the
+    * broadcast-one-query cosine top-50 (TakeOrderedAndProject) and the
+    * 50×50 pairwise similarity join, both bounded by the shortlist
+    * size, with every similarity computed by the same codegen'd
+    * [[graft.functions.VecDot]] fold the oracle's LIST_REDUCE mirrors.
+    * The greedy selection itself is inherently sequential (each pick
+    * conditions on the previous set), so it runs driver-side over the
+    * collected ≤50-row shortlist + ≤2450 pair rows — bounded by
+    * construction, the BPE-argmax precedent, and exactly where every
+    * production MMR implementation does it. No corpus-sized state ever
+    * reaches the driver. The oracle unrolls the 10 greedy steps as a
+    * CTE chain (the q76 pattern); all comparisons happen on 4-dp
+    * rounded sims both engines hash-match on, so the argmax order is
+    * engine-independent (doc_id breaks ties). */
+  val q106 = Q(
+    "q106_mmr_diversify",
+    (s, d) => {
+      import s.implicits._
+      val e = withNorm(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("nrm").as("qn")))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id").as("doc_id"), col("embedding"), col("nrm"),
+          round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4)
+            .as("simq"))
+        .orderBy(col("simq").desc, col("doc_id")).limit(50)
+      val pair = cand.as("c1").join(cand.as("c2"),
+          col("c1.doc_id") =!= col("c2.doc_id"))
+        .select(col("c1.doc_id").as("i"), col("c2.doc_id").as("j"),
+          round(dot(col("c1.embedding"), col("c2.embedding")) /
+            (col("c1.nrm") * col("c2.nrm")), 4).as("s"))
+      // bounded collects: ≤50 shortlist rows, ≤50·49 pair rows
+      val simq = cand.select(col("doc_id"), col("simq")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ps = pair.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val first = simq.toSeq.minBy { case (id, sq) => (-sq, id) }
+      var selected = Vector((first._1, 1, first._2))
+      var remaining = simq.keySet - first._1
+      for (k <- 2 to math.min(10, simq.size)) {
+        val best = remaining.toSeq.map { c =>
+          val maxSel = selected.map(sel => ps((c, sel._1))).max
+          (c, 0.7 * simq(c) - 0.3 * maxSel)
+        }.minBy { case (id, m) => (-m, id) }
+        selected :+= ((best._1, k, best._2))
+        remaining -= best._1
+      }
+      selected.map { case (id, rnk, m) => (rnk, id, r4(m)) }
+        .toDF("rnk", "doc_id", "mmr_r")
+        .orderBy(col("rnk"))
+    },
+    Some {
+      val steps = (2 to 10).map { k =>
+        s"""pick$k AS MATERIALIZED (SELECT c.doc_id, $k AS rnk,
+           |            0.7 * c.simq - 0.3 * MAX(p.s) AS mmr
+           |          FROM cand c JOIN pr p ON p.i = c.doc_id
+           |          WHERE p.j IN (SELECT doc_id FROM sel${k - 1})
+           |            AND c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})
+           |          GROUP BY c.doc_id, c.simq
+           |          ORDER BY mmr DESC, c.doc_id LIMIT 1),
+           |sel$k AS MATERIALIZED (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$oracleNormCte,
+         |cand AS MATERIALIZED (SELECT b.vec_id AS doc_id, b.v, b.nrm,
+         |           ROUND($oracleDot / (a.nrm * b.nrm), 4) AS simq
+         |         FROM ev a JOIN ev b ON a.vec_id = 0 AND b.vec_id <> 0
+         |         ORDER BY simq DESC, doc_id LIMIT 50),
+         |pr AS MATERIALIZED (SELECT c1.doc_id AS i, c2.doc_id AS j,
+         |          ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+         |            [c1.v[k] * c2.v[k] for k in range(1, LEN(c1.v) + 1)]),
+         |            (acc, z) -> acc + z) / (c1.nrm * c2.nrm), 4) AS s
+         |        FROM cand c1 JOIN cand c2 ON c1.doc_id <> c2.doc_id),
+         |sel1 AS MATERIALIZED (SELECT doc_id, 1 AS rnk, simq AS mmr FROM cand
+         |         ORDER BY simq DESC, doc_id LIMIT 1),
+         |$steps
+         |SELECT rnk, doc_id, ROUND(mmr, 4) AS mmr_r FROM sel10 ORDER BY rnk"""
+        .stripMargin
+    })
+
   val all: Seq[Q] =
-    Seq(q29, q29b, q29c, q29d, q29e, q29f, q29g, q49, q59, q70, q81, q82, q105)
+    Seq(q29, q29b, q29c, q29d, q29e, q29f, q29g, q49, q59, q70, q81, q82,
+      q105, q106)
 }
