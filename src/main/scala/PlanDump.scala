@@ -14,7 +14,7 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val name = args(0)
     val d = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
-    def stats(qname: String): Unit = {
+    def stats(qname: String): org.apache.spark.sql.DataFrame = {
       val df = graft.SparkEntry.queries(qname)(spark, d)
       val t0 = System.nanoTime()
       val n = df.collect().length // finalizes THIS plan's AQE stages
@@ -29,13 +29,13 @@ object PlanDump {
         s"bhj=${c("BroadcastHashJoin")} smj=${c("SortMergeJoin")} " +
         s"shuffles=${c("Exchange hashpartitioning")} reuse=${c("ReusedExchange")} " +
         s"bnlj=${c("BroadcastNestedLoopJoin")} cart=${c("CartesianProduct")}")
+      df
     }
     if (name == "tpch") graft.queries.TpcH.all.foreach(q => stats(q.name))
     else {
-      stats(name)
-      val df = graft.SparkEntry.queries(name)(spark, d)
+      val df = stats(name)
       if (args.length > 2) df.coalesce(1).write.mode("overwrite").parquet(args(2))
-      else { df.collect(); println(df.queryExecution.executedPlan.toString.take(12000)) }
+      else println(df.queryExecution.executedPlan.toString.take(12000))
     }
     spark.stop()
   }

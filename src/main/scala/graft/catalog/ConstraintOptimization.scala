@@ -93,7 +93,14 @@ case class ConstraintOptimization(spark: SparkSession)
       pure: Boolean): Option[(DataSourceV2Relation, LakehouseTable)] = plan match {
     case r: DataSourceV2Relation =>
       r.table match {
-        case lt: LakehouseTable if attrs.subsetOf(r.outputSet) => Some((r, lt))
+        // pinned (time-traveled / branch / file-subset) relations never
+        // qualify: RELY constraints assert facts about the LIVE table
+        // pair — an FK's referenced keys may be absent from an old
+        // snapshot, and a historical UNIQUE declaration may postdate
+        // duplicate-holding data — so rewriting a time-travel query on
+        // today's declarations would silently change its results
+        case lt: LakehouseTable if !lt.pinned && attrs.subsetOf(r.outputSet) =>
+          Some((r, lt))
         case _ => None
       }
     case Project(projectList, child)
@@ -130,15 +137,36 @@ case class ConstraintOptimization(spark: SparkSession)
     Some((pairs, rest))
   }
 
-  /** Does the FK's referenced-table name match this relation? The FK
-    * stores the multipart name as declared (`cat.ns.tbl` or `ns.tbl`);
-    * the relation knows its catalog + identifier — compare the declared
-    * parts as a suffix of the relation's full name. */
-  private def refTableMatches(ref: Seq[String], rel: DataSourceV2Relation): Boolean = {
-    val full = rel.catalog.map(_.name()).toSeq ++
+  private def fullName(rel: DataSourceV2Relation): Seq[String] =
+    rel.catalog.map(_.name()).toSeq ++
       rel.identifier.map(i => i.namespace.toSeq :+ i.name).getOrElse(Seq.empty)
+
+  /** Does the FK's referenced-table name resolve to `rel`? The FK
+    * stores the multipart name as declared (`cat.ns.tbl`, `ns.tbl` or
+    * bare `tbl`), so an under-qualified reference must resolve
+    * RELATIVE TO THE DECLARING TABLE (standard SQL schema resolution):
+    * the candidate's full name must end with the declared parts AND
+    * inherit every remaining leading part (catalog, namespaces) from
+    * the declaring table's own full name. A bare suffix match alone
+    * would bind `REFERENCES dim` to a same-named table in any other
+    * namespace or catalog and eliminate a join against the wrong
+    * table. */
+  private def refTableMatches(
+      ref: Seq[String],
+      rel: DataSourceV2Relation,
+      declaring: DataSourceV2Relation): Boolean = {
+    val full = fullName(rel)
+    val declFull = fullName(declaring)
     ref.size <= full.size &&
-      full.takeRight(ref.size).zip(ref).forall { case (a, b) => a.equalsIgnoreCase(b) }
+      full.takeRight(ref.size).zip(ref).forall { case (a, b) => a.equalsIgnoreCase(b) } && {
+        // fully-qualified refs stand alone; partial refs must name a
+        // table at the declaring table's own depth (same catalog/
+        // namespace nesting) with every leading part inherited — else
+        // `REFERENCES dim` from cat.ns.fact could also bind cat.dim
+        ref.size == full.size || (full.size == declFull.size &&
+          full.dropRight(ref.size).zip(declFull)
+            .forall { case (a, b) => a.equalsIgnoreCase(b) })
+      }
   }
 
   /** Try to eliminate `j` given that only `needed` attributes are
@@ -198,7 +226,7 @@ case class ConstraintOptimization(spark: SparkSession)
     val uniqueCols = KeyConstraints.relyUniqueKeys(uLt.meta.properties)
     KeyConstraints.relyForeignKeys(pLt.meta.properties).collectFirst {
       case (fkCols, refTable, refCols)
-          if refTableMatches(refTable, uRel) &&
+          if refTableMatches(refTable, uRel, pRel) &&
             // the referenced cols are a RELY'd unique key of the unused table
             uniqueCols.exists { case (cols, _) =>
               cols.map(_.toLowerCase).toSet == refCols.map(_.toLowerCase).toSet } &&

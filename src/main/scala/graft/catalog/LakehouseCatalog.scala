@@ -371,7 +371,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     // a branch name reads the branch HEAD (the audit read of WAP)
     if (version.toIntOption.isEmpty && props.contains(Maintenance.BranchPrefix + version))
       return new LakehouseTable(spark, s"${fullName(ident)}@$version", dir,
-        Maintenance.branchHead(dir, version))
+        Maintenance.branchHead(dir, version), pinned = true)
     val v = version.toIntOption.orElse(
       props.get(Maintenance.TagPrefix + version).flatMap(_.toIntOption))
       .getOrElse(throw new IllegalArgumentException(
@@ -381,7 +381,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"no version $v for table ${fullName(ident)} (current: ${TableMetadata.currentVersion(dir)})")
     new LakehouseTable(spark, s"${fullName(ident)}@v$v", dir,
-      TableMetadata.loadFile(dir, vf))
+      TableMetadata.loadFile(dir, vf), pinned = true)
   }
 
   /** Time travel: `TIMESTAMP AS OF t` (micros) → newest snapshot
@@ -394,7 +394,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val meta = log.filter(_.snapshots.lastOption.forall(_.timestampMs <= ms)).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot of ${fullName(ident)} at or before timestamp ${ms}ms"))
-    new LakehouseTable(spark, s"${fullName(ident)}@t$ms", dir, meta)
+    new LakehouseTable(spark, s"${fullName(ident)}@t$ms", dir, meta, pinned = true)
   }
 
   private def identityPartitionCols(partitions: Array[Transform]): Seq[String] =
@@ -645,11 +645,25 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
             IdentityColumns.validate(m.schema, Map(set.property -> set.value))
             val c = set.property.drop(IdentityColumns.SpecPrefix.length)
             val field = m.schema.fields.find(_.name.equalsIgnoreCase(c)).get
-            val nulls = m.fileStats.values.flatMap(_.get(field.name))
-              .flatMap(_.nulls).sum
-            val statless = m.files.exists(f =>
-              !m.fileStats.get(f).exists(_.contains(field.name)))
-            if (nulls > 0 || statless) throw new IllegalStateException(
+            // a file is acceptable only when its stats PROVE the column
+            // safe: a known-zero null count AND (when it has rows) a
+            // value range the mint mark can advance past. A missing
+            // null count or missing min/max (external writers may omit
+            // either per column) is unverifiable, not zero — treating
+            // None as 0 would admit NULL ids or under-advance the mark
+            // into collisions. Provably-empty files are always safe.
+            val bad = m.files.exists { f =>
+              val empty = m.fileRows.get(f).contains(0L)
+              m.fileStats.get(f).flatMap(_.get(field.name)) match {
+                case None => !empty
+                case Some(cs) => cs.nulls match {
+                  case None => !empty
+                  case Some(n) if n > 0 => true
+                  case Some(_) => !cs.hasValues && !empty
+                }
+              }
+            }
+            if (bad) throw new IllegalStateException(
               s"cannot declare identity on '$c': existing files hold null or " +
                 "unverifiable values — backfill the column first")
             m.copy(properties = IdentityColumns.advance(withId,

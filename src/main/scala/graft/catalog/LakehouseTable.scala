@@ -38,7 +38,15 @@ class LakehouseTable(
     spark: SparkSession,
     identName: String,
     val tableDir: Path,
-    val meta: TableMetadata)
+    val meta: TableMetadata,
+    /** True when `meta` is a pinned historical/branch snapshot (VERSION/
+      * TIMESTAMP AS OF, branch reads) rather than the table's current
+      * head. Constraint-driven rewrites ([[ConstraintOptimization]])
+      * must decline pinned relations: RELY declarations assert facts
+      * about the LIVE table pair (an FK's referenced keys may not exist
+      * in an old snapshot), so exploiting them across snapshots would
+      * silently change time-travel results. */
+    val pinned: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -548,15 +556,12 @@ class LakehouseTable(
                       overwriteFilters.isEmpty && !dynamicPartitions,
                     "graft.wap.branch routes INSERT INTO only; INSERT OVERWRITE " +
                       "must target main (unset the conf) or use branch procedures")
-                  require(IdentityColumns.of(cur.properties).isEmpty,
-                    "identity columns cannot mint on a branch write (the sequence " +
-                      "mark lives in main's metadata) — unset graft.wap.branch")
-                  // same row-local enforcement as a main insert: the
-                  // branch forked from main's declarations
-                  Maintenance.appendToBranchAt(spark, tableDir, branch,
-                    CheckConstraints.enforce(
-                      GeneratedColumns.compute(rawData, cur.schema, cur.properties),
-                      cur.properties))
+                  // row-local enforcement (CHECK, generated-column
+                  // computation, identity ALWAYS-refusal + NOT NULL
+                  // guard, mark advance) happens INSIDE appendToBranchAt
+                  // against the branch head's own declarations — the
+                  // ones fast_forward will publish
+                  Maintenance.appendToBranchAt(spark, tableDir, branch, rawData)
                   return
                 case None =>
               }
@@ -903,6 +908,22 @@ class LakehouseTable(
     var mintedFrom = identBases
     while (!committed) {
       val current = TableMetadata.load(tableDir)
+      // Identity-DECLARATION race: a racer added or altered a
+      // graft.identity.<col> spec after this write minted/validated its
+      // rows against startMeta — the written files may hold NULLs or
+      // unarbitrated values in that column and never reserved a range
+      // under the new spec. The declaration's own verification scanned
+      // only files committed before it, so committing these files
+      // would break the invariant it just established. Fail clean; the
+      // re-run mints under the new spec. (Range races under an
+      // UNCHANGED spec are handled below via graft.identity-next.)
+      val specNow = current.properties
+        .filter(_._1.startsWith(IdentityColumns.SpecPrefix))
+      val specStart = startMeta.properties
+        .filter(_._1.startsWith(IdentityColumns.SpecPrefix))
+      if (specNow != specStart) throw new IllegalStateException(
+        s"INSERT lost a race to an identity declaration on $identName — " +
+          "nothing was committed; re-run the INSERT")
       // Identity-range race: a winner advanced `graft.identity-next`
       // past the base this write minted from, so the two ranges
       // overlap. GENERATED ALWAYS columns hold ONLY minted values, so a

@@ -1299,15 +1299,46 @@ object Maintenance {
       rows: org.apache.spark.sql.DataFrame): Long = {
     val head = branchHead(dir, name)
     val schema = head.schema
+    // Branch appends publish to main at fast_forward, so they owe every
+    // write-path guarantee main's INSERT gives. Identity: a branch
+    // append cannot mint (publish-time sequence arbitration happens on
+    // main, and main advancing its mark mid-flight would fork the
+    // lineage anyway), so GENERATED ALWAYS has no legal input here;
+    // BY DEFAULT rows must carry explicit non-null ids — the branch
+    // head's mark advances past them below, so post-publish mints
+    // never collide.
+    IdentityColumns.of(head.properties).foreach { case (c, spec) =>
+      require(spec.allowExplicit,
+        s"identity column '$c' is GENERATED ALWAYS — branch appends cannot " +
+          "mint (sequences arbitrate on main at publish); INSERT on main, or " +
+          "declare GENERATED BY DEFAULT and supply ids")
+    }
     val aligned = rows.select(schema.fields.map(f =>
       rows.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // generated columns are engine-computed on every write path; CHECK
+    // constraints and identity NOT NULL guard row-locally in the write
+    // projection (codegen'd, no extra pass) — same as batch INSERT
+    val computed = CheckConstraints.enforce(
+      GeneratedColumns.compute(aligned, schema, head.properties),
+      head.properties)
+    val guarded = {
+      import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+      IdentityColumns.of(head.properties).foldLeft(computed) { case (d, (c, _)) =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c)).get
+        d.withColumn(f.name,
+          when(col(f.name).isNull,
+            raise_error(lit(s"identity column '${f.name}' is NOT NULL — branch " +
+              "appends cannot mint; supply explicit values")).cast(f.dataType))
+            .otherwise(col(f.name)))
+      }
+    }
     val next = head.version + 1
     val rel = s"data/c$next-br$name-${UUID.randomUUID().toString.take(8)}"
     val clustered =
       if (head.partitionColumns.nonEmpty) {
-        val cols = head.partitionColumns.map(aligned.col)
-        aligned.repartition(cols: _*).sortWithinPartitions(cols: _*)
-      } else aligned
+        val cols = head.partitionColumns.map(guarded.col)
+        guarded.repartition(cols: _*).sortWithinPartitions(cols: _*)
+      } else guarded
     SessionConf.writeMicrosParquet(clustered, dir.resolve(rel).toString)
     val newFiles = Fs.children(dir.resolve(rel)).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
@@ -1318,11 +1349,18 @@ object Maintenance {
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), schema)
     }.toMap
     BloomIndex.buildForFiles(spark, dir, schema, head.properties, newFiles)
+    // explicit BY-DEFAULT identity values advance the BRANCH's mark
+    // (published with the head at fast_forward), so later mints on main
+    // never collide with branch-staged ids
+    val props = IdentityColumns.advance(head.properties,
+      IdentityColumns.committedExtreme(schema, head.properties,
+        footers.view.mapValues(_.cols).toMap))
     commitToBranchOrRebase(dir, name, head, head.copy(
       version = next,
       files = head.files ++ newFiles,
       fileStats = head.fileStats ++ footers.view.mapValues(_.cols).toMap,
       fileRows = head.fileRows ++ footers.view.mapValues(_.rows).toMap,
+      properties = props,
       snapshots = head.snapshots :+ Snapshot(
         next, System.currentTimeMillis(), "append",
         newFiles.size, head.files.size + newFiles.size)))

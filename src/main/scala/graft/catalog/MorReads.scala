@@ -217,7 +217,11 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
       fileRows = lt.meta.fileRows.view.filterKeys(keep.contains).toMap,
       fileSeq = lt.meta.fileSeq.view.filterKeys(keep.contains).toMap,
       deleteFiles = Seq.empty)
-    val subTable = new LakehouseTable(spark, lt.name(), lt.tableDir, subMeta)
+    // pinned: subMeta is a file-subset projection, not the table's full
+    // head — FK-based join elimination must not treat it as the
+    // complete referenced table
+    val subTable = new LakehouseTable(spark, lt.name(), lt.tableDir, subMeta,
+      pinned = true)
     val opts = new java.util.HashMap[String, String](r.options)
     opts.put(MergeOnRead.PlainReadOption, "true")
     DataSourceV2Relation.create(

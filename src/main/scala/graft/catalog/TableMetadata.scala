@@ -244,17 +244,7 @@ object TableMetadata {
     * itself is already published, so failures here only cost the next
     * reader a directory listing. */
   private[catalog] def writeHint(md: Path, v: Int): Unit =
-    try {
-      val cur =
-        try Files.readString(md.resolve(HintName)).trim.toIntOption.getOrElse(0)
-        catch { case _: Exception => 0 }
-      if (v > cur) {
-        val tmp = Files.createTempFile(md, ".hint-", ".tmp")
-        Files.writeString(tmp, v.toString)
-        Files.move(tmp, md.resolve(HintName),
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      }
-    } catch { case _: Exception => () }
+    try writeHintStrict(md, v) catch { case _: Exception => () }
 
   /** [[writeHint]] that REFUSES to stay silent: expire must advance the
     * hint to current BEFORE deleting versions below it (a stale hint at
@@ -587,8 +577,15 @@ object TableMetadata {
     // carries the new constraint). Property keys the attempt itself
     // changed are already arbitrated by the property-merge rules.
     if (added.nonEmpty) {
+      // graft.identity.<col> (the SPEC, not the graft.identity-next.*
+      // high-water marks every minting insert advances) belongs here
+      // too: a racer's identity declaration verified no-nulls against
+      // only the files committed before it, and the attempt's files
+      // were written without minting — rebasing would land NULL or
+      // unarbitrated ids under the new declaration
       val racerAddedChecks = cur.properties.exists { case (k, v) =>
-        (k.startsWith(CheckConstraints.Prefix) || k.startsWith(GeneratedColumns.Prefix)) &&
+        (k.startsWith(CheckConstraints.Prefix) || k.startsWith(GeneratedColumns.Prefix) ||
+          k.startsWith(IdentityColumns.SpecPrefix)) &&
           !base.properties.get(k).contains(v)
       }
       if (racerAddedChecks) return None

@@ -1809,49 +1809,25 @@ object TextOps {
     * bench samples measure the PROBE — the per-query cost at 100 TB —
     * not the one-time build. */
   private[queries] val kwCatalog = "kwidx"
-  private val kwBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  // one warehouse per JVM, shared by every session that registers the
-  // catalog — the build memo is JVM-global, so a second session must
-  // resolve the same physical tables
-  private lazy val kwWarehouse: String =
-    java.nio.file.Files.createTempDirectory("graft-kwidx-").toString
+  private val kwMemo = new IndexMemo(kwCatalog, "docs")
+  private[queries] def kwTable(d: String): String = kwMemo.tableFor(d)
 
-  // SQL-safe table name per corpus dir. Sanitizing alone is NOT
-  // collision-free (/tmp/x-1 and /tmp/x_1 both sanitize to tmp_x_1,
-  // and the JVM-global build memo would then serve one corpus's index
-  // for the other — silently wrong rows), so a digest of the RAW path
-  // plus its length disambiguates
-  private[queries] def kwTable(d: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"docs_${d.replaceAll("[^A-Za-z0-9]", "_")}_${d.length}_$digest"
-  }
-
-  private[queries] def ensureKeywordIndex(s: SparkSession, d: String): Unit = kwBuilt.synchronized {
-    // catalog registration is PER-SESSION while the build memo is
-    // JVM-global: always (re)check the conf before the early return,
-    // or a second session in the same JVM would skip it
-    if (s.conf.getOption(s"spark.sql.catalog.$kwCatalog").isEmpty) {
-      s.conf.set(s"spark.sql.catalog.$kwCatalog", "graft.catalog.LakehouseCatalog")
-      s.conf.set(s"spark.sql.catalog.$kwCatalog.warehouse", kwWarehouse)
+  private[queries] def ensureKeywordIndex(s: SparkSession, d: String): Unit =
+    kwMemo.ensure(s, d) { tbl =>
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $kwCatalog.kw")
+      s.sql(s"DROP TABLE IF EXISTS $kwCatalog.kw.${tbl}_idx")
+      s.sql(s"DROP TABLE IF EXISTS $kwCatalog.kw.$tbl")
+      s.sql(s"CREATE TABLE $kwCatalog.kw.$tbl (doc_id BIGINT, text STRING)")
+      documents(s, d).select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("q72_docs_src")
+      s.sql(s"INSERT INTO $kwCatalog.kw.$tbl SELECT * FROM q72_docs_src")
+      graft.operators.TextIndex.create(s, kwCatalog, Seq("kw"), tbl, s"${tbl}_idx",
+        nBuckets = 16)
+      // bucket-clustered files so the probe's `bucket IN (...)` file-skips
+      // unprobed buckets from footer ranges alone (TextIndexSpec pins it)
+      graft.catalog.Maintenance.compact(s, kwCatalog, Seq("kw"), s"${tbl}_idx",
+        targetFiles = 8, clusterBy = Seq("bucket"))
     }
-    if (kwBuilt.contains(d)) return
-    val tbl = kwTable(d)
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $kwCatalog.kw")
-    s.sql(s"DROP TABLE IF EXISTS $kwCatalog.kw.${tbl}_idx")
-    s.sql(s"DROP TABLE IF EXISTS $kwCatalog.kw.$tbl")
-    s.sql(s"CREATE TABLE $kwCatalog.kw.$tbl (doc_id BIGINT, text STRING)")
-    documents(s, d).select(col("doc_id"), col("text"))
-      .createOrReplaceTempView("q72_docs_src")
-    s.sql(s"INSERT INTO $kwCatalog.kw.$tbl SELECT * FROM q72_docs_src")
-    graft.operators.TextIndex.create(s, kwCatalog, Seq("kw"), tbl, s"${tbl}_idx",
-      nBuckets = 16)
-    // bucket-clustered files so the probe's `bucket IN (...)` file-skips
-    // unprobed buckets from footer ranges alone (TextIndexSpec pins it)
-    graft.catalog.Maintenance.compact(s, kwCatalog, Seq("kw"), s"${tbl}_idx",
-      targetFiles = 8, clusterBy = Seq("bucket"))
-    kwBuilt.add(d)
-  }
 
   /** q72: conjunctive keyword search answered from the inverted postings
     * index ([[graft.operators.TextIndex]]) — the probe reads

@@ -381,38 +381,21 @@ object VectorOps {
   // samples measure the ADC PROBE — the per-query cost at 100 TB — not
   // the one-time build.
   private val pqCatalog = "pqidx"
-  private val pqBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val pqWarehouse: String =
-    java.nio.file.Files.createTempDirectory("graft-pqidx-").toString
+  private val pqMemo = new IndexMemo(pqCatalog, "emb")
+  private def pqTable(d: String): String = pqMemo.tableFor(d)
 
-  // SQL-safe per-corpus table name; digest of the raw path disambiguates
-  // paths that sanitize identically (see TextOps.kwTable)
-  private def pqTable(d: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"emb_${d.replaceAll("[^A-Za-z0-9]", "_")}_${d.length}_$digest"
-  }
-
-  private def ensurePqIndex(s: SparkSession, d: String): Unit = pqBuilt.synchronized {
-    // catalog registration is per-session, the build memo JVM-global:
-    // re-check the conf before the early return
-    if (s.conf.getOption(s"spark.sql.catalog.$pqCatalog").isEmpty) {
-      s.conf.set(s"spark.sql.catalog.$pqCatalog", "graft.catalog.LakehouseCatalog")
-      s.conf.set(s"spark.sql.catalog.$pqCatalog.warehouse", pqWarehouse)
+  private def ensurePqIndex(s: SparkSession, d: String): Unit =
+    pqMemo.ensure(s, d) { tbl =>
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $pqCatalog.ann")
+      s.sql(s"DROP TABLE IF EXISTS $pqCatalog.ann.${tbl}_idx")
+      s.sql(s"DROP TABLE IF EXISTS $pqCatalog.ann.$tbl")
+      s.sql(s"CREATE TABLE $pqCatalog.ann.$tbl (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .createOrReplaceTempView("q29g_emb_src")
+      s.sql(s"INSERT INTO $pqCatalog.ann.$tbl SELECT * FROM q29g_emb_src")
+      graft.operators.VectorIndex.createPq(s, pqCatalog, Seq("ann"), tbl, s"${tbl}_idx",
+        k = 16, m = 8, kCodes = 16, sampleN = 2048, iters = 3)
     }
-    if (pqBuilt.contains(d)) return
-    val tbl = pqTable(d)
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $pqCatalog.ann")
-    s.sql(s"DROP TABLE IF EXISTS $pqCatalog.ann.${tbl}_idx")
-    s.sql(s"DROP TABLE IF EXISTS $pqCatalog.ann.$tbl")
-    s.sql(s"CREATE TABLE $pqCatalog.ann.$tbl (vec_id BIGINT, embedding ARRAY<FLOAT>)")
-    embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .createOrReplaceTempView("q29g_emb_src")
-    s.sql(s"INSERT INTO $pqCatalog.ann.$tbl SELECT * FROM q29g_emb_src")
-    graft.operators.VectorIndex.createPq(s, pqCatalog, Seq("ann"), tbl, s"${tbl}_idx",
-      k = 16, m = 8, kCodes = 16, sampleN = 2048, iters = 3)
-    pqBuilt.add(d)
-  }
 
   /** q29f's ADC search served from the PERSISTED IVF-PQ index
     * ([[graft.operators.VectorIndex.createPq]]) instead of re-training

@@ -268,6 +268,62 @@ class BranchSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("branch appends enforce CHECK, generated and identity declarations") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.br_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.br_ns.bguard")
+    spark.sql("CREATE TABLE lakehouse.br_ns.bguard (" +
+      "id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 10 INCREMENT BY 1), " +
+      "k INT, up STRING GENERATED ALWAYS AS (upper(cast(k AS STRING))), " +
+      "CONSTRAINT k_pos CHECK (k > 0))")
+    val t = "lakehouse.br_ns.bguard"
+    spark.sql("CALL lakehouse.system.branch('br_ns', 'bguard', 'audit')")
+
+    // a violating CHECK row is refused on the branch write, not at publish
+    Seq((500L, -1, "stale")).toDF("id", "k", "up")
+      .createOrReplaceTempView("bguard_bad")
+    val e1 = intercept[Exception](spark.sql(
+      "CALL lakehouse.system.append_to_branch('br_ns', 'bguard', 'audit', 'bguard_bad')"))
+    e1.getMessage should include("k_pos")
+
+    // a good row: generated column is COMPUTED (stale value overwritten),
+    // the explicit BY DEFAULT id lands, and the branch mark advances past it
+    Seq((500L, 7, "stale")).toDF("id", "k", "up")
+      .createOrReplaceTempView("bguard_ok")
+    spark.sql(
+      "CALL lakehouse.system.append_to_branch('br_ns', 'bguard', 'audit', 'bguard_ok')")
+    val staged = spark.sql(s"SELECT id, k, up FROM $t VERSION AS OF 'audit'")
+      .as[(Long, Int, String)].collect().toSeq
+    staged shouldBe Seq((500L, 7, "7"))
+
+    // a NULL id cannot mint on a branch — refused loudly
+    Seq((Option.empty[Long], 8, "X")).toDF("id", "k", "up")
+      .createOrReplaceTempView("bguard_null")
+    val e2 = intercept[Exception](spark.sql(
+      "CALL lakehouse.system.append_to_branch('br_ns', 'bguard', 'audit', 'bguard_null')"))
+    e2.getMessage should include("cannot mint")
+
+    // publish: the next main INSERT mints PAST the staged explicit id
+    spark.sql("CALL lakehouse.system.fast_forward('br_ns', 'bguard', 'audit')")
+    spark.sql(s"INSERT INTO $t (k) VALUES (9)")
+    val minted = spark.table(t).where($"k" === 9)
+      .select($"id").as[Long].head()
+    minted should be > 500L
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("a GENERATED ALWAYS identity table refuses branch appends up front") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.br_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.br_ns.balways")
+    spark.sql("CREATE TABLE lakehouse.br_ns.balways (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+    spark.sql("CALL lakehouse.system.branch('br_ns', 'balways', 'audit')")
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("balways_src")
+    val e = intercept[Exception](spark.sql(
+      "CALL lakehouse.system.append_to_branch('br_ns', 'balways', 'audit', 'balways_src')"))
+    e.getMessage should include("GENERATED ALWAYS")
+    spark.sql("DROP TABLE lakehouse.br_ns.balways")
+  }
+
   private implicit class PairsToMap(rows: Array[(String, String, Int)]) {
     def toMap2: Map[(String, String), Int] =
       rows.map { case (n, ty, v) => (n, ty) -> v }.toMap

@@ -167,4 +167,49 @@ class ConstraintOptimizationSpec extends AnyFunSuite with Matchers {
       aggs(df) should not be empty
     } finally spark.conf.set("spark.graft.cbo.constraintOptimization", "true")
   }
+
+  test("NOT fired: time-traveled / branch snapshots never qualify") {
+    setup()
+    // RELY declarations assert facts about the LIVE table pair — an
+    // FK's referenced keys may be absent from an old dim snapshot, so
+    // rewriting a time-travel join on today's declarations would
+    // silently change its results
+    val v = spark.sql("SELECT max(version) FROM lakehouse.cbo.dim.history")
+      .head().getInt(0)
+    val fk = spark.sql("SELECT f.k FROM lakehouse.cbo.fact f " +
+      s"JOIN lakehouse.cbo.dim VERSION AS OF $v d ON f.dim_id = d.id")
+    joins(fk) should not be empty
+    val outer = spark.sql("SELECT f.k FROM lakehouse.cbo.fact f " +
+      s"LEFT JOIN lakehouse.cbo.dim VERSION AS OF $v d ON f.dim_id = d.id")
+    joins(outer) should not be empty
+    val dist = spark.sql(
+      s"SELECT DISTINCT id, name FROM lakehouse.cbo.dim VERSION AS OF $v")
+    aggs(dist) should not be empty
+  }
+
+  test("an under-qualified FK reference binds only in the declaring table's namespace") {
+    setup()
+    // same-named dim in ANOTHER namespace, also PK(id) RELY — a bare
+    // suffix match would eliminate the join against the WRONG table
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.cbo2")
+    if (!spark.catalog.tableExists("lakehouse.cbo2.dim")) {
+      spark.sql("CREATE TABLE lakehouse.cbo2.dim (id BIGINT, name STRING, " +
+        "CONSTRAINT dim2_pk PRIMARY KEY (id) NOT ENFORCED RELY)")
+      spark.sql("INSERT INTO lakehouse.cbo2.dim VALUES (1, 'a')")
+      // FK declared with a BARE single-part reference: resolves to the
+      // declaring table's own namespace (lakehouse.cbo.dim)
+      spark.sql("CREATE TABLE lakehouse.cbo.factbare (k BIGINT NOT NULL, " +
+        "dim_id BIGINT NOT NULL, CONSTRAINT fb_fk FOREIGN KEY (dim_id) " +
+        "REFERENCES dim (id) NOT ENFORCED RELY)")
+      spark.sql("INSERT INTO lakehouse.cbo.factbare VALUES (10, 1), (11, 2)")
+    }
+    // wrong namespace: must NOT be eliminated (cbo2.dim lacks id=2)
+    val wrong = spark.sql("SELECT f.k FROM lakehouse.cbo.factbare f " +
+      "JOIN lakehouse.cbo2.dim d ON f.dim_id = d.id")
+    joins(wrong) should not be empty
+    wrong.collect().length shouldBe 1
+    // right namespace: the bare reference resolves here — eliminated
+    sameResultNoJoin("SELECT f.k FROM lakehouse.cbo.factbare f " +
+      "JOIN lakehouse.cbo.dim d ON f.dim_id = d.id")
+  }
 }

@@ -404,4 +404,75 @@ class GeneratedColumnSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE $t")
     }
   }
+
+  test("identity declaration racing a NULL-carrying INSERT: never both committed") {
+    // the two halves of the defense: the declaration's no-rebase commit
+    // verified no-nulls against its snapshot, and the INSERT commit
+    // loop fails clean when the spec raced in after its rows were
+    // written (TableMetadata.rebase likewise declines for every other
+    // commitOrRebase writer) — so the final table can hold the
+    // identity spec, or NULL ids, NEVER both
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    for (round <- 0 until 3) {
+      val t = s"lakehouse.gc.idrace2_$round"
+      spark.sql(s"CREATE TABLE $t (id BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $t VALUES (1, 'seed')")
+      Seq((Option.empty[Long], "raced")).toDF("id", "v")
+        .createOrReplaceTempView(s"idrace2_src$round")
+
+      val fIns = Future {
+        try { spark.sql(s"INSERT INTO $t SELECT * FROM idrace2_src$round"); true }
+        catch { case _: Throwable => false }
+      }
+      val fDdl = Future {
+        try {
+          spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+            "('graft.identity.id'='100,1,true')")
+          true
+        } catch { case _: Throwable => false }
+      }
+      val insLanded = Await.result(fIns, 120.seconds)
+      val ddlLanded = Await.result(fDdl, 120.seconds)
+
+      val nulls = spark.table(t).where($"id".isNull).count()
+      val declared = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .exists(_.getString(0) == "graft.identity.id")
+      withClue(s"round $round: ins=$insLanded ddl=$ddlLanded " +
+        s"nulls=$nulls declared=$declared: ") {
+        (declared && nulls > 0) shouldBe false
+      }
+      spark.sql(s"DROP TABLE $t")
+    }
+  }
+
+  test("identity declaration refuses files whose stats cannot prove the column safe") {
+    // a missing null count (or missing min/max on a non-empty file) is
+    // UNVERIFIABLE, not zero: admitting it could commit NULL ids under
+    // the declaration or under-advance the mint mark into collisions
+    import graft.catalog.TableMetadata
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.gc")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.gc.idstats")
+    spark.sql("CREATE TABLE lakehouse.gc.idstats (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO lakehouse.gc.idstats VALUES (1, 'a'), (2, 'b')")
+    val dir = java.nio.file.Paths.get(TestSpark.warehouse, "gc", "idstats")
+    val m = TableMetadata.load(dir)
+    // simulate an external writer's footer: column present, null count absent
+    val doctored = m.fileStats.map { case (f, cols) =>
+      f -> cols.map { case (c, r) =>
+        c -> (if (c == "id") r.copy(nulls = None) else r)
+      }
+    }
+    TableMetadata.commit(dir, m.copy(version = m.version + 1,
+      fileStats = doctored,
+      snapshots = m.snapshots :+ graft.catalog.Snapshot(
+        m.version + 1, System.currentTimeMillis(), "doctor", 0, m.files.size)))
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE lakehouse.gc.idstats SET TBLPROPERTIES " +
+        "('graft.identity.id'='100,1,true')"))
+    e.getMessage should include("unverifiable")
+    spark.sql("DROP TABLE lakehouse.gc.idstats")
+  }
 }
