@@ -84,5 +84,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val m = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(4096)
         SpaceSavingAgg(args(0), m)
       }))
+    // parity with GraftFunctions.register: the extension path must
+    // resolve every function the per-session path does, or SQL that
+    // works in one deployment fails with UNRESOLVED_ROUTINE in the other
+    ext.injectFunction((
+      new FunctionIdentifier("prefix_min_agg"),
+      new ExpressionInfo(classOf[PrefixMinAgg].getName, "prefix_min_agg"),
+      (args: Seq[Expression]) =>
+        PrefixMinAgg(args(0), args(1), args(2), args(3).eval(null).toString.toDouble)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (args: Seq[Expression]) => {
+        val est = args.lift(1).map(_.eval(null).toString.toLong).getOrElse(1000000L)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), est)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_gen"),
+      new ExpressionInfo(classOf[NGramHashGen].getName, "ngram_gen"),
+      (args: Seq[Expression]) => {
+        val n = args.lift(1).map(_.eval(null).toString.toInt).getOrElse(3)
+        NGramHashGen(args(0), n)
+      }))
   }
 }

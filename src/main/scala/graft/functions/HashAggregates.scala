@@ -287,8 +287,9 @@ final class SpaceSavingBuf(
   * a bounded m-entry summary where an unseen item evicts the current
   * minimum and inherits its count as overestimation error. Guarantees
   * every item with true frequency > N/m is present in a single summary;
-  * merging sums counts and re-truncates to m, which widens the bound to
-  * the sum of the dropped tails — callers therefore use it as a
+  * merging replays one summary's entries as a weighted stream through
+  * the same evict-min step, which widens the error bound by the
+  * inherited minima — callers therefore use it as a
   * CANDIDATE GENERATOR (recall engine) and recount candidates exactly,
   * the same sketch-then-verify shape as the MinHash/SimHash pipelines.
   *
@@ -331,12 +332,12 @@ case class SpaceSavingAgg(
     buf
   }
 
+  // merge = replay b's entries as a weighted stream through offer(),
+  // which evicts as it goes — the size can never exceed capacity, so no
+  // post-merge truncation is needed (the eviction inherits the min
+  // count, preserving the count-upper-bound and recall guarantees)
   override def merge(a: SpaceSavingBuf, b: SpaceSavingBuf): SpaceSavingBuf = {
     b.items.foreach { case (t, (c, e)) => offer(a, t, c, e) }
-    if (a.items.size > capacity) {
-      val keep = a.items.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity)
-      a.items = scala.collection.mutable.HashMap(keep: _*)
-    }
     a
   }
 

@@ -14,7 +14,10 @@ import org.apache.spark.sql.SparkSession
   * rename. */
 object IndexSwap {
 
-  private def lakeTable(
+  /** The shared catalog-resolution chain — one home ([[TextIndex]] and
+    * [[VectorIndex]] delegate here) so table-resolution changes land
+    * once. */
+  private[operators] def lakeTable(
       spark: SparkSession, catalog: String, namespace: Seq[String],
       name: String): graft.catalog.LakehouseTable =
     spark.sessionState.catalogManager.catalog(catalog)

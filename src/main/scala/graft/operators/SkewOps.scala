@@ -31,6 +31,11 @@ object SkewOps {
     require(salts >= 1, "salts must be >= 1")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salted join supports inner/left, got $joinType")
+    // refuse, don't clobber: withColumn would silently REPLACE a
+    // business column named __salt and drop(...) would then remove it
+    // from the output
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt; rename it on the input first")
     // deterministic per-row salt: hash of the whole left row modulo salts
     val leftCols = left.columns.map(col)
     val salted = left.withColumn("__salt", pmod(xxhash64(leftCols: _*), lit(salts)))
@@ -51,10 +56,13 @@ object SkewOps {
       df: DataFrame,
       key: String,
       valueCol: Column,
-      salts: Int): DataFrame =
+      salts: Int): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "saltedSumCount reserves the column name __salt; rename it on the input first")
     df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
       .agg(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("cnt"))
+  }
 }

@@ -41,10 +41,7 @@ object TextIndex {
   private def lakeTable(
       spark: SparkSession, catalog: String, namespace: Seq[String],
       name: String): graft.catalog.LakehouseTable =
-    spark.sessionState.catalogManager.catalog(catalog)
-      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(namespace.toArray, name))
-      .asInstanceOf[graft.catalog.LakehouseTable]
+    IndexSwap.lakeTable(spark, catalog, namespace, name)
 
   private def setProps(spark: SparkSession, table: String, props: Map[String, String]): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (${
@@ -430,12 +427,19 @@ object TextIndex {
           setProps(spark, index, statProps)
           return "incremental"
         }
-        // affected postings only: current rows for the delta's tokens
-        // (bucket+tok pushdown file-skips the rest of the index), doc
-        // lists unioned, then ONE merge-on-read upsert keyed on tok —
-        // write cost ∝ |affected tokens|, never |index|
+        // affected postings only: current rows for the delta's tokens,
+        // doc lists unioned, then ONE merge-on-read upsert keyed on tok —
+        // write cost ∝ |affected tokens|, never |index|. The bucket
+        // IN-list is what actually file-skips: a broadcast join on the
+        // data column `tok` pushes nothing into the scan, so without it
+        // a small append read EVERY posting file of the bucket-clustered
+        // index (rowLevelRefresh below uses the same pattern)
         val affected = deltaPairs.select(col("tok")).distinct()
+        val bucketsHit = affected
+          .select(pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
         val current = spark.table(index)
+          .filter(col("bucket").isin(bucketsHit: _*))
           .join(broadcast(affected), Seq("tok"))
           .select(col("tok"),
             explode(arrays_zip(col("docs"), col("poss"), col("lens"))).as("e"))

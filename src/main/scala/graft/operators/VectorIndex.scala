@@ -163,10 +163,7 @@ object VectorIndex {
   private def lakeTable(
       spark: SparkSession, catalog: String, namespace: Seq[String],
       name: String): graft.catalog.LakehouseTable =
-    spark.sessionState.catalogManager.catalog(catalog)
-      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
-      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(namespace.toArray, name))
-      .asInstanceOf[graft.catalog.LakehouseTable]
+    IndexSwap.lakeTable(spark, catalog, namespace, name)
 
   private def sampleOf(df: DataFrame, sampleN: Int): Array[Array[Float]] =
     df.orderBy(col("vec_id")).limit(sampleN)
@@ -405,7 +402,9 @@ object VectorIndex {
       shortlistR: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
-    val idxLt = lakeTable(spark, catalog, namespace, indexName)
+    // loadOrAdopt (not a bare load): ADC search must survive a crash in
+    // rebuild's DROP→RENAME window like every other index reader
+    val idxLt = IndexSwap.loadOrAdopt(spark, catalog, namespace, indexName, VersionProp)
     val props = graft.catalog.TableMetadata.load(idxLt.tableDir).properties
     val books = decodeBooks(props.getOrElse(PqBooksProp,
       throw new IllegalArgumentException(

@@ -82,7 +82,12 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + e.value))
+                  // min: a late-but-within-watermark event from an
+                  // earlier batch may PRECEDE the stored session start;
+                  // keeping s.start would count it but silently absorb
+                  // its time, diverging from a batch replay
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= SessionSummary(userId, new Timestamp(s.start),
                     new Timestamp(s.end), s.n, s.total)
@@ -172,11 +177,16 @@ object EventStreams {
       namespace: Seq[String],
       table: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // hash over the BYTE length, not the char count: for a non-ASCII
+    // checkpoint path chars < bytes, and a truncated-prefix hash could
+    // collide two queries' txnIds — colliding (txnId, batchId)
+    // watermarks make transactionalAppend silently skip one query's
+    // batches as already-committed
+    val cpBytes = checkpointDir.getBytes("UTF-8")
     val txnId = java.lang.Long.toHexString(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        checkpointDir.getBytes("UTF-8"),
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        checkpointDir.length, 42) & 0xffffffffL)
+        cpBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        cpBytes.length, 42) & 0xffffffffL)
     spark.readStream
       .schema(sourceSchema)
       .parquet(sourceDir)

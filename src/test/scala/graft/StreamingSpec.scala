@@ -56,6 +56,33 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("sessionize extends session_start backward for a late within-watermark event") {
+    // a late event PRECEDING the stored session start must move the
+    // start back (min), not be silently absorbed — a batch replay of
+    // the same data would report the earlier start
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Event(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // watermark = max(ts) - 10min = ts(-5), so ts(2) is late but live
+      in.addData(Event(2, ts(2), 1, "click", 2.0))
+      q.processAllAvailable()
+      // a 30-minute jump closes the session
+      in.addData(Event(3, ts(40), 1, "click", 4.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_late")
+        .as[graft.streaming.SessionSummary].collect()
+      sessions should have length 1
+      sessions.head.n_events shouldBe 2
+      sessions.head.session_start shouldBe ts(2) // min, not first-seen
+      sessions.head.session_end shouldBe ts(5)
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs clicks with preceding views per user") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
