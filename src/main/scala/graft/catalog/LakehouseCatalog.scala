@@ -445,6 +445,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!isNamespace(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     val dir = tableDir(ident)
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
+    LakehouseCatalog.validateColumnNames(schema)
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
@@ -474,6 +475,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (!isNamespace(ident.namespace)) throw new NoSuchNamespaceException(ident.namespace)
     val dir = tableDir(ident)
     if (TableMetadata.exists(dir)) throw new TableAlreadyExistsException(ident)
+    LakehouseCatalog.validateColumnNames(schema)
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
@@ -674,6 +676,9 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1, "nested ADD COLUMN not supported")
           val addName = add.fieldNames.head
+          require(!addName.toLowerCase.startsWith("__graft_"),
+            s"ADD COLUMN $addName: the __graft_ prefix is engine-reserved " +
+              "(merge-on-read/CDC working columns) — pick another name")
           // Name-based parquet resolution: re-adding a dropped column's
           // name while old data files still carry it physically would
           // RESURRECT the dropped values (silently wrong, and a privacy
@@ -874,4 +879,20 @@ object LakehouseCatalog {
     * by any operation that rewrites every file under the current
     * schema. */
   val TombstonePrefix = "graft.dropped."
+
+  /** The engine's reserved column namespace: MoR/CDC internals project
+    * working columns under this prefix (`__graft_uf`, `__graft_pf`,
+    * `__graft_relfile`, ...) with `withColumn`, which silently REPLACES
+    * a same-named user column — refusing the name at DDL time turns a
+    * would-be silent corruption into a create-time error. `_change_type`
+    * / `_commit_version` stay legal here; the changelog reader guards
+    * them at use. */
+  def validateColumnNames(schema: org.apache.spark.sql.types.StructType): Unit =
+    schema.fieldNames.filter(_.toLowerCase.startsWith("__graft_")) match {
+      case Array() => ()
+      case bad => throw new IllegalArgumentException(
+        s"column name(s) ${bad.mkString(", ")} use the engine-reserved " +
+          "__graft_ prefix (merge-on-read and CDC internals project " +
+          "working columns under it) — rename the column(s)")
+    }
 }

@@ -327,9 +327,7 @@ object MergeOnRead {
     SessionConf.writeMicrosParquet(
       shapeDeleteWrite(spark, filePos, Seq(col(PosFileCol), col(PosPosCol)), filePos.count()),
       tableDir.resolve(delRel).toString)
-    val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .map(n => s"$delRel/$n").toSeq.sorted
+    val delFiles = stagedParquet(tableDir, delRel)
     val delFooters = footersOf(delFiles, posKeySchema)
     val entries = delFiles.map { f =>
       DeleteFile(f, Seq(PosFileCol, PosPosCol), next, delFooters(f).rows,
@@ -343,9 +341,7 @@ object MergeOnRead {
         newRows.repartition(cols: _*).sortWithinPartitions(cols: _*)
       } else newRows
     clustered.write.parquet(tableDir.resolve(dataRel).toString)
-    val dataFiles = Fs.children(tableDir.resolve(dataRel)).iterator
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .map(n => s"$dataRel/$n").toSeq.sorted
+    val dataFiles = stagedParquet(tableDir, dataRel)
     val dataFooters = footersOf(dataFiles, current.schema)
     BloomIndex.buildForFiles(spark, tableDir, current.schema, current.properties, dataFiles)
 
@@ -391,9 +387,7 @@ object MergeOnRead {
     SessionConf.writeMicrosParquet(
       shapeDeleteWrite(spark, pinned, Seq(col(PosFileCol), col(PosPosCol)), pinned.count()),
       tableDir.resolve(delRel).toString)
-    val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .map(n => s"$delRel/$n").toSeq.sorted
+    val delFiles = stagedParquet(tableDir, delRel)
     val conf = spark.sessionState.newHadoopConf()
     val footers = delFiles.map { f =>
       f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), posKeySchema)
@@ -459,25 +453,28 @@ object MergeOnRead {
     SessionConf.writeMicrosParquet(
       shapeDeleteWrite(spark, pinnedKeys, keyCols.map(pinnedKeys.col), pinnedKeys.count()),
       tableDir.resolve(delRel).toString)
-    val delFiles = Fs.children(tableDir.resolve(delRel)).iterator
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-      .map(n => s"$delRel/$n").toSeq.sorted
+    val delFiles = stagedParquet(tableDir, delRel)
     val delFooters = footersOf(delFiles, kSchema)
     val entries = delFiles.map { f =>
       DeleteFile(f, keyCols, next, delFooters(f).rows, delFooters(f).cols)
     }
     val keyRows = entries.map(_.rows).sum
-    if (keyRows == 0 && appendData.isEmpty) {
-      // nothing matched: no entry to publish — a zero-key entry would
-      // be dead weight every future read has to consider. The staging
-      // dir also holds committer artifacts (_SUCCESS, .crc), so remove
-      // it recursively.
+    if (keyRows == 0) {
+      // nothing matched: no entry may publish — a zero-row entry has
+      // NO keyRanges, and applicable() treats a missing range as
+      // "could match", so it would mark EVERY pre-existing file dirty
+      // forever (readers rewritten into pointless anti-joins,
+      // materializeDeletes rewriting the whole table to drop a no-op).
+      // The staging dir also holds committer artifacts (_SUCCESS,
+      // .crc), so remove it recursively. An upsert-shaped call with an
+      // empty key batch still publishes its appended rows below.
       val stagingDir = tableDir.resolve(delRel)
       if (Files.isDirectory(stagingDir)) {
         Fs.deleteRecursively(stagingDir)
       }
-      return 0
+      if (appendData.isEmpty) return 0
     }
+    val liveEntries = if (keyRows == 0) Seq.empty else entries
 
     // optional upsert data files, written before the single commit
     val (dataFiles, dataFooters) = appendData match {
@@ -490,9 +487,7 @@ object MergeOnRead {
             rows.repartition(cols: _*).sortWithinPartitions(cols: _*)
           } else rows
         clustered.write.parquet(tableDir.resolve(rel).toString)
-        val fs = Fs.children(tableDir.resolve(rel)).iterator
-          .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-          .map(n => s"$rel/$n").toSeq.sorted
+        val fs = stagedParquet(tableDir, rel)
         (fs, footersOf(fs, schema))
     }
     BloomIndex.buildForFiles(spark, tableDir, schema, current.properties, dataFiles)
@@ -504,11 +499,19 @@ object MergeOnRead {
       files = allFiles,
       fileStats = current.fileStats ++ dataFooters.view.mapValues(_.cols).toMap,
       fileRows = current.fileRows ++ dataFooters.view.mapValues(_.rows).toMap,
-      deleteFiles = current.deleteFiles ++ entries,
+      deleteFiles = current.deleteFiles ++ liveEntries,
       snapshots = current.snapshots :+ Snapshot(
         next, System.currentTimeMillis(), op, dataFiles.size, allFiles.size)))
     if (appendData.isDefined) dataFooters.values.map(_.rows).sum else keyRows
   }
+
+  /** The parquet files a staged write landed under `rel`, as sorted
+    * table-relative paths — the one listing idiom every commit site
+    * shares (committer artifacts like _SUCCESS/.crc filtered out). */
+  private def stagedParquet(tableDir: Path, rel: String): Seq[String] =
+    Fs.children(tableDir.resolve(rel)).iterator
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+      .map(n => s"$rel/$n").toSeq.sorted
 
   /** Fold pending deletes into the data: rewrite ONLY the dirty files
     * (those with ≥1 applicable entry) through the merging read, carry
@@ -549,14 +552,19 @@ object MergeOnRead {
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
     }.toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
-    val kept = current.files.filterNot(dirty.contains)
+    // Set membership: Seq.contains would make this metadata-only commit
+    // O(files × dirty) on the driver — quadratic at the 10k-100k-file
+    // scale this operation exists for
+    val dirtySet = dirty.toSet
+    val kept = current.files.filterNot(dirtySet.contains)
+    val keptSet = kept.toSet
     val allFiles = kept ++ newFiles
     TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = next,
       files = allFiles,
-      fileStats = current.fileStats.view.filterKeys(kept.contains).toMap ++
+      fileStats = current.fileStats.view.filterKeys(keptSet.contains).toMap ++
         footers.view.mapValues(_.cols).toMap,
-      fileRows = current.fileRows.view.filterKeys(kept.contains).toMap ++
+      fileRows = current.fileRows.view.filterKeys(keptSet.contains).toMap ++
         footers.view.mapValues(_.rows).toMap,
       deleteFiles = Seq.empty,
       snapshots = current.snapshots :+ Snapshot(
@@ -618,11 +626,10 @@ object MergeOnRead {
     val groups = posGroups ++ eqGroups
     if (groups.isEmpty) return 0
 
-    val doomed = groups.flatten.toSet
     val next = current.version + 1
     def abs(f: String): String = tableDir.resolve(f).toString
     val conf = spark.sessionState.newHadoopConf()
-    val mergedEntries: Seq[DeleteFile] = groups.flatMap { group =>
+    val perGroup: Seq[(Seq[DeleteFile], Seq[DeleteFile])] = groups.map { group =>
       val isPos = group.head.isPositional
       val keyCols = if (isPos) Seq(PosFileCol, PosPosCol) else group.head.keyColumns
       val sch = if (isPos) posKeySchema else keySchema(current.schema, keyCols)
@@ -636,15 +643,30 @@ object MergeOnRead {
       SessionConf.writeMicrosParquet(
         shapeDeleteWrite(spark, tuples, keyCols.map(tuples.col), n),
         tableDir.resolve(rel).toString)
-      val delFiles = Fs.children(tableDir.resolve(rel)).iterator
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-        .map(fn => s"$rel/$fn").toSeq.sorted
+      val delFiles = stagedParquet(tableDir, rel)
       val seq = group.map(_.seq).max
-      delFiles.map { f =>
+      group -> delFiles.map { f =>
         val footer = FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
         DeleteFile(f, keyCols, seq, footer.rows, footer.cols, kind = group.head.kind)
       }
     }
+    // consolidation must actually consolidate PER GROUP: a merged tuple
+    // set past the fan-out ceiling can write MORE entry files than it
+    // replaces (two ~1e9-tuple entries → thousands of range-partitioned
+    // files). Such a group keeps its original entries — committing the
+    // fan-out would multiply every reader's entry list in the name of
+    // reducing it — and its staged files are removed (vacuum would reap
+    // them anyway).
+    val (wins, losses) = perGroup.partition { case (g, merged) => merged.size < g.size }
+    losses.foreach { case (_, merged) =>
+      merged.map(_.path.split('/').init.mkString("/")).distinct.foreach { rel =>
+        val d = tableDir.resolve(rel)
+        if (Files.isDirectory(d)) Fs.deleteRecursively(d)
+      }
+    }
+    if (wins.isEmpty) return 0
+    val doomed = wins.flatMap(_._1).toSet
+    val mergedEntries = wins.flatMap(_._2)
     val kept = current.deleteFiles.filterNot(doomed.contains)
     TableMetadata.commitOrRebase(tableDir, base = current, attempt = current.copy(
       version = next,

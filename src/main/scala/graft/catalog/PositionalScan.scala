@@ -222,7 +222,14 @@ private[catalog] class PositionalRowIdScan(
                     s"$rel is not a snapshot data file)")
               }))
           }
-        case other => Array(PosRowIdPartition(other, null)) // non-file partition: impossible for parquet
+        case other =>
+          // fail loudly like the relativization guard above: a null
+          // relPath would stamp every row's _graft_row_id with a null
+          // file identity, so positional delete tuples written from it
+          // could never fold back — deleted rows silently reappearing
+          throw new IllegalStateException(
+            s"parquet delegate returned a non-file partition ${other.getClass.getName} — " +
+              "cannot derive row identity for positional deletes")
       }
       bucketPlan match {
         case Some((_, n)) =>

@@ -611,6 +611,32 @@ object TableMetadata {
       }
       if (!provablyDisjoint) return None
     }
+    if (addedDels.exists(_.isPositional) && racerAddedDels) {
+      // Two racers positionally addressing the SAME stored rows never
+      // commute: each entry names only the (file, pos) identities of
+      // the snapshot its writer read, so neither can cover the other's
+      // appended replacement rows — a racing pair of positional
+      // UPDATEs of one row would otherwise BOTH land and materialize
+      // the lost update as a duplicated row (and a positional UPDATE
+      // racing a delete of its matched row would resurrect it).
+      // Iceberg's validateNoConflictingDeleteFiles fails this race for
+      // the same reason. Commute only when the two entry sets' targeted
+      // path ranges are provably disjoint; an entry without a provable
+      // range declines.
+      val racerNewPos = cur.deleteFiles
+        .filterNot(baseDels).filter(_.isPositional)
+      def range(d: DeleteFile) =
+        d.keyRanges.get(DeleteFile.PosFileCol).filter(_.hasValues)
+      val disjoint = racerNewPos.isEmpty || (
+        racerNewPos.forall(o => range(o).isDefined) &&
+          addedDels.filter(_.isPositional).forall { d =>
+            range(d).exists { r =>
+              racerNewPos.forall(o =>
+                range(o).exists(q => q.max < r.min || r.max < q.min))
+            }
+          })
+      if (!disjoint) return None
+    }
 
     val next = cur.version + 1
     val addedSet = added.toSet

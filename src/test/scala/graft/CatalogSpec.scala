@@ -489,4 +489,19 @@ class CatalogSpec extends AnyFunSuite with Matchers {
     intercept[IllegalStateException] { TableMetadata.commit(dir, next) }
     spark.sql("DROP TABLE lakehouse.blms_cat.conflict_t")
   }
+
+  test("the __graft_ column prefix is refused at CREATE and ADD COLUMN") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.cat_ns")
+    // MoR/CDC internals project working columns under __graft_ with
+    // withColumn, which silently REPLACES a same-named user column —
+    // the DDL refusal turns would-be silent corruption into an error
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE lakehouse.cat_ns.badcol (k INT, __graft_uf STRING)"))
+    e1.getMessage should include("__graft_")
+    spark.sql("CREATE TABLE lakehouse.cat_ns.badcol2 (k INT)")
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE lakehouse.cat_ns.badcol2 ADD COLUMN __graft_pos BIGINT"))
+    e2.getMessage should include("__graft_")
+    spark.sql("DROP TABLE lakehouse.cat_ns.badcol2")
+  }
 }

@@ -240,4 +240,77 @@ class ConsolidateDeletesSpec extends AnyFunSuite with Matchers {
     spark.table(t).count() shouldBe 98
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("an empty upsert batch publishes its appends but never a zero-row entry") {
+    val t = "lakehouse.cds_ns.c_empty"
+    mkTable(t, commits = 1)
+    val dir = tableDir("c_empty")
+    import spark.implicits._
+    // empty key batch + empty append: no-op, no entry
+    MergeOnRead.morUpsert(spark, "lakehouse", Seq("cds_ns"), "c_empty",
+      Seq.empty[(Int, String)].toDF("k", "v"), Seq("k"))
+    TableMetadata.load(dir).deleteFiles shouldBe empty
+    // a zero-row entry would have NO keyRanges and applicable() treats
+    // a missing range as "could match" — every file would turn dirty
+    spark.table(t).count() shouldBe 100
+  }
+
+  test("a group whose merge would FAN OUT past its input count is left alone") {
+    val t = "lakehouse.cds_ns.c_fan"
+    mkTable(t, commits = 1)
+    val dir = tableDir("c_fan")
+    import spark.implicits._
+    // two equality entries of 6 tuples each
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c_fan",
+      (0 until 6).toDF("k"))
+    MergeOnRead.morDelete(spark, "lakehouse", Seq("cds_ns"), "c_fan",
+      (6 until 12).toDF("k"))
+    val before = TableMetadata.load(dir).deleteFiles
+    before.size shouldBe 2
+    // ceiling 3: the merged 12-tuple set would write 4 files >= 2 inputs
+    spark.conf.set("graft.mor.maxSingleFileDeleteTuples", "3")
+    try {
+      MergeOnRead.consolidateDeletes(
+        spark, "lakehouse", Seq("cds_ns"), "c_fan") shouldBe 0
+      TableMetadata.load(dir).deleteFiles should contain theSameElementsAs before
+    } finally spark.conf.unset("graft.mor.maxSingleFileDeleteTuples")
+    // reads unaffected either way
+    spark.table(t).count() shouldBe 88
+  }
+
+  test("racing positional UPDATEs of the same row: exactly one commits, no duplicate") {
+    // each positional entry names only the (file, pos) of the snapshot
+    // its writer read — if both committed, neither delete would cover
+    // the other's appended row version and the row would DUPLICATE
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.sql.functions.{concat, lit}
+    for (round <- 0 until 3) {
+      val t = s"lakehouse.cds_ns.c_race$round"
+      mkTable(t, commits = 1)
+      try {
+        import spark.implicits._
+        val fa = Future {
+          try Right(MergeOnRead.morUpdateWhere(spark, "lakehouse", Seq("cds_ns"),
+            s"c_race$round", $"k" === 5, Map("v" -> concat($"v", lit("-A")))))
+          catch { case e: Throwable => Left(e.getMessage) }
+        }
+        val fb = Future {
+          try Right(MergeOnRead.morUpdateWhere(spark, "lakehouse", Seq("cds_ns"),
+            s"c_race$round", $"k" === 5, Map("v" -> concat($"v", lit("-B")))))
+          catch { case e: Throwable => Left(e.getMessage) }
+        }
+        val ra = Await.result(fa, 120.seconds)
+        val rb = Await.result(fb, 120.seconds)
+        val rows = spark.table(t).where($"k" === 5).collect()
+        withClue(s"round $round: a=$ra b=$rb rows=${rows.mkString}: ") {
+          rows.length shouldBe 1 // never duplicated, never lost
+          // at most one writer won; a loser failed clean
+          if (ra.isRight && rb.isRight)
+            fail("both positional updates of one row committed")
+        }
+      } finally spark.sql(s"DROP TABLE $t")
+    }
+  }
 }
