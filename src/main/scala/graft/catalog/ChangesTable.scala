@@ -198,8 +198,13 @@ private[catalog] class ChangelogStaging(
     var v = fromV + 1
     while (v <= toV) {
       val f = TableMetadata.versionFile(tableDir, v)
-      if (Files.exists(f)) {
-        val m = TableMetadata.fromJson(Files.readString(f))
+      // an expire tombstone is the same situation as a missing file:
+      // expired history, left for staging to diagnose
+      val parsed =
+        if (!Files.exists(f)) None
+        else try Some(TableMetadata.fromJson(Files.readString(f)))
+        catch { case _: ExpiredVersionException => None }
+      parsed.foreach { m =>
         if (firstSchema == null) firstSchema = m.schema
         else if (m.schema != firstSchema)
           throw new IllegalArgumentException(

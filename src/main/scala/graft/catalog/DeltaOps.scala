@@ -237,10 +237,12 @@ private class LakehouseDeltaWrite(
             // equality entry: applies by key-range overlap + sequence,
             // never names data files — footer ranges keep clean files
             // provably clean (MergeOnRead.applicable)
-            DeleteFile(f, ks, next, delFooters(f).rows, delFooters(f).cols)
+            DeleteFile(f, ks, next, delFooters(f).rows, delFooters(f).cols,
+              paired = dataFiles.nonEmpty)
           case None =>
             DeleteFile(f, Seq(DeleteFile.PosFileCol, DeleteFile.PosPosCol), next,
-              delFooters(f).rows, delFooters(f).cols, kind = DeleteFile.Positional)
+              delFooters(f).rows, delFooters(f).cols, kind = DeleteFile.Positional,
+              paired = dataFiles.nonEmpty)
         }
       }
       .filter(_.rows > 0) // empty task files carry no delete semantics
@@ -256,7 +258,8 @@ private class LakehouseDeltaWrite(
     // merges the marks monotonically under races
     val props = IdentityColumns.advance(base.properties,
       IdentityColumns.committedExtreme(base.schema, base.properties,
-        dataFooters.view.mapValues(_.cols).toMap))
+        dataFooters.view.mapValues(_.cols).toMap,
+        dataFooters.view.mapValues(_.rows).toMap))
     TableMetadata.commitOrRebase(tableDir, base = base, attempt = base.copy(
       version = next,
       files = allFiles,

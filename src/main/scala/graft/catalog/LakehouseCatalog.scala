@@ -669,7 +669,8 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
               s"cannot declare identity on '$c': existing files hold null or " +
                 "unverifiable values — backfill the column first")
             m.copy(properties = IdentityColumns.advance(withId,
-              IdentityColumns.committedExtreme(m.schema, withId, m.fileStats)))
+              IdentityColumns.committedExtreme(m.schema, withId, m.fileStats,
+                m.fileRows)))
           } else m.copy(properties = m.properties + (set.property -> set.value))
         case rm: TableChange.RemoveProperty =>
           m.copy(properties = m.properties - rm.property)

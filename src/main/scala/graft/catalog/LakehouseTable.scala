@@ -1016,7 +1016,7 @@ class LakehouseTable(
       val props =
         if (mintedFrom.isEmpty) props0
         else IdentityColumns.advance(props0,
-          IdentityColumns.committedExtreme(current.schema, props0, newStats))
+          IdentityColumns.committedExtreme(current.schema, props0, newStats, newRows))
       val op = if (overwrite) "overwrite" else "append"
       // an overwrite replaces every data file at the new sequence: old
       // delete entries can never apply again — drop the dead weight

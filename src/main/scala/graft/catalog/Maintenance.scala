@@ -572,7 +572,8 @@ object Maintenance {
       // against the racer's possibly-larger mark (advance never regresses)
       val props = IdentityColumns.advance(
         current.properties + (key -> batchId.toString),
-        IdentityColumns.committedExtreme(schema, current.properties, newStats))
+        IdentityColumns.committedExtreme(schema, current.properties, newStats,
+          footers.view.mapValues(_.rows).toMap))
       try {
         TableMetadata.commit(dir, current.copy(
           version = current.version + 1,
@@ -671,14 +672,17 @@ object Maintenance {
       // seq recomputed per attempt: it must equal THIS commit's version
       // for the entry to cover exactly the pre-batch files
       val entries = delFiles.map { f =>
-        DeleteFile(f, keyColumns, next, delFooters(f).rows, delFooters(f).cols)
+        // upsert: the entry is born with its replacement files
+        DeleteFile(f, keyColumns, next, delFooters(f).rows, delFooters(f).cols,
+          paired = newFiles.nonEmpty)
       }
       val allFiles = current.files ++ newFiles
       // see watermarkedPublish: upserted explicit identity values must
       // advance the mark or a later INSERT re-mints them
       val props = IdentityColumns.advance(
         current.properties + (key -> batchId.toString),
-        IdentityColumns.committedExtreme(schema, current.properties, newStats))
+        IdentityColumns.committedExtreme(schema, current.properties, newStats,
+          footers.view.mapValues(_.rows).toMap))
       try {
         TableMetadata.commit(dir, current.copy(
           version = next,
@@ -1180,7 +1184,7 @@ object Maintenance {
       s"invalid tag name '$name' (must contain a non-digit)")
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
-    require(Files.exists(TableMetadata.versionFile(dir, version)),
+    require(TableMetadata.versionIsLive(dir, version),
       s"cannot tag v$version: metadata missing (never existed or already expired)")
     commitPropertyChange(dir, s"tag($name=v$version)",
       _ + (TagPrefix + name -> version.toString))
@@ -1354,7 +1358,8 @@ object Maintenance {
     // never collide with branch-staged ids
     val props = IdentityColumns.advance(head.properties,
       IdentityColumns.committedExtreme(schema, head.properties,
-        footers.view.mapValues(_.cols).toMap))
+        footers.view.mapValues(_.cols).toMap,
+        footers.view.mapValues(_.rows).toMap))
     commitToBranchOrRebase(dir, name, head, head.copy(
       version = next,
       files = head.files ++ newFiles,
@@ -1472,22 +1477,13 @@ object Maintenance {
       bdir.resolve(s"v${meta.version - 1}.json"),
       TableMetadata.versionFile(dir, meta.version - 1)).find(Files.exists(_))
     val (json, _, newManifests) = TableMetadata.renderNext(md, prevFile, meta)
-    val tmp = Files.createTempFile(bdir, s".v${meta.version}-", ".json.tmp")
-    Files.writeString(tmp, json)
-    try {
-      try Files.createLink(target, tmp)
-      catch {
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
-            if !Files.exists(target) =>
-          Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
-    } catch {
-      case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
-          if Files.exists(target) =>
-        newManifests.foreach(p => Files.deleteIfExists(p))
-        throw new IllegalStateException(
-          s"commit conflict: branch '$name' version ${meta.version} already exists", e)
-    } finally Files.deleteIfExists(tmp)
+    // one publish protocol (link-CAS, no-link fallback, conflict
+    // classification, post-link chunk verification) — shared with the
+    // main log so a fix there can never silently miss the branch path
+    TableMetadata.publishPayload(bdir, target, json, newManifests,
+      meta.name, meta.version, conflictMsg =
+        s"commit conflict: branch '$name' version ${meta.version} already exists",
+      advanceHint = false)
   }
 
   /** PUBLISH a branch: move main's head to the branch head by copying
@@ -1656,16 +1652,33 @@ object Maintenance {
     val doomed = (1 until cutoff)
       .filterNot(tagged.contains)
       .filterNot(forks.contains)
-      .filter(v => Files.exists(TableMetadata.versionFile(dir, v)))
-    // the hint MUST reach current before any version below it vanishes:
-    // retained tagged/fork versions below the cutoff sit under a gap,
-    // and a stale hint at one of them would resolve as "current" once
-    // its successor is gone (currentVersion's probe re-reads the hint
+      // skips slots already tombstoned by a previous expire and slots
+      // deleted by a pre-tombstone expire
+      .filter(v => TableMetadata.versionIsLive(dir, v))
+    // the hint MUST reach current before any version below it is
+    // tombstoned: retained tagged/fork versions below the cutoff sit
+    // under an expired range, and a stale hint at one of them must not
+    // resolve as "current" (currentVersion's probe re-reads the hint
     // to close the in-flight-reader race — that depends on this order).
-    // A hint-write failure aborts the expire; nothing is deleted yet.
+    // A hint-write failure aborts the expire; nothing is expired yet.
     if (doomed.nonEmpty)
       TableMetadata.writeHintStrict(TableMetadata.metadataDir(dir), meta.version)
-    doomed.foreach(v => Files.deleteIfExists(TableMetadata.versionFile(dir, v)))
+    // TOMBSTONE, never delete: the version-number space must stay
+    // append-only so a committer that stalled across this expire hits
+    // EEXIST at its (now below-head) target slot and fails with a clean
+    // retryable conflict. Deleting the slot would let its createLink
+    // succeed below head — a silently forked log and a lost update
+    // (the zombie reports success but no descendant of head carries
+    // its files). The bytes come back anyway: the tombstone is ~30
+    // bytes vs the manifests the expire actually reclaims.
+    doomed.foreach { v =>
+      val f = TableMetadata.versionFile(dir, v)
+      val tmp = Files.createTempFile(TableMetadata.metadataDir(dir), ".tomb-", ".tmp")
+      Files.writeString(tmp, TableMetadata.tombstoneJson(v))
+      Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     reapOrphanManifests(dir, manifestGraceMs)
     doomed.size
   }
@@ -1680,27 +1693,68 @@ object Maintenance {
   private def reapOrphanManifests(dir: Path, graceMs: Long): Int = {
     val md = TableMetadata.metadataDir(dir)
     if (!Files.isDirectory(md)) return 0
-    val payloads = Fs.children(md).iterator
-      .filter(p => p.getFileName.toString.matches("v\\d+\\.json")).toList ++ {
-      val broot = md.resolve("branches")
-      if (!Files.isDirectory(broot)) Nil
-      else Fs.children(broot).iterator.filter(Files.isDirectory(_)).toList
-        .flatMap(b => Fs.children(b).iterator
-          .filter(p => p.getFileName.toString.matches("v\\d+\\.json")).toList)
+    def referencedChunks(): Set[String] = {
+      val payloads = Fs.children(md).iterator
+        .filter(p => p.getFileName.toString.matches("v\\d+\\.json")).toList ++ {
+        val broot = md.resolve("branches")
+        if (!Files.isDirectory(broot)) Nil
+        else Fs.children(broot).iterator.filter(Files.isDirectory(_)).toList
+          .flatMap(b => Fs.children(b).iterator
+            .filter(p => p.getFileName.toString.matches("v\\d+\\.json")).toList)
+      }
+      payloads.flatMap { p =>
+        try TableMetadata.fromJson(Files.readString(p)).manifests.map(_.path)
+        catch {
+          case _: java.nio.file.NoSuchFileException => Nil // racing expire
+          case _: ExpiredVersionException => Nil // tombstone: references nothing
+        }
+      }.toSet
     }
-    val referenced = payloads.flatMap { p =>
-      try TableMetadata.fromJson(Files.readString(p)).manifests.map(_.path)
-      catch { case _: java.nio.file.NoSuchFileException => Nil } // racing expire
-    }.toSet
+    // crash recovery: a previous reap that died between rename and
+    // decision left `.<name>.reap` files — restore any whose original
+    // is absent, then judge them like every other chunk below
+    Fs.children(md).iterator
+      .filter(_.getFileName.toString.endsWith(".reap")).toList
+      .foreach { t =>
+        val orig = t.resolveSibling(
+          t.getFileName.toString.stripPrefix(".").stripSuffix(".reap"))
+        if (!Files.exists(orig)) {
+          try Files.move(t, orig) catch { case _: Exception => () }
+        } else Files.deleteIfExists(t)
+      }
+    val referenced = referencedChunks()
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphans = Fs.children(md).iterator
+    val candidates = Fs.children(md).iterator
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("m-") && n.endsWith(".json") && !referenced.contains(n) &&
           scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff).getOrElse(false)
       }.toList
-    orphans.foreach(p => Files.deleteIfExists(p))
-    orphans.size
+    if (candidates.isEmpty) return 0
+    // TWO-PHASE reap — rename away, re-scan, then restore or delete —
+    // so no interleaving with an in-flight commit can brick the table:
+    //  - a commit that links AFTER the rename fails its post-link chunk
+    //    verification (publishPayload) and retries cleanly;
+    //  - a commit that verified BEFORE the rename has already published
+    //    its payload, so the re-scan sees the chunk referenced and the
+    //    rename is undone.
+    // A reaper crash between rename and decision self-heals: the next
+    // reap (and Manifests.read on a miss) restores `.<name>.reap`
+    // leftovers before judging them again.
+    val moved = candidates.flatMap { p =>
+      val t = p.resolveSibling("." + p.getFileName.toString + ".reap")
+      try { Files.deleteIfExists(t); Files.move(p, t); Some(p -> t) }
+      catch { case _: Exception => None } // racing reaper/reader: leave it
+    }
+    val referenced2 = referencedChunks()
+    var reaped = 0
+    moved.foreach { case (orig, t) =>
+      if (referenced2.contains(orig.getFileName.toString)) {
+        try Files.move(t, orig)
+        catch { case _: Exception => () } // a reader already restored it
+      } else { Files.deleteIfExists(t); reaped += 1 }
+    }
+    reaped
   }
 
   /** Metadata-only import of existing parquet files (Iceberg's
@@ -1835,7 +1889,8 @@ object Maintenance {
     // mark past them (from the footers already in hand) so later
     // INSERTs never collide with imported ids
     val props = IdentityColumns.advance(current.properties,
-      IdentityColumns.committedExtreme(current.schema, current.properties, newStats))
+      IdentityColumns.committedExtreme(current.schema, current.properties, newStats,
+        byRel.view.mapValues(_.rows).toMap))
     TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = nextVersion,
       files = allFiles,

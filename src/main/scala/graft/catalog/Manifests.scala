@@ -155,8 +155,31 @@ object Manifests {
   def read(mdDir: Path, ref: ManifestRef): Seq[ManifestEntry] = {
     val file = mdDir.resolve(ref.path)
     val key = file.toAbsolutePath.normalize.toString
-    cacheGet(key).getOrElse {
-      val text = Files.readString(file)
+    cacheGet(key).map { hit =>
+      // the integrity gate must hold on cache HITS too: the committer
+      // seeds the cache, so a payload whose recorded count disagrees
+      // with the chunk would otherwise pass on a warm driver and only
+      // crash after a restart — corruption surfacing far from its cause
+      if (hit.size != ref.count) throw new IllegalStateException(
+        s"corrupt manifest $file: holds ${hit.size} entries, " +
+          s"the committed ref recorded ${ref.count}")
+      hit
+    }.getOrElse {
+      val text =
+        try Files.readString(file)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            // self-heal a crashed two-phase reap: the orphan reaper
+            // renames a candidate to `.<name>.reap` before deciding; a
+            // crash in that window leaves a referenced chunk parked
+            // under the trash name — restore it and retry
+            val trash = file.resolveSibling("." + file.getFileName.toString + ".reap")
+            if (Files.exists(trash)) {
+              try Files.move(trash, file)
+              catch { case _: Exception => () } // the reaper restored it first
+              Files.readString(file)
+            } else throw e
+        }
       bytesRead.addAndGet(text.length.toLong)
       manifestsParsed.incrementAndGet()
       val entries = JsonMethods.parse(text) match {
@@ -190,12 +213,36 @@ object Manifests {
       version: Int,
       entries: Seq[ManifestEntry]): Seq[ManifestRef] =
     entries.grouped(ChunkSize).map { chunk =>
-      val name = s"m-$version-${UUID.randomUUID().toString.take(8)}.json"
       val json = JObject("entries" -> JArray(chunk.map(entryJson).toList))
-      val tmp = Files.createTempFile(mdDir, s".$name-", ".tmp")
-      Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
-      // unique name: a plain atomic move can never collide
-      Files.move(tmp, mdDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val text = JsonMethods.compact(JsonMethods.render(json))
+      // full 122-bit UUID + a create-exclusive publish: racing
+      // committers of the same version that drew the same name would
+      // otherwise silently replace each other's chunk with ATOMIC_MOVE
+      // (rename(2) replaces), and the loser's conflict cleanup would
+      // then delete the winner's referenced chunk
+      var name: String = null
+      var placed = false
+      var attempts = 0
+      while (!placed) {
+        name = s"m-$version-${UUID.randomUUID()}.json"
+        val target = mdDir.resolve(name)
+        val tmp = Files.createTempFile(mdDir, s".m$version-", ".tmp")
+        Files.writeString(tmp, text)
+        try {
+          try { Files.createLink(target, tmp); placed = true }
+          catch {
+            case _: UnsupportedOperationException =>
+              // no hard links: flagless move refuses an existing target
+              Files.move(tmp, target); placed = true
+          }
+        } catch {
+          case e @ (_: java.nio.file.FileAlreadyExistsException
+              | _: java.nio.file.FileSystemException) if Files.exists(target) =>
+            attempts += 1
+            if (attempts > 3) throw new IllegalStateException(
+              s"manifest name collision persisted after $attempts draws: $target", e)
+        } finally Files.deleteIfExists(tmp)
+      }
       val ref = ManifestRef(path = name, count = chunk.size)
       // seed the cache: the committer (and the next loads) re-read this
       cachePut(mdDir.resolve(name).toAbsolutePath.normalize.toString, chunk)

@@ -330,8 +330,9 @@ object MergeOnRead {
     val delFiles = stagedParquet(tableDir, delRel)
     val delFooters = footersOf(delFiles, posKeySchema)
     val entries = delFiles.map { f =>
+      // positional UPDATE: the entry is born with its replacement files
       DeleteFile(f, Seq(PosFileCol, PosPosCol), next, delFooters(f).rows,
-        delFooters(f).cols, kind = DeleteFile.Positional)
+        delFooters(f).cols, kind = DeleteFile.Positional, paired = true)
     }
 
     val dataRel = s"data/c$next-morupd-${UUID.randomUUID().toString.take(8)}"
@@ -456,7 +457,8 @@ object MergeOnRead {
     val delFiles = stagedParquet(tableDir, delRel)
     val delFooters = footersOf(delFiles, kSchema)
     val entries = delFiles.map { f =>
-      DeleteFile(f, keyCols, next, delFooters(f).rows, delFooters(f).cols)
+      DeleteFile(f, keyCols, next, delFooters(f).rows, delFooters(f).cols,
+        paired = appendData.isDefined)
     }
     val keyRows = entries.map(_.rows).sum
     if (keyRows == 0) {
@@ -647,7 +649,8 @@ object MergeOnRead {
       val seq = group.map(_.seq).max
       group -> delFiles.map { f =>
         val footer = FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
-        DeleteFile(f, keyCols, seq, footer.rows, footer.cols, kind = group.head.kind)
+        DeleteFile(f, keyCols, seq, footer.rows, footer.cols, kind = group.head.kind,
+          paired = group.exists(_.paired))
       }
     }
     // consolidation must actually consolidate PER GROUP: a merged tuple

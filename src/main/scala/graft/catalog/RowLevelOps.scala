@@ -222,7 +222,8 @@ class LakehouseRowLevelOperation(
     // the high-water mark, or the next batch INSERT re-mints them as
     // duplicates; rebase merges the marks monotonically under races
     val props = IdentityColumns.advance(base.properties,
-      IdentityColumns.committedExtreme(base.schema, base.properties, newStats))
+      IdentityColumns.committedExtreme(base.schema, base.properties, newStats,
+        footers.view.mapValues(_.rows).toMap))
     TableMetadata.commitOrRebase(tableDir, base = base, attempt = base.copy(
       version = base.version + 1,
       files = allFiles,

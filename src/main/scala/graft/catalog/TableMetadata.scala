@@ -44,14 +44,23 @@ final case class Snapshot(
   * data file f iff `seq > fileSeq(f)`, so rows (re)inserted AFTER the
   * delete are untouched (for positional entries this is exact too: the
   * offsets were scanned from files of the snapshot the entry was
-  * computed against). */
+  * computed against).
+  *
+  * `paired` marks an entry born TOGETHER with replacement data files in
+  * its commit (UPDATE/MERGE/upsert) — the deleted rows live on under
+  * new identities. [[TableMetadata.rebase]] needs the distinction: a
+  * concurrent plain delete commutes with a pure delete (double-deletes
+  * agree) but NOT with a replacement (the replaced row would survive
+  * the delete under its new identity), and the accumulated base→cur
+  * delta can't reconstruct which commit a delete entry arrived with. */
 final case class DeleteFile(
     path: String,
     keyColumns: Seq[String],
     seq: Int,
     rows: Long,
     keyRanges: Map[String, ColumnRange] = Map.empty,
-    kind: String = DeleteFile.Equality) {
+    kind: String = DeleteFile.Equality,
+    paired: Boolean = false) {
   def isPositional: Boolean = kind == DeleteFile.Positional
 }
 
@@ -107,6 +116,7 @@ final case class TableMetadata(
         "seq" -> JInt(d.seq),
         "rows" -> JLong(d.rows),
         "kind" -> JString(d.kind),
+        "paired" -> JBool(d.paired),
         "keyRanges" -> JObject(d.keyRanges.toList.sortBy(_._1).map { case (c, r) =>
           c -> Manifests.rangeJson(r)
         }))
@@ -152,12 +162,36 @@ final case class TableMetadata(
   }
 }
 
+/** Raised when a reader lands on a version slot `expireSnapshots`
+  * TOMBSTONED. Expire replaces old payloads with a tiny marker instead
+  * of deleting them, keeping the version-number space append-only: a
+  * committer that stalled across an expire (its target slot now below
+  * head) hits the tombstone's EEXIST at publish and fails with a clean,
+  * retryable conflict — deletion would let its `createLink` succeed
+  * below head, silently forking the log and losing its own update. */
+final class ExpiredVersionException(msg: String) extends IllegalStateException(msg)
+
 object TableMetadata {
+
+  /** The payload [[Maintenance.expireSnapshots]] atomically swaps over
+    * an expired version file (see [[ExpiredVersionException]]). */
+  private[catalog] def tombstoneJson(v: Int): String =
+    s"""{"expired":true,"version":$v}"""
+
+  /** True when version `v` still has a readable payload — present and
+    * not an expire tombstone (the ~30-byte marker; any real payload
+    * carries at least a schema and snapshot list). */
+  private[catalog] def versionIsLive(tableDir: Path, v: Int): Boolean = {
+    val f = versionFile(tableDir, v)
+    Files.exists(f) &&
+      (try Files.size(f) >= 64 catch { case _: java.io.IOException => false })
+  }
 
   /** Parse a version payload — BOTH formats. Legacy inline payloads
     * come back full; manifest-list payloads come back as a SUMMARY
     * (empty file maps, `manifests` populated) that [[resolve]] /
-    * [[loadFile]] fill in. */
+    * [[loadFile]] fill in. Expire tombstones raise
+    * [[ExpiredVersionException]]. */
   def fromJson(text: String): TableMetadata = {
     val j = JsonMethods.parse(text)
     def str(v: JValue): String = v match { case JString(s) => s; case other => other.values.toString }
@@ -168,6 +202,10 @@ object TableMetadata {
       case JInt(i) => i.toLong; case JLong(l) => l; case other => other.values.toString.toLong
     }
     val o = j.asInstanceOf[JObject].obj.toMap
+    if (o.contains("expired"))
+      throw new ExpiredVersionException(
+        s"version ${o.get("version").map(int).getOrElse(-1)} expired " +
+          "(expireSnapshots) — not time-travelable; re-sync from the current snapshot")
     def parseRange(r: JValue): ColumnRange = Manifests.parseRange(r)
     TableMetadata(
       version = int(o("version")),
@@ -201,7 +239,11 @@ object TableMetadata {
               kr.obj.map { case (c, r) => c -> parseRange(r) }.toMap
             }.getOrElse(Map.empty),
             // absent in pre-positional metadata → equality (back-compat)
-            kind = d.get("kind").map(str).getOrElse(DeleteFile.Equality))
+            kind = d.get("kind").map(str).getOrElse(DeleteFile.Equality),
+            paired = d.get("paired").exists {
+              case JBool(b) => b
+              case other => other.values.toString.toBoolean
+            })
         }
       }.getOrElse(Seq.empty),
       snapshots = o("snapshots").asInstanceOf[JArray].arr.map { sv =>
@@ -317,9 +359,14 @@ object TableMetadata {
     (1 to currentVersion(tableDir)).flatMap { v =>
       // read-then-catch, not exists-then-read: a concurrent
       // expireSnapshots between the two would crash the reader instead
-      // of registering as a gap
+      // of registering as a gap. Expired slots are gaps whether they
+      // are tombstones (current expire) or missing files (pre-tombstone
+      // tables).
       try Some(loadFile(tableDir, versionFile(tableDir, v)))
-      catch { case _: java.nio.file.NoSuchFileException => None }
+      catch {
+        case _: java.nio.file.NoSuchFileException => None
+        case _: ExpiredVersionException => None
+      }
     }
 
   /** Optimistic-concurrency commit: write to a temp file, then publish
@@ -354,32 +401,69 @@ object TableMetadata {
   /** Atomically land a rendered version payload at `target`; on a lost
     * race, delete this attempt's freshly-written manifest chunks (they
     * are referenced by nothing — the expire-time orphan reaper is only
-    * the crash backstop) and raise the commit conflict. */
-  private def publishPayload(
+    * the crash backstop) and raise the commit conflict. ONE copy of the
+    * publish protocol: the branch log ([[Maintenance]]) lands its
+    * payloads through here too, with its own conflict message.
+    *
+    * Protocol details that are load-bearing:
+    *  - `createLink` (link(2)) fails EEXIST atomically — exactly one
+    *    racer wins a version slot. On filesystems without hard links
+    *    the fallback is a FLAGLESS move: `Files.move` without
+    *    REPLACE_EXISTING refuses an existing target, where an explicit
+    *    exists-check + ATOMIC_MOVE would be a TOCTOU in which two
+    *    racers both "succeed" and one payload is silently replaced.
+    *  - every non-conflict failure (including
+    *    UnsupportedOperationException from a no-link fs) is classified:
+    *    a raw escape would bypass [[commitOrRebase]]'s
+    *    "commit conflict" retry filter and leak this attempt's chunks.
+    *  - the attempt's manifest chunks are re-verified to exist AFTER
+    *    the link: a committer stalled past the orphan reaper's grace
+    *    window can have its not-yet-referenced chunks reaped between
+    *    `Manifests.write` and here; publishing anyway would make the
+    *    table head unreadable. Nobody can have built on the just-linked
+    *    version (loading it crashes on the missing chunk), so deleting
+    *    it and raising a retryable conflict is safe. */
+  private[catalog] def publishPayload(
       md: Path,
       target: Path,
       json: String,
       newManifests: Seq[Path],
       name: String,
-      version: Int): Unit = {
+      version: Int,
+      conflictMsg: String = null,
+      // branch-log payloads share the protocol but their version
+      // numbers must never advance the MAIN log's hint
+      advanceHint: Boolean = true): Unit = {
+    val conflict = Option(conflictMsg).getOrElse(
+      s"commit conflict: version $version already exists for $name")
     val tmp = Files.createTempFile(md, s".v$version-", ".json.tmp")
     Files.writeString(tmp, json)
     try {
       try Files.createLink(target, tmp)
       catch {
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
-            if !Files.exists(target) =>
-          // no hard-link support (and not a genuine conflict): best effort
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+        case _: UnsupportedOperationException =>
+          Files.move(tmp, target) // flagless: refuses an existing target
+        case _: java.nio.file.FileSystemException if !Files.exists(target) =>
+          // link failed for a non-conflict reason (e.g. cross-device)
+          Files.move(tmp, target)
       }
     } catch {
       case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
           if Files.exists(target) =>
         newManifests.foreach(p => Files.deleteIfExists(p))
-        throw new IllegalStateException(
-          s"commit conflict: version $version already exists for $name", e)
+        throw new IllegalStateException(conflict, e)
+      case e: Exception =>
+        newManifests.foreach(p => Files.deleteIfExists(p))
+        throw e
     } finally Files.deleteIfExists(tmp)
-    writeHint(md, version)
+    newManifests.find(!Files.exists(_)).foreach { gone =>
+      Files.deleteIfExists(target)
+      throw new IllegalStateException(
+        s"commit conflict: manifest chunk ${gone.getFileName} of $name " +
+          s"v$version was reaped while the commit was in flight (stalled " +
+          "past the orphan grace window) — retry re-renders the chunks")
+    }
+    if (advanceHint) writeHint(md, version)
   }
 
   /** Metadata-only commit that CONSOLIDATES the manifest list: the base
@@ -441,7 +525,12 @@ object TableMetadata {
       meta: TableMetadata): (String, TableMetadata, Seq[Path]) = {
     val prevSummary = prevFile.flatMap { f =>
       try Some(fromJson(Files.readString(f)))
-      catch { case _: java.nio.file.NoSuchFileException => None }
+      catch {
+        case _: java.nio.file.NoSuchFileException => None
+        // a zombie commit whose predecessor expired renders fresh
+        // chunks here, then dies cleanly on the tombstone's EEXIST
+        case _: ExpiredVersionException => None
+      }
     }
     val prevRefs = prevSummary.map(_.manifests).getOrElse(Seq.empty)
     val prevByRef = prevRefs.map(r => r -> Manifests.read(mdDir, r))
@@ -637,6 +726,43 @@ object TableMetadata {
           })
       if (!disjoint) return None
     }
+    // MIXED-KIND delete races never commute — the two sides' targets
+    // are incomparable (positional entries name (file, pos); equality
+    // entries name key values), so row-level overlap can't be refuted,
+    // and every overlapping interleaving is a lost write:
+    //  - the attempt REPLACED rows positionally (UPDATE/MERGE: new
+    //    files + positional dels) while a racer deleted or replaced
+    //    rows by VALUE: the attempt's replacement rows escape the
+    //    racer's committed equality delete (its seq predates them), so
+    //    a row the racer deleted resurrects carrying the update;
+    //  - the attempt's PLAIN delete (either kind) raced a racer that
+    //    REPLACED rows (new delete entries + new files): the racer's
+    //    replacement row for a matched key escapes the attempt's
+    //    entries (positional ones name only base files; preserved-seq
+    //    equality ones predate the racer's files), so the "deleted"
+    //    row survives under its new identity.
+    // Equality-UPSERT-shaped attempts stay commutable: re-sequencing
+    // below makes their value-addressed entries cover the racer's
+    // files. Iceberg's validateNoConflictingDeleteFiles refuses these
+    // same races.
+    val racerNewDels = cur.deleteFiles.filterNot(baseDels)
+    if (addedDels.exists(_.isPositional) && added.nonEmpty &&
+        racerNewDels.exists(!_.isPositional)) return None
+    // "a racer REPLACED rows" must be detected per COMMIT, not from the
+    // accumulated delta: base→cur may contain one racer's pure append
+    // and another's pure delete, which all commute with a plain delete
+    // (new rows are out of its snapshot; double-deletes agree). The
+    // `paired` flag records commit-time pairing exactly — seq-based
+    // reconstruction is ambiguous (a rebased plain delete keeps its
+    // base-computed seq, which can equal an unrelated append's
+    // fileSeq).
+    // (pure positional-vs-positional combinations are NOT refused
+    // here: the range guard above already proved the two sides target
+    // disjoint files, which IS a row-level disjointness proof)
+    if (added.isEmpty && addedDels.nonEmpty &&
+        racerNewDels.exists(o => o.paired &&
+          (!o.isPositional || addedDels.exists(!_.isPositional))))
+      return None
 
     val next = cur.version + 1
     val addedSet = added.toSet

@@ -2556,9 +2556,105 @@ FROM s$rounds ORDER BY doc_id""")
            |FROM cum JOIN alloc ON cum.lang = alloc.lang ORDER BY cum.doc_id"""
       .stripMargin))
 
+  /** q107: sliding-window document chunking — split every document
+    * into fixed-size token windows (W=64) advanced by a stride (S=48,
+    * i.e. 16 tokens of overlap), the preprocessing step every
+    * embedding/RAG/pretraining pipeline runs before batching. Output:
+    * one row per (doc, chunk) with the chunk's token count and an
+    * md5 content fingerprint.
+    *
+    * Scale shape: entirely row-local — one `sequence` + `slice` HOF
+    * pipeline inside codegen, no shuffle besides the final order. The
+    * chunk count per doc is integer math (`1 + floor((n-W+S-1)/S)`),
+    * identical in both engines (explicit FLOOR: DuckDB CAST rounds
+    * while Spark's truncates, so a bare cast would diverge on .5). */
+  val q107 = Q(
+    "q107_doc_chunking",
+    (s, d) => {
+      val W = 64
+      val S = 48
+      tokenized(s, d)
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+        .withColumn("nc",
+          when(col("n") <= W, lit(1)).otherwise(
+            lit(1) + floor((col("n") - lit(W) + lit(S - 1)).cast("double") / S).cast("int")))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+        .withColumn("chunk", slice(col("toks"), col("chunk_idx") * S + 1, lit(W)))
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |         LEN(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |counted AS (
+           |  SELECT doc_id, t, n,
+           |         CASE WHEN n <= 64 THEN 1
+           |              ELSE 1 + CAST(FLOOR((n - 64 + 47.0) / 48) AS INT) END AS nc
+           |  FROM toks),
+           |c AS (
+           |  SELECT doc_id, u.chunk_idx AS chunk_idx, u.chunk AS chunk
+           |  FROM (SELECT doc_id,
+           |          unnest([{'chunk_idx': i,
+           |                   'chunk': list_slice(t, i * 48 + 1, LEAST(i * 48 + 64, n))}
+           |                  FOR i IN range(0, nc)]) AS u
+           |        FROM counted))
+           |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           |       CAST(LEN(chunk) AS BIGINT) AS chunk_tokens,
+           |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** q108: greedy sequence packing — concatenate each shard's document
+    * stream and chop it into fixed 256-token training sequences; a
+    * document's bin is its start offset ÷ 256 (the concat-and-chop
+    * packing GPT-style pretraining uses; documents may span a bin
+    * boundary). Output: per (shard, bin) the packed doc count, token
+    * total, and doc-id range.
+    *
+    * Scale shape: the cumulative-offset window is PARTITIONED by shard
+    * (`doc_id % 32` here — deterministic for the oracle; production
+    * uses one shard per data-loader worker, thousands at cluster
+    * scale), so no corpus-wide sort or single-partition window exists;
+    * each shard's window is the per-worker sequential stream a real
+    * packer consumes. Everything else is one hash aggregation. */
+  val q108 = Q(
+    "q108_sequence_packing",
+    (s, d) => {
+      val SEQ = 256
+      val SHARDS = 32
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      tokenized(s, d)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n"))
+        .withColumn("shard", (col("doc_id") % SHARDS).cast("long"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n")).cast("double") / SEQ).cast("long"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("bin"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n,
+           |         doc_id % 32 AS shard
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, n, shard,
+           |         SUM(n) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+           |  FROM t)
+           |SELECT shard, CAST(FLOOR((cum - n) / 256.0) AS BIGINT) AS bin,
+           |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(n) AS BIGINT) AS n_tokens,
+           |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+           |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin))
+
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
       q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
-      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79, q80, q88)
+      q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79, q80, q88,
+      q107, q108)
 }

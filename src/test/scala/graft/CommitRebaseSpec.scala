@@ -380,4 +380,107 @@ class CommitRebaseSpec extends AnyFunSuite with Matchers {
     spark.table("lakehouse.race_ns.c1").select("v").distinct().count() shouldBe 303
     spark.sql("DROP TABLE lakehouse.race_ns.c1")
   }
+
+  // --- mixed-kind delete races: positional and equality entries name
+  // --- incomparable targets (paths vs key values), so row overlap can
+  // --- never be refuted and the rebase must refuse, not guess
+
+  private def eqDel(path: String, seq: Int, paired: Boolean = false) =
+    DeleteFile(path, Seq("k"), seq, 1, paired = paired)
+  private def posDel(path: String, seq: Int, fileRange: (String, String)) =
+    DeleteFile(path, Seq(DeleteFile.PosFileCol, DeleteFile.PosPosCol), seq, 1,
+      keyRanges = Map(DeleteFile.PosFileCol ->
+        graft.catalog.ColumnRange(fileRange._1, fileRange._2)),
+      kind = DeleteFile.Positional)
+
+  test("positional UPDATE never rebases over a racer's equality delete") {
+    val dir = mkTable("mk1")
+    val base = TableMetadata.load(dir)
+    // racer: plain equality DELETE (no files) — its committed entry
+    // cannot cover the attempt's replacement rows, so the deleted row
+    // would resurrect carrying the update
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      deleteFiles = base.deleteFiles :+ eqDel("deletes/r-eq/d0.parquet", base.version + 1),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "delete", 0, base.files.size)))
+    val e = intercept[IllegalStateException] {
+      TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+        version = base.version + 1,
+        files = base.files :+ "data/x-upd/u0.parquet",
+        deleteFiles = base.deleteFiles :+
+          posDel("deletes/a-pos/d0.parquet", base.version + 1,
+            (base.files.head, base.files.head)),
+        snapshots = base.snapshots :+
+          Snapshot(base.version + 1, 2L, "update", 1, base.files.size + 1)))
+    }
+    e.getMessage should include("do not commute")
+    spark.sql("DROP TABLE lakehouse.race_ns.mk1")
+  }
+
+  test("plain equality DELETE never rebases over a racer that replaced rows") {
+    val dir = mkTable("mk2")
+    val base = TableMetadata.load(dir)
+    // racer: equality upsert (delete entries + replacement files) —
+    // its replacement row for a matched key escapes the attempt's
+    // preserved-seq delete, so the "deleted" row would survive
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-ups/u0.parquet",
+      deleteFiles = base.deleteFiles :+
+        eqDel("deletes/r-ups/d0.parquet", base.version + 1, paired = true),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "upsert", 1, base.files.size + 1)))
+    val e = intercept[IllegalStateException] {
+      TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+        version = base.version + 1,
+        deleteFiles = base.deleteFiles :+ eqDel("deletes/a-del/d0.parquet", base.version + 1),
+        snapshots = base.snapshots :+
+          Snapshot(base.version + 1, 2L, "delete", 0, base.files.size)))
+    }
+    e.getMessage should include("do not commute")
+    spark.sql("DROP TABLE lakehouse.race_ns.mk2")
+  }
+
+  test("plain equality DELETE still commutes with a pure append") {
+    val dir = mkTable("mk3")
+    val base = TableMetadata.load(dir)
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-app2/p0.parquet",
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "append", 1, base.files.size + 1)))
+    // snapshot isolation: the delete applies to the rows its writer
+    // saw; a racer's genuinely new rows are out of scope
+    val committed = TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+      version = base.version + 1,
+      deleteFiles = base.deleteFiles :+ eqDel("deletes/a-del3/d0.parquet", base.version + 1),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "delete", 0, base.files.size)))
+    committed.version shouldBe base.version + 2
+    committed.deleteFiles.map(_.path) should contain("deletes/a-del3/d0.parquet")
+    spark.sql("DROP TABLE lakehouse.race_ns.mk3")
+  }
+
+  test("positional plain deletes with provably disjoint file ranges still commute") {
+    val dir = mkTable("mk4")
+    val base = TableMetadata.load(dir)
+    val (fa, fb) = (base.files.min, base.files.max)
+    fa should not be fb
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      deleteFiles = base.deleteFiles :+ posDel("deletes/r-p4/d0.parquet", base.version + 1, (fa, fa)),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "delete", 0, base.files.size)))
+    // disjoint path ranges ARE a row-disjointness proof: different
+    // files, different rows — the mixed-kind guard must not regress it
+    val committed = TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+      version = base.version + 1,
+      deleteFiles = base.deleteFiles :+ posDel("deletes/a-p4/d0.parquet", base.version + 1, (fb, fb)),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "delete", 0, base.files.size)))
+    committed.deleteFiles.map(_.path) should contain allOf
+      ("deletes/r-p4/d0.parquet", "deletes/a-p4/d0.parquet")
+    spark.sql("DROP TABLE lakehouse.race_ns.mk4")
+  }
 }

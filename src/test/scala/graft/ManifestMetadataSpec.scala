@@ -275,9 +275,12 @@ class ManifestMetadataSpec extends AnyFunSuite with Matchers {
     // simulate the failed hint advance: stale at the tagged version
     java.nio.file.Files.writeString(mdDir(dir).resolve("version-hint.text"), "2")
     spark.sql("CALL lakehouse.system.expire_snapshots('mf', 't7', 2)")
-    // versions 3..5 are gone (2 is tagged, 6..7 retained): the gap sits
-    // directly above the old hint — current must still resolve to 7
-    java.nio.file.Files.exists(TableMetadata.versionFile(dir, 3)) shouldBe false
+    // versions 3..5 are tombstoned (2 is tagged, 6..7 retained): the
+    // expired range sits directly above the old hint — current must
+    // still resolve to 7, and the expired slot reads as expired
+    intercept[Exception] {
+      spark.sql("SELECT * FROM lakehouse.mf.t7 VERSION AS OF 3").count()
+    }.getMessage should include("expired")
     TableMetadata.currentVersion(dir) shouldBe 7
     spark.table("lakehouse.mf.t7").count() shouldBe 5
     spark.sql("DROP TABLE lakehouse.mf.t7")

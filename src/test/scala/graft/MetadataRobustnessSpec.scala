@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.catalog.{ColumnRange, IdentityColumns, Maintenance, ManifestEntry,
+  Manifests, Snapshot, TableMetadata}
+
+/** Failure-mode hardening of the metadata layer: expire tombstones
+  * (zombie commits into expired slots), manifest integrity on warm
+  * caches, two-phase orphan reaping, and identity mint-mark
+  * verifiability. Each test pins a failure a plain delete/skip-based
+  * implementation exhibits. */
+class MetadataRobustnessSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tableDir(t: String) = Paths.get(TestSpark.warehouse, "mrob_ns", t)
+
+  private def mkTable(name: String, commits: Int): java.nio.file.Path = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mrob_ns")
+    spark.sql(s"CREATE TABLE lakehouse.mrob_ns.$name (k INT, v STRING)")
+    (0 until commits).foreach { c =>
+      (0 until 10).map(i => (c * 10 + i, s"v$c-$i")).toDF("k", "v")
+        .createOrReplaceTempView(s"mrob_src_$name")
+      spark.sql(s"INSERT INTO lakehouse.mrob_ns.$name SELECT * FROM mrob_src_$name")
+    }
+    tableDir(name)
+  }
+
+  test("a zombie commit into an expire-created slot fails clean; the log never forks") {
+    val dir = mkTable("zomb", commits = 5) // v1 (create) .. v6
+    // a committer loads v3's state, then stalls
+    val stale = TableMetadata.loadFile(dir, TableMetadata.versionFile(dir, 3))
+    TableMetadata.currentVersion(dir) shouldBe 6
+    // meanwhile expire reclaims history below the retained window
+    Maintenance.expireSnapshots(spark, "lakehouse", Seq("mrob_ns"), "zomb",
+      retainVersions = 2) shouldBe 4 // v1..v4 expired
+    // the zombie wakes and publishes v4 — the expired slot must REFUSE
+    // (tombstone EEXIST), not accept a fork below head: with a deleted
+    // slot its createLink would succeed, it would report success, and
+    // no descendant of head would carry its file (a lost update)
+    val e = intercept[IllegalStateException] {
+      TableMetadata.commit(dir, stale.copy(
+        version = 4,
+        files = stale.files :+ "data/zombie/z0.parquet",
+        snapshots = stale.snapshots :+
+          Snapshot(4, 99L, "append", 1, stale.files.size + 1)))
+    }
+    e.getMessage should include("commit conflict")
+    TableMetadata.currentVersion(dir) shouldBe 6
+    TableMetadata.load(dir).files should not contain "data/zombie/z0.parquet"
+    // a second expire run is a no-op on already-tombstoned slots
+    Maintenance.expireSnapshots(spark, "lakehouse", Seq("mrob_ns"), "zomb",
+      retainVersions = 2) shouldBe 0
+    spark.sql("DROP TABLE lakehouse.mrob_ns.zomb")
+  }
+
+  test("expired slots read as a clean expired error, and reads skip them as gaps") {
+    val dir = mkTable("tomb", commits = 4) // v1..v5
+    Maintenance.expireSnapshots(spark, "lakehouse", Seq("mrob_ns"), "tomb",
+      retainVersions = 2)
+    // time travel to a tombstone: actionable error, not NoSuchFile
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM lakehouse.mrob_ns.tomb VERSION AS OF 2").count()
+    }
+    e.getMessage should include("expired")
+    // the log walk treats tombstones as gaps
+    TableMetadata.loadLog(dir).map(_.version) shouldBe Seq(4, 5)
+    spark.sql("DROP TABLE lakehouse.mrob_ns.tomb")
+  }
+
+  test("manifest ref/chunk count mismatch fails loudly on warm AND cold reads") {
+    val md = Files.createTempDirectory("mrob-mf")
+    val entries = (1 to 10).map(i =>
+      ManifestEntry(s"data/f$i.parquet", Some(1L), 1, Map.empty))
+    val ref = Manifests.write(md, 1, entries).head
+    val bad = ref.copy(count = ref.count - 1)
+    // warm: the committer seeded the cache — corruption detection must
+    // not depend on a driver restart
+    intercept[IllegalStateException] {
+      Manifests.read(md, bad)
+    }.getMessage should include("corrupt manifest")
+    Manifests.clearCacheForTesting()
+    intercept[IllegalStateException] {
+      Manifests.read(md, bad)
+    }.getMessage should include("corrupt manifest")
+    // the true ref still reads
+    Manifests.read(md, ref) should have size 10
+  }
+
+  test("a chunk parked under a crashed reap's trash name self-heals on read") {
+    val md = Files.createTempDirectory("mrob-reap")
+    val entries = (1 to 5).map(i =>
+      ManifestEntry(s"data/g$i.parquet", Some(1L), 1, Map.empty))
+    val ref = Manifests.write(md, 1, entries).head
+    // simulate the reaper crashing between rename and decision
+    val chunk = md.resolve(ref.path)
+    Files.move(chunk, chunk.resolveSibling("." + ref.path + ".reap"))
+    Manifests.clearCacheForTesting()
+    Manifests.read(md, ref) should have size 5
+    Files.exists(chunk) shouldBe true // restored in place
+  }
+
+  test("identity mint mark refuses to advance over unverifiable footer stats") {
+    val schema = new StructType().add("id", LongType).add("v", LongType)
+    val props = Map(
+      IdentityColumns.SpecPrefix + "id" -> IdentityColumns.IdSpec(1, 1, true).encoded)
+    // a stats-disabled foreign file (add_files) with rows but no range:
+    // skipping it would leave the mark behind its ids and the next
+    // INSERT would re-mint them as silent duplicates
+    val e = intercept[IllegalStateException] {
+      IdentityColumns.committedExtreme(schema, props,
+        newStats = Map("data/c/a.parquet" -> Map("v" -> ColumnRange("1", "9", Some(0)))),
+        newRows = Map("data/c/a.parquet" -> 100L))
+    }
+    e.getMessage should include("no footer range for identity column")
+    // a provably EMPTY file is fine — it holds no ids
+    IdentityColumns.committedExtreme(schema, props,
+      newStats = Map("data/c/empty.parquet" -> Map.empty),
+      newRows = Map("data/c/empty.parquet" -> 0L)) shouldBe Map.empty
+    // a verifiable file advances normally
+    IdentityColumns.committedExtreme(schema, props,
+      newStats = Map("data/c/b.parquet" ->
+        Map("id" -> ColumnRange("5", "42", Some(0)))),
+      newRows = Map("data/c/b.parquet" -> 38L)) shouldBe Map("id" -> 42L)
+  }
+}

@@ -508,4 +508,25 @@ class PlanSpec extends AnyFunSuite with Matchers {
     val plan = fullPlan(TpcH.q98.run(spark, "/root/testdata/sf0.01"))
     plan should include("ReusedExchange")
   }
+
+  test("q107 chunking is row-local: one explode, no window, no join") {
+    // the chunk fan-out is sequence+slice inside codegen — any Window
+    // or join here would mean a per-doc shuffle that scales with the
+    // corpus instead of staying embarrassingly parallel
+    val plan = executedPlan(graft.queries.TextOps.q107.run(spark, sf))
+    "Generate explode".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Window"
+    plan should not include "Join"
+  }
+
+  test("q108 packing windows per shard, never a corpus-wide cumsum") {
+    // the cumulative token offset must partition by shard (the
+    // data-loader-worker stream); a bare ORDER BY doc_id window would
+    // serialize the whole corpus through one task
+    val plan = executedPlan(graft.queries.TextOps.q108.run(spark, sf))
+    "windowspecdefinition\\(shard#\\d+L?, doc_id#".r.findFirstIn(plan) should not be None
+    // no empty-partition (global) window spec anywhere in the plan
+    "windowspecdefinition\\(doc_id#".r.findFirstIn(plan) shouldBe None
+    plan should not include "SortMergeJoin"
+  }
 }
