@@ -24,6 +24,18 @@ object Bench {
       try scala.util.Using.resource(scala.io.Source.fromFile("/proc/loadavg")) {
         _.mkString.trim.split(" ").take(3).mkString(",")
       } catch { case _: Throwable => "" }
+    // Hypervisor STEAL is the contention loadavg cannot see: a noisy
+    // neighbor on the host inflates every query uniformly while load1
+    // stays near zero (observed: a 0.37-load box recording 1.4× the
+    // clean per-query minimums with 9% steal under load). Stamping the
+    // /proc/stat delta across the whole run makes that failure mode
+    // self-evident in the artifact: steal_pct ≳ 2-3 of the run's busy
+    // time marks the record host-contended on its face.
+    def cpuTicks(): Array[Long] =
+      try scala.util.Using.resource(scala.io.Source.fromFile("/proc/stat")) {
+        _.getLines().next().split("\\s+").drop(1).map(_.toLong)
+      } catch { case _: Throwable => Array.empty[Long] }
+    val ticksBefore = cpuTicks()
     val loadBefore = loadAvg()
     // Warm up the JVM/codegen and the file-system cache so the first
     // measured query doesn't absorb session startup.
@@ -101,8 +113,20 @@ object Bench {
     // machine spreads min≪max with the min intact. Failed queries carry
     // an "err" record instead of timings.
     val loadAfter = loadAvg()
+    val ticksAfter = cpuTicks()
+    // /proc/stat cumulative fields: user nice system idle iowait irq
+    // softirq steal guest gnice — percentages over the run's total
+    val cpustatJson =
+      if (ticksBefore.length >= 8 && ticksAfter.length >= 8) {
+        val d = ticksAfter.zip(ticksBefore).map { case (a, b) => (a - b).max(0L) }
+        val tot = d.sum.max(1L)
+        def pct(i: Int) = f"${100.0 * d(i) / tot}%.1f"
+        s""""cpustat":{"user_pct":${pct(0)},"system_pct":${pct(2)},""" +
+          s""""idle_pct":${pct(3)},"iowait_pct":${pct(4)},"steal_pct":${pct(7)}},"""
+      } else ""
     val loadJson =
-      s""""loadavg":{"before":"$loadBefore","after":"$loadAfter","cpus":$cpus}"""
+      cpustatJson +
+        s""""loadavg":{"before":"$loadBefore","after":"$loadAfter","cpus":$cpus}"""
     val fullJson =
       sampled.map {
         case (k, Right(ss)) => s""""$k":{"min":${ss.min},"med":${ss(1)},"max":${ss.max}}"""
