@@ -377,9 +377,16 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new IllegalArgumentException(
         s"'$version' is neither a version number, a tag, nor a branch of ${fullName(ident)}"))
     val vf = TableMetadata.versionFile(dir, v)
-    if (!Files.exists(vf))
+    if (!Files.exists(vf)) {
+      // below the expire floor the tombstone itself was collected: keep
+      // the actionable "expired" error a missing-file probe would lose
+      if (v <= TableMetadata.readFloor(TableMetadata.metadataDir(dir)))
+        throw new ExpiredVersionException(
+          s"version $v expired (expireSnapshots) — not time-travelable; " +
+            "re-sync from the current snapshot")
       throw new IllegalArgumentException(
         s"no version $v for table ${fullName(ident)} (current: ${TableMetadata.currentVersion(dir)})")
+    }
     new LakehouseTable(spark, s"${fullName(ident)}@v$v", dir,
       TableMetadata.loadFile(dir, vf), pinned = true)
   }

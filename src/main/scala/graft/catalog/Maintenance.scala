@@ -1528,14 +1528,10 @@ object Maintenance {
     // advancing main) still leaves main on a consistent branch prefix
     window.foreach { case (v, src) =>
       val target = TableMetadata.versionFile(dir, v)
-      try {
-        try Files.createLink(target, src)
-        catch {
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
-              if !Files.exists(target) =>
-            Files.copy(src, target)
-        }
-      } catch {
+      // one claim protocol with the commit path (link-CAS, O_EXCL
+      // fallback): a racer advancing main can never be silently replaced
+      try TableMetadata.claimSlot(target, src)
+      catch {
         case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
             if Files.exists(target) =>
           throw new IllegalStateException(
@@ -1669,15 +1665,40 @@ object Maintenance {
     // retryable conflict. Deleting the slot would let its createLink
     // succeed below head — a silently forked log and a lost update
     // (the zombie reports success but no descendant of head carries
-    // its files). The bytes come back anyway: the tombstone is ~30
-    // bytes vs the manifests the expire actually reclaims.
+    // its files). Tombstones are then garbage-collected below the
+    // EXPIRE FLOOR — see below — so the metadata dir stays bounded.
+    val md = TableMetadata.metadataDir(dir)
     doomed.foreach { v =>
       val f = TableMetadata.versionFile(dir, v)
-      val tmp = Files.createTempFile(TableMetadata.metadataDir(dir), ".tomb-", ".tmp")
-      Files.writeString(tmp, TableMetadata.tombstoneJson(v))
-      Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val tmp = Files.createTempFile(md, ".tomb-", ".tmp")
+      try {
+        Files.writeString(tmp, TableMetadata.tombstoneJson(v))
+        Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+    }
+    // Tombstones would otherwise accumulate one file per version
+    // FOREVER (a streaming table commits thousands a day — the very
+    // growth expire exists to bound). Advance the expire FLOOR over the
+    // contiguous expired prefix, then delete the covered tombstones:
+    // the floor file subsumes their zombie protection (publishPayload
+    // re-checks it after claiming a slot), so a stalled committer whose
+    // tombstone is gone still fails clean. Order is load-bearing:
+    // floor persists BEFORE any tombstone below it is removed. A live
+    // retained version (tag/fork island) stops the scan; its tombstoned
+    // successors above it stay on disk — bounded by the retained
+    // islands, not by commit count.
+    var floor = TableMetadata.readFloor(md)
+    while (floor + 1 < cutoff &&
+        !tagged.contains(floor + 1) && !forks.contains(floor + 1) &&
+        !TableMetadata.versionIsLive(dir, floor + 1)) floor += 1
+    if (floor > TableMetadata.readFloor(md)) {
+      TableMetadata.writeFloor(md, floor)
+      (1 to floor).foreach { v =>
+        if (!tagged.contains(v) && !forks.contains(v))
+          Files.deleteIfExists(TableMetadata.versionFile(dir, v))
+      }
     }
     reapOrphanManifests(dir, manifestGraceMs)
     doomed.size

@@ -94,7 +94,39 @@ object Manifests {
 
   private[graft] def clearCacheForTesting(): Unit = cache.synchronized {
     cache.clear(); cachedEntries = 0
+    pendingSeeds.clear()
   }
+
+  /** Freshly-written chunks parked here until their version PUBLISHES.
+    * Seeding the shared cache at write time opened a brick window: a
+    * committer stalled past the orphan grace window gets its
+    * not-yet-referenced chunks reaped; after it links its version, a
+    * same-JVM racer could load that version FROM THE SEEDED CACHE
+    * (never touching the missing files), build the next version on its
+    * refs, and leave a head no cold process can read — while the
+    * committer's own post-link verification then retracts the slot
+    * under the racer. Deferring the seed to after verification forces
+    * any reader of the just-linked version onto the disk path, which
+    * crashes on the missing chunk — so nothing can ever build on refs
+    * whose files are gone. */
+  private val pendingSeeds =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
+
+  private def seedKey(p: Path): String = p.toAbsolutePath.normalize.toString
+
+  /** Move a published version's freshly-written chunks into the shared
+    * cache. Call ONLY after the version file is durably linked and the
+    * chunks were re-verified to exist ([[TableMetadata.publishPayload]]). */
+  private[catalog] def promoteSeeds(chunks: Seq[Path]): Unit =
+    chunks.foreach { p =>
+      val k = seedKey(p)
+      Option(pendingSeeds.remove(k)).foreach(cachePut(k, _))
+    }
+
+  /** Discard parked seeds for a commit attempt that lost its race or
+    * failed verification — the chunk files are deleted with them. */
+  private[catalog] def dropSeeds(chunks: Seq[Path]): Unit =
+    chunks.foreach(p => pendingSeeds.remove(seedKey(p)))
 
   // ---- json ----------------------------------------------------------------
 
@@ -228,14 +260,8 @@ object Manifests {
         val target = mdDir.resolve(name)
         val tmp = Files.createTempFile(mdDir, s".m$version-", ".tmp")
         Files.writeString(tmp, text)
-        try {
-          try { Files.createLink(target, tmp); placed = true }
-          catch {
-            case _: UnsupportedOperationException =>
-              // no hard links: flagless move refuses an existing target
-              Files.move(tmp, target); placed = true
-          }
-        } catch {
+        try { TableMetadata.claimSlot(target, tmp); placed = true }
+        catch {
           case e @ (_: java.nio.file.FileAlreadyExistsException
               | _: java.nio.file.FileSystemException) if Files.exists(target) =>
             attempts += 1
@@ -244,8 +270,10 @@ object Manifests {
         } finally Files.deleteIfExists(tmp)
       }
       val ref = ManifestRef(path = name, count = chunk.size)
-      // seed the cache: the committer (and the next loads) re-read this
-      cachePut(mdDir.resolve(name).toAbsolutePath.normalize.toString, chunk)
+      // park the seed: [[promoteSeeds]] moves it into the shared cache
+      // only after the referencing version publishes and re-verifies
+      // the chunk files exist (see pendingSeeds for why not sooner)
+      pendingSeeds.put(mdDir.resolve(name).toAbsolutePath.normalize.toString, chunk)
       ref
     }.toSeq
 

@@ -650,7 +650,11 @@ object MergeOnRead {
       group -> delFiles.map { f =>
         val footer = FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
         DeleteFile(f, keyCols, seq, footer.rows, footer.cols, kind = group.head.kind,
-          paired = group.exists(_.paired))
+          paired = group.exists(_.paired),
+          // record merge provenance (original entry paths, flattened
+          // through re-consolidation): rebase guards use it to tell this
+          // metadata rewrite apart from a genuine concurrent deletion
+          components = group.flatMap(_.rowPaths).distinct)
       }
     }
     // consolidation must actually consolidate PER GROUP: a merged tuple

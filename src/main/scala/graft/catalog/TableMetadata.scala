@@ -60,8 +60,21 @@ final case class DeleteFile(
     rows: Long,
     keyRanges: Map[String, ColumnRange] = Map.empty,
     kind: String = DeleteFile.Equality,
-    paired: Boolean = false) {
+    paired: Boolean = false,
+    // Non-empty iff this entry is a CONSOLIDATION MERGE of earlier
+    // entries: the original entry paths it replaces. Rebase guards key
+    // "did the racer delete rows base hadn't seen?" on these — a merged
+    // entry whose components all existed in the attempt's base deletes
+    // nothing new (it is a metadata rewrite and must not fail user DML),
+    // while one carrying a component the base lacks is a genuine
+    // concurrent deletion. Entry seqs CANNOT discriminate this: a
+    // rebased plain delete legitimately keeps a seq at or below a later
+    // attempt's base version.
+    components: Seq[String] = Nil) {
   def isPositional: Boolean = kind == DeleteFile.Positional
+  /** The entry paths carrying this entry's row-deletion content — the
+    * merge components for a consolidated entry, itself otherwise. */
+  def rowPaths: Seq[String] = if (components.nonEmpty) components else Seq(path)
 }
 
 object DeleteFile {
@@ -117,6 +130,7 @@ final case class TableMetadata(
         "rows" -> JLong(d.rows),
         "kind" -> JString(d.kind),
         "paired" -> JBool(d.paired),
+        "components" -> JArray(d.components.map(JString(_)).toList),
         "keyRanges" -> JObject(d.keyRanges.toList.sortBy(_._1).map { case (c, r) =>
           c -> Manifests.rangeJson(r)
         }))
@@ -173,18 +187,96 @@ final class ExpiredVersionException(msg: String) extends IllegalStateException(m
 
 object TableMetadata {
 
+  /** Every tombstone payload starts with EXACTLY this text —
+    * [[versionIsLive]] decides tombstone-vs-payload by this prefix, so
+    * detection can never drift from the serialization (a real payload
+    * begins `{"version":`). */
+  private[catalog] val TombstonePrefix = """{"expired":"""
+
   /** The payload [[Maintenance.expireSnapshots]] atomically swaps over
     * an expired version file (see [[ExpiredVersionException]]). */
   private[catalog] def tombstoneJson(v: Int): String =
-    s"""{"expired":true,"version":$v}"""
+    s"""${TombstonePrefix}true,"version":$v}"""
 
   /** True when version `v` still has a readable payload — present and
-    * not an expire tombstone (the ~30-byte marker; any real payload
-    * carries at least a schema and snapshot list). */
+    * not an expire tombstone (checked by content prefix, not size: a
+    * size heuristic would silently misclassify if the tombstone ever
+    * grew a field). */
   private[catalog] def versionIsLive(tableDir: Path, v: Int): Boolean = {
     val f = versionFile(tableDir, v)
-    Files.exists(f) &&
-      (try Files.size(f) >= 64 catch { case _: java.io.IOException => false })
+    try {
+      val in = Files.newInputStream(f)
+      val head = try in.readNBytes(TombstonePrefix.length) finally in.close()
+      !(new String(head, java.nio.charset.StandardCharsets.UTF_8) == TombstonePrefix)
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** `expire-floor.text`: every version ≤ floor is expired, and its
+    * tombstone file MAY have been garbage-collected. Readers treat
+    * those slots as gaps; [[publishPayload]] re-checks the floor after
+    * claiming a slot so a zombie committer whose target's tombstone was
+    * already collected still fails with a clean conflict instead of
+    * forking the log below head. Tombstones therefore only live between
+    * the expire that writes them and the one that advances the floor
+    * past them — the metadata dir stays bounded for streaming tables
+    * that commit (and expire) forever. */
+  private[catalog] def floorFile(md: Path): Path = md.resolve("expire-floor.text")
+
+  private[graft] def readFloor(md: Path): Int =
+    try Files.readString(floorFile(md)).trim.toInt
+    catch { case _: java.io.IOException | _: NumberFormatException => 0 }
+
+  /** MONOTONIC floor advance: two racing expires must never let the
+    * later (smaller-floor) writer regress the earlier one — tombstones
+    * above the regressed floor may already be deleted, and a zombie in
+    * that gap would pass the publish floor check. Write, then re-read;
+    * if a racer overwrote us with a smaller value, write again (each
+    * round re-reads the max, so the largest value wins within finitely
+    * many rounds of any finite race). */
+  private[catalog] def writeFloor(md: Path, v: Int): Unit = {
+    var rounds = 0
+    while (readFloor(md) < v && rounds < 16) {
+      rounds += 1
+      val tmp = Files.createTempFile(md, ".floor-", ".tmp")
+      try {
+        Files.writeString(tmp, v.toString)
+        Files.move(tmp, floorFile(md),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Land the fully-written `tmp` at `target`, claiming the slot
+    * atomically: exactly one racer wins, the rest see
+    * [[java.nio.file.FileAlreadyExistsException]] (or a
+    * FileSystemException with the target present). link(2)'s EEXIST is
+    * the atomic claim. On filesystems without hard links the fallback
+    * is an O_EXCL create of the target plus a byte copy — the CLAIM
+    * stays atomic at the cost of a transient window where a concurrent
+    * reader can observe a partially-written target (a retryable JSON
+    * parse error). That trade is deliberate: the alternatives both
+    * lose commits silently — rename(2) REPLACES a racing winner's
+    * payload, and the JDK's no-REPLACE `Files.move` merely emulates
+    * refusal with a non-atomic stat-then-rename. */
+  private[catalog] def claimSlot(target: Path, tmp: Path): Unit =
+    try Files.createLink(target, tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        copyExclusive(target, tmp)
+      case e: java.nio.file.FileSystemException
+          if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
+            !Files.exists(target) =>
+        // link failed for a non-conflict reason (cross-device, a
+        // no-link mount reporting EPERM/ENOTSUP as FileSystemException)
+        copyExclusive(target, tmp)
+    }
+
+  private def copyExclusive(target: Path, tmp: Path): Unit = {
+    val ch = Files.newByteChannel(target,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.write(java.nio.ByteBuffer.wrap(Files.readAllBytes(tmp)))
+    finally ch.close()
   }
 
   /** Parse a version payload — BOTH formats. Legacy inline payloads
@@ -243,7 +335,10 @@ object TableMetadata {
             paired = d.get("paired").exists {
               case JBool(b) => b
               case other => other.values.toString.toBoolean
-            })
+            },
+            components = d.get("components").collect {
+              case JArray(cs) => cs.map(str)
+            }.getOrElse(Nil))
         }
       }.getOrElse(Seq.empty),
       snapshots = o("snapshots").asInstanceOf[JArray].arr.map { sv =>
@@ -406,23 +501,28 @@ object TableMetadata {
     * payloads through here too, with its own conflict message.
     *
     * Protocol details that are load-bearing:
-    *  - `createLink` (link(2)) fails EEXIST atomically — exactly one
-    *    racer wins a version slot. On filesystems without hard links
-    *    the fallback is a FLAGLESS move: `Files.move` without
-    *    REPLACE_EXISTING refuses an existing target, where an explicit
-    *    exists-check + ATOMIC_MOVE would be a TOCTOU in which two
-    *    racers both "succeed" and one payload is silently replaced.
-    *  - every non-conflict failure (including
-    *    UnsupportedOperationException from a no-link fs) is classified:
-    *    a raw escape would bypass [[commitOrRebase]]'s
-    *    "commit conflict" retry filter and leak this attempt's chunks.
+    *  - [[claimSlot]] makes the slot claim atomic (link(2) EEXIST, or
+    *    an O_EXCL create on no-link filesystems) — exactly one racer
+    *    wins a version slot, and a loser can never silently replace
+    *    the winner's payload.
+    *  - every non-conflict failure is classified: a raw escape would
+    *    bypass [[commitOrRebase]]'s "commit conflict" retry filter and
+    *    leak this attempt's chunks.
     *  - the attempt's manifest chunks are re-verified to exist AFTER
-    *    the link: a committer stalled past the orphan reaper's grace
+    *    the claim: a committer stalled past the orphan reaper's grace
     *    window can have its not-yet-referenced chunks reaped between
     *    `Manifests.write` and here; publishing anyway would make the
     *    table head unreadable. Nobody can have built on the just-linked
-    *    version (loading it crashes on the missing chunk), so deleting
-    *    it and raising a retryable conflict is safe. */
+    *    version — its chunk seeds are still parked (promoted only
+    *    below, after this verification), so any concurrent reader of
+    *    the slot takes the disk path and crashes on the missing chunk —
+    *    which makes retracting the slot and raising a retryable
+    *    conflict safe.
+    *  - the EXPIRE FLOOR is re-read after the claim: a zombie whose
+    *    target slot expired AND had its tombstone garbage-collected
+    *    (see [[floorFile]]) would otherwise claim a slot below head and
+    *    fork the log. Checking after the claim closes the race with a
+    *    concurrent expire advancing the floor. */
   private[catalog] def publishPayload(
       md: Path,
       target: Path,
@@ -436,33 +536,39 @@ object TableMetadata {
       advanceHint: Boolean = true): Unit = {
     val conflict = Option(conflictMsg).getOrElse(
       s"commit conflict: version $version already exists for $name")
+    def retract(): Unit = {
+      Manifests.dropSeeds(newManifests)
+      newManifests.foreach(p => Files.deleteIfExists(p))
+    }
     val tmp = Files.createTempFile(md, s".v$version-", ".json.tmp")
     Files.writeString(tmp, json)
-    try {
-      try Files.createLink(target, tmp)
-      catch {
-        case _: UnsupportedOperationException =>
-          Files.move(tmp, target) // flagless: refuses an existing target
-        case _: java.nio.file.FileSystemException if !Files.exists(target) =>
-          // link failed for a non-conflict reason (e.g. cross-device)
-          Files.move(tmp, target)
-      }
-    } catch {
+    try claimSlot(target, tmp)
+    catch {
       case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
           if Files.exists(target) =>
-        newManifests.foreach(p => Files.deleteIfExists(p))
+        retract()
         throw new IllegalStateException(conflict, e)
       case e: Exception =>
-        newManifests.foreach(p => Files.deleteIfExists(p))
+        retract()
         throw e
     } finally Files.deleteIfExists(tmp)
     newManifests.find(!Files.exists(_)).foreach { gone =>
       Files.deleteIfExists(target)
+      retract()
       throw new IllegalStateException(
         s"commit conflict: manifest chunk ${gone.getFileName} of $name " +
           s"v$version was reaped while the commit was in flight (stalled " +
           "past the orphan grace window) — retry re-renders the chunks")
     }
+    if (version <= readFloor(md)) {
+      Files.deleteIfExists(target)
+      retract()
+      throw new IllegalStateException(
+        s"commit conflict: version $version of $name expired while the " +
+          "commit was in flight (below the expire floor) — re-sync from " +
+          "the current snapshot and retry")
+    }
+    Manifests.promoteSeeds(newManifests)
     if (advanceHint) writeHint(md, version)
   }
 
@@ -647,7 +753,20 @@ object TableMetadata {
     val removedDels = baseDels -- attempt.deleteFiles.toSet
     val racerRemovedFiles = (baseFiles -- curFiles).nonEmpty
     val racerAddedDels = cur.deleteFiles.exists(!baseDels.contains(_))
-    val racerRemovedDels = (baseDels -- cur.deleteFiles.toSet).nonEmpty
+    // Delete-entry guards compare ROW-DELETION CONTENT, not entry
+    // identity: a racer's delete CONSOLIDATION replaces base entries
+    // with merged ones (new paths, old content, components recorded),
+    // which changes no row semantics — treating those as "the racer
+    // deleted/replaced rows" would fail user DML against routine
+    // maintenance. An entry removal is a rewrite only when its content
+    // is NOT covered by some cur entry's components; a new entry is
+    // FRESH only when it carries content base had not seen.
+    val curComponentPaths = cur.deleteFiles.iterator.flatMap(_.components).toSet
+    val baseRowPaths = base.deleteFiles.iterator.flatMap(_.rowPaths).toSet
+    val racerRemovedDels = (baseDels -- cur.deleteFiles.toSet)
+      .exists(d => !d.rowPaths.forall(curComponentPaths.contains))
+    val racerFreshDels = cur.deleteFiles.filterNot(baseDels)
+      .filter(_.rowPaths.exists(!baseRowPaths.contains(_)))
     val racerRewrote = racerRemovedFiles || racerRemovedDels
 
     val schemaStable = attempt.schema == base.schema && cur.schema == base.schema &&
@@ -712,8 +831,7 @@ object TableMetadata {
       // the same reason. Commute only when the two entry sets' targeted
       // path ranges are provably disjoint; an entry without a provable
       // range declines.
-      val racerNewPos = cur.deleteFiles
-        .filterNot(baseDels).filter(_.isPositional)
+      val racerNewPos = racerFreshDels.filter(_.isPositional)
       def range(d: DeleteFile) =
         d.keyRanges.get(DeleteFile.PosFileCol).filter(_.hasValues)
       val disjoint = racerNewPos.isEmpty || (
@@ -745,9 +863,8 @@ object TableMetadata {
     // below makes their value-addressed entries cover the racer's
     // files. Iceberg's validateNoConflictingDeleteFiles refuses these
     // same races.
-    val racerNewDels = cur.deleteFiles.filterNot(baseDels)
     if (addedDels.exists(_.isPositional) && added.nonEmpty &&
-        racerNewDels.exists(!_.isPositional)) return None
+        racerFreshDels.exists(!_.isPositional)) return None
     // "a racer REPLACED rows" must be detected per COMMIT, not from the
     // accumulated delta: base→cur may contain one racer's pure append
     // and another's pure delete, which all commute with a plain delete
@@ -760,7 +877,7 @@ object TableMetadata {
     // here: the range guard above already proved the two sides target
     // disjoint files, which IS a row-level disjointness proof)
     if (added.isEmpty && addedDels.nonEmpty &&
-        racerNewDels.exists(o => o.paired &&
+        racerFreshDels.exists(o => o.paired &&
           (!o.isPositional || addedDels.exists(!_.isPositional))))
       return None
 

@@ -462,6 +462,87 @@ class CommitRebaseSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.race_ns.mk3")
   }
 
+  test("delete CONSOLIDATION commutes with racing DML: merged entries are rewrites, not deletions") {
+    val dir = mkTable("mk5")
+    val base0 = TableMetadata.load(dir)
+    // set up a base that CARRIES delete entries (two plain equality deletes)
+    val withDels = TableMetadata.commit(dir, base0.copy(
+      version = base0.version + 1,
+      deleteFiles = base0.deleteFiles ++ Seq(
+        eqDel("deletes/old/d0.parquet", base0.version + 1),
+        eqDel("deletes/old/d1.parquet", base0.version + 1)),
+      snapshots = base0.snapshots :+
+        Snapshot(base0.version + 1, 1L, "delete", 0, base0.files.size)))
+    val base = TableMetadata.load(dir)
+    // racer: consolidation — replaces the two entries with ONE merged
+    // entry recording its components; no row's deletion state changes
+    val merged = DeleteFile("deletes/consol/m0.parquet", Seq("k"),
+      seq = withDels.deleteFiles.map(_.seq).max, rows = 2,
+      components = Seq("deletes/old/d0.parquet", "deletes/old/d1.parquet"))
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      deleteFiles = base.deleteFiles.filterNot(d =>
+        d.path.startsWith("deletes/old/")) :+ merged,
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 2L, "consolidate-deletes", 0, base.files.size)))
+    // attempt 1: positional UPDATE (files + positional dels) — must
+    // rebase cleanly over the consolidation (the r12 guard refused it)
+    val committed = TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+      version = base.version + 1,
+      files = base.files :+ "data/x-upd5/u0.parquet",
+      deleteFiles = base.deleteFiles :+
+        posDel("deletes/a-pos5/d0.parquet", base.version + 1,
+          (base.files.head, base.files.head)),
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 3L, "update", 1, base.files.size + 1)))
+    committed.files should contain("data/x-upd5/u0.parquet")
+    committed.deleteFiles.map(_.path) should contain("deletes/consol/m0.parquet")
+    // attempt 2 (fresh base): plain equality DELETE must also commute
+    // with a consolidation racer (entry-identity comparison would not)
+    val base2 = TableMetadata.load(dir)
+    TableMetadata.commit(dir, base2.copy(
+      version = base2.version + 1,
+      deleteFiles = base2.deleteFiles.filterNot(_.path == "deletes/consol/m0.parquet") :+
+        merged.copy(path = "deletes/consol/m1.parquet"),
+      snapshots = base2.snapshots :+
+        Snapshot(base2.version + 1, 4L, "consolidate-deletes", 0, base2.files.size)))
+    val committed2 = TableMetadata.commitOrRebase(dir, base = base2, attempt = base2.copy(
+      version = base2.version + 1,
+      deleteFiles = base2.deleteFiles :+ eqDel("deletes/a-del5/d9.parquet", base2.version + 1),
+      snapshots = base2.snapshots :+
+        Snapshot(base2.version + 1, 5L, "delete", 0, base2.files.size)))
+    committed2.deleteFiles.map(_.path) should contain("deletes/a-del5/d9.parquet")
+    spark.sql("DROP TABLE lakehouse.race_ns.mk5")
+  }
+
+  test("a merged entry CARRYING a fresh component still refuses mixed-kind rebase") {
+    val dir = mkTable("mk6")
+    val base = TableMetadata.load(dir)
+    // racer: one commit that consolidates while ALSO absorbing a new
+    // plain delete the base never saw — the merged entry carries a
+    // component outside the base's row paths, so it IS a fresh deletion
+    val merged = DeleteFile("deletes/consol6/m0.parquet", Seq("k"),
+      seq = base.version + 1, rows = 1,
+      components = Seq("deletes/new6/d0.parquet"))
+    TableMetadata.commit(dir, base.copy(
+      version = base.version + 1,
+      deleteFiles = base.deleteFiles :+ merged,
+      snapshots = base.snapshots :+
+        Snapshot(base.version + 1, 1L, "delete", 0, base.files.size)))
+    val e = intercept[IllegalStateException] {
+      TableMetadata.commitOrRebase(dir, base = base, attempt = base.copy(
+        version = base.version + 1,
+        files = base.files :+ "data/x-upd6/u0.parquet",
+        deleteFiles = base.deleteFiles :+
+          posDel("deletes/a-pos6/d0.parquet", base.version + 1,
+            (base.files.head, base.files.head)),
+        snapshots = base.snapshots :+
+          Snapshot(base.version + 1, 2L, "update", 1, base.files.size + 1)))
+    }
+    e.getMessage should include("do not commute")
+    spark.sql("DROP TABLE lakehouse.race_ns.mk6")
+  }
+
   test("positional plain deletes with provably disjoint file ranges still commute") {
     val dir = mkTable("mk4")
     val base = TableMetadata.load(dir)

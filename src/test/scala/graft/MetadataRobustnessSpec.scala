@@ -63,14 +63,56 @@ class MetadataRobustnessSpec extends AnyFunSuite with Matchers {
     val dir = mkTable("tomb", commits = 4) // v1..v5
     Maintenance.expireSnapshots(spark, "lakehouse", Seq("mrob_ns"), "tomb",
       retainVersions = 2)
-    // time travel to a tombstone: actionable error, not NoSuchFile
+    // time travel to an expired slot: actionable error, not NoSuchFile
+    // (below the floor the tombstone itself is garbage-collected, so
+    // this exercises the floor-backed error path)
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM lakehouse.mrob_ns.tomb VERSION AS OF 2").count()
     }
     e.getMessage should include("expired")
-    // the log walk treats tombstones as gaps
+    // the log walk treats expired slots as gaps
     TableMetadata.loadLog(dir).map(_.version) shouldBe Seq(4, 5)
     spark.sql("DROP TABLE lakehouse.mrob_ns.tomb")
+  }
+
+  test("tombstones below the expire floor are garbage-collected; the dir stays bounded") {
+    val dir = mkTable("floor", commits = 7) // v1..v8
+    Maintenance.expireSnapshots(spark, "lakehouse", Seq("mrob_ns"), "floor",
+      retainVersions = 2) shouldBe 6 // v1..v6 expired
+    val md = TableMetadata.metadataDir(dir)
+    // the contiguous expired prefix is covered by the floor file and
+    // its tombstones deleted — NOT one ~30-byte file per version forever
+    TableMetadata.readFloor(md) shouldBe 6
+    (1 to 6).foreach { v =>
+      Files.exists(TableMetadata.versionFile(dir, v)) shouldBe false
+    }
+    // a zombie whose target slot's tombstone is GONE still fails clean:
+    // the publish protocol re-checks the floor after claiming the slot
+    val stale = TableMetadata.load(dir)
+    val e = intercept[IllegalStateException] {
+      TableMetadata.commit(dir, stale.copy(
+        version = 3,
+        files = stale.files :+ "data/zombie-floor/z0.parquet",
+        snapshots = stale.snapshots :+
+          Snapshot(3, 99L, "append", 1, stale.files.size + 1)))
+    }
+    e.getMessage should include("commit conflict")
+    Files.exists(TableMetadata.versionFile(dir, 3)) shouldBe false // retracted
+    TableMetadata.currentVersion(dir) shouldBe 8
+    // a RETAINED island below the cutoff stops the floor: tag v7, expire
+    // again after two more commits — v7 stays live and taggable-read
+    Maintenance.tag(spark, "lakehouse", Seq("mrob_ns"), "floor", "keep", 7)
+    (0 until 2).foreach { c =>
+      (0 until 5).map(i => (900 + c * 10 + i, s"x$c-$i")).toDF("k", "v")
+        .createOrReplaceTempView("mrob_src_floor2")
+      spark.sql("INSERT INTO lakehouse.mrob_ns.floor SELECT * FROM mrob_src_floor2")
+    }
+    Maintenance.expireSnapshots(spark, "lakehouse", Seq("mrob_ns"), "floor",
+      retainVersions = 2) shouldBe 2 // v8 + the tag's property commit (v7 tagged, head window retained)
+    TableMetadata.readFloor(md) shouldBe 6 // the live tag stops the floor
+    spark.sql("SELECT * FROM lakehouse.mrob_ns.floor VERSION AS OF 'keep'")
+      .count() should be > 0L
+    spark.sql("DROP TABLE lakehouse.mrob_ns.floor")
   }
 
   test("manifest ref/chunk count mismatch fails loudly on warm AND cold reads") {
