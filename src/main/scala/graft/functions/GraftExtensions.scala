@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDotFD].getName, "vec_dot_d"),
       (args: Seq[Expression]) => VecDotFD(args(0), args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("sq_dist_d"),
+      new ExpressionInfo(classOf[SqDistFD].getName, "sq_dist_d"),
+      (args: Seq[Expression]) => SqDistFD(args(0), args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_agg"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
       (args: Seq[Expression]) => SimHashAgg(args(0))))

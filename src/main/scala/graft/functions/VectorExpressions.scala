@@ -100,6 +100,57 @@ case class VecDotFD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (xᵢ−yᵢ)² with a FLOAT left operand and DOUBLE right operand — the
+  * k-means assignment kernel (corpus `array<float>`, centroids
+  * `array<double>`). The SAME ascending-dimension (a−b)·(a−b) fold as
+  * the DuckDB oracle's LIST_REDUCE over `(v[i]-c[i])*(v[i]-c[i])`
+  * (float→double widening is exact), so distances are bit-identical
+  * across engines and cluster assignments never diverge — an expanded
+  * ‖x‖²−2x·c+‖c‖² formulation would be faster to derive from cached
+  * norms but reorders the summation and loses that guarantee. */
+case class SqDistFD(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq_dist_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getFloat(i).toDouble - y.getDouble(i)
+      s += t * t
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $t = (double) $a.getFloat($i) - $b.getDouble($i);
+         |  $s += $t * $t;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All random-hyperplane LSH table signatures of a float vector in ONE
   * codegen'd pass: signature t has bit b set iff v · plane(t,b) ≥ 0.
   * The plane matrix rides into generated code as a flat float[]
@@ -236,6 +287,8 @@ object GraftFunctions {
       { args: Seq[Expression] => VecNormSq(args(0)) }, "built-in")
     reg.createOrReplaceTempFunction("vec_dot_d",
       { args: Seq[Expression] => VecDotFD(args(0), args(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("sq_dist_d",
+      { args: Seq[Expression] => SqDistFD(args(0), args(1)) }, "built-in")
     reg.createOrReplaceTempFunction("simhash_agg",
       { args: Seq[Expression] => SimHashAgg(args(0)) }, "built-in")
     reg.createOrReplaceTempFunction("minhash_agg",

@@ -846,7 +846,182 @@ object VectorOps {
         .stripMargin
     })
 
+  /** q109: distributed k-means over the embedding corpus (Lloyd's
+    * algorithm, K=8, 3 iterations, seeded from vec_id 0..7) — the
+    * clustering stage SemDeDup-style semantic dedup and cluster-balanced
+    * data mixing run before anything else. Output: per final cluster the
+    * vector count and inertia (sum of squared distances to the final
+    * centroid).
+    *
+    * Scale shape — the industrial Lloyd's layout:
+    *  - ASSIGNMENT is map-side only: the K centroids are LITERALS in a
+    *    codegen'd argmin projection (array_min over (dist, cid)
+    *    structs); no join, no shuffle, no window touches the corpus.
+    *  - UPDATE ships one [[graft.functions.VecSumAgg]] buffer (d+1
+    *    doubles) per (partition, cluster) — O(partitions·K·d) bytes per
+    *    iteration, corpus-independent — and collects K rows (bounded:
+    *    K·d doubles per iteration, documented driver state).
+    *  - Centroids are ROUNDED to 1e-6 each iteration in BOTH engines:
+    *    the mean's floating-point summation order differs across
+    *    engines/partitionings, and without a per-iteration
+    *    re-synchronization the noise would compound through later
+    *    assignments. Distances use the same ascending-dimension fold as
+    *    the oracle's LIST_REDUCE, so assignments are deterministic
+    *    (ties broken by smaller cid in both engines).
+    * At 100 TB only the per-iteration full scans remain — exactly what
+    * distributed k-means costs everywhere. */
+  /** Lloyd's k-means over the embedding corpus and its FINAL assignment
+    * (vec_id, embedding, nrm, cid, dist): K literal centroids seeded
+    * from vec_id 0..K-1, `iters` update rounds, centroids rounded to
+    * 1e-6 per round (both engines — the mean's summation order differs
+    * across partitionings, and the rounding re-synchronizes the noise
+    * before it can flip a later assignment). Distances use the
+    * codegen'd [[graft.functions.SqDistFD]] — the same
+    * ascending-dimension (a−b)² fold as the oracle's LIST_REDUCE, so
+    * assignments are deterministic (ties break to the smaller cid in
+    * both engines). Driver state is K·d doubles per round, bounded by
+    * design. */
+  private def lloydAssign(s: SparkSession, d: String, k: Int, iters: Int,
+      dim: Int): DataFrame = {
+    val ev = withNorm(s, d)
+    def sqDist(vc: Column, c: Seq[Double]): Column =
+      call_function("sq_dist_d", vc, typedLit(c))
+    // init: the first K vectors (the same rows the oracle seeds from);
+    // float→double widening is exact, so both engines start identically
+    var cents: Seq[(Long, Seq[Double])] =
+      ev.filter(col("vec_id") < k).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toSeq
+    def assigned = {
+      val opts = array(cents.map { case (cid, c) =>
+        struct(sqDist(col("embedding"), c).as("dist"), lit(cid).as("cid"))
+      }: _*)
+      ev.withColumn("best", array_min(opts))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
+    }
+    val sumAgg = udaf(new graft.functions.VecSumAgg(dim))
+    (1 to iters).foreach { _ =>
+      val upd = assigned.groupBy(col("cid"))
+        .agg(sumAgg(col("embedding").cast("array<double>")).as("m"))
+        .collect() // bounded: K rows of d+1 doubles
+        .map { r =>
+          val m = r.getSeq[Double](1)
+          val n = m.head
+          r.getLong(0) -> m.tail.map(x =>
+            BigDecimal(x / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toMap
+      // an emptied cluster keeps its previous centroid (both engines)
+      cents = cents.map { case (cid, c) => cid -> upd.getOrElse(cid, c) }
+    }
+    assigned
+  }
+
+  val q109 = Q(
+    "q109_kmeans_cluster",
+    (s, d) =>
+      lloydAssign(s, d, k = 8, iters = 3, dim = 64)
+        .groupBy(col("cid").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"), round(sum(col("dist")), 3).as("inertia_r"))
+        .orderBy(col("cluster")),
+    Some {
+      // unrolled Lloyd's: aT assigns against c(T-1); uT/cT update+round
+      def assign(t: Int): String =
+        s"""a$t AS (SELECT vec_id, cid, dist FROM (
+           |  SELECT vec_id, cid, dist,
+           |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+           |  FROM (SELECT ev.vec_id, c.cid,
+           |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+           |            [(ev.v[i] - c.c[i]) * (ev.v[i] - c.c[i])
+           |             for i in range(1, LEN(ev.v) + 1)]),
+           |            (acc, x) -> acc + x) AS dist
+           |        FROM ev, c${t - 1} c)) WHERE rn = 1)""".stripMargin
+      def update(t: Int): String =
+        s"""u$t AS (SELECT cid, LIST(ROUND(m, 6) ORDER BY i) AS c FROM (
+           |  SELECT a.cid, r.i, AVG(ev.v[r.i]) AS m
+           |  FROM a$t a JOIN ev USING (vec_id), RANGE(1, 65) r(i)
+           |  GROUP BY a.cid, r.i) GROUP BY cid),
+           |c$t AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
+           |        FROM c${t - 1} p LEFT JOIN u$t u USING (cid))""".stripMargin
+      val steps = (1 to 3).map(t => s"${assign(t)},\n${update(t)}").mkString(",\n")
+      s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS c FROM ev WHERE vec_id < 8),
+         |$steps,
+         |${assign(4)}
+         |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       ROUND(SUM(dist), 3) AS inertia_r
+         |FROM a4 GROUP BY cid ORDER BY cluster""".stripMargin
+    })
+
+  /** q110: SemDeDup — cluster-scoped semantic near-dup removal (the
+    * arXiv:2303.09540 recipe): k-means the corpus (q109's Lloyd's
+    * pass), then compare pairs ONLY within a cluster and drop the
+    * higher id of any pair with cosine ≥ τ. Output: one row per dropped
+    * vector with its cluster, the keeper, and the max similarity seen.
+    *
+    * Scale shape — the whole point of SemDeDup: pair candidates are
+    * Σ|cluster|², never |corpus|². The within-cluster join is an EQUI
+    * join on cid (hash-partitioned, no broadcast of the corpus); at
+    * production scale K is 10⁴–10⁵ so the key space is wide and each
+    * partition's pair block is tiny — K=8 here only because the oracle
+    * unrolls the same clustering. Similarities are rounded to 4 decimals
+    * BEFORE the τ comparison, so the keep/drop frontier is identical
+    * across engines. */
+  val q110 = Q(
+    "q110_semdedup",
+    (s, d) => {
+      val a = lloydAssign(s, d, k = 8, iters = 3, dim = 64)
+        .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      val l = a.select(col("cid"), col("vec_id").as("id1"),
+        col("embedding").as("v1"), col("nrm").as("n1"))
+      val r = a.select(col("cid"), col("vec_id").as("id2"),
+        col("embedding").as("v2"), col("nrm").as("n2"))
+      l.join(r, Seq("cid")).filter(col("id1") < col("id2"))
+        .select(col("cid"), col("id1"), col("id2"),
+          round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4).as("sim_r"))
+        .filter(col("sim_r") >= 0.45)
+        .groupBy(col("id2").as("vec_id"))
+        .agg(min(col("cid")).cast("long").as("cluster"),
+          min(col("id1")).as("kept_by"), max(col("sim_r")).as("max_sim_r"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      def assign(t: Int): String =
+        s"""a$t AS (SELECT vec_id, cid, dist FROM (
+           |  SELECT vec_id, cid, dist,
+           |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+           |  FROM (SELECT ev.vec_id, c.cid,
+           |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+           |            [(ev.v[i] - c.c[i]) * (ev.v[i] - c.c[i])
+           |             for i in range(1, LEN(ev.v) + 1)]),
+           |            (acc, x) -> acc + x) AS dist
+           |        FROM ev, c${t - 1} c)) WHERE rn = 1)""".stripMargin
+      def update(t: Int): String =
+        s"""u$t AS (SELECT cid, LIST(ROUND(m, 6) ORDER BY i) AS c FROM (
+           |  SELECT a.cid, r.i, AVG(ev.v[r.i]) AS m
+           |  FROM a$t a JOIN ev USING (vec_id), RANGE(1, 65) r(i)
+           |  GROUP BY a.cid, r.i) GROUP BY cid),
+           |c$t AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
+           |        FROM c${t - 1} p LEFT JOIN u$t u USING (cid))""".stripMargin
+      val steps = (1 to 3).map(t => s"${assign(t)},\n${update(t)}").mkString(",\n")
+      s"""$oracleNormCte,
+         |c0 AS (SELECT vec_id AS cid, v AS c FROM ev WHERE vec_id < 8),
+         |$steps,
+         |${assign(4)}
+         |SELECT id2 AS vec_id, CAST(MIN(cid) AS BIGINT) AS cluster,
+         |       MIN(id1) AS kept_by, MAX(sim_r) AS max_sim_r
+         |FROM (
+         |  SELECT ax.cid, x.vec_id AS id1, y.vec_id AS id2,
+         |         ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+         |           [x.v[i] * y.v[i] for i in range(1, LEN(x.v) + 1)]),
+         |           (acc, z) -> acc + z) / (x.nrm * y.nrm), 4) AS sim_r
+         |  FROM a4 ax JOIN a4 ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+         |  JOIN ev x ON x.vec_id = ax.vec_id
+         |  JOIN ev y ON y.vec_id = ay.vec_id)
+         |WHERE sim_r >= 0.45
+         |GROUP BY id2 ORDER BY vec_id""".stripMargin
+    })
+
   val all: Seq[Q] =
     Seq(q29, q29b, q29c, q29d, q29e, q29f, q29g, q49, q59, q70, q81, q82,
-      q105, q106)
+      q105, q106, q109, q110)
 }
