@@ -1689,13 +1689,23 @@ object Maintenance {
     // retained version (tag/fork island) stops the scan; its tombstoned
     // successors above it stay on disk — bounded by the retained
     // islands, not by commit count.
-    var floor = TableMetadata.readFloor(md)
+    val oldFloor = TableMetadata.readFloor(md)
+    var floor = oldFloor
     while (floor + 1 < cutoff &&
         !tagged.contains(floor + 1) && !forks.contains(floor + 1) &&
         !TableMetadata.versionIsLive(dir, floor + 1)) floor += 1
-    if (floor > TableMetadata.readFloor(md)) {
+    if (floor > oldFloor) {
       TableMetadata.writeFloor(md, floor)
-      (1 to floor).foreach { v =>
+      // sweep only the newly-covered window — re-deleting from 1 would
+      // cost O(floor) syscalls per expire on a long-lived streaming
+      // table. A run that persists the floor and crashes mid-sweep
+      // strands the UNDELETED SUFFIX of its own window (≤ one window's
+      // tombstones, ~30 bytes each, once per crash — bounded, and
+      // harmless: readers treat tombstones as gaps and zombies still
+      // EEXIST on them); it is NOT re-swept here because a cheap "stop
+      // at first missing file" heuristic breaks on pre-floor-era gaps
+      // mixed between tombstones.
+      (oldFloor + 1 to floor).foreach { v =>
         if (!tagged.contains(v) && !forks.contains(v))
           Files.deleteIfExists(TableMetadata.versionFile(dir, v))
       }

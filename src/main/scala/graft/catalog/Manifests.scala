@@ -94,7 +94,7 @@ object Manifests {
 
   private[graft] def clearCacheForTesting(): Unit = cache.synchronized {
     cache.clear(); cachedEntries = 0
-    pendingSeeds.clear()
+    pendingSeeds.synchronized { pendingSeeds.clear(); pendingEntries = 0 }
   }
 
   /** Freshly-written chunks parked here until their version PUBLISHES.
@@ -108,11 +108,39 @@ object Manifests {
     * under the racer. Deferring the seed to after verification forces
     * any reader of the just-linked version onto the disk path, which
     * crashes on the missing chunk — so nothing can ever build on refs
-    * whose files are gone. */
+    * whose files are gone.
+    *
+    * The park is ADVISORY: [[promoteSeeds]] on a missing key is a no-op
+    * (the next read goes to disk), so the map is hard-bounded by entry
+    * count with oldest-first eviction — a commit that dies between
+    * `write` and publish (the retract paths cover publish itself) can
+    * only ever strand bounded memory, never grow the heap. */
+  private val MaxPendingEntries = 500000L
   private val pendingSeeds =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestEntry]]()
+    new java.util.LinkedHashMap[String, Seq[ManifestEntry]]()
+  private var pendingEntries = 0L
 
   private def seedKey(p: Path): String = p.toAbsolutePath.normalize.toString
+
+  private def parkSeed(key: String, entries: Seq[ManifestEntry]): Unit =
+    pendingSeeds.synchronized {
+      if (pendingSeeds.put(key, entries) == null) pendingEntries += entries.size
+      val it = pendingSeeds.entrySet().iterator()
+      while (pendingEntries > MaxPendingEntries && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != key) {
+          pendingEntries -= eldest.getValue.size
+          it.remove()
+        }
+      }
+    }
+
+  private def unparkSeed(key: String): Option[Seq[ManifestEntry]] =
+    pendingSeeds.synchronized {
+      val v = pendingSeeds.remove(key)
+      if (v != null) pendingEntries -= v.size
+      Option(v)
+    }
 
   /** Move a published version's freshly-written chunks into the shared
     * cache. Call ONLY after the version file is durably linked and the
@@ -120,13 +148,13 @@ object Manifests {
   private[catalog] def promoteSeeds(chunks: Seq[Path]): Unit =
     chunks.foreach { p =>
       val k = seedKey(p)
-      Option(pendingSeeds.remove(k)).foreach(cachePut(k, _))
+      unparkSeed(k).foreach(cachePut(k, _))
     }
 
   /** Discard parked seeds for a commit attempt that lost its race or
     * failed verification — the chunk files are deleted with them. */
   private[catalog] def dropSeeds(chunks: Seq[Path]): Unit =
-    chunks.foreach(p => pendingSeeds.remove(seedKey(p)))
+    chunks.foreach(p => unparkSeed(seedKey(p)))
 
   // ---- json ----------------------------------------------------------------
 
@@ -273,7 +301,7 @@ object Manifests {
       // park the seed: [[promoteSeeds]] moves it into the shared cache
       // only after the referencing version publishes and re-verifies
       // the chunk files exist (see pendingSeeds for why not sooner)
-      pendingSeeds.put(mdDir.resolve(name).toAbsolutePath.normalize.toString, chunk)
+      parkSeed(mdDir.resolve(name).toAbsolutePath.normalize.toString, chunk)
       ref
     }.toSeq
 

@@ -222,9 +222,19 @@ object TableMetadata {
     * that commit (and expire) forever. */
   private[catalog] def floorFile(md: Path): Path = md.resolve("expire-floor.text")
 
-  private[graft] def readFloor(md: Path): Int =
-    try Files.readString(floorFile(md)).trim.toInt
-    catch { case _: java.io.IOException | _: NumberFormatException => 0 }
+  /** Missing floor file = no expire has GC'd tombstones yet = 0. Every
+    * OTHER failure propagates: this value gates [[publishPayload]]'s
+    * zombie-fork protection, and defaulting a transient read error
+    * (EIO, EMFILE) to 0 would silently disable it — the commit must
+    * fail retryably instead. A corrupt floor file is a loud error for
+    * the same reason. */
+  private[graft] def readFloor(md: Path): Int = {
+    val text =
+      try Files.readString(floorFile(md))
+      catch { case _: java.nio.file.NoSuchFileException => return 0 }
+    text.trim.toIntOption.getOrElse(throw new IllegalStateException(
+      s"corrupt expire floor ${floorFile(md)}: '${text.take(40)}'"))
+  }
 
   /** MONOTONIC floor advance: two racing expires must never let the
     * later (smaller-floor) writer regress the earlier one — tombstones
@@ -271,12 +281,25 @@ object TableMetadata {
         copyExclusive(target, tmp)
     }
 
+  /** O_EXCL create + FULL byte copy. `write` may return short without
+    * error (channel contract), so it loops; a failure mid-copy deletes
+    * the partial target before rethrowing — leaving it would claim the
+    * slot with truncated JSON forever (every retry EEXISTs, every load
+    * fails to parse: a bricked table). */
   private def copyExclusive(target: Path, tmp: Path): Unit = {
     val ch = Files.newByteChannel(target,
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
-    try ch.write(java.nio.ByteBuffer.wrap(Files.readAllBytes(tmp)))
-    finally ch.close()
+    try {
+      val buf = java.nio.ByteBuffer.wrap(Files.readAllBytes(tmp))
+      while (buf.hasRemaining) ch.write(buf)
+      ch.close()
+    } catch {
+      case e: Exception =>
+        try ch.close() catch { case _: Exception => () }
+        Files.deleteIfExists(target)
+        throw e
+    }
   }
 
   /** Parse a version payload — BOTH formats. Legacy inline payloads
@@ -540,8 +563,25 @@ object TableMetadata {
       Manifests.dropSeeds(newManifests)
       newManifests.foreach(p => Files.deleteIfExists(p))
     }
-    val tmp = Files.createTempFile(md, s".v$version-", ".json.tmp")
-    Files.writeString(tmp, json)
+    def expiredConflict(): Nothing = {
+      retract()
+      throw new IllegalStateException(
+        s"commit conflict: version $version of $name expired while the " +
+          "commit was in flight (below the expire floor) — re-sync from " +
+          "the current snapshot and retry")
+    }
+    // pre-claim floor check: a zombie below the floor fails before its
+    // payload ever becomes observable (the post-claim re-check below
+    // still closes the race with a CONCURRENT expire advancing the
+    // floor; this one removes the claim-then-retract flicker from the
+    // common stale-committer wakeup)
+    if (version <= readFloor(md)) expiredConflict()
+    val tmp =
+      try {
+        val t = Files.createTempFile(md, s".v$version-", ".json.tmp")
+        Files.writeString(t, json)
+        t
+      } catch { case e: Exception => retract(); throw e }
     try claimSlot(target, tmp)
     catch {
       case e @ (_: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException)
@@ -562,11 +602,7 @@ object TableMetadata {
     }
     if (version <= readFloor(md)) {
       Files.deleteIfExists(target)
-      retract()
-      throw new IllegalStateException(
-        s"commit conflict: version $version of $name expired while the " +
-          "commit was in flight (below the expire floor) — re-sync from " +
-          "the current snapshot and retry")
+      expiredConflict()
     }
     Manifests.promoteSeeds(newManifests)
     if (advanceHint) writeHint(md, version)

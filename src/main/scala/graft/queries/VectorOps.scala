@@ -846,41 +846,25 @@ object VectorOps {
         .stripMargin
     })
 
-  /** q109: distributed k-means over the embedding corpus (Lloyd's
-    * algorithm, K=8, 3 iterations, seeded from vec_id 0..7) — the
-    * clustering stage SemDeDup-style semantic dedup and cluster-balanced
-    * data mixing run before anything else. Output: per final cluster the
-    * vector count and inertia (sum of squared distances to the final
-    * centroid).
-    *
-    * Scale shape — the industrial Lloyd's layout:
-    *  - ASSIGNMENT is map-side only: the K centroids are LITERALS in a
-    *    codegen'd argmin projection (array_min over (dist, cid)
-    *    structs); no join, no shuffle, no window touches the corpus.
-    *  - UPDATE ships one [[graft.functions.VecSumAgg]] buffer (d+1
-    *    doubles) per (partition, cluster) — O(partitions·K·d) bytes per
-    *    iteration, corpus-independent — and collects K rows (bounded:
-    *    K·d doubles per iteration, documented driver state).
-    *  - Centroids are ROUNDED to 1e-6 each iteration in BOTH engines:
-    *    the mean's floating-point summation order differs across
-    *    engines/partitionings, and without a per-iteration
-    *    re-synchronization the noise would compound through later
-    *    assignments. Distances use the same ascending-dimension fold as
-    *    the oracle's LIST_REDUCE, so assignments are deterministic
-    *    (ties broken by smaller cid in both engines).
-    * At 100 TB only the per-iteration full scans remain — exactly what
-    * distributed k-means costs everywhere. */
   /** Lloyd's k-means over the embedding corpus and its FINAL assignment
     * (vec_id, embedding, nrm, cid, dist): K literal centroids seeded
-    * from vec_id 0..K-1, `iters` update rounds, centroids rounded to
-    * 1e-6 per round (both engines — the mean's summation order differs
-    * across partitionings, and the rounding re-synchronizes the noise
-    * before it can flip a later assignment). Distances use the
-    * codegen'd [[graft.functions.SqDistFD]] — the same
-    * ascending-dimension (a−b)² fold as the oracle's LIST_REDUCE, so
-    * assignments are deterministic (ties break to the smaller cid in
-    * both engines). Driver state is K·d doubles per round, bounded by
-    * design. */
+    * from vec_id 0..K-1, `iters` update rounds. The industrial layout:
+    *  - ASSIGNMENT is map-side only: the K centroids ride into codegen
+    *    as literals of an argmin projection (array_min over (dist, cid)
+    *    structs, [[graft.functions.SqDistFD]] distances) — no join, no
+    *    shuffle, no window touches the corpus; at 100 TB only the
+    *    per-iteration full scans remain, exactly what distributed
+    *    k-means costs everywhere.
+    *  - UPDATE ships one [[graft.functions.VecSumAgg]] buffer (d+1
+    *    doubles) per (partition, cluster) — O(partitions·K·d) bytes per
+    *    iteration, corpus-independent — and collects K rows (K·d
+    *    doubles of driver state per round, bounded by design).
+    *  - DETERMINISM vs the DuckDB oracle: centroids round to 1e-6 each
+    *    iteration in both engines (the mean's summation order differs
+    *    across engines/partitionings, and the rounding re-synchronizes
+    *    the noise before it can flip a later assignment); distances use
+    *    the same ascending-dimension (a−b)² fold as the oracle's
+    *    LIST_REDUCE, and ties break to the smaller cid in both. */
   private def lloydAssign(s: SparkSession, d: String, k: Int, iters: Int,
       dim: Int): DataFrame = {
     val ev = withNorm(s, d)
@@ -916,6 +900,36 @@ object VectorOps {
     assigned
   }
 
+  /** ONE copy of the oracle-side unrolled Lloyd's (shared by q109 and
+    * q110 so the two oracles can never desynchronize): CTEs `c0` (seed),
+    * `a1..a{iters+1}` (assign against the previous centroids) and
+    * `u1..u{iters}`/`c1..c{iters}` (round-6 mean update with
+    * empty-cluster carry-over). Expects an `ev(vec_id, v DOUBLE[], …)`
+    * CTE in scope; the FINAL assignment is `a{iters+1}`. */
+  private def oracleLloydCtes(k: Int, iters: Int, dim: Int): String = {
+    def assign(t: Int): String =
+      s"""a$t AS (SELECT vec_id, cid, dist FROM (
+         |  SELECT vec_id, cid, dist,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
+         |  FROM (SELECT ev.vec_id, c.cid,
+         |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+         |            [(ev.v[i] - c.c[i]) * (ev.v[i] - c.c[i])
+         |             for i in range(1, LEN(ev.v) + 1)]),
+         |            (acc, x) -> acc + x) AS dist
+         |        FROM ev, c${t - 1} c)) WHERE rn = 1)""".stripMargin
+    def update(t: Int): String =
+      s"""u$t AS (SELECT cid, LIST(ROUND(m, 6) ORDER BY i) AS c FROM (
+         |  SELECT a.cid, r.i, AVG(ev.v[r.i]) AS m
+         |  FROM a$t a JOIN ev USING (vec_id), RANGE(1, ${dim + 1}) r(i)
+         |  GROUP BY a.cid, r.i) GROUP BY cid),
+         |c$t AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
+         |        FROM c${t - 1} p LEFT JOIN u$t u USING (cid))""".stripMargin
+    val steps = (1 to iters).map(t => s"${assign(t)},\n${update(t)}").mkString(",\n")
+    s"""c0 AS (SELECT vec_id AS cid, v AS c FROM ev WHERE vec_id < $k),
+       |$steps,
+       |${assign(iters + 1)}""".stripMargin
+  }
+
   val q109 = Q(
     "q109_kmeans_cluster",
     (s, d) =>
@@ -923,34 +937,12 @@ object VectorOps {
         .groupBy(col("cid").cast("long").as("cluster"))
         .agg(count(lit(1)).as("n_vecs"), round(sum(col("dist")), 3).as("inertia_r"))
         .orderBy(col("cluster")),
-    Some {
-      // unrolled Lloyd's: aT assigns against c(T-1); uT/cT update+round
-      def assign(t: Int): String =
-        s"""a$t AS (SELECT vec_id, cid, dist FROM (
-           |  SELECT vec_id, cid, dist,
-           |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-           |  FROM (SELECT ev.vec_id, c.cid,
-           |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
-           |            [(ev.v[i] - c.c[i]) * (ev.v[i] - c.c[i])
-           |             for i in range(1, LEN(ev.v) + 1)]),
-           |            (acc, x) -> acc + x) AS dist
-           |        FROM ev, c${t - 1} c)) WHERE rn = 1)""".stripMargin
-      def update(t: Int): String =
-        s"""u$t AS (SELECT cid, LIST(ROUND(m, 6) ORDER BY i) AS c FROM (
-           |  SELECT a.cid, r.i, AVG(ev.v[r.i]) AS m
-           |  FROM a$t a JOIN ev USING (vec_id), RANGE(1, 65) r(i)
-           |  GROUP BY a.cid, r.i) GROUP BY cid),
-           |c$t AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
-           |        FROM c${t - 1} p LEFT JOIN u$t u USING (cid))""".stripMargin
-      val steps = (1 to 3).map(t => s"${assign(t)},\n${update(t)}").mkString(",\n")
+    Some(
       s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, v AS c FROM ev WHERE vec_id < 8),
-         |$steps,
-         |${assign(4)}
+         |${oracleLloydCtes(k = 8, iters = 3, dim = 64)}
          |SELECT cid AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
          |       ROUND(SUM(dist), 3) AS inertia_r
-         |FROM a4 GROUP BY cid ORDER BY cluster""".stripMargin
-    })
+         |FROM a4 GROUP BY cid ORDER BY cluster""".stripMargin))
 
   /** q110: SemDeDup — cluster-scoped semantic near-dup removal (the
     * arXiv:2303.09540 recipe): k-means the corpus (q109's Lloyd's
@@ -984,29 +976,9 @@ object VectorOps {
           min(col("id1")).as("kept_by"), max(col("sim_r")).as("max_sim_r"))
         .orderBy(col("vec_id"))
     },
-    Some {
-      def assign(t: Int): String =
-        s"""a$t AS (SELECT vec_id, cid, dist FROM (
-           |  SELECT vec_id, cid, dist,
-           |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) rn
-           |  FROM (SELECT ev.vec_id, c.cid,
-           |          LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
-           |            [(ev.v[i] - c.c[i]) * (ev.v[i] - c.c[i])
-           |             for i in range(1, LEN(ev.v) + 1)]),
-           |            (acc, x) -> acc + x) AS dist
-           |        FROM ev, c${t - 1} c)) WHERE rn = 1)""".stripMargin
-      def update(t: Int): String =
-        s"""u$t AS (SELECT cid, LIST(ROUND(m, 6) ORDER BY i) AS c FROM (
-           |  SELECT a.cid, r.i, AVG(ev.v[r.i]) AS m
-           |  FROM a$t a JOIN ev USING (vec_id), RANGE(1, 65) r(i)
-           |  GROUP BY a.cid, r.i) GROUP BY cid),
-           |c$t AS (SELECT p.cid, COALESCE(u.c, p.c) AS c
-           |        FROM c${t - 1} p LEFT JOIN u$t u USING (cid))""".stripMargin
-      val steps = (1 to 3).map(t => s"${assign(t)},\n${update(t)}").mkString(",\n")
+    Some(
       s"""$oracleNormCte,
-         |c0 AS (SELECT vec_id AS cid, v AS c FROM ev WHERE vec_id < 8),
-         |$steps,
-         |${assign(4)}
+         |${oracleLloydCtes(k = 8, iters = 3, dim = 64)}
          |SELECT id2 AS vec_id, CAST(MIN(cid) AS BIGINT) AS cluster,
          |       MIN(id1) AS kept_by, MAX(sim_r) AS max_sim_r
          |FROM (
@@ -1018,8 +990,7 @@ object VectorOps {
          |  JOIN ev x ON x.vec_id = ax.vec_id
          |  JOIN ev y ON y.vec_id = ay.vec_id)
          |WHERE sim_r >= 0.45
-         |GROUP BY id2 ORDER BY vec_id""".stripMargin
-    })
+         |GROUP BY id2 ORDER BY vec_id""".stripMargin))
 
   val all: Seq[Q] =
     Seq(q29, q29b, q29c, q29d, q29e, q29f, q29g, q49, q59, q70, q81, q82,
