@@ -286,7 +286,7 @@ object TableMetadata {
     * the partial target before rethrowing — leaving it would claim the
     * slot with truncated JSON forever (every retry EEXISTs, every load
     * fails to parse: a bricked table). */
-  private def copyExclusive(target: Path, tmp: Path): Unit = {
+  private[graft] def copyExclusive(target: Path, tmp: Path): Unit = {
     val ch = Files.newByteChannel(target,
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)

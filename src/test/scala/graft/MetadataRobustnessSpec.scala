@@ -147,6 +147,49 @@ class MetadataRobustnessSpec extends AnyFunSuite with Matchers {
     Files.exists(chunk) shouldBe true // restored in place
   }
 
+  test("metadata dir stays bounded across repeated commit+expire cycles") {
+    // the floor's whole purpose: a streaming-style table that commits
+    // and expires forever must not accumulate one tombstone per version
+    val dir = mkTable("bound", commits = 3) // v1..v4
+    def mdFiles() = {
+      val md = TableMetadata.metadataDir(dir)
+      graft.catalog.Fs.children(md).iterator
+        .count(_.getFileName.toString.matches("v\\d+\\.json"))
+    }
+    (1 to 5).foreach { c =>
+      (0 until 5).map(i => (1000 + c * 10 + i, s"b$c-$i")).toDF("k", "v")
+        .createOrReplaceTempView("mrob_src_bound2")
+      spark.sql("INSERT INTO lakehouse.mrob_ns.bound SELECT * FROM mrob_src_bound2")
+      Maintenance.expireSnapshots(spark, "lakehouse", Seq("mrob_ns"), "bound",
+        retainVersions = 2, manifestGraceMs = 0L)
+      // retained window (2) — never the full history of 4+c versions
+      mdFiles() should be <= 3
+    }
+    spark.table("lakehouse.mrob_ns.bound").count() shouldBe 55
+    spark.sql("DROP TABLE lakehouse.mrob_ns.bound")
+  }
+
+  test("the no-hardlink claim fallback is create-exclusive and cleans a failed copy") {
+    val md = Files.createTempDirectory("mrob-claim")
+    val tmp = md.resolve("payload.tmp")
+    Files.writeString(tmp, """{"version":1,"x":"y"}""")
+    val target = md.resolve("v1.json")
+    TableMetadata.copyExclusive(target, tmp)
+    Files.readString(target) shouldBe """{"version":1,"x":"y"}"""
+    // a second claim of the same slot must refuse, never replace
+    Files.writeString(tmp, """{"version":1,"x":"LOSER"}""")
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      TableMetadata.copyExclusive(target, tmp)
+    }
+    Files.readString(target) shouldBe """{"version":1,"x":"y"}"""
+    // a failed copy (missing source) leaves NO partial target claiming
+    // the slot — a truncated payload parked there would brick retries
+    intercept[Exception] {
+      TableMetadata.copyExclusive(md.resolve("v2.json"), md.resolve("absent.tmp"))
+    }
+    Files.exists(md.resolve("v2.json")) shouldBe false
+  }
+
   test("identity mint mark refuses to advance over unverifiable footer stats") {
     val schema = new StructType().add("id", LongType).add("v", LongType)
     val props = Map(
