@@ -85,6 +85,32 @@ object VectorIndex {
       cellOf(slice(v, j * subDim + 1, subDim), books(j)).cast("int")): _*)
   }
 
+  /** ADC lookup table for one query vector (Jégou et al. 2011 §IV):
+    * `lut(j·kCodes + c)` = that query subvector's dot with codebook j's
+    * centroid c — the bounded per-query driver state ADC search ships
+    * as a broadcast. ONE copy shared by [[queryAdc]] and the in-query
+    * PQ path (q29f) so the LUT layout can never diverge from
+    * [[adcDot]]'s indexing. */
+  def adcLut(qv: Array[Float], books: Array[Array[Array[Double]]]): Seq[Double] = {
+    val m = books.length
+    val kCodes = books(0).length
+    val subDim = books(0)(0).length
+    for (j <- 0 until m; c <- 0 until kCodes) yield {
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) { acc += qv(j * subDim + i).toDouble * books(j)(c)(i); i += 1 }
+      acc
+    }
+  }
+
+  /** The in-plan ADC approximate dot: Σ_j lut(j·kCodes + codes(j)),
+    * pure element_at arithmetic over the broadcast LUT column. */
+  def adcDot(lut: Column, codes: Column, m: Int, kCodes: Int): Column =
+    (0 until m).map(j =>
+      element_at(lut,
+        (lit(j * kCodes) + element_at(codes, j + 1) + lit(1)).cast("int")))
+      .reduce(_ + _)
+
   /** Train a quantizer on `embeddings` (columns vec_id, embedding) and
     * materialize the cell-partitioned index table. Returns the
     * centroids (the query-side probe list is computed from them). */
@@ -417,20 +443,12 @@ object VectorIndex {
 
     // per-query ADC lookup table + norm, from the bounded query set
     val lutRows = queries.map { case (qid, qv) =>
-      val lut = for (j <- 0 until m; c <- 0 until kCodes) yield {
-        var acc = 0.0; var i = 0
-        while (i < subDim) { acc += qv(j * subDim + i).toDouble * books(j)(c)(i); i += 1 }
-        acc
-      }
       var n2 = 0.0; var i = 0
       while (i < qv.length) { n2 += qv(i).toDouble * qv(i); i += 1 }
-      (qid, math.sqrt(n2), lut)
+      (qid, math.sqrt(n2), adcLut(qv, books))
     }
     val lutDf = spark.createDataFrame(lutRows).toDF("qid", "qn", "lut")
-    val approxDot = (0 until m).map(j =>
-      element_at(col("lut"),
-        (lit(j * kCodes) + element_at(col("codes"), j + 1) + lit(1)).cast("int")))
-      .reduce(_ + _)
+    val approxDot = adcDot(col("lut"), col("codes"), m, kCodes)
     val idx = spark.table(index)
     val scored = idx.select(col("vec_id"), col("nrm"), col("codes"))
       .crossJoin(broadcast(lutDf))

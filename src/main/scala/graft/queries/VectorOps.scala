@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
+import graft.Materialize.PinOps
 import graft.Tables._
 
 /** North-star similarity search over `embeddings` (SURVEY.md §2B Q29).
@@ -95,8 +96,12 @@ object VectorOps {
     * query's declared floor. The ANN result itself is deterministic
     * (seeded hyperplanes / deterministic k-means sample), so the flag
     * is reproducible and the oracle simply asserts TRUE. Recall is
-    * computed IN-PLAN (left join on the ≤50-row exact set + one scalar
-    * aggregate, both broadcast) — no driver-side collect. */
+    * computed IN-PLAN as a global window over the ≤50-row scored set —
+    * ONE evaluation of both subtrees (the previous agg + crossJoin
+    * formulation planned the exact-join AND the whole ANN pipeline as
+    * two independent subtrees, doubling every recall-checked query's
+    * cost); the single-partition window is safe because the exact set
+    * is ≤ 10 queries × 5 rows by construction. */
   private def recallChecked(
       exact: org.apache.spark.sql.DataFrame,
       ann: org.apache.spark.sql.DataFrame,
@@ -104,11 +109,11 @@ object VectorOps {
     val annSet = ann.select(col("qid"), col("nid"), lit(1).as("hit"))
       .dropDuplicates("qid", "nid")
     val scored = exact.join(broadcast(annSet), Seq("qid", "nid"), "left")
-    val rec = scored.agg(
-      (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("recall"))
-    scored.crossJoin(broadcast(rec))
+    val w = Window.partitionBy(lit(1))
+    scored
       .select(col("qid"), col("nid"), col("rnk"), col("sim_r"),
-        (col("recall") >= floor).as("recall_ok"))
+        ((sum(coalesce(col("hit"), lit(0))).over(w).cast("double") /
+          count(lit(1)).over(w)) >= floor).as("recall_ok"))
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -146,9 +151,10 @@ object VectorOps {
             |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id)
             |WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin))
 
-  /** Random-hyperplane LSH signatures (8 tables × 12 bits, seeded
-    * deterministically): the scale path for near-neighbor candidate
-    * generation. Output: per-vector bucket signatures. */
+  /** Random-hyperplane LSH signatures (12 tables × 6 bits, seeded
+    * deterministically — see the tuning note below): the scale path for
+    * near-neighbor candidate generation. Output: per-vector bucket
+    * signatures. */
   // Bucket-width tuning: P(query collides with a sim-s neighbour in one
   // table) = (1 - arccos(s)/π)^bits. The synthetic corpus tops out near
   // s≈0.5, so 12-bit buckets collide almost never (~0.2%/table); 6 bits
@@ -174,8 +180,8 @@ object VectorOps {
           hyperplanes.flatten.flatten)
       }, "built-in")
 
-  /** ANN top-k via LSH buckets: candidates = vectors sharing ≥1 of the 8
-    * table buckets with the query; exact cosine re-rank on candidates.
+  /** ANN top-k via LSH buckets: candidates = vectors sharing ≥1 of the
+    * 12 table buckets with the query; exact cosine re-rank on candidates.
     * Same output shape as q29 (recall measured against it in tests).
     */
   val q29c = Q(
@@ -275,9 +281,11 @@ object VectorOps {
       val cand = broadcast(probes).join(indexed.select(col("vec_id").as("nid"),
           col("embedding").as("nv"), col("nrm").as("nn"), col("cell")), Seq("cell"))
         .filter(col("qid") =!= col("nid"))
+      // no dedup needed (unlike q29c): cellOf assigns each corpus
+      // vector exactly ONE cell and `probes` has distinct cells per
+      // qid, so the equi-join cannot produce duplicate (qid, nid) pairs
       val sims = cand.select(col("qid"), col("nid"),
         (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"))
-        .dropDuplicates("qid", "nid")
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
       val ann = sims.select(col("qid"), col("nid"), row_number().over(w).as("rnk"))
         .filter(col("rnk") <= 5)
@@ -321,14 +329,12 @@ object VectorOps {
       val sample = embeddings(s, d).orderBy(col("vec_id")).limit(2048)
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).toArray)
-      val subCents: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
-        graft.operators.VectorIndex.trainKMeans(
-          sample.map(v => v.slice(j * subDim, (j + 1) * subDim)), kCodes, iters = 3)
-      }
-      val codeCols = (0 until m).map(j =>
-        graft.operators.VectorIndex.cellOf(
-          slice(col("embedding"), j * subDim + 1, subDim), subCents(j)))
-      val codes = e.select(col("vec_id"), col("nrm"), array(codeCols: _*).as("codes"))
+      // the quantizer, encoder, and ADC LUT/dot are the SAME code the
+      // persisted index uses (VectorIndex.trainPq/codesOf/adcLut/adcDot)
+      // — q29f differs from q29g only in WHERE the codes live
+      val books = graft.operators.VectorIndex.trainPq(sample, m, subDim, kCodes, iters = 3)
+      val codes = e.select(col("vec_id"), col("nrm"),
+        graft.operators.VectorIndex.codesOf(col("embedding"), books).as("codes"))
       // ≤10 query vectors by definition (vec_id < 10): the bounded
       // driver-side set the per-query ADC tables derive from
       val qRows = e.filter(col("vec_id") < 10)
@@ -336,21 +342,10 @@ object VectorOps {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
       val lutRows = qRows.toSeq.map { case (qid, qv, qn) =>
-        val lut = for (j <- 0 until m; c <- 0 until kCodes) yield {
-          var acc = 0.0
-          var i = 0
-          while (i < subDim) {
-            acc += qv(j * subDim + i).toDouble * subCents(j)(c)(i); i += 1
-          }
-          acc
-        }
-        (qid, qn, lut)
+        (qid, qn, graft.operators.VectorIndex.adcLut(qv, books))
       }
       val lutDf = s.createDataFrame(lutRows).toDF("qid", "qn", "lut")
-      val approxDot = (0 until m).map(j =>
-        element_at(col("lut"),
-          (lit(j * kCodes) + element_at(col("codes"), j + 1) + lit(1)).cast("int")))
-        .reduce(_ + _)
+      val approxDot = graft.operators.VectorIndex.adcDot(col("lut"), col("codes"), m, kCodes)
       val scored = codes.crossJoin(broadcast(lutDf))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nid"),
@@ -605,15 +600,23 @@ object VectorOps {
       // diagonal Σx_i² lives at the (i,i) flat index of the moments
       def diagIdx(i: Column): Column =
         (lit(1 + dim) + (i - 1) * lit(dim) - (i - 1) * (i - 2) / 2 + 1).cast("int")
+      // ROUND μ/σ to 1e-6 (both engines): the moment sums are
+      // accumulation-order-dependent, so unrounded stats differ in the
+      // last ulps across engines/partitionings and every z-vector would
+      // inherit the drift — the same re-synchronization lloydAssign
+      // applies to centroids. The guard is sign-flip-proof: a variance
+      // within noise of zero rounds to a σ of 0 on BOTH sides of the
+      // flip (√|ε| < 5e-7) and lands on the 1.0 constant-dimension path.
       val stats = embeddings(s, d).agg(cov(col("embedding")).as("m"))
         .select(
           transform(sequence(lit(1), lit(dim)), i =>
-            element_at(col("m"), (i + 1).cast("int")) / element_at(col("m"), 1))
+            round(element_at(col("m"), (i + 1).cast("int")) / element_at(col("m"), 1), 6))
             .as("mus"),
           transform(sequence(lit(1), lit(dim)), i => {
             val mu = element_at(col("m"), (i + 1).cast("int")) / element_at(col("m"), 1)
             val vr = element_at(col("m"), diagIdx(i)) / element_at(col("m"), 1) - mu * mu
-            when(vr <= 0, lit(1.0)).otherwise(sqrt(vr))
+            val sgr = round(sqrt(greatest(vr, lit(0.0))), 6)
+            when(sgr <= 0, lit(1.0)).otherwise(sgr)
           }).as("sgs"))
       val z = embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
@@ -641,10 +644,12 @@ object VectorOps {
     },
     Some("""WITH u AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
            |           FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
-           |st AS (SELECT i, SUM(x) / COUNT(*) AS mu,
-           |         CASE WHEN SUM(x*x) / COUNT(*) - (SUM(x)/COUNT(*)) * (SUM(x)/COUNT(*)) <= 0
+           |st AS (SELECT i, ROUND(SUM(x) / COUNT(*), 6) AS mu,
+           |         CASE WHEN ROUND(SQRT(GREATEST(
+           |                SUM(x*x) / COUNT(*) - (SUM(x)/COUNT(*)) * (SUM(x)/COUNT(*)), 0)), 6) <= 0
            |              THEN 1.0
-           |              ELSE SQRT(SUM(x*x) / COUNT(*) - (SUM(x)/COUNT(*)) * (SUM(x)/COUNT(*)))
+           |              ELSE ROUND(SQRT(GREATEST(
+           |                SUM(x*x) / COUNT(*) - (SUM(x)/COUNT(*)) * (SUM(x)/COUNT(*)), 0)), 6)
            |         END AS sg
            |       FROM u GROUP BY i),
            |arrs AS (SELECT LIST(mu ORDER BY i) AS mus, LIST(sg ORDER BY i) AS sgs FROM st),
@@ -709,11 +714,10 @@ object VectorOps {
         .select(col("doc_id"),
           coalesce(col("r_lex"), lit(0)).as("r_lex"),
           coalesce(col("r_vec"), lit(0)).as("r_vec"),
+          // one null-leg idiom, mirroring the oracle's COALESCE(1/(60+r), 0)
           round(
-            when(col("r_lex").isNotNull, lit(1.0) / (lit(60.0) + col("r_lex")))
-              .otherwise(lit(0.0)) +
-            when(col("r_vec").isNotNull, lit(1.0) / (lit(60.0) + col("r_vec")))
-              .otherwise(lit(0.0)), 6).as("rrf_r"))
+            coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)), 6).as("rrf_r"))
         .orderBy(col("rrf_r").desc, col("doc_id")).limit(20)
     },
     Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -790,6 +794,9 @@ object VectorOps {
           round(dot(col("qv"), col("embedding")) / (col("qn") * col("nrm")), 4)
             .as("simq"))
         .orderBy(col("simq").desc, col("doc_id")).limit(50)
+        // pin the shortlist: the self-join and the driver collect below
+        // would otherwise each re-run the corpus-wide cosine scan + sort
+        .pinned
       val pair = cand.as("c1").join(cand.as("c2"),
           col("c1.doc_id") =!= col("c2.doc_id"))
         .select(col("c1.doc_id").as("i"), col("c2.doc_id").as("j"),
