@@ -493,12 +493,13 @@ object Maintenance {
       table: String,
       data: org.apache.spark.sql.DataFrame,
       txnId: String,
-      batchId: Long): Boolean = {
+      batchId: Long,
+      legacyTxnId: Option[String] = None): Boolean = {
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
-    val key = s"graft.txn.$txnId"
+    val keys = s"graft.txn.$txnId" +: legacyTxnId.toSeq.map(id => s"graft.txn.$id")
     val start = TableMetadata.load(dir)
-    if (start.properties.get(key).exists(_.toLong >= batchId)) return false
+    if (keys.exists(k => start.properties.get(k).exists(_.toLong >= batchId))) return false
 
     // resolve by name + ANSI cast to the table schema (same contract as
     // the INSERT path's store assignment)
@@ -522,7 +523,7 @@ object Maintenance {
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     watermarkedPublish(spark, dir, newFiles, start.schema, start.properties,
-      txnId, batchId, replace = false)
+      txnId, batchId, replace = false, legacyTxnId = legacyTxnId)
   }
 
   /** Publish already-written data files under a (txnId, batchId)
@@ -540,8 +541,14 @@ object Maintenance {
       propsForBloom: Map[String, String],
       txnId: String,
       batchId: Long,
-      replace: Boolean): Boolean = {
+      replace: Boolean,
+      legacyTxnId: Option[String] = None): Boolean = {
     val key = s"graft.txn.$txnId"
+    // a renamed hash scheme (see EventStreams: char-length → byte-length
+    // Murmur3) must not replay batches the OLD id already committed —
+    // the caller passes the old id and we honor its watermark read-only;
+    // new commits advance only the new key
+    val readKeys = key +: legacyTxnId.toSeq.map(id => s"graft.txn.$id")
     val conf = spark.sessionState.newHadoopConf()
     val footers = newFiles.map { f =>
       f -> FooterStats.collectFull(conf,
@@ -556,7 +563,7 @@ object Maintenance {
     var attempt = 0
     while (true) {
       val current = TableMetadata.load(dir)
-      if (current.properties.get(key).exists(_.toLong >= batchId)) {
+      if (readKeys.exists(k => current.properties.get(k).exists(_.toLong >= batchId))) {
         newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f)))
         return false
       }

@@ -122,9 +122,16 @@ object Manifests {
 
   private def seedKey(p: Path): String = p.toAbsolutePath.normalize.toString
 
-  private def parkSeed(key: String, entries: Seq[ManifestEntry]): Unit =
+  private[graft] def pendingEntriesForTesting: Long =
+    pendingSeeds.synchronized(pendingEntries)
+
+  private[graft] def parkSeed(key: String, entries: Seq[ManifestEntry]): Unit =
     pendingSeeds.synchronized {
-      if (pendingSeeds.put(key, entries) == null) pendingEntries += entries.size
+      // adjust by the DELTA on replacement — chunk names embed a UUID so
+      // re-parking a key is unreachable today, but counting only fresh
+      // puts would silently drift the eviction bound if that ever changes
+      val prev = pendingSeeds.put(key, entries)
+      pendingEntries += entries.size - (if (prev == null) 0L else prev.size.toLong)
       val it = pendingSeeds.entrySet().iterator()
       while (pendingEntries > MaxPendingEntries && it.hasNext) {
         val eldest = it.next()

@@ -236,23 +236,54 @@ object TableMetadata {
       s"corrupt expire floor ${floorFile(md)}: '${text.take(40)}'"))
   }
 
-  /** MONOTONIC floor advance: two racing expires must never let the
-    * later (smaller-floor) writer regress the earlier one — tombstones
-    * above the regressed floor may already be deleted, and a zombie in
-    * that gap would pass the publish floor check. Write, then re-read;
-    * if a racer overwrote us with a smaller value, write again (each
-    * round re-reads the max, so the largest value wins within finitely
-    * many rounds of any finite race). */
-  private[catalog] def writeFloor(md: Path, v: Int): Unit = {
-    var rounds = 0
-    while (readFloor(md) < v && rounds < 16) {
-      rounds += 1
-      val tmp = Files.createTempFile(md, ".floor-", ".tmp")
+  /** Striped JVM-level locks for [[writeFloor]]: `FileLock` is
+    * per-JVM-per-file (a second thread locking the same file throws
+    * OverlappingFileLockException), so same-process racers must
+    * serialize BEFORE touching the file lock. 64 stripes bound the
+    * memory regardless of how many tables a process touches. */
+  private val floorStripes = Array.fill(64)(new Object)
+
+  /** MONOTONIC floor advance — by MUTUAL EXCLUSION, not by retry. The
+    * previous write-then-re-read loop had a check-then-act hole: racer
+    * B could read a stale floor, then REPLACE_EXISTING over A's larger
+    * value, and B's own re-read (its smaller v already landed) exits
+    * the loop — the floor regresses permanently while A has already
+    * deleted the tombstones its larger floor covered, re-opening the
+    * zombie-fork window the floor exists to close. Here every writer
+    * holds (a) a JVM stripe lock (same-process racers) and (b) an
+    * exclusive `FileLock` on `expire-floor.lock` (cross-process racers)
+    * across the whole read-compare-move, so a smaller value can never
+    * land after a larger one. Readers stay lock-free: the ATOMIC_MOVE
+    * publish means they see either the old or the new floor, both of
+    * which are now guaranteed monotone. If the filesystem cannot lock
+    * (some network mounts), the stripe lock still serializes this
+    * process and we proceed — the same local-FS assumption the
+    * claimSlot link(2) protocol already documents. */
+  private[graft] def writeFloor(md: Path, v: Int): Unit = {
+    val stripe = floorStripes(
+      (md.toAbsolutePath.normalize.hashCode & Int.MaxValue) % floorStripes.length)
+    stripe.synchronized {
+      val ch =
+        try java.nio.channels.FileChannel.open(md.resolve("expire-floor.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.io.IOException => null }
+      val lock =
+        if (ch == null) null
+        else try ch.lock() catch { case _: java.io.IOException => null }
       try {
-        Files.writeString(tmp, v.toString)
-        Files.move(tmp, floorFile(md),
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      } finally Files.deleteIfExists(tmp)
+        if (readFloor(md) < v) {
+          val tmp = Files.createTempFile(md, ".floor-", ".tmp")
+          try {
+            Files.writeString(tmp, v.toString)
+            Files.move(tmp, floorFile(md),
+              StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+          } finally Files.deleteIfExists(tmp)
+        }
+      } finally {
+        if (lock != null) { try lock.release() catch { case _: java.io.IOException => () } }
+        if (ch != null) { try ch.close() catch { case _: java.io.IOException => () } }
+      }
     }
   }
 

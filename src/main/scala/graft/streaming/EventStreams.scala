@@ -183,10 +183,20 @@ object EventStreams {
     // watermarks make transactionalAppend silently skip one query's
     // batches as already-committed
     val cpBytes = checkpointDir.getBytes("UTF-8")
-    val txnId = java.lang.Long.toHexString(
+    def cpHash(len: Int): String = java.lang.Long.toHexString(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
         cpBytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        cpBytes.length, 42) & 0xffffffffL)
+        len, 42) & 0xffffffffL)
+    val txnId = cpHash(cpBytes.length)
+    // one-time migration: an earlier scheme hashed the CHAR count (a
+    // strict prefix of cpBytes for non-ASCII paths). A checkpoint that
+    // already committed batches under that id must not replay them
+    // after upgrade, so the old watermark is probed alongside the new
+    // one (read-only — new commits advance only the new key). ASCII
+    // paths hash identically and skip the probe.
+    val legacyTxnId =
+      if (checkpointDir.length == cpBytes.length) None
+      else Some(cpHash(checkpointDir.length))
     spark.readStream
       .schema(sourceSchema)
       .parquet(sourceDir)
@@ -194,7 +204,8 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.catalog.Maintenance.transactionalAppend(
-          batch.sparkSession, catalog, namespace, table, batch.toDF(), txnId, batchId)
+          batch.sparkSession, catalog, namespace, table, batch.toDF(), txnId, batchId,
+          legacyTxnId)
         ()
       }
       .start()

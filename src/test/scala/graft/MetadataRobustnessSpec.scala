@@ -213,4 +213,63 @@ class MetadataRobustnessSpec extends AnyFunSuite with Matchers {
         Map("id" -> ColumnRange("5", "42", Some(0)))),
       newRows = Map("data/c/b.parquet" -> 38L)) shouldBe Map("id" -> 42L)
   }
+
+  test("the expire floor is monotone under racing advances; a stale smaller value never regresses it") {
+    val md = Files.createTempDirectory("floor-race")
+    // sequential stale writer: already-larger floor wins
+    TableMetadata.writeFloor(md, 100)
+    TableMetadata.writeFloor(md, 50)
+    TableMetadata.readFloor(md) shouldBe 100
+    // hammer: 16 threads × shuffled values interleaving read-compare-move.
+    // The pre-fix check-then-act window (read stale → REPLACE_EXISTING
+    // over a larger racer → own re-read exits) regresses the floor here;
+    // the lock-serialized advance cannot.
+    val values = scala.util.Random.shuffle((101 to 400).toVector)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      values.map(v => pool.submit(new Runnable {
+        def run(): Unit = TableMetadata.writeFloor(md, v)
+      })).foreach(_.get())
+    } finally pool.shutdown()
+    TableMetadata.readFloor(md) shouldBe 400
+  }
+
+  test("re-parking a seed key adjusts the eviction counter by the delta, not double-counts") {
+    Manifests.clearCacheForTesting()
+    def entry(i: Int) = ManifestEntry(s"data/c/p$i.parquet", Some(1L), 0, Map.empty)
+    Manifests.parkSeed("repark-key", (0 until 3).map(entry))
+    Manifests.pendingEntriesForTesting shouldBe 3L
+    // same key re-parked with MORE entries: the map holds 5, the
+    // counter must say 5 (the pre-fix code left it at 3 — the eviction
+    // bound would drift loose by the difference forever)
+    Manifests.parkSeed("repark-key", (0 until 5).map(entry))
+    Manifests.pendingEntriesForTesting shouldBe 5L
+    // and with FEWER: counter shrinks with the map
+    Manifests.parkSeed("repark-key", (0 until 2).map(entry))
+    Manifests.pendingEntriesForTesting shouldBe 2L
+    Manifests.clearCacheForTesting()
+  }
+
+  test("a legacy txnId watermark blocks replay after the hash-scheme migration") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mrob_ns")
+    spark.sql("CREATE TABLE lakehouse.mrob_ns.legtxn (k INT, v STRING)")
+    // the pre-migration id committed batches 0..3 (its watermark is 3)
+    spark.sql(
+      "ALTER TABLE lakehouse.mrob_ns.legtxn SET TBLPROPERTIES ('graft.txn.oldhash'='3')")
+    val batch = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    // post-upgrade replay of batch 2 under the NEW id: the legacy
+    // watermark must be honored — without the probe this double-writes
+    Maintenance.transactionalAppend(spark, "lakehouse", Seq("mrob_ns"), "legtxn",
+      batch, "newhash", 2L, Some("oldhash")) shouldBe false
+    spark.table("lakehouse.mrob_ns.legtxn").count() shouldBe 0
+    // a genuinely new batch (above both watermarks) commits normally
+    Maintenance.transactionalAppend(spark, "lakehouse", Seq("mrob_ns"), "legtxn",
+      batch, "newhash", 4L, Some("oldhash")) shouldBe true
+    spark.table("lakehouse.mrob_ns.legtxn").count() shouldBe 2
+    // and ITS replay is caught by the new id's own watermark
+    Maintenance.transactionalAppend(spark, "lakehouse", Seq("mrob_ns"), "legtxn",
+      batch, "newhash", 4L, Some("oldhash")) shouldBe false
+    spark.table("lakehouse.mrob_ns.legtxn").count() shouldBe 2
+    spark.sql("DROP TABLE lakehouse.mrob_ns.legtxn")
+  }
 }
