@@ -1185,6 +1185,77 @@ object Relational {
            |FROM documents WHERE lang IN ('en', 'de')
            |GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 
+  /** RELY-constraint join elimination, end-to-end: `orders` and
+    * `customer` land as lakehouse tables with a RELY'd PRIMARY KEY on
+    * `c_custkey` and a RELY'd FOREIGN KEY `o_custkey → c_custkey`, then
+    * the classic BI shape — a star join whose dimension contributes no
+    * output columns — aggregates orders alone. ConstraintOptimization
+    * deletes the join (PlanSpec pins: zero joins in the optimized
+    * plan); the DuckDB oracle RUNS the join on the raw parquet, so a
+    * hash-match proves the rewrite is semantically invisible on data
+    * that honors the declared keys.
+    *
+    * Scale shape: the eliminated join is the whole point — at 100 TB
+    * this is a dimension full-scan plus a corpus-wide shuffle (or at
+    * best a broadcast probe) deleted from every view-generated query
+    * that doesn't touch the dimension's columns.
+    *
+    * The session may be bare (Verify/Bench build no extensions): the
+    * catalog is registered at runtime and the rule injected through
+    * `spark.experimental.extraOptimizations`, both idempotently. Tables
+    * are created once per (warehouse, sf) and rebuilt if the source
+    * row count drifts (regenerated fixtures). */
+  val q111 = Q(
+    "q111_rely_join_elimination",
+    (s, d) => {
+      val cat = "grely"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+      if (!s.sessionState.optimizer.extendedOperatorOptimizationRules
+            .exists(_.isInstanceOf[graft.catalog.ConstraintOptimization]) &&
+          !s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.catalog.ConstraintOptimization]))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.catalog.ConstraintOptimization(s)
+      val ns = s"rely_${new java.io.File(d).getName.replace('.', '_')}"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+      val srcCust = customer(s, d).select("c_custkey", "c_name")
+      val srcOrd = orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      def freshly(tbl: String, src: DataFrame): Boolean =
+        !s.catalog.tableExists(s"$cat.$ns.$tbl") || {
+          val stale = s.table(s"$cat.$ns.$tbl").count() != src.count()
+          if (stale) s.sql(s"DROP TABLE $cat.$ns.$tbl")
+          stale
+        }
+      if (freshly("customer", srcCust)) {
+        s.sql(s"CREATE TABLE $cat.$ns.customer (c_custkey BIGINT NOT NULL, " +
+          "c_name STRING, CONSTRAINT cust_pk PRIMARY KEY (c_custkey) NOT ENFORCED RELY)")
+        srcCust.createOrReplaceTempView("rely_cust_src")
+        s.sql(s"INSERT INTO $cat.$ns.customer SELECT * FROM rely_cust_src")
+      }
+      if (freshly("orders", srcOrd)) {
+        s.sql(s"CREATE TABLE $cat.$ns.orders (o_orderkey BIGINT, " +
+          "o_custkey BIGINT NOT NULL, o_totalprice DOUBLE, o_orderpriority STRING, " +
+          s"CONSTRAINT ord_fk FOREIGN KEY (o_custkey) " +
+          s"REFERENCES $cat.$ns.customer (c_custkey) NOT ENFORCED RELY)")
+        srcOrd.createOrReplaceTempView("rely_ord_src")
+        s.sql(s"INSERT INTO $cat.$ns.orders SELECT * FROM rely_ord_src")
+      }
+      s.sql(
+        s"""SELECT o.o_orderpriority, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM $cat.$ns.orders o
+           |JOIN $cat.$ns.customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY o.o_orderpriority
+           |ORDER BY o.o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o.o_orderpriority, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           |GROUP BY o.o_orderpriority
+           |ORDER BY o.o_orderpriority""".stripMargin))
+
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
     * scan a pipeline runs on every ingest before anything trains on it
@@ -1451,5 +1522,5 @@ object Relational {
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
-    q83, q84, q85, q86, q87)
+    q83, q84, q85, q86, q87, q111)
 }

@@ -547,4 +547,19 @@ class PlanSpec extends AnyFunSuite with Matchers {
     "windowspecdefinition\\(doc_id#".r.findFirstIn(plan) shouldBe None
     plan should not include "SortMergeJoin"
   }
+
+  test("q111 star join to the unused RELY'd dimension is eliminated from the plan") {
+    // the BI-tool shape: SELECT over a star view touching no dimension
+    // columns. With PK/FK RELY declared, the join must be GONE — at
+    // 100 TB it is a dimension scan plus a corpus-wide shuffle (or
+    // broadcast probe) for nothing. The oracle runs the join in DuckDB,
+    // so the hash-match separately proves the rewrite invisible.
+    val df = Relational.q111.run(spark, sf)
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    } shouldBe empty
+    val plan = executedPlan(df)
+    plan should not include "Join"
+    plan should not include "customer" // the dimension is not even scanned
+  }
 }
