@@ -361,9 +361,12 @@ object LakehouseProcedures {
   private def tagProc(catalogName: String) = new MaintenanceProc("tag",
     Array(
       param("ns", StringType), param("tbl", StringType),
-      param("name", StringType), param("version", IntegerType)), "version", catalogName) {
+      param("name", StringType), param("version", IntegerType),
+      // per-ref retention (Iceberg max-ref-age-ms); -1 = never ages
+      param("max_age_ms", LongType, "-1L")), "version", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
-      Maintenance.tag(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString, a.getInt(3))
+      Maintenance.tag(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString, a.getInt(3),
+        Some(a.getLong(4)).filter(_ >= 0L))
       a.getInt(3).toLong
     }
   }
@@ -381,9 +384,12 @@ object LakehouseProcedures {
   private def branchProc(catalogName: String) = new MaintenanceProc("branch",
     Array(
       param("ns", StringType), param("tbl", StringType),
-      param("name", StringType)), "fork_version", catalogName) {
+      param("name", StringType),
+      // per-ref retention (Iceberg max-ref-age-ms); -1 = never ages
+      param("max_age_ms", LongType, "-1L")), "fork_version", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
-      Maintenance.createBranch(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString).toLong
+      Maintenance.createBranch(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString,
+        Some(a.getLong(3)).filter(_ >= 0L)).toLong
   }
 
   private def appendToBranchProc(catalogName: String) = new MaintenanceProc(

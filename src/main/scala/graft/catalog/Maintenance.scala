@@ -1178,13 +1178,39 @@ object Maintenance {
     * retention policy must not eat. The tag itself is a metadata-only
     * commit (history-visible, time-travelable, racing appends retry
     * past it). */
+  /** Per-ref retention metadata (Iceberg's `max-ref-age-ms`). A tag or
+    * branch created with (or later given) a max age is DROPPED by the
+    * next [[expireSnapshots]] run once older than that age — without
+    * this, a forgotten tag on a streaming table pins unbounded metadata
+    * history forever, and dropping the tag by hand is the only relief.
+    * Hyphenated prefixes on purpose: ref names match `[A-Za-z0-9_-]+`
+    * and every `graft.tag.`/`graft.branch.` key is parsed as a ref, so
+    * the retention keys must not share those prefixes. Refs with no
+    * recorded creation time (pre-feature tables) never age — a
+    * retention policy must not eat a pin it cannot date. */
+  val TagCreatedPrefix = "graft.tag-created."
+  val BranchCreatedPrefix = "graft.branch-created."
+  val TagMaxAgePrefix = "graft.tag-age."
+  val BranchMaxAgePrefix = "graft.branch-age."
+
+  /** Table-wide default max ref age, overridden per ref by the
+    * `graft.tag-age.<name>` / `graft.branch-age.<name>` properties. */
+  val DefaultMaxRefAgeKey = "graft.expire.max-ref-age-ms"
+
+  /** Table property floor on [[expireSnapshots]]'s `retainVersions` —
+    * Iceberg's `min-snapshots-to-keep`: a table owner can guarantee a
+    * minimum time-travel window that no (possibly sloppier) maintenance
+    * job invocation can undercut. */
+  val MinVersionsToKeepKey = "graft.expire.min-versions-to-keep"
+
   def tag(
       spark: SparkSession,
       catalog: String,
       namespace: Seq[String],
       table: String,
       name: String,
-      version: Int): Unit = {
+      version: Int,
+      maxAgeMs: Option[Long] = None): Unit = {
     // at least one non-digit: VERSION AS OF resolves all-digit strings
     // as version numbers first, so a numeric ref would be unreadable
     require(name.matches("[A-Za-z0-9_-]+") && !name.forall(_.isDigit),
@@ -1194,7 +1220,9 @@ object Maintenance {
     require(TableMetadata.versionIsLive(dir, version),
       s"cannot tag v$version: metadata missing (never existed or already expired)")
     commitPropertyChange(dir, s"tag($name=v$version)",
-      _ + (TagPrefix + name -> version.toString))
+      _ + (TagPrefix + name -> version.toString) +
+        (TagCreatedPrefix + name -> System.currentTimeMillis().toString) ++
+        maxAgeMs.map(a => TagMaxAgePrefix + name -> a.toString))
   }
 
   /** Drop a tag; the version it pinned becomes expirable again. */
@@ -1205,7 +1233,8 @@ object Maintenance {
       table: String,
       name: String): Unit = {
     val lt = lakehouseTable(spark, catalog, namespace, table)
-    commitPropertyChange(lt.tableDir, s"drop-tag($name)", _ - (TagPrefix + name))
+    commitPropertyChange(lt.tableDir, s"drop-tag($name)",
+      _ - (TagPrefix + name) - (TagCreatedPrefix + name) - (TagMaxAgePrefix + name))
   }
 
   // ---- branches (write-audit-publish) --------------------------------------
@@ -1255,7 +1284,8 @@ object Maintenance {
       catalog: String,
       namespace: Seq[String],
       table: String,
-      name: String): Int = {
+      name: String,
+      maxAgeMs: Option[Long] = None): Int = {
     // at least one non-digit: VERSION AS OF resolves all-digit strings
     // as version numbers first, so a numeric ref would be unreadable
     require(name.matches("[A-Za-z0-9_-]+") && !name.forall(_.isDigit),
@@ -1272,7 +1302,9 @@ object Maintenance {
       try {
         TableMetadata.commit(dir, current.copy(
           version = next,
-          properties = current.properties + (BranchPrefix + name -> next.toString),
+          properties = current.properties + (BranchPrefix + name -> next.toString) +
+            (BranchCreatedPrefix + name -> System.currentTimeMillis().toString) ++
+            maxAgeMs.map(a => BranchMaxAgePrefix + name -> a.toString),
           snapshots = current.snapshots :+ Snapshot(
             next, System.currentTimeMillis(), s"branch($name)", 0, current.files.size)))
         Files.createDirectories(branchLogDir(dir, name))
@@ -1558,7 +1590,8 @@ object Maintenance {
       table: String,
       name: String): Unit = {
     val dir = lakehouseTable(spark, catalog, namespace, table).tableDir
-    commitPropertyChange(dir, s"drop-branch($name)", _ - (BranchPrefix + name))
+    commitPropertyChange(dir, s"drop-branch($name)",
+      _ - (BranchPrefix + name) - (BranchCreatedPrefix + name) - (BranchMaxAgePrefix + name))
     val bdir = branchLogDir(dir, name)
     if (Files.isDirectory(bdir)) {
       Fs.deleteRecursively(bdir)
@@ -1631,7 +1664,12 @@ object Maintenance {
     * sink committing every few seconds writes thousands per day).
     * Expired versions stop being time-travelable (VERSION AS OF fails
     * cleanly) and incremental reads spanning them fail with a re-sync
-    * error instead of a wrong diff. TAGGED versions are never expired.
+    * error instead of a wrong diff. TAGGED versions are never expired
+    * while their tag lives — but a ref older than its max age
+    * ([[TagMaxAgePrefix]] / [[BranchMaxAgePrefix]] / the
+    * [[DefaultMaxRefAgeKey]] table default) is dropped first, so its
+    * pins release (Iceberg's per-ref `max-ref-age-ms`). The
+    * [[MinVersionsToKeepKey]] table property floors `retainVersions`.
     * Data files are untouched — run `vacuum` for those. Returns the
     * number of versions expired. */
   def expireSnapshots(
@@ -1644,14 +1682,49 @@ object Maintenance {
     require(retainVersions >= 1, "must retain at least the current version")
     val lt = lakehouseTable(spark, catalog, namespace, table)
     val dir = lt.tableDir
-    val meta = TableMetadata.load(dir)
+    // Per-ref retention FIRST: a tag/branch older than its max age
+    // (per-ref property, else the table default) is dropped here, so
+    // the normal expire below reclaims the versions it pinned. Refs
+    // without a recorded creation time never age (see the prefix docs).
+    val meta0 = TableMetadata.load(dir)
+    val now = System.currentTimeMillis()
+    val defaultAge = meta0.properties.get(DefaultMaxRefAgeKey).map(_.toLong)
+    def agedOut(createdPrefix: String, agePrefix: String, n: String): Boolean =
+      meta0.properties.get(createdPrefix + n).exists { created =>
+        meta0.properties.get(agePrefix + n).map(_.toLong).orElse(defaultAge)
+          .exists(a => now - created.toLong > a)
+      }
+    def refNames(prefix: String): Seq[String] = meta0.properties.keys
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).toSeq.sorted
+    val agedTags = refNames(TagPrefix)
+      .filter(n => agedOut(TagCreatedPrefix, TagMaxAgePrefix, n))
+    val agedBranches = refNames(BranchPrefix)
+      .filter(n => agedOut(BranchCreatedPrefix, BranchMaxAgePrefix, n))
+    if (agedTags.nonEmpty || agedBranches.nonEmpty) {
+      commitPropertyChange(dir,
+        s"expire-refs(${(agedTags ++ agedBranches).mkString(",")})", props =>
+        props --
+          agedTags.flatMap(n =>
+            Seq(TagPrefix + n, TagCreatedPrefix + n, TagMaxAgePrefix + n)) --
+          agedBranches.flatMap(n =>
+            Seq(BranchPrefix + n, BranchCreatedPrefix + n, BranchMaxAgePrefix + n)))
+      agedBranches.foreach { n =>
+        val bdir = branchLogDir(dir, n)
+        if (Files.isDirectory(bdir)) Fs.deleteRecursively(bdir)
+      }
+    }
+    val meta = if (agedTags.nonEmpty || agedBranches.nonEmpty)
+      TableMetadata.load(dir) else meta0
     val tagged = taggedVersions(meta)
     // a branch with no commits of its own resolves its head to the FORK
     // version's main-log metadata: expiring it would brick the branch
     val forks = meta.properties.collect {
       case (k, v) if k.startsWith(BranchPrefix) => v.toInt
     }.toSet
-    val cutoff = meta.version - retainVersions + 1 // keep versions >= cutoff
+    // the table owner's floor wins over a sloppier job invocation
+    val effectiveRetain = math.max(retainVersions,
+      meta.properties.get(MinVersionsToKeepKey).flatMap(_.toIntOption).getOrElse(1))
+    val cutoff = meta.version - effectiveRetain + 1 // keep versions >= cutoff
     val doomed = (1 until cutoff)
       .filterNot(tagged.contains)
       .filterNot(forks.contains)
@@ -2008,7 +2081,9 @@ object Maintenance {
       // SHALLOW CLONE strips them too)
       properties = srcMeta.properties
         .filterNot { case (k, _) =>
-          k.startsWith(TagPrefix) || k.startsWith(BranchPrefix)
+          k.startsWith(TagPrefix) || k.startsWith(BranchPrefix) ||
+            k.startsWith(TagCreatedPrefix) || k.startsWith(BranchCreatedPrefix) ||
+            k.startsWith(TagMaxAgePrefix) || k.startsWith(BranchMaxAgePrefix)
         } +
         ("graft.clone.source" ->
           s"${(srcNamespace :+ srcTable).mkString(".")}@v${srcMeta.version}"),
