@@ -1,0 +1,582 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Iceberg-compatible metadata EXPORT — the reference's multi-engine
+  * premise (`/root/reference/README.md:567-570`: Spark writes the
+  * table, BigQuery reads the same files through mirrored metadata;
+  * `iceberg_table_creation.py:63-74` wires the mirror as
+  * TBLPROPERTIES). Our metadata log is engine-private JSON; this
+  * writes a SPEC-CONFORMANT Apache Iceberg v2 snapshot of the current
+  * version — `metadata/v<N>.metadata.json`, an Avro manifest list, Avro
+  * manifests, and rewritten v2 delete files — so any Iceberg reader
+  * (DuckDB's `iceberg_scan`, Trino, Spark+Iceberg, BigQuery/BigLake)
+  * can read the table's CURRENT snapshot directly from storage, no
+  * graft code involved.
+  *
+  * Discovery follows Iceberg's HadoopCatalog convention, which our own
+  * log already satisfies by construction: `metadata/version-hint.text`
+  * holds the current version N (shared — both formats number versions
+  * identically), and the export lands at `metadata/v<N>.metadata.json`
+  * next to our `v<N>.json`. The names cannot collide, and none of our
+  * maintenance listings match the export's names (`v\d+\.json`,
+  * `m-*.json`, `*.reap` patterns all miss `*.metadata.json` /
+  * `*.avro`). An export is a point-in-time MIRROR: after further graft
+  * commits the hint advances past it and external readers fail loudly
+  * on the missing `v<N+1>.metadata.json` until the next export — the
+  * same refresh obligation the reference's BigQuery mirror carries.
+  * Each export garbage-collects the previous one's artifacts.
+  *
+  * Correspondence choices, each pinned by IcebergExportSpec:
+  *  - data/delete file paths are absolute `file:` URIs; data files are
+  *    our existing parquet, untouched. They carry no parquet field
+  *    IDs, so the metadata publishes `schema.name-mapping.default`
+  *    (the spec's path for imported files — Iceberg's own
+  *    `add_files` relies on it).
+  *  - sequence numbers are our commit versions: `fileSeq` for data
+  *    files, entry `seq` for deletes. Apply semantics then agree
+  *    engine-to-engine: Iceberg applies position deletes to data
+  *    sequence ≤ delete sequence and equality deletes strictly less;
+  *    our reader applies entries iff `entry.seq > fileSeq(f)`, and no
+  *    graft writer emits a positional entry targeting a file of its
+  *    own commit, so ≤ vs < is indistinguishable on exported tables.
+  *  - positional delete parquets are REWRITTEN (our `(file, pos)`
+  *    table-relative pairs → spec columns `file_path` (2147483546) /
+  *    `pos` (2147483545) with absolute URIs, sorted, parquet field
+  *    IDs written); equality delete parquets are rewritten with the
+  *    key columns' assigned field IDs and published `equality_ids`.
+  *  - the partition spec exports as identity transforms over
+  *    `partitionColumns` when every data file provably holds exactly
+  *    one partition tuple (footer min == max per partition column);
+  *    otherwise the export declares an unpartitioned spec — honest
+  *    (hash-clustered writes can mix values in a file) and still
+  *    spec-conformant, costing external engines only partition
+  *    pruning.
+  *
+  * Scale: the export is metadata-proportional — O(files) manifest
+  * entries plus a distributed rewrite of delete parquets. Data files
+  * are never copied.
+  */
+object IcebergExport {
+
+  /** Iceberg position-delete column IDs (Iceberg spec, Appendix —
+    * reserved field IDs). */
+  val PosPathFieldId = 2147483546L.toInt
+  val PosPosFieldId = 2147483545L.toInt
+
+  // ---- schema translation ---------------------------------------------------
+
+  /** One table column translated to Iceberg: (assigned field ids are
+    * depth-first, 1-based, matching Iceberg's fresh-schema assignment). */
+  private final case class IdAlloc(var next: Int) { def take(): Int = { val v = next; next += 1; v } }
+
+  /** Iceberg type JSON for a Spark type. Assigns nested ids from
+    * `alloc` in the spec's order (struct fields first, then their
+    * nested types, depth-first per field). */
+  private def icebergType(dt: DataType, alloc: IdAlloc): JValue = dt match {
+    case BooleanType => JString("boolean")
+    case ByteType | ShortType | IntegerType => JString("int")
+    case LongType => JString("long")
+    case FloatType => JString("float")
+    case DoubleType => JString("double")
+    case StringType => JString("string")
+    case BinaryType => JString("binary")
+    case DateType => JString("date")
+    case TimestampType => JString("timestamptz")
+    case TimestampNTZType => JString("timestamp")
+    case d: DecimalType => JString(s"decimal(${d.precision}, ${d.scale})")
+    case ArrayType(et, containsNull) =>
+      val eid = alloc.take()
+      JObject(
+        "type" -> JString("list"),
+        "element-id" -> JInt(eid),
+        "element" -> icebergType(et, alloc),
+        "element-required" -> JBool(!containsNull))
+    case MapType(kt, vt, valueContainsNull) =>
+      val kid = alloc.take(); val vid = alloc.take()
+      JObject(
+        "type" -> JString("map"),
+        "key-id" -> JInt(kid),
+        "key" -> icebergType(kt, alloc),
+        "value-id" -> JInt(vid),
+        "value" -> icebergType(vt, alloc),
+        "value-required" -> JBool(!valueContainsNull))
+    case st: StructType =>
+      JObject(
+        "type" -> JString("struct"),
+        "fields" -> JArray(st.fields.map { f =>
+          val fid = alloc.take()
+          JObject(
+            "id" -> JInt(fid),
+            "name" -> JString(f.name),
+            "required" -> JBool(!f.nullable),
+            "type" -> icebergType(f.dataType, alloc))
+        }.toList))
+    case other =>
+      throw new IllegalArgumentException(
+        s"cannot export column type ${other.sql} to Iceberg (no spec equivalent)")
+  }
+
+  /** Top-level field name → assigned id (needed for equality_ids and
+    * partition source-ids). Mirrors [[icebergType]]'s allocation order:
+    * each top-level field takes the next id, then its nested types. */
+  private[catalog] def topLevelIds(schema: StructType): Map[String, Int] = {
+    val alloc = IdAlloc(1)
+    schema.fields.map { f =>
+      val fid = alloc.take()
+      icebergType(f.dataType, alloc) // advance past nested ids
+      f.name -> fid
+    }.toMap
+  }
+
+  /** Full Iceberg schema JSON (schema-id 0) + the last allocated id. */
+  private def schemaJson(schema: StructType): (JValue, Int) = {
+    val alloc = IdAlloc(1)
+    val struct = icebergType(schema, alloc)
+    val withId = struct.asInstanceOf[JObject] ~ ("schema-id" -> JInt(0))
+    (withId, alloc.next - 1)
+  }
+
+  private implicit class JObjOps(o: JObject) {
+    def ~(kv: (String, JValue)): JObject = JObject(o.obj :+ kv)
+  }
+
+  /** `schema.name-mapping.default`: our parquet data files carry no
+    * field IDs, so readers resolve columns by name through this
+    * mapping (recursive for nested types, per the spec's
+    * name-mapping serialization). */
+  private def nameMapping(schema: StructType): JValue = {
+    val alloc = IdAlloc(1)
+    def fieldsOf(st: StructType): JArray = JArray(st.fields.map { f =>
+      val fid = alloc.take()
+      val base = JObject(
+        "field-id" -> JInt(fid),
+        "names" -> JArray(List(JString(f.name))))
+      f.dataType match {
+        case nested: StructType =>
+          base ~ ("fields" -> (fieldsOf(nested): JValue))
+        case ArrayType(et, _) =>
+          val eid = alloc.take()
+          val elem = JObject("field-id" -> JInt(eid), "names" -> JArray(List(JString("element"))))
+          advance(et)
+          base ~ ("fields" -> (JArray(List(elem)): JValue))
+        case MapType(kt, vt, _) =>
+          val kid = alloc.take(); val vid = alloc.take()
+          val kv = List(
+            JObject("field-id" -> JInt(kid), "names" -> JArray(List(JString("key")))),
+            JObject("field-id" -> JInt(vid), "names" -> JArray(List(JString("value")))))
+          advance(kt); advance(vt)
+          base ~ ("fields" -> (JArray(kv): JValue))
+        case _ => base
+      }
+    }.toList)
+    // keep allocation in lockstep with icebergType for nested types we
+    // don't map leaf-by-leaf (nested arrays/maps inside arrays/maps)
+    def advance(dt: DataType): Unit = dt match {
+      case st: StructType => st.fields.foreach { f => alloc.take(); advance(f.dataType) }
+      case ArrayType(et, _) => alloc.take(); advance(et)
+      case MapType(kt, vt, _) => alloc.take(); alloc.take(); advance(kt); advance(vt)
+      case _ => ()
+    }
+    fieldsOf(schema)
+  }
+
+  // ---- avro schemas ---------------------------------------------------------
+
+  /** Avro field JSON with Iceberg's `field-id` prop. */
+  private def af(name: String, typ: String, fieldId: Int, optional: Boolean): String = {
+    val t = if (optional) s"""["null", $typ]""" else typ
+    val dflt = if (optional) ""","default": null""" else ""
+    s"""{"name": "$name", "type": $t, "field-id": $fieldId$dflt}"""
+  }
+
+  /** manifest_file — the manifest-list entry schema (Iceberg spec v2). */
+  private val manifestListSchema: Schema = new Schema.Parser().parse(
+    s"""{"type": "record", "name": "manifest_file", "fields": [
+       |${af("manifest_path", "\"string\"", 500, optional = false)},
+       |${af("manifest_length", "\"long\"", 501, optional = false)},
+       |${af("partition_spec_id", "\"int\"", 502, optional = false)},
+       |${af("content", "\"int\"", 517, optional = false)},
+       |${af("sequence_number", "\"long\"", 515, optional = false)},
+       |${af("min_sequence_number", "\"long\"", 516, optional = false)},
+       |${af("added_snapshot_id", "\"long\"", 503, optional = false)},
+       |${af("added_files_count", "\"int\"", 504, optional = false)},
+       |${af("existing_files_count", "\"int\"", 505, optional = false)},
+       |${af("deleted_files_count", "\"int\"", 506, optional = false)},
+       |${af("added_rows_count", "\"long\"", 512, optional = false)},
+       |${af("existing_rows_count", "\"long\"", 513, optional = false)},
+       |${af("deleted_rows_count", "\"long\"", 514, optional = false)},
+       |{"name": "partitions", "type": ["null", {"type": "array", "element-id": 508,
+       |  "items": {"type": "record", "name": "r508", "fields": [
+       |    ${af("contains_null", "\"boolean\"", 509, optional = false)},
+       |    ${af("contains_nan", "\"boolean\"", 518, optional = true)},
+       |    ${af("lower_bound", "\"bytes\"", 510, optional = true)},
+       |    ${af("upper_bound", "\"bytes\"", 511, optional = true)}]}}],
+       | "field-id": 507, "default": null},
+       |${af("key_metadata", "\"bytes\"", 519, optional = true)}
+       |]}""".stripMargin)
+
+  /** Avro type for a partition column (identity transform ⇒ the source
+    * column's primitive type). */
+  private def avroPrimitive(dt: DataType): String = dt match {
+    case BooleanType => "\"boolean\""
+    case ByteType | ShortType | IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case StringType => "\"string\""
+    case DateType => """{"type": "int", "logicalType": "date"}"""
+    case TimestampType | TimestampNTZType =>
+      """{"type": "long", "logicalType": "timestamp-micros", "adjust-to-utc": true}"""
+    case other =>
+      throw new IllegalArgumentException(
+        s"unsupported identity-partition type for export: ${other.sql}")
+  }
+
+  /** manifest_entry with the given partition struct (field ids 1000+). */
+  private def manifestEntrySchema(partFields: Seq[(String, DataType, Int)]): Schema = {
+    val partJson = partFields.map { case (n, dt, fid) =>
+      s"""{"name": "$n", "type": ["null", ${avroPrimitive(dt)}], "field-id": $fid, "default": null}"""
+    }.mkString(",\n")
+    new Schema.Parser().parse(
+      s"""{"type": "record", "name": "manifest_entry", "fields": [
+         |${af("status", "\"int\"", 0, optional = false)},
+         |${af("snapshot_id", "\"long\"", 1, optional = true)},
+         |${af("sequence_number", "\"long\"", 3, optional = true)},
+         |${af("file_sequence_number", "\"long\"", 4, optional = true)},
+         |{"name": "data_file", "field-id": 2, "type":
+         |  {"type": "record", "name": "r2", "fields": [
+         |    ${af("content", "\"int\"", 134, optional = false)},
+         |    ${af("file_path", "\"string\"", 100, optional = false)},
+         |    ${af("file_format", "\"string\"", 101, optional = false)},
+         |    {"name": "partition", "field-id": 102, "type":
+         |      {"type": "record", "name": "r102", "fields": [$partJson]}},
+         |    ${af("record_count", "\"long\"", 103, optional = false)},
+         |    ${af("file_size_in_bytes", "\"long\"", 104, optional = false)},
+         |    {"name": "equality_ids", "field-id": 135, "default": null, "type":
+         |      ["null", {"type": "array", "items": "int", "element-id": 136}]},
+         |    ${af("sort_order_id", "\"int\"", 140, optional = true)}
+         |  ]}}
+         |]}""".stripMargin)
+  }
+
+  private def writeAvro(
+      target: Path, schema: Schema,
+      meta: Seq[(String, String)], records: Seq[GenericRecord]): Long = {
+    val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    writer.create(schema, target.toFile)
+    try records.foreach(writer.append) finally writer.close()
+    Files.size(target)
+  }
+
+  /** Read every record of an exported Avro file (test/verification
+    * surface — also used by IcebergExportSpec to replay the read
+    * protocol from the artifacts alone). */
+  private[graft] def readAvro(path: Path): (Seq[GenericRecord], Map[String, String]) = {
+    val reader = new DataFileReader[GenericRecord](
+      path.toFile, new GenericDatumReader[GenericRecord]())
+    try {
+      val recs = Iterator.continually(reader)
+        .takeWhile(_.hasNext).map(_.next()).toVector
+      val metaKeys = reader.getMetaKeys.asScala.toSeq
+      (recs, metaKeys.map(k => k -> Option(reader.getMetaString(k)).getOrElse("")).toMap)
+    } finally reader.close()
+  }
+
+  // ---- export ---------------------------------------------------------------
+
+  /** Export the current snapshot. Returns the number of files (data +
+    * delete) the external snapshot references. */
+  def export(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String): Long = {
+    val dir = Maintenance.lakehouseTable(spark, catalog, namespace, table).tableDir
+    val meta = TableMetadata.load(dir)
+    val md = TableMetadata.metadataDir(dir)
+    val snapshotId = meta.version.toLong
+    val nowMs = System.currentTimeMillis()
+
+    // GC the previous export's artifacts (point-in-time mirror; old
+    // snapshots are not co-published — see scaladoc)
+    Fs.children(md).iterator.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".metadata.json") || (n.startsWith("snap-") && n.endsWith(".avro")) ||
+        (n.startsWith("im-") && n.endsWith(".avro"))
+    }.foreach(Files.deleteIfExists(_))
+    val expDel = dir.resolve("deletes-iceberg")
+    if (Files.isDirectory(expDel)) Fs.deleteRecursively(expDel)
+
+    val (schemaJ, lastColumnId) = schemaJson(meta.schema)
+    val ids = topLevelIds(meta.schema)
+    def uri(rel: String): String = dir.resolve(rel).toUri.toString
+
+    // identity partition spec iff every data file provably holds ONE
+    // partition tuple (footer min == max on every partition column)
+    val partCols = meta.partitionColumns
+    val partitioned = partCols.nonEmpty && meta.files.forall { f =>
+      partCols.forall { c =>
+        meta.fileStats.get(f).flatMap(_.get(c)).exists(r => r.min == r.max) ||
+          meta.fileRows.get(f).contains(0L)
+      }
+    }
+    val specFields: Seq[(String, DataType, Int)] =
+      if (!partitioned) Seq.empty
+      else partCols.zipWithIndex.map { case (c, i) =>
+        (c, meta.schema(c).dataType, 1000 + i)
+      }
+    val entrySchema = manifestEntrySchema(specFields)
+    val partSchema = entrySchema.getField("data_file").schema()
+      .getField("partition").schema()
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+
+    def partRecord(stats: Map[String, ColumnRange]): GenericRecord = {
+      val r = new GenericData.Record(partSchema)
+      specFields.foreach { case (c, dt, _) =>
+        val v: AnyRef = stats.get(c).map(_.min) match {
+          case None => null
+          case Some(s) => dt match {
+            case ByteType | ShortType | IntegerType => Int.box(s.toInt)
+            case LongType => Long.box(s.toLong)
+            case FloatType => Float.box(s.toFloat)
+            case DoubleType => Double.box(s.toDouble)
+            case BooleanType => Boolean.box(s.toBoolean)
+            case StringType => s
+            case DateType => Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
+            case TimestampType | TimestampNTZType =>
+              Long.box(java.time.Instant.parse(s).toEpochMilli * 1000L)
+            case other => throw new IllegalArgumentException(other.sql)
+          }
+        }
+        r.put(c, v)
+      }
+      r
+    }
+
+    def entry(
+        filePath: String, content: Int, seq: Long, rows: Long, bytes: Long,
+        part: GenericRecord, equalityIds: Seq[Int]): GenericRecord = {
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", Int.box(content))
+      df.put("file_path", filePath)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", Long.box(rows))
+      df.put("file_size_in_bytes", Long.box(bytes))
+      df.put("equality_ids",
+        if (equalityIds.isEmpty) null
+        else new GenericData.Array[Integer](
+          entrySchema.getField("data_file").schema().getField("equality_ids")
+            .schema().getTypes.get(1),
+          equalityIds.map(Int.box).asJava))
+      df.put("sort_order_id", null)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", Int.box(1)) // ADDED in this (exported) snapshot
+      e.put("snapshot_id", Long.box(snapshotId))
+      e.put("sequence_number", Long.box(seq))
+      e.put("file_sequence_number", Long.box(seq))
+      e.put("data_file", df)
+      e
+    }
+
+    val emptyPart = new GenericData.Record(partSchema)
+    specFields.foreach { case (c, _, _) => emptyPart.put(c, null) }
+
+    // ---- data manifest
+    val dataEntries = meta.files.map { f =>
+      val stats = meta.fileStats.getOrElse(f, Map.empty)
+      val part = if (partitioned) partRecord(stats) else emptyPart
+      entry(uri(f), content = 0, seq = meta.seqOf(f).toLong,
+        rows = meta.fileRows.getOrElse(f, sparkCount(spark, dir, f)),
+        bytes = Files.size(dir.resolve(f)), part, Nil)
+    }
+
+    // ---- delete files: rewrite into spec shapes with field IDs
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    Files.createDirectories(expDel)
+    def withFieldIds(st: StructType, idOf: String => Int): StructType =
+      StructType(st.fields.map { f =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", idOf(f.name).toLong).build())
+      })
+    val deleteEntries = meta.deleteFiles.map { d =>
+      val src = spark.read.parquet(d.rowPaths.map(p => dir.resolve(p).toString): _*)
+      if (d.isPositional) {
+        val rel = s"deletes-iceberg/pos-${UUID.randomUUID().toString.take(12)}.parquet"
+        val prefix = dir.toUri.toString
+        val rewritten = src
+          .select(
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit(prefix),
+              col(DeleteFile.PosFileCol)).as("file_path"),
+            col(DeleteFile.PosPosCol).cast(LongType).as("pos"))
+          .orderBy(col("file_path"), col("pos"))
+        writeSingleParquet(spark, rewritten, withFieldIds(
+          StructType(Seq(
+            StructField("file_path", StringType, nullable = false),
+            StructField("pos", LongType, nullable = false))),
+          Map("file_path" -> PosPathFieldId, "pos" -> PosPosFieldId)), dir, rel)
+        entry(uri(rel), content = 1, seq = d.seq.toLong, rows = d.rows,
+          bytes = Files.size(dir.resolve(rel)), emptyPart, Nil)
+      } else {
+        val rel = s"deletes-iceberg/eq-${UUID.randomUUID().toString.take(12)}.parquet"
+        val keyIds = d.keyColumns.map(ids(_))
+        val keySchema = StructType(d.keyColumns.map(c => meta.schema(c)))
+        writeSingleParquet(spark, src.select(d.keyColumns.map(col): _*),
+          withFieldIds(keySchema, ids), dir, rel)
+        entry(uri(rel), content = 2, seq = d.seq.toLong, rows = d.rows,
+          bytes = Files.size(dir.resolve(rel)), emptyPart, keyIds)
+      }
+    }
+
+    // ---- manifests + manifest list
+    val specJson = JsonMethods.compact(JsonMethods.render(JArray(
+      specFields.map { case (c, _, fid) =>
+        JObject(
+          "name" -> JString(c),
+          "transform" -> JString("identity"),
+          "source-id" -> JInt(ids(c)),
+          "field-id" -> JInt(fid)): JValue
+      }.toList)))
+    val schemaStr = JsonMethods.compact(JsonMethods.render(schemaJ))
+    def manifestMeta(content: String) = Seq(
+      "schema" -> schemaStr,
+      "schema-id" -> "0",
+      "partition-spec" -> specJson,
+      "partition-spec-id" -> "0",
+      "format-version" -> "2",
+      "content" -> content)
+
+    def manifestFor(
+        name: String, content: Int, entries: Seq[GenericRecord]): Option[GenericRecord] = {
+      if (entries.isEmpty) return None
+      val rel = s"metadata/im-$name-${UUID.randomUUID().toString.take(12)}.avro"
+      val len = writeAvro(dir.resolve(rel), entrySchema,
+        manifestMeta(if (content == 0) "data" else "deletes"), entries)
+      val seqs = entries.map(_.get("sequence_number").asInstanceOf[Long])
+      val rows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum
+      val m = new GenericData.Record(manifestListSchema)
+      m.put("manifest_path", uri(rel))
+      m.put("manifest_length", Long.box(len))
+      m.put("partition_spec_id", Int.box(0))
+      m.put("content", Int.box(content))
+      m.put("sequence_number", Long.box(seqs.max))
+      m.put("min_sequence_number", Long.box(seqs.min))
+      m.put("added_snapshot_id", Long.box(snapshotId))
+      m.put("added_files_count", Int.box(entries.size))
+      m.put("existing_files_count", Int.box(0))
+      m.put("deleted_files_count", Int.box(0))
+      m.put("added_rows_count", Long.box(rows))
+      m.put("existing_rows_count", Long.box(0L))
+      m.put("deleted_rows_count", Long.box(0L))
+      m.put("partitions", null)
+      m.put("key_metadata", null)
+      Some(m)
+    }
+    val manifests =
+      manifestFor("data", 0, dataEntries).toSeq ++
+        manifestFor("del", 1, deleteEntries).toSeq
+    val listRel = s"metadata/snap-$snapshotId-${UUID.randomUUID().toString.take(12)}.avro"
+    writeAvro(dir.resolve(listRel), manifestListSchema,
+      Seq(
+        "snapshot-id" -> snapshotId.toString,
+        "sequence-number" -> meta.version.toString,
+        "format-version" -> "2"),
+      manifests)
+
+    // ---- metadata.json
+    val tableUuid = UUID.nameUUIDFromBytes(
+      ("graft-iceberg:" + dir.toAbsolutePath.normalize.toString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    val userProps = meta.properties.filterNot(_._1.startsWith("graft."))
+    val metadataJson = JObject(
+      "format-version" -> JInt(2),
+      "table-uuid" -> JString(tableUuid),
+      "location" -> JString(dir.toUri.toString.stripSuffix("/")),
+      "last-sequence-number" -> JInt(meta.version),
+      "last-updated-ms" -> JLong(nowMs),
+      "last-column-id" -> JInt(lastColumnId),
+      "current-schema-id" -> JInt(0),
+      "schemas" -> JArray(List(schemaJ)),
+      "default-spec-id" -> JInt(0),
+      "partition-specs" -> JArray(List(JObject(
+        "spec-id" -> JInt(0),
+        "fields" -> JsonMethods.parse(specJson)))),
+      "last-partition-id" -> JInt(if (specFields.isEmpty) 999 else specFields.map(_._3).max),
+      "default-sort-order-id" -> JInt(0),
+      "sort-orders" -> JArray(List(JObject(
+        "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "properties" -> JObject(
+        (userProps + ("schema.name-mapping.default" ->
+          JsonMethods.compact(JsonMethods.render(nameMapping(meta.schema)))))
+          .toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
+      "current-snapshot-id" -> JLong(snapshotId),
+      "snapshots" -> JArray(List(JObject(
+        "snapshot-id" -> JLong(snapshotId),
+        "sequence-number" -> JInt(meta.version),
+        "timestamp-ms" -> JLong(nowMs),
+        "manifest-list" -> JString(uri(listRel)),
+        "summary" -> JObject(
+          "operation" -> JString("append"),
+          "total-records" -> JString(
+            meta.files.map(f => meta.fileRows.getOrElse(f, 0L)).sum.toString),
+          "total-data-files" -> JString(meta.files.size.toString)),
+        "schema-id" -> JInt(0)))),
+      "snapshot-log" -> JArray(List(JObject(
+        "timestamp-ms" -> JLong(nowMs), "snapshot-id" -> JLong(snapshotId)))),
+      "metadata-log" -> JArray(Nil),
+      "refs" -> JObject("main" -> JObject(
+        "snapshot-id" -> JLong(snapshotId),
+        "type" -> JString("branch"))))
+    val target = md.resolve(s"v${meta.version}.metadata.json")
+    val tmp = Files.createTempFile(md, ".icemeta-", ".tmp")
+    try {
+      Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(metadataJson)))
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+    (dataEntries.size + deleteEntries.size).toLong
+  }
+
+  /** Row count fallback for files missing from fileRows (pre-rows-era
+    * metadata): parquet footer count via a metadata-only read. */
+  private def sparkCount(spark: SparkSession, dir: Path, rel: String): Long =
+    spark.read.parquet(dir.resolve(rel).toString).count()
+
+  /** Write `df` as EXACTLY ONE parquet file at `rel` (delete files are
+    * single spec objects, not directories). Coalesce(1) is safe: delete
+    * parquets are O(changed rows), never corpus-sized. */
+  private def writeSingleParquet(
+      spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      schema: StructType,
+      dir: Path, rel: String): Unit = {
+    val tmp = dir.resolve(rel + ".tmpdir")
+    // carry the parquet.field.id metadata through a plain select — the
+    // writer reads it off the schema when fieldId.write is enabled
+    val projected = df.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name, f.metadata)).toSeq: _*)
+    projected.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Fs.children(tmp).find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet written under $tmp"))
+    Files.createDirectories(dir.resolve(rel).getParent)
+    Files.move(part, dir.resolve(rel))
+    Fs.deleteRecursively(tmp)
+  }
+}

@@ -140,6 +140,12 @@ object LakehouseProcedures {
       Maintenance.expireSnapshots(spark, cat, ns(a), tbl(a), a.getInt(2)).toLong
   }
 
+  private def exportIcebergProc(catalogName: String) = new MaintenanceProc("export_iceberg",
+    Array(param("ns", StringType), param("tbl", StringType)), "files", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      IcebergExport.export(spark, cat, ns(a), tbl(a))
+  }
+
   private def bloomIndexProc(catalogName: String) = new MaintenanceProc("bloom_index",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -559,6 +565,7 @@ object LakehouseProcedures {
     "refresh_mv" -> (refreshMvProc(_)),
     "analyze" -> (analyzeProc(_)),
     "expire_snapshots" -> (expireSnapshotsProc(_)),
+    "export_iceberg" -> (exportIcebergProc(_)),
     "rewrite_manifests" -> (rewriteManifestsProc(_)),
     "compact_where" -> (compactWhereProc(_)),
     "create_text_index" -> (createTextIndexProc(_)),
