@@ -210,10 +210,9 @@ object Bench {
         case (k, Left(msg)) =>
           s""""$k":{"err":"${msg.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")}"}"""
       }.mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,$loadJson,"queries":{""", ",", "}}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
-    // per-SF copy kept side by side so round-over-round comparisons
-    // never mix scale factors (totals at different SFs are not
-    // comparable; the shared name alone invited exactly that misread)
+    // per-SF artifact ONLY: an unsuffixed BENCH_FULL.json was "whatever
+    // ran last" and its sf field had to be read to interpret it —
+    // round-over-round comparisons kept almost mixing scale factors
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"BENCH_FULL_$sfName.json"), fullJson)

@@ -200,7 +200,7 @@ case class ConstraintOptimization(spark: SparkSession)
     if (pairs.isEmpty) return None
     val unusedKeys = AttributeSet(pairs.map(_._2))
     val (rel, lt) = baseRelation(unused, unusedKeys, pure = false).getOrElse(return None)
-    val keys = KeyConstraints.relyUniqueKeys(lt.meta.properties)
+    val keys = KeyConstraints.relyUniqueKeys(lt.summary.properties)
     val covered = keys.exists { case (cols, _) =>
       keyAttrs(rel, cols).exists(ka => AttributeSet(ka).subsetOf(unusedKeys))
     }
@@ -223,8 +223,8 @@ case class ConstraintOptimization(spark: SparkSession)
       .getOrElse(return None)
     val (pRel, pLt) = baseRelation(preserved, AttributeSet(pairs.map(_._1)), pure = false)
       .getOrElse(return None)
-    val uniqueCols = KeyConstraints.relyUniqueKeys(uLt.meta.properties)
-    KeyConstraints.relyForeignKeys(pLt.meta.properties).collectFirst {
+    val uniqueCols = KeyConstraints.relyUniqueKeys(uLt.summary.properties)
+    KeyConstraints.relyForeignKeys(pLt.summary.properties).collectFirst {
       case (fkCols, refTable, refCols)
           if refTableMatches(refTable, uRel, pRel) &&
             // the referenced cols are a RELY'd unique key of the unused table
@@ -270,7 +270,7 @@ case class ConstraintOptimization(spark: SparkSession)
     if (!plainDistinct) return a
     val (rel, lt) = baseRelation(a.child, AttributeSet(groupAttrs), pure = false)
       .getOrElse(return a)
-    val keys = KeyConstraints.relyUniqueKeys(lt.meta.properties)
+    val keys = KeyConstraints.relyUniqueKeys(lt.summary.properties)
     val grouped = AttributeSet(groupAttrs)
     val covered = keys.exists { case (cols, isPk) =>
       keyAttrs(rel, cols).exists { ka =>

@@ -136,8 +136,8 @@ case class DeltaTargetPruning(spark: SparkSession)
     if (already) { dbg("already inserted"); return side }
     if (bucketedForSpj(lt)) { dbg("bucketed"); return side }
     if (!buildSideWorthIt(build)) { dbg("build side not worth it"); return side }
-    val prunable = (lt.meta.partitionColumns ++
-      BloomIndex.probeableColumns(lt.meta.properties, lt.meta.schema))
+    val prunable = (lt.summary.partitionColumns ++
+      BloomIndex.probeableColumns(lt.summary.properties, lt.summary.schema))
       .map(_.toLowerCase).toSet
     if (prunable.isEmpty) return side
     val relOut = rel.outputSet
@@ -194,7 +194,7 @@ case class DeltaTargetPruning(spark: SparkSession)
     * ignores runtime filters — inserting one would only cost the
     * subquery. */
   private def bucketedForSpj(lt: LakehouseTable): Boolean =
-    Bucketing.specOf(lt.meta.properties).isDefined &&
+    Bucketing.specOf(lt.summary.properties).isDefined &&
       spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled").contains("true")
 
   /** PartitionPruning's benefit heuristic, simplified: a likely-

@@ -414,7 +414,9 @@ object IcebergExport {
           .putLong("parquet.field.id", idOf(f.name).toLong).build())
       })
     val deleteEntries = meta.deleteFiles.map { d =>
-      val src = spark.read.parquet(d.rowPaths.map(p => dir.resolve(p).toString): _*)
+      // the entry's own parquet holds the full (possibly consolidated)
+      // tuple set; components may already be vacuumed
+      val src = spark.read.parquet(dir.resolve(d.path).toString)
       if (d.isPositional) {
         val rel = s"deletes-iceberg/pos-${UUID.randomUUID().toString.take(12)}.parquet"
         val prefix = dir.toUri.toString

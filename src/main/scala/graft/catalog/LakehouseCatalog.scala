@@ -339,7 +339,10 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (TableMetadata.exists(dir)) {
-      val meta = TableMetadata.load(dir)
+      // O(refs) summary: chunk parsing deferred to first use, so a
+      // partition-predicate scan on a cold driver resolves only the
+      // overlapping chunks (TableMetadata.resolveForScan)
+      val meta = TableMetadata.loadSummary(dir)
       return new LakehouseTable(spark, fullName(ident), dir, meta)
     }
     // 4-part name: cat.ns.tbl.<metadata-table>

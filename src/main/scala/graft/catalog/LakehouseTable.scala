@@ -38,7 +38,7 @@ class LakehouseTable(
     spark: SparkSession,
     identName: String,
     val tableDir: Path,
-    val meta: TableMetadata,
+    metaArg: TableMetadata,
     /** True when `meta` is a pinned historical/branch snapshot (VERSION/
       * TIMESTAMP AS OF, branch reads) rather than the table's current
       * head. Constraint-driven rewrites ([[ConstraintOptimization]])
@@ -50,6 +50,30 @@ class LakehouseTable(
   extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** The O(refs) version payload: schema, properties, partition
+    * columns, delete entries, manifest list — everything that does NOT
+    * require parsing manifest chunks. Callers already holding a
+    * resolved metadata pass it here and get it back unchanged. */
+  def summary: TableMetadata = metaArg
+
+  /** FULLY-resolved metadata — on a manifest-backed summary this
+    * parses every chunk, so it is lazy: the catalog serves tables from
+    * [[TableMetadata.loadSummary]] and a partition-predicate scan never
+    * forces this (it goes through [[TableMetadata.resolveForScan]],
+    * which parses only chunks overlapping the pushed filters). Write
+    * and row-level-DML paths force it; they need the complete file
+    * list anyway. */
+  lazy val meta: TableMetadata =
+    if (TableMetadata.isSummary(metaArg))
+      TableMetadata.resolve(TableMetadata.metadataDir(tableDir), metaArg)
+    else metaArg
+
+  /** The snapshot's TRUE data-file count, without forcing a resolve —
+    * scan instrumentation reports (survivors, total) against it. */
+  private def totalFileCount: Int =
+    if (TableMetadata.isSummary(metaArg)) metaArg.manifests.map(_.count).sum
+    else metaArg.files.size
 
   /** Row identity as a queryable metadata column (Iceberg's `_file`/
     * `_pos`, folded into one non-null struct): `SELECT _graft_row_id
@@ -75,7 +99,7 @@ class LakehouseTable(
 
   override def name(): String = identName
 
-  override def schema(): StructType = meta.schema
+  override def schema(): StructType = summary.schema
 
   /** The DDL's PARTITIONED BY, reported back: identity transforms for
     * the clustering columns plus the bucket transform when bucketed
@@ -86,16 +110,16 @@ class LakehouseTable(
     * table (identity columns only; hidden transforms are a clustering
     * + stats-pruning contract, not addressable partitions). */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
-    val idents = meta.partitionColumns.map(c =>
+    val idents = summary.partitionColumns.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-    val bucket = Bucketing.specOf(meta.properties).map { case (c, n) =>
+    val bucket = Bucketing.specOf(summary.properties).map { case (c, n) =>
       org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
     }
-    val hidden = HiddenPartitioning.specOf(meta.properties).map(_.toV2)
+    val hidden = HiddenPartitioning.specOf(summary.properties).map(_.toV2)
     (idents ++ bucket ++ hidden).toArray
   }
 
-  override def properties(): java.util.Map[String, String] = meta.properties.asJava
+  override def properties(): java.util.Map[String, String] = summary.properties.asJava
 
   /** The declared constraints, reported through the DSv2 constraint
     * surface (DESCRIBE shows them): CHECKs are VALID + enforced (they
@@ -104,13 +128,13 @@ class LakehouseTable(
     * flag ([[KeyConstraints]]) — declared intent the optimizer's
     * RELY-aware rules can use. */
   override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    (CheckConstraints.constraintsOf(meta.properties).map { case (n, sql) =>
+    (CheckConstraints.constraintsOf(summary.properties).map { case (n, sql) =>
       org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
         .predicateSql(sql)
         .validationStatus(
           org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
         .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
-    } ++ KeyConstraints.constraintsOf(meta.properties)).toArray
+    } ++ KeyConstraints.constraintsOf(summary.properties)).toArray
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
@@ -149,7 +173,23 @@ class LakehouseTable(
       with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
       private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
-      private var required: StructType = meta.schema
+      private var required: StructType = summary.schema
+
+      // Per-scan metadata: resolved through the manifest-list summaries
+      // so a partition-predicate scan on a cold driver parses ONLY the
+      // overlapping chunks (TableMetadata.resolveForScan). Skipped
+      // chunks' files provably cannot match the pushed conjunction, so
+      // every consumer below (prune, exact pushdown, metadata
+      // aggregates, limit truncation, bloom probes) sees exactly the
+      // files per-file pruning would have kept. Recomputed when the
+      // pushed filters change; an unfiltered scan resolves everything.
+      private var smetaCached: TableMetadata = null
+      private def smeta: TableMetadata = {
+        if (smetaCached == null)
+          smetaCached = TableMetadata.resolveForScan(
+            TableMetadata.metadataDir(tableDir), summary, pushed.toSeq)
+        smetaCached
+      }
       private var aggAnswer: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
       private var pushedLimit: Option[Int] = None
 
@@ -180,10 +220,11 @@ class LakehouseTable(
         // flag family as aggregate pushdown.
         val exactOk =
           !spark.conf.getOption("spark.graft.exactFilterPushdown").contains("false")
+        smetaCached = null // filters changed: re-resolve against them
         acceptedExact =
           if (!exactOk) Set.empty
           else filters.filter(f =>
-            FileSkipping.exactlyDecidable(meta.files, meta.fileStats, meta.schema, f)).toSet
+            FileSkipping.exactlyDecidable(smeta.files, smeta.fileStats, smeta.schema, f)).toSet
         filters.filterNot(acceptedExact) // residual: Spark re-applies post-scan
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
@@ -206,11 +247,11 @@ class LakehouseTable(
           spark.conf.getOption("spark.graft.aggregatePushdown").contains("false") ||
           // pending merge-on-read deletes: recorded counts/ranges count
           // rows the merging read will subtract
-          MergeOnRead.anyApplicable(meta, meta.files)) None
+          MergeOnRead.anyApplicable(smeta, smeta.files)) None
         else {
           val survivors =
-            FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
-          MetadataAggregates.answer(meta.copy(files = survivors), agg)
+            FileSkipping.prune(smeta.files, smeta.fileStats, smeta.schema, pushed.toSeq)
+          MetadataAggregates.answer(smeta.copy(files = survivors), agg)
         }
 
       override def supportCompletePushDown(
@@ -232,7 +273,7 @@ class LakehouseTable(
             spark, identName, tableDir, meta, required, pushed, options)
         aggAnswer match {
           case Some((aggSchema, row)) =>
-            LakehouseTable.lastScanFileCounts.set((0, meta.files.size))
+            LakehouseTable.lastScanFileCounts.set((0, totalFileCount))
             return new org.apache.spark.sql.connector.read.LocalScan {
               override def readSchema(): StructType = aggSchema
               override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
@@ -245,9 +286,9 @@ class LakehouseTable(
         // min/max ranges (layout-dependent), then per-file bloom probes
         // for point predicates on indexed columns (layout-independent)
         val rangeSurvivors =
-          FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
+          FileSkipping.prune(smeta.files, smeta.fileStats, smeta.schema, pushed.toSeq)
         val filterSurvivors = BloomIndex.prune(
-          tableDir, meta.properties, meta.schema, rangeSurvivors, pushed.toSeq)
+          tableDir, smeta.properties, smeta.schema, rangeSurvivors, pushed.toSeq)
         // LIMIT truncation: cumulative recorded row counts cover the
         // limit → later files can never be needed. Spark only pushes a
         // limit this far when no residual filter remains — i.e. a
@@ -256,19 +297,19 @@ class LakehouseTable(
         // survivors' counts are counts of MATCHING rows).
         val survivors = (pushedLimit, pushed.forall(acceptedExact)) match {
           case (Some(n), true)
-              if Bucketing.specOf(meta.properties).isEmpty && // keep bucket↔file map whole
-                filterSurvivors.forall(meta.fileRows.contains) &&
+              if Bucketing.specOf(smeta.properties).isEmpty && // keep bucket↔file map whole
+                filterSurvivors.forall(smeta.fileRows.contains) &&
                 // recorded counts overcount rows a merging read deletes:
                 // truncating on them could return fewer than n rows
                 !MergeOnRead.anyApplicable(meta, filterSurvivors) =>
-            val cumBefore = filterSurvivors.map(meta.fileRows).scanLeft(0L)(_ + _)
+            val cumBefore = filterSurvivors.map(smeta.fileRows).scanLeft(0L)(_ + _)
             filterSurvivors.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
           case _ => filterSurvivors
         }
         val limitTruncated = survivors.size != filterSurvivors.size
-        LakehouseTable.lastScanFileCounts.set((survivors.size, meta.files.size))
+        LakehouseTable.lastScanFileCounts.set((survivors.size, totalFileCount))
         val inner = ParquetTable(identName, spark, options, survivors.map(abs),
-          Some(meta.schema), classOf[ParquetFileFormat])
+          Some(smeta.schema), classOf[ParquetFileFormat])
           .newScanBuilder(options)
         inner.pushDataFilters(pushed)
         inner.pruneColumns(required)
@@ -281,7 +322,7 @@ class LakehouseTable(
         // reports KeyGroupedPartitioning so a join of two co-bucketed
         // tables runs with no shuffle on either side.
         val bucketPlan: Option[(String, Int, Map[Int, Seq[String]])] =
-          Bucketing.specOf(meta.properties)
+          Bucketing.specOf(smeta.properties)
             .filter(_ => spark.conf.getOption(
               "spark.sql.sources.v2.bucketing.enabled").contains("true"))
             // the partitioning report's key expressions resolve against
@@ -326,8 +367,8 @@ class LakehouseTable(
           override def filterAttributes():
               Array[org.apache.spark.sql.connector.expressions.NamedReference] =
             if (bucketPlan.isDefined || limitTruncated) Array.empty
-            else (meta.partitionColumns ++
-                BloomIndex.probeableColumns(meta.properties, meta.schema)).distinct
+            else (smeta.partitionColumns ++
+                BloomIndex.probeableColumns(smeta.properties, smeta.schema)).distinct
               // Spark resolves these against the scan OUTPUT
               // (PartitionPruning.getFilterableTableScan → resolveRefs
               // throws on a miss): a partition/bloom column pruned from
@@ -342,9 +383,9 @@ class LakehouseTable(
               predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
             val v1 = predicates.flatMap(RuntimePredicates.toV1).toSeq
             if (v1.nonEmpty) {
-              runtimeSurvivors = BloomIndex.prune(tableDir, meta.properties, meta.schema,
-                FileSkipping.prune(runtimeSurvivors, meta.fileStats, meta.schema, v1), v1)
-              LakehouseTable.lastRuntimeFilteredCounts = (runtimeSurvivors.size, meta.files.size)
+              runtimeSurvivors = BloomIndex.prune(tableDir, smeta.properties, smeta.schema,
+                FileSkipping.prune(runtimeSurvivors, smeta.fileStats, smeta.schema, v1), v1)
+              LakehouseTable.lastRuntimeFilteredCounts = (runtimeSurvivors.size, totalFileCount)
             }
           }
 
@@ -375,15 +416,15 @@ class LakehouseTable(
             // a skip-heavy scan doesn't report the full table to CBO
             // (double math: n * survivors would overflow Long first)
             val ratio =
-              if (meta.files.isEmpty) 0.0
-              else survivors.size.toDouble / meta.files.size
-            val analyzedRows = TableStats.numRows(meta.properties)
+              if (totalFileCount == 0) 0.0
+              else survivors.size.toDouble / totalFileCount
+            val analyzedRows = TableStats.numRows(smeta.properties)
               .map(n => (n * ratio).toLong)
             // keep the per-column stats consistent with the scaled row
             // count: nullCount scales linearly, ndv caps at the rows
             // (ndv > rowCount or nullCount > rowCount would feed CBO
             // impossible selectivities on exactly the pruned scans)
-            val colStats = TableStats.columnStats(meta.properties, meta.schema)
+            val colStats = TableStats.columnStats(smeta.properties, smeta.schema)
               .map { case (c, st) =>
                 c -> (new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                   override def distinctCount(): java.util.OptionalLong =
@@ -438,7 +479,7 @@ class LakehouseTable(
             // the session has no extensions installed — fail loudly
             // instead of silently resurrecting deleted rows.
             if (!options.containsKey(MergeOnRead.PlainReadOption) &&
-              MergeOnRead.anyApplicable(meta, meta.files))
+              MergeOnRead.anyApplicable(smeta, smeta.files))
               throw new IllegalStateException(
                 s"$identName has merge-on-read deletes pending: batch reads need " +
                   "spark.sql.extensions=graft.functions.GraftExtensions (the MorReads " +
@@ -448,7 +489,7 @@ class LakehouseTable(
                 // runtime filters narrowed the file list after the
                 // delegate was built: rebuild it over the survivors
                 val inner2 = ParquetTable(identName, spark, options,
-                  runtimeSurvivors.map(abs), Some(meta.schema), classOf[ParquetFileFormat])
+                  runtimeSurvivors.map(abs), Some(smeta.schema), classOf[ParquetFileFormat])
                   .newScanBuilder(options)
                 inner2.pushDataFilters(pushed)
                 inner2.pruneColumns(required)
@@ -489,7 +530,7 @@ class LakehouseTable(
           override def toMicroBatchStream(checkpointLocation: String):
               org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
             new LakehouseMicroBatchStream(
-              spark, identName, tableDir, meta.schema, required, options)
+              spark, identName, tableDir, summary.schema, required, options)
         }
       }
     }

@@ -2161,7 +2161,8 @@ object Maintenance {
     // delete-key parquet files are referenced by metadata exactly like
     // data files: they live as long as any retained version needs them
     val retained =
-      (retainedMetas ++ branchMetas).flatMap(m => m.files ++ m.deleteFiles.map(_.path)).toSet
+      (retainedMetas ++ branchMetas).flatMap(m => m.files ++
+        m.deleteFiles.flatMap(d => d.path +: (if (d.vector.isEmpty) Nil else Seq(d.vector)))).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return 0
     val cutoff = System.currentTimeMillis() - retentionMs
@@ -2172,7 +2173,7 @@ object Maintenance {
       .map(p => dir.relativize(p).toString)
       .toList)
     val doomed = all.filterNot { f =>
-      retained.contains(f) || !f.endsWith(".parquet") ||
+      retained.contains(f) || !(f.endsWith(".parquet") || f.endsWith(".bin")) ||
         scala.util.Try(Files.getLastModifiedTime(dir.resolve(f)).toMillis > cutoff)
           .getOrElse(true) // can't stat → assume young, keep
     }

@@ -21,17 +21,29 @@ final case class ManifestEntry(
   * truncated or corrupted chunk fails loudly instead of silently
   * shrinking the table.
   *
-  * Deliberately NOT carried: per-chunk column-range summaries for
-  * scan-time chunk skipping (Iceberg's manifest-list partition
-  * summaries). Iceberg needs them because its planner re-reads
-  * manifests per query; here a chunk is parsed at most once per driver
-  * (immutable, UUID-named, cache-through [[Manifests.read]]), and the
-  * scan features that matter — EXACT filter pushdown and zero-task
-  * metadata aggregates — are only sound with the COMPLETE per-file
-  * stats map in hand, so the resolved form is required anyway. */
+  * `summary` carries folded per-chunk column ranges for the table's
+  * SUMMARY COLUMNS (partition + hidden-partition source + leading sort
+  * column, [[TableMetadata.summaryColumns]]) — Iceberg's manifest-list
+  * partition summaries. A COLD driver's first partition-predicate scan
+  * skips chunks whose summary is provably disjoint from the pushed
+  * filters without parsing them ([[TableMetadata.resolveForScan]]),
+  * closing the one remaining O(table) driver cost (first load used to
+  * parse every chunk even for a single-partition query). The fold is
+  * sound by construction: a column appears only when EVERY entry in
+  * the chunk records it, with merged [min,max], summed null counts
+  * (None if any entry's count is unknown), and hasValues=false only
+  * when every entry is all-null — so [[FileSkipping.mayMatch]] at
+  * chunk granularity can never skip a chunk holding a matching file.
+  * Absent summary (pre-summary chunks, unsupported column types) ⇒
+  * the chunk is always parsed — behavior identical to before. Warm
+  * loads, exact pushdown and metadata aggregates are unchanged: they
+  * run on the per-file stats of the chunks that survive, and a
+  * skipped chunk's files are provably non-matching for the same
+  * conjunction those features serve. */
 final case class ManifestRef(
     path: String,
-    count: Int)
+    count: Int,
+    summary: Map[String, ColumnRange] = Map.empty)
 
 /** Iceberg-shaped manifest storage for the lakehouse metadata log.
   *
@@ -271,14 +283,47 @@ object Manifests {
 
   // ---- write ---------------------------------------------------------------
 
+  /** Fold a chunk's per-file ranges into the chunk-level summary for
+    * `cols` (see [[ManifestRef.summary]] for the soundness contract).
+    * A column folds only when every entry records it and the type has
+    * an ordering; otherwise it is omitted and the chunk never skips on
+    * that column. */
+  def summarize(
+      entries: Seq[ManifestEntry],
+      cols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Map[String, ColumnRange] =
+    cols.flatMap { c =>
+      val cmp = schema.fields.find(_.name == c)
+        .flatMap(f => FileSkipping.comparator(f.dataType))
+      val ranges = entries.map(_.stats.get(c))
+      if (cmp.isEmpty || entries.isEmpty || ranges.exists(_.isEmpty)) None
+      else {
+        val rs = ranges.flatten
+        val valued = rs.filter(_.hasValues)
+        val nulls =
+          if (rs.forall(_.nulls.isDefined)) Some(rs.flatMap(_.nulls).sum) else None
+        val merged =
+          if (valued.isEmpty) ColumnRange("", "", nulls, hasValues = false)
+          else ColumnRange(
+            valued.map(_.min).min(Ordering.fromLessThan[String](cmp.get(_, _) < 0)),
+            valued.map(_.max).max(Ordering.fromLessThan[String](cmp.get(_, _) < 0)),
+            nulls)
+        Some(c -> merged)
+      }
+    }.toMap
+
   /** Write `entries` as one or more immutable manifest chunks under
     * `mdDir`, named for `version`. Returns the refs (and implicitly
     * the created files — callers clean them up if their version
-    * publish loses its race). */
+    * publish loses its race). `summaryCols` + `schema` drive the
+    * per-chunk summaries ([[summarize]]); pass empty for none. */
   def write(
       mdDir: Path,
       version: Int,
-      entries: Seq[ManifestEntry]): Seq[ManifestRef] =
+      entries: Seq[ManifestEntry],
+      summaryCols: Seq[String] = Nil,
+      schema: org.apache.spark.sql.types.StructType =
+        new org.apache.spark.sql.types.StructType()): Seq[ManifestRef] =
     entries.grouped(ChunkSize).map { chunk =>
       val json = JObject("entries" -> JArray(chunk.map(entryJson).toList))
       val text = JsonMethods.compact(JsonMethods.render(json))
@@ -304,7 +349,8 @@ object Manifests {
               s"manifest name collision persisted after $attempts draws: $target", e)
         } finally Files.deleteIfExists(tmp)
       }
-      val ref = ManifestRef(path = name, count = chunk.size)
+      val ref = ManifestRef(path = name, count = chunk.size,
+        summary = summarize(chunk, summaryCols, schema))
       // park the seed: [[promoteSeeds]] moves it into the shared cache
       // only after the referencing version publishes and re-verifies
       // the chunk files exist (see pendingSeeds for why not sooner)
@@ -315,8 +361,13 @@ object Manifests {
   // ---- ref json (embedded in the version payload) --------------------------
 
   private[catalog] def refJson(r: ManifestRef): JValue = JObject(
-    "path" -> JString(r.path),
-    "count" -> JInt(r.count))
+    List(
+      "path" -> (JString(r.path): JValue),
+      "count" -> (JInt(r.count): JValue)) ++
+      (if (r.summary.isEmpty) Nil
+       else List("summary" -> (JObject(r.summary.toList.sortBy(_._1).map {
+         case (c, rg) => c -> rangeJson(rg)
+       }): JValue))))
 
   private[catalog] def parseRef(v: JValue): ManifestRef = {
     val o = v.asInstanceOf[JObject].obj.toMap
@@ -324,6 +375,11 @@ object Manifests {
     def int(x: JValue): Int = x match {
       case JInt(i) => i.toInt; case JLong(l) => l.toInt; case o2 => o2.values.toString.toInt
     }
-    ManifestRef(path = str(o("path")), count = int(o("count")))
+    ManifestRef(
+      path = str(o("path")),
+      count = int(o("count")),
+      summary = o.get("summary").collect { case s: JObject =>
+        s.obj.map { case (c, r) => c -> parseRange(r) }.toMap
+      }.getOrElse(Map.empty))
   }
 }

@@ -195,11 +195,25 @@ object MergeOnRead {
       val merged = grouped.foldLeft(base) { case (df, ((_, _, keyCols), es)) =>
         val paths = es.map(e => abs(e.path))
         if (es.head.isPositional) {
-          val dels = spark.read.schema(posKeySchema).parquet(paths: _*)
-          df.join(dels,
-            df("__graft_relfile") === dels(PosFileCol) &&
-              df("__graft_pos") === dels(PosPosCol),
-            "left_anti")
+          val vecs = es.map(_.vector).filter(_.nonEmpty).distinct
+          val dvOn = !spark.conf.getOption(DeletionVectors.EnabledConf).contains("false")
+          if (dvOn && vecs.nonEmpty && es.forall(_.vector.nonEmpty)) {
+            // deletion-vector path: a row-local codegen'd probe — the
+            // anti-join's shuffle/broadcast stage disappears from the
+            // merged read entirely
+            val dv = DeletionVectors.loadAll(tableDir, vecs)
+            import org.apache.spark.sql.graftbridge.ColumnBridge
+            df.where(ColumnBridge.column(
+              org.apache.spark.sql.catalyst.expressions.Not(PosDeleted(dv,
+                ColumnBridge.expression(df("__graft_relfile")),
+                ColumnBridge.expression(df("__graft_pos"))))))
+          } else {
+            val dels = spark.read.schema(posKeySchema).parquet(paths: _*)
+            df.join(dels,
+              df("__graft_relfile") === dels(PosFileCol) &&
+                df("__graft_pos") === dels(PosPosCol),
+              "left_anti")
+          }
         } else {
           val keys = spark.read.schema(keySchema(meta.schema, keyCols))
             .parquet(paths: _*)
@@ -247,7 +261,7 @@ object MergeOnRead {
       keyColumns: Seq[String]): Long = {
     val lt = Maintenance.lakehouseTable(spark, catalog, namespace, table)
     require(keyColumns.nonEmpty, "morUpsert needs at least one key column")
-    val schema = lt.meta.schema
+    val schema = lt.summary.schema
     val aligned = rows.select(schema.fields.map(f =>
       rows.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     commitDelete(spark, lt.tableDir,
@@ -647,6 +661,23 @@ object MergeOnRead {
         tableDir.resolve(rel).toString)
       val delFiles = stagedParquet(tableDir, rel)
       val seq = group.map(_.seq).max
+      // positional groups under the size cap ALSO get a deletion-vector
+      // sidecar: the merged read then filters by codegen'd binary
+      // search instead of anti-joining (DeletionVectors) — read-amp
+      // polish bounded so the vector stays broadcastable
+      val dvCap = spark.conf.getOption(DeletionVectors.MaxPositionsConf)
+        .map(_.toLong).getOrElse(DeletionVectors.DefaultMaxPositions)
+      val vectorRel =
+        if (!isPos || n > dvCap ||
+          spark.conf.getOption(DeletionVectors.EnabledConf).contains("false")) ""
+        else {
+          val positions = tuples.collect()
+            .groupBy(_.getString(0))
+            .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+          val vRel = s"deletes/dv$next-${UUID.randomUUID().toString.take(8)}.bin"
+          DeletionVectors.write(tableDir, vRel, positions)
+          vRel
+        }
       group -> delFiles.map { f =>
         val footer = FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), sch)
         DeleteFile(f, keyCols, seq, footer.rows, footer.cols, kind = group.head.kind,
@@ -654,7 +685,8 @@ object MergeOnRead {
           // record merge provenance (original entry paths, flattened
           // through re-consolidation): rebase guards use it to tell this
           // metadata rewrite apart from a genuine concurrent deletion
-          components = group.flatMap(_.rowPaths).distinct)
+          components = group.flatMap(_.rowPaths).distinct,
+          vector = vectorRel)
       }
     }
     // consolidation must actually consolidate PER GROUP: a merged tuple

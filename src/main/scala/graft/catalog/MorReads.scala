@@ -85,7 +85,10 @@ case class MorReads(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     }
-    lake.filter(lt => MergeOnRead.anyApplicable(lt.meta, lt.meta.files))
+    // deleteFiles lives in the O(refs) summary — a clean table is
+    // proven clean without forcing a full manifest resolve
+    lake.filter(lt => lt.summary.deleteFiles.nonEmpty &&
+      MergeOnRead.anyApplicable(lt.meta, lt.meta.files))
   }
 
   /** Relations in WRITE position (identity set): the target of an

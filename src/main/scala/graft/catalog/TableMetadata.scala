@@ -70,7 +70,12 @@ final case class DeleteFile(
     // concurrent deletion. Entry seqs CANNOT discriminate this: a
     // rebased plain delete legitimately keeps a seq at or below a later
     // attempt's base version.
-    components: Seq[String] = Nil) {
+    components: Seq[String] = Nil,
+    // Deletion-vector sidecar ([[DeletionVectors]]) for a CONSOLIDATED
+    // positional entry: per-target-file sorted position arrays, letting
+    // the merged read FILTER instead of anti-join. Empty = none (the
+    // tuple parquet at `path` is always authoritative either way).
+    vector: String = "") {
   def isPositional: Boolean = kind == DeleteFile.Positional
   /** The entry paths carrying this entry's row-deletion content — the
     * merge components for a consolidated entry, itself otherwise. */
@@ -131,6 +136,7 @@ final case class TableMetadata(
         "kind" -> JString(d.kind),
         "paired" -> JBool(d.paired),
         "components" -> JArray(d.components.map(JString(_)).toList),
+        "vector" -> JString(d.vector),
         "keyRanges" -> JObject(d.keyRanges.toList.sortBy(_._1).map { case (c, r) =>
           c -> Manifests.rangeJson(r)
         }))
@@ -392,7 +398,8 @@ object TableMetadata {
             },
             components = d.get("components").collect {
               case JArray(cs) => cs.map(str)
-            }.getOrElse(Nil))
+            }.getOrElse(Nil),
+            vector = d.get("vector").map(str).getOrElse(""))
         }
       }.getOrElse(Seq.empty),
       snapshots = o("snapshots").asInstanceOf[JArray].arr.map { sv =>
@@ -418,6 +425,51 @@ object TableMetadata {
         fileStats = entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap,
         fileRows = entries.iterator.flatMap(e => e.rows.map(e.path -> _)).toMap,
         fileSeq = entries.iterator.map(e => e.path -> e.seq).toMap)
+    }
+
+  /** Columns that earn a per-chunk manifest-list summary
+    * ([[ManifestRef.summary]]): the clustering contract's columns —
+    * identity partitions, hidden-transform sources, the leading sort
+    * column — are the ones writes cluster by, so chunk-level ranges on
+    * them are tight enough to skip. Capped to bound the version
+    * payload at O(refs) regardless of schema width. */
+  private[catalog] def summaryColumns(meta: TableMetadata): Seq[String] =
+    (meta.partitionColumns ++
+      HiddenPartitioning.sourceCols(meta.properties) ++
+      WriteSortOrder.colsOf(meta.properties).take(1)).distinct.take(4)
+
+  /** True when `m` is an UNRESOLVED manifest-backed summary (a version
+    * payload as parsed from disk). Hand-built metas — MorReads
+    * sub-tables, time-travel loads, commit attempts — arrive with
+    * `files` populated and must never be re-resolved: their stale
+    * `manifests` field would clobber the caller's deliberate edits. */
+  private[catalog] def isSummary(m: TableMetadata): Boolean =
+    m.files.isEmpty && m.manifests.nonEmpty
+
+  /** Scan-scoped resolve: parse ONLY the manifest chunks whose summary
+    * may overlap every pushed filter — the chunks a partition-predicate
+    * query actually needs. Skipped chunks' files provably cannot match
+    * the filter conjunction (the same [[FileSkipping.mayMatch]] the
+    * per-file prune uses, applied to the chunk's folded ranges), so
+    * excluding them wholesale is exactly what per-file pruning would
+    * have done after parsing — including for EXACT pushdown and
+    * metadata aggregates, which only ever reason over the conjunction's
+    * survivors. A cold driver's single-partition query thus reads
+    * O(overlapping chunks), not O(table). Chunks without a summary are
+    * always parsed. */
+  private[catalog] def resolveForScan(
+      mdDir: Path,
+      summary: TableMetadata,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): TableMetadata =
+    if (!isSummary(summary)) summary // already resolved (or hand-built): use as-is
+    else if (filters.isEmpty) resolve(mdDir, summary)
+    else {
+      val keep = summary.manifests.filter { ref =>
+        ref.summary.isEmpty ||
+          filters.forall(f => FileSkipping.mayMatch(f, summary.schema, ref.summary))
+      }
+      resolve(mdDir, summary.copy(manifests = keep))
+        .copy(manifests = summary.manifests) // keep the TRUE list for introspection
     }
 
   /** Load one version-payload file (main log, branch log, or a
@@ -496,6 +548,17 @@ object TableMetadata {
     val v = currentVersion(tableDir)
     require(v > 0, s"not a lakehouse table: $tableDir")
     loadFile(tableDir, versionFile(tableDir, v))
+  }
+
+  /** [[load]] WITHOUT resolving manifests: O(refs) — schema,
+    * properties, partition columns, delete entries and the manifest
+    * list, no per-file maps. The catalog serves tables from this and
+    * defers chunk parsing to first use ([[LakehouseTable.meta]]) or to
+    * the scan-scoped pruned resolve ([[resolveForScan]]). */
+  def loadSummary(tableDir: Path): TableMetadata = {
+    val v = currentVersion(tableDir)
+    require(v > 0, s"not a lakehouse table: $tableDir")
+    fromJson(Files.readString(versionFile(tableDir, v)))
   }
 
   /** Load every RETAINED metadata version in order (the metadata log).
@@ -658,7 +721,7 @@ object TableMetadata {
         s"commit conflict: version $next already exists for ${base.name}")
     val entries = base.files.map(f => ManifestEntry(
       f, base.fileRows.get(f), base.seqOf(f), base.fileStats.getOrElse(f, Map.empty)))
-    val refs = Manifests.write(md, next, entries)
+    val refs = Manifests.write(md, next, entries, summaryColumns(base), base.schema)
     val sequenced = base.copy(
       version = next,
       fileSeq = entries.map(e => e.path -> e.seq).toMap,
@@ -726,14 +789,16 @@ object TableMetadata {
       val want = keep.map(e => desired(e.path))
       if (want == entries) outRefs += ref
       else if (want.nonEmpty) {
-        val rs = Manifests.write(mdDir, meta.version, want)
+        val rs = Manifests.write(mdDir, meta.version, want,
+          summaryColumns(meta), meta.schema)
         rs.foreach(r => newPaths += mdDir.resolve(r.path))
         outRefs ++= rs
       } // fully-removed manifest: dropped from the list
     }
     val fresh = meta.files.filterNot(covered).map(desired)
     if (fresh.nonEmpty) {
-      val rs = Manifests.write(mdDir, meta.version, fresh)
+      val rs = Manifests.write(mdDir, meta.version, fresh,
+        summaryColumns(meta), meta.schema)
       rs.foreach(r => newPaths += mdDir.resolve(r.path))
       outRefs ++= rs
     }

@@ -308,4 +308,83 @@ class ManifestMetadataSpec extends AnyFunSuite with Matchers {
     graft.catalog.Manifests.clearCacheForTesting()
     spark.sql("DROP TABLE lakehouse.mf.t8")
   }
+
+  test("a cold driver's partition-predicate scan parses ONLY the overlapping chunks") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.mf.t9")
+    spark.sql("CREATE TABLE lakehouse.mf.t9 (k INT, v STRING, p STRING) PARTITIONED BY (p)")
+    val dir = tableDir("mf", "t9")
+    // six commits, one partition value each → six chunks, each with a
+    // single-value summary range on p
+    val parts = Seq("a", "b", "c", "d", "e", "f")
+    parts.foreach { pv =>
+      (0 until 20).map(i => (i, s"$pv-$i", pv)).toDF("k", "v", "p")
+        .createOrReplaceTempView("mf9_src")
+      spark.sql("INSERT INTO lakehouse.mf.t9 SELECT * FROM mf9_src")
+    }
+    val summary = TableMetadata.loadSummary(dir)
+    summary.manifests.size should be >= 6
+    summary.manifests.foreach { r =>
+      r.summary.keySet should contain("p") // the partition column is summarized
+    }
+    // COLD driver: empty manifest cache, then ONE single-partition query
+    Manifests.clearCacheForTesting()
+    Manifests.resetCounters()
+    spark.table("lakehouse.mf.t9").where($"p" === "c")
+      .count() shouldBe 20
+    val parsed = Manifests.manifestsParsed.get()
+    // only the chunk(s) whose summary covers p='c' were parsed — the
+    // pre-summary behavior parsed all ≥6 on the first load
+    parsed should be >= 1L
+    parsed should be <= 2L
+    // scan instrumentation still reports the TRUE table size as the
+    // denominator (chunk skipping must not misreport totals)
+    graft.catalog.LakehouseTable.lastScanFileCounts.get()._2 shouldBe
+      summary.manifests.map(_.count).sum
+    // (exact pushdown / metadata aggregates on clustered int columns
+    // are pinned unchanged by AggPushdownSpec — strings never qualify)
+    // an UNFILTERED scan still resolves everything
+    Manifests.clearCacheForTesting()
+    Manifests.resetCounters()
+    spark.table("lakehouse.mf.t9").count() shouldBe 120
+    Manifests.manifestsParsed.get() should be >= 6L
+    spark.sql("DROP TABLE lakehouse.mf.t9")
+  }
+
+  test("chunk summaries fold soundly: mixed-value and null-bearing chunks never skip a match") {
+    import graft.catalog.{ColumnRange, ManifestEntry}
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("p", org.apache.spark.sql.types.StringType)
+      .add("k", org.apache.spark.sql.types.IntegerType)
+    def e(path: String, min: String, max: String, nulls: Option[Long]) =
+      ManifestEntry(path, Some(1L), 1, Map("p" -> ColumnRange(min, max, nulls)))
+    // merged range spans all entries; nulls sum only when all known
+    val s1 = Manifests.summarize(
+      Seq(e("f1", "a", "c", Some(0L)), e("f2", "b", "e", Some(2L))), Seq("p"), schema)
+    s1("p").min shouldBe "a"
+    s1("p").max shouldBe "e"
+    s1("p").nulls shouldBe Some(2L)
+    // any entry with an unknown null count → summary nulls unknown
+    // (IsNull can then never skip the chunk)
+    Manifests.summarize(
+      Seq(e("f1", "a", "c", None), e("f2", "b", "e", Some(0L))), Seq("p"), schema)
+      .apply("p").nulls shouldBe None
+    // a column missing from ANY entry drops from the summary entirely
+    Manifests.summarize(
+      Seq(e("f1", "a", "c", Some(0L)),
+        ManifestEntry("f3", Some(1L), 1, Map.empty)), Seq("p"), schema) shouldBe empty
+    // all-null chunks summarize as all-null; mixed chunks keep values
+    val s2 = Manifests.summarize(
+      Seq(ManifestEntry("f4", Some(1L), 1,
+        Map("p" -> ColumnRange("", "", Some(5L), hasValues = false)))), Seq("p"), schema)
+    s2("p").hasValues shouldBe false
+    val s3 = Manifests.summarize(
+      Seq(
+        ManifestEntry("f5", Some(1L), 1,
+          Map("p" -> ColumnRange("", "", Some(5L), hasValues = false))),
+        e("f6", "b", "d", Some(0L))), Seq("p"), schema)
+    s3("p").hasValues shouldBe true
+    s3("p").min shouldBe "b"
+    s3("p").nulls shouldBe Some(5L)
+  }
 }
