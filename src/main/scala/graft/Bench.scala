@@ -138,8 +138,19 @@ object Bench {
     // AnalysisException). Any throw in warm-up or a timed sample marks the
     // query failed; failed queries are excluded from `total` and listed
     // under a "failed" key in both the stdout line and BENCH_FULL.json.
+    // SPARK_GRAFT_ONLY=q37,q42 — solo-run a subset for A/B profiling:
+    // a query that is slow in the full 152-query suite but matches its
+    // historical time solo is suffering accumulated-JVM-state drift
+    // (code cache, GC heap shape), not a plan regression
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case None => SparkEntry.queries
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(p => n == p || n.startsWith(p + "_")) }
+    }
     val sampled: Seq[(String, Either[String, (Seq[Double], Boolean)])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         def err(e: Throwable) =
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
         val warm = try { fn(spark, sfDir).count(); None }
@@ -212,10 +223,12 @@ object Bench {
       }.mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,$loadJson,"queries":{""", ",", "}}")
     // per-SF artifact ONLY: an unsuffixed BENCH_FULL.json was "whatever
     // ran last" and its sf field had to be read to interpret it —
-    // round-over-round comparisons kept almost mixing scale factors
+    // round-over-round comparisons kept almost mixing scale factors.
+    // A SPARK_GRAFT_ONLY subset run never overwrites the full record.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"BENCH_FULL_$sfName.json"), fullJson)
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_FULL_$sfName.json"), fullJson)
     // The driver parses the LAST ~2000 chars of stdout for one JSON line;
     // sbt appends its own "[success]" lines after us. Keep the line under
     // 1800 chars: all queries when they fit, else the primary (two-digit,
