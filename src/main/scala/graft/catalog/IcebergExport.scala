@@ -356,9 +356,11 @@ object IcebergExport {
             case DoubleType => Double.box(s.toDouble)
             case BooleanType => Boolean.box(s.toBoolean)
             case StringType => s
-            case DateType => Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
-            case TimestampType | TimestampNTZType =>
-              Long.box(java.time.Instant.parse(s).toEpochMilli * 1000L)
+            // FooterStats renders parquet's physical values verbatim:
+            // dates are already epoch-day ints, timestamps micros —
+            // exactly the avro date / timestamp-micros encodings
+            case DateType => Int.box(s.toInt)
+            case TimestampType | TimestampNTZType => Long.box(s.toLong)
             case other => throw new IllegalArgumentException(other.sql)
           }
         }

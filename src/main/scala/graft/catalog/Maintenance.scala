@@ -2060,7 +2060,11 @@ object Maintenance {
       }
     }
     srcMeta.files.foreach(link)
-    srcMeta.deleteFiles.map(_.path).distinct.foreach(link)
+    // a delete entry's tuple parquet AND its deletion-vector sidecar
+    // (the cloned read takes the vector path when the entry names one)
+    srcMeta.deleteFiles
+      .flatMap(d => d.path +: (if (d.vector.isEmpty) Nil else Seq(d.vector)))
+      .distinct.foreach(link)
     val blooms = BloomIndex.bloomsDir(src.tableDir)
     if (Files.isDirectory(blooms)) {
       val stream = Files.list(blooms)

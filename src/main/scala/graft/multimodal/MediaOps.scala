@@ -8,13 +8,17 @@ final case class Decoded(width: Int, height: Int, channels: Int, pixels: Array[F
 
 /** Codec boundary for multimodal payloads.
   *
-  * The real image/audio libraries are not available in this
-  * environment, so [[StubCodec]] is a DETERMINISTIC FAKE — it
-  * interprets the payload through a tiny synthetic header format and
-  * derives pixels from a hash of the bytes. The Spark-side plumbing
-  * around it (schemas, per-partition batching, partitioning, output
-  * contracts) is real; swapping in a JNI/javacpp-backed codec is a
-  * one-object change.
+  * Two implementations ship:
+  *  - [[ImageIoCodec]] — REAL decode/resize through the JDK's
+  *    `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP) + `Graphics2D`, no
+  *    external libraries, so the whole pipeline (decode → features →
+  *    perceptual hash → near-dup join) runs on actual images;
+  *  - [[StubCodec]] — a DETERMINISTIC FAKE (payload-hash pixels) kept
+  *    for oracle-checked queries: the DuckDB side can reproduce its
+  *    outputs exactly, which no real codec guarantees across JPEG
+  *    decoder versions.
+  * Video containers and audio remain behind the same pluggable
+  * boundary (a JNI/javacpp codec is a one-object change).
   */
 trait MediaCodec extends Serializable {
   def decode(payload: Array[Byte]): Decoded
@@ -53,6 +57,74 @@ object StubCodec extends MediaCodec {
       img.pixels((sy * img.width + sx) * img.channels + c)
     }
     Decoded(w, h, img.channels, px)
+  }
+}
+
+/** REAL image codec over the JDK's own `javax.imageio` — no external
+  * libraries, works offline: PNG, JPEG, BMP, GIF and WBMP decode on
+  * every standard JRE. Resize goes through `Graphics2D` with bilinear
+  * interpolation. Pixels normalize to RGB float [0,1] row-major, the
+  * same contract as [[StubCodec]], so every downstream operator
+  * (features, perceptual hash, near-dup join) runs unchanged on real
+  * images. Thread-safety: `ImageIO.read` is re-entrant and each call
+  * allocates its own reader, so one shared codec object serves all
+  * partitions. Formats the JDK cannot read (video containers, audio,
+  * HEIC…) still route through a pluggable [[MediaCodec]] — that
+  * boundary is unchanged. */
+object ImageIoCodec extends MediaCodec {
+  override def decode(payload: Array[Byte]): Decoded = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload (not a JDK-supported format)")
+    toDecoded(img)
+  }
+
+  override def resize(d: Decoded, w: Int, h: Int): Decoded = {
+    val src = fromDecoded(d)
+    val dst = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    toDecoded(dst)
+  }
+
+  private def toDecoded(img: java.awt.image.BufferedImage): Decoded = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Float](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        px(o) = ((rgb >> 16) & 0xff) / 255f
+        px(o + 1) = ((rgb >> 8) & 0xff) / 255f
+        px(o + 2) = (rgb & 0xff) / 255f
+        x += 1
+      }
+      y += 1
+    }
+    Decoded(w, h, 3, px)
+  }
+
+  private def fromDecoded(d: Decoded): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      d.width, d.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < d.height) {
+      var x = 0
+      while (x < d.width) {
+        val o = (y * d.width + x) * 3
+        def b(f: Float) = math.max(0, math.min(255, (f * 255f).round))
+        img.setRGB(x, y, (b(d.pixels(o)) << 16) | (b(d.pixels(o + 1)) << 8) | b(d.pixels(o + 2)))
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 }
 

@@ -134,4 +134,37 @@ class CloneSpec extends AnyFunSuite with Matchers {
     spark.sql(s"DROP TABLE lakehouse.cl_ns.d4")
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("a deletion-vector-backed source clones readable: the blob links with the entry") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.cl_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.cl_ns.dvsrc")
+    spark.sql("CREATE TABLE lakehouse.cl_ns.dvsrc (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
+    (0 until 50).map(i => (i, s"v$i")).toDF("k", "v").createOrReplaceTempView("cl_dv_src")
+    spark.sql("INSERT INTO lakehouse.cl_ns.dvsrc SELECT * FROM cl_dv_src")
+    Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("cl_dv_c1")
+    spark.sql("""MERGE INTO lakehouse.cl_ns.dvsrc t USING cl_dv_c1 s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    Seq((2, "y")).toDF("k", "v").createOrReplaceTempView("cl_dv_c2")
+    spark.sql("""MERGE INTO lakehouse.cl_ns.dvsrc t USING cl_dv_c2 s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    spark.sql("CALL lakehouse.system.consolidate_deletes('cl_ns', 'dvsrc')")
+    val srcMeta = graft.catalog.TableMetadata.load(tableDir("cl_ns", "dvsrc"))
+    srcMeta.deleteFiles.filter(_.isPositional).head.vector should not be ""
+
+    spark.sql(
+      "CALL lakehouse.system.clone_table('cl_ns', 'dvsrc', 'cl_ns', 'dvclone')")
+    // the clone reads through ITS OWN linked vector blob — before the
+    // fix the blob wasn't linked and this read crashed NoSuchFile
+    java.nio.file.Files.exists(tableDir("cl_ns", "dvclone")
+      .resolve(srcMeta.deleteFiles.filter(_.isPositional).head.vector)) shouldBe true
+    graft.catalog.DeletionVectors.clearCacheForTesting()
+    spark.table("lakehouse.cl_ns.dvclone").where($"k" === 1 || $"k" === 2)
+      .orderBy($"k").as[(Int, String)].collect().toSeq shouldBe
+      Seq((1, "x"), (2, "y"))
+    spark.table("lakehouse.cl_ns.dvclone").count() shouldBe 50
+    spark.sql("DROP TABLE lakehouse.cl_ns.dvclone")
+    spark.sql("DROP TABLE lakehouse.cl_ns.dvsrc")
+  }
 }

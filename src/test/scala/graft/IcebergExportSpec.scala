@@ -178,6 +178,36 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.t")
   }
 
+  test("date-partitioned export writes avro epoch-day partition values from footer stats") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.d")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.d (k INT, d DATE) PARTITIONED BY (d)")
+    Seq("2024-01-01", "2024-03-05").foreach { dv =>
+      spark.sql(s"INSERT INTO lakehouse.ice_ns.d SELECT 1, DATE'$dv'")
+    }
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'd')")
+    val md = tableDir("d").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val meta = readJson(md.resolve(s"v$hint.metadata.json"))
+    val snap = meta("snapshots").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap
+    val (manifests, _) = IcebergExport.readAvro(
+      Paths.get(java.net.URI.create(jstr(snap("manifest-list")))))
+    val dataManifest = manifests.find(_.get("content").asInstanceOf[Int] == 0).get
+    val (entries, _) = IcebergExport.readAvro(
+      Paths.get(java.net.URI.create(dataManifest.get("manifest_path").toString)))
+    // footer stats store dates as epoch-day ints; the avro partition
+    // field (logicalType date) must carry them verbatim — an ISO-parse
+    // of "19723" would have thrown here
+    val days = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("partition").asInstanceOf[GenericRecord].get("d").asInstanceOf[Int])
+      .sorted
+    days shouldBe Seq(
+      java.time.LocalDate.parse("2024-01-01").toEpochDay.toInt,
+      java.time.LocalDate.parse("2024-03-05").toEpochDay.toInt)
+    spark.sql("DROP TABLE lakehouse.ice_ns.d")
+  }
+
   test("re-export garbage-collects the previous export; hint always names a live export") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.g")

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-import graft.multimodal.{MediaOps, StubCodec}
+import graft.multimodal.{ImageIoCodec, MediaOps, StubCodec}
 
 class MediaSpec extends AnyFunSuite with Matchers {
   private lazy val spark = TestSpark.spark
@@ -84,5 +84,76 @@ class MediaSpec extends AnyFunSuite with Matchers {
     pairs should contain((1L, 2L, 0)) // the duplicate pair, hamming 0
     // no pair may exceed the guaranteed-recall threshold
     all(pairs.map(_._3)) should be <= 3
+  }
+
+  /** Encode a synthetic gradient-with-a-square image via the JDK.
+    * `invert` flips the luma structure entirely (a different scene —
+    * perceptual hashes key on which cells sit above the image mean, so
+    * only a structural change separates them). */
+  private def realImage(
+      w: Int, h: Int, format: String, boxAt: Int, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val inBox = x >= boxAt && x < boxAt + w / 4 && y >= boxAt && y < boxAt + h / 4
+      val gx = if (invert) (w - 1 - x) else x
+      val gy = if (invert) (h - 1 - y) else y
+      val r = if (inBox) 230 else gx * 255 / w
+      val g = if (inBox) 20 else gy * 255 / h
+      img.setRGB(x, y, (r << 16) | (g << 8) | 64)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos) shouldBe true
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes REAL png/jpeg/bmp and the whole pipeline runs on them") {
+    // the same scene, three real encodings + one different scene
+    val media = Seq(
+      (1L, realImage(64, 48, "png", boxAt = 8)),
+      (2L, realImage(64, 48, "jpg", boxAt = 8)),   // lossy re-encode of scene 1
+      (3L, realImage(64, 48, "bmp", boxAt = 8)),
+      (4L, realImage(64, 48, "png", boxAt = 40, invert = true))). // different scene
+      toDF("id", "payload")
+
+    val feats = MediaOps.decodeFeatures(media, ImageIoCodec, targetW = 4, targetH = 4)
+      .collect().sortBy(_.id)
+    feats.map(f => (f.width, f.height)).distinct.toSeq shouldBe Seq((64, 48))
+    all(feats.flatMap(_.features)) should (be >= 0.0f and be <= 1.0f)
+    // png and bmp are LOSSLESS encodings of identical pixels
+    feats(0).features.toSeq shouldBe feats(2).features.toSeq
+
+    // perceptual hash: the jpeg re-encode is a near-dup of its png
+    // source; the different scene is not
+    val hashes = MediaOps.perceptualHash(media, ImageIoCodec)
+    val pairs = MediaOps.nearDupMedia(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // re-encode caught
+    pairs should contain((1L, 3L))
+    pairs should not contain ((1L, 4L)) // different scene separated
+    pairs should not contain ((2L, 4L))
+
+    // real decode feeds the similarity path like any embedding column
+    val emb = MediaOps.withEmbedding(
+      MediaOps.decodeFeatures(media, ImageIoCodec, 4, 4))
+    emb.schema.fieldNames.toSeq shouldBe Seq("vec_id", "embedding")
+    emb.count() shouldBe 4
+  }
+
+  test("ImageIoCodec resize is a real bilinear scale, not a crop") {
+    val px = ImageIoCodec.decode(realImage(64, 48, "png", boxAt = 8))
+    val small = ImageIoCodec.resize(px, 8, 8)
+    small.width shouldBe 8
+    small.height shouldBe 8
+    small.pixels.length shouldBe 8 * 8 * 3
+    // the gradient survives scaling: left edge darker red than right
+    val leftRed = small.pixels(0)
+    val rightRed = small.pixels((7) * 3)
+    rightRed should be > leftRed
+    // undecodable payloads fail loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      ImageIoCodec.decode(Array[Byte](1, 2, 3, 4))
+    }
+    e.getMessage should include("undecodable")
   }
 }
