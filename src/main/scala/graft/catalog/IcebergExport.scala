@@ -245,6 +245,16 @@ object IcebergExport {
         s"unsupported identity-partition type for export: ${other.sql}")
   }
 
+  /** Iceberg's Avro encoding of `map<int, X>`: an array-of-records with
+    * logicalType map (int keys cannot use Avro's native string-keyed
+    * map). `kId`/`vId` are the spec's key/value field ids. */
+  private def intMap(name: String, fieldId: Int, kId: Int, vId: Int, vType: String): String =
+    s"""{"name": "$name", "field-id": $fieldId, "default": null, "type":
+       |  ["null", {"type": "array", "logicalType": "map",
+       |    "items": {"type": "record", "name": "k${kId}_v$vId", "fields": [
+       |      {"name": "key", "type": "int", "field-id": $kId},
+       |      {"name": "value", "type": $vType, "field-id": $vId}]}}]}""".stripMargin
+
   /** manifest_entry with the given partition struct (field ids 1000+). */
   private def manifestEntrySchema(partFields: Seq[(String, DataType, Int)]): Schema = {
     val partJson = partFields.map { case (n, dt, fid) =>
@@ -265,11 +275,40 @@ object IcebergExport {
          |      {"type": "record", "name": "r102", "fields": [$partJson]}},
          |    ${af("record_count", "\"long\"", 103, optional = false)},
          |    ${af("file_size_in_bytes", "\"long\"", 104, optional = false)},
+         |    ${intMap("null_value_counts", 110, 121, 122, "\"long\"")},
+         |    ${intMap("lower_bounds", 125, 126, 127, "\"bytes\"")},
+         |    ${intMap("upper_bounds", 128, 129, 130, "\"bytes\"")},
          |    {"name": "equality_ids", "field-id": 135, "default": null, "type":
          |      ["null", {"type": "array", "items": "int", "element-id": 136}]},
          |    ${af("sort_order_id", "\"int\"", 140, optional = true)}
          |  ]}}
          |]}""".stripMargin)
+  }
+
+  /** Iceberg single-value binary serialization (spec Appendix D) for
+    * the bound maps: little-endian numerics, UTF-8 strings. The input
+    * is [[FooterStats]]' rendered string (numerics as decimal text,
+    * dates already epoch-day, timestamps already micros). None for
+    * types the spec table doesn't cover here or unparsable values —
+    * the column's bound is simply omitted (bounds are optional). */
+  private[catalog] def boundBytes(dt: DataType, s: String): Option[java.nio.ByteBuffer] = {
+    def le(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case ByteType | ShortType | IntegerType | DateType =>
+        Some(le(4).putInt(s.toInt).flip().asInstanceOf[java.nio.ByteBuffer])
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(le(8).putLong(s.toLong).flip().asInstanceOf[java.nio.ByteBuffer])
+      case FloatType =>
+        Some(le(4).putFloat(s.toFloat).flip().asInstanceOf[java.nio.ByteBuffer])
+      case DoubleType =>
+        Some(le(8).putDouble(s.toDouble).flip().asInstanceOf[java.nio.ByteBuffer])
+      case BooleanType =>
+        Some(java.nio.ByteBuffer.wrap(Array[Byte](if (s.toBoolean) 1 else 0)))
+      case StringType =>
+        Some(java.nio.ByteBuffer.wrap(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case _ => None
+    } catch { case _: NumberFormatException | _: IllegalArgumentException => None }
   }
 
   private def writeAvro(
@@ -369,9 +408,26 @@ object IcebergExport {
       r
     }
 
+    // array-of-record element schemas for the int-keyed maps
+    def mapElem(field: String): Schema =
+      dataFileSchema.getField(field).schema().getTypes.get(1).getElementType
+    def intMapVal(field: String, kvs: Seq[(Int, AnyRef)]): AnyRef =
+      if (kvs.isEmpty) null
+      else {
+        val elem = mapElem(field)
+        val arr = new GenericData.Array[GenericRecord](
+          kvs.size, dataFileSchema.getField(field).schema().getTypes.get(1))
+        kvs.sortBy(_._1).foreach { case (k, v) =>
+          val r = new GenericData.Record(elem)
+          r.put("key", Int.box(k)); r.put("value", v); arr.add(r)
+        }
+        arr
+      }
+
     def entry(
         filePath: String, content: Int, seq: Long, rows: Long, bytes: Long,
-        part: GenericRecord, equalityIds: Seq[Int]): GenericRecord = {
+        part: GenericRecord, equalityIds: Seq[Int],
+        stats: Map[String, ColumnRange] = Map.empty): GenericRecord = {
       val df = new GenericData.Record(dataFileSchema)
       df.put("content", Int.box(content))
       df.put("file_path", filePath)
@@ -379,6 +435,23 @@ object IcebergExport {
       df.put("partition", part)
       df.put("record_count", Long.box(rows))
       df.put("file_size_in_bytes", Long.box(bytes))
+      // per-column pruning stats (optional maps, omitted where unknown):
+      // null counts + spec-serialized lower/upper bounds keyed by field
+      // id — this is what lets an EXTERNAL engine file-skip our data
+      val byId = stats.toSeq.flatMap { case (c, r) =>
+        for {
+          id <- ids.get(c)
+          f <- meta.schema.fields.find(_.name == c)
+        } yield (id, f.dataType, r)
+      }
+      df.put("null_value_counts", intMapVal("null_value_counts",
+        byId.flatMap { case (id, _, r) => r.nulls.map(n => id -> (Long.box(n): AnyRef)) }))
+      df.put("lower_bounds", intMapVal("lower_bounds",
+        byId.flatMap { case (id, dt, r) =>
+          if (!r.hasValues) None else boundBytes(dt, r.min).map(id -> (_: AnyRef)) }))
+      df.put("upper_bounds", intMapVal("upper_bounds",
+        byId.flatMap { case (id, dt, r) =>
+          if (!r.hasValues) None else boundBytes(dt, r.max).map(id -> (_: AnyRef)) }))
       df.put("equality_ids",
         if (equalityIds.isEmpty) null
         else new GenericData.Array[Integer](
@@ -404,7 +477,7 @@ object IcebergExport {
       val part = if (partitioned) partRecord(stats) else emptyPart
       entry(uri(f), content = 0, seq = meta.seqOf(f).toLong,
         rows = meta.fileRows.getOrElse(f, sparkCount(spark, dir, f)),
-        bytes = Files.size(dir.resolve(f)), part, Nil)
+        bytes = Files.size(dir.resolve(f)), part, Nil, stats)
     }
 
     // ---- delete files: rewrite into spec shapes with field IDs

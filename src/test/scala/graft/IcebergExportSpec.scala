@@ -175,8 +175,49 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     jlong(meta("refs").asInstanceOf[JObject].obj.toMap.apply("main")
       .asInstanceOf[JObject].obj.toMap.apply("snapshot-id")) shouldBe
       jlong(meta("current-snapshot-id"))
+
+    // column bounds: spec-serialized lower/upper (little-endian int for
+    // k = field id 1, UTF-8 for p = field id 3) must match our footer
+    // stats — this is what lets an external engine file-skip our data
+    val (manifests2, _) = IcebergExport.readAvro(
+      Paths.get(java.net.URI.create(jstr(snap2(meta)("manifest-list")))))
+    val dm = manifests2.find(_.get("content").asInstanceOf[Int] == 0).get
+    val (dataEntries, _) = IcebergExport.readAvro(
+      Paths.get(java.net.URI.create(dm.get("manifest_path").toString)))
+    val ourMeta = graft.catalog.TableMetadata.load(tableDir("t"))
+    def mapOf(df: GenericRecord, field: String): Map[Int, java.nio.ByteBuffer] =
+      Option(df.get(field)).map(_.asInstanceOf[java.util.List[GenericRecord]].asScala
+        .map(r => r.get("key").asInstanceOf[Int] ->
+          r.get("value").asInstanceOf[java.nio.ByteBuffer]).toMap).getOrElse(Map.empty)
+    dataEntries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val rel = Paths.get(java.net.URI.create(df.get("file_path").toString))
+      val stats = ourMeta.fileStats(tableDir("t").relativize(rel).toString.replace('\\', '/'))
+      val lower = mapOf(df, "lower_bounds"); val upper = mapOf(df, "upper_bounds")
+      // k is column 1 (int, little-endian 4 bytes)
+      lower(1).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0) shouldBe stats("k").min.toInt
+      upper(1).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(0) shouldBe stats("k").max.toInt
+      // p is column 3 (string, UTF-8 bytes)
+      def str(b: java.nio.ByteBuffer) = {
+        val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+        new String(a, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      str(lower(3)) shouldBe stats("p").min
+      str(upper(3)) shouldBe stats("p").max
+      // null counts published where known
+      val nulls = Option(df.get("null_value_counts"))
+        .map(_.asInstanceOf[java.util.List[GenericRecord]].asScala
+          .map(r => r.get("key").asInstanceOf[Int] -> r.get("value").asInstanceOf[Long]).toMap)
+        .getOrElse(Map.empty)
+      stats.get("k").flatMap(_.nulls).foreach(n => nulls(1) shouldBe n)
+    }
     spark.sql("DROP TABLE lakehouse.ice_ns.t")
   }
+
+  private def snap2(meta: Map[String, JValue]): Map[String, JValue] =
+    meta("snapshots").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+      .find(s => jlong(s("snapshot-id")) == jlong(meta("current-snapshot-id"))).get
 
   test("date-partitioned export writes avro epoch-day partition values from footer stats") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
