@@ -515,6 +515,14 @@ object LakehouseProcedures {
         MergeOnRead.consolidateDeletes(spark, cat, ns(a), tbl(a)).toLong
     }
 
+  private def vectorizeDeletesProc(catalogName: String) =
+    new MaintenanceProc("vectorize_deletes",
+      Array(param("ns", StringType), param("tbl", StringType)), "vectorized", catalogName) {
+      override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+        MergeOnRead.vectorizeDeletes(spark,
+          Maintenance.lakehouseTable(spark, cat, ns(a), tbl(a)).tableDir).toLong
+    }
+
   private def setPartitioningProc(catalogName: String) = new MaintenanceProc("set_partitioning",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -551,6 +559,7 @@ object LakehouseProcedures {
     "add_files" -> (addFilesProc(_)),
     "clone_table" -> (cloneTableProc(_)),
     "consolidate_deletes" -> (consolidateDeletesProc(_)),
+    "vectorize_deletes" -> (vectorizeDeletesProc(_)),
     "tag" -> (tagProc(_)),
     "drop_tag" -> (dropTagProc(_)),
     "branch" -> (branchProc(_)),

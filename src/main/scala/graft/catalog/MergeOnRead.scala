@@ -630,6 +630,45 @@ object MergeOnRead {
     consolidateDeletesAt(spark, lt.tableDir)
   }
 
+  /** Attach deletion-vector sidecars ([[DeletionVectors]]) to existing
+    * positional delete entries that lack one — the standalone face of
+    * what consolidation does for merged groups, so a table with a
+    * SINGLE positional entry (one MERGE) also gets the join-free
+    * merged read. Entries above the size cap are left alone (their
+    * vector would not be broadcastable; compaction is the right tool
+    * there). Metadata-only commit; the tuple parquets stay
+    * authoritative. Returns the number of entries vectorized. */
+  def vectorizeDeletes(spark: SparkSession, tableDir: Path): Int = {
+    val current = TableMetadata.load(tableDir)
+    val cap = spark.conf.getOption(DeletionVectors.MaxPositionsConf)
+      .map(_.toLong).getOrElse(DeletionVectors.DefaultMaxPositions)
+    def wants(d: DeleteFile): Boolean =
+      d.isPositional && d.vector.isEmpty && d.rows <= cap
+    if (!current.deleteFiles.exists(wants(_)) ||
+      spark.conf.getOption(DeletionVectors.EnabledConf).contains("false")) return 0
+    val next = current.version + 1
+    var n = 0
+    val updated = current.deleteFiles.map { d =>
+      if (!wants(d)) d
+      else {
+        val positions = spark.read.schema(posKeySchema)
+          .parquet(tableDir.resolve(d.path).toString)
+          .collect().groupBy(_.getString(0))
+          .map { case (f, rows) => f -> rows.map(_.getLong(1)).distinct.sorted }
+        val rel = s"deletes/dv$next-${UUID.randomUUID().toString.take(8)}.bin"
+        DeletionVectors.write(tableDir, rel, positions)
+        n += 1
+        d.copy(vector = rel)
+      }
+    }
+    TableMetadata.commitOrRebase(tableDir, base = current, attempt = current.copy(
+      version = next,
+      deleteFiles = updated,
+      snapshots = current.snapshots :+ Snapshot(
+        next, System.currentTimeMillis(), "vectorize-deletes", 0, current.files.size)))
+    n
+  }
+
   def consolidateDeletesAt(spark: SparkSession, tableDir: Path): Int = {
     val current = TableMetadata.load(tableDir)
     if (current.deleteFiles.size < 2) return 0

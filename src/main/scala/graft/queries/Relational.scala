@@ -1256,6 +1256,127 @@ object Relational {
            |GROUP BY o.o_orderpriority
            |ORDER BY o.o_orderpriority""".stripMargin))
 
+  /** Merge-on-read + deletion-vector read, oracle-checked end-to-end:
+    * orders lands as a MoR lakehouse table, two positional MERGEs bump
+    * prices (each writes a positional delete entry + replacement
+    * rows), consolidation merges the entries AND writes the
+    * deletion-vector sidecar — so the aggregate below reads dirty
+    * files through the codegen'd position probe with NO join anywhere
+    * in the plan (PlanSpec pins it), while DuckDB computes the same
+    * numbers arithmetically from the raw parquet. A hash-match proves
+    * the whole MoR/DV read path row-exact.
+    *
+    * Scale shape: this is the CDC-heavy table read at 100 TB — deletes
+    * applied as a row-local filter instead of an anti-join per dirty
+    * file group.
+    *
+    * DML is applied exactly once per (warehouse, sf): MERGE price
+    * bumps are not idempotent, so the table recreates only when the
+    * source row count drifts (regenerated fixtures). */
+  val q112 = Q(
+    "q112_mor_dv_read",
+    (s, d) => {
+      val cat = "grely"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+      val ns = s"mordv_${new java.io.File(d).getName.replace('.', '_')}"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+      val src = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val t = s"$cat.$ns.orders"
+      val dir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "orders")
+      // freshness by recorded source count — a table READ here would
+      // need the MoR merged view, which is exactly what this query is
+      // in the middle of building
+      val srcRows = src.count()
+      val fresh = !s.catalog.tableExists(t) || {
+        val stale = !graft.catalog.TableMetadata.load(dir)
+          .properties.get("graft.q112.srcrows").contains(srcRows.toString)
+        if (stale) s.sql(s"DROP TABLE $t")
+        stale
+      }
+      if (fresh) {
+        s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+          "o_orderpriority STRING) TBLPROPERTIES (" +
+          "'graft.merge.mode'='merge-on-read', 'graft.delete.mode'='merge-on-read', " +
+          s"'graft.q112.srcrows'='$srcRows')")
+        src.createOrReplaceTempView("mordv_src")
+        s.sql(s"INSERT INTO $t SELECT * FROM mordv_src")
+        // ONE positional MERGE (its target read sees a clean table, so
+        // this runs on bare sessions too) carrying both price bumps
+        s.sql(s"""MERGE INTO $t t
+                 |USING (SELECT o_orderkey FROM mordv_src
+                 |       WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0) u
+                 |ON t.o_orderkey = u.o_orderkey
+                 |WHEN MATCHED THEN UPDATE SET t.o_totalprice = t.o_totalprice
+                 |  + (CASE WHEN t.o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                 |  + (CASE WHEN t.o_orderkey % 11 = 0 THEN 2 ELSE 0 END)
+                 |""".stripMargin)
+        // attach the deletion-vector sidecar to the positional entry
+        s.sql(s"CALL $cat.system.vectorize_deletes('$ns', 'orders')")
+      }
+      // merged read through the engine API — the SAME path the
+      // MorReads extension rule plans for `spark.table`, but callable
+      // on a bare session (Verify/Bench build no extensions); the DV
+      // probe applies inside it (PlanSpec pins the join-free plan)
+      val meta = graft.catalog.TableMetadata.load(dir)
+      val merged = graft.catalog.MergeOnRead.read(s, dir, meta, meta.files)
+      merged.createOrReplaceTempView("mordv_merged")
+      s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM mordv_merged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(
+           |         o_totalprice
+           |           + (CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+           |           + (CASE WHEN o_orderkey % 11 = 0 THEN 2 ELSE 0 END)
+           |         AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Partition-pruned metadata aggregate over a MANY-CHUNK table:
+    * customer lands as 25 single-nation commits (25 manifest chunks,
+    * each summarized to one c_nationkey value), then a
+    * nation-filtered COUNT/MIN/MAX folds entirely from snapshot
+    * metadata — the scan plans as a LocalTableScan with ZERO tasks
+    * (PlanSpec pins it), and on a cold driver the manifest-list
+    * summaries mean only the matching chunk is even parsed
+    * (ManifestMetadataSpec pins the byte counters). The oracle runs
+    * the same filter + aggregate over raw parquet. At 100 TB this is
+    * the `COUNT(*) WHERE partition = x` dashboard query: metadata
+    * lookup, no cluster time at all. */
+  val q113 = Q(
+    "q113_metadata_agg_pruned",
+    (s, d) => {
+      val cat = "grely"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+      val ns = s"magg_${new java.io.File(d).getName.replace('.', '_')}"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+      val src = customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+      val t = s"$cat.$ns.customer"
+      val fresh = !s.catalog.tableExists(t) || {
+        val stale = s.table(t).count() != src.count()
+        if (stale) s.sql(s"DROP TABLE $t")
+        stale
+      }
+      if (fresh) {
+        s.sql(s"CREATE TABLE $t (c_custkey BIGINT, c_nationkey INT, " +
+          "c_acctbal DOUBLE) PARTITIONED BY (c_nationkey)")
+        src.createOrReplaceTempView("magg_src")
+        // one commit per nation: single-value files (exact pushdown)
+        // AND single-value manifest chunks (cold-driver chunk skipping)
+        (0 until 25).foreach { n =>
+          s.sql(s"INSERT INTO $t SELECT * FROM magg_src WHERE c_nationkey = $n")
+        }
+      }
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt, MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k
+           |FROM $t WHERE c_nationkey = 7""".stripMargin)
+    },
+    Some("""SELECT COUNT(*) AS cnt, MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k
+           |FROM customer WHERE c_nationkey = 7""".stripMargin))
+
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
     * scan a pipeline runs on every ingest before anything trains on it
@@ -1522,5 +1643,5 @@ object Relational {
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
-    q83, q84, q85, q86, q87, q111)
+    q83, q84, q85, q86, q87, q111, q112, q113)
 }

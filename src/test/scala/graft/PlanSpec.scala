@@ -562,4 +562,24 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should not include "Join"
     plan should not include "customer" // the dimension is not even scanned
   }
+
+  test("q112 reads the MoR-dirty table through the deletion vector: no join in the plan") {
+    // two positional MERGEs consolidated into one DV-backed entry — the
+    // merged read must be a row-local probe, not an anti-join per
+    // dirty file group (at 100 TB that join is a per-read shuffle)
+    val df = Relational.q112.run(spark, sf)
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    } shouldBe empty
+    val plan = executedPlan(df)
+    plan should not include "Join"
+    plan should include("pos_deleted") // the DV probe is what replaced it
+  }
+
+  test("q113 answers the partition-filtered aggregate from metadata: zero tasks") {
+    val df = Relational.q113.run(spark, sf)
+    val plan = executedPlan(df)
+    plan should include("LocalTableScan") // the whole scan folded on the driver
+    plan should not include "ParquetScan" // no file was opened
+  }
 }
