@@ -1205,6 +1205,22 @@ object Relational {
     * `spark.experimental.extraOptimizations`, both idempotently. Tables
     * are created once per (warehouse, sf) and rebuilt if the source
     * row count drifts (regenerated fixtures). */
+  /** Content fingerprint of a catalog-query's parquet source — the
+    * staleness key for the cached lakehouse fixtures q111–q113 build
+    * under /tmp/graft_rt. A row COUNT alone would serve stale tables
+    * if the driver ever regenerated fixtures with identical counts but
+    * different content; xxhash64-sum over every column catches that.
+    * Spark-side only (never compared to the oracle), so hash stability
+    * across engines is irrelevant. */
+  private def srcMark(df: DataFrame): String = {
+    val r = df.agg(
+      count(lit(1)),
+      // decimal sum: a long sum of 64-bit hashes overflows (ANSI throws)
+      sum(xxhash64(df.columns.map(col): _*).cast(DecimalType(38, 0)))
+        .cast("string")).collect()(0)
+    s"${r.get(0)}:${r.get(1)}"
+  }
+
   val q111 = Q(
     "q111_rely_join_elimination",
     (s, d) => {
@@ -1222,23 +1238,29 @@ object Relational {
       val srcCust = customer(s, d).select("c_custkey", "c_name")
       val srcOrd = orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-      def freshly(tbl: String, src: DataFrame): Boolean =
+      def freshly(tbl: String, mark: String): Boolean =
         !s.catalog.tableExists(s"$cat.$ns.$tbl") || {
-          val stale = s.table(s"$cat.$ns.$tbl").count() != src.count()
+          val stale = !graft.catalog.TableMetadata.load(
+            java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, tbl))
+            .properties.get("graft.src.mark").contains(mark)
           if (stale) s.sql(s"DROP TABLE $cat.$ns.$tbl")
           stale
         }
-      if (freshly("customer", srcCust)) {
+      val custMark = srcMark(srcCust)
+      if (freshly("customer", custMark)) {
         s.sql(s"CREATE TABLE $cat.$ns.customer (c_custkey BIGINT NOT NULL, " +
-          "c_name STRING, CONSTRAINT cust_pk PRIMARY KEY (c_custkey) NOT ENFORCED RELY)")
+          "c_name STRING, CONSTRAINT cust_pk PRIMARY KEY (c_custkey) NOT ENFORCED RELY) " +
+          s"TBLPROPERTIES ('graft.src.mark'='$custMark')")
         srcCust.createOrReplaceTempView("rely_cust_src")
         s.sql(s"INSERT INTO $cat.$ns.customer SELECT * FROM rely_cust_src")
       }
-      if (freshly("orders", srcOrd)) {
+      val ordMark = srcMark(srcOrd)
+      if (freshly("orders", ordMark)) {
         s.sql(s"CREATE TABLE $cat.$ns.orders (o_orderkey BIGINT, " +
           "o_custkey BIGINT NOT NULL, o_totalprice DOUBLE, o_orderpriority STRING, " +
           s"CONSTRAINT ord_fk FOREIGN KEY (o_custkey) " +
-          s"REFERENCES $cat.$ns.customer (c_custkey) NOT ENFORCED RELY)")
+          s"REFERENCES $cat.$ns.customer (c_custkey) NOT ENFORCED RELY) " +
+          s"TBLPROPERTIES ('graft.src.mark'='$ordMark')")
         srcOrd.createOrReplaceTempView("rely_ord_src")
         s.sql(s"INSERT INTO $cat.$ns.orders SELECT * FROM rely_ord_src")
       }
@@ -1287,10 +1309,10 @@ object Relational {
       // freshness by recorded source count — a table READ here would
       // need the MoR merged view, which is exactly what this query is
       // in the middle of building
-      val srcRows = src.count()
+      val mark = srcMark(src)
       val fresh = !s.catalog.tableExists(t) || {
         val stale = !graft.catalog.TableMetadata.load(dir)
-          .properties.get("graft.q112.srcrows").contains(srcRows.toString)
+          .properties.get("graft.src.mark").contains(mark)
         if (stale) s.sql(s"DROP TABLE $t")
         stale
       }
@@ -1298,7 +1320,7 @@ object Relational {
         s.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_totalprice DOUBLE, " +
           "o_orderpriority STRING) TBLPROPERTIES (" +
           "'graft.merge.mode'='merge-on-read', 'graft.delete.mode'='merge-on-read', " +
-          s"'graft.q112.srcrows'='$srcRows')")
+          s"'graft.src.mark'='$mark')")
         src.createOrReplaceTempView("mordv_src")
         s.sql(s"INSERT INTO $t SELECT * FROM mordv_src")
         // ONE positional MERGE (its target read sees a clean table, so
@@ -1355,14 +1377,18 @@ object Relational {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
       val src = customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
       val t = s"$cat.$ns.customer"
+      val mark = srcMark(src)
       val fresh = !s.catalog.tableExists(t) || {
-        val stale = s.table(t).count() != src.count()
+        val stale = !graft.catalog.TableMetadata.load(
+          java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "customer"))
+          .properties.get("graft.src.mark").contains(mark)
         if (stale) s.sql(s"DROP TABLE $t")
         stale
       }
       if (fresh) {
         s.sql(s"CREATE TABLE $t (c_custkey BIGINT, c_nationkey INT, " +
-          "c_acctbal DOUBLE) PARTITIONED BY (c_nationkey)")
+          "c_acctbal DOUBLE) PARTITIONED BY (c_nationkey) " +
+          s"TBLPROPERTIES ('graft.src.mark'='$mark')")
         src.createOrReplaceTempView("magg_src")
         // one commit per nation: single-value files (exact pushdown)
         // AND single-value manifest chunks (cold-driver chunk skipping)
