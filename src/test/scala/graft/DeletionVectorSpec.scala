@@ -87,6 +87,33 @@ class DeletionVectorSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.dv_ns.t")
   }
 
+  test("vectorize_deletes attaches a vector to a SINGLE positional entry; read goes join-free") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.dv_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.dv_ns.one")
+    spark.sql("CREATE TABLE lakehouse.dv_ns.one (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.merge.mode'='merge-on-read')")
+    (0 until 100).map(i => (i, s"v$i")).toDF("k", "v").createOrReplaceTempView("dv1_src")
+    spark.sql("INSERT INTO lakehouse.dv_ns.one SELECT * FROM dv1_src")
+    Seq((3, "u3"), (4, "u4")).toDF("k", "v").createOrReplaceTempView("dv1_chg")
+    spark.sql("""MERGE INTO lakehouse.dv_ns.one t USING dv1_chg s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    val dir = java.nio.file.Paths.get(TestSpark.warehouse, "dv_ns", "one")
+    // one entry — consolidation would no-op (needs >= 2); the
+    // standalone call covers exactly this table
+    spark.sql("CALL lakehouse.system.vectorize_deletes('dv_ns', 'one')")
+      .collect()(0).getLong(0) should be >= 1L
+    val pos = TableMetadata.load(dir).deleteFiles.filter(_.isPositional)
+    all(pos.map(_.vector)) should not be ""
+    val df = spark.table("lakehouse.dv_ns.one")
+    df.count() shouldBe 100
+    df.queryExecution.executedPlan.toString should not include "Join"
+    df.where($"k" === 3).collect()(0).getString(1) shouldBe "u3"
+    // idempotent: a second call vectorizes nothing
+    spark.sql("CALL lakehouse.system.vectorize_deletes('dv_ns', 'one')")
+      .collect()(0).getLong(0) shouldBe 0L
+    spark.sql("DROP TABLE lakehouse.dv_ns.one")
+  }
+
   test("oversized groups skip the vector and keep the anti-join (bounded broadcast)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.dv_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.dv_ns.big")
