@@ -365,11 +365,21 @@ object IcebergExport {
     def uri(rel: String): String = dir.resolve(rel).toUri.toString
 
     // identity partition spec iff every data file provably holds ONE
-    // partition tuple (footer min == max on every partition column)
+    // partition tuple: footer min == max AND zero nulls (a null-bearing
+    // column means two tuples per file) on every partition column.
+    // Strings additionally require short bounds — writers may truncate
+    // long binary stats, and truncation-equal bounds do not prove a
+    // single value (the same caution FileSkipping's exact proofs take).
     val partCols = meta.partitionColumns
+    def singleValued(c: String, r: ColumnRange): Boolean =
+      r.hasValues && r.min == r.max && r.nulls.contains(0L) &&
+        (meta.schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(StringType) => r.min.length < 32
+          case _ => true
+        })
     val partitioned = partCols.nonEmpty && meta.files.forall { f =>
       partCols.forall { c =>
-        meta.fileStats.get(f).flatMap(_.get(c)).exists(r => r.min == r.max) ||
+        meta.fileStats.get(f).flatMap(_.get(c)).exists(singleValued(c, _)) ||
           meta.fileRows.get(f).contains(0L)
       }
     }
