@@ -1,0 +1,275 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.generic.GenericRecord
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Import an Apache Iceberg v2 snapshot as a lakehouse table —
+  * `CALL system.import_iceberg(metadata_json_path, ns, tbl)`. The
+  * reciprocal of [[IcebergExport]]: together they make the multi-engine
+  * story bidirectional (an Iceberg table migrates INTO this engine the
+  * way the reference's tables are readable FROM BigQuery), and the
+  * round-trip spec uses this importer as an INDEPENDENT consumer of the
+  * exporter's artifacts — it reads only metadata.json + Avro manifests
+  * + parquet, never graft metadata.
+  *
+  * What imports: the current snapshot's schema (Iceberg type JSON →
+  * Spark types), data files (hard-linked like `add_files`, one footer
+  * read each for rows/stats/validation), and BOTH v2 delete shapes —
+  * position delete files are remapped from source URIs to the imported
+  * relative paths and committed as positional entries; equality delete
+  * files resolve their `equality_ids` through the Iceberg schema and
+  * commit as equality entries.
+  *
+  * Sequence mapping keeps delete semantics EXACT: Iceberg applies
+  * position deletes to data sequence ≤ delete sequence and equality
+  * deletes strictly less; our reader applies entries iff
+  * `seq > fileSeq(f)`. Data files keep their Iceberg sequence; position
+  * deletes import at `seq + 1` (so `sd+1 > sf ⇔ sf ≤ sd`) and equality
+  * deletes at `seq` unchanged (`sd > sf ⇔ sf < sd`).
+  *
+  * Not imported: partition specs (identity clustering re-derives from
+  * footer stats; hidden transforms have no table-property contract in
+  * a foreign table), table history (the import is one snapshot, like
+  * the export), and sort orders.
+  */
+object IcebergImport {
+
+  // ---- schema translation (reverse of IcebergExport.icebergType) -----------
+
+  private[catalog] def sparkType(j: JValue): DataType = j match {
+    case JString(s) => s match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case "uuid" => StringType
+      case dec if dec.startsWith("decimal") =>
+        val m = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+        dec match {
+          case m(p, sc) => DecimalType(p.toInt, sc.toInt)
+          case _ => throw new IllegalArgumentException(s"bad decimal type: $dec")
+        }
+      case other => throw new IllegalArgumentException(
+        s"cannot import Iceberg type '$other' (no Spark equivalent here)")
+    }
+    case o: JObject =>
+      val m = o.obj.toMap
+      m.get("type").map { case JString(t) => t; case v => v.values.toString } match {
+        case Some("struct") => StructType(
+          m("fields").asInstanceOf[JArray].arr.map { f =>
+            val fo = f.asInstanceOf[JObject].obj.toMap
+            StructField(
+              fo("name").asInstanceOf[JString].s,
+              sparkType(fo("type")),
+              nullable = !fo.get("required").exists {
+                case JBool(b) => b
+                case v => v.values.toString.toBoolean
+              })
+          })
+        case Some("list") => ArrayType(sparkType(m("element")),
+          containsNull = !m.get("element-required").exists {
+            case JBool(b) => b; case v => v.values.toString.toBoolean })
+        case Some("map") => MapType(sparkType(m("key")), sparkType(m("value")),
+          valueContainsNull = !m.get("value-required").exists {
+            case JBool(b) => b; case v => v.values.toString.toBoolean })
+        case other => throw new IllegalArgumentException(s"bad Iceberg type: $other")
+      }
+    case other => throw new IllegalArgumentException(s"bad Iceberg type: $other")
+  }
+
+  // ---- import ---------------------------------------------------------------
+
+  def importTable(
+      spark: SparkSession,
+      catalog: String,
+      namespace: Seq[String],
+      table: String,
+      metadataJsonPath: String): Long = {
+    val metaPath = Paths.get(metadataJsonPath)
+    val m = JsonMethods.parse(Files.readString(metaPath)).asInstanceOf[JObject].obj.toMap
+    def jlong(v: JValue): Long = v match {
+      case JInt(i) => i.toLong; case JLong(l) => l; case o => o.values.toString.toLong
+    }
+    require(jlong(m("format-version")) == 2L,
+      s"import_iceberg reads format-version 2, got ${m("format-version").values}")
+
+    // current schema (by current-schema-id) and its field-id → name map
+    val schemaId = jlong(m("current-schema-id"))
+    val schemaJ = m("schemas").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+      .find(s => jlong(s("schema-id")) == schemaId)
+      .getOrElse(throw new IllegalArgumentException(s"schema $schemaId not in schemas"))
+    val fields = schemaJ("fields").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+    val schema = StructType(fields.map { f =>
+      StructField(
+        f("name").asInstanceOf[JString].s,
+        sparkType(f("type")),
+        nullable = !f.get("required").exists {
+          case JBool(b) => b; case v => v.values.toString.toBoolean })
+    })
+    val nameById: Map[Int, String] = fields.map { f =>
+      jlong(f("id")).toInt -> f("name").asInstanceOf[JString].s
+    }.toMap
+
+    // current snapshot → manifest list → manifests → entries
+    val snapId = jlong(m("current-snapshot-id"))
+    val snap = m("snapshots").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+      .find(s => jlong(s("snapshot-id")) == snapId)
+      .getOrElse(throw new IllegalArgumentException(s"snapshot $snapId not listed"))
+    val listPath = asLocal(snap("manifest-list").asInstanceOf[JString].s)
+    val (manifests, _) = IcebergExport.readAvro(listPath)
+    final case class Ref(path: Path, content: Int, seq: Long, rows: Long, eqIds: Seq[Int])
+    val refs: Seq[Ref] = manifests.flatMap { mf =>
+      val (entries, _) = IcebergExport.readAvro(
+        asLocal(mf.get("manifest_path").toString))
+      entries.flatMap { e =>
+        // live entries only: EXISTING(0)/ADDED(1); DELETED(2) skipped
+        if (e.get("status").asInstanceOf[Int] == 2) None
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          Some(Ref(
+            asLocal(df.get("file_path").toString),
+            df.get("content").asInstanceOf[Int],
+            Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+              .getOrElse(jlong(snap.getOrElse("sequence-number", JInt(0)))),
+            df.get("record_count").asInstanceOf[Long],
+            Option(df.get("equality_ids"))
+              .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
+              .getOrElse(Nil)))
+        }
+      }
+    }
+    val dataRefs = refs.filter(_.content == 0)
+    val posRefs = refs.filter(_.content == 1)
+    val eqRefs = refs.filter(_.content == 2)
+
+    // destination table through the catalog (namespace checks, layout,
+    // already-exists semantics are the catalog's own)
+    val cat = spark.sessionState.catalogManager.catalog(catalog)
+      .asInstanceOf[TableCatalog]
+    cat.createTable(Identifier.of(namespace.toArray, table), schema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+    val dir = Maintenance.lakehouseTable(spark, catalog, namespace, table).tableDir
+    val current = TableMetadata.load(dir)
+
+    // data files: link + one footer read each (rows, stats), preserving
+    // the Iceberg data sequence per file
+    val conf = spark.sessionState.newHadoopConf()
+    val commitRel = s"data/c2-iceimport-${UUID.randomUUID().toString.take(8)}"
+    Files.createDirectories(dir.resolve(commitRel))
+    def link(src: Path, targetRel: String): Unit = {
+      val target = dir.resolve(targetRel)
+      try Files.createLink(target, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, target, java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    }
+    val imported = dataRefs.sortBy(_.path.toString).zipWithIndex.map { case (r, i) =>
+      val rel = f"$commitRel/part-$i%05d-${r.path.getFileName.toString}"
+      link(r.path, rel)
+      val footer = FooterStats.collectFull(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(rel).toString), schema)
+      (r, rel, footer)
+    }
+    // source absolute URI → imported relative path (position-delete remap)
+    val relBySrc: Map[String, String] = imported.map { case (r, rel, _) =>
+      r.path.toUri.toString -> rel
+    }.toMap
+
+    // position deletes: remap file_path URIs to the imported relative
+    // paths; entries targeting files absent from this snapshot drop
+    // their rows (they deleted nothing visible)
+    val delDir = s"deletes/iceimport-${UUID.randomUUID().toString.take(8)}"
+    Files.createDirectories(dir.resolve(delDir))
+    import org.apache.spark.sql.functions.{col, element_at, typedlit}
+    val posEntries = posRefs.zipWithIndex.flatMap { case (r, i) =>
+      // map-literal lookup (codegen'd), not a UDF — the remap table is
+      // bounded by the imported file count
+      val mapped = spark.read.parquet(r.path.toString)
+        .select(
+          element_at(typedlit(relBySrc), col("file_path")).as(DeleteFile.PosFileCol),
+          col("pos").cast(LongType).as(DeleteFile.PosPosCol))
+        .filter(col(DeleteFile.PosFileCol).isNotNull)
+      val rel = s"$delDir/pos-$i.parquet"
+      val rows = writeOneParquet(spark, mapped, dir, rel)
+      if (rows == 0L) { Files.deleteIfExists(dir.resolve(rel)); None }
+      else {
+        val ranges = FooterStats.collect(conf,
+          new org.apache.hadoop.fs.Path(dir.resolve(rel).toString),
+          MergeOnRead.posKeySchema)
+        // Iceberg applies pos deletes to data seq ≤ delete seq; ours is
+        // strict >, so import at seq+1 (see scaladoc)
+        Some(DeleteFile(rel, Seq(DeleteFile.PosFileCol, DeleteFile.PosPosCol),
+          (r.seq + 1).toInt, rows, ranges, kind = DeleteFile.Positional))
+      }
+    }
+    // equality deletes: key columns via equality_ids; the parquet reads
+    // by name (the export writes names alongside ids)
+    val eqEntries = eqRefs.zipWithIndex.map { case (r, i) =>
+      val keyCols = r.eqIds.map(id => nameById.getOrElse(id,
+        throw new IllegalArgumentException(s"equality id $id not in the schema")))
+      val rel = s"$delDir/eq-$i.parquet"
+      link(r.path, rel)
+      val ranges = FooterStats.collect(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(rel).toString),
+        MergeOnRead.keySchema(schema, keyCols))
+      DeleteFile(rel, keyCols, r.seq.toInt, r.rows, ranges)
+    }
+
+    val newFiles = imported.map(_._2)
+    TableMetadata.commit(dir, current.copy(
+      version = current.version + 1,
+      files = newFiles,
+      fileStats = imported.map { case (_, rel, f) => rel -> f.cols }
+        .filter(_._2.nonEmpty).toMap,
+      fileRows = imported.map { case (_, rel, f) => rel -> f.rows }.toMap,
+      fileSeq = imported.map { case (r, rel, _) => rel -> r.seq.toInt }.toMap,
+      deleteFiles = posEntries ++ eqEntries,
+      properties = current.properties +
+        ("graft.import.source" -> metaPath.toString) +
+        ("graft.import.snapshot" -> snapId.toString),
+      snapshots = current.snapshots :+ Snapshot(
+        current.version + 1, System.currentTimeMillis(), "import-iceberg",
+        newFiles.size, newFiles.size)))
+    (newFiles.size + posEntries.size + eqEntries.size).toLong
+  }
+
+  private def asLocal(uriOrPath: String): Path =
+    if (uriOrPath.startsWith("file:")) Paths.get(java.net.URI.create(uriOrPath))
+    else Paths.get(uriOrPath)
+
+  /** Write exactly one parquet file at `rel`; returns its row count. */
+  private def writeOneParquet(
+      spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      dir: Path, rel: String): Long = {
+    val tmp = dir.resolve(rel + ".tmpdir")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Fs.children(tmp).find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet written under $tmp"))
+    val rows = spark.read.parquet(part.toString).count()
+    Files.createDirectories(dir.resolve(rel).getParent)
+    Files.move(part, dir.resolve(rel))
+    Fs.deleteRecursively(tmp)
+    rows
+  }
+}

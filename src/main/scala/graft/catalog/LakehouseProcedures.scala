@@ -146,6 +146,14 @@ object LakehouseProcedures {
       IcebergExport.export(spark, cat, ns(a), tbl(a))
   }
 
+  private def importIcebergProc(catalogName: String) = new MaintenanceProc("import_iceberg",
+    Array(
+      param("ns", StringType), param("tbl", StringType),
+      param("metadata_json", StringType)), "files", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      IcebergImport.importTable(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString)
+  }
+
   private def bloomIndexProc(catalogName: String) = new MaintenanceProc("bloom_index",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -575,6 +583,7 @@ object LakehouseProcedures {
     "analyze" -> (analyzeProc(_)),
     "expire_snapshots" -> (expireSnapshotsProc(_)),
     "export_iceberg" -> (exportIcebergProc(_)),
+    "import_iceberg" -> (importIcebergProc(_)),
     "rewrite_manifests" -> (rewriteManifestsProc(_)),
     "compact_where" -> (compactWhereProc(_)),
     "create_text_index" -> (createTextIndexProc(_)),

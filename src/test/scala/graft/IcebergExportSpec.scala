@@ -249,6 +249,50 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.d")
   }
 
+  test("import_iceberg round-trips the export: an INDEPENDENT consumer of the artifacts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.rt")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.rt_imp")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.rt (k INT, v STRING, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES (" +
+      "'graft.delete.mode'='merge-on-read', 'graft.merge.mode'='merge-on-read')")
+    Seq("a", "b").foreach { pv =>
+      (0 until 40).map(i => (i, s"$pv-$i", pv)).toDF("k", "v", "p")
+        .createOrReplaceTempView("ice_rt_src")
+      spark.sql("INSERT INTO lakehouse.ice_ns.rt SELECT * FROM ice_rt_src")
+    }
+    // both delete shapes, so the importer must honor both
+    spark.sql("DELETE FROM lakehouse.ice_ns.rt WHERE k >= 35 AND p = 'a'")
+    Seq((1, "upd-1", "b")).toDF("k", "v", "p").createOrReplaceTempView("ice_rt_chg")
+    spark.sql("""MERGE INTO lakehouse.ice_ns.rt t USING ice_rt_chg s
+                |ON t.k = s.k AND t.p = s.p
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'rt')")
+    val md = tableDir("rt").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+
+    // the importer consumes ONLY the Iceberg artifacts — metadata.json,
+    // Avro manifests, parquet — never graft's own metadata log
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'rt_imp', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}')")
+
+    val schemaBack = spark.table("lakehouse.ice_ns.rt_imp").schema
+    schemaBack.fieldNames.toSeq shouldBe Seq("k", "v", "p")
+    val ours = spark.table("lakehouse.ice_ns.rt")
+      .select($"k", $"v", $"p").collect().map(_.toString).sorted.toSeq
+    val theirs = spark.table("lakehouse.ice_ns.rt_imp")
+      .select($"k", $"v", $"p").collect().map(_.toString).sorted.toSeq
+    theirs shouldBe ours
+    // the deletes really imported AS deletes (MoR state, not baked rows)
+    spark.sql("SELECT kind FROM lakehouse.ice_ns.rt_imp.delete_files")
+      .collect().map(_.getString(0)).toSet shouldBe Set("equality", "positional")
+    // update visible through the import's merged read
+    spark.table("lakehouse.ice_ns.rt_imp")
+      .where($"k" === 1 && $"p" === "b").collect()(0).getString(1) shouldBe "upd-1"
+    spark.sql("DROP TABLE lakehouse.ice_ns.rt_imp")
+    spark.sql("DROP TABLE lakehouse.ice_ns.rt")
+  }
+
   test("re-export garbage-collects the previous export; hint always names a live export") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.g")
