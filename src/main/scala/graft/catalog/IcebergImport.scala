@@ -147,8 +147,10 @@ object IcebergImport {
           Some(Ref(
             asLocal(df.get("file_path").toString),
             df.get("content").asInstanceOf[Int],
+            // spec inheritance: a null entry sequence takes the
+            // MANIFEST's sequence number (set when the entry was added)
             Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-              .getOrElse(jlong(snap.getOrElse("sequence-number", JInt(0)))),
+              .getOrElse(mf.get("sequence_number").asInstanceOf[Long]),
             df.get("record_count").asInstanceOf[Long],
             Option(df.get("equality_ids"))
               .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
