@@ -59,11 +59,14 @@ import org.json4s.jackson.JsonMethods
   *    key columns' assigned field IDs and published `equality_ids`.
   *  - the partition spec exports as identity transforms over
   *    `partitionColumns` when every data file provably holds exactly
-  *    one partition tuple (footer min == max per partition column);
-  *    otherwise the export declares an unpartitioned spec — honest
-  *    (hash-clustered writes can mix values in a file) and still
-  *    spec-conformant, costing external engines only partition
-  *    pruning.
+  *    one partition tuple (footer min == max, zero nulls, short string
+  *    bounds); otherwise the export declares an unpartitioned spec —
+  *    honest (hash-clustered writes can mix values in a file) and
+  *    still spec-conformant, costing external engines only partition
+  *    pruning. DELETE files always export under an UNPARTITIONED spec
+  *    (id 1 on partitioned tables): Iceberg scopes delete application
+  *    by (spec, partition tuple) and our delete entries are
+  *    table-global — unpartitioned-spec deletes are exactly that.
   *
   * Scale: the export is metadata-proportional — O(files) manifest
   * entries plus a distributed rewrite of delete parquets. Data files
@@ -392,6 +395,18 @@ object IcebergExport {
     val partSchema = entrySchema.getField("data_file").schema()
       .getField("partition").schema()
     val dataFileSchema = entrySchema.getField("data_file").schema()
+    // DELETE files export under their own UNPARTITIONED spec (id 1 when
+    // the table spec has fields): Iceberg scopes delete files by
+    // (spec, partition tuple) — a delete entry written under the
+    // partitioned spec with a null tuple would be scoped to the null
+    // partition and conformant readers would apply it to NOTHING. Our
+    // delete entries are table-global, which is exactly what an
+    // unpartitioned-spec delete means.
+    val delSpecId = if (partitioned) 1 else 0
+    val delEntrySchema =
+      if (partitioned) manifestEntrySchema(Seq.empty) else entrySchema
+    val emptyDelPart = new GenericData.Record(
+      delEntrySchema.getField("data_file").schema().getField("partition").schema())
 
     def partRecord(stats: Map[String, ColumnRange]): GenericRecord = {
       val r = new GenericData.Record(partSchema)
@@ -419,16 +434,13 @@ object IcebergExport {
     }
 
     // array-of-record element schemas for the int-keyed maps
-    def mapElem(field: String): Schema =
-      dataFileSchema.getField(field).schema().getTypes.get(1).getElementType
-    def intMapVal(field: String, kvs: Seq[(Int, AnyRef)]): AnyRef =
+    def intMapVal(dfs: Schema, field: String, kvs: Seq[(Int, AnyRef)]): AnyRef =
       if (kvs.isEmpty) null
       else {
-        val elem = mapElem(field)
-        val arr = new GenericData.Array[GenericRecord](
-          kvs.size, dataFileSchema.getField(field).schema().getTypes.get(1))
+        val arrSchema = dfs.getField(field).schema().getTypes.get(1)
+        val arr = new GenericData.Array[GenericRecord](kvs.size, arrSchema)
         kvs.sortBy(_._1).foreach { case (k, v) =>
-          val r = new GenericData.Record(elem)
+          val r = new GenericData.Record(arrSchema.getElementType)
           r.put("key", Int.box(k)); r.put("value", v); arr.add(r)
         }
         arr
@@ -437,8 +449,10 @@ object IcebergExport {
     def entry(
         filePath: String, content: Int, seq: Long, rows: Long, bytes: Long,
         part: GenericRecord, equalityIds: Seq[Int],
-        stats: Map[String, ColumnRange] = Map.empty): GenericRecord = {
-      val df = new GenericData.Record(dataFileSchema)
+        stats: Map[String, ColumnRange] = Map.empty,
+        es: Schema = entrySchema): GenericRecord = {
+      val dfs = es.getField("data_file").schema()
+      val df = new GenericData.Record(dfs)
       df.put("content", Int.box(content))
       df.put("file_path", filePath)
       df.put("file_format", "PARQUET")
@@ -454,22 +468,21 @@ object IcebergExport {
           f <- meta.schema.fields.find(_.name == c)
         } yield (id, f.dataType, r)
       }
-      df.put("null_value_counts", intMapVal("null_value_counts",
+      df.put("null_value_counts", intMapVal(dfs, "null_value_counts",
         byId.flatMap { case (id, _, r) => r.nulls.map(n => id -> (Long.box(n): AnyRef)) }))
-      df.put("lower_bounds", intMapVal("lower_bounds",
+      df.put("lower_bounds", intMapVal(dfs, "lower_bounds",
         byId.flatMap { case (id, dt, r) =>
           if (!r.hasValues) None else boundBytes(dt, r.min).map(id -> (_: AnyRef)) }))
-      df.put("upper_bounds", intMapVal("upper_bounds",
+      df.put("upper_bounds", intMapVal(dfs, "upper_bounds",
         byId.flatMap { case (id, dt, r) =>
           if (!r.hasValues) None else boundBytes(dt, r.max).map(id -> (_: AnyRef)) }))
       df.put("equality_ids",
         if (equalityIds.isEmpty) null
         else new GenericData.Array[Integer](
-          entrySchema.getField("data_file").schema().getField("equality_ids")
-            .schema().getTypes.get(1),
+          dfs.getField("equality_ids").schema().getTypes.get(1),
           equalityIds.map(Int.box).asJava))
       df.put("sort_order_id", null)
-      val e = new GenericData.Record(entrySchema)
+      val e = new GenericData.Record(es)
       e.put("status", Int.box(1)) // ADDED in this (exported) snapshot
       e.put("snapshot_id", Long.box(snapshotId))
       e.put("sequence_number", Long.box(seq))
@@ -491,14 +504,14 @@ object IcebergExport {
     }
 
     // ---- delete files: rewrite into spec shapes with field IDs
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     Files.createDirectories(expDel)
     def withFieldIds(st: StructType, idOf: String => Int): StructType =
       StructType(st.fields.map { f =>
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
           .putLong("parquet.field.id", idOf(f.name).toLong).build())
       })
-    val deleteEntries = meta.deleteFiles.map { d =>
+    val deleteEntries = SessionConf.withConf(spark,
+      "spark.sql.parquet.fieldId.write.enabled", "true") { meta.deleteFiles.map { d =>
       // the entry's own parquet holds the full (possibly consolidated)
       // tuple set; components may already be vacuumed
       val src = spark.read.parquet(dir.resolve(d.path).toString)
@@ -518,7 +531,8 @@ object IcebergExport {
             StructField("pos", LongType, nullable = false))),
           Map("file_path" -> PosPathFieldId, "pos" -> PosPosFieldId)), dir, rel)
         entry(uri(rel), content = 1, seq = d.seq.toLong, rows = d.rows,
-          bytes = Files.size(dir.resolve(rel)), emptyPart, Nil)
+          bytes = Files.size(dir.resolve(rel)), emptyDelPart, Nil,
+          es = delEntrySchema)
       } else {
         val rel = s"deletes-iceberg/eq-${UUID.randomUUID().toString.take(12)}.parquet"
         val keyIds = d.keyColumns.map(ids(_))
@@ -526,9 +540,10 @@ object IcebergExport {
         writeSingleParquet(spark, src.select(d.keyColumns.map(col): _*),
           withFieldIds(keySchema, ids), dir, rel)
         entry(uri(rel), content = 2, seq = d.seq.toLong, rows = d.rows,
-          bytes = Files.size(dir.resolve(rel)), emptyPart, keyIds)
+          bytes = Files.size(dir.resolve(rel)), emptyDelPart, keyIds,
+          es = delEntrySchema)
       }
-    }
+    } }
 
     // ---- manifests + manifest list
     val specJson = JsonMethods.compact(JsonMethods.render(JArray(
@@ -540,11 +555,11 @@ object IcebergExport {
           "field-id" -> JInt(fid)): JValue
       }.toList)))
     val schemaStr = JsonMethods.compact(JsonMethods.render(schemaJ))
-    def manifestMeta(content: String) = Seq(
+    def manifestMeta(content: String, spec: String, specId: Int) = Seq(
       "schema" -> schemaStr,
       "schema-id" -> "0",
-      "partition-spec" -> specJson,
-      "partition-spec-id" -> "0",
+      "partition-spec" -> spec,
+      "partition-spec-id" -> specId.toString,
       "format-version" -> "2",
       "content" -> content)
 
@@ -552,15 +567,18 @@ object IcebergExport {
         name: String, content: Int, entries: Seq[GenericRecord]): Option[GenericRecord] = {
       if (entries.isEmpty) return None
       val rel = s"metadata/im-$name-${UUID.randomUUID().toString.take(12)}.avro"
-      val len = writeAvro(dir.resolve(rel), entrySchema,
-        manifestMeta(if (content == 0) "data" else "deletes"), entries)
+      val (es, spec, specId) =
+        if (content == 0) (entrySchema, specJson, 0)
+        else (delEntrySchema, if (partitioned) "[]" else specJson, delSpecId)
+      val len = writeAvro(dir.resolve(rel), es,
+        manifestMeta(if (content == 0) "data" else "deletes", spec, specId), entries)
       val seqs = entries.map(_.get("sequence_number").asInstanceOf[Long])
       val rows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
         .get("record_count").asInstanceOf[Long]).sum
       val m = new GenericData.Record(manifestListSchema)
       m.put("manifest_path", uri(rel))
       m.put("manifest_length", Long.box(len))
-      m.put("partition_spec_id", Int.box(0))
+      m.put("partition_spec_id", Int.box(specId))
       m.put("content", Int.box(content))
       m.put("sequence_number", Long.box(seqs.max))
       m.put("min_sequence_number", Long.box(seqs.min))
@@ -601,9 +619,13 @@ object IcebergExport {
       "current-schema-id" -> JInt(0),
       "schemas" -> JArray(List(schemaJ)),
       "default-spec-id" -> JInt(0),
-      "partition-specs" -> JArray(List(JObject(
-        "spec-id" -> JInt(0),
-        "fields" -> JsonMethods.parse(specJson)))),
+      "partition-specs" -> JArray(
+        List(JObject(
+          "spec-id" -> JInt(0),
+          "fields" -> JsonMethods.parse(specJson))) ++
+          (if (partitioned) List(JObject(
+            "spec-id" -> (JInt(1): JValue),
+            "fields" -> (JArray(Nil): JValue)): JValue) else Nil)),
       "last-partition-id" -> JInt(if (specFields.isEmpty) 999 else specFields.map(_._3).max),
       "default-sort-order-id" -> JInt(0),
       "sort-orders" -> JArray(List(JObject(

@@ -135,10 +135,17 @@ object IcebergImport {
       .getOrElse(throw new IllegalArgumentException(s"snapshot $snapId not listed"))
     val listPath = asLocal(snap("manifest-list").asInstanceOf[JString].s)
     val (manifests, _) = IcebergExport.readAvro(listPath)
-    final case class Ref(path: Path, content: Int, seq: Long, rows: Long, eqIds: Seq[Int])
+    final case class Ref(path: Path, raw: String, content: Int, seq: Long,
+        rows: Long, eqIds: Seq[Int], specFields: Int)
     val refs: Seq[Ref] = manifests.flatMap { mf =>
-      val (entries, _) = IcebergExport.readAvro(
+      val (entries, mMeta) = IcebergExport.readAvro(
         asLocal(mf.get("manifest_path").toString))
+      // how many partition fields the manifest's spec carries — a
+      // PARTITION-SCOPED equality delete cannot import as our
+      // table-global entries (it would over-delete other partitions)
+      val specFieldCount = mMeta.get("partition-spec")
+        .map(sp => JsonMethods.parse(sp).asInstanceOf[JArray].arr.size)
+        .getOrElse(0)
       entries.flatMap { e =>
         // live entries only: EXISTING(0)/ADDED(1); DELETED(2) skipped
         if (e.get("status").asInstanceOf[Int] == 2) None
@@ -146,6 +153,7 @@ object IcebergImport {
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           Some(Ref(
             asLocal(df.get("file_path").toString),
+            df.get("file_path").toString,
             df.get("content").asInstanceOf[Int],
             // spec inheritance: a null entry sequence takes the
             // MANIFEST's sequence number (set when the entry was added)
@@ -154,13 +162,21 @@ object IcebergImport {
             df.get("record_count").asInstanceOf[Long],
             Option(df.get("equality_ids"))
               .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
-              .getOrElse(Nil)))
+              .getOrElse(Nil),
+            specFieldCount))
         }
       }
     }
     val dataRefs = refs.filter(_.content == 0)
     val posRefs = refs.filter(_.content == 1)
     val eqRefs = refs.filter(_.content == 2)
+    eqRefs.find(_.specFields > 0).foreach { r =>
+      throw new IllegalArgumentException(
+        s"import_iceberg: equality delete ${r.raw} is scoped to a PARTITIONED " +
+          "spec — importing it as a table-global entry would delete matching " +
+          "rows in other partitions. Compact the source table (rewrite its " +
+          "deletes away) and re-export, then import.")
+    }
 
     // destination table through the catalog (namespace checks, layout,
     // already-exists semantics are the catalog's own)
@@ -192,9 +208,13 @@ object IcebergImport {
         new org.apache.hadoop.fs.Path(dir.resolve(rel).toString), schema)
       (r, rel, footer)
     }
-    // source absolute URI → imported relative path (position-delete remap)
-    val relBySrc: Map[String, String] = imported.map { case (r, rel, _) =>
-      r.path.toUri.toString -> rel
+    // source path → imported relative path (position-delete remap).
+    // Keyed by the RAW manifest file_path string — the spec guarantees
+    // the delete parquet's file_path matches the data file's manifest
+    // path VERBATIM; a normalized form (java's file:///) is added as a
+    // fallback for writers that normalize inconsistently.
+    val relBySrc: Map[String, String] = imported.flatMap { case (r, rel, _) =>
+      Seq(r.raw -> rel, r.path.toUri.toString -> rel)
     }.toMap
 
     // position deletes: remap file_path URIs to the imported relative
@@ -212,12 +232,14 @@ object IcebergImport {
           col("pos").cast(LongType).as(DeleteFile.PosPosCol))
         .filter(col(DeleteFile.PosFileCol).isNotNull)
       val rel = s"$delDir/pos-$i.parquet"
-      val rows = writeOneParquet(spark, mapped, dir, rel)
+      writeOneParquet(spark, mapped, dir, rel)
+      val footer = FooterStats.collectFull(conf,
+        new org.apache.hadoop.fs.Path(dir.resolve(rel).toString),
+        MergeOnRead.posKeySchema)
+      val rows = footer.rows
       if (rows == 0L) { Files.deleteIfExists(dir.resolve(rel)); None }
       else {
-        val ranges = FooterStats.collect(conf,
-          new org.apache.hadoop.fs.Path(dir.resolve(rel).toString),
-          MergeOnRead.posKeySchema)
+        val ranges = footer.cols
         // Iceberg applies pos deletes to data seq ≤ delete seq; ours is
         // strict >, so import at seq+1 (see scaladoc)
         Some(DeleteFile(rel, Seq(DeleteFile.PosFileCol, DeleteFile.PosPosCol),
@@ -259,19 +281,18 @@ object IcebergImport {
     if (uriOrPath.startsWith("file:")) Paths.get(java.net.URI.create(uriOrPath))
     else Paths.get(uriOrPath)
 
-  /** Write exactly one parquet file at `rel`; returns its row count. */
+  /** Write exactly one parquet file at `rel` (rows/stats come from the
+    * caller's footer read — no read-back). */
   private def writeOneParquet(
       spark: SparkSession,
       df: org.apache.spark.sql.DataFrame,
-      dir: Path, rel: String): Long = {
+      dir: Path, rel: String): Unit = {
     val tmp = dir.resolve(rel + ".tmpdir")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = Fs.children(tmp).find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no parquet written under $tmp"))
-    val rows = spark.read.parquet(part.toString).count()
     Files.createDirectories(dir.resolve(rel).getParent)
     Files.move(part, dir.resolve(rel))
     Fs.deleteRecursively(tmp)
-    rows
   }
 }

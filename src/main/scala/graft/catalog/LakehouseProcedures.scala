@@ -376,14 +376,22 @@ object LakehouseProcedures {
     Array(
       param("ns", StringType), param("tbl", StringType),
       param("name", StringType), param("version", IntegerType),
-      // per-ref retention (Iceberg max-ref-age-ms); -1 = never ages
+      // per-ref retention (Iceberg max-ref-age-ms); -1/omitted = the
+      // table default applies; 0 = NEVER ages (overrides the default)
       param("max_age_ms", LongType, "-1L")), "version", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
       Maintenance.tag(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString, a.getInt(3),
-        Some(a.getLong(4)).filter(_ >= 0L))
+        refAge(a.getLong(4)))
       a.getInt(3).toLong
     }
   }
+
+  /** CALL-surface ref-age mapping: -1 (or omitted) = no per-ref age,
+    * the table-wide default applies; 0 = never ages — stored as a
+    * Long.MaxValue per-ref age so an explicit keep-forever request
+    * survives a table-wide `graft.expire.max-ref-age-ms` default. */
+  private def refAge(v: Long): Option[Long] =
+    if (v < 0L) None else if (v == 0L) Some(Long.MaxValue) else Some(v)
 
   private def dropTagProc(catalogName: String) = new MaintenanceProc("drop_tag",
     Array(
@@ -399,11 +407,11 @@ object LakehouseProcedures {
     Array(
       param("ns", StringType), param("tbl", StringType),
       param("name", StringType),
-      // per-ref retention (Iceberg max-ref-age-ms); -1 = never ages
+      // -1/omitted = table default; 0 = never ages (see refAge)
       param("max_age_ms", LongType, "-1L")), "fork_version", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
       Maintenance.createBranch(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString,
-        Some(a.getLong(3)).filter(_ >= 0L)).toLong
+        refAge(a.getLong(3))).toLong
   }
 
   private def appendToBranchProc(catalogName: String) = new MaintenanceProc(

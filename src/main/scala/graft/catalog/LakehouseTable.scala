@@ -300,8 +300,12 @@ class LakehouseTable(
               if Bucketing.specOf(smeta.properties).isEmpty && // keep bucket↔file map whole
                 filterSurvivors.forall(smeta.fileRows.contains) &&
                 // recorded counts overcount rows a merging read deletes:
-                // truncating on them could return fewer than n rows
-                !MergeOnRead.anyApplicable(meta, filterSurvivors) =>
+                // truncating on them could return fewer than n rows.
+                // smeta, not meta: the lazy full resolve would parse
+                // every chunk on exactly the LIMIT-10-opens-one-file
+                // scan this branch exists for (delete entries and the
+                // survivors' seqs are all in smeta)
+                !MergeOnRead.anyApplicable(smeta, filterSurvivors) =>
             val cumBefore = filterSurvivors.map(smeta.fileRows).scanLeft(0L)(_ + _)
             filterSurvivors.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
           case _ => filterSurvivors

@@ -176,6 +176,22 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
       .asInstanceOf[JObject].obj.toMap.apply("snapshot-id")) shouldBe
       jlong(meta("current-snapshot-id"))
 
+    // delete manifests live under their own UNPARTITIONED spec (id 1):
+    // Iceberg scopes delete application by (spec, partition tuple), so
+    // a delete entry under the partitioned spec with a null tuple would
+    // be applied to NOTHING by a conformant reader
+    val (mfs, _) = IcebergExport.readAvro(
+      Paths.get(java.net.URI.create(jstr(snap2(meta)("manifest-list")))))
+    mfs.filter(_.get("content").asInstanceOf[Int] == 1).foreach { mf =>
+      mf.get("partition_spec_id").asInstanceOf[Int] shouldBe 1
+      val (_, mMeta) = IcebergExport.readAvro(
+        Paths.get(java.net.URI.create(mf.get("manifest_path").toString)))
+      mMeta("partition-spec") shouldBe "[]"
+    }
+    mfs.filter(_.get("content").asInstanceOf[Int] == 0).foreach { mf =>
+      mf.get("partition_spec_id").asInstanceOf[Int] shouldBe 0
+    }
+
     // column bounds: spec-serialized lower/upper (little-endian int for
     // k = field id 1, UTF-8 for p = field id 3) must match our footer
     // stats — this is what lets an external engine file-skip our data
