@@ -162,38 +162,31 @@ object IcebergExport {
     * name-mapping serialization). */
   private def nameMapping(schema: StructType): JValue = {
     val alloc = IdAlloc(1)
-    def fieldsOf(st: StructType): JArray = JArray(st.fields.map { f =>
-      val fid = alloc.take()
+    // fully recursive — every nested level maps, including structs
+    // inside arrays/maps — with id allocation in LOCKSTEP with
+    // icebergType's depth-first order (map key/value ids allocate
+    // consecutively BEFORE either side's nested types, same as there)
+    def node(fid: Int, name: String, dt: DataType): JObject = {
       val base = JObject(
         "field-id" -> JInt(fid),
-        "names" -> JArray(List(JString(f.name))))
-      f.dataType match {
-        case nested: StructType =>
-          base ~ ("fields" -> (fieldsOf(nested): JValue))
-        case ArrayType(et, _) =>
-          val eid = alloc.take()
-          val elem = JObject("field-id" -> JInt(eid), "names" -> JArray(List(JString("element"))))
-          advance(et)
-          base ~ ("fields" -> (JArray(List(elem)): JValue))
-        case MapType(kt, vt, _) =>
-          val kid = alloc.take(); val vid = alloc.take()
-          val kv = List(
-            JObject("field-id" -> JInt(kid), "names" -> JArray(List(JString("key")))),
-            JObject("field-id" -> JInt(vid), "names" -> JArray(List(JString("value")))))
-          advance(kt); advance(vt)
-          base ~ ("fields" -> (JArray(kv): JValue))
-        case _ => base
+        "names" -> JArray(List(JString(name))))
+      children(dt) match {
+        case Nil => base
+        case kids => base ~ ("fields" -> (JArray(kids.map(x => x: JValue)): JValue))
       }
-    }.toList)
-    // keep allocation in lockstep with icebergType for nested types we
-    // don't map leaf-by-leaf (nested arrays/maps inside arrays/maps)
-    def advance(dt: DataType): Unit = dt match {
-      case st: StructType => st.fields.foreach { f => alloc.take(); advance(f.dataType) }
-      case ArrayType(et, _) => alloc.take(); advance(et)
-      case MapType(kt, vt, _) => alloc.take(); alloc.take(); advance(kt); advance(vt)
-      case _ => ()
     }
-    fieldsOf(schema)
+    def children(dt: DataType): List[JObject] = dt match {
+      case st: StructType => st.fields.toList.map { f =>
+        val fid = alloc.take(); node(fid, f.name, f.dataType)
+      }
+      case ArrayType(et, _) =>
+        val eid = alloc.take(); List(node(eid, "element", et))
+      case MapType(kt, vt, _) =>
+        val kid = alloc.take(); val vid = alloc.take()
+        List(node(kid, "key", kt), node(vid, "value", vt))
+      case _ => Nil
+    }
+    JArray(children(schema).map(x => x: JValue))
   }
 
   // ---- avro schemas ---------------------------------------------------------

@@ -309,6 +309,42 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.rt")
   }
 
+  test("name mapping recurses into structs inside arrays, ids in lockstep with the schema") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.nest")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.nest " +
+      "(id BIGINT, tags ARRAY<STRUCT<x: INT, y: STRING>>)")
+    spark.sql("INSERT INTO lakehouse.ice_ns.nest " +
+      "SELECT 1L, array(named_struct('x', 7, 'y', 'a'))")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'nest')")
+    val md = tableDir("nest").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val meta = readJson(md.resolve(s"v$hint.metadata.json"))
+    val props = meta("properties").asInstanceOf[JObject].obj.toMap
+    val mapping = JsonMethods.parse(jstr(props("schema.name-mapping.default")))
+      .asInstanceOf[JArray].arr.map(_.asInstanceOf[JObject].obj.toMap)
+    def fid(m: Map[String, JValue]) = jlong(m("field-id")).toInt
+    def kids(m: Map[String, JValue]) = m("fields").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+    fid(mapping(0)) shouldBe 1 // id
+    fid(mapping(1)) shouldBe 2 // tags
+    val elem = kids(mapping(1)).head
+    fid(elem) shouldBe 3 // element
+    // the struct INSIDE the array maps too — x=4, y=5, matching the
+    // schema's depth-first allocation (readers without embedded parquet
+    // ids resolve these leaves only through the mapping)
+    kids(elem).map(fid) shouldBe List(4, 5)
+    kids(elem).map(f => jstr(f("names").asInstanceOf[JArray].arr.head)) shouldBe
+      List("x", "y")
+    // ids agree with the published schema's own allocation
+    val tagsField = meta("schemas").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("fields").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap).find(f => jstr(f("name")) == "tags").get
+    val listType = tagsField("type").asInstanceOf[JObject].obj.toMap
+    jlong(listType("element-id")).toInt shouldBe 3
+    spark.sql("DROP TABLE lakehouse.ice_ns.nest")
+  }
+
   test("re-export garbage-collects the previous export; hint always names a live export") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.g")
