@@ -351,6 +351,24 @@ class ManifestMetadataSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.mf.t9")
   }
 
+  test("a filter mixing summarized and unsummarized columns still skips chunks, correctly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.mf")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.mf.t10")
+    spark.sql("CREATE TABLE lakehouse.mf.t10 (k INT, p STRING) PARTITIONED BY (p)")
+    Seq("a", "b", "c").foreach { pv =>
+      (0 until 30).map(i => (i, pv)).toDF("k", "p").createOrReplaceTempView("mf10_src")
+      spark.sql("INSERT INTO lakehouse.mf.t10 SELECT * FROM mf10_src")
+    }
+    Manifests.clearCacheForTesting()
+    Manifests.resetCounters()
+    // p is summarized (partition col); k is not — the k conjunct must
+    // neither skip chunks (no summary) nor break the p-skip
+    spark.table("lakehouse.mf.t10")
+      .where($"p" === "b" && $"k" >= 10).count() shouldBe 20
+    Manifests.manifestsParsed.get() should be <= 2L // only p='b' chunks parsed
+    spark.sql("DROP TABLE lakehouse.mf.t10")
+  }
+
   test("chunk summaries fold soundly: mixed-value and null-bearing chunks never skip a match") {
     import graft.catalog.{ColumnRange, ManifestEntry}
     val schema = new org.apache.spark.sql.types.StructType()
