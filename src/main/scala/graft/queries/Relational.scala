@@ -1278,6 +1278,29 @@ object Relational {
            |GROUP BY o.o_orderpriority
            |ORDER BY o.o_orderpriority""".stripMargin))
 
+  /** RELY-constraint DISTINCT removal, oracle-checked end-to-end — the
+    * second ConstraintOptimization rewrite (q111 exercises the first):
+    * `SELECT DISTINCT` over columns covering a RELY'd PRIMARY KEY is a
+    * no-op, and dropping the Aggregate deletes a corpus-wide hash
+    * shuffle — the de-duplicating SELECT every export/BI extract runs
+    * "just in case" costs literally nothing on a keyed table. PlanSpec
+    * pins the aggregate-free plan; DuckDB RUNS the DISTINCT on the raw
+    * parquet, so the hash-match proves the removal invisible on data
+    * honoring the key. Reuses q111's customer table (PK c_custkey
+    * RELY). */
+  val q114 = Q(
+    "q114_rely_distinct_removal",
+    (s, d) => {
+      q111.run(s, d).count() // builds (or freshness-checks) the tables
+      val ns = s"rely_${new java.io.File(d).getName.replace('.', '_')}"
+      s.sql(
+        s"""SELECT DISTINCT c_custkey, c_name
+           |FROM grely.$ns.customer
+           |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT DISTINCT c_custkey, c_name
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
   /** Merge-on-read + deletion-vector read, oracle-checked end-to-end:
     * orders lands as a MoR lakehouse table, two positional MERGEs bump
     * prices (each writes a positional delete entry + replacement
@@ -1669,5 +1692,5 @@ object Relational {
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
-    q83, q84, q85, q86, q87, q111, q112, q113)
+    q83, q84, q85, q86, q87, q111, q112, q113, q114)
 }

@@ -576,6 +576,16 @@ class PlanSpec extends AnyFunSuite with Matchers {
     plan should include("pos_deleted") // the DV probe is what replaced it
   }
 
+  test("q114 drops the DISTINCT over a RELY'd primary key: no aggregate in the plan") {
+    // DISTINCT is an Aggregate grouping on its outputs; with the PK
+    // RELY'd it is a no-op and the corpus-wide hash shuffle must be GONE
+    val df = Relational.q114.run(spark, sf)
+    df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    } shouldBe empty
+    executedPlan(df) should not include "HashAggregate"
+  }
+
   test("q113 answers the partition-filtered aggregate from metadata: zero tasks") {
     val df = Relational.q113.run(spark, sf)
     val plan = executedPlan(df)
