@@ -346,15 +346,25 @@ object IcebergExport {
     val snapshotId = meta.version.toLong
     val nowMs = System.currentTimeMillis()
 
-    // GC the previous export's artifacts (point-in-time mirror; old
-    // snapshots are not co-published — see scaladoc)
-    Fs.children(md).iterator.filter { p =>
-      val n = p.getFileName.toString
-      n.endsWith(".metadata.json") || (n.startsWith("snap-") && n.endsWith(".avro")) ||
-        (n.startsWith("im-") && n.endsWith(".avro"))
-    }.foreach(Files.deleteIfExists(_))
+    // the previous export's artifacts are recorded NOW and garbage-
+    // collected only AFTER the new metadata.json is atomically in place:
+    // a mid-export failure (unsupported column type, IO error during the
+    // delete rewrite) must leave the last working mirror untouched. New
+    // artifact names are UUID-unique, so nothing collides meanwhile.
     val expDel = dir.resolve("deletes-iceberg")
-    if (Files.isDirectory(expDel)) Fs.deleteRecursively(expDel)
+    def artifacts(): Seq[Path] =
+      (Fs.children(md).iterator.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".metadata.json") || (n.startsWith("snap-") && n.endsWith(".avro")) ||
+          (n.startsWith("im-") && n.endsWith(".avro"))
+      } ++ (if (Files.isDirectory(expDel)) Fs.children(expDel).iterator
+            else Iterator.empty)).toSeq
+    def drop(p: Path): Unit =
+      try { if (Files.isDirectory(p)) Fs.deleteRecursively(p) else Files.deleteIfExists(p) }
+      catch { case _: Exception => () }
+    val staleArtifacts = artifacts()
+    val target = md.resolve(s"v${meta.version}.metadata.json")
+    val fileCount = try {
 
     val (schemaJ, lastColumnId) = schemaJson(meta.schema)
     val ids = topLevelIds(meta.schema)
@@ -367,18 +377,31 @@ object IcebergExport {
     // long binary stats, and truncation-equal bounds do not prove a
     // single value (the same caution FileSkipping's exact proofs take).
     val partCols = meta.partitionColumns
+    // the partition tuple's Avro encoding covers primitives only
+    // ([[avroPrimitive]]): a decimal/binary/nested partition column
+    // falls back to the unpartitioned spec instead of failing the
+    // whole export
+    def avroEncodable(dt: DataType): Boolean = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
     def singleValued(c: String, r: ColumnRange): Boolean =
       r.hasValues && r.min == r.max && r.nulls.contains(0L) &&
         (meta.schema.fields.find(_.name == c).map(_.dataType) match {
           case Some(StringType) => r.min.length < 32
           case _ => true
         })
-    val partitioned = partCols.nonEmpty && meta.files.forall { f =>
-      partCols.forall { c =>
-        meta.fileStats.get(f).flatMap(_.get(c)).exists(singleValued(c, _)) ||
-          meta.fileRows.get(f).contains(0L)
+    val partitioned = partCols.nonEmpty &&
+      partCols.forall(c => meta.schema.fields.find(_.name == c)
+        .exists(f => avroEncodable(f.dataType))) &&
+      meta.files.forall { f =>
+        partCols.forall { c =>
+          meta.fileStats.get(f).flatMap(_.get(c)).exists(singleValued(c, _)) ||
+            meta.fileRows.get(f).contains(0L)
+        }
       }
-    }
     val specFields: Seq[(String, DataType, Int)] =
       if (!partitioned) Seq.empty
       else partCols.zipWithIndex.map { case (c, i) =>
@@ -645,7 +668,6 @@ object IcebergExport {
       "refs" -> JObject("main" -> JObject(
         "snapshot-id" -> JLong(snapshotId),
         "type" -> JString("branch"))))
-    val target = md.resolve(s"v${meta.version}.metadata.json")
     val tmp = Files.createTempFile(md, ".icemeta-", ".tmp")
     try {
       Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(metadataJson)))
@@ -654,6 +676,21 @@ object IcebergExport {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
     (dataEntries.size + deleteEntries.size).toLong
+
+    } catch {
+      case e: Throwable =>
+        // a failed attempt rolls back ITS artifacts only (everything
+        // matching the export patterns that predates this call stays —
+        // the last working mirror survives a mid-export throw)
+        val stale = staleArtifacts.toSet
+        artifacts().filterNot(p => stale(p) || p == target).foreach(drop)
+        throw e
+    }
+    // the new export is live — NOW retire the previous one's artifacts.
+    // A same-version re-export already swapped metadata.json in place
+    // via REPLACE_EXISTING, so the target itself is never dropped.
+    staleArtifacts.filterNot(_ == target).foreach(drop)
+    fileCount
   }
 
   /** Row count fallback for files missing from fileRows (pre-rows-era

@@ -29,12 +29,25 @@ import org.json4s.jackson.JsonMethods
   * files resolve their `equality_ids` through the Iceberg schema and
   * commit as equality entries.
   *
-  * Sequence mapping keeps delete semantics EXACT: Iceberg applies
-  * position deletes to data sequence ≤ delete sequence and equality
-  * deletes strictly less; our reader applies entries iff
-  * `seq > fileSeq(f)`. Data files keep their Iceberg sequence; position
-  * deletes import at `seq + 1` (so `sd+1 > sf ⇔ sf ≤ sd`) and equality
-  * deletes at `seq` unchanged (`sd > sf ⇔ sf < sd`).
+  * Sequence mapping keeps delete semantics EXACT — and compatible with
+  * graft's own DML, which assigns entry seq = commit version. Iceberg
+  * applies position deletes to data sequence ≤ delete sequence and
+  * equality deletes strictly less; our reader applies entries iff
+  * `seq > fileSeq(f)`. Source sequences are arbitrary int64 and CANNOT
+  * be kept verbatim: an imported fileSeq above the table's version
+  * would shadow the next DELETE/MERGE (its entry seq, the new commit
+  * version, would not exceed the imported fileSeq — rows resurrect),
+  * and an imported delete seq above the version would wrongly apply to
+  * rows appended later. So sequences are RANK-REMAPPED: the live delete
+  * entries define boundaries (`seq` for an equality delete, `seq + 1`
+  * for a position delete, since `sf ≤ sd ⇔ sf < sd+1`); each data file
+  * imports at `1 + |{boundaries ≤ its seq}|` and each boundary at
+  * `rank + 1`. Both `<` and `=` against every boundary are preserved,
+  * so applicability is bit-identical, all values land in `[1, m+1]`
+  * for `m` distinct boundaries, and the import commits at
+  * `max(current+1, m+1)` (no-op pad commits keep the version log
+  * contiguous) so every FUTURE commit's seq strictly exceeds every
+  * imported one.
   *
   * Not imported: partition specs (identity clustering re-derives from
   * footer stats; hidden transforms have no table-property contract in
@@ -170,6 +183,17 @@ object IcebergImport {
     val dataRefs = refs.filter(_.content == 0)
     val posRefs = refs.filter(_.content == 1)
     val eqRefs = refs.filter(_.content == 2)
+    // sequence rank-remap (see scaladoc): boundaries are the delete
+    // entries' comparison thresholds; everything imports in [1, m+1]
+    posRefs.find(_.seq == Long.MaxValue).foreach { r =>
+      throw new IllegalArgumentException(
+        s"import_iceberg: position delete ${r.raw} has sequence Long.MaxValue")
+    }
+    val boundaries: Seq[Long] =
+      (posRefs.map(_.seq + 1L) ++ eqRefs.map(_.seq)).distinct.sorted
+    val boundaryRank: Map[Long, Int] =
+      boundaries.zipWithIndex.map { case (b, i) => b -> (i + 2) }.toMap
+    def fileRank(sf: Long): Int = 1 + boundaries.count(_ <= sf)
     eqRefs.find(_.specFields > 0).foreach { r =>
       throw new IllegalArgumentException(
         s"import_iceberg: equality delete ${r.raw} is scoped to a PARTITIONED " +
@@ -209,12 +233,17 @@ object IcebergImport {
       (r, rel, footer)
     }
     // source path → imported relative path (position-delete remap).
-    // Keyed by the RAW manifest file_path string — the spec guarantees
-    // the delete parquet's file_path matches the data file's manifest
-    // path VERBATIM; a normalized form (java's file:///) is added as a
-    // fallback for writers that normalize inconsistently.
-    val relBySrc: Map[String, String] = imported.flatMap { case (r, rel, _) =>
-      Seq(r.raw -> rel, r.path.toUri.toString -> rel)
+    // The spec says the delete parquet's file_path matches the data
+    // file's manifest path, but writers normalize URIs inconsistently
+    // (file:/tmp vs file:///tmp vs a bare path) — so BOTH sides resolve
+    // through one canonical form (URI → absolute normalized local path)
+    // and a delete tuple can only miss the map when its target file is
+    // genuinely absent from this snapshot.
+    def canon(s: String): String =
+      try asLocal(s).toAbsolutePath.normalize.toString
+      catch { case _: Exception => s }
+    val relByCanon: Map[String, String] = imported.map { case (r, rel, _) =>
+      canon(r.raw) -> rel
     }.toMap
 
     // position deletes: remap file_path URIs to the imported relative
@@ -224,8 +253,14 @@ object IcebergImport {
     Files.createDirectories(dir.resolve(delDir))
     import org.apache.spark.sql.functions.{col, element_at, typedlit}
     val posEntries = posRefs.zipWithIndex.flatMap { case (r, i) =>
-      // map-literal lookup (codegen'd), not a UDF — the remap table is
-      // bounded by the imported file count
+      // the delete file's distinct targets are ≤ the snapshot's data
+      // file count (metadata-proportional, like the rest of the import);
+      // canonicalizing them driver-side keeps the Spark-side lookup a
+      // codegen'd map literal over the VERBATIM parquet values
+      val observed = spark.read.parquet(r.path.toString)
+        .select(col("file_path")).distinct().collect().map(_.getString(0))
+      val relBySrc: Map[String, String] =
+        observed.flatMap(v => relByCanon.get(canon(v)).map(v -> _)).toMap
       val mapped = spark.read.parquet(r.path.toString)
         .select(
           element_at(typedlit(relBySrc), col("file_path")).as(DeleteFile.PosFileCol),
@@ -241,9 +276,9 @@ object IcebergImport {
       else {
         val ranges = footer.cols
         // Iceberg applies pos deletes to data seq ≤ delete seq; ours is
-        // strict >, so import at seq+1 (see scaladoc)
+        // strict >, so the boundary is seq+1, rank-remapped (scaladoc)
         Some(DeleteFile(rel, Seq(DeleteFile.PosFileCol, DeleteFile.PosPosCol),
-          (r.seq + 1).toInt, rows, ranges, kind = DeleteFile.Positional))
+          boundaryRank(r.seq + 1L), rows, ranges, kind = DeleteFile.Positional))
       }
     }
     // equality deletes: key columns via equality_ids; the parquet reads
@@ -256,23 +291,36 @@ object IcebergImport {
       val ranges = FooterStats.collect(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(rel).toString),
         MergeOnRead.keySchema(schema, keyCols))
-      DeleteFile(rel, keyCols, r.seq.toInt, r.rows, ranges)
+      DeleteFile(rel, keyCols, boundaryRank(r.seq), r.rows, ranges)
     }
 
+    // commit version strictly above every remapped sequence (scaladoc):
+    // the next DML's entry seq (= version+1) then exceeds every imported
+    // fileSeq, and every future file's seq exceeds every imported delete
+    // seq. No-op pad commits keep the version log contiguous — the
+    // forward version probe relies on no gaps above the hint.
+    val importVersion = math.max(current.version + 1, boundaries.size + 1)
+    var base = current
+    while (base.version + 1 < importVersion) {
+      base = TableMetadata.commit(dir, base.copy(
+        version = base.version + 1,
+        snapshots = base.snapshots :+ Snapshot(
+          base.version + 1, System.currentTimeMillis(), "import-pad", 0, 0)))
+    }
     val newFiles = imported.map(_._2)
-    TableMetadata.commit(dir, current.copy(
-      version = current.version + 1,
+    TableMetadata.commit(dir, base.copy(
+      version = importVersion,
       files = newFiles,
       fileStats = imported.map { case (_, rel, f) => rel -> f.cols }
         .filter(_._2.nonEmpty).toMap,
       fileRows = imported.map { case (_, rel, f) => rel -> f.rows }.toMap,
-      fileSeq = imported.map { case (r, rel, _) => rel -> r.seq.toInt }.toMap,
+      fileSeq = imported.map { case (r, rel, _) => rel -> fileRank(r.seq) }.toMap,
       deleteFiles = posEntries ++ eqEntries,
-      properties = current.properties +
+      properties = base.properties +
         ("graft.import.source" -> metaPath.toString) +
         ("graft.import.snapshot" -> snapId.toString),
-      snapshots = current.snapshots :+ Snapshot(
-        current.version + 1, System.currentTimeMillis(), "import-iceberg",
+      snapshots = base.snapshots :+ Snapshot(
+        importVersion, System.currentTimeMillis(), "import-iceberg",
         newFiles.size, newFiles.size)))
     (newFiles.size + posEntries.size + eqEntries.size).toLong
   }

@@ -309,6 +309,105 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.rt")
   }
 
+  test("DML after import stays exact: sequences rank-remap below the commit version") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("rt2", "rt2_imp").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql("CREATE TABLE lakehouse.ice_ns.rt2 (k INT, v STRING, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES (" +
+      "'graft.delete.mode'='merge-on-read', 'graft.merge.mode'='merge-on-read')")
+    // two inserts (file seqs 2 and 3), an equality delete (seq 4), a
+    // positional MERGE that also ADDS a data file at seq 5 — the source
+    // sequence range [2,5] exceeds the import's commit version, the
+    // exact shape that silently broke post-import DML with verbatim seqs
+    Seq("a", "b").foreach { pv =>
+      (0 until 10).map(i => (i, s"$pv-$i", pv)).toDF("k", "v", "p")
+        .createOrReplaceTempView("ice_rt2_src")
+      spark.sql("INSERT INTO lakehouse.ice_ns.rt2 SELECT * FROM ice_rt2_src")
+    }
+    spark.sql("DELETE FROM lakehouse.ice_ns.rt2 WHERE k >= 8 AND p = 'a'")
+    Seq((1, "upd-1", "b")).toDF("k", "v", "p").createOrReplaceTempView("ice_rt2_chg")
+    spark.sql("""MERGE INTO lakehouse.ice_ns.rt2 t USING ice_rt2_chg s
+                |ON t.k = s.k AND t.p = s.p
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'rt2')")
+    val md = tableDir("rt2").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'rt2_imp', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}')")
+
+    val ours = spark.table("lakehouse.ice_ns.rt2")
+      .select($"k", $"v", $"p").collect().map(_.toString).sorted.toSeq
+    spark.table("lakehouse.ice_ns.rt2_imp")
+      .select($"k", $"v", $"p").collect().map(_.toString).sorted.toSeq shouldBe ours
+
+    // every imported fileSeq and delete seq sits BELOW the table version
+    val im = graft.catalog.TableMetadata.load(tableDir("rt2_imp"))
+    im.files.map(im.seqOf).foreach(_ should be < im.version)
+    im.deleteFiles.map(_.seq).foreach(_ should be <= im.version)
+
+    // (1) a post-import DELETE must hit EVERY imported file — including
+    // the merge-added one whose source sequence (5) exceeded the import
+    // version (rows resurrected under verbatim sequences)
+    spark.sql("DELETE FROM lakehouse.ice_ns.rt2_imp WHERE k = 1")
+    spark.table("lakehouse.ice_ns.rt2_imp").where($"k" === 1).count() shouldBe 0
+
+    // (2) rows appended AFTER the import must not be swallowed by the
+    // IMPORTED equality delete (its source seq 4 would beat the new
+    // file's seq under verbatim sequences)
+    Seq((8, "a-8", "a")).toDF("k", "v", "p").createOrReplaceTempView("ice_rt2_back")
+    spark.sql("INSERT INTO lakehouse.ice_ns.rt2_imp SELECT * FROM ice_rt2_back")
+    spark.table("lakehouse.ice_ns.rt2_imp")
+      .where($"k" === 8 && $"p" === "a").count() shouldBe 1
+    Seq("rt2_imp", "rt2").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
+  test("decimal partition column exports as an unpartitioned spec, not a failure") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.dp")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.dp (k INT, d DECIMAL(10,2)) PARTITIONED BY (d)")
+    Seq("1.25", "7.50").foreach { dv =>
+      spark.sql(s"INSERT INTO lakehouse.ice_ns.dp SELECT 1, CAST($dv AS DECIMAL(10,2))")
+    }
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'dp')")
+      .collect()(0).getLong(0) should be >= 2L
+    val md = tableDir("dp").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val meta = readJson(md.resolve(s"v$hint.metadata.json"))
+    // the Avro partition encoding has no decimal shape — the export
+    // falls back to the documented unpartitioned spec instead of dying
+    meta("partition-specs").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("fields")
+      .asInstanceOf[JArray].arr shouldBe empty
+    icebergRead(tableDir("dp"), Seq("k", "d")).size shouldBe 2
+    spark.sql("DROP TABLE lakehouse.ice_ns.dp")
+  }
+
+  test("a failing export leaves the previous mirror's artifacts intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.fz")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.fz (k INT)")
+    Seq(1, 2).toDF("k").createOrReplaceTempView("ice_fz_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.fz SELECT * FROM ice_fz_src")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'fz')")
+    val md = tableDir("fz").resolve("metadata")
+    val before = graft.catalog.Fs.children(md).map(_.getFileName.toString)
+      .filter(n => n.endsWith(".metadata.json") ||
+        (n.endsWith(".avro") && (n.startsWith("snap-") || n.startsWith("im-")))).sorted
+    before should not be empty
+    // VARIANT has no Iceberg v2 equivalent → the re-export throws in
+    // schema translation; the working mirror must survive the attempt
+    spark.sql("ALTER TABLE lakehouse.ice_ns.fz ADD COLUMN vv VARIANT")
+    val err = intercept[Exception] {
+      spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'fz')").collect()
+    }
+    err.getMessage should include("cannot export")
+    val after = graft.catalog.Fs.children(md).map(_.getFileName.toString)
+      .filter(n => n.endsWith(".metadata.json") ||
+        (n.endsWith(".avro") && (n.startsWith("snap-") || n.startsWith("im-")))).sorted
+    after shouldBe before
+    spark.sql("DROP TABLE lakehouse.ice_ns.fz")
+  }
+
   test("name mapping recurses into structs inside arrays, ids in lockstep with the schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.nest")
