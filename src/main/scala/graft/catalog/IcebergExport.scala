@@ -36,8 +36,24 @@ import org.json4s.jackson.JsonMethods
   * `*.avro`). An export is a point-in-time MIRROR: after further graft
   * commits the hint advances past it and external readers fail loudly
   * on the missing `v<N+1>.metadata.json` until the next export — the
-  * same refresh obligation the reference's BigQuery mirror carries.
-  * Each export garbage-collects the previous one's artifacts.
+  * same refresh obligation the reference's BigQuery mirror carries —
+  * UNLESS the table sets `graft.iceberg.mirror=true`, in which case
+  * every main-log commit maintains the export as it publishes
+  * ([[maintainMirror]], hooked in [[TableMetadata.commit]]): external
+  * readers then never observe a stale hint, which is the reference's
+  * actual contract (`iceberg_table_creation.py:63-74` — the catalog
+  * keeps the BigQuery mirror linked on every write).
+  *
+  * The export is INCREMENTAL, not a rebuild: graft's own manifest
+  * chunks are immutable and UUID-named, so each chunk exports to one
+  * Avro manifest exactly once per (schema, partition-spec) fingerprint
+  * and is reused by reference afterwards; rewritten delete parquets are
+  * cached by their immutable source path. A sidecar
+  * (`metadata/iceberg-mirror-state.json`) records the cached artifacts
+  * plus each chunk's single-valued-partition verdict, so a mirror
+  * update costs O(changed chunks + new deletes) in IO *and* CPU — the
+  * per-commit cost a 100 TB table can afford. Each export
+  * garbage-collects artifacts the new snapshot no longer references.
   *
   * Correspondence choices, each pinned by IcebergExportSpec:
   *  - data/delete file paths are absolute `file:` URIs; data files are
@@ -57,13 +73,17 @@ import org.json4s.jackson.JsonMethods
   *    `pos` (2147483545) with absolute URIs, sorted, parquet field
   *    IDs written); equality delete parquets are rewritten with the
   *    key columns' assigned field IDs and published `equality_ids`.
-  *  - the partition spec exports as identity transforms over
-  *    `partitionColumns` when every data file provably holds exactly
-  *    one partition tuple (footer min == max, zero nulls, short string
-  *    bounds); otherwise the export declares an unpartitioned spec —
-  *    honest (hash-clustered writes can mix values in a file) and
-  *    still spec-conformant, costing external engines only partition
-  *    pruning. DELETE files always export under an UNPARTITIONED spec
+  *  - the partition spec exports identity transforms over
+  *    `partitionColumns` PLUS Iceberg's own day/hour/month/year/
+  *    truncate transforms for our hidden partitioning, whenever every
+  *    data file provably holds exactly one partition tuple (footer
+  *    transform(min) == transform(max) — the transforms are monotonic —
+  *    zero nulls, short string bounds); otherwise the export declares
+  *    an unpartitioned spec — honest (hash-clustered writes can mix
+  *    values in a file) and still spec-conformant, costing external
+  *    engines only partition pruning. `bucket(n)` never exports (graft
+  *    buckets with Spark murmur3 seed 42, not Iceberg's bucket hash).
+  *    DELETE files always export under an UNPARTITIONED spec
   *    (id 1 on partitioned tables): Iceberg scopes delete application
   *    by (spec, partition tuple) and our delete entries are
   *    table-global — unpartitioned-spec deletes are exactly that.
@@ -251,10 +271,11 @@ object IcebergExport {
        |      {"name": "key", "type": "int", "field-id": $kId},
        |      {"name": "value", "type": $vType, "field-id": $vId}]}}]}""".stripMargin
 
-  /** manifest_entry with the given partition struct (field ids 1000+). */
-  private def manifestEntrySchema(partFields: Seq[(String, DataType, Int)]): Schema = {
-    val partJson = partFields.map { case (n, dt, fid) =>
-      s"""{"name": "$n", "type": ["null", ${avroPrimitive(dt)}], "field-id": $fid, "default": null}"""
+  /** manifest_entry with the given partition struct (field ids 1000+).
+    * `partFields` are (name, avro type JSON, field id). */
+  private def manifestEntrySchema(partFields: Seq[(String, String, Int)]): Schema = {
+    val partJson = partFields.map { case (n, at, fid) =>
+      s"""{"name": "$n", "type": ["null", $at], "field-id": $fid, "default": null}"""
     }.mkString(",\n")
     new Schema.Parser().parse(
       s"""{"type": "record", "name": "manifest_entry", "fields": [
@@ -331,7 +352,110 @@ object IcebergExport {
     } finally reader.close()
   }
 
+  // ---- mirror state ---------------------------------------------------------
+
+  /** One exported chunk's cached artifact + the list-entry fields needed
+    * to reference it without re-reading anything. `sv` is the chunk's
+    * single-valued-partition verdict (valid for [[MirrorState.partCols]]);
+    * `fp` the (schema, partition-spec) fingerprint the Avro was written
+    * under — a mismatch forces a rewrite. */
+  private final case class ChunkState(
+      avro: String, len: Long, minSeq: Long, maxSeq: Long, rows: Long,
+      count: Int, snap: Long, sv: Boolean, fp: String)
+
+  private final case class MirrorState(
+      partCols: Seq[String],
+      chunks: Map[String, ChunkState],
+      deletes: Map[String, String])
+
+  private val StateName = "iceberg-mirror-state.json"
+
+  private def loadState(md: Path): MirrorState = {
+    val f = md.resolve(StateName)
+    if (!Files.isRegularFile(f)) return MirrorState(Nil, Map.empty, Map.empty)
+    try {
+      val o = JsonMethods.parse(Files.readString(f)).asInstanceOf[JObject].obj.toMap
+      def jl(v: JValue): Long = v match {
+        case JInt(i) => i.toLong; case JLong(l) => l; case x => x.values.toString.toLong
+      }
+      def js(v: JValue): String = v.asInstanceOf[JString].s
+      MirrorState(
+        partCols = o.get("partCols").collect { case JArray(a) => a.map(js) }.getOrElse(Nil),
+        chunks = o.get("chunks").collect { case c: JObject =>
+          c.obj.toMap.map { case (k, v) =>
+            val m = v.asInstanceOf[JObject].obj.toMap
+            k -> ChunkState(js(m("avro")), jl(m("len")), jl(m("minSeq")),
+              jl(m("maxSeq")), jl(m("rows")), jl(m("count")).toInt, jl(m("snap")),
+              m("sv").asInstanceOf[JBool].value, js(m("fp")))
+          }
+        }.getOrElse(Map.empty),
+        deletes = o.get("deletes").collect { case d: JObject =>
+          d.obj.toMap.map { case (k, v) => k -> js(v) }
+        }.getOrElse(Map.empty))
+    } catch { case _: Exception => MirrorState(Nil, Map.empty, Map.empty) }
+    // unreadable state only costs a rebuild — never correctness
+  }
+
+  private def saveState(md: Path, s: MirrorState): Unit = {
+    val json = JObject(
+      "partCols" -> JArray(s.partCols.toList.map(JString(_))),
+      "chunks" -> JObject(s.chunks.toList.sortBy(_._1).map { case (k, c) =>
+        k -> (JObject(
+          "avro" -> JString(c.avro), "len" -> JLong(c.len),
+          "minSeq" -> JLong(c.minSeq), "maxSeq" -> JLong(c.maxSeq),
+          "rows" -> JLong(c.rows), "count" -> JInt(c.count),
+          "snap" -> JLong(c.snap), "sv" -> JBool(c.sv),
+          "fp" -> JString(c.fp)): JValue)
+      }),
+      "deletes" -> JObject(s.deletes.toList.sortBy(_._1).map { case (k, v) =>
+        k -> (JString(v): JValue)
+      }))
+    val tmp = Files.createTempFile(md, ".icestate-", ".tmp")
+    try {
+      Files.writeString(tmp, JsonMethods.compact(JsonMethods.render(json)))
+      Files.move(tmp, md.resolve(StateName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Instrumentation for the O(delta) scale assertions: bytes of Avro
+    * manifests written, bytes of delete parquets rewritten, and chunk
+    * manifests reused vs written since [[resetCounters]]. */
+  val avroBytesWritten = new java.util.concurrent.atomic.AtomicLong
+  val deleteBytesRewritten = new java.util.concurrent.atomic.AtomicLong
+  val chunksReused = new java.util.concurrent.atomic.AtomicLong
+  val chunksWritten = new java.util.concurrent.atomic.AtomicLong
+  def resetCounters(): Unit = {
+    avroBytesWritten.set(0); deleteBytesRewritten.set(0)
+    chunksReused.set(0); chunksWritten.set(0)
+  }
+
   // ---- export ---------------------------------------------------------------
+
+  /** Write-through mirror hook, called by [[TableMetadata.commit]] after
+    * every main-log publish. When the committed snapshot carries
+    * `graft.iceberg.mirror=true`, the Iceberg export is maintained
+    * incrementally so external readers never observe a stale
+    * version-hint. A mirror failure NEVER fails the commit (the data
+    * write is already durable; un-committing a successful INSERT would
+    * be worse) — external readers surface the staleness loudly as a
+    * missing `v<N>.metadata.json`, and the error is printed. */
+  def maintainMirror(tableDir: Path, meta: TableMetadata): Unit =
+    if (meta.properties.get("graft.iceberg.mirror").contains("true")) {
+      try {
+        val spark = SparkSession.getActiveSession
+          .orElse(SparkSession.getDefaultSession).orNull
+        exportSnapshot(spark, tableDir, meta)
+        ()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] iceberg mirror update failed for ${meta.name} " +
+              s"v${meta.version} (external readers will see a stale mirror " +
+              s"until the next successful commit or export_iceberg): $e")
+      }
+    }
 
   /** Export the current snapshot. Returns the number of files (data +
     * delete) the external snapshot references. */
@@ -341,7 +465,16 @@ object IcebergExport {
       namespace: Seq[String],
       table: String): Long = {
     val dir = Maintenance.lakehouseTable(spark, catalog, namespace, table).tableDir
-    val meta = TableMetadata.load(dir)
+    exportSnapshot(spark, dir, TableMetadata.load(dir))
+  }
+
+  /** The incremental export core (see object scaladoc): reuses exported
+    * chunk manifests and rewritten delete parquets through the mirror
+    * state; writes only the delta, then the manifest list + metadata
+    * document, then GCs artifacts the new snapshot no longer
+    * references. `spark` may be null when no delete parquet needs
+    * rewriting (pure-append mirror maintenance needs no session). */
+  def exportSnapshot(spark: SparkSession, dir: Path, meta: TableMetadata): Long = {
     val md = TableMetadata.metadataDir(dir)
     val snapshotId = meta.version.toLong
     val nowMs = System.currentTimeMillis()
@@ -364,50 +497,167 @@ object IcebergExport {
       catch { case _: Exception => () }
     val staleArtifacts = artifacts()
     val target = md.resolve(s"v${meta.version}.metadata.json")
+    // every artifact the NEW snapshot references (reused or fresh) —
+    // everything else that matches the export patterns is GC'd after
+    // the publish
+    val referenced = scala.collection.mutable.Set.empty[Path]
+    val prevState = loadState(md)
+    val newChunks = scala.collection.mutable.Map.empty[String, ChunkState]
+    val newDeletes = scala.collection.mutable.Map.empty[String, String]
+    var savedSvKey: Seq[String] = Nil // set inside the build (sv cache key)
     val fileCount = try {
 
     val (schemaJ, lastColumnId) = schemaJson(meta.schema)
     val ids = topLevelIds(meta.schema)
     def uri(rel: String): String = dir.resolve(rel).toUri.toString
 
-    // identity partition spec iff every data file provably holds ONE
-    // partition tuple: footer min == max AND zero nulls (a null-bearing
-    // column means two tuples per file) on every partition column.
-    // Strings additionally require short bounds — writers may truncate
-    // long binary stats, and truncation-equal bounds do not prove a
-    // single value (the same caution FileSkipping's exact proofs take).
+    // the unit of incremental export is graft's own immutable manifest
+    // chunk; a (rare) metadata payload without chunk refs exports as
+    // one synthetic never-cached chunk
+    val chunkList: Seq[(String, () => Seq[ManifestEntry])] =
+      if (meta.manifests.nonEmpty)
+        meta.manifests.map(r => r.path -> (() => Manifests.read(md, r)))
+      else if (meta.files.isEmpty) Nil
+      else Seq("<inline>" -> (() => meta.files.map(f => ManifestEntry(
+        f, meta.fileRows.get(f), meta.seqOf(f), meta.fileStats.getOrElse(f, Map.empty)))))
+    val entryCache = scala.collection.mutable.Map.empty[String, Seq[ManifestEntry]]
+    def entriesOf(key: String, get: () => Seq[ManifestEntry]): Seq[ManifestEntry] =
+      entryCache.getOrElseUpdate(key, get())
+
+    // The exported partition spec: identity fields for the table's
+    // partition columns PLUS Iceberg's own transform fields for our
+    // hidden partitioning (day/hour/month/year/truncate — they ARE
+    // Iceberg spec transforms, so external engines regain partition
+    // pruning on exactly the tables laid out for it). A field exports
+    // iff every data file provably holds ONE tuple value for it:
+    // footer min == max under the TRANSFORM (transforms here are
+    // monotonic, so transform(min) == transform(max) covers every row
+    // between) and zero nulls. Strings require short bounds — writers
+    // may truncate long stats, and truncation-equal bounds do not
+    // prove a single value (the caution FileSkipping's exact proofs
+    // take). Identity columns are all-or-nothing (a decimal/binary
+    // partition column falls back to the unpartitioned spec); an
+    // unsupported hidden transform merely drops out. bucket(n) is
+    // NEVER exported: graft buckets with Spark's murmur3 (seed 42)
+    // over internal rows, which is not Iceberg's bucket hash.
     val partCols = meta.partitionColumns
-    // the partition tuple's Avro encoding covers primitives only
-    // ([[avroPrimitive]]): a decimal/binary/nested partition column
-    // falls back to the unpartitioned spec instead of failing the
-    // whole export
-    def avroEncodable(dt: DataType): Boolean = dt match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType | DateType |
-           TimestampType | TimestampNTZType => true
-      case _ => false
+    val hiddenTs = HiddenPartitioning.specOf(meta.properties)
+    def dtOf(c: String): Option[DataType] =
+      meta.schema.fields.find(_.name == c).map(_.dataType)
+    final case class PartField(
+        name: String, srcCol: String, transform: String, avroType: String,
+        value: String => AnyRef, prove: ColumnRange => Boolean)
+    def identityField(c: String): Option[PartField] = dtOf(c).flatMap { dt =>
+      val v: Option[String => AnyRef] = dt match {
+        case ByteType | ShortType | IntegerType | DateType =>
+          Some(s => Int.box(s.toInt))
+        case LongType | TimestampType | TimestampNTZType =>
+          Some(s => Long.box(s.toLong))
+        case FloatType => Some(s => Float.box(s.toFloat))
+        case DoubleType => Some(s => Double.box(s.toDouble))
+        case BooleanType => Some(s => Boolean.box(s.toBoolean))
+        case StringType => Some(s => s)
+        case _ => None
+      }
+      v.map(f => PartField(c, c, "identity", avroPrimitive(dt), f,
+        r => r.hasValues && r.nulls.contains(0L) && r.min == r.max &&
+          (dt != StringType || r.min.length < 32)))
     }
-    def singleValued(c: String, r: ColumnRange): Boolean =
-      r.hasValues && r.min == r.max && r.nulls.contains(0L) &&
-        (meta.schema.fields.find(_.name == c).map(_.dataType) match {
-          case Some(StringType) => r.min.length < 32
-          case _ => true
-        })
-    val partitioned = partCols.nonEmpty &&
-      partCols.forall(c => meta.schema.fields.find(_.name == c)
-        .exists(f => avroEncodable(f.dataType))) &&
-      meta.files.forall { f =>
-        partCols.forall { c =>
-          meta.fileStats.get(f).flatMap(_.get(c)).exists(singleValued(c, _)) ||
-            meta.fileRows.get(f).contains(0L)
+    val MicrosPerDay = 86400000000L
+    val MicrosPerHour = 3600000000L
+    def hiddenField(t: HiddenPartitioning.HiddenTransform): Option[PartField] =
+      dtOf(t.col).flatMap { dt =>
+        def mk(suffix: String, tr: String, avro: String,
+            f: String => AnyRef): Option[PartField] =
+          Some(PartField(s"${t.col}_$suffix", t.col, tr, avro, f,
+            r => r.hasValues && r.nulls.contains(0L) && f(r.min) == f(r.max) &&
+              (dt != StringType || (r.min.length < 32 && r.max.length < 32))))
+        // FooterStats renders dates as epoch-day, timestamps as UTC
+        // micros — Iceberg's transform value domains derive directly
+        def epochDay(s: String): Long = dt match {
+          case DateType => s.toLong
+          case _ => Math.floorDiv(s.toLong, MicrosPerDay)
+        }
+        (t.func, dt) match {
+          case ("days", DateType | TimestampType | TimestampNTZType) =>
+            mk("day", "day", """{"type": "int", "logicalType": "date"}""",
+              s => Int.box(epochDay(s).toInt))
+          case ("hours", TimestampType | TimestampNTZType) =>
+            mk("hour", "hour", "\"int\"",
+              s => Int.box(Math.floorDiv(s.toLong, MicrosPerHour).toInt))
+          case ("months", DateType | TimestampType | TimestampNTZType) =>
+            mk("month", "month", "\"int\"", s => {
+              val ld = java.time.LocalDate.ofEpochDay(epochDay(s))
+              Int.box((ld.getYear - 1970) * 12 + (ld.getMonthValue - 1))
+            })
+          case ("years", DateType | TimestampType | TimestampNTZType) =>
+            mk("year", "year", "\"int\"",
+              s => Int.box(java.time.LocalDate.ofEpochDay(epochDay(s)).getYear - 1970))
+          case ("truncate", StringType) =>
+            val w = t.width.get
+            mk("trunc", s"truncate[$w]", "\"string\"", s => s.take(w))
+          case ("truncate", IntegerType | ShortType) =>
+            val w = t.width.get
+            mk("trunc", s"truncate[$w]", "\"int\"",
+              s => { val x = s.toInt; Int.box(x - (((x % w) + w) % w)) })
+          case ("truncate", LongType) =>
+            val w = t.width.get.toLong
+            mk("trunc", s"truncate[$w]", "\"long\"",
+              s => { val x = s.toLong; Long.box(x - (((x % w) + w) % w)) })
+          case _ => None
         }
       }
-    val specFields: Seq[(String, DataType, Int)] =
+    val idFieldOpts = partCols.map(identityField)
+    val candidates: Seq[PartField] =
+      if (!idFieldOpts.forall(_.isDefined)) Seq.empty
+      else idFieldOpts.flatten ++ hiddenTs.flatMap(hiddenField)
+    // the key the cached per-chunk verdicts were computed under — any
+    // change in fields/transforms/source types invalidates them
+    val svKey: Seq[String] =
+      candidates.map(f => s"${f.transform}:${f.srcCol}:${f.avroType}")
+    savedSvKey = svKey
+    // per-chunk single-tuple verdicts, cached across mirror runs — the
+    // chunk is immutable, so the verdict is a pure function of its
+    // entries and the candidate fields; a cached verdict keeps even a
+    // COLD driver's mirror update from parsing unchanged chunks
+    val svByChunk: Map[String, Boolean] =
+      if (candidates.isEmpty) Map.empty
+      else chunkList.map { case (key, get) =>
+        val cached =
+          if (key != "<inline>" && prevState.partCols == svKey)
+            prevState.chunks.get(key).map(_.sv)
+          else None
+        key -> cached.getOrElse {
+          entriesOf(key, get).forall { e =>
+            e.rows.contains(0L) ||
+              candidates.forall(f => e.stats.get(f.srcCol).exists(f.prove))
+          }
+        }
+      }.toMap
+    val partitioned = candidates.nonEmpty && svByChunk.values.forall(identity)
+    val specFields: Seq[(PartField, Int)] =
       if (!partitioned) Seq.empty
-      else partCols.zipWithIndex.map { case (c, i) =>
-        (c, meta.schema(c).dataType, 1000 + i)
-      }
-    val entrySchema = manifestEntrySchema(specFields)
+      else candidates.zipWithIndex.map { case (f, i) => (f, 1000 + i) }
+    val specJson = JsonMethods.compact(JsonMethods.render(JArray(
+      specFields.map { case (f, fid) =>
+        JObject(
+          "name" -> JString(f.name),
+          "transform" -> JString(f.transform),
+          "source-id" -> JInt(ids(f.srcCol)),
+          "field-id" -> JInt(fid)): JValue
+      }.toList)))
+    val schemaStr = JsonMethods.compact(JsonMethods.render(schemaJ))
+    // the (schema, partition-spec) fingerprint cached artifacts were
+    // written under: a schema evolution or a flipped partition proof
+    // changes it and forces chunk re-export
+    val fp = {
+      val dig = java.security.MessageDigest.getInstance("SHA-1")
+        .digest((schemaStr + "|" + specJson)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      dig.take(5).map(b => f"$b%02x").mkString
+    }
+    val entrySchema = manifestEntrySchema(
+      specFields.map { case (f, fid) => (f.name, f.avroType, fid) })
     val partSchema = entrySchema.getField("data_file").schema()
       .getField("partition").schema()
     val dataFileSchema = entrySchema.getField("data_file").schema()
@@ -426,25 +676,10 @@ object IcebergExport {
 
     def partRecord(stats: Map[String, ColumnRange]): GenericRecord = {
       val r = new GenericData.Record(partSchema)
-      specFields.foreach { case (c, dt, _) =>
-        val v: AnyRef = stats.get(c).map(_.min) match {
-          case None => null
-          case Some(s) => dt match {
-            case ByteType | ShortType | IntegerType => Int.box(s.toInt)
-            case LongType => Long.box(s.toLong)
-            case FloatType => Float.box(s.toFloat)
-            case DoubleType => Double.box(s.toDouble)
-            case BooleanType => Boolean.box(s.toBoolean)
-            case StringType => s
-            // FooterStats renders parquet's physical values verbatim:
-            // dates are already epoch-day ints, timestamps micros —
-            // exactly the avro date / timestamp-micros encodings
-            case DateType => Int.box(s.toInt)
-            case TimestampType | TimestampNTZType => Long.box(s.toLong)
-            case other => throw new IllegalArgumentException(other.sql)
-          }
-        }
-        r.put(c, v)
+      // each field's tuple value derives from the footer min — the
+      // chunk's proof already established transform(min)==transform(max)
+      specFields.foreach { case (f, _) =>
+        r.put(f.name, stats.get(f.srcCol).map(cr => f.value(cr.min)).orNull)
       }
       r
     }
@@ -508,69 +743,8 @@ object IcebergExport {
     }
 
     val emptyPart = new GenericData.Record(partSchema)
-    specFields.foreach { case (c, _, _) => emptyPart.put(c, null) }
+    specFields.foreach { case (f, _) => emptyPart.put(f.name, null) }
 
-    // ---- data manifest
-    val dataEntries = meta.files.map { f =>
-      val stats = meta.fileStats.getOrElse(f, Map.empty)
-      val part = if (partitioned) partRecord(stats) else emptyPart
-      entry(uri(f), content = 0, seq = meta.seqOf(f).toLong,
-        rows = meta.fileRows.getOrElse(f, sparkCount(spark, dir, f)),
-        bytes = Files.size(dir.resolve(f)), part, Nil, stats)
-    }
-
-    // ---- delete files: rewrite into spec shapes with field IDs
-    Files.createDirectories(expDel)
-    def withFieldIds(st: StructType, idOf: String => Int): StructType =
-      StructType(st.fields.map { f =>
-        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putLong("parquet.field.id", idOf(f.name).toLong).build())
-      })
-    val deleteEntries = SessionConf.withConf(spark,
-      "spark.sql.parquet.fieldId.write.enabled", "true") { meta.deleteFiles.map { d =>
-      // the entry's own parquet holds the full (possibly consolidated)
-      // tuple set; components may already be vacuumed
-      val src = spark.read.parquet(dir.resolve(d.path).toString)
-      if (d.isPositional) {
-        val rel = s"deletes-iceberg/pos-${UUID.randomUUID().toString.take(12)}.parquet"
-        val prefix = dir.toUri.toString
-        val rewritten = src
-          .select(
-            org.apache.spark.sql.functions.concat(
-              org.apache.spark.sql.functions.lit(prefix),
-              col(DeleteFile.PosFileCol)).as("file_path"),
-            col(DeleteFile.PosPosCol).cast(LongType).as("pos"))
-          .orderBy(col("file_path"), col("pos"))
-        writeSingleParquet(spark, rewritten, withFieldIds(
-          StructType(Seq(
-            StructField("file_path", StringType, nullable = false),
-            StructField("pos", LongType, nullable = false))),
-          Map("file_path" -> PosPathFieldId, "pos" -> PosPosFieldId)), dir, rel)
-        entry(uri(rel), content = 1, seq = d.seq.toLong, rows = d.rows,
-          bytes = Files.size(dir.resolve(rel)), emptyDelPart, Nil,
-          es = delEntrySchema)
-      } else {
-        val rel = s"deletes-iceberg/eq-${UUID.randomUUID().toString.take(12)}.parquet"
-        val keyIds = d.keyColumns.map(ids(_))
-        val keySchema = StructType(d.keyColumns.map(c => meta.schema(c)))
-        writeSingleParquet(spark, src.select(d.keyColumns.map(col): _*),
-          withFieldIds(keySchema, ids), dir, rel)
-        entry(uri(rel), content = 2, seq = d.seq.toLong, rows = d.rows,
-          bytes = Files.size(dir.resolve(rel)), emptyDelPart, keyIds,
-          es = delEntrySchema)
-      }
-    } }
-
-    // ---- manifests + manifest list
-    val specJson = JsonMethods.compact(JsonMethods.render(JArray(
-      specFields.map { case (c, _, fid) =>
-        JObject(
-          "name" -> JString(c),
-          "transform" -> JString("identity"),
-          "source-id" -> JInt(ids(c)),
-          "field-id" -> JInt(fid)): JValue
-      }.toList)))
-    val schemaStr = JsonMethods.compact(JsonMethods.render(schemaJ))
     def manifestMeta(content: String, spec: String, specId: Int) = Seq(
       "schema" -> schemaStr,
       "schema-id" -> "0",
@@ -578,28 +752,17 @@ object IcebergExport {
       "partition-spec-id" -> specId.toString,
       "format-version" -> "2",
       "content" -> content)
-
-    def manifestFor(
-        name: String, content: Int, entries: Seq[GenericRecord]): Option[GenericRecord] = {
-      if (entries.isEmpty) return None
-      val rel = s"metadata/im-$name-${UUID.randomUUID().toString.take(12)}.avro"
-      val (es, spec, specId) =
-        if (content == 0) (entrySchema, specJson, 0)
-        else (delEntrySchema, if (partitioned) "[]" else specJson, delSpecId)
-      val len = writeAvro(dir.resolve(rel), es,
-        manifestMeta(if (content == 0) "data" else "deletes", spec, specId), entries)
-      val seqs = entries.map(_.get("sequence_number").asInstanceOf[Long])
-      val rows = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
-        .get("record_count").asInstanceOf[Long]).sum
+    def listRecord(rel: String, len: Long, specId: Int, content: Int,
+        minSeq: Long, maxSeq: Long, snap: Long, count: Int, rows: Long): GenericRecord = {
       val m = new GenericData.Record(manifestListSchema)
       m.put("manifest_path", uri(rel))
       m.put("manifest_length", Long.box(len))
       m.put("partition_spec_id", Int.box(specId))
       m.put("content", Int.box(content))
-      m.put("sequence_number", Long.box(seqs.max))
-      m.put("min_sequence_number", Long.box(seqs.min))
-      m.put("added_snapshot_id", Long.box(snapshotId))
-      m.put("added_files_count", Int.box(entries.size))
+      m.put("sequence_number", Long.box(maxSeq))
+      m.put("min_sequence_number", Long.box(minSeq))
+      m.put("added_snapshot_id", Long.box(snap))
+      m.put("added_files_count", Int.box(count))
       m.put("existing_files_count", Int.box(0))
       m.put("deleted_files_count", Int.box(0))
       m.put("added_rows_count", Long.box(rows))
@@ -607,11 +770,136 @@ object IcebergExport {
       m.put("deleted_rows_count", Long.box(0L))
       m.put("partitions", null)
       m.put("key_metadata", null)
-      Some(m)
+      m
     }
-    val manifests =
-      manifestFor("data", 0, dataEntries).toSeq ++
-        manifestFor("del", 1, deleteEntries).toSeq
+    def keep(rel: String): Unit =
+      referenced += dir.resolve(rel).toAbsolutePath.normalize
+
+    // ---- data manifests: one Avro per graft chunk, reused by
+    // reference while the chunk lives and the fingerprint holds — the
+    // incremental core. A reused chunk costs ZERO reads: its list-entry
+    // fields come from the mirror state.
+    val dataManifests: Seq[GenericRecord] = chunkList.flatMap { case (key, get) =>
+      val reused =
+        if (key == "<inline>") None
+        else prevState.chunks.get(key).filter(c =>
+          c.fp == fp && Files.isRegularFile(dir.resolve(c.avro)))
+      reused.foreach(_ => chunksReused.incrementAndGet())
+      val st = reused.orElse {
+        val entries = entriesOf(key, get)
+        if (entries.isEmpty) None
+        else {
+          val records = entries.map { e =>
+            val part = if (partitioned) partRecord(e.stats) else emptyPart
+            entry(uri(e.path), content = 0, seq = e.seq.toLong,
+              rows = e.rows.getOrElse(sparkCount(spark, dir, e.path)),
+              bytes = Files.size(dir.resolve(e.path)), part, Nil, e.stats)
+          }
+          val base =
+            if (key == "<inline>") s"inline-${UUID.randomUUID().toString.take(12)}"
+            else key.stripPrefix("m-").stripSuffix(".json")
+          val rel = s"metadata/im-d-$fp-$base.avro"
+          val len = writeAvro(dir.resolve(rel), entrySchema,
+            manifestMeta("data", specJson, 0), records)
+          avroBytesWritten.addAndGet(len)
+          chunksWritten.incrementAndGet()
+          Some(ChunkState(rel, len,
+            entries.map(_.seq).min.toLong, entries.map(_.seq).max.toLong,
+            records.map(_.get("data_file").asInstanceOf[GenericRecord]
+              .get("record_count").asInstanceOf[Long]).sum,
+            entries.size, snapshotId, svByChunk.getOrElse(key, true), fp))
+        }
+      }
+      st.map { c =>
+        if (key != "<inline>") newChunks(key) = c
+        keep(c.avro)
+        listRecord(c.avro, c.len, 0, 0, c.minSeq, c.maxSeq, c.snap, c.count, c.rows)
+      }
+    }
+
+    // ---- delete files: rewrite into spec shapes with field IDs.
+    // Rewritten parquets are cached by their immutable source path —
+    // only deletes NEW since the last export touch Spark.
+    Files.createDirectories(expDel)
+    def withFieldIds(st: StructType, idOf: String => Int): StructType =
+      StructType(st.fields.map { f =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", idOf(f.name).toLong).build())
+      })
+    def shaName(s: String): String = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
+    // equality rewrites embed schema field ids → fingerprint-scoped;
+    // position rewrites use the spec's reserved ids → stable
+    def delRel(d: DeleteFile): String =
+      if (d.isPositional) s"deletes-iceberg/pos-${shaName(d.path)}-${d.seq}.parquet"
+      else s"deletes-iceberg/eq-$fp-${shaName(d.path)}-${d.seq}.parquet"
+    def delKey(d: DeleteFile): String = s"${d.path}@${d.seq}"
+    val toRewrite = meta.deleteFiles.filter { d =>
+      !(prevState.deletes.get(delKey(d)).contains(delRel(d)) &&
+        Files.isRegularFile(dir.resolve(delRel(d))))
+    }
+    if (toRewrite.nonEmpty) {
+      require(spark != null,
+        "iceberg export: rewriting delete files requires an active SparkSession")
+      SessionConf.withConf(spark,
+        "spark.sql.parquet.fieldId.write.enabled", "true") { toRewrite.foreach { d =>
+        // the entry's own parquet holds the full (possibly consolidated)
+        // tuple set; components may already be vacuumed
+        val src = spark.read.parquet(dir.resolve(d.path).toString)
+        val rel = delRel(d)
+        if (d.isPositional) {
+          val prefix = dir.toUri.toString
+          val rewritten = src
+            .select(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit(prefix),
+                col(DeleteFile.PosFileCol)).as("file_path"),
+              col(DeleteFile.PosPosCol).cast(LongType).as("pos"))
+            .orderBy(col("file_path"), col("pos"))
+          writeSingleParquet(spark, rewritten, withFieldIds(
+            StructType(Seq(
+              StructField("file_path", StringType, nullable = false),
+              StructField("pos", LongType, nullable = false))),
+            Map("file_path" -> PosPathFieldId, "pos" -> PosPosFieldId)), dir, rel)
+        } else {
+          val keySchema = StructType(d.keyColumns.map(c => meta.schema(c)))
+          writeSingleParquet(spark, src.select(d.keyColumns.map(col): _*),
+            withFieldIds(keySchema, ids), dir, rel)
+        }
+        deleteBytesRewritten.addAndGet(Files.size(dir.resolve(rel)))
+      } }
+    }
+    val deleteEntries = meta.deleteFiles.map { d =>
+      val rel = delRel(d)
+      newDeletes(delKey(d)) = rel
+      keep(rel)
+      entry(uri(rel),
+        content = if (d.isPositional) 1 else 2,
+        seq = d.seq.toLong, rows = d.rows,
+        bytes = Files.size(dir.resolve(rel)), emptyDelPart,
+        if (d.isPositional) Nil else d.keyColumns.map(ids(_)),
+        es = delEntrySchema)
+    }
+
+    // ---- delete manifest (tiny, churns with consolidation — rebuilt
+    // per export) + manifest list
+    val delManifest: Option[GenericRecord] =
+      if (deleteEntries.isEmpty) None
+      else {
+        val rel = s"metadata/im-x-$fp-${UUID.randomUUID().toString.take(12)}.avro"
+        val len = writeAvro(dir.resolve(rel), delEntrySchema,
+          manifestMeta("deletes", if (partitioned) "[]" else specJson, delSpecId),
+          deleteEntries)
+        avroBytesWritten.addAndGet(len)
+        keep(rel)
+        val seqs = deleteEntries.map(_.get("sequence_number").asInstanceOf[Long])
+        val rows = deleteEntries.map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("record_count").asInstanceOf[Long]).sum
+        Some(listRecord(rel, len, delSpecId, 1, seqs.min, seqs.max, snapshotId,
+          deleteEntries.size, rows))
+      }
+    val manifests = dataManifests ++ delManifest.toSeq
     val listRel = s"metadata/snap-$snapshotId-${UUID.randomUUID().toString.take(12)}.avro"
     writeAvro(dir.resolve(listRel), manifestListSchema,
       Seq(
@@ -619,8 +907,12 @@ object IcebergExport {
         "sequence-number" -> meta.version.toString,
         "format-version" -> "2"),
       manifests)
+    keep(listRel)
 
     // ---- metadata.json
+    // the write sort order publishes as an identity-ascending Iceberg
+    // sort order (id 1) so a round-trip import keeps the layout hint
+    val sortCols = WriteSortOrder.colsOf(meta.properties).filter(ids.contains)
     val tableUuid = UUID.nameUUIDFromBytes(
       ("graft-iceberg:" + dir.toAbsolutePath.normalize.toString)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
@@ -642,10 +934,18 @@ object IcebergExport {
           (if (partitioned) List(JObject(
             "spec-id" -> (JInt(1): JValue),
             "fields" -> (JArray(Nil): JValue)): JValue) else Nil)),
-      "last-partition-id" -> JInt(if (specFields.isEmpty) 999 else specFields.map(_._3).max),
-      "default-sort-order-id" -> JInt(0),
-      "sort-orders" -> JArray(List(JObject(
-        "order-id" -> JInt(0), "fields" -> JArray(Nil)))),
+      "last-partition-id" -> JInt(if (specFields.isEmpty) 999 else specFields.map(_._2).max),
+      "default-sort-order-id" -> JInt(if (sortCols.isEmpty) 0 else 1),
+      "sort-orders" -> JArray(
+        JObject("order-id" -> JInt(0), "fields" -> JArray(Nil)) ::
+          (if (sortCols.isEmpty) Nil
+           else List(JObject(
+             "order-id" -> (JInt(1): JValue),
+             "fields" -> (JArray(sortCols.map(c => JObject(
+               "transform" -> JString("identity"),
+               "source-id" -> JInt(ids(c)),
+               "direction" -> JString("asc"),
+               "null-order" -> JString("nulls-first")): JValue).toList): JValue)): JValue))),
       "properties" -> JObject(
         (userProps + ("schema.name-mapping.default" ->
           JsonMethods.compact(JsonMethods.render(nameMapping(meta.schema)))))
@@ -675,7 +975,7 @@ object IcebergExport {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
-    (dataEntries.size + deleteEntries.size).toLong
+    (meta.files.size + deleteEntries.size).toLong
 
     } catch {
       case e: Throwable =>
@@ -686,17 +986,26 @@ object IcebergExport {
         artifacts().filterNot(p => stale(p) || p == target).foreach(drop)
         throw e
     }
-    // the new export is live — NOW retire the previous one's artifacts.
-    // A same-version re-export already swapped metadata.json in place
-    // via REPLACE_EXISTING, so the target itself is never dropped.
-    staleArtifacts.filterNot(_ == target).foreach(drop)
+    // the new export is live: persist the reuse state (best-effort — a
+    // lost state only costs the next export a rebuild), then retire
+    // every pattern-matching artifact the new snapshot doesn't
+    // reference. A same-version re-export already swapped metadata.json
+    // in place via REPLACE_EXISTING, so the target itself never drops.
+    try saveState(md, MirrorState(
+      savedSvKey, newChunks.toMap, newDeletes.toMap))
+    catch { case _: Exception => () }
+    staleArtifacts.filterNot(p =>
+      p == target || referenced(p.toAbsolutePath.normalize)).foreach(drop)
     fileCount
   }
 
   /** Row count fallback for files missing from fileRows (pre-rows-era
     * metadata): parquet footer count via a metadata-only read. */
-  private def sparkCount(spark: SparkSession, dir: Path, rel: String): Long =
+  private def sparkCount(spark: SparkSession, dir: Path, rel: String): Long = {
+    require(spark != null,
+      s"iceberg export: counting pre-rows-era file $rel requires a SparkSession")
     spark.read.parquet(dir.resolve(rel).toString).count()
+  }
 
   /** Write `df` as EXACTLY ONE parquet file at `rel` (delete files are
     * single spec objects, not directories). Coalesce(1) is safe: delete
@@ -715,7 +1024,10 @@ object IcebergExport {
     val part = Fs.children(tmp).find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no parquet written under $tmp"))
     Files.createDirectories(dir.resolve(rel).getParent)
-    Files.move(part, dir.resolve(rel))
+    // names are deterministic (cache keys): a re-export after state loss
+    // legitimately replaces the identical previous rewrite
+    Files.move(part, dir.resolve(rel),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Fs.deleteRecursively(tmp)
   }
 }

@@ -49,10 +49,13 @@ import org.json4s.jackson.JsonMethods
   * contiguous) so every FUTURE commit's seq strictly exceeds every
   * imported one.
   *
-  * Not imported: partition specs (identity clustering re-derives from
-  * footer stats; hidden transforms have no table-property contract in
-  * a foreign table), table history (the import is one snapshot, like
-  * the export), and sort orders.
+  * Also imported: the default partition spec (identity fields →
+  * partition columns; day/hour/month/year/truncate → our hidden
+  * transforms — same spec transforms, so partition-filtered scans
+  * file-skip like the source; bucket[n] skipped, hash-incompatible)
+  * and the default sort order's identity-ascending prefix (→ the
+  * write sort order). Not imported: table history (the import is one
+  * snapshot, like the export).
   */
 object IcebergImport {
 
@@ -140,6 +143,58 @@ object IcebergImport {
       jlong(f("id")).toInt -> f("name").asInstanceOf[JString].s
     }.toMap
 
+    // partition spec → the imported table's layout contract. Identity
+    // fields become partition columns; day/hour/month/year/truncate
+    // become our hidden transforms (they are the same spec transforms),
+    // so a partition-filtered scan on the imported table file-skips
+    // like the source did. bucket[n] is SKIPPED: Iceberg buckets with
+    // murmur3 over spec-serialized bytes, graft with Spark murmur3 over
+    // internal rows — recording the contract would claim a layout the
+    // files do not have. Unknown transforms are skipped likewise (the
+    // import stays correct; only pruning is lost). Layout contracts
+    // here are write-side clustering + stats-pruning hints — reads stay
+    // correct on footer stats even for files that predate the contract.
+    val TruncRe = """truncate\[(\d+)\]""".r
+    val BucketRe = """bucket\[(\d+)\]""".r
+    val defaultSpecId = m.get("default-spec-id").map(jlong).getOrElse(0L)
+    val specFields: Seq[(String, Option[String])] =
+      m.get("partition-specs").collect { case JArray(specs) =>
+        specs.map(_.asInstanceOf[JObject].obj.toMap)
+          .find(s => jlong(s("spec-id")) == defaultSpecId)
+          .map(_.apply("fields").asInstanceOf[JArray].arr.map { f =>
+            val fo = f.asInstanceOf[JObject].obj.toMap
+            (fo("transform").asInstanceOf[JString].s,
+              nameById.get(jlong(fo("source-id")).toInt))
+          }).getOrElse(Nil)
+      }.getOrElse(Nil)
+    import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+    val transforms: Seq[Transform] = specFields.flatMap {
+      case (_, None) => None // source column not in the current schema
+      case ("identity", Some(c)) => Some(Expressions.identity(c))
+      case (t @ ("day" | "days" | "hour" | "hours" | "month" | "months" |
+                 "year" | "years"), Some(c)) =>
+        val func = if (t.endsWith("s")) t else t + "s"
+        Some(HiddenPartitioning.HiddenTransform(func, None, c).toV2)
+      case (TruncRe(w), Some(c)) =>
+        Some(HiddenPartitioning.HiddenTransform("truncate", Some(w.toInt), c).toV2)
+      case (BucketRe(_), _) => None
+      case _ => None
+    }
+    // default sort order (identity ascending prefix) → write sort order
+    val sortCols: Seq[String] = (for {
+      orderId <- m.get("default-sort-order-id").map(jlong)
+      orders <- m.get("sort-orders").collect { case JArray(a) => a }
+      order <- orders.map(_.asInstanceOf[JObject].obj.toMap)
+        .find(o => jlong(o("order-id")) == orderId)
+    } yield order("fields").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JObject].obj.toMap)
+      .takeWhile { f =>
+        f("transform") == JString("identity") &&
+          f.get("direction").forall(_ == JString("asc")) &&
+          nameById.contains(jlong(f("source-id")).toInt)
+      }
+      .map(f => nameById(jlong(f("source-id")).toInt))).getOrElse(Nil)
+
     // current snapshot → manifest list → manifests → entries
     val snapId = jlong(m("current-snapshot-id"))
     val snap = m("snapshots").asInstanceOf[JArray].arr
@@ -206,9 +261,10 @@ object IcebergImport {
     // already-exists semantics are the catalog's own)
     val cat = spark.sessionState.catalogManager.catalog(catalog)
       .asInstanceOf[TableCatalog]
+    val createProps = new java.util.HashMap[String, String]()
+    if (sortCols.nonEmpty) createProps.put(WriteSortOrder.Prop, sortCols.mkString(", "))
     cat.createTable(Identifier.of(namespace.toArray, table), schema,
-      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
-      new java.util.HashMap[String, String]())
+      transforms.toArray, createProps)
     val dir = Maintenance.lakehouseTable(spark, catalog, namespace, table).tableDir
     val current = TableMetadata.load(dir)
 

@@ -607,6 +607,11 @@ object TableMetadata {
     val prevFile = if (meta.version <= 1) None else Some(versionFile(tableDir, meta.version - 1))
     val (json, sequenced, newManifests) = renderNext(md, prevFile, meta)
     publishPayload(md, target, json, newManifests, meta.name, meta.version)
+    // write-through Iceberg mirror: tables opted in via
+    // `graft.iceberg.mirror=true` maintain their external snapshot as
+    // part of every main-log publish (never fails the commit — see
+    // [[IcebergExport.maintainMirror]])
+    IcebergExport.maintainMirror(tableDir, sequenced)
     sequenced
   }
 

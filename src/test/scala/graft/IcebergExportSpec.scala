@@ -250,9 +250,10 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
       .asInstanceOf[JObject].obj.toMap
     val (manifests, _) = IcebergExport.readAvro(
       Paths.get(java.net.URI.create(jstr(snap("manifest-list")))))
-    val dataManifest = manifests.find(_.get("content").asInstanceOf[Int] == 0).get
-    val (entries, _) = IcebergExport.readAvro(
-      Paths.get(java.net.URI.create(dataManifest.get("manifest_path").toString)))
+    // one Avro manifest per graft chunk — aggregate across all of them
+    val entries = manifests.filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap(m => IcebergExport.readAvro(
+        Paths.get(java.net.URI.create(m.get("manifest_path").toString)))._1)
     // footer stats store dates as epoch-day ints; the avro partition
     // field (logicalType date) must carry them verbatim — an ISO-parse
     // of "19723" would have thrown here
@@ -406,6 +407,153 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
         (n.endsWith(".avro") && (n.startsWith("snap-") || n.startsWith("im-")))).sorted
     after shouldBe before
     spark.sql("DROP TABLE lakehouse.ice_ns.fz")
+  }
+
+  test("hidden partitioning exports as a real Iceberg transform spec with prunable tuples") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.hpt")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.hpt (k INT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO lakehouse.ice_ns.hpt VALUES " +
+      "(1, TIMESTAMP'2024-03-01 08:00:00'), (2, TIMESTAMP'2024-03-01 19:30:00'), " +
+      "(3, TIMESTAMP'2024-03-02 00:15:00'), (4, TIMESTAMP'2024-03-02 23:59:59'), " +
+      "(5, TIMESTAMP'2024-03-03 12:00:00')")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'hpt')")
+    val md = tableDir("hpt").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val meta = readJson(md.resolve(s"v$hint.metadata.json"))
+    // the spec publishes Iceberg's own day transform, not identity —
+    // external engines regain partition pruning on the hidden layout
+    val specField = meta("partition-specs").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("fields").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap
+    jstr(specField("name")) shouldBe "ts_day"
+    jstr(specField("transform")) shouldBe "day"
+    jlong(specField("source-id")) shouldBe 2L // ts is column 2
+    // per-file tuples carry Iceberg's value domain: days from epoch
+    val (manifests, _) = IcebergExport.readAvro(
+      Paths.get(java.net.URI.create(jstr(snap2(meta)("manifest-list")))))
+    val filesByDay: Seq[(String, Int)] = manifests
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap(m => IcebergExport.readAvro(
+        Paths.get(java.net.URI.create(m.get("manifest_path").toString)))._1)
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        (df.get("file_path").toString,
+          df.get("partition").asInstanceOf[GenericRecord].get("ts_day").asInstanceOf[Int])
+      }
+    filesByDay.map(_._2).toSet shouldBe Set("2024-03-01", "2024-03-02", "2024-03-03")
+      .map(d => java.time.LocalDate.parse(d).toEpochDay.toInt)
+    // an external engine's pruning, re-enacted: read ONLY the files
+    // whose tuple matches the wanted day; result equals the filtered
+    // scan — files of other days never open
+    val wanted = java.time.LocalDate.parse("2024-03-02").toEpochDay.toInt
+    val prunedPaths = filesByDay.filter(_._2 == wanted).map(_._1)
+    prunedPaths should not be empty
+    prunedPaths.size should be < filesByDay.size
+    val prunedRows = prunedPaths.flatMap { p =>
+      spark.read.parquet(Paths.get(java.net.URI.create(p)).toString)
+        .select($"k").collect().map(_.getInt(0))
+    }.sorted
+    prunedRows shouldBe Seq(3, 4)
+    spark.sql("DROP TABLE lakehouse.ice_ns.hpt")
+  }
+
+  test("import keeps the partition spec and sort order: filtered scans file-skip like the source") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("hps", "hps_imp").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql("CREATE TABLE lakehouse.ice_ns.hps (ev_id BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (days(ts)) TBLPROPERTIES ('graft.write.sort-order'='ts')")
+    val rows = (0 until 300).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-03-${i % 3 + 1}%02d 08:${i % 60}%02d:00"), s"v$i")
+    }
+    rows.toDF("ev_id", "ts", "v").createOrReplaceTempView("ice_hps_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.hps SELECT * FROM ice_hps_src")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'hps')")
+    val md = tableDir("hps").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'hps_imp', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}')")
+
+    // the layout contract survived the round trip
+    val impMeta = graft.catalog.TableMetadata.load(tableDir("hps_imp"))
+    impMeta.properties.get(graft.catalog.HiddenPartitioning.Prop) shouldBe Some("days:ts")
+    impMeta.properties.get(graft.catalog.WriteSortOrder.Prop) shouldBe Some("ts")
+
+    // and it PRUNES: one day's window scans fewer files than the table
+    val total = spark.sql("SELECT COUNT(*) FROM lakehouse.ice_ns.hps_imp.files")
+      .collect()(0).getLong(0).toInt
+    total should be >= 3
+    spark.table("lakehouse.ice_ns.hps_imp")
+      .filter($"ts" >= "2026-03-02 00:00:00" && $"ts" < "2026-03-03 00:00:00")
+      .count() shouldBe 100
+    val (survivors, all) = graft.catalog.LakehouseTable.lastScanFileCounts.get()
+    all shouldBe total
+    survivors should be < total
+    Seq("hps_imp", "hps").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
+  test("write-through mirror: every commit externally readable, maintenance is O(delta)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.wm")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.wm (k INT, v STRING, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES (" +
+      "'graft.delete.mode'='merge-on-read', 'graft.merge.mode'='merge-on-read', " +
+      "'graft.iceberg.mirror'='true')")
+    def check(): Unit = {
+      // NO explicit CALL export_iceberg anywhere in this test: the
+      // commit itself must have maintained the mirror
+      val ours = spark.table("lakehouse.ice_ns.wm")
+        .select($"k", $"v", $"p").collect().map(_.toString).sorted.toSeq
+      icebergRead(tableDir("wm"), Seq("k", "v", "p")) shouldBe ours
+    }
+    // mixed commit sequence, checked after EVERY commit
+    Seq("a", "b").foreach { pv =>
+      (0 until 30).map(i => (i, s"$pv-$i", pv)).toDF("k", "v", "p")
+        .createOrReplaceTempView("ice_wm_src")
+      spark.sql("INSERT INTO lakehouse.ice_ns.wm SELECT * FROM ice_wm_src")
+      check()
+    }
+    graft.catalog.IcebergExport.resetCounters()
+    Seq((100, "c-100", "a")).toDF("k", "v", "p").createOrReplaceTempView("ice_wm_one")
+    spark.sql("INSERT INTO lakehouse.ice_ns.wm SELECT * FROM ice_wm_one")
+    check()
+    // O(delta): the append mirrored by writing ONLY its own chunk and
+    // touching no delete parquet; the two prior chunks were reused
+    graft.catalog.IcebergExport.chunksWritten.get() shouldBe 1
+    graft.catalog.IcebergExport.chunksReused.get() should be >= 2L
+    graft.catalog.IcebergExport.deleteBytesRewritten.get() shouldBe 0L
+
+    graft.catalog.IcebergExport.resetCounters()
+    spark.sql("DELETE FROM lakehouse.ice_ns.wm WHERE k >= 25 AND p = 'a'")
+    check()
+    // the MoR delete rewrote exactly the new delete parquet; all data
+    // chunks reused untouched
+    graft.catalog.IcebergExport.chunksWritten.get() shouldBe 0
+    graft.catalog.IcebergExport.deleteBytesRewritten.get() should be > 0L
+
+    Seq((1, "upd-1", "b"), (200, "new-200", "b"))
+      .toDF("k", "v", "p").createOrReplaceTempView("ice_wm_chg")
+    spark.sql("""MERGE INTO lakehouse.ice_ns.wm t USING ice_wm_chg s
+                |ON t.k = s.k AND t.p = s.p
+                |WHEN MATCHED THEN UPDATE SET t.v = s.v
+                |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)
+                |""".stripMargin)
+    check()
+    // compaction (rewrites data layout + drops deletes) mirrors too
+    spark.sql("CALL lakehouse.system.compact('ice_ns', 'wm')")
+    check()
+    // property flip turns maintenance OFF: the next commit goes stale
+    // (readers fail loudly on the advanced hint), proving the hook is
+    // property-gated
+    spark.sql("ALTER TABLE lakehouse.ice_ns.wm SET TBLPROPERTIES " +
+      "('graft.iceberg.mirror'='false')")
+    Seq((300, "d-300", "a")).toDF("k", "v", "p").createOrReplaceTempView("ice_wm_off")
+    spark.sql("INSERT INTO lakehouse.ice_ns.wm SELECT * FROM ice_wm_off")
+    val md = tableDir("wm").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    Files.exists(md.resolve(s"v$hint.metadata.json")) shouldBe false
+    spark.sql("DROP TABLE lakehouse.ice_ns.wm")
   }
 
   test("name mapping recurses into structs inside arrays, ids in lockstep with the schema") {
