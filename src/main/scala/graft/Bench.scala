@@ -40,6 +40,42 @@ object BenchGuard {
   def spreadContended(samples: Seq[Double]): Boolean =
     samples.nonEmpty && samples.min > 0.05 &&
       samples.max > 3.0 * samples.min && samples.max - samples.min > 0.2
+
+  /** SUSTAINED contention is invisible to the spread check: a host that
+    * stays loaded for a query's whole window inflates all three samples
+    * equally (r13's driver artifact recorded 5-19× slowdowns with TIGHT
+    * spreads on untouched queries). The committed BENCH_FULL record has
+    * the history — a fresh min >3× the committed min with a material
+    * absolute gap flags `history_drift`, and the bench re-runs the
+    * query solo after releasing pins + a GC so the artifact
+    * self-adjudicates (a contention drift collapses back to the
+    * historical time; a real regression stays slow and the record shows
+    * both numbers). Sub-50 ms historical mins are exempt (jitter). */
+  def historyDrift(freshMin: Double, historicalMin: Double): Boolean =
+    historicalMin > 0.05 && freshMin > 3.0 * historicalMin &&
+      freshMin - historicalMin > 0.2
+
+  /** Per-query `min` timings of a committed BENCH_FULL artifact —
+    * absent file or malformed JSON yields an empty history (the drift
+    * check simply stays off). */
+  def historicalMins(path: java.nio.file.Path): Map[String, Double] =
+    try {
+      import org.json4s._
+      val o = org.json4s.jackson.JsonMethods
+        .parse(java.nio.file.Files.readString(path))
+        .asInstanceOf[JObject].obj.toMap
+      o.get("queries").collect { case q: JObject =>
+        q.obj.flatMap { case (name, rec) =>
+          rec.asInstanceOf[JObject].obj.toMap.get("min").flatMap {
+            case JDouble(d) => Some(name -> d)
+            case JInt(i) => Some(name -> i.toDouble)
+            case JLong(l) => Some(name -> l.toDouble)
+            case JDecimal(d) => Some(name -> d.toDouble)
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Exception => Map.empty[String, Double] }
 }
 
 object Bench {
@@ -149,14 +185,22 @@ object Bench {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
         ps.exists(p => n == p || n.startsWith(p + "_")) }
     }
-    val sampled: Seq[(String, Either[String, (Seq[Double], Boolean)])] =
+    // the committed artifact's per-query mins: sustained-contention
+    // drift detection compares against them (BenchGuard.historyDrift)
+    val sfName0 = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val history = BenchGuard.historicalMins(
+      java.nio.file.Paths.get(s"BENCH_FULL_$sfName0.json"))
+    final case class Sample(
+        samples: Seq[Double], contended: Boolean,
+        drift: Option[(Double, Double)]) // (historical min, solo re-run min)
+    val sampled: Seq[(String, Either[String, Sample])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         def err(e: Throwable) =
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
         val warm = try { fn(spark, sfDir).count(); None }
                    catch { case e: Throwable => Some(err(e)) }
         releasePins()
-        val res: Either[String, (Seq[Double], Boolean)] = warm match {
+        val res: Either[String, Sample] = warm match {
           case Some(msg) => Left(msg)
           case None =>
             var failure: Option[String] = None
@@ -179,11 +223,25 @@ object Bench {
               samples = (samples :+ timedRun()).sorted
               contended = BenchGuard.spreadContended(samples)
             }
-            failure.toLeft((samples, contended))
+            // sustained contention inflates ALL samples with a tight
+            // spread — only the committed history can see it. Re-run
+            // solo after a pin release + GC; a contention drift
+            // collapses to the historical min (and self-heals `min`),
+            // a real regression stays slow with both numbers recorded
+            var drift: Option[(Double, Double)] = None
+            if (failure.isEmpty) history.get(name).foreach { h =>
+              if (BenchGuard.historyDrift(samples.min, h)) {
+                releasePins(); System.gc()
+                val solo = math.min(timedRun(), timedRun())
+                samples = (samples :+ solo).sorted
+                drift = Some((h, solo))
+              }
+            }
+            failure.toLeft(Sample(samples, contended, drift))
         }
         name -> res
       }
-    val results = sampled.collect { case (name, Right((ss, _))) => name -> ss.min }
+    val results = sampled.collect { case (name, Right(s)) => name -> s.samples.min }
     val failed = sampled.collect { case (name, Left(msg)) => name -> msg }
     val total = results.map(_._2).sum
     def dict(rs: Seq[(String, Double)]): String =
@@ -215,9 +273,12 @@ object Bench {
         s""""loadavg":{"before":"$loadBefore","after":"$loadAfter","cpus":$cpus}"""
     val fullJson =
       sampled.map {
-        case (k, Right((ss, contended))) =>
+        case (k, Right(Sample(ss, contended, drift))) =>
           val flag = if (contended) ""","contended":true""" else ""
-          s""""$k":{"min":${ss.min},"med":${ss(ss.size / 2)},"max":${ss.max}$flag}"""
+          val driftJson = drift.map { case (h, solo) =>
+            f""","history_drift":{"historical":$h%.3f,"solo":$solo%.3f}"""
+          }.getOrElse("")
+          s""""$k":{"min":${ss.min},"med":${ss(ss.size / 2)},"max":${ss.max}$flag$driftJson}"""
         case (k, Left(msg)) =>
           s""""$k":{"err":"${msg.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")}"}"""
       }.mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,$loadJson,"queries":{""", ",", "}}")

@@ -56,4 +56,34 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.spreadContended(Seq(0.06, 0.1, 0.19)) shouldBe false
     BenchGuard.spreadContended(Nil) shouldBe false
   }
+
+  test("historyDrift: the r13 driver incident shape flags; noise and real small deltas do not") {
+    // the adjudicated incident: q67 recorded 6.56s with a TIGHT spread
+    // (spreadContended never fired) against a committed 0.35s min
+    BenchGuard.spreadContended(Seq(6.41, 6.56, 6.60)) shouldBe false // the blind spot
+    BenchGuard.historyDrift(freshMin = 6.56, historicalMin = 0.35) shouldBe true
+    // a genuine 1.5x regression is NOT drift — it must show as a slower
+    // min, not get adjudicated away
+    BenchGuard.historyDrift(1.4, 1.0) shouldBe false
+    // sub-50ms history: JIT jitter triples those meaninglessly
+    BenchGuard.historyDrift(0.15, 0.04) shouldBe false
+    // immaterial absolute gap
+    BenchGuard.historyDrift(0.25, 0.06) shouldBe false
+  }
+
+  test("historicalMins parses a committed BENCH_FULL artifact; absence disables the check") {
+    val tmp = java.nio.file.Files.createTempFile("bench-hist-", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"metric":"total","value":9.9,"unit":"sec","sf":"x","failed":[],
+        |"queries":{"q01_scan":{"min":0.207,"med":0.3,"max":0.4},
+        |"q67_x":{"min":0.35,"med":0.36,"max":0.37,"contended":true},
+        |"q99_bad":{"err":"boom"}}}""".stripMargin)
+    val h = BenchGuard.historicalMins(tmp)
+    h("q01_scan") shouldBe 0.207 +- 1e-9
+    h("q67_x") shouldBe 0.35 +- 1e-9
+    h.contains("q99_bad") shouldBe false // failed queries carry no min
+    BenchGuard.historicalMins(
+      java.nio.file.Paths.get("/nonexistent/BENCH_FULL.json")) shouldBe empty
+    java.nio.file.Files.delete(tmp)
+  }
 }

@@ -156,4 +156,74 @@ class MediaSpec extends AnyFunSuite with Matchers {
     }
     e.getMessage should include("undecodable")
   }
+
+  // ---- audio (javax.sound WAV codec) ---------------------------------------
+
+  /** Real RIFF/WAVE bytes via the JDK's own writer: 16-bit PCM little-
+    * endian at `sr` Hz; `channels` duplicates the mono signal. */
+  private def wavBytes(
+      samples: Array[Float], sr: Float, channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sr, 16, channels, true, false)
+    val data = new Array[Byte](samples.length * 2 * channels)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768, math.min(32767, (s * 32767f).round)).toShort
+      (0 until channels).foreach { c =>
+        val o = (i * channels + c) * 2
+        data(o) = (v & 0xff).toByte
+        data(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** A 1-second clip at 8 kHz whose energy ENVELOPE follows `pattern`:
+    * window i carries a 440 Hz tone iff pattern bit i is set. Distinct
+    * patterns → distinct envelopes; volume scaling keeps the pattern. */
+  private def burstClip(pattern: Long, amp: Float): Array[Float] = {
+    val sr = 8000
+    Array.tabulate(sr) { i =>
+      val win = math.min(63, i * 64 / sr)
+      if ((pattern & (1L << win)) != 0)
+        (amp * math.sin(2 * math.Pi * 440 * i / sr)).toFloat
+      else 0f
+    }
+  }
+
+  test("WavCodec decodes real WAV payloads; features carry duration/rms/zcr") {
+    import graft.multimodal.{AudioOps, WavCodec}
+    val a = wavBytes(burstClip(0x5a5a5a5a5a5a5a5aL, 0.8f), 8000f)
+    val d = WavCodec.decode(a)
+    d.sampleRate shouldBe 8000f
+    d.channels shouldBe 1
+    d.samples.length shouldBe 8000
+    val feats = AudioOps.audioFeatures(Seq(
+      (1L, a), (2L, wavBytes(burstClip(0x5a5a5a5a5a5a5a5aL, 0.2f), 8000f)))
+      .toDF("id", "payload")).collect().sortBy(_.id)
+    feats.map(_.duration_sec).foreach(_ shouldBe 1.0 +- 0.01)
+    feats(0).rms should be > 3 * feats(1).rms // amplitude 0.8 vs 0.2
+    feats(0).zero_cross_rate should be > 0.0
+    feats(0).sample_rate shouldBe 8000.0
+  }
+
+  test("audio fingerprint: volume change and stereo re-encode are near-dups, a different envelope is not") {
+    import graft.multimodal.{AudioOps, MediaOps}
+    val pa = 0x5a5a5a5a5a5a5a5aL
+    val pb = 0x00ffff0000ffff00L // a genuinely different burst pattern
+    val clips = Seq(
+      1L -> wavBytes(burstClip(pa, 0.8f), 8000f),            // original
+      2L -> wavBytes(burstClip(pa, 0.25f), 8000f),           // volume change
+      3L -> wavBytes(burstClip(pa, 0.8f), 8000f, channels = 2), // stereo re-encode
+      4L -> wavBytes(burstClip(pb, 0.8f), 8000f))            // different signal
+    val hashes = AudioOps.audioHash(clips.toDF("id", "payload"))
+    val pairs = MediaOps.nearDupMedia(hashes, maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain(1L -> 2L) // relative threshold → volume-invariant
+    pairs should contain(1L -> 3L) // mono mixdown → layout-invariant
+    pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
+  }
 }
