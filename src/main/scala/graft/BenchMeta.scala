@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.types._
+
+import graft.catalog.{ColumnRange, IcebergExport, Manifests, Snapshot, TableMetadata}
+
+/** Metadata-layer scale proof (`BENCH_META.json`): builds a synthetic
+  * table of `chunks × filesPerChunk` data files through REAL
+  * `TableMetadata.commit`s (default 8 × 25k = 200k files — the chunk
+  * math of a ~100 TB table at 500 MB/file) and measures the numbers the
+  * O(delta) claims rest on:
+  *
+  *  - append-commit latency on the full-size table (must be O(new
+  *    files), never O(table): untouched chunks are reused by reference);
+  *  - COLD `loadSummary` time/bytes (must parse ZERO chunks — the
+  *    version payload alone serves the catalog);
+  *  - `resolveForScan` for a one-partition predicate on a cold driver
+  *    (must parse only the overlapping chunk(s), via the manifest-list
+  *    summaries);
+  *  - full resolve, as the contrast denominator;
+  *  - Iceberg-mirror maintenance: the initial export writes every chunk
+  *    manifest once; the export after one more append writes exactly
+  *    ONE new Avro and reuses the rest (needs no SparkSession — data
+  *    files here are empty placeholders, only their sizes are stat'd).
+  *
+  * The same harness runs small in MetaScaleSpec with hard bounds on the
+  * counters, so the artifact generator itself is test-covered. No
+  * SparkSession anywhere: this measures the metadata layer, and its
+  * costs, in isolation.
+  */
+object BenchMeta {
+
+  final case class Result(
+      files: Int, chunks: Int,
+      commitAppendMs: Double,
+      coldSummaryMs: Double, coldSummaryBytes: Long, coldSummaryChunksParsed: Long,
+      resolveOneMs: Double, resolveOneBytes: Long, resolveOneChunksParsed: Long,
+      resolveFullMs: Double, resolveFullBytes: Long, resolveFullChunksParsed: Long,
+      exportInitialMs: Double, exportInitialChunksWritten: Long,
+      exportAppendMs: Double, exportAppendChunksWritten: Long,
+      exportAppendChunksReused: Long)
+
+  private val schema = StructType(Seq(
+    StructField("k", IntegerType), StructField("v", StringType),
+    StructField("p", StringType)))
+
+  private def stats(part: String, i: Int): Map[String, ColumnRange] = Map(
+    "k" -> ColumnRange((i * 10).toString, (i * 10 + 9).toString, Some(0L)),
+    "p" -> ColumnRange(part, part, Some(0L)))
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e6)
+  }
+
+  /** Build + measure. `dir` must be empty; placeholder data files are
+    * created so the mirror can stat sizes. */
+  def run(dir: Path, filesPerChunk: Int, chunks: Int): Result = {
+    require(filesPerChunk <= Manifests.ChunkSize,
+      "one commit per chunk: filesPerChunk must fit a single chunk")
+    Files.createDirectories(dir.resolve("data"))
+    var meta = TableMetadata.commit(dir, TableMetadata(
+      version = 1, name = "bench_meta", schema = schema,
+      partitionColumns = Seq("p"), properties = Map.empty,
+      files = Nil, snapshots = Seq(Snapshot(1, 1L, "create", 0, 0))))
+    def mkFiles(part: String, commit: Int, n: Int): Seq[String] =
+      (0 until n).map { i =>
+        val rel = f"data/c$commit/part-$i%06d.parquet"
+        val p = dir.resolve(rel)
+        Files.createDirectories(p.getParent)
+        Files.createFile(p)
+        rel
+      }
+    // one commit per partition value → each chunk summary is a single
+    // p value, the shape the pruning path is built for
+    (0 until chunks).foreach { c =>
+      val part = f"p$c%03d"
+      val rels = mkFiles(part, c + 2, filesPerChunk)
+      meta = TableMetadata.commit(dir, meta.copy(
+        version = meta.version + 1,
+        files = meta.files ++ rels,
+        fileStats = meta.fileStats ++ rels.zipWithIndex.map { case (r, i) =>
+          r -> stats(part, i) },
+        fileRows = meta.fileRows ++ rels.map(_ -> 100L),
+        snapshots = meta.snapshots :+ Snapshot(
+          meta.version + 1, meta.version + 1L, "append", rels.size, 0)))
+    }
+
+    // append-commit latency at full size: O(new files) — the existing
+    // chunks must be reused by reference, not rewritten
+    val tail = mkFiles("p_tail", chunks + 2, 100)
+    val (_, commitMs) = timed {
+      meta = TableMetadata.commit(dir, meta.copy(
+        version = meta.version + 1,
+        files = meta.files ++ tail,
+        fileStats = meta.fileStats ++ tail.zipWithIndex.map { case (r, i) =>
+          r -> stats("p_tail", i) },
+        fileRows = meta.fileRows ++ tail.map(_ -> 100L),
+        snapshots = meta.snapshots :+ Snapshot(
+          meta.version + 1, meta.version + 1L, "append", tail.size, 0)))
+    }
+
+    // cold driver: summary load parses no chunks
+    Manifests.clearCacheForTesting()
+    Manifests.resetCounters()
+    val (summary, sumMs) = timed(TableMetadata.loadSummary(dir))
+    val sumBytes = Manifests.bytesRead.get()
+    val sumParsed = Manifests.manifestsParsed.get()
+
+    // cold one-partition resolve: only the overlapping chunk parses
+    Manifests.clearCacheForTesting()
+    Manifests.resetCounters()
+    val mdDir = TableMetadata.metadataDir(dir)
+    val (_, oneMs) = timed(TableMetadata.resolveForScan(mdDir, summary,
+      Seq(org.apache.spark.sql.sources.EqualTo("p", "p000"))))
+    val oneBytes = Manifests.bytesRead.get()
+    val oneParsed = Manifests.manifestsParsed.get()
+
+    // the contrast: a full resolve parses everything
+    Manifests.clearCacheForTesting()
+    Manifests.resetCounters()
+    val (full, fullMs) = timed(TableMetadata.load(dir))
+    val fullBytes = Manifests.bytesRead.get()
+    val fullParsed = Manifests.manifestsParsed.get()
+
+    // mirror maintenance: initial export writes every chunk manifest
+    // once; the export after one more append writes exactly one
+    IcebergExport.resetCounters()
+    val (_, exp1Ms) = timed(IcebergExport.exportSnapshot(null, dir, full))
+    val exp1Written = IcebergExport.chunksWritten.get()
+    val more = mkFiles("p_tail2", chunks + 3, 100)
+    meta = TableMetadata.commit(dir, meta.copy(
+      version = meta.version + 1,
+      files = meta.files ++ more,
+      fileStats = meta.fileStats ++ more.zipWithIndex.map { case (r, i) =>
+        r -> stats("p_tail2", i) },
+      fileRows = meta.fileRows ++ more.map(_ -> 100L),
+      snapshots = meta.snapshots :+ Snapshot(
+        meta.version + 1, meta.version + 1L, "append", more.size, 0)))
+    IcebergExport.resetCounters()
+    val (_, exp2Ms) = timed(
+      IcebergExport.exportSnapshot(null, dir, TableMetadata.load(dir)))
+    Result(
+      files = meta.files.size, chunks = full.manifests.size,
+      commitAppendMs = commitMs,
+      coldSummaryMs = sumMs, coldSummaryBytes = sumBytes,
+      coldSummaryChunksParsed = sumParsed,
+      resolveOneMs = oneMs, resolveOneBytes = oneBytes,
+      resolveOneChunksParsed = oneParsed,
+      resolveFullMs = fullMs, resolveFullBytes = fullBytes,
+      resolveFullChunksParsed = fullParsed,
+      exportInitialMs = exp1Ms, exportInitialChunksWritten = exp1Written,
+      exportAppendMs = exp2Ms,
+      exportAppendChunksWritten = IcebergExport.chunksWritten.get(),
+      exportAppendChunksReused = IcebergExport.chunksReused.get())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = Files.createTempDirectory("graft-bench-meta-")
+    val r = run(dir, filesPerChunk = 25000, chunks = 8)
+    val json =
+      f"""{"metric":"bench_meta","files":${r.files},"chunks":${r.chunks},""" +
+        f""""commit_append_100_ms":${r.commitAppendMs}%.1f,""" +
+        f""""cold_load_summary_ms":${r.coldSummaryMs}%.1f,""" +
+        f""""cold_load_summary_bytes":${r.coldSummaryBytes},""" +
+        f""""cold_load_summary_chunks_parsed":${r.coldSummaryChunksParsed},""" +
+        f""""resolve_one_partition_ms":${r.resolveOneMs}%.1f,""" +
+        f""""resolve_one_partition_bytes":${r.resolveOneBytes},""" +
+        f""""resolve_one_partition_chunks_parsed":${r.resolveOneChunksParsed},""" +
+        f""""resolve_full_ms":${r.resolveFullMs}%.1f,""" +
+        f""""resolve_full_bytes":${r.resolveFullBytes},""" +
+        f""""resolve_full_chunks_parsed":${r.resolveFullChunksParsed},""" +
+        f""""export_initial_ms":${r.exportInitialMs}%.1f,""" +
+        f""""export_initial_chunks_written":${r.exportInitialChunksWritten},""" +
+        f""""export_after_append_ms":${r.exportAppendMs}%.1f,""" +
+        f""""export_after_append_chunks_written":${r.exportAppendChunksWritten},""" +
+        f""""export_after_append_chunks_reused":${r.exportAppendChunksReused}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_META.json"), json)
+    println(json)
+    graft.catalog.Fs.deleteRecursively(dir)
+  }
+}

@@ -363,10 +363,18 @@ object IcebergExport {
       avro: String, len: Long, minSeq: Long, maxSeq: Long, rows: Long,
       count: Int, snap: Long, sv: Boolean, fp: String)
 
+  /** One previously exported snapshot, carried forward verbatim so
+    * external engines can time-travel to it (tags): the rendered
+    * snapshot JSON object and every artifact (rel path) its manifest
+    * list transitively references — kept out of GC while the snapshot
+    * is retained, all with zero re-reads. */
+  private final case class SnapState(json: String, artifacts: Seq[String])
+
   private final case class MirrorState(
       partCols: Seq[String],
       chunks: Map[String, ChunkState],
-      deletes: Map[String, String])
+      deletes: Map[String, String],
+      snaps: Map[Int, SnapState] = Map.empty)
 
   private val StateName = "iceberg-mirror-state.json"
 
@@ -391,6 +399,13 @@ object IcebergExport {
         }.getOrElse(Map.empty),
         deletes = o.get("deletes").collect { case d: JObject =>
           d.obj.toMap.map { case (k, v) => k -> js(v) }
+        }.getOrElse(Map.empty),
+        snaps = o.get("snaps").collect { case s: JObject =>
+          s.obj.toMap.map { case (v, rec) =>
+            val m = rec.asInstanceOf[JObject].obj.toMap
+            v.toInt -> SnapState(js(m("json")),
+              m("artifacts").asInstanceOf[JArray].arr.map(js))
+          }
         }.getOrElse(Map.empty))
     } catch { case _: Exception => MirrorState(Nil, Map.empty, Map.empty) }
     // unreadable state only costs a rebuild — never correctness
@@ -409,6 +424,11 @@ object IcebergExport {
       }),
       "deletes" -> JObject(s.deletes.toList.sortBy(_._1).map { case (k, v) =>
         k -> (JString(v): JValue)
+      }),
+      "snaps" -> JObject(s.snaps.toList.sortBy(_._1).map { case (v, sn) =>
+        v.toString -> (JObject(
+          "json" -> JString(sn.json),
+          "artifacts" -> JArray(sn.artifacts.toList.map(JString(_)))): JValue)
       }))
     val tmp = Files.createTempFile(md, ".icestate-", ".tmp")
     try {
@@ -505,6 +525,7 @@ object IcebergExport {
     val newChunks = scala.collection.mutable.Map.empty[String, ChunkState]
     val newDeletes = scala.collection.mutable.Map.empty[String, String]
     var savedSvKey: Seq[String] = Nil // set inside the build (sv cache key)
+    var savedSnaps: Map[Int, SnapState] = Map.empty
     val fileCount = try {
 
     val (schemaJ, lastColumnId) = schemaJson(meta.schema)
@@ -772,8 +793,13 @@ object IcebergExport {
       m.put("key_metadata", null)
       m
     }
-    def keep(rel: String): Unit =
+    // artifacts of THIS snapshot (recorded in the state so later
+    // exports can retain the snapshot for external time travel)
+    val snapRefs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def keep(rel: String): Unit = {
       referenced += dir.resolve(rel).toAbsolutePath.normalize
+      snapRefs += rel
+    }
 
     // ---- data manifests: one Avro per graft chunk, reused by
     // reference while the chunk lives and the fingerprint holds — the
@@ -909,6 +935,42 @@ object IcebergExport {
       manifests)
     keep(listRel)
 
+    // ---- snapshot history: previously exported snapshots whose graft
+    // version is still live (not expired) carry forward VERBATIM —
+    // their rendered snapshot JSON and transitive artifact lists come
+    // from the mirror state with zero re-reads, and graft tags publish
+    // as Iceberg tag refs, so external engines time-travel to exactly
+    // the snapshots graft itself retains (`VERSION AS OF '<tag>'`'s
+    // external face). Expiring a graft version retires its exported
+    // snapshot and releases its artifacts to GC on the next export.
+    val retainedSnaps: Seq[(Int, SnapState)] = prevState.snaps.toSeq
+      .filter { case (v, _) =>
+        v < meta.version && TableMetadata.versionIsLive(dir, v)
+      }.sortBy(_._1)
+    retainedSnaps.foreach(_._2.artifacts.foreach(rel =>
+      referenced += dir.resolve(rel).toAbsolutePath.normalize))
+    val snapJson: JObject = JObject(
+      "snapshot-id" -> JLong(snapshotId),
+      "sequence-number" -> JInt(meta.version),
+      "timestamp-ms" -> JLong(nowMs),
+      "manifest-list" -> JString(uri(listRel)),
+      "summary" -> JObject(
+        "operation" -> JString("append"),
+        "total-records" -> JString(
+          meta.files.map(f => meta.fileRows.getOrElse(f, 0L)).sum.toString),
+        "total-data-files" -> JString(meta.files.size.toString)),
+      "schema-id" -> JInt(0))
+    val liveIds = retainedSnaps.map(_._1).toSet + meta.version
+    val tagRefs: List[(String, JValue)] = meta.properties.toList.collect {
+      case (k, v) if k.startsWith(Maintenance.TagPrefix) &&
+          v.toIntOption.exists(liveIds) =>
+        k.stripPrefix(Maintenance.TagPrefix) -> (JObject(
+          "snapshot-id" -> JLong(v.toLong),
+          "type" -> JString("tag")): JValue)
+    }.sortBy(_._1)
+    savedSnaps = retainedSnaps.toMap + (meta.version -> SnapState(
+      JsonMethods.compact(JsonMethods.render(snapJson)), snapRefs.toSeq))
+
     // ---- metadata.json
     // the write sort order publishes as an identity-ascending Iceberg
     // sort order (id 1) so a round-trip import keeps the layout hint
@@ -951,23 +1013,22 @@ object IcebergExport {
           JsonMethods.compact(JsonMethods.render(nameMapping(meta.schema)))))
           .toList.sortBy(_._1).map { case (k, v) => k -> (JString(v): JValue) }),
       "current-snapshot-id" -> JLong(snapshotId),
-      "snapshots" -> JArray(List(JObject(
-        "snapshot-id" -> JLong(snapshotId),
-        "sequence-number" -> JInt(meta.version),
-        "timestamp-ms" -> JLong(nowMs),
-        "manifest-list" -> JString(uri(listRel)),
-        "summary" -> JObject(
-          "operation" -> JString("append"),
-          "total-records" -> JString(
-            meta.files.map(f => meta.fileRows.getOrElse(f, 0L)).sum.toString),
-          "total-data-files" -> JString(meta.files.size.toString)),
-        "schema-id" -> JInt(0)))),
-      "snapshot-log" -> JArray(List(JObject(
-        "timestamp-ms" -> JLong(nowMs), "snapshot-id" -> JLong(snapshotId)))),
+      "snapshots" -> JArray(
+        retainedSnaps.map { case (_, s) => JsonMethods.parse(s.json) }.toList :+
+          (snapJson: JValue)),
+      "snapshot-log" -> JArray(
+        retainedSnaps.map { case (v, s) =>
+          JObject(
+            "timestamp-ms" -> (JsonMethods.parse(s.json) \ "timestamp-ms"),
+            "snapshot-id" -> JLong(v.toLong)): JValue
+        }.toList :+ (JObject(
+          "timestamp-ms" -> JLong(nowMs),
+          "snapshot-id" -> JLong(snapshotId)): JValue)),
       "metadata-log" -> JArray(Nil),
-      "refs" -> JObject("main" -> JObject(
-        "snapshot-id" -> JLong(snapshotId),
-        "type" -> JString("branch"))))
+      "refs" -> JObject(
+        ("main" -> (JObject(
+          "snapshot-id" -> JLong(snapshotId),
+          "type" -> JString("branch")): JValue)) :: tagRefs))
     val tmp = Files.createTempFile(md, ".icemeta-", ".tmp")
     try {
       Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(metadataJson)))
@@ -992,7 +1053,7 @@ object IcebergExport {
     // reference. A same-version re-export already swapped metadata.json
     // in place via REPLACE_EXISTING, so the target itself never drops.
     try saveState(md, MirrorState(
-      savedSvKey, newChunks.toMap, newDeletes.toMap))
+      savedSvKey, newChunks.toMap, newDeletes.toMap, savedSnaps))
     catch { case _: Exception => () }
     staleArtifacts.filterNot(p =>
       p == target || referenced(p.toAbsolutePath.normalize)).foreach(drop)

@@ -457,7 +457,7 @@ object TableMetadata {
     * survivors. A cold driver's single-partition query thus reads
     * O(overlapping chunks), not O(table). Chunks without a summary are
     * always parsed. */
-  private[catalog] def resolveForScan(
+  private[graft] def resolveForScan(
       mdDir: Path,
       summary: TableMetadata,
       filters: Seq[org.apache.spark.sql.sources.Filter]): TableMetadata =

@@ -592,7 +592,7 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.nest")
   }
 
-  test("re-export garbage-collects the previous export; hint always names a live export") {
+  test("re-export retains live snapshots, GCs expired ones; hint always names a live export") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.g")
     spark.sql("CREATE TABLE lakehouse.ice_ns.g (k INT)")
@@ -602,19 +602,28 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("INSERT INTO lakehouse.ice_ns.g SELECT * FROM ice_gsrc")
     spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'g')")
     val md = tableDir("g").resolve("metadata")
-    val exports = graft.catalog.Fs.children(md)
-      .map(_.getFileName.toString).filter(_.endsWith(".metadata.json"))
-    exports.size shouldBe 1 // the stale v2 export is gone
+    def names() = graft.catalog.Fs.children(md).map(_.getFileName.toString)
+    val exports = names().filter(_.endsWith(".metadata.json"))
+    exports.size shouldBe 1 // ONE metadata document — the current one
     val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
     exports.head shouldBe s"v$hint.metadata.json"
-    // snap/manifest avro files: exactly the live export's
-    graft.catalog.Fs.children(md).map(_.getFileName.toString)
-      .count(n => n.startsWith("snap-") && n.endsWith(".avro")) shouldBe 1
-    // unpartitioned table → empty spec, still schema-valid
+    // the previous snapshot's manifest list is RETAINED (its graft
+    // version is still live → external time travel can reach it), and
+    // the snapshots array lists both
+    names().count(n => n.startsWith("snap-") && n.endsWith(".avro")) shouldBe 2
     val meta = readJson(md.resolve(s"v$hint.metadata.json"))
+    meta("snapshots").asInstanceOf[JArray].arr.size shouldBe 2
+    // unpartitioned table → empty spec, still schema-valid
     meta("partition-specs").asInstanceOf[JArray].arr.head
       .asInstanceOf[JObject].obj.toMap.apply("fields")
       .asInstanceOf[JArray].arr shouldBe empty
+    // expiring graft's history retires the exported snapshot too: the
+    // mirror follows the SAME retention the table itself enforces
+    spark.sql("CALL lakehouse.system.expire_snapshots('ice_ns', 'g', 1)")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'g')")
+    names().count(n => n.startsWith("snap-") && n.endsWith(".avro")) shouldBe 1
+    readJson(md.resolve(s"v$hint.metadata.json"))("snapshots")
+      .asInstanceOf[JArray].arr.size shouldBe 1
     spark.sql("DROP TABLE lakehouse.ice_ns.g")
   }
 }

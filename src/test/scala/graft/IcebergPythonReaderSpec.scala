@@ -69,4 +69,53 @@ class IcebergPythonReaderSpec extends AnyFunSuite with Matchers {
     }
     spark.sql("DROP TABLE lakehouse.ice_ns.pyr")
   }
+
+  test("external time travel: a tagged snapshot reads back via refs after later DML") {
+    val probe = Process(Seq("python3", "-c", "import duckdb"))
+      .!(ProcessLogger(_ => (), _ => ()))
+    assume(probe == 0, "python3 + duckdb not available in this environment")
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.ptt")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.ptt (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read', " +
+      "'graft.iceberg.mirror'='true')")
+    (0 until 20).map(i => (i, s"a-$i")).toDF("k", "v")
+      .createOrReplaceTempView("ice_ptt_1")
+    spark.sql("INSERT INTO lakehouse.ice_ns.ptt SELECT * FROM ice_ptt_1") // v2
+    (20 until 40).map(i => (i, s"b-$i")).toDF("k", "v")
+      .createOrReplaceTempView("ice_ptt_2")
+    spark.sql("INSERT INTO lakehouse.ice_ns.ptt SELECT * FROM ice_ptt_2") // v3
+    spark.sql("CALL lakehouse.system.tag('ice_ns', 'ptt', 'train', 3)") // v4
+    // history advances past the tag — the tagged snapshot must remain
+    // externally readable through the mirror's refs
+    spark.sql("DELETE FROM lakehouse.ice_ns.ptt WHERE k < 5") // v5
+    (40 until 50).map(i => (i, s"c-$i")).toDF("k", "v")
+      .createOrReplaceTempView("ice_ptt_3")
+    spark.sql("INSERT INTO lakehouse.ice_ns.ptt SELECT * FROM ice_ptt_3") // v6
+
+    val expDir = Files.createTempDirectory("graft-pyreader-tt-").toString
+    spark.sql("SELECT k, v FROM lakehouse.ice_ns.ptt VERSION AS OF 'train'")
+      .coalesce(1).write.mode("overwrite").parquet(expDir)
+    val tableDir = Paths.get(TestSpark.warehouse, "ice_ns", "ptt").toString
+    val out = new StringBuilder
+    val code = Process(Seq("python3", tool, tableDir, expDir, "train"))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    withClue(out.toString) {
+      code shouldBe 0
+      out.toString should include("MATCH (40 rows")
+    }
+    // and the current snapshot still matches the current scan
+    val curDir = Files.createTempDirectory("graft-pyreader-cur-").toString
+    spark.table("lakehouse.ice_ns.ptt").select($"k", $"v")
+      .coalesce(1).write.mode("overwrite").parquet(curDir)
+    val out2 = new StringBuilder
+    val code2 = Process(Seq("python3", tool, tableDir, curDir))
+      .!(ProcessLogger(l => out2.append(l).append('\n'), l => out2.append(l).append('\n')))
+    withClue(out2.toString) {
+      code2 shouldBe 0
+      out2.toString should include("MATCH")
+    }
+    spark.sql("DROP TABLE lakehouse.ice_ns.ptt")
+  }
 }

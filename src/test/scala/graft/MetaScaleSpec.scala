@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Hard bounds on the metadata-layer scale counters, via the SAME
+  * harness that generates `BENCH_META.json` ([[BenchMeta.run]]) — at a
+  * small size so the suite stays fast, with the bounds that make the
+  * O(delta) claims falsifiable:
+  *
+  *  - cold `loadSummary` parses ZERO chunks;
+  *  - a cold one-partition `resolveForScan` parses ≤ 2 of the chunks
+  *    and reads a fraction of the full-resolve bytes;
+  *  - mirror maintenance after an append writes exactly ONE new chunk
+  *    manifest and reuses every other.
+  */
+class MetaScaleSpec extends AnyFunSuite with Matchers {
+
+  test("BenchMeta harness: summary/pruned-resolve/mirror counters hold their bounds") {
+    val dir = Files.createTempDirectory("graft-meta-scale-")
+    try {
+      val r = BenchMeta.run(dir, filesPerChunk = 500, chunks = 6)
+      r.files shouldBe 6 * 500 + 200 // 6 chunk commits + two 100-file appends
+      r.chunks should be >= 7
+
+      // catalog-serving summary load: zero chunks parsed, zero chunk bytes
+      r.coldSummaryChunksParsed shouldBe 0L
+      r.coldSummaryBytes shouldBe 0L
+
+      // one-partition cold resolve: only the overlapping chunk(s)
+      r.resolveOneChunksParsed should be >= 1L
+      r.resolveOneChunksParsed should be <= 2L
+      r.resolveFullChunksParsed should be >= 7L
+      r.resolveOneBytes.toDouble should be < r.resolveFullBytes / 3.0
+
+      // mirror maintenance: the initial export writes every chunk once;
+      // after one append it writes exactly the new chunk
+      r.exportInitialChunksWritten shouldBe r.resolveFullChunksParsed
+      r.exportAppendChunksWritten shouldBe 1L
+      r.exportAppendChunksReused shouldBe r.exportInitialChunksWritten
+    } finally graft.catalog.Fs.deleteRecursively(dir)
+  }
+}

@@ -13,7 +13,11 @@ resulting row multiset against an expected parquet dump (e.g. what
 graft's own scan wrote).
 
 Usage:
-    python3 tools/check_iceberg.py <table_dir> <expected_parquet_path>
+    python3 tools/check_iceberg.py <table_dir> <expected_parquet_path> [ref]
+
+The optional [ref] names a branch/tag from the metadata's "refs" map —
+external time travel: the reader resolves that ref's snapshot instead
+of the current one.
 
 <expected_parquet_path> may be a single .parquet file, a directory of
 part files, or a glob. Exit 0 and "MATCH (n rows)" on success; exit 1
@@ -190,8 +194,9 @@ def local_path(uri: str) -> str:
     raise ValueError(f"non-local file uri: {uri}")
 
 
-def read_iceberg_table(table_dir: Path):
-    """Returns (column_names, rows) of the table's current snapshot."""
+def read_iceberg_table(table_dir: Path, ref=None):
+    """Returns (column_names, rows) of the current snapshot, or of the
+    snapshot a branch/tag ref points at (external time travel)."""
     md = table_dir / "metadata"
     hint = int((md / "version-hint.text").read_text().strip())
     meta_file = md / f"v{hint}.metadata.json"
@@ -206,8 +211,10 @@ def read_iceberg_table(table_dir: Path):
     cols = [f["name"] for f in schema["fields"]]
     name_by_id = {f["id"]: f["name"] for f in schema["fields"]}
 
+    snap_id = (meta["refs"][ref]["snapshot-id"] if ref
+               else meta["current-snapshot-id"])
     snap = next(s for s in meta["snapshots"]
-                if s["snapshot-id"] == meta["current-snapshot-id"])
+                if s["snapshot-id"] == snap_id)
     manifest_list = read_avro(Path(local_path(snap["manifest-list"])))
 
     data_files, pos_deletes, eq_deletes = [], [], []
@@ -282,11 +289,12 @@ def norm(rows):
 
 
 def main() -> int:
-    if len(sys.argv) != 3:
+    if len(sys.argv) not in (3, 4):
         print(__doc__)
         return 2
     table_dir, expected = Path(sys.argv[1]), sys.argv[2]
-    cols, got = read_iceberg_table(table_dir)
+    ref = sys.argv[3] if len(sys.argv) == 4 else None
+    cols, got = read_iceberg_table(table_dir, ref)
     want = read_expected(expected, cols)
     g, w = norm(got), norm(want)
     if g == w:
