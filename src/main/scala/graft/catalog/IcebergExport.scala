@@ -368,7 +368,8 @@ object IcebergExport {
     * snapshot JSON object and every artifact (rel path) its manifest
     * list transitively references — kept out of GC while the snapshot
     * is retained, all with zero re-reads. */
-  private final case class SnapState(json: String, artifacts: Seq[String])
+  private final case class SnapState(
+      json: String, artifacts: Seq[String], fp: String = "")
 
   private final case class MirrorState(
       partCols: Seq[String],
@@ -377,6 +378,11 @@ object IcebergExport {
       snaps: Map[Int, SnapState] = Map.empty)
 
   private val StateName = "iceberg-mirror-state.json"
+
+  private def sha1Hex(s: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(bytes).map(b => f"$b%02x").mkString
 
   private def loadState(md: Path): MirrorState = {
     val f = md.resolve(StateName)
@@ -404,7 +410,8 @@ object IcebergExport {
           s.obj.toMap.map { case (v, rec) =>
             val m = rec.asInstanceOf[JObject].obj.toMap
             v.toInt -> SnapState(js(m("json")),
-              m("artifacts").asInstanceOf[JArray].arr.map(js))
+              m("artifacts").asInstanceOf[JArray].arr.map(js),
+              m.get("fp").map(js).getOrElse(""))
           }
         }.getOrElse(Map.empty))
     } catch { case _: Exception => MirrorState(Nil, Map.empty, Map.empty) }
@@ -428,7 +435,8 @@ object IcebergExport {
       "snaps" -> JObject(s.snaps.toList.sortBy(_._1).map { case (v, sn) =>
         v.toString -> (JObject(
           "json" -> JString(sn.json),
-          "artifacts" -> JArray(sn.artifacts.toList.map(JString(_)))): JValue)
+          "artifacts" -> JArray(sn.artifacts.toList.map(JString(_))),
+          "fp" -> JString(sn.fp)): JValue)
       }))
     val tmp = Files.createTempFile(md, ".icestate-", ".tmp")
     try {
@@ -616,7 +624,14 @@ object IcebergExport {
               s => Int.box(java.time.LocalDate.ofEpochDay(epochDay(s)).getYear - 1970))
           case ("truncate", StringType) =>
             val w = t.width.get
-            mk("trunc", s"truncate[$w]", "\"string\"", s => s.take(w))
+            // Iceberg truncate[w] on strings counts Unicode CODE
+            // POINTS, not UTF-16 units — take(w) would split a
+            // surrogate pair and publish a tuple no external engine's
+            // own truncate ever matches
+            mk("trunc", s"truncate[$w]", "\"string\"", s => {
+              val cps = s.codePointCount(0, s.length)
+              s.substring(0, s.offsetByCodePoints(0, math.min(w, cps)))
+            })
           case ("truncate", IntegerType | ShortType) =>
             val w = t.width.get
             mk("trunc", s"truncate[$w]", "\"int\"",
@@ -671,12 +686,7 @@ object IcebergExport {
     // the (schema, partition-spec) fingerprint cached artifacts were
     // written under: a schema evolution or a flipped partition proof
     // changes it and forces chunk re-export
-    val fp = {
-      val dig = java.security.MessageDigest.getInstance("SHA-1")
-        .digest((schemaStr + "|" + specJson)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      dig.take(5).map(b => f"$b%02x").mkString
-    }
+    val fp = sha1Hex(schemaStr + "|" + specJson, 5)
     val entrySchema = manifestEntrySchema(
       specFields.map { case (f, fid) => (f.name, f.avroType, fid) })
     val partSchema = entrySchema.getField("data_file").schema()
@@ -837,7 +847,12 @@ object IcebergExport {
         }
       }
       st.map { c =>
-        if (key != "<inline>") newChunks(key) = c
+        // refresh the sv verdict even on Avro reuse: the Avro depends
+        // only on fp, but sv is keyed by svKey — a transform change
+        // that leaves fp intact (unpartitioned → unpartitioned) would
+        // otherwise persist a verdict computed under the OLD key
+        if (key != "<inline>")
+          newChunks(key) = c.copy(sv = svByChunk.getOrElse(key, true))
         keep(c.avro)
         listRecord(c.avro, c.len, 0, 0, c.minSeq, c.maxSeq, c.snap, c.count, c.rows)
       }
@@ -852,9 +867,7 @@ object IcebergExport {
         f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
           .putLong("parquet.field.id", idOf(f.name).toLong).build())
       })
-    def shaName(s: String): String = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(6).map(b => f"$b%02x").mkString
+    def shaName(s: String): String = sha1Hex(s, 6)
     // equality rewrites embed schema field ids → fingerprint-scoped;
     // position rewrites use the spec's reserved ids → stable
     def delRel(d: DeleteFile): String =
@@ -943,9 +956,15 @@ object IcebergExport {
     // the snapshots graft itself retains (`VERSION AS OF '<tag>'`'s
     // external face). Expiring a graft version retires its exported
     // snapshot and releases its artifacts to GC on the next export.
+    // fp guard: the document publishes only the CURRENT schema (id 0)
+    // and spec (id 0), so a snapshot exported under a DIFFERENT
+    // (schema, spec) fingerprint must drop out — carrying it would
+    // make external readers decode its partition tuples / columns with
+    // the wrong definitions. Honest degradation: the snapshot stays
+    // time-travelable in graft; it just leaves the external mirror.
     val retainedSnaps: Seq[(Int, SnapState)] = prevState.snaps.toSeq
-      .filter { case (v, _) =>
-        v < meta.version && TableMetadata.versionIsLive(dir, v)
+      .filter { case (v, s) =>
+        v < meta.version && s.fp == fp && TableMetadata.versionIsLive(dir, v)
       }.sortBy(_._1)
     retainedSnaps.foreach(_._2.artifacts.foreach(rel =>
       referenced += dir.resolve(rel).toAbsolutePath.normalize))
@@ -969,7 +988,7 @@ object IcebergExport {
           "type" -> JString("tag")): JValue)
     }.sortBy(_._1)
     savedSnaps = retainedSnaps.toMap + (meta.version -> SnapState(
-      JsonMethods.compact(JsonMethods.render(snapJson)), snapRefs.toSeq))
+      JsonMethods.compact(JsonMethods.render(snapJson)), snapRefs.toSeq, fp))
 
     // ---- metadata.json
     // the write sort order publishes as an identity-ascending Iceberg
@@ -1055,8 +1074,19 @@ object IcebergExport {
     try saveState(md, MirrorState(
       savedSvKey, newChunks.toMap, newDeletes.toMap, savedSnaps))
     catch { case _: Exception => () }
+    // retain the metadata DOCUMENTS of retained snapshots too: an
+    // external reader that loaded the hint just before this export
+    // published still resolves its (previous) version's document. A
+    // historical document serves its own snapshot; its artifacts are
+    // exactly the retained set, GC'd together when the version expires.
+    val DocName = """v(\d+)\.metadata\.json""".r
+    def retainedDoc(p: Path): Boolean = p.getFileName.toString match {
+      case DocName(v) => v.toIntOption.exists(savedSnaps.contains)
+      case _ => false
+    }
     staleArtifacts.filterNot(p =>
-      p == target || referenced(p.toAbsolutePath.normalize)).foreach(drop)
+      p == target || retainedDoc(p) ||
+        referenced(p.toAbsolutePath.normalize)).foreach(drop)
     fileCount
   }
 

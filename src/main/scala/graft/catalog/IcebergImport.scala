@@ -312,18 +312,22 @@ object IcebergImport {
       // the delete file's distinct targets are ≤ the snapshot's data
       // file count (metadata-proportional, like the rest of the import);
       // canonicalizing them driver-side keeps the Spark-side lookup a
-      // codegen'd map literal over the VERBATIM parquet values
-      val observed = spark.read.parquet(r.path.toString)
-        .select(col("file_path")).distinct().collect().map(_.getString(0))
-      val relBySrc: Map[String, String] =
-        observed.flatMap(v => relByCanon.get(canon(v)).map(v -> _)).toMap
-      val mapped = spark.read.parquet(r.path.toString)
-        .select(
-          element_at(typedlit(relBySrc), col("file_path")).as(DeleteFile.PosFileCol),
-          col("pos").cast(LongType).as(DeleteFile.PosPosCol))
-        .filter(col(DeleteFile.PosFileCol).isNotNull)
+      // codegen'd map literal over the VERBATIM parquet values. The
+      // parquet is cached across its two actions (distinct + rewrite).
+      val src = spark.read.parquet(r.path.toString).persist()
       val rel = s"$delDir/pos-$i.parquet"
-      writeOneParquet(spark, mapped, dir, rel)
+      try {
+        val observed = src
+          .select(col("file_path")).distinct().collect().map(_.getString(0))
+        val relBySrc: Map[String, String] =
+          observed.flatMap(v => relByCanon.get(canon(v)).map(v -> _)).toMap
+        val mapped = src
+          .select(
+            element_at(typedlit(relBySrc), col("file_path")).as(DeleteFile.PosFileCol),
+            col("pos").cast(LongType).as(DeleteFile.PosPosCol))
+          .filter(col(DeleteFile.PosFileCol).isNotNull)
+        writeOneParquet(spark, mapped, dir, rel)
+      } finally src.unpersist()
       val footer = FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(rel).toString),
         MergeOnRead.posKeySchema)

@@ -606,12 +606,23 @@ object TableMetadata {
         s"commit conflict: version ${meta.version} already exists for ${meta.name}")
     val prevFile = if (meta.version <= 1) None else Some(versionFile(tableDir, meta.version - 1))
     val (json, sequenced, newManifests) = renderNext(md, prevFile, meta)
-    publishPayload(md, target, json, newManifests, meta.name, meta.version)
     // write-through Iceberg mirror: tables opted in via
     // `graft.iceberg.mirror=true` maintain their external snapshot as
     // part of every main-log publish (never fails the commit — see
-    // [[IcebergExport.maintainMirror]])
-    IcebergExport.maintainMirror(tableDir, sequenced)
+    // [[IcebergExport.maintainMirror]]). The version-hint advances
+    // only AFTER the mirror lands: external readers following
+    // hint → v<N>.metadata.json must never observe N before the
+    // document exists (graft's own readers are indifferent — the
+    // forward probe finds the new contiguous version from any older
+    // hint). On mirror failure the hint still advances: staleness
+    // then surfaces loudly at the reader, the documented contract.
+    val mirrored = meta.properties.get("graft.iceberg.mirror").contains("true")
+    publishPayload(md, target, json, newManifests, meta.name, meta.version,
+      advanceHint = !mirrored)
+    if (mirrored) {
+      IcebergExport.maintainMirror(tableDir, sequenced)
+      writeHint(md, meta.version)
+    }
     sequenced
   }
 

@@ -1221,6 +1221,23 @@ object Relational {
     s"${r.get(0)}:${r.get(1)}"
   }
 
+  /** Mutual exclusion for the shared `/tmp/graft_rt/rely_wh` fixture
+    * warehouse: two same-SF sessions racing a `freshly` check's
+    * DROP/CREATE would corrupt the cached fixtures. JVM monitor first
+    * (overlapping FileLocks within one JVM throw), then an OS-level
+    * FileLock for the cross-process case — the same two-tier pattern
+    * the expire floor uses. Single-driver today; this makes the cache
+    * safe if the driver ever parallelizes gates. */
+  private val relyLockMonitor = new Object
+  private def withRelyLock[A](f: => A): A = relyLockMonitor.synchronized {
+    val dir = java.nio.file.Paths.get("/tmp/graft_rt")
+    java.nio.file.Files.createDirectories(dir)
+    val ch = java.nio.channels.FileChannel.open(dir.resolve("rely_wh.lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try f finally l.release() } finally ch.close()
+  }
+
   val q111 = Q(
     "q111_rely_join_elimination",
     (s, d) => {
@@ -1247,22 +1264,24 @@ object Relational {
           stale
         }
       val custMark = srcMark(srcCust)
-      if (freshly("customer", custMark)) {
-        s.sql(s"CREATE TABLE $cat.$ns.customer (c_custkey BIGINT NOT NULL, " +
-          "c_name STRING, CONSTRAINT cust_pk PRIMARY KEY (c_custkey) NOT ENFORCED RELY) " +
-          s"TBLPROPERTIES ('graft.src.mark'='$custMark')")
-        srcCust.createOrReplaceTempView("rely_cust_src")
-        s.sql(s"INSERT INTO $cat.$ns.customer SELECT * FROM rely_cust_src")
-      }
       val ordMark = srcMark(srcOrd)
-      if (freshly("orders", ordMark)) {
-        s.sql(s"CREATE TABLE $cat.$ns.orders (o_orderkey BIGINT, " +
-          "o_custkey BIGINT NOT NULL, o_totalprice DOUBLE, o_orderpriority STRING, " +
-          s"CONSTRAINT ord_fk FOREIGN KEY (o_custkey) " +
-          s"REFERENCES $cat.$ns.customer (c_custkey) NOT ENFORCED RELY) " +
-          s"TBLPROPERTIES ('graft.src.mark'='$ordMark')")
-        srcOrd.createOrReplaceTempView("rely_ord_src")
-        s.sql(s"INSERT INTO $cat.$ns.orders SELECT * FROM rely_ord_src")
+      withRelyLock {
+        if (freshly("customer", custMark)) {
+          s.sql(s"CREATE TABLE $cat.$ns.customer (c_custkey BIGINT NOT NULL, " +
+            "c_name STRING, CONSTRAINT cust_pk PRIMARY KEY (c_custkey) NOT ENFORCED RELY) " +
+            s"TBLPROPERTIES ('graft.src.mark'='$custMark')")
+          srcCust.createOrReplaceTempView("rely_cust_src")
+          s.sql(s"INSERT INTO $cat.$ns.customer SELECT * FROM rely_cust_src")
+        }
+        if (freshly("orders", ordMark)) {
+          s.sql(s"CREATE TABLE $cat.$ns.orders (o_orderkey BIGINT, " +
+            "o_custkey BIGINT NOT NULL, o_totalprice DOUBLE, o_orderpriority STRING, " +
+            s"CONSTRAINT ord_fk FOREIGN KEY (o_custkey) " +
+            s"REFERENCES $cat.$ns.customer (c_custkey) NOT ENFORCED RELY) " +
+            s"TBLPROPERTIES ('graft.src.mark'='$ordMark')")
+          srcOrd.createOrReplaceTempView("rely_ord_src")
+          s.sql(s"INSERT INTO $cat.$ns.orders SELECT * FROM rely_ord_src")
+        }
       }
       s.sql(
         s"""SELECT o.o_orderpriority, COUNT(*) AS cnt,
@@ -1333,6 +1352,7 @@ object Relational {
       // need the MoR merged view, which is exactly what this query is
       // in the middle of building
       val mark = srcMark(src)
+      withRelyLock {
       val fresh = !s.catalog.tableExists(t) || {
         val stale = !graft.catalog.TableMetadata.load(dir)
           .properties.get("graft.src.mark").contains(mark)
@@ -1358,6 +1378,7 @@ object Relational {
                  |""".stripMargin)
         // attach the deletion-vector sidecar to the positional entry
         s.sql(s"CALL $cat.system.vectorize_deletes('$ns', 'orders')")
+      }
       }
       // merged read through the engine API — the SAME path the
       // MorReads extension rule plans for `spark.table`, but callable
@@ -1401,6 +1422,7 @@ object Relational {
       val src = customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
       val t = s"$cat.$ns.customer"
       val mark = srcMark(src)
+      withRelyLock {
       val fresh = !s.catalog.tableExists(t) || {
         val stale = !graft.catalog.TableMetadata.load(
           java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "customer"))
@@ -1419,12 +1441,85 @@ object Relational {
           s.sql(s"INSERT INTO $t SELECT * FROM magg_src WHERE c_nationkey = $n")
         }
       }
+      }
       s.sql(
         s"""SELECT COUNT(*) AS cnt, MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k
            |FROM $t WHERE c_nationkey = 7""".stripMargin)
     },
     Some("""SELECT COUNT(*) AS cnt, MIN(c_custkey) AS min_k, MAX(c_custkey) AS max_k
            |FROM customer WHERE c_nationkey = 7""".stripMargin))
+
+  /** Iceberg ROUND TRIP, oracle-checked end-to-end in the driver gate:
+    * supplier lands as a WRITE-THROUGH-MIRRORED MoR table (every
+    * commit, including the MoR DELETE, maintains the spec-conformant
+    * Iceberg export as it publishes), then `import_iceberg` ingests the
+    * mirror's artifacts — metadata.json, Avro manifests, rewritten v2
+    * delete files, NEVER graft's own log — as a second table whose
+    * merged read must hash-match DuckDB computing the same delete
+    * arithmetically over the raw parquet. One query covers the round's
+    * flagship surface: mirror maintenance, export delete rewrite,
+    * import sequence rank-remap, and the MoR read of imported delete
+    * state. Fixtures cache per (warehouse, sf) under the rely lock,
+    * keyed by source content fingerprint. */
+  val q115 = Q(
+    "q115_iceberg_roundtrip",
+    (s, d) => {
+      val cat = "grely"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+      val ns = s"ice_${new java.io.File(d).getName.replace('.', '_')}"
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+      val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+      val mark = srcMark(src)
+      val t = s"$cat.$ns.supplier"
+      val ti = s"$cat.$ns.supplier_imp"
+      val srcDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier")
+      val impDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier_imp")
+      withRelyLock {
+        def freshOf(tbl: String, dirOf: java.nio.file.Path): Boolean =
+          !s.catalog.tableExists(s"$cat.$ns.$tbl") || {
+            val stale = !graft.catalog.TableMetadata.load(dirOf)
+              .properties.get("graft.src.mark").contains(mark)
+            if (stale) s.sql(s"DROP TABLE $cat.$ns.$tbl")
+            stale
+          }
+        if (freshOf("supplier", srcDir)) {
+          // the import must track a rebuilt source even when the source
+          // build itself is cached: rebuild both together
+          if (s.catalog.tableExists(ti)) s.sql(s"DROP TABLE $ti")
+          s.sql(s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING, " +
+            "s_acctbal DOUBLE) TBLPROPERTIES (" +
+            "'graft.delete.mode'='merge-on-read', " +
+            "'graft.iceberg.mirror'='true', " +
+            s"'graft.src.mark'='$mark')")
+          src.createOrReplaceTempView("ice_rt115_src")
+          s.sql(s"INSERT INTO $t SELECT * FROM ice_rt115_src")
+          // MoR delete → the mirror rewrites the v2 delete file as part
+          // of THIS commit's publish (write-through, no CALL export)
+          s.sql(s"DELETE FROM $t WHERE s_suppkey % 10 = 3")
+        }
+        if (freshOf("supplier_imp", impDir)) {
+          val md = srcDir.resolve("metadata")
+          val hint = java.nio.file.Files.readString(
+            md.resolve("version-hint.text")).trim.toInt
+          s.sql(s"CALL $cat.system.import_iceberg('$ns', 'supplier_imp', " +
+            s"'${md.resolve(s"v$hint.metadata.json")}')")
+          s.sql(s"ALTER TABLE $ti SET TBLPROPERTIES ('graft.src.mark'='$mark')")
+        }
+      }
+      // merged read through the engine API (bare-session path, as q112)
+      val meta = graft.catalog.TableMetadata.load(impDir)
+      val merged = graft.catalog.MergeOnRead.read(s, impDir, meta, meta.files)
+      merged.createOrReplaceTempView("ice_rt115_imp")
+      s.sql(
+        s"""SELECT s_suppkey % 7 AS grp, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM ice_rt115_imp GROUP BY s_suppkey % 7 ORDER BY grp""".stripMargin)
+    },
+    Some("""SELECT s_suppkey % 7 AS grp, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM supplier WHERE s_suppkey % 10 <> 3
+           |GROUP BY s_suppkey % 7 ORDER BY grp""".stripMargin))
 
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
@@ -1692,5 +1787,5 @@ object Relational {
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
-    q83, q84, q85, q86, q87, q111, q112, q113, q114)
+    q83, q84, q85, q86, q87, q111, q112, q113, q114, q115)
 }

@@ -341,9 +341,10 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.table("lakehouse.ice_ns.rt2_imp")
       .select($"k", $"v", $"p").collect().map(_.toString).sorted.toSeq shouldBe ours
 
-    // every imported fileSeq and delete seq sits BELOW the table version
+    // every imported fileSeq and delete seq sits AT OR BELOW the table
+    // version (the invariant future DML at version+1 needs)
     val im = graft.catalog.TableMetadata.load(tableDir("rt2_imp"))
-    im.files.map(im.seqOf).foreach(_ should be < im.version)
+    im.files.map(im.seqOf).foreach(_ should be <= im.version)
     im.deleteFiles.map(_.seq).foreach(_ should be <= im.version)
 
     // (1) a post-import DELETE must hit EVERY imported file — including
@@ -556,6 +557,39 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.wm")
   }
 
+  test("streaming ingestion keeps the mirror fresh: external reads track every epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.sm")
+    // the reference's actual premise: a stream writes the table, an
+    // external engine reads it — with the write-through mirror the
+    // epoch commits THEMSELVES maintain the external snapshot
+    spark.sql("CREATE TABLE lakehouse.ice_ns.sm (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.iceberg.mirror'='true')")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ice-sm-ckpt-").toString
+    val q = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .toTable("lakehouse.ice_ns.sm")
+    try {
+      def check(): Unit = {
+        val ours = spark.table("lakehouse.ice_ns.sm")
+          .select($"k", $"v").collect().map(_.toString).sorted.toSeq
+        icebergRead(tableDir("sm"), Seq("k", "v")) shouldBe ours
+      }
+      in.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      check()
+      in.addData((3, "c"))
+      q.processAllAvailable()
+      check()
+    } finally q.stop()
+    spark.sql("DROP TABLE lakehouse.ice_ns.sm")
+  }
+
   test("name mapping recurses into structs inside arrays, ids in lockstep with the schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.nest")
@@ -604,9 +638,11 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     val md = tableDir("g").resolve("metadata")
     def names() = graft.catalog.Fs.children(md).map(_.getFileName.toString)
     val exports = names().filter(_.endsWith(".metadata.json"))
-    exports.size shouldBe 1 // ONE metadata document — the current one
+    // BOTH documents retained: a reader that loaded the hint just
+    // before the re-export still resolves its version's document
+    exports.size shouldBe 2
     val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
-    exports.head shouldBe s"v$hint.metadata.json"
+    exports should contain(s"v$hint.metadata.json")
     // the previous snapshot's manifest list is RETAINED (its graft
     // version is still live → external time travel can reach it), and
     // the snapshots array lists both
@@ -622,6 +658,7 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("CALL lakehouse.system.expire_snapshots('ice_ns', 'g', 1)")
     spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'g')")
     names().count(n => n.startsWith("snap-") && n.endsWith(".avro")) shouldBe 1
+    names().count(_.endsWith(".metadata.json")) shouldBe 1 // expired doc GC'd
     readJson(md.resolve(s"v$hint.metadata.json"))("snapshots")
       .asInstanceOf[JArray].arr.size shouldBe 1
     spark.sql("DROP TABLE lakehouse.ice_ns.g")
