@@ -110,12 +110,17 @@ object IcebergImport {
 
   // ---- import ---------------------------------------------------------------
 
+  /** `ref`: optionally import the snapshot a branch/tag in the
+    * document's `refs` map points at, instead of the current one —
+    * time-travel import (e.g. pinning the tagged snapshot a model
+    * trained on as its own table). */
   def importTable(
       spark: SparkSession,
       catalog: String,
       namespace: Seq[String],
       table: String,
-      metadataJsonPath: String): Long = {
+      metadataJsonPath: String,
+      ref: Option[String] = None): Long = {
     val metaPath = Paths.get(metadataJsonPath)
     val m = JsonMethods.parse(Files.readString(metaPath)).asInstanceOf[JObject].obj.toMap
     def jlong(v: JValue): Long = v match {
@@ -195,8 +200,17 @@ object IcebergImport {
       }
       .map(f => nameById(jlong(f("source-id")).toInt))).getOrElse(Nil)
 
-    // current snapshot → manifest list → manifests → entries
-    val snapId = jlong(m("current-snapshot-id"))
+    // selected snapshot (current, or the one a named ref points at)
+    // → manifest list → manifests → entries
+    val snapId = ref match {
+      case None => jlong(m("current-snapshot-id"))
+      case Some(r) =>
+        val refs = m.getOrElse("refs", JObject(Nil)).asInstanceOf[JObject].obj.toMap
+        val entry = refs.getOrElse(r, throw new IllegalArgumentException(
+          s"import_iceberg: no ref '$r' in the metadata document " +
+            s"(refs: ${refs.keys.toSeq.sorted.mkString(", ")})"))
+        jlong(entry.asInstanceOf[JObject].obj.toMap.apply("snapshot-id"))
+    }
     val snap = m("snapshots").asInstanceOf[JArray].arr
       .map(_.asInstanceOf[JObject].obj.toMap)
       .find(s => jlong(s("snapshot-id")) == snapId)

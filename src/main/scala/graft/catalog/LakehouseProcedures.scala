@@ -149,9 +149,14 @@ object LakehouseProcedures {
   private def importIcebergProc(catalogName: String) = new MaintenanceProc("import_iceberg",
     Array(
       param("ns", StringType), param("tbl", StringType),
-      param("metadata_json", StringType)), "files", catalogName) {
+      param("metadata_json", StringType),
+      // optional branch/tag name from the document's refs map —
+      // time-travel import (empty = the current snapshot)
+      param("ref", StringType, "''")), "files", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
-      IcebergImport.importTable(spark, cat, ns(a), tbl(a), a.getUTF8String(2).toString)
+      IcebergImport.importTable(spark, cat, ns(a), tbl(a),
+        a.getUTF8String(2).toString,
+        Option(a.getUTF8String(3)).map(_.toString).filter(_.nonEmpty))
   }
 
   private def bloomIndexProc(catalogName: String) = new MaintenanceProc("bloom_index",

@@ -105,6 +105,20 @@ class IcebergPythonReaderSpec extends AnyFunSuite with Matchers {
       code shouldBe 0
       out.toString should include("MATCH (40 rows")
     }
+    // time-travel IMPORT: the tagged snapshot pins as its own table —
+    // the reproducibility story end-to-end ("the snapshot the model
+    // trained on", importable anywhere by ref name)
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.ptt_train")
+    val mdDir = Paths.get(tableDir, "metadata")
+    val hint = Files.readString(mdDir.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'ptt_train', " +
+      s"'${mdDir.resolve(s"v$hint.metadata.json")}', 'train')")
+    spark.table("lakehouse.ice_ns.ptt_train").select($"k", $"v")
+      .collect().map(_.toString).sorted shouldBe
+      spark.sql("SELECT k, v FROM lakehouse.ice_ns.ptt VERSION AS OF 'train'")
+        .collect().map(_.toString).sorted
+    spark.sql("DROP TABLE lakehouse.ice_ns.ptt_train")
+
     // and the current snapshot still matches the current scan
     val curDir = Files.createTempDirectory("graft-pyreader-cur-").toString
     spark.table("lakehouse.ice_ns.ptt").select($"k", $"v")
