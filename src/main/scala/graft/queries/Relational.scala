@@ -1521,6 +1521,80 @@ object Relational {
            |FROM supplier WHERE s_suppkey % 10 <> 3
            |GROUP BY s_suppkey % 7 ORDER BY grp""".stripMargin))
 
+  /** Shared fixture for q116/q117: supplier split across two commits by
+    * suppkey parity, with a tag pinned between them — versions are
+    * deterministic on a fresh build (v1 create, v2 even rows, v3 tag,
+    * v4 odd rows), so time travel and the changelog window are both
+    * oracle-reconstructable from the raw parquet by parity predicate. */
+  private def timeTravelFixture(s: SparkSession, d: String): String = {
+    val cat = "grely"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+    val ns = s"tt_${new java.io.File(d).getName.replace('.', '_')}"
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+    val mark = srcMark(src)
+    val t = s"$cat.$ns.supplier_tt"
+    withRelyLock {
+      val fresh = !s.catalog.tableExists(t) || {
+        val stale = !graft.catalog.TableMetadata.load(
+          java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier_tt"))
+          .properties.get("graft.src.mark").contains(mark)
+        if (stale) s.sql(s"DROP TABLE $t")
+        stale
+      }
+      if (fresh) {
+        s.sql(s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING, " +
+          s"s_acctbal DOUBLE) TBLPROPERTIES ('graft.src.mark'='$mark')") // v1
+        src.createOrReplaceTempView("tt_src")
+        s.sql(s"INSERT INTO $t SELECT * FROM tt_src WHERE s_suppkey % 2 = 0") // v2
+        s.sql(s"CALL $cat.system.tag('$ns', 'supplier_tt', 'base', 2)") // v3
+        s.sql(s"INSERT INTO $t SELECT * FROM tt_src WHERE s_suppkey % 2 = 1") // v4
+      }
+    }
+    t
+  }
+
+  /** TIME TRAVEL oracle-checked end-to-end in the driver gate: reading
+    * the TAGGED snapshot must see exactly the even-suppkey half however
+    * far history advanced — DuckDB reconstructs that snapshot
+    * arithmetically from the raw parquet. Until now time travel was
+    * spec-covered only (TagSpec); this puts `VERSION AS OF '<tag>'`
+    * under the hash-match gate at every SF. */
+  val q116 = Q(
+    "q116_time_travel_tag",
+    (s, d) => {
+      val t = timeTravelFixture(s, d)
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           |       MIN(s_suppkey) AS min_k, MAX(s_suppkey) AS max_k
+           |FROM $t VERSION AS OF 'base'""".stripMargin)
+    },
+    Some("""SELECT COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+           |       MIN(s_suppkey) AS min_k, MAX(s_suppkey) AS max_k
+           |FROM supplier WHERE s_suppkey % 2 = 0""".stripMargin))
+
+  /** CHANGELOG (CDC read) oracle-checked end-to-end: the `.changes`
+    * face windowed to the post-tag commit must emit exactly the
+    * odd-suppkey inserts with `_change_type='insert'` — the incremental
+    * consumer's contract (process only what commit v4 added), which
+    * DuckDB reconstructs by parity predicate. Until now `.changes` was
+    * spec-covered only (ChangelogSpec). */
+  val q117 = Q(
+    "q117_changelog_window",
+    (s, d) => {
+      val t = timeTravelFixture(s, d)
+      s.sql(
+        s"""SELECT s_suppkey, s_name, _change_type
+           |FROM $t.changes WHERE _commit_version = 4
+           |ORDER BY s_suppkey""".stripMargin)
+    },
+    Some("""SELECT s_suppkey, s_name, 'insert' AS _change_type
+           |FROM supplier WHERE s_suppkey % 2 = 1
+           |ORDER BY s_suppkey""".stripMargin))
+
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
     * scan a pipeline runs on every ingest before anything trains on it
@@ -1787,5 +1861,5 @@ object Relational {
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
-    q83, q84, q85, q86, q87, q111, q112, q113, q114, q115)
+    q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117)
 }
