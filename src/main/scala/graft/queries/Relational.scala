@@ -1595,6 +1595,122 @@ object Relational {
            |FROM supplier WHERE s_suppkey % 2 = 1
            |ORDER BY s_suppkey""".stripMargin))
 
+  /** One cached lakehouse fixture table under the rely lock: create
+    * with `ddl`, run `build` once per (warehouse, sf, source content),
+    * return the table name. The repeated pattern behind q115–q120. */
+  private def cachedFixture(
+      s: SparkSession, d: String, nsPrefix: String, tbl: String,
+      mark: String, ddl: String => String)(build: String => Unit): String = {
+    val cat = "grely"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+    val ns = s"${nsPrefix}_${new java.io.File(d).getName.replace('.', '_')}"
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    val t = s"$cat.$ns.$tbl"
+    withRelyLock {
+      val fresh = !s.catalog.tableExists(t) || {
+        val stale = !graft.catalog.TableMetadata.load(
+          java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, tbl))
+          .properties.get("graft.src.mark").contains(mark)
+        if (stale) s.sql(s"DROP TABLE $t")
+        stale
+      }
+      if (fresh) { s.sql(ddl(t)); build(t) }
+    }
+    t
+  }
+
+  /** BRANCH (write-audit-publish) read, oracle-checked: ingest lands on
+    * a branch main readers never see; the audit read via
+    * `VERSION AS OF '<branch>'` must serve main's rows PLUS the
+    * branch's — DuckDB reconstructs the branch head from the raw
+    * parquet (all rows) while main still holds half. Previously
+    * BranchSpec-only coverage. */
+  val q118 = Q(
+    "q118_branch_wap_read",
+    (s, d) => {
+      val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+      val t = cachedFixture(s, d, "br", "supplier_br", srcMark(src),
+        t => s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING, " +
+          s"s_acctbal DOUBLE) TBLPROPERTIES ('graft.src.mark'='${srcMark(src)}')") { t =>
+        src.createOrReplaceTempView("br_src")
+        s.sql(s"INSERT INTO $t SELECT * FROM br_src WHERE s_suppkey % 2 = 0")
+        val Array(_, ns, tbl) = t.split('.')
+        s.sql(s"CALL grely.system.branch('$ns', '$tbl', 'audit')")
+        s.sql("SELECT * FROM br_src WHERE s_suppkey % 2 = 1")
+          .createOrReplaceTempView("br_delta")
+        s.sql(s"CALL grely.system.append_to_branch('$ns', '$tbl', 'audit', 'br_delta')")
+      }
+      s.sql(
+        s"""SELECT COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM $t VERSION AS OF 'audit'""".stripMargin)
+    },
+    Some("""SELECT COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM supplier""".stripMargin))
+
+  /** SCHEMA EVOLUTION (ADD COLUMN ... DEFAULT) oracle-checked: rows
+    * written BEFORE the column existed read the frozen initial default
+    * with no file rewrite; rows after carry real values. DuckDB
+    * reconstructs the same split by parity. Previously
+    * DefaultValueSpec-only coverage. */
+  val q119 = Q(
+    "q119_schema_evolution_default",
+    (s, d) => {
+      val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+      val t = cachedFixture(s, d, "se", "supplier_se", srcMark(src),
+        t => s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING) " +
+          s"TBLPROPERTIES ('graft.src.mark'='${srcMark(src)}')") { t =>
+        src.createOrReplaceTempView("se_src")
+        s.sql(s"INSERT INTO $t SELECT s_suppkey, s_name FROM se_src " +
+          "WHERE s_suppkey % 2 = 0")
+        s.sql(s"ALTER TABLE $t ADD COLUMN s_acctbal DOUBLE DEFAULT 1.5")
+        s.sql(s"INSERT INTO $t SELECT s_suppkey, s_name, s_acctbal FROM se_src " +
+          "WHERE s_suppkey % 2 = 1")
+      }
+      s.sql(
+        s"""SELECT s_suppkey % 3 AS grp, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM $t GROUP BY s_suppkey % 3 ORDER BY grp""".stripMargin)
+    },
+    Some("""SELECT s_suppkey % 3 AS grp, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(
+           |         CASE WHEN s_suppkey % 2 = 0 THEN 1.5 ELSE s_acctbal END
+           |         AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM supplier GROUP BY s_suppkey % 3 ORDER BY grp""".stripMargin))
+
+  /** Static-partition INSERT OVERWRITE oracle-checked: replacing ONE
+    * partition must leave every other byte of the table untouched —
+    * DuckDB computes the post-overwrite state arithmetically.
+    * Previously InsertOverwriteSpec-only coverage. */
+  val q120 = Q(
+    "q120_partition_overwrite",
+    (s, d) => {
+      val src = supplier(s, d).select("s_suppkey", "s_acctbal")
+      val t = cachedFixture(s, d, "ow", "supplier_ow", srcMark(src),
+        t => s"CREATE TABLE $t (k BIGINT, bal DOUBLE, par STRING) " +
+          "PARTITIONED BY (par) " +
+          s"TBLPROPERTIES ('graft.src.mark'='${srcMark(src)}')") { t =>
+        src.createOrReplaceTempView("ow_src")
+        s.sql(s"INSERT INTO $t SELECT s_suppkey, s_acctbal, " +
+          "CASE WHEN s_suppkey % 2 = 0 THEN 'even' ELSE 'odd' END FROM ow_src")
+        s.sql(s"INSERT OVERWRITE $t PARTITION (par = 'odd') " +
+          "SELECT s_suppkey, s_acctbal + 100 FROM ow_src WHERE s_suppkey % 2 = 1")
+      }
+      s.sql(
+        s"""SELECT par, COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM $t GROUP BY par ORDER BY par""".stripMargin)
+    },
+    Some("""SELECT CASE WHEN s_suppkey % 2 = 0 THEN 'even' ELSE 'odd' END AS par,
+           |       COUNT(*) AS cnt,
+           |       CAST(SUM(CAST(
+           |         CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal
+           |              ELSE s_acctbal + 100 END
+           |         AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+           |FROM supplier GROUP BY 1 ORDER BY par""".stripMargin))
+
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
     * scan a pipeline runs on every ingest before anything trains on it
@@ -1861,5 +1977,6 @@ object Relational {
     q14, q14b, q15, q16, q16b, q17, q17b, q18, q19, q20, q20b, q21, q21b, q22,
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
-    q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117)
+    q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117,
+    q118, q119, q120)
 }
