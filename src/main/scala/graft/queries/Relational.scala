@@ -1711,6 +1711,46 @@ object Relational {
            |         AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
            |FROM supplier GROUP BY 1 ORDER BY par""".stripMargin))
 
+  /** INCREMENTALLY MAINTAINED MATERIALIZED VIEW oracle-checked: the MV
+    * materializes over half the data, the other half appends, and the
+    * refresh must FOLD the delta in (the build asserts mode ==
+    * "incremental" — a silent full recompute would pass the values but
+    * betray the maintenance contract); the folded result hash-matches
+    * DuckDB aggregating everything directly. Previously
+    * MaterializedViewSpec-only coverage. */
+  val q121 = Q(
+    "q121_mv_incremental",
+    (s, d) => {
+      val src = supplier(s, d).select("s_suppkey")
+      val t = cachedFixture(s, d, "mv", "fact", srcMark(src),
+        t => s"CREATE TABLE $t (cat STRING, amount BIGINT) " +
+          s"TBLPROPERTIES ('graft.src.mark'='${srcMark(src)}')") { t =>
+        val Array(_, ns, _) = t.split('.')
+        src.createOrReplaceTempView("mv_fixture_src")
+        s.sql(s"INSERT INTO $t SELECT CAST(s_suppkey % 5 AS STRING), s_suppkey " +
+          "FROM mv_fixture_src WHERE s_suppkey % 2 = 0")
+        graft.catalog.MaterializedView.create(s, "grely", Seq(ns), "supp_by_cat",
+          "fact", Seq("cat"), Seq(
+            graft.catalog.MaterializedView.Agg("sum", "amount", "total"),
+            graft.catalog.MaterializedView.Agg("count", "*", "n"),
+            graft.catalog.MaterializedView.Agg("max", "amount", "hi")))
+        s.sql(s"INSERT INTO $t SELECT CAST(s_suppkey % 5 AS STRING), s_suppkey " +
+          "FROM mv_fixture_src WHERE s_suppkey % 2 = 1")
+        val mode = graft.catalog.MaterializedView.refresh(
+          s, "grely", Seq(ns), "supp_by_cat")
+        require(mode == "incremental",
+          s"append-only delta must fold incrementally, got '$mode'")
+      }
+      val ns = t.split('.')(1)
+      s.sql(
+        s"""SELECT cat, CAST(total AS DOUBLE) AS total, n, hi
+           |FROM grely.$ns.supp_by_cat ORDER BY cat""".stripMargin)
+    },
+    Some("""SELECT CAST(s_suppkey % 5 AS VARCHAR) AS cat,
+           |       CAST(SUM(s_suppkey) AS DOUBLE) AS total,
+           |       COUNT(*) AS n, MAX(s_suppkey) AS hi
+           |FROM supplier GROUP BY 1 ORDER BY cat""".stripMargin))
+
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
     * scan a pipeline runs on every ingest before anything trains on it
@@ -1978,5 +2018,5 @@ object Relational {
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
     q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120)
+    q118, q119, q120, q121)
 }
