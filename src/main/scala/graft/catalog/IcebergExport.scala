@@ -393,6 +393,12 @@ object IcebergExport {
         case JInt(i) => i.toLong; case JLong(l) => l; case x => x.values.toString.toLong
       }
       def js(v: JValue): String = v.asInstanceOf[JString].s
+      // format gate: a state written by an OLDER revision (different
+      // fields, different fingerprint semantics) must rebuild, never be
+      // half-trusted — e.g. snapshots without an fp would otherwise all
+      // drop out of (or wrongly stay in) the mirror on the next export
+      if (!o.get("fmt").exists(jl(_) == StateFmt))
+        return MirrorState(Nil, Map.empty, Map.empty)
       MirrorState(
         partCols = o.get("partCols").collect { case JArray(a) => a.map(js) }.getOrElse(Nil),
         chunks = o.get("chunks").collect { case c: JObject =>
@@ -418,8 +424,13 @@ object IcebergExport {
     // unreadable state only costs a rebuild — never correctness
   }
 
+  /** Bumped whenever the state's fields or semantics change — an
+    * unknown fmt loads as empty (one rebuild, never wrong reuse). */
+  private val StateFmt = 2L
+
   private def saveState(md: Path, s: MirrorState): Unit = {
     val json = JObject(
+      "fmt" -> JLong(StateFmt),
       "partCols" -> JArray(s.partCols.toList.map(JString(_))),
       "chunks" -> JObject(s.chunks.toList.sortBy(_._1).map { case (k, c) =>
         k -> (JObject(
@@ -1077,11 +1088,19 @@ object IcebergExport {
     // retain the metadata DOCUMENTS of retained snapshots too: an
     // external reader that loaded the hint just before this export
     // published still resolves its (previous) version's document. A
-    // historical document serves its own snapshot; its artifacts are
-    // exactly the retained set, GC'd together when the version expires.
+    // historical document serves its OWN snapshot; refs/snapshot
+    // entries inside it may dangle after later expiry — readers doing
+    // time travel should refresh to the hinted document first. The
+    // version the hint CURRENTLY names is always kept even when its
+    // snapshot just left the retained set (e.g. a fingerprint change):
+    // the hint advances only after this export returns, so dropping
+    // that document would crash readers inside the publish window.
+    val hintNow =
+      try Files.readString(md.resolve("version-hint.text")).trim.toIntOption.getOrElse(-1)
+      catch { case _: Exception => -1 }
     val DocName = """v(\d+)\.metadata\.json""".r
     def retainedDoc(p: Path): Boolean = p.getFileName.toString match {
-      case DocName(v) => v.toIntOption.exists(savedSnaps.contains)
+      case DocName(v) => v.toIntOption.exists(n => savedSnaps.contains(n) || n == hintNow)
       case _ => false
     }
     staleArtifacts.filterNot(p =>

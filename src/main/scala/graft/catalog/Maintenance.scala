@@ -1577,7 +1577,13 @@ object Maintenance {
             s"commit conflict: main advanced to v$v during fast-forward of '$name'", e)
       }
     }
-    TableMetadata.writeHint(TableMetadata.metadataDir(dir), head.version)
+    // fast-forward is a main-log publish: a mirrored table maintains
+    // its export before the hint names the published head (the same
+    // invariant ordinary commits enforce)
+    if (TableMetadata.isMirrored(head))
+      TableMetadata.mirrorThenHint(dir, head)
+    else
+      TableMetadata.writeHint(TableMetadata.metadataDir(dir), head.version)
     head.version
   }
 

@@ -616,14 +616,26 @@ object TableMetadata {
     // forward probe finds the new contiguous version from any older
     // hint). On mirror failure the hint still advances: staleness
     // then surfaces loudly at the reader, the documented contract.
-    val mirrored = meta.properties.get("graft.iceberg.mirror").contains("true")
+    val mirrored = isMirrored(meta)
     publishPayload(md, target, json, newManifests, meta.name, meta.version,
       advanceHint = !mirrored)
-    if (mirrored) {
-      IcebergExport.maintainMirror(tableDir, sequenced)
-      writeHint(md, meta.version)
-    }
+    if (mirrored) mirrorThenHint(tableDir, sequenced)
     sequenced
+  }
+
+  private[catalog] def isMirrored(meta: TableMetadata): Boolean =
+    meta.properties.get("graft.iceberg.mirror").contains("true")
+
+  /** The hint-advance half of the write-through-mirror invariant:
+    * external readers follow hint → `v<N>.metadata.json`, so EVERY
+    * main-log publish path (ordinary commit, rewrite-manifests,
+    * branch fast-forward) must land the export BEFORE the hint names
+    * the new version. maintainMirror never throws; on its failure the
+    * hint still advances and staleness surfaces loudly at the reader
+    * (the documented contract). */
+  private[catalog] def mirrorThenHint(tableDir: Path, meta: TableMetadata): Unit = {
+    IcebergExport.maintainMirror(tableDir, meta)
+    writeHint(metadataDir(tableDir), meta.version)
   }
 
   /** Atomically land a rendered version payload at `target`; on a lost
@@ -744,8 +756,11 @@ object TableMetadata {
       manifests = refs,
       snapshots = base.snapshots :+ Snapshot(
         next, System.currentTimeMillis(), "rewrite-manifests", 0, base.files.size))
+    val mirrored = isMirrored(sequenced)
     publishPayload(md, target, sequenced.payloadJson,
-      refs.map(r => md.resolve(r.path)), base.name, next)
+      refs.map(r => md.resolve(r.path)), base.name, next,
+      advanceHint = !mirrored)
+    if (mirrored) mirrorThenHint(tableDir, sequenced)
     sequenced
   }
 

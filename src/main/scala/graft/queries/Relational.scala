@@ -1527,32 +1527,17 @@ object Relational {
     * v4 odd rows), so time travel and the changelog window are both
     * oracle-reconstructable from the raw parquet by parity predicate. */
   private def timeTravelFixture(s: SparkSession, d: String): String = {
-    val cat = "grely"
-    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
-    s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
-    val ns = s"tt_${new java.io.File(d).getName.replace('.', '_')}"
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
     val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
     val mark = srcMark(src)
-    val t = s"$cat.$ns.supplier_tt"
-    withRelyLock {
-      val fresh = !s.catalog.tableExists(t) || {
-        val stale = !graft.catalog.TableMetadata.load(
-          java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier_tt"))
-          .properties.get("graft.src.mark").contains(mark)
-        if (stale) s.sql(s"DROP TABLE $t")
-        stale
-      }
-      if (fresh) {
-        s.sql(s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING, " +
-          s"s_acctbal DOUBLE) TBLPROPERTIES ('graft.src.mark'='$mark')") // v1
-        src.createOrReplaceTempView("tt_src")
-        s.sql(s"INSERT INTO $t SELECT * FROM tt_src WHERE s_suppkey % 2 = 0") // v2
-        s.sql(s"CALL $cat.system.tag('$ns', 'supplier_tt', 'base', 2)") // v3
-        s.sql(s"INSERT INTO $t SELECT * FROM tt_src WHERE s_suppkey % 2 = 1") // v4
-      }
+    cachedFixture(s, d, "tt", "supplier_tt", mark,
+      t => s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING, " +
+        s"s_acctbal DOUBLE) TBLPROPERTIES ('graft.src.mark'='$mark')") { t => // v1
+      val Array(_, ns, tbl) = t.split('.')
+      src.createOrReplaceTempView("tt_src")
+      s.sql(s"INSERT INTO $t SELECT * FROM tt_src WHERE s_suppkey % 2 = 0") // v2
+      s.sql(s"CALL grely.system.tag('$ns', '$tbl', 'base', 2)") // v3
+      s.sql(s"INSERT INTO $t SELECT * FROM tt_src WHERE s_suppkey % 2 = 1") // v4
     }
-    t
   }
 
   /** TIME TRAVEL oracle-checked end-to-end in the driver gate: reading
@@ -1630,9 +1615,10 @@ object Relational {
     "q118_branch_wap_read",
     (s, d) => {
       val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
-      val t = cachedFixture(s, d, "br", "supplier_br", srcMark(src),
+      val mark = srcMark(src)
+      val t = cachedFixture(s, d, "br", "supplier_br", mark,
         t => s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING, " +
-          s"s_acctbal DOUBLE) TBLPROPERTIES ('graft.src.mark'='${srcMark(src)}')") { t =>
+          s"s_acctbal DOUBLE) TBLPROPERTIES ('graft.src.mark'='$mark')") { t =>
         src.createOrReplaceTempView("br_src")
         s.sql(s"INSERT INTO $t SELECT * FROM br_src WHERE s_suppkey % 2 = 0")
         val Array(_, ns, tbl) = t.split('.')
@@ -1659,9 +1645,10 @@ object Relational {
     "q119_schema_evolution_default",
     (s, d) => {
       val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
-      val t = cachedFixture(s, d, "se", "supplier_se", srcMark(src),
+      val mark = srcMark(src)
+      val t = cachedFixture(s, d, "se", "supplier_se", mark,
         t => s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING) " +
-          s"TBLPROPERTIES ('graft.src.mark'='${srcMark(src)}')") { t =>
+          s"TBLPROPERTIES ('graft.src.mark'='$mark')") { t =>
         src.createOrReplaceTempView("se_src")
         s.sql(s"INSERT INTO $t SELECT s_suppkey, s_name FROM se_src " +
           "WHERE s_suppkey % 2 = 0")
@@ -1688,10 +1675,11 @@ object Relational {
     "q120_partition_overwrite",
     (s, d) => {
       val src = supplier(s, d).select("s_suppkey", "s_acctbal")
-      val t = cachedFixture(s, d, "ow", "supplier_ow", srcMark(src),
+      val mark = srcMark(src)
+      val t = cachedFixture(s, d, "ow", "supplier_ow", mark,
         t => s"CREATE TABLE $t (k BIGINT, bal DOUBLE, par STRING) " +
           "PARTITIONED BY (par) " +
-          s"TBLPROPERTIES ('graft.src.mark'='${srcMark(src)}')") { t =>
+          s"TBLPROPERTIES ('graft.src.mark'='$mark')") { t =>
         src.createOrReplaceTempView("ow_src")
         s.sql(s"INSERT INTO $t SELECT s_suppkey, s_acctbal, " +
           "CASE WHEN s_suppkey % 2 = 0 THEN 'even' ELSE 'odd' END FROM ow_src")
@@ -1722,9 +1710,10 @@ object Relational {
     "q121_mv_incremental",
     (s, d) => {
       val src = supplier(s, d).select("s_suppkey")
-      val t = cachedFixture(s, d, "mv", "fact", srcMark(src),
+      val mark = srcMark(src)
+      val t = cachedFixture(s, d, "mv", "fact", mark,
         t => s"CREATE TABLE $t (cat STRING, amount BIGINT) " +
-          s"TBLPROPERTIES ('graft.src.mark'='${srcMark(src)}')") { t =>
+          s"TBLPROPERTIES ('graft.src.mark'='$mark')") { t =>
         val Array(_, ns, _) = t.split('.')
         src.createOrReplaceTempView("mv_fixture_src")
         s.sql(s"INSERT INTO $t SELECT CAST(s_suppkey % 5 AS STRING), s_suppkey " +

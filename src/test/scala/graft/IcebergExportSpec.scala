@@ -590,6 +590,36 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.sm")
   }
 
+  test("rewrite_manifests and branch fast-forward maintain the mirror before the hint moves") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.fm")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.fm (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.iceberg.mirror'='true')")
+    def check(): Unit = {
+      val ours = spark.table("lakehouse.ice_ns.fm")
+        .select($"k", $"v").collect().map(_.toString).sorted.toSeq
+      icebergRead(tableDir("fm"), Seq("k", "v")) shouldBe ours
+    }
+    (0 until 2).foreach { i =>
+      Seq((i, s"a-$i")).toDF("k", "v").createOrReplaceTempView("ice_fm_src")
+      spark.sql("INSERT INTO lakehouse.ice_ns.fm SELECT * FROM ice_fm_src")
+    }
+    check()
+    // metadata-only manifest consolidation is a main-log publish too —
+    // the mirror must land before the hint names the new version
+    spark.sql("CALL lakehouse.system.rewrite_manifests('ice_ns', 'fm')")
+    check()
+    // write-audit-publish: the fast-forward publishes the branch's
+    // versions onto main and must bring the mirror with it
+    spark.sql("CALL lakehouse.system.branch('ice_ns', 'fm', 'audit')")
+    Seq((7, "b-7"), (8, "b-8")).toDF("k", "v").createOrReplaceTempView("ice_fm_br")
+    spark.sql("CALL lakehouse.system.append_to_branch('ice_ns', 'fm', 'audit', 'ice_fm_br')")
+    spark.sql("CALL lakehouse.system.fast_forward('ice_ns', 'fm', 'audit')")
+    check() // main now holds the branch rows; external read agrees
+    spark.table("lakehouse.ice_ns.fm").count() shouldBe 4
+    spark.sql("DROP TABLE lakehouse.ice_ns.fm")
+  }
+
   test("name mapping recurses into structs inside arrays, ids in lockstep with the schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.nest")
