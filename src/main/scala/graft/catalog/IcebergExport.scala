@@ -480,19 +480,26 @@ object IcebergExport {
     * write is already durable; un-committing a successful INSERT would
     * be worse) — external readers surface the staleness loudly as a
     * missing `v<N>.metadata.json`, and the error is printed. */
-  def maintainMirror(tableDir: Path, meta: TableMetadata): Unit =
-    if (meta.properties.get("graft.iceberg.mirror").contains("true")) {
+  /** Returns false when this update was SUPERSEDED by a newer version's
+    * mirror (racing commits): the caller must then leave the hint to
+    * the superseding committer — advancing it here would transiently
+    * name a version whose document was (correctly) never written. A
+    * FAILED export still returns true: the hint advances and the
+    * staleness surfaces loudly at the reader, the documented contract. */
+  def maintainMirror(tableDir: Path, meta: TableMetadata): Boolean =
+    if (!meta.properties.get("graft.iceberg.mirror").contains("true")) true
+    else {
       try {
         val spark = SparkSession.getActiveSession
           .orElse(SparkSession.getDefaultSession).orNull
-        exportSnapshot(spark, tableDir, meta)
-        ()
+        exportSnapshot(spark, tableDir, meta) >= 0L
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[graft] iceberg mirror update failed for ${meta.name} " +
               s"v${meta.version} (external readers will see a stale mirror " +
               s"until the next successful commit or export_iceberg): $e")
+          true
       }
     }
 
@@ -504,7 +511,12 @@ object IcebergExport {
       namespace: Seq[String],
       table: String): Long = {
     val dir = Maintenance.lakehouseTable(spark, catalog, namespace, table).tableDir
-    exportSnapshot(spark, dir, TableMetadata.load(dir))
+    // a commit racing this CALL can supersede the loaded snapshot
+    // between load and lock — reload and go again (terminates: the
+    // table can only advance finitely often while we retry)
+    var r = -1L
+    while (r < 0L) r = exportSnapshot(spark, dir, TableMetadata.load(dir))
+    r
   }
 
   /** The incremental export core (see object scaladoc): reuses exported
@@ -513,7 +525,35 @@ object IcebergExport {
     * document, then GCs artifacts the new snapshot no longer
     * references. `spark` may be null when no delete parquet needs
     * rewriting (pure-append mirror maintenance needs no session). */
-  def exportSnapshot(spark: SparkSession, dir: Path, meta: TableMetadata): Long = {
+  /** Striped per-table exclusion for concurrent mirror updates: the
+    * metadata LOG is race-safe on its own (slot claims), but two racing
+    * commits would run exportSnapshot concurrently, and a failing
+    * export's rollback deletes every pattern-matching artifact absent
+    * from ITS stale snapshot — which includes the racer's freshly
+    * published ones. JVM-level only: cross-process mirror races stay
+    * possible in theory (the log stays correct; a clobbered mirror
+    * self-heals on the next export, since reuse verifies file
+    * existence), and the single-driver deployment has exactly one
+    * committer process. */
+  private val mirrorLocks = Array.fill(64)(new Object)
+
+  def exportSnapshot(spark: SparkSession, dir: Path, meta: TableMetadata): Long =
+    mirrorLocks(
+      math.floorMod(dir.toAbsolutePath.normalize.hashCode, 64)).synchronized {
+      exportSnapshotLocked(spark, dir, meta)
+    }
+
+  private def exportSnapshotLocked(
+      spark: SparkSession, dir: Path, meta: TableMetadata): Long = {
+    // supersession guard: with racing commits, the LOG serializes
+    // (v5 then v6) but the mirror calls may run in either order — a
+    // v5 export running after v6's would GC v6's artifacts (they are
+    // not in v5's referenced set) and leave the hinted document
+    // unreadable. A superseded mirror update is skipped (-1): the
+    // newer one covers the table's current state AND owns the hint.
+    // The check sits INSIDE the per-table lock, so skip-vs-export is
+    // atomic against the racer's own export.
+    if (TableMetadata.currentVersion(dir) > meta.version) return -1L
     val md = TableMetadata.metadataDir(dir)
     val snapshotId = meta.version.toLong
     val nowMs = System.currentTimeMillis()

@@ -633,10 +633,12 @@ object TableMetadata {
     * the new version. maintainMirror never throws; on its failure the
     * hint still advances and staleness surfaces loudly at the reader
     * (the documented contract). */
-  private[catalog] def mirrorThenHint(tableDir: Path, meta: TableMetadata): Unit = {
-    IcebergExport.maintainMirror(tableDir, meta)
-    writeHint(metadataDir(tableDir), meta.version)
-  }
+  private[catalog] def mirrorThenHint(tableDir: Path, meta: TableMetadata): Unit =
+    // a superseded mirror update (racing commits) leaves the hint to
+    // the superseding committer — writing it here would transiently
+    // name a version whose document was never written
+    if (IcebergExport.maintainMirror(tableDir, meta))
+      writeHint(metadataDir(tableDir), meta.version)
 
   /** Atomically land a rendered version payload at `target`; on a lost
     * race, delete this attempt's freshly-written manifest chunks (they

@@ -620,6 +620,42 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.fm")
   }
 
+  test("racing commits on a mirrored table leave one readable, current mirror") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.cm")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.cm (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.iceberg.mirror'='true')")
+    // four writers race pure appends: the log serializes via slot
+    // claims + rebase, and the mirror must serialize too — the striped
+    // lock plus the supersession guard (an older version's mirror
+    // running AFTER a newer one's must no-op, not GC its artifacts)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (0 until 4).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            (0 until 3).foreach { i =>
+              val view = s"ice_cm_w${w}_$i"
+              (0 until 5).map(j => (w * 1000 + i * 10 + j, s"w$w-$i-$j"))
+                .toDF("k", "v").createOrReplaceTempView(view)
+              spark.sql(s"INSERT INTO lakehouse.ice_ns.cm SELECT * FROM $view")
+            }
+          }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    spark.table("lakehouse.ice_ns.cm").count() shouldBe 60
+    // the mirror names the FINAL version and reads row-exact
+    val ours = spark.table("lakehouse.ice_ns.cm")
+      .select($"k", $"v").collect().map(_.toString).sorted.toSeq
+    icebergRead(tableDir("cm"), Seq("k", "v")) shouldBe ours
+    val md = tableDir("cm").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    hint shouldBe graft.catalog.TableMetadata.currentVersion(tableDir("cm"))
+    spark.sql("DROP TABLE lakehouse.ice_ns.cm")
+  }
+
   test("name mapping recurses into structs inside arrays, ids in lockstep with the schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.nest")
