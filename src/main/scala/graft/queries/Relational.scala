@@ -1740,6 +1740,34 @@ object Relational {
            |       COUNT(*) AS n, MAX(s_suppkey) AS hi
            |FROM supplier GROUP BY 1 ORDER BY cat""".stripMargin))
 
+  /** GENERATED columns oracle-checked: the engine computes the derived
+    * value at WRITE time — even for a writer that smuggles its own
+    * value in — and the stored result must equal DuckDB recomputing
+    * the expression from the source columns. Previously
+    * GeneratedColumnSpec-only coverage. */
+  val q122 = Q(
+    "q122_generated_column",
+    (s, d) => {
+      val src = supplier(s, d).select("s_suppkey", "s_name")
+      val mark = srcMark(src)
+      val t = cachedFixture(s, d, "gc", "supplier_gc", mark,
+        t => s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING, " +
+          "key_bucket BIGINT GENERATED ALWAYS AS (s_suppkey % 13), " +
+          "name_u STRING GENERATED ALWAYS AS (upper(s_name))) " +
+          s"TBLPROPERTIES ('graft.src.mark'='$mark')") { t =>
+        src.createOrReplaceTempView("gc_src")
+        // the writer SMUGGLES wrong values for both generated columns —
+        // generation must override them
+        s.sql(s"INSERT INTO $t SELECT s_suppkey, s_name, -1L, 'smuggled' FROM gc_src")
+      }
+      s.sql(
+        s"""SELECT key_bucket, COUNT(*) AS cnt, MIN(name_u) AS first_name
+           |FROM $t GROUP BY key_bucket ORDER BY key_bucket""".stripMargin)
+    },
+    Some("""SELECT s_suppkey % 13 AS key_bucket, COUNT(*) AS cnt,
+           |       MIN(upper(s_name)) AS first_name
+           |FROM supplier GROUP BY 1 ORDER BY key_bucket""".stripMargin))
+
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
     * scan a pipeline runs on every ingest before anything trains on it
@@ -2007,5 +2035,5 @@ object Relational {
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
     q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121)
+    q118, q119, q120, q121, q122)
 }
