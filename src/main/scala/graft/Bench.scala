@@ -47,10 +47,11 @@ object BenchGuard {
     * spreads on untouched queries). The committed BENCH_FULL record has
     * the history — a fresh min >3× the committed min with a material
     * absolute gap flags `history_drift`, and the bench re-runs the
-    * query solo after releasing pins + a GC so the artifact
-    * self-adjudicates (a contention drift collapses back to the
-    * historical time; a real regression stays slow and the record shows
-    * both numbers). Sub-50 ms historical mins are exempt (jitter). */
+    * query solo in a SPAWNED FRESH JVM so the artifact self-adjudicates
+    * (a contention/JVM-state drift collapses back to the historical
+    * time and self-heals `min`; a real regression stays slow and the
+    * record shows both numbers; an unconfirmed solo is never folded
+    * into `min`). Sub-50 ms historical mins are exempt (jitter). */
   def historyDrift(freshMin: Double, historicalMin: Double): Boolean =
     historicalMin > 0.05 && freshMin > 3.0 * historicalMin &&
       freshMin - historicalMin > 0.2
@@ -190,9 +191,54 @@ object Bench {
     val sfName0 = java.nio.file.Paths.get(sfDir).getFileName.toString
     val history = BenchGuard.historicalMins(
       java.nio.file.Paths.get(s"BENCH_FULL_$sfName0.json"))
+    // Fresh-JVM solo adjudication for history drift. A same-JVM solo
+    // re-run (r14) could not undo 100+ queries of code-cache/heap-shape
+    // drift: it "confirmed" two contention windows as regressions and
+    // folded inflated minimums into the committed record, which then
+    // anchored the NEXT round's drift thresholds ~4× too high. The solo
+    // now runs in a SPAWNED fresh JVM via the SPARK_GRAFT_ONLY path —
+    // same classpath and JVM flags as this (sbt-forked) process, one
+    // query, its own warm-up — so the sample measures the plan on a
+    // clean JVM. Any spawn/parse/timeout failure yields None and is
+    // IGNORED (never poisons the query's 3 valid samples or `failure`).
+    def soloFreshJvm(name: String): Option[Double] =
+      try {
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        cmd.addAll(jvmArgs)
+        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.Bench")
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_ONLY", name)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        // Spark logs land on stderr — discard; the JSON line is stdout
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val proc = pb.start()
+        val out = scala.util.Using.resource(
+          scala.io.Source.fromInputStream(proc.getInputStream))(_.mkString)
+        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); None }
+        else if (proc.exitValue() != 0) None
+        else {
+          import org.json4s._
+          out.linesIterator.find(_.startsWith("""{"metric"""")).flatMap { line =>
+            (org.json4s.jackson.JsonMethods.parse(line) \ "queries" \ name) match {
+              case JDouble(d) => Some(d)
+              case JInt(i) => Some(i.toDouble)
+              case JDecimal(d) => Some(d.toDouble)
+              case _ => None
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     final case class Sample(
         samples: Seq[Double], contended: Boolean,
-        drift: Option[(Double, Double)]) // (historical min, solo re-run min)
+        drift: Option[(Double, Option[Double])]) // (historical min, fresh-JVM solo min)
     val sampled: Seq[(String, Either[String, Sample])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         def err(e: Throwable) =
@@ -225,15 +271,21 @@ object Bench {
             }
             // sustained contention inflates ALL samples with a tight
             // spread — only the committed history can see it. Re-run
-            // solo after a pin release + GC; a contention drift
-            // collapses to the historical min (and self-heals `min`),
-            // a real regression stays slow with both numbers recorded
-            var drift: Option[(Double, Double)] = None
-            if (failure.isEmpty) history.get(name).foreach { h =>
+            // solo in a SPAWNED FRESH JVM (soloFreshJvm): a JVM-state or
+            // contention drift collapses to the historical min, a real
+            // regression stays slow, with both numbers recorded. The
+            // solo folds into `min` ONLY when it confirms a collapse
+            // (solo back within the drift threshold of the historical
+            // min) — an unconfirmed solo never self-heals the record, so
+            // a contaminated sample cannot become next round's drift
+            // baseline. Skipped in SPARK_GRAFT_ONLY runs: those ARE the
+            // adjudication (and would recurse).
+            var drift: Option[(Double, Option[Double])] = None
+            if (failure.isEmpty && only.isEmpty) history.get(name).foreach { h =>
               if (BenchGuard.historyDrift(samples.min, h)) {
-                releasePins(); System.gc()
-                val solo = math.min(timedRun(), timedRun())
-                samples = (samples :+ solo).sorted
+                val solo = soloFreshJvm(name)
+                solo.filter(s => !BenchGuard.historyDrift(s, h))
+                  .foreach(s => samples = (samples :+ s).sorted)
                 drift = Some((h, solo))
               }
             }
@@ -276,7 +328,8 @@ object Bench {
         case (k, Right(Sample(ss, contended, drift))) =>
           val flag = if (contended) ""","contended":true""" else ""
           val driftJson = drift.map { case (h, solo) =>
-            f""","history_drift":{"historical":$h%.3f,"solo":$solo%.3f}"""
+            val soloJson = solo.map(s => f""","solo":$s%.3f""").getOrElse("")
+            f""","history_drift":{"historical":$h%.3f$soloJson}"""
           }.getOrElse("")
           s""""$k":{"min":${ss.min},"med":${ss(ss.size / 2)},"max":${ss.max}$flag$driftJson}"""
         case (k, Left(msg)) =>

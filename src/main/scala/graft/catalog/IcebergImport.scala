@@ -173,14 +173,28 @@ object IcebergImport {
           }).getOrElse(Nil)
       }.getOrElse(Nil)
     import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+    // hidden transforms map over only when OUR transform supports the
+    // source column's type (HiddenTransform.expr: temporal → date/
+    // timestamp; truncate → string/integral). Iceberg also allows e.g.
+    // truncate on decimal/binary — those SKIP like bucket[n] (the import
+    // stays lossy-but-successful; forwarding them would make createTable
+    // throw and fail the whole import of a perfectly valid table).
+    val typeByName: Map[String, DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    def temporalOk(c: String): Boolean = typeByName.get(c).exists {
+      case DateType | TimestampType | TimestampNTZType => true; case _ => false
+    }
+    def truncateOk(c: String): Boolean = typeByName.get(c).exists {
+      case StringType | IntegerType | LongType | ShortType => true; case _ => false
+    }
     val transforms: Seq[Transform] = specFields.flatMap {
       case (_, None) => None // source column not in the current schema
       case ("identity", Some(c)) => Some(Expressions.identity(c))
       case (t @ ("day" | "days" | "hour" | "hours" | "month" | "months" |
-                 "year" | "years"), Some(c)) =>
+                 "year" | "years"), Some(c)) if temporalOk(c) =>
         val func = if (t.endsWith("s")) t else t + "s"
         Some(HiddenPartitioning.HiddenTransform(func, None, c).toV2)
-      case (TruncRe(w), Some(c)) =>
+      case (TruncRe(w), Some(c)) if truncateOk(c) =>
         Some(HiddenPartitioning.HiddenTransform("truncate", Some(w.toInt), c).toV2)
       case (BucketRe(_), _) => None
       case _ => None

@@ -384,6 +384,44 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.dp")
   }
 
+  test("import skips a truncate transform over a type our truncate doesn't support") {
+    // Iceberg allows truncate[w] on decimal/binary; graft's hidden
+    // truncate is string/integral only. A foreign table carrying such a
+    // spec must import LOSSY-BUT-SUCCESSFUL (transform dropped, rows
+    // exact) — forwarding it would make createTable throw and fail the
+    // whole import of a perfectly valid table.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("ft", "ft_imp").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql("CREATE TABLE lakehouse.ice_ns.ft (k INT, d DECIMAL(10,2))")
+    spark.sql("INSERT INTO lakehouse.ice_ns.ft SELECT 1, CAST(3.25 AS DECIMAL(10,2))")
+    spark.sql("INSERT INTO lakehouse.ice_ns.ft SELECT 2, CAST(7.50 AS DECIMAL(10,2))")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'ft')")
+    val md = tableDir("ft").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val doc = md.resolve(s"v$hint.metadata.json")
+    // hand-edit the document into the foreign shape: a truncate[10]
+    // partition field over the decimal column (source-id 2)
+    val edited = JsonMethods.parse(Files.readString(doc)) transformField {
+      case ("partition-specs", JArray(spec0 :: rest)) =>
+        val withField = JObject(spec0.asInstanceOf[JObject].obj.map {
+          case ("fields", _) => "fields" -> (JArray(List(JObject(
+            "name" -> JString("d_trunc"),
+            "transform" -> JString("truncate[10]"),
+            "source-id" -> JInt(2),
+            "field-id" -> JInt(1000)))): JValue)
+          case kv => kv
+        })
+        ("partition-specs", JArray(withField :: rest))
+    }
+    Files.writeString(doc, JsonMethods.compact(JsonMethods.render(edited)))
+    spark.sql(s"CALL lakehouse.system.import_iceberg('ice_ns', 'ft_imp', '$doc')")
+    val im = graft.catalog.TableMetadata.load(tableDir("ft_imp"))
+    im.properties.get(graft.catalog.HiddenPartitioning.Prop) shouldBe None
+    spark.table("lakehouse.ice_ns.ft_imp").collect().map(_.getInt(0)).sorted shouldBe
+      Array(1, 2)
+    Seq("ft_imp", "ft").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
   test("a failing export leaves the previous mirror's artifacts intact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.fz")

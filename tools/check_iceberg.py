@@ -238,14 +238,17 @@ def read_iceberg_table(table_dir: Path, ref=None):
 
     con = duckdb.connect()
 
-    # position deletes: spec columns file_path (2147483546) / pos
+    # position deletes: spec columns file_path (2147483546) / pos. Each
+    # tuple carries its delete file's sequence number — the spec applies
+    # a position delete only to data files with seq <= the delete's seq
+    # (a same-path data file ADDED AFTER the delete must keep its rows).
     pos_by_file = {}
     for d in pos_deletes:
         rel = con.execute(
             "SELECT file_path, pos FROM read_parquet(?)",
             [local_path(d["path"])]).fetchall()
         for fp, pos in rel:
-            pos_by_file.setdefault(fp, set()).add(pos)
+            pos_by_file.setdefault(fp, []).append((d["seq"], pos))
 
     # equality deletes: key tuples + the sequence they were added at
     eq_sets = []
@@ -265,7 +268,8 @@ def read_iceberg_table(table_dir: Path, ref=None):
             f"SELECT {col_sel}, file_row_number "
             f"FROM read_parquet(?, file_row_number=true)",
             [local_path(f["path"])]).fetchall()
-        dead = pos_by_file.get(f["path"], set())
+        dead = {pos for dseq, pos in pos_by_file.get(f["path"], [])
+                if dseq >= f["seq"]}
         live = [r[:-1] for r in raw if r[-1] not in dead]
         # equality deletes apply to data files with STRICTLY SMALLER seq
         for dseq, key_cols, keys in eq_sets:
