@@ -58,8 +58,62 @@ object Bucketing {
   val ColProp = "graft.bucket.column"
   val CountProp = "graft.bucket.count"
 
+  /** Opt-in hash selection: `graft.bucket.hash=iceberg` lays buckets
+    * out with Iceberg's published bucket hash ([[IcebergHash]]) instead
+    * of Spark's murmur3(seed=42). Same zero-shuffle storage-partitioned
+    * join (the scan reports `iceberg_bucket(n, col)` resolved against
+    * [[IcebergBucketFunction]]) — but the layout is now expressible as
+    * a REAL Iceberg partition spec, so the mirror exports `bucket[n]`
+    * with per-file tuples and external engines regain bucket pruning
+    * on exactly the co-located join tables. */
+  val HashProp = "graft.bucket.hash"
+
   def specOf(properties: Map[String, String]): Option[(String, Int)] =
     for { c <- properties.get(ColProp); n <- properties.get(CountProp) } yield (c, n.toInt)
+
+  def icebergHash(properties: Map[String, String]): Boolean =
+    properties.get(HashProp).contains("iceberg")
+
+  /** Fail at CREATE, not first write: the hash property must name a
+    * known hash, and iceberg mode needs a bucket column type the
+    * published hash defines (Appendix B's encodings). */
+  def validate(schema: StructType, properties: Map[String, String]): Unit = {
+    properties.get(HashProp).foreach { h =>
+      require(h == "iceberg" || h == "spark",
+        s"unknown $HashProp '$h' (expected 'iceberg' or 'spark')")
+    }
+    if (icebergHash(properties)) specOf(properties) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"$HashProp=iceberg requires a bucket(n, col) partition transform")
+      case Some((c, _)) =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"no such bucket column: $c"))
+        require(IcebergHash.supports(f.dataType),
+          s"$HashProp=iceberg unsupported for ${f.dataType.catalogString} bucket column $c")
+    }
+  }
+
+  /** For each target partition t in [0, n): the smallest non-negative
+    * int token whose SPARK shuffle placement is t — i.e.
+    * `pmod(murmur3(token, 42), n) == t`. Lets the write path reuse
+    * Spark's stock hash shuffle to realize an ARBITRARY computed
+    * bucket id: repartition(n, lit_array[computed_id]) lands each row
+    * in partition computed_id, entirely inside Tungsten/codegen (no
+    * RDD custom-partitioner detour). Tokens are dense small ints —
+    * for any n, murmur3 over 0,1,2,… covers all residues quickly. */
+  def sparkHashTokens(n: Int): Array[Int] = {
+    val out = Array.fill(n)(-1)
+    var found = 0
+    var v = 0
+    while (found < n) {
+      val h = Murmur3HashFunction.hash(v, IntegerType, 42L).toInt
+      val b = ((h % n) + n) % n
+      if (out(b) < 0) { out(b) = v; found += 1 }
+      v += 1
+    }
+    out
+  }
 
   /** Bucket id of a data file, IF the file was written by a bucketed
     * commit (commit dir prefixed `b-`): the part-file index equals the

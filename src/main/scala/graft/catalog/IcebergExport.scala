@@ -81,8 +81,13 @@ import org.json4s.jackson.JsonMethods
   *    zero nulls, short string bounds); otherwise the export declares
   *    an unpartitioned spec — honest (hash-clustered writes can mix
   *    values in a file) and still spec-conformant, costing external
-  *    engines only partition pruning. `bucket(n)` never exports (graft
-  *    buckets with Spark murmur3 seed 42, not Iceberg's bucket hash).
+  *    engines only partition pruning. `bucket(n)` exports as a real
+  *    Iceberg `bucket[n]` field when the table opted into Iceberg's
+  *    published bucket hash (`graft.bucket.hash=iceberg`, see
+  *    [[IcebergHash]]) and every live data file is bucket-addressable
+  *    (written by a bucketed commit, zero nulls in the bucket column);
+  *    spark-hash bucketed tables never export a bucket field (their
+  *    murmur3(seed=42) layout is not Iceberg's hash).
   *    DELETE files always export under an UNPARTITIONED spec
   *    (id 1 on partitioned tables): Iceberg scopes delete application
   *    by (spec, partition tuple) and our delete entries are
@@ -617,16 +622,33 @@ object IcebergExport {
     // prove a single value (the caution FileSkipping's exact proofs
     // take). Identity columns are all-or-nothing (a decimal/binary
     // partition column falls back to the unpartitioned spec); an
-    // unsupported hidden transform merely drops out. bucket(n) is
-    // NEVER exported: graft buckets with Spark's murmur3 (seed 42)
-    // over internal rows, which is not Iceberg's bucket hash.
+    // unsupported hidden transform merely drops out. bucket(n)
+    // exports iff the table bucketed with ICEBERG's hash
+    // (graft.bucket.hash=iceberg): its tuple is the part-file index
+    // (the write path made partition index = iceberg bucket id),
+    // provable per file from the `b-` commit-dir contract plus zero
+    // nulls in the bucket column (nulls route to bucket 0 physically,
+    // which is not the spec's null tuple — refuse the claim instead).
+    // Spark-hash buckets never export (murmur3 seed 42 ≠ Appendix B).
     val partCols = meta.partitionColumns
     val hiddenTs = HiddenPartitioning.specOf(meta.properties)
     def dtOf(c: String): Option[DataType] =
       meta.schema.fields.find(_.name == c).map(_.dataType)
     final case class PartField(
         name: String, srcCol: String, transform: String, avroType: String,
-        value: String => AnyRef, prove: ColumnRange => Boolean)
+        value: String => AnyRef, prove: ColumnRange => Boolean,
+        // path-derived fields (bucket): tuple/proof read the ENTRY, not
+        // the column stats — None for the stat-derived field kinds
+        pathValue: Option[String => AnyRef] = None,
+        pathProve: Option[ManifestEntry => Boolean] = None)
+    def tupleOf(f: PartField, e: ManifestEntry): AnyRef = f.pathValue match {
+      case Some(pv) => pv(e.path)
+      case None => e.stats.get(f.srcCol).map(cr => f.value(cr.min)).orNull
+    }
+    def proved(f: PartField, e: ManifestEntry): Boolean = f.pathProve match {
+      case Some(pp) => pp(e)
+      case None => e.stats.get(f.srcCol).exists(f.prove)
+    }
     def identityField(c: String): Option[PartField] = dtOf(c).flatMap { dt =>
       val v: Option[String => AnyRef] = dt match {
         case ByteType | ShortType | IntegerType | DateType =>
@@ -695,9 +717,24 @@ object IcebergExport {
         }
       }
     val idFieldOpts = partCols.map(identityField)
+    // bucket[n] candidate: iceberg-hash tables only; the tuple comes
+    // from the part-file index (write path: partition index = iceberg
+    // bucket id) and the proof demands a bucket-addressable path plus
+    // zero nulls in the bucket column
+    val bucketField: Option[PartField] =
+      Bucketing.specOf(meta.properties)
+        .filter(_ => Bucketing.icebergHash(meta.properties))
+        .map { case (bcol, n) =>
+          PartField(s"${bcol}_bucket", bcol, s"bucket[$n]", "\"int\"",
+            value = _ => null, prove = _ => false,
+            pathValue = Some(p => Bucketing.bucketIdOf(p).map(Int.box).orNull),
+            pathProve = Some(e =>
+              Bucketing.bucketIdOf(e.path).exists(_ < n) &&
+                e.stats.get(bcol).exists(r => r.hasValues && r.nulls.contains(0L))))
+        }
     val candidates: Seq[PartField] =
       if (!idFieldOpts.forall(_.isDefined)) Seq.empty
-      else idFieldOpts.flatten ++ hiddenTs.flatMap(hiddenField)
+      else idFieldOpts.flatten ++ hiddenTs.flatMap(hiddenField) ++ bucketField
     // the key the cached per-chunk verdicts were computed under — any
     // change in fields/transforms/source types invalidates them
     val svKey: Seq[String] =
@@ -716,8 +753,7 @@ object IcebergExport {
           else None
         key -> cached.getOrElse {
           entriesOf(key, get).forall { e =>
-            e.rows.contains(0L) ||
-              candidates.forall(f => e.stats.get(f.srcCol).exists(f.prove))
+            e.rows.contains(0L) || candidates.forall(f => proved(f, e))
           }
         }
       }.toMap
@@ -756,13 +792,12 @@ object IcebergExport {
     val emptyDelPart = new GenericData.Record(
       delEntrySchema.getField("data_file").schema().getField("partition").schema())
 
-    def partRecord(stats: Map[String, ColumnRange]): GenericRecord = {
+    def partRecord(e: ManifestEntry): GenericRecord = {
       val r = new GenericData.Record(partSchema)
-      // each field's tuple value derives from the footer min — the
-      // chunk's proof already established transform(min)==transform(max)
-      specFields.foreach { case (f, _) =>
-        r.put(f.name, stats.get(f.srcCol).map(cr => f.value(cr.min)).orNull)
-      }
+      // each stat field's tuple derives from the footer min — the
+      // chunk's proof already established transform(min)==transform(max);
+      // the bucket field's tuple derives from the entry's path
+      specFields.foreach { case (f, _) => r.put(f.name, tupleOf(f, e)) }
       r
     }
 
@@ -877,7 +912,7 @@ object IcebergExport {
         if (entries.isEmpty) None
         else {
           val records = entries.map { e =>
-            val part = if (partitioned) partRecord(e.stats) else emptyPart
+            val part = if (partitioned) partRecord(e) else emptyPart
             entry(uri(e.path), content = 0, seq = e.seq.toLong,
               rows = e.rows.getOrElse(sparkCount(spark, dir, e.path)),
               bytes = Files.size(dir.resolve(e.path)), part, Nil, e.stats)

@@ -247,7 +247,8 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name == "bucket") BucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else IcebergBucketFunction.parse(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -458,6 +459,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     LakehouseCatalog.validateColumnNames(schema)
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
+    Bucketing.validate(schema, cleanProps(properties) ++ bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))
@@ -488,6 +490,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     LakehouseCatalog.validateColumnNames(schema)
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
+    Bucketing.validate(schema, cleanProps(properties) ++ bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))
@@ -510,6 +513,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val current = TableMetadata.load(dir)
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
+    Bucketing.validate(schema, cleanProps(properties) ++ bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))

@@ -397,8 +397,24 @@ class LakehouseTable(
               org.apache.spark.sql.connector.read.partitioning.Partitioning =
             bucketPlan match {
               case Some((bcol, n, _)) =>
+                // the transform name selects the FunctionCatalog
+                // definition Spark resolves the key expression against —
+                // it must name the hash that actually laid the files
+                // out, and distinct names keep a spark-hash × iceberg-
+                // hash join from being wrongly planned as co-located
+                val t =
+                  if (Bucketing.icebergHash(smeta.properties))
+                    // count in the NAME, not an argument — a literal
+                    // child would fail KeyGroupedPartitioning.satisfies
+                    // (every leaf must be a cluster key) and silently
+                    // re-shuffle the join; see [[IcebergBucketFunction]]
+                    org.apache.spark.sql.connector.expressions.Expressions.apply(
+                      s"${IcebergBucketFunction.Prefix}$n",
+                      org.apache.spark.sql.connector.expressions.Expressions.column(bcol))
+                  else
+                    org.apache.spark.sql.connector.expressions.Expressions.bucket(n, bcol)
                 new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-                  Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, bcol)), n)
+                  Array(t), n)
               case None =>
                 new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
             }
@@ -868,6 +884,21 @@ class LakehouseTable(
       // cover disjoint intervals and footer ranges prune like partitions
       val sortOrderCols = WriteSortOrder.colsOf(startMeta.properties)
       val clustered = bucketSpec match {
+        case Some((bcol, n)) if Bucketing.icebergHash(startMeta.properties) =>
+          // Iceberg-spec bucket layout: partition index must equal the
+          // ICEBERG bucket id, but Spark's repartition(n, col) places by
+          // its OWN hash. Bridge the two without leaving Tungsten: map
+          // the computed iceberg id through a precomputed token array
+          // where token[i] spark-hashes to partition i — so
+          // repartition(n, token[iceberg_id]) lands every row in
+          // partition iceberg_id and part-file index = iceberg bucket.
+          val ib = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+            IcebergBucketId(
+              org.apache.spark.sql.graftbridge.ColumnBridge.expression(df.col(bcol)), n))
+          val tokens = Bucketing.sparkHashTokens(n)
+          val route = org.apache.spark.sql.functions.element_at(
+            org.apache.spark.sql.functions.typedlit(tokens.toSeq), ib + lit(1))
+          df.repartition(n, route).sortWithinPartitions(df.col(bcol))
         case Some((bcol, n)) =>
           df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
         case None if hiddenExprs.nonEmpty =>

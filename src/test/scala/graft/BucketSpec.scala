@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -186,5 +188,111 @@ class BucketSpec extends AnyFunSuite with Matchers {
         val days = k.toLocalDate.toEpochDay.toInt
         dates.produceResult(InternalRow(n, days)).intValue() shouldBe pid
       }
+  }
+
+  test("iceberg bucket hash matches the spec's Appendix B test vectors") {
+    import graft.catalog.IcebergHash
+    import org.apache.spark.unsafe.types.UTF8String
+    IcebergHash.hashLong(34L) shouldBe 2017239379 // int AND long 34
+    IcebergHash.hashString(UTF8String.fromString("iceberg")) shouldBe 1210000089
+    IcebergHash.hashBytes(Array[Byte](0, 1, 2, 3)) shouldBe -188683207
+    IcebergHash.hashDecimal(
+      org.apache.spark.sql.types.Decimal(BigDecimal("14.20"))) shouldBe -500754589
+    IcebergHash.hashLong(
+      java.time.LocalDate.of(2017, 11, 16).toEpochDay) shouldBe -653330422 // date
+    val micros = java.time.Instant.parse("2017-11-16T22:31:08Z")
+      .getEpochSecond * 1000000L
+    IcebergHash.hashLong(micros) shouldBe -2047944441 // timestamp micros
+  }
+
+  test("graft.bucket.hash=iceberg lays files out by the ICEBERG bucket id") {
+    import graft.catalog.{Bucketing, IcebergHash}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.ice")
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.ice (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    Seq.tabulate(400)(i => (i, i.toLong)).toDF("k", "v").createOrReplaceTempView("ice_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.ice SELECT * FROM ice_src")
+    spark.table("lakehouse.bkt_ns.ice").count() shouldBe 400
+
+    // every data file's rows must hash (per the published spec) to the
+    // file's claimed bucket id — the invariant the mirror exports
+    val dataDir = java.nio.file.Paths.get(TestSpark.warehouse, "bkt_ns", "ice", "data")
+    val files = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    files should not be empty
+    var checked = 0
+    files.foreach { p =>
+      val rel = s"data/${dataDir.relativize(p).toString.replace('\\', '/')}"
+      val bucket = Bucketing.bucketIdOf(rel)
+      bucket.isDefined shouldBe true
+      spark.read.parquet(p.toString).select("k").as[Int].collect().foreach { k =>
+        IcebergHash.bucketOf(k, org.apache.spark.sql.types.IntegerType, 4) shouldBe bucket.get
+        checked += 1
+      }
+    }
+    checked shouldBe 400
+    spark.sql("DROP TABLE lakehouse.bkt_ns.ice")
+  }
+
+  test("co-bucketed iceberg-hash tables join with zero shuffle; mixed hashes do not") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    Seq("icef", "iced", "sparkd").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.bkt_ns.$t"))
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.icef (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.iced (k INT, label STRING)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    // a spark-hash dim on the same key: its layout DIFFERS, co-locating
+    // it with an iceberg-hash fact would silently misjoin
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.sparkd (k INT, label STRING)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    Seq.tabulate(500)(i => (i % 50, i.toLong)).toDF("k", "v").createOrReplaceTempView("if_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.icef SELECT * FROM if_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.icef SELECT k, v + 1000 FROM if_src")
+    Seq.tabulate(50)(i => (i, s"l$i")).toDF("k", "label").createOrReplaceTempView("id_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.iced SELECT * FROM id_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.sparkd SELECT * FROM id_src")
+
+    val expected = spark.table("lakehouse.bkt_ns.icef")
+      .join(spark.table("lakehouse.bkt_ns.iced"), "k")
+      .groupBy($"label").count()
+      .orderBy($"label").as[(String, Long)].collect().toSeq
+
+    withBucketingConfs {
+      val joined = spark.table("lakehouse.bkt_ns.icef")
+        .join(spark.table("lakehouse.bkt_ns.iced"), "k")
+      executedPlan(joined) should not include "Exchange"
+      joined.count() shouldBe 1000
+      joined.groupBy($"label").count()
+        .orderBy($"label").as[(String, Long)].collect().toSeq shouldBe expected
+
+      // mixed: distinct function canonical names → NOT planned co-located
+      val mixed = spark.table("lakehouse.bkt_ns.icef")
+        .join(spark.table("lakehouse.bkt_ns.sparkd"), "k")
+      executedPlan(mixed) should include("Exchange")
+      mixed.count() shouldBe 1000
+    }
+    Seq("icef", "iced", "sparkd").foreach(t =>
+      spark.sql(s"DROP TABLE lakehouse.bkt_ns.$t"))
+  }
+
+  test("iceberg hash mode validates the bucket column type at CREATE") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.badice")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE lakehouse.bkt_ns.badice (k DOUBLE, v BIGINT)
+          |PARTITIONED BY (bucket(4, k))
+          |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    }
+    e.getMessage should include("iceberg")
   }
 }

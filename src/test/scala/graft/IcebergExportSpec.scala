@@ -498,6 +498,99 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.hpt")
   }
 
+  test("iceberg-hash bucket layout exports as a real bucket[n] spec with prunable tuples") {
+    import graft.catalog.IcebergHash
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("ibkt", "sbkt", "nbkt").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.ibkt (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    Seq.tabulate(200)(i => (i, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("ibkt_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.ibkt SELECT * FROM ibkt_src")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'ibkt')")
+    val md = tableDir("ibkt").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val meta = readJson(md.resolve(s"v$hint.metadata.json"))
+    val specField = meta("partition-specs").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("fields").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap
+    jstr(specField("name")) shouldBe "k_bucket"
+    jstr(specField("transform")) shouldBe "bucket[4]"
+    jlong(specField("source-id")) shouldBe 1L // k is column 1
+
+    // per-file tuples: each data file's rows must recompute (via the
+    // published Appendix B hash) to exactly the file's claimed bucket
+    val (manifests, _) = IcebergExport.readAvro(
+      Paths.get(java.net.URI.create(jstr(snap2(meta)("manifest-list")))))
+    val filesByBucket: Seq[(String, Int)] = manifests
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap(m => IcebergExport.readAvro(
+        Paths.get(java.net.URI.create(m.get("manifest_path").toString)))._1)
+      .map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        (df.get("file_path").toString,
+          df.get("partition").asInstanceOf[GenericRecord].get("k_bucket").asInstanceOf[Int])
+      }
+    filesByBucket.map(_._2).toSet shouldBe Set(0, 1, 2, 3)
+    filesByBucket.foreach { case (p, b) =>
+      spark.read.parquet(Paths.get(java.net.URI.create(p)).toString)
+        .select($"k").as[Int].collect().foreach { k =>
+          IcebergHash.bucketOf(k, org.apache.spark.sql.types.IntegerType, 4) shouldBe b
+        }
+    }
+
+    // an external engine's bucket pruning, re-enacted: a point lookup
+    // opens ONLY the wanted key's bucket files — 1/4 of the table
+    val wantedKey = 7
+    val wantedBucket =
+      IcebergHash.bucketOf(wantedKey, org.apache.spark.sql.types.IntegerType, 4)
+    val pruned = filesByBucket.filter(_._2 == wantedBucket).map(_._1)
+    pruned should not be empty
+    pruned.size should be < filesByBucket.size
+    val hit = pruned.flatMap { p =>
+      spark.read.parquet(Paths.get(java.net.URI.create(p)).toString)
+        .filter($"k" === wantedKey).select($"v").as[Long].collect()
+    }
+    hit shouldBe Seq(7L)
+
+    // a spark-hash bucketed table must NOT claim a bucket spec (its
+    // murmur3(seed=42) layout is not Iceberg's hash)
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.sbkt (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql("INSERT INTO lakehouse.ice_ns.sbkt SELECT * FROM ibkt_src")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'sbkt')")
+    val smd = tableDir("sbkt").resolve("metadata")
+    val shint = Files.readString(smd.resolve("version-hint.text")).trim.toInt
+    val sfields = readJson(smd.resolve(s"v$shint.metadata.json"))("partition-specs")
+      .asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("fields").asInstanceOf[JArray].arr
+    sfields shouldBe empty
+
+    // nulls in the bucket column: physically routed to bucket 0, which
+    // is NOT the spec's null tuple — the export must refuse the claim
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.nbkt (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    spark.sql("INSERT INTO lakehouse.ice_ns.nbkt VALUES (1, 10), (NULL, 20), (2, 30)")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'nbkt')")
+    val nmd = tableDir("nbkt").resolve("metadata")
+    val nhint = Files.readString(nmd.resolve("version-hint.text")).trim.toInt
+    val nfields = readJson(nmd.resolve(s"v$nhint.metadata.json"))("partition-specs")
+      .asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("fields").asInstanceOf[JArray].arr
+    nfields shouldBe empty
+    // but the unpartitioned export still reads exactly (rows intact)
+    icebergRead(tableDir("nbkt"), Seq("k", "v")).size shouldBe 3
+
+    Seq("ibkt", "sbkt", "nbkt").foreach(t =>
+      spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
   test("import keeps the partition spec and sort order: filtered scans file-skip like the source") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     Seq("hps", "hps_imp").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
