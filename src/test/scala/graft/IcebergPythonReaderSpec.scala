@@ -70,6 +70,73 @@ class IcebergPythonReaderSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.pyr")
   }
 
+  test("python reader PRUNES by exported transform specs, not just re-reads rows") {
+    val probe = Process(Seq("python3", "-c", "import duckdb"))
+      .!(ProcessLogger(_ => (), _ => ()))
+    assume(probe == 0, "python3 + duckdb not available in this environment")
+
+    // a transform-spec export bug that only MIS-PRUNES keeps full reads
+    // correct — only an opened-file-count assertion under a filter can
+    // catch it from the independent-language side
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.pyd")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.pyd (k INT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts)) TBLPROPERTIES ('graft.iceberg.mirror'='true')")
+    spark.sql("INSERT INTO lakehouse.ice_ns.pyd VALUES " +
+      "(1, TIMESTAMP'2024-03-01 08:00:00'), (2, TIMESTAMP'2024-03-01 19:30:00'), " +
+      "(3, TIMESTAMP'2024-03-02 00:15:00'), (4, TIMESTAMP'2024-03-02 23:59:59'), " +
+      "(5, TIMESTAMP'2024-03-03 12:00:00')")
+    val expDir = Files.createTempDirectory("graft-pyprune-").toString
+    spark.table("lakehouse.ice_ns.pyd")
+      .filter($"ts" === "2024-03-02 00:15:00")
+      .coalesce(1).write.mode("overwrite").parquet(expDir)
+    val tableDir = Paths.get(TestSpark.warehouse, "ice_ns", "pyd").toString
+    val out = new StringBuilder
+    val code = Process(Seq("python3", tool, tableDir, expDir,
+      "--filter", "ts=2024-03-02 00:15:00"))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    withClue(out.toString) {
+      code shouldBe 0
+      out.toString should include("MATCH (1 rows")
+      // three days laid out disjointly: the day filter must open ONLY
+      // 2024-03-02's files — strictly fewer than the table's
+      val Opened = "OPENED (\\d+) OF (\\d+) DATA FILES.*".r
+      val line = out.toString.linesIterator.collectFirst {
+        case l @ Opened(_, _) => l
+      }.getOrElse(fail(s"no OPENED line in:\n$out"))
+      val Opened(op, tot) = line: @unchecked
+      op.toInt should be < tot.toInt
+      op.toInt should be >= 1
+    }
+    spark.sql("DROP TABLE lakehouse.ice_ns.pyd")
+
+    // bucket pruning: the python side recomputes Iceberg's bucket hash
+    // from the published algorithm — if the Scala export hashed rows
+    // into the wrong buckets, the pruned read would MISS k=7's row
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.pyb")
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.pyb (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg',
+        |               'graft.iceberg.mirror'='true')""".stripMargin)
+    Seq.tabulate(200)(i => (i, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("pyb_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.pyb SELECT * FROM pyb_src")
+    val expB = Files.createTempDirectory("graft-pybucket-").toString
+    spark.table("lakehouse.ice_ns.pyb").filter($"k" === 7)
+      .coalesce(1).write.mode("overwrite").parquet(expB)
+    val bDir = Paths.get(TestSpark.warehouse, "ice_ns", "pyb").toString
+    val outB = new StringBuilder
+    val codeB = Process(Seq("python3", tool, bDir, expB, "--filter", "k=7"))
+      .!(ProcessLogger(l => outB.append(l).append('\n'), l => outB.append(l).append('\n')))
+    withClue(outB.toString) {
+      codeB shouldBe 0
+      outB.toString should include("MATCH (1 rows")
+      outB.toString should include("OPENED 1 OF 4 DATA FILES")
+    }
+    spark.sql("DROP TABLE lakehouse.ice_ns.pyb")
+  }
+
   test("external time travel: a tagged snapshot reads back via refs after later DML") {
     val probe = Process(Seq("python3", "-c", "import duckdb"))
       .!(ProcessLogger(_ => (), _ => ()))

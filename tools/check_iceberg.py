@@ -14,10 +14,22 @@ graft's own scan wrote).
 
 Usage:
     python3 tools/check_iceberg.py <table_dir> <expected_parquet_path> [ref]
+        [--filter col=value]
 
 The optional [ref] names a branch/tag from the metadata's "refs" map —
 external time travel: the reader resolves that ref's snapshot instead
 of the current one.
+
+--filter exercises PARTITION PRUNING the way an external engine would:
+the equality literal is transformed through every exported partition
+spec field on that column (identity, day/hour/month/year, truncate[w],
+bucket[n] — the bucket hash is an independent pure-python murmur3 over
+the spec's Appendix B byte encodings), data files whose partition
+tuple cannot match are never opened, and the tool prints
+"OPENED k OF n DATA FILES" so a caller can assert that a transform-
+spec export actually prunes (a bug that only mis-prunes leaves full
+reads correct — row diffs alone cannot catch it). The expected parquet
+should then hold the FILTERED row set.
 
 <expected_parquet_path> may be a single .parquet file, a directory of
 part files, or a glob. Exit 0 and "MATCH (n rows)" on success; exit 1
@@ -184,6 +196,126 @@ def read_avro(path: Path):
 
 
 # ---------------------------------------------------------------------------
+# Iceberg partition transforms (for --filter pruning)
+# ---------------------------------------------------------------------------
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Reference murmur3 (the spec's Appendix B hash), independent of
+    the Scala implementation that wrote the export."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - (n & 3)
+    for i in range(0, rounded, 4):
+        k = struct.unpack_from("<I", data, i)[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+_EPOCH = __import__("datetime").date(1970, 1, 1)
+
+
+def _parse_temporal(col_type: str, raw: str):
+    """(epoch_days, micros_since_epoch) of a date/timestamp literal."""
+    import datetime as dt
+    if col_type == "date":
+        d = dt.date.fromisoformat(raw)
+        return (d - _EPOCH).days, None
+    t = dt.datetime.fromisoformat(raw.replace(" ", "T"))
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=dt.timezone.utc)
+    micros = int(t.timestamp()) * 1_000_000 + t.microsecond
+    return micros // 86_400_000_000, micros
+
+
+def transform_literal(transform: str, col_type: str, raw: str):
+    """The partition-tuple value an equality literal maps to under an
+    exported transform — i.e. what a conformant engine prunes with."""
+    if transform == "identity":
+        if col_type in ("int", "long"):
+            return int(raw)
+        if col_type == "string":
+            return raw
+        if col_type == "date":
+            return _parse_temporal(col_type, raw)[0]
+        if col_type in ("timestamp", "timestamptz"):
+            return _parse_temporal(col_type, raw)[1]
+        raise ValueError(f"identity filter unsupported for {col_type}")
+    if transform == "day":
+        return _parse_temporal(col_type, raw)[0]
+    if transform == "hour":
+        return _parse_temporal(col_type, raw)[1] // 3_600_000_000
+    if transform in ("month", "year"):
+        import datetime as dt
+        d = dt.date.fromisoformat(raw.split(" ")[0].split("T")[0])
+        return (d.year - 1970) * 12 + d.month - 1 if transform == "month" \
+            else d.year - 1970
+    if transform.startswith("truncate["):
+        w = int(transform[len("truncate["):-1])
+        if col_type == "string":
+            # Iceberg truncates by CODE POINTS
+            cps = list(raw)
+            return "".join(cps[:w])
+        x = int(raw)
+        return x - (x % w)  # python % is already floor-mod
+    if transform.startswith("bucket["):
+        n = int(transform[len("bucket["):-1])
+        if col_type in ("int", "long"):
+            data = struct.pack("<q", int(raw))
+        elif col_type == "string":
+            data = raw.encode()
+        elif col_type == "date":
+            data = struct.pack("<q", _parse_temporal(col_type, raw)[0])
+        elif col_type in ("timestamp", "timestamptz"):
+            data = struct.pack("<q", _parse_temporal(col_type, raw)[1])
+        else:
+            raise ValueError(f"bucket filter unsupported for {col_type}")
+        return (murmur3_x86_32(data) & 0x7FFFFFFF) % n
+    raise ValueError(f"unsupported transform: {transform}")
+
+
+def literal_py(col_type: str, raw: str):
+    """The literal as the python value DuckDB returns for the column —
+    the residual filter applied to rows of files that DID open."""
+    import datetime as dt
+    if col_type in ("int", "long"):
+        return int(raw)
+    if col_type == "string":
+        return raw
+    if col_type == "date":
+        return dt.date.fromisoformat(raw)
+    if col_type in ("timestamp", "timestamptz"):
+        t = dt.datetime.fromisoformat(raw.replace(" ", "T"))
+        if col_type == "timestamptz" and t.tzinfo is None:
+            t = t.replace(tzinfo=dt.timezone.utc)
+        return t
+    raise ValueError(f"filter unsupported for {col_type}")
+
+
+# ---------------------------------------------------------------------------
 # Iceberg read protocol
 # ---------------------------------------------------------------------------
 
@@ -194,9 +326,12 @@ def local_path(uri: str) -> str:
     raise ValueError(f"non-local file uri: {uri}")
 
 
-def read_iceberg_table(table_dir: Path, ref=None):
-    """Returns (column_names, rows) of the current snapshot, or of the
-    snapshot a branch/tag ref points at (external time travel)."""
+def read_iceberg_table(table_dir: Path, ref=None, filt=None):
+    """Returns (column_names, rows, opened, total_data_files) of the
+    current snapshot, or of the snapshot a branch/tag ref points at
+    (external time travel). `filt` is an optional (col, raw_literal)
+    equality: partition tuples prune data files per the exported spec
+    BEFORE any parquet opens; a residual filter applies to the rest."""
     md = table_dir / "metadata"
     hint = int((md / "version-hint.text").read_text().strip())
     meta_file = md / f"v{hint}.metadata.json"
@@ -231,10 +366,40 @@ def read_iceberg_table(table_dir: Path, ref=None):
                 "path": df["file_path"],
                 "seq": seq,
                 "eq_ids": df.get("equality_ids") or [],
+                "part": df.get("partition") or {},
             }
             content = df["content"]
             (data_files if content == 0 else
              pos_deletes if content == 1 else eq_deletes).append(rec)
+
+    # --filter: resolve the literal against the exported partition spec
+    # and drop data files whose tuple cannot match — the pruning path a
+    # conformant external engine takes, re-enacted independently
+    total_data = len(data_files)
+    residual = None
+    if filt is not None:
+        fcol, raw = filt
+        type_by_name = {f["name"]: f["type"] for f in schema["fields"]}
+        if fcol not in type_by_name:
+            raise ValueError(f"no such filter column: {fcol}")
+        col_type = type_by_name[fcol]
+        if not isinstance(col_type, str):
+            raise ValueError(f"filter unsupported for nested type on {fcol}")
+        spec = next(s for s in meta["partition-specs"]
+                    if s["spec-id"] == meta["default-spec-id"])
+        prunable = [
+            (f["name"], transform_literal(f["transform"], col_type, raw))
+            for f in spec["fields"]
+            if name_by_id.get(f["source-id"]) == fcol
+        ]
+        def survives(rec):
+            for fname, want in prunable:
+                got = rec["part"].get(fname)
+                if got is not None and got != want:
+                    return False
+            return True
+        data_files = [f for f in data_files if survives(f)]
+        residual = (fcol, literal_py(col_type, raw))
 
     con = duckdb.connect()
 
@@ -276,8 +441,11 @@ def read_iceberg_table(table_dir: Path, ref=None):
             if dseq > f["seq"]:
                 ki = [col_idx[c] for c in key_cols]
                 live = [r for r in live if tuple(r[j] for j in ki) not in keys]
+        if residual is not None:
+            fi = col_idx[residual[0]]
+            live = [r for r in live if r[fi] == residual[1]]
         rows.extend(live)
-    return cols, rows
+    return cols, rows, len(data_files), total_data
 
 
 def read_expected(path: str, cols):
@@ -289,16 +457,36 @@ def read_expected(path: str, cols):
 
 
 def norm(rows):
-    return sorted(tuple(repr(v) for v in r) for r in rows)
+    import datetime as dt
+
+    def canon(v):
+        # same instant, one repr: a UTC-adjusted parquet timestamp
+        # (mirror data files) and a naive one (e.g. an INT96 expected
+        # dump) must compare equal
+        if isinstance(v, dt.datetime) and v.tzinfo is not None:
+            return repr(v.astimezone(dt.timezone.utc).replace(tzinfo=None))
+        return repr(v)
+
+    return sorted(tuple(canon(v) for v in r) for r in rows)
 
 
 def main() -> int:
-    if len(sys.argv) not in (3, 4):
+    args = sys.argv[1:]
+    filt = None
+    if "--filter" in args:
+        i = args.index("--filter")
+        col, _, raw = args[i + 1].partition("=")
+        filt = (col, raw)
+        args = args[:i] + args[i + 2:]
+    if len(args) not in (2, 3):
         print(__doc__)
         return 2
-    table_dir, expected = Path(sys.argv[1]), sys.argv[2]
-    ref = sys.argv[3] if len(sys.argv) == 4 else None
-    cols, got = read_iceberg_table(table_dir, ref)
+    table_dir, expected = Path(args[0]), args[1]
+    ref = args[2] if len(args) == 3 else None
+    cols, got, opened, total = read_iceberg_table(table_dir, ref, filt)
+    if filt is not None:
+        print(f"OPENED {opened} OF {total} DATA FILES "
+              f"(filter {filt[0]}={filt[1]})")
     want = read_expected(expected, cols)
     g, w = norm(got), norm(want)
     if g == w:
