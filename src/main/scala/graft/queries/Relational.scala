@@ -1768,6 +1768,102 @@ object Relational {
            |       MIN(upper(s_name)) AS first_name
            |FROM supplier GROUP BY 1 ORDER BY key_bucket""".stripMargin))
 
+  /** Run `tools/check_iceberg.py` — the INDEPENDENT-LANGUAGE Iceberg v2
+    * reader (pure-python Avro decoder + DuckDB, zero graft code) —
+    * against a mirrored table, diffing its read against a dump of
+    * graft's own scan. Returns (verdict, rowsRead, openedOfTotal).
+    * Driver-contract environments always carry python3+duckdb (the
+    * oracle itself is DuckDB); a missing interpreter surfaces as a
+    * failing verdict, never a silent pass. */
+  private def pythonIcebergCheck(
+      s: SparkSession, tableDir: java.nio.file.Path, expected: DataFrame,
+      filter: Option[String]): (String, Long, Option[(Int, Int)]) = {
+    import scala.sys.process.{Process, ProcessLogger}
+    val tool = java.nio.file.Paths.get("tools", "check_iceberg.py").toAbsolutePath
+    if (!java.nio.file.Files.isRegularFile(tool)) return ("NO-TOOL", -1L, None)
+    val expDir = java.nio.file.Files.createTempDirectory("graft-pygate-")
+    try {
+      expected.coalesce(1).write.mode("overwrite").parquet(expDir.toString)
+      val out = new StringBuilder
+      val cmd = Seq("python3", tool.toString, tableDir.toString, expDir.toString) ++
+        filter.toSeq.flatMap(f => Seq("--filter", f))
+      val code = Process(cmd).!(ProcessLogger(
+        l => out.synchronized(out.append(l).append('\n')),
+        l => out.synchronized(out.append(l).append('\n'))))
+      val MatchRe = "MATCH \\((\\d+) rows".r
+      val OpenedRe = "OPENED (\\d+) OF (\\d+) DATA FILES".r
+      val rows = MatchRe.findFirstMatchIn(out.toString).map(_.group(1).toLong)
+      val opened = OpenedRe.findFirstMatchIn(out.toString)
+        .map(m => (m.group(1).toInt, m.group(2).toInt))
+      if (code == 0 && rows.isDefined) ("MATCH", rows.get, opened)
+      else (s"EXIT$code", rows.getOrElse(-1L), opened)
+    } finally {
+      try graft.catalog.Fs.deleteRecursively(expDir) catch { case _: Exception => () }
+    }
+  }
+
+  /** The independent python Iceberg reader INSIDE the driver gate:
+    * q115's write-through mirror (supplier + MoR delete) is re-read by
+    * `tools/check_iceberg.py` from the exported artifacts alone and
+    * diffed against graft's own merged scan; the verdict line becomes
+    * the query result, so CORRECTNESS_r{N}.json records the python
+    * reader's MATCH at every SF the driver gates — previously the
+    * independent-language check ran only inside sbt
+    * (IcebergPythonReaderSpec). The oracle recomputes the surviving
+    * row count arithmetically from the raw parquet. */
+  val q123 = Q(
+    "q123_py_reader_gate",
+    (s, d) => {
+      import s.implicits._
+      q115.run(s, d).collect() // ensure the mirrored fixture exists (cached)
+      val ns = s"ice_${new java.io.File(d).getName.replace('.', '_')}"
+      val tableDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier")
+      // expected = graft's own merged scan through the engine API (the
+      // table is MoR-dirty; bare-session path, as q115)
+      val meta = graft.catalog.TableMetadata.load(tableDir)
+      val merged = graft.catalog.MergeOnRead.read(s, tableDir, meta, meta.files)
+        .select("s_suppkey", "s_name", "s_acctbal")
+      val (verdict, rows, _) = pythonIcebergCheck(s, tableDir, merged, None)
+      Seq((verdict, rows)).toDF("verdict", "rows_read")
+    },
+    Some("""SELECT 'MATCH' AS verdict, COUNT(*) AS rows_read
+           |FROM supplier WHERE s_suppkey % 10 <> 3""".stripMargin))
+
+  /** External partition PRUNING inside the driver gate: a mirrored
+    * days(ev_d) table (three synthetic days derived from suppkey) is
+    * read by the python tool under a one-day filter — the tool resolves
+    * the literal against the EXPORTED transform spec and reports how
+    * many data files it opened. The result row asserts opened < total
+    * (the pruning contract) and carries the row count the oracle
+    * recomputes arithmetically. A transform-spec export bug that only
+    * mis-prunes keeps full reads correct; this is the gate that would
+    * catch it at every SF. */
+  val q124 = Q(
+    "q124_py_pruning_gate",
+    (s, d) => {
+      import s.implicits._
+      val src = supplier(s, d).select("s_suppkey", "s_acctbal")
+      val mark = srcMark(src)
+      val t = cachedFixture(s, d, "pyp", "supplier_days", mark,
+        t => s"CREATE TABLE $t (s_suppkey BIGINT, s_acctbal DOUBLE, ev_d DATE) " +
+          "PARTITIONED BY (days(ev_d)) TBLPROPERTIES (" +
+          s"'graft.iceberg.mirror'='true', 'graft.src.mark'='$mark')") { t =>
+        src.createOrReplaceTempView("pyp_src")
+        s.sql(s"INSERT INTO $t SELECT s_suppkey, s_acctbal, " +
+          "DATE_ADD(DATE'2024-03-01', CAST(s_suppkey % 3 AS INT)) FROM pyp_src")
+      }
+      val Array(_, ns, tbl) = t.split('.')
+      val tableDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, tbl)
+      val (verdict, rows, opened) = pythonIcebergCheck(
+        s, tableDir,
+        s.table(t).filter(col("ev_d") === lit("2024-03-02").cast("date")),
+        Some("ev_d=2024-03-02"))
+      val pruned = opened.exists { case (k, n) => k >= 1 && k < n }
+      Seq((verdict, pruned, rows)).toDF("verdict", "pruned", "rows_read")
+    },
+    Some("""SELECT 'MATCH' AS verdict, true AS pruned, COUNT(*) AS rows_read
+           |FROM supplier WHERE s_suppkey % 3 = 1""".stripMargin))
+
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
     * scan a pipeline runs on every ingest before anything trains on it
@@ -2035,5 +2131,5 @@ object Relational {
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
     q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122)
+    q118, q119, q120, q121, q122, q123, q124)
 }
