@@ -52,10 +52,13 @@ import org.json4s.jackson.JsonMethods
   * Also imported: the default partition spec (identity fields →
   * partition columns; day/hour/month/year/truncate → our hidden
   * transforms — same spec transforms, so partition-filtered scans
-  * file-skip like the source; bucket[n] skipped, hash-incompatible)
-  * and the default sort order's identity-ascending prefix (→ the
-  * write sort order). Not imported: table history (the import is one
-  * snapshot, like the export).
+  * file-skip like the source; bucket[n] skipped, hash-incompatible),
+  * the default sort order's identity-ascending prefix (→ the write
+  * sort order), and — on a default (non-pinned) import — the source's
+  * TAGGED history: every tag ref's snapshot commits as its own graft
+  * version carrying the same tag name, so `VERSION AS OF '<tag>'`
+  * works on the imported table exactly as it did externally. A
+  * pinned-`ref` import stays one snapshot (the reproducibility pin).
   */
 object IcebergImport {
 
@@ -214,58 +217,102 @@ object IcebergImport {
       }
       .map(f => nameById(jlong(f("source-id")).toInt))).getOrElse(Nil)
 
-    // selected snapshot (current, or the one a named ref points at)
-    // → manifest list → manifests → entries
-    val snapId = ref match {
+    // snapshot selection. A pinned-`ref` import stays exactly one
+    // snapshot (the reproducibility pin: "the snapshot the model
+    // trained on", nothing else). The DEFAULT import brings the current
+    // snapshot PLUS every TAG ref's snapshot as graft HISTORY: each
+    // tagged ancestor commits as its own version, tagged with the same
+    // name, so external time travel survives the round trip in both
+    // directions (`VERSION AS OF '<tag>'` works on the imported table).
+    // Branch refs are skipped — their heads are unpublished lines of
+    // history, not ancestors of main (WAP re-stages them, not import).
+    val refsJson = m.getOrElse("refs", JObject(Nil)).asInstanceOf[JObject].obj.toMap
+    def refFields(v: JValue) = v.asInstanceOf[JObject].obj.toMap
+    val mainSnapId = ref match {
       case None => jlong(m("current-snapshot-id"))
       case Some(r) =>
-        val refs = m.getOrElse("refs", JObject(Nil)).asInstanceOf[JObject].obj.toMap
-        val entry = refs.getOrElse(r, throw new IllegalArgumentException(
+        val entry = refsJson.getOrElse(r, throw new IllegalArgumentException(
           s"import_iceberg: no ref '$r' in the metadata document " +
-            s"(refs: ${refs.keys.toSeq.sorted.mkString(", ")})"))
-        jlong(entry.asInstanceOf[JObject].obj.toMap.apply("snapshot-id"))
+            s"(refs: ${refsJson.keys.toSeq.sorted.mkString(", ")})"))
+        jlong(refFields(entry)("snapshot-id"))
     }
-    val snap = m("snapshots").asInstanceOf[JArray].arr
-      .map(_.asInstanceOf[JObject].obj.toMap)
-      .find(s => jlong(s("snapshot-id")) == snapId)
-      .getOrElse(throw new IllegalArgumentException(s"snapshot $snapId not listed"))
-    val listPath = asLocal(snap("manifest-list").asInstanceOf[JString].s)
-    val (manifests, _) = IcebergExport.readAvro(listPath)
+    val snapsById: Map[Long, Map[String, JValue]] =
+      m("snapshots").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JObject].obj.toMap)
+        .map(s => jlong(s("snapshot-id")) -> s).toMap
+    require(snapsById.contains(mainSnapId), s"snapshot $mainSnapId not listed")
+    // graft tag names are [A-Za-z0-9_-] with a non-digit; a source ref
+    // the name rules reject is skipped (lossy-but-successful, like an
+    // unsupported partition transform), never a failed import
+    def tagNameOk(n: String): Boolean =
+      n.matches("[A-Za-z0-9_-]+") && !n.forall(_.isDigit)
+    val namesBySnap: Map[Long, Seq[String]] =
+      if (ref.isDefined) Map.empty
+      else refsJson.toSeq
+        .filter { case (n, v) =>
+          n != "main" && tagNameOk(n) &&
+            refFields(v).get("type").forall(_ == JString("tag")) &&
+            snapsById.contains(jlong(refFields(v)("snapshot-id")))
+        }
+        .groupBy { case (_, v) => jlong(refFields(v)("snapshot-id")) }
+        .map { case (id, nvs) => id -> nvs.map(_._1).sorted }
+    def snapOrder(id: Long): (Long, Long) = {
+      val s = snapsById(id)
+      (s.get("sequence-number").map(jlong).getOrElse(0L),
+        s.get("timestamp-ms").map(jlong).getOrElse(0L))
+    }
+    val histIds: Seq[Long] =
+      ((namesBySnap.keySet - mainSnapId).toSeq.sortBy(snapOrder) :+ mainSnapId)
+
     final case class Ref(path: Path, raw: String, content: Int, seq: Long,
         rows: Long, eqIds: Seq[Int], specFields: Int)
-    val refs: Seq[Ref] = manifests.flatMap { mf =>
-      val (entries, mMeta) = IcebergExport.readAvro(
-        asLocal(mf.get("manifest_path").toString))
-      // how many partition fields the manifest's spec carries — a
-      // PARTITION-SCOPED equality delete cannot import as our
-      // table-global entries (it would over-delete other partitions)
-      val specFieldCount = mMeta.get("partition-spec")
-        .map(sp => JsonMethods.parse(sp).asInstanceOf[JArray].arr.size)
-        .getOrElse(0)
-      entries.flatMap { e =>
-        // live entries only: EXISTING(0)/ADDED(1); DELETED(2) skipped
-        if (e.get("status").asInstanceOf[Int] == 2) None
-        else {
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          Some(Ref(
-            asLocal(df.get("file_path").toString),
-            df.get("file_path").toString,
-            df.get("content").asInstanceOf[Int],
-            // spec inheritance: a null entry sequence takes the
-            // MANIFEST's sequence number (set when the entry was added)
-            Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
-              .getOrElse(mf.get("sequence_number").asInstanceOf[Long]),
-            df.get("record_count").asInstanceOf[Long],
-            Option(df.get("equality_ids"))
-              .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
-              .getOrElse(Nil),
-            specFieldCount))
+    def walkSnapshot(snapId: Long): Seq[Ref] = {
+      val snap = snapsById(snapId)
+      val listPath = asLocal(snap("manifest-list").asInstanceOf[JString].s)
+      val (manifests, _) = IcebergExport.readAvro(listPath)
+      manifests.flatMap { mf =>
+        val (entries, mMeta) = IcebergExport.readAvro(
+          asLocal(mf.get("manifest_path").toString))
+        // how many partition fields the manifest's spec carries — a
+        // PARTITION-SCOPED equality delete cannot import as our
+        // table-global entries (it would over-delete other partitions)
+        val specFieldCount = mMeta.get("partition-spec")
+          .map(sp => JsonMethods.parse(sp).asInstanceOf[JArray].arr.size)
+          .getOrElse(0)
+        entries.flatMap { e =>
+          // live entries only: EXISTING(0)/ADDED(1); DELETED(2) skipped
+          if (e.get("status").asInstanceOf[Int] == 2) None
+          else {
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            Some(Ref(
+              asLocal(df.get("file_path").toString),
+              df.get("file_path").toString,
+              df.get("content").asInstanceOf[Int],
+              // spec inheritance: a null entry sequence takes the
+              // MANIFEST's sequence number (set when the entry was added)
+              Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+                .getOrElse(mf.get("sequence_number").asInstanceOf[Long]),
+              df.get("record_count").asInstanceOf[Long],
+              Option(df.get("equality_ids"))
+                .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
+                .getOrElse(Nil),
+              specFieldCount))
+          }
         }
       }
     }
-    val dataRefs = refs.filter(_.content == 0)
-    val posRefs = refs.filter(_.content == 1)
-    val eqRefs = refs.filter(_.content == 2)
+    // shared manifest Avros across snapshots read once would need a
+    // cache; history imports are one-shot and ref counts are small, so
+    // a per-snapshot walk stays metadata-proportional
+    val entriesBySnap: Map[Long, Seq[Ref]] =
+      histIds.map(id => id -> walkSnapshot(id)).toMap
+    // the UNION across imported snapshots: link/rewrite each unique
+    // artifact once; per-snapshot versions reference by relative path
+    val allRefs: Seq[Ref] = histIds.flatMap(entriesBySnap)
+      .groupBy(r => (r.raw, r.content, r.seq)).values.map(_.head).toSeq
+    val dataRefs = allRefs.filter(_.content == 0)
+    val posRefs = allRefs.filter(_.content == 1)
+    val eqRefs = allRefs.filter(_.content == 2)
     // sequence rank-remap (see scaladoc): boundaries are the delete
     // entries' comparison thresholds; everything imports in [1, m+1]
     posRefs.find(_.seq == Long.MaxValue).foreach { r =>
@@ -316,6 +363,8 @@ object IcebergImport {
         new org.apache.hadoop.fs.Path(dir.resolve(rel).toString), schema)
       (r, rel, footer)
     }
+    val importedByKey: Map[(String, Long), (Ref, String, FooterStats.FileFooter)] =
+      imported.map(t => (t._1.raw, t._1.seq) -> t).toMap
     // source path → imported relative path (position-delete remap).
     // The spec says the delete parquet's file_path matches the data
     // file's manifest path, but writers normalize URIs inconsistently
@@ -336,7 +385,7 @@ object IcebergImport {
     val delDir = s"deletes/iceimport-${UUID.randomUUID().toString.take(8)}"
     Files.createDirectories(dir.resolve(delDir))
     import org.apache.spark.sql.functions.{col, element_at, typedlit}
-    val posEntries = posRefs.zipWithIndex.flatMap { case (r, i) =>
+    val posEntriesOpt: Seq[Option[DeleteFile]] = posRefs.zipWithIndex.map { case (r, i) =>
       // the delete file's distinct targets are ≤ the snapshot's data
       // file count (metadata-proportional, like the rest of the import);
       // canonicalizing them driver-side keeps the Spark-side lookup a
@@ -369,6 +418,10 @@ object IcebergImport {
           boundaryRank(r.seq + 1L), rows, ranges, kind = DeleteFile.Positional))
       }
     }
+    val posByKey: Map[(String, Long), DeleteFile] =
+      posRefs.zip(posEntriesOpt).collect {
+        case (r, Some(d)) => (r.raw, r.seq) -> d
+      }.toMap
     // equality deletes: key columns via equality_ids; the parquet reads
     // by name (the export writes names alongside ids)
     val eqEntries = eqRefs.zipWithIndex.map { case (r, i) =>
@@ -381,36 +434,60 @@ object IcebergImport {
         MergeOnRead.keySchema(schema, keyCols))
       DeleteFile(rel, keyCols, boundaryRank(r.seq), r.rows, ranges)
     }
+    val eqByKey: Map[(String, Long), DeleteFile] =
+      eqRefs.zip(eqEntries).map { case (r, d) => (r.raw, r.seq) -> d }.toMap
 
-    // commit version strictly above every remapped sequence (scaladoc):
+    // commit versions strictly above every remapped sequence (scaladoc):
     // the next DML's entry seq (= version+1) then exceeds every imported
     // fileSeq, and every future file's seq exceeds every imported delete
     // seq. No-op pad commits keep the version log contiguous — the
-    // forward version probe relies on no gaps above the hint.
-    val importVersion = math.max(current.version + 1, boundaries.size + 1)
+    // forward version probe relies on no gaps above the hint. Then ONE
+    // commit per imported snapshot, oldest first: each historical
+    // version holds exactly that snapshot's files + delete entries
+    // (global rank-remap preserves every seq comparison within each
+    // snapshot too) and is tagged with the source's ref names; the last
+    // commit is the main snapshot — the table's current state.
+    val firstVersion = math.max(current.version + 1, boundaries.size + 1)
     var base = current
-    while (base.version + 1 < importVersion) {
+    while (base.version + 1 < firstVersion) {
       base = TableMetadata.commit(dir, base.copy(
         version = base.version + 1,
         snapshots = base.snapshots :+ Snapshot(
           base.version + 1, System.currentTimeMillis(), "import-pad", 0, 0)))
     }
-    val newFiles = imported.map(_._2)
-    TableMetadata.commit(dir, base.copy(
-      version = importVersion,
-      files = newFiles,
-      fileStats = imported.map { case (_, rel, f) => rel -> f.cols }
-        .filter(_._2.nonEmpty).toMap,
-      fileRows = imported.map { case (_, rel, f) => rel -> f.rows }.toMap,
-      fileSeq = imported.map { case (r, rel, _) => rel -> fileRank(r.seq) }.toMap,
-      deleteFiles = posEntries ++ eqEntries,
-      properties = base.properties +
-        ("graft.import.source" -> metaPath.toString) +
-        ("graft.import.snapshot" -> snapId.toString),
-      snapshots = base.snapshots :+ Snapshot(
-        importVersion, System.currentTimeMillis(), "import-iceberg",
-        newFiles.size, newFiles.size)))
-    (newFiles.size + posEntries.size + eqEntries.size).toLong
+    histIds.zipWithIndex.foreach { case (id, i) =>
+      val v = firstVersion + i
+      val isMain = i == histIds.size - 1
+      val snapFiles = entriesBySnap(id).filter(_.content == 0)
+        .map(r => importedByKey((r.raw, r.seq))).sortBy(_._2)
+      val snapDeletes = entriesBySnap(id).flatMap {
+        case r if r.content == 1 => posByKey.get((r.raw, r.seq))
+        case r if r.content == 2 => eqByKey.get((r.raw, r.seq))
+        case _ => None
+      }
+      val tagProps = namesBySnap.getOrElse(id, Nil).flatMap(n => Seq(
+        Maintenance.TagPrefix + n -> v.toString,
+        Maintenance.TagCreatedPrefix + n -> System.currentTimeMillis().toString))
+      val rels = snapFiles.map(_._2)
+      base = TableMetadata.commit(dir, base.copy(
+        version = v,
+        files = rels,
+        fileStats = snapFiles.map { case (_, rel, f) => rel -> f.cols }
+          .filter(_._2.nonEmpty).toMap,
+        fileRows = snapFiles.map { case (_, rel, f) => rel -> f.rows }.toMap,
+        fileSeq = snapFiles.map { case (r, rel, _) => rel -> fileRank(r.seq) }.toMap,
+        deleteFiles = snapDeletes,
+        properties = base.properties ++ tagProps ++
+          (if (isMain) Map(
+            "graft.import.source" -> metaPath.toString,
+            "graft.import.snapshot" -> mainSnapId.toString)
+           else Map.empty),
+        snapshots = base.snapshots :+ Snapshot(
+          v, System.currentTimeMillis(),
+          if (isMain) "import-iceberg" else "import-iceberg-history",
+          rels.size, rels.size)))
+    }
+    (imported.size + posByKey.size + eqEntries.size).toLong
   }
 
   private def asLocal(uriOrPath: String): Path =

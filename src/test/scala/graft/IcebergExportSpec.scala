@@ -591,6 +591,68 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
   }
 
+  test("tagged history survives the round trip: VERSION AS OF '<tag>' on the import") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("hist", "hist_imp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    // write-through mirror from birth: each commit exports its
+    // snapshot, so the metadata carries the tagged HISTORY (a one-shot
+    // CALL export publishes only the current snapshot — no prior state)
+    spark.sql("CREATE TABLE lakehouse.ice_ns.hist (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read', " +
+      "'graft.iceberg.mirror'='true')")
+    (0 until 30).map(i => (i, s"a-$i")).toDF("k", "v")
+      .createOrReplaceTempView("hist_1")
+    spark.sql("INSERT INTO lakehouse.ice_ns.hist SELECT * FROM hist_1") // v2
+    spark.sql("CALL lakehouse.system.tag('ice_ns', 'hist', 'epoch1', 2)") // v3
+    // history advances past the tag, including a MoR delete
+    spark.sql("DELETE FROM lakehouse.ice_ns.hist WHERE k < 10") // v4
+    (30 until 40).map(i => (i, s"b-$i")).toDF("k", "v")
+      .createOrReplaceTempView("hist_2")
+    spark.sql("INSERT INTO lakehouse.ice_ns.hist SELECT * FROM hist_2") // v5
+    spark.sql("CALL lakehouse.system.tag('ice_ns', 'hist', 'epoch2', 5)") // v6
+
+    val md = tableDir("hist").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'hist_imp', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}')")
+
+    def rows(q: String): Seq[String] =
+      spark.sql(q).collect().map(_.toString).sorted.toSeq
+    // both tags time-travel on the IMPORTED table to the source's state
+    rows("SELECT k, v FROM lakehouse.ice_ns.hist_imp VERSION AS OF 'epoch1'") shouldBe
+      rows("SELECT k, v FROM lakehouse.ice_ns.hist VERSION AS OF 'epoch1'")
+    rows("SELECT k, v FROM lakehouse.ice_ns.hist_imp VERSION AS OF 'epoch2'") shouldBe
+      rows("SELECT k, v FROM lakehouse.ice_ns.hist VERSION AS OF 'epoch2'")
+    // current state matches, and epoch1 kept the rows deleted later
+    rows("SELECT k, v FROM lakehouse.ice_ns.hist_imp") shouldBe
+      rows("SELECT k, v FROM lakehouse.ice_ns.hist")
+    spark.sql("SELECT COUNT(*) FROM lakehouse.ice_ns.hist_imp VERSION AS OF 'epoch1'")
+      .collect()(0).getLong(0) shouldBe 30
+    spark.sql("SELECT COUNT(*) FROM lakehouse.ice_ns.hist_imp")
+      .collect()(0).getLong(0) shouldBe 30 // 30 - 10 deleted + 10 appended
+
+    // a pinned-ref import stays ONE snapshot (no history), as before
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.hist_pin")
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'hist_pin', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}', 'epoch1')")
+    rows("SELECT k, v FROM lakehouse.ice_ns.hist_pin") shouldBe
+      rows("SELECT k, v FROM lakehouse.ice_ns.hist VERSION AS OF 'epoch1'")
+    spark.table("lakehouse.ice_ns.hist_pin.refs")
+      .select("name").collect().map(_.getString(0)) should not contain "epoch1"
+
+    // DML after a history import still applies to every imported file
+    spark.sql("DELETE FROM lakehouse.ice_ns.hist_imp WHERE k >= 35")
+    spark.sql("SELECT COUNT(*) FROM lakehouse.ice_ns.hist_imp")
+      .collect()(0).getLong(0) shouldBe 25
+    // and the tagged snapshots are untouched by the later delete
+    spark.sql("SELECT COUNT(*) FROM lakehouse.ice_ns.hist_imp VERSION AS OF 'epoch2'")
+      .collect()(0).getLong(0) shouldBe 30
+
+    Seq("hist", "hist_imp", "hist_pin").foreach(t =>
+      spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
   test("import keeps the partition spec and sort order: filtered scans file-skip like the source") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     Seq("hps", "hps_imp").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
