@@ -491,6 +491,14 @@ object IcebergExport {
     * name a version whose document was (correctly) never written. A
     * FAILED export still returns true: the hint advances and the
     * staleness surfaces loudly at the reader, the documented contract. */
+  /** Sidecar recording an observable mirror-failure state: stderr alone
+    * leaves a permanently-stale mirror invisible to anything that
+    * doesn't tail logs. Written on failure, cleared by the next
+    * successful export (including `CALL export_iceberg`); surfaced
+    * through the `<tbl>.mirror` metadata table. */
+  private[catalog] def staleMarker(tableDir: Path): Path =
+    TableMetadata.metadataDir(tableDir).resolve("mirror-stale.txt")
+
   def maintainMirror(tableDir: Path, meta: TableMetadata): Boolean =
     if (!meta.properties.get("graft.iceberg.mirror").contains("true")) true
     else {
@@ -504,6 +512,9 @@ object IcebergExport {
             s"[graft] iceberg mirror update failed for ${meta.name} " +
               s"v${meta.version} (external readers will see a stale mirror " +
               s"until the next successful commit or export_iceberg): $e")
+          try Files.writeString(staleMarker(tableDir),
+            s"v${meta.version}: ${e.toString.linesIterator.next()}")
+          catch { case _: Exception => () }
           true
       }
     }
@@ -530,22 +541,42 @@ object IcebergExport {
     * document, then GCs artifacts the new snapshot no longer
     * references. `spark` may be null when no delete parquet needs
     * rewriting (pure-append mirror maintenance needs no session). */
-  /** Striped per-table exclusion for concurrent mirror updates: the
+  /** Two-tier per-table exclusion for concurrent mirror updates: the
     * metadata LOG is race-safe on its own (slot claims), but two racing
     * commits would run exportSnapshot concurrently, and a failing
     * export's rollback deletes every pattern-matching artifact absent
     * from ITS stale snapshot — which includes the racer's freshly
-    * published ones. JVM-level only: cross-process mirror races stay
-    * possible in theory (the log stays correct; a clobbered mirror
-    * self-heals on the next export, since reuse verifies file
-    * existence), and the single-driver deployment has exactly one
-    * committer process. */
+    * published ones. Same-process racers serialize on a JVM stripe
+    * (FileLock is per-JVM-per-file: overlapping locks throw, so the
+    * stripe must come FIRST); cross-process racers serialize on an
+    * exclusive `FileLock` over `metadata/mirror.lock` held across the
+    * whole read-check-export-GC-publish — the supersession guard then
+    * sees the other PROCESS's published state too, so a two-committer
+    * deployment cannot thrash mirror artifacts even transiently. The
+    * same writeFloor pattern: if the filesystem cannot lock (some
+    * network mounts), the stripe still serializes this process and the
+    * export proceeds — a clobbered mirror self-heals on the next
+    * export, since artifact reuse verifies file existence. */
   private val mirrorLocks = Array.fill(64)(new Object)
 
   def exportSnapshot(spark: SparkSession, dir: Path, meta: TableMetadata): Long =
     mirrorLocks(
       math.floorMod(dir.toAbsolutePath.normalize.hashCode, 64)).synchronized {
-      exportSnapshotLocked(spark, dir, meta)
+      val md = dir.resolve("metadata")
+      Files.createDirectories(md)
+      val ch =
+        try java.nio.channels.FileChannel.open(md.resolve("mirror.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.io.IOException => null }
+      val lock =
+        if (ch == null) null
+        else try ch.lock() catch { case _: java.io.IOException => null }
+      try exportSnapshotLocked(spark, dir, meta)
+      finally {
+        if (lock != null) { try lock.release() catch { case _: java.io.IOException => () } }
+        if (ch != null) { try ch.close() catch { case _: java.io.IOException => () } }
+      }
     }
 
   private def exportSnapshotLocked(
@@ -1181,6 +1212,8 @@ object IcebergExport {
     staleArtifacts.filterNot(p =>
       p == target || retainedDoc(p) ||
         referenced(p.toAbsolutePath.normalize)).foreach(drop)
+    // this export succeeded: any recorded mirror-failure state is healed
+    try Files.deleteIfExists(staleMarker(dir)) catch { case _: Exception => () }
     fileCount
   }
 

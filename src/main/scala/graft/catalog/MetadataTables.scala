@@ -22,7 +22,7 @@ object MetadataTables {
 
   val names: Set[String] =
     Set("metadata_log_entries", "history", "snapshots", "files", "delete_files",
-      "partitions", "refs", "manifests")
+      "partitions", "refs", "manifests", "mirror")
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
   private def micros(ms: Long): Long = ms * 1000L
@@ -128,6 +128,37 @@ object MetadataTables {
         val head = new GenericInternalRow(
           Array[Any](utf8("main"), utf8("head"), current.version))
         new MetadataTable(s"$identName.refs", schema, (head +: (branchRows ++ tagRows)).toArray)
+
+      case "mirror" =>
+        // write-through Iceberg mirror health: whether the external
+        // snapshot tracks the table, which version the hint names, and
+        // any recorded failure state ([[IcebergExport.staleMarker]]) —
+        // the observable face of "the mirror failed and only stderr
+        // knew". stale=true means external readers are pinned at
+        // hint_version while the table advanced; the next successful
+        // commit or CALL export_iceberg heals it.
+        val current = log.last
+        val schema = StructType(Seq(
+          StructField("enabled", BooleanType),
+          StructField("table_version", IntegerType),
+          StructField("hint_version", IntegerType),
+          StructField("stale", BooleanType),
+          StructField("detail", StringType)))
+        val enabled = current.properties.get("graft.iceberg.mirror").contains("true")
+        val md = TableMetadata.metadataDir(tableDir)
+        val hint =
+          try java.nio.file.Files.readString(md.resolve("version-hint.text"))
+            .trim.toIntOption.getOrElse(-1)
+          catch { case _: Exception => -1 }
+        val marker =
+          try Some(java.nio.file.Files.readString(
+            IcebergExport.staleMarker(tableDir)).trim)
+          catch { case _: Exception => None }
+        val stale = marker.isDefined || (enabled && hint != current.version)
+        val row = new GenericInternalRow(Array[Any](
+          enabled, current.version, hint, stale,
+          marker.map(utf8).orNull))
+        new MetadataTable(s"$identName.mirror", schema, Array(row))
 
       case "partitions" =>
         // per-partition file/row/byte counts from METADATA alone

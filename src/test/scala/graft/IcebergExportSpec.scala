@@ -813,6 +813,104 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.fm")
   }
 
+  test("mirror failure is OBSERVABLE: the .mirror metadata table records staleness") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.ms")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.ms (k INT) " +
+      "TBLPROPERTIES ('graft.iceberg.mirror'='true')")
+    Seq(1, 2, 3).toDF("k").createOrReplaceTempView("ice_ms_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.ms SELECT * FROM ice_ms_src")
+    def mirrorRow(): (Boolean, Int, Int, Boolean, String) = {
+      val r = spark.table("lakehouse.ice_ns.ms.mirror").collect()(0)
+      (r.getBoolean(0), r.getInt(1), r.getInt(2), r.getBoolean(3),
+        if (r.isNullAt(4)) null else r.getString(4))
+    }
+    mirrorRow() shouldBe ((true, 2, 2, false, null))
+
+    // VARIANT has no Iceberg v2 equivalent: this COMMIT's mirror update
+    // fails (never failing the commit), the hint stays behind, and the
+    // failure is recorded where a reader can SEE it — not only stderr
+    spark.sql("ALTER TABLE lakehouse.ice_ns.ms ADD COLUMN vv VARIANT")
+    val (en, tv, hv, stale, detail) = mirrorRow()
+    // the hint still advances on failure (the documented loud-stale
+    // contract: readers hit a missing v3.metadata.json, not silence)
+    (en, tv, hv, stale) shouldBe ((true, 3, 3, true))
+    detail should include("v3")
+    Files.exists(tableDir("ms").resolve("metadata")
+      .resolve("v3.metadata.json")) shouldBe false
+    Files.exists(tableDir("ms").resolve("metadata").resolve("mirror-stale.txt")) shouldBe true
+
+    // the next successful commit heals: marker cleared, hint current
+    spark.sql("ALTER TABLE lakehouse.ice_ns.ms DROP COLUMN vv")
+    mirrorRow() shouldBe ((true, 4, 4, false, null))
+    Files.exists(tableDir("ms").resolve("metadata").resolve("mirror-stale.txt")) shouldBe false
+    icebergRead(tableDir("ms"), Seq("k")).size shouldBe 3
+    spark.sql("DROP TABLE lakehouse.ice_ns.ms")
+  }
+
+  test("mirror lock excludes a second PROCESS: hint never names an unwritten document") {
+    import scala.sys.process.{Process, ProcessLogger}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val probe = Process(Seq("python3", "-c", "import fcntl"))
+      .!(ProcessLogger(_ => (), _ => ()))
+    assume(probe == 0, "python3 not available in this environment")
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.xp")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.xp (k INT, v STRING) " +
+      "TBLPROPERTIES ('graft.iceberg.mirror'='true')")
+    val dir = tableDir("xp")
+    val md = dir.resolve("metadata")
+    val lockFile = md.resolve("mirror.lock")
+    val release = Files.createTempDirectory("graft-xplock-").resolve("release")
+
+    // a FOREIGN PROCESS holds the fcntl lock (java FileLock maps to the
+    // same POSIX fcntl namespace on linux) until the test signals it
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val holder = Process(Seq("python3", "-c",
+      s"""
+         |import fcntl, os, time
+         |f = open('$lockFile', 'w')
+         |fcntl.lockf(f, fcntl.LOCK_EX)
+         |print('HELD', flush=True)
+         |while not os.path.exists('$release'):
+         |    time.sleep(0.05)
+         |fcntl.lockf(f, fcntl.LOCK_UN)
+         |""".stripMargin)).run(ProcessLogger(
+      l => if (l.trim == "HELD") held.countDown(), _ => ()))
+    try {
+      assert(held.await(20, java.util.concurrent.TimeUnit.SECONDS), "holder never locked")
+
+      // the commit publishes the graft LOG, then blocks on the foreign
+      // lock for its mirror update — the iceberg hint must not move and
+      // the new version's document must not exist while the lock is held
+      val fut = Future {
+        Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("xp_src")
+        spark.sql("INSERT INTO lakehouse.ice_ns.xp SELECT * FROM xp_src")
+      }
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (graft.catalog.TableMetadata.currentVersion(dir) < 2 &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      graft.catalog.TableMetadata.currentVersion(dir) shouldBe 2
+      Thread.sleep(500) // let the blocked export reach the file lock
+      fut.isCompleted shouldBe false
+      Files.exists(md.resolve("v2.metadata.json")) shouldBe false
+      Files.readString(md.resolve("version-hint.text")).trim shouldBe "1"
+
+      Files.createFile(release)
+      Await.result(fut, 60.seconds)
+      Files.exists(md.resolve("v2.metadata.json")) shouldBe true
+      Files.readString(md.resolve("version-hint.text")).trim shouldBe "2"
+      icebergRead(dir, Seq("k", "v")).size shouldBe 1
+    } finally {
+      try Files.createFile(release) catch { case _: Exception => () }
+      holder.exitValue()
+    }
+    spark.sql("DROP TABLE lakehouse.ice_ns.xp")
+  }
+
   test("racing commits on a mirrored table leave one readable, current mirror") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.cm")
