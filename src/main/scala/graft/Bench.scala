@@ -56,6 +56,18 @@ object BenchGuard {
     historicalMin > 0.05 && freshMin > 3.0 * historicalMin &&
       freshMin - historicalMin > 0.2
 
+  /** The fold decision for a fresh-JVM solo adjudication sample: it may
+    * enter the recorded sample vector ONLY when it CONFIRMS a collapse
+    * back within the drift threshold of the historical min. Same-JVM /
+    * contention drift then self-heals the record; a real regression
+    * (solo still slow) keeps the slow min with both numbers shown; a
+    * failed or unparseable solo (None) never edits the record — so a
+    * contaminated sample cannot become next round's drift baseline
+    * (the r14 q75 incident: suite min 1.343s vs historical 0.317s,
+    * fresh-JVM solo 0.60s → folds; the committed record self-heals). */
+  def soloFolds(solo: Option[Double], historicalMin: Double): Boolean =
+    solo.exists(s => !historyDrift(s, historicalMin))
+
   /** Per-query `min` timings of a committed BENCH_FULL artifact —
     * absent file or malformed JSON yields an empty history (the drift
     * check simply stays off). */
@@ -284,8 +296,8 @@ object Bench {
             if (failure.isEmpty && only.isEmpty) history.get(name).foreach { h =>
               if (BenchGuard.historyDrift(samples.min, h)) {
                 val solo = soloFreshJvm(name)
-                solo.filter(s => !BenchGuard.historyDrift(s, h))
-                  .foreach(s => samples = (samples :+ s).sorted)
+                if (BenchGuard.soloFolds(solo, h))
+                  samples = (samples ++ solo).sorted
                 drift = Some((h, solo))
               }
             }

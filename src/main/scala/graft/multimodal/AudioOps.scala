@@ -55,6 +55,34 @@ object WavCodec extends Serializable {
     } finally in.close()
   }
 
+  /** Encode 16-bit PCM mono samples as a real RIFF/WAVE container via
+    * the JDK's own writer — the encode leg of the audio pipeline
+    * (deterministic payload synthesis for fixtures, re-encode for
+    * sinks). `channels` duplicates the mono signal into an interleaved
+    * multi-channel layout. */
+  def encode(samples: Array[Short], sampleRate: Float, channels: Int = 1): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioInputStream}
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val data = new Array[Byte](samples.length * 2 * channels)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      var c = 0
+      while (c < channels) {
+        val o = (i * channels + c) * 2
+        data(o) = (v & 0xff).toByte
+        data(o + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** 64-bit audio fingerprint: 64 equal time windows, bit i = window
     * RMS above the clip's mean window RMS. The threshold is RELATIVE,
     * so the print is invariant to uniform volume change and to lossless

@@ -1158,6 +1158,61 @@ object TextOps {
            |       GREATEST(1, ascii(substr(text, 2, 1))) AS height
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Audio near-dup under the oracle: deterministic RIFF/WAVE payloads
+    * synthesize per document (a square-carrier clip whose 64-window
+    * energy envelope encodes `(doc_id + w) % 5 == 0`, amplitude scaled
+    * by `1 + doc_id % 3`), run the REAL javax.sound codec
+    * ([[graft.multimodal.WavCodec]] decode), per-clip features, the
+    * 64-window relative-RMS fingerprint, and the banded-hamming near-dup
+    * join — and every stage is arithmetically reconstructable by DuckDB:
+    * duration/rms/zcr in closed form from the designed signal, and the
+    * near-dup clusters are exactly the doc_id mod-5 classes BECAUSE the
+    * fingerprint is volume-invariant (three different volumes per class
+    * collapse to one envelope — the invariance claim itself sits under
+    * the hash-match gate; previously MediaSpec-only coverage). Scale
+    * shape: encode/decode are row-local mapPartitions over bounded
+    * batches; the pair join is banded (16-bit band equality), never
+    * all-pairs. */
+  val q125 = Q(
+    "q125_audio_neardup",
+    (s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).filter(col("doc_id") < 120)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val v = 1 + (id % 3).toInt
+          val samples = Array.tabulate(6400) { i =>
+            val w = i / 100 // 64 windows x 100 samples
+            val amp = if ((id + w) % 5 == 0) 8192 * v else 2048 * v
+            (if ((i / 25) % 2 == 0) amp else -amp).toShort
+          }
+          (id, graft.multimodal.WavCodec.encode(samples, 8000f))
+        })
+        .toDF("id", "payload")
+      val feats = graft.multimodal.AudioOps.audioFeatures(media).toDF()
+      val pairs = graft.multimodal.MediaOps.nearDupMedia(
+        graft.multimodal.AudioOps.audioHash(media))
+      // cluster representative: the smallest near-dup neighbour (the
+      // class min never sees a smaller id1, so it coalesces to itself)
+      val grp = pairs.groupBy(col("id2").as("gid")).agg(min(col("id1")).as("m"))
+      feats.join(grp, feats("id") === grp("gid"), "left")
+        .select(
+          feats("id").as("doc_id"),
+          round(col("duration_sec"), 6).as("dur"),
+          round(col("rms"), 9).as("rms"),
+          round(col("zero_cross_rate"), 9).as("zcr"),
+          least(feats("id"), coalesce(col("m"), feats("id"))).as("grp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, 0.8 AS dur,
+           |  ROUND(SQRT((k*(8192.0*v)*(8192.0*v) + (64-k)*(2048.0*v)*(2048.0*v))/64)/32768, 9) AS rms,
+           |  ROUND(255.0/6399, 9) AS zcr,
+           |  doc_id % 5 AS grp
+           |FROM (SELECT doc_id, 1 + doc_id % 3 AS v,
+           |        CASE WHEN doc_id % 5 = 1 THEN 12 ELSE 13 END AS k
+           |      FROM documents WHERE doc_id < 120)
+           |ORDER BY doc_id""".stripMargin))
+
   /** Context-window chunking with overlap — the slicing stage that
     * turns documents into model-sized training sequences (window 40
     * tokens, stride 30 → 10-token overlap). Entirely row-local
@@ -2654,7 +2709,7 @@ FROM s$rounds ORDER BY doc_id""")
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+      q55, q125, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79, q80, q88,
       q107, q108)
 }

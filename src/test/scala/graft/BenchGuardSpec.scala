@@ -71,6 +71,24 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.historyDrift(0.25, 0.06) shouldBe false
   }
 
+  test("soloFolds distinguishes same-JVM drift from a real regression (the r14 q75 incident)") {
+    // r14's actual numbers: the suite recorded q75 min 1.343s against a
+    // committed 0.317s (history_drift fired). The fresh-JVM solo ran
+    // 0.60s — within the drift threshold of history — so the drift was
+    // JVM-state/contention, NOT a plan regression: the solo folds and
+    // the record self-heals instead of anchoring next round's baseline
+    // at 4x the true cost.
+    BenchGuard.historyDrift(freshMin = 1.343, historicalMin = 0.317) shouldBe true
+    BenchGuard.soloFolds(Some(0.60), historicalMin = 0.317) shouldBe true
+    // a REAL regression stays slow in the fresh JVM too: the solo must
+    // NOT fold — the slow min stands and the artifact shows both numbers
+    BenchGuard.soloFolds(Some(1.30), historicalMin = 0.317) shouldBe false
+    // a failed/unparseable solo never edits the record
+    BenchGuard.soloFolds(None, historicalMin = 0.317) shouldBe false
+    // border: a solo exactly at the historical cost trivially folds
+    BenchGuard.soloFolds(Some(0.317), historicalMin = 0.317) shouldBe true
+  }
+
   test("historicalMins parses a committed BENCH_FULL artifact; absence disables the check") {
     val tmp = java.nio.file.Files.createTempFile("bench-hist-", ".json")
     java.nio.file.Files.writeString(tmp,
