@@ -68,6 +68,10 @@ object Bucketing {
     * on exactly the co-located join tables. */
   val HashProp = "graft.bucket.hash"
 
+  /** The properties that define the physical bucket layout — immutable
+    * once data files exist (enforced by ALTER TABLE). */
+  val LayoutProps: Set[String] = Set(ColProp, CountProp, HashProp)
+
   def specOf(properties: Map[String, String]): Option[(String, Int)] =
     for { c <- properties.get(ColProp); n <- properties.get(CountProp) } yield (c, n.toInt)
 
@@ -114,6 +118,27 @@ object Bucketing {
     }
     out
   }
+
+  /** Cluster `df` so part-file index = the table's bucket id under its
+    * DECLARED hash — the one bucket-layout writer, shared by the insert
+    * path, compaction, and column-rename rewrites. A rewrite that used
+    * the wrong hash would silently relabel every file: scans would
+    * report a KeyGroupedPartitioning the physical layout doesn't have
+    * (wrong storage-partitioned joins) and the mirror would export
+    * wrong bucket tuples (wrong external pruning). */
+  def cluster(
+      df: org.apache.spark.sql.DataFrame, bcol: String, n: Int,
+      properties: Map[String, String]): org.apache.spark.sql.DataFrame =
+    if (icebergHash(properties)) {
+      // iceberg bucket id routed through tokens that Spark-hash to the
+      // same partition index — stock Tungsten shuffle, see sparkHashTokens
+      import org.apache.spark.sql.functions.{element_at, lit, typedlit}
+      val ib = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        IcebergBucketId(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(df.col(bcol)), n))
+      val route = element_at(typedlit(sparkHashTokens(n).toSeq), ib + lit(1))
+      df.repartition(n, route).sortWithinPartitions(df.col(bcol))
+    } else df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
 
   /** Bucket id of a data file, IF the file was written by a bucketed
     * commit (commit dir prefixed `b-`): the part-file index equals the

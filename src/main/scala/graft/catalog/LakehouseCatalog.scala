@@ -655,6 +655,22 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
           // NOT NULL conformance starts enforcing on row-level writes),
           // and the mint mark must start PAST the stored maximum —
           // both checked from footer stats, no scan
+          // the bucket layout contract (column/count/hash) is baked
+          // into every data file's physical placement — flipping it on
+          // a non-empty table would make scans claim a
+          // KeyGroupedPartitioning the files don't have (silently wrong
+          // storage-partitioned joins) and the mirror export wrong
+          // bucket tuples. Changeable only while the table holds no
+          // data; the new value re-validates like CREATE.
+          if (Bucketing.LayoutProps.contains(set.property) &&
+            !m.properties.get(set.property).contains(set.value)) {
+            require(m.files.isEmpty,
+              s"cannot change ${set.property} on a table with existing data " +
+                "files: the on-disk bucket layout was written under the " +
+                "declared spec — recreate the table (CTAS) instead")
+            Bucketing.validate(m.schema,
+              m.properties + (set.property -> set.value))
+          }
           if (set.property.startsWith(IdentityColumns.SpecPrefix) &&
             !m.properties.get(set.property).contains(set.value)) {
             val withId = m.properties + (set.property -> set.value)
@@ -687,6 +703,14 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
                 m.fileRows)))
           } else m.copy(properties = m.properties + (set.property -> set.value))
         case rm: TableChange.RemoveProperty =>
+          // removing a bucket-layout property is the same physical lie
+          // as changing it (see SetProperty above)
+          if (Bucketing.LayoutProps.contains(rm.property) &&
+            m.properties.contains(rm.property))
+            require(m.files.isEmpty,
+              s"cannot remove ${rm.property} on a table with existing data " +
+                "files: the on-disk bucket layout was written under the " +
+                "declared spec — recreate the table (CTAS) instead")
           m.copy(properties = m.properties - rm.property)
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1, "nested ADD COLUMN not supported")

@@ -884,23 +884,11 @@ class LakehouseTable(
       // cover disjoint intervals and footer ranges prune like partitions
       val sortOrderCols = WriteSortOrder.colsOf(startMeta.properties)
       val clustered = bucketSpec match {
-        case Some((bcol, n)) if Bucketing.icebergHash(startMeta.properties) =>
-          // Iceberg-spec bucket layout: partition index must equal the
-          // ICEBERG bucket id, but Spark's repartition(n, col) places by
-          // its OWN hash. Bridge the two without leaving Tungsten: map
-          // the computed iceberg id through a precomputed token array
-          // where token[i] spark-hashes to partition i — so
-          // repartition(n, token[iceberg_id]) lands every row in
-          // partition iceberg_id and part-file index = iceberg bucket.
-          val ib = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-            IcebergBucketId(
-              org.apache.spark.sql.graftbridge.ColumnBridge.expression(df.col(bcol)), n))
-          val tokens = Bucketing.sparkHashTokens(n)
-          val route = org.apache.spark.sql.functions.element_at(
-            org.apache.spark.sql.functions.typedlit(tokens.toSeq), ib + lit(1))
-          df.repartition(n, route).sortWithinPartitions(df.col(bcol))
         case Some((bcol, n)) =>
-          df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
+          // part-file index = bucket id under the table's DECLARED hash
+          // (spark murmur3, or Iceberg's Appendix B hash routed through
+          // Spark's stock shuffle — see Bucketing.cluster)
+          Bucketing.cluster(df, bcol, n, startMeta.properties)
         case None if hiddenExprs.nonEmpty =>
           // RANGE partitioning, not hash: derived day/hour/prefix values
           // are few and ORDINAL — hashing a handful of days can collide

@@ -185,7 +185,9 @@ object Maintenance {
       else MergeOnRead.read(spark, dir, current, current.files)
     val clustered = bucketSpec match {
       case Some((bcol, n)) =>
-        df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
+        // the table's DECLARED hash (iceberg-hash tables must re-bucket
+        // with Iceberg's hash or the repair would silently relabel)
+        Bucketing.cluster(df, bcol, n, current.properties)
       case None if clusterBy.nonEmpty && zorder =>
         val z = mortonKey(df, clusterBy)
         df.repartitionByRange(targetFiles, z).sortWithinPartitions(z)
@@ -394,7 +396,7 @@ object Maintenance {
     df.foreach { data =>
       val clustered = bucketSpec match {
         case Some((bcol, n)) =>
-          data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))
+          Bucketing.cluster(data, bcol, n, newProps)
         case None if newPartCols.nonEmpty =>
           data.repartition(current.files.size.max(1), newPartCols.map(data.col): _*)
             .sortWithinPartitions(newPartCols.map(data.col): _*)

@@ -284,6 +284,60 @@ class BucketSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE lakehouse.bkt_ns.$t"))
   }
 
+  test("bucket layout props freeze once data exists; compact repairs under the DECLARED hash") {
+    import graft.catalog.{Bucketing, IcebergHash}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    Seq("frz", "icerw").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lakehouse.bkt_ns.$t"))
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.frz (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    // empty table: the layout contract may still change
+    spark.sql("ALTER TABLE lakehouse.bkt_ns.frz SET TBLPROPERTIES ('graft.bucket.hash'='spark')")
+    spark.sql("ALTER TABLE lakehouse.bkt_ns.frz SET TBLPROPERTIES ('graft.bucket.hash'='iceberg')")
+    Seq.tabulate(100)(i => (i, i.toLong)).toDF("k", "v").createOrReplaceTempView("frz_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.frz SELECT * FROM frz_src")
+    // non-empty: flipping the hash (or dropping the spec) would make
+    // scans claim a layout the files don't have — refused
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.bkt_ns.frz SET TBLPROPERTIES ('graft.bucket.hash'='spark')")
+    }
+    e1.getMessage should include("existing data")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE lakehouse.bkt_ns.frz UNSET TBLPROPERTIES ('graft.bucket.hash')")
+    }
+    e2.getMessage should include("existing data")
+    spark.sql("DROP TABLE lakehouse.bkt_ns.frz")
+
+    // compaction after a COW rewrite must re-bucket with ICEBERG's
+    // hash on an iceberg-hash table — spark-hash would silently
+    // relabel every part file (wrong SPJ, wrong exported tuples)
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.icerw (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    Seq.tabulate(200)(i => (i % 40, i.toLong)).toDF("k", "v").createOrReplaceTempView("icerw_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.icerw SELECT * FROM icerw_src")
+    spark.sql("DELETE FROM lakehouse.bkt_ns.icerw WHERE k = 3") // breaks the b- mapping
+    graft.catalog.Maintenance.compact(spark, "lakehouse", Seq("bkt_ns"), "icerw")
+    // the CURRENT snapshot's files (older commits' files remain on disk
+    // for time travel — only the live layout carries the contract)
+    val tdir = java.nio.file.Paths.get(TestSpark.warehouse, "bkt_ns", "icerw")
+    val live = graft.catalog.TableMetadata.load(tdir).files
+    var checked = 0
+    live.foreach { rel =>
+      val bucket = Bucketing.bucketIdOf(rel)
+      bucket.isDefined shouldBe true
+      spark.read.parquet(tdir.resolve(rel).toString)
+        .select("k").as[Int].collect().foreach { k =>
+          IcebergHash.bucketOf(k, org.apache.spark.sql.types.IntegerType, 4) shouldBe bucket.get
+          checked += 1
+        }
+    }
+    checked shouldBe 195
+    spark.sql("DROP TABLE lakehouse.bkt_ns.icerw")
+  }
+
   test("iceberg hash mode validates the bucket column type at CREATE") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.badice")
