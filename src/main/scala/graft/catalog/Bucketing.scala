@@ -140,6 +140,63 @@ object Bucketing {
       df.repartition(n, route).sortWithinPartitions(df.col(bcol))
     } else df.repartition(n, df.col(bcol)).sortWithinPartitions(df.col(bcol))
 
+  /** Metadata-only bucket pruning: an equality (or IN) predicate on the
+    * bucket column keeps only the matching bucket's files — a point
+    * lookup on a 100 TB bucketed table drops (n-1)/n of its files
+    * before any footer or bloom sidecar opens. Hash-clustered files
+    * have WIDE min/max ranges (hashing scatters the value domain), so
+    * range skipping never helps exactly here — this is the skipping
+    * layer a bucket layout actually admits. Only bucket-addressable
+    * files (`b-` commits) are ever skipped; rewrite-era files always
+    * survive. NULL literals (EqualNullSafe) route to each hash's null
+    * placement: pmod(seed 42, n) for spark hash, bucket 0 for iceberg. */
+  def pruneByBucket(
+      files: Seq[String],
+      properties: Map[String, String],
+      schema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] =
+    specOf(properties) match {
+      case None => files
+      case Some((bcol, n)) =>
+        val field = schema.fields.find(_.name.equalsIgnoreCase(bcol))
+        if (field.isEmpty) return files
+        val dt = field.get.dataType
+        val toCatalyst =
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dt)
+        val iceberg = icebergHash(properties)
+        def bucketOf(v: Any): Option[Int] =
+          try {
+            if (v == null)
+              Some(if (iceberg) 0 else ((42 % n) + n) % n)
+            else if (iceberg) Some(IcebergHash.bucketOf(toCatalyst(v), dt, n))
+            else {
+              val h = Murmur3HashFunction.hash(toCatalyst(v), dt, 42L).toInt
+              Some(((h % n) + n) % n)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        import org.apache.spark.sql.sources._
+        // conjunctive filters: each applicable one yields a wanted-bucket
+        // set; the intersection is what can match
+        val sets: Seq[Set[Int]] = filters.flatMap {
+          case EqualTo(c, v) if c.equalsIgnoreCase(bcol) && v != null =>
+            bucketOf(v).map(Set(_))
+          case EqualNullSafe(c, v) if c.equalsIgnoreCase(bcol) =>
+            bucketOf(v).map(Set(_))
+          case In(c, vs) if c.equalsIgnoreCase(bcol) =>
+            val bs = vs.toSeq.map(bucketOf)
+            if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+          case _ => None
+        }
+        if (sets.isEmpty) files
+        else {
+          val wanted = sets.reduce(_ intersect _)
+          files.filter(f => bucketIdOf(f) match {
+            case Some(b) => wanted.contains(b)
+            case None => true // not bucket-addressable: never skip
+          })
+        }
+    }
+
   /** Bucket id of a data file, IF the file was written by a bucketed
     * commit (commit dir prefixed `b-`): the part-file index equals the
     * shuffle partition = bucket id. Files from non-bucketed commits

@@ -282,13 +282,18 @@ class LakehouseTable(
             }
           case None => ()
         }
-        // two metadata-only pruning layers before any footer is opened:
-        // min/max ranges (layout-dependent), then per-file bloom probes
-        // for point predicates on indexed columns (layout-independent)
+        // three metadata-only pruning layers before any footer is
+        // opened: min/max ranges (layout-dependent), per-file bloom
+        // probes for point predicates on indexed columns
+        // (layout-independent), and bucket pruning for point predicates
+        // on the bucket column (the skipping a hash layout admits —
+        // hash-scattered ranges defeat min/max there)
         val rangeSurvivors =
           FileSkipping.prune(smeta.files, smeta.fileStats, smeta.schema, pushed.toSeq)
-        val filterSurvivors = BloomIndex.prune(
+        val bloomSurvivors = BloomIndex.prune(
           tableDir, smeta.properties, smeta.schema, rangeSurvivors, pushed.toSeq)
+        val filterSurvivors = Bucketing.pruneByBucket(
+          bloomSurvivors, smeta.properties, smeta.schema, pushed.toSeq)
         // LIMIT truncation: cumulative recorded row counts cover the
         // limit → later files can never be needed. Spark only pushes a
         // limit this far when no residual filter remains — i.e. a

@@ -1864,6 +1864,39 @@ object Relational {
     Some("""SELECT 'MATCH' AS verdict, true AS pruned, COUNT(*) AS rows_read
            |FROM supplier WHERE s_suppkey % 3 = 1""".stripMargin))
 
+  /** Bucket-pruned point lookup under the oracle: a point predicate on
+    * the bucket column of an iceberg-hash bucketed table must read ONLY
+    * the matching bucket's files (hash-scattered min/max ranges defeat
+    * range skipping — bucket pruning is the skipping layer the layout
+    * admits; at 100 TB a point lookup reads 1/n of the table,
+    * metadata-only). The result row carries the pruned flag computed
+    * from the scan's (survivors, total) instrumentation, and the
+    * looked-up row itself — DuckDB recomputes both arithmetically. */
+  val q126 = Q(
+    "q126_bucket_point_lookup",
+    (s, d) => {
+      import s.implicits._
+      val src = supplier(s, d).select("s_suppkey", "s_name")
+      val mark = srcMark(src)
+      val t = cachedFixture(s, d, "bkt", "supplier_bkt", mark,
+        t => s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING) " +
+          "PARTITIONED BY (bucket(8, s_suppkey)) TBLPROPERTIES (" +
+          s"'graft.bucket.hash'='iceberg', 'graft.src.mark'='$mark')") { t =>
+        src.createOrReplaceTempView("bkt_src")
+        // two commits -> multiple bucket-addressable files per bucket
+        s.sql(s"INSERT INTO $t SELECT * FROM bkt_src WHERE s_suppkey % 2 = 0")
+        s.sql(s"INSERT INTO $t SELECT * FROM bkt_src WHERE s_suppkey % 2 = 1")
+      }
+      val hit = s.table(t).where(col("s_suppkey") === 7L)
+        .select(col("s_suppkey"), col("s_name")).collect()
+      val (surv, total) = graft.catalog.LakehouseTable.lastScanFileCounts.get()
+      val pruned = surv >= 1 && surv < total
+      hit.toSeq.map(r => (r.getLong(0), r.getString(1), pruned))
+        .toDF("s_suppkey", "s_name", "pruned")
+    },
+    Some("""SELECT s_suppkey, s_name, true AS pruned
+           |FROM supplier WHERE s_suppkey = 7""".stripMargin))
+
   /** Dataset profile: per-column count / null count / exact distinct /
     * mean / stddev / min / max over `documents` — the sanity-and-drift
     * scan a pipeline runs on every ingest before anything trains on it
@@ -2131,5 +2164,5 @@ object Relational {
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
     q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124)
+    q118, q119, q120, q121, q122, q123, q124, q126)
 }

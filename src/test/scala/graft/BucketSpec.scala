@@ -338,6 +338,42 @@ class BucketSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.bkt_ns.icerw")
   }
 
+  test("equality on the bucket column prunes to the matching bucket's files") {
+    import graft.catalog.LakehouseTable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    Seq("bp", "bpi").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lakehouse.bkt_ns.$t"))
+    spark.sql("CREATE TABLE lakehouse.bkt_ns.bp (k INT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.bpi (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    Seq.tabulate(400)(i => (i % 40, i.toLong)).toDF("k", "v").createOrReplaceTempView("bp_src")
+    // two commits -> 8 bucket-addressable files per table
+    Seq("bp", "bpi").foreach { t =>
+      spark.sql(s"INSERT INTO lakehouse.bkt_ns.$t SELECT * FROM bp_src")
+      spark.sql(s"INSERT INTO lakehouse.bkt_ns.$t SELECT k, v + 1000 FROM bp_src")
+    }
+    Seq("bp", "bpi").foreach { t =>
+      // point lookup: only the wanted bucket's files open (1/4 of the
+      // table), rows exact under both hashes
+      spark.table(s"lakehouse.bkt_ns.$t").where($"k" === 7).count() shouldBe 20
+      val (survEq, totalEq) = LakehouseTable.lastScanFileCounts.get()
+      withClue(s"$t eq: ") { totalEq shouldBe 8; survEq shouldBe 2 }
+      // IN list: union of the named buckets only
+      spark.table(s"lakehouse.bkt_ns.$t").where($"k".isin(7, 9)).count() shouldBe 40
+      val (survIn, totalIn) = LakehouseTable.lastScanFileCounts.get()
+      withClue(s"$t in: ") {
+        totalIn shouldBe 8
+        survIn should be <= 4
+        survIn should be >= 2
+      }
+      // a non-bucket-column filter never bucket-prunes
+      spark.table(s"lakehouse.bkt_ns.$t").where($"v" === 7L).count() shouldBe 1
+    }
+    Seq("bp", "bpi").foreach(t => spark.sql(s"DROP TABLE lakehouse.bkt_ns.$t"))
+  }
+
   test("iceberg hash mode validates the bucket column type at CREATE") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.badice")
