@@ -392,8 +392,10 @@ class LakehouseTable(
               predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
             val v1 = predicates.flatMap(RuntimePredicates.toV1).toSeq
             if (v1.nonEmpty) {
-              runtimeSurvivors = BloomIndex.prune(tableDir, smeta.properties, smeta.schema,
-                FileSkipping.prune(runtimeSurvivors, smeta.fileStats, smeta.schema, v1), v1)
+              runtimeSurvivors = Bucketing.pruneByBucket(
+                BloomIndex.prune(tableDir, smeta.properties, smeta.schema,
+                  FileSkipping.prune(runtimeSurvivors, smeta.fileStats, smeta.schema, v1), v1),
+                smeta.properties, smeta.schema, v1)
               LakehouseTable.lastRuntimeFilteredCounts = (runtimeSurvivors.size, totalFileCount)
             }
           }
@@ -717,9 +719,13 @@ class LakehouseTable(
       .getOrElse(throw new UnsupportedOperationException(
         s"unsupported DELETE predicate: ${filters.mkString(", ")}"))
 
-    // (1) metadata prune — files whose stats PROVE no row matches stay as-is
-    val candidates =
-      FileSkipping.prune(current.files, current.fileStats, current.schema, filters.toSeq)
+    // (1) metadata prune — files whose stats PROVE no row matches stay
+    // as-is; on bucketed tables a point predicate on the bucket column
+    // additionally drops whole buckets (hash-scattered ranges defeat
+    // the stats prune exactly there)
+    val candidates = Bucketing.pruneByBucket(
+      FileSkipping.prune(current.files, current.fileStats, current.schema, filters.toSeq),
+      current.properties, current.schema, filters.toSeq)
     if (candidates.isEmpty) return
 
     // Merge-on-read mode (`graft.delete.mode=merge-on-read`): instead
@@ -828,8 +834,9 @@ class LakehouseTable(
       .reduceOption(_ && _)
       .getOrElse(throw new UnsupportedOperationException(
         s"unsupported OVERWRITE expression: ${filters.mkString(", ")}"))
-    val candidates =
-      FileSkipping.prune(current.files, current.fileStats, current.schema, filters.toSeq)
+    val candidates = Bucketing.pruneByBucket(
+      FileSkipping.prune(current.files, current.fileStats, current.schema, filters.toSeq),
+      current.properties, current.schema, filters.toSeq)
     def fileName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
     val hitFiles =
       if (candidates.isEmpty) Seq.empty[String]

@@ -847,10 +847,13 @@ object Maintenance {
       if (current.files.isEmpty) Nil
       else if (keyCols.length == 1) {
         val vals = keys.limit(10001).collect().map(_.get(0))
-        if (vals.length <= 10000)
-          FileSkipping.prune(current.files, current.fileStats, current.schema,
-            Seq(org.apache.spark.sql.sources.In(keyCols.head, vals)))
-        else current.files
+        if (vals.length <= 10000) {
+          val in = Seq(org.apache.spark.sql.sources.In(keyCols.head, vals): 
+            org.apache.spark.sql.sources.Filter)
+          Bucketing.pruneByBucket(
+            FileSkipping.prune(current.files, current.fileStats, current.schema, in),
+            current.properties, current.schema, in)
+        } else current.files
       } else current.files
     val hits =
       if (scanFiles.isEmpty) Nil

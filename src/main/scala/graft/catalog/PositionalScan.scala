@@ -59,7 +59,9 @@ private[catalog] class PositionalRowIdScan(
 
   @volatile private var survivors: Seq[String] = {
     val ranged = FileSkipping.prune(meta.files, meta.fileStats, meta.schema, pushed.toSeq)
-    val s = BloomIndex.prune(tableDir, meta.properties, meta.schema, ranged, pushed.toSeq)
+    val s = Bucketing.pruneByBucket(
+      BloomIndex.prune(tableDir, meta.properties, meta.schema, ranged, pushed.toSeq),
+      meta.properties, meta.schema, pushed.toSeq)
     // same observability hook as the main scan: a partition-selective
     // MoR MERGE shows its static file skipping here — from an ON
     // conjunct (`t.day = '2024-01-02'`) or a source-subquery literal
@@ -125,8 +127,10 @@ private[catalog] class PositionalRowIdScan(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val v1 = predicates.flatMap(RuntimePredicates.toV1).toSeq
     if (v1.nonEmpty) {
-      survivors = BloomIndex.prune(tableDir, meta.properties, meta.schema,
-        FileSkipping.prune(survivors, meta.fileStats, meta.schema, v1), v1)
+      survivors = Bucketing.pruneByBucket(
+        BloomIndex.prune(tableDir, meta.properties, meta.schema,
+          FileSkipping.prune(survivors, meta.fileStats, meta.schema, v1), v1),
+        meta.properties, meta.schema, v1)
       LakehouseTable.lastRuntimeFilteredCounts = (survivors.size, meta.files.size)
     }
   }

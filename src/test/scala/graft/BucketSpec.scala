@@ -374,6 +374,34 @@ class BucketSpec extends AnyFunSuite with Matchers {
     Seq("bp", "bpi").foreach(t => spark.sql(s"DROP TABLE lakehouse.bkt_ns.$t"))
   }
 
+  test("DELETE on the bucket column touches only the matching bucket's files") {
+    import graft.catalog.{Bucketing, IcebergHash, TableMetadata}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.bdel")
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.bdel (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    Seq.tabulate(400)(i => (i % 40, i.toLong)).toDF("k", "v").createOrReplaceTempView("bdel_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.bdel SELECT * FROM bdel_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.bdel SELECT k, v + 1000 FROM bdel_src")
+    val dir = java.nio.file.Paths.get(TestSpark.warehouse, "bkt_ns", "bdel")
+    val before = TableMetadata.load(dir).files.toSet
+    before.size shouldBe 8
+
+    spark.sql("DELETE FROM lakehouse.bkt_ns.bdel WHERE k = 7")
+    val after = TableMetadata.load(dir).files.toSet
+    // the COW rewrite candidates were bucket-pruned: every untouched
+    // bucket's files carry by reference, only bucket(7)'s two rewrote
+    val b7 = IcebergHash.bucketOf(7, org.apache.spark.sql.types.IntegerType, 4)
+    val removed = before -- after
+    removed.size shouldBe 2
+    removed.foreach(f => Bucketing.bucketIdOf(f) shouldBe Some(b7))
+    spark.table("lakehouse.bkt_ns.bdel").count() shouldBe 780
+    spark.table("lakehouse.bkt_ns.bdel").where($"k" === 7).count() shouldBe 0
+    spark.sql("DROP TABLE lakehouse.bkt_ns.bdel")
+  }
+
   test("iceberg hash mode validates the bucket column type at CREATE") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.badice")
