@@ -228,12 +228,19 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_ONLY", name)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-        // Spark logs land on stderr — discard; the JSON line is stdout
+        // Spark logs land on stderr — discard; the JSON line is stdout.
+        // stdout goes to a FILE, not a pipe: reading a pipe to EOF
+        // before waitFor would block forever on a hung child, making
+        // the 15-minute timeout (and the whole bench) dead on exactly
+        // the failure the timeout exists for
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val outFile = java.nio.file.Files.createTempFile("graft-solo-", ".out")
+        pb.redirectOutput(outFile.toFile)
         val proc = pb.start()
-        val out = scala.util.Using.resource(
-          scala.io.Source.fromInputStream(proc.getInputStream))(_.mkString)
         val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        val out =
+          try { if (done) java.nio.file.Files.readString(outFile) else "" }
+          finally { java.nio.file.Files.deleteIfExists(outFile) }
         if (!done) { proc.destroyForcibly(); None }
         else if (proc.exitValue() != 0) None
         else {

@@ -569,9 +569,34 @@ object IcebergExport {
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.WRITE)
         catch { case _: java.io.IOException => null }
+      // BOUNDED acquisition: this runs inside TableMetadata.commit's
+      // publish, and the contract is that a mirror problem never stalls
+      // a data commit — a wedged peer PROCESS holding the lock must
+      // surface as a mirror FAILURE (stale marker, hint advances, next
+      // export heals), not block committers forever. tryLock + poll up
+      // to 60s; an fs that cannot lock at all proceeds unlocked (the
+      // JVM stripe still serializes this process, clobbers self-heal).
       val lock =
         if (ch == null) null
-        else try ch.lock() catch { case _: java.io.IOException => null }
+        else {
+          val deadline = System.nanoTime() + 60L * 1000L * 1000L * 1000L
+          var l: java.nio.channels.FileLock = null
+          var unsupported = false
+          while (l == null && !unsupported && System.nanoTime() < deadline) {
+            try {
+              l = ch.tryLock()
+              if (l == null) Thread.sleep(100)
+            } catch { case _: java.io.IOException => unsupported = true }
+          }
+          if (l == null && !unsupported) {
+            try ch.close() catch { case _: java.io.IOException => () }
+            throw new java.io.IOException(
+              s"mirror lock for ${meta.name} held by another process for >60s " +
+                "— skipping this mirror update (staleness is recorded; the " +
+                "next successful commit or export_iceberg heals it)")
+          }
+          l
+        }
       try exportSnapshotLocked(spark, dir, meta)
       finally {
         if (lock != null) { try lock.release() catch { case _: java.io.IOException => () } }
@@ -765,7 +790,18 @@ object IcebergExport {
         }
     val candidates: Seq[PartField] =
       if (!idFieldOpts.forall(_.isDefined)) Seq.empty
-      else idFieldOpts.flatten ++ hiddenTs.flatMap(hiddenField) ++ bucketField
+      else {
+        // synthesized names (<col>_day, <col>_bucket, …) can collide
+        // with a REAL identity partition column of that exact name —
+        // duplicate field names are illegal in both the Iceberg spec
+        // JSON and the Avro partition record (the mirror would fail on
+        // every commit). The identity field wins; the colliding
+        // synthesized field drops (lossy-but-honest, like every other
+        // unsupported-transform fallback).
+        val all = idFieldOpts.flatten ++ hiddenTs.flatMap(hiddenField) ++ bucketField
+        val seen = scala.collection.mutable.Set.empty[String]
+        all.filter(f => seen.add(f.name))
+      }
     // the key the cached per-chunk verdicts were computed under — any
     // change in fields/transforms/source types invalidates them
     val svKey: Seq[String] =

@@ -306,6 +306,19 @@ object IcebergImport {
     // a per-snapshot walk stays metadata-proportional
     val entriesBySnap: Map[Long, Seq[Ref]] =
       histIds.map(id => id -> walkSnapshot(id)).toMap
+    // the partition-scoped equality-delete guard runs over EVERY
+    // occurrence BEFORE dedup: the same delete file listed under a
+    // partitioned spec in one manifest and an unpartitioned one in
+    // another must still be refused (a deduped arbitrary head could
+    // hide the scoped occurrence and import a table-global over-delete)
+    histIds.flatMap(entriesBySnap)
+      .find(r => r.content == 2 && r.specFields > 0).foreach { r =>
+        throw new IllegalArgumentException(
+          s"import_iceberg: equality delete ${r.raw} is scoped to a PARTITIONED " +
+            "spec — importing it as a table-global entry would delete matching " +
+            "rows in other partitions. Compact the source table (rewrite its " +
+            "deletes away) and re-export, then import.")
+      }
     // the UNION across imported snapshots: link/rewrite each unique
     // artifact once; per-snapshot versions reference by relative path
     val allRefs: Seq[Ref] = histIds.flatMap(entriesBySnap)
@@ -324,14 +337,6 @@ object IcebergImport {
     val boundaryRank: Map[Long, Int] =
       boundaries.zipWithIndex.map { case (b, i) => b -> (i + 2) }.toMap
     def fileRank(sf: Long): Int = 1 + boundaries.count(_ <= sf)
-    eqRefs.find(_.specFields > 0).foreach { r =>
-      throw new IllegalArgumentException(
-        s"import_iceberg: equality delete ${r.raw} is scoped to a PARTITIONED " +
-          "spec — importing it as a table-global entry would delete matching " +
-          "rows in other partitions. Compact the source table (rewrite its " +
-          "deletes away) and re-export, then import.")
-    }
-
     // destination table through the catalog (namespace checks, layout,
     // already-exists semantics are the catalog's own)
     val cat = spark.sessionState.catalogManager.catalog(catalog)
@@ -375,9 +380,18 @@ object IcebergImport {
     def canon(s: String): String =
       try asLocal(s).toAbsolutePath.normalize.toString
       catch { case _: Exception => s }
-    val relByCanon: Map[String, String] = imported.map { case (r, rel, _) =>
-      canon(r.raw) -> rel
-    }.toMap
+    // ALL imported copies per canonical path: a history import can hold
+    // the same source path at two sequence numbers (a file deleted and
+    // re-added across tagged snapshots) — a last-wins single map would
+    // remap a position delete to the WRONG copy and resurrect its rows
+    // in the tagged version (the delete's tuple must name the copy the
+    // delete can address: the highest seq ≤ the delete's own)
+    val relsByCanon: Map[String, Seq[(Long, String)]] =
+      imported.groupBy(t => canon(t._1.raw))
+        .view.mapValues(_.map(t => (t._1.seq, t._2)).sortBy(_._1)).toMap
+    def relForDelete(canonPath: String, deleteSeq: Long): Option[String] =
+      relsByCanon.get(canonPath)
+        .flatMap(_.filter(_._1 <= deleteSeq).lastOption.map(_._2))
 
     // position deletes: remap file_path URIs to the imported relative
     // paths; entries targeting files absent from this snapshot drop
@@ -397,7 +411,7 @@ object IcebergImport {
         val observed = src
           .select(col("file_path")).distinct().collect().map(_.getString(0))
         val relBySrc: Map[String, String] =
-          observed.flatMap(v => relByCanon.get(canon(v)).map(v -> _)).toMap
+          observed.flatMap(v => relForDelete(canon(v), r.seq).map(v -> _)).toMap
         val mapped = src
           .select(
             element_at(typedlit(relBySrc), col("file_path")).as(DeleteFile.PosFileCol),

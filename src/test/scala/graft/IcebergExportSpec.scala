@@ -653,6 +653,31 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
   }
 
+  test("a real column named like a synthesized partition field never breaks the mirror") {
+    // duplicate field names are illegal in the spec JSON and the Avro
+    // partition record — the identity field wins, the synthesized
+    // bucket field drops, and the mirror keeps working
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.coll")
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.coll (k INT, k_bucket INT)
+        |PARTITIONED BY (k_bucket, bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg',
+        |               'graft.iceberg.mirror'='true')""".stripMargin)
+    Seq((1, 10), (2, 10), (3, 20)).toDF("k", "k_bucket")
+      .createOrReplaceTempView("coll_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.coll SELECT * FROM coll_src")
+    val md = tableDir("coll").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val fields = readJson(md.resolve(s"v$hint.metadata.json"))("partition-specs")
+      .asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("fields").asInstanceOf[JArray].arr
+      .map(f => jstr(f.asInstanceOf[JObject].obj.toMap.apply("name")))
+    fields.count(_ == "k_bucket") shouldBe 1
+    icebergRead(tableDir("coll"), Seq("k", "k_bucket")).size shouldBe 3
+    spark.sql("DROP TABLE lakehouse.ice_ns.coll")
+  }
+
   test("import keeps the partition spec and sort order: filtered scans file-skip like the source") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     Seq("hps", "hps_imp").foreach(t => spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
