@@ -134,6 +134,22 @@ class IcebergPythonReaderSpec extends AnyFunSuite with Matchers {
       outB.toString should include("MATCH (1 rows")
       outB.toString should include("OPENED 1 OF 4 DATA FILES")
     }
+
+    // per-row bucket verification: the tool recomputes EVERY row's
+    // bucket with its own murmur3 and asserts it against the file's
+    // claimed tuple — the full-layout proof (the filter above proves
+    // only the one looked-up key's bucket)
+    val expAll = Files.createTempDirectory("graft-pyballs-").toString
+    spark.table("lakehouse.ice_ns.pyb")
+      .coalesce(1).write.mode("overwrite").parquet(expAll)
+    val outV = new StringBuilder
+    val codeV = Process(Seq("python3", tool, bDir, expAll, "--verify-buckets"))
+      .!(ProcessLogger(l => outV.append(l).append('\n'), l => outV.append(l).append('\n')))
+    withClue(outV.toString) {
+      codeV shouldBe 0
+      outV.toString should include("BUCKETS VERIFIED (200 rows")
+      outV.toString should include("MATCH (200 rows")
+    }
     spark.sql("DROP TABLE lakehouse.ice_ns.pyb")
   }
 

@@ -20,6 +20,12 @@ The optional [ref] names a branch/tag from the metadata's "refs" map —
 external time travel: the reader resolves that ref's snapshot instead
 of the current one.
 
+--verify-buckets recomputes, for every data file carrying a bucket[n]
+partition tuple, each row's bucket id from the source column values
+with this tool's own murmur3 — a per-row proof that the exporter's
+Scala hash produced the layout the spec claims (a pruning filter only
+proves it for the one filtered key).
+
 --filter exercises PARTITION PRUNING the way an external engine would:
 the equality literal is transformed through every exported partition
 spec field on that column (identity, day/hour/month/year, truncate[w],
@@ -326,7 +332,59 @@ def local_path(uri: str) -> str:
     raise ValueError(f"non-local file uri: {uri}")
 
 
-def read_iceberg_table(table_dir: Path, ref=None, filt=None):
+def bucket_of_value(v, col_type: str, n: int) -> int:
+    import datetime as dt
+    if v is None:
+        raise ValueError("null in a bucket-claimed file")
+    if col_type in ("int", "long"):
+        data = struct.pack("<q", int(v))
+    elif col_type == "string":
+        data = v.encode()
+    elif col_type == "date":
+        data = struct.pack("<q", (v - _EPOCH).days)
+    elif col_type in ("timestamp", "timestamptz"):
+        t = v if v.tzinfo else v.replace(tzinfo=dt.timezone.utc)
+        micros = int(t.timestamp()) * 1_000_000 + t.microsecond
+        data = struct.pack("<q", micros)
+    else:
+        raise ValueError(f"bucket verify unsupported for {col_type}")
+    return (murmur3_x86_32(data) & 0x7FFFFFFF) % n
+
+
+def verify_buckets(meta, schema, name_by_id, data_files, con) -> int:
+    """Recompute every row's bucket for files claiming bucket tuples;
+    returns rows checked, raises on the first mismatch."""
+    spec = next(s for s in meta["partition-specs"]
+                if s["spec-id"] == meta["default-spec-id"])
+    type_by_name = {f["name"]: f["type"] for f in schema["fields"]}
+    import re as _re
+    bucket_fields = []
+    for f in spec["fields"]:
+        m = _re.fullmatch(r"bucket\[(\d+)\]", f["transform"])
+        if m:
+            src = name_by_id[f["source-id"]]
+            bucket_fields.append((f["name"], src, int(m.group(1)),
+                                  type_by_name[src]))
+    checked = 0
+    for rec in data_files:
+        for fname, src, n, col_type in bucket_fields:
+            claimed = rec["part"].get(fname)
+            if claimed is None:
+                continue
+            vals = con.execute(
+                f'SELECT "{src}" FROM read_parquet(?)',
+                [local_path(rec["path"])]).fetchall()
+            for (v,) in vals:
+                got = bucket_of_value(v, col_type, n)
+                if got != claimed:
+                    raise AssertionError(
+                        f"bucket mismatch in {rec['path']}: value {v!r} "
+                        f"hashes to bucket {got}, file claims {claimed}")
+                checked += 1
+    return checked
+
+
+def read_iceberg_table(table_dir: Path, ref=None, filt=None, check_buckets=False):
     """Returns (column_names, rows, opened, total_data_files) of the
     current snapshot, or of the snapshot a branch/tag ref points at
     (external time travel). `filt` is an optional (col, raw_literal)
@@ -403,6 +461,11 @@ def read_iceberg_table(table_dir: Path, ref=None, filt=None):
 
     con = duckdb.connect()
 
+    if check_buckets:
+        n_checked = verify_buckets(meta, schema, name_by_id, data_files, con)
+        print(f"BUCKETS VERIFIED ({n_checked} rows across "
+              f"{len(data_files)} data files)")
+
     # position deletes: spec columns file_path (2147483546) / pos. Each
     # tuple carries its delete file's sequence number — the spec applies
     # a position delete only to data files with seq <= the delete's seq
@@ -473,6 +536,10 @@ def norm(rows):
 def main() -> int:
     args = sys.argv[1:]
     filt = None
+    check_buckets = False
+    if "--verify-buckets" in args:
+        check_buckets = True
+        args.remove("--verify-buckets")
     if "--filter" in args:
         i = args.index("--filter")
         col, _, raw = args[i + 1].partition("=")
@@ -483,7 +550,7 @@ def main() -> int:
         return 2
     table_dir, expected = Path(args[0]), args[1]
     ref = args[2] if len(args) == 3 else None
-    cols, got, opened, total = read_iceberg_table(table_dir, ref, filt)
+    cols, got, opened, total = read_iceberg_table(table_dir, ref, filt, check_buckets)
     if filt is not None:
         print(f"OPENED {opened} OF {total} DATA FILES "
               f"(filter {filt[0]}={filt[1]})")
