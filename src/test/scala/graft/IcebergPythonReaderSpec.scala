@@ -108,6 +108,26 @@ class IcebergPythonReaderSpec extends AnyFunSuite with Matchers {
       op.toInt should be < tot.toInt
       op.toInt should be >= 1
     }
+    // a DAY WINDOW (range conjuncts) prunes through the monotonic day
+    // transform: tuple >= day(lo) AND tuple <= day(hi)
+    val expWin = Files.createTempDirectory("graft-pywin-").toString
+    spark.table("lakehouse.ice_ns.pyd")
+      .filter($"ts" >= "2024-03-02 00:00:00" && $"ts" < "2024-03-03 00:00:00")
+      .coalesce(1).write.mode("overwrite").parquet(expWin)
+    val outW = new StringBuilder
+    val codeW = Process(Seq("python3", tool, tableDir, expWin,
+      "--filter", "ts>=2024-03-02 00:00:00,ts<2024-03-03 00:00:00"))
+      .!(ProcessLogger(l => outW.append(l).append('\n'), l => outW.append(l).append('\n')))
+    withClue(outW.toString) {
+      codeW shouldBe 0
+      outW.toString should include("MATCH (2 rows")
+      val Opened = ".*OPENED (\\d+) OF (\\d+) DATA FILES.*".r
+      val Some((op2, tot2)) = outW.toString.linesIterator.collectFirst {
+        case Opened(a, b) => (a.toInt, b.toInt)
+      }: @unchecked
+      op2 should be < tot2
+      op2 should be >= 1
+    }
     spark.sql("DROP TABLE lakehouse.ice_ns.pyd")
 
     // bucket pruning: the python side recomputes Iceberg's bucket hash

@@ -27,15 +27,19 @@ Scala hash produced the layout the spec claims (a pruning filter only
 proves it for the one filtered key).
 
 --filter exercises PARTITION PRUNING the way an external engine would:
-the equality literal is transformed through every exported partition
-spec field on that column (identity, day/hour/month/year, truncate[w],
-bucket[n] — the bucket hash is an independent pure-python murmur3 over
-the spec's Appendix B byte encodings), data files whose partition
-tuple cannot match are never opened, and the tool prints
-"OPENED k OF n DATA FILES" so a caller can assert that a transform-
-spec export actually prunes (a bug that only mis-prunes leaves full
-reads correct — row diffs alone cannot catch it). The expected parquet
-should then hold the FILTERED row set.
+each conjunct (comma-separated: 'col=v', or a window like
+'ts>=2024-03-02,ts<2024-03-03') is transformed through every exported
+partition spec field on that column. Equality prunes on any transform
+(identity, day/hour/month/year, truncate[w], bucket[n] — the bucket
+hash is an independent pure-python murmur3 over the spec's Appendix B
+byte encodings); range conjuncts prune on the MONOTONIC transforms
+(col >= a implies tuple >= transform(a); col < b implies tuple <=
+transform(b)) and never on bucket. Data files whose tuple cannot match
+are never opened, and the tool prints "OPENED k OF n DATA FILES" so a
+caller can assert that a transform-spec export actually prunes (a bug
+that only mis-prunes leaves full reads correct — row diffs alone
+cannot catch it). The expected parquet should then hold the FILTERED
+row set.
 
 <expected_parquet_path> may be a single .parquet file, a directory of
 part files, or a glob. Exit 0 and "MATCH (n rows)" on success; exit 1
@@ -430,34 +434,50 @@ def read_iceberg_table(table_dir: Path, ref=None, filt=None, check_buckets=False
             (data_files if content == 0 else
              pos_deletes if content == 1 else eq_deletes).append(rec)
 
-    # --filter: resolve the literal against the exported partition spec
-    # and drop data files whose tuple cannot match — the pruning path a
-    # conformant external engine takes, re-enacted independently
+    # --filter: resolve each conjunct against the exported partition
+    # spec and drop data files whose tuple cannot match — the pruning
+    # path a conformant external engine takes, re-enacted independently.
+    # Equality uses every transform; range conjuncts use the MONOTONIC
+    # ones (tuple >= transform(lo), tuple <= transform(hi)) and skip
+    # bucket fields (hashing destroys order).
     total_data = len(data_files)
-    residual = None
-    if filt is not None:
-        fcol, raw = filt
+    residuals = []
+    if filt:
         type_by_name = {f["name"]: f["type"] for f in schema["fields"]}
-        if fcol not in type_by_name:
-            raise ValueError(f"no such filter column: {fcol}")
-        col_type = type_by_name[fcol]
-        if not isinstance(col_type, str):
-            raise ValueError(f"filter unsupported for nested type on {fcol}")
         spec = next(s for s in meta["partition-specs"]
                     if s["spec-id"] == meta["default-spec-id"])
-        prunable = [
-            (f["name"], transform_literal(f["transform"], col_type, raw))
-            for f in spec["fields"]
-            if name_by_id.get(f["source-id"]) == fcol
-        ]
+        constraints = []  # (field_name, op, tuple_value)
+        for fcol, op, raw in filt:
+            if fcol not in type_by_name:
+                raise ValueError(f"no such filter column: {fcol}")
+            col_type = type_by_name[fcol]
+            if not isinstance(col_type, str):
+                raise ValueError(f"filter unsupported for nested type on {fcol}")
+            for f in spec["fields"]:
+                if name_by_id.get(f["source-id"]) != fcol:
+                    continue
+                is_bucket = f["transform"].startswith("bucket[")
+                if op != "=" and is_bucket:
+                    continue
+                want = transform_literal(f["transform"], col_type, raw)
+                # floor-style transforms: col >= a ⇒ t(col) >= t(a);
+                # col <= b (and col < b) ⇒ t(col) <= t(b)
+                cmp = "=" if op == "=" else (">=" if op in (">", ">=") else "<=")
+                constraints.append((f["name"], cmp, want))
+            residuals.append((fcol, op, literal_py(col_type, raw)))
         def survives(rec):
-            for fname, want in prunable:
+            for fname, cmp, want in constraints:
                 got = rec["part"].get(fname)
-                if got is not None and got != want:
+                if got is None:
+                    continue
+                if cmp == "=" and got != want:
+                    return False
+                if cmp == ">=" and got < want:
+                    return False
+                if cmp == "<=" and got > want:
                     return False
             return True
         data_files = [f for f in data_files if survives(f)]
-        residual = (fcol, literal_py(col_type, raw))
 
     con = duckdb.connect()
 
@@ -504,9 +524,15 @@ def read_iceberg_table(table_dir: Path, ref=None, filt=None, check_buckets=False
             if dseq > f["seq"]:
                 ki = [col_idx[c] for c in key_cols]
                 live = [r for r in live if tuple(r[j] for j in ki) not in keys]
-        if residual is not None:
-            fi = col_idx[residual[0]]
-            live = [r for r in live if r[fi] == residual[1]]
+        for fcol, op, want in residuals:
+            fi = col_idx[fcol]
+            def keep(x, op=op, want=want):
+                if x is None:
+                    return False
+                return ((op == "=" and x == want) or
+                        (op == ">" and x > want) or (op == ">=" and x >= want) or
+                        (op == "<" and x < want) or (op == "<=" and x <= want))
+            live = [r for r in live if keep(r[fi])]
         rows.extend(live)
     return cols, rows, len(data_files), total_data
 
@@ -541,9 +567,15 @@ def main() -> int:
         check_buckets = True
         args.remove("--verify-buckets")
     if "--filter" in args:
+        import re as _re
         i = args.index("--filter")
-        col, _, raw = args[i + 1].partition("=")
-        filt = (col, raw)
+        filt = []
+        for part in args[i + 1].split(","):
+            m = _re.fullmatch(r"([^<>=]+)(>=|<=|>|<|=)(.*)", part.strip())
+            if not m:
+                print(f"bad filter conjunct: {part}")
+                return 2
+            filt.append((m.group(1).strip(), m.group(2), m.group(3).strip()))
         args = args[:i] + args[i + 2:]
     if len(args) not in (2, 3):
         print(__doc__)
@@ -551,9 +583,9 @@ def main() -> int:
     table_dir, expected = Path(args[0]), args[1]
     ref = args[2] if len(args) == 3 else None
     cols, got, opened, total = read_iceberg_table(table_dir, ref, filt, check_buckets)
-    if filt is not None:
-        print(f"OPENED {opened} OF {total} DATA FILES "
-              f"(filter {filt[0]}={filt[1]})")
+    if filt:
+        shown = ",".join(f"{c}{op}{raw}" for c, op, raw in filt)
+        print(f"OPENED {opened} OF {total} DATA FILES (filter {shown})")
     want = read_expected(expected, cols)
     g, w = norm(got), norm(want)
     if g == w:
