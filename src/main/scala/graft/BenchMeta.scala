@@ -40,7 +40,8 @@ object BenchMeta {
       resolveFullMs: Double, resolveFullBytes: Long, resolveFullChunksParsed: Long,
       exportInitialMs: Double, exportInitialChunksWritten: Long,
       exportAppendMs: Double, exportAppendChunksWritten: Long,
-      exportAppendChunksReused: Long)
+      exportAppendChunksReused: Long,
+      bucketPruneMs: Double, bucketPruneSurvivors: Int, bucketPruneTotal: Int)
 
   private val schema = StructType(Seq(
     StructField("k", IntegerType), StructField("v", StringType),
@@ -143,6 +144,26 @@ object BenchMeta {
     IcebergExport.resetCounters()
     val (_, exp2Ms) = timed(
       IcebergExport.exportSnapshot(null, dir, TableMetadata.load(dir)))
+
+    // bucket pruning is pure driver CPU over the resolved file list —
+    // it runs per SCAN on a bucketed table, so its per-file cost is a
+    // planning-latency term at 100 TB file counts. Measured on a
+    // synthetic 16-bucket layout of the same size: a point predicate
+    // must keep ~1/16 of the files in milliseconds, not seconds.
+    val bucketN = 16
+    val bfiles: Seq[String] = (0 until chunks).flatMap { c =>
+      (0 until filesPerChunk).map { i =>
+        f"data/b-commit$c%03d/part-${i % bucketN}%05d-synthetic.parquet"
+      }
+    }
+    val bprops = Map(
+      graft.catalog.Bucketing.ColProp -> "k",
+      graft.catalog.Bucketing.CountProp -> bucketN.toString,
+      graft.catalog.Bucketing.HashProp -> "iceberg")
+    val bfilters = Seq(org.apache.spark.sql.sources.EqualTo("k", 7)
+      : org.apache.spark.sql.sources.Filter)
+    val (bsurv, bMs) = timed(
+      graft.catalog.Bucketing.pruneByBucket(bfiles, bprops, schema, bfilters))
     Result(
       files = meta.files.size, chunks = full.manifests.size,
       commitAppendMs = commitMs,
@@ -155,7 +176,9 @@ object BenchMeta {
       exportInitialMs = exp1Ms, exportInitialChunksWritten = exp1Written,
       exportAppendMs = exp2Ms,
       exportAppendChunksWritten = IcebergExport.chunksWritten.get(),
-      exportAppendChunksReused = IcebergExport.chunksReused.get())
+      exportAppendChunksReused = IcebergExport.chunksReused.get(),
+      bucketPruneMs = bMs, bucketPruneSurvivors = bsurv.size,
+      bucketPruneTotal = bfiles.size)
   }
 
   def main(args: Array[String]): Unit = {
@@ -177,7 +200,10 @@ object BenchMeta {
         f""""export_initial_chunks_written":${r.exportInitialChunksWritten},""" +
         f""""export_after_append_ms":${r.exportAppendMs}%.1f,""" +
         f""""export_after_append_chunks_written":${r.exportAppendChunksWritten},""" +
-        f""""export_after_append_chunks_reused":${r.exportAppendChunksReused}}"""
+        f""""export_after_append_chunks_reused":${r.exportAppendChunksReused},""" +
+        f""""bucket_prune_ms":${r.bucketPruneMs}%.1f,""" +
+        f""""bucket_prune_survivors":${r.bucketPruneSurvivors},""" +
+        f""""bucket_prune_total":${r.bucketPruneTotal}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_META.json"), json)
     println(json)

@@ -201,16 +201,29 @@ object Bucketing {
     * commit (commit dir prefixed `b-`): the part-file index equals the
     * shuffle partition = bucket id. Files from non-bucketed commits
     * (rewrites, pre-bucketing history) return None and disable
-    * bucket-aware planning for the snapshot — correct, just unplanned. */
-  private val PartIdx = ".*part-(\\d+)-.*".r
-
+    * bucket-aware planning for the snapshot — correct, just unplanned.
+    * Hand-parsed, no regex: this runs once per FILE per scan
+    * (bucket-aware planning + bucket pruning), and at 200k files the
+    * regex version cost ~165 ms of driver time per scan (BENCH_META)
+    * — this form is ~10×-20× cheaper. */
   def bucketIdOf(relPath: String): Option[Int] = {
-    val dirOk = relPath.startsWith("data/b-")
-    if (!dirOk) None
-    else relPath.substring(relPath.lastIndexOf('/') + 1) match {
-      case PartIdx(i) => Some(i.toInt)
-      case _ => None
+    if (!relPath.startsWith("data/b-")) return None
+    // the part-file pattern: part-<digits>-... (same shape the regex
+    // `.*part-(\d+)-.*` accepted on these writer-generated names);
+    // scanned in place, no per-file substring allocation
+    val start = relPath.lastIndexOf('/') + 1
+    if (!relPath.startsWith("part-", start)) return None
+    var i = start + 5
+    var v = 0
+    var digits = 0
+    while (i < relPath.length && digits < 9 &&
+           relPath.charAt(i) >= '0' && relPath.charAt(i) <= '9') {
+      v = v * 10 + (relPath.charAt(i) - '0')
+      digits += 1
+      i += 1
     }
+    if (digits == 0 || i >= relPath.length || relPath.charAt(i) != '-') None
+    else Some(v)
   }
 
   def partitionKey(bucket: Int): InternalRow =

@@ -40,6 +40,14 @@ class MetaScaleSpec extends AnyFunSuite with Matchers {
       r.exportInitialChunksWritten shouldBe r.resolveFullChunksParsed
       r.exportAppendChunksWritten shouldBe 1L
       r.exportAppendChunksReused shouldBe r.exportInitialChunksWritten
+
+      // bucket pruning over the synthetic 16-bucket layout: a point
+      // predicate keeps exactly the wanted bucket's files (the part
+      // index cycles 0..15 per chunk; 500 % 16 = 4, so buckets 0-3
+      // hold one extra file per chunk), pure driver CPU
+      val b = graft.catalog.IcebergHash.bucketOf(
+        7, org.apache.spark.sql.types.IntegerType, 16)
+      r.bucketPruneSurvivors shouldBe 6 * (500 / 16 + (if (b < 500 % 16) 1 else 0))
     } finally graft.catalog.Fs.deleteRecursively(dir)
   }
 }
