@@ -68,6 +68,25 @@ object BenchGuard {
   def soloFolds(solo: Option[Double], historicalMin: Double): Boolean =
     solo.exists(s => !historyDrift(s, historicalMin))
 
+  /** The committed BENCH_FULL record is next round's drift BASELINE, so
+    * its per-query `min` may move UP only on a CONFIRMED regression.
+    * The r15 incident: the driver benched on a load-5.34 host; q59/q60/
+    * q99 recorded tight-spread 1.9–2.6× slowdowns — below the 3× drift
+    * guard, so nothing adjudicated — and the overwrite poisoned the
+    * committed baselines. Merge semantics close that tier: a fresh min
+    * ≤ history always records (improvements and re-confirmations are
+    * safe on any host); a fresh min ABOVE history records only when a
+    * fresh-JVM solo confirmed the regression (solo itself still above
+    * the drift threshold of history); otherwise the historical min is
+    * kept and the fresh number ships as `fresh_min`/`history_ratio` so
+    * a real sub-3× regression stays visible without becoming the
+    * baseline until a drained-host run confirms it. */
+  def mergedMin(freshMin: Double, historical: Option[Double],
+      soloConfirmedRegression: Boolean): Double = historical match {
+    case Some(h) if freshMin > h && !soloConfirmedRegression => h
+    case _ => freshMin
+  }
+
   /** Per-query `min` timings of a committed BENCH_FULL artifact —
     * absent file or malformed JSON yields an empty history (the drift
     * check simply stays off). */
@@ -342,6 +361,11 @@ object Bench {
       cpustatJson +
         s""""quiet_waits":$quietWaits,""" +
         s""""loadavg":{"before":"$loadBefore","after":"$loadAfter","cpus":$cpus}"""
+    // SPARK_GRAFT_RECORD=force bypasses the merge for a deliberate
+    // drained-host re-record (e.g. after an intentional plan change
+    // made a query slower) — the default path never lets a possibly
+    // contended run raise a committed baseline (BenchGuard.mergedMin)
+    val forceRecord = sys.env.get("SPARK_GRAFT_RECORD").contains("force")
     val fullJson =
       sampled.map {
         case (k, Right(Sample(ss, contended, drift))) =>
@@ -350,7 +374,19 @@ object Bench {
             val soloJson = solo.map(s => f""","solo":$s%.3f""").getOrElse("")
             f""","history_drift":{"historical":$h%.3f$soloJson}"""
           }.getOrElse("")
-          s""""$k":{"min":${ss.min},"med":${ss(ss.size / 2)},"max":${ss.max}$flag$driftJson}"""
+          val hist = history.get(k)
+          val soloConfirmed = drift.exists { case (h, solo) =>
+            solo.exists(s => BenchGuard.historyDrift(s, h)) }
+          val recMin =
+            if (forceRecord) ss.min
+            else BenchGuard.mergedMin(ss.min, hist, soloConfirmed)
+          // fresh min / committed min: a judge reads drift directly
+          // instead of diffing artifacts across rounds
+          val ratioJson = hist.filter(_ > 0).map(h =>
+            f""","history_ratio":${ss.min / h}%.2f""").getOrElse("")
+          val freshJson =
+            if (recMin != ss.min) s""","fresh_min":${ss.min}""" else ""
+          s""""$k":{"min":$recMin,"med":${ss(ss.size / 2)},"max":${ss.max}$freshJson$ratioJson$flag$driftJson}"""
         case (k, Left(msg)) =>
           s""""$k":{"err":"${msg.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ")}"}"""
       }.mkString(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":$failedArr,$loadJson,"queries":{""", ",", "}}")

@@ -514,7 +514,9 @@ object Maintenance {
     val commitDir = dir.resolve(commitRel)
     val clustered = bucketSpec match {
       case Some((bcol, n)) =>
-        aligned.repartition(n, aligned.col(bcol)).sortWithinPartitions(aligned.col(bcol))
+        // bucket-addressable commit dir ⇒ file index MUST be the table's
+        // declared hash's bucket id — route through the one layout writer
+        Bucketing.cluster(aligned, bcol, n, start.properties)
       case None if start.partitionColumns.nonEmpty =>
         val cols = start.partitionColumns.map(aligned.col)
         aligned.repartition(cols: _*).sortWithinPartitions(cols: _*)

@@ -68,7 +68,10 @@ class StagedLakehouseTable(
                 tableProperties)
               val clustered = bucketSpec match {
                 case Some((bcol, n)) =>
-                  data.repartition(n, data.col(bcol)).sortWithinPartitions(data.col(bcol))
+                  // the one bucket-layout writer: honors graft.bucket.hash
+                  // (a plain Spark repartition here would write b- files
+                  // whose index is the WRONG hash's bucket id)
+                  Bucketing.cluster(data, bcol, n, tableProperties)
                 case None if partitionColumns.nonEmpty =>
                   val cols = partitionColumns.map(data.col)
                   data.repartition(cols: _*).sortWithinPartitions(cols: _*)

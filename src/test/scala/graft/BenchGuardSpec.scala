@@ -89,6 +89,24 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.soloFolds(Some(0.317), historicalMin = 0.317) shouldBe true
   }
 
+  test("mergedMin: a committed baseline only moves UP on a solo-confirmed regression (the r15 overwrite incident)") {
+    // the r15 incident tier: driver benched at load 5.34; q59 recorded
+    // 1.449s against a committed 0.610s — 2.4×, below the 3× drift
+    // guard, so no solo ran. The merge must KEEP the clean baseline.
+    BenchGuard.mergedMin(1.449, Some(0.610), soloConfirmedRegression = false) shouldBe 0.610
+    BenchGuard.mergedMin(0.502, Some(0.300), soloConfirmedRegression = false) shouldBe 0.300
+    // an improvement always records — safe on any host (a loaded box
+    // can only make a query slower, never spuriously faster)
+    BenchGuard.mergedMin(0.25, Some(0.300), soloConfirmedRegression = false) shouldBe 0.25
+    // equal re-confirmation records the fresh number
+    BenchGuard.mergedMin(0.300, Some(0.300), soloConfirmedRegression = false) shouldBe 0.300
+    // a REAL regression — drift fired, the fresh-JVM solo stayed slow —
+    // must become the new baseline (both numbers ship in the artifact)
+    BenchGuard.mergedMin(1.30, Some(0.317), soloConfirmedRegression = true) shouldBe 1.30
+    // a brand-new query has no history: fresh min records
+    BenchGuard.mergedMin(0.9, None, soloConfirmedRegression = false) shouldBe 0.9
+  }
+
   test("historicalMins parses a committed BENCH_FULL artifact; absence disables the check") {
     val tmp = java.nio.file.Files.createTempFile("bench-hist-", ".json")
     java.nio.file.Files.writeString(tmp,

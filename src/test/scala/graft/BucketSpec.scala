@@ -402,6 +402,75 @@ class BucketSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.bkt_ns.bdel")
   }
 
+  /** Every bucket-addressable (`b-`) data file of `table` must hold only
+    * rows whose ICEBERG bucket id equals the file's claimed index — the
+    * invariant scans report, pruning trusts, and the mirror exports. */
+  private def assertIcebergLayout(table: String, n: Int, expectRows: Int): Unit = {
+    import graft.catalog.{Bucketing, IcebergHash}
+    val dataDir = java.nio.file.Paths.get(TestSpark.warehouse, "bkt_ns", table, "data")
+    val files = java.nio.file.Files.walk(dataDir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    files should not be empty
+    var checked = 0
+    files.foreach { p =>
+      val rel = s"data/${dataDir.relativize(p).toString.replace('\\', '/')}"
+      val bucket = Bucketing.bucketIdOf(rel)
+      withClue(s"$rel not bucket-addressable: ") { bucket.isDefined shouldBe true }
+      spark.read.parquet(p.toString).select("k").as[Int].collect().foreach { k =>
+        withClue(s"$rel row k=$k: ") {
+          IcebergHash.bucketOf(k, org.apache.spark.sql.types.IntegerType, n) shouldBe bucket.get
+        }
+        checked += 1
+      }
+    }
+    checked shouldBe expectRows
+  }
+
+  test("CTAS on an iceberg-hash table lays files out by the ICEBERG bucket id") {
+    // regression: CTAS/RTAS staged writes used to cluster with Spark's
+    // murmur3 while writing bucket-addressable b- files — scans then
+    // reported a KeyGroupedPartitioning the layout didn't have, point
+    // lookups pruned the wrong bucket, and the mirror exported wrong
+    // bucket tuples. CTAS must write the same layout as the INSERT path.
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.ctas_ice")
+    Seq.tabulate(400)(i => (i, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("ctas_ice_src")
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.ctas_ice
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')
+        |AS SELECT * FROM ctas_ice_src""".stripMargin)
+    spark.table("lakehouse.bkt_ns.ctas_ice").count() shouldBe 400
+    assertIcebergLayout("ctas_ice", 4, 400)
+    // and the layout actually serves a pruned point lookup correctly
+    spark.table("lakehouse.bkt_ns.ctas_ice")
+      .where($"k" === 123).as[(Int, Long)].collect() shouldBe Array((123, 123L))
+    spark.sql("DROP TABLE lakehouse.bkt_ns.ctas_ice")
+  }
+
+  test("transactionalAppend on an iceberg-hash table lays files out by the ICEBERG bucket id") {
+    // regression: the streaming exactly-once append wrote b- commits
+    // clustered with Spark's hash regardless of graft.bucket.hash
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.txn_ice")
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.txn_ice (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    val batch = Seq.tabulate(200)(i => (i, i.toLong)).toDF("k", "v")
+    import graft.catalog.Maintenance
+    Maintenance.transactionalAppend(
+      spark, "lakehouse", Seq("bkt_ns"), "txn_ice", batch, "txnA", 0L) shouldBe true
+    Maintenance.transactionalAppend(
+      spark, "lakehouse", Seq("bkt_ns"), "txn_ice",
+      Seq.tabulate(200)(i => (i + 200, i.toLong + 200)).toDF("k", "v"),
+      "txnA", 1L) shouldBe true
+    spark.table("lakehouse.bkt_ns.txn_ice").count() shouldBe 400
+    assertIcebergLayout("txn_ice", 4, 400)
+    spark.sql("DROP TABLE lakehouse.bkt_ns.txn_ice")
+  }
+
   test("iceberg hash mode validates the bucket column type at CREATE") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.badice")
