@@ -546,9 +546,13 @@ object IcebergExport {
     * commits would run exportSnapshot concurrently, and a failing
     * export's rollback deletes every pattern-matching artifact absent
     * from ITS stale snapshot — which includes the racer's freshly
-    * published ones. Same-process racers serialize on a JVM stripe
-    * (FileLock is per-JVM-per-file: overlapping locks throw, so the
-    * stripe must come FIRST); cross-process racers serialize on an
+    * published ones. Same-process racers serialize on a per-TABLE-DIR
+    * monitor (FileLock is per-JVM-per-file: overlapping locks throw, so
+    * the monitor must come FIRST; keyed by normalized path, not a
+    * fixed stripe — a wedged peer polling the cross-process lock for
+    * its full 60s budget must never block an UNRELATED table's commit
+    * that merely hashed to the same slot); cross-process racers
+    * serialize on an
     * exclusive `FileLock` over `metadata/mirror.lock` held across the
     * whole read-check-export-GC-publish — the supersession guard then
     * sees the other PROCESS's published state too, so a two-committer
@@ -557,11 +561,14 @@ object IcebergExport {
     * network mounts), the stripe still serializes this process and the
     * export proceeds — a clobbered mirror self-heals on the next
     * export, since artifact reuse verifies file existence. */
-  private val mirrorLocks = Array.fill(64)(new Object)
+  // one monitor per table dir, created on first touch; entries are a
+  // few dozen bytes and bounded by the tables this JVM ever mirrors
+  private val mirrorLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   def exportSnapshot(spark: SparkSession, dir: Path, meta: TableMetadata): Long =
-    mirrorLocks(
-      math.floorMod(dir.toAbsolutePath.normalize.hashCode, 64)).synchronized {
+    mirrorLocks.computeIfAbsent(
+      dir.toAbsolutePath.normalize.toString, _ => new Object).synchronized {
       val md = dir.resolve("metadata")
       Files.createDirectories(md)
       val ch =

@@ -52,7 +52,10 @@ import org.json4s.jackson.JsonMethods
   * Also imported: the default partition spec (identity fields →
   * partition columns; day/hour/month/year/truncate → our hidden
   * transforms — same spec transforms, so partition-filtered scans
-  * file-skip like the source; bucket[n] skipped, hash-incompatible),
+  * file-skip like the source; bucket[n] maps to the iceberg-hash
+  * bucket layout with per-file bucket ids from the manifests'
+  * partition tuples, so storage-partitioned joins and bucket pruning
+  * survive the round trip),
   * the default sort order's identity-ascending prefix (→ the write
   * sort order), and — on a default (non-pinned) import — the source's
   * TAGGED history: every tag ref's snapshot commits as its own graft
@@ -155,11 +158,10 @@ object IcebergImport {
     // fields become partition columns; day/hour/month/year/truncate
     // become our hidden transforms (they are the same spec transforms),
     // so a partition-filtered scan on the imported table file-skips
-    // like the source did. bucket[n] is SKIPPED: Iceberg buckets with
-    // murmur3 over spec-serialized bytes, graft with Spark murmur3 over
-    // internal rows — recording the contract would claim a layout the
-    // files do not have. Unknown transforms are skipped likewise (the
-    // import stays correct; only pruning is lost). Layout contracts
+    // like the source did. bucket[n] maps in as the iceberg-hash
+    // layout when expressible (see bucketSpecIn below); unsupported
+    // shapes are skipped (the import stays correct; only pruning is
+    // lost). Unknown transforms are skipped likewise. Layout contracts
     // here are write-side clustering + stats-pruning hints — reads stay
     // correct on footer stats even for files that predate the contract.
     val TruncRe = """truncate\[(\d+)\]""".r
@@ -190,6 +192,21 @@ object IcebergImport {
     def truncateOk(c: String): Boolean = typeByName.get(c).exists {
       case StringType | IntegerType | LongType | ShortType => true; case _ => false
     }
+    // bucket[n] maps IN when the layout is expressible here: Iceberg
+    // buckets with the published spec hash (Appendix B encodings),
+    // which is exactly graft's `graft.bucket.hash=iceberg` layout — so
+    // a bucketed source imports with its layout contract INTACT
+    // (storage-partitioned joins and point-lookup bucket pruning
+    // survive the round trip; per-file bucket ids come from the
+    // manifests' partition tuples below). Conditions: exactly one
+    // bucket field in the default spec (graft supports one per table)
+    // over a column type the published hash defines; otherwise the
+    // field skips as before (lossy-but-successful).
+    val bucketSpecIn: Option[(String, Int)] =
+      (specFields.collect { case (BucketRe(n), Some(c)) => (c, n.toInt) } match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }).filter { case (c, _) => typeByName.get(c).exists(IcebergHash.supports) }
     val transforms: Seq[Transform] = specFields.flatMap {
       case (_, None) => None // source column not in the current schema
       case ("identity", Some(c)) => Some(Expressions.identity(c))
@@ -199,6 +216,8 @@ object IcebergImport {
         Some(HiddenPartitioning.HiddenTransform(func, None, c).toV2)
       case (TruncRe(w), Some(c)) if truncateOk(c) =>
         Some(HiddenPartitioning.HiddenTransform("truncate", Some(w.toInt), c).toV2)
+      case (BucketRe(n), Some(c)) if bucketSpecIn.contains((c, n.toInt)) =>
+        Some(Expressions.bucket(n.toInt, c))
       case (BucketRe(_), _) => None
       case _ => None
     }
@@ -265,7 +284,8 @@ object IcebergImport {
       ((namesBySnap.keySet - mainSnapId).toSeq.sortBy(snapOrder) :+ mainSnapId)
 
     final case class Ref(path: Path, raw: String, content: Int, seq: Long,
-        rows: Long, eqIds: Seq[Int], specFields: Int)
+        rows: Long, eqIds: Seq[Int], specFields: Int,
+        bucket: Option[Int] = None)
     def walkSnapshot(snapId: Long): Seq[Ref] = {
       val snap = snapsById(snapId)
       val listPath = asLocal(snap("manifest-list").asInstanceOf[JString].s)
@@ -276,18 +296,41 @@ object IcebergImport {
         // how many partition fields the manifest's spec carries — a
         // PARTITION-SCOPED equality delete cannot import as our
         // table-global entries (it would over-delete other partitions)
-        val specFieldCount = mMeta.get("partition-spec")
-          .map(sp => JsonMethods.parse(sp).asInstanceOf[JArray].arr.size)
-          .getOrElse(0)
+        val manSpec: Seq[Map[String, JValue]] = mMeta.get("partition-spec")
+          .map(sp => JsonMethods.parse(sp).asInstanceOf[JArray].arr
+            .map(_.asInstanceOf[JObject].obj.toMap))
+          .getOrElse(Nil)
+        val specFieldCount = manSpec.size
+        // THIS manifest's partition-tuple field for the table's mapped
+        // bucket layout, if its spec carries one (same column, same n) —
+        // files under a different spec import non-bucket-addressable
+        val bucketField: Option[String] = bucketSpecIn.flatMap { case (c, n) =>
+          manSpec.find { f =>
+            f.get("transform").contains(JString(s"bucket[$n]")) &&
+              f.get("source-id").map(jlong(_).toInt)
+                .flatMap(nameById.get).contains(c)
+          }.flatMap(_.get("name")).collect { case JString(nm) => nm }
+        }
         entries.flatMap { e =>
           // live entries only: EXISTING(0)/ADDED(1); DELETED(2) skipped
           if (e.get("status").asInstanceOf[Int] == 2) None
           else {
             val df = e.get("data_file").asInstanceOf[GenericRecord]
+            val content = df.get("content").asInstanceOf[Int]
+            // data files carry the manifest tuple's claimed bucket id
+            // (the same claim external engines prune on); out-of-range
+            // claims are dropped rather than trusted
+            val bucketId: Option[Int] =
+              if (content != 0) None
+              else bucketField.flatMap { nm =>
+                Option(df.get("partition")).collect { case p: GenericRecord =>
+                  Option(p.get(nm)).collect { case b: Integer => b.intValue() }
+                }.flatten
+              }.filter(b => bucketSpecIn.exists(s => b >= 0 && b < s._2))
             Some(Ref(
               asLocal(df.get("file_path").toString),
               df.get("file_path").toString,
-              df.get("content").asInstanceOf[Int],
+              content,
               // spec inheritance: a null entry sequence takes the
               // MANIFEST's sequence number (set when the entry was added)
               Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
@@ -296,7 +339,8 @@ object IcebergImport {
               Option(df.get("equality_ids"))
                 .map(_.asInstanceOf[java.util.List[Integer]].asScala.map(_.toInt).toSeq)
                 .getOrElse(Nil),
-              specFieldCount))
+              specFieldCount,
+              bucketId))
           }
         }
       }
@@ -321,8 +365,12 @@ object IcebergImport {
       }
     // the UNION across imported snapshots: link/rewrite each unique
     // artifact once; per-snapshot versions reference by relative path
+    // a file listed by several snapshots' manifests keeps its bucket
+    // claim if ANY occurrence carries one (bucket-addressability is a
+    // physical property of the file, not of the snapshot listing it)
     val allRefs: Seq[Ref] = histIds.flatMap(entriesBySnap)
-      .groupBy(r => (r.raw, r.content, r.seq)).values.map(_.head).toSeq
+      .groupBy(r => (r.raw, r.content, r.seq)).values
+      .map(g => g.find(_.bucket.isDefined).getOrElse(g.head)).toSeq
     val dataRefs = allRefs.filter(_.content == 0)
     val posRefs = allRefs.filter(_.content == 1)
     val eqRefs = allRefs.filter(_.content == 2)
@@ -343,6 +391,10 @@ object IcebergImport {
       .asInstanceOf[TableCatalog]
     val createProps = new java.util.HashMap[String, String]()
     if (sortCols.nonEmpty) createProps.put(WriteSortOrder.Prop, sortCols.mkString(", "))
+    // the mapped bucket transform IS Iceberg's hash — declare it so
+    // future appends cluster identically and the mirror re-exports
+    // bucket[n] with per-file tuples
+    if (bucketSpecIn.isDefined) createProps.put(Bucketing.HashProp, "iceberg")
     cat.createTable(Identifier.of(namespace.toArray, table), schema,
       transforms.toArray, createProps)
     val dir = Maintenance.lakehouseTable(spark, catalog, namespace, table).tableDir
@@ -353,6 +405,16 @@ object IcebergImport {
     val conf = spark.sessionState.newHadoopConf()
     val commitRel = s"data/c2-iceimport-${UUID.randomUUID().toString.take(8)}"
     Files.createDirectories(dir.resolve(commitRel))
+    // bucket-addressable commit dir: a file whose manifest tuple claims
+    // a bucket id under the mapped layout links as `b-…/part-<id>-…`,
+    // the shape Bucketing.bucketIdOf parses — scans then report
+    // KeyGroupedPartitioning, point lookups prune, DML under-rewrites
+    // nothing, and the mirror re-exports the tuples. Unclaimed files
+    // (older specs) stay in the plain commit dir: pruning never skips
+    // them and the scan degrades to unordered partitioning if any exist.
+    val bucketRel = s"data/b-iceimport-${UUID.randomUUID().toString.take(8)}"
+    if (dataRefs.exists(_.bucket.isDefined))
+      Files.createDirectories(dir.resolve(bucketRel))
     def link(src: Path, targetRel: String): Unit = {
       val target = dir.resolve(targetRel)
       try Files.createLink(target, src)
@@ -362,7 +424,10 @@ object IcebergImport {
       }
     }
     val imported = dataRefs.sortBy(_.path.toString).zipWithIndex.map { case (r, i) =>
-      val rel = f"$commitRel/part-$i%05d-${r.path.getFileName.toString}"
+      val rel = r.bucket match {
+        case Some(b) => f"$bucketRel/part-$b-$i%05d-${r.path.getFileName.toString}"
+        case None => f"$commitRel/part-$i%05d-${r.path.getFileName.toString}"
+      }
       link(r.path, rel)
       val footer = FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(rel).toString), schema)
@@ -392,6 +457,20 @@ object IcebergImport {
     def relForDelete(canonPath: String, deleteSeq: Long): Option[String] =
       relsByCanon.get(canonPath)
         .flatMap(_.filter(_._1 <= deleteSeq).lastOption.map(_._2))
+    // the remapped delete parquet is shared across every snapshot that
+    // lists the delete, so the global pick (highest seq ≤ delete seq)
+    // is only valid if it matches the pick RESTRICTED to each such
+    // snapshot's own data files — a source path re-added at a new
+    // sequence across tagged snapshots would otherwise have the delete
+    // name a rel absent from the historical version and resurrect its
+    // rows there. Detection data for the guard inside the rewrite loop:
+    val dataKeysBySnap: Map[Long, Set[(String, Long)]] =
+      entriesBySnap.view.mapValues(_.filter(_.content == 0)
+        .map(rf => (canon(rf.raw), rf.seq)).toSet).toMap
+    val snapsWithPosDelete: Map[(String, Long), Seq[Long]] =
+      histIds.flatMap { id =>
+        entriesBySnap(id).filter(_.content == 1).map(rf => (rf.raw, rf.seq) -> id)
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
     // position deletes: remap file_path URIs to the imported relative
     // paths; entries targeting files absent from this snapshot drop
@@ -412,6 +491,27 @@ object IcebergImport {
           .select(col("file_path")).distinct().collect().map(_.getString(0))
         val relBySrc: Map[String, String] =
           observed.flatMap(v => relForDelete(canon(v), r.seq).map(v -> _)).toMap
+        // ambiguity guard (see dataKeysBySnap above): refuse rather than
+        // commit a historical version whose delete names an absent rel
+        observed.foreach { v =>
+          val cp = canon(v)
+          val copies = relsByCanon.getOrElse(cp, Nil).filter(_._1 <= r.seq)
+          if (copies.size > 1) {
+            val globalPick = copies.last._2
+            snapsWithPosDelete.getOrElse((r.raw, r.seq), Nil).foreach { sid =>
+              val present = dataKeysBySnap(sid)
+              val restricted = copies.filter { case (sq, _) => present((cp, sq)) }
+              if (restricted.nonEmpty && restricted.last._2 != globalPick)
+                throw new IllegalArgumentException(
+                  s"import_iceberg: position delete ${r.raw} targets '$v', " +
+                    "which was re-added at a different sequence across the " +
+                    "imported snapshots — one shared remap cannot serve every " +
+                    "historical version. Compact the source table (rewrite " +
+                    "its deletes away) and re-export, then import; or pin a " +
+                    "single snapshot with ref => '...'.")
+            }
+          }
+        }
         val mapped = src
           .select(
             element_at(typedlit(relBySrc), col("file_path")).as(DeleteFile.PosFileCol),

@@ -591,6 +591,82 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
       spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
   }
 
+  test("bucket layout survives the round trip: import is bucket-addressable and re-exports bucket[n]") {
+    import graft.catalog.{Bucketing, IcebergHash, TableMetadata}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("rtb", "rtb_imp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.rtb (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    Seq.tabulate(200)(i => (i, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("rtb_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.rtb SELECT * FROM rtb_src")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'rtb')")
+    val md = tableDir("rtb").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'rtb_imp', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}')")
+
+    // the layout contract mapped in: same spec, same declared hash
+    val impMeta = TableMetadata.load(tableDir("rtb_imp"))
+    Bucketing.specOf(impMeta.properties) shouldBe Some(("k", 4))
+    Bucketing.icebergHash(impMeta.properties) shouldBe true
+    // every imported data file is bucket-addressable and its rows hash
+    // (per the published spec) to exactly the claimed id
+    impMeta.files should not be empty
+    impMeta.files.foreach { f =>
+      val b = Bucketing.bucketIdOf(f)
+      withClue(s"$f: ") { b.isDefined shouldBe true }
+      spark.read.parquet(tableDir("rtb_imp").resolve(f).toString)
+        .select($"k").as[Int].collect().foreach { k =>
+          IcebergHash.bucketOf(k, org.apache.spark.sql.types.IntegerType, 4) shouldBe b.get
+        }
+    }
+    // rows intact, and a point lookup serves correctly off the pruned scan
+    spark.table("lakehouse.ice_ns.rtb_imp").count() shouldBe 200
+    spark.table("lakehouse.ice_ns.rtb_imp")
+      .where($"k" === 123).as[(Int, Long)].collect() shouldBe Array((123, 123L))
+
+    // storage-partitioned join with the SOURCE table: zero shuffle
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val joined = spark.table("lakehouse.ice_ns.rtb")
+        .join(spark.table("lakehouse.ice_ns.rtb_imp"), "k")
+      joined.count() shouldBe 200
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      plan should not include "Exchange"
+    } finally saved.foreach {
+      case (c, Some(v)) => spark.conf.set(c, v)
+      case (c, None) => spark.conf.unset(c)
+    }
+
+    // the re-export carries the bucket[n] spec with per-file tuples —
+    // external engines keep bucket pruning across the round trip
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'rtb_imp')")
+    val md2 = tableDir("rtb_imp").resolve("metadata")
+    val hint2 = Files.readString(md2.resolve("version-hint.text")).trim.toInt
+    val meta2 = readJson(md2.resolve(s"v$hint2.metadata.json"))
+    val specField2 = meta2("partition-specs").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap.apply("fields").asInstanceOf[JArray].arr.head
+      .asInstanceOf[JObject].obj.toMap
+    jstr(specField2("transform")) shouldBe "bucket[4]"
+    icebergRead(tableDir("rtb_imp"), Seq("k", "v")).size shouldBe 200
+
+    Seq("rtb", "rtb_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
   test("tagged history survives the round trip: VERSION AS OF '<tag>' on the import") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     Seq("hist", "hist_imp").foreach(t =>

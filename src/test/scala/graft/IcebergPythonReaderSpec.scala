@@ -173,6 +173,59 @@ class IcebergPythonReaderSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.pyb")
   }
 
+  test("imported bucket layout re-exports verifiably: python re-hashes every row of the round trip") {
+    val probe = Process(Seq("python3", "-c", "import duckdb"))
+      .!(ProcessLogger(_ => (), _ => ()))
+    assume(probe == 0, "python3 + duckdb not available in this environment")
+    assume(Files.isRegularFile(Paths.get(tool)), s"missing $tool")
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("pyrt", "pyrt_imp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.pyrt (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    Seq.tabulate(200)(i => (i, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("pyrt_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.pyrt SELECT * FROM pyrt_src")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'pyrt')")
+    val srcMd = Paths.get(TestSpark.warehouse, "ice_ns", "pyrt", "metadata")
+    val hint = Files.readString(srcMd.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'pyrt_imp', " +
+      s"'${srcMd.resolve(s"v$hint.metadata.json")}')")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'pyrt_imp')")
+
+    val impDir = Paths.get(TestSpark.warehouse, "ice_ns", "pyrt_imp").toString
+    val expAll = Files.createTempDirectory("graft-pyrt-").toString
+    spark.table("lakehouse.ice_ns.pyrt_imp")
+      .coalesce(1).write.mode("overwrite").parquet(expAll)
+    // --verify-buckets re-hashes EVERY row of every bucket-claimed file
+    // with python's own murmur3 — a wrong claimed id anywhere in the
+    // import's relabeling would fail here, not silently mis-prune
+    val outV = new StringBuilder
+    val codeV = Process(Seq("python3", tool, impDir, expAll, "--verify-buckets"))
+      .!(ProcessLogger(l => outV.append(l).append('\n'), l => outV.append(l).append('\n')))
+    withClue(outV.toString) {
+      codeV shouldBe 0
+      outV.toString should include("BUCKETS VERIFIED (200 rows")
+      outV.toString should include("MATCH (200 rows")
+    }
+    // and the point lookup prunes externally on the RE-export
+    val expOne = Files.createTempDirectory("graft-pyrt1-").toString
+    spark.table("lakehouse.ice_ns.pyrt_imp").filter($"k" === 7)
+      .coalesce(1).write.mode("overwrite").parquet(expOne)
+    val outB = new StringBuilder
+    val codeB = Process(Seq("python3", tool, impDir, expOne, "--filter", "k=7"))
+      .!(ProcessLogger(l => outB.append(l).append('\n'), l => outB.append(l).append('\n')))
+    withClue(outB.toString) {
+      codeB shouldBe 0
+      outB.toString should include("MATCH (1 rows")
+      outB.toString should include("OPENED 1 OF 4 DATA FILES")
+    }
+    Seq("pyrt", "pyrt_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
   test("external time travel: a tagged snapshot reads back via refs after later DML") {
     val probe = Process(Seq("python3", "-c", "import duckdb"))
       .!(ProcessLogger(_ => (), _ => ()))

@@ -257,7 +257,10 @@ def _parse_temporal(col_type: str, raw: str):
     t = dt.datetime.fromisoformat(raw.replace(" ", "T"))
     if t.tzinfo is None:
         t = t.replace(tzinfo=dt.timezone.utc)
-    micros = int(t.timestamp()) * 1_000_000 + t.microsecond
+    # floor semantics: int(timestamp()) truncates toward zero, which is
+    # wrong for pre-1970 instants (-1.5s would yield -500000 micros)
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    micros = (t - epoch) // dt.timedelta(microseconds=1)
     return micros // 86_400_000_000, micros
 
 
@@ -348,7 +351,10 @@ def bucket_of_value(v, col_type: str, n: int) -> int:
         data = struct.pack("<q", (v - _EPOCH).days)
     elif col_type in ("timestamp", "timestamptz"):
         t = v if v.tzinfo else v.replace(tzinfo=dt.timezone.utc)
-        micros = int(t.timestamp()) * 1_000_000 + t.microsecond
+        # floor division handles pre-epoch instants (int() truncation
+        # toward zero would mis-hash them)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        micros = (t - epoch) // dt.timedelta(microseconds=1)
         data = struct.pack("<q", micros)
     else:
         raise ValueError(f"bucket verify unsupported for {col_type}")
