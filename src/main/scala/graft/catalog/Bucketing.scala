@@ -98,6 +98,26 @@ object Bucketing {
     }
   }
 
+  /** CREATE-time notice for a silent trap: `bucket(n, col)` WITHOUT
+    * `graft.bucket.hash=iceberg` freezes a Spark-murmur3 layout that
+    * external engines can never bucket-prune — and layout props are
+    * immutable once data exists, so the choice is forever. Returned for
+    * the catalog to log once at CREATE; None when the layout is
+    * exportable, unbucketed, or the bucket column's type has no
+    * published-hash encoding (no opt-in was ever possible). */
+  def layoutNotice(schema: StructType, properties: Map[String, String]): Option[String] =
+    specOf(properties) match {
+      case Some((c, n)) if !icebergHash(properties) &&
+          schema.fields.find(_.name.equalsIgnoreCase(c))
+            .exists(f => IcebergHash.supports(f.dataType)) =>
+        Some(s"bucket($n, $c) uses Spark's hash: the mirror exports an " +
+          "UNPARTITIONED spec and external engines can never bucket-prune " +
+          "this table (the layout freezes once data exists). Add " +
+          "TBLPROPERTIES ('graft.bucket.hash'='iceberg') at CREATE to keep " +
+          "external pruning and cross-engine storage-partitioned joins.")
+      case _ => None
+    }
+
   /** For each target partition t in [0, n): the smallest non-negative
     * int token whose SPARK shuffle placement is t — i.e.
     * `pmod(murmur3(token, 42), n) == t`. Lets the write path reuse

@@ -448,6 +448,16 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     properties.asScala.toMap - TableCatalog.PROP_PROVIDER -
       TableCatalog.PROP_LOCATION - TableCatalog.PROP_OWNER - TableCatalog.PROP_EXTERNAL
 
+  /** One-line CREATE-time warning for the non-exportable bucket-layout
+    * trap (see [[Bucketing.layoutNotice]]); the layout freezes once data
+    * exists, so CREATE is the only moment the user can still opt in. */
+  private def noticeLayout(
+      ident: Identifier, schema: StructType, props: Map[String, String]): Unit =
+    Bucketing.layoutNotice(schema, props).foreach { msg =>
+      org.apache.log4j.LogManager.getLogger(getClass.getName)
+        .warn(s"${fullName(ident)}: $msg")
+    }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -460,6 +470,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
     Bucketing.validate(schema, cleanProps(properties) ++ bucketProps)
+    noticeLayout(ident, schema, cleanProps(properties) ++ bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))
@@ -491,6 +502,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
     Bucketing.validate(schema, cleanProps(properties) ++ bucketProps)
+    noticeLayout(ident, schema, cleanProps(properties) ++ bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))
@@ -514,6 +526,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val (partCols, bucketProps) = parsePartitioning(partitions)
     HiddenPartitioning.validate(schema, bucketProps)
     Bucketing.validate(schema, cleanProps(properties) ++ bucketProps)
+    noticeLayout(ident, schema, cleanProps(properties) ++ bucketProps)
     WriteSortOrder.validate(schema, cleanProps(properties))
     CheckConstraints.validate(spark, schema, cleanProps(properties))
     GeneratedColumns.validate(spark, schema, cleanProps(properties))

@@ -1777,7 +1777,8 @@ object Relational {
     * failing verdict, never a silent pass. */
   private def pythonIcebergCheck(
       s: SparkSession, tableDir: java.nio.file.Path, expected: DataFrame,
-      filter: Option[String]): (String, Long, Option[(Int, Int)]) = {
+      filter: Option[String],
+      verifyBounds: Boolean = false): (String, Long, Option[(Int, Int)]) = {
     import scala.sys.process.{Process, ProcessLogger}
     val tool = java.nio.file.Paths.get("tools", "check_iceberg.py").toAbsolutePath
     if (!java.nio.file.Files.isRegularFile(tool)) return ("NO-TOOL", -1L, None)
@@ -1786,7 +1787,8 @@ object Relational {
       expected.coalesce(1).write.mode("overwrite").parquet(expDir.toString)
       val out = new StringBuilder
       val cmd = Seq("python3", tool.toString, tableDir.toString, expDir.toString) ++
-        filter.toSeq.flatMap(f => Seq("--filter", f))
+        filter.toSeq.flatMap(f => Seq("--filter", f)) ++
+        (if (verifyBounds) Seq("--verify-bounds") else Nil)
       val code = Process(cmd).!(ProcessLogger(
         l => out.synchronized(out.append(l).append('\n')),
         l => out.synchronized(out.append(l).append('\n'))))
@@ -1823,7 +1825,11 @@ object Relational {
       val meta = graft.catalog.TableMetadata.load(tableDir)
       val merged = graft.catalog.MergeOnRead.read(s, tableDir, meta, meta.files)
         .select("s_suppkey", "s_name", "s_acctbal")
-      val (verdict, rows, _) = pythonIcebergCheck(s, tableDir, merged, None)
+      // --verify-bounds: the gate also recomputes every exported file's
+      // min/max/null-count claims (a wrong bound exits nonzero → the
+      // verdict breaks the oracle match)
+      val (verdict, rows, _) =
+        pythonIcebergCheck(s, tableDir, merged, None, verifyBounds = true)
       Seq((verdict, rows)).toDF("verdict", "rows_read")
     },
     Some("""SELECT 'MATCH' AS verdict, COUNT(*) AS rows_read

@@ -1213,6 +1213,68 @@ object TextOps {
            |      FROM documents WHERE doc_id < 120)
            |ORDER BY doc_id""".stripMargin))
 
+  /** Video near-dup under the oracle: deterministic YUV4MPEG2 clips
+    * synthesize per document (64 frames of 16×16 whose per-frame mean
+    * luma encodes `(doc_id + f) % 5 == 0`, brightness scaled by
+    * `1 + doc_id % 3`), run the REAL zero-dep Y4M codec
+    * ([[graft.multimodal.Y4mCodec]] decode — spec header + planar C420
+    * frames), per-clip features, the 64-window temporal-envelope
+    * fingerprint, and the banded-hamming near-dup join — every stage
+    * arithmetically reconstructable by DuckDB: geometry/duration from
+    * the header, mean luma and the inter-frame motion proxy in closed
+    * form from the designed signal (all-equal 256-pixel planes make
+    * each frame mean an exact integer, so only the final divisions
+    * round), and the near-dup clusters are exactly the doc_id mod-5
+    * classes BECAUSE the fingerprint's relative threshold is
+    * brightness-invariant (three brightness scales per class collapse
+    * to one envelope — the invariance claim sits under the hash-match
+    * gate, the q125 pattern). Compressed codecs stay honestly behind
+    * the pluggable boundary; Y4M is the container every toolchain can
+    * emit uncompressed. Scale shape: encode/decode are row-local
+    * mapPartitions over bounded batches; the pair join is banded,
+    * never all-pairs. */
+  val q127 = Q(
+    "q127_video_neardup",
+    (s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).filter(col("doc_id") < 120)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val v = 1 + (id % 3).toInt
+          val frames = Array.tabulate(64) { f =>
+            val y = (if ((id + f) % 5 == 0) 60 * v else 20 * v).toByte
+            Array.fill(16 * 16)(y)
+          }
+          (id, graft.multimodal.Y4mCodec.encode(frames, 16, 16, 16, 1))
+        })
+        .toDF("id", "payload")
+      val feats = graft.multimodal.VideoOps.videoFeatures(media).toDF()
+      val pairs = graft.multimodal.MediaOps.nearDupMedia(
+        graft.multimodal.VideoOps.videoHash(media))
+      val grp = pairs.groupBy(col("id2").as("gid")).agg(min(col("id1")).as("m"))
+      feats.join(grp, feats("id") === grp("gid"), "left")
+        .select(
+          feats("id").as("doc_id"),
+          feats("width").as("w"), feats("height").as("h"),
+          feats("n_frames").as("nf"),
+          col("duration_sec").as("dur"),
+          round(col("mean_luma"), 9).as("luma"),
+          round(col("motion"), 9).as("motion"),
+          least(feats("id"), coalesce(col("m"), feats("id"))).as("grp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, 16 AS w, 16 AS h, 64 AS nf, 4.0 AS dur,
+           |  ROUND((k*60.0*v + (64-k)*20.0*v)/64/255, 9) AS luma,
+           |  ROUND(40.0*v*t/63/255, 9) AS motion,
+           |  doc_id % 5 AS grp
+           |FROM (SELECT doc_id, 1 + doc_id % 3 AS v, k,
+           |        2*k - (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+           |            - (CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS t
+           |      FROM (SELECT doc_id,
+           |              CASE WHEN doc_id % 5 = 1 THEN 12 ELSE 13 END AS k
+           |            FROM documents WHERE doc_id < 120))
+           |ORDER BY doc_id""".stripMargin))
+
   /** Context-window chunking with overlap — the slicing stage that
     * turns documents into model-sized training sequences (window 40
     * tokens, stride 30 → 10-token overlap). Entirely row-local
@@ -2709,7 +2771,7 @@ FROM s$rounds ORDER BY doc_id""")
   val all: Seq[Q] =
     Seq(q28, q28b, q28c, q28d, q30, q30b, q30c, q30d, q30e, q30f, q30g, q30h,
       q37, q38, q40, q41, q42, q42b, q43, q44, q45, q45b, q46, q47, q48, q53,
-      q55, q125, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
+      q55, q125, q127, q56, q57, q58, q58b, q60, q61, q62, q63, q64, q65, q66, q67, q68,
       q71, q72, q72b, q72c, q72d, q73, q74, q75, q76, q77, q78, q79, q80, q88,
       q107, q108)
 }

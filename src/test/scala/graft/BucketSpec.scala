@@ -471,6 +471,26 @@ class BucketSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.bkt_ns.txn_ice")
   }
 
+  test("layoutNotice flags only the recoverable trap: spark-hash bucketing a hashable type") {
+    import graft.catalog.Bucketing
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("d", DoubleType)))
+    def props(c: String, hash: Option[String]) =
+      Map(Bucketing.ColProp -> c, Bucketing.CountProp -> "4") ++
+        hash.map(Bucketing.HashProp -> _)
+    // spark-hash over an iceberg-hashable type: the user COULD have kept
+    // external pruning — warn at the only moment the choice is open
+    Bucketing.layoutNotice(schema, props("k", None)).isDefined shouldBe true
+    Bucketing.layoutNotice(schema, props("k", Some("spark"))).isDefined shouldBe true
+    // already exportable: silent
+    Bucketing.layoutNotice(schema, props("k", Some("iceberg"))) shouldBe None
+    // no opt-in was ever possible (double has no published-hash encoding)
+    Bucketing.layoutNotice(schema, props("d", None)) shouldBe None
+    // unbucketed: silent
+    Bucketing.layoutNotice(schema, Map.empty) shouldBe None
+  }
+
   test("iceberg hash mode validates the bucket column type at CREATE") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.badice")

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
 import scala.sys.process.{Process, ProcessLogger}
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -224,6 +225,77 @@ class IcebergPythonReaderSpec extends AnyFunSuite with Matchers {
       outB.toString should include("OPENED 1 OF 4 DATA FILES")
     }
     Seq("pyrt", "pyrt_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
+  test("python reader verifies exported column BOUNDS: the external file-skipping contract") {
+    val probe = Process(Seq("python3", "-c", "import duckdb"))
+      .!(ProcessLogger(_ => (), _ => ()))
+    assume(probe == 0, "python3 + duckdb not available in this environment")
+    assume(Files.isRegularFile(Paths.get(tool)), s"missing $tool")
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.pybnd")
+    // the bound-serialization trouble spots: negative ints (sign bytes),
+    // strings (truncation rules), doubles, temporals (epoch domains),
+    // a decimal (bounds legitimately absent — FooterStats doesn't range
+    // decimals — the checker must pass on no-claim, not crash), nulls
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.pybnd (
+        |  k INT, s STRING, d DOUBLE, dec DECIMAL(9,2), dt DATE, ts TIMESTAMP)""".stripMargin)
+    spark.sql(
+      """INSERT INTO lakehouse.ice_ns.pybnd VALUES
+        |  (-2147483648, 'aardvark', -1.5e30, -12345.67, DATE'1969-07-20',
+        |   TIMESTAMP'1969-12-31 23:59:58.5'),
+        |  (-7, NULL, 0.0, 0.01, DATE'2024-03-01', TIMESTAMP'2024-03-01 12:00:00'),
+        |  (2147483647, 'zzzz~~', 2.5e30, 99999.99, DATE'2262-01-01',
+        |   TIMESTAMP'2100-01-01 00:00:00')""".stripMargin)
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'pybnd')")
+    val bndDir = Paths.get(TestSpark.warehouse, "ice_ns", "pybnd").toString
+    val expDir = Files.createTempDirectory("graft-pybnd-").toString
+    spark.table("lakehouse.ice_ns.pybnd")
+      .coalesce(1).write.mode("overwrite").parquet(expDir)
+    val out = new StringBuilder
+    val code = Process(Seq("python3", tool, bndDir, expDir, "--verify-bounds"))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    withClue(out.toString) {
+      code shouldBe 0
+      out.toString should include("BOUNDS VERIFIED")
+      out.toString should include("MATCH (3 rows")
+      // claims actually checked, not vacuously zero: k/s/d/dt/ts carry
+      // lower+upper+nulls claims on at least one file
+      val Verified = ".*BOUNDS VERIFIED \\((\\d+) claims.*".r
+      val Some(n) = out.toString.linesIterator.collectFirst {
+        case Verified(c) => c.toInt
+      }: @unchecked
+      n should be >= 15
+    }
+
+    // the breaker half: corrupt ONE claimed lower bound in the manifest
+    // (flip the sign byte of k's 4-byte LE minimum) and the checker
+    // must FAIL — proving it reads the real claims, not its own echo
+    val md = Paths.get(bndDir, "metadata")
+    val manifests = Files.list(md).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("im-") && n.endsWith(".avro")
+      }.toSeq
+    manifests should not be empty
+    val bytes = Files.readAllBytes(manifests.head)
+    // -2147483648 little-endian = 00 00 00 80; corrupt to 00 00 00 7f
+    // (= +2130706432, far above the actual minimum)
+    val pat = Array[Byte](0x00, 0x00, 0x00, 0x80.toByte)
+    val idx = bytes.indices.find(i => i + 4 <= bytes.length &&
+      bytes(i) == pat(0) && bytes(i + 1) == pat(1) &&
+      bytes(i + 2) == pat(2) && bytes(i + 3) == pat(3))
+    idx.isDefined shouldBe true
+    bytes(idx.get + 3) = 0x7f
+    Files.write(manifests.head, bytes)
+    val out2 = new StringBuilder
+    val code2 = Process(Seq("python3", tool, bndDir, expDir, "--verify-bounds"))
+      .!(ProcessLogger(l => out2.append(l).append('\n'), l => out2.append(l).append('\n')))
+    withClue(out2.toString) { code2 should not be 0 }
+
+    spark.sql("DROP TABLE lakehouse.ice_ns.pybnd")
   }
 
   test("external time travel: a tagged snapshot reads back via refs after later DML") {

@@ -226,4 +226,69 @@ class MediaSpec extends AnyFunSuite with Matchers {
     pairs should contain(1L -> 3L) // mono mixdown → layout-invariant
     pairs.exists(p => p._1 == 4L || p._2 == 4L) shouldBe false
   }
+
+  /** A clip whose per-frame mean luma follows `pattern` bit f (bright
+    * vs dim), scaled by `gain` — the video analog of burstClip. */
+  private def y4mClip(pattern: Long, gain: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+    import graft.multimodal.Y4mCodec
+    val frames = Array.tabulate(64) { f =>
+      val y = (if (((pattern >>> f) & 1L) == 1L) 60 * gain else 20 * gain).toByte
+      Array.fill(w * h)(y)
+    }
+    Y4mCodec.encode(frames, w, h, 16, 1)
+  }
+
+  test("Y4mCodec round-trips: spec header, C420 planes, geometry and rate preserved") {
+    import graft.multimodal.Y4mCodec
+    val payload = y4mClip(0x5a5a5a5a5a5a5a5aL, 2)
+    // a real Y4M stream another toolchain could consume
+    new String(payload.takeWhile(_ != '\n'), "US-ASCII") shouldBe
+      "YUV4MPEG2 W16 H16 F16:1 Ip A1:1 C420jpeg"
+    val d = Y4mCodec.decode(payload)
+    d.width shouldBe 16
+    d.height shouldBe 16
+    d.fpsNum shouldBe 16
+    d.fpsDen shouldBe 1
+    d.frames.length shouldBe 64
+    (d.frames(1)(0) & 0xff) shouldBe 120 // bit 1 of the pattern set → 60*2
+    (d.frames(0)(0) & 0xff) shouldBe 40
+    // frame params after the marker are legal per spec
+    val withParams = new String(payload, "ISO-8859-1")
+      .replaceFirst("FRAME\n", "FRAME Xtest\n").getBytes("ISO-8859-1")
+    Y4mCodec.decode(withParams).frames.length shouldBe 64
+    // C444 and mono layouts
+    val f0 = Array.tabulate(4)(i => (i * 10).toByte)
+    val c444 = ("YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n").getBytes("US-ASCII") ++
+      f0 ++ Array.fill(8)(128.toByte)
+    Y4mCodec.decode(c444).frames.head.toSeq shouldBe f0.toSeq
+    val mono = ("YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n").getBytes("US-ASCII") ++ f0
+    Y4mCodec.decode(mono).frames.head.toSeq shouldBe f0.toSeq
+    // malformed inputs fail loudly, never mis-parse
+    an[Exception] should be thrownBy Y4mCodec.decode("JUNK W2 H2\n".getBytes)
+    an[Exception] should be thrownBy
+      Y4mCodec.decode("YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n ".getBytes("ISO-8859-1"))
+    an[Exception] should be thrownBy
+      Y4mCodec.decode("YUV4MPEG2 W2 H2 F25:1 Cweird\nFRAME\n".getBytes)
+  }
+
+  test("video fingerprint: brightness change is a near-dup, a different cut is not") {
+    import graft.multimodal.{MediaOps, VideoOps}
+    val pa = 0x5a5a5a5a5a5a5a5aL
+    val pb = 0x00ffff0000ffff00L
+    val clips = Seq(
+      1L -> y4mClip(pa, 1),  // original
+      2L -> y4mClip(pa, 3),  // brightness-scaled
+      3L -> y4mClip(pb, 1))  // a genuinely different envelope
+    val hashes = VideoOps.videoHash(clips.toDF("id", "payload"))
+    val pairs = MediaOps.nearDupMedia(hashes, maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain(1L -> 2L)
+    pairs.exists(p => p._1 == 3L || p._2 == 3L) shouldBe false
+    val feats = VideoOps.videoFeatures(clips.toDF("id", "payload"))
+      .collect().sortBy(_.id)
+    feats(0).duration_sec shouldBe 4.0
+    feats(0).n_frames shouldBe 64
+    feats(1).mean_luma shouldBe (3 * feats(0).mean_luma) +- 1e-12
+    feats(0).motion should be > 0.0
+  }
 }

@@ -361,6 +361,101 @@ def bucket_of_value(v, col_type: str, n: int) -> int:
     return (murmur3_x86_32(data) & 0x7FFFFFFF) % n
 
 
+def _decode_bound(col_type, data: bytes):
+    """Iceberg Appendix D single-value deserialization for the bound
+    types the exporter writes; None when this checker has no rule."""
+    import datetime as dt
+    if col_type in ("int", "date"):
+        return struct.unpack("<i", data)[0]
+    if col_type in ("long", "timestamp", "timestamptz"):
+        return struct.unpack("<q", data)[0]
+    if col_type == "float":
+        return struct.unpack("<f", data)[0]
+    if col_type == "double":
+        return struct.unpack("<d", data)[0]
+    if col_type == "boolean":
+        return data == b"\x01"
+    if col_type == "string":
+        return data.decode()
+    if isinstance(col_type, str) and col_type.startswith("decimal"):
+        import decimal
+        import re as _re
+        m = _re.fullmatch(r"decimal\((\d+),\s*(-?\d+)\)", col_type)
+        scale = int(m.group(2))
+        unscaled = int.from_bytes(data, "big", signed=True)
+        return decimal.Decimal(unscaled).scaleb(-scale)
+    return None
+
+
+def _to_bound_domain(v, col_type):
+    """An actual parquet value in the bound's comparison domain."""
+    import datetime as dt
+    if v is None:
+        return None
+    if col_type == "date":
+        return (v - _EPOCH).days
+    if col_type in ("timestamp", "timestamptz"):
+        t = v if getattr(v, "tzinfo", None) else v.replace(tzinfo=dt.timezone.utc)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return (t - epoch) // dt.timedelta(microseconds=1)
+    return v
+
+
+def verify_bounds(meta, schema, name_by_id, data_files, con):
+    """Recompute every file's per-column min/max/null count with DuckDB
+    and check the manifest's claims — the external FILE-SKIPPING
+    contract (a bounds serialization bug makes engines silently
+    mis-skip). null counts must be exact; numeric/temporal bounds must
+    be exact; string/float/double/decimal bounds must CONTAIN the
+    actual range (the spec allows truncated string bounds). Returns
+    (files_checked, claims_checked); raises on the first violation."""
+    type_by_id = {f["id"]: f["type"] for f in schema["fields"]}
+    exact = ("int", "long", "date", "timestamp", "timestamptz", "boolean")
+    checked = 0
+    for rec in data_files:
+        claims = {}
+        for kv in rec["lower"]:
+            claims.setdefault(kv["key"], {})["lower"] = kv["value"]
+        for kv in rec["upper"]:
+            claims.setdefault(kv["key"], {})["upper"] = kv["value"]
+        for kv in rec["nulls"]:
+            claims.setdefault(kv["key"], {})["nulls"] = kv["value"]
+        for fid, c in claims.items():
+            col_type = type_by_id.get(fid)
+            name = name_by_id.get(fid)
+            if name is None or not isinstance(col_type, str):
+                continue
+            amin, amax, anulls = con.execute(
+                f'SELECT min("{name}"), max("{name}"), '
+                f'count(*) - count("{name}") FROM read_parquet(?)',
+                [local_path(rec["path"])]).fetchone()
+            amin = _to_bound_domain(amin, col_type)
+            amax = _to_bound_domain(amax, col_type)
+            if "nulls" in c and c["nulls"] != anulls:
+                raise AssertionError(
+                    f"null count mismatch in {rec['path']} col {name}: "
+                    f"claimed {c['nulls']}, actual {anulls}")
+            checked += 1 if "nulls" in c else 0
+            for side, cmp_ok in (("lower", lambda b, a: b <= a),
+                                 ("upper", lambda b, a: b >= a)):
+                if side not in c:
+                    continue
+                bound = _decode_bound(col_type, c[side])
+                if bound is None:
+                    continue  # no deserialization rule here: not checkable
+                actual = amin if side == "lower" else amax
+                if actual is None:
+                    continue  # all-null file: nothing to skip wrongly
+                ok = (bound == actual if col_type in exact
+                      else cmp_ok(bound, actual))
+                if not ok:
+                    raise AssertionError(
+                        f"{side} bound violation in {rec['path']} col {name} "
+                        f"({col_type}): claimed {bound!r}, actual {actual!r}")
+                checked += 1
+    return len(data_files), checked
+
+
 def verify_buckets(meta, schema, name_by_id, data_files, con) -> int:
     """Recompute every row's bucket for files claiming bucket tuples;
     returns rows checked, raises on the first mismatch."""
@@ -394,7 +489,8 @@ def verify_buckets(meta, schema, name_by_id, data_files, con) -> int:
     return checked
 
 
-def read_iceberg_table(table_dir: Path, ref=None, filt=None, check_buckets=False):
+def read_iceberg_table(table_dir: Path, ref=None, filt=None, check_buckets=False,
+                       check_bounds=False):
     """Returns (column_names, rows, opened, total_data_files) of the
     current snapshot, or of the snapshot a branch/tag ref points at
     (external time travel). `filt` is an optional (col, raw_literal)
@@ -435,6 +531,9 @@ def read_iceberg_table(table_dir: Path, ref=None, filt=None, check_buckets=False
                 "seq": seq,
                 "eq_ids": df.get("equality_ids") or [],
                 "part": df.get("partition") or {},
+                "lower": df.get("lower_bounds") or [],
+                "upper": df.get("upper_bounds") or [],
+                "nulls": df.get("null_value_counts") or [],
             }
             content = df["content"]
             (data_files if content == 0 else
@@ -491,6 +590,12 @@ def read_iceberg_table(table_dir: Path, ref=None, filt=None, check_buckets=False
         n_checked = verify_buckets(meta, schema, name_by_id, data_files, con)
         print(f"BUCKETS VERIFIED ({n_checked} rows across "
               f"{len(data_files)} data files)")
+
+    if check_bounds:
+        n_files, n_claims = verify_bounds(
+            meta, schema, name_by_id, data_files, con)
+        print(f"BOUNDS VERIFIED ({n_claims} claims across "
+              f"{n_files} data files)")
 
     # position deletes: spec columns file_path (2147483546) / pos. Each
     # tuple carries its delete file's sequence number — the spec applies
@@ -569,9 +674,13 @@ def main() -> int:
     args = sys.argv[1:]
     filt = None
     check_buckets = False
+    check_bounds = False
     if "--verify-buckets" in args:
         check_buckets = True
         args.remove("--verify-buckets")
+    if "--verify-bounds" in args:
+        check_bounds = True
+        args.remove("--verify-bounds")
     if "--filter" in args:
         import re as _re
         i = args.index("--filter")
@@ -588,7 +697,8 @@ def main() -> int:
         return 2
     table_dir, expected = Path(args[0]), args[1]
     ref = args[2] if len(args) == 3 else None
-    cols, got, opened, total = read_iceberg_table(table_dir, ref, filt, check_buckets)
+    cols, got, opened, total = read_iceberg_table(
+        table_dir, ref, filt, check_buckets, check_bounds)
     if filt:
         shown = ",".join(f"{c}{op}{raw}" for c, op, raw in filt)
         print(f"OPENED {opened} OF {total} DATA FILES (filter {shown})")
