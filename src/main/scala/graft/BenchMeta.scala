@@ -41,7 +41,11 @@ object BenchMeta {
       exportInitialMs: Double, exportInitialChunksWritten: Long,
       exportAppendMs: Double, exportAppendChunksWritten: Long,
       exportAppendChunksReused: Long,
-      bucketPruneMs: Double, bucketPruneSurvivors: Int, bucketPruneTotal: Int)
+      bucketPruneMs: Double, bucketPruneSurvivors: Int, bucketPruneTotal: Int,
+      postingsProbeMs: Double, postingsProbeChunksParsed: Long,
+      postingsProbeSurvivors: Int, postingsProbeTotal: Int,
+      ivfProbeMs: Double, ivfProbeChunksParsed: Long,
+      ivfProbeSurvivors: Int, ivfProbeTotal: Int)
 
   private val schema = StructType(Seq(
     StructField("k", IntegerType), StructField("v", StringType),
@@ -164,6 +168,77 @@ object BenchMeta {
       : org.apache.spark.sql.sources.Filter)
     val (bsurv, bMs) = timed(
       graft.catalog.Bucketing.pruneByBucket(bfiles, bprops, schema, bfilters))
+
+    // ---- index-probe driver cost at the same file count ----------------
+    // A postings or IVF index IS a lakehouse table partitioned by an
+    // identity column (TextIndex: `bucket`; VectorIndex: `cell`), so a
+    // probe's DRIVER cost is exactly the scan's metadata path: cold
+    // chunk-pruned resolve (parse only the chunks whose summary overlaps
+    // the IN predicate) + per-file stat skipping. Build index-shaped
+    // metadata — no physical files needed, both passes are
+    // metadata-only — and measure a realistic probe end to end. At
+    // 100 TB index sizes this is the per-QUERY planning latency; it must
+    // stay O(probed chunks), never O(index).
+    def indexProbe(name: String, partCol: String, nParts: Int,
+        probeVals: Seq[Int],
+        extraFilters: Seq[org.apache.spark.sql.sources.Filter]):
+        (Double, Long, Int, Int) = {
+      val idxDir = dir.resolve(name)
+      Files.createDirectories(idxDir)
+      val idxSchema = StructType(Seq(
+        StructField(partCol, IntegerType), StructField("tok", StringType)))
+      var m = TableMetadata.commit(idxDir, TableMetadata(
+        version = 1, name = name, schema = idxSchema,
+        partitionColumns = Seq(partCol), properties = Map.empty,
+        files = Nil, snapshots = Seq(Snapshot(1, 1L, "create", 0, 0))))
+      // contiguous partition range per commit — the layout the index
+      // writers produce (INSERT clustered by the partition column)
+      val perChunk = math.max(1, nParts / chunks)
+      (0 until chunks).foreach { c =>
+        val rels = (0 until filesPerChunk).map(i => f"data/i$c%03d/part-$i%06d.parquet")
+        val st = rels.zipWithIndex.map { case (r, i) =>
+          val pv = c * perChunk + (i % perChunk)
+          r -> Map(
+            partCol -> ColumnRange(pv.toString, pv.toString, Some(0L)),
+            "tok" -> ColumnRange(f"t$i%06d", f"t${i + 50}%06d", Some(0L)))
+        }
+        m = TableMetadata.commit(idxDir, m.copy(
+          version = m.version + 1,
+          files = m.files ++ rels,
+          fileStats = m.fileStats ++ st,
+          fileRows = m.fileRows ++ rels.map(_ -> 100L),
+          snapshots = m.snapshots :+ Snapshot(
+            m.version + 1, m.version + 1L, "append", rels.size, 0)))
+      }
+      Manifests.clearCacheForTesting()
+      Manifests.resetCounters()
+      val filters: Seq[org.apache.spark.sql.sources.Filter] =
+        org.apache.spark.sql.sources.In(partCol,
+          probeVals.map(Int.box).toArray[Any]) +: extraFilters
+      val (surv, ms) = timed {
+        val sum = TableMetadata.loadSummary(idxDir)
+        val res = TableMetadata.resolveForScan(
+          TableMetadata.metadataDir(idxDir), sum, filters)
+        graft.catalog.FileSkipping.prune(
+          res.files, res.fileStats, idxSchema, filters)
+      }
+      (ms, Manifests.manifestsParsed.get(), surv.size, m.files.size)
+    }
+    // postings probe: 3 terms → 3 hash buckets + a tok residual (terms
+    // chosen to land in the probed buckets' token ranges, as a real
+    // probe's do — the conjunction keeps single files, not whole buckets)
+    val pParts = 64 * chunks
+    val (pMs, pParsed, pSurv, pTotal) = indexProbe(
+      "idx_postings", "bucket", pParts,
+      Seq(3, pParts / 2 + 1, pParts - 5),
+      Seq(org.apache.spark.sql.sources.In(
+        "tok", Array[Any]("t000003", "t000001", "t000059"))))
+    // IVF probe: nprobe=8 cells out of 512/chunk-count cells
+    val vParts = 512 * chunks
+    val (vMs, vParsed, vSurv, vTotal) = indexProbe(
+      "idx_ivf", "cell", vParts,
+      (0 until 8).map(j => j * vParts / 8 + 1), Nil)
+
     Result(
       files = meta.files.size, chunks = full.manifests.size,
       commitAppendMs = commitMs,
@@ -178,7 +253,11 @@ object BenchMeta {
       exportAppendChunksWritten = IcebergExport.chunksWritten.get(),
       exportAppendChunksReused = IcebergExport.chunksReused.get(),
       bucketPruneMs = bMs, bucketPruneSurvivors = bsurv.size,
-      bucketPruneTotal = bfiles.size)
+      bucketPruneTotal = bfiles.size,
+      postingsProbeMs = pMs, postingsProbeChunksParsed = pParsed,
+      postingsProbeSurvivors = pSurv, postingsProbeTotal = pTotal,
+      ivfProbeMs = vMs, ivfProbeChunksParsed = vParsed,
+      ivfProbeSurvivors = vSurv, ivfProbeTotal = vTotal)
   }
 
   def main(args: Array[String]): Unit = {
@@ -203,7 +282,15 @@ object BenchMeta {
         f""""export_after_append_chunks_reused":${r.exportAppendChunksReused},""" +
         f""""bucket_prune_ms":${r.bucketPruneMs}%.1f,""" +
         f""""bucket_prune_survivors":${r.bucketPruneSurvivors},""" +
-        f""""bucket_prune_total":${r.bucketPruneTotal}}"""
+        f""""bucket_prune_total":${r.bucketPruneTotal},""" +
+        f""""postings_probe_ms":${r.postingsProbeMs}%.1f,""" +
+        f""""postings_probe_chunks_parsed":${r.postingsProbeChunksParsed},""" +
+        f""""postings_probe_survivors":${r.postingsProbeSurvivors},""" +
+        f""""postings_probe_total":${r.postingsProbeTotal},""" +
+        f""""ivf_probe_ms":${r.ivfProbeMs}%.1f,""" +
+        f""""ivf_probe_chunks_parsed":${r.ivfProbeChunksParsed},""" +
+        f""""ivf_probe_survivors":${r.ivfProbeSurvivors},""" +
+        f""""ivf_probe_total":${r.ivfProbeTotal}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_META.json"), json)
     println(json)

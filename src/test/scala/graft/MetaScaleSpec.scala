@@ -48,6 +48,21 @@ class MetaScaleSpec extends AnyFunSuite with Matchers {
       val b = graft.catalog.IcebergHash.bucketOf(
         7, org.apache.spark.sql.types.IntegerType, 16)
       r.bucketPruneSurvivors shouldBe 6 * (500 / 16 + (if (b < 500 % 16) 1 else 0))
+
+      // index probes: the driver cost of a postings/IVF lookup is the
+      // chunk-pruned resolve + per-file stat skip — a probe must parse
+      // only the chunks its IN predicate overlaps, never the index
+      r.postingsProbeTotal shouldBe 6 * 500
+      r.postingsProbeChunksParsed should be >= 1L
+      r.postingsProbeChunksParsed should be <= 3L // 3 probed buckets
+      r.postingsProbeSurvivors should be >= 1
+      // per-file skipping inside the probed chunks: the bucket+tok
+      // conjunction keeps a small fraction, never whole chunks
+      r.postingsProbeSurvivors should be < r.postingsProbeTotal / 20
+      r.ivfProbeTotal shouldBe 6 * 500
+      r.ivfProbeChunksParsed should be <= 8L // nprobe = 8 cells
+      r.ivfProbeSurvivors should be >= 1
+      r.ivfProbeSurvivors should be < r.ivfProbeTotal / 20
     } finally graft.catalog.Fs.deleteRecursively(dir)
   }
 }
