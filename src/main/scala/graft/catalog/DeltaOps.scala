@@ -128,6 +128,12 @@ class LakehouseDeltaOperation(
       override def build(): DeltaWrite = {
         val next = base.version + 1
         val op = s"mor-${cmd.toString.toLowerCase}"
+        // positional-delta data files are written by per-task delegate
+        // writers (a task's rows span buckets), so on a BUCKETED table
+        // they are not bucket-addressable: the scan's
+        // KeyGroupedPartitioning and the mirror's bucket[n] claim
+        // honestly degrade until compaction re-buckets them through
+        // Bucketing.cluster (BucketSpec pins that repair)
         val dataRel = s"data/c$next-$op-${UUID.randomUUID().toString.take(8)}"
         val delPrefix = if (keyIdentity.isDefined) "d" else "p"
         val delRel = s"deletes/$delPrefix$next-${UUID.randomUUID().toString.take(8)}"

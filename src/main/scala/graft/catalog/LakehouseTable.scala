@@ -793,21 +793,34 @@ class LakehouseTable(
     // read: a raw read would carry equality-deleted rows that miss this
     // predicate into the rewritten files and resurrect them.
     val nextVersion = current.version + 1
-    val commitRel = s"data/c$nextVersion-delete-${UUID.randomUUID().toString.take(8)}"
-    val commitDir = tableDir.resolve(commitRel)
-    val kept = MergeOnRead.read(spark, tableDir, current, hitFiles)
+    val keptRows = MergeOnRead.read(spark, tableDir, current, hitFiles)
       .filter(not(coalesce(cond, lit(false))))
+    // a bucketed table's rewrite keeps the layout contract: the hit
+    // files were bucket-addressable, so their replacements re-cluster
+    // through the one layout writer into a b- commit — otherwise a
+    // single COW DELETE silently degraded the scan's
+    // KeyGroupedPartitioning and the mirror's bucket[n] claim until the
+    // next compaction
+    val (commitRel, kept) = Bucketing.specOf(current.properties) match {
+      case Some((bcol, n)) =>
+        (s"data/b-delete$nextVersion-${UUID.randomUUID().toString.take(8)}",
+          Bucketing.cluster(keptRows, bcol, n, current.properties))
+      case None =>
+        (s"data/c$nextVersion-delete-${UUID.randomUUID().toString.take(8)}", keptRows)
+    }
+    val commitDir = tableDir.resolve(commitRel)
     SessionConf.writeMicrosParquet(kept, commitDir.toString)
 
-    val newFiles = Fs.children(commitDir).iterator
+    val staged = Fs.children(commitDir).iterator
       .map(_.getFileName.toString)
       .filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n")
       .toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val footers = newFiles.map { f =>
+    val allFooters = staged.map { f =>
       f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), current.schema)
     }.toMap
+    val (newFiles, footers) = Maintenance.dropEmptyFiles(tableDir, staged, allFooters)
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, tableDir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
@@ -943,16 +956,20 @@ class LakehouseTable(
       // write modern micros timestamps so timestamp columns are skippable
       SessionConf.writeMicrosParquet(clustered, commitDir.toString)
 
-      val files = Fs.children(commitDir).iterator
+      val staged = Fs.children(commitDir).iterator
         .map(_.getFileName.toString)
         .filter(n => n.endsWith(".parquet"))
         .map(n => s"$commitRel/$n")
         .toSeq.sorted
       // footer-only stats read per new file → file-level skipping on scan
       val conf = spark.sessionState.newHadoopConf()
-      val footers = files.map { f =>
+      val allFooters = staged.map { f =>
         f -> FooterStats.collectFull(conf, new org.apache.hadoop.fs.Path(abs(f)), startMeta.schema)
       }.toMap
+      // Spark materializes task 0's file even when its partition is
+      // empty — drop zero-row files so no dead entries (or false bucket
+      // claims) enter the metadata
+      val (files, footers) = Maintenance.dropEmptyFiles(tableDir, staged, allFooters)
       // bloom-indexed tables get sidecars for the new files at write time
       // (one pass over only the new data), so the index stays fresh
       BloomIndex.buildForFiles(spark, tableDir, startMeta.schema, startMeta.properties, files)

@@ -209,14 +209,15 @@ object Maintenance {
     }
     SessionConf.writeMicrosParquet(clustered, commitDir.toString)
 
-    val newFiles = Fs.children(commitDir).iterator
+    val staged = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val footers = newFiles.map { f =>
+    val stagedFooters = staged.map { f =>
       f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
     }.toMap
+    val (newFiles, footers) = dropEmptyFiles(dir, staged, stagedFooters)
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
@@ -554,12 +555,13 @@ object Maintenance {
     // new commits advance only the new key
     val readKeys = key +: legacyTxnId.toSeq.map(id => s"graft.txn.$id")
     val conf = spark.sessionState.newHadoopConf()
-    val footers = newFiles.map { f =>
+    val stagedFooters = newFiles.map { f =>
       f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), schema)
     }.toMap
+    val (liveFiles, footers) = dropEmptyFiles(dir, newFiles, stagedFooters)
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
-    BloomIndex.buildForFiles(spark, dir, schema, propsForBloom, newFiles)
+    BloomIndex.buildForFiles(spark, dir, schema, propsForBloom, liveFiles)
 
     // append-vs-append races retry on a fresh snapshot; a racer that
     // already applied THIS batch wins and we discard our files
@@ -571,7 +573,7 @@ object Maintenance {
         newFiles.foreach(f => Files.deleteIfExists(dir.resolve(f)))
         return false
       }
-      val allFiles = if (replace) newFiles else current.files ++ newFiles
+      val allFiles = if (replace) liveFiles else current.files ++ liveFiles
       val allStats = if (replace) newStats else current.fileStats ++ newStats
       val allRows =
         if (replace) footers.view.mapValues(_.rows).toMap
@@ -595,7 +597,7 @@ object Maintenance {
           properties = props,
           snapshots = current.snapshots :+ Snapshot(
             current.version + 1, System.currentTimeMillis(), op,
-            newFiles.size, allFiles.size)))
+            liveFiles.size, allFiles.size)))
         return true
       } catch {
         case _: IllegalStateException if attempt < maxAttempts => attempt += 1
@@ -728,6 +730,24 @@ object Maintenance {
     * `newData`, carry every other file into the new snapshot by
     * reference. The same shape `DELETE FROM` uses (LakehouseTable
     * .deleteWhere); only the row transformation differs. */
+  /** Remove zero-row part files a clustered write materialized (Spark
+    * always writes task 0's file even when its partition is empty, and
+    * a bucket-routed rewrite often fills ONE bucket): an empty file is
+    * harmless to read but is a dead metadata entry per DML at 100 TB
+    * file counts — and on a bucketed table it falsely claims the
+    * bucket its part index names. */
+  private[catalog] def dropEmptyFiles(
+      dir: Path, files: Seq[String],
+      footers: Map[String, FooterStats.FileFooter])
+      : (Seq[String], Map[String, FooterStats.FileFooter]) = {
+    val (empty, live) = files.partition(f => footers.get(f).exists(_.rows == 0L))
+    empty.foreach { f =>
+      try Files.deleteIfExists(dir.resolve(f))
+      catch { case _: Exception => () } // unreferenced leftovers reap later
+    }
+    (live, footers -- empty)
+  }
+
   private[catalog] def commitRewrite(
       spark: SparkSession,
       dir: Path,
@@ -737,22 +757,35 @@ object Maintenance {
       op: String,
       reshape: Boolean = true): Unit = {
     val nextVersion = current.version + 1
-    val commitRel = s"data/c$nextVersion-$op-${UUID.randomUUID().toString.take(8)}"
+    // a bucketed table's rewrite keeps the layout contract (b- commit
+    // through the one layout writer) — COW UPDATE/MERGE/OVERWRITE would
+    // otherwise silently degrade KeyGroupedPartitioning and the
+    // mirror's bucket[n] claim until the next compaction. compact-where
+    // (the only reshape=false caller) requires an unbucketed table.
+    val bucketSpec =
+      if (reshape) Bucketing.specOf(current.properties) else None
+    val commitRel =
+      if (bucketSpec.isDefined)
+        s"data/b-$op$nextVersion-${UUID.randomUUID().toString.take(8)}"
+      else s"data/c$nextVersion-$op-${UUID.randomUUID().toString.take(8)}"
     val commitDir = dir.resolve(commitRel)
-    val clustered =
-      if (reshape && current.partitionColumns.nonEmpty) {
+    val clustered = bucketSpec match {
+      case Some((bcol, n)) => Bucketing.cluster(newData, bcol, n, current.properties)
+      case None if reshape && current.partitionColumns.nonEmpty =>
         val cols = current.partitionColumns.map(newData.col)
         newData.repartition(cols: _*).sortWithinPartitions(cols: _*)
-      } else newData
+      case None => newData
+    }
     SessionConf.writeMicrosParquet(clustered, commitDir.toString)
-    val newFiles = Fs.children(commitDir).iterator
+    val staged = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$commitRel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val footers = newFiles.map { f =>
+    val allFooters = staged.map { f =>
       f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
     }.toMap
+    val (newFiles, footers) = dropEmptyFiles(dir, staged, allFooters)
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)

@@ -349,15 +349,26 @@ object MergeOnRead {
         delFooters(f).cols, kind = DeleteFile.Positional, paired = true)
     }
 
-    val dataRel = s"data/c$next-morupd-${UUID.randomUUID().toString.take(8)}"
-    val clustered =
-      if (current.partitionColumns.nonEmpty) {
+    // a bucketed table's replacement rows keep the layout contract
+    // (bucket-addressable b- commit through the one layout writer) —
+    // otherwise one positional UPDATE would silently degrade the scan's
+    // KeyGroupedPartitioning and the mirror's bucket[n] claim until the
+    // next compaction
+    val (dataRel, clustered) = Bucketing.specOf(current.properties) match {
+      case Some((bcol, n)) =>
+        (s"data/b-morupd$next-${UUID.randomUUID().toString.take(8)}",
+          Bucketing.cluster(newRows, bcol, n, current.properties))
+      case None if current.partitionColumns.nonEmpty =>
         val cols = current.partitionColumns.map(newRows.col)
-        newRows.repartition(cols: _*).sortWithinPartitions(cols: _*)
-      } else newRows
+        (s"data/c$next-morupd-${UUID.randomUUID().toString.take(8)}",
+          newRows.repartition(cols: _*).sortWithinPartitions(cols: _*))
+      case None =>
+        (s"data/c$next-morupd-${UUID.randomUUID().toString.take(8)}", newRows)
+    }
     clustered.write.parquet(tableDir.resolve(dataRel).toString)
-    val dataFiles = stagedParquet(tableDir, dataRel)
-    val dataFooters = footersOf(dataFiles, current.schema)
+    val stagedData = stagedParquet(tableDir, dataRel)
+    val (dataFiles, dataFooters) = Maintenance.dropEmptyFiles(
+      tableDir, stagedData, footersOf(stagedData, current.schema))
     BloomIndex.buildForFiles(spark, tableDir, current.schema, current.properties, dataFiles)
 
     val allFiles = current.files ++ dataFiles
@@ -496,15 +507,21 @@ object MergeOnRead {
     val (dataFiles, dataFooters) = appendData match {
       case None => (Seq.empty[String], Map.empty[String, FooterStats.FileFooter])
       case Some(rows) =>
-        val rel = s"data/c$next-upsert-${UUID.randomUUID().toString.take(8)}"
-        val clustered =
-          if (current.partitionColumns.nonEmpty) {
+        // same layout contract as the morupd path above
+        val (rel, clustered) = Bucketing.specOf(current.properties) match {
+          case Some((bcol, n)) =>
+            (s"data/b-upsert$next-${UUID.randomUUID().toString.take(8)}",
+              Bucketing.cluster(rows, bcol, n, current.properties))
+          case None if current.partitionColumns.nonEmpty =>
             val cols = current.partitionColumns.map(rows.col)
-            rows.repartition(cols: _*).sortWithinPartitions(cols: _*)
-          } else rows
+            (s"data/c$next-upsert-${UUID.randomUUID().toString.take(8)}",
+              rows.repartition(cols: _*).sortWithinPartitions(cols: _*))
+          case None =>
+            (s"data/c$next-upsert-${UUID.randomUUID().toString.take(8)}", rows)
+        }
         clustered.write.parquet(tableDir.resolve(rel).toString)
         val fs = stagedParquet(tableDir, rel)
-        (fs, footersOf(fs, schema))
+        Maintenance.dropEmptyFiles(tableDir, fs, footersOf(fs, schema))
     }
     BloomIndex.buildForFiles(spark, tableDir, schema, current.properties, dataFiles)
 
@@ -556,17 +573,29 @@ object MergeOnRead {
           next, System.currentTimeMillis(), "materialize-deletes", 0, current.files.size)))
       return 0
     }
-    val rel = s"data/c$next-materialize-${UUID.randomUUID().toString.take(8)}"
+    // materializing a bucketed table's dirty files must re-bucket: the
+    // inputs were bucket-addressable, so the rewrite's outputs stay so
+    val (rel, matRows) = {
+      val merged = read(spark, dir, current, dirty)
+      Bucketing.specOf(current.properties) match {
+        case Some((bcol, n)) =>
+          (s"data/b-materialize$next-${UUID.randomUUID().toString.take(8)}",
+            Bucketing.cluster(merged, bcol, n, current.properties))
+        case None =>
+          (s"data/c$next-materialize-${UUID.randomUUID().toString.take(8)}", merged)
+      }
+    }
     val commitDir = dir.resolve(rel)
-    SessionConf.writeMicrosParquet(read(spark, dir, current, dirty), commitDir.toString)
-    val newFiles = Fs.children(commitDir).iterator
+    SessionConf.writeMicrosParquet(matRows, commitDir.toString)
+    val stagedMat = Fs.children(commitDir).iterator
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
       .map(n => s"$rel/$n").toSeq.sorted
     val conf = spark.sessionState.newHadoopConf()
-    val footers = newFiles.map { f =>
+    val matFooters = stagedMat.map { f =>
       f -> FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(f).toString), current.schema)
     }.toMap
+    val (newFiles, footers) = Maintenance.dropEmptyFiles(dir, stagedMat, matFooters)
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     // Set membership: Seq.contains would make this metadata-only commit
     // O(files × dirty) on the driver — quadratic at the 10k-100k-file

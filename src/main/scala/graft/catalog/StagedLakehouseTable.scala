@@ -78,16 +78,19 @@ class StagedLakehouseTable(
                 case None => data
               }
               SessionConf.writeMicrosParquet(clustered, commitDir.toString)
-              written = Fs.children(commitDir).iterator
+              val staged = Fs.children(commitDir).iterator
                 .map(_.getFileName.toString)
                 .filter(_.endsWith(".parquet"))
                 .map(n => s"$commitRel/$n")
                 .toSeq.sorted
               val conf = spark.sessionState.newHadoopConf()
-              val footers = written.map { f =>
+              val stagedFooters = staged.map { f =>
                 f -> FooterStats.collectFull(
                   conf, new org.apache.hadoop.fs.Path(dir.resolve(f).toString), stagedSchema)
               }.toMap
+              val (live, footers) =
+                Maintenance.dropEmptyFiles(dir, staged, stagedFooters)
+              written = live
               writtenStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
               writtenRows = footers.view.mapValues(_.rows).toMap
             }

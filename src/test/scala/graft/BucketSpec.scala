@@ -94,15 +94,21 @@ class BucketSpec extends AnyFunSuite with Matchers {
     Seq.tabulate(20)(i => (i, s"l$i")).toDF("k", "l").createOrReplaceTempView("rwd_src")
     spark.sql("INSERT INTO lakehouse.bkt_ns.rwdim SELECT * FROM rwd_src")
 
-    // a COW delete rewrites surviving rows into a non-bucketed commit
+    // a COW delete now rewrites surviving rows back into a BUCKETED
+    // commit (the one layout writer), so zero-shuffle planning survives
+    // the DML directly — previously the layout broke here and only
+    // compaction repaired it
     spark.sql("DELETE FROM lakehouse.bkt_ns.rw WHERE k = 3")
 
     withBucketingConfs {
       def joinPlan(): String = executedPlan(
         spark.table("lakehouse.bkt_ns.rw").join(spark.table("lakehouse.bkt_ns.rwdim"), "k"))
-      // mapping broken → planning degrades to shuffles (correct, slower)
-      joinPlan() should include("Exchange")
-      // compaction rewrites into bucket layout → zero-shuffle again
+      joinPlan() should not include "Exchange"
+      spark.table("lakehouse.bkt_ns.rw").join(spark.table("lakehouse.bkt_ns.rwdim"), "k")
+        .count() shouldBe 190
+      // compaction stays the repair path for layouts broken by other
+      // means (e.g. positional-delta data files) and must be idempotent
+      // on an intact one
       graft.catalog.Maintenance.compact(spark, "lakehouse", Seq("bkt_ns"), "rw")
       joinPlan() should not include "Exchange"
       spark.table("lakehouse.bkt_ns.rw").join(spark.table("lakehouse.bkt_ns.rwdim"), "k")
@@ -397,6 +403,18 @@ class BucketSpec extends AnyFunSuite with Matchers {
     val removed = before -- after
     removed.size shouldBe 2
     removed.foreach(f => Bucketing.bucketIdOf(f) shouldBe Some(b7))
+    // the REPLACEMENT files keep the layout contract: every live file
+    // stays bucket-addressable (and the rewrites hold bucket b7's rows
+    // under the declared iceberg hash), so KeyGroupedPartitioning and
+    // the mirror's bucket[n] claim survive the DELETE
+    (after -- before).foreach { f =>
+      val b = Bucketing.bucketIdOf(f)
+      withClue(s"$f: ") { b shouldBe Some(b7) }
+      spark.read.parquet(dir.resolve(f).toString)
+        .select("k").as[Int].collect().foreach { k =>
+          IcebergHash.bucketOf(k, org.apache.spark.sql.types.IntegerType, 4) shouldBe b7
+        }
+    }
     spark.table("lakehouse.bkt_ns.bdel").count() shouldBe 780
     spark.table("lakehouse.bkt_ns.bdel").where($"k" === 7).count() shouldBe 0
     spark.sql("DROP TABLE lakehouse.bkt_ns.bdel")

@@ -667,6 +667,71 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     Seq("rtb", "rtb_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
   }
 
+  test("bucketed MoR table: dirty export honestly unclaims the spec; compaction restores the round trip") {
+    import graft.catalog.{Bucketing, TableMetadata}
+    def specFields(t: String): List[JValue] = {
+      val md = tableDir(t).resolve("metadata")
+      val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+      readJson(md.resolve(s"v$hint.metadata.json"))("partition-specs")
+        .asInstanceOf[JArray].arr.head
+        .asInstanceOf[JObject].obj.toMap.apply("fields").asInstanceOf[JArray].arr
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("rtbm", "rtbm_imp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.rtbm (k INT, v STRING)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg',
+        |  'graft.delete.mode'='merge-on-read', 'graft.merge.mode'='merge-on-read')""".stripMargin)
+    Seq.tabulate(80)(i => (i, s"v-$i")).toDF("k", "v")
+      .createOrReplaceTempView("rtbm_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.rtbm SELECT * FROM rtbm_src")
+    spark.sql("DELETE FROM lakehouse.ice_ns.rtbm WHERE k >= 70")
+    Seq((1, "upd-1")).toDF("k", "v").createOrReplaceTempView("rtbm_chg")
+    spark.sql("""MERGE INTO lakehouse.ice_ns.rtbm t USING rtbm_chg s
+                |ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    // the positional MERGE's delta data file is per-task-written (not
+    // bucket-addressable), so the dirty export must NOT claim bucket[4]
+    // — claiming a layout the files don't have would make external
+    // engines silently mis-prune
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'rtbm')")
+    specFields("rtbm") shouldBe empty
+    // …but the full unpartitioned read stays exact, deletes and all
+    icebergRead(tableDir("rtbm"), Seq("k", "v")).size shouldBe 70
+
+    // compaction folds the deletes away and re-buckets through the one
+    // layout writer — the claim returns and the round trip completes
+    graft.catalog.Maintenance.compact(spark, "lakehouse", Seq("ice_ns"), "rtbm")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'rtbm')")
+    specFields("rtbm") should not be empty
+    val md = tableDir("rtbm").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'rtbm_imp', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}')")
+    val impMeta = TableMetadata.load(tableDir("rtbm_imp"))
+    Bucketing.specOf(impMeta.properties) shouldBe Some(("k", 4))
+    impMeta.files.foreach(f =>
+      withClue(s"$f: ") { Bucketing.bucketIdOf(f).isDefined shouldBe true })
+    val ours = spark.table("lakehouse.ice_ns.rtbm")
+      .select($"k", $"v").collect().map(_.toString).sorted.toSeq
+    spark.table("lakehouse.ice_ns.rtbm_imp")
+      .select($"k", $"v").collect().map(_.toString).sorted.toSeq shouldBe ours
+    spark.table("lakehouse.ice_ns.rtbm_imp")
+      .where($"k" === 1).collect()(0).getString(1) shouldBe "upd-1"
+
+    // post-import DML on the imported BUCKETED table: candidates prune
+    // to k=5's bucket, the rewrite uses the declared hash, and the
+    // re-export STILL claims bucket[4]
+    spark.sql("DELETE FROM lakehouse.ice_ns.rtbm_imp WHERE k = 5")
+    spark.table("lakehouse.ice_ns.rtbm_imp").count() shouldBe 69
+    spark.table("lakehouse.ice_ns.rtbm_imp").where($"k" === 5).count() shouldBe 0
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'rtbm_imp')")
+    specFields("rtbm_imp") should not be empty
+    icebergRead(tableDir("rtbm_imp"), Seq("k", "v")).size shouldBe 69
+    Seq("rtbm", "rtbm_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
+
   test("tagged history survives the round trip: VERSION AS OF '<tag>' on the import") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     Seq("hist", "hist_imp").foreach(t =>
