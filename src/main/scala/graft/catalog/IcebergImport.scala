@@ -126,7 +126,8 @@ object IcebergImport {
       namespace: Seq[String],
       table: String,
       metadataJsonPath: String,
-      ref: Option[String] = None): Long = {
+      ref: Option[String] = None,
+      verifyBuckets: Boolean = false): Long = {
     val metaPath = Paths.get(metadataJsonPath)
     val m = JsonMethods.parse(Files.readString(metaPath)).asInstanceOf[JObject].obj.toMap
     def jlong(v: JValue): Long = v match {
@@ -432,6 +433,47 @@ object IcebergImport {
       val footer = FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(rel).toString), schema)
       (r, rel, footer)
+    }
+    // Foreign bucket claims are TRUSTED by default — the same trust
+    // every engine places in manifests, and what makes a 100 TB import
+    // metadata-proportional. `verify_buckets => true` re-hashes EVERY
+    // row of every bucket-claimed file with the published hash BEFORE
+    // anything commits, so a lying or bit-rotted source fails the
+    // import loudly instead of silently mis-joining and mis-pruning
+    // forever. One distributed pass over only the bucketed files.
+    bucketSpecIn.foreach { case (bcol, n) =>
+      val claimByName: Map[String, Int] = imported.collect {
+        case (r, rel, _) if r.bucket.isDefined =>
+          rel.substring(rel.lastIndexOf('/') + 1) -> r.bucket.get
+      }.toMap
+      if (verifyBuckets && claimByName.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, element_at => elemAt,
+          input_file_name, split => fsplit, typedlit => tlit}
+        val paths = imported.collect {
+          case (r, rel, _) if r.bucket.isDefined => dir.resolve(rel).toString }
+        val computed = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          IcebergBucketId(org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(col(bcol)), n))
+        val bad = spark.read.schema(schema).parquet(paths: _*)
+          .select(
+            col(bcol).isNull.as("__null"),
+            computed.as("__b"),
+            elemAt(tlit(claimByName),
+              elemAt(fsplit(input_file_name(), "/"), -1)).as("__c"))
+          .filter(col("__null") || col("__c").isNull || col("__b") =!= col("__c"))
+          .count()
+        require(bad == 0L,
+          s"import_iceberg: $bad row(s) violate the manifests' bucket[$n] " +
+            s"claims on '$bcol' (wrong hash placement, or a null key in a " +
+            "bucket-claimed file) — refusing to import a layout external " +
+            "engines would mis-prune. Re-export from the source engine or " +
+            "import without the bucket spec by compacting first.")
+      } else if (claimByName.nonEmpty) {
+        org.apache.log4j.LogManager.getLogger(getClass.getName).info(
+          s"import_iceberg: trusting ${claimByName.size} bucket[$n] file " +
+            "claims from the source manifests; pass verify_buckets => true " +
+            "to re-hash every row before committing")
+      }
     }
     val importedByKey: Map[(String, Long), (Ref, String, FooterStats.FileFooter)] =
       imported.map(t => (t._1.raw, t._1.seq) -> t).toMap

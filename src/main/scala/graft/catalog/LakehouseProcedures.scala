@@ -152,11 +152,15 @@ object LakehouseProcedures {
       param("metadata_json", StringType),
       // optional branch/tag name from the document's refs map —
       // time-travel import (empty = the current snapshot)
-      param("ref", StringType, "''")), "files", catalogName) {
+      param("ref", StringType, "''"),
+      // re-hash every bucket-claimed file's rows before committing
+      // (default: trust the manifests, like every engine does)
+      param("verify_buckets", BooleanType, "false")), "files", catalogName) {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
       IcebergImport.importTable(spark, cat, ns(a), tbl(a),
         a.getUTF8String(2).toString,
-        Option(a.getUTF8String(3)).map(_.toString).filter(_.nonEmpty))
+        Option(a.getUTF8String(3)).map(_.toString).filter(_.nonEmpty),
+        verifyBuckets = a.getBoolean(4))
   }
 
   private def bloomIndexProc(catalogName: String) = new MaintenanceProc("bloom_index",

@@ -732,6 +732,47 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     Seq("rtbm", "rtbm_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
   }
 
+  test("verify_buckets import re-hashes claims: honest source passes, a lying manifest refuses") {
+    import graft.catalog.{Bucketing, TableMetadata}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("vb", "vb_imp", "vb_bad").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql(
+      """CREATE TABLE lakehouse.ice_ns.vb (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg')""".stripMargin)
+    Seq.tabulate(100)(i => (i, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("vb_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.vb SELECT * FROM vb_src")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'vb')")
+    val md = tableDir("vb").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val metaPath = md.resolve(s"v$hint.metadata.json")
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'vb_imp', " +
+      s"'$metaPath', ref => '', verify_buckets => true)")
+    Bucketing.specOf(
+      TableMetadata.load(tableDir("vb_imp")).properties) shouldBe Some(("k", 4))
+    spark.table("lakehouse.ice_ns.vb_imp").count() shouldBe 100
+
+    // a LYING source: swap two data files on disk so the manifests'
+    // bucket claims no longer match the bytes — the verified import
+    // must refuse (a trusting import would silently mis-join forever)
+    val dataFiles = Files.walk(tableDir("vb").resolve("data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    dataFiles.size should be >= 2
+    val tmp = dataFiles.head.resolveSibling("swap.tmp")
+    Files.move(dataFiles.head, tmp)
+    Files.move(dataFiles(1), dataFiles.head)
+    Files.move(tmp, dataFiles(1))
+    val e = intercept[Exception] {
+      spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'vb_bad', " +
+        s"'$metaPath', ref => '', verify_buckets => true)")
+    }
+    e.getMessage should include("bucket[4]")
+    Seq("vb", "vb_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.vb_bad")
+  }
+
   test("tagged history survives the round trip: VERSION AS OF '<tag>' on the import") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
     Seq("hist", "hist_imp").foreach(t =>
