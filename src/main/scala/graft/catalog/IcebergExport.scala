@@ -561,14 +561,29 @@ object IcebergExport {
     * network mounts), the stripe still serializes this process and the
     * export proceeds — a clobbered mirror self-heals on the next
     * export, since artifact reuse verifies file existence. */
-  // one monitor per table dir, created on first touch; entries are a
-  // few dozen bytes and bounded by the tables this JVM ever mirrors
-  private val mirrorLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // One monitor per table dir, created on first touch. Values are WEAK
+  // so a long-lived service that mirrors many ephemeral tables cannot
+  // grow the map without bound: a monitor is strongly held by every
+  // thread inside its synchronized block, so a live entry never
+  // vanishes mid-exclusion, and dead entries purge opportunistically.
+  private val mirrorLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[Object]]()
+
+  private def mirrorLockFor(key: String): Object = {
+    var obj: Object = null
+    while (obj == null) {
+      val ref = mirrorLocks.compute(key, (_, old) =>
+        if (old != null && old.get() != null) old
+        else new java.lang.ref.WeakReference(new Object))
+      obj = ref.get() // rarely null (GC between compute and get): retry
+    }
+    if (mirrorLocks.size() > 256)
+      mirrorLocks.entrySet().removeIf(e => e.getValue.get() == null)
+    obj
+  }
 
   def exportSnapshot(spark: SparkSession, dir: Path, meta: TableMetadata): Long =
-    mirrorLocks.computeIfAbsent(
-      dir.toAbsolutePath.normalize.toString, _ => new Object).synchronized {
+    mirrorLockFor(dir.toAbsolutePath.normalize.toString).synchronized {
       val md = dir.resolve("metadata")
       Files.createDirectories(md)
       val ch =

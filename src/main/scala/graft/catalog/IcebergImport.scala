@@ -442,10 +442,19 @@ object IcebergImport {
     // import loudly instead of silently mis-joining and mis-pruning
     // forever. One distributed pass over only the bucketed files.
     bucketSpecIn.foreach { case (bcol, n) =>
+      // input_file_name() yields the scan's URL-ENCODED path, so the
+      // claim map carries both the raw name and the encoded form a
+      // SparkPath renders — an honest source whose file names contain
+      // spaces/%/non-ASCII must not be refused on a lookup miss
       val claimByName: Map[String, Int] = imported.collect {
         case (r, rel, _) if r.bucket.isDefined =>
-          rel.substring(rel.lastIndexOf('/') + 1) -> r.bucket.get
-      }.toMap
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          val encoded = org.apache.spark.paths.SparkPath
+            .fromPath(new org.apache.hadoop.fs.Path(dir.resolve(rel).toString))
+            .urlEncoded
+          val encName = encoded.substring(encoded.lastIndexOf('/') + 1)
+          Seq(name -> r.bucket.get, encName -> r.bucket.get)
+      }.flatten.toMap
       if (verifyBuckets && claimByName.nonEmpty) {
         import org.apache.spark.sql.functions.{col, element_at => elemAt,
           input_file_name, split => fsplit, typedlit => tlit}
@@ -470,9 +479,9 @@ object IcebergImport {
             "import without the bucket spec by compacting first.")
       } else if (claimByName.nonEmpty) {
         org.apache.log4j.LogManager.getLogger(getClass.getName).info(
-          s"import_iceberg: trusting ${claimByName.size} bucket[$n] file " +
-            "claims from the source manifests; pass verify_buckets => true " +
-            "to re-hash every row before committing")
+          s"import_iceberg: trusting ${imported.count(_._1.bucket.isDefined)} " +
+            s"bucket[$n] file claims from the source manifests; pass " +
+            "verify_buckets => true to re-hash every row before committing")
       }
     }
     val importedByKey: Map[(String, Long), (Ref, String, FooterStats.FileFooter)] =
@@ -506,10 +515,14 @@ object IcebergImport {
     // sequence across tagged snapshots would otherwise have the delete
     // name a rel absent from the historical version and resurrect its
     // rows there. Detection data for the guard inside the rewrite loop:
-    val dataKeysBySnap: Map[Long, Set[(String, Long)]] =
+    // lazy: only a position delete over a RE-ADDED path (relsByCanon
+    // copies > 1) ever reads these — a plain 100k-file history import
+    // must not pay O(snapshots × files) canon() calls for a guard it
+    // never consults
+    lazy val dataKeysBySnap: Map[Long, Set[(String, Long)]] =
       entriesBySnap.view.mapValues(_.filter(_.content == 0)
         .map(rf => (canon(rf.raw), rf.seq)).toSet).toMap
-    val snapsWithPosDelete: Map[(String, Long), Seq[Long]] =
+    lazy val snapsWithPosDelete: Map[(String, Long), Seq[Long]] =
       histIds.flatMap { id =>
         entriesBySnap(id).filter(_.content == 1).map(rf => (rf.raw, rf.seq) -> id)
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap

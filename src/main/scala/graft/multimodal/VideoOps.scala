@@ -67,6 +67,13 @@ object Y4mCodec extends Serializable {
       }
     }
     require(w > 0 && h > 0, s"Y4M header missing/invalid W/H: '$header'")
+    // guard the plane-size arithmetic: absurd header dimensions must
+    // fail loudly here, not overflow Int and silently mis-parse (a
+    // 65536x65536 mono header would make w*h wrap to 0 and decode as
+    // zero-byte frames with claimed giant geometry)
+    require(w.toLong * h <= payload.length.toLong.max(1L) &&
+        w.toLong * h <= Int.MaxValue / 4,
+      s"Y4M geometry ${w}x$h exceeds the payload (${payload.length} bytes)")
     require(fn > 0 && fd > 0, s"Y4M header missing/invalid frame rate: '$header'")
     val chromaSize = cs match {
       case "444" => w * h

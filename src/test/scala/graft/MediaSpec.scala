@@ -269,6 +269,10 @@ class MediaSpec extends AnyFunSuite with Matchers {
       Y4mCodec.decode("YUV4MPEG2 W2 H2 F25:1 Cmono\nFRAME\n ".getBytes("ISO-8859-1"))
     an[Exception] should be thrownBy
       Y4mCodec.decode("YUV4MPEG2 W2 H2 F25:1 Cweird\nFRAME\n".getBytes)
+    // absurd geometry must fail loudly, not Int-overflow into a silent
+    // zero-byte mis-parse (65536*65536 wraps to 0)
+    an[Exception] should be thrownBy
+      Y4mCodec.decode("YUV4MPEG2 W65536 H65536 F25:1 Cmono\nFRAME\n".getBytes)
   }
 
   test("video fingerprint: brightness change is a near-dup, a different cut is not") {

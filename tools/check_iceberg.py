@@ -420,15 +420,22 @@ def verify_bounds(meta, schema, name_by_id, data_files, con):
             claims.setdefault(kv["key"], {})["upper"] = kv["value"]
         for kv in rec["nulls"]:
             claims.setdefault(kv["key"], {})["nulls"] = kv["value"]
-        for fid, c in claims.items():
-            col_type = type_by_id.get(fid)
-            name = name_by_id.get(fid)
-            if name is None or not isinstance(col_type, str):
-                continue
-            amin, amax, anulls = con.execute(
-                f'SELECT min("{name}"), max("{name}"), '
-                f'count(*) - count("{name}") FROM read_parquet(?)',
-                [local_path(rec["path"])]).fetchone()
+        checkable = [
+            (fid, name_by_id[fid], type_by_id[fid]) for fid in sorted(claims)
+            if fid in name_by_id and isinstance(type_by_id.get(fid), str)]
+        if not checkable:
+            continue
+        # ONE scan per file computes every claimed column's aggregates
+        # (a per-column query would re-read the parquet C times)
+        sel = ", ".join(
+            f'min("{n}"), max("{n}"), count(*) - count("{n}")'
+            for _, n, _ in checkable)
+        row = con.execute(
+            f"SELECT {sel} FROM read_parquet(?)",
+            [local_path(rec["path"])]).fetchone()
+        for i, (fid, name, col_type) in enumerate(checkable):
+            c = claims[fid]
+            amin, amax, anulls = row[3 * i], row[3 * i + 1], row[3 * i + 2]
             amin = _to_bound_domain(amin, col_type)
             amax = _to_bound_domain(amax, col_type)
             if "nulls" in c and c["nulls"] != anulls:
