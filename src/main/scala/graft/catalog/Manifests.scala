@@ -206,22 +206,75 @@ object Manifests {
          c -> rangeJson(r)
        }): JValue))))
 
-  private def parseEntry(v: JValue): ManifestEntry = {
-    val o = v.asInstanceOf[JObject].obj.toMap
-    def str(x: JValue): String = x match { case JString(s) => s; case o2 => o2.values.toString }
-    def int(x: JValue): Int = x match {
-      case JInt(i) => i.toInt; case JLong(l) => l.toInt; case o2 => o2.values.toString.toInt
-    }
-    def long(x: JValue): Long = x match {
-      case JInt(i) => i.toLong; case JLong(l) => l; case o2 => o2.values.toString.toLong
-    }
-    ManifestEntry(
-      path = str(o("path")),
-      rows = o.get("rows").map(long),
-      seq = int(o("seq")),
-      stats = o.get("stats").collect { case s: JObject =>
-        s.obj.map { case (c, r) => c -> parseRange(r) }.toMap
-      }.getOrElse(Map.empty))
+  /** Streaming chunk parse (Jackson token cursor, no AST): a 25k-entry
+    * chunk parsed through the json4s AST cost ~180 ms of driver time —
+    * and chunk parse IS the scan-planning latency at 100 TB file
+    * counts (BENCH_META's resolve/probe numbers). The cursor walk
+    * allocates only the entries themselves. Shape and tolerance match
+    * the retired json4s entry parser / [[parseRange]] exactly (unknown
+    * fields skipped, numeric or string min/max accepted, `allNull`
+    * marker → a hasValues=false range). */
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  private[catalog] def parseChunk(
+      text: String, file: Path): Seq[ManifestEntry] = {
+    import com.fasterxml.jackson.core.JsonToken._
+    def fail(): Nothing =
+      throw new IllegalStateException(s"malformed manifest: $file")
+    val p = jsonFactory.createParser(text)
+    try {
+      if (p.nextToken() != START_OBJECT) fail()
+      var entries: scala.collection.mutable.ArrayBuffer[ManifestEntry] = null
+      while (p.nextToken() == FIELD_NAME) {
+        if (p.currentName == "entries") {
+          if (p.nextToken() != START_ARRAY) fail()
+          entries = new scala.collection.mutable.ArrayBuffer[ManifestEntry](1024)
+          while (p.nextToken() == START_OBJECT) {
+            var path: String = null
+            var seq = 0
+            var rows: Option[Long] = None
+            var stats: Map[String, ColumnRange] = Map.empty
+            while (p.nextToken() == FIELD_NAME) {
+              p.currentName match {
+                case "path" => p.nextToken(); path = p.getValueAsString
+                case "seq" => p.nextToken(); seq = p.getValueAsInt
+                case "rows" => p.nextToken(); rows = Some(p.getValueAsLong)
+                case "stats" =>
+                  if (p.nextToken() != START_OBJECT) fail()
+                  val b = Map.newBuilder[String, ColumnRange]
+                  while (p.nextToken() == FIELD_NAME) {
+                    val col = p.currentName
+                    if (p.nextToken() != START_OBJECT) fail()
+                    var min: String = null
+                    var max: String = null
+                    var nulls: Option[Long] = None
+                    while (p.nextToken() == FIELD_NAME) {
+                      p.currentName match {
+                        case "min" => p.nextToken(); min = p.getValueAsString
+                        case "max" => p.nextToken(); max = p.getValueAsString
+                        case "nulls" => p.nextToken(); nulls = Some(p.getValueAsLong)
+                        case _ => p.nextToken(); p.skipChildren()
+                      }
+                    }
+                    b += col -> (if (min != null) {
+                      if (max == null) fail()
+                      ColumnRange(min, max, nulls)
+                    } else ColumnRange("", "", nulls, hasValues = false))
+                  }
+                  stats = b.result()
+                case _ => p.nextToken(); p.skipChildren()
+              }
+            }
+            if (path == null) fail()
+            entries += ManifestEntry(path, rows, seq, stats)
+          }
+        } else { p.nextToken(); p.skipChildren() }
+      }
+      if (entries == null) fail()
+      entries.toSeq
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => fail()
+    } finally p.close()
   }
 
   // ---- read ----------------------------------------------------------------
@@ -261,14 +314,7 @@ object Manifests {
         }
       bytesRead.addAndGet(text.length.toLong)
       manifestsParsed.incrementAndGet()
-      val entries = JsonMethods.parse(text) match {
-        case JObject(fields) =>
-          fields.toMap.get("entries") match {
-            case Some(JArray(es)) => es.map(parseEntry)
-            case _ => throw new IllegalStateException(s"malformed manifest: $file")
-          }
-        case _ => throw new IllegalStateException(s"malformed manifest: $file")
-      }
+      val entries = parseChunk(text, file)
       if (entries.size != ref.count) throw new IllegalStateException(
         s"corrupt manifest $file: holds ${entries.size} entries, " +
           s"the committed ref recorded ${ref.count}")
