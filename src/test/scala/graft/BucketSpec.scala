@@ -509,6 +509,50 @@ class BucketSpec extends AnyFunSuite with Matchers {
     Bucketing.layoutNotice(schema, Map.empty) shouldBe None
   }
 
+  test("MoR positional UPDATE and keyed upsert keep the iceberg bucket layout") {
+    import graft.catalog.{Bucketing, MergeOnRead, TableMetadata}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.morb")
+    spark.sql(
+      """CREATE TABLE lakehouse.bkt_ns.morb (k INT, v BIGINT)
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES ('graft.bucket.hash'='iceberg',
+        |  'write.update.mode'='merge-on-read')""".stripMargin)
+    Seq.tabulate(200)(i => (i, i.toLong)).toDF("k", "v")
+      .createOrReplaceTempView("morb_src")
+    spark.sql("INSERT INTO lakehouse.bkt_ns.morb SELECT * FROM morb_src")
+    // keyed positional UPDATE (morUpdateWhere): replacement rows land
+    // bucket-addressable through the one layout writer
+    MergeOnRead.morUpdateWhere(spark, "lakehouse", Seq("bkt_ns"), "morb",
+      $"k" < 20, Map("v" -> ($"v" + 1000L))) shouldBe 20L
+    // keyed upsert: the appended batch also clusters under the declared hash
+    MergeOnRead.morUpsert(spark, "lakehouse", Seq("bkt_ns"), "morb",
+      Seq((300, 300L), (301, 301L)).toDF("k", "v"), Seq("k"))
+    // physical rows: 200 originals (superseded ones masked by delete
+    // entries, still correctly bucketed) + 20 replacements + 2 upserts
+    assertIcebergLayout("morb", 4, 222)
+    spark.table("lakehouse.bkt_ns.morb").count() shouldBe 202
+    spark.table("lakehouse.bkt_ns.morb")
+      .where($"k" === 5).as[(Int, Long)].collect() shouldBe Array((5, 1005L))
+    spark.table("lakehouse.bkt_ns.morb")
+      .where($"k" === 300).as[(Int, Long)].collect() shouldBe Array((300, 300L))
+
+    // the SQL positional-delta path (per-task writers, rows span
+    // buckets) honestly degrades addressability; reads stay exact and
+    // compaction repairs — the documented contract
+    spark.sql("UPDATE lakehouse.bkt_ns.morb SET v = v + 1 WHERE k IN (30, 31)")
+    val dir = java.nio.file.Paths.get(TestSpark.warehouse, "bkt_ns", "morb")
+    TableMetadata.load(dir).files
+      .exists(f => Bucketing.bucketIdOf(f).isEmpty) shouldBe true
+    spark.table("lakehouse.bkt_ns.morb")
+      .where($"k" === 30).as[(Int, Long)].collect() shouldBe Array((30, 31L))
+    graft.catalog.Maintenance.compact(spark, "lakehouse", Seq("bkt_ns"), "morb")
+    TableMetadata.load(dir).files
+      .forall(f => Bucketing.bucketIdOf(f).isDefined) shouldBe true
+    spark.table("lakehouse.bkt_ns.morb").count() shouldBe 202
+    spark.sql("DROP TABLE lakehouse.bkt_ns.morb")
+  }
+
   test("iceberg hash mode validates the bucket column type at CREATE") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.bkt_ns")
     spark.sql("DROP TABLE IF EXISTS lakehouse.bkt_ns.badice")
