@@ -210,13 +210,17 @@ object Manifests {
     * chunk parsed through the json4s AST cost ~180 ms of driver time —
     * and chunk parse IS the scan-planning latency at 100 TB file
     * counts (BENCH_META's resolve/probe numbers). The cursor walk
-    * allocates only the entries themselves. Shape and tolerance match
-    * the retired json4s entry parser / [[parseRange]] exactly (unknown
-    * fields skipped, numeric or string min/max accepted, `allNull`
-    * marker → a hasValues=false range). */
+    * allocates only the entries themselves. Shape tolerance matches
+    * the retired json4s entry parser (unknown fields skipped, numeric
+    * or string min/max accepted, non-object stats tolerated as empty,
+    * `allNull` marker → a hasValues=false range) — and numerics are
+    * STRICTER: a missing or non-numeric `seq`/`rows`/`nulls` fails
+    * loudly instead of defaulting, because chunks carry no checksum
+    * and a defaulted seq=0 would silently corrupt MoR delete
+    * applicability. */
   private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
 
-  private[catalog] def parseChunk(
+  private[graft] def parseChunk(
       text: String, file: Path): Seq[ManifestEntry] = {
     import com.fasterxml.jackson.core.JsonToken._
     def fail(): Nothing =
@@ -232,15 +236,28 @@ object Manifests {
           while (p.nextToken() == START_OBJECT) {
             var path: String = null
             var seq = 0
+            var seqSeen = false
             var rows: Option[Long] = None
             var stats: Map[String, ColumnRange] = Map.empty
+            // strict numerics: Jackson's getValueAs* would silently
+            // default a bit-rotted non-numeric token to 0, and seq=0
+            // flowing into MoR delete-applicability ordering resurrects
+            // or hides rows — a corrupt chunk must fail LOUDLY instead
+            // (chunks carry no checksum, only the entry-count gate)
+            def strictLong(): Long =
+              if (p.currentToken().isNumeric) p.getLongValue
+              else p.getValueAsString match {
+                case null => fail()
+                case s => try s.toLong catch { case _: NumberFormatException => fail() }
+              }
             while (p.nextToken() == FIELD_NAME) {
               p.currentName match {
                 case "path" => p.nextToken(); path = p.getValueAsString
-                case "seq" => p.nextToken(); seq = p.getValueAsInt
-                case "rows" => p.nextToken(); rows = Some(p.getValueAsLong)
+                case "seq" => p.nextToken(); seq = strictLong().toInt; seqSeen = true
+                case "rows" => p.nextToken(); rows = Some(strictLong())
+                case "stats" if p.nextToken() != START_OBJECT =>
+                  p.skipChildren() // null/array stats: tolerated as empty
                 case "stats" =>
-                  if (p.nextToken() != START_OBJECT) fail()
                   val b = Map.newBuilder[String, ColumnRange]
                   while (p.nextToken() == FIELD_NAME) {
                     val col = p.currentName
@@ -252,7 +269,7 @@ object Manifests {
                       p.currentName match {
                         case "min" => p.nextToken(); min = p.getValueAsString
                         case "max" => p.nextToken(); max = p.getValueAsString
-                        case "nulls" => p.nextToken(); nulls = Some(p.getValueAsLong)
+                        case "nulls" => p.nextToken(); nulls = Some(strictLong())
                         case _ => p.nextToken(); p.skipChildren()
                       }
                     }
@@ -265,7 +282,7 @@ object Manifests {
                 case _ => p.nextToken(); p.skipChildren()
               }
             }
-            if (path == null) fail()
+            if (path == null || !seqSeen) fail()
             entries += ManifestEntry(path, rows, seq, stats)
           }
         } else { p.nextToken(); p.skipChildren() }

@@ -70,10 +70,11 @@ object Y4mCodec extends Serializable {
     // guard the plane-size arithmetic: absurd header dimensions must
     // fail loudly here, not overflow Int and silently mis-parse (a
     // 65536x65536 mono header would make w*h wrap to 0 and decode as
-    // zero-byte frames with claimed giant geometry)
-    require(w.toLong * h <= payload.length.toLong.max(1L) &&
-        w.toLong * h <= Int.MaxValue / 4,
-      s"Y4M geometry ${w}x$h exceeds the payload (${payload.length} bytes)")
+    // zero-byte frames with claimed giant geometry). Header-only
+    // streams (zero frames) are legal — the per-frame length check
+    // below guards actual data against the payload.
+    require(w.toLong * h <= Int.MaxValue - 8,
+      s"Y4M geometry ${w}x$h overflows a JVM array")
     require(fn > 0 && fd > 0, s"Y4M header missing/invalid frame rate: '$header'")
     val chromaSize = cs match {
       case "444" => w * h
@@ -92,7 +93,8 @@ object Y4mCodec extends Serializable {
       val (fh, afterFh) = readLine(payload, off)
       require(fh == "FRAME" || fh.startsWith("FRAME "),
         s"expected FRAME marker, got '${fh.take(20)}'")
-      require(afterFh + ySize + 2 * chromaSize <= payload.length,
+      // long arithmetic: offset + plane sizes can exceed Int range
+      require(afterFh.toLong + ySize.toLong + 2L * chromaSize <= payload.length,
         "truncated Y4M: frame data shorter than the declared geometry")
       frames += java.util.Arrays.copyOfRange(payload, afterFh, afterFh + ySize)
       off = afterFh + ySize + 2 * chromaSize

@@ -272,4 +272,43 @@ class MetadataRobustnessSpec extends AnyFunSuite with Matchers {
     spark.table("lakehouse.mrob_ns.legtxn").count() shouldBe 2
     spark.sql("DROP TABLE lakehouse.mrob_ns.legtxn")
   }
+
+  test("streaming chunk parse: old-parser tolerance kept, corrupt numerics fail loudly") {
+    val tmp = Paths.get("/tmp/parse-chunk-probe.json") // name only used in errors
+    def parse(json: String) = Manifests.parseChunk(json, tmp)
+
+    // the writer's exact shape round-trips, including allNull ranges,
+    // numeric min/max (older writers), and unknown fields (forward compat)
+    val es = parse(
+      """{"future_field": {"x": 1}, "entries": [
+        |  {"path": "data/c1/a.parquet", "seq": 2, "rows": 7,
+        |   "stats": {"k": {"min": "1", "max": "9", "nulls": 0},
+        |             "s": {"allNull": true, "nulls": 7},
+        |             "n": {"min": 4, "max": 5}},
+        |   "unknown": [1, 2, {"y": 3}]},
+        |  {"path": "data/c1/b.parquet", "seq": 3}
+        |]}""".stripMargin)
+    es.size shouldBe 2
+    es.head shouldBe ManifestEntry("data/c1/a.parquet", Some(7L), 2, Map(
+      "k" -> ColumnRange("1", "9", Some(0L)),
+      "s" -> ColumnRange("", "", Some(7L), hasValues = false),
+      "n" -> ColumnRange("4", "5", None)))
+    es(1) shouldBe ManifestEntry("data/c1/b.parquet", None, 3, Map.empty)
+    // non-object stats tolerated as empty (the retired parser's behavior)
+    parse("""{"entries": [{"path": "p", "seq": 1, "stats": null}]}""")
+      .head.stats shouldBe empty
+
+    // corrupt numerics must fail LOUDLY, never default to 0 — a
+    // defaulted seq=0 silently breaks MoR delete applicability
+    an[Exception] should be thrownBy
+      parse("""{"entries": [{"path": "p", "seq": "junk"}]}""")
+    an[Exception] should be thrownBy
+      parse("""{"entries": [{"path": "p"}]}""") // seq missing entirely
+    an[Exception] should be thrownBy
+      parse("""{"entries": [{"path": "p", "seq": 1, "rows": null}]}""")
+    an[Exception] should be thrownBy
+      parse("""{"entries": [{"seq": 1}]}""") // path missing
+    an[Exception] should be thrownBy parse("""{"no_entries": []}""")
+    an[Exception] should be thrownBy parse("""not json""")
+  }
 }
