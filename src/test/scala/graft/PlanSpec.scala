@@ -586,6 +586,17 @@ class PlanSpec extends AnyFunSuite with Matchers {
     executedPlan(df) should not include "HashAggregate"
   }
 
+  test("q127 video near-dup joins on bands, never all-pairs") {
+    // the media near-dup contract at 100 TB: candidates come from
+    // 16-bit band equality (pigeonhole over the 64-bit envelope hash),
+    // so the pair count tracks band collisions, never corpus² — a
+    // regression to a cartesian/theta join would only show at scale
+    val df = graft.queries.TextOps.q127.run(spark, sf)
+    val plan = executedPlan(df)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q113 answers the partition-filtered aggregate from metadata: zero tasks") {
     val df = Relational.q113.run(spark, sf)
     val plan = executedPlan(df)
