@@ -252,6 +252,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: Path = _
+  private[catalog] def warehousePath: Path = warehouse
 
   private def spark: SparkSession = SparkSession.active
 

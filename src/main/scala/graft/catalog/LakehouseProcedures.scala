@@ -163,6 +163,27 @@ object LakehouseProcedures {
         verifyBuckets = a.getBoolean(4))
   }
 
+  /** Read-only Iceberg REST catalog endpoint over this catalog's
+    * warehouse (the reference's catalog is inspected over REST —
+    * [[IcebergRestService]]). Returns the BOUND port; port 0 picks an
+    * ephemeral one. */
+  private def restStartProc(catalogName: String) = new MaintenanceProc(
+    "start_rest_catalog",
+    Array(param("port", IntegerType, "0")), "port", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
+      val wh = spark.sessionState.catalogManager.catalog(cat)
+        .asInstanceOf[LakehouseCatalog].warehousePath
+      IcebergRestService.register(wh, a.getInt(0)).toLong
+    }
+  }
+
+  private def restStopProc(catalogName: String) = new MaintenanceProc(
+    "stop_rest_catalog",
+    Array(param("port", IntegerType)), "stopped", catalogName) {
+    override def run(spark: SparkSession, cat: String, a: InternalRow): Long =
+      if (IcebergRestService.stopPort(a.getInt(0))) 1L else 0L
+  }
+
   private def bloomIndexProc(catalogName: String) = new MaintenanceProc("bloom_index",
     Array(
       param("ns", StringType), param("tbl", StringType),
@@ -601,6 +622,8 @@ object LakehouseProcedures {
     "expire_snapshots" -> (expireSnapshotsProc(_)),
     "export_iceberg" -> (exportIcebergProc(_)),
     "import_iceberg" -> (importIcebergProc(_)),
+    "start_rest_catalog" -> (restStartProc(_)),
+    "stop_rest_catalog" -> (restStopProc(_)),
     "rewrite_manifests" -> (rewriteManifestsProc(_)),
     "compact_where" -> (compactWhereProc(_)),
     "create_text_index" -> (createTextIndexProc(_)),

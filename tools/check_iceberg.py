@@ -496,20 +496,36 @@ def verify_buckets(meta, schema, name_by_id, data_files, con) -> int:
     return checked
 
 
-def read_iceberg_table(table_dir: Path, ref=None, filt=None, check_buckets=False,
+def load_metadata(table_ref):
+    """The current metadata document — from a table DIRECTORY (mirror
+    hint file) or from an Iceberg REST catalog loadTable URL
+    (`http://host/v1/namespaces/{ns}/tables/{tbl}`), the protocol an
+    external engine discovers tables through. The REST result inlines
+    the same document the mirror published, so both paths verify the
+    identical snapshot."""
+    ref = str(table_ref)
+    if ref.startswith("http://") or ref.startswith("https://"):
+        import urllib.request
+        with urllib.request.urlopen(ref) as r:
+            body = json.loads(r.read().decode())
+        return body["metadata"]
+    md = Path(ref) / "metadata"
+    hint = int((md / "version-hint.text").read_text().strip())
+    meta_file = md / f"v{hint}.metadata.json"
+    if not meta_file.is_file():
+        raise FileNotFoundError(
+            f"stale or missing mirror: {meta_file} (hint={hint})")
+    return json.loads(meta_file.read_text())
+
+
+def read_iceberg_table(table_dir, ref=None, filt=None, check_buckets=False,
                        check_bounds=False):
     """Returns (column_names, rows, opened, total_data_files) of the
     current snapshot, or of the snapshot a branch/tag ref points at
     (external time travel). `filt` is an optional (col, raw_literal)
     equality: partition tuples prune data files per the exported spec
     BEFORE any parquet opens; a residual filter applies to the rest."""
-    md = table_dir / "metadata"
-    hint = int((md / "version-hint.text").read_text().strip())
-    meta_file = md / f"v{hint}.metadata.json"
-    if not meta_file.is_file():
-        raise FileNotFoundError(
-            f"stale or missing mirror: {meta_file} (hint={hint})")
-    meta = json.loads(meta_file.read_text())
+    meta = load_metadata(table_dir)
     assert meta["format-version"] == 2, "expected Iceberg v2"
 
     schema = next(s for s in meta["schemas"]
@@ -702,7 +718,7 @@ def main() -> int:
     if len(args) not in (2, 3):
         print(__doc__)
         return 2
-    table_dir, expected = Path(args[0]), args[1]
+    table_dir, expected = args[0], args[1]  # dir path or REST loadTable URL
     ref = args[2] if len(args) == 3 else None
     cols, got, opened, total = read_iceberg_table(
         table_dir, ref, filt, check_buckets, check_bounds)
