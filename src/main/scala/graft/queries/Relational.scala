@@ -1776,7 +1776,7 @@ object Relational {
     * oracle itself is DuckDB); a missing interpreter surfaces as a
     * failing verdict, never a silent pass. */
   private def pythonIcebergCheck(
-      s: SparkSession, tableDir: java.nio.file.Path, expected: DataFrame,
+      s: SparkSession, tableRef: String, expected: DataFrame,
       filter: Option[String],
       verifyBounds: Boolean = false): (String, Long, Option[(Int, Int)]) = {
     import scala.sys.process.{Process, ProcessLogger}
@@ -1786,7 +1786,7 @@ object Relational {
     try {
       expected.coalesce(1).write.mode("overwrite").parquet(expDir.toString)
       val out = new StringBuilder
-      val cmd = Seq("python3", tool.toString, tableDir.toString, expDir.toString) ++
+      val cmd = Seq("python3", tool.toString, tableRef, expDir.toString) ++
         filter.toSeq.flatMap(f => Seq("--filter", f)) ++
         (if (verifyBounds) Seq("--verify-bounds") else Nil)
       val code = Process(cmd).!(ProcessLogger(
@@ -1829,7 +1829,7 @@ object Relational {
       // min/max/null-count claims (a wrong bound exits nonzero → the
       // verdict breaks the oracle match)
       val (verdict, rows, _) =
-        pythonIcebergCheck(s, tableDir, merged, None, verifyBounds = true)
+        pythonIcebergCheck(s, tableDir.toString, merged, None, verifyBounds = true)
       Seq((verdict, rows)).toDF("verdict", "rows_read")
     },
     Some("""SELECT 'MATCH' AS verdict, COUNT(*) AS rows_read
@@ -1861,7 +1861,7 @@ object Relational {
       val Array(_, ns, tbl) = t.split('.')
       val tableDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, tbl)
       val (verdict, rows, opened) = pythonIcebergCheck(
-        s, tableDir,
+        s, tableDir.toString,
         s.table(t).filter(col("ev_d") === lit("2024-03-02").cast("date")),
         Some("ev_d=2024-03-02"))
       val pruned = opened.exists { case (k, n) => k >= 1 && k < n }
@@ -1878,6 +1878,40 @@ object Relational {
     * metadata-only). The result row carries the pruned flag computed
     * from the scan's (survivors, total) instrumentation, and the
     * looked-up row itself — DuckDB recomputes both arithmetically. */
+  /** The REST catalog under the driver gate: q115's mirrored supplier
+    * is DISCOVERED and loaded by the independent python reader through
+    * `CALL system.start_rest_catalog` — the loadTable URL replaces the
+    * table directory, so the whole REST protocol (discovery, inlined
+    * metadata document, error handling) sits under CORRECTNESS at
+    * every SF, the q123 pattern one transport further. The endpoint is
+    * ephemeral-port and torn down in a finally. */
+  val q128 = Q(
+    "q128_py_rest_gate",
+    (s, d) => {
+      import s.implicits._
+      q115.run(s, d).collect() // ensure the mirrored fixture exists (cached)
+      val cat = "grely"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+      val ns = s"ice_${new java.io.File(d).getName.replace('.', '_')}"
+      val port = s.sql(s"CALL $cat.system.start_rest_catalog(0)")
+        .collect()(0).getLong(0)
+      try {
+        val tableDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier")
+        val meta = graft.catalog.TableMetadata.load(tableDir)
+        val merged = graft.catalog.MergeOnRead.read(s, tableDir, meta, meta.files)
+          .select("s_suppkey", "s_name", "s_acctbal")
+        val (verdict, rows, _) = pythonIcebergCheck(s,
+          s"http://127.0.0.1:$port/v1/namespaces/$ns/tables/supplier",
+          merged, None)
+        Seq((verdict, rows)).toDF("verdict", "rows_read")
+      } finally {
+        s.sql(s"CALL $cat.system.stop_rest_catalog($port)").collect()
+      }
+    },
+    Some("""SELECT 'MATCH' AS verdict, COUNT(*) AS rows_read
+           |FROM supplier WHERE s_suppkey % 10 <> 3""".stripMargin))
+
   val q126 = Q(
     "q126_bucket_point_lookup",
     (s, d) => {
@@ -2170,5 +2204,5 @@ object Relational {
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
     q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q126)
+    q118, q119, q120, q121, q122, q123, q124, q126, q128)
 }
