@@ -279,8 +279,14 @@ object Bench {
         drift: Option[(Double, Option[Double])]) // (historical min, fresh-JVM solo min)
     val sampled: Seq[(String, Either[String, Sample])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        def err(e: Throwable) =
+        def err(e: Throwable) = {
+          // an externally killed run (SIGTERM → context stopping) must
+          // ABORT, not record every remaining query as a failure — a
+          // timed-out driver bench once wrote 12 phantom failures into
+          // the committed record this way
+          if (spark.sparkContext.isStopped) throw e
           s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}"
+        }
         val warm = try { fn(spark, sfDir).count(); None }
                    catch { case e: Throwable => Some(err(e)) }
         releasePins()
@@ -402,7 +408,8 @@ object Bench {
     // round-over-round comparisons kept almost mixing scale factors.
     // A SPARK_GRAFT_ONLY subset run never overwrites the full record.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    if (only.isEmpty)
+    // never overwrite the committed record from a dying JVM
+    if (only.isEmpty && !spark.sparkContext.isStopped)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"BENCH_FULL_$sfName.json"), fullJson)
     // The driver parses the LAST ~2000 chars of stdout for one JSON line;
