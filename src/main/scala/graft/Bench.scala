@@ -56,17 +56,70 @@ object BenchGuard {
     historicalMin > 0.05 && freshMin > 3.0 * historicalMin &&
       freshMin - historicalMin > 0.2
 
-  /** The fold decision for a fresh-JVM solo adjudication sample: it may
-    * enter the recorded sample vector ONLY when it CONFIRMS a collapse
-    * back within the drift threshold of the historical min. Same-JVM /
-    * contention drift then self-heals the record; a real regression
-    * (solo still slow) keeps the slow min with both numbers shown; a
-    * failed or unparseable solo (None) never edits the record — so a
-    * contaminated sample cannot become next round's drift baseline
-    * (the r14 q75 incident: suite min 1.343s vs historical 0.317s,
-    * fresh-JVM solo 0.60s → folds; the committed record self-heals). */
-  def soloFolds(solo: Option[Double], historicalMin: Double): Boolean =
-    solo.exists(s => !historyDrift(s, historicalMin))
+  /** A host is quiet enough for a solo to CONFIRM a regression only at
+    * load1 ≤ 2 (the drained-host discipline the verify recipe already
+    * documents: record at load1 < 1, adjudicate below ~2). The r16
+    * incident that forces this: the driver's final bench started at
+    * load 2.88 (rising to 5.56) — under the cpus/2 = 16 gate the solos
+    * spawned straight into the loaded window and "confirmed" q15_cube
+    * 0.326→4.53s and q12_distinct 0.125→0.81s; the same code solo-ran
+    * 0.48/0.30 on a drained box an hour later. A loaded solo can only
+    * ever be SLOWER than truth, so it may fold a collapse (collapsing
+    * despite load is strong evidence) but must never move a committed
+    * min UP — that path records `unadjudicated` instead. */
+  def quietForConfirm(load1AtSpawn: Double): Boolean = load1AtSpawn <= 2.0
+
+  /** The full confirmation predicate for moving a committed baseline
+    * UP: the fresh-JVM solo itself still measures above the drift
+    * threshold of the historical min, AND the solo was spawned on a
+    * drained host (see [[quietForConfirm]]). A loaded-host solo that
+    * stays slow proves nothing — the load explains the number. */
+  def soloConfirms(solo: Option[Double], historicalMin: Double,
+      load1AtSpawn: Double): Boolean =
+    solo.exists(s => historyDrift(s, historicalMin)) &&
+      quietForConfirm(load1AtSpawn)
+
+  /** Cross-process exclusivity for the BENCH_FULL record (r16: the
+    * driver's SIGTERM'd bench raced the fresh one it was replaced by —
+    * commit 9c465e7 stopped a dying JVM from writing, but two LIVE
+    * Bench JVMs could still interleave history-read → record-write).
+    * Same pattern as the mirror's `mirror.lock`: an OS `FileLock` held
+    * from before the history read until after the record write. */
+  sealed trait RecordLock
+  /** Lock acquired — proceed, release after the record write. */
+  final case class Locked(ch: java.nio.channels.FileChannel) extends RecordLock
+  /** A peer Bench holds the lock past the wait budget — the caller
+    * must ABORT without writing (never race the peer's record). */
+  case object LockHeld extends RecordLock
+  /** The filesystem cannot lock at all — proceed unlocked (the mirror
+    * precedent: an un-lockable fs must not brick the bench). */
+  case object LockUnsupported extends RecordLock
+
+  def acquireRecordLock(path: java.nio.file.Path, maxWaitMs: Long,
+      sleep: Long => Unit = Thread.sleep): RecordLock = {
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val ch =
+      try java.nio.channels.FileChannel.open(path, CREATE, WRITE)
+      catch { case scala.util.control.NonFatal(_) => return LockUnsupported }
+    // OverlappingFileLockException = a thread in THIS JVM holds it —
+    // same meaning as a peer process: held, retry
+    def attempt(): Option[Boolean] =
+      try Some(ch.tryLock() != null)
+      catch {
+        case _: java.nio.channels.OverlappingFileLockException => Some(false)
+        case scala.util.control.NonFatal(_) => None // fs can't lock
+      }
+    var waited = 0L
+    var st = attempt()
+    while (st.contains(false) && waited < maxWaitMs) {
+      sleep(2000L); waited += 2000L; st = attempt()
+    }
+    st match {
+      case Some(true) => Locked(ch)
+      case Some(false) => ch.close(); LockHeld
+      case None => ch.close(); LockUnsupported
+    }
+  }
 
   /** The committed BENCH_FULL record is next round's drift BASELINE, so
     * its per-query `min` may move UP only on a CONFIRMED regression.
@@ -220,6 +273,26 @@ object Bench {
     // the committed artifact's per-query mins: sustained-contention
     // drift detection compares against them (BenchGuard.historyDrift)
     val sfName0 = java.nio.file.Paths.get(sfDir).getFileName.toString
+    // Cross-process record lock, held from the history read until after
+    // the record write (r16: an externally SIGTERM'd bench raced the
+    // fresh run that replaced it). Full runs only — SPARK_GRAFT_ONLY
+    // solos never write the record, and the parent holds the lock while
+    // spawning them, so locking the child would deadlock the
+    // adjudication path. A peer holding it past 120s aborts this run
+    // WITHOUT writing; an fs that cannot lock proceeds unlocked.
+    val recordLock: Option[java.nio.channels.FileChannel] =
+      if (only.nonEmpty) None
+      else BenchGuard.acquireRecordLock(
+        java.nio.file.Paths.get(s"BENCH_FULL_$sfName0.lock"),
+        maxWaitMs = 120000L) match {
+        case BenchGuard.Locked(ch) => Some(ch)
+        case BenchGuard.LockHeld =>
+          System.err.println(
+            "bench: BENCH_FULL record lock held by another Bench JVM " +
+              "for >120s — aborting without writing")
+          spark.stop(); sys.exit(2)
+        case BenchGuard.LockUnsupported => None
+      }
     val history = BenchGuard.historicalMins(
       java.nio.file.Paths.get(s"BENCH_FULL_$sfName0.json"))
     // Fresh-JVM solo adjudication for history drift. A same-JVM solo
@@ -274,9 +347,11 @@ object Bench {
           }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+    // (historical min, fresh-JVM solo min, load1 at solo spawn)
+    final case class Drift(
+        historical: Double, solo: Option[Double], load1AtSpawn: Double)
     final case class Sample(
-        samples: Seq[Double], contended: Boolean,
-        drift: Option[(Double, Option[Double])]) // (historical min, fresh-JVM solo min)
+        samples: Seq[Double], contended: Boolean, drift: Option[Drift])
     val sampled: Seq[(String, Either[String, Sample])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         def err(e: Throwable) = {
@@ -318,19 +393,25 @@ object Bench {
             // solo in a SPAWNED FRESH JVM (soloFreshJvm): a JVM-state or
             // contention drift collapses to the historical min, a real
             // regression stays slow, with both numbers recorded. The
-            // solo folds into `min` ONLY when it confirms a collapse
-            // (solo back within the drift threshold of the historical
-            // min) — an unconfirmed solo never self-heals the record, so
-            // a contaminated sample cannot become next round's drift
-            // baseline. Skipped in SPARK_GRAFT_ONLY runs: those ARE the
+            // solo ALWAYS folds into the sample vector (r16 verdict: a
+            // "confirmed" regression once recorded the in-suite 4.53s
+            // min while its own confirming solo measured 2.72s — the
+            // recorded min must be min(samples ∪ solo)); whether the
+            // committed baseline may move UP is decided separately by
+            // BenchGuard.soloConfirms, which also requires the solo to
+            // have been spawned on a drained host (load1 ≤ 2, probed
+            // immediately before the spawn — the r16 phantom q15_cube/
+            // q12_distinct confirmations came from load-2.9+ solos).
+            // Skipped in SPARK_GRAFT_ONLY runs: those ARE the
             // adjudication (and would recurse).
-            var drift: Option[(Double, Option[Double])] = None
+            var drift: Option[Drift] = None
             if (failure.isEmpty && only.isEmpty) history.get(name).foreach { h =>
               if (BenchGuard.historyDrift(samples.min, h)) {
+                val load1AtSpawn = loadAvg().split(",").headOption
+                  .flatMap(_.toDoubleOption).getOrElse(999.0)
                 val solo = soloFreshJvm(name)
-                if (BenchGuard.soloFolds(solo, h))
-                  samples = (samples ++ solo).sorted
-                drift = Some((h, solo))
+                solo.foreach(s => samples = (samples :+ s).sorted)
+                drift = Some(Drift(h, solo, load1AtSpawn))
               }
             }
             failure.toLeft(Sample(samples, contended, drift))
@@ -378,8 +459,8 @@ object Bench {
     // as a phantom regression the merge exists to prevent)
     val recordedMins: Map[String, Double] = sampled.collect {
       case (k, Right(Sample(ss, _, drift))) =>
-        val soloConfirmed = drift.exists { case (h, solo) =>
-          solo.exists(s => BenchGuard.historyDrift(s, h)) }
+        val soloConfirmed = drift.exists(d =>
+          BenchGuard.soloConfirms(d.solo, d.historical, d.load1AtSpawn))
         k -> (if (forceRecord) ss.min
               else BenchGuard.mergedMin(ss.min, history.get(k), soloConfirmed))
     }.toMap
@@ -388,9 +469,17 @@ object Bench {
       sampled.map {
         case (k, Right(Sample(ss, contended, drift))) =>
           val flag = if (contended) ""","contended":true""" else ""
-          val driftJson = drift.map { case (h, solo) =>
+          val driftJson = drift.map { case Drift(h, solo, load1) =>
             val soloJson = solo.map(s => f""","solo":$s%.3f""").getOrElse("")
-            f""","history_drift":{"historical":$h%.3f$soloJson}"""
+            // a sustained-slow solo from a loaded host proves nothing:
+            // labeled so a judge sees the regression is NOT adjudicated
+            // (and the historical min was kept), not silently dropped
+            val unadj =
+              if (solo.exists(s => BenchGuard.historyDrift(s, h)) &&
+                  !BenchGuard.quietForConfirm(load1))
+                ""","unadjudicated":true"""
+              else ""
+            f""","history_drift":{"historical":$h%.3f$soloJson,"solo_load1":$load1%.2f$unadj}"""
           }.getOrElse("")
           val recMin = recordedMins(k)
           // fresh min / committed min: a judge reads drift directly
@@ -412,6 +501,8 @@ object Bench {
     if (only.isEmpty && !spark.sparkContext.isStopped)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"BENCH_FULL_$sfName.json"), fullJson)
+    recordLock.foreach(ch =>
+      try ch.close() catch { case _: java.io.IOException => () })
     // The driver parses the LAST ~2000 chars of stdout for one JSON line;
     // sbt appends its own "[success]" lines after us. Keep the line under
     // 1800 chars: all queries when they fit, else the primary (two-digit,

@@ -71,22 +71,64 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.historyDrift(0.25, 0.06) shouldBe false
   }
 
-  test("soloFolds distinguishes same-JVM drift from a real regression (the r14 q75 incident)") {
-    // r14's actual numbers: the suite recorded q75 min 1.343s against a
-    // committed 0.317s (history_drift fired). The fresh-JVM solo ran
-    // 0.60s — within the drift threshold of history — so the drift was
-    // JVM-state/contention, NOT a plan regression: the solo folds and
-    // the record self-heals instead of anchoring next round's baseline
-    // at 4x the true cost.
-    BenchGuard.historyDrift(freshMin = 1.343, historicalMin = 0.317) shouldBe true
-    BenchGuard.soloFolds(Some(0.60), historicalMin = 0.317) shouldBe true
-    // a REAL regression stays slow in the fresh JVM too: the solo must
-    // NOT fold — the slow min stands and the artifact shows both numbers
-    BenchGuard.soloFolds(Some(1.30), historicalMin = 0.317) shouldBe false
-    // a failed/unparseable solo never edits the record
-    BenchGuard.soloFolds(None, historicalMin = 0.317) shouldBe false
-    // border: a solo exactly at the historical cost trivially folds
-    BenchGuard.soloFolds(Some(0.317), historicalMin = 0.317) shouldBe true
+  test("soloConfirms: the r16 q15_cube incident — a loaded-host solo can never move a committed min UP") {
+    // the incident's exact numbers: committed min 0.326s, in-suite
+    // samples ≥4.53s (history_drift fired), fresh-JVM solo 2.718s
+    // spawned at load 2.88–5.56. The solo is still >3× history — under
+    // the old rule that CONFIRMED the regression and the committed
+    // record moved to 4.53s; the same code solo-measured 0.48s on a
+    // drained box an hour later. A load-2.9 solo must not confirm:
+    BenchGuard.historyDrift(freshMin = 4.534, historicalMin = 0.326) shouldBe true
+    BenchGuard.soloConfirms(Some(2.718), 0.326, load1AtSpawn = 2.9) shouldBe false
+    // ...so mergedMin keeps the clean baseline; the solo having been
+    // folded into the sample vector, 2.718 ships as fresh_min only
+    BenchGuard.mergedMin(2.718, Some(0.326),
+      soloConfirmedRegression = false) shouldBe 0.326
+    // the q12_distinct sibling: historical 0.125, solo 2.086 at the
+    // same loaded window — min stays 0.125
+    BenchGuard.soloConfirms(Some(2.086), 0.125, load1AtSpawn = 2.9) shouldBe false
+    BenchGuard.mergedMin(2.086, Some(0.125),
+      soloConfirmedRegression = false) shouldBe 0.125
+    // the SAME slow solo from a drained host IS a real regression —
+    // it must confirm, and the new baseline is min(samples ∪ solo)
+    BenchGuard.soloConfirms(Some(2.718), 0.326, load1AtSpawn = 0.4) shouldBe true
+    BenchGuard.mergedMin(2.718, Some(0.326),
+      soloConfirmedRegression = true) shouldBe 2.718
+    // a solo that collapses back near history never confirms — on any
+    // host (a loaded box can only inflate, so a collapse is evidence)
+    BenchGuard.soloConfirms(Some(0.48), 0.326, load1AtSpawn = 5.6) shouldBe false
+    // a failed/unparseable solo never confirms
+    BenchGuard.soloConfirms(None, 0.326, load1AtSpawn = 0.1) shouldBe false
+    // the quiet threshold itself: the drained-host discipline
+    BenchGuard.quietForConfirm(0.9) shouldBe true
+    BenchGuard.quietForConfirm(2.0) shouldBe true
+    BenchGuard.quietForConfirm(2.9) shouldBe false
+  }
+
+  test("acquireRecordLock: exclusive while held, reacquirable after release, peer-held aborts") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-lock-")
+    val p = dir.resolve("BENCH_FULL_sfx.lock")
+    BenchGuard.acquireRecordLock(p, maxWaitMs = 0L, sleep = _ => ()) match {
+      case BenchGuard.Locked(ch) =>
+        // a second acquirer (same JVM = OverlappingFileLockException,
+        // peer process = tryLock null — both mean "held") gives up
+        // after its wait budget and reports LockHeld so the caller
+        // aborts WITHOUT writing
+        var slept = 0
+        BenchGuard.acquireRecordLock(p, maxWaitMs = 4000L,
+          sleep = _ => slept += 1) shouldBe BenchGuard.LockHeld
+        slept shouldBe 2 // polled its whole budget before giving up
+        ch.close() // releases the OS lock
+        BenchGuard.acquireRecordLock(p, maxWaitMs = 0L, sleep = _ => ()) match {
+          case BenchGuard.Locked(ch2) => ch2.close()
+          case other => fail(s"expected reacquire after release, got $other")
+        }
+      case other => fail(s"expected Locked, got $other")
+    }
+    // an unopenable path = fs can't lock: proceed unlocked, never brick
+    BenchGuard.acquireRecordLock(
+      java.nio.file.Paths.get("/nonexistent-dir/x.lock"),
+      maxWaitMs = 0L, sleep = _ => ()) shouldBe BenchGuard.LockUnsupported
   }
 
   test("mergedMin: a committed baseline only moves UP on a solo-confirmed regression (the r15 overwrite incident)") {
