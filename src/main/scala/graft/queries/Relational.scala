@@ -1912,6 +1912,61 @@ object Relational {
     Some("""SELECT 'MATCH' AS verdict, COUNT(*) AS rows_read
            |FROM supplier WHERE s_suppkey % 10 <> 3""".stripMargin))
 
+  /** REST catalog DISCOVERY under the driver gate, nested namespaces
+    * and pagination included: a mirrored table living two namespace
+    * levels deep (`rml_<sf>.sub.supplier_ml`) is found by the
+    * independent python reader walking `/v1/namespaces?parent=…` with
+    * the spec's `%1F` multi-level encoding, following
+    * `next-page-token` at pageSize=1 on EVERY listing (so the
+    * pagination protocol itself sits under CORRECTNESS, not just under
+    * specs), then loaded and row-diffed. q128 gates loadTable given a
+    * known URL; this gates the finding of that URL — the half of R17 a
+    * real external engine does first. */
+  val q129 = Q(
+    "q129_py_rest_discovery",
+    (s, d) => {
+      import s.implicits._
+      val cat = "grely"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+      val ns = s"rml_${new java.io.File(d).getName.replace('.', '_')}"
+      val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+        .filter(col("s_suppkey") % 7 === 2)
+      val mark = srcMark(src)
+      val t = s"$cat.$ns.sub.supplier_ml"
+      val tableDir =
+        java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "sub", "supplier_ml")
+      withRelyLock {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns.sub")
+        val fresh = !s.catalog.tableExists(t) || {
+          val stale = !graft.catalog.TableMetadata.load(tableDir)
+            .properties.get("graft.src.mark").contains(mark)
+          if (stale) s.sql(s"DROP TABLE $t")
+          stale
+        }
+        if (fresh) {
+          s.sql(s"CREATE TABLE $t (s_suppkey BIGINT, s_name STRING, " +
+            "s_acctbal DOUBLE) TBLPROPERTIES (" +
+            "'graft.iceberg.mirror'='true', " +
+            s"'graft.src.mark'='$mark')")
+          src.createOrReplaceTempView("rest_ml_src")
+          s.sql(s"INSERT INTO $t SELECT * FROM rest_ml_src")
+        }
+      }
+      val port = s.sql(s"CALL $cat.system.start_rest_catalog(0)")
+        .collect()(0).getLong(0)
+      try {
+        val (verdict, rows, _) = pythonIcebergCheck(s,
+          s"http://127.0.0.1:$port/v1#supplier_ml", s.table(t), None)
+        Seq((verdict, rows)).toDF("verdict", "rows_read")
+      } finally {
+        s.sql(s"CALL $cat.system.stop_rest_catalog($port)").collect()
+      }
+    },
+    Some("""SELECT 'MATCH' AS verdict, COUNT(*) AS rows_read
+           |FROM supplier WHERE s_suppkey % 7 = 2""".stripMargin))
+
   val q126 = Q(
     "q126_bucket_point_lookup",
     (s, d) => {
@@ -2204,5 +2259,5 @@ object Relational {
     q22b, q23, q23b, q24, q25, q26, q26b, q26c, q26d, q27, q27b, q27c, q31, q31b, q32, q32b, q33, q34,
     q34b, q35, q36, q36b, q39, q50, q51, q52, q52b, q52c, q54, q69,
     q83, q84, q85, q86, q87, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q126, q128)
+    q118, q119, q120, q121, q122, q123, q124, q126, q128, q129)
 }

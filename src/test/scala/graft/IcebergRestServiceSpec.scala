@@ -32,6 +32,20 @@ class IcebergRestServiceSpec extends AnyFunSuite with Matchers {
   }
   private def json(body: String): Map[String, JValue] =
     JsonMethods.parse(body).asInstanceOf[JObject].obj.toMap
+  // a request whose path the JDK URI parser itself rejects (malformed
+  // percent escape) — written straight onto the socket
+  private def rawGetStatus(port: Int, path: String): Int = {
+    val s = new java.net.Socket("127.0.0.1", port)
+    try {
+      val out = s.getOutputStream
+      out.write((s"GET $path HTTP/1.1\r\nHost: 127.0.0.1:$port\r\n" +
+        "Connection: close\r\n\r\n").getBytes("US-ASCII"))
+      out.flush()
+      val line = new java.io.BufferedReader(
+        new java.io.InputStreamReader(s.getInputStream)).readLine()
+      line.split(' ')(1).toInt
+    } finally s.close()
+  }
 
   private def fixture(): Int = {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.rest_ns")
@@ -98,7 +112,16 @@ class IcebergRestServiceSpec extends AnyFunSuite with Matchers {
       json(mb1)("error").asInstanceOf[JObject].obj.toMap
         .apply("type") shouldBe JString("NoSuchTableException")
       get(s"$base/namespaces/no_such_ns")._1 shouldBe 404
-      get(s"$base/namespaces/%2e%2e/tables")._1 shouldBe 404
+      // a decoded '..' level is malformed on its face (BadRequest, not
+      // a 404 that implies the name merely doesn't exist)
+      get(s"$base/namespaces/%2e%2e/tables")._1 shouldBe 400
+      // once-encoded %252e%252e decodes ONCE to the literal '%2e%2e' —
+      // a (weird but legal) name that simply doesn't exist: 404. The
+      // old double-decode turned it into '..'
+      get(s"$base/namespaces/%252e%252e")._1 shouldBe 404
+      // a malformed escape is a 400, not a 500 (the JDK client refuses
+      // to even build such a URI, so probe over a raw socket)
+      rawGetStatus(port, "/v1/namespaces/bad%zz") shouldBe 400
 
       // read-only: every mutating verb is refused
       val del = http.send(
@@ -113,12 +136,151 @@ class IcebergRestServiceSpec extends AnyFunSuite with Matchers {
           .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
         HttpResponse.BodyHandlers.ofString())
       head.statusCode() shouldBe 204
+      // HEAD works headers-only on every OTHER route too (the JDK
+      // server errors the stream if a handler writes a body on HEAD —
+      // existence probes on /v1/config and listings used to see 500s)
+      for (r <- Seq(s"$base/config", s"$base/namespaces",
+          s"$base/namespaces/rest_ns", s"$base/namespaces/rest_ns/tables")) {
+        val h = http.send(
+          HttpRequest.newBuilder(URI.create(r))
+            .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+          HttpResponse.BodyHandlers.ofString())
+        h.statusCode() shouldBe 200
+        h.body() shouldBe empty
+      }
+      val hMiss = http.send(
+        HttpRequest.newBuilder(URI.create(s"$base/namespaces/no_such_ns"))
+          .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      hMiss.statusCode() shouldBe 404
     } finally {
       spark.sql(s"CALL lakehouse.system.stop_rest_catalog($port)")
         .collect()(0).getLong(0) shouldBe 1L
     }
     // stopped: the port no longer answers
     an[Exception] should be thrownBy get(s"http://127.0.0.1:$port/v1/config")
+  }
+
+  test("multi-level namespaces: %1F-joined discovery, parent walk, loadTable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.rest_ml")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.rest_ml.sub")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.rest_ml.sub.deep")
+    spark.sql("CREATE TABLE lakehouse.rest_ml.sub.deep (k INT) " +
+      "TBLPROPERTIES ('graft.iceberg.mirror'='true')")
+    spark.sql("INSERT INTO lakehouse.rest_ml.sub.deep VALUES (1), (2)")
+    val port = spark.sql("CALL lakehouse.system.start_rest_catalog(0)")
+      .collect()(0).getLong(0).toInt
+    try {
+      val base = s"http://127.0.0.1:$port/v1"
+      // top level shows rest_ml even though its only table is nested
+      val (nc, nb) = get(s"$base/namespaces")
+      nc shouldBe 200
+      val tops = json(nb)("namespaces").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s))
+      tops should contain(List("rest_ml"))
+      // parent walk: one level below rest_ml, full paths returned
+      val (pc, pb) = get(s"$base/namespaces?parent=rest_ml")
+      pc shouldBe 200
+      json(pb)("namespaces").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)) shouldBe
+        List(List("rest_ml", "sub"))
+      // the nested namespace resource, %1F-joined
+      val (oc, ob) = get(s"$base/namespaces/rest_ml%1Fsub")
+      oc shouldBe 200
+      json(ob)("namespace") shouldBe
+        JArray(List(JString("rest_ml"), JString("sub")))
+      // tables under it, and loadTable through the nested path
+      val (tc, tb) = get(s"$base/namespaces/rest_ml%1Fsub/tables")
+      tc shouldBe 200
+      json(tb)("identifiers").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JObject].obj.toMap) should matchPattern {
+        case List(m: Map[_, _]) if m.asInstanceOf[Map[String, JValue]]("name") == JString("deep") =>
+      }
+      val (lc, lb) = get(s"$base/namespaces/rest_ml%1Fsub/tables/deep")
+      lc shouldBe 200
+      json(lb)("metadata").asInstanceOf[JObject].obj.toMap
+        .apply("format-version") shouldBe JInt(2)
+      // the INTERMEDIATE namespace exists but holds no direct tables:
+      // its listing is an EMPTY page, not a 404 (it demonstrably
+      // exists — a client walking parent-by-parent must not dead-end)
+      val (ec, eb) = get(s"$base/namespaces/rest_ml/tables")
+      ec shouldBe 200
+      json(eb)("identifiers") shouldBe JArray(Nil)
+      // a nested path that doesn't exist is still a 404
+      get(s"$base/namespaces/rest_ml%1Fnope")._1 shouldBe 404
+    } finally {
+      spark.sql(s"CALL lakehouse.system.stop_rest_catalog($port)")
+      spark.sql("DROP TABLE IF EXISTS lakehouse.rest_ml.sub.deep")
+    }
+  }
+
+  test("pagination: pageSize bounds a listing and pageToken walks it to exhaustion") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.rest_pg")
+    for (t <- Seq("pa", "pb", "pc")) {
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.rest_pg.$t")
+      spark.sql(s"CREATE TABLE lakehouse.rest_pg.$t (k INT) " +
+        "TBLPROPERTIES ('graft.iceberg.mirror'='true')")
+      spark.sql(s"INSERT INTO lakehouse.rest_pg.$t VALUES (1)")
+    }
+    val port = spark.sql("CALL lakehouse.system.start_rest_catalog(0)")
+      .collect()(0).getLong(0).toInt
+    try {
+      val base = s"http://127.0.0.1:$port/v1"
+      var token: Option[String] = None
+      var pages = 0
+      val seen = scala.collection.mutable.ListBuffer.empty[String]
+      var more = true
+      while (more && pages < 10) {
+        val tok = token.map(t => s"&pageToken=$t").getOrElse("")
+        val (c, b) = get(s"$base/namespaces/rest_pg/tables?pageSize=1$tok")
+        c shouldBe 200
+        val o = json(b)
+        seen ++= o("identifiers").asInstanceOf[JArray].arr
+          .map(_.asInstanceOf[JObject].obj.toMap.apply("name")
+            .asInstanceOf[JString].s)
+        pages += 1
+        token = o.get("next-page-token").map(_.asInstanceOf[JString].s)
+        more = token.isDefined
+      }
+      pages shouldBe 3 // one per table; the last page carries no token
+      seen.toList shouldBe List("pa", "pb", "pc") // sorted, no dup/skip
+      // an unpaged request still returns everything at once
+      val (fc, fb) = get(s"$base/namespaces/rest_pg/tables")
+      fc shouldBe 200
+      json(fb)("identifiers").asInstanceOf[JArray].arr should have size 3
+      json(fb).contains("next-page-token") shouldBe false
+    } finally {
+      spark.sql(s"CALL lakehouse.system.stop_rest_catalog($port)")
+      for (t <- Seq("pa", "pb", "pc"))
+        spark.sql(s"DROP TABLE IF EXISTS lakehouse.rest_pg.$t")
+    }
+  }
+
+  test("pctDecode: exactly-once percent decoding with no form-encoding '+' rule") {
+    import graft.catalog.IcebergRestService.{pctDecode, UnitSep}
+    pctDecode("plain") shouldBe "plain"
+    pctDecode("a%20b") shouldBe "a b"
+    pctDecode("a+b") shouldBe "a+b" // URLDecoder would say "a b"
+    pctDecode("pct%25name") shouldBe "pct%name" // '%' names survive one pass
+    pctDecode("ns%1Fsub").toSeq shouldBe s"ns${UnitSep}sub".toSeq
+    pctDecode("caf%C3%A9") shouldBe "café" // multi-byte UTF-8
+    an[IllegalArgumentException] should be thrownBy pctDecode("bad%zz")
+    an[IllegalArgumentException] should be thrownBy pctDecode("trunc%2")
+  }
+
+  test("page: keyset tokens are stable under concurrent inserts") {
+    import graft.catalog.IcebergRestService.page
+    val (p1, t1) = page(Seq("a", "b", "c"), None, Some(2))
+    p1 shouldBe Seq("a", "b")
+    // a new entry lands BEFORE the boundary between pages: the keyset
+    // token (after "b") neither re-serves a page-1 name nor skips "c"
+    val (p2, t2) = page(Seq("a", "ab", "b", "c"), t1, Some(2))
+    p2 shouldBe Seq("c")
+    t2 shouldBe None
+    // no pageSize = the whole listing, no token
+    page(Seq("x", "y"), None, None) shouldBe ((Seq("x", "y"), None))
+    // pageSize clamps to >=1 (a 0 would loop a client forever)
+    page(Seq("x", "y"), None, Some(0))._1 shouldBe Seq("x")
   }
 
   test("independent python reader consumes a table DISCOVERED via REST") {

@@ -16,6 +16,14 @@ Usage:
     python3 tools/check_iceberg.py <table_dir> <expected_parquet_path> [ref]
         [--filter col=value]
 
+<table_dir> may instead be a REST loadTable URL
+(http://host/v1/namespaces/{ns}/tables/{tbl}), or a catalog DISCOVERY
+reference of the form http://host/v1#<table_name>: the tool then walks
+the catalog's namespace tree over REST — the spec's parent= listing
+with multi-level %1F namespaces — following next-page-token pagination
+at every level (pageSize=1, so the token path is always exercised),
+until it finds the named table, and loads that.
+
 The optional [ref] names a branch/tag from the metadata's "refs" map —
 external time travel: the reader resolves that ref's snapshot instead
 of the current one.
@@ -496,6 +504,51 @@ def verify_buckets(meta, schema, name_by_id, data_files, con) -> int:
     return checked
 
 
+def rest_discover(base_url, table_name):
+    """BFS the catalog's namespace tree over REST and return the
+    loadTable URL of the table named `table_name`. Independent of the
+    engine's own client code: listings go through the spec's parent=
+    parameter (multi-level namespaces %1F-joined), and EVERY listing
+    request uses pageSize=1 so the next-page-token/pageToken protocol
+    is exercised on each walk, not just on catalogs that happen to be
+    large."""
+    import urllib.request
+    import urllib.parse
+
+    def get(url):
+        with urllib.request.urlopen(url) as r:
+            return json.loads(r.read().decode())
+
+    def paged(url_base, key):
+        token = None
+        while True:
+            url = url_base + ("&" if "?" in url_base else "?") + "pageSize=1"
+            if token:
+                url += "&pageToken=" + urllib.parse.quote(token, safe="")
+            body = get(url)
+            yield from body.get(key, [])
+            token = body.get("next-page-token")
+            if not token:
+                return
+
+    queue = [[]]  # namespace level-lists, root first
+    while queue:
+        ns = queue.pop(0)
+        enc = urllib.parse.quote("\x1f".join(ns), safe="")
+        if ns:
+            for ident in paged(f"{base_url}/namespaces/{enc}/tables",
+                               "identifiers"):
+                if ident["name"] == table_name:
+                    tenc = urllib.parse.quote(table_name, safe="")
+                    return f"{base_url}/namespaces/{enc}/tables/{tenc}"
+        list_url = f"{base_url}/namespaces"
+        if ns:
+            list_url += "?parent=" + enc
+        queue.extend(paged(list_url, "namespaces"))
+    raise FileNotFoundError(
+        f"table {table_name} not found in catalog {base_url}")
+
+
 def load_metadata(table_ref):
     """The current metadata document — from a table DIRECTORY (mirror
     hint file) or from an Iceberg REST catalog loadTable URL
@@ -719,6 +772,10 @@ def main() -> int:
         print(__doc__)
         return 2
     table_dir, expected = args[0], args[1]  # dir path or REST loadTable URL
+    if table_dir.startswith("http") and "#" in table_dir:
+        base, _, tname = table_dir.partition("#")
+        table_dir = rest_discover(base.rstrip("/"), tname)
+        print(f"DISCOVERED {table_dir}")
     ref = args[2] if len(args) == 3 else None
     cols, got, opened, total = read_iceberg_table(
         table_dir, ref, filt, check_buckets, check_bounds)
