@@ -34,7 +34,9 @@ object BenchMeta {
 
   final case class Result(
       files: Int, chunks: Int,
-      commitAppendMs: Double,
+      commitAppendMs: Double, commitAppendColdMs: Double,
+      files1m: Int, commitAppend1mMs: Double, commitAppend1mUndeclaredMs: Double,
+      commitAppend1mColdMs: Double,
       coldSummaryMs: Double, coldSummaryBytes: Long, coldSummaryChunksParsed: Long,
       resolveOneMs: Double, resolveOneBytes: Long, resolveOneChunksParsed: Long,
       resolveFullMs: Double, resolveFullBytes: Long, resolveFullChunksParsed: Long,
@@ -63,7 +65,8 @@ object BenchMeta {
 
   /** Build + measure. `dir` must be empty; placeholder data files are
     * created so the mirror can stat sizes. */
-  def run(dir: Path, filesPerChunk: Int, chunks: Int): Result = {
+  def run(dir: Path, filesPerChunk: Int, chunks: Int,
+      deltaTableChunks: Int = 40): Result = {
     require(filesPerChunk <= Manifests.ChunkSize,
       "one commit per chunk: filesPerChunk must fit a single chunk")
     Files.createDirectories(dir.resolve("data"))
@@ -108,6 +111,23 @@ object BenchMeta {
           meta.version + 1, meta.version + 1L, "append", tail.size, 0)))
     }
 
+    // the SAME append latency with the predecessor's RenderedState
+    // evicted: the successor rebuilds it from the (Manifests-cached)
+    // chunks once, so this bounds the first commit of a restarted
+    // driver rather than the steady state
+    val tailCold = mkFiles("p_tailc", chunks + 10, 100)
+    TableMetadata.clearRenderCacheForTesting()
+    val (_, commitColdMs) = timed {
+      meta = TableMetadata.commit(dir, meta.copy(
+        version = meta.version + 1,
+        files = meta.files ++ tailCold,
+        fileStats = meta.fileStats ++ tailCold.zipWithIndex.map { case (r, i) =>
+          r -> stats("p_tailc", i) },
+        fileRows = meta.fileRows ++ tailCold.map(_ -> 100L),
+        snapshots = meta.snapshots :+ Snapshot(
+          meta.version + 1, meta.version + 1L, "append", tailCold.size, 0)))
+    }
+
     // cold driver: summary load parses no chunks
     Manifests.clearCacheForTesting()
     Manifests.resetCounters()
@@ -148,6 +168,59 @@ object BenchMeta {
     IcebergExport.resetCounters()
     val (_, exp2Ms) = timed(
       IcebergExport.exportSnapshot(null, dir, TableMetadata.load(dir)))
+
+    // ---- the 1M-file commit point -------------------------------------
+    // The verdict criterion for per-chunk dirty tracking: append-commit
+    // driver cost must stay flat between 200k and 1M files (it used to
+    // re-verify every entry at ~4.5 µs/file → ~4.5 s/commit at 1M).
+    // Metadata-only — a plain commit never stats data files, so the 1M
+    // placeholders are not created.
+    val bigChunks = deltaTableChunks
+    val bigDir = dir.resolve("big_1m")
+    Files.createDirectories(bigDir)
+    var big = TableMetadata.commit(bigDir, TableMetadata(
+      version = 1, name = "bench_meta_1m", schema = schema,
+      partitionColumns = Seq("p"), properties = Map.empty,
+      files = Nil, snapshots = Seq(Snapshot(1, 1L, "create", 0, 0))))
+    (0 until bigChunks).foreach { c =>
+      val part = f"q$c%03d"
+      val rels = (0 until filesPerChunk).map(i => f"data/q$c%03d/part-$i%06d.parquet")
+      big = TableMetadata.commit(bigDir, big.copy(
+        version = big.version + 1,
+        files = big.files ++ rels,
+        fileStats = big.fileStats ++ rels.zipWithIndex.map { case (r, i) =>
+          r -> stats(part, i) },
+        fileRows = big.fileRows ++ rels.map(_ -> 100L),
+        snapshots = big.snapshots :+ Snapshot(
+          big.version + 1, big.version + 1L, "append", rels.size, 0)))
+    }
+    def appendBig(part: String, declare: Boolean = true): Double = {
+      val rels = (0 until 100).map(i => s"data/$part/part-$i.parquet")
+      val next = big.copy(
+          version = big.version + 1,
+          files = big.files ++ rels,
+          fileStats = big.fileStats ++ rels.zipWithIndex.map { case (r, i) =>
+            r -> stats(part, i) },
+          fileRows = big.fileRows ++ rels.map(_ -> 100L),
+          snapshots = big.snapshots :+ Snapshot(
+            big.version + 1, big.version + 1L, "append", rels.size, 0))
+      // the DECLARED append: the O(delta) contract every streaming
+      // epoch / INSERT append rides at 100 TB file counts
+      val (_, ms) = timed {
+        big = TableMetadata.commit(bigDir, next,
+          if (declare) Some(TableMetadata.AppendDelta(rels)) else None)
+      }
+      ms
+    }
+    val commit1mMs = appendBig("q_tail")
+    // the UNDECLARED fallback at the same size: full per-entry
+    // re-verification (memory-bound hash probes) — the shape any
+    // non-append commit takes, and the bound a drifted declaration
+    // falls back to
+    val commit1mUndeclaredMs = appendBig("q_tail1b", declare = false)
+    TableMetadata.clearRenderCacheForTesting()
+    val commit1mColdMs = appendBig("q_tail2")
+    val files1m = big.files.size
 
     // bucket pruning is pure driver CPU over the resolved file list —
     // it runs per SCAN on a bucketed table, so its per-file cost is a
@@ -241,7 +314,10 @@ object BenchMeta {
 
     Result(
       files = meta.files.size, chunks = full.manifests.size,
-      commitAppendMs = commitMs,
+      commitAppendMs = commitMs, commitAppendColdMs = commitColdMs,
+      files1m = files1m, commitAppend1mMs = commit1mMs,
+      commitAppend1mUndeclaredMs = commit1mUndeclaredMs,
+      commitAppend1mColdMs = commit1mColdMs,
       coldSummaryMs = sumMs, coldSummaryBytes = sumBytes,
       coldSummaryChunksParsed = sumParsed,
       resolveOneMs = oneMs, resolveOneBytes = oneBytes,
@@ -266,6 +342,11 @@ object BenchMeta {
     val json =
       f"""{"metric":"bench_meta","files":${r.files},"chunks":${r.chunks},""" +
         f""""commit_append_100_ms":${r.commitAppendMs}%.1f,""" +
+        f""""commit_append_100_cold_ms":${r.commitAppendColdMs}%.1f,""" +
+        f""""files_1m":${r.files1m},""" +
+        f""""commit_append_100_ms_1m":${r.commitAppend1mMs}%.1f,""" +
+        f""""commit_append_100_undeclared_ms_1m":${r.commitAppend1mUndeclaredMs}%.1f,""" +
+        f""""commit_append_100_cold_ms_1m":${r.commitAppend1mColdMs}%.1f,""" +
         f""""cold_load_summary_ms":${r.coldSummaryMs}%.1f,""" +
         f""""cold_load_summary_bytes":${r.coldSummaryBytes},""" +
         f""""cold_load_summary_chunks_parsed":${r.coldSummaryChunksParsed},""" +

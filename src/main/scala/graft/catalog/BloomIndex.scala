@@ -121,7 +121,8 @@ object BloomIndex {
         (ColumnsProp -> allCols.mkString(",")) +
         (TypesProp -> allCols.map(c => s"$c:${allTypes.getOrElse(c, "?")}").mkString(",")),
       snapshots = cur.snapshots :+ Snapshot(
-        cur.version + 1, System.currentTimeMillis(), "bloom-index", 0, cur.files.size)))
+        cur.version + 1, System.currentTimeMillis(), "bloom-index", 0, cur.files.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(Nil)))
     written
   }
 

@@ -274,7 +274,8 @@ private class LakehouseDeltaWrite(
       fileRows = base.fileRows ++ dataFooters.view.mapValues(_.rows).toMap,
       deleteFiles = base.deleteFiles ++ entries,
       snapshots = base.snapshots :+ Snapshot(
-        next, System.currentTimeMillis(), op, dataFiles.size, allFiles.size)))
+        next, System.currentTimeMillis(), op, dataFiles.size, allFiles.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(dataFiles)))
   }
 
   private def removeStaging(dir: Path): Unit =

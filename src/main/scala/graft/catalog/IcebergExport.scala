@@ -626,6 +626,64 @@ object IcebergExport {
       }
     }
 
+  /** Write a Puffin statistics file per the public spec
+    * (apache/iceberg `puffin-spec.md`): Magic, blobs, then
+    * Magic | FooterPayload(JSON) | payload-size (int32 LE) | flags |
+    * Magic. One blob per analyzed column, type `graft-ndv-v1`: an
+    * 8-byte big-endian NDV payload, with the same number mirrored in
+    * the blob's `properties["ndv"]` — the property is where Iceberg
+    * engines read NDV from, and Puffin's design makes unknown blob
+    * types skippable. `apache-datasketches-theta-v1` is deliberately
+    * NOT claimed: no datasketches runtime ships offline, and labeling
+    * a non-sketch payload with that type would crash any reader that
+    * deserializes it. Returns (file size, footer size, footer blob
+    * JSON for the metadata document's `blob-metadata`). */
+  private def writePuffin(
+      target: Path, snapshotId: Long, sequenceNumber: Int,
+      ndvByFieldId: Seq[(Int, Long)], statsVersion: Option[String])
+      : (Long, Long, List[JValue]) = {
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(magic)
+    val blobs: List[JObject] = ndvByFieldId.map { case (fid, ndv) =>
+      val offset = out.size().toLong
+      out.write(java.nio.ByteBuffer.allocate(8).putLong(ndv).array())
+      JObject(
+        "type" -> JString("graft-ndv-v1"),
+        "fields" -> JArray(List(JInt(fid))),
+        "snapshot-id" -> JLong(snapshotId),
+        "sequence-number" -> JInt(sequenceNumber),
+        "offset" -> JLong(offset),
+        "length" -> JLong(8L),
+        "properties" -> JObject(
+          List("ndv" -> (JString(ndv.toString): JValue)) ++
+            statsVersion.map(v =>
+              "graft-stats-version" -> (JString(v): JValue)).toList))
+    }.toList
+    val footerStart = out.size()
+    val payload = JsonMethods.compact(JsonMethods.render(JObject(
+      "blobs" -> JArray(blobs),
+      "properties" -> JObject("created-by" -> JString("graft")))))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(magic)
+    out.write(payload)
+    out.write(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(payload.length).putInt(0) // flags: footer payload uncompressed
+      .array())
+    out.write(magic)
+    val bytes = out.toByteArray
+    val tmp = Files.createTempFile(target.getParent, ".puffin-", ".tmp")
+    try {
+      Files.write(tmp, bytes)
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+    (bytes.length.toLong, (bytes.length - footerStart).toLong,
+      blobs.map(b => b: JValue))
+  }
+
   private def exportSnapshotLocked(
       spark: SparkSession, dir: Path, meta: TableMetadata): Long = {
     // supersession guard: with racing commits, the LOG serializes
@@ -1165,6 +1223,37 @@ object IcebergExport {
     savedSnaps = retainedSnaps.toMap + (meta.version -> SnapState(
       JsonMethods.compact(JsonMethods.render(snapJson)), snapRefs.toSeq, fp))
 
+    // ---- ANALYZE statistics → the spec's `statistics` list ----------
+    // NDV the engine already measured (TableStats, HLL++) publishes as
+    // a Puffin statistics file, so an external engine plans against
+    // the numbers instead of re-ANALYZE-ing 100 TB. Stats are a
+    // snapshot of their `graft.stats.version` and may trail the data
+    // (the same drift every warehouse's ANALYZE has); the version is
+    // recorded on every blob so a reader can judge staleness.
+    val statisticsJson: Option[JValue] = {
+      val ndvs: Seq[(Int, Long)] = meta.schema.fieldNames.toSeq.flatMap { c =>
+        meta.properties.get(TableStats.colProp(c))
+          .flatMap(_.split(':').headOption.flatMap(_.toLongOption))
+          .filter(_ >= 0L)
+          .flatMap(ndv => ids.get(c).map(_ -> ndv))
+      }
+      if (ndvs.isEmpty) None
+      else {
+        val rel =
+          s"metadata/stats-$snapshotId-${UUID.randomUUID().toString.take(12)}.puffin"
+        val (size, footerSize, blobMeta) = writePuffin(dir.resolve(rel),
+          snapshotId, meta.version, ndvs,
+          meta.properties.get(TableStats.VersionProp))
+        keep(rel)
+        Some(JObject(
+          "snapshot-id" -> JLong(snapshotId),
+          "statistics-path" -> JString(uri(rel)),
+          "file-size-in-bytes" -> JLong(size),
+          "file-footer-size-in-bytes" -> JLong(footerSize),
+          "blob-metadata" -> JArray(blobMeta)))
+      }
+    }
+
     // ---- metadata.json
     // the write sort order publishes as an identity-ascending Iceberg
     // sort order (id 1) so a round-trip import keeps the layout hint
@@ -1222,7 +1311,8 @@ object IcebergExport {
       "refs" -> JObject(
         ("main" -> (JObject(
           "snapshot-id" -> JLong(snapshotId),
-          "type" -> JString("branch")): JValue)) :: tagRefs))
+          "type" -> JString("branch")): JValue)) :: tagRefs),
+      "statistics" -> JArray(statisticsJson.toList))
     val tmp = Files.createTempFile(md, ".icemeta-", ".tmp")
     try {
       Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(metadataJson)))

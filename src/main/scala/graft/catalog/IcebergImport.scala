@@ -386,6 +386,68 @@ object IcebergImport {
     val boundaryRank: Map[Long, Int] =
       boundaries.zipWithIndex.map { case (b, i) => b -> (i + 2) }.toMap
     def fileRank(sf: Long): Int = 1 + boundaries.count(_ <= sf)
+    // Foreign bucket claims are TRUSTED by default — the same trust
+    // every engine places in manifests, and what makes a 100 TB import
+    // metadata-proportional. `verify_buckets => true` re-hashes EVERY
+    // row of every bucket-claimed file with the published hash. It
+    // runs BEFORE the table is created or anything links: a failed
+    // verification used to leave a registered never-committed table
+    // with orphaned link dirs the user had to DROP by hand — the
+    // claims are fully known from the manifests, so the SOURCE files
+    // verify directly and a refusal leaves zero state behind. One
+    // distributed pass over only the bucketed files.
+    bucketSpecIn.foreach { case (bcol, n) =>
+      val claimed = dataRefs.filter(_.bucket.isDefined)
+      if (verifyBuckets && claimed.nonEmpty) {
+        // input_file_name() yields the scan's URL-ENCODED path; keyed
+        // by FULL path (both raw and encoded forms) — source basenames
+        // are not unique across directories, and an honest file name
+        // with spaces/%/non-ASCII must not be refused on a lookup miss
+        val claimByPath: Map[String, Int] = claimed.flatMap { r =>
+          val hp = new org.apache.hadoop.fs.Path(r.path.toUri)
+          Seq(
+            hp.toString -> r.bucket.get,
+            org.apache.spark.paths.SparkPath.fromPath(hp).urlEncoded ->
+              r.bucket.get)
+        }.toMap
+        import org.apache.spark.sql.functions.{col, element_at => elemAt,
+          input_file_name, typedlit => tlit}
+        val computed = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          IcebergBucketId(org.apache.spark.sql.graftbridge.ColumnBridge
+            .expression(col(bcol)), n))
+        // the session may have read (and file-status-cached) these very
+        // source paths earlier; a source mutated since would fail the
+        // scan on a stale size instead of failing the CLAIM check
+        claimed.flatMap { r =>
+          val hp = new org.apache.hadoop.fs.Path(r.path.toUri)
+          Seq(hp.toString, hp.getParent.toString)
+        }.distinct.foreach(p => try spark.catalog.refreshByPath(p)
+          catch { case scala.util.control.NonFatal(_) => () })
+        val bad = spark.read.schema(schema)
+          .parquet(claimed.map(_.path.toString): _*)
+          .select(
+            col(bcol).isNull.as("__null"),
+            computed.as("__b"),
+            elemAt(tlit(claimByPath), input_file_name()).as("__c"))
+          .filter(col("__null") || col("__c").isNull || col("__b") =!= col("__c"))
+          .count()
+        require(bad == 0L,
+          s"import_iceberg: $bad row(s) violate the manifests' bucket[$n] " +
+            s"claims on '$bcol' (wrong hash placement, or a null key in a " +
+            "bucket-claimed file) — refusing to import a layout external " +
+            "engines would mis-prune. Re-export from the source engine or " +
+            "import without the bucket spec by compacting first. Nothing " +
+            "was created.")
+      } else if (claimed.nonEmpty) {
+        // warn, not info: if imported results ever look wrong, THIS is
+        // the discoverable breadcrumb that the layout was taken on trust
+        org.apache.log4j.LogManager.getLogger(getClass.getName).warn(
+          s"import_iceberg: trusting ${claimed.size} bucket[$n] file " +
+            "claims from the source manifests (mis-claims would mis-prune " +
+            "point lookups and mis-place storage-partitioned joins); pass " +
+            "verify_buckets => true to re-hash every row before committing")
+      }
+    }
     // destination table through the catalog (namespace checks, layout,
     // already-exists semantics are the catalog's own)
     val cat = spark.sessionState.catalogManager.catalog(catalog)
@@ -433,56 +495,6 @@ object IcebergImport {
       val footer = FooterStats.collectFull(conf,
         new org.apache.hadoop.fs.Path(dir.resolve(rel).toString), schema)
       (r, rel, footer)
-    }
-    // Foreign bucket claims are TRUSTED by default — the same trust
-    // every engine places in manifests, and what makes a 100 TB import
-    // metadata-proportional. `verify_buckets => true` re-hashes EVERY
-    // row of every bucket-claimed file with the published hash BEFORE
-    // anything commits, so a lying or bit-rotted source fails the
-    // import loudly instead of silently mis-joining and mis-pruning
-    // forever. One distributed pass over only the bucketed files.
-    bucketSpecIn.foreach { case (bcol, n) =>
-      // input_file_name() yields the scan's URL-ENCODED path, so the
-      // claim map carries both the raw name and the encoded form a
-      // SparkPath renders — an honest source whose file names contain
-      // spaces/%/non-ASCII must not be refused on a lookup miss
-      val claimByName: Map[String, Int] = imported.collect {
-        case (r, rel, _) if r.bucket.isDefined =>
-          val name = rel.substring(rel.lastIndexOf('/') + 1)
-          val encoded = org.apache.spark.paths.SparkPath
-            .fromPath(new org.apache.hadoop.fs.Path(dir.resolve(rel).toString))
-            .urlEncoded
-          val encName = encoded.substring(encoded.lastIndexOf('/') + 1)
-          Seq(name -> r.bucket.get, encName -> r.bucket.get)
-      }.flatten.toMap
-      if (verifyBuckets && claimByName.nonEmpty) {
-        import org.apache.spark.sql.functions.{col, element_at => elemAt,
-          input_file_name, split => fsplit, typedlit => tlit}
-        val paths = imported.collect {
-          case (r, rel, _) if r.bucket.isDefined => dir.resolve(rel).toString }
-        val computed = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          IcebergBucketId(org.apache.spark.sql.graftbridge.ColumnBridge
-            .expression(col(bcol)), n))
-        val bad = spark.read.schema(schema).parquet(paths: _*)
-          .select(
-            col(bcol).isNull.as("__null"),
-            computed.as("__b"),
-            elemAt(tlit(claimByName),
-              elemAt(fsplit(input_file_name(), "/"), -1)).as("__c"))
-          .filter(col("__null") || col("__c").isNull || col("__b") =!= col("__c"))
-          .count()
-        require(bad == 0L,
-          s"import_iceberg: $bad row(s) violate the manifests' bucket[$n] " +
-            s"claims on '$bcol' (wrong hash placement, or a null key in a " +
-            "bucket-claimed file) — refusing to import a layout external " +
-            "engines would mis-prune. Re-export from the source engine or " +
-            "import without the bucket spec by compacting first.")
-      } else if (claimByName.nonEmpty) {
-        org.apache.log4j.LogManager.getLogger(getClass.getName).info(
-          s"import_iceberg: trusting ${imported.count(_._1.bucket.isDefined)} " +
-            s"bucket[$n] file claims from the source manifests; pass " +
-            "verify_buckets => true to re-hash every row before committing")
-      }
     }
     val importedByKey: Map[(String, Long), (Ref, String, FooterStats.FileFooter)] =
       imported.map(t => (t._1.raw, t._1.seq) -> t).toMap

@@ -824,12 +824,13 @@ class LakehouseTable(
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, tableDir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
+    val survivorSet = survivors.toSet
     val allFiles = survivors ++ newFiles
     TableMetadata.commitOrRebase(tableDir, base = current, attempt = current.copy(
       version = nextVersion,
       files = allFiles,
-      fileStats = current.fileStats.view.filterKeys(survivors.contains).toMap ++ newStats,
-      fileRows = current.fileRows.view.filterKeys(survivors.contains).toMap ++
+      fileStats = current.fileStats.view.filterKeys(survivorSet.contains).toMap ++ newStats,
+      fileRows = current.fileRows.view.filterKeys(survivorSet.contains).toMap ++
         footers.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), "delete", newFiles.size, allFiles.size)))
@@ -1091,12 +1092,15 @@ class LakehouseTable(
       }
       val nextVersion = current.version + 1
       val allFiles = if (overwrite) newFiles else current.files ++ newFiles
+      // Set, never Seq.contains: filterKeys over a 1M-file table with a
+      // linear contains is O(files^2) of driver CPU per INSERT
+      val allSet = allFiles.toSet
       val allStats =
         if (overwrite) newStats
-        else current.fileStats.view.filterKeys(allFiles.contains).toMap ++ newStats
+        else current.fileStats.view.filterKeys(allSet.contains).toMap ++ newStats
       val allRows =
         if (overwrite) newRows
-        else current.fileRows.view.filterKeys(allFiles.contains).toMap ++ newRows
+        else current.fileRows.view.filterKeys(allSet.contains).toMap ++ newRows
       // an overwrite replaces every file with current-schema data, so
       // dropped-column tombstones (see LakehouseCatalog.alterTable)
       // no longer protect anything
@@ -1123,7 +1127,9 @@ class LakehouseTable(
           deleteFiles = dels,
           properties = props,
           snapshots = current.snapshots :+ Snapshot(
-            nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
+            nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)),
+          delta =
+            if (overwrite) None else Some(TableMetadata.AppendDelta(newFiles)))
         committed = true
       } catch {
         case _: IllegalStateException if attempt < maxAttempts =>

@@ -341,7 +341,8 @@ object Maintenance {
       properties = nextProps,
       snapshots = current.snapshots :+ Snapshot(
         current.version + 1, System.currentTimeMillis(),
-        s"set-partitioning(${columns.mkString(",")})", 0, current.files.size)))
+        s"set-partitioning(${columns.mkString(",")})", 0, current.files.size)),
+      delta = Some(TableMetadata.AppendDelta(Nil)))
   }
 
   /** Rename a column by REWRITING the data (a new snapshot whose files
@@ -597,7 +598,9 @@ object Maintenance {
           properties = props,
           snapshots = current.snapshots :+ Snapshot(
             current.version + 1, System.currentTimeMillis(), op,
-            liveFiles.size, allFiles.size)))
+            liveFiles.size, allFiles.size)),
+          delta =
+            if (replace) None else Some(TableMetadata.AppendDelta(liveFiles)))
         return true
       } catch {
         case _: IllegalStateException if attempt < maxAttempts => attempt += 1
@@ -705,7 +708,8 @@ object Maintenance {
           deleteFiles = current.deleteFiles ++ entries,
           properties = props,
           snapshots = current.snapshots :+ Snapshot(
-            next, System.currentTimeMillis(), "mor-upsert", newFiles.size, allFiles.size)))
+            next, System.currentTimeMillis(), "mor-upsert", newFiles.size, allFiles.size)),
+          delta = Some(TableMetadata.AppendDelta(newFiles)))
         return true
       } catch {
         // only a genuine commit race retries (matching commitOrRebase);
@@ -789,12 +793,13 @@ object Maintenance {
     val newStats = footers.view.mapValues(_.cols).filter(_._2.nonEmpty).toMap
     BloomIndex.buildForFiles(spark, dir, current.schema, current.properties, newFiles)
     val survivors = current.files.filterNot(hitFiles.contains)
+    val survivorSet = survivors.toSet
     val allFiles = survivors ++ newFiles
     TableMetadata.commitOrRebase(dir, base = current, attempt = current.copy(
       version = nextVersion,
       files = allFiles,
-      fileStats = current.fileStats.view.filterKeys(survivors.contains).toMap ++ newStats,
-      fileRows = current.fileRows.view.filterKeys(survivors.contains).toMap ++
+      fileStats = current.fileStats.view.filterKeys(survivorSet.contains).toMap ++ newStats,
+      fileRows = current.fileRows.view.filterKeys(survivorSet.contains).toMap ++
         footers.view.mapValues(_.rows).toMap,
       snapshots = current.snapshots :+ Snapshot(
         nextVersion, System.currentTimeMillis(), op, newFiles.size, allFiles.size)))
@@ -1447,7 +1452,8 @@ object Maintenance {
       properties = props,
       snapshots = head.snapshots :+ Snapshot(
         next, System.currentTimeMillis(), "append",
-        newFiles.size, head.files.size + newFiles.size)))
+        newFiles.size, head.files.size + newFiles.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(newFiles)))
     footers.values.map(_.rows).sum
   }
 
@@ -1512,19 +1518,22 @@ object Maintenance {
     * re-sequencing; rewrites vs rewrites fail clean). */
   private def commitToBranchOrRebase(
       dir: Path, name: String, base: TableMetadata, attempt: TableMetadata,
-      maxAttempts: Int = 10): TableMetadata = {
+      maxAttempts: Int = 10,
+      appendDelta: Option[TableMetadata.AppendDelta] = None): TableMetadata = {
     var b = base
     var att = attempt
     var tries = 0
+    var delta = appendDelta
     while (true) {
       try {
-        commitToBranch(dir, name, b, att)
+        commitToBranch(dir, name, b, att, delta)
         return att
       } catch {
         case e: IllegalStateException if e.getMessage.contains("commit conflict") =>
           tries += 1
           if (tries > maxAttempts) throw e
           val cur = branchHead(dir, name)
+          delta = None
           att = TableMetadata.rebase(b, att, cur).getOrElse(throw new IllegalStateException(
             s"commit conflict: branch '$name' changed concurrently (v${b.version} -> " +
               s"v${cur.version}) and the changes do not commute; re-run against the " +
@@ -1540,7 +1549,8 @@ object Maintenance {
     * the attempt was computed against). A version collision throws
     * `commit conflict`; [[commitToBranchOrRebase]] is the retry face. */
   private def commitToBranch(
-      dir: Path, name: String, prev: TableMetadata, meta: TableMetadata): Unit = {
+      dir: Path, name: String, prev: TableMetadata, meta: TableMetadata,
+      delta: Option[TableMetadata.AppendDelta] = None): Unit = {
     val bdir = branchLogDir(dir, name)
     Files.createDirectories(bdir)
     val target = bdir.resolve(s"v${meta.version}.json")
@@ -1555,7 +1565,8 @@ object Maintenance {
     val prevFile = Seq(
       bdir.resolve(s"v${meta.version - 1}.json"),
       TableMetadata.versionFile(dir, meta.version - 1)).find(Files.exists(_))
-    val (json, _, newManifests) = TableMetadata.renderNext(md, prevFile, meta)
+    val (json, _, newManifests, rendered) =
+      TableMetadata.renderNext(md, prevFile, meta, delta)
     // one publish protocol (link-CAS, no-link fallback, conflict
     // classification, post-link chunk verification) — shared with the
     // main log so a fix there can never silently miss the branch path
@@ -1563,6 +1574,8 @@ object Maintenance {
       meta.name, meta.version, conflictMsg =
         s"commit conflict: branch '$name' version ${meta.version} already exists",
       advanceHint = false)
+    // branch heads are successor-rendered too (streaming WAP commits)
+    TableMetadata.seedRenderState(target, rendered)
   }
 
   /** PUBLISH a branch: move main's head to the branch head by copying

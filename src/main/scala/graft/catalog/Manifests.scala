@@ -265,18 +265,28 @@ object Manifests {
                     var min: String = null
                     var max: String = null
                     var nulls: Option[Long] = None
+                    var allNull = false
                     while (p.nextToken() == FIELD_NAME) {
                       p.currentName match {
                         case "min" => p.nextToken(); min = p.getValueAsString
                         case "max" => p.nextToken(); max = p.getValueAsString
                         case "nulls" => p.nextToken(); nulls = Some(strictLong())
+                        case "allNull" => p.nextToken(); allNull = p.getBooleanValue
                         case _ => p.nextToken(); p.skipChildren()
                       }
                     }
-                    b += col -> (if (min != null) {
-                      if (max == null) fail()
+                    // hasValues=false ONLY via the writer's explicit
+                    // allNull marker ([[rangeJson]]): a bit-rotted
+                    // {"min":null,"max":"x"} (or min without max) must
+                    // fail loudly, not silently become an all-null
+                    // claim FileSkipping could wrongly skip a live
+                    // file on — same no-checksum rationale as the
+                    // strict numerics above
+                    b += col -> (if (min != null && max != null)
                       ColumnRange(min, max, nulls)
-                    } else ColumnRange("", "", nulls, hasValues = false))
+                    else if (min == null && max == null && allNull)
+                      ColumnRange("", "", nulls, hasValues = false)
+                    else fail())
                   }
                   stats = b.result()
                 case _ => p.nextToken(); p.skipChildren()

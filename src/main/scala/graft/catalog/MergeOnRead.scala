@@ -379,7 +379,8 @@ object MergeOnRead {
       fileRows = current.fileRows ++ dataFooters.view.mapValues(_.rows).toMap,
       deleteFiles = current.deleteFiles ++ entries,
       snapshots = current.snapshots :+ Snapshot(
-        next, System.currentTimeMillis(), "mor-update", dataFiles.size, allFiles.size)))
+        next, System.currentTimeMillis(), "mor-update", dataFiles.size, allFiles.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(dataFiles)))
     dataFooters.values.map(_.rows).sum
   }
 
@@ -434,7 +435,8 @@ object MergeOnRead {
       version = next,
       deleteFiles = current.deleteFiles ++ entries,
       snapshots = current.snapshots :+ Snapshot(
-        next, System.currentTimeMillis(), "mor-delete-pos", 0, current.files.size)))
+        next, System.currentTimeMillis(), "mor-delete-pos", 0, current.files.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(Nil)))
     tuples
   }
 
@@ -534,7 +536,8 @@ object MergeOnRead {
       fileRows = current.fileRows ++ dataFooters.view.mapValues(_.rows).toMap,
       deleteFiles = current.deleteFiles ++ liveEntries,
       snapshots = current.snapshots :+ Snapshot(
-        next, System.currentTimeMillis(), op, dataFiles.size, allFiles.size)))
+        next, System.currentTimeMillis(), op, dataFiles.size, allFiles.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(dataFiles)))
     if (appendData.isDefined) dataFooters.values.map(_.rows).sum else keyRows
   }
 
@@ -570,7 +573,8 @@ object MergeOnRead {
         version = next,
         deleteFiles = Seq.empty,
         snapshots = current.snapshots :+ Snapshot(
-          next, System.currentTimeMillis(), "materialize-deletes", 0, current.files.size)))
+          next, System.currentTimeMillis(), "materialize-deletes", 0, current.files.size)),
+        appendDelta = Some(TableMetadata.AppendDelta(Nil)))
       return 0
     }
     // materializing a bucketed table's dirty files must re-bucket: the
@@ -694,7 +698,8 @@ object MergeOnRead {
       version = next,
       deleteFiles = updated,
       snapshots = current.snapshots :+ Snapshot(
-        next, System.currentTimeMillis(), "vectorize-deletes", 0, current.files.size)))
+        next, System.currentTimeMillis(), "vectorize-deletes", 0, current.files.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(Nil)))
     n
   }
 
@@ -779,7 +784,8 @@ object MergeOnRead {
       version = next,
       deleteFiles = kept ++ mergedEntries,
       snapshots = current.snapshots :+ Snapshot(
-        next, System.currentTimeMillis(), "consolidate-deletes", 0, current.files.size)))
+        next, System.currentTimeMillis(), "consolidate-deletes", 0, current.files.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(Nil)))
     current.deleteFiles.size - (kept.size + mergedEntries.size)
   }
 }

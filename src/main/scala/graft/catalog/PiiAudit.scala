@@ -113,7 +113,8 @@ object PiiAudit {
           (HasPiiProp -> flagged.nonEmpty.toString) ++
           (if (flagged.nonEmpty) Map(ColumnsProp -> encoded) else Map.empty),
       snapshots = cur.snapshots :+ Snapshot(
-        cur.version + 1, System.currentTimeMillis(), "pii-audit", 0, cur.files.size)))
+        cur.version + 1, System.currentTimeMillis(), "pii-audit", 0, cur.files.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(Nil)))
   }
 
   /** Create (or replace) a PSEUDONYMIZED view of an audited table:

@@ -228,8 +228,8 @@ class LakehouseRowLevelOperation(
       version = base.version + 1,
       files = allFiles,
       properties = props,
-      fileStats = base.fileStats.view.filterKeys(kept.contains).toMap ++ newStats,
-      fileRows = base.fileRows.view.filterKeys(kept.contains).toMap ++
+      fileStats = base.fileStats.view.filterKeys(kept.toSet.contains).toMap ++ newStats,
+      fileRows = base.fileRows.view.filterKeys(kept.toSet.contains).toMap ++
         footers.view.mapValues(_.rows).toMap,
       snapshots = base.snapshots :+ Snapshot(
         base.version + 1, System.currentTimeMillis(),

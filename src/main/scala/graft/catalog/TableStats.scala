@@ -202,7 +202,8 @@ object TableStats {
         rangeStats.map { case (c, v) => rangeProp(c) -> v } ++
         histStats.map { case (c, v) => histProp(c) -> v },
       snapshots = cur.snapshots :+ Snapshot(
-        cur.version + 1, System.currentTimeMillis(), "analyze", 0, cur.files.size)))
+        cur.version + 1, System.currentTimeMillis(), "analyze", 0, cur.files.size)),
+      appendDelta = Some(TableMetadata.AppendDelta(Nil)))
     numRows
   }
 

@@ -1820,6 +1820,16 @@ object Relational {
       q115.run(s, d).collect() // ensure the mirrored fixture exists (cached)
       val ns = s"ice_${new java.io.File(d).getName.replace('.', '_')}"
       val tableDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier")
+      // ANALYZE once per fixture build (stats persist in properties):
+      // the write-through mirror then publishes NDV as an Iceberg
+      // `statistics` Puffin file, and --verify-bounds below re-checks
+      // every blob's claim against the exact distinct counts of the
+      // merged rows — external statistics under the driver gate
+      withRelyLock {
+        if (!graft.catalog.TableMetadata.load(tableDir).properties
+            .contains(graft.catalog.TableStats.NumRowsProp))
+          s.sql(s"CALL grely.system.analyze('$ns', 'supplier')").collect()
+      }
       // expected = graft's own merged scan through the engine API (the
       // table is MoR-dirty; bare-session path, as q115)
       val meta = graft.catalog.TableMetadata.load(tableDir)

@@ -760,15 +760,30 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     val dataFiles = Files.walk(tableDir("vb").resolve("data")).iterator().asScala
       .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
     dataFiles.size should be >= 2
-    val tmp = dataFiles.head.resolveSibling("swap.tmp")
-    Files.move(dataFiles.head, tmp)
-    Files.move(dataFiles(1), dataFiles.head)
-    Files.move(tmp, dataFiles(1))
+    // swap the Hadoop .crc sidecars along with the bytes: a lying
+    // SOURCE is internally consistent — only its manifest claims are
+    // wrong. Leaving the sidecars would fail the read on a checksum
+    // error instead of exercising the claim check.
+    def swap(a: java.nio.file.Path, b: java.nio.file.Path): Unit = {
+      val tmp = a.resolveSibling(a.getFileName.toString + ".swap")
+      Files.move(a, tmp); Files.move(b, a); Files.move(tmp, b)
+    }
+    swap(dataFiles.head, dataFiles(1))
+    def crcOf(p: java.nio.file.Path) =
+      p.resolveSibling("." + p.getFileName.toString + ".crc")
+    if (Files.exists(crcOf(dataFiles.head)) && Files.exists(crcOf(dataFiles(1))))
+      swap(crcOf(dataFiles.head), crcOf(dataFiles(1)))
     val e = intercept[Exception] {
       spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'vb_bad', " +
         s"'$metaPath', ref => '', verify_buckets => true)")
     }
     e.getMessage should include("bucket[4]")
+    // the refusal is STATELESS: verification runs on the SOURCE files
+    // before the table is created or anything links, so there is no
+    // registered never-committed table to DROP by hand and no orphaned
+    // b-/c- link dirs (the r16 ADVICE failure mode)
+    spark.catalog.tableExists("lakehouse.ice_ns.vb_bad") shouldBe false
+    Files.exists(tableDir("vb_bad")) shouldBe false
     Seq("vb", "vb_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
     spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.vb_bad")
   }

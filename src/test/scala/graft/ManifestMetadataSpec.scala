@@ -405,4 +405,144 @@ class ManifestMetadataSpec extends AnyFunSuite with Matchers {
     s3("p").min shouldBe "b"
     s3("p").nulls shouldBe Some(5L)
   }
+
+  test("corrupt stats bounds fail loudly; only the explicit allNull marker reads as all-null") {
+    val dir = Files.createTempDirectory("graft-corrupt-stats-")
+    def chunk(statsJson: String): Seq[graft.catalog.ManifestEntry] = {
+      val f = dir.resolve(s"m-1-${java.util.UUID.randomUUID()}.json")
+      Files.writeString(f,
+        s"""{"entries":[{"path":"data/a.parquet","seq":1,"rows":10,
+           |"stats":{"k":$statsJson}}]}""".stripMargin.replace("\n", ""))
+      Manifests.read(dir, graft.catalog.ManifestRef(f.getFileName.toString, 1))
+    }
+    // the two legitimate shapes
+    chunk("""{"min":"1","max":"9","nulls":0}""")
+      .head.stats("k").hasValues shouldBe true
+    chunk("""{"allNull":true,"nulls":10}""")
+      .head.stats("k").hasValues shouldBe false
+    // bit-rot shapes: a lost bound must never read as an all-null claim
+    // FileSkipping could wrongly skip a live file on (the json4s
+    // predecessor NPE'd on these; the cursor parser must refuse too)
+    an[IllegalStateException] should be thrownBy
+      chunk("""{"min":null,"max":"9"}""")
+    an[IllegalStateException] should be thrownBy
+      chunk("""{"min":"1"}""")
+    an[IllegalStateException] should be thrownBy
+      chunk("""{"nulls":10}""") // both bounds gone, no marker
+    graft.catalog.Fs.deleteRecursively(dir)
+  }
+
+  // ---- the declared-append O(delta) contract ([[TableMetadata.AppendDelta]]) ----
+
+  private val deltaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("k",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def freshDeltaTable(n: Int): (Path, TableMetadata) = {
+    val dir = Files.createTempDirectory("graft-delta-")
+    var m = TableMetadata.commit(dir, TableMetadata(
+      version = 1, name = "d", schema = deltaSchema,
+      partitionColumns = Nil, properties = Map.empty,
+      files = Nil, snapshots = Seq(Snapshot(1, 1L, "create", 0, 0))))
+    val rels = (0 until n).map(i => f"data/c0/part-$i%05d.parquet")
+    m = TableMetadata.commit(dir, m.copy(
+      version = 2, files = rels,
+      fileRows = rels.map(_ -> 10L).toMap,
+      snapshots = m.snapshots :+ Snapshot(2, 2L, "append", n, n)))
+    (dir, m)
+  }
+
+  test("a DECLARED append commits byte-equivalently to the scanning path") {
+    val (dir, base) = freshDeltaTable(40)
+    val add = Seq("data/c1/a.parquet", "data/c1/b.parquet")
+    val attempt = base.copy(
+      version = 3, files = base.files ++ add,
+      fileRows = base.fileRows ++ add.map(_ -> 5L),
+      snapshots = base.snapshots :+ Snapshot(3, 3L, "append", 2, 42))
+    val declared = TableMetadata.commit(dir, attempt,
+      Some(TableMetadata.AppendDelta(add)))
+    // previous chunks reused by reference, one fresh chunk for the adds
+    declared.manifests.map(_.path) should contain allElementsOf
+      base.manifests.map(_.path)
+    declared.manifests.size shouldBe base.manifests.size + 1
+    // the loaded snapshot is indistinguishable from an undeclared one
+    TableMetadata.clearRenderCacheForTesting()
+    val loaded = TableMetadata.load(dir)
+    loaded.files shouldBe declared.files
+    loaded.fileSeq shouldBe declared.fileSeq
+    loaded.fileRows.view.filterKeys(add.contains).toMap shouldBe
+      add.map(_ -> 5L).toMap
+    // every retained file keeps its predecessor seq; adds get v3
+    base.files.foreach(f => loaded.fileSeq(f) shouldBe base.fileSeq(f))
+    add.foreach(f => loaded.fileSeq(f) shouldBe 3)
+    graft.catalog.Fs.deleteRecursively(dir)
+  }
+
+  test("an entry-only declaration (MoR delete shape) reuses every chunk") {
+    val (dir, base) = freshDeltaTable(40)
+    val committed = TableMetadata.commit(dir, base.copy(
+      version = 3,
+      deleteFiles = Seq(graft.catalog.DeleteFile(
+        "deletes/d1.parquet", Seq("k"), 3, 1L)),
+      snapshots = base.snapshots :+ Snapshot(3, 3L, "mor-delete", 0, 40)),
+      Some(TableMetadata.AppendDelta(Nil)))
+    committed.manifests shouldBe base.manifests // zero chunk churn
+    TableMetadata.clearRenderCacheForTesting()
+    TableMetadata.load(dir).deleteFiles.map(_.path) shouldBe
+      Seq("deletes/d1.parquet")
+    graft.catalog.Fs.deleteRecursively(dir)
+  }
+
+  test("a DRIFTED declaration falls back to full verification, never corrupts") {
+    // the declaration claims pure append but the attempt also REMOVED a
+    // file: the O(delta) path must refuse (count mismatch) and the
+    // scanning path must land the truth
+    val (dir, base) = freshDeltaTable(40)
+    val add = Seq("data/c1/a.parquet")
+    val dropped = base.files.head
+    val attempt = base.copy(
+      version = 3, files = base.files.tail ++ add,
+      fileRows = (base.fileRows - dropped) ++ add.map(_ -> 5L),
+      snapshots = base.snapshots :+ Snapshot(3, 3L, "rewrite", 1, 40))
+    val committed = TableMetadata.commit(dir, attempt,
+      Some(TableMetadata.AppendDelta(add)))
+    TableMetadata.clearRenderCacheForTesting()
+    val loaded = TableMetadata.load(dir)
+    loaded.files should not contain dropped
+    loaded.files should contain("data/c1/a.parquet")
+    loaded.files.size shouldBe 40
+    // a declaration re-adding an EXISTING file must also fall back
+    val attempt2 = loaded.copy(
+      version = 4, files = loaded.files,
+      snapshots = loaded.snapshots :+ Snapshot(4, 4L, "noop", 0, 40))
+    val c2 = TableMetadata.commit(dir, attempt2,
+      Some(TableMetadata.AppendDelta(Seq(loaded.files.head))))
+    c2.files.size shouldBe 40
+    graft.catalog.Fs.deleteRecursively(dir)
+  }
+
+  test("the scanning fast path itself: cached predecessor, pure append, no declaration") {
+    val (dir, base) = freshDeltaTable(40)
+    // the state is cache-seeded by freshDeltaTable's commits; an
+    // UNDECLARED pure append must still reuse every chunk
+    val add = Seq("data/c2/x.parquet")
+    val committed = TableMetadata.commit(dir, base.copy(
+      version = 3, files = base.files ++ add,
+      fileRows = base.fileRows ++ add.map(_ -> 7L),
+      snapshots = base.snapshots :+ Snapshot(3, 3L, "append", 1, 41)))
+    committed.manifests.map(_.path) should contain allElementsOf
+      base.manifests.map(_.path)
+    committed.manifests.size shouldBe base.manifests.size + 1
+    // and a seq CHANGE on a retained file must rewrite its chunk (the
+    // scan catches what the count arithmetic cannot)
+    val resequenced = committed.copy(
+      version = 4,
+      fileSeq = committed.fileSeq + (base.files.head -> 1),
+      snapshots = committed.snapshots :+ Snapshot(4, 4L, "rollback", 0, 41))
+    val c2 = TableMetadata.commit(dir, resequenced)
+    TableMetadata.clearRenderCacheForTesting()
+    val loaded = TableMetadata.load(dir)
+    loaded.fileSeq(base.files.head) shouldBe 1
+    graft.catalog.Fs.deleteRecursively(dir)
+  }
 }

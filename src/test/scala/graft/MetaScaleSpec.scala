@@ -21,9 +21,14 @@ class MetaScaleSpec extends AnyFunSuite with Matchers {
   test("BenchMeta harness: summary/pruned-resolve/mirror counters hold their bounds") {
     val dir = Files.createTempDirectory("graft-meta-scale-")
     try {
-      val r = BenchMeta.run(dir, filesPerChunk = 500, chunks = 6)
-      r.files shouldBe 6 * 500 + 200 // 6 chunk commits + two 100-file appends
+      val r = BenchMeta.run(dir, filesPerChunk = 500, chunks = 6,
+        deltaTableChunks = 4)
+      // 6 chunk commits + three 100-file appends (warm, cold-state, mirror)
+      r.files shouldBe 6 * 500 + 300
       r.chunks should be >= 7
+
+      // the DECLARED-append table: predecessor + three 100-file appends
+      r.files1m shouldBe 4 * 500 + 300
 
       // catalog-serving summary load: zero chunks parsed, zero chunk bytes
       r.coldSummaryChunksParsed shouldBe 0L

@@ -549,6 +549,56 @@ def rest_discover(base_url, table_name):
         f"table {table_name} not found in catalog {base_url}")
 
 
+def verify_statistics(meta, name_by_id, cols, rows, filtered):
+    """Verify the exported Iceberg `statistics` entry (Puffin file):
+    structure per the public puffin-spec (magics, footer layout,
+    blob offsets), then every graft-ndv-v1 blob's NDV claim — both the
+    footer property and the 8-byte big-endian payload — against the
+    exact distinct count of the final merged rows. HLL++ (Spark's
+    approx_count_distinct, rsd 0.05) is allowed 15% + 5 absolute;
+    a claim outside that band, a malformed file, or a payload that
+    disagrees with its own property fails loudly. Skipped under
+    --filter (the merged rows are then a pruned subset the stats were
+    never about). Returns blobs verified (0 = no statistics entry)."""
+    stats = meta.get("statistics") or []
+    if not stats or filtered:
+        return 0
+    import struct
+    checked = 0
+    col_idx = {c: i for i, c in enumerate(cols)}
+    for entry in stats:
+        raw = Path(local_path(entry["statistics-path"])).read_bytes()
+        assert len(raw) == entry["file-size-in-bytes"], \
+            "statistics file size disagrees with the metadata entry"
+        magic = b"PFA1"
+        assert raw[:4] == magic and raw[-4:] == magic, "bad puffin magic"
+        payload_size = struct.unpack("<i", raw[-12:-8])[0]
+        flags = struct.unpack("<i", raw[-8:-4])[0]
+        assert flags == 0, "compressed footer payload unsupported"
+        footer_start = len(raw) - 12 - payload_size - 4
+        assert raw[footer_start:footer_start + 4] == magic, \
+            "bad puffin footer magic"
+        assert len(raw) - footer_start == entry["file-footer-size-in-bytes"]
+        footer = json.loads(
+            raw[footer_start + 4:footer_start + 4 + payload_size].decode())
+        for blob in footer.get("blobs", []):
+            if blob["type"] != "graft-ndv-v1":
+                continue
+            claimed = int(blob["properties"]["ndv"])
+            payload = raw[blob["offset"]:blob["offset"] + blob["length"]]
+            assert struct.unpack(">q", payload)[0] == claimed, \
+                "puffin payload disagrees with its own ndv property"
+            col = name_by_id[blob["fields"][0]]
+            i = col_idx[col]
+            exact = len({r[i] for r in rows if r[i] is not None})
+            tol = max(5, 0.15 * exact)
+            assert abs(claimed - exact) <= tol, (
+                f"NDV claim for {col} is {claimed}, exact distinct of the "
+                f"merged rows is {exact} (tolerance {tol:.0f})")
+            checked += 1
+    return checked
+
+
 def load_metadata(table_ref):
     """The current metadata document — from a table DIRECTORY (mirror
     hint file) or from an Iceberg REST catalog loadTable URL
@@ -721,6 +771,10 @@ def read_iceberg_table(table_dir, ref=None, filt=None, check_buckets=False,
                         (op == "<" and x < want) or (op == "<=" and x <= want))
             live = [r for r in live if keep(r[fi])]
         rows.extend(live)
+    if check_bounds:
+        n_blobs = verify_statistics(meta, name_by_id, cols, rows, bool(filt))
+        if n_blobs:
+            print(f"STATISTICS VERIFIED ({n_blobs} NDV blobs)")
     return cols, rows, len(data_files), total_data
 
 
