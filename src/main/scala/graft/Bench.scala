@@ -217,8 +217,29 @@ object Bench {
         .flatMap(_.toDoubleOption).getOrElse(0.0)
       (load1, stealOver(250))
     }
-    val quietWaits = BenchGuard.awaitQuietHost(
-      cpus.toInt, maxWaits = 6, sleepMs = 20000L, probe, Thread.sleep)
+    // SPARK_GRAFT_ONLY=q37,q42 — solo-run a subset for A/B profiling:
+    // a query that is slow in the full suite but matches its
+    // historical time solo is suffering accumulated-JVM-state drift
+    // (code cache, GC heap shape), not a plan regression
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // A SOLO adjudication run must measure from a drained host (load1
+    // <= 2, the soloConfirms threshold) — the parent bench is BLOCKED
+    // while the solo runs, so its own load decays away during this
+    // wait; only genuine external contention keeps the solo
+    // unadjudicated. The threshold rides awaitQuietHost's cpus/2 rule
+    // with cpus = 4. Full runs keep the ordinary cpus/2 gate: the
+    // bench's own 32-thread execution legitimately loads the box.
+    val quietWaits =
+      if (only.isEmpty) BenchGuard.awaitQuietHost(
+        cpus.toInt, maxWaits = 6, sleepMs = 20000L, probe, Thread.sleep)
+      else BenchGuard.awaitQuietHost(
+        4, maxWaits = 8, sleepMs = 30000L, probe, Thread.sleep)
+    // stamped into a solo's stdout line: the parent gates CONFIRMATION
+    // on the load the child actually measured under, not on the load
+    // at spawn time (which includes the parent's own just-idled work)
+    val load1BeforeRun = loadAvg().split(",").headOption
+      .flatMap(_.toDoubleOption).getOrElse(999.0)
     val ticksBefore = cpuTicks()
     val loadBefore = loadAvg()
     // Warm up the JVM/codegen and the file-system cache so the first
@@ -259,12 +280,6 @@ object Bench {
     // AnalysisException). Any throw in warm-up or a timed sample marks the
     // query failed; failed queries are excluded from `total` and listed
     // under a "failed" key in both the stdout line and BENCH_FULL.json.
-    // SPARK_GRAFT_ONLY=q37,q42 — solo-run a subset for A/B profiling:
-    // a query that is slow in the full 152-query suite but matches its
-    // historical time solo is suffering accumulated-JVM-state drift
-    // (code cache, GC heap shape), not a plan regression
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case None => SparkEntry.queries
       case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
@@ -305,7 +320,7 @@ object Bench {
     // query, its own warm-up — so the sample measures the plan on a
     // clean JVM. Any spawn/parse/timeout failure yields None and is
     // IGNORED (never poisons the query's 3 valid samples or `failure`).
-    def soloFreshJvm(name: String): Option[Double] =
+    def soloFreshJvm(name: String): Option[(Double, Double)] =
       try {
         val javaBin = java.nio.file.Paths.get(
           System.getProperty("java.home"), "bin", "java").toString
@@ -338,16 +353,27 @@ object Bench {
         else {
           import org.json4s._
           out.linesIterator.find(_.startsWith("""{"metric"""")).flatMap { line =>
-            (org.json4s.jackson.JsonMethods.parse(line) \ "queries" \ name) match {
+            val parsed = org.json4s.jackson.JsonMethods.parse(line)
+            val t = (parsed \ "queries" \ name) match {
               case JDouble(d) => Some(d)
               case JInt(i) => Some(i.toDouble)
               case JDecimal(d) => Some(d.toDouble)
               case _ => None
             }
+            // the load the CHILD measured under; a child too old to
+            // stamp it reads as not-quiet (999) and cannot confirm
+            val l1 = (parsed \ "load1_before") match {
+              case JDouble(d) => d
+              case JInt(i) => i.toDouble
+              case JDecimal(d) => d.toDouble
+              case _ => 999.0
+            }
+            t.map(_ -> l1)
           }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    // (historical min, fresh-JVM solo min, load1 at solo spawn)
+    // (historical min, fresh-JVM solo min, load1 the CHILD stamped
+    // right before its measurement — after its own drained-host wait)
     final case class Drift(
         historical: Double, solo: Option[Double], load1AtSpawn: Double)
     final case class Sample(
@@ -407,11 +433,10 @@ object Bench {
             var drift: Option[Drift] = None
             if (failure.isEmpty && only.isEmpty) history.get(name).foreach { h =>
               if (BenchGuard.historyDrift(samples.min, h)) {
-                val load1AtSpawn = loadAvg().split(",").headOption
-                  .flatMap(_.toDoubleOption).getOrElse(999.0)
                 val solo = soloFreshJvm(name)
-                solo.foreach(s => samples = (samples :+ s).sorted)
-                drift = Some(Drift(h, solo, load1AtSpawn))
+                solo.foreach { case (t, _) => samples = (samples :+ t).sorted }
+                drift = Some(Drift(h, solo.map(_._1),
+                  solo.map(_._2).getOrElse(999.0)))
               }
             }
             failure.toLeft(Sample(samples, contended, drift))
@@ -424,8 +449,12 @@ object Bench {
     def dict(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val failedArr = failed.map(f => s""""${f._1}"""").mkString("[", ",", "]")
+    // solo (SPARK_GRAFT_ONLY) lines carry the pre-measurement load so
+    // the parent can gate confirmation on the child's actual conditions
+    val soloLoadJson =
+      if (only.isEmpty) "" else f""","load1_before":$load1BeforeRun%.2f"""
     def line(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr$soloLoadJson,"sf":"$sfDir"}"""
     // Full-precision per-query timings for the judge (the stdout line is
     // tail-captured with a bounded window, so it must stay short). Each
     // query records its sorted [min, med, max] samples so a contended

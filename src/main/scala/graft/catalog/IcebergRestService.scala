@@ -89,9 +89,13 @@ object IcebergRestService {
   private def servesAsNamespace(dir: Path): Boolean =
     Files.isDirectory(dir) && !isTable(dir) && hasMirroredTable(dir)
 
-  private def hasMirroredTable(dir: Path): Boolean =
-    Fs.children(dir).exists(c =>
-      isTable(c) || (Files.isDirectory(c) && hasMirroredTable(c)))
+  // depth-bounded: a symlink cycle under the warehouse must surface as
+  // "not a namespace", never as a StackOverflowError (an Error escapes
+  // the handler's NonFatal catch and leaves the exchange unanswered).
+  // 64 levels is far beyond any real namespace nesting.
+  private def hasMirroredTable(dir: Path, depth: Int = 0): Boolean =
+    depth < 64 && Fs.children(dir).exists(c =>
+      isTable(c) || (Files.isDirectory(c) && hasMirroredTable(c, depth + 1)))
 
   private def childNamespacesOf(dir: Path): Seq[String] =
     if (!Files.isDirectory(dir)) Nil
@@ -206,17 +210,26 @@ object IcebergRestService {
         try Right(x.getRequestURI.getRawPath.split('/')
           .drop(2).filter(_.nonEmpty).map(pctDecode).toSeq) // after /v1
         catch { case e: IllegalArgumentException => Left(e.getMessage) }
-      val query: Map[String, String] =
-        Option(x.getRequestURI.getRawQuery).getOrElse("").split('&')
-          .filter(_.nonEmpty).flatMap { kv =>
+      // a malformed escape in a query value must be a 400, not a
+      // silently dropped parameter (?parent=bad%zz answering the
+      // TOP-LEVEL listing would hand a tree-walking client wrong
+      // results instead of an error)
+      val queryOrErr: Either[String, Map[String, String]] =
+        try Right(Option(x.getRequestURI.getRawQuery).getOrElse("")
+          .split('&').filter(_.nonEmpty).map { kv =>
             val (k, v) = kv.split("=", 2) match {
-              case Array(k, v) => (k, v)
-              case Array(k) => (k, "")
+              case Array(k2, v2) => (k2, v2)
+              case Array(k2) => (k2, "")
             }
-            try Some(pctDecode(k) -> pctDecode(v))
-            catch { case _: IllegalArgumentException => None }
-          }.toMap
+            pctDecode(k) -> pctDecode(v)
+          }.toMap)
+        catch { case e: IllegalArgumentException => Left(e.getMessage) }
+      val query = queryOrErr.getOrElse(Map.empty)
       val pageToken = query.get("pageToken").filter(_.nonEmpty)
+      // a pageToken that is not base64url is a client error, not a 500
+      val pageTokenValid = pageToken.forall(t =>
+        try { java.util.Base64.getUrlDecoder.decode(t); true }
+        catch { case _: IllegalArgumentException => false })
       val pageSize = query.get("pageSize").flatMap(_.toIntOption)
       def paged(sorted: Seq[String], key: String,
           render: String => JValue): JObject = {
@@ -227,6 +240,12 @@ object IcebergRestService {
       if (method != "GET" && method != "HEAD") {
         err(x, 405, "UnsupportedOperationException",
           "this catalog endpoint is read-only: writes go through the engine")
+      } else if (queryOrErr.isLeft) {
+        err(x, 400, "BadRequestException",
+          s"malformed percent escape in query: ${queryOrErr.left.getOrElse("")}")
+      } else if (!pageTokenValid) {
+        err(x, 400, "BadRequestException",
+          s"malformed pageToken: not base64url")
       } else decoded match {
         case Left(msg) =>
           err(x, 400, "BadRequestException", s"malformed percent escape: $msg")

@@ -224,12 +224,13 @@ class LakehouseRowLevelOperation(
     val props = IdentityColumns.advance(base.properties,
       IdentityColumns.committedExtreme(base.schema, base.properties, newStats,
         footers.view.mapValues(_.rows).toMap))
+    val keptSet = kept.toSet
     TableMetadata.commitOrRebase(tableDir, base = base, attempt = base.copy(
       version = base.version + 1,
       files = allFiles,
       properties = props,
-      fileStats = base.fileStats.view.filterKeys(kept.toSet.contains).toMap ++ newStats,
-      fileRows = base.fileRows.view.filterKeys(kept.toSet.contains).toMap ++
+      fileStats = base.fileStats.view.filterKeys(keptSet.contains).toMap ++ newStats,
+      fileRows = base.fileRows.view.filterKeys(keptSet.contains).toMap ++
         footers.view.mapValues(_.rows).toMap,
       snapshots = base.snapshots :+ Snapshot(
         base.version + 1, System.currentTimeMillis(),

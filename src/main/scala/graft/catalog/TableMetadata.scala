@@ -785,12 +785,21 @@ object TableMetadata {
     * re-verifying its entries, which is what keeps a streaming
     * append's driver CPU flat from 200k to 1M files (the verification
     * scan is memory-bound hash probing, ~1-2 µs/file at 1M — see
-    * BENCH_META's commit_append columns for both shapes). The claim is
-    * still guarded: each added file must be genuinely new and the
-    * attempt's file count must be predecessor + |addedFiles| — any
-    * mismatch falls back to full verification, so a drifted caller
-    * loses the speed, never correctness. Deletion-only commits (MoR
-    * DML) pass an EMPTY delta and reuse every chunk in O(1). */
+    * BENCH_META's commit_append columns for both shapes).
+    *
+    * What the guards CATCH (any failure falls back to full
+    * verification): a declared file that already exists, duplicate or
+    * non-tail-positioned declared files, and a file count that does
+    * not reconcile to predecessor + |addedFiles|. What is TRUSTED by
+    * the declaration: the retained prefix — that it is exactly the
+    * predecessor's files with unchanged rows/stats/seq records. Every
+    * call site passing a delta constructs `files = base.files ++
+    * addedFiles` from a freshly loaded base and never touches existing
+    * records, which is the contract; a caller that mutates the prefix
+    * while declaring an append writes a manifest list that no longer
+    * matches its in-memory attempt. Undeclared commits always take the
+    * verifying paths. Deletion-only commits (MoR DML) pass an EMPTY
+    * delta and reuse every chunk in O(1). */
   final case class AppendDelta(addedFiles: Seq[String])
 
   /** Everything a successor commit needs to know about a rendered
@@ -821,6 +830,39 @@ object TableMetadata {
     renderCache.synchronized { renderCache.put(renderKey(f), st); () }
   private[graft] def clearRenderCacheForTesting(): Unit =
     renderCache.synchronized(renderCache.clear())
+
+  /** Shared tail of the O(delta) and scanning fast paths: extend a
+    * verified predecessor state by `freshFiles` — write their chunks,
+    * extend the seq map and path set persistently, reuse every
+    * previous ref — and render the payload. */
+  private def extendState(
+      mdDir: Path, meta: TableMetadata, st: RenderedState,
+      freshFiles: Seq[String])
+      : (String, TableMetadata, Seq[Path], RenderedState) = {
+    val freshEntries = freshFiles.map(f => ManifestEntry(
+      f, meta.fileRows.get(f), meta.fileSeq.getOrElse(f, meta.version),
+      meta.fileStats.getOrElse(f, Map.empty)))
+    val (freshRefs, freshChunks, newPaths) =
+      if (freshEntries.isEmpty)
+        (Seq.empty[ManifestRef],
+          Seq.empty[(ManifestRef, Seq[ManifestEntry])], Seq.empty[Path])
+      else {
+        val rs = Manifests.write(mdDir, meta.version, freshEntries,
+          summaryColumns(meta), meta.schema)
+        val groups = freshEntries.grouped(Manifests.ChunkSize).toSeq
+        require(rs.size == groups.size,
+          s"manifest write chunking drifted: ${rs.size} refs for " +
+            s"${groups.size} groups")
+        (rs, rs.zip(groups), rs.map(r => mdDir.resolve(r.path)))
+      }
+    val sequencedSeq =
+      st.seqByPath ++ freshEntries.iterator.map(e => e.path -> e.seq)
+    val outRefs = st.refs ++ freshRefs
+    val sequenced = meta.copy(fileSeq = sequencedSeq, manifests = outRefs)
+    val next = RenderedState(outRefs, st.chunks ++ freshChunks,
+      st.pathSet ++ freshFiles, sequencedSeq)
+    (sequenced.payloadJson, sequenced, newPaths, next)
+  }
 
   /** The storage half of a commit, shared by the main log and the
     * branch logs ([[Maintenance]]): sequence `meta` against the
@@ -893,43 +935,23 @@ object TableMetadata {
     }
 
     // ---- O(delta) path: the caller DECLARED a pure append ------------
-    // (see [[AppendDelta]]). Verification is O(|addedFiles|) plus one
-    // length traversal of meta.files: each declared file must be new,
-    // and the attempt's size must equal predecessor + additions — a
-    // caller whose attempt drifted from its declaration (removed a
-    // file, re-added an existing one) falls through to the scanning
-    // paths below and still commits correctly.
+    // (see [[AppendDelta]]). Verification is O(|addedFiles|) plus two
+    // traversals of meta.files (length + tail): each declared file
+    // must be new and distinct, the attempt's size must equal
+    // predecessor + additions, and the declared files must BE the tail
+    // of meta.files (every conforming call site appends them there; a
+    // declaration naming file y while the attempt actually gained x
+    // would otherwise write a manifest for phantom y and silently drop
+    // x). Any mismatch falls through to the scanning paths below and
+    // still commits correctly.
     val deltaResult = for {
       st <- state
       d <- delta
       if d.addedFiles.forall(f => !st.pathSet.contains(f)) &&
         d.addedFiles.toSet.size == d.addedFiles.size &&
-        meta.files.size == st.pathSet.size + d.addedFiles.size
-    } yield {
-      val freshEntries = d.addedFiles.map(f => ManifestEntry(
-        f, meta.fileRows.get(f), meta.fileSeq.getOrElse(f, meta.version),
-        meta.fileStats.getOrElse(f, Map.empty)))
-      val (freshRefs, freshChunks, newPaths) =
-        if (freshEntries.isEmpty)
-          (Seq.empty[ManifestRef],
-            Seq.empty[(ManifestRef, Seq[ManifestEntry])], Seq.empty[Path])
-        else {
-          val rs = Manifests.write(mdDir, meta.version, freshEntries,
-            summaryColumns(meta), meta.schema)
-          val groups = freshEntries.grouped(Manifests.ChunkSize).toSeq
-          require(rs.size == groups.size,
-            s"manifest write chunking drifted: ${rs.size} refs for " +
-              s"${groups.size} groups")
-          (rs, rs.zip(groups), rs.map(r => mdDir.resolve(r.path)))
-        }
-      val sequencedSeq =
-        st.seqByPath ++ freshEntries.iterator.map(e => e.path -> e.seq)
-      val outRefs = st.refs ++ freshRefs
-      val sequenced = meta.copy(fileSeq = sequencedSeq, manifests = outRefs)
-      val next = RenderedState(outRefs, st.chunks ++ freshChunks,
-        st.pathSet ++ d.addedFiles, sequencedSeq)
-      (sequenced.payloadJson, sequenced, newPaths, next)
-    }
+        meta.files.size == st.pathSet.size + d.addedFiles.size &&
+        meta.files.takeRight(d.addedFiles.size) == d.addedFiles
+    } yield extendState(mdDir, meta, st, d.addedFiles)
     if (deltaResult.isDefined) return deltaResult.get
 
     // ---- fast path: pure append against a known predecessor ----------
@@ -958,32 +980,7 @@ object TableMetadata {
             else (s2 eq e.stats) || s2 == e.stats
           }
       if (!noRemovals || !st.chunks.forall(_._2.forall(desiredSame))) None
-      else {
-        val freshEntries = fresh.toSeq.map(f => ManifestEntry(
-          f, meta.fileRows.get(f), meta.fileSeq.getOrElse(f, meta.version),
-          meta.fileStats.getOrElse(f, Map.empty)))
-        val (freshRefs, freshChunks, newPaths) =
-          if (freshEntries.isEmpty)
-            (Seq.empty[ManifestRef],
-              Seq.empty[(ManifestRef, Seq[ManifestEntry])], Seq.empty[Path])
-          else {
-            val rs = Manifests.write(mdDir, meta.version, freshEntries,
-              summaryColumns(meta), meta.schema)
-            val groups =
-              freshEntries.grouped(Manifests.ChunkSize).toSeq
-            require(rs.size == groups.size,
-              s"manifest write chunking drifted: ${rs.size} refs for " +
-                s"${groups.size} groups")
-            (rs, rs.zip(groups), rs.map(r => mdDir.resolve(r.path)))
-          }
-        val sequencedSeq =
-          st.seqByPath ++ freshEntries.iterator.map(e => e.path -> e.seq)
-        val outRefs = st.refs ++ freshRefs
-        val sequenced = meta.copy(fileSeq = sequencedSeq, manifests = outRefs)
-        val next = RenderedState(outRefs, st.chunks ++ freshChunks,
-          st.pathSet ++ fresh, sequencedSeq)
-        Some((sequenced.payloadJson, sequenced, newPaths, next))
-      }
+      else Some(extendState(mdDir, meta, st, fresh.toSeq))
     }.getOrElse {
       // ---- full verification: removals, record changes, legacy ------
       val prevByRef: Seq[(ManifestRef, Seq[ManifestEntry])] =

@@ -1967,8 +1967,12 @@ object Relational {
       val port = s.sql(s"CALL $cat.system.start_rest_catalog(0)")
         .collect()(0).getLong(0)
       try {
+        // dot-QUALIFIED discovery ref: the shared warehouse holds one
+        // rml_<sf> namespace per scale factor, and a bare table name
+        // would resolve to whichever namespace sorts first — a sf0.1
+        // run would diff against the sf0.01 fixture
         val (verdict, rows, _) = pythonIcebergCheck(s,
-          s"http://127.0.0.1:$port/v1#supplier_ml", s.table(t), None)
+          s"http://127.0.0.1:$port/v1#$ns.sub.supplier_ml", s.table(t), None)
         Seq((verdict, rows)).toDF("verdict", "rows_read")
       } finally {
         s.sql(s"CALL $cat.system.stop_rest_catalog($port)").collect()

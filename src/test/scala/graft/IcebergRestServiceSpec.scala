@@ -122,6 +122,9 @@ class IcebergRestServiceSpec extends AnyFunSuite with Matchers {
       // a malformed escape is a 400, not a 500 (the JDK client refuses
       // to even build such a URI, so probe over a raw socket)
       rawGetStatus(port, "/v1/namespaces/bad%zz") shouldBe 400
+      // ...in a QUERY value too: silently dropping the parent would
+      // answer the top-level listing to a client asking for a subtree
+      rawGetStatus(port, "/v1/namespaces?parent=bad%zz") shouldBe 400
 
       // read-only: every mutating verb is refused
       val del = http.send(
@@ -244,6 +247,9 @@ class IcebergRestServiceSpec extends AnyFunSuite with Matchers {
       }
       pages shouldBe 3 // one per table; the last page carries no token
       seen.toList shouldBe List("pa", "pb", "pc") // sorted, no dup/skip
+      // a garbage pageToken is a client error, not a 500
+      get(s"$base/namespaces/rest_pg/tables?pageSize=1&pageToken=!!not-b64!!")
+        ._1 shouldBe 400
       // an unpaged request still returns everything at once
       val (fc, fb) = get(s"$base/namespaces/rest_pg/tables")
       fc shouldBe 200

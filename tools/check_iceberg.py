@@ -504,14 +504,21 @@ def verify_buckets(meta, schema, name_by_id, data_files, con) -> int:
     return checked
 
 
-def rest_discover(base_url, table_name):
+def rest_discover(base_url, table_ref):
     """BFS the catalog's namespace tree over REST and return the
-    loadTable URL of the table named `table_name`. Independent of the
+    loadTable URL of the referenced table. `table_ref` is either a
+    bare table name (first match wins — fine for a unique name) or a
+    dot-qualified `ns[.ns2...].table`, which must match BOTH the full
+    namespace path and the name (the shared warehouse accumulates
+    fixtures per scale factor, and a bare `supplier_ml` would resolve
+    to whichever SF's namespace sorts first). Independent of the
     engine's own client code: listings go through the spec's parent=
     parameter (multi-level namespaces %1F-joined), and EVERY listing
     request uses pageSize=1 so the next-page-token/pageToken protocol
     is exercised on each walk, not just on catalogs that happen to be
     large."""
+    want_ns, _, table_name = table_ref.rpartition(".")
+    want_levels = want_ns.split(".") if want_ns else None
     import urllib.request
     import urllib.parse
 
@@ -535,7 +542,7 @@ def rest_discover(base_url, table_name):
     while queue:
         ns = queue.pop(0)
         enc = urllib.parse.quote("\x1f".join(ns), safe="")
-        if ns:
+        if ns and (want_levels is None or ns == want_levels):
             for ident in paged(f"{base_url}/namespaces/{enc}/tables",
                                "identifiers"):
                 if ident["name"] == table_name:
@@ -546,7 +553,7 @@ def rest_discover(base_url, table_name):
             list_url += "?parent=" + enc
         queue.extend(paged(list_url, "namespaces"))
     raise FileNotFoundError(
-        f"table {table_name} not found in catalog {base_url}")
+        f"table {table_ref} not found in catalog {base_url}")
 
 
 def verify_statistics(meta, name_by_id, cols, rows, filtered):
