@@ -640,12 +640,12 @@ object IcebergExport {
     * JSON for the metadata document's `blob-metadata`). */
   private def writePuffin(
       target: Path, snapshotId: Long, sequenceNumber: Int,
-      ndvByFieldId: Seq[(Int, Long)], statsVersion: Option[String])
+      ndvByFieldId: Seq[(Int, Long, String)], statsVersion: Option[String])
       : (Long, Long, List[JValue]) = {
     val magic = Array[Byte]('P', 'F', 'A', '1')
     val out = new java.io.ByteArrayOutputStream()
     out.write(magic)
-    val blobs: List[JObject] = ndvByFieldId.map { case (fid, ndv) =>
+    val blobs: List[JObject] = ndvByFieldId.map { case (fid, ndv, encoded) =>
       val offset = out.size().toLong
       out.write(java.nio.ByteBuffer.allocate(8).putLong(ndv).array())
       JObject(
@@ -656,7 +656,12 @@ object IcebergExport {
         "offset" -> JLong(offset),
         "length" -> JLong(8L),
         "properties" -> JObject(
-          List("ndv" -> (JString(ndv.toString): JValue)) ++
+          List(
+            "ndv" -> (JString(ndv.toString): JValue),
+            // the full TableStats encoding (ndv:nulls[:avgLen:maxLen]):
+            // an import round-trips the whole CBO column stat, not
+            // just ndv
+            "graft-col-stats" -> (JString(encoded): JValue)) ++
             statsVersion.map(v =>
               "graft-stats-version" -> (JString(v): JValue)).toList))
     }.toList
@@ -682,6 +687,44 @@ object IcebergExport {
     } finally Files.deleteIfExists(tmp)
     (bytes.length.toLong, (bytes.length - footerStart).toLong,
       blobs.map(b => b: JValue))
+  }
+
+  /** Parse a Puffin statistics file written by [[writePuffin]] (or any
+    * conformant writer): validates both magics and the footer layout,
+    * returns each blob's (type, field-ids, properties). Blob payloads
+    * are not materialized — graft's own blobs mirror their payload in
+    * properties, and foreign types (e.g. datasketches) are skipped by
+    * the caller anyway. */
+  private[graft] def readPuffinBlobs(
+      file: Path): Seq[(String, Seq[Int], Map[String, String])] = {
+    val raw = Files.readAllBytes(file)
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    def magicAt(off: Int): Boolean =
+      off >= 0 && off + 4 <= raw.length &&
+        java.util.Arrays.equals(raw.slice(off, off + 4), magic)
+    require(magicAt(0) && magicAt(raw.length - 4),
+      s"not a puffin file: $file")
+    val bb = java.nio.ByteBuffer.wrap(raw)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val payloadSize = bb.getInt(raw.length - 12)
+    val flags = bb.getInt(raw.length - 8)
+    require(flags == 0, s"compressed puffin footer unsupported: $file")
+    val footerStart = raw.length - 12 - payloadSize - 4
+    require(magicAt(footerStart), s"bad puffin footer magic: $file")
+    val footer = JsonMethods.parse(new String(
+      raw.slice(footerStart + 4, footerStart + 4 + payloadSize),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[JObject].obj.toMap
+    footer.get("blobs").collect { case JArray(bs) => bs }.getOrElse(Nil)
+      .map(_.asInstanceOf[JObject].obj.toMap)
+      .map { b =>
+        def str(v: JValue) = v match { case JString(x) => x; case o => o.values.toString }
+        val tpe = str(b("type"))
+        val fields = b.get("fields").collect { case JArray(fs) => fs }
+          .getOrElse(Nil).map(_.values.toString.toInt)
+        val props = b.get("properties").collect { case o: JObject =>
+          o.obj.toMap.map { case (k, v) => k -> str(v) } }.getOrElse(Map.empty)
+        (tpe, fields, props)
+      }
   }
 
   private def exportSnapshotLocked(
@@ -1231,11 +1274,12 @@ object IcebergExport {
     // (the same drift every warehouse's ANALYZE has); the version is
     // recorded on every blob so a reader can judge staleness.
     val statisticsJson: Option[JValue] = {
-      val ndvs: Seq[(Int, Long)] = meta.schema.fieldNames.toSeq.flatMap { c =>
-        meta.properties.get(TableStats.colProp(c))
-          .flatMap(_.split(':').headOption.flatMap(_.toLongOption))
-          .filter(_ >= 0L)
-          .flatMap(ndv => ids.get(c).map(_ -> ndv))
+      val ndvs: Seq[(Int, Long, String)] = meta.schema.fieldNames.toSeq.flatMap { c =>
+        meta.properties.get(TableStats.colProp(c)).flatMap { encoded =>
+          encoded.split(':').headOption.flatMap(_.toLongOption)
+            .filter(_ >= 0L)
+            .flatMap(ndv => ids.get(c).map(id => (id, ndv, encoded)))
+        }
       }
       if (ndvs.isEmpty) None
       else {

@@ -650,6 +650,38 @@ object IcebergImport {
         Maintenance.TagPrefix + n -> v.toString,
         Maintenance.TagCreatedPrefix + n -> System.currentTimeMillis().toString))
       val rels = snapFiles.map(_._2)
+      // ANALYZE statistics round trip: a statistics entry for the
+      // imported MAIN snapshot (our own export's Puffin, or any
+      // conformant writer using graft-ndv-v1 blobs) lands as
+      // graft.stats.* properties, so Spark's CBO plans the imported
+      // table with the source's measured NDV/null counts instead of
+      // re-ANALYZE-ing. Foreign blob types (datasketches etc.) skip —
+      // no sketch runtime ships offline to deserialize them honestly.
+      val statsProps: Map[String, String] =
+        if (!isMain) Map.empty
+        else {
+          val rowsTotal = snapFiles.iterator.map(_._3.rows).sum
+          val colProps = m.get("statistics").collect { case JArray(a) => a }
+            .getOrElse(Nil).map(_.asInstanceOf[JObject].obj.toMap)
+            .filter(e => jlong(e("snapshot-id")) == mainSnapId)
+            .flatMap { e =>
+              val pf = asLocal(e("statistics-path") match {
+                case JString(x) => x; case o => o.values.toString })
+              try IcebergExport.readPuffinBlobs(pf).collect {
+                case ("graft-ndv-v1", Seq(fid), props)
+                    if nameById.contains(fid) =>
+                  TableStats.colProp(nameById(fid)) ->
+                    props.getOrElse("graft-col-stats",
+                      s"${props.getOrElse("ndv", "0")}:0")
+              } catch {
+                case scala.util.control.NonFatal(_) => Nil // stats are advisory
+              }
+            }.toMap
+          if (colProps.isEmpty) Map.empty
+          else colProps ++ Map(
+            TableStats.NumRowsProp -> rowsTotal.toString,
+            TableStats.VersionProp -> v.toString)
+        }
       base = TableMetadata.commit(dir, base.copy(
         version = v,
         files = rels,
@@ -658,7 +690,7 @@ object IcebergImport {
         fileRows = snapFiles.map { case (_, rel, f) => rel -> f.rows }.toMap,
         fileSeq = snapFiles.map { case (r, rel, _) => rel -> fileRank(r.seq) }.toMap,
         deleteFiles = snapDeletes,
-        properties = base.properties ++ tagProps ++
+        properties = base.properties ++ tagProps ++ statsProps ++
           (if (isMain) Map(
             "graft.import.source" -> metaPath.toString,
             "graft.import.snapshot" -> mainSnapId.toString)

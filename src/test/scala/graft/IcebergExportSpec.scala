@@ -1242,4 +1242,46 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
       .asInstanceOf[JArray].arr.size shouldBe 1
     spark.sql("DROP TABLE lakehouse.ice_ns.g")
   }
+  test("ANALYZE statistics round-trip: exported Puffin NDV imports as CBO properties") {
+    import graft.catalog.{TableMetadata, TableStats}
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    Seq("st", "st_imp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS lakehouse.ice_ns.$t"))
+    spark.sql("CREATE TABLE lakehouse.ice_ns.st (k INT, v STRING)")
+    Seq.tabulate(60)(i => (i % 20, s"s${i % 7}")).toDF("k", "v")
+      .createOrReplaceTempView("st_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.st SELECT * FROM st_src")
+    spark.sql("CALL lakehouse.system.analyze('ice_ns', 'st')")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'st')")
+    val md = tableDir("st").resolve("metadata")
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    val metaDoc = org.json4s.jackson.JsonMethods.parse(
+      Files.readString(md.resolve(s"v$hint.metadata.json")))
+      .asInstanceOf[org.json4s.JObject].obj.toMap
+    // the document advertises a statistics entry whose Puffin file the
+    // independent python reader also validates (q123 gate); here the
+    // SCALA reader parses it back and the import must round-trip it
+    val statsArr = metaDoc("statistics").asInstanceOf[org.json4s.JArray].arr
+    statsArr should not be empty
+    val statsPath = java.nio.file.Paths.get(java.net.URI.create(
+      statsArr.head.asInstanceOf[org.json4s.JObject].obj.toMap
+        .apply("statistics-path").asInstanceOf[org.json4s.JString].s))
+    val blobs = IcebergExport.readPuffinBlobs(statsPath)
+    blobs.map(_._1).distinct shouldBe Seq("graft-ndv-v1")
+    blobs should have size 2 // k and v both analyzable
+
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'st_imp', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}')")
+    val src = TableMetadata.load(tableDir("st")).properties
+    val imp = TableMetadata.load(tableDir("st_imp")).properties
+    // the full encoded stat (ndv:nulls[:avgLen:maxLen]) survives — the
+    // imported table plans under CBO with the source's measurements
+    imp(TableStats.colProp("k")) shouldBe src(TableStats.colProp("k"))
+    imp(TableStats.colProp("v")) shouldBe src(TableStats.colProp("v"))
+    imp(TableStats.colProp("k")).split(':').head shouldBe "20"
+    imp(TableStats.NumRowsProp) shouldBe "60"
+    // row counts agree through the import's own footer sums
+    spark.table("lakehouse.ice_ns.st_imp").count() shouldBe 60
+    Seq("st", "st_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+  }
 }
