@@ -698,6 +698,8 @@ object IcebergExport {
   private[graft] def readPuffinBlobs(
       file: Path): Seq[(String, Seq[Int], Map[String, String])] = {
     val raw = Files.readAllBytes(file)
+    // 4 magic + 4 magic + payload-size + flags + 4 magic minimum
+    require(raw.length >= 20, s"not a puffin file (truncated): $file")
     val magic = Array[Byte]('P', 'F', 'A', '1')
     def magicAt(off: Int): Boolean =
       off >= 0 && off + 4 <= raw.length &&

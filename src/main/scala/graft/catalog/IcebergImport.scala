@@ -651,36 +651,50 @@ object IcebergImport {
         Maintenance.TagCreatedPrefix + n -> System.currentTimeMillis().toString))
       val rels = snapFiles.map(_._2)
       // ANALYZE statistics round trip: a statistics entry for the
-      // imported MAIN snapshot (our own export's Puffin, or any
-      // conformant writer using graft-ndv-v1 blobs) lands as
-      // graft.stats.* properties, so Spark's CBO plans the imported
-      // table with the source's measured NDV/null counts instead of
-      // re-ANALYZE-ing. Foreign blob types (datasketches etc.) skip —
-      // no sketch runtime ships offline to deserialize them honestly.
+      // imported MAIN snapshot (our own export's Puffin, or any writer
+      // using graft-ndv-v1 blobs WITH the graft-col-stats property —
+      // an ndv-only blob is skipped rather than padded with fabricated
+      // null counts CBO would trust) lands as graft.stats.*
+      // properties, so Spark's CBO plans the imported table with the
+      // source's measured NDV/null counts instead of re-ANALYZE-ing.
+      // Foreign blob types (datasketches etc.) skip — no sketch
+      // runtime ships offline to deserialize them honestly. Imported
+      // only when the snapshot carries NO delete entries: raw file row
+      // sums overcount a MoR snapshot's live rows, and TableStats
+      // deliberately counts through the merged read. Stats are
+      // ADVISORY: any malformed entry degrades to no stats, never a
+      // failed import (the data files are already linked).
       val statsProps: Map[String, String] =
-        if (!isMain) Map.empty
-        else {
+        if (!isMain || snapDeletes.nonEmpty) Map.empty
+        else try {
           val rowsTotal = snapFiles.iterator.map(_._3.rows).sum
+          var sourceStatsVersion: Option[String] = None
           val colProps = m.get("statistics").collect { case JArray(a) => a }
-            .getOrElse(Nil).map(_.asInstanceOf[JObject].obj.toMap)
-            .filter(e => jlong(e("snapshot-id")) == mainSnapId)
+            .getOrElse(Nil).collect { case o: JObject => o.obj.toMap }
+            .filter(e => e.get("snapshot-id").exists(jlong(_) == mainSnapId))
             .flatMap { e =>
               val pf = asLocal(e("statistics-path") match {
                 case JString(x) => x; case o => o.values.toString })
-              try IcebergExport.readPuffinBlobs(pf).collect {
+              IcebergExport.readPuffinBlobs(pf).collect {
                 case ("graft-ndv-v1", Seq(fid), props)
-                    if nameById.contains(fid) =>
-                  TableStats.colProp(nameById(fid)) ->
-                    props.getOrElse("graft-col-stats",
-                      s"${props.getOrElse("ndv", "0")}:0")
-              } catch {
-                case scala.util.control.NonFatal(_) => Nil // stats are advisory
+                    if nameById.contains(fid) &&
+                      props.contains("graft-col-stats") =>
+                  sourceStatsVersion =
+                    sourceStatsVersion.orElse(props.get("graft-stats-version"))
+                  TableStats.colProp(nameById(fid)) -> props("graft-col-stats")
               }
             }.toMap
           if (colProps.isEmpty) Map.empty
           else colProps ++ Map(
             TableStats.NumRowsProp -> rowsTotal.toString,
-            TableStats.VersionProp -> v.toString)
+            TableStats.VersionProp -> v.toString) ++
+            // the source's own staleness marker survives the trip: a
+            // reader can still judge how far the NDVs trailed the
+            // source's data when they were exported
+            sourceStatsVersion.map(
+              "graft.stats.import.sourceVersion" -> _).toMap
+        } catch {
+          case scala.util.control.NonFatal(_) => Map.empty[String, String]
         }
       base = TableMetadata.commit(dir, base.copy(
         version = v,

@@ -1280,8 +1280,29 @@ class IcebergExportSpec extends AnyFunSuite with Matchers {
     imp(TableStats.colProp("v")) shouldBe src(TableStats.colProp("v"))
     imp(TableStats.colProp("k")).split(':').head shouldBe "20"
     imp(TableStats.NumRowsProp) shouldBe "60"
+    // the source's staleness marker survives the trip
+    imp should contain key "graft.stats.import.sourceVersion"
     // row counts agree through the import's own footer sums
     spark.table("lakehouse.ice_ns.st_imp").count() shouldBe 60
-    Seq("st", "st_imp").foreach(t => spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
+
+    // a MoR-dirty snapshot must NOT import stats: raw file row sums
+    // overcount its live rows, and CBO would trust the lie
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.st_mor")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.st_mor_imp")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.st_mor (k INT) " +
+      "TBLPROPERTIES ('graft.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO lakehouse.ice_ns.st_mor SELECT * FROM range(40)")
+    spark.sql("DELETE FROM lakehouse.ice_ns.st_mor WHERE k % 2 = 0")
+    spark.sql("CALL lakehouse.system.analyze('ice_ns', 'st_mor')")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'st_mor')")
+    val md2 = tableDir("st_mor").resolve("metadata")
+    val h2 = Files.readString(md2.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'st_mor_imp', " +
+      s"'${md2.resolve(s"v$h2.metadata.json")}')")
+    val impMor = TableMetadata.load(tableDir("st_mor_imp")).properties
+    impMor.keySet.exists(_.startsWith("graft.stats.")) shouldBe false
+    spark.table("lakehouse.ice_ns.st_mor_imp").count() shouldBe 20
+    Seq("st", "st_imp", "st_mor", "st_mor_imp").foreach(t =>
+      spark.sql(s"DROP TABLE lakehouse.ice_ns.$t"))
   }
 }
