@@ -70,14 +70,21 @@ object BenchGuard {
   def quietForConfirm(load1AtSpawn: Double): Boolean = load1AtSpawn <= 2.0
 
   /** The full confirmation predicate for moving a committed baseline
-    * UP: the fresh-JVM solo itself still measures above the drift
-    * threshold of the historical min, AND the solo was spawned on a
-    * drained host (see [[quietForConfirm]]). A loaded-host solo that
-    * stays slow proves nothing — the load explains the number. */
-  def soloConfirms(solo: Option[Double], historicalMin: Double,
-      load1AtSpawn: Double): Boolean =
-    solo.exists(s => historyDrift(s, historicalMin)) &&
-      quietForConfirm(load1AtSpawn)
+    * UP: TWO independently spawned fresh-JVM solos, EACH still above
+    * the drift threshold of the historical min AND each measured on a
+    * drained host (see [[quietForConfirm]]). One solo is not
+    * reproduction — the r17 q48 incident proved a single child can be
+    * invisibly polluted (page-cache eviction, memory-bandwidth
+    * neighbor): it stamped load 1.6 and clean steal, measured 2.324 s
+    * against a 0.378 s baseline, and the same binaries solo-measured
+    * 0.720 s when re-run — under the one-solo rule that phantom became
+    * the committed record. `solos` carries (time, load1-the-child-
+    * stamped) pairs; fewer than two valid solos never confirm. */
+  def solosConfirm(solos: Seq[(Double, Double)],
+      historicalMin: Double): Boolean =
+    solos.size >= 2 && solos.forall { case (t, load1) =>
+      historyDrift(t, historicalMin) && quietForConfirm(load1)
+    }
 
   /** Cross-process exclusivity for the BENCH_FULL record (r16: the
     * driver's SIGTERM'd bench raced the fresh one it was replaced by —
@@ -224,7 +231,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     // A SOLO adjudication run must measure from a drained host (load1
-    // <= 2, the soloConfirms threshold) — the parent bench is BLOCKED
+    // <= 2, the solosConfirm threshold) — the parent bench is BLOCKED
     // while the solo runs, so its own load decays away during this
     // wait; only genuine external contention keeps the solo
     // unadjudicated. The threshold rides awaitQuietHost's cpus/2 rule
@@ -378,10 +385,11 @@ object Bench {
           }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    // (historical min, fresh-JVM solo min, load1 the CHILD stamped
-    // right before its measurement — after its own drained-host wait)
-    final case class Drift(
-        historical: Double, solo: Option[Double], load1AtSpawn: Double)
+    // (historical min, each fresh-JVM solo's (min, load1 the CHILD
+    // stamped right before its measurement — after its own
+    // drained-host wait)). Up to two solos: confirmation requires
+    // REPRODUCTION (BenchGuard.solosConfirm).
+    final case class Drift(historical: Double, solos: Seq[(Double, Double)])
     final case class Sample(
         samples: Seq[Double], contended: Boolean, drift: Option[Drift])
     val sampled: Seq[(String, Either[String, Sample])] =
@@ -424,25 +432,34 @@ object Bench {
             // spread — only the committed history can see it. Re-run
             // solo in a SPAWNED FRESH JVM (soloFreshJvm): a JVM-state or
             // contention drift collapses to the historical min, a real
-            // regression stays slow, with both numbers recorded. The
+            // regression stays slow, with both numbers recorded. Every
             // solo ALWAYS folds into the sample vector (r16 verdict: a
             // "confirmed" regression once recorded the in-suite 4.53s
             // min while its own confirming solo measured 2.72s — the
-            // recorded min must be min(samples ∪ solo)); whether the
+            // recorded min must be min(samples ∪ solos)); whether the
             // committed baseline may move UP is decided separately by
-            // BenchGuard.soloConfirms, which also requires the solo to
-            // have been spawned on a drained host (load1 ≤ 2, probed
-            // immediately before the spawn — the r16 phantom q15_cube/
-            // q12_distinct confirmations came from load-2.9+ solos).
+            // BenchGuard.solosConfirm: TWO independently spawned solos,
+            // BOTH still above the drift threshold, BOTH from a drained
+            // host (load1 ≤ 2 and clean steal across the child's whole
+            // run). The second solo only spawns when the first one
+            // still reads as a quiet-host regression — a collapsed or
+            // contended first solo already decides the outcome (r17:
+            // the q48 phantom's single "clean" solo measured 3.2× a
+            // reproduction run; one sample is not reproduction).
             // Skipped in SPARK_GRAFT_ONLY runs: those ARE the
             // adjudication (and would recurse).
             var drift: Option[Drift] = None
             if (failure.isEmpty && only.isEmpty) history.get(name).foreach { h =>
               if (BenchGuard.historyDrift(samples.min, h)) {
-                val solo = soloFreshJvm(name)
-                solo.foreach { case (t, _) => samples = (samples :+ t).sorted }
-                drift = Some(Drift(h, solo.map(_._1),
-                  solo.map(_._2).getOrElse(999.0)))
+                val solo1 = soloFreshJvm(name)
+                solo1.foreach { case (t, _) => samples = (samples :+ t).sorted }
+                val solo2 =
+                  if (solo1.exists { case (t, l) =>
+                    BenchGuard.historyDrift(t, h) && BenchGuard.quietForConfirm(l) })
+                    soloFreshJvm(name)
+                  else None
+                solo2.foreach { case (t, _) => samples = (samples :+ t).sorted }
+                drift = Some(Drift(h, Seq(solo1, solo2).flatten))
               }
             }
             failure.toLeft(Sample(samples, contended, drift))
@@ -489,7 +506,7 @@ object Bench {
     val recordedMins: Map[String, Double] = sampled.collect {
       case (k, Right(Sample(ss, _, drift))) =>
         val soloConfirmed = drift.exists(d =>
-          BenchGuard.soloConfirms(d.solo, d.historical, d.load1AtSpawn))
+          BenchGuard.solosConfirm(d.solos, d.historical))
         k -> (if (forceRecord) ss.min
               else BenchGuard.mergedMin(ss.min, history.get(k), soloConfirmed))
     }.toMap
@@ -498,17 +515,22 @@ object Bench {
       sampled.map {
         case (k, Right(Sample(ss, contended, drift))) =>
           val flag = if (contended) ""","contended":true""" else ""
-          val driftJson = drift.map { case Drift(h, solo, load1) =>
-            val soloJson = solo.map(s => f""","solo":$s%.3f""").getOrElse("")
-            // a sustained-slow solo from a loaded host proves nothing:
-            // labeled so a judge sees the regression is NOT adjudicated
-            // (and the historical min was kept), not silently dropped
+          val driftJson = drift.map { case Drift(h, solos) =>
+            val solosJson =
+              if (solos.isEmpty) ""
+              else
+                s""","solos":${solos.map(s => f"${s._1}%.3f").mkString("[", ",", "]")}""" +
+                  s""","solo_load1s":${solos.map(s => f"${s._2}%.2f").mkString("[", ",", "]")}"""
+            // a drift whose solos did NOT reproduce it (collapsed,
+            // contended, or only one ran) is labeled so a judge sees
+            // the regression is NOT adjudicated (and the historical
+            // min was kept), not silently dropped
             val unadj =
-              if (solo.exists(s => BenchGuard.historyDrift(s, h)) &&
-                  !BenchGuard.quietForConfirm(load1))
+              if (solos.exists(s => BenchGuard.historyDrift(s._1, h)) &&
+                  !BenchGuard.solosConfirm(solos, h))
                 ""","unadjudicated":true"""
               else ""
-            f""","history_drift":{"historical":$h%.3f$soloJson,"solo_load1":$load1%.2f$unadj}"""
+            f""","history_drift":{"historical":$h%.3f$solosJson$unadj}"""
           }.getOrElse("")
           val recMin = recordedMins(k)
           // fresh min / committed min: a judge reads drift directly

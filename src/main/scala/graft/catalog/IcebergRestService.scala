@@ -153,8 +153,14 @@ object IcebergRestService {
         out.write((hi << 4) | lo)
         i += 3
       } else {
-        out.write(c.toString.getBytes(StandardCharsets.UTF_8))
-        i += 1
+        // encode by CODE POINT, not char: a raw unencoded supplementary
+        // character (non-RFC-conformant client) arrives as a surrogate
+        // pair, and per-char getBytes would encode each half to the
+        // replacement sequence — silently mangling the segment instead
+        // of resolving the name the client meant
+        val cp = seg.codePointAt(i)
+        out.write(new String(Character.toChars(cp)).getBytes(StandardCharsets.UTF_8))
+        i += Character.charCount(cp)
       }
     }
     new String(out.toByteArray, StandardCharsets.UTF_8)

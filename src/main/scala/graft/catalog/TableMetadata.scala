@@ -792,7 +792,14 @@ object TableMetadata {
     * non-tail-positioned declared files, and a file count that does
     * not reconcile to predecessor + |addedFiles|. What is TRUSTED by
     * the declaration: the retained prefix — that it is exactly the
-    * predecessor's files with unchanged rows/stats/seq records. Every
+    * predecessor's files with unchanged rows/stats/seq records,
+    * INCLUDING its distinctness. A duplicated path inside the prefix
+    * can mask a removal from the count arithmetic (predecessor [a,b],
+    * attempt [a,a,x] with declared [x] passes every guard); detecting
+    * it needs a dedup pass over all of meta.files, which is exactly
+    * the O(table) cost the declaration exists to avoid — so that shape
+    * is trusted, not caught (the UNDECLARED fast path does build the
+    * dedup set and catches it). Every
     * call site passing a delta constructs `files = base.files ++
     * addedFiles` from a freshly loaded base and never touches existing
     * records, which is the contract; a caller that mutates the prefix
@@ -818,16 +825,52 @@ object TableMetadata {
       pathSet: Set[String],
       seqByPath: Map[String, Int])
 
+  /** A cached state plus the version file's (size, mtime) captured at
+    * seed time. The immutability assumption ("version files are
+    * immutable once published") holds inside this engine, but NOT
+    * against out-of-band replacement — a drop+recreate by another
+    * process, or a restore-from-backup, can land a DIFFERENT v<N>.json
+    * at the same absolute path while this JVM's cache is warm, and
+    * renderNext would then verify/extend against the stale
+    * predecessor. Validating the fingerprint on every get (one stat —
+    * noise next to the commit it fronts) closes that silently-wrong
+    * mode: a replaced file differs in size or mtime and the entry
+    * drops, forcing the fresh parse. */
+  private final case class CachedRender(
+      size: Long, mtime: java.nio.file.attribute.FileTime, st: RenderedState)
+
   private val renderCache =
-    new java.util.LinkedHashMap[String, RenderedState](16, 0.75f, true) {
+    new java.util.LinkedHashMap[String, CachedRender](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, RenderedState]): Boolean = size > 8
+          e: java.util.Map.Entry[String, CachedRender]): Boolean = size > 8
     }
   private def renderKey(f: Path): String = f.toAbsolutePath.normalize.toString
-  private def renderStateGet(f: Path): Option[RenderedState] =
-    renderCache.synchronized(Option(renderCache.get(renderKey(f))))
+  private def fileFingerprint(f: Path)
+      : Option[(Long, java.nio.file.attribute.FileTime)] =
+    try {
+      val a = Files.readAttributes(
+        f, classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some((a.size(), a.lastModifiedTime()))
+    } catch { case _: Exception => None }
+  private def renderStateGet(f: Path): Option[RenderedState] = {
+    val key = renderKey(f)
+    val hit = renderCache.synchronized(Option(renderCache.get(key)))
+    hit.flatMap { c =>
+      if (fileFingerprint(f).contains((c.size, c.mtime))) Some(c.st)
+      else { // out-of-band replacement: drop, force the fresh parse
+        renderCache.synchronized { renderCache.remove(key); () }
+        None
+      }
+    }
+  }
   private[catalog] def seedRenderState(f: Path, st: RenderedState): Unit =
-    renderCache.synchronized { renderCache.put(renderKey(f), st); () }
+    // an unreadable fingerprint (file racing away) simply skips the
+    // seed: the successor takes the verifying parse, never a stale hit
+    fileFingerprint(f).foreach { case (size, mtime) =>
+      renderCache.synchronized {
+        renderCache.put(renderKey(f), CachedRender(size, mtime, st)); ()
+      }
+    }
   private[graft] def clearRenderCacheForTesting(): Unit =
     renderCache.synchronized(renderCache.clear())
 
@@ -942,8 +985,12 @@ object TableMetadata {
     // of meta.files (every conforming call site appends them there; a
     // declaration naming file y while the attempt actually gained x
     // would otherwise write a manifest for phantom y and silently drop
-    // x). Any mismatch falls through to the scanning paths below and
-    // still commits correctly.
+    // x). The size guard reconciles COUNTS only — a duplicated path in
+    // the trusted prefix masking a removal passes it (see the
+    // AppendDelta scaladoc: that shape is trusted by the declaration,
+    // because catching it costs the O(table) dedup this path exists to
+    // skip). Any mismatch falls through to the scanning paths below
+    // and still commits correctly.
     val deltaResult = for {
       st <- state
       d <- delta

@@ -71,7 +71,7 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.historyDrift(0.25, 0.06) shouldBe false
   }
 
-  test("soloConfirms: the r16 q15_cube incident — a loaded-host solo can never move a committed min UP") {
+  test("solosConfirm: the r16 q15_cube incident — a loaded-host solo can never move a committed min UP") {
     // the incident's exact numbers: committed min 0.326s, in-suite
     // samples ≥4.53s (history_drift fired), fresh-JVM solo 2.718s
     // spawned at load 2.88–5.56. The solo is still >3× history — under
@@ -79,30 +79,60 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     // record moved to 4.53s; the same code solo-measured 0.48s on a
     // drained box an hour later. A load-2.9 solo must not confirm:
     BenchGuard.historyDrift(freshMin = 4.534, historicalMin = 0.326) shouldBe true
-    BenchGuard.soloConfirms(Some(2.718), 0.326, load1AtSpawn = 2.9) shouldBe false
+    BenchGuard.solosConfirm(Seq((2.718, 2.9), (2.7, 2.9)), 0.326) shouldBe false
     // ...so mergedMin keeps the clean baseline; the solo having been
     // folded into the sample vector, 2.718 ships as fresh_min only
     BenchGuard.mergedMin(2.718, Some(0.326),
       soloConfirmedRegression = false) shouldBe 0.326
     // the q12_distinct sibling: historical 0.125, solo 2.086 at the
     // same loaded window — min stays 0.125
-    BenchGuard.soloConfirms(Some(2.086), 0.125, load1AtSpawn = 2.9) shouldBe false
+    BenchGuard.solosConfirm(Seq((2.086, 2.9), (2.0, 2.9)), 0.125) shouldBe false
     BenchGuard.mergedMin(2.086, Some(0.125),
       soloConfirmedRegression = false) shouldBe 0.125
-    // the SAME slow solo from a drained host IS a real regression —
-    // it must confirm, and the new baseline is min(samples ∪ solo)
-    BenchGuard.soloConfirms(Some(2.718), 0.326, load1AtSpawn = 0.4) shouldBe true
+    // TWO slow solos from a drained host ARE a real regression —
+    // they confirm, and the new baseline is min(samples ∪ solos)
+    BenchGuard.solosConfirm(Seq((2.718, 0.4), (2.5, 0.7)), 0.326) shouldBe true
     BenchGuard.mergedMin(2.718, Some(0.326),
       soloConfirmedRegression = true) shouldBe 2.718
     // a solo that collapses back near history never confirms — on any
     // host (a loaded box can only inflate, so a collapse is evidence)
-    BenchGuard.soloConfirms(Some(0.48), 0.326, load1AtSpawn = 5.6) shouldBe false
-    // a failed/unparseable solo never confirms
-    BenchGuard.soloConfirms(None, 0.326, load1AtSpawn = 0.1) shouldBe false
+    BenchGuard.solosConfirm(Seq((0.48, 5.6), (0.5, 0.3)), 0.326) shouldBe false
+    // failed/unparseable solos never confirm
+    BenchGuard.solosConfirm(Nil, 0.326) shouldBe false
     // the quiet threshold itself: the drained-host discipline
     BenchGuard.quietForConfirm(0.9) shouldBe true
     BenchGuard.quietForConfirm(2.0) shouldBe true
     BenchGuard.quietForConfirm(2.9) shouldBe false
+  }
+
+  test("solosConfirm: the r17 q48 incident — ONE quiet solo is not reproduction") {
+    // the incident's exact numbers: committed min 0.378s, in-suite
+    // samples 7.8–8.8s (history_drift fired), ONE fresh-JVM solo
+    // measured 2.324s while stamping load 1.6 and clean steal — every
+    // per-solo gate passed, yet the same binaries solo-measured 0.720s
+    // when reproduced: a contention mode neither load1 nor steal sees
+    // (page-cache eviction, CPU-frequency, memory-bandwidth neighbor)
+    // polluted the single child. Confirmation now requires TWO
+    // independently spawned quiet solos, BOTH above the drift
+    // threshold:
+    BenchGuard.historyDrift(freshMin = 7.797, historicalMin = 0.378) shouldBe true
+    // one solo, however quiet, never confirms
+    BenchGuard.solosConfirm(Seq((2.324, 1.6)), 0.378) shouldBe false
+    // the incident pair: solo₁ 2.324@1.6, solo₂ 0.72@1.85 — the second
+    // solo collapsed below the drift threshold (0.72 < 3×0.378), so no
+    // confirmation, and the committed record stays 0.378 (0.72 ships
+    // as fresh_min, the min over samples ∪ solos)
+    BenchGuard.solosConfirm(Seq((2.324, 1.6), (0.72, 1.85)), 0.378) shouldBe false
+    BenchGuard.mergedMin(0.72, Some(0.378),
+      soloConfirmedRegression = false) shouldBe 0.378
+    // a REAL regression reproduces: both quiet solos stay slow
+    BenchGuard.solosConfirm(Seq((2.324, 1.6), (2.1, 1.2)), 0.378) shouldBe true
+    BenchGuard.mergedMin(2.1, Some(0.378),
+      soloConfirmedRegression = true) shouldBe 2.1
+    // reproduction on a LOADED second host still proves nothing
+    BenchGuard.solosConfirm(Seq((2.324, 1.6), (2.1, 3.2)), 0.378) shouldBe false
+    // a steal-contended child stamps 999 and can never confirm
+    BenchGuard.solosConfirm(Seq((2.324, 999.0), (2.1, 1.2)), 0.378) shouldBe false
   }
 
   test("acquireRecordLock: exclusive while held, reacquirable after release, peer-held aborts") {
