@@ -47,7 +47,12 @@ object BenchMeta {
       postingsProbeMs: Double, postingsProbeChunksParsed: Long,
       postingsProbeSurvivors: Int, postingsProbeTotal: Int,
       ivfProbeMs: Double, ivfProbeChunksParsed: Long,
-      ivfProbeSurvivors: Int, ivfProbeTotal: Int)
+      ivfProbeSurvivors: Int, ivfProbeTotal: Int,
+      twoTableAltMs: Double, twoTableAltReparses: Long,
+      restTables: Int, restWalkMs: Double,
+      restListFirstMs: Double, restListWarmMs: Double,
+      restListWalkedDirs: Long,
+      files10m: Int, commitAppend10mMs: Double, commitAppend10mListMs: Double)
 
   private val schema = StructType(Seq(
     StructField("k", IntegerType), StructField("v", StringType),
@@ -64,9 +69,13 @@ object BenchMeta {
   }
 
   /** Build + measure. `dir` must be empty; placeholder data files are
-    * created so the mirror can stat sizes. */
+    * created so the mirror can stat sizes. `deltaTableChunks10m` sizes
+    * the 10M-file declared-append point (0 skips it — the spec run);
+    * `restNamespaces × restTablesPerNs` sizes the REST-listing
+    * warehouse. */
   def run(dir: Path, filesPerChunk: Int, chunks: Int,
-      deltaTableChunks: Int = 40): Result = {
+      deltaTableChunks: Int = 40, deltaTableChunks10m: Int = 0,
+      restNamespaces: Int = 100, restTablesPerNs: Int = 100): Result = {
     require(filesPerChunk <= Manifests.ChunkSize,
       "one commit per chunk: filesPerChunk must fit a single chunk")
     Files.createDirectories(dir.resolve("data"))
@@ -312,6 +321,116 @@ object BenchMeta {
       "idx_ivf", "cell", vParts,
       (0 until 8).map(j => j * vParts / 8 + 1), Nil)
 
+    // ---- two-table warm residency ---------------------------------------
+    // The old single global 1M-entry LRU made two large tables in one
+    // JVM evict each other on every alternation — a long-lived driver
+    // serving several large tables paid the full cold rebuild
+    // chronically. With per-table budgets (Manifests), loading the
+    // 200k-file table and the 1M-file table then ALTERNATING full
+    // resolves must re-parse ZERO chunks: both stay resident.
+    Manifests.clearCacheForTesting()
+    TableMetadata.load(dir)
+    TableMetadata.load(bigDir)
+    Manifests.resetCounters()
+    val (_, altMs) = timed {
+      TableMetadata.load(dir); TableMetadata.load(bigDir)
+      TableMetadata.load(dir); TableMetadata.load(bigDir)
+    }
+    val altReparses = Manifests.manifestsParsed.get()
+
+    // ---- REST listing at warehouse scale ---------------------------------
+    // Before the listing registry, every LIST request walked the
+    // warehouse tree — and the reference's reader BFS-pages at
+    // pageSize=1, multiplying it. Build restNamespaces × restTablesPerNs
+    // hint-only table dirs, measure the one-time walk backfill (the old
+    // PER-REQUEST cost) against registry-served pages, and prove the
+    // served listings never walk (walkedDirs counter).
+    import graft.catalog.{IcebergRestService, RestRegistry}
+    val restWh = dir.resolve("rest_wh")
+    (0 until restNamespaces).foreach { n =>
+      val nsDir = restWh.resolve(f"ns$n%03d")
+      (0 until restTablesPerNs).foreach { t =>
+        val md = nsDir.resolve(f"t$t%03d").resolve("metadata")
+        Files.createDirectories(md)
+        Files.writeString(md.resolve("version-hint.text"), "1")
+      }
+    }
+    val (_, walkMs) = timed(
+      RestRegistry.ensure(restWh, () => IcebergRestService.walkTables(restWh)))
+    val handle = IcebergRestService.start(restWh)
+    val (listFirstMs, listWarmMs, listWalked) =
+      try {
+        val http = java.net.http.HttpClient.newHttpClient()
+        def page(ns: String): Int = {
+          val r = http.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+              s"${handle.uri}/v1/namespaces/$ns/tables?pageSize=50")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          r.statusCode()
+        }
+        val midNs = f"ns${restNamespaces / 2}%03d"
+        IcebergRestService.resetWalkCounterForTesting()
+        val (c1, first) = timed(page(midNs))
+        require(c1 == 200, s"rest list returned $c1")
+        val (c2, warm) = timed(page(midNs))
+        require(c2 == 200, s"rest list returned $c2")
+        (first, warm, IcebergRestService.walkedDirs.get())
+      } finally handle.stop()
+
+    // ---- the 10M-file declared-append point ------------------------------
+    // One decade past the 1M point: the declared (AppendDelta) commit
+    // must stay flat. files is seeded as a Vector so the BUILD loop is
+    // O(n log n) — the measured append then exercises the O(1)-size /
+    // O(delta)-tail guard shape a Vector-building caller sees. The
+    // List-shaped contrast quantifies the named next ceiling: with
+    // List files the guard's two meta.files traversals (length + tail
+    // position) are O(table) pointer chases even on the declared path.
+    var files10m = 0
+    var commit10mMs = 0.0
+    var commit10mListMs = 0.0
+    if (deltaTableChunks10m > 0) {
+      val bigDir2 = dir.resolve("big_10m")
+      Files.createDirectories(bigDir2)
+      var big2 = TableMetadata.commit(bigDir2, TableMetadata(
+        version = 1, name = "bench_meta_10m", schema = schema,
+        partitionColumns = Seq("p"), properties = Map.empty,
+        files = Vector.empty[String], snapshots = Seq(Snapshot(1, 1L, "create", 0, 0))))
+      (0 until deltaTableChunks10m).foreach { c =>
+        val part = f"r$c%04d"
+        val rels = (0 until filesPerChunk).map(i => f"data/r$c%04d/part-$i%06d.parquet")
+        big2 = TableMetadata.commit(bigDir2, big2.copy(
+          version = big2.version + 1,
+          files = big2.files ++ rels,
+          fileStats = big2.fileStats ++ rels.zipWithIndex.map { case (r, i) =>
+            r -> stats(part, i) },
+          fileRows = big2.fileRows ++ rels.map(_ -> 100L),
+          snapshots = big2.snapshots :+ Snapshot(
+            big2.version + 1, big2.version + 1L, "append", rels.size, 0)),
+          Some(TableMetadata.AppendDelta(rels)))
+      }
+      def append10m(part: String): Double = {
+        val rels = (0 until 100).map(i => s"data/$part/part-$i.parquet")
+        val next = big2.copy(
+          version = big2.version + 1,
+          files = big2.files ++ rels,
+          fileStats = big2.fileStats ++ rels.zipWithIndex.map { case (r, i) =>
+            r -> stats(part, i) },
+          fileRows = big2.fileRows ++ rels.map(_ -> 100L),
+          snapshots = big2.snapshots :+ Snapshot(
+            big2.version + 1, big2.version + 1L, "append", rels.size, 0))
+        val (_, ms) = timed {
+          big2 = TableMetadata.commit(bigDir2, next,
+            Some(TableMetadata.AppendDelta(rels)))
+        }
+        ms
+      }
+      commit10mMs = append10m("r_tail")
+      // the List contrast: same declared append, files as a List
+      big2 = big2.copy(files = big2.files.toList)
+      commit10mListMs = append10m("r_tail2")
+      files10m = big2.files.size
+    }
+
     Result(
       files = meta.files.size, chunks = full.manifests.size,
       commitAppendMs = commitMs, commitAppendColdMs = commitColdMs,
@@ -333,12 +452,23 @@ object BenchMeta {
       postingsProbeMs = pMs, postingsProbeChunksParsed = pParsed,
       postingsProbeSurvivors = pSurv, postingsProbeTotal = pTotal,
       ivfProbeMs = vMs, ivfProbeChunksParsed = vParsed,
-      ivfProbeSurvivors = vSurv, ivfProbeTotal = vTotal)
+      ivfProbeSurvivors = vSurv, ivfProbeTotal = vTotal,
+      twoTableAltMs = altMs, twoTableAltReparses = altReparses,
+      restTables = restNamespaces * restTablesPerNs, restWalkMs = walkMs,
+      restListFirstMs = listFirstMs, restListWarmMs = listWarmMs,
+      restListWalkedDirs = listWalked,
+      files10m = files10m, commitAppend10mMs = commit10mMs,
+      commitAppend10mListMs = commit10mListMs)
   }
 
   def main(args: Array[String]): Unit = {
     val dir = Files.createTempDirectory("graft-bench-meta-")
-    val r = run(dir, filesPerChunk = 25000, chunks = 8)
+    // 8×25k = 200k-file main table, 40 chunks = 1M-file delta table,
+    // 400 chunks = 10M-file declared-append decade, 100×100 = 10k
+    // REST-served tables (needs SPARK_DRIVER_MEM ≥ 24g for the 10M
+    // in-memory metadata attempt)
+    val r = run(dir, filesPerChunk = 25000, chunks = 8,
+      deltaTableChunks10m = 400)
     val json =
       f"""{"metric":"bench_meta","files":${r.files},"chunks":${r.chunks},""" +
         f""""commit_append_100_ms":${r.commitAppendMs}%.1f,""" +
@@ -371,7 +501,17 @@ object BenchMeta {
         f""""ivf_probe_ms":${r.ivfProbeMs}%.1f,""" +
         f""""ivf_probe_chunks_parsed":${r.ivfProbeChunksParsed},""" +
         f""""ivf_probe_survivors":${r.ivfProbeSurvivors},""" +
-        f""""ivf_probe_total":${r.ivfProbeTotal}}"""
+        f""""ivf_probe_total":${r.ivfProbeTotal},""" +
+        f""""two_table_alternating_ms":${r.twoTableAltMs}%.1f,""" +
+        f""""two_table_alternating_reparses":${r.twoTableAltReparses},""" +
+        f""""rest_tables":${r.restTables},""" +
+        f""""rest_walk_backfill_ms":${r.restWalkMs}%.1f,""" +
+        f""""rest_list_first_ms":${r.restListFirstMs}%.1f,""" +
+        f""""rest_list_warm_ms":${r.restListWarmMs}%.1f,""" +
+        f""""rest_list_walked_dirs":${r.restListWalkedDirs},""" +
+        f""""files_10m":${r.files10m},""" +
+        f""""commit_append_100_ms_10m":${r.commitAppend10mMs}%.1f,""" +
+        f""""commit_append_100_ms_10m_list_files":${r.commitAppend10mListMs}%.1f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_META.json"), json)
     println(json)

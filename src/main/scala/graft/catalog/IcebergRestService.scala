@@ -66,6 +66,38 @@ object IcebergRestService {
   def stopPort(port: Int): Boolean =
     Option(running.remove(port)).exists { h => h.stop(); true }
 
+  /** Stop every still-registered endpoint. `stop_rest_catalog` is the
+    * ordinary path (and the q129 gate stops in `finally`), but a query
+    * path that CRASHES between start and stop used to leak the
+    * HttpServer (and its port) until JVM exit — this is the session
+    * shutdown hook's teardown. */
+  def stopAll(): Unit = {
+    val it = running.keySet().iterator()
+    while (it.hasNext) { stopPort(it.next()); () }
+  }
+
+  /** Session-lifecycle listener: closes leaked endpoints when the
+    * SparkSession's application ends. One instance, installed at most
+    * once per application by [[installLifecycleHook]]. */
+  private[graft] val lifecycleListener =
+    new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        stopAll()
+    }
+
+  private val hookAppId =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Install [[lifecycleListener]] on this session's context (once per
+    * application — a fresh context after a stop() re-installs). */
+  def installLifecycleHook(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val id = spark.sparkContext.applicationId
+    if (hookAppId.getAndSet(id) != id)
+      spark.sparkContext.addSparkListener(lifecycleListener)
+  }
+
   /** A table dir serves over REST iff its Iceberg mirror exists (hint
     * present): REST is the EXTERNAL-engine view, and unexported tables
     * have no external snapshot to serve. */
@@ -77,9 +109,20 @@ object IcebergRestService {
 
   private def isTable(dir: Path): Boolean = icebergHint(dir).isDefined
 
+  /** Instrumentation: directories enumerated by the TREE-WALK
+    * discovery paths since the last reset. Registry-backed listings
+    * must leave this at zero (IcebergRestServiceSpec pins it) — before
+    * the registry, every LIST request was an O(warehouse tree) walk,
+    * multiplied by paging clients (the q129 BFS pages at pageSize=1). */
+  private[graft] val walkedDirs = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def resetWalkCounterForTesting(): Unit = walkedDirs.set(0)
+
   private def tablesOf(ns: Path): Seq[String] =
     if (!Files.isDirectory(ns)) Nil
-    else Fs.children(ns).filter(isTable).map(_.getFileName.toString).sorted
+    else {
+      walkedDirs.incrementAndGet()
+      Fs.children(ns).filter(isTable).map(_.getFileName.toString).sorted
+    }
 
   /** A directory serves as a namespace iff it is not itself a table
     * and some descendant is a mirrored table — REST is the
@@ -93,14 +136,75 @@ object IcebergRestService {
   // "not a namespace", never as a StackOverflowError (an Error escapes
   // the handler's NonFatal catch and leaves the exchange unanswered).
   // 64 levels is far beyond any real namespace nesting.
-  private def hasMirroredTable(dir: Path, depth: Int = 0): Boolean =
+  private def hasMirroredTable(dir: Path, depth: Int = 0): Boolean = {
+    walkedDirs.incrementAndGet()
     depth < 64 && Fs.children(dir).exists(c =>
       isTable(c) || (Files.isDirectory(c) && hasMirroredTable(c, depth + 1)))
+  }
 
   private def childNamespacesOf(dir: Path): Seq[String] =
     if (!Files.isDirectory(dir)) Nil
-    else Fs.children(dir).filter(servesAsNamespace)
-      .map(_.getFileName.toString).sorted
+    else {
+      walkedDirs.incrementAndGet()
+      Fs.children(dir).filter(servesAsNamespace)
+        .map(_.getFileName.toString).sorted
+    }
+
+  /** One full-tree walk collecting every servable table's relative
+    * path — the [[RestRegistry.ensure]] backfill at service start
+    * (covers tables that predate the registry), and the shape the
+    * registry-backed listings must stay equivalent to. */
+  private[graft] def walkTables(warehouse: Path): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    def rec(dir: Path, rel: String, depth: Int): Unit =
+      if (depth < 64) {
+        walkedDirs.incrementAndGet()
+        Fs.children(dir).foreach { c =>
+          if (Files.isDirectory(c)) {
+            val r =
+              if (rel.isEmpty) c.getFileName.toString
+              else rel + "/" + c.getFileName.toString
+            if (isTable(c)) out += r else rec(c, r, depth + 1)
+          }
+        }
+      }
+    rec(warehouse, "", 0)
+    out.result()
+  }
+
+  /** The registry, parsed into the two listing shapes the routes
+    * serve: tables per namespace and child namespaces per namespace
+    * (a namespace "serves" iff ≥1 registered table lives at any depth
+    * under it — same rule as the walk). */
+  private final case class Listing(
+      tablesByNs: Map[Seq[String], Seq[String]],
+      childNsOf: Map[Seq[String], Seq[String]],
+      namespaces: Set[Seq[String]])
+
+  private def buildListing(entries: Set[String]): Listing = {
+    val tables = scala.collection.mutable.Map
+      .empty[Seq[String], scala.collection.mutable.TreeSet[String]]
+    val childNs = scala.collection.mutable.Map
+      .empty[Seq[String], scala.collection.mutable.TreeSet[String]]
+    val nsSet = scala.collection.mutable.Set.empty[Seq[String]]
+    entries.foreach { e =>
+      val segs = e.split('/').toSeq.filter(_.nonEmpty)
+      if (segs.length >= 2) { // tables live under ≥1 namespace level
+        val ns = segs.init
+        tables.getOrElseUpdate(ns,
+          scala.collection.mutable.TreeSet.empty[String]) += segs.last
+        (1 to ns.length).foreach(d => nsSet += ns.take(d))
+        (0 until ns.length).foreach { d =>
+          childNs.getOrElseUpdate(ns.take(d),
+            scala.collection.mutable.TreeSet.empty[String]) += ns(d)
+        }
+      }
+    }
+    Listing(
+      tables.iterator.map { case (k, v) => k -> v.toSeq }.toMap,
+      childNs.iterator.map { case (k, v) => k -> v.toSeq }.toMap,
+      nsSet.toSet)
+  }
 
   /** The spec's multi-level namespace path/query encoding: levels
     * joined by the 0x1F unit separator (percent-encoded `%1F` on the
@@ -167,6 +271,42 @@ object IcebergRestService {
   }
 
   def start(warehouse: Path, port: Int = 0): Handle = {
+    // ---- registry-backed discovery (O(page) listings) -----------------
+    // ensure() backfills the registry with ONE tree walk at service
+    // start (covering tables that predate it); from then on the
+    // commit/drop hooks maintain it ([[RestRegistry]]) and every
+    // listing request is served from this mtime-invalidated parse —
+    // O(page), where it used to be O(warehouse tree) PER REQUEST. A
+    // registry that cannot exist (unwritable warehouse root) leaves
+    // listing() empty and the routes fall back to the walk.
+    RestRegistry.ensure(warehouse, () => walkTables(warehouse))
+    val regFile = RestRegistry.registryFile(warehouse)
+    val listingCache = new java.util.concurrent.atomic.AtomicReference[
+      (Long, java.nio.file.attribute.FileTime, Listing)](null)
+    def regFingerprint(): Option[(Long, java.nio.file.attribute.FileTime)] =
+      try {
+        val a = Files.readAttributes(regFile,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        Some((a.size(), a.lastModifiedTime()))
+      } catch { case _: Exception => None }
+    def listing(): Option[Listing] = regFingerprint() match {
+      case None =>
+        // registry deleted out-of-band since start: one walk re-creates
+        // it (self-healing), subsequent requests hit the cache again
+        RestRegistry.ensure(warehouse, () => walkTables(warehouse)).map { es =>
+          val l = buildListing(es)
+          regFingerprint().foreach { case (s, m) => listingCache.set((s, m, l)) }
+          l
+        }
+      case Some((s, m)) =>
+        val c = listingCache.get()
+        if (c != null && c._1 == s && c._2 == m) Some(c._3)
+        else RestRegistry.readEntries(warehouse).map { es =>
+          val l = buildListing(es)
+          listingCache.set((s, m, l))
+          l
+        }
+    }
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }))
@@ -237,12 +377,27 @@ object IcebergRestService {
         try { java.util.Base64.getUrlDecoder.decode(t); true }
         catch { case _: IllegalArgumentException => false })
       val pageSize = query.get("pageSize").flatMap(_.toIntOption)
+      // `keep` re-validates registry-served rows against the
+      // filesystem AFTER paging (O(page) stats): an out-of-band
+      // deletion costs a short page, never a phantom row — and the
+      // keyset token stays anchored to the unfiltered sorted list, so
+      // a filtered row can't skip its successors
       def paged(sorted: Seq[String], key: String,
-          render: String => JValue): JObject = {
+          render: String => JValue,
+          keep: String => Boolean = _ => true): JObject = {
         val (pg, next) = page(sorted, pageToken, pageSize)
-        JObject(List(key -> JArray(pg.map(render).toList)) ++
+        JObject(List(key -> JArray(pg.filter(keep).map(render).toList)) ++
           next.map(t => "next-page-token" -> JString(t): JField).toList)
       }
+      // a namespace serves iff ≥1 registered table lives under it (the
+      // registry's view), it is still a directory, and is not itself a
+      // table — the two stats keep parity with the walk's semantics
+      // against out-of-band changes, at O(1) per request
+      def nsServes(l: Listing, levels: Seq[String]): Boolean =
+        l.namespaces.contains(levels) && {
+          val d = nsDir(levels)
+          Files.isDirectory(d) && !isTable(d)
+        }
       if (method != "GET" && method != "HEAD") {
         err(x, 405, "UnsupportedOperationException",
           "this catalog endpoint is read-only: writes go through the engine")
@@ -267,31 +422,57 @@ object IcebergRestService {
             if (parent.exists(l => !safe(l)))
               err(x, 400, "BadRequestException",
                 s"malformed parent namespace: ${query("parent")}")
-            else if (parent.nonEmpty && !servesAsNamespace(nsDir(parent)))
-              notFound(x, "Namespace", nsName(parent))
-            else send(x, 200, paged(
-              childNamespacesOf(nsDir(parent)), "namespaces",
-              n => nsJson(parent :+ n)))
+            else listing() match {
+              case Some(l) =>
+                if (parent.nonEmpty && !nsServes(l, parent))
+                  notFound(x, "Namespace", nsName(parent))
+                else send(x, 200, paged(
+                  l.childNsOf.getOrElse(parent, Nil), "namespaces",
+                  n => nsJson(parent :+ n)))
+              case None => // no registry possible: per-request walk
+                if (parent.nonEmpty && !servesAsNamespace(nsDir(parent)))
+                  notFound(x, "Namespace", nsName(parent))
+                else send(x, 200, paged(
+                  childNamespacesOf(nsDir(parent)), "namespaces",
+                  n => nsJson(parent :+ n)))
+            }
           case Seq("namespaces", ns) =>
             val levels = levelsOf(ns)
             if (levels.isEmpty || levels.exists(l => !safe(l)))
               err(x, 400, "BadRequestException", s"malformed namespace: $ns")
-            else if (!servesAsNamespace(nsDir(levels)))
-              notFound(x, "Namespace", nsName(levels))
-            else send(x, 200, JObject(
-              "namespace" -> nsJson(levels),
-              "properties" -> JObject()))
+            else {
+              val serves = listing() match {
+                case Some(l) => nsServes(l, levels)
+                case None => servesAsNamespace(nsDir(levels))
+              }
+              if (!serves) notFound(x, "Namespace", nsName(levels))
+              else send(x, 200, JObject(
+                "namespace" -> nsJson(levels),
+                "properties" -> JObject()))
+            }
           case Seq("namespaces", ns, "tables") =>
             val levels = levelsOf(ns)
             if (levels.isEmpty || levels.exists(l => !safe(l)))
               err(x, 400, "BadRequestException", s"malformed namespace: $ns")
-            else if (!servesAsNamespace(nsDir(levels)))
-              notFound(x, "Namespace", nsName(levels))
-            else send(x, 200, paged(
-              tablesOf(nsDir(levels)), "identifiers",
-              t => JObject(
-                "namespace" -> nsJson(levels),
-                "name" -> JString(t))))
+            else listing() match {
+              case Some(l) =>
+                if (!nsServes(l, levels))
+                  notFound(x, "Namespace", nsName(levels))
+                else send(x, 200, paged(
+                  l.tablesByNs.getOrElse(levels, Nil), "identifiers",
+                  t => JObject(
+                    "namespace" -> nsJson(levels),
+                    "name" -> JString(t)),
+                  keep = t => isTable(nsDir(levels).resolve(t))))
+              case None =>
+                if (!servesAsNamespace(nsDir(levels)))
+                  notFound(x, "Namespace", nsName(levels))
+                else send(x, 200, paged(
+                  tablesOf(nsDir(levels)), "identifiers",
+                  t => JObject(
+                    "namespace" -> nsJson(levels),
+                    "name" -> JString(t))))
+            }
           case Seq("namespaces", ns, "tables", t) =>
             val levels = levelsOf(ns)
             if (levels.isEmpty || levels.exists(l => !safe(l)) || !safe(t))

@@ -322,6 +322,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val hasChildren = listNamespaces(ns).nonEmpty || listTables(ns).nonEmpty
     if (hasChildren && !cascade) throw new NonEmptyNamespaceException(ns)
     deleteRecursively(nsDir(ns))
+    RestRegistry.unregisterPrefix(warehouse, ns.mkString("/"))
     true
   }
 
@@ -897,6 +898,7 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!TableMetadata.exists(dir)) return false
     deleteRecursively(dir)
+    RestRegistry.unregister(warehouse, relPath(ident))
     true
   }
 
@@ -906,7 +908,14 @@ class LakehouseCatalog extends TableCatalog with SupportsNamespaces
     if (TableMetadata.exists(tableDir(to))) throw new TableAlreadyExistsException(to)
     if (!isNamespace(to.namespace)) throw new NoSuchNamespaceException(to.namespace)
     Files.move(fromDir, tableDir(to))
+    // keep the REST listing registry in step: the old path is gone,
+    // and the moved table won't re-commit (re-register) on its own
+    RestRegistry.unregister(warehouse, relPath(from))
+    RestRegistry.maybeRegister(tableDir(to))
   }
+
+  private def relPath(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString("/")
 
   // ---- helpers -------------------------------------------------------------
 

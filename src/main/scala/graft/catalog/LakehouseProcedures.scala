@@ -173,6 +173,10 @@ object LakehouseProcedures {
     override def run(spark: SparkSession, cat: String, a: InternalRow): Long = {
       val wh = spark.sessionState.catalogManager.catalog(cat)
         .asInstanceOf[LakehouseCatalog].warehousePath
+      // a query path that crashes between start and stop must not leak
+      // the HttpServer past the session: the lifecycle hook closes any
+      // still-running endpoint at application end
+      IcebergRestService.installLifecycleHook(spark)
       IcebergRestService.register(wh, a.getInt(0)).toLong
     }
   }

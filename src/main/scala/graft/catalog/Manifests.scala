@@ -82,30 +82,87 @@ object Manifests {
   val manifestsParsed = new AtomicLong
   def resetCounters(): Unit = { bytesRead.set(0); manifestsParsed.set(0) }
 
-  /** Process-wide LRU over parsed manifests, bounded by total ENTRY
-    * count (entries, not manifests, carry the memory). Driver-side
-    * only; synchronized access is noise next to the IO it saves. */
-  private val MaxCachedEntries = 1000000L
-  private val cache = new java.util.LinkedHashMap[String, Seq[ManifestEntry]](64, 0.75f, true)
-  private var cachedEntries = 0L
+  /** Process-wide parsed-manifest cache, bounded by ENTRY count
+    * (entries, not manifests, carry the memory) at TWO levels:
+    *
+    *  - per TABLE: each table's chunks live in their own LRU with a
+    *    1.25M-entry budget — a full 100 TB table (~1M files at 500 MB/
+    *    file) stays parsed WITH append churn on top (the old global
+    *    budget was exactly 1M, so the design-point table plus one
+    *    append already straddled it);
+    *  - globally: 5M entries across tables (four design-point tables'
+    *    worth, low GBs against the 128 GiB driver budget), evicting
+    *    the least-recently-USED table's eldest chunks first.
+    *
+    * The old single global 1M-entry LRU made two 1M-file tables in one
+    * JVM evict each other on every alternation — a long-lived driver
+    * serving several large tables paid the full "cold" rebuild
+    * (BENCH_META: 2.78 s at 1M files) chronically. Per-table budgets
+    * isolate tables from each other; the global bound (4 large tables'
+    * worth, a few GB worst case against the 128 GiB driver budget)
+    * still caps a pathological many-table churn. A table's key is its
+    * chunk path's parent (the owning `metadata/` dir) — chunks never
+    * move, so the grouping is stable. Driver-side only; one shared
+    * monitor, since contention is noise next to the IO it saves. */
+  private[graft] var MaxEntriesPerTable = 1250000L // test-adjustable
+  private[graft] var MaxTotalEntries = 5000000L
+  private final class TableCache {
+    val chunks = new java.util.LinkedHashMap[String, Seq[ManifestEntry]](64, 0.75f, true)
+    var entries = 0L
+  }
+  // table-level access order: global eviction drains the least-
+  // recently-used TABLE first, so the active table never pays for a
+  // cold one's residency
+  private val cache = new java.util.LinkedHashMap[String, TableCache](16, 0.75f, true)
+  private var totalEntries = 0L
+
+  private def tableKeyOf(chunkKey: String): String = {
+    val i = chunkKey.lastIndexOf('/')
+    if (i <= 0) chunkKey else chunkKey.substring(0, i)
+  }
 
   private def cacheGet(key: String): Option[Seq[ManifestEntry]] =
-    cache.synchronized(Option(cache.get(key)))
+    cache.synchronized {
+      Option(cache.get(tableKeyOf(key))).flatMap(t => Option(t.chunks.get(key)))
+    }
 
   private def cachePut(key: String, v: Seq[ManifestEntry]): Unit = cache.synchronized {
-    if (cache.put(key, v) == null) cachedEntries += v.size
-    val it = cache.entrySet().iterator()
-    while (cachedEntries > MaxCachedEntries && it.hasNext) {
+    val tk = tableKeyOf(key)
+    var t = cache.get(tk)
+    if (t == null) { t = new TableCache; cache.put(tk, t); () }
+    if (t.chunks.put(key, v) == null) { t.entries += v.size; totalEntries += v.size }
+    // per-table budget: evict this table's own eldest chunks
+    var it = t.chunks.entrySet().iterator()
+    while (t.entries > MaxEntriesPerTable && it.hasNext) {
       val eldest = it.next()
       if (eldest.getKey != key) { // never evict what we just inserted
-        cachedEntries -= eldest.getValue.size
+        t.entries -= eldest.getValue.size
+        totalEntries -= eldest.getValue.size
         it.remove()
       }
     }
+    // global budget: drain the least-recently-used TABLE(s)
+    val tables = cache.entrySet().iterator()
+    while (totalEntries > MaxTotalEntries && tables.hasNext) {
+      val victim = tables.next().getValue
+      it = victim.chunks.entrySet().iterator()
+      while (totalEntries > MaxTotalEntries && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != key) {
+          victim.entries -= eldest.getValue.size
+          totalEntries -= eldest.getValue.size
+          it.remove()
+        }
+      }
+      if (victim.chunks.isEmpty) tables.remove()
+    }
   }
 
+  private[graft] def cachedEntriesForTesting: Long =
+    cache.synchronized(totalEntries)
+
   private[graft] def clearCacheForTesting(): Unit = cache.synchronized {
-    cache.clear(); cachedEntries = 0
+    cache.clear(); totalEntries = 0
     pendingSeeds.synchronized { pendingSeeds.clear(); pendingEntries = 0 }
   }
 

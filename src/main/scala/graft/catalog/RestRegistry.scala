@@ -1,0 +1,204 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** Warehouse-level index of REST-servable tables, so the REST
+  * catalog's LIST/discovery routes are O(page) instead of O(warehouse
+  * tree). Before this, `hasMirroredTable`/`childNamespacesOf` recursed
+  * the directory tree on EVERY list request — and a spec-conformant
+  * paging client (the reference's reader BFS-walks namespaces at
+  * pageSize=1, exactly what the q129 gate drives) multiplies that: at
+  * a 10k-table warehouse every page request was an O(tree) filesystem
+  * walk.
+  *
+  * Shape: one relative table path per line (`ns1/ns2/table`, '/'
+  * separated, sorted not required — readers sort), at
+  * `<warehouse>/_rest_tables.txt`. A plain FILE in the warehouse root
+  * is invisible to both namespace discovery paths (the catalog
+  * requires a `_namespace.json` marker inside a DIRECTORY; the REST
+  * walk requires `isDirectory`).
+  *
+  * Maintenance contract:
+  *  - REGISTER on hint advance ([[TableMetadata.writeHintStrict]]):
+  *    the version hint is what makes a table REST-visible, and every
+  *    publish path funnels through it. Steady-state cost per commit is
+  *    one in-process set lookup; the first commit of a table per JVM
+  *    pays one registry read. Registration only MAINTAINS an existing
+  *    registry — it never creates one (warehouses nobody serves over
+  *    REST stay registry-free and cost nothing).
+  *  - UNREGISTER on `dropTable` / cascading `dropNamespace`
+  *    ([[LakehouseCatalog]]).
+  *  - CREATE + backfill happens once, at REST service start
+  *    ([[ensure]]): one tree walk writes the registry, covering every
+  *    table that predates it (the fixture warehouses persist across
+  *    rounds).
+  *
+  * Out-of-band deletion (rm -rf of a table dir) leaves a stale line;
+  * the REST service re-validates each served PAGE of table
+  * identifiers against the filesystem (O(page) stats), so a stale
+  * entry can hide a table listing row but never serve one. All writes
+  * are read-modify-rewrite under a cross-process `FileLock`
+  * (`_rest_tables.lock`) with an atomic-move publish; readers never
+  * lock (they only ever see a complete file). Every operation is
+  * best-effort: a registry failure must never fail a COMMIT (register
+  * rides the hint write) — the worst outcome is a walk fallback or a
+  * stale-validated line, both correct. */
+object RestRegistry {
+
+  val FileName = "_rest_tables.txt"
+  private val LockName = "_rest_tables.lock"
+
+  def registryFile(warehouse: Path): Path = warehouse.resolve(FileName)
+
+  /** Climb from a table dir to its warehouse root: namespace levels
+    * carry `_namespace.json` markers ([[LakehouseCatalog]] layout);
+    * the warehouse root is the first ancestor WITHOUT one. Requires at
+    * least one marker level — a bare temp-dir table (spec fixtures,
+    * direct-path tables) has no warehouse and never registers. */
+  def warehouseOf(tableDir: Path): Option[Path] = {
+    var p = tableDir.toAbsolutePath.normalize.getParent
+    var levels = 0
+    while (p != null && levels < 64 &&
+        Files.exists(p.resolve("_namespace.json"))) {
+      p = p.getParent
+      levels += 1
+    }
+    if (levels > 0 && p != null) Some(p) else None
+  }
+
+  private def relPathOf(warehouse: Path, tableDir: Path): Option[String] =
+    try {
+      val rel = warehouse.relativize(tableDir.toAbsolutePath.normalize)
+      val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
+      if (segs.isEmpty || segs.exists(s => s.isEmpty || s == "..")) None
+      else Some(segs.mkString("/"))
+    } catch { case _: IllegalArgumentException => None }
+
+  /** Tables already confirmed registered by THIS process — the
+    * steady-state fast path for the per-commit hook. Bounded by the
+    * number of distinct tables this JVM commits to. */
+  private val known = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def clearKnownForTesting(): Unit = known.clear()
+
+  /** Read the registry lines (unordered, deduped). None = no registry
+    * at this warehouse. */
+  def readEntries(warehouse: Path): Option[Set[String]] = {
+    val f = registryFile(warehouse)
+    if (!Files.isRegularFile(f)) None
+    else
+      try Some(Files.readString(f, StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+      catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeEntries(warehouse: Path, entries: Set[String]): Unit = {
+    val f = registryFile(warehouse)
+    val tmp = Files.createTempFile(warehouse, "._rest_tables-", ".tmp")
+    try {
+      Files.writeString(tmp, entries.toSeq.sorted.mkString("\n"),
+        StandardCharsets.UTF_8)
+      Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Run `body` under the cross-process registry lock. An fs that
+    * cannot lock proceeds unlocked (atomic-move rewrites keep readers
+    * safe; a lost write self-heals at the next ensure/register). */
+  private def withLock[A](warehouse: Path)(body: => A): A = {
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val ch =
+      try java.nio.channels.FileChannel.open(
+        warehouse.resolve(LockName), CREATE, WRITE)
+      catch { case scala.util.control.NonFatal(_) => null }
+    val lock =
+      if (ch == null) null
+      else
+        try ch.lock()
+        catch { case scala.util.control.NonFatal(_) => null }
+    try body
+    finally {
+      if (lock != null) { try lock.release() catch { case _: Exception => () } }
+      if (ch != null) { try ch.close() catch { case _: Exception => () } }
+    }
+  }
+
+  /** Per-commit hook ([[TableMetadata.writeHintStrict]]): add the
+    * table to its warehouse's registry IF one exists. Never throws —
+    * it rides the commit's hint write. */
+  def maybeRegister(tableDir: Path): Unit =
+    try {
+      val abs = tableDir.toAbsolutePath.normalize.toString
+      if (known.contains(abs)) return
+      warehouseOf(tableDir) match {
+        case None => known.add(abs); () // no warehouse: never registrable
+        case Some(wh) =>
+          // a registry-less warehouse is NOT cached negative: the REST
+          // service may create the registry later, and this table's
+          // next commit must then register (one stat per commit until
+          // then — noise next to the publish it rides)
+          if (!Files.isRegularFile(registryFile(wh))) return
+          relPathOf(wh, tableDir).foreach { rel =>
+            withLock(wh) {
+              val cur = readEntries(wh).getOrElse(Set.empty)
+              if (!cur.contains(rel)) writeEntries(wh, cur + rel)
+            }
+            known.add(abs)
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Drop one table's line (dropTable). Best-effort. */
+  def unregister(warehouse: Path, tableRelPath: String): Unit =
+    try {
+      if (!Files.isRegularFile(registryFile(warehouse))) return
+      withLock(warehouse) {
+        readEntries(warehouse).foreach { cur =>
+          if (cur.contains(tableRelPath))
+            writeEntries(warehouse, cur - tableRelPath)
+        }
+      }
+      known.remove(warehouse.resolve(tableRelPath)
+        .toAbsolutePath.normalize.toString)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Drop every line at or under a namespace (cascading
+    * dropNamespace). Best-effort. */
+  def unregisterPrefix(warehouse: Path, nsRelPath: String): Unit =
+    try {
+      if (!Files.isRegularFile(registryFile(warehouse))) return
+      val pfx = nsRelPath + "/"
+      withLock(warehouse) {
+        readEntries(warehouse).foreach { cur =>
+          val keep = cur.filterNot(e => e == nsRelPath || e.startsWith(pfx))
+          if (keep.size != cur.size) writeEntries(warehouse, keep)
+        }
+      }
+      known.removeIf(_.startsWith(
+        warehouse.resolve(nsRelPath).toAbsolutePath.normalize.toString))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Create-or-read: called once at REST service start. Absent
+    * registry → ONE tree walk (`walk` yields relative table paths)
+    * backfills it; present → read as-is (commit hooks have maintained
+    * it since creation). Returns the entries, or None when even the
+    * walk/write failed (the service then falls back to per-request
+    * walking, the pre-registry behavior). */
+  def ensure(warehouse: Path, walk: () => Seq[String]): Option[Set[String]] =
+    try {
+      readEntries(warehouse).orElse {
+        val walked = walk().toSet
+        withLock(warehouse) {
+          // re-check under the lock: a concurrent ensure may have won
+          readEntries(warehouse).orElse {
+            writeEntries(warehouse, walked)
+            Some(walked)
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -504,6 +504,11 @@ object TableMetadata {
       Files.writeString(tmp, v.toString)
       Files.move(tmp, md.resolve(HintName),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      // the hint is what makes a table REST-visible, so this is the
+      // one funnel where every publish path keeps the warehouse's
+      // REST listing registry current (steady state: one set lookup;
+      // never throws, never fails the commit)
+      RestRegistry.maybeRegister(md.getParent)
     }
   }
 

@@ -289,6 +289,127 @@ class IcebergRestServiceSpec extends AnyFunSuite with Matchers {
     page(Seq("x", "y"), None, Some(0))._1 shouldBe Seq("x")
   }
 
+  test("registry-backed discovery: listings never walk the tree, stay walk-equivalent, survive churn") {
+    import graft.catalog.{IcebergRestService, RestRegistry}
+    // a synthetic warehouse, no Spark: namespace markers + hint files
+    // are all the discovery surface reads
+    val wh = Files.createTempDirectory("graft-rest-reg-")
+    def mkNs(levels: String*): Unit = {
+      val d = levels.foldLeft(wh)(_.resolve(_))
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("_namespace.json"), "{}")
+    }
+    def mkTable(rel: String): Unit = {
+      val d = wh.resolve(rel).resolve("metadata")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("version-hint.text"), "1")
+    }
+    mkNs("nsa"); mkNs("nsa", "sub"); mkNs("nsb")
+    mkTable("nsa/t1"); mkTable("nsa/t2"); mkTable("nsa/sub/t3")
+    mkTable("nsb/t4")
+
+    val h = IcebergRestService.start(wh) // ensure(): ONE walk backfills
+    try {
+      val reg = RestRegistry.registryFile(wh)
+      Files.isRegularFile(reg) shouldBe true
+      RestRegistry.readEntries(wh).get shouldBe
+        Set("nsa/t1", "nsa/t2", "nsa/sub/t3", "nsb/t4")
+
+      val base = s"${h.uri}/v1"
+      def names(body: String, key: String): List[JValue] =
+        json(body)(key).asInstanceOf[JArray].arr
+      // every LISTING route, zero tree walks (the counter covers all
+      // walk paths): before the registry each of these was O(tree),
+      // multiplied by pageSize=1 BFS clients
+      IcebergRestService.resetWalkCounterForTesting()
+      val (nc, nb) = get(s"$base/namespaces")
+      nc shouldBe 200
+      names(nb, "namespaces").map(_.asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s)) shouldBe
+        List(List("nsa"), List("nsb"))
+      val (pc, pb) = get(s"$base/namespaces?parent=nsa")
+      pc shouldBe 200
+      names(pb, "namespaces").map(_.asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s)) shouldBe List(List("nsa", "sub"))
+      val (tc, tb) = get(s"$base/namespaces/nsa/tables")
+      tc shouldBe 200
+      names(tb, "identifiers").map(_.asInstanceOf[JObject].obj.toMap
+        .apply("name").asInstanceOf[JString].s) shouldBe List("t1", "t2")
+      get(s"$base/namespaces/nsa%1Fsub")._1 shouldBe 200
+      get(s"$base/namespaces/no_such")._1 shouldBe 404
+      IcebergRestService.walkedDirs.get() shouldBe 0L
+
+      // a new table registering (the commit hook's effect) appears in
+      // the next listing via mtime invalidation — still no walk
+      mkTable("nsb/t5")
+      RestRegistry.maybeRegister(wh.resolve("nsb/t5"))
+      val (t2c, t2b) = get(s"$base/namespaces/nsb/tables")
+      t2c shouldBe 200
+      names(t2b, "identifiers").map(_.asInstanceOf[JObject].obj.toMap
+        .apply("name").asInstanceOf[JString].s) shouldBe List("t4", "t5")
+      IcebergRestService.walkedDirs.get() shouldBe 0L
+
+      // out-of-band deletion: the stale line is re-validated per PAGE
+      // (O(page) stats) — a short page, never a phantom row
+      graft.catalog.Fs.deleteRecursively(wh.resolve("nsa/t2"))
+      val (t3c, t3b) = get(s"$base/namespaces/nsa/tables")
+      t3c shouldBe 200
+      names(t3b, "identifiers").map(_.asInstanceOf[JObject].obj.toMap
+        .apply("name").asInstanceOf[JString].s) shouldBe List("t1")
+      IcebergRestService.walkedDirs.get() shouldBe 0L
+
+      // unregister (dropTable's hook) removes the line for real
+      RestRegistry.unregister(wh, "nsa/t2")
+      RestRegistry.readEntries(wh).get should not contain "nsa/t2"
+      // cascading dropNamespace: prefix removal
+      RestRegistry.unregisterPrefix(wh, "nsa/sub")
+      RestRegistry.readEntries(wh).get shouldBe Set("nsa/t1", "nsb/t4", "nsb/t5")
+
+      // registry deleted out-of-band: the next listing self-heals with
+      // ONE walk and re-creates the file
+      Files.delete(reg)
+      IcebergRestService.resetWalkCounterForTesting()
+      get(s"$base/namespaces/nsb/tables")._1 shouldBe 200
+      IcebergRestService.walkedDirs.get() should be > 0L
+      Files.isRegularFile(reg) shouldBe true
+      IcebergRestService.resetWalkCounterForTesting()
+      get(s"$base/namespaces/nsb/tables")._1 shouldBe 200
+      IcebergRestService.walkedDirs.get() shouldBe 0L
+    } finally h.stop()
+  }
+
+  test("registry climb: warehouseOf finds the root through namespace markers only") {
+    import graft.catalog.RestRegistry
+    val wh = Files.createTempDirectory("graft-reg-climb-")
+    val ns = wh.resolve("a").resolve("b")
+    Files.createDirectories(ns.resolve("tbl"))
+    Files.writeString(wh.resolve("a").resolve("_namespace.json"), "{}")
+    Files.writeString(ns.resolve("_namespace.json"), "{}")
+    RestRegistry.warehouseOf(ns.resolve("tbl")) shouldBe
+      Some(wh.toAbsolutePath.normalize)
+    // a bare temp-dir table (spec fixture shape) has no warehouse:
+    // never registers, and the per-commit hook caches that verdict
+    val bare = Files.createTempDirectory("graft-bare-").resolve("t")
+    Files.createDirectories(bare)
+    RestRegistry.warehouseOf(bare) shouldBe None
+  }
+
+  test("lifecycle hook: a crashed query path's endpoint closes at application end") {
+    import graft.catalog.IcebergRestService
+    val wh = Files.createTempDirectory("graft-rest-leak-")
+    // simulate the crash shape: start via the procedure's register
+    // path, then never reach stop_rest_catalog
+    val port = IcebergRestService.register(wh, 0)
+    get(s"http://127.0.0.1:$port/v1/config")._1 shouldBe 200
+    // the session ends: the listener the procedure installed fires
+    IcebergRestService.lifecycleListener.onApplicationEnd(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    // port released — nothing answers anymore
+    an[Exception] should be thrownBy
+      get(s"http://127.0.0.1:$port/v1/config")
+    IcebergRestService.stopPort(port) shouldBe false // already gone
+  }
+
   test("independent python reader consumes a table DISCOVERED via REST") {
     val probe = Process(Seq("python3", "-c", "import duckdb"))
       .!(ProcessLogger(_ => (), _ => ()))

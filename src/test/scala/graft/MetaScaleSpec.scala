@@ -22,7 +22,8 @@ class MetaScaleSpec extends AnyFunSuite with Matchers {
     val dir = Files.createTempDirectory("graft-meta-scale-")
     try {
       val r = BenchMeta.run(dir, filesPerChunk = 500, chunks = 6,
-        deltaTableChunks = 4)
+        deltaTableChunks = 4, deltaTableChunks10m = 3,
+        restNamespaces = 4, restTablesPerNs = 5)
       // 6 chunk commits + three 100-file appends (warm, cold-state, mirror)
       r.files shouldBe 6 * 500 + 300
       r.chunks should be >= 7
@@ -68,6 +69,84 @@ class MetaScaleSpec extends AnyFunSuite with Matchers {
       r.ivfProbeChunksParsed should be <= 8L // nprobe = 8 cells
       r.ivfProbeSurvivors should be >= 1
       r.ivfProbeSurvivors should be < r.ivfProbeTotal / 20
+
+      // two warm tables alternating full resolves: zero re-parses
+      // (per-table cache budgets — the old global LRU made two large
+      // tables evict each other chronically)
+      r.twoTableAltReparses shouldBe 0L
+
+      // REST listings are registry-served: ZERO tree-walk directories
+      // enumerated across the measured page requests
+      r.restTables shouldBe 4 * 5
+      r.restListWalkedDirs shouldBe 0L
+
+      // the 10M-point harness (3 chunks here): declared appends built
+      // the table, and both measured appends committed
+      r.files10m shouldBe 3 * 500 + 200
     } finally graft.catalog.Fs.deleteRecursively(dir)
+  }
+
+  test("per-table manifest cache: two at-budget tables never evict each other; the global bound still caps the sum") {
+    import graft.catalog.{Manifests, Snapshot, TableMetadata, ColumnRange}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-meta-2t-")
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("p", StringType)))
+    def build(name: String, chunks: Int, perChunk: Int): java.nio.file.Path = {
+      val td = dir.resolve(name)
+      Files.createDirectories(td)
+      var m = TableMetadata.commit(td, TableMetadata(
+        version = 1, name = name, schema = schema,
+        partitionColumns = Seq("p"), properties = Map.empty,
+        files = Nil, snapshots = Seq(Snapshot(1, 1L, "create", 0, 0))))
+      (0 until chunks).foreach { c =>
+        val rels = (0 until perChunk).map(i => f"data/c$c/part-$i%04d.parquet")
+        m = TableMetadata.commit(td, m.copy(
+          version = m.version + 1,
+          files = m.files ++ rels,
+          fileStats = m.fileStats ++ rels.map(r =>
+            r -> Map("p" -> ColumnRange(f"p$c", f"p$c", Some(0L)))),
+          fileRows = m.fileRows ++ rels.map(_ -> 10L),
+          snapshots = m.snapshots :+ Snapshot(
+            m.version + 1, m.version + 1L, "append", rels.size, 0)))
+      }
+      td
+    }
+    // 4 chunks × 300 files each — 1200 entries per table. One commit
+    // per chunk keeps chunk granularity aligned with the budgets below.
+    val ta = build("ta", 4, 300)
+    val tb = build("tb", 4, 300)
+    val (oldPer, oldTot) = (Manifests.MaxEntriesPerTable, Manifests.MaxTotalEntries)
+    try {
+      // each table fits its per-table budget; the SUM fits the global
+      // one — alternation must re-parse NOTHING. Under the old single
+      // 1M-style global budget this shape (sum > budget) evicted on
+      // every swing.
+      Manifests.MaxEntriesPerTable = 1200L
+      Manifests.MaxTotalEntries = 2500L
+      Manifests.clearCacheForTesting()
+      TableMetadata.load(ta); TableMetadata.load(tb) // populate
+      Manifests.resetCounters()
+      TableMetadata.load(ta); TableMetadata.load(tb)
+      TableMetadata.load(ta); TableMetadata.load(tb)
+      Manifests.manifestsParsed.get() shouldBe 0L
+      Manifests.cachedEntriesForTesting shouldBe 2400L
+
+      // the global bound still enforces: with total capacity below the
+      // sum, alternation pays bounded re-parses (the budget works) —
+      // and the cache never exceeds its cap
+      Manifests.MaxTotalEntries = 1500L
+      Manifests.clearCacheForTesting()
+      TableMetadata.load(ta); TableMetadata.load(tb)
+      Manifests.resetCounters()
+      TableMetadata.load(ta); TableMetadata.load(tb)
+      Manifests.manifestsParsed.get() should be > 0L
+      Manifests.cachedEntriesForTesting should be <= 1500L
+    } finally {
+      Manifests.MaxEntriesPerTable = oldPer
+      Manifests.MaxTotalEntries = oldTot
+      Manifests.clearCacheForTesting()
+      graft.catalog.Fs.deleteRecursively(dir)
+    }
   }
 }
