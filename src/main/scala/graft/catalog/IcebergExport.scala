@@ -333,7 +333,34 @@ object IcebergExport {
     } catch { case _: NumberFormatException | _: IllegalArgumentException => None }
   }
 
-  private def writeAvro(
+  /** Encode a partition tuple for the per-chunk mirror state: a
+    * compact JSON array of stringified tuple values (null as JSON
+    * null) — JSON so a string value containing any would-be separator
+    * survives the round trip. */
+  private def encodeTuple(vals: Seq[AnyRef]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(
+      vals.toList.map(v => if (v == null) JNull else JString(v.toString)))))
+
+  private def decodeTuple(s: String): Seq[Option[String]] =
+    JsonMethods.parse(s).asInstanceOf[JArray].arr.map {
+      case JNull => None
+      case JString(x) => Some(x)
+      case other => Some(other.values.toString)
+    }
+
+  /** Re-type an encoded tuple value for an Avro record, from the
+    * field's Avro type JSON (the tuple values are already in their
+    * transform domains — epoch-day ints, micros longs — so plain
+    * numeric parses reconstruct them). */
+  private def decodeTupleVal(avroType: String, s: String): AnyRef =
+    if (avroType.contains("boolean")) Boolean.box(s.toBoolean)
+    else if (avroType.contains("long")) Long.box(s.toLong)
+    else if (avroType.contains("int")) Int.box(s.toInt)
+    else if (avroType.contains("float")) Float.box(s.toFloat)
+    else if (avroType.contains("double")) Double.box(s.toDouble)
+    else s
+
+  private[graft] def writeAvro(
       target: Path, schema: Schema,
       meta: Seq[(String, String)], records: Seq[GenericRecord]): Long = {
     val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -364,9 +391,20 @@ object IcebergExport {
     * single-valued-partition verdict (valid for [[MirrorState.partCols]]);
     * `fp` the (schema, partition-spec) fingerprint the Avro was written
     * under — a mismatch forces a rewrite. */
+  /** Per-partition totals of one chunk: encoded tuple (JSON array of
+    * stringified tuple values, null as JSON null — see
+    * [[encodeTuple]]/[[decodeTupleVal]]) → (rows, files, bytes). The
+    * unit of incremental PARTITION-STATISTICS maintenance: a chunk is
+    * immutable, so its per-partition aggregate is computed once (when
+    * its Avro is written, where per-file sizes are already stat'd) and
+    * reused forever — the export-time merge is O(chunks × partitions
+    * per chunk), never O(files). Optional for migration: a state
+    * written before this field recomputes lazily per chunk (one
+    * entry+size pass), WITHOUT invalidating the chunk's Avro. */
   private final case class ChunkState(
       avro: String, len: Long, minSeq: Long, maxSeq: Long, rows: Long,
-      count: Int, snap: Long, sv: Boolean, fp: String)
+      count: Int, snap: Long, sv: Boolean, fp: String,
+      parts: Option[Map[String, (Long, Long, Long)]] = None)
 
   /** One previously exported snapshot, carried forward verbatim so
     * external engines can time-travel to it (tags): the rendered
@@ -409,9 +447,17 @@ object IcebergExport {
         chunks = o.get("chunks").collect { case c: JObject =>
           c.obj.toMap.map { case (k, v) =>
             val m = v.asInstanceOf[JObject].obj.toMap
+            // optional per-partition totals (absent in older states:
+            // recomputed lazily at the next export, never half-trusted)
+            val parts = m.get("parts").collect { case p: JObject =>
+              p.obj.toMap.map { case (tup, agg) =>
+                val a = agg.asInstanceOf[JArray].arr
+                tup -> ((jl(a(0)), jl(a(1)), jl(a(2))))
+              }
+            }
             k -> ChunkState(js(m("avro")), jl(m("len")), jl(m("minSeq")),
               jl(m("maxSeq")), jl(m("rows")), jl(m("count")).toInt, jl(m("snap")),
-              m("sv").asInstanceOf[JBool].value, js(m("fp")))
+              m("sv").asInstanceOf[JBool].value, js(m("fp")), parts)
           }
         }.getOrElse(Map.empty),
         deletes = o.get("deletes").collect { case d: JObject =>
@@ -438,12 +484,16 @@ object IcebergExport {
       "fmt" -> JLong(StateFmt),
       "partCols" -> JArray(s.partCols.toList.map(JString(_))),
       "chunks" -> JObject(s.chunks.toList.sortBy(_._1).map { case (k, c) =>
-        k -> (JObject(
-          "avro" -> JString(c.avro), "len" -> JLong(c.len),
-          "minSeq" -> JLong(c.minSeq), "maxSeq" -> JLong(c.maxSeq),
-          "rows" -> JLong(c.rows), "count" -> JInt(c.count),
-          "snap" -> JLong(c.snap), "sv" -> JBool(c.sv),
-          "fp" -> JString(c.fp)): JValue)
+        k -> (JObject(List(
+          "avro" -> (JString(c.avro): JValue), "len" -> (JLong(c.len): JValue),
+          "minSeq" -> (JLong(c.minSeq): JValue), "maxSeq" -> (JLong(c.maxSeq): JValue),
+          "rows" -> (JLong(c.rows): JValue), "count" -> (JInt(c.count): JValue),
+          "snap" -> (JLong(c.snap): JValue), "sv" -> (JBool(c.sv): JValue),
+          "fp" -> (JString(c.fp): JValue)) ++
+          c.parts.map(p => "parts" -> (JObject(
+            p.toList.sortBy(_._1).map { case (tup, (r, f, b)) =>
+              tup -> (JArray(List(JLong(r), JLong(f), JLong(b))): JValue)
+            }): JValue)).toList): JValue)
       }),
       "deletes" -> JObject(s.deletes.toList.sortBy(_._1).map { case (k, v) =>
         k -> (JString(v): JValue)
@@ -754,7 +804,12 @@ object IcebergExport {
       (Fs.children(md).iterator.filter { p =>
         val n = p.getFileName.toString
         n.endsWith(".metadata.json") || (n.startsWith("snap-") && n.endsWith(".avro")) ||
-          (n.startsWith("im-") && n.endsWith(".avro"))
+          (n.startsWith("im-") && n.endsWith(".avro")) ||
+          // statistics sidecars churn per export like everything else:
+          // un-listed here they LEAKED one stale file per export (an
+          // analyzed streaming table grew its metadata dir unboundedly)
+          (n.startsWith("stats-") && n.endsWith(".puffin")) ||
+          (n.startsWith("pstats-") && n.endsWith(".avro"))
       } ++ (if (Files.isDirectory(expDel)) Fs.children(expDel).iterator
             else Iterator.empty)).toSeq
     def drop(p: Path): Unit =
@@ -1093,6 +1148,29 @@ object IcebergExport {
     // reference while the chunk lives and the fingerprint holds — the
     // incremental core. A reused chunk costs ZERO reads: its list-entry
     // fields come from the mirror state.
+    // Per-partition totals (rows, files, bytes) accumulate per chunk
+    // for the partition-statistics file: computed when the chunk's
+    // Avro is written (sizes are stat'd there anyway), cached in the
+    // state, merged at O(chunks × partitions-per-chunk) per export. A
+    // pre-parts state migrates per chunk with one entry+size pass —
+    // unless that needs a row recount without a session, in which case
+    // this export honestly skips the partition-statistics entry
+    // (partsComplete) rather than fail pure-append maintenance.
+    val partTotals = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    var partsComplete = true
+    def tupleKey(e: ManifestEntry): String =
+      if (partitioned) encodeTuple(specFields.map { case (f, _) => tupleOf(f, e) })
+      else "[]"
+    def partAgg(sized: Seq[(ManifestEntry, Long, Long)])
+        : Map[String, (Long, Long, Long)] = {
+      val m = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+      sized.foreach { case (e, rows, bytes) =>
+        val k = tupleKey(e)
+        val (r0, f0, b0) = m.getOrElse(k, (0L, 0L, 0L))
+        m(k) = (r0 + rows, f0 + 1L, b0 + bytes)
+      }
+      m.toMap
+    }
     val dataManifests: Seq[GenericRecord] = chunkList.flatMap { case (key, get) =>
       val reused =
         if (key == "<inline>") None
@@ -1103,11 +1181,13 @@ object IcebergExport {
         val entries = entriesOf(key, get)
         if (entries.isEmpty) None
         else {
-          val records = entries.map { e =>
+          val sized = entries.map(e => (e,
+            e.rows.getOrElse(sparkCount(spark, dir, e.path)),
+            Files.size(dir.resolve(e.path))))
+          val records = sized.map { case (e, rows, bytes) =>
             val part = if (partitioned) partRecord(e) else emptyPart
             entry(uri(e.path), content = 0, seq = e.seq.toLong,
-              rows = e.rows.getOrElse(sparkCount(spark, dir, e.path)),
-              bytes = Files.size(dir.resolve(e.path)), part, Nil, e.stats)
+              rows = rows, bytes = bytes, part, Nil, e.stats)
           }
           val base =
             if (key == "<inline>") s"inline-${UUID.randomUUID().toString.take(12)}"
@@ -1119,18 +1199,38 @@ object IcebergExport {
           chunksWritten.incrementAndGet()
           Some(ChunkState(rel, len,
             entries.map(_.seq).min.toLong, entries.map(_.seq).max.toLong,
-            records.map(_.get("data_file").asInstanceOf[GenericRecord]
-              .get("record_count").asInstanceOf[Long]).sum,
-            entries.size, snapshotId, svByChunk.getOrElse(key, true), fp))
+            sized.map(_._2).sum,
+            entries.size, snapshotId, svByChunk.getOrElse(key, true), fp,
+            parts = Some(partAgg(sized))))
         }
       }
-      st.map { c =>
+      // migration: a reused chunk from a pre-parts state fills its
+      // per-partition totals once (entry+size pass over THAT chunk)
+      val stFilled = st.map { c =>
+        if (c.parts.isDefined) c
+        else {
+          val entries = entriesOf(key, get)
+          if (entries.exists(_.rows.isEmpty) && spark == null) {
+            partsComplete = false; c
+          } else c.copy(parts = Some(partAgg(entries.map(e => (e,
+            e.rows.getOrElse(sparkCount(spark, dir, e.path)),
+            Files.size(dir.resolve(e.path)))))))
+        }
+      }
+      stFilled.map { c =>
         // refresh the sv verdict even on Avro reuse: the Avro depends
         // only on fp, but sv is keyed by svKey — a transform change
         // that leaves fp intact (unpartitioned → unpartitioned) would
         // otherwise persist a verdict computed under the OLD key
         if (key != "<inline>")
           newChunks(key) = c.copy(sv = svByChunk.getOrElse(key, true))
+        c.parts match {
+          case Some(p) => p.foreach { case (k, (r, f, b)) =>
+            val (r0, f0, b0) = partTotals.getOrElse(k, (0L, 0L, 0L))
+            partTotals(k) = (r0 + r, f0 + f, b0 + b)
+          }
+          case None => partsComplete = false
+        }
         keep(c.avro)
         listRecord(c.avro, c.len, 0, 0, c.minSeq, c.maxSeq, c.snap, c.count, c.rows)
       }
@@ -1300,6 +1400,60 @@ object IcebergExport {
       }
     }
 
+    // ---- partition statistics → the spec's `partition-statistics` ----
+    // Per-partition data_record_count / data_file_count /
+    // total_data_file_size_in_bytes under the exported default spec
+    // (field ids 1-5 per the Iceberg spec's partition-statistics file
+    // schema), written as an Avro data file — aggregated from the
+    // per-chunk totals above, so maintenance is O(chunks), never
+    // O(files). External CBO gets per-partition row counts instead of
+    // re-deriving them from every manifest; unpartitioned tables
+    // publish the single empty-tuple row (the unified partition type
+    // is an empty struct). Skipped (partsComplete=false) only when a
+    // pre-parts state needs a row recount without a session — honest
+    // degradation, the next sessioned export heals it.
+    val partitionStatsJson: Option[JValue] =
+      if (!partsComplete) None
+      else {
+        val rel =
+          s"metadata/pstats-$snapshotId-${UUID.randomUUID().toString.take(12)}.avro"
+        val partJson2 = specFields.map { case (f, fid) =>
+          s"""{"name": "${f.name}", "type": ["null", ${f.avroType}], "field-id": $fid, "default": null}"""
+        }.mkString(",\n")
+        val pss = new Schema.Parser().parse(
+          s"""{"type": "record", "name": "partition_statistics", "fields": [
+             |{"name": "partition", "field-id": 1, "type":
+             |  {"type": "record", "name": "r1", "fields": [$partJson2]}},
+             |${af("spec_id", "\"int\"", 2, optional = false)},
+             |${af("data_record_count", "\"long\"", 3, optional = false)},
+             |${af("data_file_count", "\"int\"", 4, optional = false)},
+             |${af("total_data_file_size_in_bytes", "\"long\"", 5, optional = false)}
+             |]}""".stripMargin)
+        val partRecSchema = pss.getField("partition").schema()
+        val recs = partTotals.toSeq.sortBy(_._1).map {
+          case (tup, (rows, nFiles, bytes)) =>
+            val pr = new GenericData.Record(partRecSchema)
+            if (partitioned)
+              specFields.zip(decodeTuple(tup)).foreach { case ((f, _), v) =>
+                pr.put(f.name, v.map(decodeTupleVal(f.avroType, _)).orNull)
+              }
+            val r = new GenericData.Record(pss)
+            r.put("partition", pr)
+            r.put("spec_id", Int.box(0))
+            r.put("data_record_count", Long.box(rows))
+            r.put("data_file_count", Int.box(nFiles.toInt))
+            r.put("total_data_file_size_in_bytes", Long.box(bytes))
+            r
+        }
+        val len = writeAvro(dir.resolve(rel), pss,
+          Seq("format-version" -> "2"), recs)
+        keep(rel)
+        Some(JObject(
+          "snapshot-id" -> JLong(snapshotId),
+          "statistics-path" -> JString(uri(rel)),
+          "file-size-in-bytes" -> JLong(len)))
+      }
+
     // ---- metadata.json
     // the write sort order publishes as an identity-ascending Iceberg
     // sort order (id 1) so a round-trip import keeps the layout hint
@@ -1358,7 +1512,8 @@ object IcebergExport {
         ("main" -> (JObject(
           "snapshot-id" -> JLong(snapshotId),
           "type" -> JString("branch")): JValue)) :: tagRefs),
-      "statistics" -> JArray(statisticsJson.toList))
+      "statistics" -> JArray(statisticsJson.toList),
+      "partition-statistics" -> JArray(partitionStatsJson.toList))
     val tmp = Files.createTempFile(md, ".icemeta-", ".tmp")
     try {
       Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(metadataJson)))

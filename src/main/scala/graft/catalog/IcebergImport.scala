@@ -696,6 +696,46 @@ object IcebergImport {
         } catch {
           case scala.util.control.NonFatal(_) => Map.empty[String, String]
         }
+      // partition-statistics round trip, ADVISORY like the Puffin NDVs:
+      // the source's per-partition file/row totals are cross-checked
+      // against the manifests this import just linked (sum of claimed
+      // data_record_count/data_file_count must equal the snapshot's
+      // own) and recorded as graft.import.partition-stats.* properties
+      // — an external planner's first question ("how many partitions,
+      // how big") answered without a scan. A disagreeing or malformed
+      // file degrades to no properties, never a failed import: graft
+      // re-derives exact per-partition truth from its own manifests.
+      val partStatsProps: Map[String, String] =
+        if (!isMain) Map.empty
+        else try {
+          m.get("partition-statistics").collect { case JArray(a) => a }
+            .getOrElse(Nil).collect { case o: JObject => o.obj.toMap }
+            .filter(e => e.get("snapshot-id").exists(jlong(_) == mainSnapId))
+            .headOption.flatMap { e =>
+              val pf = asLocal(e("statistics-path") match {
+                case JString(x) => x; case o => o.values.toString })
+              val (recs, _) = IcebergExport.readAvro(pf)
+              val claimedRows = recs.iterator
+                .map(_.get("data_record_count").asInstanceOf[Long]).sum
+              val claimedFiles = recs.iterator
+                .map(_.get("data_file_count").asInstanceOf[Int].toLong).sum
+              val actualRows = snapFiles.iterator.map(_._3.rows).sum
+              if (claimedRows == actualRows && claimedFiles == snapFiles.size)
+                Some(Map(
+                  "graft.import.partition-stats.partitions" -> recs.size.toString,
+                  "graft.import.partition-stats.rows" -> claimedRows.toString))
+              else {
+                System.err.println(
+                  s"[graft] import: partition-statistics disagree with the " +
+                    s"imported manifests (claimed $claimedRows rows / " +
+                    s"$claimedFiles files, manifests say $actualRows / " +
+                    s"${snapFiles.size}) — skipping the advisory properties")
+                None
+              }
+            }.getOrElse(Map.empty)
+        } catch {
+          case scala.util.control.NonFatal(_) => Map.empty[String, String]
+        }
       base = TableMetadata.commit(dir, base.copy(
         version = v,
         files = rels,
@@ -704,7 +744,7 @@ object IcebergImport {
         fileRows = snapFiles.map { case (_, rel, f) => rel -> f.rows }.toMap,
         fileSeq = snapFiles.map { case (r, rel, _) => rel -> fileRank(r.seq) }.toMap,
         deleteFiles = snapDeletes,
-        properties = base.properties ++ tagProps ++ statsProps ++
+        properties = base.properties ++ tagProps ++ statsProps ++ partStatsProps ++
           (if (isMain) Map(
             "graft.import.source" -> metaPath.toString,
             "graft.import.snapshot" -> mainSnapId.toString)

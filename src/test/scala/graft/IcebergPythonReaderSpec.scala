@@ -298,6 +298,97 @@ class IcebergPythonReaderSpec extends AnyFunSuite with Matchers {
     spark.sql("DROP TABLE lakehouse.ice_ns.pybnd")
   }
 
+  test("exported PARTITION STATISTICS verify per partition; import reads them advisory; stale files GC") {
+    val probe = Process(Seq("python3", "-c", "import duckdb"))
+      .!(ProcessLogger(_ => (), _ => ()))
+    assume(probe == 0, "python3 + duckdb not available in this environment")
+    assume(Files.isRegularFile(Paths.get(tool)), s"missing $tool")
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lakehouse.ice_ns")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.ppst")
+    spark.sql("DROP TABLE IF EXISTS lakehouse.ice_ns.ppst_imp")
+    spark.sql("CREATE TABLE lakehouse.ice_ns.ppst (k INT, p STRING) " +
+      "PARTITIONED BY (p)")
+    // three partitions; 'a' gets TWO inserts so its claimed
+    // data_file_count exceeds one — per-partition aggregation, not
+    // per-file echo
+    for ((pv, lo) <- Seq(("a", 0), ("a", 40), ("b", 100), ("c", 200))) {
+      (lo until lo + 7).map(i => (i, pv)).toDF("k", "p")
+        .createOrReplaceTempView("ppst_src")
+      spark.sql("INSERT INTO lakehouse.ice_ns.ppst SELECT * FROM ppst_src")
+    }
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'ppst')")
+    val dir = Paths.get(TestSpark.warehouse, "ice_ns", "ppst")
+    val md = dir.resolve("metadata")
+    def pstatsFiles() = graft.catalog.Fs.children(md).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("pstats-") && n.endsWith(".avro")
+    }
+    pstatsFiles() should have size 1
+
+    val expDir = Files.createTempDirectory("graft-ppst-").toString
+    spark.table("lakehouse.ice_ns.ppst")
+      .coalesce(1).write.mode("overwrite").parquet(expDir)
+    def pyCheck(): (Int, String) = {
+      val out = new StringBuilder
+      val code = Process(Seq("python3", tool, dir.toString, expDir,
+        "--verify-bounds"))
+        .!(ProcessLogger(l => out.append(l).append('\n'),
+          l => out.append(l).append('\n')))
+      (code, out.toString)
+    }
+    val (code1, out1) = pyCheck()
+    withClue(out1) {
+      code1 shouldBe 0
+      out1 should include("PARTITION STATS VERIFIED (3 partitions")
+      out1 should include("MATCH (28 rows")
+    }
+
+    // incremental maintenance + GC: another insert re-exports through
+    // the write-through mirror (the table wasn't created with the
+    // mirror property, so CALL again), and exactly ONE pstats file
+    // remains — the stale one is retired like every other artifact
+    // (they used to leak one per export)
+    (300 until 307).map(i => (i, "b")).toDF("k", "p")
+      .createOrReplaceTempView("ppst_src")
+    spark.sql("INSERT INTO lakehouse.ice_ns.ppst SELECT * FROM ppst_src")
+    spark.sql("CALL lakehouse.system.export_iceberg('ice_ns', 'ppst')")
+    pstatsFiles() should have size 1
+    spark.table("lakehouse.ice_ns.ppst")
+      .coalesce(1).write.mode("overwrite").parquet(expDir)
+    val (code2, out2) = pyCheck()
+    withClue(out2) {
+      code2 shouldBe 0
+      out2 should include("PARTITION STATS VERIFIED (3 partitions")
+    }
+
+    // import reads the partition statistics ADVISORY: totals
+    // cross-checked against the imported manifests, then recorded
+    val hint = Files.readString(md.resolve("version-hint.text")).trim.toInt
+    spark.sql("CALL lakehouse.system.import_iceberg('ice_ns', 'ppst_imp', " +
+      s"'${md.resolve(s"v$hint.metadata.json")}')")
+    val impProps = graft.catalog.TableMetadata.load(
+      Paths.get(TestSpark.warehouse, "ice_ns", "ppst_imp")).properties
+    impProps.get("graft.import.partition-stats.partitions") shouldBe Some("3")
+    impProps.get("graft.import.partition-stats.rows") shouldBe Some("35")
+
+    // the breaker: bump ONE claimed record count in the pstats Avro —
+    // the python checker must FAIL, proving it reads the real claims
+    val pstats = pstatsFiles().head
+    val (recs, meta) = graft.catalog.IcebergExport.readAvro(pstats)
+    recs.head.put("data_record_count",
+      Long.box(recs.head.get("data_record_count").asInstanceOf[Long] + 1))
+    Files.delete(pstats)
+    graft.catalog.IcebergExport.writeAvro(
+      pstats, recs.head.getSchema,
+      meta.toSeq.filterNot(_._1.startsWith("avro.")), recs)
+    val (code3, out3) = pyCheck()
+    withClue(out3) { code3 should not be 0 }
+
+    spark.sql("DROP TABLE lakehouse.ice_ns.ppst_imp")
+    spark.sql("DROP TABLE lakehouse.ice_ns.ppst")
+  }
+
   test("external time travel: a tagged snapshot reads back via refs after later DML") {
     val probe = Process(Seq("python3", "-c", "import duckdb"))
       .!(ProcessLogger(_ => (), _ => ()))

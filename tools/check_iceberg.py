@@ -471,6 +471,50 @@ def verify_bounds(meta, schema, name_by_id, data_files, con):
     return len(data_files), checked
 
 
+def verify_partition_stats(meta, data_files, con, snap_id) -> int:
+    """Verify the exported Iceberg `partition-statistics` entry: re-read
+    its Avro file and recompute every partition's data_record_count /
+    data_file_count / total_data_file_size_in_bytes from the snapshot's
+    FULL data-file list — record counts recomputed with DuckDB
+    (count(*) per parquet, never trusting the manifests), sizes from
+    the filesystem. Unpartitioned tables claim one empty-tuple row.
+    Returns partitions verified (0 = no entry for this snapshot);
+    raises on the first disagreement."""
+    import os
+    entries = [e for e in (meta.get("partition-statistics") or [])
+               if e["snapshot-id"] == snap_id]
+    checked = 0
+    for entry in entries:
+        path = Path(local_path(entry["statistics-path"]))
+        assert path.stat().st_size == entry["file-size-in-bytes"], \
+            "partition statistics file size disagrees with the metadata entry"
+        claims = {}
+        for rec in read_avro(path):
+            assert rec["spec_id"] == meta["default-spec-id"], \
+                f"partition statistics under unexpected spec {rec['spec_id']}"
+            key = tuple(sorted((rec.get("partition") or {}).items()))
+            assert key not in claims, \
+                f"duplicate partition tuple in statistics file: {key}"
+            claims[key] = (rec["data_record_count"], rec["data_file_count"],
+                           rec["total_data_file_size_in_bytes"])
+        actual = {}
+        for f in data_files:
+            key = tuple(sorted((f["part"] or {}).items()))
+            p = local_path(f["path"])
+            rows = con.execute(
+                "SELECT count(*) FROM read_parquet(?)", [p]).fetchone()[0]
+            r, n, b = actual.get(key, (0, 0, 0))
+            actual[key] = (r + rows, n + 1, b + os.path.getsize(p))
+        if claims != actual:
+            only_c = {k: v for k, v in claims.items() if actual.get(k) != v}
+            only_a = {k: v for k, v in actual.items() if claims.get(k) != v}
+            raise AssertionError(
+                f"partition statistics disagree: claimed {only_c}, "
+                f"recomputed {only_a}")
+        checked += len(claims)
+    return checked
+
+
 def verify_buckets(meta, schema, name_by_id, data_files, con) -> int:
     """Recompute every row's bucket for files claiming bucket tuples;
     returns rows checked, raises on the first mismatch."""
@@ -679,6 +723,9 @@ def read_iceberg_table(table_dir, ref=None, filt=None, check_buckets=False,
     # ones (tuple >= transform(lo), tuple <= transform(hi)) and skip
     # bucket fields (hashing destroys order).
     total_data = len(data_files)
+    # partition statistics are snapshot-level claims: verified against
+    # the FULL file list, captured before any --filter pruning
+    all_data_files = list(data_files)
     residuals = []
     if filt:
         type_by_name = {f["name"]: f["type"] for f in schema["fields"]}
@@ -729,6 +776,10 @@ def read_iceberg_table(table_dir, ref=None, filt=None, check_buckets=False,
             meta, schema, name_by_id, data_files, con)
         print(f"BOUNDS VERIFIED ({n_claims} claims across "
               f"{n_files} data files)")
+        n_parts = verify_partition_stats(meta, all_data_files, con, snap_id)
+        if n_parts:
+            print(f"PARTITION STATS VERIFIED ({n_parts} partitions across "
+                  f"{len(all_data_files)} data files)")
 
     # position deletes: spec columns file_path (2147483546) / pos. Each
     # tuple carries its delete file's sequence number — the spec applies
