@@ -380,11 +380,12 @@ object BenchMeta {
     // ---- the 10M-file declared-append point ------------------------------
     // One decade past the 1M point: the declared (AppendDelta) commit
     // must stay flat. files is seeded as a Vector so the BUILD loop is
-    // O(n log n) — the measured append then exercises the O(1)-size /
-    // O(delta)-tail guard shape a Vector-building caller sees. The
-    // List-shaped contrast quantifies the named next ceiling: with
-    // List files the guard's two meta.files traversals (length + tail
-    // position) are O(table) pointer chases even on the declared path.
+    // O(n log n); loads parse to Vector and renderNext normalizes any
+    // other shape, so the measured append is the real steady-state
+    // guard cost (O(1) size + O(delta) tail). The List-shaped contrast
+    // quantifies the one-time normalization a CREATE-origin List
+    // caller pays on its first commit (it used to pay two O(table)
+    // traversals on EVERY declared commit instead).
     var files10m = 0
     var commit10mMs = 0.0
     var commit10mListMs = 0.0

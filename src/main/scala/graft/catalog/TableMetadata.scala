@@ -365,7 +365,13 @@ object TableMetadata {
       schema = DataType.fromJson(JsonMethods.compact(o("schema"))).asInstanceOf[StructType],
       partitionColumns = o("partitionColumns").asInstanceOf[JArray].arr.map(str),
       properties = o("properties").asInstanceOf[JObject].obj.map { case (k, v) => k -> str(v) }.toMap,
-      files = o.get("files").collect { case JArray(fs) => fs.map(str) }.getOrElse(Seq.empty),
+      // Vector, deliberately: the declared-append guard reads
+      // files.size and files.takeRight per commit — on the List this
+      // used to parse to, those are two O(table) pointer chases per
+      // commit at 1M+ files (BENCH_META: 31.5 ms/commit List-shaped vs
+      // 4.3 ms Vector-shaped at 10M)
+      files = o.get("files").collect { case JArray(fs) =>
+        fs.iterator.map(str).toVector: Seq[String] }.getOrElse(Vector.empty),
       fileStats = o.get("fileStats").collect { case fs: JObject =>
         fs.obj.map { case (f, cols) =>
           f -> cols.asInstanceOf[JObject].obj.map { case (c, r) =>
@@ -421,7 +427,10 @@ object TableMetadata {
     else {
       val entries = Manifests.resolveAll(mdDir, summary.manifests)
       summary.copy(
-        files = entries.map(_.path),
+        // Vector for the same reason as fromJson: resolved metas are
+        // what commit call sites extend, and the O(delta) guard needs
+        // O(1) size / O(delta) tail on them
+        files = entries.iterator.map(_.path).toVector,
         fileStats = entries.iterator.filter(_.stats.nonEmpty).map(e => e.path -> e.stats).toMap,
         fileRows = entries.iterator.flatMap(e => e.rows.map(e.path -> _)).toMap,
         fileSeq = entries.iterator.map(e => e.path -> e.seq).toMap)
@@ -953,9 +962,20 @@ object TableMetadata {
   private[catalog] def renderNext(
       mdDir: Path,
       prevFile: Option[Path],
-      meta: TableMetadata,
+      meta0: TableMetadata,
       delta: Option[AppendDelta] = None)
       : (String, TableMetadata, Seq[Path], RenderedState) = {
+    // normalize files to a Vector so every commit's guards cost O(1)
+    // size / O(delta) tail: loads already parse to Vector, but a
+    // caller that built from CREATE (files=Nil → List) and kept
+    // extending would otherwise pay two O(table) traversals per
+    // declared commit forever. The one-time toVector here converges —
+    // the returned `sequenced` carries the Vector, and conforming
+    // call sites build the next attempt from it.
+    val meta = meta0.files match {
+      case _: Vector[_] => meta0
+      case fs => meta0.copy(files = fs.toVector)
+    }
     val cachedState = prevFile.flatMap(renderStateGet)
     val prevSummary =
       if (cachedState.isDefined) None
