@@ -521,13 +521,17 @@ object Bench {
               else
                 s""","solos":${solos.map(s => f"${s._1}%.3f").mkString("[", ",", "]")}""" +
                   s""","solo_load1s":${solos.map(s => f"${s._2}%.2f").mkString("[", ",", "]")}"""
-            // a drift whose solos did NOT reproduce it (collapsed,
-            // contended, or only one ran) is labeled so a judge sees
-            // the regression is NOT adjudicated (and the historical
-            // min was kept), not silently dropped
+            // a drift whose solos did NOT settle it is labeled so a
+            // judge sees the regression is NOT adjudicated (and the
+            // historical min was kept), never silently dropped: no
+            // solo at all (spawn failed), or a solo still above the
+            // threshold without the full two-quiet-solo reproduction.
+            // A solo that COLLAPSED below the threshold is the one
+            // self-healing outcome — that drift is settled, not open.
             val unadj =
-              if (solos.exists(s => BenchGuard.historyDrift(s._1, h)) &&
-                  !BenchGuard.solosConfirm(solos, h))
+              if (!BenchGuard.solosConfirm(solos, h) &&
+                  (solos.isEmpty ||
+                    solos.exists(s => BenchGuard.historyDrift(s._1, h))))
                 ""","unadjudicated":true"""
               else ""
             f""","history_drift":{"historical":$h%.3f$solosJson$unadj}"""

@@ -104,24 +104,38 @@ object RestRegistry {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Run `body` under the cross-process registry lock. An fs that
-    * cannot lock proceeds unlocked (atomic-move rewrites keep readers
-    * safe; a lost write self-heals at the next ensure/register). */
+  /** Run `body` under BOTH a per-warehouse JVM monitor and the
+    * cross-process registry `FileLock`. The monitor must come first:
+    * FileLock is per-JVM-per-file, so two THREADS registering their
+    * first tables concurrently would hit OverlappingFileLockException
+    * — swallowing that and proceeding unlocked could lose one
+    * registration to the read-modify-rewrite race, permanently (the
+    * in-process `known` cache would mark it done). An fs that cannot
+    * lock at all proceeds under the monitor alone (atomic-move
+    * rewrites keep readers safe; cross-process losses self-heal at
+    * the next ensure). */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def withLock[A](warehouse: Path)(body: => A): A = {
-    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
-    val ch =
-      try java.nio.channels.FileChannel.open(
-        warehouse.resolve(LockName), CREATE, WRITE)
-      catch { case scala.util.control.NonFatal(_) => null }
-    val lock =
-      if (ch == null) null
-      else
-        try ch.lock()
+    val monitor = jvmLocks.computeIfAbsent(
+      warehouse.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+      val ch =
+        try java.nio.channels.FileChannel.open(
+          warehouse.resolve(LockName), CREATE, WRITE)
         catch { case scala.util.control.NonFatal(_) => null }
-    try body
-    finally {
-      if (lock != null) { try lock.release() catch { case _: Exception => () } }
-      if (ch != null) { try ch.close() catch { case _: Exception => () } }
+      val lock =
+        if (ch == null) null
+        else
+          try ch.lock()
+          catch { case scala.util.control.NonFatal(_) => null }
+      try body
+      finally {
+        if (lock != null) { try lock.release() catch { case _: Exception => () } }
+        if (ch != null) { try ch.close() catch { case _: Exception => () } }
+      }
     }
   }
 
@@ -177,8 +191,11 @@ object RestRegistry {
           if (keep.size != cur.size) writeEntries(warehouse, keep)
         }
       }
-      known.removeIf(_.startsWith(
-        warehouse.resolve(nsRelPath).toAbsolutePath.normalize.toString))
+      // separator-anchored: dropping ns1 must not purge ns1x/t from
+      // the in-process cache
+      val nsAbs = warehouse.resolve(nsRelPath).toAbsolutePath.normalize.toString
+      known.removeIf(k => k == nsAbs ||
+        k.startsWith(nsAbs + java.io.File.separator))
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
 

@@ -361,9 +361,13 @@ class IcebergRestServiceSpec extends AnyFunSuite with Matchers {
       // unregister (dropTable's hook) removes the line for real
       RestRegistry.unregister(wh, "nsa/t2")
       RestRegistry.readEntries(wh).get should not contain "nsa/t2"
-      // cascading dropNamespace: prefix removal
+      // cascading dropNamespace: prefix removal, separator-anchored —
+      // dropping nsa/sub must not touch a sibling named nsa/subx
+      mkNs("nsa", "subx"); mkTable("nsa/subx/t9")
+      RestRegistry.maybeRegister(wh.resolve("nsa/subx/t9"))
       RestRegistry.unregisterPrefix(wh, "nsa/sub")
-      RestRegistry.readEntries(wh).get shouldBe Set("nsa/t1", "nsb/t4", "nsb/t5")
+      RestRegistry.readEntries(wh).get shouldBe
+        Set("nsa/t1", "nsa/subx/t9", "nsb/t4", "nsb/t5")
 
       // registry deleted out-of-band: the next listing self-heals with
       // ONE walk and re-creates the file
