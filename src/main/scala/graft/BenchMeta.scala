@@ -49,6 +49,7 @@ object BenchMeta {
       ivfProbeMs: Double, ivfProbeChunksParsed: Long,
       ivfProbeSurvivors: Int, ivfProbeTotal: Int,
       twoTableAltMs: Double, twoTableAltReparses: Long,
+      twoTableWarmMs: Double, twoTableWarmResolves: Long,
       restTables: Int, restWalkMs: Double,
       restListFirstMs: Double, restListWarmMs: Double,
       restListWalkedDirs: Long,
@@ -327,16 +328,34 @@ object BenchMeta {
     // serving several large tables paid the full cold rebuild
     // chronically. With per-table budgets (Manifests), loading the
     // 200k-file table and the 1M-file table then ALTERNATING full
-    // resolves must re-parse ZERO chunks: both stay resident.
+    // resolves must re-parse ZERO chunks: both stay resident. The
+    // resolved-meta cache is cleared before each load here so the
+    // measurement isolates the CHUNK cache tier (resolve runs, parses
+    // nothing, rebuilds the maps).
     Manifests.clearCacheForTesting()
     TableMetadata.load(dir)
     TableMetadata.load(bigDir)
     Manifests.resetCounters()
     val (_, altMs) = timed {
+      (1 to 2).foreach { _ =>
+        Seq(dir, bigDir).foreach { d =>
+          TableMetadata.clearResolvedCacheForTesting()
+          TableMetadata.load(d)
+        }
+      }
+    }
+    val altReparses = Manifests.manifestsParsed.get()
+    // ...and the tier above: with the resolved-meta cache WARM, the
+    // same alternation is O(1) per load — query planning on a warm
+    // driver no longer rebuilds three O(files) maps per load (~2.8 s
+    // per 1M-file load before this cache)
+    TableMetadata.load(dir); TableMetadata.load(bigDir)
+    TableMetadata.resolvesBuilt.set(0)
+    val (_, warmAltMs) = timed {
       TableMetadata.load(dir); TableMetadata.load(bigDir)
       TableMetadata.load(dir); TableMetadata.load(bigDir)
     }
-    val altReparses = Manifests.manifestsParsed.get()
+    val warmAltResolves = TableMetadata.resolvesBuilt.get()
 
     // ---- REST listing at warehouse scale ---------------------------------
     // Before the listing registry, every LIST request walked the
@@ -455,6 +474,7 @@ object BenchMeta {
       ivfProbeMs = vMs, ivfProbeChunksParsed = vParsed,
       ivfProbeSurvivors = vSurv, ivfProbeTotal = vTotal,
       twoTableAltMs = altMs, twoTableAltReparses = altReparses,
+      twoTableWarmMs = warmAltMs, twoTableWarmResolves = warmAltResolves,
       restTables = restNamespaces * restTablesPerNs, restWalkMs = walkMs,
       restListFirstMs = listFirstMs, restListWarmMs = listWarmMs,
       restListWalkedDirs = listWalked,
@@ -505,6 +525,8 @@ object BenchMeta {
         f""""ivf_probe_total":${r.ivfProbeTotal},""" +
         f""""two_table_alternating_ms":${r.twoTableAltMs}%.1f,""" +
         f""""two_table_alternating_reparses":${r.twoTableAltReparses},""" +
+        f""""two_table_warm_load_ms":${r.twoTableWarmMs}%.1f,""" +
+        f""""two_table_warm_load_resolves":${r.twoTableWarmResolves},""" +
         f""""rest_tables":${r.restTables},""" +
         f""""rest_walk_backfill_ms":${r.restWalkMs}%.1f,""" +
         f""""rest_list_first_ms":${r.restListFirstMs}%.1f,""" +

@@ -161,9 +161,15 @@ object Manifests {
   private[graft] def cachedEntriesForTesting: Long =
     cache.synchronized(totalEntries)
 
-  private[graft] def clearCacheForTesting(): Unit = cache.synchronized {
-    cache.clear(); totalEntries = 0
-    pendingSeeds.synchronized { pendingSeeds.clear(); pendingEntries = 0 }
+  private[graft] def clearCacheForTesting(): Unit = {
+    cache.synchronized {
+      cache.clear(); totalEntries = 0
+      pendingSeeds.synchronized { pendingSeeds.clear(); pendingEntries = 0 }
+    }
+    // "cold driver" in specs/benches means NO warm metadata at all: the
+    // resolved-meta cache fronts this one, so it must drop too or a
+    // cold-path assertion would measure a cache this reset missed
+    TableMetadata.clearResolvedCacheForTesting()
   }
 
   /** Freshly-written chunks parked here until their version PUBLISHES.

@@ -425,6 +425,7 @@ object TableMetadata {
   private[catalog] def resolve(mdDir: Path, summary: TableMetadata): TableMetadata =
     if (summary.manifests.isEmpty) summary
     else {
+      resolvesBuilt.incrementAndGet()
       val entries = Manifests.resolveAll(mdDir, summary.manifests)
       summary.copy(
         // Vector for the same reason as fromJson: resolved metas are
@@ -435,6 +436,62 @@ object TableMetadata {
         fileRows = entries.iterator.flatMap(e => e.rows.map(e.path -> _)).toMap,
         fileSeq = entries.iterator.map(e => e.path -> e.seq).toMap)
     }
+
+  /** Instrumentation: full map-materializing resolves actually built
+    * (cache misses only) — MetaScaleSpec bounds warm loads at zero. */
+  private[graft] val resolvesBuilt = new java.util.concurrent.atomic.AtomicLong
+
+  /** [[resolve]] behind a fingerprint-validated LRU, for the two
+    * CURRENT-VERSION paths every query's planning takes (`load`, and
+    * an unpruned `resolveForScan`). Even with every chunk parse warm
+    * in [[Manifests]], a full resolve REBUILDS the fileStats/fileRows/
+    * fileSeq maps — ~0.36 s at 200k files, ~2.8 s at 1M, PER LOAD —
+    * which made warm scan planning on large tables map-building-bound.
+    * Keyed by the version file's (path, size, mtime) exactly like the
+    * render cache: version files are immutable, expire swaps them for
+    * tombstones (fingerprint changes → entry drops), and a new commit
+    * is a new key (stale entries age out of the 8-way LRU). The cached
+    * meta is immutable and SHARES its ManifestEntry instances with the
+    * chunk cache, so the footprint is the map nodes — same budget
+    * class as the render cache's 8 RenderedStates. Keyed per TABLE
+    * (one live entry each, replaced on version advance): keying by
+    * version file would pin up to 8 VERSIONS of one streaming table's
+    * maps. Only exact (unfiltered or nothing-pruned) resolves cache:
+    * a chunk-pruned resolve is scan-specific and stays uncached. */
+  private final case class ResolvedEntry(
+      vfKey: String, size: Long,
+      mtime: java.nio.file.attribute.FileTime, meta: TableMetadata)
+  private val resolvedMetas =
+    new java.util.LinkedHashMap[String, ResolvedEntry](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ResolvedEntry]): Boolean = size > 8
+    }
+
+  private[graft] def clearResolvedCacheForTesting(): Unit =
+    resolvedMetas.synchronized(resolvedMetas.clear())
+
+  private[catalog] def resolveCached(
+      mdDir: Path, summary: TableMetadata): TableMetadata = {
+    if (summary.manifests.isEmpty) return summary
+    val vf = mdDir.resolve(s"v${summary.version}.json")
+    fileFingerprint(vf) match {
+      case None => resolve(mdDir, summary)
+      case Some((size, mtime)) =>
+        val tableKey = renderKey(mdDir)
+        val vfKey = renderKey(vf)
+        val hit = resolvedMetas.synchronized(Option(resolvedMetas.get(tableKey)))
+        hit match {
+          case Some(e) if e.vfKey == vfKey && e.size == size && e.mtime == mtime =>
+            e.meta
+          case _ =>
+            val r = resolve(mdDir, summary)
+            resolvedMetas.synchronized {
+              resolvedMetas.put(tableKey, ResolvedEntry(vfKey, size, mtime, r)); ()
+            }
+            r
+        }
+    }
+  }
 
   /** Columns that earn a per-chunk manifest-list summary
     * ([[ManifestRef.summary]]): the clustering contract's columns —
@@ -471,13 +528,17 @@ object TableMetadata {
       summary: TableMetadata,
       filters: Seq[org.apache.spark.sql.sources.Filter]): TableMetadata =
     if (!isSummary(summary)) summary // already resolved (or hand-built): use as-is
-    else if (filters.isEmpty) resolve(mdDir, summary)
+    else if (filters.isEmpty) resolveCached(mdDir, summary)
     else {
       val keep = summary.manifests.filter { ref =>
         ref.summary.isEmpty ||
           filters.forall(f => FileSkipping.mayMatch(f, summary.schema, ref.summary))
       }
-      resolve(mdDir, summary.copy(manifests = keep))
+      // filters that prune nothing resolve the same full set — serve
+      // them from the cache; a genuinely pruned resolve is
+      // scan-specific and stays uncached
+      if (keep.size == summary.manifests.size) resolveCached(mdDir, summary)
+      else resolve(mdDir, summary.copy(manifests = keep))
         .copy(manifests = summary.manifests) // keep the TRUE list for introspection
     }
 
@@ -561,7 +622,12 @@ object TableMetadata {
   def load(tableDir: Path): TableMetadata = {
     val v = currentVersion(tableDir)
     require(v > 0, s"not a lakehouse table: $tableDir")
-    loadFile(tableDir, versionFile(tableDir, v))
+    // the current-version load is every query's planning path: resolve
+    // through the fingerprint-validated cache (time-travel loadFile
+    // and log walks stay uncached — rare, and they would thrash the
+    // small LRU)
+    val f = versionFile(tableDir, v)
+    resolveCached(metadataDir(tableDir), fromJson(Files.readString(f)))
   }
 
   /** [[load]] WITHOUT resolving manifests: O(refs) — schema,

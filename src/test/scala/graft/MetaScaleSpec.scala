@@ -74,6 +74,9 @@ class MetaScaleSpec extends AnyFunSuite with Matchers {
       // (per-table cache budgets — the old global LRU made two large
       // tables evict each other chronically)
       r.twoTableAltReparses shouldBe 0L
+      // and the tier above: a fully-warm alternation serves from the
+      // resolved-meta cache — zero map-materializing resolves built
+      r.twoTableWarmResolves shouldBe 0L
 
       // REST listings are registry-served: ZERO tree-walk directories
       // enumerated across the measured page requests
@@ -125,10 +128,17 @@ class MetaScaleSpec extends AnyFunSuite with Matchers {
       Manifests.MaxEntriesPerTable = 1200L
       Manifests.MaxTotalEntries = 2500L
       Manifests.clearCacheForTesting()
-      TableMetadata.load(ta); TableMetadata.load(tb) // populate
+      // the resolved-meta cache sits ABOVE the chunk tier and would
+      // serve these loads without resolving at all — clear it per load
+      // so this test exercises the CHUNK cache it is about
+      def loadCold(d: java.nio.file.Path): Unit = {
+        TableMetadata.clearResolvedCacheForTesting()
+        TableMetadata.load(d); ()
+      }
+      loadCold(ta); loadCold(tb) // populate
       Manifests.resetCounters()
-      TableMetadata.load(ta); TableMetadata.load(tb)
-      TableMetadata.load(ta); TableMetadata.load(tb)
+      loadCold(ta); loadCold(tb)
+      loadCold(ta); loadCold(tb)
       Manifests.manifestsParsed.get() shouldBe 0L
       Manifests.cachedEntriesForTesting shouldBe 2400L
 
@@ -137,14 +147,82 @@ class MetaScaleSpec extends AnyFunSuite with Matchers {
       // and the cache never exceeds its cap
       Manifests.MaxTotalEntries = 1500L
       Manifests.clearCacheForTesting()
-      TableMetadata.load(ta); TableMetadata.load(tb)
+      loadCold(ta); loadCold(tb)
       Manifests.resetCounters()
-      TableMetadata.load(ta); TableMetadata.load(tb)
+      loadCold(ta); loadCold(tb)
       Manifests.manifestsParsed.get() should be > 0L
       Manifests.cachedEntriesForTesting should be <= 1500L
     } finally {
       Manifests.MaxEntriesPerTable = oldPer
       Manifests.MaxTotalEntries = oldTot
+      Manifests.clearCacheForTesting()
+      graft.catalog.Fs.deleteRecursively(dir)
+    }
+  }
+
+  test("resolved-meta cache: warm loads build zero resolves; a commit or file swap invalidates") {
+    import graft.catalog.{Manifests, Snapshot, TableMetadata, ColumnRange}
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-meta-rc-")
+    val td = dir.resolve("t")
+    Files.createDirectories(td)
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("p", StringType)))
+    var m = TableMetadata.commit(td, TableMetadata(
+      version = 1, name = "t", schema = schema,
+      partitionColumns = Seq("p"), properties = Map.empty,
+      files = Nil, snapshots = Seq(Snapshot(1, 1L, "create", 0, 0))))
+    def append(part: String): Unit = {
+      val rels = (0 until 50).map(i => s"data/$part/part-$i.parquet")
+      m = TableMetadata.commit(td, m.copy(
+        version = m.version + 1,
+        files = m.files ++ rels,
+        fileStats = m.fileStats ++ rels.map(r =>
+          r -> Map("p" -> ColumnRange(part, part, Some(0L)))),
+        fileRows = m.fileRows ++ rels.map(_ -> 10L),
+        snapshots = m.snapshots :+ Snapshot(
+          m.version + 1, m.version + 1L, "append", rels.size, 0)))
+    }
+    try {
+      append("a"); append("b")
+      Manifests.clearCacheForTesting() // drops the resolved cache too
+      TableMetadata.load(td)
+      // warm re-load: served from the resolved-meta cache — no map
+      // materialization at all (before this cache, EVERY load rebuilt
+      // three O(files) maps: ~2.8s per load on a 1M-file table)
+      TableMetadata.resolvesBuilt.set(0)
+      val warm = TableMetadata.load(td)
+      TableMetadata.resolvesBuilt.get() shouldBe 0L
+      warm.files should have size 100
+      // a new commit is a new version file: exactly one fresh resolve
+      append("c")
+      TableMetadata.resolvesBuilt.set(0)
+      TableMetadata.load(td).files should have size 150
+      TableMetadata.resolvesBuilt.get() shouldBe 1L
+      // ...and then warm again
+      TableMetadata.load(td)
+      TableMetadata.resolvesBuilt.get() shouldBe 1L
+      // a FILTERED (pruned) resolve never caches and never serves from
+      // the cache — it is scan-specific
+      val summary = TableMetadata.loadSummary(td)
+      val pruned = TableMetadata.resolveForScan(
+        TableMetadata.metadataDir(td), summary,
+        Seq(org.apache.spark.sql.sources.EqualTo("p", "a")))
+      pruned.files.size should be < 150
+      // out-of-band version-file replacement (restore-from-backup
+      // shape): the fingerprint mismatch forces a fresh resolve
+      val vf = TableMetadata.versionFile(td, m.version)
+      val bytes = Files.readAllBytes(vf)
+      Files.delete(vf)
+      Files.write(vf, bytes)
+      // force a distinct mtime even on coarse-granularity filesystems
+      Files.setLastModifiedTime(vf,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 2000))
+      TableMetadata.resolvesBuilt.set(0)
+      TableMetadata.load(td)
+      TableMetadata.resolvesBuilt.get() should be >= 1L
+    } finally {
       Manifests.clearCacheForTesting()
       graft.catalog.Fs.deleteRecursively(dir)
     }
