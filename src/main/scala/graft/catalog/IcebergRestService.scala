@@ -284,28 +284,27 @@ object IcebergRestService {
     val listingCache = new java.util.concurrent.atomic.AtomicReference[
       (Long, java.nio.file.attribute.FileTime, Listing)](null)
     def regFingerprint(): Option[(Long, java.nio.file.attribute.FileTime)] =
-      try {
-        val a = Files.readAttributes(regFile,
-          classOf[java.nio.file.attribute.BasicFileAttributes])
-        Some((a.size(), a.lastModifiedTime()))
-      } catch { case _: Exception => None }
-    def listing(): Option[Listing] = regFingerprint() match {
-      case None =>
-        // registry deleted out-of-band since start: one walk re-creates
-        // it (self-healing), subsequent requests hit the cache again
-        RestRegistry.ensure(warehouse, () => walkTables(warehouse)).map { es =>
-          val l = buildListing(es)
-          regFingerprint().foreach { case (s, m) => listingCache.set((s, m, l)) }
-          l
-        }
-      case Some((s, m)) =>
-        val c = listingCache.get()
-        if (c != null && c._1 == s && c._2 == m) Some(c._3)
-        else RestRegistry.readEntries(warehouse).map { es =>
-          val l = buildListing(es)
-          listingCache.set((s, m, l))
-          l
-        }
+      TableMetadata.fileFingerprint(regFile)
+    // fingerprint FIRST, content second — a registration landing
+    // between the two leaves newer content cached under an older
+    // fingerprint, which merely refreshes on the next request. (The
+    // reverse order would cache pre-registration content under the
+    // post-registration fingerprint: a table discoverable by name but
+    // missing from LIST until some unrelated registry write.)
+    def fromFile(): Option[Listing] = regFingerprint().flatMap { case (s, m) =>
+      val c = listingCache.get()
+      if (c != null && c._1 == s && c._2 == m) Some(c._3)
+      else RestRegistry.readEntries(warehouse).map { es =>
+        val l = buildListing(es)
+        listingCache.set((s, m, l))
+        l
+      }
+    }
+    def listing(): Option[Listing] = fromFile().orElse {
+      // registry deleted out-of-band since start: one walk re-creates
+      // it (self-healing), then the same fingerprint-first read serves
+      RestRegistry.ensure(warehouse, () => walkTables(warehouse))
+      fromFile()
     }
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
@@ -428,7 +427,11 @@ object IcebergRestService {
                   notFound(x, "Namespace", nsName(parent))
                 else send(x, 200, paged(
                   l.childNsOf.getOrElse(parent, Nil), "namespaces",
-                  n => nsJson(parent :+ n)))
+                  n => nsJson(parent :+ n),
+                  // same out-of-band defense tables get: an rm -rf'd
+                  // namespace whose lines went stale must not be
+                  // LISTED here only to 404 on its own routes
+                  keep = n => Files.isDirectory(nsDir(parent :+ n))))
               case None => // no registry possible: per-request walk
                 if (parent.nonEmpty && !servesAsNamespace(nsDir(parent)))
                   notFound(x, "Namespace", nsName(parent))

@@ -71,7 +71,13 @@ object RestRegistry {
     try {
       val rel = warehouse.relativize(tableDir.toAbsolutePath.normalize)
       val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
-      if (segs.isEmpty || segs.exists(s => s.isEmpty || s == "..")) None
+      // control characters would corrupt the line-oriented format (a
+      // newline splits one entry into two bogus ones): such a name
+      // simply never registers — load-by-name still serves it, LIST
+      // degrades honestly for that one table
+      if (segs.isEmpty ||
+          segs.exists(s => s.isEmpty || s == ".." || s.exists(_.isControl)))
+        None
       else Some(segs.mkString("/"))
     } catch { case _: IllegalArgumentException => None }
 
@@ -117,7 +123,16 @@ object RestRegistry {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def withLock[A](warehouse: Path)(body: => A): A = {
+  /** Runs `body` under the locks and returns Some(result) — or None
+    * WITHOUT running it when a peer PROCESS holds the file lock past
+    * the (short) wait budget. This hook rides inside every commit's
+    * hint write, whose contract is best-effort: a hung peer (SIGSTOP,
+    * dead NFS client) must cost a skipped registration — retried on
+    * the table's next commit because the caller then never marks it
+    * `known` — never a commit stalled on a blocking lock() forever.
+    * An fs that cannot lock at all proceeds under the monitor alone
+    * (atomic-move rewrites keep readers safe). */
+  private def withLock[A](warehouse: Path)(body: => A): Option[A] = {
     val monitor = jvmLocks.computeIfAbsent(
       warehouse.toAbsolutePath.normalize.toString, _ => new Object)
     monitor.synchronized {
@@ -126,13 +141,20 @@ object RestRegistry {
         try java.nio.channels.FileChannel.open(
           warehouse.resolve(LockName), CREATE, WRITE)
         catch { case scala.util.control.NonFatal(_) => null }
-      val lock =
-        if (ch == null) null
-        else
-          try ch.lock()
-          catch { case scala.util.control.NonFatal(_) => null }
-      try body
-      finally {
+      var lock: java.nio.channels.FileLock = null
+      var unsupported = ch == null
+      if (!unsupported) {
+        val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+        while (lock == null && !unsupported && System.nanoTime() < deadline) {
+          try {
+            lock = ch.tryLock()
+            if (lock == null) Thread.sleep(50)
+          } catch { case scala.util.control.NonFatal(_) => unsupported = true }
+        }
+      }
+      try {
+        if (lock != null || unsupported) Some(body) else None
+      } finally {
         if (lock != null) { try lock.release() catch { case _: Exception => () } }
         if (ch != null) { try ch.close() catch { case _: Exception => () } }
       }
@@ -155,11 +177,23 @@ object RestRegistry {
           // then — noise next to the publish it rides)
           if (!Files.isRegularFile(registryFile(wh))) return
           relPathOf(wh, tableDir).foreach { rel =>
-            withLock(wh) {
-              val cur = readEntries(wh).getOrElse(Set.empty)
-              if (!cur.contains(rel)) writeEntries(wh, cur + rel)
+            // the registry must be READ back successfully before any
+            // write: a transient read failure (or the file vanishing
+            // between the check above and here) falling back to an
+            // empty set would REPLACE a 10k-line registry with this
+            // one line — silently, since the file then exists and
+            // nothing re-walks. Creation belongs to ensure() alone;
+            // an unreadable/absent registry here skips, unmarked, so
+            // the table's next commit retries.
+            val registered = withLock(wh) {
+              readEntries(wh) match {
+                case Some(cur) =>
+                  if (!cur.contains(rel)) writeEntries(wh, cur + rel)
+                  true
+                case None => false
+              }
             }
-            known.add(abs)
+            if (registered.contains(true)) { known.add(abs); () }
           }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -168,6 +202,9 @@ object RestRegistry {
   def unregister(warehouse: Path, tableRelPath: String): Unit =
     try {
       if (!Files.isRegularFile(registryFile(warehouse))) return
+      // a skipped rewrite (peer holds the lock) leaves a stale line:
+      // the REST tables route re-validates per page, so it can hide a
+      // row but never serve one
       withLock(warehouse) {
         readEntries(warehouse).foreach { cur =>
           if (cur.contains(tableRelPath))
@@ -215,7 +252,7 @@ object RestRegistry {
             writeEntries(warehouse, walked)
             Some(walked)
           }
-        }
+        }.flatten // lock unavailable: no registry this time (walk fallback)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -925,7 +925,7 @@ object TableMetadata {
           e: java.util.Map.Entry[String, CachedRender]): Boolean = size > 8
     }
   private def renderKey(f: Path): String = f.toAbsolutePath.normalize.toString
-  private def fileFingerprint(f: Path)
+  private[graft] def fileFingerprint(f: Path)
       : Option[(Long, java.nio.file.attribute.FileTime)] =
     try {
       val a = Files.readAttributes(

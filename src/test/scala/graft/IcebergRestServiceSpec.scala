@@ -369,13 +369,29 @@ class IcebergRestServiceSpec extends AnyFunSuite with Matchers {
       RestRegistry.readEntries(wh).get shouldBe
         Set("nsa/t1", "nsa/subx/t9", "nsb/t4", "nsb/t5")
 
-      // registry deleted out-of-band: the next listing self-heals with
-      // ONE walk and re-creates the file
+      // an rm -rf'd NAMESPACE (no catalog hook ran) must not be LISTED
+      // only to 404 on its own routes: the namespaces page re-validates
+      // each row's directory, same defense the tables page has
+      graft.catalog.Fs.deleteRecursively(wh.resolve("nsa"))
+      val (n2c, n2b) = get(s"$base/namespaces")
+      n2c shouldBe 200
+      names(n2b, "namespaces").map(_.asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s)) shouldBe List(List("nsb"))
+
+      // maybeRegister must never CREATE (or replace) a registry: with
+      // the file gone, a commit-hook registration is a silent no-op —
+      // creation belongs to ensure() alone (a transient empty read
+      // writing one line would silently replace a 10k-line registry)
       Files.delete(reg)
+      RestRegistry.maybeRegister(wh.resolve("nsb/t4"))
+      Files.exists(reg) shouldBe false
+      // ...and because the skip was NOT cached as success, the same
+      // table registers fine once the registry is healthy again
       IcebergRestService.resetWalkCounterForTesting()
-      get(s"$base/namespaces/nsb/tables")._1 shouldBe 200
+      get(s"$base/namespaces/nsb/tables")._1 shouldBe 200 // self-heal walk
       IcebergRestService.walkedDirs.get() should be > 0L
       Files.isRegularFile(reg) shouldBe true
+      RestRegistry.readEntries(wh).get should contain("nsb/t4")
       IcebergRestService.resetWalkCounterForTesting()
       get(s"$base/namespaces/nsb/tables")._1 shouldBe 200
       IcebergRestService.walkedDirs.get() shouldBe 0L
