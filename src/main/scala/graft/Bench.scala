@@ -86,6 +86,17 @@ object BenchGuard {
       historyDrift(t, historicalMin) && quietForConfirm(load1)
     }
 
+  /** A drift is labeled `unadjudicated` in the artifact when the solos
+    * did NOT settle it: no solo ran at all (spawn failure), or some
+    * solo still measured above the drift threshold without the full
+    * two-quiet-solo reproduction. A solo that COLLAPSED below the
+    * threshold is the one self-healing outcome — that drift is
+    * settled, not open. */
+  def driftUnadjudicated(solos: Seq[(Double, Double)],
+      historicalMin: Double): Boolean =
+    !solosConfirm(solos, historicalMin) &&
+      (solos.isEmpty || solos.exists(s => historyDrift(s._1, historicalMin)))
+
   /** Cross-process exclusivity for the BENCH_FULL record (r16: the
     * driver's SIGTERM'd bench raced the fresh one it was replaced by —
     * commit 9c465e7 stopped a dying JVM from writing, but two LIVE
@@ -521,17 +532,11 @@ object Bench {
               else
                 s""","solos":${solos.map(s => f"${s._1}%.3f").mkString("[", ",", "]")}""" +
                   s""","solo_load1s":${solos.map(s => f"${s._2}%.2f").mkString("[", ",", "]")}"""
-            // a drift whose solos did NOT settle it is labeled so a
-            // judge sees the regression is NOT adjudicated (and the
-            // historical min was kept), never silently dropped: no
-            // solo at all (spawn failed), or a solo still above the
-            // threshold without the full two-quiet-solo reproduction.
-            // A solo that COLLAPSED below the threshold is the one
-            // self-healing outcome — that drift is settled, not open.
+            // a drift the solos did NOT settle is labeled so a judge
+            // sees the regression is NOT adjudicated (and the
+            // historical min was kept), never silently dropped
             val unadj =
-              if (!BenchGuard.solosConfirm(solos, h) &&
-                  (solos.isEmpty ||
-                    solos.exists(s => BenchGuard.historyDrift(s._1, h))))
+              if (BenchGuard.driftUnadjudicated(solos, h))
                 ""","unadjudicated":true"""
               else ""
             f""","history_drift":{"historical":$h%.3f$solosJson$unadj}"""

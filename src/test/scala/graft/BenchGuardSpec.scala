@@ -135,6 +135,20 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.solosConfirm(Seq((2.324, 999.0), (2.1, 1.2)), 0.378) shouldBe false
   }
 
+  test("driftUnadjudicated: open drifts are labeled, settled ones are not") {
+    // spawn failure: no solo evidence at all — open
+    BenchGuard.driftUnadjudicated(Nil, 0.378) shouldBe true
+    // one slow quiet solo, second collapsed — open (signal present,
+    // not reproduced; the record kept the historical min)
+    BenchGuard.driftUnadjudicated(Seq((2.324, 1.6), (0.72, 1.85)), 0.378) shouldBe true
+    // both solos slow but a loaded host — open
+    BenchGuard.driftUnadjudicated(Seq((2.324, 1.6), (2.1, 3.2)), 0.378) shouldBe true
+    // solo collapsed back to baseline: settled (self-healed), not open
+    BenchGuard.driftUnadjudicated(Seq((0.42, 1.0)), 0.378) shouldBe false
+    // confirmed regression: settled (the record moved), not open
+    BenchGuard.driftUnadjudicated(Seq((2.324, 1.6), (2.1, 1.2)), 0.378) shouldBe false
+  }
+
   test("acquireRecordLock: exclusive while held, reacquirable after release, peer-held aborts") {
     val dir = java.nio.file.Files.createTempDirectory("bench-lock-")
     val p = dir.resolve("BENCH_FULL_sfx.lock")
