@@ -306,6 +306,34 @@ object IcebergRestService {
       RestRegistry.ensure(warehouse, () => walkTables(warehouse))
       fromFile()
     }
+    // loadTable responses cached by the metadata document's
+    // fingerprint (LRU 64): a discovery client loads MANY tables, and
+    // each response otherwise re-reads + re-parses + re-renders the
+    // full document per request. The documents are immutable between
+    // exports; a new export (new hint, or a same-version in-place
+    // swap) changes the fingerprint and the entry drops.
+    val loadCache = new java.util.LinkedHashMap[
+      String, (Long, java.nio.file.attribute.FileTime, Array[Byte])](
+      64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+        String, (Long, java.nio.file.attribute.FileTime, Array[Byte])])
+          : Boolean = size > 64
+    }
+    def loadTableBytes(metaFile: Path): Option[Array[Byte]] =
+      TableMetadata.fileFingerprint(metaFile).map { case (s, m) =>
+        val key = metaFile.toAbsolutePath.normalize.toString
+        loadCache.synchronized(Option(loadCache.get(key))) match {
+          case Some((cs, cm, b)) if cs == s && cm == m => b
+          case _ =>
+            val body = JsonMethods.compact(JsonMethods.render(JObject(
+              "metadata-location" -> JString(metaFile.toUri.toString),
+              // byte-faithful: the mirror's own document, re-emitted
+              "metadata" -> JsonMethods.parse(Files.readString(metaFile)),
+              "config" -> JObject()))).getBytes(StandardCharsets.UTF_8)
+            loadCache.synchronized { loadCache.put(key, (s, m, body)); () }
+            body
+        }
+      }
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
       (r: Runnable) => { val t = new Thread(r, "graft-rest"); t.setDaemon(true); t }))
@@ -490,11 +518,15 @@ object IcebergRestService {
                   if (!Files.isRegularFile(metaFile))
                     notFound(x, "Table", s"${nsName(levels)}.$t")
                   else if (method == "HEAD") { x.sendResponseHeaders(204, -1); x.close() }
-                  else send(x, 200, JObject(
-                    "metadata-location" -> JString(metaFile.toUri.toString),
-                    // byte-faithful: the mirror's own document, re-emitted
-                    "metadata" -> JsonMethods.parse(Files.readString(metaFile)),
-                    "config" -> JObject()))
+                  else loadTableBytes(metaFile) match {
+                    case None => // raced away between the check and the read
+                      notFound(x, "Table", s"${nsName(levels)}.$t")
+                    case Some(body) =>
+                      x.getResponseHeaders.set("Content-Type", "application/json")
+                      x.sendResponseHeaders(200, body.length.toLong)
+                      val os = x.getResponseBody
+                      try os.write(body) finally os.close()
+                  }
               }
             }
           case _ => err(x, 404, "NoSuchRouteException",
