@@ -53,6 +53,7 @@ object BenchMeta {
       restTables: Int, restWalkMs: Double,
       restListFirstMs: Double, restListWarmMs: Double,
       restListWalkedDirs: Long,
+      restLoadFirstMs: Double, restLoadWarmMs: Double,
       files10m: Int, commitAppend10mMs: Double, commitAppend10mListMs: Double)
 
   private val schema = StructType(Seq(
@@ -374,26 +375,43 @@ object BenchMeta {
         Files.writeString(md.resolve("version-hint.text"), "1")
       }
     }
+    // one table gets a (minimal) metadata document so the loadTable
+    // route is measurable too — its per-request read+parse+render used
+    // to repeat for every request of a BFS discovery client; responses
+    // now cache by document fingerprint
+    val loadNs = f"ns${restNamespaces / 2}%03d"
+    Files.writeString(
+      restWh.resolve(loadNs).resolve("t000").resolve("metadata")
+        .resolve("v1.metadata.json"),
+      """{"format-version": 2, "table-uuid": "bench", "schemas": []}""")
     val (_, walkMs) = timed(
       RestRegistry.ensure(restWh, () => IcebergRestService.walkTables(restWh)))
     val handle = IcebergRestService.start(restWh)
-    val (listFirstMs, listWarmMs, listWalked) =
+    val (listFirstMs, listWarmMs, listWalked, loadFirstMs, loadWarmMs) =
       try {
         val http = java.net.http.HttpClient.newHttpClient()
-        def page(ns: String): Int = {
+        def get(path: String): Int = {
           val r = http.send(
             java.net.http.HttpRequest.newBuilder(java.net.URI.create(
-              s"${handle.uri}/v1/namespaces/$ns/tables?pageSize=50")).GET().build(),
+              s"${handle.uri}$path")).GET().build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())
           r.statusCode()
         }
-        val midNs = f"ns${restNamespaces / 2}%03d"
+        def page(ns: String): Int =
+          get(s"/v1/namespaces/$ns/tables?pageSize=50")
+        val midNs = loadNs
         IcebergRestService.resetWalkCounterForTesting()
         val (c1, first) = timed(page(midNs))
         require(c1 == 200, s"rest list returned $c1")
         val (c2, warm) = timed(page(midNs))
         require(c2 == 200, s"rest list returned $c2")
-        (first, warm, IcebergRestService.walkedDirs.get())
+        val walked = IcebergRestService.walkedDirs.get()
+        val loadPath = s"/v1/namespaces/$loadNs/tables/t000"
+        val (l1, lFirst) = timed(get(loadPath))
+        require(l1 == 200, s"rest loadTable returned $l1")
+        val (l2, lWarm) = timed(get(loadPath))
+        require(l2 == 200, s"rest loadTable returned $l2")
+        (first, warm, walked, lFirst, lWarm)
       } finally handle.stop()
 
     // ---- the 10M-file declared-append point ------------------------------
@@ -478,6 +496,7 @@ object BenchMeta {
       restTables = restNamespaces * restTablesPerNs, restWalkMs = walkMs,
       restListFirstMs = listFirstMs, restListWarmMs = listWarmMs,
       restListWalkedDirs = listWalked,
+      restLoadFirstMs = loadFirstMs, restLoadWarmMs = loadWarmMs,
       files10m = files10m, commitAppend10mMs = commit10mMs,
       commitAppend10mListMs = commit10mListMs)
   }
@@ -532,6 +551,8 @@ object BenchMeta {
         f""""rest_list_first_ms":${r.restListFirstMs}%.1f,""" +
         f""""rest_list_warm_ms":${r.restListWarmMs}%.1f,""" +
         f""""rest_list_walked_dirs":${r.restListWalkedDirs},""" +
+        f""""rest_load_first_ms":${r.restLoadFirstMs}%.1f,""" +
+        f""""rest_load_warm_ms":${r.restLoadWarmMs}%.1f,""" +
         f""""files_10m":${r.files10m},""" +
         f""""commit_append_100_ms_10m":${r.commitAppend10mMs}%.1f,""" +
         f""""commit_append_100_ms_10m_list_files":${r.commitAppend10mListMs}%.1f}"""
