@@ -43,6 +43,15 @@ import org.json4s.jackson.JsonMethods
   * (`port = 0`), so specs and pipelines can embed it. */
 object IcebergRestService {
 
+  // The JDK HttpServer leaves Nagle's algorithm on; together with the
+  // peer's delayed ACK that puts a ~40-50ms floor under every small
+  // response, even warm cached ones on loopback (BENCH_META measured
+  // ~48ms/request flat across routes). ServerConfig reads this
+  // property once at class load — set it before any server exists,
+  // never overriding an explicit user choice.
+  if (System.getProperty("sun.net.httpserver.nodelay") == null)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+
   final class Handle private[IcebergRestService] (
       server: HttpServer, val port: Int) {
     def stop(): Unit = server.stop(0)
