@@ -149,6 +149,39 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.driftUnadjudicated(Seq((2.324, 1.6), (2.1, 1.2)), 0.378) shouldBe false
   }
 
+  test("driftSettledCollapsed: the explicit settled-by-collapse label (r18 q28b artifact nit)") {
+    // the r18 q28b row: one solo, collapsed below the 3× threshold —
+    // settled, and now labeled so in the artifact
+    BenchGuard.driftSettledCollapsed(Seq((0.42, 1.0)), 0.378) shouldBe true
+    // no solos (spawn failure or deferral): NOT settled — open
+    BenchGuard.driftSettledCollapsed(Nil, 0.378) shouldBe false
+    // any solo still above threshold: not collapsed
+    BenchGuard.driftSettledCollapsed(Seq((2.324, 1.6), (0.72, 1.85)), 0.378) shouldBe false
+    // confirmed regression (both slow): settled by confirmation, not
+    // by collapse — the label stays off
+    BenchGuard.driftSettledCollapsed(Seq((2.324, 1.6), (2.1, 1.2)), 0.378) shouldBe false
+  }
+
+  test("deferSolos: the r18 shape — a steal-flagged parent spawns ZERO solos and no min moves") {
+    // the r18 driver re-run: whole-run steal 2.7%, load1 4.1 — six
+    // drifted queries each spawned solos that all stamped 999 after
+    // burning their drained-host waits (2008s wall vs 580s quiet).
+    // The pre-spawn probe now defers instead:
+    BenchGuard.deferSolos(2.7) shouldBe true
+    // clean steal: solos spawn as before
+    BenchGuard.deferSolos(0.0) shouldBe false
+    BenchGuard.deferSolos(1.9) shouldBe false
+    // boundary rides the hostContended steal threshold (strictly above)
+    BenchGuard.deferSolos(2.0) shouldBe false
+    // a deferred drift carries NO solos → labeled unadjudicated, never
+    // settled, and the merge keeps the committed baseline: zero min
+    // movement from a polluted window, by construction
+    BenchGuard.driftUnadjudicated(Nil, 1.288) shouldBe true
+    BenchGuard.solosConfirm(Nil, 1.288) shouldBe false
+    BenchGuard.mergedMin(4.2, Some(1.288),
+      soloConfirmedRegression = false) shouldBe 1.288
+  }
+
   test("acquireRecordLock: exclusive while held, reacquirable after release, peer-held aborts") {
     val dir = java.nio.file.Files.createTempDirectory("bench-lock-")
     val p = dir.resolve("BENCH_FULL_sfx.lock")
