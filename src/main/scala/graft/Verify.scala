@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // serialized sort shuffle — same rationale as Bench (r19): the
+      // bypass writer's per-reduce-partition files + mmap concat are
+      // strictly worse at local partition counts, and >200-partition
+      // production shuffles never use it anyway
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

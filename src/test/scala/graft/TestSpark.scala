@@ -16,6 +16,8 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+    // serialized sort shuffle — same rationale as Bench (r19)
+    .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.catalog.lakehouse", "graft.catalog.LakehouseCatalog")
