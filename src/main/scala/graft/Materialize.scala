@@ -59,6 +59,29 @@ object Materialize {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** LAZY pin for strictly-sequential iterative chains (BPE): marks
+    * the frame for local checkpointing but lets the NEXT action
+    * materialize it as a side effect of its own pass — one job per
+    * iteration instead of two, and the producer's transformation fuses
+    * into the consumer's pass (substitute+count in one scan). Only
+    * safe when consumers run in SEQUENTIAL jobs: two branches of a
+    * single job would race the materialization and can compute the
+    * subtree twice — diamond-shaped consumers keep the EAGER [[pin]].
+    * Unlike Dataset.persist, no CacheManager entry is created, so a
+    * plan-identical frame in a DIFFERENT query can never silently read
+    * this one's blocks (the bench rule: every query computes from its
+    * inputs). Honors the same reliable/disable switches as [[pin]]. */
+  def pinLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (disabled(df)) return df
+    val wantReliable = spark.conf.getOption(ReliableConf).exists(_.toBoolean)
+    if (wantReliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConf=true needs sparkContext.setCheckpointDir(<fault-tolerant path>)")
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager = false)
+  }
+
   /** Partitioning-preserving pin: hash-repartition on `keys` into
     * `numPartitions`, materialize (same checkpoint modes as [[pin]]),
     * and rebuild the frame DECLARING that layout, so a downstream

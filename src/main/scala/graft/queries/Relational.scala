@@ -1212,7 +1212,52 @@ object Relational {
     * different content; xxhash64-sum over every column catches that.
     * Spark-side only (never compared to the oracle), so hash stability
     * across engines is irrelevant. */
+  /** Marks memoized per (canonicalized plan, parquet file size+mtime)
+    * — the mark is a pure function of the source file bytes and the
+    * projection/filter applied, so the (size, mtime) fingerprint
+    * re-computes it whenever the fixture file changes (the discipline
+    * Tables.schemaCache and the metadata render cache already use).
+    * Before the memo every gate SAMPLE paid a full hash-aggregation
+    * job over its source just to re-derive a key that cannot have
+    * changed mid-run. Plans backed by anything but local files are
+    * never cached. */
+  private val srcMarkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def srcMark(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val rels = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
+        case _ => None
+      }
+    }
+    def localFp(p: String): Option[String] =
+      try {
+        val uri = new java.net.URI(p)
+        val path =
+          if (uri.getScheme == "file") uri.getPath
+          else if (uri.getScheme == null) p
+          else return None // non-local storage: never cache
+        val f = new java.io.File(path)
+        if (f.exists) Some(s"$p:${f.length}:${f.lastModified}") else None
+      } catch { case _: Exception => None }
+    val fileFp: Option[String] =
+      if (rels.nonEmpty && rels.forall(_.isDefined)) {
+        val fps = rels.flatMap(_.get).map(localFp)
+        if (fps.forall(_.isDefined)) Some(fps.flatten.mkString(";")) else None
+      } else None
+    fileFp match {
+      case None => computeSrcMark(df)
+      case Some(fp) =>
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((df.queryExecution.analyzed.canonicalized.toString + " " + fp)
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        srcMarkCache.computeIfAbsent(key, _ => computeSrcMark(df))
+    }
+  }
+
+  private def computeSrcMark(df: DataFrame): String = {
     val r = df.agg(
       count(lit(1)),
       // decimal sum: a long sum of 64-bit hashes overflows (ANSI throws)
@@ -1461,21 +1506,27 @@ object Relational {
     * import sequence rank-remap, and the MoR read of imported delete
     * state. Fixtures cache per (warehouse, sf) under the rely lock,
     * keyed by source content fingerprint. */
-  val q115 = Q(
-    "q115_iceberg_roundtrip",
-    (s, d) => {
-      val cat = "grely"
-      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
-      val ns = s"ice_${new java.io.File(d).getName.replace('.', '_')}"
-      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
-      val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
-      val mark = srcMark(src)
-      val t = s"$cat.$ns.supplier"
-      val ti = s"$cat.$ns.supplier_imp"
-      val srcDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier")
-      val impDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier_imp")
-      withRelyLock {
+  /** Ensure q115's cached fixture pair (MoR-dirty mirrored supplier +
+    * its re-import) exists and is fresh; returns (srcDir, impDir).
+    * Split out of q115 (r19) so the gates that only need the FIXTURE
+    * (q123's python re-read, q128's REST re-read) stop executing
+    * q115's final aggregation once per bench sample — warm, this is
+    * metadata checks only (the srcMark memo removes the per-sample
+    * hash job too). */
+  private def ensureIceRtFixture(s: SparkSession, d: String)
+      : (java.nio.file.Path, java.nio.file.Path) = {
+    val cat = "grely"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
+    val ns = s"ice_${new java.io.File(d).getName.replace('.', '_')}"
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    val src = supplier(s, d).select("s_suppkey", "s_name", "s_acctbal")
+    val mark = srcMark(src)
+    val t = s"$cat.$ns.supplier"
+    val ti = s"$cat.$ns.supplier_imp"
+    val srcDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier")
+    val impDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier_imp")
+    withRelyLock {
         def freshOf(tbl: String, dirOf: java.nio.file.Path): Boolean =
           !s.catalog.tableExists(s"$cat.$ns.$tbl") || {
             val stale = !graft.catalog.TableMetadata.load(dirOf)
@@ -1507,6 +1558,13 @@ object Relational {
           s.sql(s"ALTER TABLE $ti SET TBLPROPERTIES ('graft.src.mark'='$mark')")
         }
       }
+    (srcDir, impDir)
+  }
+
+  val q115 = Q(
+    "q115_iceberg_roundtrip",
+    (s, d) => {
+      val (_, impDir) = ensureIceRtFixture(s, d)
       // merged read through the engine API (bare-session path, as q112)
       val meta = graft.catalog.TableMetadata.load(impDir)
       val merged = graft.catalog.MergeOnRead.read(s, impDir, meta, meta.files)
@@ -1817,9 +1875,10 @@ object Relational {
     "q123_py_reader_gate",
     (s, d) => {
       import s.implicits._
-      q115.run(s, d).collect() // ensure the mirrored fixture exists (cached)
+      // ensure the mirrored fixture exists (cached) — fixture checks
+      // only, not q115's full aggregation per sample (r19)
+      val (tableDir, _) = ensureIceRtFixture(s, d)
       val ns = s"ice_${new java.io.File(d).getName.replace('.', '_')}"
-      val tableDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier")
       // ANALYZE once per fixture build (stats persist in properties):
       // the write-through mirror then publishes NDV as an Iceberg
       // `statistics` Puffin file, and --verify-bounds below re-checks
@@ -1899,15 +1958,14 @@ object Relational {
     "q128_py_rest_gate",
     (s, d) => {
       import s.implicits._
-      q115.run(s, d).collect() // ensure the mirrored fixture exists (cached)
+      // ensure the mirrored fixture exists (cached) — fixture checks
+      // only, not q115's full aggregation per sample (r19)
+      val (tableDir, _) = ensureIceRtFixture(s, d)
       val cat = "grely"
-      s.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.LakehouseCatalog")
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", "/tmp/graft_rt/rely_wh")
       val ns = s"ice_${new java.io.File(d).getName.replace('.', '_')}"
       val port = s.sql(s"CALL $cat.system.start_rest_catalog(0)")
         .collect()(0).getLong(0)
       try {
-        val tableDir = java.nio.file.Paths.get("/tmp/graft_rt/rely_wh", ns, "supplier")
         val meta = graft.catalog.TableMetadata.load(tableDir)
         val merged = graft.catalog.MergeOnRead.read(s, tableDir, meta, meta.files)
           .select("s_suppkey", "s_name", "s_acctbal")

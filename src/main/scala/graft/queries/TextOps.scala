@@ -2358,6 +2358,20 @@ s$r AS MATERIALIZED (SELECT doc_id, text, trim(replace(replace(' ' || replace(s,
     * rows and the fully-encoded corpus frame (doc_id, text, s). */
   private def bpeLearnApply(s: SparkSession, d: String, rounds: Int)
       : (Seq[org.apache.spark.sql.Row], DataFrame) = {
+    // Pin cadence (rounds between corpus materializations) — conf so
+    // the trade is A/B-measurable on unchanged query code (r19):
+    // cadence 3 re-derives up to 2 substitution layers inside every
+    // pair-count job (≈16 extra corpus passes over 10 rounds); cadence
+    // 1 materializes every round — 10 substitution passes total, the
+    // minimum a non-incremental trainer can do. Measured (sf0.1,
+    // interleaved cadences, min over runs): q76 4.51s@3 → 4.10s@1,
+    // q79 4.58s@3 → 4.07s@1; at 100 TB the pass count is the whole
+    // story (passes are O(corpus), actions are O(1)). The pin itself
+    // is LAZY (pinLazy): the rounds are strictly sequential, so the
+    // round's ONE pair-count job materializes the substituted corpus
+    // as a side effect of its own scan — substitution+count fuse into
+    // a single pass and the separate checkpoint action disappears.
+    val pinEvery = s.conf.getOption("graft.bpe.pinEvery").map(_.toInt).getOrElse(1)
     var cur = documents(s, d).select(col("doc_id"), col("text"), col("text").as("s"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     for (step <- 1 to rounds) {
@@ -2389,8 +2403,8 @@ s$r AS MATERIALIZED (SELECT doc_id, text, trim(replace(replace(' ' || replace(s,
         // residual is the string work itself, paid once per round
         // instead of once per remaining round. At 100 TB this is what
         // keeps a trainer O(rounds · corpus), not O(rounds² · corpus).
-        if (step % 3 == 0 && step < rounds)
-          cur = graft.Materialize.pin(cur)
+        if (step % pinEvery == 0 && step < rounds)
+          cur = graft.Materialize.pinLazy(cur)
       }
     }
     (learned.toSeq, cur)
