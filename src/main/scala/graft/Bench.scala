@@ -211,24 +211,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // serialized sort shuffle + tmpfs local dirs — see SessionTuning
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // typed-aggregate (minhash/simhash) groups per partition routinely
       // exceed the 128-key default before spilling to sort-based agg
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      // Serialized sort shuffle on every exchange (r19, guide §2.1):
-      // at ≤200 reduce partitions the default bypass writer creates one
-      // file PER REDUCE PARTITION per map task and concatenates them
-      // via FileChannel.map — jstack sampling showed map tasks burning
-      // whole-task CPU in mmap under writePartitionedDataWithChannel
-      // (32 threads serialize on the kernel's mmap lock). At production
-      // partition counts (>200) Spark never takes the bypass path, so
-      // threshold=1 aligns the bench with the at-scale writer — one
-      // sorted file per map task, no merge fan-in. Measured (reversed-
-      // order A/B, 6 shuffle-heavy queries, min of 3): 12.54s → 7.11s.
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Machine-load stamp: two rounds of driver-recorded benches needed

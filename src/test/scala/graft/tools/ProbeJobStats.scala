@@ -41,6 +41,42 @@ object ProbeJobStats {
     val selected = graft.SparkEntry.allQueries
       .filter(q => names.isEmpty || names.contains(q.name) ||
         names.exists(n => q.name.startsWith(n)))
+    // SPARK_GRAFT_SAMPLE=1: in-process poor-man's profiler — every
+    // 25 ms histogram the deepest interesting frame of every executor
+    // task thread; print the histogram at exit. Finds the hot method
+    // without external tooling (jstack can't reliably find the forked
+    // JVM under sbt's argfile classpaths).
+    val sampleCounts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    if (sys.env.get("SPARK_GRAFT_SAMPLE").contains("1")) {
+      val t = new Thread(() => {
+        while (true) {
+          val all = Thread.getAllStackTraces
+          all.forEach { (th, stack) =>
+            if (th.getName.startsWith("Executor task launch") &&
+                th.getState == Thread.State.RUNNABLE && stack.nonEmpty) {
+              // first frame that is "ours"/sparks's logic, else the top
+              val frame = stack.take(24).find { e =>
+                val c = e.getClassName
+                (c.startsWith("org.apache.spark.sql") || c.startsWith("graft")) &&
+                  !c.contains("Executor")
+              }.getOrElse(stack.head)
+              val key = s"${frame.getClassName}.${frame.getMethodName}"
+              sampleCounts.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
+                .incrementAndGet()
+            }
+          }
+          Thread.sleep(25)
+        }
+      })
+      t.setDaemon(true); t.start()
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        println("== executor frame histogram ==")
+        sampleCounts.asScala.toSeq.sortBy(-_._2.get).take(40).foreach {
+          case (k, v) => println(f"${v.get}%6d $k")
+        }
+      }
+    }
     // Bench-style warm-ups
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Seq("region", "nation", "customer", "supplier", "part", "orders",

@@ -17,6 +17,7 @@ object ProbeShuffleAB {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1") // production base (r19)
       .config("spark.ui.enabled", "false")
     conf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
@@ -49,12 +50,15 @@ object ProbeShuffleAB {
   def main(args: Array[String]): Unit = {
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("q37", "q28b", "q04", "q92_tpch_q5", "q98", "q64", "q10_hash_agg")
-    // reverse order vs the first A/B run: catches JIT-warmth order bias
-    run(Map("spark.shuffle.sort.bypassMergeThreshold" -> "1",
-      "spark.shuffle.spill.compress" -> "false"), "ser-nospillcomp", qs)
-    run(Map("spark.shuffle.sort.bypassMergeThreshold" -> "1",
-      "spark.shuffle.compress" -> "false"), "ser-noshufcomp", qs)
-    run(Map("spark.shuffle.sort.bypassMergeThreshold" -> "1"), "serialized", qs)
-    run(Map.empty, "default", qs)
+    // interleaved: tmpfs local dir vs default /tmp (ext4 measured 15×
+    // slower per file create; FileOutputStream.open0 was 60% of
+    // executor samples), plus checksum-off on top
+    val shm = "/dev/shm/graft-ab-local"
+    run(Map("spark.local.dir" -> shm), "shm-localdir", qs)
+    run(Map.empty, "tmp-default", qs)
+    run(Map("spark.local.dir" -> shm,
+      "spark.shuffle.checksum.enabled" -> "false"), "shm-nochecksum", qs)
+    run(Map("spark.local.dir" -> shm), "shm-localdir2", qs)
+    run(Map.empty, "tmp-default2", qs)
   }
 }
