@@ -86,7 +86,41 @@ object RestRegistry {
     * number of distinct tables this JVM commits to. */
   private val known = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private[graft] def clearKnownForTesting(): Unit = known.clear()
+  /** Registry-file fingerprint this JVM last observed per warehouse.
+    * `known` is only trustworthy while the registry has not changed
+    * underneath us: another PROCESS dropping a table removes its line,
+    * and if this JVM then recreates the same path, a stale `known` hit
+    * would short-circuit maybeRegister forever (r19, ADVICE). A
+    * fingerprint mismatch purges this warehouse's `known` entries —
+    * the next commit of each table re-reads the registry and re-adds
+    * itself, one registry read per table, self-healing. */
+  private val knownRegistryFp = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, java.nio.file.attribute.FileTime)]()
+
+  private def validateKnownAgainst(wh: Path): Unit = {
+    val whKey = wh.toAbsolutePath.normalize.toString
+    TableMetadata.fileFingerprint(registryFile(wh)).foreach { fp =>
+      val prev = knownRegistryFp.put(whKey, fp)
+      if (prev != null && prev != fp) {
+        known.removeIf(k => k == whKey ||
+          k.startsWith(whKey + java.io.File.separator))
+        ()
+      }
+    }
+  }
+
+  /** Re-stamp the fingerprint right after OUR OWN write (still under
+    * the lock), so the next validateKnownAgainst doesn't read our own
+    * rewrite as an external change and purge the cache for nothing. */
+  private def stampOwnWrite(wh: Path): Unit = {
+    val whKey = wh.toAbsolutePath.normalize.toString
+    TableMetadata.fileFingerprint(registryFile(wh))
+      .foreach(fp => knownRegistryFp.put(whKey, fp))
+  }
+
+  private[graft] def clearKnownForTesting(): Unit = {
+    known.clear(); knownRegistryFp.clear()
+  }
 
   /** Read the registry lines (unordered, deduped). None = no registry
     * at this warehouse. */
@@ -101,6 +135,7 @@ object RestRegistry {
 
   private def writeEntries(warehouse: Path, entries: Set[String]): Unit = {
     val f = registryFile(warehouse)
+    val before = TableMetadata.fileFingerprint(f)
     val tmp = Files.createTempFile(warehouse, "._rest_tables-", ".tmp")
     try {
       Files.writeString(tmp, entries.toSeq.sorted.mkString("\n"),
@@ -108,6 +143,29 @@ object RestRegistry {
       Files.move(tmp, f, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
+    // Coarse-mtime filesystems (r19, ADVICE): an unregister+register
+    // pair that restores the byte length within one mtime quantum
+    // would leave the (size, mtime) fingerprint identical and the
+    // REST listing cache would serve the STALE parse until some
+    // unrelated write. Keeping mtime STRICTLY MONOTONIC across
+    // rewrites (bump past the pre-write value whenever the clock
+    // hasn't advanced) makes (size, mtime) a true version counter —
+    // covering the two-write A→B→A' case, not just single same-size
+    // rewrites. On nanosecond-mtime filesystems the bump never fires.
+    // Best-effort like the rest of this hook.
+    try {
+      for ((_, m0) <- before; (_, m1) <- TableMetadata.fileFingerprint(f))
+        if (m1.compareTo(m0) <= 0) {
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(m0.toMillis + 1))
+          // a 1-second-granularity store truncates the +1 ms back onto
+          // m0 — verify, and escalate to +1 s if the bump didn't take
+          if (TableMetadata.fileFingerprint(f)
+              .exists(_._2.compareTo(m0) <= 0))
+            Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(m0.toMillis + 1000))
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Run `body` under BOTH a per-warehouse JVM monitor and the
@@ -133,8 +191,16 @@ object RestRegistry {
     * An fs that cannot lock at all proceeds under the monitor alone
     * (atomic-move rewrites keep readers safe). */
   private def withLock[A](warehouse: Path)(body: => A): Option[A] = {
-    val monitor = jvmLocks.computeIfAbsent(
-      warehouse.toAbsolutePath.normalize.toString, _ => new Object)
+    // monitor keyed on the REAL path (r19, ADVICE): two spellings of
+    // one warehouse through a symlink would take two different
+    // monitors, race straight into OverlappingFileLockException, and
+    // the old handler then proceeded with an UNLOCKED
+    // read-modify-rewrite — a silently lost registration. Fall back
+    // to the normalized path only when the filesystem cannot resolve.
+    val monKey =
+      try warehouse.toRealPath().toString
+      catch { case _: Exception => warehouse.toAbsolutePath.normalize.toString }
+    val monitor = jvmLocks.computeIfAbsent(monKey, _ => new Object)
     monitor.synchronized {
       import java.nio.file.StandardOpenOption.{CREATE, WRITE}
       val ch =
@@ -149,7 +215,18 @@ object RestRegistry {
           try {
             lock = ch.tryLock()
             if (lock == null) Thread.sleep(50)
-          } catch { case scala.util.control.NonFatal(_) => unsupported = true }
+          } catch {
+            // overlapping = some channel in THIS JVM holds the range
+            // (a path spelling the monitor key missed, e.g. an
+            // unresolvable symlink) — that is CONTENTION, never
+            // "fs can't lock": treat exactly like tryLock()==null so
+            // the deadline path returns None and the caller skips
+            // instead of running an unlocked read-modify-rewrite
+            // (r19, ADVICE)
+            case _: java.nio.channels.OverlappingFileLockException =>
+              Thread.sleep(50)
+            case scala.util.control.NonFatal(_) => unsupported = true
+          }
         }
       }
       try {
@@ -167,15 +244,24 @@ object RestRegistry {
   def maybeRegister(tableDir: Path): Unit =
     try {
       val abs = tableDir.toAbsolutePath.normalize.toString
-      if (known.contains(abs)) return
+      // NOTE the `known` fast path moved BELOW the registry
+      // fingerprint validation (r19, ADVICE): a hit may only
+      // short-circuit after we know no other process rewrote the
+      // registry. Cost on the commit path: warehouseOf's few stats +
+      // one fingerprint read — noise next to the publish it rides.
       warehouseOf(tableDir) match {
-        case None => known.add(abs); () // no warehouse: never registrable
+        case None => () // no warehouse: never registrable
         case Some(wh) =>
           // a registry-less warehouse is NOT cached negative: the REST
           // service may create the registry later, and this table's
           // next commit must then register (one stat per commit until
           // then — noise next to the publish it rides)
           if (!Files.isRegularFile(registryFile(wh))) return
+          // cross-process coherence: purge `known` for this warehouse
+          // when the registry changed under us (r19, ADVICE), BEFORE
+          // consulting it
+          validateKnownAgainst(wh)
+          if (known.contains(abs)) return
           relPathOf(wh, tableDir).foreach { rel =>
             // the registry must be READ back successfully before any
             // write: a transient read failure (or the file vanishing
@@ -189,6 +275,10 @@ object RestRegistry {
               readEntries(wh) match {
                 case Some(cur) =>
                   if (!cur.contains(rel)) writeEntries(wh, cur + rel)
+                  // still under the lock: record the post-write
+                  // fingerprint so our own rewrite never reads as an
+                  // external change
+                  stampOwnWrite(wh)
                   true
                 case None => false
               }
@@ -209,6 +299,7 @@ object RestRegistry {
         readEntries(warehouse).foreach { cur =>
           if (cur.contains(tableRelPath))
             writeEntries(warehouse, cur - tableRelPath)
+          stampOwnWrite(warehouse)
         }
       }
       known.remove(warehouse.resolve(tableRelPath)
@@ -226,6 +317,7 @@ object RestRegistry {
         readEntries(warehouse).foreach { cur =>
           val keep = cur.filterNot(e => e == nsRelPath || e.startsWith(pfx))
           if (keep.size != cur.size) writeEntries(warehouse, keep)
+          stampOwnWrite(warehouse)
         }
       }
       // separator-anchored: dropping ns1 must not purge ns1x/t from
@@ -246,13 +338,40 @@ object RestRegistry {
     try {
       readEntries(warehouse).orElse {
         val walked = walk().toSet
-        withLock(warehouse) {
-          // re-check under the lock: a concurrent ensure may have won
-          readEntries(warehouse).orElse {
-            writeEntries(warehouse, walked)
-            Some(walked)
+        val outcome: Option[Either[Set[String], Set[String]]] =
+          withLock(warehouse) {
+            // re-check under the lock: a concurrent ensure may have won
+            readEntries(warehouse) match {
+              case Some(existing) => Left(existing) // peer created it
+              case None =>
+                writeEntries(warehouse, walked)
+                stampOwnWrite(warehouse)
+                Right(walked) // we created it — close the window below
+            }
           }
-        }.flatten // lock unavailable: no registry this time (walk fallback)
+        outcome match {
+          case None => None // lock unavailable: walk fallback this time
+          case Some(Left(existing)) => Some(existing)
+          case Some(Right(first)) =>
+            // Close the creation window (r19, ADVICE): a table whose
+            // FIRST hint write landed after walk() started but before
+            // the registry file existed was invisible to BOTH paths —
+            // maybeRegister (no file yet, correctly not marked known)
+            // and the already-past walk — and a write-once table then
+            // stayed absent from LIST until a restart. Now that the
+            // file exists every new commit self-registers, so ONE more
+            // walk catches exactly the stragglers: anything committed
+            // before this walk visits it is found here; anything after
+            // sees the registry file and registers itself.
+            val again = walk().toSet
+            val missing = again -- first
+            if (missing.nonEmpty) withLock(warehouse) {
+              readEntries(warehouse).foreach(cur =>
+                writeEntries(warehouse, cur ++ missing))
+              stampOwnWrite(warehouse)
+            }
+            Some(first ++ missing)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 }
