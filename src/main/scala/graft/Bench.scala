@@ -184,6 +184,34 @@ object BenchGuard {
     case _ => freshMin
   }
 
+  /** The core-count stamp of a committed BENCH_FULL artifact
+    * (`loadavg.cpus`). None for an absent/malformed/unstamped record.
+    * Mins are only comparable WITHIN one core count: r19's 8-core
+    * driver run wrote through the same merge path as 32-core runs and
+    * its q37 min (an anti-scaling query: 1.26 s at 8 cores vs 3.56 s
+    * cold at 32) became the committed "min", turning the record into
+    * best-ever-any-config instead of the 32-core baseline the drift
+    * check needs. */
+  def recordCpus(path: java.nio.file.Path): Option[Int] =
+    try {
+      import org.json4s._
+      val parsed = org.json4s.jackson.JsonMethods
+        .parse(java.nio.file.Files.readString(path))
+      (parsed \ "loadavg" \ "cpus") match {
+        case JInt(i) => Some(i.toInt)
+        case JLong(l) => Some(l.toInt)
+        case JDouble(d) => Some(d.toInt)
+        case JString(s) => s.toIntOption
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
+  /** Whether a run at `runCpus` may read/merge/overwrite a record
+    * stamped `recordCpus` — only the same core count (an unstamped
+    * legacy record stays comparable so history is not thrown away). */
+  def cpusComparable(recordCpus: Option[Int], runCpus: Int): Boolean =
+    recordCpus.forall(_ == runCpus)
+
   /** Per-query `min` timings of a committed BENCH_FULL artifact —
     * absent file or malformed JSON yields an empty history (the drift
     * check simply stays off). */
@@ -359,8 +387,19 @@ object Bench {
           spark.stop(); sys.exit(2)
         case BenchGuard.LockUnsupported => None
       }
-    val history = BenchGuard.historicalMins(
-      java.nio.file.Paths.get(s"BENCH_FULL_$sfName0.json"))
+    // Cross-cpu isolation (r19 verdict): a record written at one core
+    // count must be invisible to a run at another — an 8-core min
+    // lowering 32-core history (or anchoring its drift thresholds)
+    // poisons the baseline for anti-scaling queries. A mismatched run
+    // keeps history empty (drift check off) and never writes the
+    // record (its numbers still ship on stdout); SPARK_GRAFT_RECORD=
+    // force re-records deliberately under the new core count.
+    val recordPath = java.nio.file.Paths.get(s"BENCH_FULL_$sfName0.json")
+    val sameCpus = BenchGuard.cpusComparable(
+      BenchGuard.recordCpus(recordPath), cpus.toInt)
+    val history =
+      if (sameCpus) BenchGuard.historicalMins(recordPath)
+      else Map.empty[String, Double]
     // Fresh-JVM solo adjudication for history drift. A same-JVM solo
     // re-run (r14) could not undo 100+ queries of code-cache/heap-shape
     // drift: it "confirmed" two contention windows as regressions and
@@ -602,8 +641,11 @@ object Bench {
     // round-over-round comparisons kept almost mixing scale factors.
     // A SPARK_GRAFT_ONLY subset run never overwrites the full record.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    // never overwrite the committed record from a dying JVM
-    if (only.isEmpty && !spark.sparkContext.isStopped)
+    // never overwrite the committed record from a dying JVM, and never
+    // from a core count the record was not measured at (force wins:
+    // that is the deliberate re-record path, stamping the new cpus)
+    if (only.isEmpty && !spark.sparkContext.isStopped &&
+        (sameCpus || forceRecord))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"BENCH_FULL_$sfName.json"), fullJson)
     recordLock.foreach(ch =>

@@ -292,14 +292,22 @@ object RestRegistry {
   def unregister(warehouse: Path, tableRelPath: String): Unit =
     try {
       if (!Files.isRegularFile(registryFile(warehouse))) return
+      // purge-on-change BEFORE any stamping, mirroring maybeRegister
+      // (r19 ADVICE): stamping unconditionally would record an
+      // EXTERNAL rewrite's fingerprint as "our own write" and the next
+      // validateKnownAgainst would never purge `known`
+      validateKnownAgainst(warehouse)
       // a skipped rewrite (peer holds the lock) leaves a stale line:
       // the REST tables route re-validates per page, so it can hide a
       // row but never serve one
       withLock(warehouse) {
         readEntries(warehouse).foreach { cur =>
-          if (cur.contains(tableRelPath))
+          if (cur.contains(tableRelPath)) {
             writeEntries(warehouse, cur - tableRelPath)
-          stampOwnWrite(warehouse)
+            // only after OUR write: a no-op unregister must not adopt
+            // a peer's fingerprint as ours
+            stampOwnWrite(warehouse)
+          }
         }
       }
       known.remove(warehouse.resolve(tableRelPath)
@@ -312,12 +320,17 @@ object RestRegistry {
   def unregisterPrefix(warehouse: Path, nsRelPath: String): Unit =
     try {
       if (!Files.isRegularFile(registryFile(warehouse))) return
+      // see unregister: validate (purge-on-change) first, stamp only
+      // after an actual write
+      validateKnownAgainst(warehouse)
       val pfx = nsRelPath + "/"
       withLock(warehouse) {
         readEntries(warehouse).foreach { cur =>
           val keep = cur.filterNot(e => e == nsRelPath || e.startsWith(pfx))
-          if (keep.size != cur.size) writeEntries(warehouse, keep)
-          stampOwnWrite(warehouse)
+          if (keep.size != cur.size) {
+            writeEntries(warehouse, keep)
+            stampOwnWrite(warehouse)
+          }
         }
       }
       // separator-anchored: dropping ns1 must not purge ns1x/t from

@@ -226,6 +226,32 @@ class BenchGuardSpec extends AnyFunSuite with Matchers {
     BenchGuard.mergedMin(0.9, None, soloConfirmedRegression = false) shouldBe 0.9
   }
 
+  test("recordCpus/cpusComparable: a record is only mergeable at the core count it was measured at (the r19 c8-merge incident)") {
+    // the incident: the driver's SPARK_GRAFT_CPUS=8 run wrote through
+    // the same merge path as 32-core runs and its q37 measurement
+    // (1.2576 s — an anti-scaling query, 3.56 s cold at 32 cores)
+    // became the committed 32-core "min". The record carries
+    // loadavg.cpus; a mismatched run must neither read nor write it.
+    val tmp = java.nio.file.Files.createTempFile("bench-cpus-", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"metric":"total","value":9.9,"unit":"sec","sf":"x","failed":[],
+        |"loadavg":{"before":"0.1,0.1,0.1","after":"4,4,2","cpus":32},
+        |"queries":{"q37_dedup_corpus":{"min":3.56,"med":3.6,"max":3.7}}}""".stripMargin)
+    BenchGuard.recordCpus(tmp) shouldBe Some(32)
+    BenchGuard.cpusComparable(BenchGuard.recordCpus(tmp), 32) shouldBe true
+    BenchGuard.cpusComparable(BenchGuard.recordCpus(tmp), 8) shouldBe false
+    // legacy record without the stamp: stays comparable (history is
+    // not thrown away on the first run after the format change)
+    java.nio.file.Files.writeString(tmp,
+      """{"metric":"total","value":9.9,"queries":{}}""")
+    BenchGuard.recordCpus(tmp) shouldBe None
+    BenchGuard.cpusComparable(None, 8) shouldBe true
+    // absent record: any core count may create it
+    BenchGuard.recordCpus(
+      java.nio.file.Paths.get("/nonexistent/BENCH_FULL.json")) shouldBe None
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("historicalMins parses a committed BENCH_FULL artifact; absence disables the check") {
     val tmp = java.nio.file.Files.createTempFile("bench-hist-", ".json")
     java.nio.file.Files.writeString(tmp,
