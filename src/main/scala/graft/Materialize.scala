@@ -82,6 +82,54 @@ object Materialize {
     } else df.localCheckpoint(eager = false)
   }
 
+  /** Data-adaptive partition count for pinned exchanges (guide §2.2:
+    * "fewer, larger reduce partitions ... let AQE coalesce"). The pins
+    * bypass AQE by design — [[pinPartitionedBy]] must declare an exact
+    * `HashPartitioning(keys, n)`, and AQE never coalesces a
+    * user-specified repartition — so until r19 every pin site passed
+    * `spark.sql.shuffle.partitions` (= the core count locally) and a
+    * few-MB index got fanned into 32 micro-partitions. Frame sampling
+    * (r20, q28b) showed the resulting task time was dominated by
+    * per-partition FIXED cost — hash-relation builds, task-closure
+    * deserialization, aggregation-map allocation, SizeEstimator — not
+    * data; it also made the dedup family anti-scale with core count
+    * (q37: 3.56 s cold at 32 cores vs 1.26 s at 8, r19 verdict).
+    *
+    * The count is derived from DATA, not cores: leaf input bytes ×
+    * `expansion` (uncompression + explode growth) / the same advisory
+    * partition size AQE targets for its own coalescing, clamped to
+    * [1, spark.sql.shuffle.partitions]. At 100 TB the clamp binds and
+    * behavior is unchanged from the r19 code; at bench SFs the pinned
+    * exchanges get the few large partitions the guide asks for. A leaf
+    * whose size Spark does not know (checkpointed RDDs, v2 catalog
+    * relations) returns the cap — the conservative pre-r20 behavior. */
+  def adaptivePinPartitions(df: DataFrame, expansion: Double = 4.0): Int = {
+    val spark = df.sparkSession
+    val cap = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // A/B instrumentation, like graft.checkpoint.disable: `false`
+    // restores the pre-r20 fixed spark.sql.shuffle.partitions count on
+    // unchanged query code, so the adaptive sizing is measurable
+    if (spark.conf.getOption("graft.pin.adaptive").exists(_ == "false"))
+      return cap
+    var bytes = BigInt(0)
+    var unknown = false
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        bytes += BigInt(lr.relation.sizeInBytes)
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        bytes += l.stats.sizeInBytes
+      case _ => unknown = true
+    }
+    if (unknown || bytes <= 0) return cap
+    val advisory = math.max(1L,
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+      catch { case scala.util.control.NonFatal(_) => 64L * 1024 * 1024 })
+    val want = (bytes * BigInt(math.max(1L, expansion.round)) /
+      BigInt(advisory)) + 1
+    want.min(BigInt(cap)).max(BigInt(1)).toInt
+  }
+
   /** Partitioning-preserving pin: hash-repartition on `keys` into
     * `numPartitions`, materialize (same checkpoint modes as [[pin]]),
     * and rebuild the frame DECLARING that layout, so a downstream

@@ -39,7 +39,17 @@ object SessionTuning {
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     val b1 = b.config("spark.shuffle.sort.bypassMergeThreshold", "1")
     val shm = new java.io.File("/dev/shm")
-    if (!sys.env.contains("SPARK_LOCAL_DIRS") && shm.isDirectory && shm.canWrite)
+    // capacity gate (r19 ADVICE): tmpfs is RAM — a larger-than-expected
+    // shuffle (a bigger SF than the bench fixtures) filling /dev/shm
+    // would fail mid-job where slow ext4 would merely crawl. Redirect
+    // only when the tmpfs has comfortable headroom for the bench-scale
+    // shuffles this stands in for (~4 GiB floor, >100× the sf0.1 suite's
+    // shuffle footprint); anything bigger must provision SPARK_LOCAL_DIRS
+    // explicitly, which always wins (Spark reads it before
+    // spark.local.dir).
+    val shmFloorBytes = 4L << 30
+    if (!sys.env.contains("SPARK_LOCAL_DIRS") && shm.isDirectory &&
+        shm.canWrite && shm.getUsableSpace >= shmFloorBytes)
       b1.config("spark.local.dir", "/dev/shm/graft-spark-local")
     else b1
   }

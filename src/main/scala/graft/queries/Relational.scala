@@ -1226,11 +1226,17 @@ object Relational {
 
   private def srcMark(df: DataFrame): String = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val rels = df.queryExecution.analyzed.collect {
+    // EVERY leaf must be a local-file HadoopFsRelation for the memo to
+    // be sound (r19 ADVICE): a LocalRelation/InMemoryRelation leaf
+    // contributes DATA the plan key below cannot see, so any such plan
+    // bails to the full recompute
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val rels = leaves.map {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
         case _ => None
       }
+      case _ => None
     }
     def localFp(p: String): Option[String] =
       try {
@@ -1239,8 +1245,13 @@ object Relational {
           if (uri.getScheme == "file") uri.getPath
           else if (uri.getScheme == null) p
           else return None // non-local storage: never cache
-        val f = new java.io.File(path)
-        if (f.exists) Some(s"$p:${f.length}:${f.lastModified}") else None
+        // regular FILES only (r19 ADVICE): a directory's length/mtime
+        // do not track in-place rewrites of contained files -- same
+        // discipline as Tables.table. Fingerprint = size + nanosecond
+        // mtime + inode (graft.Tables.fileFingerprint), closing the
+        // same-size same-millisecond rewrite hole the REST registry
+        // closed on its write side in r19.
+        graft.Tables.fileFingerprint(new java.io.File(path)).map(p + ":" + _)
       } catch { case _: Exception => None }
     val fileFp: Option[String] =
       if (rels.nonEmpty && rels.forall(_.isDefined)) {
@@ -1250,9 +1261,13 @@ object Relational {
     fileFp match {
       case None => computeSrcMark(df)
       case Some(fp) =>
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest((df.queryExecution.analyzed.canonicalized.toString + " " + fp)
-            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        // structure key = semanticHash of the canonicalized plan -- it
+        // hashes the full tree, where canonicalized.toString truncated
+        // via maxToStringFields (r19 ADVICE); leaf DATA is covered by
+        // the file fingerprint plus the all-leaves-are-files gate above
+        val key =
+          df.queryExecution.analyzed.canonicalized.semanticHash().toString +
+            ":" + fp
         srcMarkCache.computeIfAbsent(key, _ => computeSrcMark(df))
     }
   }

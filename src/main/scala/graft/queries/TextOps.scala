@@ -130,8 +130,18 @@ object TextOps {
     // (partitioning-preserving pin; ex0's terminal repartition(h)
     // collapses into the pin's): h-keyed consumers — the df count and
     // the ex⋈freq join — then read it with zero added exchanges.
-    val ex = graft.Materialize.pinPartitionedBy(ex0,
-      ex0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, Seq("h"))
+    // Partition count DELIBERATELY stays at shuffle.partitions (the
+    // cluster budget), not the bytes-adaptive count: this pipeline is
+    // compute-dense, ~20× more CPU than its bytes suggest (shingle
+    // hash joins + verify expansion). Measured (r20, interleaved A/B
+    // via graft.pin.adaptive, 5 rounds, min): bytes-adaptive (1
+    // partition at sf0.1) q28b 2.66 s / q37 2.65 s vs full fan-out
+    // 1.19 s / 1.18 s — serializing the verify stage loses 2.2×. The
+    // bytes-adaptive sizing is kept for the aggregate-sized pins
+    // (q38/q46/q64/q65/q71) where the same A/B measured it
+    // neutral-to-better.
+    val pinParts = ex0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ex = graft.Materialize.pinPartitionedBy(ex0, pinParts, Seq("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc prefix = the p = n − ⌈t·n⌉ + 1 globally-rarest shingles,
     // selected by a typed bottom-p aggregate instead of a row_number
@@ -149,8 +159,7 @@ object TextOps {
     // measured the duplicate). h-keyed, so the self-join reads both
     // sides from the pinned layout with zero added exchanges.
     val prefix = graft.Materialize.pinPartitionedBy(
-      prefixSelection(ex, freq, t),
-      ex0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt, Seq("h"))
+      prefixSelection(ex, freq, t), pinParts, Seq("h"))
     // length filter (PPJoin): J(A,B) ≤ min(n)/max(n), so any pair with
     // n2 outside [t·n1, n1/t] can't reach t — dropped IN the join
     // condition, before the candidate set exists, which keeps the
@@ -628,10 +637,13 @@ object TextOps {
       // Measured (sf0.1, local[32], graft.checkpoint.disable A/B, min
       // of 3): pin 1.09s vs no-pin 2.08s — re-tokenizing the corpus
       // for each of the two consumers costs ~2× the materialization.
-      val toks = tokenized(s, d)
+      val toks0 = tokenized(s, d)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
         .withColumn("bucket", expr(s"doc_id div $bucketWidth"))
-        .pinnedBy(s.conf.get("spark.sql.shuffle.partitions").toInt, "bucket")
+      // adaptive count (guide §2.2): 3 narrow columns per doc — the
+      // corpus-sized shuffle.partitions fan-out was pure per-task cost
+      val toks = toks0.pinnedBy(
+        graft.Materialize.adaptivePinPartitions(toks0), "bucket")
       val inBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val bucketTotals = toks.groupBy(col("bucket"))
@@ -903,11 +915,13 @@ object TextOps {
       // the recomputed subtree is one cheap projection scan; the pin
       // is kept for the shape (at corpus scale the re-scan side grows
       // with data while the pinned frame stays 4 narrow columns).
-      val g = documents(s, d)
+      val g0 = documents(s, d)
         .withColumn("grp", when(col("lang") === "en", "en").otherwise("other"))
         .select(col("grp"), col("doc_id"), col("lang"),
           expr(s"doc_id div $bucketWidth").as("bucket"))
-        .pinnedBy(s.conf.get("spark.sql.shuffle.partitions").toInt, "grp", "bucket")
+      // adaptive count (guide §2.2), see jaccardPrefixJoin's note
+      val g = g0.pinnedBy(
+        graft.Materialize.adaptivePinPartitions(g0), "grp", "bucket")
       val bucketCounts = g.groupBy(col("grp"), col("bucket"))
         .agg(count(lit(1)).as("bcnt"))
         .withColumn("sb", expr(s"bucket div $superWidth"))
@@ -1086,11 +1100,16 @@ object TextOps {
         .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("th"))
         .select(col("doc_id"), explode(nGramHashes(col("th"), 5)).as("g"))
       val evalGrams = grams.filter(col("doc_id") < 10).select(col("g")).distinct()
-      val bloom = evalGrams
+      // The bloom rides the PLAN as a scalar subquery (r19 verdict
+      // item 4) instead of a driver head() collect — one action
+      // instead of two sequential ones, and EXACTLY how Spark's own
+      // InjectRuntimeFilter ships its bloom to might_contain (which
+      // rejects anything but a constant or scalar subquery). Same
+      // bloom_agg aggregate, same bytes, same survivors.
+      val bloomDf = evalGrams
         .agg(call_function("bloom_agg", col("g"), lit(1000000L)).as("bf"))
-        .head().getAs[Array[Byte]](0)
       grams.filter(col("doc_id") >= 10)
-        .filter(call_function("bloom_contains", lit(bloom), col("g")))
+        .filter(call_function("bloom_contains", bloomDf.scalar(), col("g")))
         // the eval-set grams are the bounded side by contract: pinned
         // broadcast for the exactness-restoring semi join
         .join(broadcast(evalGrams), Seq("g"), "left_semi")
@@ -1600,8 +1619,11 @@ object TextOps {
       // runs on the JOIN's output — so no downstream consumer could
       // read a doc_id layout claim; the pin buys single derivation of
       // the tokenize pipeline only
-      val tok = graft.Materialize.pin(
-        tokenized(s, d).filter(size(col("toks")) >= 2))
+      val tok0 = tokenized(s, d).filter(size(col("toks")) >= 2)
+      // adaptive count taken from the PRE-pin frame (file-backed
+      // leaves; the pinned LogicalRDD reports no size) — guide §2.2
+      val pinParts = graft.Materialize.adaptivePinPartitions(tok0)
+      val tok = graft.Materialize.pin(tok0)
       def pairs = tok.select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - 2), i =>
           struct(element_at(col("toks"), i + 1).as("p"),
@@ -1612,9 +1634,11 @@ object TextOps {
       // explode + (p,w) aggregation ran TWICE (Probe8 measured it).
       // p-keyed pin: prefix aggregates in place and the model join adds
       // no exchange — the pin is vocab-bounded, not corpus-scale.
+      // adaptive count (guide §2.2), see jaccardPrefixJoin's note;
+      // the pinned frame is vocab²-bounded, far below source bytes
       val bigrams = graft.Materialize.pinPartitionedBy(
         pairs.groupBy(col("p"), col("w")).agg(count(lit(1)).as("c2")),
-        s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("p"))
+        pinParts, Seq("p"))
       val prefix = bigrams.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
       // both sides read the p-pinned layout: hash join in place, no sort
       val model = bigrams.join(prefix.hint("shuffle_hash"), Seq("p"))
@@ -1656,11 +1680,12 @@ object TextOps {
       // tok-keyed pin: the corpus-marginal re-aggregation runs in
       // place and the lt⋈corpus join on tok adds no exchange — only
       // the |langs|-row totals shuffle
-      val lt = graft.Materialize.pinPartitionedBy(
-        tokenized(s, d)
-          .select(col("lang"), explode(col("toks")).as("tok"))
-          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c_lt")),
-        s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("tok"))
+      val lt0 = tokenized(s, d)
+        .select(col("lang"), explode(col("toks")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c_lt"))
+      // adaptive count (guide §2.2), see jaccardPrefixJoin's note
+      val lt = graft.Materialize.pinPartitionedBy(lt0,
+        graft.Materialize.adaptivePinPartitions(lt0), Seq("tok"))
       val langTotals = lt.groupBy(col("lang")).agg(sum(col("c_lt")).as("n_l"))
       val corpus = lt.groupBy(col("tok")).agg(sum(col("c_lt")).as("c_t"))
       val total = lt.agg(sum(col("c_lt")).as("n"))
@@ -1882,11 +1907,12 @@ object TextOps {
       // tokenize+distinct+exchange already outweighs the
       // materialization at this SF, and the gap widens with corpus
       // size (three consumers: counts + both self-join sides).
-      val st = graft.Materialize.pinPartitionedBy(
-        tokenized(s, d)
-          .select(col("source"), explode(col("toks")).as("tok"))
-          .distinct(),
-        s.conf.get("spark.sql.shuffle.partitions").toInt, Seq("tok"))
+      val st0 = tokenized(s, d)
+        .select(col("source"), explode(col("toks")).as("tok"))
+        .distinct()
+      // adaptive count (guide §2.2), see jaccardPrefixJoin's note
+      val st = graft.Materialize.pinPartitionedBy(st0,
+        graft.Materialize.adaptivePinPartitions(st0), Seq("tok"))
       val counts = st.groupBy(col("source")).agg(count(lit(1)).as("nt"))
       val shared = st.as("a")
         // pinned: the vocabulary frame is corpus-vocab-scale — an
@@ -2372,7 +2398,22 @@ s$r AS MATERIALIZED (SELECT doc_id, text, trim(replace(replace(' ' || replace(s,
     // as a side effect of its own scan — substitution+count fuse into
     // a single pass and the separate checkpoint action disappears.
     val pinEvery = s.conf.getOption("graft.bpe.pinEvery").map(_.toInt).getOrElse(1)
+    // conf misuse fails loudly at read time, not with an
+    // ArithmeticException inside round `pinEvery` (r19 ADVICE)
+    require(pinEvery >= 1, s"graft.bpe.pinEvery must be >= 1, got $pinEvery")
     var cur = documents(s, d).select(col("doc_id"), col("text"), col("text").as("s"))
+    // Fan the corpus out to the compute budget ONCE, before the loop
+    // (guide §2.5 "input skew: one huge unsplittable file ...
+    // repartition immediately after the read"): the bench fixtures are
+    // single-row-group parquet, so the scan is ONE task and all ten
+    // rounds of substitution+pair-count string work ran on one core
+    // (r20 ProbeJobStats: 22 single-task jobs, parallelism 0.6). The
+    // checkpointed corpus inherits this layout, so every later round
+    // keeps it. Deterministic (hash on doc_id, no round-robin), and
+    // skipped entirely when the scan is already at least
+    // budget-wide — at 100 TB this line never shuffles anything.
+    if (cur.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      cur = cur.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     for (step <- 1 to rounds) {
       val toks = cur.select(split(col("s"), " ").as("t")).filter(size(col("t")) >= 2)

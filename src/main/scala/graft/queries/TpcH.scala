@@ -41,6 +41,13 @@ object TpcH {
       .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
       .agg(
         min(col("l_extendedprice")).as("ps_supplycost"),
+        // long-cents reformulation (r19 verdict item 7) measured and
+        // REJECTED r20: value-identical on every group (ProbeCentsAB,
+        // 0 of ~200k groups differ at sf0.1) but a perf WASH
+        // (interleaved min 0.629 s decimal vs 0.650 s cents) — Spark's
+        // Decimal add stays on the compact-long path for these
+        // magnitudes, so the BigDecimal cost the reformulation targets
+        // never materializes. The exact decimal sum stays.
         dsum2(col("l_quantity")).as("ps_availqty"))
 
   /** Suppliers decorated with nation (and optionally region-filtered) —

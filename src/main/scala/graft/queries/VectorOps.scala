@@ -28,10 +28,16 @@ object VectorOps {
   /** (vec_id, embedding, norm) — norm computed once per vector. */
   private def withNorm(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    embeddings(s, d)
+    val e = embeddings(s, d)
+    e
       // fan out of the (possibly single-task) scan: the similarity joins
-      // below broadcast one side, so parallelism = this side's partitions
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      // below broadcast one side, so parallelism = this side's partitions.
+      // Count is bytes-adaptive (guide §2.2), capped at the core budget:
+      // at bench SFs the corpus side is sub-MB and a 32-way fan-out paid
+      // more per-task fixed cost than the dot products it parallelized
+      // (r20 interleaved A/B via graft.pin.adaptive, whole q29 family)
+      .repartition(graft.Materialize.adaptivePinPartitions(e, expansion = 8.0),
+        col("vec_id"))
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
   }
 
@@ -130,7 +136,12 @@ object VectorOps {
     "q29b_embedding_neardup",
     (s, d) => {
       val e = withNorm(s, d)
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
+      // all-pairs is COMPUTE-dense (|corpus|² dots), unlike the rest of
+      // the family: the stream side must fan out to the core budget —
+      // withNorm's bytes-adaptive count serialized the BNLJ and lost
+      // 3.3× (r20 A/B: 0.74 s vs 0.22 s)
+      val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("id1"), col("embedding").as("v1"), col("nrm").as("n1"))
       val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"), col("nrm").as("n2"))
       // exact all-pairs is the SMALL-corpus path by declaration (LSH /
       // IVF are the scale paths); the non-equi join must broadcast one

@@ -23,9 +23,13 @@ object ProbeFinalPlan {
       .filter(q => names.contains(q.name) || names.exists(n => q.name.startsWith(n)))
       .foreach { q =>
         val df = q.run(spark, sfDir)
-        df.count()
+        // collect() executes THIS dataset's queryExecution — count()
+        // builds a NEW plan and would leave df's own adaptive plan
+        // unexecuted (isFinalPlan=false), the exact trap the r19
+        // finding-7 probe fell into
+        df.collect()
         println(s"===== ${q.name} FINAL =====")
-        println(df.queryExecution.executedPlan.toString.take(6000))
+        println(df.queryExecution.executedPlan.toString.take(12000))
       }
     spark.stop()
   }

@@ -20,11 +20,15 @@ object ProbeJobStats {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SessionTuning so the probe measures the session Bench measures
+    // (serialized sort shuffle + tmpfs local dirs) — without it task
+    // times include the bypass writer's per-partition file storm that
+    // the bench session no longer pays
+    val spark = graft.SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger; val stages = new AtomicInteger
