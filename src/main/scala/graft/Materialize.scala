@@ -130,6 +130,23 @@ object Materialize {
     want.min(BigInt(cap)).max(BigInt(1)).toInt
   }
 
+  /** Deterministic compute fan-out for a narrow scan feeding CPU-dense
+    * row-local work (per-token hashing, corpus-wide substitution): the
+    * bench fixtures are single-row-group parquet, so a scan is ONE
+    * task and everything fused into it runs on one core. Hash-
+    * repartitions on `key` to the core budget — and is a NO-OP when
+    * the scan is already at least budget-wide, so at 100 TB (where
+    * scans carry thousands of partitions) this never adds a shuffle.
+    * Only for pipelines whose per-row compute dwarfs one narrow-row
+    * shuffle write+read; overhead-bound frames want
+    * [[adaptivePinPartitions]] instead. */
+  def fanOutCompute(df: DataFrame, key: String): DataFrame = {
+    val budget = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < budget)
+      df.repartition(budget, df.col(key))
+    else df
+  }
+
   /** Partitioning-preserving pin: hash-repartition on `keys` into
     * `numPartitions`, materialize (same checkpoint modes as [[pin]]),
     * and rebuild the frame DECLARING that layout, so a downstream

@@ -195,7 +195,13 @@ object TextOps {
     // threshold, fall through to the distributed propagation loop
     // (cutoff injectable so tests can force that path).
     val cached = pairs.select(col("id1"), col("id2")).pinned
-    if (cached.count() <= smallCutoff) {
+    // ONE bounded action decides the path AND fetches the small case's
+    // edges (r20, guide §5 job-count): head(cutoff+1) returns every
+    // edge iff the set fits under the cutoff, and its bounded overflow
+    // row proves it doesn't — the old count()-then-collect() pair was
+    // two sequential jobs over the same pinned frame
+    val firstEdges = cached.head(smallCutoff.toInt + 1)
+    if (firstEdges.length <= smallCutoff) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -206,7 +212,9 @@ object TextOps {
         while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      val edgeArr = cached.as[(Long, Long)].collect()
+      // firstEdges IS the complete edge set here (≤ cutoff rows came
+      // back from a cutoff+1 take) — no second collect job
+      val edgeArr = firstEdges.map(r => (r.getLong(0), r.getLong(1)))
       edgeArr.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
@@ -2114,8 +2122,12 @@ object TextOps {
     "q74_dsir_select",
     (s, d) => {
       val buckets = 256
+      // md5-per-bigram is CPU-dense row-local work on a (locally)
+      // single-task scan: fan out to the core budget first, exactly
+      // the BPE loop's trade (no-op at scale where scans are wide).
+      // Measured r20: q74 solo bench 1.30 -> 0.97 s same host.
       val feats = graft.Materialize.pin(
-        documents(s, d)
+        graft.Materialize.fanOutCompute(documents(s, d), "doc_id")
           .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 2)
           .select(col("doc_id"), col("lang"),
@@ -2412,9 +2424,22 @@ s$r AS MATERIALIZED (SELECT doc_id, text, trim(replace(replace(' ' || replace(s,
     // keeps it. Deterministic (hash on doc_id, no round-robin), and
     // skipped entirely when the scan is already at least
     // budget-wide — at 100 TB this line never shuffles anything.
-    if (cur.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      cur = cur.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val fanout = s.conf.getOption("graft.bpe.fanout").map(_.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+    if (cur.rdd.getNumPartitions < fanout)
+      cur = cur.repartition(fanout, col("doc_id"))
     val learned = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    // AQE OFF for the learn loop only (restored below): each round is
+    // one tiny fixed-shape shuffle (map-side-combined pair counts,
+    // vocab²-bounded, no skew for runtime handling to fix), and AQE
+    // turns it into TWO scheduled jobs per round (stage
+    // materialization + final) — a pure per-round barrier. Measured
+    // (r20 ProbeBpeFanout, interleaved, min of 3): fanout=32 AQE-on
+    // 1.424 s vs AQE-off 1.240 s; the fan-out scan itself measured
+    // 32 ≥ 16 ≥ 8 ≫ 1 (3.26 s), so the core-budget width stands.
+    val aqeBefore = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     for (step <- 1 to rounds) {
       val toks = cur.select(split(col("s"), " ").as("t")).filter(size(col("t")) >= 2)
       val pairs = toks.select(
@@ -2448,6 +2473,9 @@ s$r AS MATERIALIZED (SELECT doc_id, text, trim(replace(replace(' ' || replace(s,
           cur = graft.Materialize.pinLazy(cur)
       }
     }
+    } finally s.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // the returned frame executes LATER, under the caller's restored
+    // AQE setting — only the loop's per-round collects ran without it
     (learned.toSeq, cur)
   }
 
