@@ -140,7 +140,11 @@ object TextOps {
     // bytes-adaptive sizing is kept for the aggregate-sized pins
     // (q38/q46/q64/q65/q71) where the same A/B measured it
     // neutral-to-better.
-    val pinParts = ex0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // graft.dedup.pinParts overrides for A/B probing (ProbeBpeFanout's
+    // pattern); the default IS the cluster budget per the A/B above
+    val pinParts = ex0.sparkSession.conf.getOption("graft.dedup.pinParts")
+      .map(_.toInt)
+      .getOrElse(ex0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val ex = graft.Materialize.pinPartitionedBy(ex0, pinParts, Seq("h"))
     val freq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc prefix = the p = n − ⌈t·n⌉ + 1 globally-rarest shingles,
